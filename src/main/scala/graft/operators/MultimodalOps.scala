@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata structs alongside.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container): `fakeImageMeta` derives deterministic metadata from the
+  * byte stream. Everything around it — schema shape, per-partition
+  * batching, binary column flow — is the real plumbing a production
+  * decoder (JNI/FFI or Pandas-UDF-style vectorized worker) would plug
+  * into via the same `mapPartitions` seam.
+  *
+  * Scale notes: binary payloads dominate row size, so decode operators
+  * must never shuffle the binary column — filter/extract first, carry
+  * only metadata + features downstream. `decodePartitioned` keeps the
+  * payload within the input partition and emits only the (small) struct.
+  */
+object MultimodalOps {
+
+  val ImageMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Expression-level decode STUB: deterministic fake metadata from byte
+    * length (a real decoder parses the header bytes here).
+    */
+  def fakeImageMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = length(bin)
+    struct(
+      (n % 640).cast("int").as("width"),
+      (n % 480).cast("int").as("height"),
+      lit(3).as("channels"),
+      when(n % 2 === 0, "png").otherwise("jpeg").as("format"))
+  }
+
+  /** Partition-batched decode seam: iterates each partition once, invoking
+    * `decodeOne` per payload (swap in a real codec; batch-amortize any
+    * native handle across the partition). Output schema = input schema
+    * minus the binary column, plus the metadata struct.
+    */
+  def decodePartitioned(df: DataFrame, binCol: String,
+      decodeOne: Array[Byte] => (Int, Int, Int, String) = stubDecode): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inSchema.fields.patch(binIdx, Nil, 1).toSeq :+ StructField("meta", ImageMetaType))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      // per-partition setup cost (decoder init) amortized here
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val (w, h, c, f) = decodeOne(bytes)
+        val kept = row.toSeq.patch(binIdx, Nil, 1)
+        Row.fromSeq(kept :+ Row(w, h, c, f))
+      }
+    }
+  }
+
+  /** Deterministic stand-in for a real image decoder. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (n % 640, n % 480, 3, if (n % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Frame-sampling stub for video-like payloads: emit every k-th chunk of
+    * the byte stream as one "frame" row (explode pattern — the real
+    * operator shape for frame extraction).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int): DataFrame = {
+    df.select(col(idCol), col(binCol).as("__bin"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          greatest((length(col("__bin")) / frameBytes / everyK).cast("int") - 1, lit(0)))),
+        col("__bin"))
+      .select(col(idCol), col("pos").cast("int").as("frame_no"),
+        col("__bin").substr(col("pos") * (frameBytes * everyK) + 1, lit(frameBytes)).as("frame_bytes"))
+  }
+}

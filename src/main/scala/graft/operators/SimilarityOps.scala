@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search operators over embedding columns (`Array[Float]`).
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    (huge) candidate table — no shuffle of candidates, and the per-query
+  *    top-k is a TakeOrderedAndProject, not a global sort;
+  *  - hyperplane LSH assigns each vector a bucket with a per-row
+  *    expression; ANN probing then joins query buckets to candidate
+  *    buckets, reading only matching buckets (bucket-partitioned layout
+  *    at rest makes this a partition-pruned scan).
+  */
+object SimilarityOps {
+
+  /** dot(a, b) accumulated left-to-right in double — element order is
+    * deterministic, so results are bit-stable across engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` must be small (it is broadcast); `candidates` can be huge.
+    */
+  def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String, k: Int,
+      scoreDecimals: Int = 6): DataFrame = {
+    val scored = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+      .join(candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
+    * reproducible from (plane, dim) alone so any engine can re-derive them.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        ((1.0 + ((j * 7919 + i * 104729) % 1999)) / 1999.0) - 0.5
+      }
+    }
+
+  /** Sign-of-dot-product LSH bucket id (one bit per hyperplane). */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** ANN via LSH buckets: exact rescoring restricted to the query's bucket.
+    * Recall is tuned by the number of planes (fewer planes = bigger
+    * buckets = higher recall, more rescoring).
+    */
+  def annTopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String,
+      k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val qb = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      hyperplaneBucket(col(qVec), planes).as("__bucket"))
+    val cb = candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      hyperplaneBucket(col(cVec), planes).as("__bucket"))
+    val scored = broadcast(qb).join(cb, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+  }
+}

@@ -1,0 +1,615 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Declared OLAP query inventory (SURVEY.md §2.B/§2.C/§2.D): the host-engine
+  * capability surface the reference inherits from DuckDB, re-declared as
+  * idiomatic Spark DataFrame plans and conformance-tested against a DuckDB
+  * oracle over the same parquet tables.
+  *
+  * Conventions (driver hash-compares after sorting rows and columns):
+  *  - every computed column is aliased identically in Spark and oracle SQL;
+  *  - floating aggregates are `Qf.dround(..., n)` on both sides so summation
+  *    order can never flip a bit;
+  *  - integer-typed results are pinned to BIGINT/INT on both sides (DuckDB
+  *    `sum(BIGINT)` is HUGEINT, `length()` is BIGINT, Spark `floor` is LONG…);
+  *  - every query ends in a total deterministic ORDER BY;
+  *  - LIMIT/top-k sorts use rounded keys + unique tiebreakers so the selected
+  *    row set is engine-independent.
+  */
+object OlapQueries {
+  import Registry.table
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): NamedQuery =
+    NamedQuery(name, run, Option(oracle).filter(_.nonEmpty))
+
+  val all: Seq[NamedQuery] = Seq(
+    // ---------------------------------------------------------------- scans + aggregation
+    q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Qf.dround(sum(col("l_quantity")), 2).as("sum_qty"),
+          Qf.dround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          Qf.dround(avg(col("l_quantity")), 4).as("avg_qty"),
+          Qf.dround(avg(col("l_extendedprice")), 4).as("avg_price"),
+          Qf.dround(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.06 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
+          && col("l_discount") > 0.06 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    q("q06_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(Qf.dround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    q("q08_distinct_agg",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    q("q09_agg_filter",
+      """SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1996), 2) AS rev_1996,
+        |  round(avg(o_totalprice) FILTER (WHERE o_totalprice > 1000), 2) AS avg_big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+          Qf.dround(sum(when(year(col("o_orderdate")) === 1996, col("o_totalprice"))), 2).as("rev_1996"),
+          Qf.dround(avg(when(col("o_totalprice") > 1000, col("o_totalprice"))), 2).as("avg_big"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---------------------------------------------------------------- joins
+    q("q03_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    q("q04_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    q("q05_local_supplier_volume",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = table(s, dir, "lineitem")
+      val su = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    q("q07_broadcast_dims",
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), Qf.dround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy("r_name")
+    },
+
+    q("q10_returned_items",
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(table(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    q("q37_left_join_counts",
+      """SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          Qf.dround(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    q("q38_anti_join",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_suppkey = 1)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "part")
+        .join(table(s, dir, "lineitem").filter(col("l_suppkey") === 1),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    q("q39_full_outer",
+      """SELECT coalesce(a.nk, b.nk) AS nk,
+        |  coalesce(a.n_cust, 0) AS n_cust, coalesce(b.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) b
+        |ON a.nk = b.nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      val a = table(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val b = table(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      a.join(b, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+
+    q("q36_range_join",
+      """SELECT p_brand, count(*) AS n_in_band,
+        |  round(sum(l_extendedprice), 2) AS band_revenue
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |  AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 20.0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+      val l = table(s, dir, "lineitem")
+      broadcast(p).join(l, col("l_partkey") === col("p_partkey")
+          && col("l_extendedprice").between(col("p_retailprice") * 0.5, col("p_retailprice") * 20.0))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_in_band"), Qf.dround(sum(col("l_extendedprice")), 2).as("band_revenue"))
+        .orderBy("p_brand")
+    },
+
+    // ---------------------------------------------------------------- grouping sets / rollup / cube
+    q("q11_rollup",
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Qf.dround(sum(col("c_acctbal")), 2).as("acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    q("q12_cube",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Qf.dround(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    q("q13_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      // sign/floor formula = DuckDB round semantics (see Qf.dround)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  cast(sign(sum(o_totalprice)) * floor(abs(sum(o_totalprice)) * 100 + 0.5) / 100 AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- window functions
+    q("q14_window_rownum",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("int").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    q("q15_window_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    q("q16_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          Qf.dround(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          Qf.dround(avg(col("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow)), 2)
+            .as("moving_avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    q("q17_window_rank",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    q("q18_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------- set operations
+    q("q19_union_counts",
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionByName(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+
+    q("q20_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    q("q21_except",
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      table(s, dir, "nation").select(col("n_nationkey").as("nk"))
+        .except(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // ---------------------------------------------------------------- scalar function batteries
+    q("q22_string_battery",
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_brand) AS lbrand,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_name, 1, 5) AS name5,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  trim(concat(' ', p_name, ' ')) AS trimmed,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  regexp_replace(p_name, '[aeiou]', '.', 'g') AS devoweled,
+        |  CAST(strpos(p_name, 'e') AS INTEGER) AS first_e,
+        |  reverse(p_brand) AS rbrand,
+        |  CAST(starts_with(p_name, 'small') AS BOOLEAN) AS is_small
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        length(col("p_name")).cast("int").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        regexp_replace(col("p_name"), lit("[aeiou]"), lit(".")).as("devoweled"),
+        instr(col("p_name"), "e").cast("int").as("first_e"),
+        reverse(col("p_brand")).as("rbrand"),
+        col("p_name").startsWith("small").as("is_small"))
+        .orderBy("p_partkey")
+    },
+
+    q("q23_date_battery",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  o_orderdate + INTERVAL 1 MONTH AS next_month,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch95
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("next_month"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch95"))
+        .orderBy("o_orderkey")
+    },
+
+    q("q24_math_battery",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - 1000.0), 2) AS abs_delta,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+        |  round(l_discount * l_discount, 6) AS disc_sq,
+        |  round(greatest(l_quantity, l_discount * 100), 2) AS g,
+        |  round(least(l_quantity, l_tax * 100), 2) AS l
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Qf.dround(abs(col("l_extendedprice") - 1000.0), 2).as("abs_delta"),
+        Qf.dround(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        floor(col("l_extendedprice") / 100).as("price_bucket"),
+        ceil(col("l_quantity") / 7.0).as("qty_ceil7"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        Qf.dround(col("l_discount") * col("l_discount"), 6).as("disc_sq"),
+        Qf.dround(greatest(col("l_quantity"), col("l_discount") * 100), 2).as("g"),
+        Qf.dround(least(col("l_quantity"), col("l_tax") * 100), 2).as("l"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    q("q25_case_in_null",
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' ELSE 'partial' END AS status_word,
+        |  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_hot,
+        |  (o_totalprice BETWEEN 500 AND 2000) AS mid_price,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'was_partial') AS denulled,
+        |  (o_custkey IS NULL) AS cust_missing
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("partial").as("status_word"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hot"),
+        col("o_totalprice").between(500, 2000).as("mid_price"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("was_partial")).as("denulled"),
+        col("o_custkey").isNull.as("cust_missing"))
+        .orderBy("o_orderkey")
+    },
+
+    q("q26_like_battery",
+      """SELECT
+        |  count(*) FILTER (WHERE p_name LIKE '%widget%') AS n_widget,
+        |  count(*) FILTER (WHERE p_name LIKE 'small%') AS n_small,
+        |  count(*) FILTER (WHERE p_name LIKE '_old%') AS n_old2,
+        |  count(*) FILTER (WHERE p_name ILIKE 'COLD%') AS n_cold_i,
+        |  count(*) FILTER (WHERE regexp_matches(p_name, '^(cold|blue)')) AS n_regex
+        |FROM part""".stripMargin) { (s, dir) =>
+      table(s, dir, "part").agg(
+        count(when(col("p_name").like("%widget%"), 1)).as("n_widget"),
+        count(when(col("p_name").like("small%"), 1)).as("n_small"),
+        count(when(col("p_name").like("_old%"), 1)).as("n_old2"),
+        count(when(col("p_name").ilike("COLD%"), 1)).as("n_cold_i"),
+        count(when(col("p_name").rlike("^(cold|blue)"), 1)).as("n_regex"))
+    },
+
+    // ---------------------------------------------------------------- subqueries
+    q("q27_scalar_subquery",
+      """SELECT count(*) AS n_above, round(sum(o_totalprice), 2) AS sum_above
+        |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      // sign/floor formula = DuckDB round semantics (see Qf.dround)
+      s.sql(
+        """SELECT count(*) AS n_above,
+          |  cast(sign(sum(o_totalprice)) * floor(abs(sum(o_totalprice)) * 100 + 0.5) / 100 AS DOUBLE) AS sum_above
+          |FROM orders_sq WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)""".stripMargin)
+    },
+
+    q("q28_correlated_subquery",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer_cs")
+      table(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_cs
+          |WHERE (SELECT count(*) FROM orders_cs WHERE o_custkey = c_custkey) >= 15
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- approx / sketches (rows-only: HLL impls differ)
+    q("q29_approx_distinct", null) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- semi-structured / arrays / strings agg
+    q("q30_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    q("q31_string_agg",
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("s_nationkey")
+    },
+
+    // ---------------------------------------------------------------- events (stream-shaped table, batch path)
+    q("q32_events_hourly",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Qf.dround(sum(col("value")), 2).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+
+    q("q33_events_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    }
+  )
+}
