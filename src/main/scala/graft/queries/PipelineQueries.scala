@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data-pipeline query inventory: dedup, similarity search, text
+  * analysis, multimodal plumbing, and the as-of join — each as a
+  * `queries()` entry with a DuckDB oracle over `documents` / `embeddings`
+  * / `events`.
+  *
+  * The oracle SQL re-derives the SAME deterministic primitives
+  * (md5-based 32-bit hashes, fixed hyperplanes, identical shingle/token
+  * definitions), so even MinHash/SimHash/LSH results hash-match
+  * cross-engine. SQL strings are generated from the same constants as
+  * the Spark plans to keep both sides in lockstep.
+  */
+object PipelineQueries {
+  import Registry.table
+
+  private def q(name: String, oracle: String)(
+      run: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): NamedQuery =
+    NamedQuery(name, run, Option(oracle).filter(_.nonEmpty))
+
+  // ---- shared SQL fragments (must mirror the operators exactly) ----
+  private val Stop = TextOps.DefaultStopwords // the,a,and,of,to,is
+  private val stopList = Stop.map(w => s"'$w'").mkString(", ")
+  private val sqlTokens = "string_split(trim(text), ' ')"
+  private def sqlHash(x: String, salt: String) =
+    s"CAST('0x' || substr(md5($x || '$salt'), 1, 8) AS BIGINT)"
+  // shingle size 5: positions 1..len-4 (duckdb range is end-exclusive)
+  private val sqlShingles = "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))"
+  private def sqlMinhash(j: Int) =
+    s"list_min(list_transform(sg, x -> ${sqlHash("x", s"_$j")}))"
+  private val sqlMh8 = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(",\n  ")
+
+  val all: Seq[NamedQuery] = Seq(
+    // ---------------------------------------------------------------- text analysis
+    q("d01_text_stats",
+      s"""SELECT doc_id, lang, source,
+         |  CAST(length(text) AS INTEGER) AS n_chars_actual,
+         |  CAST(len($sqlTokens) AS INTEGER) AS n_tokens,
+         |  round(length(replace(text, ' ', '')) / len($sqlTokens), 4) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("int").as("n_chars_actual"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        Qf.dround(TextOps.avgTokenLength(col("text")), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    q("d02_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($sqlTokens, t -> t IN ($stopList))) AS INTEGER) AS n_stop,
+         |  round(len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens), 4) AS stop_ratio,
+         |  round(0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+         |      + 0.5 * least(1.0, len($sqlTokens) / 100.0), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        Qf.dround(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        Qf.dround(TextOps.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    q("d03_lang_id",
+      s"""SELECT doc_id,
+         |  round(len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens), 4) AS en_ratio,
+         |  CASE WHEN len(list_filter($sqlTokens, t -> t IN ($stopList))) >= 3 THEN 'en'
+         |       WHEN len(list_filter($sqlTokens, t -> t IN ($stopList))) >= 1 THEN 'en_maybe'
+         |       ELSE 'und' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Qf.dround(TextOps.stopwordRatio(col("text")), 4).as("en_ratio"),
+        TextOps.langIdHeuristic(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    q("d04_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- dedup
+    q("d05_dedup_exact_stats",
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+    },
+
+    q("d06_dedup_exact_rows",
+      """SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("digest")
+    },
+
+    q("d07_minhash_sig",
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sg FROM documents)
+         |SELECT doc_id,
+         |  $sqlMh8
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id") +: DedupOps.minHashSignature(col("text"), 8, 5): _*)
+        .orderBy("doc_id")
+    },
+
+    q("d08_lsh_pairs", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sg FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY n_bands DESC, d1, d2 LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.lshCandidatePairs(table(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bandSize = 4, shingleSize = 5)
+        .orderBy(col("n_bands").desc, col("d1"), col("d2"))
+        .limit(100)
+    },
+
+    q("d09_simhash", {
+      val bits = (0 until 16).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(tok,
+           |    t -> CASE WHEN ((${sqlHash("t", "")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $sqlTokens AS tok FROM documents)
+         |SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.simHash16(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    q("d10_ngram_jaccard",
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tok FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  round(len(list_intersect(a.tok, b.tok)) / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id % 97 = 0 AND b.doc_id > a.doc_id
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("d1"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("d2"), col("text").as("__tb"))
+      a.join(b, col("d2") > col("d1"))
+        .select(col("d1"), col("d2"),
+          Qf.dround(DedupOps.tokenJaccard(col("__ta"), col("__tb")), 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- similarity search
+    q("s01_cosine_topk",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    q("s02_ann_buckets", {
+      val planes = SimilarityOps.hyperplanes(4, 64)
+      val planeCols = planes.zipWithIndex.map { case (p, j) =>
+        s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
+      }.mkString(",\n  ")
+      val bits = (0 until 4).map { j =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i] * pl$j[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT
+         |  $planeCols)
+         |SELECT vec_id, CAST($bits AS INTEGER) AS bucket
+         |FROM embeddings, p ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val planes = SimilarityOps.hyperplanes(4, 64)
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          SimilarityOps.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+        .orderBy("vec_id")
+    },
+
+    q("s03_ann_topk", {
+      val planes = SimilarityOps.hyperplanes(4, 64)
+      val planeCols = planes.zipWithIndex.map { case (p, j) =>
+        s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
+      }.mkString(",\n  ")
+      val bits = (0 until 4).map { j =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i] * pl$j[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT
+         |  $planeCols),
+         |e AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings, p),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.annTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64)
+        .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- multimodal plumbing
+    q("m01_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withBin = table(s, dir, "documents")
+        .withColumn("__bin", col("text").cast("binary"))
+      val meta = MultimodalOps.fakeImageMeta(col("__bin"))
+      withBin.select(
+        col("doc_id"),
+        length(col("__bin")).cast("int").as("n_bytes"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("channels").as("channels"),
+        meta.getField("format").as("format"),
+        md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- as-of join (custom operator)
+    q("q35_asof_join",
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }
+  )
+}
