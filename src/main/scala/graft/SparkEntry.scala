@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def registries: Seq[graft.queries.NamedQuery] =
-    graft.queries.OlapQueries.all ++ graft.queries.PipelineQueries.all
+    graft.queries.OlapQueries.all ++ graft.queries.PipelineQueries.all ++
+      graft.queries.RedisQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

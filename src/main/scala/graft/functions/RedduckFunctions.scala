@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
+
+import graft.net.{RedisCommands, RedisConnection}
+
+/** Scalar-function parity surface (reference registrations at
+  * /root/reference/src/redduck_extension.cpp:348-362).
+  *
+  * Session state: the reference keeps one process-global host/port set
+  * by `redis_connect` (redduck_extension.cpp:44-52). Here connector
+  * options are authoritative and `spark.redduck.host/port` session conf
+  * provides defaults; `redis_connect` writes that conf from the driver
+  * (README-parity) while executors open their own pooled connections
+  * lazily (SURVEY §7.4 decision 1).
+  */
+object RedduckFunctions {
+
+  val HostConf = "spark.redduck.host"
+  val PortConf = "spark.redduck.port"
+
+  /** Parse + validate `host:port`, PING it from the driver, persist it in
+    * session conf, return the reference's exact status string
+    * (redduck_extension.cpp:112-118). Mirrors `SetAddressScalarFun`
+    * (:54-119) including eager connect; the constant-only restriction
+    * becomes natural (one driver-side call, not a per-row function).
+    */
+  def redisConnect(spark: SparkSession, target: String): String = {
+    val idx = target.indexOf(':')
+    require(idx > 0 && idx < target.length - 1, s"expected 'host:port', got '$target'")
+    val host = target.substring(0, idx)
+    val port = try target.substring(idx + 1).toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid port in '$target'") }
+    val c = new RedisConnection(host, port)
+    try c.ping() finally c.close()
+    spark.conf.set(HostConf, host)
+    spark.conf.set(PortConf, port.toString)
+    s"Redis Target Set: $host:$port"
+  }
+
+  def target(spark: SparkSession): (String, Int) =
+    (spark.conf.get(HostConf, "127.0.0.1"), spark.conf.get(PortConf, "6379").toInt)
+
+  /** Register the SQL-facing UDFs on a session. `redis_get`/`redis_hgetall`
+    * capture the session's target at registration time (executor closures
+    * cannot read driver conf).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val (host, port) = target(spark)
+
+    // demo scalars, kept for smoke-test parity (redduck_extension.cpp:17-40)
+    spark.udf.register("redduck", (name: String) => s"Redduck $name 🐥")
+    spark.udf.register("set_name", (_: String) => "name is set")
+
+    // per-row point lookup over a pooled per-thread connection. Missing
+    // key → SQL NULL (deliberate divergence from the reference's "",
+    // redis_client.cpp:232-236; see SURVEY §1.2).
+    spark.udf.register("redis_get", (key: String) =>
+      if (key == null) null
+      else RedisConnection.withPooled(host, port)(c => RedisCommands.get(c, key).orNull))
+
+    spark.udf.register("redis_hgetall", (key: String) =>
+      if (key == null) null
+      else RedisConnection.withPooled(host, port)(c => RedisCommands.hgetall(c, key)))
+  }
+
+  /** Batched `redis_get`: resolves `keyCol` for a whole DataFrame with one
+    * pipelined MGET per `batchSize` keys per partition — the structural
+    * fix for the reference's one-round-trip-per-row cost model
+    * (redduck_extension.cpp:327-342; SURVEY §3.3). This is the form to
+    * use at scale; the UDF above is row-at-a-time parity.
+    */
+  def withRedisValues(df: DataFrame, keyCol: String, valueCol: String = "value",
+      batchSize: Int = 512, hostPort: Option[(String, Int)] = None): DataFrame = {
+    val spark = df.sparkSession
+    val (host, port) = hostPort.getOrElse(target(spark))
+    val schema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(valueCol, StringType, nullable = true))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { group =>
+        val keys = group.map(_.getString(keyIdx))
+        val values = RedisConnection.withPooled(host, port)(c => RedisCommands.mget(c, keys))
+        group.iterator.zip(values.iterator).map { case (row, v) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v.orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** `redis_hgetall` as a typed column on a keys DataFrame: MapType by
+    * default (hash fields are dynamic); project to a struct by passing a
+    * user schema (README.md:36-38 claims STRUCT output — SURVEY §7.4
+    * decision 5 makes Map the honest default).
+    */
+  def withHashFields(df: DataFrame, keyCol: String, structSchema: Option[StructType] = None,
+      hostPort: Option[(String, Int)] = None): DataFrame = {
+    val spark = df.sparkSession
+    val (host, port) = hostPort.getOrElse(target(spark))
+    val hget = udf((key: String) =>
+      if (key == null) null
+      else RedisConnection.withPooled(host, port)(c => RedisCommands.hgetall(c, key)))
+    val withMap = df.withColumn("hash", hget(col(keyCol)))
+    structSchema match {
+      case None => withMap
+      case Some(st) =>
+        val fields = st.fields.map(f => withMap("hash").getItem(f.name).cast(f.dataType).as(f.name))
+        withMap.select(col("*") +: fields.toIndexedSeq: _*).drop("hash")
+    }
+  }
+
+  /** Column-level demo scalars (expression form — codegen'd, no UDF). */
+  def redduck(c: Column): Column = concat(lit("Redduck "), c, lit(" 🐥"))
+  def setName(c: Column): Column = lit("name is set")
+}

@@ -1,0 +1,154 @@
+package graft.net
+
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+import graft.resp.{RespCodec, RespValue}
+import graft.resp.RespValue._
+
+/** Hermetic in-process RESP server (SURVEY §5.1): replaces the reference
+  * test suite's live-Redis dependency (test/sql/scan.test:18 "ensure
+  * these keys exist before running tests") and exercises our codec from
+  * the server side too.
+  *
+  * Speaks the subset the engine uses: PING, ECHO, SET, GET, MGET, DEL,
+  * HSET, HGETALL, SCAN (cursor + MATCH + COUNT). SCAN slices the sorted
+  * key list BEFORE applying MATCH — like real Redis walking hash buckets
+  * — so clients see partially-empty pages with a non-zero cursor, which
+  * exercises the empty-page retry loop the reference depends on
+  * (redduck_extension.cpp:219-227).
+  */
+final class FakeRedisServer(requestedPort: Int = 0) {
+  private val strings = new ConcurrentHashMap[String, String]()
+  private val hashes = new ConcurrentHashMap[String, Map[String, String]]()
+  @volatile private var server: ServerSocket = _
+  @volatile private var running = false
+
+  def put(key: String, value: String): Unit = strings.put(key, value)
+  def putHash(key: String, fields: Map[String, String]): Unit = hashes.put(key, fields)
+
+  def start(): Int = synchronized {
+    if (running) return server.getLocalPort
+    server = new ServerSocket(requestedPort)
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => serve(sock), "fake-redis-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Throwable => () /* server closed */ }
+      }
+    }, "fake-redis-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    if (server != null) server.close()
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    var buf = new Array[Byte](16 * 1024)
+    var end = 0
+    var pos = 0
+    try {
+      while (true) {
+        RespCodec.decode(buf, pos, end) match {
+          case RespCodec.Decoded(v, next) =>
+            pos = next
+            if (pos == end) { pos = 0; end = 0 }
+            out.write(RespCodec.encode(handle(v)))
+            out.flush()
+          case RespCodec.Incomplete =>
+            if (end == buf.length) {
+              if (pos > 0) { System.arraycopy(buf, pos, buf, 0, end - pos); end -= pos; pos = 0 }
+              else buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+            }
+            val n = in.read(buf, end, buf.length - end)
+            if (n < 0) return
+            end += n
+        }
+      }
+    } catch { case _: Throwable => () } finally sock.close()
+  }
+
+  private def handle(req: RespValue): RespValue = req match {
+    case Arr(items) =>
+      val args = items.map { case b: Bulk => b.text; case Simple(s) => s; case o => return Err(s"ERR bad arg $o") }
+      if (args.isEmpty) return Err("ERR empty command")
+      args.head.toUpperCase match {
+        case "PING" => Simple("PONG")
+        case "ECHO" => Bulk(args(1))
+        case "SET" => strings.put(args(1), args(2)); Simple("OK")
+        case "GET" => Option(strings.get(args(1))).map(Bulk(_)).getOrElse(Null)
+        case "DEL" =>
+          val n = args.tail.count(k => strings.remove(k) != null || hashes.remove(k) != null)
+          Int64(n.toLong)
+        case "MGET" =>
+          Arr(args.tail.map(k => Option(strings.get(k)).map(Bulk(_): RespValue).getOrElse(Null)))
+        case "HSET" =>
+          val kv = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toMap
+          hashes.merge(args(1), kv, (a, b) => a ++ b)
+          Int64(kv.size.toLong)
+        case "HGETALL" =>
+          val m = Option(hashes.get(args(1))).getOrElse(Map.empty)
+          Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
+        case "SCAN" => scan(args.tail)
+        case "COMMAND" => Arr(Vector.empty)
+        case "QUIT" => Simple("OK")
+        case other => Err(s"ERR unknown command '$other'")
+      }
+    case _ => Err("ERR protocol: expected command array")
+  }
+
+  private def scan(args: Seq[String]): RespValue = {
+    var cursor = args.head.toInt
+    var pattern = "*"
+    var count = 10
+    var i = 1
+    while (i + 1 < args.length + 1 && i < args.length) {
+      args(i).toUpperCase match {
+        case "MATCH" => pattern = args(i + 1); i += 2
+        case "COUNT" => count = args(i + 1).toInt; i += 2
+        case _ => i += 1
+      }
+    }
+    // real Redis SCAN walks the whole keyspace regardless of value type
+    val allKeys = (strings.keySet.asScala ++ hashes.keySet.asScala).toVector.sorted
+    if (cursor >= allKeys.length) cursor = allKeys.length
+    val page = allKeys.slice(cursor, cursor + count)
+    val nextCursor = if (cursor + count >= allKeys.length) 0 else cursor + count
+    val re = globToRegex(pattern)
+    val matched = page.filter(k => re.matcher(k).matches())
+    Arr(Vector(
+      Bulk(nextCursor.toString),
+      Arr(matched.map(Bulk(_): RespValue))))
+  }
+
+  /** Redis glob → java regex: `*` any, `?` one, `[...]` class, `\x` literal. */
+  private def globToRegex(glob: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\["); }
+          else { sb.append(glob.substring(i, close + 1)); i = close }
+        case '\\' if i + 1 < glob.length =>
+          sb.append(java.util.regex.Pattern.quote(glob.charAt(i + 1).toString)); i += 1
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.net
+
+import java.net.{InetSocketAddress, Socket}
+import graft.resp.{RespCodec, RespValue}
+
+/** Blocking Redis client over `java.net.Socket`.
+  *
+  * Equivalent of the reference's `RedisClient`
+  * (/root/reference/src/transport/redis_client.cpp:12-159) with its
+  * known defects fixed:
+  *  - replies are decoded with a read-until-complete-frame loop, so
+  *    fragmented TCP replies work (bug at redis_client.cpp:127-148);
+  *  - hostnames resolve (reference accepts only numeric IPv4 via
+  *    `inet_pton`, redis_client.cpp:77);
+  *  - the receive buffer grows by doubling from 16 KiB, like the
+  *    reference (redis_client.hpp:12, redis_client.cpp:38-52), but is
+  *    compacted per-reply instead of relying on manual clears.
+  *
+  * One connection per partition/thread — never shared (the reference
+  * serializes all I/O behind two process-global mutexes; we scale by
+  * giving each Spark partition its own connection instead).
+  */
+final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 5000)
+    extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.setTcpNoDelay(true)
+  socket.setSoTimeout(timeoutMs)
+  socket.connect(new InetSocketAddress(host, port), timeoutMs)
+  private val in = socket.getInputStream
+  private val out = socket.getOutputStream
+
+  private var buf = new Array[Byte](16 * 1024)
+  private var bufEnd = 0
+  private var bufPos = 0
+
+  /** PING/PONG handshake (reference: redis_client.cpp:98-118). */
+  def ping(): Unit = command("PING") match {
+    case RespValue.Simple("PONG") => ()
+    case other => throw new java.io.IOException(s"unexpected PING reply: $other")
+  }
+
+  def command(args: String*): RespValue = {
+    out.write(RespCodec.encodeCommand(args))
+    out.flush()
+    readReply()
+  }
+
+  /** Pipelined batch: send all commands, then read all replies — one
+    * round trip instead of N (replaces the reference's per-row GET
+    * anti-pattern, redduck_extension.cpp:327-342).
+    */
+  def pipeline(commands: Seq[Seq[String]]): Seq[RespValue] = {
+    commands.foreach(c => out.write(RespCodec.encodeCommand(c)))
+    out.flush()
+    commands.map(_ => readReply())
+  }
+
+  /** Read one complete reply, re-reading the socket across fragmented
+    * frames (the retry-until-complete-frame loop from SURVEY §2 T1).
+    */
+  def readReply(): RespValue = {
+    while (true) {
+      if (bufPos < bufEnd) {
+        RespCodec.decode(buf, bufPos, bufEnd) match {
+          case RespCodec.Decoded(v, next) =>
+            bufPos = next
+            if (bufPos == bufEnd) { bufPos = 0; bufEnd = 0 } // cheap compaction
+            return v
+          case RespCodec.Incomplete => fill()
+        }
+      } else fill()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def fill(): Unit = {
+    if (bufEnd == buf.length) {
+      if (bufPos > 0) { // shift consumed prefix out
+        System.arraycopy(buf, bufPos, buf, 0, bufEnd - bufPos)
+        bufEnd -= bufPos
+        bufPos = 0
+      } else buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    }
+    val n = in.read(buf, bufEnd, buf.length - bufEnd)
+    if (n < 0) throw new java.io.EOFException("connection closed by server")
+    bufEnd += n
+  }
+
+  def isOpen: Boolean = !socket.isClosed && socket.isConnected
+
+  override def close(): Unit = socket.close()
+}
+
+object RedisConnection {
+  /** Per-JVM connection cache keyed by target + thread: Spark partitions
+    * run on a bounded executor thread pool, so this bounds connections at
+    * (threads × targets) while never sharing a socket across threads.
+    */
+  private val pool = new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), RedisConnection]()
+
+  def pooled(host: String, port: Int): RedisConnection = {
+    val key = (host, port, Thread.currentThread().getId)
+    var c = pool.get(key)
+    if (c == null || !c.isOpen) {
+      c = new RedisConnection(host, port)
+      pool.put(key, c)
+    }
+    c
+  }
+
+  /** Run `f` with a pooled connection, evicting it on I/O failure so the
+    * next call reconnects.
+    */
+  def withPooled[T](host: String, port: Int)(f: RedisConnection => T): T = {
+    val key = (host, port, Thread.currentThread().getId)
+    val c = pooled(host, port)
+    try f(c)
+    catch {
+      case e: java.io.IOException =>
+        pool.remove(key); try c.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.RedduckFunctions
+import graft.net.FakeRedisServer
+import graft.sources.RedisSources
+
+/** Redis-surface parity queries (SURVEY §2.A, reference test
+  * /root/reference/test/sql/scan.test + README.md:16-38).
+  *
+  * The reference's suite needs a live, pre-seeded Redis; ours spins a
+  * hermetic in-process RESP server ONCE per JVM on a fixed port, seeded
+  * exactly like FIXTURES.md §1 — so these queries run under the same
+  * driver gate as everything else, with plain VALUES oracles (the seed
+  * state is deterministic).
+  */
+object RedisQueries {
+
+  /** One fake server per JVM on a fixed port (oracle strings must be able
+    * to reference the port as a literal). Lives until JVM exit.
+    */
+  object Harness {
+    val Host = "127.0.0.1"
+    val Port = 16379
+    val users: Seq[(Int, String, Int, String)] = Seq(
+      (1001, "Ada", 36, "London"),
+      (1002, "Grace", 45, "NewYork"),
+      (1003, "Alan", 41, "Cambridge"),
+      (1004, "Edsger", 72, "Austin"),
+      (1005, "Barbara", 68, "Boston"))
+
+    lazy val ensureStarted: Unit = {
+      val s = new FakeRedisServer(Port)
+      (1 to 10).foreach(i => s.put(f"testkey:$i%04d", s"value$i"))
+      s.put("binpat:a_b", "underscore")
+      s.put("binpat:axb", "x-variant")
+      users.foreach { case (id, name, age, city) =>
+        s.putHash(s"user:$id", Map("name" -> name, "age" -> age.toString, "city" -> city))
+      }
+      var attempts = 0
+      var started = false
+      while (!started) {
+        try { s.start(); started = true }
+        catch {
+          case e: java.net.BindException =>
+            attempts += 1
+            if (attempts > 20) throw e
+            Thread.sleep(250) // a previous JVM may still be releasing the port
+        }
+      }
+    }
+  }
+
+  private def scanDf(s: org.apache.spark.sql.SparkSession, pattern: String) = {
+    Harness.ensureStarted
+    s.read.format("redis-scan")
+      .option("host", Harness.Host).option("port", Harness.Port)
+      .option("pattern", pattern).load()
+  }
+
+  private def kvDf(s: org.apache.spark.sql.SparkSession, pattern: String) = {
+    Harness.ensureStarted
+    s.read.format("redis-kv")
+      .option("host", Harness.Host).option("port", Harness.Port)
+      .option("pattern", pattern).load()
+  }
+
+  private def q(name: String, oracle: String)(
+      run: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): NamedQuery =
+    NamedQuery(name, run, Option(oracle).filter(_.nonEmpty))
+
+  private val kvValues =
+    (1 to 10).map(i => f"('testkey:$i%04d', 'value$i')").mkString(", ")
+
+  val all: Seq[NamedQuery] = Seq(
+    // scan.test:19-22 — COUNT(*) over redis_scan('testkey:*') = 10
+    q("r01_redis_scan_count",
+      "SELECT CAST(10 AS BIGINT) AS n") { (s, _) =>
+      scanDf(s, "testkey:*").agg(count(lit(1)).as("n"))
+    },
+
+    // scan.test:24-29 — ORDER BY key_name LIMIT 3
+    q("r02_redis_scan_topk",
+      """SELECT * FROM (VALUES ('testkey:0001'), ('testkey:0002'), ('testkey:0003')) t(key_name)
+        |ORDER BY key_name""".stripMargin) { (s, _) =>
+      scanDf(s, "testkey:*").orderBy("key_name").limit(3)
+    },
+
+    // WHERE-clause → server-side MATCH glob pushdown (SURVEY §4 row 1)
+    q("r03_redis_scan_pushdown",
+      """SELECT * FROM (VALUES ('binpat:a_b'), ('binpat:axb')) t(key_name)
+        |ORDER BY key_name""".stripMargin) { (s, _) =>
+      scanDf(s, "*").filter(col("key_name").startsWith("binpat:"))
+        .orderBy("key_name")
+    },
+
+    // redis_kv: SCAN + pipelined MGET (README.md:29-31)
+    q("r04_redis_kv",
+      s"""SELECT * FROM (VALUES $kvValues) t(key, value) ORDER BY key""".stripMargin) { (s, _) =>
+      kvDf(s, "testkey:*").orderBy("key")
+    },
+
+    // batched redis_get incl. missing-key → NULL (vs reference's "")
+    q("r05_redis_get_batched",
+      s"""SELECT * FROM (VALUES $kvValues, ('missing:zz', NULL)) t(key, value)
+         |ORDER BY key""".stripMargin) { (s, _) =>
+      val keys = scanDf(s, "testkey:*").select(col("key_name").as("key"))
+        .unionByName(s.range(1).select(lit("missing:zz").as("key")))
+      RedduckFunctions.withRedisValues(keys, "key",
+          hostPort = Some((Harness.Host, Harness.Port)))
+        .orderBy("key")
+    },
+
+    // redis_hgetall with user-declared struct schema (README.md:36-38)
+    q("r06_redis_hgetall", {
+      val rows = Harness.users
+        .map { case (id, n, a, c) => s"('user:$id', '$n', $a, '$c')" }.mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) t(key, name, age, city) ORDER BY key"""
+    }) { (s, _) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("name", StringType),
+        StructField("age", IntegerType), StructField("city", StringType)))
+      val keys = scanDf(s, "*").filter(col("key_name").startsWith("user:"))
+        .select(col("key_name").as("key"))
+      RedduckFunctions.withHashFields(keys, "key", Some(schema),
+          hostPort = Some((Harness.Host, Harness.Port)))
+        .orderBy("key")
+    },
+
+    // demo scalars (redduck_extension.cpp:17-40)
+    q("r07_demo_scalars",
+      """SELECT key_name, 'Redduck ' || key_name || ' 🐥' AS greeting, 'name is set' AS named
+        |FROM (VALUES ('testkey:0001'), ('testkey:0002'), ('testkey:0003')) t(key_name)
+        |ORDER BY key_name""".stripMargin) { (s, _) =>
+      scanDf(s, "testkey:*").orderBy("key_name").limit(3)
+        .select(col("key_name"),
+          RedduckFunctions.redduck(col("key_name")).as("greeting"),
+          RedduckFunctions.setName(col("key_name")).as("named"))
+        .orderBy("key_name")
+    },
+
+    // redis_connect status string (redduck_extension.cpp:112-118)
+    q("r08_redis_connect",
+      s"SELECT 'Redis Target Set: ${Harness.Host}:${Harness.Port}' AS status") { (s, _) =>
+      Harness.ensureStarted
+      val status = RedduckFunctions.redisConnect(s, s"${Harness.Host}:${Harness.Port}")
+      import s.implicits._
+      Seq(status).toDF("status")
+    },
+
+    // SQL-registered redis_get UDF over the scan (README.md:33-34 shape:
+    // SELECT key, redis_get(key) FROM redis_scan(...))
+    q("r09_redis_get_udf",
+      s"""SELECT * FROM (VALUES $kvValues) t(key_name, value) ORDER BY key_name""".stripMargin) { (s, _) =>
+      Harness.ensureStarted
+      RedduckFunctions.redisConnect(s, s"${Harness.Host}:${Harness.Port}")
+      RedduckFunctions.registerAll(s)
+      scanDf(s, "testkey:*").createOrReplaceTempView("redis_scan_keys")
+      s.sql("""SELECT key_name, redis_get(key_name) AS value
+              |FROM redis_scan_keys ORDER BY key_name""".stripMargin)
+    }
+  )
+}

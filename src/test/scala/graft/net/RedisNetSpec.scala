@@ -1,0 +1,96 @@
+package graft.net
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Client↔server integration over real sockets: connect/PING handshake,
+  * SCAN cursor pagination (incl. empty pages with a non-zero cursor),
+  * GET/MGET/HGETALL, pipelining, and missing-key semantics.
+  */
+class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val server = new FakeRedisServer()
+  private var port: Int = _
+  private var conn: RedisConnection = _
+
+  override def beforeAll(): Unit = {
+    (1 to 10).foreach(i => server.put(f"testkey:$i%04d", s"value$i"))
+    server.put("other:1", "x")
+    server.putHash("user:1001", Map("name" -> "Ada", "age" -> "36"))
+    port = server.start()
+    conn = new RedisConnection("127.0.0.1", port)
+  }
+
+  override def afterAll(): Unit = {
+    if (conn != null) conn.close()
+    server.stop()
+  }
+
+  test("PING handshake") { conn.ping() }
+
+  test("SCAN paginates with small COUNT and respects MATCH") {
+    var cursor = "0"
+    var keys = Vector.empty[String]
+    var first = true
+    var pages = 0
+    while (cursor != "0" || first) {
+      first = false
+      val (next, page) = RedisCommands.scanPage(conn, cursor, "testkey:*", 3)
+      keys ++= page
+      cursor = next
+      pages += 1
+      assert(pages < 100, "cursor never terminated")
+    }
+    assert(keys.sorted == (1 to 10).map(i => f"testkey:$i%04d").toVector)
+    assert(pages > 1, "expected multiple cursor pages with COUNT 3")
+  }
+
+  test("SCAN with non-matching pattern yields empty pages but still terminates") {
+    var cursor = "0"
+    var first = true
+    var total = 0
+    while (cursor != "0" || first) {
+      first = false
+      val (next, page) = RedisCommands.scanPage(conn, cursor, "nomatch:*", 2)
+      total += page.size
+      cursor = next
+    }
+    assert(total == 0)
+  }
+
+  test("GET present and missing (missing → None, not empty string)") {
+    assert(RedisCommands.get(conn, "testkey:0007") == Some("value7"))
+    assert(RedisCommands.get(conn, "missing:key") == None)
+  }
+
+  test("MGET batches with holes") {
+    assert(RedisCommands.mget(conn, Seq("testkey:0001", "missing:x", "testkey:0002")) ==
+      Seq(Some("value1"), None, Some("value2")))
+    assert(RedisCommands.mget(conn, Nil) == Nil)
+  }
+
+  test("HGETALL returns field map; absent hash → empty map") {
+    assert(RedisCommands.hgetall(conn, "user:1001") == Map("name" -> "Ada", "age" -> "36"))
+    assert(RedisCommands.hgetall(conn, "user:none") == Map.empty)
+  }
+
+  test("pipelined commands return replies in order") {
+    val replies = conn.pipeline(Seq(
+      Seq("GET", "testkey:0001"), Seq("PING"), Seq("GET", "missing:x")))
+    import graft.resp.RespValue._
+    assert(replies == Seq(Bulk("value1"), Simple("PONG"), Null))
+  }
+
+  test("second connection works concurrently (no shared global state)") {
+    val c2 = new RedisConnection("127.0.0.1", port)
+    try {
+      assert(RedisCommands.get(c2, "testkey:0003") == Some("value3"))
+      assert(RedisCommands.get(conn, "testkey:0004") == Some("value4"))
+    } finally c2.close()
+  }
+
+  test("hostname resolution works (reference is IPv4-literal-only — SURVEY §7.5h)") {
+    val c2 = new RedisConnection("localhost", port)
+    try c2.ping() finally c2.close()
+  }
+}
