@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // scores of codegen'd plans per run — default 240m JIT code cache
+  // degrades long sessions to interpreted execution
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:MaxMetaspaceSize=4g",
 )

@@ -18,14 +18,23 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityOps {
 
   /** dot(a, b) accumulated left-to-right in double — element order is
-    * deterministic, so results are bit-stable across engines.
+    * deterministic, so results are bit-stable across engines. Composable
+    * form; works for any numeric element types (e.g. float × double-
+    * literal hyperplanes).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Fused native form for float embeddings — bit-identical semantics to
+    * `dot` (float multiply, double accumulate) without the per-row
+    * intermediate array; stays inside whole-stage codegen.
+    */
+  def dotF(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotF(a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column): Column = sqrt(dotF(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast); `candidates` can be huge.

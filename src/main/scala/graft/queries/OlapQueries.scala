@@ -610,6 +610,98 @@ object OlapQueries {
         .agg(count(lit(1)))
       pivoted.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
         .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------- ordered-set / statistical aggregates
+    q("q40_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Qf.dround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          Qf.dround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          Qf.dround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          Qf.dround(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    q("q41_stats_agg",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Qf.dround(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          Qf.dround(var_samp(col("l_quantity")), 4).as("var_qty"),
+          Qf.dround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          Qf.dround(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          Qf.dround(min(col("l_extendedprice")), 4).as("min_price"),
+          Qf.dround(max(col("l_extendedprice")), 4).as("max_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- typed UDAF (Aggregator)
+    q("q42_weighted_avg",
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Qf.dround(
+          graft.functions.Aggregators.weightedMean(col("l_extendedprice"), col("l_quantity")),
+          4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- range frames + value window functions
+    q("q43_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS rev_90d
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+        .rangeBetween(-90, Window.currentRow)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Qf.dround(sum(col("o_totalprice")).over(w), 2).as("rev_90d"))
+        .orderBy("o_orderkey")
+    },
+
+    q("q44_value_windows",
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+        |  round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS delta_from_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val ordered = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(ordered).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          Qf.dround(col("o_totalprice") -
+            avg(col("o_totalprice")).over(Window.partitionBy(col("o_custkey"))), 2)
+            .as("delta_from_avg"))
+        .orderBy("o_orderkey")
     }
   )
 }

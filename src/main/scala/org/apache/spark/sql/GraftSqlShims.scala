@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the sql-package-private Column ↔ catalyst Expression
+  * converters (Spark 4 moved `Column` onto ColumnNode; the classic
+  * converters are `private[sql]`). Standard extension-library shim —
+  * the only file outside the `graft` package.
+  */
+object GraftSqlShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

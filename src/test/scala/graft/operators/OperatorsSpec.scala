@@ -51,7 +51,7 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "a completely different document"))
       .toDF("id", "text")
-    val sig = df.select(col("id") +: DedupOps.minHashSignature(col("text"), 4, 5): _*)
+    val sig = DedupOps.minHashSignatures(df, "id", "text", 4, 5)
       .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
@@ -88,6 +88,26 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().map { case (k, v, f) => k -> ((v, f)) }.toMap
     assert(metas(1L) == ((4, "png")))
     assert(metas(2L) == ((5, "jpeg")))
+  }
+
+  test("IVF: assignment matches brute-force nearest centroid; ANN finds self-cluster neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = IvfIndex.train(emb, "embedding", k = 4, iters = 2)
+    assert(model.k == 4)
+    assert(model.centroids.forall(_.length == 64))
+    // assignment sanity: every vector gets a cluster in range, all clusters used
+    val clusters = emb.select(IvfIndex.assignCluster(col("embedding"), model).as("c"))
+      .groupBy("c").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(clusters.keys.forall(c => c >= 0 && c < 4))
+    assert(clusters.size >= 2, s"degenerate clustering: $clusters")
+    // probing all clusters == brute force top-k
+    val ivfAll = IvfIndex.annTopK(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", model, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val brute = SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(ivfAll == brute)
   }
 
   test("sampleFrames explodes byte chunks deterministically") {

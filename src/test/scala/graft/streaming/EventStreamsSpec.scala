@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming transforms driven synchronously over the `events` fixture
+  * (file source + memory sink + processAllAvailable), checked against
+  * their batch equivalents — same semantics, unbounded plan.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // the file stream source needs a DIRECTORY of files
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  private def streamingEvents() = {
+    val raw = spark.read.parquet(eventsPath)
+    val stream = spark.readStream.schema(raw.schema).parquet(eventsDir)
+    stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def batchEvents() =
+    spark.read.parquet(eventsPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val q = EventStreams.hourlyTypeCounts(streamingEvents())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT hour_start, event_type, n FROM hourly_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = batchEvents()
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals equal batch per-user totals") {
+    import spark.implicits._
+    val evts = batchEvents()
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStreams.Evt]
+    // drive the stateful op through a streaming plan over the same file
+    val stream = streamingEvents()
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStreams.Evt]
+    val q = EventStreams.runningUserTotals(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) AS n
+          |FROM totals_out GROUP BY user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = evts.groupByKey(_.user_id).count().collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionizer closes sessions on gap within a batch") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val evts = Seq(
+      EventStreams.Evt(1L, ts(0), "click", 1.0),
+      EventStreams.Evt(1L, ts(5), "view", 1.0),
+      EventStreams.Evt(1L, ts(60), "click", 1.0), // new session after 55m gap
+      EventStreams.Evt(2L, ts(2), "view", 1.0))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Evt](
+      spark)
+    stream.addData(evts)
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT user_id, n_events FROM sessions_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      // user 1's first session (2 events) closed by the 60m event;
+      // open sessions (user1 second, user2) remain in state
+      assert(sessions == Seq((1L, 2)))
+    } finally q.stop()
+  }
+}
