@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted plans for representative queries and grep-able
+  * evidence of pushdown / pruning / broadcast / codegen.
+  * Usage: runMain graft.tools.ExplainAudit [sfDir]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = Seq(
+      "q02_filter_project",   // pushdown + pruning
+      "q01_pricing_summary",  // partial agg
+      "q05_local_supplier_volume", // broadcast + shuffle joins
+      "q18_topk",             // TakeOrderedAndProject
+      "s01_cosine_topk",      // native expr + broadcast
+      "r03_redis_scan_pushdown") // DSv2 glob pushdown
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
