@@ -79,6 +79,18 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == (1 to 10).map(i => f"testkey:$i%04d" -> s"value$i").toMap)
   }
 
+  test("GraftRedis facade: connect + scan + kv + SQL registration") {
+    val status = graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    assert(status == s"Redis Target Set: 127.0.0.1:$port")
+    assert(graft.GraftRedis.scan(spark, "testkey:*").count() == 10L)
+    val kv = graft.GraftRedis.kv(spark, "testkey:*").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv("testkey:0005") == "value5")
+    graft.GraftRedis.registerSql(spark)
+    assert(spark.sql("SELECT redis_get('testkey:0002') AS v").head().getString(0) == "value2")
+    assert(spark.sql("SELECT redduck('x') AS v").head().getString(0) == "Redduck x 🐥")
+  }
+
   test("partition.patterns shards the keyspace into one partition each") {
     val df = spark.read.format("redis-scan")
       .option("host", "127.0.0.1").option("port", port)
