@@ -297,6 +297,38 @@ object PipelineQueries {
         .orderBy("purchase_id")
     },
 
+    // ---------------------------------------------------------------- simhash near-dup pairs (banded hamming join)
+    q("d12_simhash_pairs", {
+      val bits = (0 until 16).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(tok,
+           |    t -> CASE WHEN ((${sqlHash("t", "")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $sqlTokens AS tok FROM documents),
+         |h AS (SELECT doc_id, CAST($bits AS INTEGER) AS simhash FROM d)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY hamming, d1, d2 LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      // band on the high 8 simhash bits: candidate pairs share a band
+      // (one equi-join shuffle), then exact Hamming rescoring — the
+      // SimHash analog of the MinHash LSH pipeline
+      val h = DedupOps.simHash16Df(table(s, dir, "documents"), "doc_id", "text")
+      val a = h.select(col("doc_id").as("d1"), col("simhash").as("__ha"),
+        shiftright(col("simhash"), 8).as("__band"))
+      val b = h.select(col("doc_id").as("d2"), col("simhash").as("__hb"),
+        shiftright(col("simhash"), 8).as("__band"))
+      a.join(b, Seq("__band"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("d1"), col("d2"))
+        .limit(100)
+    },
+
     // ---------------------------------------------------------------- embedding-cosine near-dup (dedup family)
     q("d11_embedding_neardup", {
       val planes = SimilarityOps.hyperplanes(4, 64)
