@@ -2,36 +2,54 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
-/** Native Catalyst expressions for embedding math — the hot inner loop of
-  * brute-force/ANN similarity (SURVEY §7.3 "custom, only if benchmarks
-  * demand": the `zip_with` + `aggregate` composition allocates an
-  * intermediate array per pair; these run a fused primitive loop inside
-  * whole-stage codegen instead).
+/** Native Catalyst expressions for the hot inner loops of similarity and
+  * dedup operators (SURVEY §7.3 "custom, only if benchmarks demand"): the
+  * composable `zip_with`/`aggregate`/`array_intersect` forms either
+  * allocate an intermediate array per pair or run interpreted (higher-
+  * order functions have no codegen and no common-subexpression
+  * elimination). These run a fused primitive loop inside whole-stage
+  * codegen instead.
   *
-  * Semantics are pinned to the composable form (and to the DuckDB
-  * oracle): FLOAT multiply per element, DOUBLE accumulate left-to-right —
-  * results are bit-identical to `aggregate(zip_with(a,b,(x,y)=>x*y),0d,+)`.
+  * Semantics are pinned to the composable forms (and to the DuckDB
+  * oracle) on well-formed inputs — see each expression's contract.
+  */
+
+private[functions] object VecTypeChecks {
+  def arrayOf(dt: DataType, elem: DataType): Boolean = dt match {
+    case ArrayType(e, _) => e == elem
+    case _ => false
+  }
+  def check(left: Expression, right: Expression, lElem: DataType, rElem: DataType): TypeCheckResult =
+    if (!arrayOf(left.dataType, lElem))
+      TypeCheckResult.TypeCheckFailure(s"left must be array<$lElem>, got ${left.dataType}")
+    else if (!arrayOf(right.dataType, rElem))
+      TypeCheckResult.TypeCheckFailure(s"right must be array<$rElem>, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** Fused float×float dot product: FLOAT multiply per element, DOUBLE
+  * accumulate left-to-right — bit-identical to
+  * `aggregate(zip_with(a,b,(x,y)=>x*y),0d,(acc,v)=>acc+v)` on equal-length
+  * arrays with no null elements.
+  *
+  * Contract (divergence from the composable form, by design — callers are
+  * the similarity operators, which always pass equal-length non-null
+  * embeddings): length-mismatched inputs dot the common prefix (the
+  * composable form yields NULL via zip_with's null padding), and null
+  * elements read as 0 rather than nulling the result.
   */
 final case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false)
-      || left.dataType == ArrayType(FloatType, containsNull = true)) {
-      if (right.dataType.isInstanceOf[ArrayType]
-        && right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"right must be array<float>, got ${right.dataType}")
-    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"left must be array<float>, got ${left.dataType}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.check(left, right, FloatType, FloatType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -65,6 +83,166 @@ final case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused float×double dot product — the hyperplane-projection kernel
+  * (embedding `array<float>` · plane-literal `array<double>`). Each float
+  * element is promoted to double before the multiply, matching
+  * `zip_with(vec, planes, (x,y) => x*y)` exactly (Catalyst inserts the
+  * same float→double cast on x). Same prefix/null contract as
+  * [[DotProductF]].
+  */
+final case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.check(left, right, FloatType, DoubleType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused float×double squared-L2 distance — the k-means assignment kernel
+  * (IVF). Per element: promote the float to double, subtract, square,
+  * accumulate — bit-identical to
+  * `aggregate(zip_with(v, c, (x,y) => (x-y)*(x-y)), 0d, (a,v) => a+v)`
+  * on equal-length non-null inputs. Same prefix/null contract as
+  * [[DotProductF]].
+  */
+final case class SqDistFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.check(left, right, FloatType, DoubleType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Merge-count of common elements between two SORTED string arrays — the
+  * set-intersection kernel of pairwise Jaccard rescoring. Replaces
+  * `size(array_intersect(a, b))`, which builds a fresh hash set and an
+  * output array PER PAIR (the measured d10 hotspot: two set builds ×
+  * 131k pairs); this is a zero-allocation two-pointer merge inside
+  * whole-stage codegen.
+  *
+  * Contract: both inputs must be sorted ascending (Spark `array_sort`
+  * order, i.e. UTF8String binary order), duplicate-free, with no null
+  * elements — exactly what `array_sort(array_distinct(split(...)))`
+  * produces. On such inputs the count equals
+  * `size(array_intersect(a, b))`; unsorted input silently undercounts.
+  */
+final case class IntersectCountS(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.check(left, right, StringType, StringType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var c = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp < 0) i += 1
+      else if (cmp > 0) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |long $c = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp < 0) { $i++; }
+         |  else if ($cmp > 0) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlShims
 
@@ -72,8 +250,23 @@ object VectorExpressions {
   def dotF(a: Column, b: Column): Column =
     GraftSqlShims.column(DotProductF(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
-  /** Register SQL form: `SELECT dot_f(a, b)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+  /** Fused float×double dot product (codegen'd) — embedding · plane literal. */
+  def dotFD(a: Column, b: Column): Column =
+    GraftSqlShims.column(DotProductFD(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Fused float×double squared-L2 distance (codegen'd) — k-means kernel. */
+  def sqDistFD(a: Column, b: Column): Column =
+    GraftSqlShims.column(SqDistFD(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Merge-count of common elements of two sorted distinct string arrays. */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    GraftSqlShims.column(IntersectCountS(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Register SQL forms: `dot_f(a,b)`, `dot_fd(a,b)`, `intersect_count_s(a,b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_fd", exprs => DotProductFD(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("intersect_count_s", exprs => IntersectCountS(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -112,8 +112,12 @@ final class FakeRedisServer(requestedPort: Int = 0) {
     var pattern = "*"
     var count = 10
     var i = 1
-    while (i + 1 < args.length + 1 && i < args.length) {
+    while (i < args.length) {
       args(i).toUpperCase match {
+        case "MATCH" | "COUNT" if i + 1 >= args.length =>
+          // dangling option token: real Redis answers an error, it does
+          // not kill the connection
+          return Err("ERR syntax error")
         case "MATCH" => pattern = args(i + 1); i += 2
         case "COUNT" => count = args(i + 1).toInt; i += 2
         case _ => i += 1

@@ -103,10 +103,26 @@ object RedisConnection {
     val key = (host, port, Thread.currentThread().getId)
     var c = pool.get(key)
     if (c == null || !c.isOpen) {
+      if (c != null) { // close the dead socket before replacing: no fd leak
+        try c.close() catch { case _: Throwable => () }
+      }
       c = new RedisConnection(host, port)
       pool.put(key, c)
     }
     c
+  }
+
+  /** Close and drop every pooled connection (entries for terminated
+    * threads are otherwise only evicted on a failed call — long-lived
+    * JVMs with churning pools should sweep between jobs).
+    */
+  def closeAll(): Unit = {
+    val it = pool.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      try e.getValue.close() catch { case _: Throwable => () }
+      it.remove()
+    }
   }
 
   /** Run `f` with a pooled connection, evicting it on I/O failure so the

@@ -27,13 +27,15 @@ object IvfIndex {
 
   private def centroidCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
 
-  /** Squared L2 distance from a float-vector column to a centroid literal. */
-  private def sqDist(vec: Column, c: Array[Double]): Column = {
-    val cc = centroidCol(c)
-    // ||v||² - 2·v·c + ||c||² would save work but subtracting large
-    // doubles loses precision; the direct form stays deterministic.
-    aggregate(zip_with(vec, cc, (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
-  }
+  /** Squared L2 distance from a float-vector column to a centroid literal.
+    * Fused codegen'd kernel (SqDistFD) — bit-identical to the composable
+    * `aggregate(zip_with(v,c,(x,y)=>(x-y)*(x-y)),0d,+)` form, which is
+    * interpreted and re-evaluates per use site. (||v||² − 2·v·c + ||c||²
+    * would save work but subtracting large doubles loses precision; the
+    * direct form stays deterministic.)
+    */
+  private def sqDist(vec: Column, c: Array[Double]): Column =
+    graft.functions.VectorExpressions.sqDistFD(vec, centroidCol(c))
 
   /** Nearest-centroid id for a vector column.
     *

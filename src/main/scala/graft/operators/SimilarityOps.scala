@@ -64,11 +64,22 @@ object SimilarityOps {
       }
     }
 
-  /** Sign-of-dot-product LSH bucket id (one bit per hyperplane). */
+  /** Fused float×double form for embedding · plane-literal projections —
+    * matches `dot` bit-for-bit (each float promotes to double before the
+    * multiply, exactly the cast zip_with inserts).
+    */
+  def dotFD(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotFD(a, b)
+
+  /** Sign-of-dot-product LSH bucket id (one bit per hyperplane). The
+    * projection is the fused codegen'd kernel — the composable
+    * `zip_with`+`aggregate` form is interpreted (no codegen, no CSE) and
+    * was the r1 `weak` finding: it re-ran per plane per row at scan scale.
+    */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeArr = array(p.map(lit): _*)
-      when(dot(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dotFD(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
   /** ANN via LSH buckets: exact rescoring restricted to the query's bucket.

@@ -168,15 +168,19 @@ object PipelineQueries {
         |FROM d a JOIN d b ON a.doc_id % 97 = 0 AND b.doc_id > a.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // tokenize each side ONCE before the pair join (vs per-pair)
-      val tok = array_distinct(graft.operators.TextOps.tokens(col("text")))
+      // tokenize + sort each side ONCE before the pair join; the per-pair
+      // kernel is then a zero-allocation sorted merge-count
+      // (IntersectCountS) instead of array_intersect + array_union's two
+      // hash-set builds per pair — the r1 bench hotspot (60s → ~s).
+      // |∩|/(|a|+|b|−|∩|) ≡ |∩|/|∪| on sets, so the oracle is unchanged.
+      val tok = array_sort(array_distinct(graft.operators.TextOps.tokens(col("text"))))
       val a = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("d1"), tok.as("__ta"))
       val b = docs.select(col("doc_id").as("d2"), tok.as("__tb"))
       a.join(b, col("d2") > col("d1"))
         .select(col("d1"), col("d2"),
-          Qf.dround(size(array_intersect(col("__ta"), col("__tb"))) /
-            size(array_union(col("__ta"), col("__tb"))), 4).as("jaccard"))
+          Qf.dround(graft.operators.DedupOps.sortedJaccard(col("__ta"), col("__tb")), 4)
+            .as("jaccard"))
         .orderBy("d1", "d2")
     },
 

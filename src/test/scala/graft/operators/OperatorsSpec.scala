@@ -110,6 +110,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll == brute)
   }
 
+  test("shingles of texts shorter than n are empty, not garbage positions") {
+    val df = Seq((1L, "ab"), (2L, "abcd"), (3L, "abcde"), (4L, "abcdef"))
+      .toDF("id", "text")
+      .select(col("id"), DedupOps.shingles(col("text"), 5).as("sh"))
+    val m = df.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L) == Seq.empty && m(2L) == Seq.empty)
+    assert(m(3L) == Seq("abcde"))
+    assert(m(4L) == Seq("abcde", "bcdef"))
+  }
+
+  test("minHashSignatures keeps no-shingle docs as NULL rows; LSH excludes them") {
+    val df = Seq((1L, "ab"), (2L, "a much longer document body"), (3L, "zz"))
+      .toDF("id", "text")
+    val sig = DedupOps.minHashSignatures(df, "id", "text", 4, 5)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "short docs must not be dropped")
+    assert(rows(1L) && rows(3L) && !rows(2L))
+    // short docs never become near-dup candidates (their bucket is NULL)
+    val pairs = DedupOps.lshCandidatePairs(df, "id", "text", 4, 2, 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L || p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fused kernels match their composable HOF forms bit-exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64).select(col("vec_id"), col("embedding"))
+    val planes = SimilarityOps.hyperplanes(4, 64)
+    val planeArr = array(planes.head.map(lit).toIndexedSeq: _*)
+    val hofDot = aggregate(zip_with(col("embedding"), planeArr, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val hofSq = aggregate(zip_with(col("embedding"), planeArr, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = emb.select(
+      (SimilarityOps.dotFD(col("embedding"), planeArr) === hofDot).as("dOk"),
+      (graft.functions.VectorExpressions.sqDistFD(col("embedding"), planeArr) === hofSq).as("sOk"))
+      .as[(Boolean, Boolean)].collect()
+    assert(diffs.forall(t => t._1 && t._2), "fused kernel diverged from HOF form")
+  }
+
+  test("IntersectCountS equals size(array_intersect) on sorted distinct arrays") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val tok = array_sort(array_distinct(TextOps.tokens(col("text"))))
+    val a = docs.select(col("doc_id").as("d1"), tok.as("ta"))
+    val b = docs.select(col("doc_id").as("d2"), tok.as("tb"))
+    val joined = a.join(b, col("d1") < col("d2"))
+    val bad = joined.filter(
+      graft.functions.VectorExpressions.intersectCountSorted(col("ta"), col("tb"))
+        =!= size(array_intersect(col("ta"), col("tb"))).cast("long")).count()
+    assert(bad == 0L)
+    // and on hand-built edge cases: empty, disjoint, identical, subset
+    val edge = Seq(
+      (Seq.empty[String], Seq.empty[String], 0L),
+      (Seq("a", "b"), Seq.empty[String], 0L),
+      (Seq("a", "b"), Seq("c", "d"), 0L),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"), 3L),
+      (Seq("a", "c"), Seq("a", "b", "c", "d"), 2L))
+      .toDF("x", "y", "expect")
+    val wrong = edge.filter(
+      graft.functions.VectorExpressions.intersectCountSorted(col("x"), col("y")) =!= col("expect"))
+      .count()
+    assert(wrong == 0L)
+  }
+
   test("sampleFrames explodes byte chunks deterministically") {
     val df = Seq((1L, "0123456789abcdef")).toDF("id", "text")
       .withColumn("payload", col("text").cast("binary"))
