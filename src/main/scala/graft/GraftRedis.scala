@@ -45,7 +45,43 @@ object GraftRedis {
       shards: Seq[String] = Nil): DataFrame =
     reader(spark, "redis-kv", pattern, shards)
 
-  /** Register the SQL scalar surface on the session. */
-  def registerSql(spark: SparkSession): Unit =
+  /** Register the SQL scalar surface AND the table-valued functions on
+    * the session — after this, the reference's primary syntax parses
+    * as-is (/root/reference/README.md:24, test/sql/scan.test:20):
+    *
+    * {{{
+    * SELECT * FROM redis_scan('testkey:*');
+    * SELECT key, value FROM redis_kv('user:*');
+    * }}}
+    */
+  def registerSql(spark: SparkSession): Unit = {
     functions.RedduckFunctions.registerAll(spark)
+    registerTableFunctions(spark)
+  }
+
+  /** Register `redis_scan('glob')` / `redis_kv('glob')` as SQL
+    * table-valued functions. The builder captures this session and
+    * resolves the host/port defaults at call time, so
+    * `redis_connect(...)` → `SELECT * FROM redis_scan(...)` behaves
+    * like the reference's global-target flow. The argument must be one
+    * literal (foldable) string — same restriction the reference enforces
+    * by evaluating the pattern at bind time.
+    */
+  def registerTableFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.types.StringType
+
+    def patternArg(exprs: Seq[Expression], fn: String): String = exprs match {
+      case Seq(e) if e.foldable && e.dataType == StringType && e.eval() != null =>
+        e.eval().toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects exactly one literal string pattern, e.g. $fn('user:*')")
+    }
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("redis_scan",
+      exprs => GraftSqlShims.logicalPlan(scan(spark, patternArg(exprs, "redis_scan"))), "scala_udf")
+    reg.createOrReplaceTempFunction("redis_kv",
+      exprs => GraftSqlShims.logicalPlan(kv(spark, patternArg(exprs, "redis_kv"))), "scala_udf")
+  }
 }

@@ -23,6 +23,10 @@ final class FakeRedisServer(requestedPort: Int = 0) {
   private val hashes = new ConcurrentHashMap[String, Map[String, String]]()
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
+  // SCAN round-trip counter: tests assert pushed limits actually cut pages
+  private val scanCallCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def scanCalls: Int = scanCallCount.get()
+  def resetScanCalls(): Unit = scanCallCount.set(0)
 
   def put(key: String, value: String): Unit = strings.put(key, value)
   def putHash(key: String, fields: Map[String, String]): Unit = hashes.put(key, fields)
@@ -108,6 +112,7 @@ final class FakeRedisServer(requestedPort: Int = 0) {
   }
 
   private def scan(args: Seq[String]): RespValue = {
+    scanCallCount.incrementAndGet()
     var cursor = args.head.toInt
     var pattern = "*"
     var count = 10

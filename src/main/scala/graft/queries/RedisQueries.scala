@@ -158,6 +158,28 @@ object RedisQueries {
       scanDf(s, "testkey:*").createOrReplaceTempView("redis_scan_keys")
       s.sql("""SELECT key_name, redis_get(key_name) AS value
               |FROM redis_scan_keys ORDER BY key_name""".stripMargin)
+    },
+
+    // the reference's PRIMARY syntax, verbatim: a table-valued function in
+    // FROM (README.md:24, test/sql/scan.test:20) — registered on Spark's
+    // tableFunctionRegistry, no temp view, no read.format
+    q("r10_redis_scan_tvf", {
+      val keys = (1 to 10).map(i => f"('testkey:$i%04d')").mkString(", ")
+      s"""SELECT * FROM (VALUES $keys) t(key_name) ORDER BY key_name"""
+    }) { (s, _) =>
+      Harness.ensureStarted
+      graft.GraftRedis.connect(s, s"${Harness.Host}:${Harness.Port}")
+      graft.GraftRedis.registerSql(s)
+      s.sql("SELECT * FROM redis_scan('testkey:*') ORDER BY key_name")
+    },
+
+    // redis_kv as a TVF: SCAN + pipelined MGET straight from SQL
+    q("r11_redis_kv_tvf",
+      s"""SELECT * FROM (VALUES $kvValues) t(key, value) ORDER BY key""") { (s, _) =>
+      Harness.ensureStarted
+      graft.GraftRedis.connect(s, s"${Harness.Host}:${Harness.Port}")
+      graft.GraftRedis.registerSql(s)
+      s.sql("SELECT * FROM redis_kv('testkey:*') ORDER BY key")
     }
   )
 }

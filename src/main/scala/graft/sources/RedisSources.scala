@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -62,6 +62,9 @@ object RedisSources {
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
   }
 
+  /** Pushed ORDER BY key LIMIT n (scan mode only). */
+  final case class TopN(ascending: Boolean, n: Int)
+
   /** Escape Redis glob metacharacters so a literal matches itself. */
   def globEscape(s: String): String =
     s.flatMap { c => if ("*?[]\\".contains(c)) s"\\$c" else c.toString }
@@ -111,10 +114,13 @@ class RedisTable(fetchValues: Boolean, opts: RedisSources.Options)
 }
 
 class RedisScanBuilder(fetchValues: Boolean, opts: RedisSources.Options)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private val keyCol = if (fetchValues) "key" else "key_name"
   private var pushedGlob: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[RedisSources.TopN] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Push at most one translatable key filter into the server-side MATCH
@@ -129,25 +135,61 @@ class RedisScanBuilder(fetchValues: Boolean, opts: RedisSources.Options)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RedisScan(fetchValues, opts, pushedGlob)
+  /** Plain LIMIT n: each partition stops its SCAN cursor after n matched
+    * keys — on a 10⁸-key keyspace that is ~1 page of round trips instead
+    * of the full cursor walk. Partial (returns false): with multiple
+    * partitions each emits up to n rows, so Spark's own Limit finishes.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    false
+  }
+
+  /** ORDER BY <key> [ASC|DESC] LIMIT n: SCAN order is arbitrary, so the
+    * cursor must still drain — but each partition keeps only a bounded
+    * n-element heap and emits n keys instead of the whole keyspace (the
+    * transfer/memory win at scale). Partial: Spark re-sorts the ≤
+    * n×partitions survivors.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val sortable = !fetchValues && orders.length == 1 && (orders(0).expression() match {
+      case f: NamedReference => f.fieldNames().sameElements(Array(keyCol))
+      case _ => false
+    })
+    if (sortable) {
+      pushedTopN = Some(RedisSources.TopN(
+        ascending = orders(0).direction() == SortDirection.ASCENDING, n = limit))
+      true
+    } else false
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new RedisScan(fetchValues, opts, pushedGlob, pushedLimit, pushedTopN)
 }
 
-class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Option[String])
+class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Option[String],
+    pushedLimit: Option[Int], pushedTopN: Option[RedisSources.TopN])
     extends Scan with Batch {
   override def readSchema(): StructType =
     if (fetchValues) RedisSources.KvSchema else RedisSources.ScanSchema
-  override def description(): String =
-    s"RedisScan(patterns=${opts.effectivePatterns(pushedGlob).mkString(",")}, count=${opts.count})"
+  override def description(): String = {
+    val extras = pushedTopN.map(t => s", topN=${t.n} ${if (t.ascending) "ASC" else "DESC"}")
+      .orElse(pushedLimit.map(l => s", limit=$l")).getOrElse("")
+    s"RedisScan(patterns=${opts.effectivePatterns(pushedGlob).mkString(",")}, count=${opts.count}$extras)"
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     opts.effectivePatterns(pushedGlob)
-      .map(p => RedisInputPartition(opts.host, opts.port, p, opts.count): InputPartition)
+      .map(p => RedisInputPartition(opts.host, opts.port, p, opts.count,
+        pushedLimit, pushedTopN): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
 }
 
-final case class RedisInputPartition(host: String, port: Int, pattern: String, count: Int)
+final case class RedisInputPartition(host: String, port: Int, pattern: String, count: Int,
+    limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None)
     extends InputPartition
 
 class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
@@ -171,8 +213,14 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
   private var done = false
   private var batch: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  // plain-LIMIT budget: stop the cursor as soon as enough keys matched
+  private var remaining: Int = p.limit.filter(_ => p.topN.isEmpty).getOrElse(Int.MaxValue)
 
   override def next(): Boolean = {
+    p.topN match {
+      case Some(t) if batch.isEmpty && !done => batch = drainTopN(t)
+      case _ => ()
+    }
     while (!batch.hasNext && !done) fetchNextBatch()
     if (batch.hasNext) { current = batch.next(); true } else false
   }
@@ -183,17 +231,45 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     val (next, keys) = RedisCommands.scanPage(conn, cursor, p.pattern, p.count)
     cursor = next
     if (cursor == "0") done = true
-    if (keys.nonEmpty) {
+    val page = if (keys.length > remaining) keys.take(remaining) else keys
+    if (remaining != Int.MaxValue) {
+      remaining -= page.length
+      if (remaining <= 0) done = true // early cursor termination: pushed LIMIT satisfied
+    }
+    if (page.nonEmpty) {
       batch = if (!fetchValues) {
-        keys.iterator.map(k => InternalRow(UTF8String.fromString(k)))
+        page.iterator.map(k => InternalRow(UTF8String.fromString(k)))
       } else {
-        val values = RedisCommands.mget(conn, keys)
-        keys.iterator.zip(values.iterator).map { case (k, v) =>
+        val values = RedisCommands.mget(conn, page)
+        page.iterator.zip(values.iterator).map { case (k, v) =>
           InternalRow(UTF8String.fromString(k),
             v.map(UTF8String.fromString).orNull)
         }
       }
     }
+  }
+
+  /** Pushed ORDER BY key LIMIT n: drain the cursor (SCAN order is
+    * arbitrary — every key must be seen) but keep only an n-element
+    * bounded heap, so the partition emits n keys, not the keyspace.
+    */
+  private def drainTopN(t: RedisSources.TopN): Iterator[InternalRow] = {
+    val ord = if (t.ascending) Ordering.String else Ordering.String.reverse
+    // max-heap of the n best-so-far: root is the WORST kept key
+    val heap = new java.util.PriorityQueue[String](math.max(1, t.n), ord.reverse)
+    while (!done) {
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.pattern, p.count)
+      cursor = next
+      if (cursor == "0") done = true
+      keys.foreach { k =>
+        if (heap.size < t.n) heap.add(k)
+        else if (heap.size > 0 && ord.lt(k, heap.peek())) { heap.poll(); heap.add(k) }
+      }
+    }
+    val out = new Array[String](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 } // heap pops worst-first
+    out.iterator.map(k => InternalRow(UTF8String.fromString(k)))
   }
 
   override def close(): Unit = conn.close()

@@ -91,6 +91,63 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT redduck('x') AS v").head().getString(0) == "Redduck x 🐥")
   }
 
+  test("pushed LIMIT stops the SCAN cursor early (fewer round trips)") {
+    val base = spark.read.format("redis-scan")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "testkey:*").option("scan.count", "2")
+    // full drain: 12 keys at COUNT 2 → 6 SCAN round trips
+    server.resetScanCalls()
+    assert(base.load().collect().length == 10)
+    val fullTrips = server.scanCalls
+    assert(fullTrips >= 6, s"expected ≥6 full-drain trips, got $fullTrips")
+    // LIMIT 3: cursor stops once 3 keys matched
+    server.resetScanCalls()
+    val limited = base.load().limit(3)
+    val leaf = limited.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaf.contains("limit=3"), s"expected pushed limit in scan:\n$leaf")
+    assert(limited.collect().length == 3)
+    assert(server.scanCalls < fullTrips,
+      s"pushed limit did not cut round trips: ${server.scanCalls} vs $fullTrips")
+  }
+
+  test("pushed ORDER BY + LIMIT keeps an n-element heap per partition") {
+    val df = spark.read.format("redis-scan")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "testkey:*").load()
+      .orderBy("key_name").limit(3)
+    val leaf = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaf.contains("topN=3 ASC"), s"expected pushed topN in scan:\n$leaf")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("testkey:0001", "testkey:0002", "testkey:0003"))
+    // descending too
+    val desc = spark.read.format("redis-scan")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "testkey:*").load()
+      .orderBy(org.apache.spark.sql.functions.col("key_name").desc).limit(2)
+    assert(desc.collect().map(_.getString(0)).toSeq == Seq("testkey:0010", "testkey:0009"))
+  }
+
+  test("scan.test verbatim SQL: table-valued redis_scan in FROM") {
+    graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    graft.GraftRedis.registerSql(spark)
+    // test/sql/scan.test:19-22
+    assert(spark.sql("SELECT COUNT(*) FROM redis_scan('testkey:*')").head().getLong(0) == 10L)
+    // test/sql/scan.test:24-29
+    val top3 = spark.sql("SELECT key_name FROM redis_scan('testkey:*') ORDER BY key_name LIMIT 3")
+      .collect().map(_.getString(0)).toSeq
+    assert(top3 == Seq("testkey:0001", "testkey:0002", "testkey:0003"))
+    // kv TVF joins + projects like any relation
+    val v = spark.sql(
+      "SELECT value FROM redis_kv('testkey:*') WHERE key = 'testkey:0007'")
+      .head().getString(0)
+    assert(v == "value7")
+    // non-literal argument is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM redis_scan(key_name)").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("partition.patterns shards the keyspace into one partition each") {
     val df = spark.read.format("redis-scan")
       .option("host", "127.0.0.1").option("port", port)
