@@ -21,6 +21,17 @@ object RedduckFunctions {
   val HostConf = "spark.redduck.host"
   val PortConf = "spark.redduck.port"
 
+  /** Bug-compat flag (SURVEY §1.2): the reference returns "" for a missing
+    * key (redis_client.cpp:232-236, GET on absent key → empty string,
+    * indistinguishable from an empty value). Our default is SQL NULL —
+    * set this conf to "true" before registering/calling to reproduce the
+    * reference's behavior during migrations.
+    */
+  val LegacyEmptyConf = "spark.redduck.legacyEmptyStringForMissingKey"
+
+  private def legacyEmpty(spark: SparkSession): Boolean =
+    spark.conf.get(LegacyEmptyConf, "false").toBoolean
+
   /** Parse + validate `host:port`, PING it from the driver, persist it in
     * session conf, return the reference's exact status string
     * (redduck_extension.cpp:112-118). Mirrors `SetAddressScalarFun`
@@ -50,6 +61,7 @@ object RedduckFunctions {
     */
   def registerAll(spark: SparkSession): Unit = {
     val (host, port) = target(spark)
+    val missingDefault: String = if (legacyEmpty(spark)) "" else null
 
     // demo scalars, kept for smoke-test parity (redduck_extension.cpp:17-40)
     spark.udf.register("redduck", (name: String) => s"Redduck $name 🐥")
@@ -57,10 +69,12 @@ object RedduckFunctions {
 
     // per-row point lookup over a pooled per-thread connection. Missing
     // key → SQL NULL (deliberate divergence from the reference's "",
-    // redis_client.cpp:232-236; see SURVEY §1.2).
+    // redis_client.cpp:232-236; see SURVEY §1.2) unless LegacyEmptyConf
+    // was set at registration time.
     spark.udf.register("redis_get", (key: String) =>
       if (key == null) null
-      else RedisConnection.withPooled(host, port)(c => RedisCommands.get(c, key).orNull))
+      else RedisConnection.withPooled(host, port)(c =>
+        RedisCommands.get(c, key).getOrElse(missingDefault)))
 
     spark.udf.register("redis_hgetall", (key: String) =>
       if (key == null) null
@@ -77,6 +91,7 @@ object RedduckFunctions {
       batchSize: Int = 512, hostPort: Option[(String, Int)] = None): DataFrame = {
     val spark = df.sparkSession
     val (host, port) = hostPort.getOrElse(target(spark))
+    val missingDefault: String = if (legacyEmpty(spark)) "" else null
     val schema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(valueCol, StringType, nullable = true))
     val keyIdx = df.schema.fieldIndex(keyCol)
@@ -86,7 +101,7 @@ object RedduckFunctions {
         val keys = group.map(_.getString(keyIdx))
         val values = RedisConnection.withPooled(host, port)(c => RedisCommands.mget(c, keys))
         group.iterator.zip(values.iterator).map { case (row, v) =>
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v.orNull)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v.getOrElse(missingDefault))
         }
       }
     }(enc)

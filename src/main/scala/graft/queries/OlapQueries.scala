@@ -630,6 +630,23 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // The exact-percentile form above is the sf-scale ORACLE form only: it
+    // materializes every value per group in executor memory. This is the
+    // documented 100 TB path — a t-digest style sketch with constant
+    // per-group state, map-side combinable. Sketch implementations differ
+    // per engine (no cross-engine oracle); an sbt test bounds it against
+    // the exact percentiles instead.
+    q("q40b_percentiles_approx", null) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Qf.dround(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("p25"),
+          Qf.dround(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          Qf.dround(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
+          Qf.dround(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
     q("q41_stats_agg",
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -701,6 +718,25 @@ object OlapQueries {
           Qf.dround(col("o_totalprice") -
             avg(col("o_totalprice")).over(Window.partitionBy(col("o_custkey"))), 2)
             .as("delta_from_avg"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- sampling
+    // Deterministic hash-mod sampling (SURVEY §2.C sort/limit/sample row):
+    // the engine-portable form of `df.sample` — Bernoulli `df.sample(f)` is
+    // RNG/seed/partition-layout-dependent and can never hash-match another
+    // engine, so the conformance surface pins sampling semantics to a
+    // content hash: ~5% of orders, reproducible everywhere, pushed to the
+    // scan as a cheap per-row predicate (no shuffle, no state).
+    q("q45_hash_sample",
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .filter(graft.operators.DedupOps.md5Hash32(col("o_orderkey").cast("string"), "") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          Qf.dround(col("o_totalprice"), 2).as("total"))
         .orderBy("o_orderkey")
     }
   )

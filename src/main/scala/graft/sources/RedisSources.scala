@@ -44,10 +44,14 @@ object RedisSources {
     StructField("value", StringType, nullable = true)))
 
   final case class Options(host: String, port: Int, pattern: String, count: Int,
-      partitionPatterns: Seq[String]) {
-    def effectivePatterns(pushed: Option[String]): Seq[String] = pushed match {
-      case Some(p) => Seq(p)
-      case None => if (partitionPatterns.nonEmpty) partitionPatterns else Seq(pattern)
+      partitionPatterns: Seq[String], slots: Int) {
+    /** Disjoint pattern lists, one per input partition. */
+    def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
+      case Some(p) => Seq(Seq(p))
+      case None =>
+        if (partitionPatterns.nonEmpty) partitionPatterns.map(Seq(_))
+        else if (slots > 1) slotPatterns(pattern, slots)
+        else Seq(Seq(pattern))
     }
   }
 
@@ -59,7 +63,43 @@ object RedisSources {
       pattern = o.getOrDefault("pattern", "*"),
       count = o.getOrDefault("scan.count", "2048").toInt, // reference batch size, resp_parser.cpp:159-161
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
-        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+      slots = o.getOrDefault("partition.slots", "0").toInt)
+  }
+
+  /** First-character alphabet used by `partition.slots` sharding — no glob
+    * metacharacters, so class patterns need no escaping.
+    */
+  val SlotAlphabet: IndexedSeq[Char] =
+    ('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')
+
+  /** Shard a `literal*` keyspace pattern into `slots` DISJOINT,
+    * jointly-exhaustive pattern lists — one per input partition, each its
+    * own connection + cursor:
+    *
+    *  - slots−1 partitions take `prefix[<chars>]*` character classes
+    *    (round-robin split of [[SlotAlphabet]] on the first suffix char);
+    *  - the last partition takes the complement class `prefix[^A..z]*`
+    *    PLUS the exact-prefix literal (a key equal to the prefix has no
+    *    suffix char and would otherwise match no shard).
+    *
+    * This is the standalone-Redis analog of per-slot cursor sharding on
+    * Redis Cluster (`SCAN ... SLOT` style): the same partition seam takes
+    * per-slot cursors when a cluster client lands here.
+    */
+  def slotPatterns(base: String, slots: Int): Seq[Seq[String]] = {
+    require(slots >= 2 && slots <= SlotAlphabet.length + 1,
+      s"partition.slots must be in 2..${SlotAlphabet.length + 1}, got $slots")
+    require(base.nonEmpty && base.last == '*'
+      && !base.dropRight(1).exists(c => "*?[]\\".contains(c)),
+      s"partition.slots needs a 'literal*' pattern to shard, got '$base'")
+    val prefix = base.dropRight(1)
+    val g = slots - 1
+    val classes = (0 until g).map(i => SlotAlphabet.zipWithIndex.collect {
+      case (c, idx) if idx % g == i => c
+    })
+    classes.map(cs => Seq(s"$prefix[${cs.mkString}]*")) :+
+      Seq(s"$prefix[^${SlotAlphabet.mkString}]*", globEscape(prefix))
   }
 
   /** Pushed ORDER BY key LIMIT n (scan mode only). */
@@ -124,8 +164,8 @@ class RedisScanBuilder(fetchValues: Boolean, opts: RedisSources.Options)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Push at most one translatable key filter into the server-side MATCH
-    // glob — only when no explicit pattern sharding would conflict.
-    val canPush = opts.pattern == "*" && opts.partitionPatterns.isEmpty
+    // glob — only when no explicit pattern/slot sharding would conflict.
+    val canPush = opts.pattern == "*" && opts.partitionPatterns.isEmpty && opts.slots <= 1
     if (canPush) {
       val (tr, rest) = filters.partition(f => RedisSources.filterToGlob(keyCol, f).isDefined)
       tr.headOption.foreach { f => pushedGlob = RedisSources.filterToGlob(keyCol, f) }
@@ -176,19 +216,23 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
   override def description(): String = {
     val extras = pushedTopN.map(t => s", topN=${t.n} ${if (t.ascending) "ASC" else "DESC"}")
       .orElse(pushedLimit.map(l => s", limit=$l")).getOrElse("")
-    s"RedisScan(patterns=${opts.effectivePatterns(pushedGlob).mkString(",")}, count=${opts.count}$extras)"
+    s"RedisScan(patterns=${opts.effectivePatterns(pushedGlob).map(_.mkString("|")).mkString(",")}, count=${opts.count}$extras)"
   }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     opts.effectivePatterns(pushedGlob)
-      .map(p => RedisInputPartition(opts.host, opts.port, p, opts.count,
+      .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
         pushedLimit, pushedTopN): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
 }
 
-final case class RedisInputPartition(host: String, port: Int, pattern: String, count: Int,
+/** One partition = one connection running one SCAN cursor per pattern in
+  * `patterns`, sequentially (slot shards put the complement class + the
+  * exact-prefix literal in the same partition).
+  */
+final case class RedisInputPartition(host: String, port: Int, patterns: Seq[String], count: Int,
     limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None)
     extends InputPartition
 
@@ -210,6 +254,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
 
   private val conn = new RedisConnection(p.host, p.port)
   private var cursor = "0"
+  private var patternIdx = 0
   private var done = false
   private var batch: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -227,10 +272,17 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
 
   override def get(): InternalRow = current
 
+  /** Cursor end: advance to this partition's next pattern, if any. */
+  private def cursorDone(): Unit = {
+    patternIdx += 1
+    cursor = "0"
+    if (patternIdx >= p.patterns.length) done = true
+  }
+
   private def fetchNextBatch(): Unit = {
-    val (next, keys) = RedisCommands.scanPage(conn, cursor, p.pattern, p.count)
+    val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
     cursor = next
-    if (cursor == "0") done = true
+    if (cursor == "0") cursorDone()
     val page = if (keys.length > remaining) keys.take(remaining) else keys
     if (remaining != Int.MaxValue) {
       remaining -= page.length
@@ -258,9 +310,9 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     // max-heap of the n best-so-far: root is the WORST kept key
     val heap = new java.util.PriorityQueue[String](math.max(1, t.n), ord.reverse)
     while (!done) {
-      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.pattern, p.count)
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
       cursor = next
-      if (cursor == "0") done = true
+      if (cursor == "0") cursorDone()
       keys.foreach { k =>
         if (heap.size < t.n) heap.add(k)
         else if (heap.size > 0 && ord.lt(k, heap.peek())) { heap.poll(); heap.add(k) }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy gates for the operators whose results are model- or
+  * sketch-dependent and therefore have NO cross-engine oracle (the driver
+  * records them rows-only): IVF ANN (s04), approx_count_distinct (q29),
+  * approx_percentile (q40b). Each is bounded against its exact
+  * counterpart in-Spark instead.
+  */
+class AccuracySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("s04 gate: IVF ANN recall@5 vs brute force ≥ 0.6 at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = IvfIndex.train(emb, "embedding", k = 8, iters = 3)
+    val ivf = IvfIndex.annTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", model, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, f"IVF recall@5 = $recall%.3f < 0.6 (nprobe=3/8)")
+  }
+
+  test("q29 gate: approx_count_distinct within 5% of exact per group") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
+    // sit at 1σ and flake — the gate checks the operator, not the default
+    val cmp = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()
+    cmp.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      val err = math.abs(a - e).toDouble / e
+      assert(err <= 0.05, f"group ${r.getString(0)}: approx=$a exact=$e rel.err=$err%.4f > 5%%")
+    }
+  }
+
+  test("q40b gate: approx_percentile within 1% of exact percentile per group") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cmp = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect()
+    cmp.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      val err = math.abs(a - e) / e
+      assert(err <= 0.01, f"group ${r.getString(0)}: approx=$a exact=$e rel.err=$err%.4f > 1%%")
+    }
+  }
+}

@@ -156,4 +156,49 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keys = df.collect().map(_.getString(0)).sorted.toSeq
     assert(keys == ((1 to 10).map(i => f"testkey:$i%04d") ++ Seq("binpat:a_b", "binpat:axb")).sorted)
   }
+
+  test("partition.slots shards into disjoint, exhaustive partitions") {
+    // exercise every shard shape: alphanumeric suffixes, a non-alphabet
+    // suffix (%), and a key equal to the bare prefix
+    server.put("slot:", "bare-prefix")
+    server.put("slot:%weird", "non-alnum")
+    (0 until 26).foreach(i => server.put(s"slot:${('a' + i).toChar}$i", s"v$i"))
+    val df = spark.read.format("redis-scan")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "slot:*").option("partition.slots", "4").load()
+    assert(df.rdd.getNumPartitions == 4)
+    val perPartition = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      rows.map(r => pid -> r.getString(0))
+    }.collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = perPartition.values.flatten.toSeq
+    // exhaustive: every key seen exactly once across partitions
+    assert(all.size == all.toSet.size, "a key appeared in two shards")
+    assert(all.toSet == ((0 until 26).map(i => s"slot:${('a' + i).toChar}$i").toSet
+      + "slot:" + "slot:%weird"))
+    // disjoint by construction AND actually spread over >1 partition
+    assert(perPartition.count(_._2.nonEmpty) >= 3, s"degenerate sharding: $perPartition")
+    // bare prefix + non-alphabet suffix land in the complement shard (last)
+    assert(perPartition(3).contains("slot:") && perPartition(3).contains("slot:%weird"))
+  }
+
+  test("legacyEmptyStringForMissingKey reproduces the reference's '' semantics") {
+    graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    // default: missing key → SQL NULL
+    spark.conf.set(graft.functions.RedduckFunctions.LegacyEmptyConf, "false")
+    graft.GraftRedis.registerSql(spark)
+    assert(spark.sql("SELECT redis_get('no:such:key') AS v").head().isNullAt(0))
+    // legacy flag: missing key → "" like the reference's RedisClient
+    spark.conf.set(graft.functions.RedduckFunctions.LegacyEmptyConf, "true")
+    graft.GraftRedis.registerSql(spark)
+    assert(spark.sql("SELECT redis_get('no:such:key') AS v").head().getString(0) == "")
+    // batched form honors the same conf
+    import spark.implicits._
+    val keys = Seq("testkey:0001", "no:such:key").toDF("key")
+    val vals = graft.functions.RedduckFunctions.withRedisValues(keys, "key",
+      hostPort = Some(("127.0.0.1", port)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vals("testkey:0001") == "value1" && vals("no:such:key") == "")
+    spark.conf.set(graft.functions.RedduckFunctions.LegacyEmptyConf, "false")
+    graft.GraftRedis.registerSql(spark)
+  }
 }
