@@ -33,10 +33,14 @@ object Bench {
 
     // light untimed warmup: JIT the scan/agg/join/window/HOF paths +
     // parquet footer caches + fake-redis boot (a full extra pass doubles
-    // generated-class volume for marginal gain)
+    // generated-class volume for marginal gain). A broken warmup query is
+    // reported, not swallowed — it would fail again in the timed pass.
     Seq("q01_pricing_summary", "q05_local_supplier_volume", "q14_window_rownum",
       "d01_text_stats", "s01_cosine_topk", "r01_redis_scan_count")
-      .foreach { n => try run(n) catch { case _: Throwable => () } }
+      .foreach { n =>
+        try run(n)
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
+      }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

@@ -620,13 +620,22 @@ object OlapQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(median(l_quantity), 4) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          Qf.dround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          Qf.dround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          Qf.dround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          Qf.dround(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+      // NOT the built-in `percentile` aggregate: that buffers every value
+      // of a group in one executor hash map (OOM at scale, GC churn at
+      // bench scale). PercentileOps computes the same interpolated exact
+      // quantiles from distinct-value counts + a sort-based window.
+      val li = table(s, dir, "lineitem")
+      val prices = graft.operators.PercentileOps.exactQuantiles(
+        li, Seq("l_returnflag"), col("l_extendedprice"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      val qty = graft.operators.PercentileOps.exactQuantiles(
+        li, Seq("l_returnflag"), col("l_quantity"), Seq("med_qty" -> 0.5))
+      prices.join(qty, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          Qf.dround(col("p25"), 4).as("p25"),
+          Qf.dround(col("p50"), 4).as("p50"),
+          Qf.dround(col("p90"), 4).as("p90"),
+          Qf.dround(col("med_qty"), 4).as("med_qty"))
         .orderBy("l_returnflag")
     },
 

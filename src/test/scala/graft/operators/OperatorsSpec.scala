@@ -173,6 +173,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wrong == 0L)
   }
 
+  test("PercentileOps.exactQuantiles matches the built-in percentile aggregate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val qs = Seq("q0" -> 0.0, "q25" -> 0.25, "q5" -> 0.5, "q9" -> 0.9, "q1" -> 1.0)
+    val ours = PercentileOps.exactQuantiles(li, Seq("l_returnflag"), col("l_extendedprice"), qs)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.9, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, v) =>
+      assert(v == builtin(k), s"group $k: $v != ${builtin(k)}")
+    }
+  }
+
   test("sampleFrames explodes byte chunks deterministically") {
     val df = Seq((1L, "0123456789abcdef")).toDF("id", "text")
       .withColumn("payload", col("text").cast("binary"))
