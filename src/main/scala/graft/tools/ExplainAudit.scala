@@ -24,7 +24,12 @@ object ExplainAudit {
       "q05_local_supplier_volume", // broadcast + shuffle joins
       "q18_topk",             // TakeOrderedAndProject
       "s01_cosine_topk",      // native expr + broadcast
-      "r03_redis_scan_pushdown") // DSv2 glob pushdown
+      "r03_redis_scan_pushdown", // DSv2 glob pushdown
+      "r02_redis_scan_topk",  // DSv2 pushed topN (ORDER BY key LIMIT n)
+      "s02_ann_buckets",      // fused DotProductFD (no interpreted HOF)
+      "d10_ngram_jaccard",    // sorted merge-count kernel (IntersectCountS)
+      "q40_percentiles",      // distributed exact quantiles (no group buffering)
+      "q45_hash_sample")      // deterministic sample as pushed scan predicate
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
