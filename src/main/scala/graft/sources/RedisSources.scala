@@ -241,6 +241,73 @@ class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
     val p = partition.asInstanceOf[RedisInputPartition]
     new RedisPartitionReader(p, fetchValues)
   }
+
+  /** Columnar handoff (SURVEY §1.1 optimization item): plain key scans
+    * emit one ColumnarBatch per SCAN page, so Spark's codegen'd
+    * ColumnarToRow consumes a vector instead of row-at-a-time
+    * InternalRows. kv mode (MGET values interleaved) and pushed-topN
+    * (bounded heap) keep the row reader.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !fetchValues && partition.asInstanceOf[RedisInputPartition].topN.isEmpty
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[RedisInputPartition]
+    new RedisColumnarPartitionReader(p)
+  }
+}
+
+/** Columnar key scan: the SCAN cursor loop of [[RedisPartitionReader]],
+  * emitting each page as one single-column ColumnarBatch.
+  */
+class RedisColumnarPartitionReader(p: RedisInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val conn = new RedisConnection(p.host, p.port)
+  private var cursor = "0"
+  private var patternIdx = 0
+  private var done = false
+  private var current: ColumnarBatch = _
+  private var remaining: Int = p.limit.getOrElse(Int.MaxValue)
+
+  override def next(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    while (!done) {
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+      cursor = next
+      if (cursor == "0") {
+        patternIdx += 1
+        cursor = "0"
+        if (patternIdx >= p.patterns.length) done = true
+      }
+      val page = if (keys.length > remaining) keys.take(remaining) else keys
+      if (remaining != Int.MaxValue) {
+        remaining -= page.length
+        if (remaining <= 0) done = true // pushed LIMIT satisfied
+      }
+      if (page.nonEmpty) {
+        val vec = new OnHeapColumnVector(page.length, StringType)
+        var i = 0
+        while (i < page.length) {
+          val bytes = page(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          vec.putByteArray(i, bytes, 0, bytes.length)
+          i += 1
+        }
+        current = new ColumnarBatch(Array(vec), page.length)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = {
+    if (current != null) current.close()
+    conn.close()
+  }
 }
 
 /** Runs the SCAN cursor loop (≈ `FetchNextBatch`,

@@ -44,6 +44,19 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq("testkey:0001", "testkey:0002", "testkey:0003"))
   }
 
+  test("plain key scans read columnar (ColumnarToRow above the scan)") {
+    val df = scan("testkey:*")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan handoff:\n$plan")
+    assert(df.count() == 10L)
+    // kv mode stays row-based (values interleave with pipelined MGET)
+    val kvPlan = spark.read.format("redis-kv")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "testkey:*").load()
+      .queryExecution.executedPlan.toString
+    assert(!kvPlan.contains("ColumnarToRow"))
+  }
+
   test("small scan.count forces multi-page cursor with identical results") {
     val keys = spark.read.format("redis-scan")
       .option("host", "127.0.0.1").option("port", port)

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.net.FakeRedisServer
+
+/** Streaming keyspace source: new keys arrive as micro-batch rows. */
+class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val server = new FakeRedisServer()
+  private var port: Int = _
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    (1 to 3).foreach(i => server.put(s"seed:$i", s"v$i"))
+    port = server.start()
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  test("redis-key-stream emits pre-existing keys, then only new arrivals") {
+    val stream = spark.readStream.format("redis-key-stream")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "seed:*").load()
+    val query = stream.writeStream
+      .format("memory").queryName("keystream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val firstBatch = spark.sql("SELECT key_name FROM keystream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(firstBatch == Seq("seed:1", "seed:2", "seed:3"))
+
+      server.put("seed:4", "v4")
+      server.put("other:9", "ignored") // outside the pattern
+      query.processAllAvailable()
+      val secondBatch = spark.sql("SELECT key_name FROM keystream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(secondBatch == Seq("seed:1", "seed:2", "seed:3", "seed:4"),
+        "exactly the one new in-pattern key should be appended")
+
+      // no change → no new rows
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM keystream").head().getLong(0) == 4L)
+    } finally query.stop()
+  }
+}
