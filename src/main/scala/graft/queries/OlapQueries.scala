@@ -747,6 +747,56 @@ object OlapQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           Qf.dround(col("o_totalprice"), 2).as("total"))
         .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- distribution window functions
+    q("q46_distribution_windows",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          Qf.dround(percent_rank().over(w), 6).as("pct_rank"),
+          Qf.dround(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- structured JSON parse (from_json, vs q30's path extraction)
+    q("q47_from_json",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(json_extract_string(props, '$.src') AS VARCHAR) AS src
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType)))
+      table(s, dir, "events")
+        .withColumn("__j", from_json(col("props"), schema))
+        .select(col("event_id"),
+          col("__j.k").as("k_val"),
+          col("__j.src").as("src"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------- EXISTS predicate subquery (SQL-parsed path; q38 is the DataFrame anti analog)
+    q("q48_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer")
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              |ORDER BY c_custkey""".stripMargin)
     }
   )
 }

@@ -368,6 +368,48 @@ object PipelineQueries {
         .limit(100)
     },
 
+    // ---------------------------------------------------------------- end-to-end near-dup pipeline
+    // the full production dedup flow in ONE plan: MinHash signatures →
+    // LSH banding → candidate pairs (bucketed equi-join, never all-pairs)
+    // → exact Jaccard rescoring on candidates only → threshold
+    q("d13_dedup_pipeline", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, list_distinct($sqlTokens) AS t FROM documents)
+         |SELECT d1, d2,
+         |  round(len(list_intersect(ta.t, tb.t))
+         |    / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4) AS jaccard
+         |FROM cand JOIN tok ta ON ta.doc_id = d1 JOIN tok tb ON tb.doc_id = d2
+         |WHERE len(list_intersect(ta.t, tb.t))
+         |    / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        numHashes = 8, bandSize = 4, shingleSize = 5)
+        .select(col("d1"), col("d2"))
+      val tok = docs.select(col("doc_id"),
+        array_sort(array_distinct(graft.operators.TextOps.tokens(col("text")))).as("__t"))
+      val j = DedupOps.sortedJaccard(col("__ta"), col("__tb"))
+      cand
+        .join(tok.select(col("doc_id").as("d1"), col("__t").as("__ta")), Seq("d1"))
+        .join(tok.select(col("doc_id").as("d2"), col("__t").as("__tb")), Seq("d2"))
+        .filter(j >= 0.5)
+        .select(col("d1"), col("d2"), Qf.dround(j, 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
     q("s04_ivf_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
