@@ -749,6 +749,37 @@ object OlapQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---------------------------------------------------------------- pure range join (no equi key)
+    // q36 is equi+residual-range (hash-joinable); THIS is the hard case —
+    // point-in-interval with no equality key, which Spark would otherwise
+    // plan as a nested loop. IntervalJoin bins the range dimension into an
+    // equi-join (see operator Scaladoc).
+    q("q49_interval_join",
+      """WITH i AS (
+        |  SELECT o_orderkey AS i_key,
+        |    CAST(date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS lo
+        |  FROM orders
+        |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 = 0),
+        |p AS (
+        |  SELECT o_orderkey AS p_key,
+        |    CAST(date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS p_day
+        |  FROM orders)
+        |SELECT i_key, count(*) AS n_in_window
+        |FROM i JOIN p ON p.p_day BETWEEN i.lo AND i.lo + 7
+        |GROUP BY i_key ORDER BY i_key""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val day = datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).cast("long")
+      val intervals = o
+        .filter(graft.operators.DedupOps.md5Hash32(col("o_orderkey").cast("string"), "") % 100 === 0)
+        .select(col("o_orderkey").as("i_key"), day.as("lo"), (day + 7).as("hi"))
+      val points = o.select(col("o_orderkey").as("p_key"), day.as("p_day"))
+      graft.operators.IntervalJoin.pointInInterval(points, "p_day", intervals, "lo", "hi",
+          binWidth = 7)
+        .groupBy(col("i_key"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("i_key")
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

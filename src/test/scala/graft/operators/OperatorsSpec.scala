@@ -173,6 +173,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wrong == 0L)
   }
 
+  test("IntervalJoin.pointInInterval matches the nested-loop theta join") {
+    val points = (0L to 200L).map(i => (i, i % 97)).toDF("p_id", "p")
+    val intervals = Seq((1L, 5L, 20L), (2L, 18L, 19L), (3L, 90L, 130L), (4L, 300L, 400L))
+      .toDF("i_id", "lo", "hi")
+    for (binWidth <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = IntervalJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      val theta = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      assert(binned == theta, s"binWidth=$binWidth diverged")
+    }
+  }
+
   test("PercentileOps.exactQuantiles matches the built-in percentile aggregate") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qs = Seq("q0" -> 0.0, "q25" -> 0.25, "q5" -> 0.5, "q9" -> 0.9, "q1" -> 1.0)
