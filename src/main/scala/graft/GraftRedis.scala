@@ -45,6 +45,17 @@ object GraftRedis {
       shards: Seq[String] = Nil): DataFrame =
     reader(spark, "redis-kv", pattern, shards)
 
+  /** Streaming keyspace → (key_name STRING): each micro-batch emits the
+    * keys that appeared since the previous snapshot (see
+    * `sources.RedisKeyStreamProvider` for the fault-tolerance contract).
+    */
+  def keyStream(spark: SparkSession, pattern: String = "*"): DataFrame = {
+    val (host, port) = functions.RedduckFunctions.target(spark)
+    spark.readStream.format("redis-key-stream")
+      .option("host", host).option("port", port.toString)
+      .option("pattern", pattern).load()
+  }
+
   /** Register the SQL scalar surface AND the table-valued functions on
     * the session — after this, the reference's primary syntax parses
     * as-is (/root/reference/README.md:24, test/sql/scan.test:20):

@@ -243,6 +243,55 @@ final case class IntersectCountS(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bucketed byte histogram of a binary payload — the deterministic
+  * feature-extraction kernel for multimodal columns (a real pipeline
+  * computes channel/spectral histograms the same way: one fused pass over
+  * the bytes, small fixed-width vector out, the payload itself never
+  * leaves the scan). Bucket of byte b (unsigned) = b·buckets/256; output
+  * is the count per bucket as `array<int>` — integer-exact, so results
+  * are oracle-checkable cross-engine.
+  */
+final case class ByteHistogram(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(buckets > 0 && buckets <= 256 && 256 % buckets == 0,
+    s"buckets must divide 256, got $buckets")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val shift = Integer.numberOfTrailingZeros(256 / buckets)
+    val counts = new Array[Int](buckets)
+    var i = 0
+    while (i < bytes.length) {
+      counts((bytes(i) & 0xff) >>> shift) += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shift = Integer.numberOfTrailingZeros(256 / buckets)
+    nullSafeCodeGen(ctx, ev, b => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      s"""
+         |int[] $counts = new int[$buckets];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $counts[($b[$i] & 0xff) >>> $shift]++;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($counts);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlShims
 
@@ -261,6 +310,10 @@ object VectorExpressions {
   /** Merge-count of common elements of two sorted distinct string arrays. */
   def intersectCountSorted(a: Column, b: Column): Column =
     GraftSqlShims.column(IntersectCountS(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Bucketed byte histogram of a binary column (codegen'd, one pass). */
+  def byteHistogram(bin: Column, buckets: Int): Column =
+    GraftSqlShims.column(ByteHistogram(GraftSqlShims.expression(bin), buckets))
 
   /** Register SQL forms: `dot_f(a,b)`, `dot_fd(a,b)`, `intersect_count_s(a,b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

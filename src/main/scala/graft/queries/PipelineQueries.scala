@@ -282,6 +282,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- multimodal feature extraction
+    // fused one-pass byte histogram (ByteHistogram native expression) as
+    // the deterministic stand-in for image/audio feature extraction —
+    // integer counts, so the result is oracle-exact. Shape: explode the
+    // 16-bucket vector + partial-agg pivot (evaluating the histogram once
+    // per row; 16 getItem projections would re-run it 16× under
+    // CollapseProject).
+    q("m02_multimodal_features", {
+      val hs = (0 until 16).map(b =>
+        s"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS INTEGER) AS h$b").mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $hs
+         |FROM (SELECT doc_id,
+         |        list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hist = graft.functions.VectorExpressions.byteHistogram(col("text").cast("binary"), 16)
+      val aggs = (0 until 16).map(b =>
+        max(when(col("b") === b, col("cnt"))).cast("int").as(s"h$b"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(hist).as(Seq("b", "cnt")))
+        .groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- as-of join (custom operator)
     q("q35_asof_join",
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
@@ -297,6 +324,46 @@ object PipelineQueries {
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("click_id"))
       AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    },
+
+    // ---------------------------------------------------------------- as-of join: forward direction
+    q("q50_asof_forward",
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.forward(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    },
+
+    // ---------------------------------------------------------------- as-of join: tolerance window
+    q("q51_asof_tolerance",
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id,
+        |  CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_id END AS click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"),
+          tolerance = Some(3600.0))
         .select(col("purchase_id"), col("user_id"), col("click_id"))
         .orderBy("purchase_id")
     },

@@ -33,6 +33,26 @@ class OperatorsSpec extends AnyFunSuite {
       (2, 5L, "l3", None)))        // nothing at or before 5
   }
 
+  test("AsOfJoin.forward picks earliest right row at or after left ts; tolerance masks far matches") {
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (2, 5L, "l3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1, 10L, "r10"), (1, 15L, "r15"), (2, 1L, "r1"))
+      .toDF("k", "rts", "rv")
+    val fwd = AsOfJoin.forward(left, right, "k", "ts", "rts", Seq("rv"))
+      .select("k", "ts", "rv").as[(Int, Long, Option[String])].collect().toSet
+    assert(fwd == Set(
+      (1, 10L, Some("r10")), // equal ts visible
+      (1, 20L, None),        // nothing at or after 20
+      (2, 5L, None)))        // right row is in the past
+    val tol = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("rv"),
+        tolerance = Some(3.0))
+      .select("k", "ts", "rv").as[(Int, Long, Option[String])].collect().toSet
+    assert(tol == Set(
+      (1, 10L, Some("r10")), // Δ=0 within tolerance
+      (1, 20L, None),        // nearest is r15, Δ=5 > 3 → masked
+      (2, 5L, None)))        // nearest is r1, Δ=4 > 3 → masked
+  }
+
   test("exactDedup keeps lowest id per duplicate content") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
       .toDF("id", "text")
