@@ -82,6 +82,47 @@ object SimilarityOps {
       when(dotFD(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
+  /** Persist a corpus bucket-partitioned by its LSH bucket id — the
+    * at-rest layout that turns an ANN probe into a partition-pruned scan
+    * (only matching `bucket=` directories are read; at 100 TB a probe
+    * touches 1/2^planes of the data, and the files never re-shuffle).
+    */
+  def writeBucketedIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, path: String): Unit = {
+    val planes = hyperplanes(numPlanes, dim)
+    candidates.select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** ANN top-k against a [[writeBucketedIndex]] layout. The query set is
+    * small by contract (same contract that lets annTopK broadcast it), so
+    * its buckets are computed driver-side and pushed as a LITERAL
+    * partition filter — the scan plan shows `PartitionFilters:
+    * [bucket IN (...)]` and reads only those directories.
+    */
+  def probeBucketedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      cId: String, cVec: String,
+      numPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val qb = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      hyperplaneBucket(col(qVec), planes).as("bucket"))
+    val wanted = qb.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(path)
+      .filter(col("bucket").isin(wanted: _*))
+      .select(col("bucket"), col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = broadcast(qb).join(pruned, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+  }
+
   /** ANN via LSH buckets: exact rescoring restricted to the query's bucket.
     * Recall is tuned by the number of planes (fewer planes = bigger
     * buckets = higher recall, more rescoring).

@@ -780,6 +780,29 @@ object OlapQueries {
         .orderBy("i_key")
     },
 
+    // ---------------------------------------------------------------- salted aggregation (skew mitigation)
+    // identical results to a plain GROUP BY (the oracle IS the plain
+    // GROUP BY) — the salted two-phase shape is the explicit hot-key
+    // mitigation for when AQE can't help (it only splits join partitions)
+    q("q52_salted_agg",
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.operators.SkewOps._
+      saltedAgg(table(s, dir, "events"), Seq("user_id"), salts = 8, Seq(
+        CountAgg("n_events"),
+        SumAgg(col("value"), "__sum_value"),
+        MinAgg(col("value"), "__min_value"),
+        MaxAgg(col("value"), "__max_value")))
+        .select(col("user_id"), col("n_events"),
+          Qf.dround(col("__sum_value"), 2).as("sum_value"),
+          Qf.dround(col("__min_value"), 4).as("min_value"),
+          Qf.dround(col("__max_value"), 4).as("max_value"))
+        .orderBy("user_id")
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

@@ -193,6 +193,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wrong == 0L)
   }
 
+  test("bucketed ANN index: partition-pruned probe matches in-memory annTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ann-index").toString
+    SimilarityOps.writeBucketedIndex(emb, "vec_id", "embedding", 4, 64, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val probed = SimilarityOps.probeBucketedIndex(spark, dir, queries,
+      "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 3)
+    // the scan plan must prune to the queries' bucket partitions
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in plan:\n$plan")
+    val fromIndex = probed.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val inMemory = SimilarityOps.annTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, numPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(fromIndex == inMemory)
+  }
+
+  test("SkewOps.saltedAgg is row-identical to the plain aggregation") {
+    import SkewOps._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val salted = saltedAgg(li, Seq("l_returnflag"), salts = 16, Seq(
+      CountAgg("n"), MinAgg(col("l_quantity"), "mn"), MaxAgg(col("l_quantity"), "mx")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(salted == plain)
+  }
+
   test("IntervalJoin.pointInInterval matches the nested-loop theta join") {
     val points = (0L to 200L).map(i => (i, i % 97)).toDF("p_id", "p")
     val intervals = Seq((1L, 5L, 20L), (2L, 18L, 19L), (3L, 90L, 130L), (4L, 300L, 400L))
