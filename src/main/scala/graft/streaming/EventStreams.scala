@@ -44,6 +44,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: first occurrence per content fingerprint wins,
+    * duplicates arriving later are dropped. The watermark bounds the
+    * dedup state — a duplicate arriving more than `horizon` after its
+    * original MAY pass (state already evicted), which is the standard
+    * bounded-state contract of `dropDuplicates` on streams. The
+    * fingerprint is the md5 of normalized content (same key as the batch
+    * `exactDedup`), so batch backfills and the stream agree on identity.
+    */
+  def streamingDedup(events: DataFrame, contentCols: Seq[String],
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__fp", md5(concat_ws("\u0000", contentCols.map(col): _*)))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Arbitrary keyed state: cumulative per-user totals via
     * `mapGroupsWithState` (update mode). The state survives across
     * micro-batches; at 100 TB/day the state store is RocksDB-backed and

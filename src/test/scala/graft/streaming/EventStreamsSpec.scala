@@ -81,6 +81,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per content fingerprint") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val evts = Seq(
+      EventStreams.Evt(1L, ts(0), "click", 1.0),
+      EventStreams.Evt(1L, ts(1), "click", 1.0),  // dup content (user+type+value)
+      EventStreams.Evt(1L, ts(2), "view", 1.0),
+      EventStreams.Evt(2L, ts(3), "click", 1.0),
+      EventStreams.Evt(2L, ts(4), "click", 1.0))  // dup
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Evt](
+      spark)
+    stream.addData(evts)
+    val q = EventStreams.streamingDedup(stream.toDS().toDF(),
+        Seq("user_id", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT user_id, event_type FROM dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(kept == Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
