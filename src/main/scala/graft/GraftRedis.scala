@@ -45,6 +45,16 @@ object GraftRedis {
       shards: Seq[String] = Nil): DataFrame =
     reader(spark, "redis-kv", pattern, shards)
 
+  /** Write (key STRING, value STRING) rows back to Redis: per-partition
+    * pipelined SET batches (idempotent upsert — safe under task retry).
+    */
+  def writeKv(df: DataFrame): Unit = {
+    val (host, port) = functions.RedduckFunctions.target(df.sparkSession)
+    df.write.format("redis-kv")
+      .option("host", host).option("port", port.toString)
+      .mode("append").save()
+  }
+
   /** Streaming keyspace → (key_name STRING): each micro-batch emits the
     * keys that appeared since the previous snapshot (see
     * `sources.RedisKeyStreamProvider` for the fault-tolerance contract).

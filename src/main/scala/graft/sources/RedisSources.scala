@@ -142,15 +142,88 @@ class RedisKvProvider extends TableProvider with DataSourceRegister {
 // table / scan
 
 class RedisTable(fetchValues: Boolean, opts: RedisSources.Options)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"redis-${if (fetchValues) "kv" else "scan"}(${opts.host}:${opts.port}, ${opts.pattern})"
   override def schema(): StructType =
     if (fetchValues) RedisSources.KvSchema else RedisSources.ScanSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (fetchValues) util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RedisScanBuilder(fetchValues, opts)
+
+  /** Write path (kv mode): `df.write.format("redis-kv").mode("append")` —
+    * each partition pipelines SET commands in `scan.count`-sized batches
+    * over its own connection (the reverse of the read path's pipelined
+    * MGET; a feature-store writeback at 100 TB is embarrassingly parallel
+    * because SET is per-key idempotent upsert). Input must be
+    * (key STRING, value STRING); NULL values are skipped.
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(fetchValues, "redis-scan is read-only; write with format(\"redis-kv\")")
+    val schema = info.schema()
+    require(schema.fieldNames.toSeq == Seq("key", "value"),
+      s"redis-kv write expects columns (key, value), got ${schema.fieldNames.mkString(",")}")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new RedisBatchWrite(opts)
+        }
+    }
+  }
+}
+
+class RedisBatchWrite(opts: RedisSources.Options)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new RedisDataWriterFactory(opts.host, opts.port, opts.count)
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  // no coordinator: SET is an idempotent upsert, so task retries are safe
+  override def useCommitCoordinator(): Boolean = false
+}
+
+final case class RedisWriteCommit(written: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class RedisDataWriterFactory(host: String, port: Int, batchSize: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val conn = new RedisConnection(host, port)
+      private val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      private var written = 0L
+
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val replies = conn.pipeline(buf.toSeq.map { case (k, v) => Seq("SET", k, v) })
+        replies.foreach {
+          case graft.resp.RespValue.Err(m) => throw new java.io.IOException(s"SET failed: $m")
+          case _ => ()
+        }
+        written += buf.length
+        buf.clear()
+      }
+
+      override def write(row: InternalRow): Unit = {
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          buf += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString))
+          if (buf.length >= batchSize) flush()
+        }
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        flush()
+        RedisWriteCommit(written)
+      }
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = conn.close()
+    }
 }
 
 class RedisScanBuilder(fetchValues: Boolean, opts: RedisSources.Options)

@@ -194,6 +194,28 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perPartition(3).contains("slot:") && perPartition(3).contains("slot:%weird"))
   }
 
+  test("redis-kv write path: pipelined SET round-trips through the read path") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (f"written:$i%04d", s"wv$i")).toDF("key", "value")
+    df.repartition(3).write.format("redis-kv")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("scan.count", "64") // force multiple pipeline flushes per partition
+      .mode("append").save()
+    val back = spark.read.format("redis-kv")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "written:*").load()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size == 300)
+    assert(back("written:0007") == "wv7" && back("written:0300") == "wv300")
+    // scan source stays read-only
+    val err = intercept[Exception] {
+      df.write.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", port)
+        .mode("append").save()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("legacyEmptyStringForMissingKey reproduces the reference's '' semantics") {
     graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
     // default: missing key → SQL NULL
