@@ -73,6 +73,20 @@ object RedisCommands {
       case other => fail("HGETALL reply", other)
     }
 
+  /** Batched HGETALL — one pipelined round trip for a whole SCAN page. */
+  def hgetallPipelined(c: RedisConnection, keys: Seq[String]): Seq[Map[String, String]] =
+    if (keys.isEmpty) Nil
+    else c.pipeline(keys.map(k => Seq("HGETALL", k))).map {
+      case Arr(items) =>
+        items.grouped(2).collect {
+          case Vector(k: Bulk, v: Bulk) => k.text -> v.text
+        }.toMap
+      case Mp(entries) =>
+        entries.collect { case (k: Bulk, v: Bulk) => k.text -> v.text }.toMap
+      case Err(m) => throw new java.io.IOException(s"HGETALL error: $m")
+      case other => fail("HGETALL reply", other)
+    }
+
   def set(c: RedisConnection, key: String, value: String): Unit =
     c.command("SET", key, value) match {
       case Simple("OK") => ()

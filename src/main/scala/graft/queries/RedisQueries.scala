@@ -180,6 +180,24 @@ object RedisQueries {
       graft.GraftRedis.connect(s, s"${Harness.Host}:${Harness.Port}")
       graft.GraftRedis.registerSql(s)
       s.sql("SELECT * FROM redis_kv('testkey:*') ORDER BY key")
+    },
+
+    // hash keys as a first-class DSv2 source: SCAN + one pipelined HGETALL
+    // batch per page → (key, fields MAP) projected to typed columns
+    q("r12_redis_hash_source", {
+      val rows = Harness.users
+        .map { case (id, n, a, c) => s"('user:$id', '$n', $a, '$c')" }.mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) t(key, name, age, city) ORDER BY key"""
+    }) { (s, _) =>
+      Harness.ensureStarted
+      s.read.format("redis-hash")
+        .option("host", Harness.Host).option("port", Harness.Port.toString)
+        .option("pattern", "user:*").load()
+        .select(col("key"),
+          col("fields")("name").as("name"),
+          col("fields")("age").cast("int").as("age"),
+          col("fields")("city").as("city"))
+        .orderBy("key")
     }
   )
 }

@@ -42,6 +42,9 @@ object RedisSources {
   val KvSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
+  val HashSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
 
   final case class Options(host: String, port: Int, pattern: String, count: Int,
       partitionPatterns: Seq[String], slots: Int) {
@@ -136,6 +139,84 @@ class RedisKvProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new RedisTable(fetchValues = true, RedisSources.parseOptions(properties))
+}
+
+/** Hash-typed keys as rows: SCAN pages resolved with one pipelined
+  * HGETALL batch per page → (key, fields MAP<STRING,STRING>). The MapType
+  * default is honest for dynamic hash fields (README.md:36-38 claims
+  * STRUCT — project with `fields['name']` or
+  * `RedduckFunctions.withHashFields` for a typed view). String-typed keys
+  * return empty maps (HGETALL on a string errors in real Redis only for
+  * WRONGTYPE — callers scope the pattern to hash keys, same contract as
+  * the reference docs).
+  */
+class RedisHashProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "redis-hash"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedisSources.HashSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = RedisSources.parseOptions(properties)
+    new Table with SupportsRead {
+      override def name(): String = s"redis-hash(${opts.host}:${opts.port}, ${opts.pattern})"
+      override def schema(): StructType = RedisSources.HashSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new Scan with Batch {
+            override def readSchema(): StructType = RedisSources.HashSchema
+            override def description(): String =
+              s"RedisHashScan(patterns=${opts.effectivePatterns(None).map(_.mkString("|")).mkString(",")}, count=${opts.count})"
+            override def toBatch: Batch = this
+            override def planInputPartitions(): Array[InputPartition] =
+              opts.effectivePatterns(None)
+                .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count): InputPartition)
+                .toArray
+            override def createReaderFactory(): PartitionReaderFactory =
+              (partition: InputPartition) =>
+                new RedisHashPartitionReader(partition.asInstanceOf[RedisInputPartition])
+          }
+        }
+    }
+  }
+}
+
+class RedisHashPartitionReader(p: RedisInputPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+
+  private val conn = new RedisConnection(p.host, p.port)
+  private var cursor = "0"
+  private var patternIdx = 0
+  private var done = false
+  private var batch: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!batch.hasNext && !done) {
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+      cursor = next
+      if (cursor == "0") {
+        patternIdx += 1
+        cursor = "0"
+        if (patternIdx >= p.patterns.length) done = true
+      }
+      if (keys.nonEmpty) {
+        val maps = RedisCommands.hgetallPipelined(conn, keys)
+        batch = keys.iterator.zip(maps.iterator).map { case (k, m) =>
+          val sorted = m.toSeq.sortBy(_._1) // deterministic field order
+          InternalRow(UTF8String.fromString(k),
+            ArrayBasedMapData(
+              sorted.map(e => UTF8String.fromString(e._1)).toArray,
+              sorted.map(e => UTF8String.fromString(e._2)).toArray))
+        }
+      }
+    }
+    if (batch.hasNext) { current = batch.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = conn.close()
 }
 
 // ---------------------------------------------------------------------------

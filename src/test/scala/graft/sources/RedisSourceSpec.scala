@@ -25,7 +25,19 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to 10).foreach(i => server.put(f"testkey:$i%04d", s"value$i"))
     server.put("binpat:a_b", "underscore")
     server.put("binpat:axb", "x-variant")
+    server.putHash("hash:1", Map("a" -> "1", "b" -> "x"))
+    server.putHash("hash:2", Map("a" -> "2"))
     port = server.start()
+  }
+
+  test("redis-hash source reads hashes as (key, fields map)") {
+    val rows = spark.read.format("redis-hash")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "hash:*").load()
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(rows == Map(
+      "hash:1" -> Map("a" -> "1", "b" -> "x"),
+      "hash:2" -> Map("a" -> "2")))
   }
 
   override def afterAll(): Unit = server.stop()
