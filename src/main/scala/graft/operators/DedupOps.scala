@@ -17,10 +17,16 @@ object DedupOps {
 
   /** Stable 32-bit hash of a string column as BIGINT, identical in DuckDB:
     * first 8 hex digits of md5, parsed base-16. Used instead of xxhash64
-    * so every dedup operator stays oracle-checkable cross-engine.
+    * so every dedup operator stays oracle-checkable cross-engine. Fused
+    * native form (no hex-string materialization — the composable
+    * `conv(substring(md5(x),1,8),16,10)` chain allocates 3 intermediates
+    * per shingle, the dominant sketch cost).
     */
-  def md5Hash32(c: Column, salt: String): Column =
-    conv(substring(md5(concat(c, lit(salt))), 1, 8), 16, 10).cast("long")
+  def md5Hash32(c: Column, salt: String): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    val in = if (salt.isEmpty) c else concat(c, lit(salt))
+    GraftSqlShims.column(graft.functions.Md5Hash32(GraftSqlShims.expression(in)))
+  }
 
   /** Character shingles (n-grams) of the document. Texts shorter than `n`
     * yield an EMPTY array — without the guard, `sequence(1, len-(n-1))`

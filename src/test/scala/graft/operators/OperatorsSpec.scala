@@ -130,6 +130,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll == brute)
   }
 
+  test("fused Md5Hash32 equals the composable conv(substring(md5)) chain") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val composable = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val bad = docs.filter(DedupOps.md5Hash32(col("text"), "") =!= composable).count()
+    assert(bad == 0L)
+    // unicode + empty-string edges
+    val edge = Seq("", "a", "🐥 unicode", "x" * 10000).toDF("s")
+    val bad2 = edge.filter(DedupOps.md5Hash32(col("s"), "salt") =!=
+      conv(substring(md5(concat(col("s"), lit("salt"))), 1, 8), 16, 10).cast("long")).count()
+    assert(bad2 == 0L)
+  }
+
   test("shingles of texts shorter than n are empty, not garbage positions") {
     val df = Seq((1L, "ab"), (2L, "abcd"), (3L, "abcde"), (4L, "abcdef"))
       .toDF("id", "text")
