@@ -104,5 +104,12 @@ object GraftRedis {
       exprs => GraftSqlShims.logicalPlan(scan(spark, patternArg(exprs, "redis_scan"))), "scala_udf")
     reg.createOrReplaceTempFunction("redis_kv",
       exprs => GraftSqlShims.logicalPlan(kv(spark, patternArg(exprs, "redis_kv"))), "scala_udf")
+    reg.createOrReplaceTempFunction("redis_hash",
+      exprs => GraftSqlShims.logicalPlan(hash(spark, patternArg(exprs, "redis_hash"))), "scala_udf")
   }
+
+  /** Hash keys → (key STRING, fields MAP<STRING,STRING>). */
+  def hash(spark: SparkSession, pattern: String = "*",
+      shards: Seq[String] = Nil): DataFrame =
+    reader(spark, "redis-hash", pattern, shards)
 }

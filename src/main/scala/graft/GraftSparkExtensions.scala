@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+/** Library entry point for config-only deployment — no code changes in the
+  * user's job, just:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftSparkExtensions
+  * }}}
+  *
+  * Injects the engine's SQL surface into every session built over the
+  * extension: scalar kernels (`dot_f`, `dot_fd`, `intersect_count_s`,
+  * `md5_hash32`) and the table-valued `redis_scan('glob')` /
+  * `redis_kv('glob')` / `redis_hash('glob')` sources (the reference's
+  * primary syntax). Session-scoped registration for an existing session
+  * remains available via `GraftRedis.registerSql`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  private def patternArg(exprs: Seq[Expression], fn: String): String = exprs match {
+    case Seq(e) if e.foldable && e.dataType == StringType && e.eval() != null =>
+      e.eval().toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects exactly one literal string pattern, e.g. $fn('user:*')")
+  }
+
+  /** DataFrame for a Redis source against the ACTIVE session (the builder
+    * runs inside analysis, where a session is always active).
+    */
+  private def sourceDf(fmt: String, pattern: String) = {
+    val spark = SparkSession.active
+    val (host, port) = functions.RedduckFunctions.target(spark)
+    spark.read.format(fmt)
+      .option("host", host).option("port", port.toString)
+      .option("pattern", pattern).load()
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"), info("dot_f"),
+      (es: Seq[Expression]) => graft.functions.DotProductF(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_fd"), info("dot_fd"),
+      (es: Seq[Expression]) => graft.functions.DotProductFD(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("intersect_count_s"), info("intersect_count_s"),
+      (es: Seq[Expression]) => graft.functions.IntersectCountS(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("md5_hash32"), info("md5_hash32"),
+      (es: Seq[Expression]) => graft.functions.Md5Hash32(es(0))))
+
+    Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
+      .foreach { case (fn, fmt) =>
+        ext.injectTableFunction((FunctionIdentifier(fn), info(fn),
+          (es: Seq[Expression]) =>
+            org.apache.spark.sql.GraftSqlShims.logicalPlan(sourceDf(fmt, patternArg(es, fn)))))
+      }
+  }
+}

@@ -198,6 +198,20 @@ object RedisQueries {
           col("fields")("age").cast("int").as("age"),
           col("fields")("city").as("city"))
         .orderBy("key")
+    },
+
+    // ...and the same via the SQL TVF syntax
+    q("r13_redis_hash_tvf", {
+      val rows = Harness.users
+        .map { case (id, n, a, c) => s"('user:$id', '$n', $a, '$c')" }.mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) t(key, name, age, city) ORDER BY key"""
+    }) { (s, _) =>
+      Harness.ensureStarted
+      graft.GraftRedis.connect(s, s"${Harness.Host}:${Harness.Port}")
+      graft.GraftRedis.registerSql(s)
+      s.sql("""SELECT key, fields['name'] AS name, CAST(fields['age'] AS INT) AS age,
+              |  fields['city'] AS city
+              |FROM redis_hash('user:*') ORDER BY key""".stripMargin)
     }
   )
 }
