@@ -282,6 +282,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- corpus curation: stratified sample
+    // per-stratum deterministic sampling (balance languages in a training
+    // mix): hash-mod with a per-lang quota — df.stat.sampleBy is RNG-based
+    // and never portable; this is the reproducible form (same trick as q45)
+    q("d14_stratified_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+         |      < CASE lang WHEN 'en' THEN 50 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val quota = when(col("lang") === "en", 50).otherwise(10)
+      table(s, dir, "documents")
+        .filter(DedupOps.md5Hash32(col("doc_id").cast("string"), "") % 100 < quota)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- corpus curation: best-k per group
+    q("d15_quality_topk",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source,
+         |    round(0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+         |        + 0.5 * least(1.0, len($sqlTokens) / 100.0), 4) AS quality
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang, source, quality,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT doc_id, lang, source, quality, rk FROM ranked WHERE rk <= 3
+         |ORDER BY lang, source, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          Qf.dround(TextOps.qualityScore(col("text")), 4).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("lang", "source", "rk")
+    },
+
+    // ---------------------------------------------------------------- corpus analysis: length histogram
+    q("d16_length_histogram",
+      s"""SELECT CAST(len($sqlTokens) // 50 AS BIGINT) AS bin,
+         |  CAST(len($sqlTokens) // 50 * 50 AS BIGINT) AS bin_lo,
+         |  count(*) AS n_docs,
+         |  CAST(min(len($sqlTokens)) AS INTEGER) AS min_tokens,
+         |  CAST(max(len($sqlTokens)) AS INTEGER) AS max_tokens
+         |FROM documents GROUP BY 1, 2 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val n = TextOps.tokenCount(col("text"))
+      table(s, dir, "documents")
+        .select(floor(n / 50).as("bin"), (floor(n / 50) * 50).as("bin_lo"), n.as("__n"))
+        .groupBy(col("bin"), col("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("__n")).cast("int").as("min_tokens"),
+          max(col("__n")).cast("int").as("max_tokens"))
+        .orderBy("bin")
+    },
+
     // ---------------------------------------------------------------- multimodal feature extraction
     // fused one-pass byte histogram (ByteHistogram native expression) as
     // the deterministic stand-in for image/audio feature extraction —
