@@ -28,6 +28,15 @@ final class FakeRedisServer(requestedPort: Int = 0) {
   def scanCalls: Int = scanCallCount.get()
   def resetScanCalls(): Unit = scanCallCount.set(0)
 
+  // cluster-redirect simulation: single-key commands on keys with this
+  // prefix answer `-MOVED <slot> <target>` like a resharded cluster node
+  @volatile private var movedRule: Option[(String, String)] = None
+  def setMoved(keyPrefix: String, target: String): Unit =
+    movedRule = Some((keyPrefix, target))
+  def clearMoved(): Unit = movedRule = None
+  private def moved(key: String): Option[RespValue] =
+    movedRule.collect { case (p, t) if key.startsWith(p) => Err(s"MOVED 1234 $t") }
+
   def put(key: String, value: String): Unit = strings.put(key, value)
   def putHash(key: String, fields: Map[String, String]): Unit = hashes.put(key, fields)
 
@@ -90,7 +99,8 @@ final class FakeRedisServer(requestedPort: Int = 0) {
         case "PING" => Simple("PONG")
         case "ECHO" => Bulk(args(1))
         case "SET" => strings.put(args(1), args(2)); Simple("OK")
-        case "GET" => Option(strings.get(args(1))).map(Bulk(_)).getOrElse(Null)
+        case "GET" => moved(args(1)).getOrElse(
+          Option(strings.get(args(1))).map(Bulk(_): RespValue).getOrElse(Null))
         case "DEL" =>
           val n = args.tail.count(k => strings.remove(k) != null || hashes.remove(k) != null)
           Int64(n.toLong)
@@ -100,9 +110,10 @@ final class FakeRedisServer(requestedPort: Int = 0) {
           val kv = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toMap
           hashes.merge(args(1), kv, (a, b) => a ++ b)
           Int64(kv.size.toLong)
-        case "HGETALL" =>
+        case "HGETALL" => moved(args(1)).getOrElse {
           val m = Option(hashes.get(args(1))).getOrElse(Map.empty)
           Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
+        }
         case "SCAN" => scan(args.tail)
         case "COMMAND" => Arr(Vector.empty)
         case "QUIT" => Simple("OK")

@@ -36,14 +36,38 @@ object RedisCommands {
       case other => fail("SCAN reply", other)
     }
 
+  /** `MOVED <slot> host:port` / `ASK <slot> host:port` cluster redirect
+    * target, if the error is one. Single-key commands follow ONE hop (the
+    * standard cluster-client cap per command); batched MGET/pipelines on
+    * a real cluster must instead group keys per slot upstream — the
+    * partition seam (`partition.slots`/`partition.patterns`) is where
+    * that grouping plugs in.
+    */
+  private val Redirect = """(?:MOVED|ASK) \d+ ([^:\s]+):(\d+)""".r
+  private def redirectTarget(err: String): Option[(String, Int)] = err match {
+    case Redirect(host, port) => Some((host, port.toInt))
+    case _ => None
+  }
+
   /** GET: missing key → None (SQL NULL downstream — deliberate divergence
     * from the reference's empty-string, redis_client.cpp:232-236).
+    * Follows one cluster redirect.
     */
   def get(c: RedisConnection, key: String): Option[String] =
     c.command("GET", key) match {
       case b: Bulk => Some(b.text)
       case Null => None
-      case Err(m) => throw new java.io.IOException(s"GET error: $m")
+      case Err(m) => redirectTarget(m) match {
+        case Some((h, p)) => RedisConnection.withPooled(h, p) { rc =>
+          rc.command("GET", key) match {
+            case b: Bulk => Some(b.text)
+            case Null => None
+            case Err(m2) => throw new java.io.IOException(s"GET error after redirect: $m2")
+            case other => fail("GET reply", other)
+          }
+        }
+        case None => throw new java.io.IOException(s"GET error: $m")
+      }
       case other => fail("GET reply", other)
     }
 
@@ -60,18 +84,26 @@ object RedisCommands {
       case other => fail("MGET reply", other)
     }
 
-  /** HGETALL → field map (RESP2 flat array or RESP3 map reply). */
-  def hgetall(c: RedisConnection, key: String): Map[String, String] =
-    c.command("HGETALL", key) match {
+  /** HGETALL → field map (RESP2 flat array or RESP3 map reply). Follows
+    * one cluster redirect.
+    */
+  def hgetall(c: RedisConnection, key: String): Map[String, String] = {
+    def parse(v: RespValue, afterRedirect: Boolean): Map[String, String] = v match {
       case Arr(items) =>
         items.grouped(2).collect {
-          case Vector(k: Bulk, v: Bulk) => k.text -> v.text
+          case Vector(k: Bulk, value: Bulk) => k.text -> value.text
         }.toMap
       case Mp(entries) =>
-        entries.collect { case (k: Bulk, v: Bulk) => k.text -> v.text }.toMap
-      case Err(m) => throw new java.io.IOException(s"HGETALL error: $m")
+        entries.collect { case (k: Bulk, value: Bulk) => k.text -> value.text }.toMap
+      case Err(m) => redirectTarget(m) match {
+        case Some((h, p)) if !afterRedirect =>
+          RedisConnection.withPooled(h, p)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
+        case _ => throw new java.io.IOException(s"HGETALL error: $m")
+      }
       case other => fail("HGETALL reply", other)
     }
+    parse(c.command("HGETALL", key), afterRedirect = false)
+  }
 
   /** Batched HGETALL — one pipelined round trip for a whole SCAN page. */
   def hgetallPipelined(c: RedisConnection, keys: Seq[String]): Seq[Map[String, String]] =

@@ -28,6 +28,24 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("PING handshake") { conn.ping() }
 
+  test("single-key commands follow a MOVED cluster redirect") {
+    // second "node" holding the resharded key
+    val nodeB = new FakeRedisServer()
+    nodeB.put("resharded:1", "moved-value")
+    nodeB.putHash("resharded:h", Map("f" -> "42"))
+    val portB = nodeB.start()
+    server.setMoved("resharded:", s"127.0.0.1:$portB")
+    try {
+      assert(RedisCommands.get(conn, "resharded:1").contains("moved-value"))
+      assert(RedisCommands.hgetall(conn, "resharded:h") == Map("f" -> "42"))
+      // non-redirected keys still answer locally
+      assert(RedisCommands.get(conn, "testkey:0001").contains("value1"))
+    } finally {
+      server.clearMoved()
+      nodeB.stop()
+    }
+  }
+
   test("SCAN paginates with small COUNT and respects MATCH") {
     var cursor = "0"
     var keys = Vector.empty[String]
