@@ -50,4 +50,29 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT count(*) FROM keystream").head().getLong(0) == 4L)
     } finally query.stop()
   }
+
+  test("end-to-end: keyspace stream enriched with values via foreachBatch") {
+    server.put("enrich:a", "va")
+    server.put("enrich:b", "vb")
+    val out = scala.collection.mutable.Map[String, String]()
+    val stream = spark.readStream.format("redis-key-stream")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "enrich:*").load()
+    val query = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val enriched = graft.functions.RedduckFunctions.withRedisValues(
+          batch.withColumnRenamed("key_name", "key"), "key",
+          hostPort = Some(("127.0.0.1", port)))
+        val rows = enriched.collect().map(r => r.getString(0) -> r.getString(1))
+        out.synchronized { out ++= rows }
+        ()
+    }.start()
+    try {
+      query.processAllAvailable()
+      assert(out.synchronized(out.toMap) == Map("enrich:a" -> "va", "enrich:b" -> "vb"))
+      server.put("enrich:c", "vc")
+      query.processAllAvailable()
+      assert(out.synchronized(out.toMap).get("enrich:c").contains("vc"))
+    } finally query.stop()
+  }
 }
