@@ -5,27 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
   *
-  * All of these are pure `Column` expressions built from codegen'd
-  * built-ins — they stay inside WholeStageCodegen, shuffle nothing, and
-  * scale embarrassingly (per-row, no state). At 100 TB these run at scan
-  * speed; the only cluster concern is upstream partition sizing.
+  * All of these are pure `Column` expressions — they shuffle nothing and
+  * scale embarrassingly (per-row, no state). The scalar counters run
+  * through the fused one-pass [[graft.functions.TextStats]] kernel:
+  * the composable `split`/`filter` forms are interpreted HOFs with no
+  * CSE, so a projection deriving several metrics would re-tokenize the
+  * document once PER COLUMN; the fused expression is codegen'd, and
+  * whole-stage common-subexpression elimination runs it once per row.
   */
 object TextOps {
 
-  /** Whitespace tokens of a (already single-spaced) document. */
+  /** Whitespace tokens of a (already single-spaced) document — the array
+    * form, for operators that need the tokens themselves (shingling,
+    * Jaccard, SimHash).
+    */
   def tokens(text: Column): Column = split(trim(text), " ")
-
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("int")
 
   /** Tiny default stopword list used by the quality/language heuristics. */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is")
 
-  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stopArr, t))).cast("int")
-  }
+  /** Fused one-pass counters (n_tokens, n_stop, n_chars_nospace). */
+  private def stats(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.TextStatsExpression.textStats(text, stopwords)
 
-  /** Fraction of tokens that are stopwords (0 when empty). */
+  def tokenCount(text: Column): Column =
+    stats(text, DefaultStopwords).getField("n_tokens")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    stats(text, stopwords).getField("n_stop")
+
+  /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     stopwordCount(text, stopwords) / tokenCount(text)
 
@@ -39,7 +48,7 @@ object TextOps {
 
   /** n-gram-free language-ID heuristic: stopword hits per language.
     * Production systems use char-n-gram profiles; the operator shape
-    * (per-row scalar over the token array) is identical.
+    * (per-row scalar over the token stream) is identical.
     */
   def langIdHeuristic(text: Column): Column = {
     val hits = stopwordCount(text)
@@ -55,5 +64,5 @@ object TextOps {
 
   /** Average token length (chars) — a cheap quality signal. */
   def avgTokenLength(text: Column): Column =
-    length(regexp_replace(text, " ", "")) / size(tokens(text))
+    stats(text, DefaultStopwords).getField("n_chars_nospace") / tokenCount(text)
 }

@@ -612,6 +612,31 @@ object OlapQueries {
         .orderBy("user_id")
     },
 
+    // ---------------------------------------------------------------- unpivot (inverse of q33's pivot)
+    q("q34_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, round(v, 2) AS v FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS v FROM lineitem WHERE l_quantity < 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem WHERE l_quantity < 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem WHERE l_quantity < 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_quantity < 3)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") < 3)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_discount").as("discount"), col("l_extendedprice").as("price"),
+            col("l_quantity").as("quantity"), col("l_tax").as("tax")),
+          variableColumnName = "measure", valueColumnName = "__v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          Qf.dround(col("__v"), 2).as("v"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
     // ---------------------------------------------------------------- ordered-set / statistical aggregates
     q("q40_percentiles",
       """SELECT l_returnflag,

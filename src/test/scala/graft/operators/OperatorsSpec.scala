@@ -130,6 +130,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll == brute)
   }
 
+  test("fused TextStats equals the composable split/filter forms, incl. edges") {
+    val stopArr = array(TextOps.DefaultStopwords.map(lit): _*)
+    def composableTokens(t: org.apache.spark.sql.Column) = split(trim(t), " ")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.filter(
+        TextOps.tokenCount(col("text")) =!= size(composableTokens(col("text"))) ||
+        TextOps.stopwordCount(col("text")) =!=
+          size(filter(composableTokens(col("text")), t => array_contains(stopArr, t))) ||
+        TextOps.avgTokenLength(col("text")) =!=
+          (length(regexp_replace(col("text"), " ", "")) / size(composableTokens(col("text")))))
+        .count()
+      assert(bad == 0L)
+    }
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    check(Seq("", " ", "   ", "the", " the  a ", "a  b", "tab\there", "🐥 the 🐥", "of")
+      .toDF("text"))
+  }
+
   test("fused Md5Hash32 equals the composable conv(substring(md5)) chain") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val composable = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
