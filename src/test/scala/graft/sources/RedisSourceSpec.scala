@@ -30,6 +30,27 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     port = server.start()
   }
 
+  test("redis_connect validates host:port and fails fast on unreachable targets") {
+    // malformed target strings are rejected before any I/O
+    // (reference: SetAddressScalarFun validation, redduck_extension.cpp:54-119)
+    intercept[IllegalArgumentException] {
+      graft.GraftRedis.connect(spark, "no-port-here")
+    }
+    intercept[IllegalArgumentException] {
+      graft.GraftRedis.connect(spark, "host:")
+    }
+    intercept[IllegalArgumentException] {
+      graft.GraftRedis.connect(spark, "host:not-a-number")
+    }
+    // eager PING: an unreachable target fails at connect time, not first query
+    intercept[Exception] {
+      graft.GraftRedis.connect(spark, "127.0.0.1:1") // nothing listens on 1
+    }
+    // a failed connect must not clobber a previously working target
+    graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    assert(graft.functions.RedduckFunctions.target(spark) == ("127.0.0.1", port))
+  }
+
   test("redis-hash source reads hashes as (key, fields map)") {
     val rows = spark.read.format("redis-hash")
       .option("host", "127.0.0.1").option("port", port)
