@@ -162,14 +162,31 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
       override def capabilities(): util.Set[TableCapability] =
         util.EnumSet.of(TableCapability.BATCH_READ)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder {
+        new ScanBuilder with SupportsPushDownFilters {
+          private var pushedGlob: Option[String] = None
+          private var pushedArr: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+          override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+              : Array[org.apache.spark.sql.sources.Filter] = {
+            // same one-glob MATCH pushdown as the scan/kv sources
+            val canPush = opts.pattern == "*" && opts.partitionPatterns.isEmpty && opts.slots <= 1
+            if (canPush) {
+              val (tr, rest) = filters.partition(f =>
+                RedisSources.filterToGlob("key", f).isDefined)
+              tr.headOption.foreach(f => pushedGlob = RedisSources.filterToGlob("key", f))
+              pushedArr = tr.take(1)
+              rest ++ tr.drop(1)
+            } else { pushedArr = Array.empty; filters }
+          }
+          override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushedArr
+
           override def build(): Scan = new Scan with Batch {
             override def readSchema(): StructType = RedisSources.HashSchema
             override def description(): String =
-              s"RedisHashScan(patterns=${opts.effectivePatterns(None).map(_.mkString("|")).mkString(",")}, count=${opts.count})"
+              s"RedisHashScan(patterns=${opts.effectivePatterns(pushedGlob).map(_.mkString("|")).mkString(",")}, count=${opts.count})"
             override def toBatch: Batch = this
             override def planInputPartitions(): Array[InputPartition] =
-              opts.effectivePatterns(None)
+              opts.effectivePatterns(pushedGlob)
                 .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =

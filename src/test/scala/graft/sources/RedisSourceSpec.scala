@@ -61,6 +61,16 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hash:2" -> Map("a" -> "2")))
   }
 
+  test("redis-hash WHERE on key pushes a MATCH glob like the other sources") {
+    val df = spark.read.format("redis-hash")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "*").load()
+      .filter(org.apache.spark.sql.functions.col("key").startsWith("hash:"))
+    val leaf = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaf.contains("hash:"), s"expected pushed glob in hash scan:\n$leaf")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("hash:1", "hash:2"))
+  }
+
   override def afterAll(): Unit = server.stop()
 
   private def scan(pattern: String) = spark.read.format("redis-scan")
