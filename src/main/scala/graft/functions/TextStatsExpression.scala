@@ -97,8 +97,58 @@ final case class TextStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass fingerprint normalization: `trim` (spaces only) → lowercase →
+  * collapse space runs — byte-identical to
+  * `regexp_replace(lower(trim(text)), " +", " ")` without the per-row
+  * regex machinery. Lowercasing delegates to the same
+  * `UTF8String.toLowerCase` Spark's `lower()` uses, so unicode case
+  * mapping matches exactly; the collapse pass then walks bytes (0x20
+  * never occurs inside a UTF-8 sequence).
+  */
+object NormalizeTextUtil {
+  def normalize(s: UTF8String): UTF8String = {
+    val lowered = s.trim().toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var prevSpace = false
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20) {
+        if (!prevSpace) { out(o) = b; o += 1 }
+        prevSpace = true
+      } else {
+        out(o) = b; o += 1
+        prevSpace = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
+final case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeTextUtil.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeTextUtil.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsExpression {
   import org.apache.spark.sql.GraftSqlShims
   def textStats(text: Column, stopwords: Seq[String]): Column =
     GraftSqlShims.column(TextStats(GraftSqlShims.expression(text), stopwords))
+  def normalizeText(text: Column): Column =
+    GraftSqlShims.column(NormalizeText(GraftSqlShims.expression(text)))
 }

@@ -57,10 +57,12 @@ object TextOps {
 
   /** Normalized-content fingerprint: md5 over lowercased, space-collapsed
     * text. Identical fingerprints ⇒ exact near-duplicate after
-    * normalization (casing/whitespace-insensitive dedup key).
+    * normalization (casing/whitespace-insensitive dedup key). The
+    * normalization is the fused one-pass kernel — byte-identical to
+    * `regexp_replace(lower(trim(text)), " +", " ")`, minus the regex.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), " +", " "))
+    md5(graft.functions.TextStatsExpression.normalizeText(text))
 
   /** Average token length (chars) — a cheap quality signal. */
   def avgTokenLength(text: Column): Column =

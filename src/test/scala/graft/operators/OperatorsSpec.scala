@@ -130,6 +130,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll == brute)
   }
 
+  test("fused NormalizeText equals regexp_replace(lower(trim), ' +', ' ')") {
+    def composable(t: org.apache.spark.sql.Column) =
+      regexp_replace(lower(trim(t)), " +", " ")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.filter(graft.functions.TextStatsExpression.normalizeText(col("text"))
+      =!= composable(col("text"))).count() == 0L)
+    val edges = Seq("", " ", "  A  B  ", "MiXeD CaSe", "ÄÖÜ STRASSE", "🐥  DUCK", "tab\tX  Y")
+      .toDF("text")
+    assert(edges.filter(graft.functions.TextStatsExpression.normalizeText(col("text"))
+      =!= composable(col("text"))).count() == 0L)
+  }
+
   test("fused TextStats equals the composable split/filter forms, incl. edges") {
     val stopArr = array(TextOps.DefaultStopwords.map(lit): _*)
     def composableTokens(t: org.apache.spark.sql.Column) = split(trim(t), " ")
