@@ -34,8 +34,24 @@ final class FakeRedisServer(requestedPort: Int = 0) {
   def setMoved(keyPrefix: String, target: String): Unit =
     movedRule = Some((keyPrefix, target))
   def clearMoved(): Unit = movedRule = None
-  private def moved(key: String): Option[RespValue] =
+  // slot-migration simulation: source node answers `-ASK <slot> <target>`
+  @volatile private var askRule: Option[(String, String)] = None
+  def setAsk(keyPrefix: String, target: String): Unit = askRule = Some((keyPrefix, target))
+  def clearAsk(): Unit = askRule = None
+  // importing side of a migration: keys with this prefix are served ONLY on
+  // a connection whose previous command was ASKING (real Redis one-shot
+  // semantics); otherwise the node bounces them `-MOVED` back at `owner`
+  @volatile private var importingRule: Option[(String, String)] = None
+  def setImporting(keyPrefix: String, owner: String): Unit =
+    importingRule = Some((keyPrefix, owner))
+  def clearImporting(): Unit = importingRule = None
+
+  private def redirect(key: String, asking: Boolean): Option[RespValue] =
     movedRule.collect { case (p, t) if key.startsWith(p) => Err(s"MOVED 1234 $t") }
+      .orElse(askRule.collect { case (p, t) if key.startsWith(p) => Err(s"ASK 1234 $t") })
+      .orElse(importingRule.collect {
+        case (p, owner) if key.startsWith(p) && !asking => Err(s"MOVED 1234 $owner")
+      })
 
   def put(key: String, value: String): Unit = strings.put(key, value)
   def putHash(key: String, fields: Map[String, String]): Unit = hashes.put(key, fields)
@@ -64,9 +80,13 @@ final class FakeRedisServer(requestedPort: Int = 0) {
     if (server != null) server.close()
   }
 
+  /** Per-connection one-shot ASKING flag (real Redis scopes it this way). */
+  private final class ConnState { var asking = false }
+
   private def serve(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out = sock.getOutputStream
+    val st = new ConnState
     var buf = new Array[Byte](16 * 1024)
     var end = 0
     var pos = 0
@@ -76,7 +96,7 @@ final class FakeRedisServer(requestedPort: Int = 0) {
           case RespCodec.Decoded(v, next) =>
             pos = next
             if (pos == end) { pos = 0; end = 0 }
-            out.write(RespCodec.encode(handle(v)))
+            out.write(RespCodec.encode(handle(v, st)))
             out.flush()
           case RespCodec.Incomplete =>
             if (end == buf.length) {
@@ -91,15 +111,19 @@ final class FakeRedisServer(requestedPort: Int = 0) {
     } catch { case _: Throwable => () } finally sock.close()
   }
 
-  private def handle(req: RespValue): RespValue = req match {
+  private def handle(req: RespValue, st: ConnState): RespValue = req match {
     case Arr(items) =>
       val args = items.map { case b: Bulk => b.text; case Simple(s) => s; case o => return Err(s"ERR bad arg $o") }
       if (args.isEmpty) return Err("ERR empty command")
-      args.head.toUpperCase match {
+      val cmd = args.head.toUpperCase
+      val asking = st.asking
+      if (cmd != "ASKING") st.asking = false // one-shot: covers only the next command
+      cmd match {
         case "PING" => Simple("PONG")
         case "ECHO" => Bulk(args(1))
+        case "ASKING" => st.asking = true; Simple("OK")
         case "SET" => strings.put(args(1), args(2)); Simple("OK")
-        case "GET" => moved(args(1)).getOrElse(
+        case "GET" => redirect(args(1), asking).getOrElse(
           Option(strings.get(args(1))).map(Bulk(_): RespValue).getOrElse(Null))
         case "DEL" =>
           val n = args.tail.count(k => strings.remove(k) != null || hashes.remove(k) != null)
@@ -110,7 +134,7 @@ final class FakeRedisServer(requestedPort: Int = 0) {
           val kv = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toMap
           hashes.merge(args(1), kv, (a, b) => a ++ b)
           Int64(kv.size.toLong)
-        case "HGETALL" => moved(args(1)).getOrElse {
+        case "HGETALL" => redirect(args(1), asking).getOrElse {
           val m = Option(hashes.get(args(1))).getOrElse(Map.empty)
           Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
         }

@@ -43,11 +43,25 @@ object RedisCommands {
     * partition seam (`partition.slots`/`partition.patterns`) is where
     * that grouping plugs in.
     */
-  private val Redirect = """(?:MOVED|ASK) \d+ ([^:\s]+):(\d+)""".r
-  private def redirectTarget(err: String): Option[(String, Int)] = err match {
-    case Redirect(host, port) => Some((host, port.toInt))
+  private val Redirect = """(MOVED|ASK) \d+ ([^:\s]+):(\d+)""".r
+  private def redirectTarget(err: String): Option[(String, Int, Boolean)] = err match {
+    case Redirect(verb, host, port) => Some((host, port.toInt, verb == "ASK"))
     case _ => None
   }
+
+  /** Run `f` against a redirect target. ASK redirects require the ASKING
+    * prefix on the target node (the slot is mid-migration and not yet owned
+    * there — without it the target answers MOVED back and the query fails);
+    * MOVED targets own the slot and take the plain command.
+    */
+  private def onRedirectTarget[T](host: String, port: Int, ask: Boolean)(f: RedisConnection => T): T =
+    RedisConnection.withPooled(host, port) { rc =>
+      if (ask) rc.command("ASKING") match {
+        case Err(m) => throw new java.io.IOException(s"ASKING refused: $m")
+        case _ => ()
+      }
+      f(rc)
+    }
 
   /** GET: missing key → None (SQL NULL downstream — deliberate divergence
     * from the reference's empty-string, redis_client.cpp:232-236).
@@ -58,7 +72,7 @@ object RedisCommands {
       case b: Bulk => Some(b.text)
       case Null => None
       case Err(m) => redirectTarget(m) match {
-        case Some((h, p)) => RedisConnection.withPooled(h, p) { rc =>
+        case Some((h, p, ask)) => onRedirectTarget(h, p, ask) { rc =>
           rc.command("GET", key) match {
             case b: Bulk => Some(b.text)
             case Null => None
@@ -96,8 +110,8 @@ object RedisCommands {
       case Mp(entries) =>
         entries.collect { case (k: Bulk, value: Bulk) => k.text -> value.text }.toMap
       case Err(m) => redirectTarget(m) match {
-        case Some((h, p)) if !afterRedirect =>
-          RedisConnection.withPooled(h, p)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
+        case Some((h, p, ask)) if !afterRedirect =>
+          onRedirectTarget(h, p, ask)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
         case _ => throw new java.io.IOException(s"HGETALL error: $m")
       }
       case other => fail("HGETALL reply", other)

@@ -176,12 +176,30 @@ object DedupOps {
     ic / (size(sortedA) + size(sortedB) - ic)
   }
 
+  /** Injective fingerprint of a row over nullable columns. A bare
+    * `concat_ws` SKIPS null arguments, so `(a, NULL, b)` and `(a, b, NULL)`
+    * would collide — silent data loss in a dedup key. Each column is
+    * encoded as either `\u0001` (NULL — distinct from every value
+    * encoding, which starts with a digit) or netstring-style
+    * `<char-length>:<value>`, so the concatenation decodes unambiguously
+    * left-to-right: injective even for values containing separators.
+    * Shared by batch `exactDedup` and `EventStreams.streamingDedup` so
+    * batch backfills and the stream agree on identity.
+    */
+  def rowFingerprint(cols: Seq[Column]): Column = {
+    val parts = cols.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("\u0001")).otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    md5(concat(parts: _*))
+  }
+
   /** Exact dedup: keep the lowest-id row per digest of `keyCols`.
     * Shuffles only (digest, id) pairs, then semi-joins survivors back —
     * at 100 TB the wide document payload never crosses the network twice.
     */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val digest = md5(concat_ws("\u0000", keyCols.map(col): _*)).as("__digest")
+    val digest = rowFingerprint(keyCols.map(col)).as("__digest")
     val keep = df.select(col(idCol), digest)
       .groupBy(col("__digest"))
       .agg(min(col(idCol)).as(idCol))

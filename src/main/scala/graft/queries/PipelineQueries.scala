@@ -351,11 +351,15 @@ object PipelineQueries {
     q("m02_multimodal_features", {
       val hs = (0 until 16).map(b =>
         s"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS INTEGER) AS h$b").mkString(",\n  ")
+      // byte-based oracle (hex(encode(..)) 2-char slices → byte ints) so it
+      // agrees with the Spark side's UTF-8 byte histogram on NON-ASCII text
+      // too; a per-character ascii() oracle diverges on any multi-byte char
       s"""SELECT doc_id,
          |  $hs
          |FROM (SELECT doc_id,
-         |        list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
-         |      FROM documents)
+         |        list_transform(range(1, octet_length(encode(text)) + 1),
+         |                       i -> CAST('0x' || substr(hx, 2*i-1, 2) AS INTEGER)) AS codes
+         |      FROM (SELECT doc_id, hex(encode(text)) AS hx, text FROM documents))
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val hist = graft.functions.VectorExpressions.byteHistogram(col("text").cast("binary"), 16)

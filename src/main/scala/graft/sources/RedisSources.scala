@@ -544,22 +544,31 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     * bounded heap, so the partition emits n keys, not the keyspace.
     */
   private def drainTopN(t: RedisSources.TopN): Iterator[InternalRow] = {
-    val ord = if (t.ascending) Ordering.String else Ordering.String.reverse
+    // The heap MUST select with Spark's StringType ordering — UTF8String
+    // binary (code-point) order — not java.lang.String's UTF-16 code-unit
+    // order; they disagree on supplementary characters (emoji sort AFTER
+    // U+FFFF in binary order but before it in UTF-16), and keys dropped
+    // here are gone before Spark's re-sort can fix them.
+    val utf8Asc = new Ordering[UTF8String] {
+      def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+    }
+    val ord = if (t.ascending) utf8Asc else utf8Asc.reverse
     // max-heap of the n best-so-far: root is the WORST kept key
-    val heap = new java.util.PriorityQueue[String](math.max(1, t.n), ord.reverse)
+    val heap = new java.util.PriorityQueue[UTF8String](math.max(1, t.n), ord.reverse)
     while (!done) {
       val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
       cursor = next
       if (cursor == "0") cursorDone()
-      keys.foreach { k =>
+      keys.foreach { s =>
+        val k = UTF8String.fromString(s)
         if (heap.size < t.n) heap.add(k)
         else if (heap.size > 0 && ord.lt(k, heap.peek())) { heap.poll(); heap.add(k) }
       }
     }
-    val out = new Array[String](heap.size)
+    val out = new Array[UTF8String](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 } // heap pops worst-first
-    out.iterator.map(k => InternalRow(UTF8String.fromString(k)))
+    out.iterator.map(k => InternalRow(k))
   }
 
   override def close(): Unit = conn.close()

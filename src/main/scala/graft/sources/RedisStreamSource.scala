@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,7 +70,8 @@ final case class RedisStreamOffset(snapshot: Long) extends Offset {
   override def json(): String = snapshot.toString
 }
 
-class RedisKeyMicroBatchStream(opts: RedisSources.Options) extends MicroBatchStream {
+class RedisKeyMicroBatchStream(opts: RedisSources.Options)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val seen = mutable.HashSet[String]()
   private val pending = mutable.TreeMap[Long, Seq[String]]()
   private var snapshot = 0L
@@ -94,7 +95,24 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options) extends MicroBatchStr
 
   override def initialOffset(): Offset = RedisStreamOffset(0L)
 
-  override def latestOffset(): Offset = synchronized {
+  // Admission-control form: Spark hands us the START offset, which on a
+  // checkpoint restart is the restored committed offset N while this fresh
+  // instance's counter still sits at 0. Without the fast-forward the next
+  // snapshot would be numbered 1, planInputPartitions(N, 1) would emit
+  // nothing, and commit(1) would drop the buffered keys — silently
+  // swallowing the documented re-seed batch. Jumping the counter to N makes
+  // the first post-restart snapshot land at N+1 and actually re-emit the
+  // current keyspace. (The no-arg latestOffset() is never called once
+  // SupportsAdmissionControl is implemented.)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val restored = start.asInstanceOf[RedisStreamOffset].snapshot
+    if (restored > snapshot) snapshot = restored
     val current = scanKeys()
     val fresh = current.filterNot(seen)
     // the first snapshot is batch 1: existing keys are "new" to the query
@@ -125,7 +143,18 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options) extends MicroBatchStr
       }
     }
 
-  override def deserializeOffset(json: String): Offset = RedisStreamOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val restored = json.toLong
+    // Checkpoint restart: the committed offset N survives but this stream's
+    // in-memory counter restarts at 0. Without fast-forwarding, the next
+    // snapshot would be numbered 1 and planInputPartitions(N, 1) would emit
+    // nothing (and commit would drop the buffered keys) until the counter
+    // climbed past N — silently swallowing the re-seed batch. Jumping the
+    // counter to N makes the first post-restart snapshot land at N+1, so
+    // the current keyspace is actually re-emitted as documented above.
+    if (restored > snapshot) snapshot = restored
+    RedisStreamOffset(restored)
+  }
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[RedisStreamOffset].snapshot

@@ -55,7 +55,7 @@ object EventStreams {
   def streamingDedup(events: DataFrame, contentCols: Seq[String],
       horizon: String = "1 hour"): DataFrame =
     events
-      .withColumn("__fp", md5(concat_ws("\u0000", contentCols.map(col): _*)))
+      .withColumn("__fp", graft.operators.DedupOps.rowFingerprint(contentCols.map(col)))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

@@ -46,6 +46,32 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ASK redirects send ASKING before the command on the target node") {
+    import graft.resp.RespValue._
+    // nodeB is IMPORTING the slot: it serves `migrating:*` only to a
+    // connection whose previous command was ASKING, else bounces MOVED back
+    val nodeB = new FakeRedisServer()
+    nodeB.put("migrating:1", "ask-value")
+    nodeB.putHash("migrating:h", Map("f" -> "7"))
+    val portB = nodeB.start()
+    nodeB.setImporting("migrating:", s"127.0.0.1:$port")
+    server.setAsk("migrating:", s"127.0.0.1:$portB")
+    try {
+      // un-prefixed direct access is refused (proves the fake enforces ASKING)
+      val direct = new RedisConnection("127.0.0.1", portB)
+      try direct.command("GET", "migrating:1") match {
+        case Err(m) => assert(m.startsWith("MOVED"))
+        case other => fail(s"importing node served without ASKING: $other")
+      } finally direct.close()
+      // the client path follows ASK with the ASKING prefix and succeeds
+      assert(RedisCommands.get(conn, "migrating:1").contains("ask-value"))
+      assert(RedisCommands.hgetall(conn, "migrating:h") == Map("f" -> "7"))
+    } finally {
+      server.clearAsk()
+      nodeB.stop()
+    }
+  }
+
   test("SCAN paginates with small COUNT and respects MATCH") {
     var cursor = "0"
     var keys = Vector.empty[String]

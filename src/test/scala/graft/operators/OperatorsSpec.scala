@@ -61,6 +61,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L))
   }
 
+  test("exactDedup fingerprint is injective over NULL positions and separators") {
+    // (a, NULL, b) vs (a, b, NULL): concat_ws would skip the NULLs and
+    // collide these into one fingerprint, silently dropping a distinct row
+    val df = Seq(
+      (1L, Option("a"), Option.empty[String], Option("b")),
+      (2L, Option("a"), Option("b"), Option.empty[String]),
+      (3L, Option("a:1"), Option("b"), Option.empty[String]), // netstring chars in data
+      (4L, Option("a"), Option(":1b"), Option.empty[String])  // boundary shift attempt
+    ).toDF("id", "c1", "c2", "c3")
+    val out = DedupOps.exactDedup(df, "id", Seq("c1", "c2", "c3"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L)) // all four rows are distinct
+    // and true duplicates (including NULL pattern) still collapse
+    val dup = df.union(Seq((5L, Option("a"), Option.empty[String], Option("b")))
+      .toDF("id", "c1", "c2", "c3"))
+    val out2 = DedupOps.exactDedup(dup, "id", Seq("c1", "c2", "c3"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("tokenJaccard on known token sets") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(DedupOps.tokenJaccard(col("x"), col("y")).as("j"))

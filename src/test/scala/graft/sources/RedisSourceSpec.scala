@@ -183,6 +183,24 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc.collect().map(_.getString(0)).toSeq == Seq("testkey:0010", "testkey:0009"))
   }
 
+  test("pushed TopN heap selects in UTF8 binary order (Spark StringType), not UTF-16") {
+    // U+1F600 (surrogate pair D83D DE00) sorts BEFORE U+FFFF in UTF-16
+    // code-unit order but AFTER it in UTF-8 binary order — Spark sorts
+    // StringType in binary order, and keys the heap drops are gone before
+    // Spark's re-sort, so a UTF-16 heap would silently return the wrong key
+    val bmpMax = "uni:" + "\uFFFF"
+    val emoji = "uni:" + new String(Character.toChars(0x1F600))
+    server.put(bmpMax, "bmp-max")
+    server.put(emoji, "emoji")
+    def scan() = spark.read.format("redis-scan")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "uni:*").load()
+    assert(scan().orderBy("key_name").limit(1)
+      .collect().map(_.getString(0)).toSeq == Seq(bmpMax))
+    assert(scan().orderBy(org.apache.spark.sql.functions.col("key_name").desc).limit(1)
+      .collect().map(_.getString(0)).toSeq == Seq(emoji))
+  }
+
   test("scan.test verbatim SQL: table-valued redis_scan in FROM") {
     graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
     graft.GraftRedis.registerSql(spark)

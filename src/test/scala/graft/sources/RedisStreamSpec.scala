@@ -51,6 +51,39 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("checkpoint restart fast-forwards the offset and emits the re-seed batch") {
+    (1 to 2).foreach(i => server.put(s"restart:$i", s"v$i"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    def start() = spark.readStream.format("redis-key-stream")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("pattern", "restart:*").load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ks = batch.collect().map(_.getString(0))
+          got.synchronized { got ++= ks }
+          ()
+      }.option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.synchronized(got.sorted.toSeq) == Seq("restart:1", "restart:2"))
+
+    // restart from the same checkpoint: the committed offset N is restored
+    // into a fresh stream whose counter would otherwise restart at 0 and
+    // silently emit nothing until it climbed past N. The fast-forward makes
+    // the first post-restart snapshot land at N+1 → current keyspace
+    // (including the key added while down) is re-emitted as documented.
+    server.put("restart:3", "v3")
+    got.synchronized(got.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) == Seq("restart:1", "restart:2", "restart:3"),
+        "restart must re-seed from the current keyspace, not swallow it")
+    } finally q2.stop()
+  }
+
   test("end-to-end: keyspace stream enriched with values via foreachBatch") {
     server.put("enrich:a", "va")
     server.put("enrich:b", "vb")
