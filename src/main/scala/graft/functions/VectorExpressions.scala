@@ -178,6 +178,57 @@ final case class SqDistFD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused float×float squared-L2 distance — the exact-L2-top-k kernel
+  * between two stored embeddings. Per element: FLOAT subtract, FLOAT
+  * multiply, then widen to double for the accumulate — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0d, (acc,v) => acc+v)`
+  * on float arrays AND to DuckDB's
+  * `list_sum(list_transform(..., i -> (a[i]-b[i]) * (a[i]-b[i])))`
+  * (both do the subtract/multiply in float precision and sum in double).
+  * Same prefix/null contract as [[DotProductF]].
+  */
+final case class SqDistFF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.check(left, right, FloatType, FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i) - b.getFloat(i) // float subtract
+      acc += d * d                          // float multiply, double add
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $d = $a.getFloat($i) - $b.getFloat($i);
+         |  $acc += (double) ($d * $d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Merge-count of common elements between two SORTED string arrays — the
   * set-intersection kernel of pairwise Jaccard rescoring. Replaces
   * `size(array_intersect(a, b))`, which builds a fresh hash set and an
@@ -306,6 +357,10 @@ object VectorExpressions {
   /** Fused float×double squared-L2 distance (codegen'd) — k-means kernel. */
   def sqDistFD(a: Column, b: Column): Column =
     GraftSqlShims.column(SqDistFD(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Fused float×float squared-L2 distance (codegen'd) — exact L2 top-k. */
+  def sqDistFF(a: Column, b: Column): Column =
+    GraftSqlShims.column(SqDistFF(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
   /** Merge-count of common elements of two sorted distinct string arrays. */
   def intersectCountSorted(a: Column, b: Column): Column =

@@ -176,6 +176,57 @@ object DedupOps {
     ic / (size(sortedA) + size(sortedB) - ic)
   }
 
+  /** Connected components over an undirected edge list (e.g. the LSH
+    * candidate pairs) via iterative min-label propagation: every node
+    * starts labeled with itself; each round a node takes the minimum of
+    * its own label and its neighbors' labels; at the fixpoint every
+    * member of a component carries the component's minimum node id.
+    *
+    * Scale design (100 TB): each round is one shuffle of (node, label)
+    * pairs — edges and labels are hash-partitioned on the join key, the
+    * min() aggregations combine map-side, and the wide payload never
+    * enters the loop. Rounds needed = component diameter, which for
+    * near-dup clusters is tiny (dup groups are cliques through their
+    * shared buckets). `localCheckpoint` truncates the growing lineage so
+    * iteration N doesn't replay rounds 1..N-1 (on a cluster, a
+    * checkpoint dir does the same job). The driver sees only a 1-row
+    * convergence count per round, never the data.
+    *
+    * @return (node, label) — label = min node id of the component
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = e
+        .join(labels.select(col("node").as("v"), col("label").as("__nl")), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("__nl")).as("__nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("n")
+        .join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Injective fingerprint of a row over nullable columns. A bare
     * `concat_ws` SKIPS null arguments, so `(a, NULL, b)` and `(a, b, NULL)`
     * would collide — silent data loss in a dedup key. Each column is

@@ -54,6 +54,27 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
   }
 
+  /** Exact Euclidean (L2) top-k neighbors per query — the metric twin of
+    * [[bruteForceTopK]]: same broadcast-queries shape, but ranked by
+    * distance ASCENDING through the fused float×float squared-distance
+    * kernel (one codegen'd pass per pair, no intermediate arrays).
+    */
+  def l2TopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String, k: Int,
+      distDecimals: Int = 6): DataFrame = {
+    val sq = graft.functions.VectorExpressions.sqDistFF(col("__qv"), col("__cv"))
+    val scored = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+      .join(candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(sqrt(sq), distDecimals).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rk").cast("int").as("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * reproducible from (plane, dim) alone so any engine can re-derive them.
     */

@@ -540,6 +540,117 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- dedup cluster assignment
+    // LSH candidate pairs → connected components → every doc labeled with
+    // its duplicate-cluster id (min doc_id of the component). The oracle
+    // re-derives the same components with a recursive transitive-closure
+    // CTE — fine at oracle scale, while the Spark side runs the
+    // shuffle-bounded min-label-propagation loop that survives 100 TB.
+    q("d17_dedup_clusters", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT d1 AS u, d2 AS v FROM cand UNION SELECT d2, d1 FROM cand),
+         |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        numHashes = 8, bandSize = 4, shingleSize = 5)
+        .select(col("d1"), col("d2"))
+      DedupOps.connectedComponents(cand, "d1", "d2")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- TF-IDF
+    // classic salience scoring: per-doc term frequency × inverse document
+    // frequency, top-3 terms per doc. All partial-agg shuffles on small
+    // (doc_id, token) / (token) keys; the corpus size joins in as a
+    // broadcast 1-row aggregate, never a driver-side constant.
+    q("d18_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |tfs AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM tfs GROUP BY 1),
+         |n AS (SELECT count(*) AS ndocs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df, round(tf * ln(ndocs / df), 4) AS tfidf
+         |  FROM tfs JOIN dfs USING (token), n),
+         |ranked AS (SELECT doc_id, token, tf, df, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("ndocs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfq, Seq("token"))
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf", Qf.dround(col("tf") * log(col("ndocs") / col("df")), 4))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- corpus vocabulary
+    // vocabulary building: corpus-wide term + document frequencies, top
+    // 100 terms. One explode + one partial-agg shuffle on the token key;
+    // the top-k is TakeOrdered (per-partition heaps), not a global sort.
+    q("d19_vocab",
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY token
+         |ORDER BY tf DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    },
+
+    // ---------------------------------------------------------------- exact L2 top-k
+    q("s05_l2_topk",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(sqrt(list_sum(list_transform(range(1, 65), i -> (qv[i] - cv[i]) * (qv[i] - cv[i])))), 6) AS dist
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.l2TopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
     q("s04_ivf_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")

@@ -81,6 +81,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2 == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("connectedComponents labels every member with the component's min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 22L), (22L, 20L))
+      .toDF("a", "b")
+    val labels = DedupOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a path graph (needs many propagation rounds)") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DedupOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 12 && labels.forall(_._2 == 1L))
+  }
+
+  test("l2TopK ranks by Euclidean distance ascending") {
+    val vecs = Seq(
+      (1L, Array(0f, 0f)),
+      (2L, Array(1f, 0f)),
+      (3L, Array(3f, 4f)),
+      (4L, Array(0f, 2f))).toDF("id", "v")
+    val out = SimilarityOps.l2TopK(vecs.filter(col("id") === 1L), "id", "v",
+        vecs, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(out == Seq((2L, 1.0, 1), (4L, 2.0, 2), (3L, 5.0, 3)))
+  }
+
   test("tokenJaccard on known token sets") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(DedupOps.tokenJaccard(col("x"), col("y")).as("j"))
