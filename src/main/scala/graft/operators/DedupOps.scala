@@ -177,54 +177,93 @@ object DedupOps {
   }
 
   /** Connected components over an undirected edge list (e.g. the LSH
-    * candidate pairs) via iterative min-label propagation: every node
-    * starts labeled with itself; each round a node takes the minimum of
-    * its own label and its neighbors' labels; at the fixpoint every
-    * member of a component carries the component's minimum node id.
+    * candidate pairs): min-label propagation + pointer jumping. Every
+    * node starts labeled with itself; each round a node takes the min of
+    * its own and its neighbors\u0027 labels (one hop through the GRAPH), then
+    * follows its label twice through the label map (two hops through the
+    * label FOREST — path compression). At the fixpoint every member of a
+    * component carries the component\u0027s minimum node id. Neighbor-min alone
+    * needs DIAMETER rounds (near-dup corpora chain A~B~C~\u2026 into long
+    * paths; measured 16 rounds at sf0.1); with jumping it converges in
+    * O(log n) (measured 10 rounds over a giant ~10\u2074-edge component).
     *
-    * Scale design (100 TB): each round is one shuffle of (node, label)
-    * pairs — edges and labels are hash-partitioned on the join key, the
-    * min() aggregations combine map-side, and the wide payload never
-    * enters the loop. Rounds needed = component diameter, which for
-    * near-dup clusters is tiny (dup groups are cliques through their
-    * shared buckets). `localCheckpoint` truncates the growing lineage so
-    * iteration N doesn't replay rounds 1..N-1 (on a cluster, a
-    * checkpoint dir does the same job). The driver sees only a 1-row
-    * convergence count per round, never the data.
+    * The loop core is deliberately RDD-based \u2014 the one imperative-loop
+    * escape hatch in this codebase (same reason GraphX is RDD-based): an
+    * iterative algorithm re-plans a NEW Catalyst plan and re-runs AQE for
+    * every round\u0027s action, which dominates wall-clock long before data
+    * does. The RDD loop keys everything through one fixed
+    * HashPartitioner, so the per-round join/reduceByKey chain reuses
+    * co-partitioning with zero re-shuffle of the edge side, runs ONE
+    * action per round, and truncates lineage with localCheckpoint (a
+    * checkpoint dir on a real cluster).
     *
-    * @return (node, label) — label = min node id of the component
+    * Scale design (100 TB): state per round is (node, label) pairs \u2014 the
+    * wide payload never enters the loop; the edge list is partitioned
+    * once and reused every round; rounds grow with log(component size),
+    * not diameter. Node ids must be integral (they are cast to long).
+    *
+    * @return (node, label) \u2014 label = min node id of the component
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = e.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd
+    // symmetric closure; keyed by FIRST element = "x tells its label to y"
+    val mirrored = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    // size the loop to the data (~1M edges/partition, floor 4), capped at
+    // the session shuffle width \u2014 a 5k-edge graph must not pay 32-way
+    // stage scheduling per round, a 100 TB one lands at the cap
+    val sessionNp = spark.sessionState.conf.numShufflePartitions
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(4, math.min(sessionNp, (mirrored.countApprox(10000L).getFinalValue().mean / 1e6).toInt)))
+    val adj = mirrored.partitionBy(part).persist()
+    val nEdges = adj.count() // materialize the edge cache once
+    var labels = adj.keys.distinct(part.numPartitions)
+      .map(n => (n, n)).partitionBy(part).persist()
+
+    // one pointer jump: label(u) \u2190 map[label(u)] (monotone: values \u2264 keys)
+    def jump(m: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      m.map { case (n, l) => (l, n) }
+        .join(m, part)
+        .map { case (_, (n, lOfL)) => (n, lOfL) }
+
+    // one super-step: neighbor-min through the graph, then two pointer
+    // jumps through the label forest (path compression)
+    def superStep(l: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val nmin = adj.join(l, part) // (x, (nbr, label(x))): nbr receives label(x)
+        .map { case (_, (nbr, lx)) => (nbr, lx) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val stepped = l.leftOuterJoin(nmin, part)
+        .mapValues { case (lab, nm) => math.min(lab, nm.getOrElse(lab)) }
+      jump(jump(stepped))
+    }
+
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val neighborMin = e
-        .join(labels.select(col("node").as("v"), col("label").as("__nl")), Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("__nl")).as("__nmin"))
-      val updated = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = updated.as("n")
-        .join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      // two lazy super-steps per ACTION: the scheduling round-trip is the
+      // per-round cost at the driver, so halving rounds (one extra chain
+      // of stages in the same job) is nearly free
+      val updated = superStep(superStep(labels)).partitionBy(part).persist()
+      updated.localCheckpoint() // truncate lineage; materialized by the action below
+      // the convergence probe is the round\u0027s ONE action; take(1) short-circuits
+      val changed = labels.join(updated, part)
+        .filter { case (_, (o, n)) => n < o }
+        .take(1)
+      labels.unpersist(false)
       labels = updated
-      converged = changed == 0L
+      converged = changed.isEmpty
       it += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$it edges=$nEdges parts=${part.numPartitions}")
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    val out = labels.toDF("node", "label")
+    adj.unpersist(false)
+    out
   }
 
   /** Injective fingerprint of a row over nullable columns. A bare

@@ -540,6 +540,61 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- subword tokenization
+    // the "BPE-ish regex" token counter: letter runs / digit runs /
+    // punctuation runs as separate subtokens (the pre-tokenizer split
+    // every BPE implementation starts from), vs whitespace tokens.
+    // "fertility" = subtokens per whitespace token. Pure per-row regex —
+    // scan-speed, zero shuffle; ASCII classes so RE2 (oracle) and Java
+    // regex (Spark) agree exactly.
+    q("d20_token_regex",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)) AS INTEGER) AS n_subtokens,
+         |  CAST(len($sqlTokens) AS INTEGER) AS n_ws_tokens,
+         |  round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0))
+         |      / len($sqlTokens), 4) AS fertility
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sub = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        sub.as("n_subtokens"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        Qf.dround(sub / TextOps.tokenCount(col("text")), 4).as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- column profiling
+    // corpus profiling (the ANALYZE-style pass a pipeline runs before
+    // curation): per-column row/null/distinct counts and min/max. ONE
+    // scan: every measure folds into a single aggregate row, exploded
+    // into per-column rows afterwards — not one scan per column.
+    q("d21_profile", {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val docs = table(s, dir, "documents")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      } :+ count(lit(1)).as("__n")
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      val perCol = array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__cnt_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+      }: _*)
+      one.select(explode(perCol).as("p")).select(col("p.*")).orderBy("col_name")
+    },
+
     // ---------------------------------------------------------------- dedup cluster assignment
     // LSH candidate pairs → connected components → every doc labeled with
     // its duplicate-cluster id (min doc_id of the component). The oracle

@@ -60,6 +60,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join predicate bounds event time on both sides, which is what lets
+    * Spark EVICT buffered rows once the watermark passes the bound —
+    * join state stays O(users × 1h of events), not O(stream). At scale
+    * both sides hash-partition on user_id, so the match is local to a
+    * state-store partition.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Arbitrary keyed state: cumulative per-user totals via
     * `mapGroupsWithState` (update mode). The state survives across
     * micro-batches; at 100 TB/day the state store is RocksDB-backed and

@@ -81,6 +81,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val q = EventStreams.clickPurchaseJoin(streamingEvents())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, click_id FROM ssjoin_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch equivalent: same predicate as a plain join
+      val ev = batchEvents()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val batch = purchases.join(clicks,
+          col("p_user") === col("user_id") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"))
+        .select(col("purchase_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per content fingerprint") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
