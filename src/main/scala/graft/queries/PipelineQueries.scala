@@ -706,6 +706,13 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- sketch heavy hitters (no CMS in the oracle engine → rows-only; AccuracySpec gates est vs exact)
+    q("d22_heavy_hitters", null) { (s, dir) =>
+      graft.operators.SketchOps.heavyHitters(
+        table(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("token")),
+        col("token"), k = 20)
+    },
+
     // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
     q("s04_ivf_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")

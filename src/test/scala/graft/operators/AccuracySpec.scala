@@ -35,6 +35,23 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"IVF recall@5 = $recall%.3f < 0.6 (nprobe=3/8)")
   }
 
+  test("d22 gate: count-min estimates are one-sided and within the ε·N bound") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val n = tok.count()
+    val eps = 0.001
+    val hh = SketchOps.heavyHitters(tok, col("token"), k = 20, eps = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length == 20)
+    hh.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$t': est=$est < exact=$exact")
+      // ε·N overcount bound holds per query w.p. `conf`; doubled slack so
+      // the gate checks the operator, not one tail event
+      assert(est <= exact + 2 * math.ceil(eps * n).toLong,
+        s"CMS overcount for '$t': est=$est exact=$exact bound=${exact + 2 * math.ceil(eps * n).toLong}")
+    }
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
