@@ -124,6 +124,29 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Star-contracted LSH candidate edges: within every (band, bucket),
+    * connect each member to the bucket's MINIMUM id instead of emitting
+    * all O(|bucket|²) pairs. The transitive closure (connected
+    * components) over these star edges is identical to the closure over
+    * the pairwise candidate edges — a bucket's clique and its star span
+    * the same connectivity — but the edge count is Σ|bucket| rather than
+    * Σ|bucket|², and every bucket collapses to graph-depth 1, so the CC
+    * loop downstream converges in fewer rounds. One window shuffle on
+    * (band, bucket), no self-join. Duplicate edges across bands are kept
+    * (harmless to CC's reduce-by-min; a distinct would cost a shuffle).
+    */
+  def lshStarEdges(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    val bands = lshBands(sig, idCol, numHashes, bandSize)
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    bands
+      .withColumn("d1", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("d1"))
+      .select(col("d1"), col(idCol).as("d2"))
+  }
+
   /** Whole-table 16-bit SimHash: (idCol, simhash). Same explode+agg shape
     * as `minHashSignatures` — token digests run once per token, the 16
     * bit-sums are map-side partial aggregates.
@@ -204,13 +227,84 @@ object DedupOps {
     *
     * @return (node, label) \u2014 label = min node id of the component
     */
+  /** Partition-local union-find: labels every node appearing in the edge
+    * iterator with the minimum node id of its connected component.
+    * Classic DSU with path halving + union by rank; a final sweep
+    * replaces each root with its class minimum so labels match the
+    * distributed loop's min-label semantics exactly.
+    */
+  private def localUnionFind(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    val rank = new java.util.HashMap[Long, Int]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    def add(x: Long): Unit = if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (hi, lo) = if (rank.get(ra) >= rank.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(lo, hi)
+        if (rank.get(hi) == rank.get(lo)) rank.put(hi, rank.get(hi) + 1)
+      }
+    }
+    // class minimum per root, then one labeled pair per node
+    val minOf = new java.util.HashMap[Long, Long]()
+    val nodes = parent.keySet().iterator()
+    while (nodes.hasNext) {
+      val n = nodes.next()
+      val r = find(n)
+      if (n < minOf.getOrDefault(r, Long.MaxValue)) minOf.put(r, n)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.iterator.map(n => (n, minOf.get(find(n)).longValue()))
+  }
+
+  /** Edge sets at or below this size take the one-task union-find path:
+    * ~4M (Long, Long) pairs \u2248 64 MB in one executor task \u2014 comfortably a
+    * single shuffle partition's worth of work (same regime AQE coalesces
+    * to). Above it, the distributed label-propagation loop engages.
+    */
+  val SmallGraphEdges: Long = 4L * 1000 * 1000
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val raw = edges
-      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-      .as[(Long, Long)].rdd
+    // Materialize the (often expensive) upstream edge plan ONCE at the DF
+    // layer: the size-dispatch count and every pass below read the cached
+    // pairs, not the LSH/minhash pipeline that produced them.
+    // (Previously the sizing countApprox AND the adjacency fill each re-ran
+    // the upstream \u2014 2\u00d7 the dominant cost of d17 at sf0.1.)
+    val edgeDf = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .persist()
+    val nEdges = edgeDf.count()
+    if (nEdges <= smallGraphEdges) {
+      // Small-graph fast path: the whole edge set is one task's worth of
+      // data, so a partition-local union-find (executor-side, NOT a
+      // driver collect) computes every component in a single pass \u2014
+      // no per-round scheduling, no convergence probe. The iterative
+      // loop below pays ~10 shuffle stages PER ROUND; for a graph this
+      // size that fixed cost is the entire runtime.
+      val labeled = edgeDf.as[(Long, Long)].rdd
+        .coalesce(1)
+        .mapPartitions { it => localUnionFind(it) }
+        .persist()
+      labeled.count() // materialize off the edge cache, then drop it
+      edgeDf.unpersist(false)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] path=local-dsu edges=$nEdges")
+      return labeled.toDF("node", "label")
+    }
+    val raw = edgeDf.as[(Long, Long)].rdd
     // symmetric closure; keyed by FIRST element = "x tells its label to y"
     val mirrored = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
     // size the loop to the data (~1M edges/partition, floor 4), capped at
@@ -218,9 +312,10 @@ object DedupOps {
     // stage scheduling per round, a 100 TB one lands at the cap
     val sessionNp = spark.sessionState.conf.numShufflePartitions
     val part = new org.apache.spark.HashPartitioner(
-      math.max(4, math.min(sessionNp, (mirrored.countApprox(10000L).getFinalValue().mean / 1e6).toInt)))
+      math.max(4, math.min(sessionNp, (2 * nEdges / 1e6).toInt)))
     val adj = mirrored.partitionBy(part).persist()
-    val nEdges = adj.count() // materialize the edge cache once
+    adj.count() // materialize the adjacency cache once (reads edgeDf's cache)
+    edgeDf.unpersist(false)
     var labels = adj.keys.distinct(part.numPartitions)
       .map(n => (n, n)).partitionBy(part).persist()
 

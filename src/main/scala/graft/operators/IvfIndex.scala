@@ -50,53 +50,79 @@ object IvfIndex {
     (array_position(darr, array_min(darr)) - 1).cast("int")
   }
 
-  /** Train by fixed-count Lloyd iterations. Only k×dim centroid sums are
-    * aggregated; `data` is scanned `iters + 1` times and never collected.
+  /** Train by fixed-count Lloyd iterations. Only k×(dim+1) partial sums
+    * per partition ever reach the driver; `data` is cached as a vector
+    * RDD and scanned once per iteration.
+    *
+    * The iteration is a `mapPartitions` kernel over BROADCAST centroids,
+    * not a Catalyst expression: centroid literals change every
+    * iteration, so an expression form re-plans and janino-recompiles a
+    * k×dim-literal plan per iteration — the compile time dominated the
+    * whole train at small scale, and at any scale the kernel's one pass
+    * (no posexplode shuffle of dim× rows) is strictly less work.
+    * Partials are combined on the driver in partition-index order, so
+    * the floating-point sum order — and therefore the model — is
+    * deterministic for a given input partitioning.
     */
   def train(data: DataFrame, vecCol: String, k: Int, iters: Int): Model = {
     val spark = data.sparkSession
-    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    import spark.implicits._
+    val vecs = data.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].rdd.map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count()
+    require(n > 0, "cannot train IVF on an empty dataset")
+    val dim = vecs.first().length
 
-    // deterministic init: evenly-strided rows in id-less order → use a
-    // row_number over a stable sort of the vector's first components
-    val n = data.count()
+    // deterministic init: evenly-strided rows by global row index
     val stride = math.max(1L, n / k)
-    val init = data
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .withColumn("__id", monotonically_increasing_id())
-      .filter(col("__id") % stride === 0) // strided pick, filtered on executors
-      .limit(k)
-      .collect() // exactly k seed vectors reach the driver
-      .map(_.getSeq[Double](0).toArray)
-      .toVector
+    val init = vecs.zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 && i / stride < k }
+      .map { case (v, i) => (i / stride, v) }
+      .collect() // exactly ≤k seed vectors reach the driver
+      .sortBy(_._1).map(_._2).toVector
 
     var model = Model(init)
     (0 until iters).foreach { _ =>
-      // persist = optimizer barrier: without it CollapseProject inlines
-      // the argmin into the exploded projection and re-evaluates the
-      // full centroid distance per vector ELEMENT (dim× blowup). MLlib
-      // k-means caches the assignment for the same reason.
-      val assigned = data.select(col(vecCol).as("v"),
-        assignCluster(col(vecCol), model).as("cluster"))
-        .persist()
-      // per-cluster elementwise mean via posexplode + (cluster, pos) agg —
-      // shuffles k×dim aggregates, not vectors
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      assigned.unpersist()
-      val next = Array.fill(model.k)(new Array[Double](dim))
-      val seen = Array.fill(model.k)(false)
-      sums.foreach { r =>
-        val c = r.getInt(0); seen(c) = true
-        next(c)(r.getInt(1)) = r.getDouble(2)
+      val bc = spark.sparkContext.broadcast(model.centroids.toArray)
+      val partials = vecs.mapPartitionsWithIndex { (pid, it) =>
+        val cent = bc.value
+        val sums = Array.ofDim[Double](cent.length, dim)
+        val cnts = new Array[Long](cent.length)
+        it.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cent.length) {
+            var d = 0.0; var j = 0
+            val cc = cent(c)
+            while (j < dim) { val t = v(j) - cc(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          val s = sums(best); var j = 0
+          while (j < dim) { s(j) += v(j); j += 1 }
+          cnts(best) += 1
+        }
+        Iterator((pid, (sums, cnts)))
+      }.collect() // k×(dim+1) doubles per partition — the model, not the data
+      bc.destroy()
+      val sums = Array.ofDim[Double](model.k, dim)
+      val cnts = new Array[Long](model.k)
+      partials.sortBy(_._1).foreach { case (_, (ps, pc)) =>
+        var c = 0
+        while (c < model.k) {
+          var j = 0
+          while (j < dim) { sums(c)(j) += ps(c)(j); j += 1 }
+          cnts(c) += pc(c); c += 1
+        }
       }
       // empty clusters keep their previous centroid
-      model = Model(next.toVector.zipWithIndex.map { case (c, i) =>
-        if (seen(i)) c else model.centroids(i) })
+      model = Model((0 until model.k).map { c =>
+        if (cnts(c) == 0) model.centroids(c)
+        else { val m = new Array[Double](dim); var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / cnts(c); j += 1 }; m }
+      }.toVector)
     }
+    vecs.unpersist(false)
     model
   }
 

@@ -624,9 +624,12 @@ object PipelineQueries {
     }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+      // star-contracted edges: same components as the pairwise candidate
+      // graph (bucket clique ≡ bucket star for connectivity), Σ|bucket|
+      // edges instead of Σ|bucket|², and depth-1 buckets converge the CC
+      // loop in fewer rounds
+      val cand = DedupOps.lshStarEdges(docs, "doc_id", "text",
         numHashes = 8, bandSize = 4, shingleSize = 5)
-        .select(col("d1"), col("d2"))
       DedupOps.connectedComponents(cand, "d1", "d2")
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .withColumn("cluster_size",

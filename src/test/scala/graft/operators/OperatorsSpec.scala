@@ -99,6 +99,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.length == 12 && labels.forall(_._2 == 1L))
   }
 
+  test("connectedComponents: one-task DSU path and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("a", "b")
+    val viaDsu = DedupOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = DedupOps.connectedComponents(edges, "a", "b", smallGraphEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDsu == viaLoop)
+    assert(viaDsu.nonEmpty)
+  }
+
+  test("lshStarEdges spans the same components as pairwise candidate edges") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog once more today"),
+      (4L, "completely different content that shares nothing with the others here"),
+      (5L, "completely different content that shares nothing with the others here"))
+      .toDF("doc_id", "text")
+    def components(e: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(e, "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = components(
+      DedupOps.lshCandidatePairs(docs, "doc_id", "text", 8, 4, 5).select(col("d1"), col("d2")))
+    val viaStars = components(DedupOps.lshStarEdges(docs, "doc_id", "text", 8, 4, 5))
+    assert(viaPairs == viaStars && viaPairs.nonEmpty)
+  }
+
   test("l2TopK ranks by Euclidean distance ascending") {
     val vecs = Seq(
       (1L, Array(0f, 0f)),
