@@ -24,6 +24,9 @@ object Md5Util {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local reusable digest (for fused kernels in this file). */
+  def digest(): java.security.MessageDigest = md.get()
+
   /** First 4 md5 bytes of the string's UTF-8 encoding, big-endian unsigned. */
   def hash32(s: UTF8String): Long = {
     val d = md.get()
@@ -32,6 +35,72 @@ object Md5Util {
     ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
       ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
   }
+}
+
+object ShingleUtil {
+  /** All `n`-char shingle hashes of `s`, each `md5-first-word % mod` —
+    * bit-identical to `transform(shingles(s, n), x => md5Hash32(x) % mod)`
+    * (an n-char UTF-8 substring is exactly the byte slice between its
+    * char boundaries, and md5 runs over those bytes either way), but one
+    * pass over the raw bytes: no `sequence` position array, no per-shingle
+    * `UTF8String` substring allocation, no interpreted HOF lambda. The
+    * digest is reused via thread-local and writes into a fixed 16-byte
+    * scratch buffer.
+    */
+  def shingleHashes(s: UTF8String, n: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    if (numChars < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    // char-start byte offsets (numChars + 1 entries; last = total bytes)
+    val starts = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      starts(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    starts(numChars) = bytes.length
+    val out = new Array[Long](numChars - n + 1)
+    val d = Md5Util.digest()
+    val scratch = new Array[Byte](16)
+    var k = 0
+    while (k < out.length) {
+      d.reset()
+      d.update(bytes, starts(k), starts(k + n) - starts(k))
+      d.digest(scratch, 0, 16)
+      val h = ((scratch(0) & 0xffL) << 24) | ((scratch(1) & 0xffL) << 16) |
+        ((scratch(2) & 0xffL) << 8) | (scratch(3) & 0xffL)
+      out(k) = h % mod
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Fused character-shingle hasher: `shingle_hashes(text, n, mod)` →
+  * ARRAY<BIGINT> of the md5-32 hash (mod `mod`) of every n-char shingle.
+  * Replaces the `sequence`+`transform(substr)`+`transform(md5Hash32)`
+  * chain in the MinHash pipeline — same values, one codegen'd call.
+  */
+final case class ShingleHash32s(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingleHashes(input.asInstanceOf[UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingleHashes($c, $n, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 final case class Md5Hash32(child: Expression) extends UnaryExpression {

@@ -50,9 +50,17 @@ object DedupOps {
     67867967L, 86028121L, 104395301L, 122949823L)
   val MinHashB: Seq[Long] = Seq(7L, 131L, 523L, 1031L, 2053L, 4099L, 8209L, 16411L)
 
-  /** Base-hashed shingle array (md5 once per shingle, reduced mod P). */
-  def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n), x => md5Hash32(x, "") % MinHashP)
+  /** Base-hashed shingle array (md5 once per shingle, reduced mod P).
+    * Fused one-pass kernel (ShingleHash32s): bit-identical to
+    * `transform(shingles(text, n), x => md5Hash32(x, "") % MinHashP)`
+    * (pinned by a spec) without the `sequence` position array, the
+    * per-shingle substring allocation, or the interpreted HOF lambdas.
+    */
+  def hashedShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    GraftSqlShims.column(graft.functions.ShingleHash32s(
+      GraftSqlShims.expression(text), n, MinHashP))
+  }
 
   /** One MinHash value from the base-hashed shingle array. Per-row
     * convenience form — for whole-table signatures use

@@ -111,6 +111,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaDsu.nonEmpty)
   }
 
+  test("fused shingle hashes equal the composable substr+md5 chain (incl. non-ASCII)") {
+    val df = Seq(
+      (1L, "hello world shingles"),
+      (2L, "héllo wörld — ünïcode ✓ text"),
+      (3L, "tiny"), // shorter than the shingle size
+      (4L, "exact")) // exactly the shingle size
+      .toDF("id", "text")
+    val fused = df.select(col("id"), DedupOps.hashedShingles(col("text"), 5).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composable = df.select(col("id"),
+      transform(DedupOps.shingles(col("text"), 5),
+        x => DedupOps.md5Hash32(x, "") % DedupOps.MinHashP).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == composable)
+    assert(fused(3L).isEmpty && fused(4L).length == 1)
+  }
+
   test("lshStarEdges spans the same components as pairwise candidate edges") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
