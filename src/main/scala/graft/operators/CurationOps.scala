@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: repetition-based quality rules, benchmark
+  * decontamination, keyword search, PII scrubbing, weighted sampling,
+  * and context-window packing.
+  *
+  * Scale design (100 TB):
+  *  - every operator is a declarative plan (explode + partial-agg
+  *    shuffles on small keys, broadcast for model-sized sides) — no
+  *    driver-side loops, no per-row UDFs;
+  *  - decontamination broadcasts the BENCHMARK side (benchmarks are
+  *    model-sized; the corpus streams past it);
+  *  - packing is partitioned by a shard key — bin assignment is a
+  *    running sum per shard, the only honest way to pack sequentially
+  *    at scale without a global sort bottleneck.
+  */
+object CurationOps {
+
+  /** Gopher-style repetition statistics per document: token counts,
+    * unique-token ratio, most-frequent-bigram share, duplicate-trigram
+    * share. High top-bigram / duplicate-trigram fractions flag the
+    * degenerate repetitive text that length/stopword heuristics miss.
+    *
+    * Shape: two explode → (id, gram) partial-agg pipelines (bigrams,
+    * trigrams) joined back to per-doc token counts — shuffles carry
+    * (id, gram-hash) pairs, never documents.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, TextOps.tokenCount(col(textCol)).as("n_tokens"),
+      size(array_distinct(TextOps.tokens(col(textCol)))).cast("long").as("n_unique"))
+    def gramAgg(n: Int, top: String, total: String, distinct: String) = docs
+      .select(id, explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+      .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(max(col("c")).as(top), sum(col("c")).as(total),
+        count(lit(1)).as(distinct))
+    val bi = gramAgg(2, "top_bigram_n", "n_bigrams", "n_distinct_bigrams")
+    val tri = gramAgg(3, "top_trigram_n", "n_trigrams", "n_distinct_trigrams")
+    base.join(bi, Seq(idCol), "left").join(tri, Seq(idCol), "left")
+      .select(id,
+        col("n_tokens"),
+        graft.queries.Qf.dround(col("n_unique") / col("n_tokens"), 4).as("unique_ratio"),
+        graft.queries.Qf.dround(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        graft.queries.Qf.dround((col("n_trigrams") - col("n_distinct_trigrams")) / col("n_trigrams"), 4)
+          .as("dup_trigram_frac"))
+  }
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word `n`-gram with any benchmark document, with the count of
+    * distinct shared grams. Grams are md5-hashed to fixed-width keys so
+    * the join shuffles 8-byte hashes, not text; the benchmark gram set
+    * is model-sized and BROADCAST — the corpus never shuffles.
+    */
+  def ngramOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(TextOps.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), DedupOps.md5Hash32(col("__g"), "").as("__h"))
+    val benchGrams = grams(bench).select(col("__h")).distinct()
+    grams(train).distinct()
+      .join(broadcast(benchGrams), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** BM25 keyword scoring: per-document score over a fixed term set.
+    * Classic Robertson/Sparck-Jones idf `ln((N−df+0.5)/(df+0.5) + 1)`
+    * with k1/b term saturation. The per-term document frequencies and
+    * the corpus aggregates (N, avgdl) are one-row/model-sized frames
+    * joined in as broadcasts; tf is an explode + partial-agg on
+    * (doc, term) — the standard inverted-index build shape.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val lens = docs.select(id, TextOps.tokenCount(col(textCol)).cast("double").as("dl"))
+    val corpus = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(id, explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(id, col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(df_), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      // association mirrors the oracle SQL exactly (floating-point is not
+      // associative; both sides must build the same expression tree):
+      // idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + (b * dl) / avgdl))
+      .withColumn("__s",
+        idf * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(id)
+      .agg(sum(col("__s")).as("bm25_raw"))
+  }
+
+  /** PII scrubbing: masks email addresses and long digit runs, and
+    * counts the masked occurrences. Pure codegen'd regexes — scan-speed,
+    * zero shuffle; extend the pattern list for phone/IP/etc.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val NumberPattern = "[0-9]{3,}"
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      NumberPattern, "<NUM>")
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("int"),
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(NumberPattern), lit(0))).cast("int"))
+
+  /** Deterministic probability-proportional-to-size Bernoulli sample:
+    * keep a row iff `hash(id) mod M  <  min(M, weight · scale)`. Pure
+    * integer arithmetic on a stable md5-based hash — reproducible across
+    * engines and partitionings (unlike `df.sample`), push-down-able as a
+    * per-row predicate, zero state.
+    */
+  val SampleM: Long = 1000000L
+  def weightedKeep(id: Column, weight: Column, scale: Long): Column =
+    pmod(DedupOps.md5Hash32(id.cast("string"), ""), lit(SampleM)) <
+      least(lit(SampleM), weight.cast("long") * scale)
+
+  /** Context-window packing: assign documents to fixed-token-budget bins
+    * greedily in id order WITHIN a shard partition (exclusive running
+    * token sum ÷ context length). Packing is inherently sequential, so
+    * the scale-honest form parallelizes across shards and packs within
+    * each — one sort-based window per shard, no global sort.
+    */
+  def packBins(docs: DataFrame, shardCol: String, idCol: String,
+      textCol: String, contextLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(shardCol), col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("__cum_excl", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("__cum_excl") / contextLen).cast("int"))
+  }
+}

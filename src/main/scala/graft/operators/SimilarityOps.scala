@@ -166,4 +166,43 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
   }
+
+  /** Per-group element-wise mean vector. The explode → (group, pos)
+    * partial-agg is the 100 TB shape: shuffles carry k×dim scalar
+    * centroid stats, never the vectors themselves. Components are
+    * rounded to `decimals` so downstream consumers (and cross-engine
+    * oracles) score against bit-identical centroids regardless of
+    * floating-point summation order.
+    */
+  def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String,
+      decimals: Int = 6): DataFrame =
+    vecs.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col(groupCol), col("__p"))
+      .agg(avg(col("__v")).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col(groupCol),
+        transform(col("__pc"),
+          x => graft.queries.Qf.dround(x.getField("__c"), decimals)).as("centroid"))
+
+  /** Cluster-cohesion report: per group, the member count, centroid
+    * L2 norm, and mean member-to-centroid cosine. The centroid frame is
+    * k rows and BROADCAST back onto the members; the per-member cosine
+    * runs through the fused float×double kernel. The `__cnorm` fold is
+    * an interpreted HOF but evaluates once per GROUP (k rows), not per
+    * member.
+    */
+  def centroidCohesion(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val cen = groupCentroids(vecs, groupCol, vecCol)
+      .withColumn("__cnorm",
+        sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)))
+    vecs.join(broadcast(cen), Seq(groupCol))
+      .select(col(groupCol), col("__cnorm"),
+        (dotFD(col(vecCol), col("centroid")) / (norm(col(vecCol)) * col("__cnorm")))
+          .as("__cos"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        first(col("__cnorm")).as("centroid_norm_raw"),
+        avg(col("__cos")).as("avg_cos_raw"))
+  }
 }

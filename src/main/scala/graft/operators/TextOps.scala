@@ -24,6 +24,36 @@ object TextOps {
   /** Tiny default stopword list used by the quality/language heuristics. */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is")
 
+  /** Word n-grams joined with single spaces: `["a b c", "b c d", ...]`.
+    * Documents with fewer than `n` tokens yield an EMPTY array (the
+    * `sequence` guard — Spark's `sequence(1, k)` counts DOWN for k < 1).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Shannon entropy of the UTF-8 byte distribution, in bits/byte — a
+    * cheap noise/quality proxy: English text sits near 4.1-4.4 bits,
+    * random bytes near 8, degenerate repetition near 0. Built on the
+    * fused 256-bucket [[graft.functions.ByteHistogram]] kernel; the fold
+    * over the (constant-size) histogram is per-row work with zero
+    * shuffle, so this runs at scan speed on 100 TB.
+    */
+  def byteEntropy(text: Column): Column = {
+    val bin = text.cast("binary")
+    val hist = graft.functions.VectorExpressions.byteHistogram(bin, 256)
+    val n = octet_length(bin).cast("double")
+    val sumPlogP = aggregate(
+      filter(hist, c => c > 0),
+      lit(0.0),
+      (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
+    when(n > 0, -sumPlogP / log(lit(2.0))).otherwise(lit(0.0))
+  }
+
   /** Fused one-pass counters (n_tokens, n_stop, n_chars_nospace). */
   private def stats(text: Column, stopwords: Seq[String]): Column =
     graft.functions.TextStatsExpression.textStats(text, stopwords)

@@ -34,6 +34,12 @@ object PipelineQueries {
   private val P = graft.operators.DedupOps.MinHashP
   private val sqlHashedShingles =
     s"list_transform($sqlShingles, x -> ${sqlHash("x", "")} % $P)"
+  // word n-grams over a token-list expression `t`, space-joined; empty
+  // when len(t) < n (duckdb range is end-exclusive and empty when
+  // stop <= start, mirroring TextOps.wordNgrams' guard)
+  private def sqlNgrams(t: String, n: Int) =
+    s"list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(list_slice($t, i, i + ${n - 1}), ' '))"
+
   private def sqlMinhash(j: Int) = {
     val a = graft.operators.DedupOps.MinHashA(j)
     val b = graft.operators.DedupOps.MinHashB(j)
@@ -724,6 +730,215 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", model, k = 5, nprobe = 3)
         .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- repetition quality rules
+    // Gopher-style repetition battery: the degenerate looping text that
+    // length/stopword heuristics (d02) miss shows up as a high
+    // most-frequent-bigram share or duplicate-trigram share. Two
+    // explode + (id, gram) partial-agg pipelines — shuffles carry gram
+    // hashes, never documents.
+    q("d23_repetition",
+      s"""WITH tok AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique FROM tok),
+         |bi AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${sqlNgrams("t", 2)}) AS g FROM tok) GROUP BY 1, 2),
+         |bia AS (SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM bi GROUP BY 1),
+         |tri AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${sqlNgrams("t", 3)}) AS g FROM tok) GROUP BY 1, 2),
+         |tria AS (SELECT doc_id, sum(c) AS n_tri, count(*) AS nd_tri FROM tri GROUP BY 1)
+         |SELECT base.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  round(n_unique / n_tokens, 4) AS unique_ratio,
+         |  round(top_bi / n_bi, 4) AS top_bigram_frac,
+         |  round((n_tri - nd_tri) / n_tri, 4) AS dup_trigram_frac
+         |FROM base LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.repetitionStats(
+        table(s, dir, "documents"), "doc_id", "text")
+        .withColumn("n_tokens", col("n_tokens").cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- benchmark decontamination
+    // n-gram decontamination: training docs sharing any n-token gram with
+    // the benchmark slice (deterministic doc_id % 97 holdout). The gram
+    // join runs on md5 hashes; the benchmark gram set is model-sized and
+    // broadcast — the corpus side never shuffles. Real pipelines use
+    // n = 8-13; the synthetic word-salad corpus shares no 8-grams at all
+    // (a vacuous 0 = 0 check), so the conformance entry uses n = 3, which
+    // yields a few hundred genuine overlaps at sf0.01.
+    q("d24_decontamination",
+      s"""WITH g AS (
+         |  SELECT doc_id, ${sqlHash("g0", "")} AS h FROM (
+         |    SELECT doc_id, unnest(${sqlNgrams("(" + sqlTokens + ")", 3)}) AS g0
+         |    FROM documents)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+         |train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM train JOIN bench USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.operators.CurationOps.ngramOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- BM25 keyword search
+    // the retrieval half of corpus tooling: BM25 scores for a fixed term
+    // set, top 50. df/N/avgdl are model-sized broadcast sides; tf is the
+    // standard inverted-index explode + partial-agg. avgdl sums integral
+    // doubles (< 2^53), so the corpus average is order-independent and
+    // the rounded scores hash-match cross-engine.
+    q("d25_bm25", {
+      val terms = Seq("spark", "hash", "window", "merge").map(t => s"'$t'").mkString(", ")
+      s"""WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS DOUBLE) AS dl FROM documents),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, unnest($sqlTokens) AS term FROM documents)
+         |  WHERE term IN ($terms) GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |    * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl))), 4) AS bm25
+         |FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id), c
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.CurationOps.bm25Scores(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "window", "merge"))
+        .select(col("doc_id"), Qf.dround(col("bm25_raw"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // ---------------------------------------------------------------- PII scrubbing
+    // redaction pass: mask emails and long digit runs, count what was
+    // masked. The corpus itself is synthetic word-salad, so the PII is
+    // derived IN-QUERY from doc_id (deterministic, oracle-checkable) —
+    // the operator (pattern list + scrub + counts) is the deliverable.
+    q("d26_pii_scrub",
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || doc_id ||
+         |    '@example.com ref ' || doc_id * 7919 AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(raw,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{3,}', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(raw,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{3,}')) AS INTEGER) AS n_nums
+         |FROM synth ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+        col("doc_id") * 7919)
+      val (nEmails, nNums) = graft.operators.CurationOps.piiCounts(raw)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.CurationOps.piiScrub(raw).as("scrubbed"),
+          nEmails.as("n_emails"), nNums.as("n_nums"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- weighted sampling
+    // probability-proportional-to-size Bernoulli sample on a stable hash:
+    // keep iff hash(doc_id) mod M < weight·scale. Pure integer
+    // arithmetic — reproducible across engines AND partitionings (which
+    // `df.sample` is not), pushed to the scan as a per-row predicate.
+    q("d27_weighted_sample",
+      s"""SELECT doc_id, n_chars
+         |FROM documents
+         |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)", "")} % 1000000
+         |      < least(1000000, n_chars * 300)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .filter(graft.operators.CurationOps.weightedKeep(
+          col("doc_id"), col("n_chars"), 300))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- context-window packing
+    // training-sequence packing: greedy fixed-budget bins in id order
+    // WITHIN each source shard (exclusive running token sum ÷ context).
+    // Packing is inherently sequential, so the scale-honest form
+    // parallelizes across shards — one sort-based window per shard, no
+    // global sort.
+    q("d28_doc_packing",
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum
+         |  FROM t)
+         |SELECT source, CAST(floor(cum / 2048) AS INTEGER) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.packBins(
+        table(s, dir, "documents"), "source", "doc_id", "text", contextLen = 2048)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    },
+
+    // ---------------------------------------------------------------- byte-entropy quality proxy
+    // Shannon entropy of the UTF-8 byte distribution (bits/byte): the
+    // quality signal repetition heuristics miss from the other direction
+    // — near-0 for degenerate loops, ~4.2 for English, ~8 for binary
+    // noise. Spark folds the fused 256-bucket histogram per row (scan
+    // speed, zero shuffle); the oracle re-derives counts via group-by.
+    q("d29_byte_entropy",
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+        |      i -> CAST('0x' || substr(hx, 2*i-1, 2) AS INTEGER))) AS b,
+        |    octet_length(encode(text)) AS n
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx, text FROM documents)),
+        |cnt AS (SELECT doc_id, b, count(*) AS c, any_value(n) AS n FROM codes GROUP BY 1, 2)
+        |SELECT doc_id, round(-sum((c / n) * ln(c / n)) / ln(2), 4) AS byte_entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        Qf.dround(TextOps.byteEntropy(col("text")), 4).as("byte_entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- embedding cluster cohesion
+    // per-label centroid + cohesion over the embedding corpus: member
+    // count, centroid L2 norm, mean member→centroid cosine. Centroid
+    // components are rounded to 6 decimals on BOTH sides so the cosine
+    // pass scores against bit-identical centroids regardless of
+    // summation order. (For unit-normalized embeddings avg_cos ≈
+    // centroid_norm — a free internal consistency check.)
+    q("s06_label_cohesion",
+      """WITH x AS (
+        |  SELECT label, vec_id, u.i AS i, CAST(u.v AS DOUBLE) AS v
+        |  FROM (SELECT label, vec_id,
+        |          unnest(list_transform(range(1, len(embedding) + 1),
+        |            j -> {'i': j, 'v': embedding[j]})) AS u
+        |        FROM embeddings)),
+        |cen AS (SELECT label, i, round(avg(v), 6) AS c FROM x GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cen GROUP BY 1),
+        |dots AS (
+        |  SELECT label, vec_id, sum(v * c) AS dot, sqrt(sum(v * v)) AS vnorm
+        |  FROM x JOIN cen USING (label, i) GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+        |  round(any_value(cnorm), 4) AS centroid_norm,
+        |  round(avg(dot / (vnorm * cnorm)), 4) AS avg_cos
+        |FROM dots JOIN cn USING (label)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      SimilarityOps.centroidCohesion(table(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("n_members"),
+          Qf.dround(col("centroid_norm_raw"), 4).as("centroid_norm"),
+          Qf.dround(col("avg_cos_raw"), 4).as("avg_cos"))
+        .orderBy("label")
     }
   )
 }

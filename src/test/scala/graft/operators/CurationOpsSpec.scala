@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for the corpus-curation operators (repetition rules,
+  * decontamination, BM25, PII scrubbing, weighted sampling, packing).
+  * Each is checked on hand-crafted rows with known answers; the
+  * cross-engine conformance runs live in d23-d28.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("wordNgrams emits sliding space-joined grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b", "a", "").toDF("text")
+      .select(TextOps.wordNgrams(col("text"), 3).as("g"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
+  }
+
+  test("repetitionStats flags a degenerate looping doc, clears a diverse one") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one bigram repeated 5x
+      (2L, "one two three four five six")       // all grams distinct
+    ).toDF("doc_id", "text")
+    val rows = CurationOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val spam = rows(0)
+    assert(spam.getAs[Double]("unique_ratio") == 0.1667) // dround(1/6, 4)
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)   // 5 of 5 bigrams
+    assert(spam.getAs[Double]("dup_trigram_frac") == 0.75) // 4 tri, 1 distinct
+    val clean = rows(1)
+    assert(clean.getAs[Double]("unique_ratio") == 1.0)
+    assert(clean.getAs[Double]("top_bigram_frac") == 0.2)
+    assert(clean.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("ngramOverlap finds exactly the training docs sharing a gram with the benchmark") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta"),  // shares "alpha beta gamma" + "beta gamma delta"
+      (11L, "alpha beta gamma"),        // shares one 3-gram
+      (12L, "zeta eta theta iota")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = CurationOps.ngramOverlap(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((10L, 2L), (11L, 1L)))
+  }
+
+  test("bm25: repeated query term outscores single hit; absent term scores no doc") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat bird fish mouse"),
+      (3L, "bird fish mouse vole")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.bm25Scores(docs, "doc_id", "text", Seq("cat", "unicorn"))
+      .orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L))      // only docs containing a query term
+    assert(got(1L) > got(2L))              // tf saturation still ranks 3x above 1x
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("piiScrub masks emails before digit runs; counts match occurrences") {
+    val df = Seq("mail bob123@x.co and 4567 code 89").toDF("t")
+    val (ne, nn) = CurationOps.piiCounts(col("t"))
+    val row = df.select(CurationOps.piiScrub(col("t")), ne, nn).head()
+    // the 123 inside the email must be consumed by <EMAIL>, not <NUM>;
+    // "89" is under the 3-digit floor and survives
+    assert(row.getString(0) == "mail <EMAIL> and <NUM> code 89")
+    assert(row.getInt(1) == 1 && row.getInt(2) == 1)
+  }
+
+  test("weightedKeep is deterministic and monotone in weight") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("w_lo", lit(100L)).withColumn("w_hi", lit(20000L))
+    val lo = df.filter(CurationOps.weightedKeep(col("id"), col("w_lo"), 100)).count()
+    val lo2 = df.filter(CurationOps.weightedKeep(col("id"), col("w_lo"), 100)).count()
+    val hi = df.filter(CurationOps.weightedKeep(col("id"), col("w_hi"), 100)).count()
+    assert(lo == lo2)                       // same hash, same sample
+    assert(lo < hi)                         // bigger weight, bigger sample
+    assert(hi == 2000)                      // 20000·100 ≥ M keeps everything
+    // keep rate ≈ weight·scale/M = 1%: loose 3σ band around 20/2000
+    assert(lo >= 5 && lo <= 45, s"lo=$lo outside the 1% band")
+  }
+
+  test("byteEntropy: 0 bits for one symbol, 1 bit for two, 2 bits for four") {
+    val got = Seq("aaaa", "abab", "abcd").toDF("t")
+      .select(TextOps.byteEntropy(col("t")).as("e"))
+      .as[Double].collect()
+    assert(got(0) == 0.0 && got(1) == 1.0 && got(2) == 2.0)
+  }
+
+  test("centroidCohesion: known 2-d case and member counts") {
+    val df = Seq(
+      (0, 1L, Seq(1.0f, 0.0f)), (0, 2L, Seq(0.0f, 1.0f)),  // centroid (.5,.5)
+      (1, 3L, Seq(1.0f, 0.0f))                             // singleton: cos 1
+    ).toDF("label", "vec_id", "embedding")
+    val got = SimilarityOps.centroidCohesion(df, "label", "embedding")
+      .orderBy("label").collect()
+    assert(got(0).getAs[Long]("n_members") == 2)
+    assert(math.abs(got(0).getAs[Double]("avg_cos_raw") - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(got(0).getAs[Double]("centroid_norm_raw") - math.sqrt(0.5)) < 1e-6)
+    assert(got(1).getAs[Long]("n_members") == 1)
+    assert(math.abs(got(1).getAs[Double]("avg_cos_raw") - 1.0) < 1e-6)
+  }
+
+  test("packBins: exclusive running sum bins docs per shard without splitting") {
+    val df = Seq(
+      // shard a: token counts 3,3,3 with context 4 → cum_excl 0,3,6 → bins 0,0,1
+      ("a", 1L, "x x x"), ("a", 2L, "y y y"), ("a", 3L, "z z z"),
+      // shard b packs independently from zero
+      ("b", 4L, "p p p")
+    ).toDF("source", "doc_id", "text")
+    val got = CurationOps.packBins(df, "source", "doc_id", "text", contextLen = 4)
+      .select("source", "doc_id", "bin")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 1L, 0), ("a", 2L, 0), ("a", 3L, 1), ("b", 4L, 0)))
+  }
+}
