@@ -26,28 +26,24 @@ object CurationOps {
     * share. High top-bigram / duplicate-trigram fractions flag the
     * degenerate repetitive text that length/stopword heuristics miss.
     *
-    * Shape: two explode → (id, gram) partial-agg pipelines (bigrams,
-    * trigrams) joined back to per-doc token counts — shuffles carry
-    * (id, gram-hash) pairs, never documents.
+    * Shape: every counter is PER-DOCUMENT, so the whole battery is one
+    * pass of the fused [[graft.functions.RepetitionStats]] kernel —
+    * per-row work at scan speed, ZERO shuffles at any corpus size (the
+    * explode → (id, gram) groupBy alternative shuffles every gram of
+    * the corpus twice). Gram fields are NULL for documents with too few
+    * tokens, matching the LEFT JOIN shape of the oracle SQL.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val id = col(idCol)
-    val base = docs.select(id, TextOps.tokenCount(col(textCol)).as("n_tokens"),
-      size(array_distinct(TextOps.tokens(col(textCol)))).cast("long").as("n_unique"))
-    def gramAgg(n: Int, top: String, total: String, distinct: String) = docs
-      .select(id, explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
-      .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(id).agg(max(col("c")).as(top), sum(col("c")).as(total),
-        count(lit(1)).as(distinct))
-    val bi = gramAgg(2, "top_bigram_n", "n_bigrams", "n_distinct_bigrams")
-    val tri = gramAgg(3, "top_trigram_n", "n_trigrams", "n_distinct_trigrams")
-    base.join(bi, Seq(idCol), "left").join(tri, Seq(idCol), "left")
-      .select(id,
-        col("n_tokens"),
-        graft.queries.Qf.dround(col("n_unique") / col("n_tokens"), 4).as("unique_ratio"),
-        graft.queries.Qf.dround(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
-        graft.queries.Qf.dround((col("n_trigrams") - col("n_distinct_trigrams")) / col("n_trigrams"), 4)
-          .as("dup_trigram_frac"))
+    val st = graft.functions.NgramExpressions.repetitionStats(col(textCol))
+    docs.select(col(idCol),
+      st.getField("n_tokens").as("n_tokens"),
+      graft.queries.Qf.dround(st.getField("n_unique") / st.getField("n_tokens"), 4)
+        .as("unique_ratio"),
+      graft.queries.Qf.dround(st.getField("top_bigram_n") / st.getField("n_bigrams"), 4)
+        .as("top_bigram_frac"),
+      graft.queries.Qf.dround(
+        (st.getField("n_trigrams") - st.getField("n_distinct_trigrams")) / st.getField("n_trigrams"), 4)
+        .as("dup_trigram_frac"))
   }
 
   /** Benchmark decontamination: training documents sharing at least one
@@ -59,8 +55,7 @@ object CurationOps {
   def ngramOverlap(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     def grams(df: DataFrame) = df.select(col(idCol),
-      explode(TextOps.wordNgrams(col(textCol), n)).as("__g"))
-      .select(col(idCol), DedupOps.md5Hash32(col("__g"), "").as("__h"))
+      explode(graft.functions.NgramExpressions.wordGramMd5s(col(textCol), n)).as("__h"))
     val benchGrams = grams(bench).select(col("__h")).distinct()
     grams(train).distinct()
       .join(broadcast(benchGrams), Seq("__h"))

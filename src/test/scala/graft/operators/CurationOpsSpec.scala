@@ -27,6 +27,68 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
   }
 
+  // Awkward-corpus rows exercising every tokenization edge: empty text,
+  // all-space text, leading/trailing/consecutive spaces (empty tokens
+  // count), single token, unicode + multibyte, long repetition runs.
+  private val awkward = Seq(
+    "", " ", "   ", "a", " a ", "a  b", "  a b  c ", "a b", "x y x y x y x y",
+    "über straße — ümlaut über straße", "日本 語 日本 語 日本", "a a a a a a a a a a",
+    "one two three four five six seven eight nine ten", "tab\tis one token",
+    "spam spam spam spam spam spam", "a b c d e f g h i j k l m n o p q r s t")
+
+  test("fused RepetitionStats kernel == composable explode/groupBy forms") {
+    import graft.functions.NgramExpressions
+    val df = awkward.toDF("text")
+    val st = NgramExpressions.repetitionStats(col("text"))
+    val fused = df.select(
+      st.getField("n_tokens").as("nt"), st.getField("n_unique").as("nu"),
+      st.getField("top_bigram_n").as("tb"), st.getField("n_bigrams").as("nb"),
+      st.getField("n_distinct_bigrams").as("ndb"),
+      st.getField("n_trigrams").as("ntr"), st.getField("n_distinct_trigrams").as("ndt"))
+      .collect()
+    val composable = df.select(
+      TextOps.tokenCount(col("text")).as("nt"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nu"),
+      TextOps.wordNgrams(col("text"), 2).as("bi"),
+      TextOps.wordNgrams(col("text"), 3).as("tri"))
+      .collect()
+    awkward.indices.foreach { i =>
+      val f = fused(i); val c = composable(i)
+      assert(f.getInt(0) == c.getInt(0), s"n_tokens row $i: ${awkward(i)}")
+      assert(f.getLong(1) == c.getLong(1), s"n_unique row $i: ${awkward(i)}")
+      val bi = c.getSeq[String](2)
+      val tri = c.getSeq[String](3)
+      if (bi.isEmpty) assert(f.isNullAt(2) && f.isNullAt(3) && f.isNullAt(4), s"row $i")
+      else {
+        val counts = bi.groupBy(identity).map(_._2.size)
+        assert(f.getLong(2) == counts.max.toLong, s"top_bigram row $i: ${awkward(i)}")
+        assert(f.getLong(3) == bi.size.toLong, s"n_bigrams row $i")
+        assert(f.getLong(4) == bi.distinct.size.toLong, s"nd_bigrams row $i")
+      }
+      if (tri.isEmpty) assert(f.isNullAt(5) && f.isNullAt(6), s"row $i")
+      else {
+        assert(f.getLong(5) == tri.size.toLong, s"n_trigrams row $i")
+        assert(f.getLong(6) == tri.distinct.size.toLong, s"nd_trigrams row $i")
+      }
+    }
+  }
+
+  test("fused WordGramMd5s kernel == md5Hash32 over composable wordNgrams") {
+    import graft.functions.NgramExpressions
+    val df = awkward.toDF("text")
+    Seq(1, 2, 3).foreach { n =>
+      val fused = df.select(NgramExpressions.wordGramMd5s(col("text"), n).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val composable = df.select(
+        transform(TextOps.wordNgrams(col("text"), n),
+          g => DedupOps.md5Hash32(g, "")).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      awkward.indices.foreach { i =>
+        assert(fused(i) == composable(i), s"n=$n row $i: '${awkward(i)}'")
+      }
+    }
+  }
+
   test("repetitionStats flags a degenerate looping doc, clears a diverse one") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // one bigram repeated 5x
