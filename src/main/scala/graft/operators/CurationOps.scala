@@ -119,6 +119,72 @@ object CurationOps {
     pmod(DedupOps.md5Hash32(id.cast("string"), ""), lit(SampleM)) <
       least(lit(SampleM), weight.cast("long") * scale)
 
+  /** Token-budget corpus mixing: downsample each source to (at most) a
+    * token budget, deterministically. Per-source keep rates derive from
+    * per-source token totals — a model-sized aggregate broadcast back —
+    * and membership is the same stable-hash predicate as
+    * [[weightedKeep]], so the mix is reproducible across engines,
+    * partitionings and retries. Rates are fixed-point (ppm) computed in
+    * INTEGER arithmetic: `keep_ppm = min(M, B·M div total)` — no float
+    * rounding to diverge cross-engine. The corpus itself never
+    * shuffles; it streams past a broadcast rate table.
+    */
+  def corpusMix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budgetTokens: Long): DataFrame = {
+    val base = docs.select(col(srcCol), col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val rates = base.groupBy(col(srcCol))
+      .agg(sum(col("n_tok")).as("__tot"))
+      .withColumn("keep_ppm",
+        least(lit(SampleM), expr(s"${budgetTokens * SampleM}L div __tot")))
+      .select(col(srcCol), col("keep_ppm"))
+    base.join(broadcast(rates), Seq(srcCol))
+      .filter(pmod(DedupOps.md5Hash32(col(idCol).cast("string"), ""), lit(SampleM))
+        < col("keep_ppm"))
+  }
+
+  /** Passage-level exact deduplication (the chunk-dedup pass big
+    * pipelines run to strip boilerplate repeated ACROSS documents that
+    * document-level dedup can't see): split each document into
+    * non-overlapping `w`-token passages, keep each distinct passage only
+    * at its first occurrence (min (doc_id, position) corpus-wide), and
+    * rebuild the scrubbed text per document.
+    *
+    * Scale shape: winner selection is `groupBy(passage-hash) →
+    * min(struct(id, pos))` — a partial aggregation that combines
+    * map-side, so a boilerplate passage with 10⁹ copies never funnels
+    * into one task (a `row_number` window over the hash WOULD — that is
+    * the skew trap this avoids). Two data shuffles total (winner join on
+    * the 8-byte hash, rebuild groupBy on id), each bounded by corpus
+    * size — inherent, since the output IS the scrubbed corpus.
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val spans = docs
+      .select(id, TextOps.tokens(col(textCol)).as("__t"))
+      .select(id, explode(transform(
+        sequence(lit(0), ceil(size(col("__t")) / lit(w.toDouble)).cast("int") - 1),
+        p => struct(p.as("pos"), concat_ws(" ", slice(col("__t"), p * w + 1, lit(w))).as("chunk"))))
+        .as("__c"))
+      .select(id, col("__c.pos").as("__pos"), col("__c.chunk").as("__chunk"))
+      .withColumn("__h", DedupOps.md5Hash32(col("__chunk"), ""))
+    val winners = spans.groupBy(col("__h"))
+      .agg(min(struct(id, col("__pos"))).as("__w"))
+    spans.join(winners, Seq("__h"))
+      .withColumn("__keep", col("__w") === struct(id, col("__pos")))
+      .groupBy(id)
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        when(sum(when(col("__keep"), 1).otherwise(0)) === 0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(
+              array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__chunk"))))),
+              x => x.getField("__chunk")), " "))
+          .as("text_dedup"))
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

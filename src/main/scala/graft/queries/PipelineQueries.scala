@@ -865,6 +865,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- token-budget corpus mixing
+    // epoch mixing: each source downsampled to a ~800-token budget via a
+    // per-source fixed-point rate (integer ppm — no float rounding to
+    // diverge cross-engine) and the stable-hash membership predicate.
+    // The rate table is model-sized and broadcast; the corpus streams
+    // past it without shuffling.
+    q("d31_corpus_mix",
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT source, least(1000000, (800 * 1000000) // sum(n_tok)) AS keep_ppm
+         |      FROM t GROUP BY source),
+         |k AS (SELECT t.source, doc_id, n_tok, keep_ppm
+         |      FROM t JOIN r USING (source)
+         |      WHERE ${sqlHash("CAST(doc_id AS VARCHAR)", "")} % 1000000 < keep_ppm)
+         |SELECT source, CAST(any_value(keep_ppm) AS BIGINT) AS keep_ppm,
+         |  count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.corpusMix(
+        table(s, dir, "documents"), "doc_id", "text", "source", budgetTokens = 800)
+        .groupBy(col("source"))
+        .agg(first(col("keep_ppm")).as("keep_ppm"),
+          count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tokens_kept"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- context-window packing
     // training-sequence packing: greedy fixed-budget bins in id order
     // WITHIN each source shard (exclusive running token sum ÷ context).
@@ -887,6 +911,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("source", "bin")
+    },
+
+    // ---------------------------------------------------------------- passage-level exact dedup
+    // chunk-granularity dedup (Lee et al.'s "deduplicating training
+    // data" pass): 10-token passages, each distinct passage survives
+    // only at its first (doc_id, pos) occurrence corpus-wide, text
+    // rebuilt from the survivors. Winner selection is a map-side-
+    // combining min(struct) aggregation, NOT a row_number window — a
+    // boilerplate passage with a billion copies would funnel one window
+    // task; the partial agg never does.
+    q("d30_passage_dedup",
+      s"""WITH tok AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |ch0 AS (SELECT doc_id, t,
+         |  unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS p FROM tok),
+         |ch AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         |  array_to_string(t[(p*10+1):least(p*10+10, len(t))], ' ') AS chunk FROM ch0),
+         |h AS (SELECT doc_id, pos, chunk, ${sqlHash("chunk", "")} AS hh FROM ch),
+         |r AS (SELECT doc_id, pos, chunk,
+         |  row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn FROM h)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS INTEGER) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text_dedup
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.passageDedup(
+        table(s, dir, "documents"), "doc_id", "text", w = 10)
+        .orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- byte-entropy quality proxy
@@ -939,6 +989,22 @@ object PipelineQueries {
           Qf.dround(col("centroid_norm_raw"), 4).as("centroid_norm"),
           Qf.dround(col("avg_cos_raw"), 4).as("avg_cos"))
         .orderBy("label")
+    },
+
+    // ---------------------------------------------------------------- product-quantization ANN
+    // PQ asymmetric-distance top-k with exact re-rank (model-dependent →
+    // rows-only here; AccuracySpec gates recall@5 against the exact s05
+    // answer). 64 floats/vector compress to 8 codes; candidates score
+    // via broadcast per-query lookup tables, then the top-100 ADC pool
+    // re-ranks with exact distances — the scale path where the float
+    // corpus no longer fits executor memory.
+    q("s07_pq_topk", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = graft.operators.PqIndex.train(emb, "embedding", m = 8, k = 32, iters = 5)
+      graft.operators.PqIndex.annTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", model, k = 5, rerank = 100)
+        .orderBy("query_id", "rk")
     }
   )
 }

@@ -35,6 +35,22 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"IVF recall@5 = $recall%.3f < 0.6 (nprobe=3/8)")
   }
 
+  test("s07 gate: PQ+rerank ANN recall@5 vs brute force ≥ 0.7 at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = PqIndex.train(emb, "embedding", m = 8, k = 32, iters = 5)
+    val pq = PqIndex.annTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", model, k = 5, rerank = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.l2TopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, f"PQ recall@5 = $recall%.3f < 0.7 (m=8, k=32, rerank=100)")
+  }
+
   test("d22 gate: count-min estimates are one-sided and within the ε·N bound") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = docs.select(explode(TextOps.tokens(col("text"))).as("token"))

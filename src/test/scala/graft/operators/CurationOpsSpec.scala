@@ -118,6 +118,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 2L), (11L, 1L)))
   }
 
+  test("passageDedup keeps first occurrence of each passage, rebuilds text") {
+    // w=2 passages; doc 1: [a b][c d][a b] — third passage duplicates its
+    // own first; doc 2 repeats doc 1's opener then adds fresh text; doc 3
+    // is entirely doc 1's opener (fully scrubbed away).
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.passageDedup(docs, "doc_id", "text", w = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3, 2, "a b c d"),
+      (2L, 2, 1, "x y"),
+      (3L, 1, 0, null)))
+  }
+
   test("bm25: repeated query term outscores single hit; absent term scores no doc") {
     val docs = Seq(
       (1L, "cat cat cat dog"),
