@@ -36,19 +36,87 @@ object PqIndex {
     def k: Int = codebooks.head.k
   }
 
-  /** Train one codebook per subspace (m passes over the cached vector
-    * column — each pass is an IvfIndex.train on a dim/m slice).
+  /** Train all `m` codebooks in ONE pass per Lloyd iteration: the
+    * per-partition kernel assigns every subvector of a row to its
+    * nearest codeword and accumulates m×k×subDim centroid sums — so
+    * training costs `iters` scans of the corpus total, not `m × iters`
+    * (and only model-sized partials ever reach the driver, combined in
+    * partition-index order for determinism). Produces bit-identical
+    * codebooks to running IvfIndex.train per subspace slice: same
+    * strided seeds, same fixed-count iterations, same tie-breaking.
     */
   def train(data: DataFrame, vecCol: String, m: Int, k: Int, iters: Int): Model = {
-    val dim = data.select(size(col(vecCol))).first().getInt(0)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val vecs = data.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].rdd.map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count()
+    require(n > 0, "cannot train PQ on an empty dataset")
+    val dim = vecs.first().length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val books = (0 until m).map { j =>
-      IvfIndex.train(
-        data.select(slice(col(vecCol), j * subDim + 1, subDim).as("__sub")),
-        "__sub", k, iters)
-    }.toVector
-    Model(subDim, books)
+
+    // deterministic init: evenly-strided rows (same rows IvfIndex picks)
+    val stride = math.max(1L, n / k)
+    val init = vecs.zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 && i / stride < k }
+      .map { case (v, i) => (i / stride, v) }
+      .collect() // exactly ≤k seed vectors reach the driver
+      .sortBy(_._1).map(_._2)
+    val kk = init.length
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, kk)((j, c) => init(c).slice(j * subDim, (j + 1) * subDim))
+
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = vecs.mapPartitionsWithIndex { (pid, it) =>
+        val cent = bc.value
+        val sums = Array.ofDim[Double](m, kk, subDim)
+        val cnts = Array.ofDim[Long](m, kk)
+        it.foreach { v =>
+          var j = 0
+          while (j < m) {
+            val off = j * subDim
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < kk) {
+              var d = 0.0; var i = 0
+              val cc = cent(j)(c)
+              while (i < subDim) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            val s = sums(j)(best); var i = 0
+            while (i < subDim) { s(i) += v(off + i); i += 1 }
+            cnts(j)(best) += 1
+            j += 1
+          }
+        }
+        Iterator((pid, (sums, cnts)))
+      }.collect() // m×k×(subDim+1) doubles per partition — the model, not the data
+      bc.destroy()
+      val sums = Array.ofDim[Double](m, kk, subDim)
+      val cnts = Array.ofDim[Long](m, kk)
+      partials.sortBy(_._1).foreach { case (_, (ps, pc)) =>
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < kk) {
+            var i = 0
+            while (i < subDim) { sums(j)(c)(i) += ps(j)(c)(i); i += 1 }
+            cnts(j)(c) += pc(j)(c); c += 1
+          }
+          j += 1
+        }
+      }
+      // empty clusters keep their previous codeword
+      books = Array.tabulate(m, kk) { (j, c) =>
+        if (cnts(j)(c) == 0) books(j)(c)
+        else sums(j)(c).map(_ / cnts(j)(c))
+      }
+    }
+    vecs.unpersist(blocking = false)
+    Model(subDim, books.map(b => IvfIndex.Model(b.toVector)).toVector)
   }
 
   /** Code columns (one per subspace): nearest-codeword id for each
