@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates for the scale-critical operator shapes.
+  * Correctness tests prove the small-SF answer; these prove the PLAN is
+  * the one that survives a 100× scale-up — per-row kernels stay
+  * shuffle-free, model-sized sides stay broadcast, and the known skew
+  * traps (windows over corpus-frequency keys) stay out of the plans.
+  * AQE is disabled per-test (runtime-mutable conf) so the asserted
+  * static shapes are deterministic.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withStaticPlans[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def nodes[T <: SparkPlan](df: DataFrame)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    df.queryExecution.executedPlan.collect(pf)
+
+  private def shuffles(df: DataFrame): Int =
+    nodes(df) { case e: ShuffleExchangeExec => e }.size
+  private def broadcasts(df: DataFrame): Int =
+    nodes(df) { case e: BroadcastExchangeExec => e }.size
+  private def windows(df: DataFrame): Int =
+    nodes(df) { case w: WindowExec => w }.size
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("repetitionStats is a pure scan: zero shuffles, zero windows") {
+    withStaticPlans {
+      val df = CurationOps.repetitionStats(docs, "doc_id", "text")
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(windows(df) == 0)
+    }
+  }
+
+  test("corpusMix: corpus streams past a broadcast rate table (1 shuffle, 1 broadcast)") {
+    withStaticPlans {
+      val df = CurationOps.corpusMix(docs, "doc_id", "text", "source", 800)
+      assert(shuffles(df) == 1, df.queryExecution.executedPlan.toString) // the model-sized rate agg
+      assert(broadcasts(df) == 1)
+    }
+  }
+
+  test("passageDedup: no window over the chunk hash (the skew trap)") {
+    withStaticPlans {
+      val df = CurationOps.passageDedup(docs, "doc_id", "text", 10)
+      assert(windows(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(shuffles(df) <= 3) // winner agg (+join when not broadcast) + rebuild agg
+    }
+  }
+
+  test("PQ annTopK: corpus scores through broadcast LUTs; shuffles only for top-k windows") {
+    withStaticPlans {
+      val model = PqIndex.train(emb, "embedding", m = 8, k = 32, iters = 1)
+      val df = PqIndex.annTopK(emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", model, k = 5, rerank = 20)
+      assert(shuffles(df) <= 2, df.queryExecution.executedPlan.toString) // ADC pool window + exact re-rank window
+      assert(broadcasts(df) >= 2) // LUTs, pool ids, query vectors
+    }
+  }
+
+  test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
+    withStaticPlans {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      import spark.implicits._
+      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "av")
+      val b = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "bv")
+      spark.sql("DROP TABLE IF EXISTS bucket_a")
+      spark.sql("DROP TABLE IF EXISTS bucket_b")
+      a.write.bucketBy(4, "id").sortBy("id").option("path", s"$wh/bucket_a").saveAsTable("bucket_a")
+      b.write.bucketBy(4, "id").sortBy("id").option("path", s"$wh/bucket_b").saveAsTable("bucket_b")
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "id")
+      assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 1000)
+    }
+  }
+}
