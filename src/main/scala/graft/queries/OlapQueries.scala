@@ -828,6 +828,32 @@ object OlapQueries {
         .orderBy("user_id")
     },
 
+    // ---------------------------------------------------------------- Z-order clustering key
+    // Morton interleave of (partkey, suppkey) low bits — the multi-
+    // dimensional clustering key a Z-ORDER write sorts by (LayoutOps
+    // .zorderBy). Pure codegen'd bitwise arithmetic; the oracle runs the
+    // IDENTICAL formula (generated from the same constants). The top-100
+    // scan shape is TakeOrderedAndProject: per-partition heaps, no
+    // global sort.
+    q("q53_zorder_key", {
+      val z = graft.operators.LayoutOps.sqlZValue("l_partkey % 1024", "l_suppkey % 1024")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey % 1024 AS BIGINT) AS px,
+         |  CAST(l_suppkey % 1024 AS BIGINT) AS sx,
+         |  $z AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.LayoutOps
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_suppkey"), lit(1024)).cast("long").as("sx"))
+        .withColumn("z", LayoutOps.zValue(col("px"), col("sx")))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

@@ -29,7 +29,11 @@ object ExplainAudit {
       "s02_ann_buckets",      // fused DotProductFD (no interpreted HOF)
       "d10_ngram_jaccard",    // sorted merge-count kernel (IntersectCountS)
       "q40_percentiles",      // distributed exact quantiles (no group buffering)
-      "q45_hash_sample")      // deterministic sample as pushed scan predicate
+      "q45_hash_sample",      // deterministic sample as pushed scan predicate
+      "d23_repetition",       // fused per-row kernel: zero shuffles
+      "d30_passage_dedup",    // min(struct) winner agg, no window skew trap
+      "d31_corpus_mix",       // broadcast rate table, corpus never shuffles
+      "s07_pq_topk")          // PQ codes + broadcast LUTs + exact re-rank
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)

@@ -77,6 +77,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue interleaves bits (Morton order) and matches its own SQL form") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (1023L, 1L), (65535L, 65535L)).toDF("x", "y")
+    val got = df.select(
+      LayoutOps.zValue(col("x"), col("y")).as("z"),
+      expr(LayoutOps.sqlZValue("x", "y")).as("zsql"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got(0) == ((39L, 39L))) // x=11b -> 0101b, y=101b -> 010001b<<1
+    assert(got(1) == ((0L, 0L)))
+    assert(got(2)._1 == got(2)._2)
+    assert(got(3) == (((1L << 32) - 1, (1L << 32) - 1))) // full 16+16 bits
+    got.foreach { case (z, zsql) => assert(z == zsql) }
+  }
+
+  test("zorderBy plans a range repartition + within-partition sort (no global sort)") {
+    withStaticPlans {
+      val df = LayoutOps.zorderBy(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        numFiles = 4, pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024)))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("rangepartitioning") => e
+      }.size == 1, plan.toString)
+      val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.nonEmpty && sorts.forall(!_.global), plan.toString)
+    }
+  }
+
+  test("writeSized compacts to the target file count with per-file record caps") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sized").toString + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    LayoutOps.writeSized(li, out, col("l_orderkey"), numFiles = 4, maxRecordsPerFile = 10000)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.map(_.getName).mkString(","))
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+  }
+
   test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
     withStaticPlans {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
