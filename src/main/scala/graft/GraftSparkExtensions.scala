@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.StringType
   *
   * Injects the engine's SQL surface into every session built over the
   * extension: scalar kernels (`dot_f`, `dot_fd`, `intersect_count_s`,
-  * `md5_hash32`) and the table-valued `redis_scan('glob')` /
-  * `redis_kv('glob')` / `redis_hash('glob')` sources (the reference's
-  * primary syntax). Session-scoped registration for an existing session
-  * remains available via `GraftRedis.registerSql`.
+  * `md5_hash32`, `text_stats`, `normalize_text`, `repetition_stats`,
+  * `word_gram_md5s`, `shingle_hash32s`) and the table-valued
+  * `redis_scan('glob')` / `redis_kv('glob')` / `redis_hash('glob')`
+  * sources (the reference's primary syntax). Session-scoped registration
+  * for an existing session remains available via `GraftRedis.registerSql`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -42,6 +43,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       .option("pattern", pattern).load()
   }
 
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case l if l.foldable && l.eval() != null => l.eval().toString.toInt
+    case _ => throw new IllegalArgumentException(s"$fn expects a literal integer argument")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f"), info("dot_f"),
       (es: Seq[Expression]) => graft.functions.DotProductF(es(0), es(1))))
@@ -51,6 +57,19 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.IntersectCountS(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("md5_hash32"), info("md5_hash32"),
       (es: Seq[Expression]) => graft.functions.Md5Hash32(es(0))))
+    ext.injectFunction((FunctionIdentifier("text_stats"), info("text_stats"),
+      (es: Seq[Expression]) =>
+        graft.functions.TextStats(es(0), graft.operators.TextOps.DefaultStopwords)))
+    ext.injectFunction((FunctionIdentifier("normalize_text"), info("normalize_text"),
+      (es: Seq[Expression]) => graft.functions.NormalizeText(es(0))))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"), info("repetition_stats"),
+      (es: Seq[Expression]) => graft.functions.RepetitionStats(es(0))))
+    ext.injectFunction((FunctionIdentifier("word_gram_md5s"), info("word_gram_md5s"),
+      (es: Seq[Expression]) =>
+        graft.functions.WordGramMd5s(es(0), intArg(es(1), "word_gram_md5s"))))
+    ext.injectFunction((FunctionIdentifier("shingle_hash32s"), info("shingle_hash32s"),
+      (es: Seq[Expression]) => graft.functions.ShingleHash32s(es(0),
+        intArg(es(1), "shingle_hash32s"), intArg(es(2), "shingle_hash32s").toLong)))
 
     Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
       .foreach { case (fn, fmt) =>

@@ -50,6 +50,20 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS h").head().getLong(0)
     assert(h == expected)
 
+    // text kernels available in plain SQL
+    val rep = spark.sql(
+      "SELECT repetition_stats('a b a b').n_tokens AS nt, repetition_stats('a b a b').top_bigram_n AS tb")
+      .head()
+    assert(rep.getInt(0) == 4 && rep.getLong(1) == 2L) // "a b" twice of [a b, b a, a b]
+    val grams = spark.sql("SELECT word_gram_md5s('x y z', 2) AS g").head().getSeq[Long](0)
+    val gramsExpected = spark.sql(
+      "SELECT array(md5_hash32('x y'), md5_hash32('y z')) AS g").head().getSeq[Long](0)
+    assert(grams == gramsExpected)
+    assert(spark.sql("SELECT normalize_text('  A   b ') AS t").head().getString(0) == "a b")
+    assert(spark.sql("SELECT text_stats('the cat') AS s").head()
+      .getStruct(0).getAs[Int]("n_stop") == 1)
+    assert(spark.sql("SELECT size(shingle_hash32s('abcdef', 5, 100)) AS n").head().getInt(0) == 2)
+
     // table-valued sources parse as-is
     assert(spark.sql("SELECT count(*) FROM redis_scan('ext:*')").head().getLong(0) == 5L)
     assert(spark.sql("SELECT value FROM redis_kv('ext:*') WHERE key = 'ext:3'")

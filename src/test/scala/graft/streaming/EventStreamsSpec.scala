@@ -57,6 +57,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation kernels run unchanged on a stream (stream == batch results)") {
+    // the per-row curation kernels (repetition stats, PII scrub, quality)
+    // are stateless Column expressions, so the same code path serves
+    // readStream without modification — the stream/batch unification the
+    // engine promises for scoring pipelines.
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docs-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val raw = spark.read.parquet(docsPath)
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val st = graft.functions.NgramExpressions.repetitionStats(col("text"))
+      df.select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_unique").as("n_unique"),
+        graft.operators.CurationOps.piiScrub(col("text")).as("scrubbed"))
+    }
+    val q = score(spark.readStream.schema(raw.schema).parquet(docsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM curation_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+      val batch = score(raw)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 500)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals equal batch per-user totals") {
     import spark.implicits._
     val evts = batchEvents()
