@@ -939,6 +939,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- end-to-end curation funnel
+    // the full FILTERING funnel in one plan (complement of d13's pairing
+    // funnel): language gate → quality threshold → repetition gate →
+    // exact dedup (min-id winner per normalized fingerprint) →
+    // benchmark decontamination (3-gram anti-join) → per-source yield.
+    // Every stage is a per-row kernel or model-sized-side join; the two
+    // data shuffles are the dedup winner agg and the final source agg.
+    q("d32_curation_pipeline",
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, $sqlTokens AS tok FROM documents
+         |  WHERE lang = 'en' AND doc_id % 97 <> 0),
+         |ql AS (SELECT *,
+         |  0.5 * (1 - (len(list_filter(tok, t -> t IN ($stopList))) / len(tok)))
+         |    + 0.5 * least(1.0, len(tok) / 100.0) AS quality FROM base),
+         |f1 AS (SELECT * FROM ql WHERE quality >= 0.6),
+         |f2 AS (SELECT * FROM f1 WHERE len(list_distinct(tok)) / len(tok) >= 0.35),
+         |fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fpr FROM f2),
+         |win AS (SELECT fpr, min(doc_id) AS wdoc FROM fp GROUP BY 1),
+         |dd AS (SELECT fp.* FROM fp JOIN win ON fp.fpr = win.fpr AND fp.doc_id = win.wdoc),
+         |bg AS (
+         |  SELECT DISTINCT ${sqlHash("g0", "")} AS h FROM (
+         |    SELECT unnest(${sqlNgrams("(" + sqlTokens + ")", 3)}) AS g0
+         |    FROM documents WHERE doc_id % 97 = 0)),
+         |dg AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, ${sqlHash("g0", "")} AS h FROM (
+         |      SELECT doc_id, unnest(${sqlNgrams("tok", 3)}) AS g0 FROM dd))
+         |  WHERE h IN (SELECT h FROM bg)),
+         |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dg))
+         |SELECT source, count(*) AS n_docs, CAST(sum(len(tok)) AS BIGINT) AS n_tokens
+         |FROM clean GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val st = graft.functions.NgramExpressions.repetitionStats(col("text"))
+      val filtered = docs
+        .filter(col("lang") === "en" && col("doc_id") % 97 =!= 0)
+        .filter(TextOps.qualityScore(col("text")) >= 0.6)
+        .filter((st.getField("n_unique") / st.getField("n_tokens")) >= 0.35)
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+      val winners = filtered.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = filtered.join(winners, Seq("__fp", "doc_id"))
+      val contaminated = CurationOps.ngramOverlap(
+        deduped, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- byte-entropy quality proxy
     // Shannon entropy of the UTF-8 byte distribution (bits/byte): the
     // quality signal repetition heuristics miss from the other direction
