@@ -73,6 +73,20 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation kernels and passage dedup tolerate NULL text") {
+    import graft.functions.NgramExpressions
+    val df = Seq((1L, "a b c"), (2L, null)).toDF("doc_id", "text")
+    val rep = df.select(NgramExpressions.repetitionStats(col("text")).as("s"))
+      .collect()
+    assert(!rep(0).isNullAt(0) && rep(1).isNullAt(0)) // null in -> null struct
+    val grams = df.select(NgramExpressions.wordGramMd5s(col("text"), 2).as("g"))
+      .collect()
+    assert(grams(0).getSeq[Long](0).nonEmpty && grams(1).isNullAt(0))
+    val dedup = CurationOps.passageDedup(df, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+    assert(dedup.length == 1 && dedup(0).getLong(0) == 1L) // null doc drops from explode
+  }
+
   test("fused WordGramMd5s kernel == md5Hash32 over composable wordNgrams") {
     import graft.functions.NgramExpressions
     val df = awkward.toDF("text")
