@@ -56,4 +56,29 @@ object SkewOps {
     case MinAgg(_, out) => min(col(s"__p_$out")).as(out)
     case MaxAgg(_, out) => max(col(s"__p_$out")).as(out)
   }
+
+  /** Salted equi-join for a hot-keyed BIG side against a side too large
+    * to broadcast: the big side gets a deterministic per-row salt, the
+    * small side replicates `salts`× with every salt value, and the join
+    * runs on `key + salt` — each hot key's rows spread over `salts`
+    * shuffle partitions instead of funneling into one. Result is
+    * row-identical to the plain join (every big row still meets every
+    * matching small row exactly once, under exactly one salt).
+    *
+    * Use when AQE's skew-join split can't apply (it only rewrites
+    * sort-merge/shuffle-hash joins it plans itself — not stateful or
+    * pre-partitioned pipelines). Cost: the small side shuffles `salts`×
+    * its size; pick `salts` ≈ hot-key-rows / healthy-partition-rows.
+    * The salt is content-deterministic (like [[saltedAgg]]'s) so task
+    * retries rebuild identical partitions.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
 }

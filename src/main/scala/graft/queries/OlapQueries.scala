@@ -854,6 +854,27 @@ object OlapQueries {
         .limit(100)
     },
 
+    // ---------------------------------------------------------------- salted join (hot-key skew, non-broadcastable dim)
+    // identical rows to the plain equi-join (the oracle IS the plain
+    // join): the big side salts deterministically, the dim replicates
+    // salts×, the join runs on (key, salt) — a hot user's events spread
+    // over 8 partitions instead of one. For when AQE's skew split can't
+    // apply and the dim is too big to broadcast.
+    q("q54_salted_join",
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      graft.operators.SkewOps.saltedJoin(ev, cust, "user_id", salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          Qf.dround(sum(col("value")), 2).as("sum_value"))
+        .orderBy("c_nationkey")
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

@@ -362,6 +362,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("SkewOps.saltedJoin is row-identical to the plain equi-join") {
+    import spark.implicits._
+    // hot key: id 7 carries half the big side
+    val big = ((1L to 500L).map(i => (i % 20, s"b$i")) ++
+      (1L to 500L).map(i => (7L, s"hot$i"))).toDF("id", "payload")
+    val small = (0L to 19L).map(i => (i, s"dim$i")).toDF("id", "attr")
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = SkewOps.saltedJoin(big, small, "id", salts)
+        .select("id", "payload", "attr").as[(Long, String, String)].collect().sorted.toSeq
+      val plain = big.join(small, Seq("id"))
+        .select("id", "payload", "attr").as[(Long, String, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+  }
+
   test("IntervalJoin.pointInInterval matches the nested-loop theta join") {
     val points = (0L to 200L).map(i => (i, i % 97)).toDF("p_id", "p")
     val intervals = Seq((1L, 5L, 20L), (2L, 18L, 19L), (3L, 90L, 130L), (4L, 300L, 400L))
