@@ -73,6 +73,42 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("RepetitionStats kernel matches a plain-Scala reference on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop}
+    // alphabet rich in spaces + multibyte chars to stress span arithmetic
+    val charGen = Gen.frequency((4, Gen.const(' ')), (3, Gen.oneOf('a', 'b')),
+      (1, Gen.oneOf('ü', '日')), (1, Gen.oneOf('x', 'Z', '0')))
+    val strGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    def reference(s: String): (Int, Long, Option[(Long, Long, Long)], Option[(Long, Long)]) = {
+      val toks = s.replaceAll("^ +", "").replaceAll(" +$", "").split(" ", -1).toSeq
+      def grams(n: Int) = if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val bi = grams(2); val tri = grams(3)
+      (toks.size, toks.distinct.size.toLong,
+        if (bi.isEmpty) None
+        else Some((bi.groupBy(identity).map(_._2.size).max.toLong, bi.size.toLong, bi.distinct.size.toLong)),
+        if (tri.isEmpty) None else Some((tri.size.toLong, tri.distinct.size.toLong)))
+    }
+    val prop = Prop.forAll(strGen) { s =>
+      val row = graft.functions.NgramUtil.repetitionStats(UTF8String.fromString(s))
+      val (nt, nu, biRef, triRef) = reference(s)
+      row.getInt(0) == nt && row.getLong(1) == nu &&
+        (biRef match {
+          case None => row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4)
+          case Some((top, total, dist)) =>
+            row.getLong(2) == top && row.getLong(3) == total && row.getLong(4) == dist
+        }) &&
+        (triRef match {
+          case None => row.isNullAt(5) && row.isNullAt(6)
+          case Some((total, dist)) => row.getLong(5) == total && row.getLong(6) == dist
+        })
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("curation kernels and passage dedup tolerate NULL text") {
     import graft.functions.NgramExpressions
     val df = Seq((1L, "a b c"), (2L, null)).toDF("doc_id", "text")
