@@ -875,6 +875,28 @@ object OlapQueries {
         .orderBy("c_nationkey")
     },
 
+    // ---------------------------------------------------------------- metadata-only aggregation
+    // COUNT/MIN/MAX answered from parquet FOOTER STATISTICS — zero data
+    // pages read. At 100 TB this is the difference between a full scan
+    // and reading a few MB of metadata. Needs the DSv2 parquet path +
+    // aggregatePushdown, enabled on a cloned session (newSession shares
+    // the context but isolates the SQLConf from concurrently-planning
+    // queries); plan shows `PushedAggregation: [COUNT(*), MIN(...)]`
+    // (asserted in PlanShapeSpec).
+    q("q55_metadata_agg",
+      """SELECT count(*) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      table(s2, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"))
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

@@ -115,6 +115,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(back.count() == li.count())
   }
 
+  test("metadata-only aggregation pushes COUNT/MIN/MAX into the parquet scan") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val df = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_extendedprice)]"),
+      plan)
+    assert(df.head().getLong(0) == 6000L)
+  }
+
   test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
     withStaticPlans {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
