@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation operators a large-scale training-data pipeline needs
   * beyond dedup/similarity: repetition-based quality rules, benchmark
   * decontamination, keyword search, PII scrubbing, weighted sampling,
-  * and context-window packing.
+  * token-budget corpus mixing, passage-level exact dedup, and
+  * context-window packing.
   *
   * Scale design (100 TB):
   *  - every operator is a declarative plan (explode + partial-agg
