@@ -875,6 +875,28 @@ object OlapQueries {
         .orderBy("c_nationkey")
     },
 
+    // ---------------------------------------------------------------- LATERAL correlated subquery
+    // per-customer top-2 orders via SQL LATERAL — the correlated-
+    // derived-table surface (both engines parse the identical query).
+    // Catalyst decorrelates it into the same window/top-k shape as the
+    // DataFrame form, so no nested-loop survives in the plan.
+    q("q56_lateral_topk",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      table(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_lat c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+
     // ---------------------------------------------------------------- metadata-only aggregation
     // COUNT/MIN/MAX answered from parquet FOOTER STATISTICS — zero data
     // pages read. At 100 TB this is the difference between a full scan
