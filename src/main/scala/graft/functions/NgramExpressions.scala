@@ -147,6 +147,40 @@ object NgramUtil {
     row
   }
 
+  /** Non-overlapping `w`-token passages with positions and md5-32
+    * hashes, one pass: passage `p` covers tokens `[p·w, min((p+1)·w,
+    * nTok))`, and its string is the byte slice between its end tokens
+    * (single-space separators), so chunk text, position, and hash all
+    * come from the same span walk — no token array, no slices, no
+    * concat, no second hashing projection.
+    */
+  def wordChunks(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    val nChunks = (nTok + w - 1) / w
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](nChunks)
+    val d = Md5Util.digest()
+    val scratch = new Array[Byte](16)
+    var p = 0
+    while (p < nChunks) {
+      val off = spans(2 * p * w)
+      val lastTok = math.min((p + 1) * w, nTok) - 1
+      val len = spans(2 * lastTok + 1) - off
+      d.reset()
+      d.update(bytes, off, len)
+      d.digest(scratch, 0, 16)
+      val h = ((scratch(0) & 0xffL) << 24) | ((scratch(1) & 0xffL) << 16) |
+        ((scratch(2) & 0xffL) << 8) | (scratch(3) & 0xffL)
+      // defensive copy: getBytes MAY return the string's underlying
+      // (possibly reused) buffer, and these chunk strings outlive the row
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(
+        p, UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, off, off + len)), h)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
   /** md5-32 hash of every word n-gram — bit-identical to
     * `transform(wordNgrams(text, n), g => md5Hash32(g))` (the gram
     * string's UTF-8 bytes ARE the byte slice between its end tokens),
@@ -225,10 +259,36 @@ final case class WordGramMd5s(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `word_chunks(text, w)` → ARRAY<STRUCT<pos INT, chunk STRING, h BIGINT>>
+  * (see [[NgramUtil.wordChunks]]).
+  */
+final case class WordChunks(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "chunk width must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.wordChunks(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramUtil.wordChunks($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NgramExpressions {
   import org.apache.spark.sql.GraftSqlShims
   def repetitionStats(text: Column): Column =
     GraftSqlShims.column(RepetitionStats(GraftSqlShims.expression(text)))
   def wordGramMd5s(text: Column, n: Int): Column =
     GraftSqlShims.column(WordGramMd5s(GraftSqlShims.expression(text), n))
+  def wordChunks(text: Column, w: Int): Column =
+    GraftSqlShims.column(WordChunks(GraftSqlShims.expression(text), w))
 }

@@ -163,13 +163,10 @@ object CurationOps {
       w: Int = 10): DataFrame = {
     val id = col(idCol)
     val spans = docs
-      .select(id, TextOps.tokens(col(textCol)).as("__t"))
-      .select(id, explode(transform(
-        sequence(lit(0), ceil(size(col("__t")) / lit(w.toDouble)).cast("int") - 1),
-        p => struct(p.as("pos"), concat_ws(" ", slice(col("__t"), p * w + 1, lit(w))).as("chunk"))))
-        .as("__c"))
-      .select(id, col("__c.pos").as("__pos"), col("__c.chunk").as("__chunk"))
-      .withColumn("__h", DedupOps.md5Hash32(col("__chunk"), ""))
+      .select(id,
+        explode(graft.functions.NgramExpressions.wordChunks(col(textCol), w)).as("__c"))
+      .select(id, col("__c.pos").as("__pos"), col("__c.chunk").as("__chunk"),
+        col("__c.h").as("__h"))
     val winners = spans.groupBy(col("__h"))
       .agg(min(struct(id, col("__pos"))).as("__w"))
     spans.join(winners, Seq("__h"))

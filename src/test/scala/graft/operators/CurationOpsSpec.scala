@@ -123,6 +123,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dedup.length == 1 && dedup(0).getLong(0) == 1L) // null doc drops from explode
   }
 
+  test("fused WordChunks kernel == composable slice/concat chunking") {
+    import graft.functions.NgramExpressions
+    val df = awkward.toDF("text")
+    Seq(2, 10).foreach { w =>
+      val fused = df.select(NgramExpressions.wordChunks(col("text"), w).as("c"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))))
+      val composable = df.select(
+        transform(
+          sequence(lit(0),
+            ceil(size(TextOps.tokens(col("text"))) / lit(w.toDouble)).cast("int") - 1),
+          p => struct(p.as("pos"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), p * w + 1, lit(w))).as("chunk"),
+            DedupOps.md5Hash32(
+              concat_ws(" ", slice(TextOps.tokens(col("text")), p * w + 1, lit(w))), "").as("h")))
+          .as("c"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))))
+      awkward.indices.foreach { i =>
+        assert(fused(i) == composable(i), s"w=$w row $i: '${awkward(i)}'")
+      }
+    }
+  }
+
   test("fused WordGramMd5s kernel == md5Hash32 over composable wordNgrams") {
     import graft.functions.NgramExpressions
     val df = awkward.toDF("text")
