@@ -69,6 +69,42 @@ object MultimodalOps {
     (n % 640, n % 480, 3, if (n % 2 == 0) "png" else "jpeg")
   }
 
+  /** Resize seam (decode → scale → re-encode, STUBBED): a real codec
+    * plugs into `resizeOne` exactly like `decodeOne` above; the stub
+    * emits a deterministic `outW×outH`-byte payload sampled evenly from
+    * the source bytes so tests can assert the plumbing — output schema,
+    * payload sizing, partition-locality — without codecs. The binary
+    * column is REPLACED in place (old payload never outlives the
+    * partition iterator) and, as with every multimodal op, never
+    * shuffles.
+    */
+  def resizePartitioned(df: DataFrame, binCol: String, outW: Int, outH: Int,
+      resizeOne: (Array[Byte], Int, Int) => Array[Byte] = stubResize): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(inSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq.updated(binIdx, resizeOne(bytes, outW, outH)))
+      }
+    }
+  }
+
+  /** Deterministic stand-in for decode+scale+encode: even-stride sampling
+    * of the source bytes into a w×h payload ("nearest-neighbor" over the
+    * raw stream).
+    */
+  def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = if (bytes == null) 0 else bytes.length
+    val out = new Array[Byte](w * h)
+    if (n > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = bytes((i.toLong * n / out.length).toInt); i += 1 }
+    }
+    out
+  }
+
   /** Frame-sampling stub for video-like payloads: emit every k-th chunk of
     * the byte stream as one "frame" row (explode pattern — the real
     * operator shape for frame extraction).

@@ -206,6 +206,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(2L) == ((5, "jpeg")))
   }
 
+  test("resizePartitioned replaces the payload in place at the target size") {
+    val df = Seq((1L, "abcdefgh"), (2L, ""), (3L, "xy")).toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .drop("text")
+    val out = MultimodalOps.resizePartitioned(df, "payload", outW = 4, outH = 2)
+    assert(out.schema == df.schema) // schema preserved, payload swapped
+    val sizes = out.select("id", "payload")
+      .as[(Long, Array[Byte])].collect().map { case (k, b) => k -> b }.toMap
+    assert(sizes.values.forall(_.length == 8)) // every payload resized to w*h
+    assert(new String(sizes(1L)) == "abcdefgh") // same-size input passes through
+    assert(sizes(2L).forall(_ == 0)) // empty input -> zeroed canvas
+    // deterministic: same input bytes, same output bytes
+    val again = MultimodalOps.resizePartitioned(df, "payload", 4, 2)
+      .select("id", "payload").as[(Long, Array[Byte])].collect().map { case (k, b) => k -> b }.toMap
+    assert(sizes.keys.forall(k => java.util.Arrays.equals(sizes(k), again(k))))
+  }
+
   test("IVF: assignment matches brute-force nearest centroid; ANN finds self-cluster neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = IvfIndex.train(emb, "embedding", k = 4, iters = 2)
