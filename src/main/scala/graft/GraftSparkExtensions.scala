@@ -43,8 +43,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       .option("pattern", pattern).load()
   }
 
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case l if l.foldable && l.eval() != null => l.eval().toString.toInt
+  private def intArg(e: Expression, fn: String): Int = {
+    val v = longArg(e, fn)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new IllegalArgumentException(s"$fn argument $v out of Int range")
+    v.toInt
+  }
+
+  /** Integral literal → Long. Pattern-matches the evaluated value so a
+    * BIGINT literal keeps its full range (the SQL surface must not narrow
+    * `shingle_hash32s`' Long mod to Int) and a non-integral literal
+    * (e.g. 5.0) gets a clear error instead of NumberFormatException.
+    */
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case l if l.foldable && l.eval() != null => l.eval() match {
+      case i: java.lang.Integer => i.toLong
+      case j: java.lang.Long => j.longValue()
+      case s: java.lang.Short => s.toLong
+      case b: java.lang.Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integral literal argument, got $other (${other.getClass.getSimpleName})")
+    }
     case _ => throw new IllegalArgumentException(s"$fn expects a literal integer argument")
   }
 
@@ -69,7 +88,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WordGramMd5s(es(0), intArg(es(1), "word_gram_md5s"))))
     ext.injectFunction((FunctionIdentifier("shingle_hash32s"), info("shingle_hash32s"),
       (es: Seq[Expression]) => graft.functions.ShingleHash32s(es(0),
-        intArg(es(1), "shingle_hash32s"), intArg(es(2), "shingle_hash32s").toLong)))
+        intArg(es(1), "shingle_hash32s"), longArg(es(2), "shingle_hash32s"))))
 
     Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
       .foreach { case (fn, fmt) =>

@@ -67,8 +67,13 @@ object NgramUtil {
     */
   private final class SpanCounter(bytes: Array[Byte], expected: Int) {
     private val cap: Int = {
+      // Long arithmetic + 2^30 clamp: expected > 2^30 would overflow
+      // `expected * 2` to negative and leave cap at 4 (infinite probe
+      // loop once full). 2^30 slots bound the table at ~16 GiB of
+      // parallel arrays — far past any realistic single document.
+      val need = math.min(math.max(expected.toLong, 1L) * 2, 1L << 30)
       var c = 4
-      while (c < expected * 2) c <<= 1
+      while (c < need) c <<= 1
       c
     }
     private val mask = cap - 1

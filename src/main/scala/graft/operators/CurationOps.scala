@@ -118,7 +118,9 @@ object CurationOps {
   val SampleM: Long = 1000000L
   def weightedKeep(id: Column, weight: Column, scale: Long): Column =
     pmod(DedupOps.md5Hash32(id.cast("string"), ""), lit(SampleM)) <
-      least(lit(SampleM), weight.cast("long") * scale)
+      // multiply BEFORE casting so fractional weights keep their
+      // probability (weight 0.5 → 0.5·scale, not 0)
+      least(lit(SampleM), (weight * lit(scale)).cast("long"))
 
   /** Token-budget corpus mixing: downsample each source to (at most) a
     * token budget, deterministically. Per-source keep rates derive from

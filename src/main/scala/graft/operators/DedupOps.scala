@@ -306,6 +306,7 @@ object DedupOps {
         .coalesce(1)
         .mapPartitions { it => localUnionFind(it) }
         .persist()
+      swapLabelCache(labeled)
       labeled.count() // materialize off the edge cache, then drop it
       edgeDf.unpersist(false)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -364,9 +365,23 @@ object DedupOps {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged=$converged rounds=$it edges=$nEdges parts=${part.numPartitions}")
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    swapLabelCache(labels)
     val out = labels.toDF("node", "label")
     adj.unpersist(false)
     out
+  }
+
+  /** The returned labeling stays persisted so the (lazy) consumer reads the
+    * cache, not a re-run of the expensive upstream edge pipeline — but a
+    * long-lived session calling connectedComponents repeatedly must not
+    * accumulate one cached RDD per call. Retain exactly the most recent
+    * labeling: each call unpersists the previous call's cache.
+    */
+  private val lastLabelCache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+  private def swapLabelCache(next: org.apache.spark.rdd.RDD[_]): Unit = {
+    val prev = lastLabelCache.getAndSet(next)
+    if (prev != null && (prev ne next)) prev.unpersist(false)
   }
 
   /** Injective fingerprint of a row over nullable columns. A bare

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF×PQ composed ANN index (the standard composition from Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search" §V: an inverted
+  * file prunes the search to a few coarse cells, and asymmetric distance
+  * over PQ codes ranks WITHIN those cells).
+  *
+  * This closes the scale gap of each half used alone:
+  *  - [[PqIndex.annTopK]] scores codes for the ENTIRE corpus per query
+  *    (compression without pruning — every query touches every code);
+  *  - [[IvfIndex.annTopK]] prunes to `nprobe`/`kc` of the corpus but
+  *    re-scores full float vectors inside cells (pruning without
+  *    compression — the floats must still be readable per probe).
+  * Composed: a query reads only the PQ codes of `nprobe` cells
+  * (~nprobe/kc of an 8-byte-per-vector table) and touches full floats
+  * for just the `rerank` exact-re-rank pool — the shape that still
+  * answers at 10¹¹ vectors.
+  *
+  * Built from the existing composable parts: `IvfIndex.assignCluster`
+  * (cell id) and `PqIndex.encode` (code columns) are both per-row
+  * codegen'd expressions over broadcast model literals, so the code
+  * table build is one scan with zero shuffle. Codebooks quantize RAW
+  * vectors (shared across cells), not per-cell residuals — simpler, and
+  * the exact re-rank recovers the accuracy the residual refinement
+  * would add.
+  *
+  * Scale note: here the cell pruning happens as an equi-join of the
+  * in-flight code table against the broadcast (query, probed-cell)
+  * list; a persisted deployment writes the code table PARTITIONED BY
+  * cell (exactly like SimilarityOps.writeBucketedIndex does for LSH
+  * buckets, s03) so the probe becomes a partition-pruned scan of
+  * nprobe/kc of the files.
+  */
+object IvfPq {
+
+  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model)
+
+  /** Train the coarse quantizer (kc cells) and the PQ codebooks (m
+    * subspaces × k codewords) — both touch only centroid statistics;
+    * the corpus never leaves executors. Deterministic (RNG-free init,
+    * fixed iteration counts) like both constituents.
+    */
+  def train(data: DataFrame, vecCol: String,
+      kc: Int, m: Int, k: Int, iters: Int): Model =
+    Model(
+      IvfIndex.train(data, vecCol, kc, iters),
+      PqIndex.train(data, vecCol, m, k, iters))
+
+  /** The per-candidate index row: cell id + m code columns, all
+    * codegen'd per-row expressions (one scan, no shuffle).
+    */
+  def codeTable(candidates: DataFrame, cId: String, cVec: String,
+      model: Model): DataFrame =
+    candidates.select(
+      col(cId).as("neighbor_id") +:
+        IvfIndex.assignCluster(col(cVec), model.coarse).as("__cluster") +:
+        PqIndex.encode(col(cVec), model.pq)
+          .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+
+  /** ANN top-k: prune to `nprobe` nearest cells per query, rank the
+    * cells' PQ codes by asymmetric distance (broadcast per-query LUTs),
+    * then exact-re-rank the top `rerank` pool with full vectors.
+    * Output: (query_id, neighbor_id, dist, rk), exact L2 dist.
+    */
+  def annTopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String,
+      model: Model, k: Int, nprobe: Int, rerank: Int,
+      distDecimals: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val codes = codeTable(candidates, cId, cVec, model)
+
+    // (query, probed cell) rows + per-query LUT — all model-sized driver
+    // math, broadcast. LUT layout matches PqIndex.annTopK: m × k doubles.
+    val qRows = queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect() // bounded: the query set
+    val probes = qRows.toSeq.flatMap { case (id, v) =>
+      val va = v.toArray
+      val cellD = model.coarse.centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = va(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }
+      val lut = (0 until model.pq.m).map { j =>
+        val sub = v.slice(j * model.pq.subDim, (j + 1) * model.pq.subDim)
+        model.pq.codebooks(j).centroids.map { c =>
+          var d = 0.0; var i = 0
+          while (i < model.pq.subDim) { val t = sub(i) - c(i); d += t * t; i += 1 }
+          d
+        }.toSeq
+      }
+      cellD.sorted.take(nprobe).map { case (_, cell) => (id, cell, lut) }
+    }
+    val probeDf = probes.toDF("query_id", "__cluster", "__lut")
+
+    // cell pruning = equi-join on the cell id: only rows of probed cells
+    // flow into scoring (partition-pruned scan when the code table is
+    // persisted partitioned by __cluster)
+    val adist2 = (0 until model.pq.m)
+      .map(j => element_at(element_at(col("__lut"), j + 1), col(s"__c$j") + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(probeDf), Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(sqrt(adist2), distDecimals).as("dist"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val pool = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= math.max(rerank, k))
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: full vectors for only n_queries × rerank rows
+    val exact = broadcast(pool)
+      .join(candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(
+          sqrt(graft.functions.VectorExpressions.sqDistFF(col("__qv"), col("__cv"))),
+          distDecimals).as("dist"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rk").cast("int").as("rk"))
+  }
+}

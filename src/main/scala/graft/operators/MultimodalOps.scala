@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata structs alongside.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): `fakeImageMeta` derives deterministic metadata from the
-  * byte stream. Everything around it — schema shape, per-partition
-  * batching, binary column flow — is the real plumbing a production
-  * decoder (JNI/FFI or Pandas-UDF-style vectorized worker) would plug
-  * into via the same `mapPartitions` seam.
+  * IMAGE decode/resize are REAL: `imageIoDecode` / `imageIoResize` parse
+  * and re-encode actual PNG/JPEG payloads with the JDK's `javax.imageio`
+  * (ships with the JRE — no native deps), plugged into the same
+  * `mapPartitions` seam (`decodePartitioned` / `resizePartitioned`) the
+  * stubs use. The deterministic stubs (`stubDecode`, `fakeImageMeta`, …)
+  * remain as the codec-free fallback and as the stand-ins for the
+  * audio/video modalities, whose codecs do NOT ship with the JVM.
+  * Everything around the codec — schema shape, per-partition batching,
+  * binary column flow — is identical between stub and real paths.
   *
   * Scale notes: binary payloads dominate row size, so decode operators
   * must never shuffle the binary column — filter/extract first, carry
@@ -103,6 +106,74 @@ object MultimodalOps {
       while (i < out.length) { out(i) = bytes((i.toLong * n / out.length).toInt); i += 1 }
     }
     out
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * readers ship with the JRE): parses the actual header + pixel data
+    * and reports true dimensions, band count and container format.
+    * Returns `(0, 0, 0, "unknown")` for null/empty/undecodable payloads
+    * so the seam stays total. Plug into [[decodePartitioned]].
+    */
+  def imageIoDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, "unknown")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return (0, 0, 0, "unknown")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val fmt = r.getFormatName.toLowerCase
+        val img = r.read(0)
+        (img.getWidth, img.getHeight, img.getRaster.getNumBands, fmt)
+      } finally r.dispose()
+    } finally if (iis != null) iis.close()
+  }
+
+  /** REAL resize via `java.awt` + `javax.imageio`: decode → bilinear
+    * scale → re-encode as PNG. Falls back to [[stubResize]] when the
+    * payload is not a decodable image. Plug into [[resizePartitioned]].
+    */
+  def imageIoResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src =
+      if (bytes == null || bytes.isEmpty) null
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (src == null) return stubResize(bytes, w, h)
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-image fixture: a w×h image whose pixel (x,y) is a
+    * pure function of (seed, x, y), encoded with the JDK's own PNG/JPEG
+    * encoder — the payloads are genuine decodable images, so conformance
+    * queries can assert the decoded dimensions by construction.
+    */
+  def syntheticImage(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 1315423911L + x * 2654435761L + y * 40503L
+        img.setRGB(x, y, (v & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
   /** Frame-sampling stub for video-like payloads: emit every k-th chunk of

@@ -51,7 +51,9 @@ object TextOps {
       filter(hist, c => c > 0),
       lit(0.0),
       (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
-    when(n > 0, -sumPlogP / log(lit(2.0))).otherwise(lit(0.0))
+    // null-in → null-out (and null for EMPTY text, where entropy is
+    // undefined — mirrors the oracle's group-by, which emits no row)
+    when(n > 0, -sumPlogP / log(lit(2.0))).otherwise(lit(null).cast("double"))
   }
 
   /** Fused one-pass counters (n_tokens, n_stop, n_chars_nospace). */

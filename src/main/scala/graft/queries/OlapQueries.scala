@@ -648,14 +648,15 @@ object OlapQueries {
       // NOT the built-in `percentile` aggregate: that buffers every value
       // of a group in one executor hash map (OOM at scale, GC churn at
       // bench scale). PercentileOps computes the same interpolated exact
-      // quantiles from distinct-value counts + a sort-based window.
+      // quantiles from distinct-value counts + a sort-based window —
+      // BOTH measures in one fused pass (unpivot first), so lineitem is
+      // scanned and shuffled once, not once per measure.
       val li = table(s, dir, "lineitem")
-      val prices = graft.operators.PercentileOps.exactQuantiles(
-        li, Seq("l_returnflag"), col("l_extendedprice"),
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
-      val qty = graft.operators.PercentileOps.exactQuantiles(
-        li, Seq("l_returnflag"), col("l_quantity"), Seq("med_qty" -> 0.5))
-      prices.join(qty, Seq("l_returnflag"))
+      graft.operators.PercentileOps.exactQuantilesMulti(
+        li, Seq("l_returnflag"), Seq(
+          ("price", col("l_extendedprice"),
+            Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)),
+          ("qty", col("l_quantity"), Seq("med_qty" -> 0.5))))
         .select(col("l_returnflag"),
           Qf.dround(col("p25"), 4).as("p25"),
           Qf.dround(col("p50"), 4).as("p50"),
@@ -664,12 +665,13 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
-    // The exact-percentile form above is the sf-scale ORACLE form only: it
-    // materializes every value per group in executor memory. This is the
-    // documented 100 TB path — a t-digest style sketch with constant
-    // per-group state, map-side combinable. Sketch implementations differ
-    // per engine (no cross-engine oracle); an sbt test bounds it against
-    // the exact percentiles instead.
+    // The exact form above is already distributed (distinct-value counts +
+    // sort-based window — no per-group buffering); this variant is the
+    // sketch alternative for when even the distinct-value set is too wide:
+    // approx_percentile keeps constant per-group state, map-side
+    // combinable. Sketch implementations differ per engine (no
+    // cross-engine oracle); an sbt test bounds it against the exact
+    // percentiles instead.
     q("q40b_percentiles_approx", null) { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -967,6 +969,63 @@ object OlapQueries {
               |WHERE EXISTS (SELECT 1 FROM orders o
               |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
               |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- file-format conformance: CSV round-trip
+    // events → write csv → read back (explicit schema, no inferSchema
+    // second pass) → aggregate. The oracle reads the SAME part files with
+    // DuckDB's read_csv, so BOTH the writer's encoding and the reader's
+    // parsing are conformance-checked, not just the aggregate. The write
+    // path stays parallel (one part per task). The path is FIXED (not
+    // per-sf) because the oracle SQL is a static string: verify→oracle
+    // always runs sequentially, so the oracle reads what its own verify
+    // run just wrote, at any scale factor.
+    q("q57_csv_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  round(sum(value), 2) AS sum_value
+        |FROM read_csv('/tmp/graft_conformance/q57_csv/*.csv', header=true,
+        |  columns={'event_id': 'BIGINT', 'user_id': 'BIGINT',
+        |           'event_type': 'VARCHAR', 'value': 'DOUBLE'})
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_conformance/q57_csv"
+      table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("sum_uid"),
+          Qf.dround(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------- file-format conformance: JSON-lines round-trip
+    q("q58_json_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(avg(value), 4) AS avg_value
+        |FROM read_json('/tmp/graft_conformance/q58_json/*.json',
+        |  format='newline_delimited',
+        |  columns={'event_id': 'BIGINT', 'user_id': 'BIGINT',
+        |           'event_type': 'VARCHAR', 'value': 'DOUBLE'})
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_conformance/q58_json"
+      table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(out)
+      s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .json(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("user_id")).as("n_users"),
+          Qf.dround(avg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type")
     }
   )
 }

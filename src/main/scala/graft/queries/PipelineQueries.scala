@@ -378,6 +378,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- multimodal REAL image decode
+    // genuine PNG/JPEG payloads (synthesized per row with the JDK's own
+    // ImageIO encoder — dimensions derive from doc_id) pushed through the
+    // decodePartitioned seam with the REAL javax.imageio decoder. The
+    // oracle knows width/height/channels/format BY CONSTRUCTION, so the
+    // actual header+pixel parse is hash-checked end to end. The generator
+    // UDF is fixture plumbing, not a hot-path operator: production rows
+    // arrive with the binary column already populated.
+    q("m03_image_decode",
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val gen = udf((id: Long) => MultimodalOps.syntheticImage(
+        id, (8 + id % 32).toInt, (8 + id % 16).toInt,
+        if (id % 2 == 0) "png" else "jpg"))
+      val imgs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("img"))
+      MultimodalOps.decodePartitioned(imgs, "img", MultimodalOps.imageIoDecode)
+        .select(col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- as-of join (custom operator)
     q("q35_asof_join",
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
@@ -715,8 +744,31 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
-    // ---------------------------------------------------------------- sketch heavy hitters (no CMS in the oracle engine → rows-only; AccuracySpec gates est vs exact)
-    q("d22_heavy_hitters", null) { (s, dir) =>
+    // ---------------------------------------------------------------- heavy hitters
+    // Exact top-k tokens (count + rank): a partial-agg over (token) then a
+    // TakeOrdered of k rows — SQL-expressible, so fully oracle-checked.
+    // The row_number window runs over the ALREADY-LIMITED k rows (one
+    // 20-row partition), not the vocabulary.
+    q("d22_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS exact FROM tok GROUP BY token
+         |        ORDER BY exact DESC, token LIMIT 20)
+         |SELECT token, exact,
+         |  CAST(row_number() OVER (ORDER BY exact DESC, token) AS INTEGER) AS rk
+         |FROM cnt ORDER BY rk""".stripMargin) { (s, dir) =>
+      val top = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(20)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("exact").desc, col("token"))))
+        .orderBy("rk")
+    },
+
+    // CMS-estimate variant (no CMS in the oracle engine → rows-only;
+    // AccuracySpec gates est against exact with the one-sided ε·N bound)
+    q("d22b_heavy_hitters_est", null) { (s, dir) =>
       graft.operators.SketchOps.heavyHitters(
         table(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("token")),
         col("token"), k = 20)
@@ -1008,6 +1060,9 @@ object PipelineQueries {
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         Qf.dround(TextOps.byteEntropy(col("text")), 4).as("byte_entropy"))
+        // entropy is NULL for empty/null text; the oracle's group-by emits
+        // no row there, so drop those rows to keep the row sets identical
+        .filter(col("byte_entropy").isNotNull)
         .orderBy("doc_id")
     },
 
@@ -1055,6 +1110,23 @@ object PipelineQueries {
       graft.operators.PqIndex.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", model, k = 5, rerank = 100)
+        .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- IVF×PQ composed ANN
+    // the full composition (model-dependent → rows-only; AccuracySpec
+    // gates recall@5 ≥ 0.7 AND asserts the candidate pruning): coarse
+    // cells prune to nprobe/kc of the corpus, PQ codes rank inside the
+    // probed cells, exact re-rank on the small pool. Fixes s07's
+    // full-corpus ADC scan — the query never touches codes outside its
+    // probed cells.
+    q("s08_ivfpq_topk", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = graft.operators.IvfPq.train(emb, "embedding",
+        kc = 8, m = 8, k = 32, iters = 5)
+      graft.operators.IvfPq.annTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", model, k = 5, nprobe = 4, rerank = 100)
         .orderBy("query_id", "rk")
     }
   )

@@ -51,6 +51,42 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.7, f"PQ recall@5 = $recall%.3f < 0.7 (m=8, k=32, rerank=100)")
   }
 
+  test("s08 gate: IVFPQ recall@5 ≥ 0.7 AND the probe scores only nprobe/kc of the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val nQueries = queries.count()
+    val corpus = emb.count()
+    val (kc, nprobe) = (8, 4)
+    val model = IvfPq.train(emb, "embedding", kc = kc, m = 8, k = 32, iters = 5)
+    val got = IvfPq.annTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", model, k = 5, nprobe = nprobe, rerank = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.l2TopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, f"IVFPQ recall@5 = $recall%.3f < 0.7 (kc=$kc nprobe=$nprobe rerank=100)")
+
+    // pruning evidence: ADC candidates per query = the probed cells'
+    // rows only, ≈ nprobe/kc of the corpus (2× slack for cell-size skew)
+    val codes = IvfPq.codeTable(emb, "vec_id", "embedding", model)
+    val probed = queries.select(col("vec_id"),
+      explode(slice(array_sort(array(model.coarse.centroids.zipWithIndex.map { case (c, i) =>
+        struct(graft.functions.VectorExpressions.sqDistFD(
+          col("embedding"), array(c.map(lit).toIndexedSeq: _*)).as("d"), lit(i).as("c"))
+      }: _*)), 1, nprobe)).as("p"))
+      .select(col("vec_id").as("query_id"), col("p.c").as("__cluster"))
+    val scoredCandidates = codes.join(probed, Seq("__cluster")).count()
+    val bound = (2.0 * nQueries * corpus * nprobe / kc).toLong
+    assert(scoredCandidates <= bound,
+      s"IVFPQ scored $scoredCandidates candidate pairs > bound $bound " +
+        s"(corpus=$corpus queries=$nQueries nprobe=$nprobe/$kc cells)")
+    assert(scoredCandidates < nQueries * corpus,
+      "IVFPQ must score strictly fewer pairs than a full-corpus ADC scan")
+  }
+
   test("d22 gate: count-min estimates are one-sided and within the ε·N bound") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = docs.select(explode(TextOps.tokens(col("text"))).as("token"))

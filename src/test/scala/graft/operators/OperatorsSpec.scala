@@ -223,6 +223,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sizes.keys.forall(k => java.util.Arrays.equals(sizes(k), again(k))))
   }
 
+  test("imageIoDecode parses real PNG and JPEG headers + pixels") {
+    val png = MultimodalOps.syntheticImage(7L, 20, 12, "png")
+    assert(MultimodalOps.imageIoDecode(png) == ((20, 12, 3, "png")))
+    val jpg = MultimodalOps.syntheticImage(8L, 33, 9, "jpg")
+    assert(MultimodalOps.imageIoDecode(jpg)._1 == 33)
+    assert(MultimodalOps.imageIoDecode(jpg)._2 == 9)
+    assert(MultimodalOps.imageIoDecode(jpg)._4 == "jpeg")
+    // non-image bytes stay total, not an exception
+    assert(MultimodalOps.imageIoDecode("not an image".getBytes) == ((0, 0, 0, "unknown")))
+    assert(MultimodalOps.imageIoDecode(null) == ((0, 0, 0, "unknown")))
+  }
+
+  test("imageIoResize re-encodes at the target dimensions (decode round-trip)") {
+    val png = MultimodalOps.syntheticImage(11L, 40, 30, "png")
+    val small = MultimodalOps.imageIoResize(png, 16, 12)
+    assert(MultimodalOps.imageIoDecode(small) == ((16, 12, 3, "png")))
+    // deterministic: same input, same bytes
+    assert(java.util.Arrays.equals(small, MultimodalOps.imageIoResize(png, 16, 12)))
+    // undecodable payload falls back to the stub (w*h bytes)
+    assert(MultimodalOps.imageIoResize("junk".getBytes, 4, 2).length == 8)
+  }
+
+  test("decodePartitioned with the REAL decoder emits true dimensions") {
+    val rows = Seq(1L, 2L, 3L).map(i =>
+      (i, MultimodalOps.syntheticImage(i, 10 + i.toInt, 5 + i.toInt, "png")))
+    val df = rows.toDF("id", "img")
+    val out = MultimodalOps.decodePartitioned(df, "img", MultimodalOps.imageIoDecode)
+      .select("id", "meta.width", "meta.height", "meta.format")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(out(i) == ((10 + i.toInt, 5 + i.toInt, "png")))
+    }
+  }
+
   test("IVF: assignment matches brute-force nearest centroid; ANN finds self-cluster neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = IvfIndex.train(emb, "embedding", k = 4, iters = 2)

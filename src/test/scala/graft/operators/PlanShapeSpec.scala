@@ -77,6 +77,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesMulti: ONE ranking window + broadcast totals, all measures fused") {
+    withStaticPlans {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val df = PercentileOps.exactQuantilesMulti(li, Seq("l_returnflag"), Seq(
+        ("price", col("l_extendedprice"), Seq("p25" -> 0.25, "p50" -> 0.5)),
+        ("qty", col("l_quantity"), Seq("med" -> 0.5))))
+      // one sort-based ranking window over the fused (keys, measure)
+      // frame — NOT one per measure, and NOT a second whole-partition
+      // window for group totals (those broadcast from a tiny aggregate)
+      assert(windows(df) == 1, df.queryExecution.executedPlan.toString)
+      assert(broadcasts(df) == 1, df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("zValue interleaves bits (Morton order) and matches its own SQL form") {
     import spark.implicits._
     val df = Seq((3L, 5L), (0L, 0L), (1023L, 1L), (65535L, 65535L)).toDF("x", "y")
