@@ -45,6 +45,12 @@ final class FakeRedisServer(requestedPort: Int = 0) {
   def setImporting(keyPrefix: String, owner: String): Unit =
     importingRule = Some((keyPrefix, owner))
   def clearImporting(): Unit = importingRule = None
+  // cluster topology: (startSlot, endSlot, masterHost, masterPort) ranges
+  // answered to `CLUSTER SLOTS`; empty = cluster support disabled (like a
+  // standalone Redis)
+  @volatile private var clusterSlotsConf: Seq[(Int, Int, String, Int)] = Nil
+  def setClusterSlots(entries: Seq[(Int, Int, String, Int)]): Unit =
+    clusterSlotsConf = entries
 
   private def redirect(key: String, asking: Boolean): Option[RespValue] =
     movedRule.collect { case (p, t) if key.startsWith(p) => Err(s"MOVED 1234 $t") }
@@ -139,6 +145,12 @@ final class FakeRedisServer(requestedPort: Int = 0) {
           Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
         }
         case "SCAN" => scan(args.tail)
+        case "CLUSTER" if args.length >= 2 && args(1).toUpperCase == "SLOTS" =>
+          if (clusterSlotsConf.isEmpty) Err("ERR This instance has cluster support disabled")
+          else Arr(clusterSlotsConf.toVector.map { case (s, e, h, p) =>
+            Arr(Vector(Int64(s.toLong), Int64(e.toLong),
+              Arr(Vector(Bulk(h): RespValue, Int64(p.toLong)))))
+          })
         case "COMMAND" => Arr(Vector.empty)
         case "QUIT" => Simple("OK")
         case other => Err(s"ERR unknown command '$other'")

@@ -133,6 +133,46 @@ object RedisCommands {
       case other => fail("HGETALL reply", other)
     }
 
+  /** One CLUSTER SLOTS range and the master node serving it. */
+  final case class SlotRange(start: Int, end: Int, host: String, port: Int)
+
+  /** `CLUSTER SLOTS` → slot-range → master map. Only the master entry
+    * (third element) of each range is kept; replicas don't own writes and
+    * scanning them would double-count keys. Ranges are validated
+    * non-overlapping and jointly exhaustive over 0..16383 — a gapped map
+    * would silently drop the unowned slots' keys from a scan.
+    */
+  def clusterSlots(c: RedisConnection): Seq[SlotRange] = {
+    val ranges = c.command("CLUSTER", "SLOTS") match {
+      case Arr(items) => items.map {
+        case Arr(fields) if fields.length >= 3 =>
+          val start = fields(0) match { case Int64(v) => v.toInt; case o => fail("CLUSTER SLOTS start", o) }
+          val end = fields(1) match { case Int64(v) => v.toInt; case o => fail("CLUSTER SLOTS end", o) }
+          fields(2) match {
+            case Arr(m) if m.length >= 2 =>
+              val host = m(0) match { case b: Bulk => b.text; case Simple(s) => s; case o => fail("CLUSTER SLOTS host", o) }
+              val port = m(1) match { case Int64(v) => v.toInt; case o => fail("CLUSTER SLOTS port", o) }
+              SlotRange(start, end, host, port)
+            case o => fail("CLUSTER SLOTS master node", o)
+          }
+        case o => fail("CLUSTER SLOTS entry", o)
+      }
+      case Err(m) => throw new java.io.IOException(s"CLUSTER SLOTS error: $m")
+      case other => fail("CLUSTER SLOTS reply", other)
+    }
+    val sorted = ranges.sortBy(_.start)
+    sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+      if (a.end >= b.start) throw new java.io.IOException(
+        s"CLUSTER SLOTS ranges overlap: [${a.start},${a.end}] and [${b.start},${b.end}]")
+      if (a.end + 1 != b.start) throw new java.io.IOException(
+        s"CLUSTER SLOTS gap between ${a.end} and ${b.start}: slots unowned, scan would drop keys")
+    }
+    if (sorted.isEmpty || sorted.head.start != 0 || sorted.last.end != 16383)
+      throw new java.io.IOException(
+        s"CLUSTER SLOTS does not cover 0..16383: ${sorted.map(r => s"[${r.start},${r.end}]").mkString(",")}")
+    sorted
+  }
+
   def set(c: RedisConnection, key: String, value: String): Unit =
     c.command("SET", key, value) match {
       case Simple("OK") => ()

@@ -37,6 +37,10 @@ object RedisQueries {
       users.foreach { case (id, name, age, city) =>
         s.putHash(s"user:$id", Map("name" -> name, "age" -> age.toString, "city" -> city))
       }
+      startWithRetry(s)
+    }
+
+    def startWithRetry(s: FakeRedisServer): Unit = {
       var attempts = 0
       var started = false
       while (!started) {
@@ -48,6 +52,29 @@ object RedisQueries {
             Thread.sleep(250) // a previous JVM may still be releasing the port
         }
       }
+    }
+  }
+
+  /** Two-master "cluster" for partition.mode=cluster conformance: each
+    * node owns half the slot space and (as a real node's SCAN would only
+    * walk its own slots) holds a disjoint half of the keys; both answer
+    * the same CLUSTER SLOTS map.
+    */
+  object ClusterHarness {
+    val Host = "127.0.0.1"
+    val PortA = 16380
+    val PortB = 16381
+    lazy val ensureStarted: Unit = {
+      val a = new FakeRedisServer(PortA)
+      val b = new FakeRedisServer(PortB)
+      (0 until 10).foreach { i =>
+        (if (i % 2 == 0) a else b).put(f"ckey:$i%02d", s"cv$i")
+      }
+      val slotMap = Seq((0, 8191, Host, PortA), (8192, 16383, Host, PortB))
+      a.setClusterSlots(slotMap)
+      b.setClusterSlots(slotMap)
+      Harness.startWithRetry(a)
+      Harness.startWithRetry(b)
     }
   }
 
@@ -212,6 +239,22 @@ object RedisQueries {
       s.sql("""SELECT key, fields['name'] AS name, CAST(fields['age'] AS INT) AS age,
               |  fields['city'] AS city
               |FROM redis_hash('user:*') ORDER BY key""".stripMargin)
+    },
+
+    // cluster-slot partition planning: CLUSTER SLOTS on the seed node →
+    // one partition per master, per-node cursors disjoint by slot
+    // ownership; the scan's union covers the whole keyspace no matter
+    // which node seeds it
+    q("r14_redis_cluster_scan", {
+      val keys = (0 until 10).map(i => f"('ckey:$i%02d')").mkString(", ")
+      s"""SELECT * FROM (VALUES $keys) t(key_name) ORDER BY key_name"""
+    }) { (s, _) =>
+      ClusterHarness.ensureStarted
+      s.read.format("redis-scan")
+        .option("host", ClusterHarness.Host).option("port", ClusterHarness.PortA.toString)
+        .option("partition.mode", "cluster")
+        .option("pattern", "ckey:*").load()
+        .orderBy("key_name")
     }
   )
 }

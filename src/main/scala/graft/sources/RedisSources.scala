@@ -47,7 +47,7 @@ object RedisSources {
     StructField("fields", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
 
   final case class Options(host: String, port: Int, pattern: String, count: Int,
-      partitionPatterns: Seq[String], slots: Int) {
+      partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean) {
     /** Disjoint pattern lists, one per input partition. */
     def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
       case Some(p) => Seq(Seq(p))
@@ -60,14 +60,46 @@ object RedisSources {
 
   def parseOptions(m: util.Map[String, String]): Options = {
     val o = new CaseInsensitiveStringMap(m)
-    Options(
+    val opts = Options(
       host = o.getOrDefault("host", "127.0.0.1"),
       port = o.getOrDefault("port", "6379").toInt,
       pattern = o.getOrDefault("pattern", "*"),
       count = o.getOrDefault("scan.count", "2048").toInt, // reference batch size, resp_parser.cpp:159-161
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
-      slots = o.getOrDefault("partition.slots", "0").toInt)
+      slots = o.getOrDefault("partition.slots", "0").toInt,
+      clusterMode = o.getOrDefault("partition.mode", "") match {
+        case "" => false
+        case "cluster" => true
+        case other => throw new IllegalArgumentException(
+          s"partition.mode must be 'cluster' (or unset), got '$other'")
+      })
+    require(!opts.clusterMode || (opts.partitionPatterns.isEmpty && opts.slots <= 1),
+      "partition.mode=cluster already shards by node ownership; " +
+        "it cannot combine with partition.patterns/partition.slots")
+    opts
+  }
+
+  /** Cluster-driven partition planning: ask the seed node for
+    * `CLUSTER SLOTS` and emit ONE partition per distinct MASTER node,
+    * each running the (same) pattern's SCAN cursor against its own node.
+    * On Redis Cluster `SCAN` iterates only the keys the node owns, so
+    * per-node cursors are disjoint by slot ownership and jointly
+    * exhaustive by the validated 0..16383 coverage — no pattern algebra
+    * needed (unlike `partition.slots`' first-character sharding, which
+    * this supersedes on a real cluster). Runs on the DRIVER once per
+    * scan; at 1000 executors the partition count equals the node count,
+    * which is exactly the parallelism the server side can serve.
+    */
+  def clusterPartitions(opts: Options, pushed: Option[String],
+      limit: Option[Int], topN: Option[TopN]): Array[InputPartition] = {
+    val conn = new RedisConnection(opts.host, opts.port)
+    val ranges = try RedisCommands.clusterSlots(conn) finally conn.close()
+    val masters = ranges.map(r => (r.host, r.port)).distinct
+    val pats = Seq(pushed.getOrElse(opts.pattern))
+    masters.map { case (h, p) =>
+      RedisInputPartition(h, p, pats, opts.count, limit, topN): InputPartition
+    }.toArray
   }
 
   /** First-character alphabet used by `partition.slots` sharding — no glob
@@ -186,7 +218,9 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
               s"RedisHashScan(patterns=${opts.effectivePatterns(pushedGlob).map(_.mkString("|")).mkString(",")}, count=${opts.count})"
             override def toBatch: Batch = this
             override def planInputPartitions(): Array[InputPartition] =
-              opts.effectivePatterns(pushedGlob)
+              if (opts.clusterMode)
+                RedisSources.clusterPartitions(opts, pushedGlob, None, None)
+              else opts.effectivePatterns(pushedGlob)
                 .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
@@ -391,7 +425,9 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
   }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    opts.effectivePatterns(pushedGlob)
+    if (opts.clusterMode)
+      RedisSources.clusterPartitions(opts, pushedGlob, pushedLimit, pushedTopN)
+    else opts.effectivePatterns(pushedGlob)
       .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
         pushedLimit, pushedTopN): InputPartition)
       .toArray

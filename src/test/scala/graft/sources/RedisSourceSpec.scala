@@ -71,6 +71,68 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("hash:1", "hash:2"))
   }
 
+  test("partition.mode=cluster: one partition per master, disjoint union = keyspace") {
+    // two masters, each owning half the slots — and therefore half the
+    // keys (a real cluster node's SCAN only walks the keys it owns; the
+    // fakes model that by simply holding disjoint key sets)
+    val nodeA = new FakeRedisServer()
+    val nodeB = new FakeRedisServer()
+    val portA = nodeA.start()
+    val portB = nodeB.start()
+    try {
+      (0 until 10).foreach { i =>
+        val owner = if (i % 2 == 0) nodeA else nodeB
+        owner.put(f"ck:$i%02d", s"v$i")
+      }
+      // both nodes answer the SAME (MOVED-consistent) slot map
+      val slotMap = Seq((0, 8191, "127.0.0.1", portA), (8192, 16383, "127.0.0.1", portB))
+      nodeA.setClusterSlots(slotMap)
+      nodeB.setClusterSlots(slotMap)
+
+      val df = spark.read.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", portA)
+        .option("partition.mode", "cluster")
+        .option("pattern", "ck:*").load()
+      assert(df.rdd.getNumPartitions == 2, "one input partition per master node")
+      val keys = df.collect().map(_.getString(0)).toSeq
+      assert(keys.size == keys.distinct.size, "per-node scans must be disjoint")
+      assert(keys.sorted == (0 until 10).map(i => f"ck:$i%02d"),
+        "union of per-node scans must equal the keyspace")
+
+      // kv mode plans through the same seam (values come from each node)
+      val kv = spark.read.format("redis-kv")
+        .option("host", "127.0.0.1").option("port", portB) // any seed node works
+        .option("partition.mode", "cluster")
+        .option("pattern", "ck:*").load()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(kv == (0 until 10).map(i => f"ck:$i%02d" -> s"v$i").toMap)
+    } finally { nodeA.stop(); nodeB.stop() }
+  }
+
+  test("partition.mode=cluster rejects gapped slot maps and option conflicts") {
+    val node = new FakeRedisServer()
+    val p = node.start()
+    try {
+      node.put("gk:1", "v")
+      // gap: 100..199 unowned — a scan would silently drop those slots' keys
+      node.setClusterSlots(Seq((0, 99, "127.0.0.1", p), (200, 16383, "127.0.0.1", p)))
+      val e = intercept[Exception] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", p)
+          .option("partition.mode", "cluster").option("pattern", "gk:*").load()
+          .collect()
+      }
+      assert(e.getMessage != null)
+      // cluster mode + pattern-sharding options is ambiguous → reject
+      intercept[Exception] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", p)
+          .option("partition.mode", "cluster").option("partition.slots", "4")
+          .option("pattern", "gk:*").load().collect()
+      }
+    } finally node.stop()
+  }
+
   override def afterAll(): Unit = server.stop()
 
   private def scan(pattern: String) = spark.read.format("redis-scan")
