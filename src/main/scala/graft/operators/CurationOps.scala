@@ -185,6 +185,42 @@ object CurationOps {
           .as("text_dedup"))
   }
 
+  /** Laplace-smoothed bigram language-model cross-entropy per document —
+    * the CCNet-style "how surprising is this text under the corpus's own
+    * statistics" quality signal (low = fluent/common, high = garbled or
+    * off-distribution). Score = mean over bigram positions of
+    * `-ln((c(w1,w2) + 1) / (c(w1) + V))`.
+    *
+    * Scale shape: bigram extraction is a per-row `transform` (no
+    * window/lag shuffle — positions never leave the row); counts are
+    * partial-agg shuffles on token keys; the scoring join is a shuffle
+    * join against the bigram-count table (corpus-vocab-sized — stays
+    * distributed), with the scalar vocab size broadcast. Hot unigrams
+    * ("the") skew the c1 join; AQE skew-join splits those at runtime.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = docs.select(id, TextOps.tokens(col(textCol)).as("__l"))
+    val pairs = toks.filter(size(col("__l")) >= 2)
+      .select(id, explode(expr(
+        "transform(sequence(2, size(__l)), i -> struct(__l[i-2] AS w1, __l[i-1] AS w2))"))
+        .as("__z"))
+      .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val vocab = toks.select(explode(col("__l")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("vocab"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        -log((col("n2") + lit(1.0)) / (col("n1") + col("vocab"))))
+      .groupBy(id)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll_raw"))
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

@@ -50,6 +50,17 @@ object IvfIndex {
     (array_position(darr, array_min(darr)) - 1).cast("int")
   }
 
+  /** The `nprobe` nearest centroid ids for a vector column (multi-probe /
+    * soft assignment), nearest first. Sorting (distance, id) structs keeps
+    * ties deterministic.
+    */
+  def assignClusters(vec: Column, model: Model, nprobe: Int): Column = {
+    val darr = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(vec, c).as("d"), lit(i).as("c"))
+    }: _*)
+    transform(slice(array_sort(darr), 1, nprobe), x => x.getField("c").cast("int"))
+  }
+
   /** Train by fixed-count Lloyd iterations. Only k×(dim+1) partial sums
     * per partition ever reach the driver; `data` is cached as a vector
     * RDD and scanned once per iteration.

@@ -205,4 +205,43 @@ object SimilarityOps {
         first(col("__cnorm")).as("centroid_norm_raw"),
         avg(col("__cos")).as("avg_cos_raw"))
   }
+
+  /** SemDeDup-style semantic deduplication (public method: Abbas et al.
+    * 2023, arXiv:2303.09540): k-means-cluster the embeddings, then look
+    * for near-duplicates only WITHIN clusters — pairwise cosine over a
+    * cluster-equi-join instead of the quadratic all-pairs sweep. A vector
+    * is dropped when a lower-id vector in a shared cluster has cosine
+    * ≥ `tau` (deterministic keep-lowest-id policy).
+    *
+    * `nprobe`-way soft assignment (each vector lands in its `nprobe`
+    * nearest clusters) recovers pairs that a hard k-means boundary would
+    * split — measured 0.37 → 0.95 dropped-id recall at k=12/nprobe=3 on
+    * the sf0.001 fixture (gated in AccuracySpec). Precision is exactly 1
+    * by construction: every within-cluster pair is a true pair.
+    *
+    * Scale shape: training touches only k×(dim+1) partial sums
+    * ([[IvfIndex.train]]); the candidate join is an equi-join on the
+    * cluster id — Σ(cluster size²) work, co-partitioned by the shuffle,
+    * never all-pairs. k grows with corpus size to bound cluster sizes;
+    * AQE splits skewed clusters at runtime.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nprobe: Int, tau: Double): DataFrame = {
+    val model = IvfIndex.train(emb, vecCol, k, iters)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      IvfIndex.assignCluster(col(vecCol), model).as("cluster"),
+      explode(IvfIndex.assignClusters(col(vecCol), model, nprobe)).as("__probe"))
+    val a = assigned.select(col("__probe"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("__probe"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("__probe"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    emb.select(col(idCol),
+        IvfIndex.assignCluster(col(vecCol), model).as("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
 }

@@ -1128,6 +1128,45 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", model, k = 5, nprobe = 4, rerank = 100)
         .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- semantic dedup (SemDeDup)
+    // k-means + within-cluster cosine pruning (model-dependent →
+    // rows-only; AccuracySpec gates dropped-id recall ≥ 0.85 against the
+    // exact all-pairs answer and asserts precision is exactly 1). The
+    // scale story vs d11's LSH: candidate pairs are Σ(cluster²), never
+    // all-pairs, and the cluster count grows with the corpus.
+    q("d33_semdedup", null) { (s, dir) =>
+      SimilarityOps.semDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 12, iters = 5, nprobe = 3, tau = 0.4)
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- bigram-LM quality scoring
+    // CCNet-style fluency signal: Laplace-smoothed bigram cross-entropy
+    // of each document under the corpus's own statistics. Bigrams never
+    // leave their row (per-row transform, no lag window); counts are
+    // partial-agg shuffles on token keys; vocab size broadcasts.
+    q("d34_lm_score",
+      """WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |  FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(l) AS tok FROM lst)),
+        |scored AS (
+        |  SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+        |  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.bigramLmScore(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -13,6 +13,18 @@ final case class NamedQuery(
     oracle: Option[String])
 
 object Registry {
+
+  /** Per-session memo of resolved table plans. `spark.read.parquet` pays a
+    * file listing plus a parquet-footer schema read EVERY call; across a
+    * 100+-query inventory that fixed cost dominates small-SF runs and is
+    * pure waste at any scale (the fixture dirs are immutable for a run).
+    * The analyzed logical plan is immutable, so reusing the DataFrame
+    * object across queries is safe. Keyed weakly by session so a closed
+    * session's plans (which pin that session) can be collected.
+    */
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+
   /** Read one fixture table from the given scale-factor directory.
     *
     * The `events` table carries TIMESTAMP(NANOS) parquet timestamps, which
@@ -24,11 +36,18 @@ object Registry {
     * `CAST(ts_ns AS TIMESTAMP)`, which the oracle SQL uses.
     */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    val perSession = planCache.synchronized {
+      var m = planCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; planCache.put(s, m) }
+      m
     }
+    perSession.getOrElseUpdate(s"$dir/$name", {
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+        case Some(_) =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case None => df
+      }
+    })
   }
 }

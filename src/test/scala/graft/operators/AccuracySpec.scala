@@ -104,6 +104,25 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("d33 gate: semDedup dropped ids — precision 1 (subset) and recall ≥ 0.85 vs all-pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.4
+    val sem = SimilarityOps.semDedup(emb, "vec_id", "embedding",
+      k = 12, iters = 5, nprobe = 3, tau = tau)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .filter(SimilarityOps.cosine(col("va"), col("vb")) >= tau)
+      .select("idb").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sem.subsetOf(exact),
+      s"semDedup dropped ${(sem -- exact).size} ids no all-pairs sweep drops (precision < 1)")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.85, f"semDedup dropped-id recall = $recall%.3f < 0.85 (k=12, nprobe=3)")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
