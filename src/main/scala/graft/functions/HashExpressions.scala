@@ -118,3 +118,41 @@ final case class Md5Hash32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object SortableBitsUtil {
+  /** IEEE-754 double → long whose SIGNED order matches the double order
+    * (the radix-sort bit trick): negative doubles flip their magnitude
+    * bits, positives pass through. Monotonic over all finite doubles;
+    * −0.0 lands one step below +0.0 (adjacent, so equal values can only
+    * straddle adjacent histogram buckets — harmless for rank selection);
+    * NaN canonicalizes via doubleToLongBits and sorts above +Inf, like
+    * Spark's ordering.
+    */
+  def sortable(v: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+  }
+}
+
+/** Order-preserving bucket id for a double: the top bits of the sortable
+  * long, i.e. `sortable(v) >> shift`. Bucket ids compare like the values
+  * do — the building block for histogram-selection quantiles, where a
+  * monotonic bucketing is needed WITHOUT a prior min/max pass.
+  */
+final case class DoubleSortableBucket(child: Expression, shift: Int)
+    extends UnaryExpression {
+  require(shift >= 0 && shift < 64, "shift must be in [0, 64)")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be double, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    SortableBitsUtil.sortable(input.asInstanceOf[Double]) >> shift
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(graft.functions.SortableBitsUtil.sortable($c) >> $shift)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -131,6 +131,35 @@ object MultimodalOps {
     } finally if (iis != null) iis.close()
   }
 
+  /** Header-only metadata parse: width/height/bands come from the format
+    * header without decoding a single pixel block (`ImageReader.getWidth`
+    * reads the PNG IHDR / JPEG SOF marker). This is the metadata-extract
+    * operator a 100 TB image corpus wants — pixel decode costs ~100× the
+    * header parse and [[imageIoDecode]] pays it for answers the header
+    * already holds. Falls back to a full decode only when the reader
+    * can't state a band count from the header.
+    */
+  def imageIoHeader(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, "unknown")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return (0, 0, 0, "unknown")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val fmt = r.getFormatName.toLowerCase
+        val (w, h) = (r.getWidth(0), r.getHeight(0))
+        val types = r.getImageTypes(0)
+        val bands =
+          if (types.hasNext) types.next().getNumBands
+          else r.read(0).getRaster.getNumBands
+        (w, h, bands, fmt)
+      } finally r.dispose()
+    } finally if (iis != null) iis.close()
+  }
+
   /** REAL resize via `java.awt` + `javax.imageio`: decode → bilinear
     * scale → re-encode as PNG. Falls back to [[stubResize]] when the
     * payload is not a decodable image. Plug into [[resizePartitioned]].
@@ -175,6 +204,18 @@ object MultimodalOps {
     javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
+
+  /** Memoized [[syntheticImage]] for fixture generation over a BOUNDED
+    * seed set (m03 draws from 32 distinct (seed,w,h,format) combos):
+    * per-executor cache so the encoder runs once per distinct payload,
+    * not once per row. Fixture plumbing only — never cache unbounded
+    * production payloads like this.
+    */
+  private val synthCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, String), Array[Byte]]
+  def syntheticImageCached(seed: Long, w: Int, h: Int, format: String): Array[Byte] =
+    synthCache.computeIfAbsent((seed, w, h, format),
+      k => syntheticImage(k._1, k._2, k._3, k._4))
 
   /** Frame-sampling stub for video-like payloads: emit every k-th chunk of
     * the byte stream as one "frame" row (explode pattern — the real

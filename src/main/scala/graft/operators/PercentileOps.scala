@@ -66,9 +66,11 @@ object PercentileOps {
     // group totals via a tiny broadcast aggregate, NOT a second
     // unbounded window: a whole-partition WindowExec pass over every
     // distinct value costs as much as the ranking window itself, while
-    // this aggregate is map-side-combined down to one row per
-    // (keys, measure)
-    val totals = unpivoted.groupBy(grp: _*).agg(count(lit(1)).as("__n"))
+    // this aggregate is one row per (keys, measure). Re-aggregating
+    // `counts` (Σ of the per-value counts) instead of `unpivoted` lets
+    // Catalyst reuse the distinct-count exchange — the fact table is
+    // scanned and shuffled ONCE for the whole computation.
+    val totals = counts.groupBy(grp: _*).agg(sum(col("__cnt")).as("__n"))
     val ranked = counts
       .withColumn("__end", sum(col("__cnt")).over(wOrd)) // 1-based end of this value's run
       .withColumn("__start", col("__end") - col("__cnt")) // 0-based first index
@@ -98,5 +100,137 @@ object PercentileOps {
         .as(name)
     } }
     picked.select(outCols: _*)
+  }
+
+  /** Exact quantiles by two-job HISTOGRAM SELECTION — the scale path
+    * when values are near-unique (prices, latencies): the window form
+    * above shuffles every distinct (key, value) pair, which for a
+    * near-unique measure is the whole fact table; this form shuffles
+    * nothing wider than the OCCUPIED histogram buckets.
+    *
+    *  job 1: bucket every value by the top bits of its order-preserving
+    *          IEEE-754 long ([[graft.functions.DoubleSortableBucket]] —
+    *          monotonic WITHOUT a min/max pre-pass), count per
+    *          (group, measure, bucket): partial-agg map-side-combined,
+    *          the shuffle carries only occupied buckets;
+    *  driver: cumulative bucket counts locate, for every requested rank
+    *          ⌊t⌋/⌈t⌉, the bucket holding it (model-sized math: occupied
+    *          buckets × groups — the quantile REPORT shape bounds
+    *          `groups` the same way any displayed GROUP BY does; for
+    *          huge group cardinality use [[exactQuantilesMulti]]);
+    *  job 2: rescan filtering to the needed (group, measure, bucket)
+    *          triples — a semi-filter the scan's codegen evaluates per
+    *          row — and collect ONLY those candidates (one
+    *          mantissa-slice of one binade per needed bucket).
+    *
+    * The picked ranks interpolate exactly like the window form
+    * (`quantile_cont` semantics), so results are bit-identical (an sbt
+    * test pins this, ties/NULLs/edge quantiles included). Guard: if a
+    * needed bucket holds more than `maxCandidates` values (pathological
+    * point-mass), falls back to the window form rather than risk the
+    * driver — the histogram itself reveals this before any collect.
+    *
+    * `shift` trades shuffle width for candidate size: 44 keeps 20
+    * significant bits — ~256 buckets per binade, so candidates are a
+    * ~1/256 mantissa slice of one binade while the histogram stays a
+    * few thousand occupied buckets per group.
+    */
+  def exactQuantilesHist(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column, Seq[(String, Double)])],
+      shift: Int = 44, maxCandidates: Int = 4000000): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = keys.map(col)
+    val unpivoted = df
+      .select(keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
+      .unpivot(
+        ids = keyCols.toArray,
+        values = measures.map { case (m, _, _) => col(s"__in_$m").as(m) }.toArray,
+        variableColumnName = "__m", valueColumnName = "__v")
+      .filter(col("__v").isNotNull)
+    val grp = keyCols :+ col("__m")
+    val bucketExpr = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.DoubleSortableBucket(
+        org.apache.spark.sql.GraftSqlShims.expression(col("__v")), shift))
+
+    // job 1: histogram counts (shuffle carries only occupied buckets)
+    val hist = unpivoted
+      .groupBy(grp :+ bucketExpr.as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+
+    // driver: cumulative counts → group totals, needed buckets, ranks
+    val nKeys = keys.length
+    def gkey(r: org.apache.spark.sql.Row): Seq[Any] = (0 until nKeys + 1).map(r.get)
+    // per group: (bucket, count) ascending — signed bucket order = value order
+    val histByG = hist.groupBy(gkey).map { case (g, rs) =>
+      g -> rs.map(r => (r.getLong(nKeys + 1), r.getLong(nKeys + 2))).sortBy(_._1)
+    }
+    val needed = scala.collection.mutable.Set[(Seq[Any], Long)]()
+    val targets = scala.collection.mutable.Map[Seq[Any], Seq[(String, Double, Long, Long)]]()
+    histByG.foreach { case (g, sorted) =>
+      val n = sorted.map(_._2).sum
+      val cum = sorted.scanLeft(0L)(_ + _._2) // cum(i) = ranks before bucket i
+      def bucketOf(rank: Long): Long = {
+        val i = cum.indexWhere(_ > rank) - 1 // last cum entry ≤ rank
+        sorted(i)._1
+      }
+      val mName = g.last.asInstanceOf[String]
+      val qs = measures.find(_._1 == mName).get._3
+      targets(g) = qs.map { case (name, q) =>
+        val t = (n - 1) * q
+        val i0 = math.floor(t).toLong
+        val i1 = math.ceil(t).toLong
+        needed += ((g, bucketOf(i0)))
+        needed += ((g, bucketOf(i1)))
+        (name, t, i0, i1)
+      }
+    }
+    if (needed.exists { case (g, b) => histByG(g).find(_._1 == b).get._2 > maxCandidates })
+      return exactQuantilesMulti(df, keys, measures) // pathological point-mass
+
+    // job 2: collect candidate values of the needed buckets only.
+    // The composite key joins on an unprintable separator (cannot occur
+    // in sane key columns); Scala number toString matches Spark's
+    // cast-to-string for int/long/double keys
+        val sep = "\u0001"
+    val neededKeys = needed.map { case (g, b) => g.mkString(sep) + sep + b }.toSeq
+    val gkeyExpr = concat_ws(sep,
+      (grp :+ bucketExpr.as("__b")).map(_.cast("string")): _*)
+    val candRows = unpivoted
+      .filter(gkeyExpr.isin(neededKeys: _*))
+      .select(grp ++ Seq(bucketExpr.as("__b"), col("__v")): _*)
+      .collect()
+    val candByBucket = candRows.groupBy(r => (gkey(r), r.getLong(nKeys + 1)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(nKeys + 2)).sorted }
+
+    // driver: in-bucket offsets → picked values → interpolation
+    def valueAt(g: Seq[Any], rank: Long): Double = {
+      val sorted = histByG(g)
+      val cum = sorted.scanLeft(0L)(_ + _._2)
+      val i = cum.indexWhere(_ > rank) - 1
+      val b = sorted(i)._1
+      candByBucket((g, b))((rank - cum(i)).toInt)
+    }
+    val outRows = targets.toSeq.map { case (g, qs) =>
+      g -> qs.map { case (name, t, i0, i1) =>
+        val lo = valueAt(g, i0)
+        val v = if (i0 == i1) lo else {
+          val hi = valueAt(g, i1)
+          lo * (i1 - t) + hi * (t - i0)
+        }
+        name -> v
+      }.toMap
+    }
+    // one output row per KEY (measures fused back side by side)
+    val allQNames = measures.flatMap(_._3.map(_._1))
+    val byKey = outRows.groupBy(_._1.init)
+    val rows = byKey.toSeq.map { case (k, gs) =>
+      val vals = gs.flatMap(_._2).toMap
+      org.apache.spark.sql.Row.fromSeq(k ++ allQNames.map(n => vals.get(n).map(Double.box).orNull))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.select(keyCols: _*).schema.fields ++
+        allQNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 }

