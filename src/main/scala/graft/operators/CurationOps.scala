@@ -207,15 +207,19 @@ object CurationOps {
         .as("__z"))
       .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    // c1(w1) = Σ_w2 c2(w1,w2): summing the bigram table reuses its
+    // exchange instead of paying a second corpus scan + shuffle
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val vocab = toks.select(explode(col("__l")).as("__tok"))
       .agg(countDistinct(col("__tok")).as("vocab"))
-    pairs
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    // fold counts + smoothing into ONE per-bigram score table, so the
+    // (large) occurrence stream pays a single shuffle join
+    val bg = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("__nll",
-        -log((col("n2") + lit(1.0)) / (col("n1") + col("vocab"))))
+      .select(col("w1"), col("w2"),
+        (-log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))).as("__nll"))
+    pairs
+      .join(bg, Seq("w1", "w2"))
       .groupBy(id)
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         avg(col("__nll")).as("avg_nll_raw"))

@@ -65,15 +65,21 @@ object IvfPq {
     * cells' PQ codes by asymmetric distance (broadcast per-query LUTs),
     * then exact-re-rank the top `rerank` pool with full vectors.
     * Output: (query_id, neighbor_id, dist, rk), exact L2 dist.
+    *
+    * `prebuiltCodes`: pass a persisted [[codeTable]] to amortize the
+    * corpus encode across query batches — the code table IS the index;
+    * re-deriving it per batch is a full-corpus scan the index already
+    * paid for.
     */
   def annTopK(queries: DataFrame, qId: String, qVec: String,
       candidates: DataFrame, cId: String, cVec: String,
       model: Model, k: Int, nprobe: Int, rerank: Int,
-      distDecimals: Int = 6): DataFrame = {
+      distDecimals: Int = 6,
+      prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val codes = codeTable(candidates, cId, cVec, model)
+    val codes = prebuiltCodes.getOrElse(codeTable(candidates, cId, cVec, model))
 
     // (query, probed cell) rows + per-query LUT — all model-sized driver
     // math, broadcast. LUT layout matches PqIndex.annTopK: m × k doubles.

@@ -140,15 +140,25 @@ object PqIndex {
     * for only `n_queries × rerank` rows — the corpus floats still never
     * shuffle and are never resident beyond the one scoring scan.
     */
+  /** The per-candidate index row: id + m code columns, all codegen'd
+    * per-row expressions (one scan, no shuffle).
+    */
+  def codeTable(candidates: DataFrame, cId: String, cVec: String,
+      model: Model): DataFrame =
+    candidates.select(
+      col(cId).as("neighbor_id") +: encode(col(cVec), model)
+        .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+
   def annTopK(queries: DataFrame, qId: String, qVec: String,
       candidates: DataFrame, cId: String, cVec: String,
-      model: Model, k: Int, rerank: Int = 0, distDecimals: Int = 6): DataFrame = {
+      model: Model, k: Int, rerank: Int = 0, distDecimals: Int = 6,
+      prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val codes = candidates.select(
-      col(cId).as("neighbor_id") +: encode(col(cVec), model)
-        .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+    // `prebuiltCodes`: a persisted code table amortizes the corpus
+    // encode across query batches (the code table IS the index)
+    val codes = prebuiltCodes.getOrElse(codeTable(candidates, cId, cVec, model))
 
     // per-query LUTs: n_queries × m × k doubles — model-sized, driver math
     val qRows = queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))

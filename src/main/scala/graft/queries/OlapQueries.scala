@@ -923,6 +923,37 @@ object OlapQueries {
         min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"))
     },
 
+    // ---------------------------------------------------------------- runtime bloom-filter join pruning
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // SELECTIVE dim side (part filtered to one brand) and evaluates it
+    // at the FACT scan — lineitem rows for other brands die before the
+    // shuffle. At 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~1/25 that can possibly join.
+    // Thresholds are lowered on a cloned session because the feature is
+    // sized for real clusters (10 GB scan-side default); broadcast is
+    // disabled so the join actually shuffles — at production scale this
+    // dim side would exceed the broadcast threshold anyway. PlanShapeSpec
+    // asserts the BloomFilterMightContain is present and pruning.
+    q("q60_runtime_bloom_join",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      table(s2, dir, "lineitem").join(
+          table(s2, dir, "part").filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Qf.dround(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

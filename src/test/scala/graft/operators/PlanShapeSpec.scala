@@ -142,6 +142,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 6000L)
   }
 
+  test("runtime bloom filter from the selective dim side prunes the fact scan") {
+    withStaticPlans {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val part = s2.read.parquet("/root/testdata/sf0.001/part.parquet")
+      val df = li.join(part.filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
     withStaticPlans {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
