@@ -954,6 +954,37 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---------------------------------------------------------------- batch sessionization
+    // gap-based sessions (2h inactivity): new-session flags via lag,
+    // session numbers via running sum, per-session rollup. One shuffle
+    // on user_id serves both windows AND the final agg (same
+    // partitioning); per-user state is O(1) per row. The streaming dual
+    // lives in EventStreams (watermarked session windows).
+    q("q61_sessionization",
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |g AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > INTERVAL 2 HOUR
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS INTEGER) AS session_no FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__new",
+          when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 7200
+            || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_no", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+        .orderBy("user_id", "session_no")
+    },
+
     // ---------------------------------------------------------------- distribution window functions
     q("q46_distribution_windows",
       """SELECT o_orderkey,

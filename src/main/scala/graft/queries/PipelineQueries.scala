@@ -1170,6 +1170,23 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- edit-distance similarity join
+    // PassJoin-style pigeonhole blocking (segments ⋈ substrings) + exact
+    // levenshtein rescore — the entity-resolution primitive (near-same
+    // product/author/entity names) without the all-pairs sweep. The
+    // oracle IS the all-pairs sweep: identical output proves the
+    // blocking loses nothing.
+    q("d35_fuzzy_name_join",
+      """WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(table(s, dir, "part"), "p_name", k = 2)
+        .orderBy("a", "b")
+    },
+
     // ---------------------------------------------------------------- bigram-LM quality scoring
     // CCNet-style fluency signal: Laplace-smoothed bigram cross-entropy
     // of each document under the corpus's own statistics. Bigrams never

@@ -493,6 +493,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb == wb)
   }
 
+  test("editDistanceSelfJoin equals the brute-force all-pairs sweep (superset blocking + exact rescore)") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    for (k <- Seq(1, 2)) {
+      val fast = FuzzyJoin.editDistanceSelfJoin(part, "p_name", k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val names = part.select(col("p_name").as("__s")).distinct()
+      val brute = names.select(col("__s").as("a"))
+        .crossJoin(names.select(col("__s").as("b")))
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .filter(col("dist") <= k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(fast == brute, s"k=$k: missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+      assert(brute.nonEmpty, s"k=$k: fixture has no close pairs — test is vacuous")
+    }
+  }
+
   test("sampleFrames explodes byte chunks deterministically") {
     val df = Seq((1L, "0123456789abcdef")).toDF("id", "text")
       .withColumn("payload", col("text").cast("binary"))
