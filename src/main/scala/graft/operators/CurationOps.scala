@@ -64,6 +64,35 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination: the constant-memory form of
+    * [[ngramOverlap]] for when even the benchmark's distinct-gram SET is
+    * too wide to broadcast exactly (many benchmarks × many grams). The
+    * benchmark grams fold into a `util.sketch.BloomFilter` via
+    * `df.stat.bloomFilter` (mergeable partial sketches — driver holds
+    * one filter of `fpp`-sized bits, never the gram set), the corpus
+    * probes it as a broadcast per-row predicate at scan speed.
+    *
+    * One-sided by construction: the flagged set is a SUPERSET of the
+    * exact [[ngramOverlap]] answer (bloom filters have no false
+    * negatives — a gate asserts this plus the false-positive budget).
+    * Use where recall is the requirement (decontamination: dropping a
+    * few extra training docs is cheap; leaking benchmark text is not).
+    */
+  def ngramOverlapBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.NgramExpressions.wordGramMd5s(col(textCol), n)).as("__h"))
+    val filter = grams(bench).select(col("__h")).stat
+      .bloomFilter("__h", expectedGrams, fpp)
+    val spark = train.sparkSession
+    val bc = spark.sparkContext.broadcast(filter)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    grams(train).distinct()
+      .filter(might(col("__h")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** BM25 keyword scoring: per-document score over a fixed term set.
     * Classic Robertson/Sparck-Jones idf `ln((N−df+0.5)/(df+0.5) + 1)`
     * with k1/b term saturation. The per-term document frequencies and

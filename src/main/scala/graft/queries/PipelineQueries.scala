@@ -855,6 +855,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- bloom-filter decontamination
+    // constant-memory variant of d24 for benchmark gram sets too wide to
+    // broadcast exactly: grams fold into a mergeable bloom filter, the
+    // corpus probes it at scan speed. Sketch-dependent → rows-only; the
+    // AccuracySpec gate asserts no false negatives vs exact d24 and
+    // bounds the false-positive docs.
+    q("d24b_decontamination_bloom", null) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.operators.CurationOps.ngramOverlapBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, expectedGrams = 200000L)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- BM25 keyword search
     // the retrieval half of corpus tooling: BM25 scores for a fixed term
     // set, top 50. df/N/avgdl are model-sized broadcast sides; tf is the

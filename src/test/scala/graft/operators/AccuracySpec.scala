@@ -123,6 +123,25 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.85, f"semDedup dropped-id recall = $recall%.3f < 0.85 (k=12, nprobe=3)")
   }
 
+  test("d24b gate: bloom decontamination has NO false negatives and bounded false positives") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = CurationOps.ngramOverlap(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = CurationOps.ngramOverlapBloom(train, bench, "doc_id", "text",
+      n = 3, expectedGrams = 100000L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom missed ${(exact -- bloom).size} truly-contaminated docs (false negatives!)")
+    // false-positive docs: each clean doc has ~hundreds of grams probing a
+    // 1% filter, so a loose 25% doc-level budget still catches a broken fpp
+    val clean = train.select("doc_id").distinct().count() - exact.size
+    val fpDocs = (bloom -- exact).size
+    assert(fpDocs <= clean * 0.25,
+      s"$fpDocs false-positive docs of $clean clean — bloom fpp out of budget")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
