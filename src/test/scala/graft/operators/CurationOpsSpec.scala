@@ -268,6 +268,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1).getAs[Double]("avg_cos_raw") - 1.0) < 1e-6)
   }
 
+  test("PassJoin blocking soundness: every pair within k edits shares a segment/substring (property)") {
+    // plain-Scala mirrors of FuzzyJoin's Column-level split/enumeration
+    def segs(s: String, k: Int): Seq[String] =
+      (0 to k).map { i =>
+        s.substring(s.length * i / (k + 1), s.length * (i + 1) / (k + 1))
+      }.filter(_.nonEmpty)
+    def substrings(s: String, k: Int): Set[String] = {
+      val wMin = math.max(1, (s.length - k) / (k + 1))
+      val wMax = math.max(wMin, math.ceil((s.length + k).toDouble / (k + 1)).toInt)
+      (wMin to wMax).flatMap(w => s.sliding(w).filter(_.length == w)).toSet
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc x"
+    def edit(s: String): String = {
+      val pos = if (s.isEmpty) 0 else rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 if s.nonEmpty => s.updated(pos, alphabet(rnd.nextInt(alphabet.length))).toString
+        case 1 => s.patch(pos, alphabet(rnd.nextInt(alphabet.length)).toString, 0)
+        case 2 if s.length > 2 => s.patch(pos, "", 1)
+        case _ => s
+      }
+    }
+    val k = 2
+    var checked = 0
+    (1 to 1000).foreach { _ =>
+      val a = Seq.fill(3 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      var b = a
+      (1 to (1 + rnd.nextInt(k))).foreach(_ => b = edit(b))
+      val d = lev(a, b)
+      if (d > 0 && d <= k && b.nonEmpty) {
+        checked += 1
+        // the theorem the join relies on, in BOTH orientations (the
+        // operator probes seg(lexicographic-smaller) vs substrings(larger))
+        assert(segs(a, k).exists(substrings(b, k).contains),
+          s"segments('$a') miss substrings('$b') at lev=$d")
+        assert(segs(b, k).exists(substrings(a, k).contains),
+          s"segments('$b') miss substrings('$a') at lev=$d")
+      }
+    }
+    assert(checked > 300, s"only $checked non-trivial pairs generated — property under-exercised")
+  }
+
   test("packBins: exclusive running sum bins docs per shard without splitting") {
     val df = Seq(
       // shard a: token counts 3,3,3 with context 4 → cum_excl 0,3,6 → bins 0,0,1
