@@ -37,29 +37,27 @@ object IvfIndex {
   private def sqDist(vec: Column, c: Array[Double]): Column =
     graft.functions.VectorExpressions.sqDistFD(vec, centroidCol(c))
 
-  /** Nearest-centroid id for a vector column.
-    *
-    * argmin is `array_position(d, array_min(d)) - 1` over the distance
-    * array — each distance evaluates a bounded number of times. (A
-    * when-chain fold re-evaluates its accumulated branch twice per
-    * level → exponential interpreted-eval blowup; measured as a
-    * 300s+ single task before this form.)
+  /** Nearest-centroid id for a vector column — ONE compiled expression
+    * over the referenced centroid matrix ([[graft.functions.NearestCentroid]]).
+    * The earlier `array(per-centroid dist…) + array_position(array_min)`
+    * form was linear in k at the generated-SOURCE level and blew
+    * Janino's 64 KB method limit (→ silent interpreted fallback) once
+    * k ∝ corpus-size clustering pushed k into the hundreds.
     */
-  def assignCluster(vec: Column, model: Model): Column = {
-    val darr = array(model.centroids.map(sqDist(vec, _)): _*)
-    (array_position(darr, array_min(darr)) - 1).cast("int")
-  }
+  def assignCluster(vec: Column, model: Model): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftSqlShims.expression(vec),
+        model.centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   /** The `nprobe` nearest centroid ids for a vector column (multi-probe /
-    * soft assignment), nearest first. Sorting (distance, id) structs keeps
-    * ties deterministic.
+    * soft assignment), nearest first; ties ascending by id.
     */
-  def assignClusters(vec: Column, model: Model, nprobe: Int): Column = {
-    val darr = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(vec, c).as("d"), lit(i).as("c"))
-    }: _*)
-    transform(slice(array_sort(darr), 1, nprobe), x => x.getField("c").cast("int"))
-  }
+  def assignClusters(vec: Column, model: Model, nprobe: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.GraftSqlShims.expression(vec),
+        model.centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 
   /** Train by fixed-count Lloyd iterations. Only k×(dim+1) partial sums
     * per partition ever reach the driver; `data` is cached as a vector

@@ -225,6 +225,19 @@ object SimilarityOps {
     * never all-pairs. k grows with corpus size to bound cluster sizes;
     * AQE splits skewed clusters at runtime.
     */
+  /** [[semDedup]] with the cluster COUNT derived from a target cluster
+    * SIZE — the scale-honest parameterization: candidate work is
+    * Σ(cluster²) ≈ n·size·nprobe², so holding `targetClusterSize` fixed
+    * keeps per-cluster work constant as the corpus grows (k ∝ n), where
+    * a fixed k degrades quadratically. Costs one count() of the corpus.
+    */
+  def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int, iters: Int, nprobe: Int, tau: Double): DataFrame = {
+    val n = emb.count()
+    val k = math.max(2, math.ceil(n.toDouble / targetClusterSize).toInt)
+    semDedup(emb, idCol, vecCol, k, iters, nprobe, tau)
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, nprobe: Int, tau: Double): DataFrame = {
     val model = IvfIndex.train(emb, vecCol, k, iters)

@@ -1180,8 +1180,11 @@ object PipelineQueries {
     // scale story vs d11's LSH: candidate pairs are Σ(cluster²), never
     // all-pairs, and the cluster count grows with the corpus.
     q("d33_semdedup", null) { (s, dir) =>
-      SimilarityOps.semDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 12, iters = 5, nprobe = 3, tau = 0.4)
+      // k derives from a target cluster size (≈42 ⇒ k=12 at the gate's
+      // sf0.001) so the within-cluster quadratic work stays bounded as
+      // the corpus grows — k ∝ n, not a fixed constant
+      SimilarityOps.semDedupAuto(table(s, dir, "embeddings"), "vec_id", "embedding",
+        targetClusterSize = 42, iters = 5, nprobe = 3, tau = 0.4)
         .orderBy("vec_id")
     },
 
