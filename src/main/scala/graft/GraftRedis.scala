@@ -78,6 +78,11 @@ object GraftRedis {
   def registerSql(spark: SparkSession): Unit = {
     functions.RedduckFunctions.registerAll(spark)
     registerTableFunctions(spark)
+    // session-scoped dual of the extension's injectOptimizerRule: the
+    // naive levenshtein join rewrites to the PassJoin blocking plan
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
   }
 
   /** Register `redis_scan('glob')` / `redis_kv('glob')` as SQL

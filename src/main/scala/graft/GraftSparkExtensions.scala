@@ -96,5 +96,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           (es: Seq[Expression]) =>
             org.apache.spark.sql.GraftSqlShims.logicalPlan(sourceDf(fmt, patternArg(es, fn)))))
       }
+
+    // optimizer: `JOIN ... ON levenshtein(a,b) <= k` (a cartesian
+    // nested loop as written) rewrites to the PassJoin blocking plan
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinJoinRewrite)
   }
 }

@@ -1205,6 +1205,30 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---------------------------------------------------------------- optimizer-rewritten fuzzy join
+    // the NAIVE SQL a user writes (cartesian levenshtein filter), run
+    // through the injected LevenshteinJoinRewrite rule: the optimizer
+    // swaps in the PassJoin blocking plan. The oracle runs the same
+    // naive SQL in DuckDB — identical hashes prove the rewrite is
+    // semantics-preserving end to end (GraftSparkExtensionsSpec asserts
+    // the plan contains no cartesian product).
+    q("d36_fuzzy_join_sql",
+      """SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part) a
+        |JOIN (SELECT DISTINCT p_name FROM part) b
+        |  ON levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
+      table(s2, dir, "part").createOrReplaceTempView("part_fz")
+      s2.sql("""SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part_fz) a
+        |JOIN (SELECT DISTINCT p_name FROM part_fz) b
+        |  ON levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin)
+    },
+
     // ---------------------------------------------------------------- bigram-LM quality scoring
     // CCNet-style fluency signal: Laplace-smoothed bigram cross-entropy
     // of each document under the corpus's own statistics. Bigrams never

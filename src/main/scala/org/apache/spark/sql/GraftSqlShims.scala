@@ -16,4 +16,16 @@ object GraftSqlShims {
     */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
+
+  /** DataFrame over an arbitrary logical plan (the private
+    * `Dataset.ofRows`) — lets optimizer rules build replacement subplans
+    * with the public DataFrame API and splice the ANALYZED result back.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed plan of a DataFrame (attribute-resolved, pre-optimizer). */
+  def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

@@ -71,4 +71,34 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT fields['f'] FROM redis_hash('exthash:*')")
       .head().getString(0) == "1")
   }
+
+  test("optimizer rule rewrites the naive levenshtein join: no cartesian, identical rows") {
+    val spark = extendedSession()
+    import spark.implicits._
+    val names = Seq("cold bolt", "old bolt", "cold gear", "blue rod", "red rod",
+      "old bolt", null, "widget", "widgets", "wídget")
+    names.toDF("n").createOrReplaceTempView("lhs")
+    names.reverse.toDF("m").createOrReplaceTempView("rhs")
+    val q =
+      """SELECT n, m FROM lhs JOIN rhs ON levenshtein(n, m) <= 2 AND n <> m"""
+    val df = spark.sql(q)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Cartesian") && !phys.contains("BroadcastNestedLoop"),
+      s"naive nested-loop survived the rewrite:\n$phys")
+    val rewritten = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // ground truth from a plain session WITHOUT the rule (duplicates and
+    // all: the rewrite must preserve multiplicity exactly)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val plain = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val naive = {
+      val l = plain.createDataFrame(names.map(Tuple1(_))).toDF("n")
+      val r = plain.createDataFrame(names.reverse.map(Tuple1(_))).toDF("m")
+      l.createOrReplaceTempView("lhs2"); r.createOrReplaceTempView("rhs2")
+      plain.sql("SELECT n, m FROM lhs2 JOIN rhs2 ON levenshtein(n, m) <= 2 AND n <> m")
+        .collect().map(x => (x.getString(0), x.getString(1))).sorted
+    }
+    assert(rewritten.toSeq == naive.toSeq)
+  }
 }
