@@ -34,6 +34,58 @@ object Aggregators {
   def weightedMean(x: Column, w: Column): Column =
     udaf(WeightedMean).apply(x, w)
 
+  /** Bounded top-k-per-group: the aggregate that replaces the
+    * `row_number() OVER (PARTITION BY g ORDER BY score) <= k` window for
+    * per-group rankings. The window form SORTS every group's full row
+    * set (O(n log n) per group, whole-group spill); this buffer never
+    * holds more than k (score, id) pairs, partial-aggregates map-side,
+    * and the shuffle carries one ≤k-element buffer per (partition,
+    * group) — the per-group analog of `TakeOrderedAndProject`.
+    *
+    * Ordering: best-first by score (`asc` false ⇒ higher is better),
+    * ties broken by id ascending — identical to the window form's
+    * `orderBy(score.desc, id)` so results are drop-in row-equal
+    * (pinned by test).
+    */
+  final case class ScoredId(score: Double, id: Long)
+  final case class TopKBuf(var items: List[ScoredId])
+
+  final class TopKByScore(k: Int, asc: Boolean)
+      extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+    require(k >= 1, "k must be >= 1")
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      if (a.score != b.score) { if (asc) a.score < b.score else a.score > b.score }
+      else a.id < b.id
+
+    private def insert(items: List[ScoredId], x: ScoredId): List[ScoredId] = {
+      // items kept best-first; worst element is last — O(k) insert with
+      // an O(1) reject of rows worse than a full buffer's tail
+      if (items.lengthCompare(k) >= 0 && better(items.last, x)) items
+      else {
+        val (pre, post) = items.span(better(_, x))
+        (pre ::: (x :: post)).take(k)
+      }
+    }
+
+    override def zero: TopKBuf = TopKBuf(Nil)
+    override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+      b.items = insert(b.items, a); b
+    }
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      x.items = y.items.foldLeft(x.items)(insert); x
+    }
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** `topKByScore(k, asc)(score, id)` → struct with an
+    * `items: array<struct<score, id>>` field, best-first. Explode
+    * `.getField("items")` + posexplode for (rank, id) rows.
+    */
+  def topKByScore(k: Int, asc: Boolean)(score: Column, id: Column): Column =
+    udaf(new TopKByScore(k, asc)).apply(score, id).getField("items")
+
   /** Register for SQL: `SELECT weighted_mean(x, w)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.udf.register("weighted_mean", udaf(WeightedMean))

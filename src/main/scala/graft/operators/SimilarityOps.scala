@@ -47,12 +47,27 @@ object SimilarityOps {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+    perKeyTopK(scored, "score", asc = false, k)
   }
+
+  /** Per-key top-k via the bounded-heap aggregate — NOT a row_number
+    * window: the window form sorts every key's full candidate set
+    * (corpus-sized per query) where the aggregate streams candidates
+    * through ≤k-element partial buffers, map-side combined. Identical
+    * rows to `row_number over (partition by query_id order by score
+    * [desc], neighbor_id) <= k` (same tie-break; pinned by test).
+    */
+  private def perKeyTopK(scored: DataFrame, scoreCol: String, asc: Boolean,
+      k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Aggregators.topKByScore(k, asc)(
+        col(scoreCol), col("neighbor_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__s")))
+      .select(col("query_id"),
+        col("__s.id").as("neighbor_id"),
+        col("__s.score").as(scoreCol),
+        (col("__p") + 1).cast("int").as("rk"))
 
   /** Exact Euclidean (L2) top-k neighbors per query — the metric twin of
     * [[bruteForceTopK]]: same broadcast-queries shape, but ranked by
@@ -68,11 +83,7 @@ object SimilarityOps {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(sqrt(sq), distDecimals).as("dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rk").cast("int").as("rk"))
+    perKeyTopK(scored, "dist", asc = true, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),

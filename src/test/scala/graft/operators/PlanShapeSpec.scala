@@ -142,6 +142,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 6000L)
   }
 
+  test("bruteForceTopK ranks through the bounded-heap aggregate: zero windows, rows equal the window form") {
+    withStaticPlans {
+      val q = emb.filter(col("vec_id") < 4)
+      val df = SimilarityOps.bruteForceTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      assert(windows(df) == 0, df.queryExecution.executedPlan.toString)
+      // row-equality vs the window form it replaced
+      val fromAgg = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val scored = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.queries.Qf.dround(SimilarityOps.cosine(col("__qv"), col("__cv")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val fromWin = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(fromAgg == fromWin)
+    }
+  }
+
   test("runtime bloom filter from the selective dim side prunes the fact scan") {
     withStaticPlans {
       val s2 = spark.newSession()
