@@ -156,9 +156,6 @@ object IvfIndex {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(SimilarityOps.cosine(col("__qv"), col("__cv")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+    SimilarityOps.perKeyTopK(scored, "score", asc = false, k)
   }
 }

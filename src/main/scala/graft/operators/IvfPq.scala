@@ -115,10 +115,7 @@ object IvfPq {
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(sqrt(adist2), distDecimals).as("dist"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id"))
-    val pool = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= math.max(rerank, k))
+    val pool = SimilarityOps.perKeyTopK(scored, "dist", asc = true, math.max(rerank, k))
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank: full vectors for only n_queries × rerank rows
     val exact = broadcast(pool)
@@ -128,8 +125,6 @@ object IvfPq {
         graft.queries.Qf.dround(
           sqrt(graft.functions.VectorExpressions.sqDistFF(col("__qv"), col("__cv"))),
           distDecimals).as("dist"))
-    exact.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rk").cast("int").as("rk"))
+    SimilarityOps.perKeyTopK(exact, "dist", asc = true, k)
   }
 }

@@ -182,11 +182,8 @@ object PqIndex {
     val scored = codes.join(broadcast(lutDf), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(sqrt(adist2), distDecimals).as("dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id"))
-    def topK(df: DataFrame, n: Int) = df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= n)
-      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rk").cast("int").as("rk"))
+    def topK(df: DataFrame, n: Int) =
+      SimilarityOps.perKeyTopK(df, "dist", asc = true, n)
     if (rerank <= 0) topK(scored, k)
     else {
       val pool = topK(scored, rerank).select(col("query_id"), col("neighbor_id"))

@@ -57,7 +57,7 @@ object SimilarityOps {
     * rows to `row_number over (partition by query_id order by score
     * [desc], neighbor_id) <= k` (same tie-break; pinned by test).
     */
-  private def perKeyTopK(scored: DataFrame, scoreCol: String, asc: Boolean,
+  def perKeyTopK(scored: DataFrame, scoreCol: String, asc: Boolean,
       k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
@@ -148,11 +148,7 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+    perKeyTopK(scored, "score", asc = false, k)
   }
 
   /** ANN via LSH buckets: exact rescoring restricted to the query's bucket.
@@ -171,11 +167,7 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+    perKeyTopK(scored, "score", asc = false, k)
   }
 
   /** Per-group element-wise mean vector. The explode → (group, pos)
