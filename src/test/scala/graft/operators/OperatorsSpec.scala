@@ -493,6 +493,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb == wb)
   }
 
+  test("exactQuantilesHist handles negatives, ±0.0, ties, and single-value groups (bit-order edge cases)") {
+    val rows = Seq(
+      // group n: spans negative/zero/positive with ties and -0.0
+      ("n", -5.0), ("n", -5.0), ("n", -1.25), ("n", -0.0), ("n", 0.0),
+      ("n", 0.0), ("n", 3.5), ("n", 1e300), ("n", -1e300), ("n", 2.0),
+      // group s: single value; group t: all ties
+      ("s", 42.0),
+      ("t", 7.0), ("t", 7.0), ("t", 7.0))
+    val df = spark.createDataFrame(rows).toDF("g", "v")
+    val measures = Seq(("m", col("v"), Seq("q0" -> 0.0, "q25" -> 0.25, "q5" -> 0.5, "q75" -> 0.75, "q1" -> 1.0)))
+    val hist = PercentileOps.exactQuantilesHist(df, Seq("g"), measures, shift = 48)
+      .collect().map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+    val builtin = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.0, 0.25, 0.5, 0.75, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    assert(hist.keySet == builtin.keySet)
+    hist.foreach { case (k, v) => assert(v == builtin(k), s"group $k: $v != ${builtin(k)}") }
+  }
+
   test("editDistanceSelfJoin equals the brute-force all-pairs sweep (superset blocking + exact rescore)") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     for (k <- Seq(1, 2)) {
