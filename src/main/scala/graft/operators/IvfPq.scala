@@ -61,6 +61,69 @@ object IvfPq {
         PqIndex.encode(col(cVec), model.pq)
           .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
 
+  /** Persist the index at rest: the code table partitioned BY CELL
+    * (each coarse cell its own directory — a probe's cell pruning
+    * becomes a literal partition filter on the scan) plus the model as
+    * a tiny parquet table of (kind, row, vector) — parquet doubles
+    * round-trip bit-exactly, no text serialization.
+    */
+  def writeIndex(candidates: DataFrame, cId: String, cVec: String,
+      model: Model, path: String): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    codeTable(candidates, cId, cVec, model)
+      .write.mode("overwrite").partitionBy("__cluster").parquet(s"$path/codes")
+    val rows =
+      model.coarse.centroids.zipWithIndex.map { case (v, i) => (-1, i, v.toSeq) } ++
+        model.pq.codebooks.zipWithIndex.flatMap { case (b, j) =>
+          b.centroids.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+        }
+    rows.toDF("book", "row", "vec") // book -1 = coarse quantizer
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load the model written by [[writeIndex]] (bit-exact round-trip). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .as[(Int, Int, Seq[Double])].collect() // model-sized by construction
+    val coarse = rows.filter(_._1 == -1).sortBy(_._2).map(_._3.toArray).toVector
+    val books = rows.filter(_._1 >= 0).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => IvfIndex.Model(rs.sortBy(_._2).map(_._3.toArray).toVector) }
+      .toVector
+    val subDim = books.head.centroids.head.length
+    Model(IvfIndex.Model(coarse), PqIndex.Model(subDim, books))
+  }
+
+  /** Probe a [[writeIndex]] layout. The query set is small by contract,
+    * so its probed cells are computed driver-side and pushed as a
+    * LITERAL partition filter — the codes scan reads only nprobe/kc of
+    * the index directories (`PartitionFilters: [__cluster IN (...)]`,
+    * asserted by test); full vectors are read only for the re-rank pool.
+    * Row-identical to [[annTopK]] with the same model/params.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    import spark.implicits._
+    val qRows = queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val wanted = qRows.flatMap { case (_, v) =>
+      val va = v.toArray
+      model.coarse.centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = va(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sorted.take(nprobe).map(_._2)
+    }.distinct.toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("__cluster").isin(wanted: _*))
+    annTopK(queries, qId, qVec, candidates, cId, cVec,
+      model, k, nprobe, rerank, prebuiltCodes = Some(codes))
+  }
+
   /** ANN top-k: prune to `nprobe` nearest cells per query, rank the
     * cells' PQ codes by asymmetric distance (broadcast per-query LUTs),
     * then exact-re-rank the top `rerank` pool with full vectors.

@@ -1173,6 +1173,28 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- persisted IVFPQ index probe
+    // the at-rest deployment of s08: code table written PARTITIONED BY
+    // cell + model parquet, probe = literal partition filter over the
+    // index directories (model-dependent → rows-only; PlanShapeSpec
+    // pins row-identity with the in-flight s08 form AND the
+    // partition-pruned scan shape).
+    q("s09_ivfpq_index", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = cachedModel(s"ivfpq:kc8:m8:k32:i5:$dir")(
+        graft.operators.IvfPq.train(emb, "embedding",
+          kc = 8, m = 8, k = 32, iters = 5))
+      val path = cachedModel(s"ivfpq:atrest:$dir") {
+        val p = s"/tmp/graft_conformance/s09_index_${dir.hashCode.toHexString}"
+        graft.operators.IvfPq.writeIndex(emb, "vec_id", "embedding", model, p)
+        p
+      }
+      graft.operators.IvfPq.probeIndex(s, path,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nprobe = 4, rerank = 100)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- semantic dedup (SemDeDup)
     // k-means + within-cluster cosine pruning (model-dependent →
     // rows-only; AccuracySpec gates dropped-id recall ≥ 0.85 against the

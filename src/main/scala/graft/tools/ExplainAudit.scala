@@ -33,7 +33,13 @@ object ExplainAudit {
       "d23_repetition",       // fused per-row kernel: zero shuffles
       "d30_passage_dedup",    // min(struct) winner agg, no window skew trap
       "d31_corpus_mix",       // broadcast rate table, corpus never shuffles
-      "s07_pq_topk")          // PQ codes + broadcast LUTs + exact re-rank
+      "s07_pq_topk",          // PQ codes + broadcast LUTs + exact re-rank
+      "d18_tfidf",            // exchange reuse between tf and df branches
+      "d34_lm_score",         // single score join, c1 derived from c2
+      "d33_semdedup",         // auto-k cluster join
+      "s08_ivfpq_topk",       // cell-pruned ADC + heap top-k
+      "q61_sessionization",   // one user_id shuffle for both windows + agg
+      "q60_runtime_bloom_join") // injected runtime filter
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)

@@ -183,6 +183,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVFPQ index: probe is partition-pruned and row-identical to the in-flight form") {
+    withStaticPlans {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      val queries = emb.filter(col("vec_id") < 4)
+      val model = IvfPq.train(emb, "embedding", kc = 8, m = 8, k = 16, iters = 2)
+      IvfPq.writeIndex(emb, "vec_id", "embedding", model, path)
+      // model round-trips bit-exactly through parquet
+      val loaded = IvfPq.loadModel(spark, path)
+      assert(loaded.pq.subDim == model.pq.subDim)
+      assert(loaded.coarse.centroids.map(_.toSeq) == model.coarse.centroids.map(_.toSeq))
+      assert(loaded.pq.codebooks.map(_.centroids.map(_.toSeq)) ==
+        model.pq.codebooks.map(_.centroids.map(_.toSeq)))
+      val probed = IvfPq.probeIndex(spark, path, queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nprobe = 3, rerank = 20)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__cluster"),
+        s"probe scan not partition-pruned:\n$plan")
+      val direct = IvfPq.annTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", model, k = 5, nprobe = 3, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val viaIndex = probed
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(viaIndex == direct)
+    }
+  }
+
   test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
     withStaticPlans {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
