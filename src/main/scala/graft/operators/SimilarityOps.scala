@@ -52,22 +52,30 @@ object SimilarityOps {
 
   /** Per-key top-k via the bounded-heap aggregate — NOT a row_number
     * window: the window form sorts every key's full candidate set
-    * (corpus-sized per query) where the aggregate streams candidates
+    * (corpus-sized per key) where the aggregate streams candidates
     * through ≤k-element partial buffers, map-side combined. Identical
-    * rows to `row_number over (partition by query_id order by score
-    * [desc], neighbor_id) <= k` (same tie-break; pinned by test).
+    * rows to `row_number over (partition by keys order by score
+    * [desc], id) <= k` (same tie-break; pinned by test). Output:
+    * `keys ++ (idCol, scoreCol, rk)`.
     */
+  def perKeyTopK(scored: DataFrame, keys: Seq[String], idCol: String,
+      scoreCol: String, asc: Boolean, k: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    scored
+      .groupBy(keyCols: _*)
+      .agg(graft.functions.Aggregators.topKByScore(k, asc)(
+        col(scoreCol), col(idCol)).as("__top"))
+      .select(keyCols :+ posexplode(col("__top")).as(Seq("__p", "__s")): _*)
+      .select(keyCols ++ Seq(
+        col("__s.id").as(idCol),
+        col("__s.score").as(scoreCol),
+        (col("__p") + 1).cast("int").as("rk")): _*)
+  }
+
+  /** ANN-shaped convenience: key `query_id`, id `neighbor_id`. */
   def perKeyTopK(scored: DataFrame, scoreCol: String, asc: Boolean,
       k: Int): DataFrame =
-    scored
-      .groupBy(col("query_id"))
-      .agg(graft.functions.Aggregators.topKByScore(k, asc)(
-        col(scoreCol), col("neighbor_id")).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__s")))
-      .select(col("query_id"),
-        col("__s.id").as("neighbor_id"),
-        col("__s.score").as(scoreCol),
-        (col("__p") + 1).cast("int").as("rk"))
+    perKeyTopK(scored, Seq("query_id"), "neighbor_id", scoreCol, asc, k)
 
   /** Exact Euclidean (L2) top-k neighbors per query — the metric twin of
     * [[bruteForceTopK]]: same broadcast-queries shape, but ranked by

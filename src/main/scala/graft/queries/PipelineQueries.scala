@@ -330,14 +330,15 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT doc_id, lang, source, quality, rk FROM ranked WHERE rk <= 3
          |ORDER BY lang, source, rk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      table(s, dir, "documents")
+      // best-k per STRATUM: strata are corpus-sized groups, so ranking
+      // runs through the bounded-heap aggregate (partial ≤k buffers),
+      // not a window that sorts each stratum in full
+      val scored = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           Qf.dround(TextOps.qualityScore(col("text")), 4).as("quality"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      SimilarityOps.perKeyTopK(scored, Seq("lang", "source"), "doc_id", "quality",
+          asc = false, k = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"), col("rk"))
         .orderBy("lang", "source", "rk")
     },
 
