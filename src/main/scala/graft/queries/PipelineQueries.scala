@@ -681,10 +681,16 @@ object PipelineQueries {
       // loop in fewer rounds
       val cand = DedupOps.lshStarEdges(docs, "doc_id", "text",
         numHashes = 8, bandSize = 4, shingleSize = 5)
-      DedupOps.connectedComponents(cand, "d1", "d2")
+      val labels = DedupOps.connectedComponents(cand, "d1", "d2")
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      // cluster size via partial-agg + same-key join, NOT count-over-
+      // window: an unbounded-frame window BUFFERS each cluster in one
+      // task, and dup clusters are exactly where a pathological corpus
+      // concentrates (10⁹ copies of one page = one giant partition)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     },
 
