@@ -165,6 +165,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize agrees with q61's batch sessionization on the real fixture") {
+    import spark.implicits._
+    // batch truth: q61's exact plan (2h gap) over the events fixture
+    val batch = graft.SparkEntry.queries("q61_sessionization")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // streaming emits only CLOSED sessions — each user's LAST batch
+    // session stays open in state, so drop it from the expectation
+    val expected = batch.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+      ss.sortBy(_._2).dropRight(1)
+    }.map(s => (s._1, s._3)).sorted // (user_id, n_events)
+    // truncate to whole seconds: the batch form compares floor-second
+    // differences (ts cast to long), the streaming one exact millis —
+    // aligning the inputs makes the gap boundaries bit-comparable
+    val evts = batchEvents()
+      .select(col("user_id"),
+        expr("timestamp_seconds(cast(ts as long))").as("ts"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Evt].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Evt](
+      spark)
+    stream.addData(evts)
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 120)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_vs_batch")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, CAST(n_events AS BIGINT) FROM sessions_vs_batch")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == expected,
+        s"streaming closed ${got.size} sessions, batch (minus open) expects ${expected.size}")
+    } finally q.stop()
+  }
+
   test("sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
