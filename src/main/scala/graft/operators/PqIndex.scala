@@ -128,6 +128,15 @@ object PqIndex {
         slice(vec, j * model.subDim + 1, model.subDim), model.codebooks(j))
     }
 
+  /** The per-candidate index row: id + m code columns, all codegen'd
+    * per-row expressions (one scan, no shuffle).
+    */
+  def codeTable(candidates: DataFrame, cId: String, cVec: String,
+      model: Model): DataFrame =
+    candidates.select(
+      col(cId).as("neighbor_id") +: encode(col(cVec), model)
+        .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+
   /** Asymmetric-distance top-k: encode the corpus, broadcast per-query
     * LUTs, rank by summed table lookups. `dist` is the approximate L2
     * (sqrt of the summed squared subspace distances), rounded for
@@ -140,15 +149,6 @@ object PqIndex {
     * for only `n_queries × rerank` rows — the corpus floats still never
     * shuffle and are never resident beyond the one scoring scan.
     */
-  /** The per-candidate index row: id + m code columns, all codegen'd
-    * per-row expressions (one scan, no shuffle).
-    */
-  def codeTable(candidates: DataFrame, cId: String, cVec: String,
-      model: Model): DataFrame =
-    candidates.select(
-      col(cId).as("neighbor_id") +: encode(col(cVec), model)
-        .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
-
   def annTopK(queries: DataFrame, qId: String, qVec: String,
       candidates: DataFrame, cId: String, cVec: String,
       model: Model, k: Int, rerank: Int = 0, distDecimals: Int = 6,
