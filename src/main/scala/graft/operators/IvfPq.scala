@@ -82,6 +82,20 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
+  /** Incremental maintenance: encode ONLY the new batch with the
+    * index's frozen model and append into the cell directories —
+    * existing files are never rewritten, and a probe sees old + new
+    * rows identically. (PQ models tolerate drift; retrain + full
+    * rewrite when the corpus distribution has moved — standard IVF
+    * practice.)
+    */
+  def appendToIndex(newRows: DataFrame, cId: String, cVec: String,
+      path: String): Unit = {
+    val model = loadModel(newRows.sparkSession, path)
+    codeTable(newRows, cId, cVec, model)
+      .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
+  }
+
   /** Load the model written by [[writeIndex]] (bit-exact round-trip). */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._

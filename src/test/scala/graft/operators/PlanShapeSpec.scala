@@ -206,6 +206,24 @@ class PlanShapeSpec extends AnyFunSuite {
       val viaIndex = probed
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       assert(viaIndex == direct)
+
+      // incremental append: a new batch (re-keyed copies) lands in the
+      // cell dirs without rewriting old files; the probe sees old + new
+      // == an index built over the union in one shot
+      val newBatch = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      IvfPq.appendToIndex(newBatch, "vec_id", "embedding", path)
+      val union = emb.select(col("vec_id"), col("embedding")).unionByName(newBatch)
+      val probedAll = IvfPq.probeIndex(spark, path, queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", k = 5, nprobe = 3, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val oneShot = {
+        val p2 = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
+        IvfPq.writeIndex(union, "vec_id", "embedding", model, p2)
+        IvfPq.probeIndex(spark, p2, queries, "vec_id", "embedding",
+          union, "vec_id", "embedding", k = 5, nprobe = 3, rerank = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      }
+      assert(probedAll == oneShot)
     }
   }
 
