@@ -1258,6 +1258,18 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin)
     },
 
+    // ---------------------------------------------------------------- model-based quality filter
+    // the classifier stage of the standard LLM data pipeline: fused-
+    // kernel features → logistic regression on a stable-hash split with
+    // heuristic weak labels → per-document score. Model-dependent →
+    // rows-only; AccuracySpec gates holdout AUC.
+    q("d37_quality_classifier", null) { (s, dir) =>
+      graft.operators.MlOps.scoreQuality(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("is_train"), col("weak_label"),
+          Qf.dround(col("p_good"), 4).as("p_good"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- bigram-LM quality scoring
     // CCNet-style fluency signal: Laplace-smoothed bigram cross-entropy
     // of each document under the corpus's own statistics. Bigrams never

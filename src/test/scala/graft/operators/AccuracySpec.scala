@@ -142,6 +142,24 @@ class AccuracySpec extends AnyFunSuite {
       s"$fpDocs false-positive docs of $clean clean — bloom fpp out of budget")
   }
 
+  test("d37 gate: quality classifier holdout AUC ≥ 0.8 against the weak labels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val scored = MlOps.scoreQuality(docs, "doc_id", "text")
+      .filter(!col("is_train"))
+      .select("weak_label", "p_good")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val pos = scored.count(_._1 == 1).toLong
+    val neg = scored.length - pos
+    assert(pos > 10 && neg > 10, s"degenerate holdout: $pos positives, $neg negatives")
+    // AUC = P(score(pos) > score(neg)), ties count half — exact pairwise
+    // on the model-sized holdout
+    var wins = 0.0
+    for ((la, pa) <- scored if la == 1; (lb, pb) <- scored if lb == 0)
+      wins += (if (pa > pb) 1.0 else if (pa == pb) 0.5 else 0.0)
+    val auc = wins / (pos * neg)
+    assert(auc >= 0.8, f"holdout AUC = $auc%.3f < 0.8")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
