@@ -101,4 +101,25 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rewritten.toSeq == naive.toSeq)
   }
+
+  test("levenshtein rewrite matches <, reversed >=, and swapped-side forms") {
+    val spark = extendedSession()
+    import spark.implicits._
+    Seq("cold bolt", "old bolt", "blue rod", "red rod", "widget")
+      .toDF("n").createOrReplaceTempView("fz")
+    def rows(q: String): Seq[(String, String)] = {
+      val df = spark.sql(q)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("Cartesian") && !phys.contains("BroadcastNestedLoop"),
+        s"not rewritten: $q\n$phys")
+      df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    }
+    val base = rows(
+      "SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) <= 2")
+    // strict < with k+1 bound ≡ ≤ k; literal-first comparison; swapped
+    // sides (levenshtein args from right table first)
+    assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) < 3") == base)
+    assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 2 >= levenshtein(a.n, b.n)") == base)
+    assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(b.n, a.n) <= 2") == base)
+  }
 }
