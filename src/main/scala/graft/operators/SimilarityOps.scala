@@ -118,7 +118,7 @@ object SimilarityOps {
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeArr = array(p.map(lit): _*)
+      val planeArr = array(p.toIndexedSeq.map(lit): _*)
       when(dotFD(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
