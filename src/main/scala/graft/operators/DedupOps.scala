@@ -132,6 +132,29 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Cross-corpus near-dup candidates: which NEW documents collide with
+    * the EXISTING corpus — the incremental-ingest dedup shape (dedupe a
+    * crawl batch against what is already indexed, rather than all
+    * self-pairs). Same banding, but the join is BIPARTITE: new-side
+    * bands probe corpus-side bands, so work is Σ per-bucket
+    * (new × corpus), and the (typically small) new side's bands can
+    * broadcast. In steady state the corpus side's bands are a persisted
+    * table maintained incrementally — they never recompute per batch.
+    * Output: (new_id, corpus_id, n_bands).
+    */
+  def crossDedupPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
+    def bandsOf(df: DataFrame, as: String) = lshBands(
+      minHashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      idCol, numHashes, bandSize)
+      .select(col(idCol).as(as), col("band"), col("bucket"))
+    broadcast(bandsOf(newDocs, "new_id"))
+      .join(bandsOf(corpus, "corpus_id"), Seq("band", "bucket"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting
     * all O(|bucket|²) pairs. The transitive closure (connected

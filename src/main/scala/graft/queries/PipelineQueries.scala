@@ -165,6 +165,33 @@ object PipelineQueries {
         .limit(100)
     },
 
+    // ---------------------------------------------------------------- cross-corpus dedup
+    // incremental-ingest shape: which docs of a NEW batch (doc_id%10=0)
+    // collide with the EXISTING corpus (the rest) — bipartite banding
+    // join, new side broadcast; at steady state the corpus bands are a
+    // persisted, incrementally-maintained table.
+    q("d38_cross_dedup", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
+         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      DedupOps.crossDedupPairs(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", numHashes = 8, bandSize = 4, shingleSize = 5)
+        .orderBy("new_id", "corpus_id")
+    },
+
     q("d09_simhash", {
       val bits = (0 until 16).map { j =>
         s"""(CASE WHEN list_sum(list_transform(tok,
