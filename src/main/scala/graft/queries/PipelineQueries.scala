@@ -1207,6 +1207,33 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- filtered vector search
+    // metadata predicate + vector top-k (the "filtered ANN" production
+    // shape: search only candidates passing a structured filter). The
+    // filter applies BEFORE scoring, so it pushes into the candidate
+    // scan — at rest with a label-partitioned layout it prunes
+    // partitions; the ranking is the bounded-heap aggregate either way.
+    q("s10_filtered_topk",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = 3),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb.filter(col("label") === 3), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- persisted IVFPQ index probe
     // the at-rest deployment of s08: code table written PARTITIONED BY
     // cell + model parquet, probe = literal partition filter over the
