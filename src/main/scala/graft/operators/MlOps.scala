@@ -49,24 +49,43 @@ object MlOps {
   def scoreQuality(docs: DataFrame, idCol: String, textCol: String,
       labelThreshold: Double = 0.74, trainFraction: Int = 70,
       maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val id = col(idCol)
-    val feats = docs
+    val feats = featureFrame(docs, idCol, textCol, labelThreshold, trainFraction)
+    scoreWith(trainQuality(feats, maxIter), feats, idCol)
+  }
+
+  /** The labeled feature frame both halves share. */
+  def featureFrame(docs: DataFrame, idCol: String, textCol: String,
+      labelThreshold: Double = 0.74, trainFraction: Int = 70): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(id,
-      qualityFeatures(col(textCol)).as("__arr"),
-      (TextOps.qualityScore(col(textCol)) >= labelThreshold)
-        .cast("double").as("weak_label"),
-      (pmod(DedupOps.md5Hash32(id.cast("string"), "mlsplit"), lit(100))
-        < trainFraction).as("is_train"))
+      .select(col(idCol),
+        qualityFeatures(col(textCol)).as("__arr"),
+        (TextOps.qualityScore(col(textCol)) >= labelThreshold)
+          .cast("double").as("weak_label"),
+        (pmod(DedupOps.md5Hash32(col(idCol).cast("string"), "mlsplit"), lit(100))
+          < trainFraction).as("is_train"))
       .withColumn("features", array_to_vector(col("__arr")))
-    val lr = new LogisticRegression()
+  }
+
+  /** Fit the classifier on the train split — train once, score many
+    * batches (the model is driver-resident and broadcast at scoring).
+    */
+  def trainQuality(feats: DataFrame, maxIter: Int = 20)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01)
       .setLabelCol("weak_label").setFeaturesCol("features")
-    val model = lr.fit(feats.filter(col("is_train")))
+      .fit(feats.filter(col("is_train")))
+  }
+
+  /** Score a (possibly different) batch with a fitted model. */
+  def scoreWith(model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      feats: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
     model.transform(feats)
-      .select(id, col("is_train"), col("weak_label").cast("int").as("weak_label"),
+      .select(col(idCol), col("is_train"), col("weak_label").cast("int").as("weak_label"),
         element_at(vector_to_array(col("probability")), 2).as("p_good"))
   }
 }

@@ -1318,7 +1318,11 @@ object PipelineQueries {
     // heuristic weak labels → per-document score. Model-dependent →
     // rows-only; AccuracySpec gates holdout AUC.
     q("d37_quality_classifier", null) { (s, dir) =>
-      graft.operators.MlOps.scoreQuality(table(s, dir, "documents"), "doc_id", "text")
+      import graft.operators.MlOps
+      val feats = MlOps.featureFrame(table(s, dir, "documents"), "doc_id", "text")
+      // train once per corpus (train-once/score-many, like the ANN models)
+      val model = cachedModel(s"lrquality:$dir")(MlOps.trainQuality(feats))
+      MlOps.scoreWith(model, feats, "doc_id")
         .select(col("doc_id"), col("is_train"), col("weak_label"),
           Qf.dround(col("p_good"), 4).as("p_good"))
         .orderBy("doc_id")
