@@ -199,6 +199,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the batch-trained quality classifier scores a stream (streaming inference)") {
+    import spark.implicits._
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val feats = graft.operators.MlOps.featureFrame(docs, "doc_id", "text")
+    val model = graft.operators.MlOps.trainQuality(feats)
+    val batchScores = graft.operators.MlOps.scoreWith(model, feats, "doc_id")
+      .select("doc_id", "p_good")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same documents arriving as a stream, scored by the SAME model
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), java.nio.file.Paths.get(dir, "part.parquet"))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.operators.MlOps.scoreWith(model,
+        graft.operators.MlOps.featureFrame(stream, "doc_id", "text"), "doc_id")
+      .select("doc_id", "p_good")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_scores")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, p_good FROM stream_scores")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == batchScores.keySet)
+      got.foreach { case (k, v) => assert(v == batchScores(k), s"doc $k: $v != ${batchScores(k)}") }
+    } finally q.stop()
+  }
+
   test("sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
