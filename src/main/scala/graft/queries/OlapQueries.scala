@@ -1092,6 +1092,35 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- jdbc round-trip (embedded Derby)
+    // spark.read/write.jdbc conformance against the embedded Derby that
+    // ships with Spark: write a projection over JDBC, read it back,
+    // aggregate. The oracle aggregates the same source rows from
+    // parquet — the check passes only if the JDBC writer + reader
+    // preserve every value. Predicate pushdown applies on the read
+    // (the WHERE becomes a JDBC filter); partitioned reads via
+    // partitionColumn bounds are the scale path for a real DBMS.
+    q("q62_jdbc_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val db = s"/tmp/graft_conformance/q62_derby_${dir.hashCode.toHexString}"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      table(s, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").jdbc(url, "events_rt", props)
+      s.read.jdbc(url, "events_rt", props)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("sum_uid"),
+          Qf.dround(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- file-format conformance: ORC round-trip
     // DuckDB has no ORC reader, so the oracle aggregates the SAME source
     // rows straight from parquet: the check passes only if Spark's ORC
