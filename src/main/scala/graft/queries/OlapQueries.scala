@@ -1092,6 +1092,33 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- NULL-semantics battery
+    // the cross-engine hazard area: aggregate null-skipping, count(col)
+    // vs count(*), coalesce/nullif, null-safe equality, and DISTINCT
+    // over a null-bearing expression — all on a derived null-injected
+    // column so the behaviors actually execute
+    q("q63_null_battery",
+      """WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p FROM orders)
+        |SELECT count(*) AS n_rows, count(p) AS n_nonnull,
+        |  CAST(count(DISTINCT p IS NULL) AS BIGINT) AS null_groups,
+        |  round(sum(coalesce(p, 0)), 2) AS sum_c,
+        |  round(avg(p), 4) AS avg_skipnull,
+        |  CAST(sum(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+        |  round(max(nullif(p, 0)), 2) AS max_nn
+        |FROM o""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .select(when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p")).as("n_nonnull"),
+          countDistinct(col("p").isNull).as("null_groups"),
+          Qf.dround(sum(coalesce(col("p"), lit(0))), 2).as("sum_c"),
+          Qf.dround(avg(col("p")), 4).as("avg_skipnull"),
+          sum(when(col("p") <=> lit(null), 1).otherwise(0)).as("n_nullsafe"),
+          Qf.dround(max(nullif(col("p"), lit(0))), 2).as("max_nn"))
+    },
+
     // ---------------------------------------------------------------- jdbc round-trip (embedded Derby)
     // spark.read/write.jdbc conformance against the embedded Derby that
     // ships with Spark: write a projection over JDBC, read it back,
