@@ -1092,6 +1092,27 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- exact decimal arithmetic
+    // money math must be EXACT, not double-rounded: cast to DECIMAL,
+    // sum and multiply in decimal, compare the full-precision string
+    // representation — any float shortcut in either engine's decimal
+    // path breaks the hash. (Spark's sum(decimal(12,2)) widens to
+    // (22,2) and the product to (17,5); string forms match DuckDB's.)
+    q("q64_decimal_exact",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_exact,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,3))) AS VARCHAR) AS disc_exact
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("string").as("sum_exact"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * col("l_discount").cast("decimal(4,3)")).cast("string").as("disc_exact"))
+        .orderBy("l_returnflag")
+    },
+
     // ---------------------------------------------------------------- NULL-semantics battery
     // the cross-engine hazard area: aggregate null-skipping, count(col)
     // vs count(*), coalesce/nullif, null-safe equality, and DISTINCT
