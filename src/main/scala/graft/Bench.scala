@@ -76,7 +76,13 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver records only the FINAL 2000 chars of output; if the
+    // inventory grows the line past that, the JSON's head would be cut —
+    // fail loudly here instead of silently zeroing the round's bench
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING metrics line ${line.length} chars — nearing the driver's 2000-char tail; shorten keys or drop precision")
+    println(line)
     spark.stop()
   }
 }
