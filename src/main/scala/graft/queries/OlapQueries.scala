@@ -1156,6 +1156,8 @@ object OlapQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val db = s"/tmp/graft_conformance/q62_derby_${dir.hashCode.toHexString}"
       val url = s"jdbc:derby:$db;create=true"
+      // keep Derby's boot log out of the process CWD
+      System.setProperty("derby.stream.error.file", "/tmp/graft_conformance/derby.log")
       val props = new java.util.Properties()
       table(s, dir, "events")
         .filter(col("event_id") % 5 === 0)
