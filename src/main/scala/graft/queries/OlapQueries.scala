@@ -1092,6 +1092,35 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- explicit grouping sets
+    // the general form rollup/cube desugar to, with the GROUPING()
+    // marker distinguishing "NULL because aggregated away" from a data
+    // NULL — one pass, Expand-based, same shape as q11/q12 but with an
+    // arbitrary user-chosen set list
+    q("q65_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      // Qf.dround in SQL form: Spark's round() HALF_UPs the exact binary
+      // value where DuckDB rounds half away from zero on the double
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(signum(sum(o_totalprice))
+        |    * floor(abs(sum(o_totalprice)) * 100 + 0.5) / 100 AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
     // ---------------------------------------------------------------- exact decimal arithmetic
     // money math must be EXACT, not double-rounded: cast to DECIMAL,
     // sum and multiply in decimal, compare the full-precision string
