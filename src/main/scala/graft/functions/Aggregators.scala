@@ -53,9 +53,15 @@ object Aggregators {
   final class TopKByScore(k: Int, asc: Boolean)
       extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
     require(k >= 1, "k must be >= 1")
-    private def better(a: ScoredId, b: ScoredId): Boolean =
-      if (a.score != b.score) { if (asc) a.score < b.score else a.score > b.score }
+    private def better(a: ScoredId, b: ScoredId): Boolean = {
+      // Spark's double ordering (SQLOrderingUtil.compareDoubles): NaN
+      // sorts ABOVE +Infinity and -0.0 ties 0.0. Raw </> would treat NaN
+      // as worse than everything (all comparisons false) and diverge
+      // from the row_number window this aggregate is row-equal to.
+      val c = if (a.score == b.score) 0 else java.lang.Double.compare(a.score, b.score)
+      if (c != 0) { if (asc) c < 0 else c > 0 }
       else a.id < b.id
+    }
 
     private def insert(items: List[ScoredId], x: ScoredId): List[ScoredId] = {
       // items kept best-first; worst element is last — O(k) insert with

@@ -60,24 +60,62 @@ object FuzzyJoin {
         x => length(x) === w))))
   }
 
+  /** Candidate pairs (`__sa`, `__sb`) — a SOUND superset of every pair
+    * with lev ≤ k between `sa.__sa` and `sb.__sb` (both assumed distinct,
+    * non-null). Two disjoint regimes, split on length(__sa):
+    *
+    *  - len(__sa) > k: pigeonhole segment blocking — all k+1 segments
+    *    are non-empty, so ≤ k edits leave one intact as an exact
+    *    substring of the peer. Equi-join on segment text.
+    *  - len(__sa) ≤ k: the pigeonhole argument FAILS (a length-L string
+    *    has only L non-empty segments; when L ≤ k every one of them can
+    *    be touched by edits — e.g. k=2, "ab" vs "cd": lev=2 but no
+    *    shared substring). Block on the PEER'S LENGTH instead: __sa
+    *    emits every admissible peer length in [max(la−k,0), la+k] and
+    *    __sb emits its own length — an equi-join on the length key, not
+    *    a cross join. Sound because |len(a)−len(b)| ≤ k is necessary for
+    *    lev ≤ k. The short side is bounded (strings of ≤ k chars, k ≤ 6)
+    *    and each emits ≤ 2k+1 keys; peers are capped at len ≤ 2k.
+    *
+    * May contain duplicates within each regime (several shared segments)
+    * — callers dedup before the exact rescore. Both regimes carry the
+    * length-band filter.
+    */
+  def candidatePairs(sa: DataFrame, sb: DataFrame, k: Int): DataFrame = {
+    val segs = sa.filter(length(col("__sa")) > k)
+      .select(col("__sa"), explode(segments(col("__sa"), k)).as("__seg"))
+      .filter(length(col("__seg")) > 0)
+    val subs = sb.select(col("__sb"),
+      explode(peerSegmentSubstrings(col("__sb"), k)).as("__seg"))
+    val blocked = segs.join(subs, Seq("__seg"))
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= k)
+      .select(col("__sa"), col("__sb"))
+
+    val shortA = sa.filter(length(col("__sa")) <= k)
+      .select(col("__sa"), explode(sequence(
+        greatest(length(col("__sa")) - k, lit(0)),
+        length(col("__sa")) + k)).as("__lb"))
+    val peersB = sb.filter(length(col("__sb")) <= 2 * k)
+      .select(col("__sb"), length(col("__sb")).as("__lb"))
+    val short = shortA.join(peersB, Seq("__lb")).select(col("__sa"), col("__sb"))
+
+    blocked.unionByName(short)
+  }
+
   /** Self-join on Levenshtein distance ≤ k over the distinct values of
     * `strCol`. Output: (a, b, dist), a < b, one row per pair. Exact —
-    * blocking is a superset (pigeonhole), the rescore is edit distance.
+    * blocking is a superset (pigeonhole + short-string length blocking),
+    * the rescore is edit distance.
     */
   def editDistanceSelfJoin(df: DataFrame, strCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val names = df.select(col(strCol).as("__s"))
       .filter(col("__s").isNotNull).distinct()
-    val segs = names
-      .select(col("__s").as("__sa"), explode(segments(col("__s"), k)).as("__seg"))
-      .filter(length(col("__seg")) > 0)
-    val subs = names
-      .select(col("__s").as("__sb"),
-        explode(peerSegmentSubstrings(col("__s"), k)).as("__seg"))
-    val cands = segs.join(subs, Seq("__seg"))
+    val cands = candidatePairs(
+        names.select(col("__s").as("__sa")),
+        names.select(col("__s").as("__sb")), k)
       .filter(col("__sa") < col("__sb"))
-      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= k)
-      .select(col("__sa"), col("__sb")).distinct()
+      .distinct()
     cands
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= k)

@@ -121,22 +121,37 @@ object IvfPq {
       candidates: DataFrame, cId: String, cVec: String,
       k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val model = loadModel(spark, path)
-    import spark.implicits._
-    val qRows = queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect()
+    // ONE query collect for the whole probe: the same rows drive both
+    // the driver-side partition filter here and annTopK's LUT build
+    val qRows = collectQueries(queries, qId, qVec)
     val wanted = qRows.flatMap { case (_, v) =>
-      val va = v.toArray
-      model.coarse.centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length) { val t = va(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sorted.take(nprobe).map(_._2)
+      nearestCells(model, v.toArray, nprobe)
     }.distinct.toSeq
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("__cluster").isin(wanted: _*))
     annTopK(queries, qId, qVec, candidates, cId, cVec,
-      model, k, nprobe, rerank, prebuiltCodes = Some(codes))
+      model, k, nprobe, rerank, prebuiltCodes = Some(codes),
+      collectedQueries = Some(qRows))
   }
+
+  /** The bounded query-set collect shared by [[probeIndex]]/[[annTopK]]. */
+  private def collectQueries(queries: DataFrame, qId: String,
+      qVec: String): Array[(Long, Seq[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect() // bounded: the query set
+  }
+
+  /** The `nprobe` nearest coarse cells of one query vector (driver math
+    * over the model-sized centroid list).
+    */
+  private def nearestCells(model: Model, va: Array[Double], nprobe: Int): Seq[Int] =
+    model.coarse.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = va(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sorted.take(nprobe).map(_._2).toSeq
 
   /** ANN top-k: prune to `nprobe` nearest cells per query, rank the
     * cells' PQ codes by asymmetric distance (broadcast per-query LUTs),
@@ -152,7 +167,8 @@ object IvfPq {
       candidates: DataFrame, cId: String, cVec: String,
       model: Model, k: Int, nprobe: Int, rerank: Int,
       distDecimals: Int = 6,
-      prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+      prebuiltCodes: Option[DataFrame] = None,
+      collectedQueries: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -160,15 +176,11 @@ object IvfPq {
 
     // (query, probed cell) rows + per-query LUT — all model-sized driver
     // math, broadcast. LUT layout matches PqIndex.annTopK: m × k doubles.
-    val qRows = queries.select(col(qId).cast("long"), col(qVec).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect() // bounded: the query set
+    // probeIndex passes its already-collected rows through so the probe
+    // path runs ONE collect job, not two over the same query set.
+    val qRows = collectedQueries.getOrElse(collectQueries(queries, qId, qVec))
     val probes = qRows.toSeq.flatMap { case (id, v) =>
       val va = v.toArray
-      val cellD = model.coarse.centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length) { val t = va(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }
       val lut = (0 until model.pq.m).map { j =>
         val sub = v.slice(j * model.pq.subDim, (j + 1) * model.pq.subDim)
         model.pq.codebooks(j).centroids.map { c =>
@@ -177,7 +189,7 @@ object IvfPq {
           d
         }.toSeq
       }
-      cellD.sorted.take(nprobe).map { case (_, cell) => (id, cell, lut) }
+      nearestCells(model, va, nprobe).map(cell => (id, cell, lut))
     }
     val probeDf = probes.toDF("query_id", "__cluster", "__lut")
 

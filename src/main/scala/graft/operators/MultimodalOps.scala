@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * and re-encode actual PNG/JPEG payloads with the JDK's `javax.imageio`
   * (ships with the JRE — no native deps), plugged into the same
   * `mapPartitions` seam (`decodePartitioned` / `resizePartitioned`) the
-  * stubs use. The deterministic stubs (`stubDecode`, `fakeImageMeta`, …)
-  * remain as the codec-free fallback and as the stand-ins for the
-  * audio/video modalities, whose codecs do NOT ship with the JVM.
-  * Everything around the codec — schema shape, per-partition batching,
-  * binary column flow — is identical between stub and real paths.
+  * stubs use. AUDIO header metadata is REAL too: `audioHeader` parses
+  * WAV/AIFF/AU containers with `javax.sound.sampled` (also JRE-shipped,
+  * no native deps). The deterministic stubs (`stubDecode`,
+  * `fakeImageMeta`, …) remain as the codec-free fallback and as the
+  * stand-in for the VIDEO modality, whose codecs genuinely do not ship
+  * with the JVM. Everything around the codec — schema shape,
+  * per-partition batching, binary column flow — is identical between
+  * stub and real paths.
   *
   * Scale notes: binary payloads dominate row size, so decode operators
   * must never shuffle the binary column — filter/extract first, carry
@@ -216,6 +219,93 @@ object MultimodalOps {
   def syntheticImageCached(seed: Long, w: Int, h: Int, format: String): Array[Byte] =
     synthCache.computeIfAbsent((seed, w, h, format),
       k => syntheticImage(k._1, k._2, k._3, k._4))
+
+  val AudioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("container", StringType, nullable = false)))
+
+  /** REAL audio container metadata via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU parsers ship with the JRE — the same no-native-deps
+    * argument as `imageIoHeader`): reads sample rate, channel count,
+    * sample width and frame count from the container HEADER without
+    * touching the sample data — the metadata-extract operator an audio
+    * corpus wants; decoding PCM costs orders of magnitude more than the
+    * 44-byte RIFF header. Returns zeros/"unknown" for null/empty/
+    * unparseable payloads so the seam stays total. Compressed codecs
+    * (mp3/ogg/aac) have no JRE parser and fall through to "unknown" —
+    * the honest boundary, like video.
+    */
+  def audioHeader(bytes: Array[Byte]): (Int, Int, Int, Long, String) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, 0L, "unknown")
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong, aff.getType.getExtension)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        (0, 0, 0, 0L, "unknown")
+    }
+  }
+
+  /** Partition-batched audio metadata seam — the audio twin of
+    * [[decodePartitioned]]: binary stays inside its input partition,
+    * only the small metadata struct flows on. Output schema = input
+    * minus the binary column, plus `meta: AudioMetaType`.
+    */
+  def audioMetaPartitioned(df: DataFrame, binCol: String,
+      parseOne: Array[Byte] => (Int, Int, Int, Long, String) = audioHeader): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inSchema.fields.patch(binIdx, Nil, 1).toSeq :+ StructField("meta", AudioMetaType))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val (sr, ch, bits, frames, container) = parseOne(bytes)
+        val kept = row.toSeq.patch(binIdx, Nil, 1)
+        Row.fromSeq(kept :+ Row(sr, ch, bits, frames, container))
+      }
+    }
+  }
+
+  /** Deterministic REAL-audio fixture: `nFrames` of 16-bit little-endian
+    * PCM whose samples are a pure function of (seed, index), wrapped in
+    * a genuine WAV container by the JDK's own writer — so conformance
+    * queries can assert the parsed header fields BY CONSTRUCTION,
+    * exactly like [[syntheticImage]] does for PNG/JPEG.
+    */
+  def syntheticWav(seed: Long, sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((seed * 1315423911L + i * 2654435761L) >>> 7).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Memoized [[syntheticWav]] over a bounded seed set (m04 draws from 32
+    * distinct combos) — fixture plumbing, same contract as
+    * [[syntheticImageCached]].
+    */
+  private val wavCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Byte]]
+  def syntheticWavCached(seed: Long, sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] =
+    wavCache.computeIfAbsent((seed, sampleRate, channels, nFrames),
+      k => syntheticWav(k._1, k._2, k._3, k._4))
 
   /** Frame-sampling stub for video-like payloads: emit every k-th chunk of
     * the byte stream as one "frame" row (explode pattern — the real

@@ -70,11 +70,19 @@ object PercentileOps {
     // `counts` (Σ of the per-value counts) instead of `unpivoted` lets
     // Catalyst reuse the distinct-count exchange — the fact table is
     // scanned and shuffled ONCE for the whole computation.
+    // the totals join must be NULL-SAFE on the key columns (<=>): a
+    // plain equi-join would silently drop every NULL-keyed group, while
+    // groupBy (and the built-in percentile) keep NULL as a group
     val totals = counts.groupBy(grp: _*).agg(sum(col("__cnt")).as("__n"))
+      .select(keys.map(c => col(c).as(s"__t_$c")) ++
+        Seq(col("__m").as("__t_m"), col("__n")): _*)
+    val totalsCond = keys.map(c => col(c) <=> col(s"__t_$c"))
+      .foldLeft(col("__m") <=> col("__t_m"))(_ && _)
     val ranked = counts
       .withColumn("__end", sum(col("__cnt")).over(wOrd)) // 1-based end of this value's run
       .withColumn("__start", col("__end") - col("__cnt")) // 0-based first index
-      .join(broadcast(totals), keys :+ "__m") // per (keys, measure) total
+      .join(broadcast(totals), totalsCond) // per (keys, measure) total
+      .drop((keys.map(c => s"__t_$c") :+ "__t_m"): _*)
     val aggs = measures.flatMap { case (m, _, qs) =>
       qs.flatMap { case (name, q) =>
         // __n is this row's own (keys, measure) group total, so the target
@@ -191,11 +199,18 @@ object PercentileOps {
     // job 2: collect candidate values of the needed buckets only.
     // The composite key joins on an unprintable separator (cannot occur
     // in sane key columns); Scala number toString matches Spark's
-    // cast-to-string for int/long/double keys
-        val sep = "\u0001"
-    val neededKeys = needed.map { case (g, b) => g.mkString(sep) + sep + b }.toSeq
+    // cast-to-string for int/long/double keys. NULL key columns need a
+    // sentinel on BOTH sides: concat_ws silently SKIPS null inputs
+    // (shifting the composite key), so every column is coalesced to a
+    // NUL-prefixed sentinel and the driver-side rendering mirrors it —
+    // without this a NULL group key never matches, no candidates
+    // arrive, and valueAt throws on the missing bucket.
+    val sep = "\u0001"
+    val nullSentinel = "\u0000NULL"
+    def render(x: Any): String = if (x == null) nullSentinel else x.toString
+    val neededKeys = needed.map { case (g, b) => g.map(render).mkString(sep) + sep + b }.toSeq
     val gkeyExpr = concat_ws(sep,
-      (grp :+ bucketExpr.as("__b")).map(_.cast("string")): _*)
+      (grp :+ bucketExpr.as("__b")).map(c => coalesce(c.cast("string"), lit(nullSentinel))): _*)
     val candRows = unpivoted
       .filter(gkeyExpr.isin(neededKeys: _*))
       .select(grp ++ Seq(bucketExpr.as("__b"), col("__v")): _*)

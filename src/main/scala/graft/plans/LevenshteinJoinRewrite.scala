@@ -50,17 +50,51 @@ object LevenshteinJoinRewrite extends Rule[LogicalPlan] {
 
   /** (levAttrLeft, levAttrRight, k, residual conjuncts) when `cond` is a
     * conjunction containing exactly one rewritable lev-bound.
+    *
+    * Two families are recognized:
+    *  - the unbounded form `levenshtein(a, b) ≤/< k` (and the mirrored
+    *    `k ≥ lev`), where the comparison itself supplies the bound;
+    *  - the thresholded 3-arg form Spark ≥ 3.5 documents as the fast
+    *    path, `levenshtein(a, b, t)`, which returns the distance when it
+    *    is ≤ t and −1 otherwise. The ONLY comparisons of it that denote
+    *    a pure distance bound are the not-exceeded tests `≥ 0`, `> −1`
+    *    and `≠ −1` (each ⟺ lev ≤ t). A `levenshtein(a,b,t) ≤ k` is NOT
+    *    a bound — the −1 sentinel passes it — so it is deliberately not
+    *    matched; when a user writes `lev3 ≥ 0 AND lev3 ≤ k`, the `≥ 0`
+    *    conjunct drives the rewrite and the `≤ k` survives as the
+    *    residual filter, which is exactly right.
     */
   private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[(Attribute, Attribute, Int, Seq[Expression])] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    object Lev2 {
+      def unapply(e: Expression): Option[(AttributeReference, AttributeReference)] = e match {
+        case Levenshtein(a: AttributeReference, b: AttributeReference, None) => Some((a, b))
+        case _ => None
+      }
+    }
+    object Lev3 {
+      def unapply(e: Expression): Option[(AttributeReference, AttributeReference, Int)] = e match {
+        case Levenshtein(a: AttributeReference, b: AttributeReference,
+            Some(Literal(t: Int, IntegerType))) => Some((a, b, t))
+        case _ => None
+      }
+    }
     val hits = conjuncts.collect {
-      case p @ LessThanOrEqual(Levenshtein(a: AttributeReference, b: AttributeReference, None), Literal(k: Int, IntegerType)) =>
+      case p @ LessThanOrEqual(Lev2(a, b), Literal(k: Int, IntegerType)) =>
         (p, a, b, k)
-      case p @ LessThan(Levenshtein(a: AttributeReference, b: AttributeReference, None), Literal(k: Int, IntegerType)) =>
+      case p @ LessThan(Lev2(a, b), Literal(k: Int, IntegerType)) =>
         (p, a, b, k - 1)
-      case p @ GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a: AttributeReference, b: AttributeReference, None)) =>
+      case p @ GreaterThanOrEqual(Literal(k: Int, IntegerType), Lev2(a, b)) =>
         (p, a, b, k)
+      case p @ GreaterThanOrEqual(Lev3(a, b, t), Literal(0, IntegerType)) =>
+        (p, a, b, t)
+      case p @ GreaterThan(Lev3(a, b, t), Literal(-1, IntegerType)) =>
+        (p, a, b, t)
+      case p @ Not(EqualTo(Lev3(a, b, t), Literal(-1, IntegerType))) =>
+        (p, a, b, t)
+      case p @ Not(EqualTo(Literal(-1, IntegerType), Lev3(a, b, t))) =>
+        (p, a, b, t)
     }
     hits match {
       case Seq((p, a, b, k)) if k >= 1 && k <= MaxK
@@ -99,15 +133,7 @@ object LevenshteinJoinRewrite extends Rule[LogicalPlan] {
         .select(cols.map(col): _*)
     val sa = dedup(lDs.select(colOf(a).as("__sa")).filter(col("__sa").isNotNull), "__sa")
     val sb = dedup(rDs.select(colOf(b).as("__sb")).filter(col("__sb").isNotNull), "__sb")
-    val segs = sa.select(col("__sa"), explode(FuzzyJoin.segments(col("__sa"), k)).as("__seg"))
-      .filter(length(col("__seg")) > 0)
-    val subs = sb.select(col("__sb"),
-      explode(FuzzyJoin.peerSegmentSubstrings(col("__sb"), k)).as("__seg"))
-    val pairs = dedup(
-      segs.join(subs, Seq("__seg"))
-        .filter(abs(length(col("__sa")) - length(col("__sb"))) <= k)
-        .select(col("__sa"), col("__sb")),
-      "__sa", "__sb")
+    val pairs = dedup(FuzzyJoin.candidatePairs(sa, sb, k), "__sa", "__sb")
       .filter(levenshtein(col("__sa"), col("__sb")) <= k)
 
     // join both inputs back on string equality: one pairs row per

@@ -960,8 +960,13 @@ object OlapQueries {
     // on user_id serves both windows AND the final agg (same
     // partitioning); per-user state is O(1) per row. The streaming dual
     // lives in EventStreams (watermarked session windows).
+    // NOTE the oracle truncates ts to whole seconds (date_trunc) because
+    // the Spark side compares floor-second longs: without identical
+    // truncation on both sides, a raw gap in (7200, 7201) seconds whose
+    // endpoints floor to a 7200s difference would classify differently
+    // and conformance would be fixture-dependent.
     q("q61_sessionization",
-      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      """WITH ev AS (SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_id FROM events),
         |g AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > INTERVAL 2 HOUR
         |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1193,6 +1198,39 @@ object OlapQueries {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").jdbc(url, "events_rt", props)
       s.read.jdbc(url, "events_rt", props)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("sum_uid"),
+          Qf.dround(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // the PARTITIONED read form — the pattern to copy against a real
+    // DBMS: an unpartitioned read.jdbc is ONE task pulling the whole
+    // table over one connection (q62 keeps that form only as the
+    // round-trip oracle). partitionColumn/bounds/numPartitions splits
+    // the scan into stride-ranged queries that run in parallel; bounds
+    // come from a metadata-only min/max over the source (rows outside
+    // the bounds still arrive — they land in the edge partitions).
+    // PlanShapeSpec asserts the scan really fans out to >1 partition.
+    q("q62b_jdbc_partitioned",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val db = s"/tmp/graft_conformance/q62b_derby_${dir.hashCode.toHexString}"
+      val url = s"jdbc:derby:$db;create=true"
+      System.setProperty("derby.stream.error.file", "/tmp/graft_conformance/derby.log")
+      val props = new java.util.Properties()
+      val src = table(s, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      src.write.mode("overwrite").jdbc(url, "events_rtp", props)
+      val Array(lo, hi) = src.agg(min("event_id"), max("event_id")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      s.read.jdbc(url, "events_rtp", "event_id", lo, hi + 1, 4, props)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("sum_uid"),

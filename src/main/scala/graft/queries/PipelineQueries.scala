@@ -55,9 +55,23 @@ object PipelineQueries {
     * for a run (same contract as Registry's plan cache). d33's semDedup
     * deliberately does NOT cache: dedup is a one-shot batch pass.
     */
-  private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Any]
-  private def cachedModel[M](key: String)(train: => M): M =
-    modelCache.getOrElseUpdate(key, train).asInstanceOf[M]
+  private val modelCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Any]]
+  private def cachedModel[M](s: org.apache.spark.sql.SparkSession, key: String)(train: => M): M = {
+    // keyed weakly by SESSION, like Registry.planCache: some cached
+    // values are persist()ed DataFrames bound to the session that built
+    // them — a process that runs the inventory under a second session
+    // must retrain rather than receive a frame pinned to the first
+    // (possibly stopped) one, and a collected session releases its
+    // cached blocks with it
+    val perSession = modelCache.synchronized {
+      var m = modelCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; modelCache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(key, train).asInstanceOf[M]
+  }
 
   val all: Seq[NamedQuery] = Seq(
     // ---------------------------------------------------------------- text analysis
@@ -450,6 +464,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- multimodal REAL audio metadata
+    // genuine WAV payloads (16-bit PCM synthesized per row with the JDK's
+    // own javax.sound.sampled writer — header fields derive from doc_id)
+    // pushed through the audioMetaPartitioned seam with the REAL
+    // javax.sound.sampled header parser. The oracle knows sample rate /
+    // channels / frames BY CONSTRUCTION, so the RIFF header parse is
+    // hash-checked end to end without the parser ever seeing the answer.
+    q("m04_audio_meta",
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  16 AS bits,
+        |  CAST(100 + doc_id % 32 AS BIGINT) AS frames,
+        |  'wav' AS container
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // every header field is a function of m = doc_id % 32, so the
+      // generator draws from 32 distinct payloads — memoized per executor
+      val gen = udf((m: Long) => MultimodalOps.syntheticWavCached(
+        m,
+        (m % 4) match { case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100 },
+        (1 + m % 2).toInt, (100 + m).toInt))
+      val wavs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 32).as("wav"))
+      MultimodalOps.audioMetaPartitioned(wavs, "wav")
+        .select(col("doc_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.bits").as("bits"),
+          col("meta.frames").as("frames"),
+          col("meta.container").as("container"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- as-of join (custom operator)
     q("q35_asof_join",
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
@@ -826,7 +874,7 @@ object PipelineQueries {
     // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
     q("s04_ivf_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s"ivf:k8:i3:$dir")(
+      val model = cachedModel(s, s"ivf:k8:i3:$dir")(
         IvfIndex.train(emb, "embedding", k = 8, iters = 3))
       IvfIndex.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -1171,9 +1219,9 @@ object PipelineQueries {
     // corpus no longer fits executor memory.
     q("s07_pq_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s"pq:m8:k32:i5:$dir")(
+      val model = cachedModel(s, s"pq:m8:k32:i5:$dir")(
         graft.operators.PqIndex.train(emb, "embedding", m = 8, k = 32, iters = 5))
-      val codes = cachedModel(s"pq:m8:k32:i5:codes:$dir") {
+      val codes = cachedModel(s, s"pq:m8:k32:i5:codes:$dir") {
         val c = graft.operators.PqIndex.codeTable(emb, "vec_id", "embedding", model).persist()
         c.count(); c
       }
@@ -1193,10 +1241,10 @@ object PipelineQueries {
     // probed cells.
     q("s08_ivfpq_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s"ivfpq:kc8:m8:k32:i5:$dir")(
+      val model = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
           kc = 8, m = 8, k = 32, iters = 5))
-      val codes = cachedModel(s"ivfpq:kc8:m8:k32:i5:codes:$dir") {
+      val codes = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:codes:$dir") {
         val c = graft.operators.IvfPq.codeTable(emb, "vec_id", "embedding", model).persist()
         c.count(); c
       }
@@ -1242,10 +1290,10 @@ object PipelineQueries {
     // partition-pruned scan shape).
     q("s09_ivfpq_index", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s"ivfpq:kc8:m8:k32:i5:$dir")(
+      val model = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
           kc = 8, m = 8, k = 32, iters = 5))
-      val path = cachedModel(s"ivfpq:atrest:$dir") {
+      val path = cachedModel(s, s"ivfpq:atrest:$dir") {
         val p = s"/tmp/graft_conformance/s09_index_${dir.hashCode.toHexString}"
         graft.operators.IvfPq.writeIndex(emb, "vec_id", "embedding", model, p)
         p
@@ -1312,6 +1360,30 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin)
     },
 
+    // the THRESHOLDED built-in Spark >= 3.5 documents as the fast path:
+    // levenshtein(a, b, t) returns the distance when <= t, else -1, so
+    // `>= 0` is the distance-bound test. Without the rewrite this form
+    // too plans as a cartesian nested loop. DuckDB has no 3-arg
+    // levenshtein — the oracle runs the semantically-identical 2-arg
+    // bound, which is the point: identical hashes prove the bounded form
+    // rewrites to the same PassJoin plan and the same rows.
+    q("d36b_fuzzy_join_bounded",
+      """SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part) a
+        |JOIN (SELECT DISTINCT p_name FROM part) b
+        |  ON levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
+      table(s2, dir, "part").createOrReplaceTempView("part_fzb")
+      s2.sql("""SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part_fzb) a
+        |JOIN (SELECT DISTINCT p_name FROM part_fzb) b
+        |  ON levenshtein(a.p_name, b.p_name, 2) >= 0 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin)
+    },
+
     // ---------------------------------------------------------------- model-based quality filter
     // the classifier stage of the standard LLM data pipeline: fused-
     // kernel features → logistic regression on a stable-hash split with
@@ -1321,7 +1393,7 @@ object PipelineQueries {
       import graft.operators.MlOps
       val feats = MlOps.featureFrame(table(s, dir, "documents"), "doc_id", "text")
       // train once per corpus (train-once/score-many, like the ANN models)
-      val model = cachedModel(s"lrquality:$dir")(MlOps.trainQuality(feats))
+      val model = cachedModel(s, s"lrquality:$dir")(MlOps.trainQuality(feats))
       MlOps.scoreWith(model, feats, "doc_id")
         .select(col("doc_id"), col("is_train"), col("weak_label"),
           Qf.dround(col("p_good"), 4).as("p_good"))

@@ -76,7 +76,11 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val spark = extendedSession()
     import spark.implicits._
     val names = Seq("cold bolt", "old bolt", "cold gear", "blue rod", "red rod",
-      "old bolt", null, "widget", "widgets", "wídget")
+      "old bolt", null, "widget", "widgets", "wídget",
+      // short strings (len <= k): pigeonhole blocking alone would drop
+      // e.g. "ab"↔"cd" (lev=2, no shared substring) — the length-blocked
+      // short path must route them
+      "ab", "cd", "", "x")
     names.toDF("n").createOrReplaceTempView("lhs")
     names.reverse.toDF("m").createOrReplaceTempView("rhs")
     val q =
@@ -121,5 +125,32 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) < 3") == base)
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 2 >= levenshtein(a.n, b.n)") == base)
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(b.n, a.n) <= 2") == base)
+  }
+
+  test("levenshtein rewrite matches the thresholded 3-arg form (Spark >= 3.5 bounded levenshtein)") {
+    val spark = extendedSession()
+    import spark.implicits._
+    Seq("cold bolt", "old bolt", "blue rod", "red rod", "widget", "ab", "cd")
+      .toDF("n").createOrReplaceTempView("fz3")
+    def rows(q: String): Seq[(String, String)] = {
+      val df = spark.sql(q)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("Cartesian") && !phys.contains("BroadcastNestedLoop"),
+        s"not rewritten: $q\n$phys")
+      df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    }
+    val base = rows(
+      "SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n) <= 2")
+    // lev3(a,b,t) returns the distance when <= t, else -1; the pure
+    // distance-bound comparisons are >= 0, > -1, and <> -1
+    assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) >= 0") == base)
+    assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) > -1") == base)
+    assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) <> -1") == base)
+    // the BETWEEN-style compound: >= 0 drives the rewrite, <= 1 stays a
+    // residual filter — a strictly tighter result than base
+    val tight = rows(
+      "SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) >= 0 AND levenshtein(a.n, b.n, 2) <= 1")
+    val naive1 = rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n) <= 1")
+    assert(tight == naive1)
   }
 }

@@ -297,24 +297,39 @@ class CurationOpsSpec extends AnyFunSuite {
         case _ => s
       }
     }
+    // mirror of FuzzyJoin.candidatePairs' two regimes: pigeonhole segment
+    // blocking for len(a) > k, peer-length blocking for len(a) <= k
+    // (where pigeonhole fails — a length-L string has only L non-empty
+    // segments, all touchable by edits when L <= k)
+    def candidate(a: String, b: String, k: Int): Boolean =
+      math.abs(a.length - b.length) <= k &&
+        (a.length <= k || segs(a, k).exists(substrings(b, k).contains))
     val k = 2
     var checked = 0
-    (1 to 1000).foreach { _ =>
-      val a = Seq.fill(3 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    var short = 0
+    (1 to 2000).foreach { _ =>
+      // lengths 0..14 — MUST include the <= k band (the round-5 property
+      // only generated len >= 3 and could not catch the short-string hole)
+      val a = Seq.fill(rnd.nextInt(15))(alphabet(rnd.nextInt(alphabet.length))).mkString
       var b = a
       (1 to (1 + rnd.nextInt(k))).foreach(_ => b = edit(b))
       val d = lev(a, b)
-      if (d > 0 && d <= k && b.nonEmpty) {
+      if (d > 0 && d <= k) {
         checked += 1
-        // the theorem the join relies on, in BOTH orientations (the
-        // operator probes seg(lexicographic-smaller) vs substrings(larger))
-        assert(segs(a, k).exists(substrings(b, k).contains),
-          s"segments('$a') miss substrings('$b') at lev=$d")
-        assert(segs(b, k).exists(substrings(a, k).contains),
-          s"segments('$b') miss substrings('$a') at lev=$d")
+        if (a.length <= k || b.length <= k) short += 1
+        // the invariant the join relies on, in BOTH orientations (the
+        // self-join probes smaller→larger; the optimizer rewrite probes
+        // left→right, either of which may be the short one)
+        assert(candidate(a, b, k), s"candidatePairs misses '$a'→'$b' at lev=$d")
+        assert(candidate(b, a, k), s"candidatePairs misses '$b'→'$a' at lev=$d")
       }
     }
     assert(checked > 300, s"only $checked non-trivial pairs generated — property under-exercised")
+    assert(short > 20, s"only $short short-string pairs generated — the len<=k band is under-exercised")
+    // the exact counter-examples from the round-5 audit: disjoint short
+    // strings, and the empty string, are within k edits yet share nothing
+    for ((a, b, kk) <- Seq(("ab", "cd", 2), ("", "ab", 2), ("a", "b", 1), ("ab", "ba", 2)))
+      assert(candidate(a, b, kk) && candidate(b, a, kk), s"short pair ('$a','$b') k=$kk not candidate")
   }
 
   test("packBins: exclusive running sum bins docs per shard without splitting") {

@@ -512,6 +512,30 @@ class OperatorsSpec extends AnyFunSuite {
     hist.foreach { case (k, v) => assert(v == builtin(k), s"group $k: $v != ${builtin(k)}") }
   }
 
+  test("exactQuantilesHist handles NULL group keys (concat_ws would silently drop them)") {
+    // a NULL key column must form its own group, exactly like the window
+    // form and the built-in aggregate — the round-5 composite key lost
+    // NULLs to concat_ws's skip-null semantics and threw on the probe
+    val rows = Seq(
+      (Option("a"), 1.0), (Option("a"), 3.0), (Option("a"), 5.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 40.0), (Option.empty[String], 80.0))
+    val df = spark.createDataFrame(rows).toDF("g", "v")
+    val measures = Seq(("m", col("v"), Seq("q25" -> 0.25, "med" -> 0.5, "q75" -> 0.75)))
+    val hist = PercentileOps.exactQuantilesHist(df, Seq("g"), measures, shift = 48)
+      .collect().map(r => Option(r.getString(0)) -> (1 to 3).map(r.getDouble)).toMap
+    val win = PercentileOps.exactQuantilesMulti(df, Seq("g"), measures)
+      .collect().map(r => Option(r.getString(0)) -> (1 to 3).map(r.getDouble)).toMap
+    assert(hist.keySet == win.keySet && hist.keySet.contains(None))
+    hist.foreach { case (k, v) => assert(v == win(k), s"group $k: $v != ${win(k)}") }
+    // and both agree with the built-in aggregate (groupBy keeps NULL keys)
+    val builtin = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.75))").as("p"))
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    assert(win.keySet == builtin.keySet)
+    win.foreach { case (k, v) => assert(v == builtin(k), s"group $k: $v != ${builtin(k)}") }
+  }
+
   test("editDistanceSelfJoin equals the brute-force all-pairs sweep (superset blocking + exact rescore)") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     for (k <- Seq(1, 2)) {
@@ -527,6 +551,45 @@ class OperatorsSpec extends AnyFunSuite {
       assert(fast == brute, s"k=$k: missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
       assert(brute.nonEmpty, s"k=$k: fixture has no close pairs — test is vacuous")
     }
+  }
+
+  test("editDistanceSelfJoin is exact on short strings (len <= k), where pigeonhole blocking fails") {
+    // "ab"/"cd" share no substring yet lev=2; ""/"a" likewise; the
+    // round-5 blocking silently dropped every such pair
+    val strs = Seq("", "a", "b", "ab", "cd", "ba", "xy", "abc", "abd", "wxyz",
+      "cold bolt", "old bolt", "x", "ax", "cab")
+    val df = strs.toDF("s")
+    for (k <- Seq(1, 2, 3)) {
+      val fast = FuzzyJoin.editDistanceSelfJoin(df, "s", k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val names = df.select(col("s").as("__s")).distinct()
+      val brute = names.select(col("__s").as("a"))
+        .crossJoin(names.select(col("__s").as("b")))
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .filter(col("dist") <= k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(fast == brute, s"k=$k: missing=${(brute -- fast).take(8)} extra=${(fast -- brute).take(8)}")
+      assert(brute.exists { case (a, b, _) => a.length <= k && b.length <= k },
+        s"k=$k: no all-short pair in the truth set — test is vacuous")
+    }
+  }
+
+  test("audioHeader parses real WAV containers; audioMetaPartitioned flows binary through mapPartitions") {
+    // header fields are known BY CONSTRUCTION of the synthesized WAV
+    val wav = MultimodalOps.syntheticWav(seed = 7, sampleRate = 22050, channels = 2, nFrames = 123)
+    assert(MultimodalOps.audioHeader(wav) == (22050, 2, 16, 123L, "wav"))
+    // unparseable / empty payloads stay total
+    assert(MultimodalOps.audioHeader(Array[Byte](1, 2, 3)) == (0, 0, 0, 0L, "unknown"))
+    assert(MultimodalOps.audioHeader(null) == (0, 0, 0, 0L, "unknown"))
+    val df = Seq((1L, 8000, 1, 50), (2L, 44100, 2, 99)).toDF("id", "sr", "ch", "fr")
+      .select(col("id"), udf((sr: Int, ch: Int, fr: Int) =>
+        MultimodalOps.syntheticWav(0, sr, ch, fr)).apply(col("sr"), col("ch"), col("fr")).as("wav"))
+    val got = MultimodalOps.audioMetaPartitioned(df, "wav")
+      .select(col("id"), col("meta.sample_rate"), col("meta.channels"),
+        col("meta.bits"), col("meta.frames"), col("meta.container"))
+      .as[(Long, Int, Int, Int, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 8000, 1, 16, 50L, "wav"), (2L, 44100, 2, 16, 99L, "wav")))
   }
 
   test("sampleFrames explodes byte chunks deterministically") {

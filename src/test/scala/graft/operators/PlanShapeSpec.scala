@@ -22,6 +22,9 @@ class PlanShapeSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS) — read as LONG nanos and
+    // let Registry.table normalize, same as the Verify/Bench sessions
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   private def withStaticPlans[A](f: => A): A = {
@@ -160,6 +163,37 @@ class PlanShapeSpec extends AnyFunSuite {
       val fromWin = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       assert(fromAgg == fromWin)
+    }
+  }
+
+  test("q62b's JDBC read fans out to multiple partitions (never a one-task serial scan)") {
+    // the conformance query itself must carry the partitioned-read shape:
+    // its JDBC scan declares numPartitions=4 (stride-ranged parallel
+    // queries), not the single-task read q62 keeps as round-trip oracle
+    val df = graft.SparkEntry.queries("q62b_jdbc_partitioned")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("numPartitions=4"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("perKeyTopK orders NaN scores exactly like the window form (NaN above +Infinity)") {
+    // cosine of a zero vector yields NaN; Spark's double ordering puts
+    // NaN ABOVE +Infinity, so desc ranking lists NaN rows first — the
+    // aggregate must agree (raw </> comparisons would bury NaN last)
+    val rows = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, Double.PositiveInfinity),
+      (1L, 12L, 0.9), (1L, 13L, Double.NaN), (1L, 14L, -0.5),
+      (2L, 20L, 0.1), (2L, 21L, Double.NaN), (2L, 22L, 0.2))
+    val scored = spark.createDataFrame(rows).toDF("query_id", "neighbor_id", "score")
+    for (asc <- Seq(true, false); k <- Seq(2, 3)) {
+      val fromAgg = SimilarityOps.perKeyTopK(scored, "score", asc, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val ord = if (asc) col("score").asc else col("score").desc
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(ord, col("neighbor_id"))
+      val fromWin = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(fromAgg == fromWin, s"asc=$asc k=$k: $fromAgg != $fromWin")
     }
   }
 
