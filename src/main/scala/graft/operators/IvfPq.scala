@@ -37,29 +37,60 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model)
+  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model,
+      residual: Boolean = false)
+
+  /** The residual of a vector w.r.t. its own coarse cell's centroid,
+    * v − q1(v) — per-row arithmetic over the broadcast centroid literal
+    * (one nested-array Literal, not a per-row CreateArray tree).
+    */
+  private def residualCol(vec: Column, coarse: IvfIndex.Model): Column = {
+    val cents = typedlit(coarse.centroids.map(_.toSeq))
+    zip_with(vec.cast("array<double>"),
+      element_at(cents, IvfIndex.assignCluster(vec, coarse) + 1),
+      (a, b) => a - b)
+  }
 
   /** Train the coarse quantizer (kc cells) and the PQ codebooks (m
     * subspaces × k codewords) — both touch only centroid statistics;
     * the corpus never leaves executors. Deterministic (RNG-free init,
     * fixed iteration counts) like both constituents.
+    *
+    * `residual = true` selects the IVFADC refinement from the Jégou
+    * paper (§V): the PQ codebooks quantize RESIDUALS v − q1(v) instead
+    * of raw vectors. Residuals concentrate near zero with far less
+    * variance than the raw corpus, so the same m×k code budget spends
+    * its codewords on a much tighter distribution — higher recall at
+    * identical index size and probe cost. The extra cost is one
+    * per-row subtraction at encode time and per-(query, cell) LUTs at
+    * probe time (driver math, nprobe× the shared-LUT cost).
     */
   def train(data: DataFrame, vecCol: String,
-      kc: Int, m: Int, k: Int, iters: Int): Model =
-    Model(
-      IvfIndex.train(data, vecCol, kc, iters),
-      PqIndex.train(data, vecCol, m, k, iters))
+      kc: Int, m: Int, k: Int, iters: Int,
+      residual: Boolean = false): Model = {
+    val coarse = IvfIndex.train(data, vecCol, kc, iters)
+    val pq =
+      if (residual)
+        PqIndex.train(
+          data.select(residualCol(col(vecCol), coarse).as("__r")), "__r",
+          m, k, iters)
+      else PqIndex.train(data, vecCol, m, k, iters)
+    Model(coarse, pq, residual)
+  }
 
   /** The per-candidate index row: cell id + m code columns, all
     * codegen'd per-row expressions (one scan, no shuffle).
     */
   def codeTable(candidates: DataFrame, cId: String, cVec: String,
-      model: Model): DataFrame =
+      model: Model): DataFrame = {
+    val encVec =
+      if (model.residual) residualCol(col(cVec), model.coarse) else col(cVec)
     candidates.select(
       col(cId).as("neighbor_id") +:
         IvfIndex.assignCluster(col(cVec), model.coarse).as("__cluster") +:
-        PqIndex.encode(col(cVec), model.pq)
+        PqIndex.encode(encVec, model.pq)
           .zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+  }
 
   /** Persist the index at rest: the code table partitioned BY CELL
     * (each coarse cell its own directory — a probe's cell pruning
@@ -74,11 +105,12 @@ object IvfPq {
     codeTable(candidates, cId, cVec, model)
       .write.mode("overwrite").partitionBy("__cluster").parquet(s"$path/codes")
     val rows =
-      model.coarse.centroids.zipWithIndex.map { case (v, i) => (-1, i, v.toSeq) } ++
+      (if (model.residual) Seq((-2, 0, Seq.empty[Double])) else Nil) ++
+        model.coarse.centroids.zipWithIndex.map { case (v, i) => (-1, i, v.toSeq) } ++
         model.pq.codebooks.zipWithIndex.flatMap { case (b, j) =>
           b.centroids.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
         }
-    rows.toDF("book", "row", "vec") // book -1 = coarse quantizer
+    rows.toDF("book", "row", "vec") // book -1 = coarse quantizer; -2 = residual marker
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -106,7 +138,8 @@ object IvfPq {
       .map { case (_, rs) => IvfIndex.Model(rs.sortBy(_._2).map(_._3.toArray).toVector) }
       .toVector
     val subDim = books.head.centroids.head.length
-    Model(IvfIndex.Model(coarse), PqIndex.Model(subDim, books))
+    Model(IvfIndex.Model(coarse), PqIndex.Model(subDim, books),
+      residual = rows.exists(_._1 == -2))
   }
 
   /** Probe a [[writeIndex]] layout. The query set is small by contract,
@@ -179,17 +212,31 @@ object IvfPq {
     // probeIndex passes its already-collected rows through so the probe
     // path runs ONE collect job, not two over the same query set.
     val qRows = collectedQueries.getOrElse(collectQueries(queries, qId, qVec))
-    val probes = qRows.toSeq.flatMap { case (id, v) =>
-      val va = v.toArray
-      val lut = (0 until model.pq.m).map { j =>
-        val sub = v.slice(j * model.pq.subDim, (j + 1) * model.pq.subDim)
+    def lutOf(base: Array[Double]): Seq[Seq[Double]] =
+      (0 until model.pq.m).map { j =>
+        val off = j * model.pq.subDim
         model.pq.codebooks(j).centroids.map { c =>
           var d = 0.0; var i = 0
-          while (i < model.pq.subDim) { val t = sub(i) - c(i); d += t * t; i += 1 }
+          while (i < model.pq.subDim) { val t = base(off + i) - c(i); d += t * t; i += 1 }
           d
         }.toSeq
       }
-      nearestCells(model, va, nprobe).map(cell => (id, cell, lut))
+    val probes = qRows.toSeq.flatMap { case (id, v) =>
+      val va = v.toArray
+      if (!model.residual) {
+        // raw-vector codebooks: one LUT serves every probed cell
+        val lut = lutOf(va)
+        nearestCells(model, va, nprobe).map(cell => (id, cell, lut))
+      } else {
+        // residual codebooks: the LUT is per (query, cell) — distances
+        // are between the query's residual w.r.t. THAT cell's centroid
+        // and the codewords (IVFADC; still model-sized driver math)
+        nearestCells(model, va, nprobe).map { cell =>
+          val c = model.coarse.centroids(cell)
+          val r = Array.tabulate(va.length)(i => va(i) - c(i))
+          (id, cell, lutOf(r))
+        }
+      }
     }
     val probeDf = probes.toDF("query_id", "__cluster", "__lut")
 

@@ -1234,23 +1234,27 @@ object PipelineQueries {
 
     // ---------------------------------------------------------------- IVF×PQ composed ANN
     // the full composition (model-dependent → rows-only; AccuracySpec
-    // gates recall@5 ≥ 0.7 AND asserts the candidate pruning): coarse
+    // gates recall@5 ≥ 0.85 AND asserts the candidate pruning): coarse
     // cells prune to nprobe/kc of the corpus, PQ codes rank inside the
     // probed cells, exact re-rank on the small pool. Fixes s07's
     // full-corpus ADC scan — the query never touches codes outside its
-    // probed cells.
+    // probed cells. Codebooks quantize per-cell RESIDUALS (IVFADC,
+    // Jégou §V); the r6 probe measured recall on this corpus to be
+    // PRUNING-bound (recall = probed-cell ceiling in 17/20 configs —
+    // see SCALE.md), so the gate raise 0.7 → 0.85 comes from nprobe
+    // 4 → 6 while residual coding holds parity at identical budgets.
     q("s08_ivfpq_topk", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:$dir")(
+      val model = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
-          kc = 8, m = 8, k = 32, iters = 5))
-      val codes = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:codes:$dir") {
+          kc = 8, m = 8, k = 32, iters = 5, residual = true))
+      val codes = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:codes:$dir") {
         val c = graft.operators.IvfPq.codeTable(emb, "vec_id", "embedding", model).persist()
         c.count(); c
       }
       graft.operators.IvfPq.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", model, k = 5, nprobe = 4, rerank = 100,
+        emb, "vec_id", "embedding", model, k = 5, nprobe = 6, rerank = 100,
         prebuiltCodes = Some(codes))
         .orderBy("query_id", "rk")
     },
@@ -1290,17 +1294,17 @@ object PipelineQueries {
     // partition-pruned scan shape).
     q("s09_ivfpq_index", null) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = cachedModel(s, s"ivfpq:kc8:m8:k32:i5:$dir")(
+      val model = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
-          kc = 8, m = 8, k = 32, iters = 5))
-      val path = cachedModel(s, s"ivfpq:atrest:$dir") {
+          kc = 8, m = 8, k = 32, iters = 5, residual = true))
+      val path = cachedModel(s, s"ivfpq:res:atrest:$dir") {
         val p = s"/tmp/graft_conformance/s09_index_${dir.hashCode.toHexString}"
         graft.operators.IvfPq.writeIndex(emb, "vec_id", "embedding", model, p)
         p
       }
       graft.operators.IvfPq.probeIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, nprobe = 4, rerank = 100)
+        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100)
         .orderBy("query_id", "rk")
     },
 

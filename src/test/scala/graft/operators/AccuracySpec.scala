@@ -51,13 +51,22 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.7, f"PQ recall@5 = $recall%.3f < 0.7 (m=8, k=32, rerank=100)")
   }
 
-  test("s08 gate: IVFPQ recall@5 ≥ 0.7 AND the probe scores only nprobe/kc of the corpus") {
+  test("s08 gate: residual IVFPQ recall@5 ≥ 0.85 AND the probe scores only nprobe/kc of the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
     val nQueries = queries.count()
     val corpus = emb.count()
-    val (kc, nprobe) = (8, 4)
-    val model = IvfPq.train(emb, "embedding", kc = kc, m = 8, k = 32, iters = 5)
+    val (kc, nprobe) = (8, 6)
+    // residual (IVFADC) codebooks at the same m×k code budget and the
+    // same rerank budget as the round-5 raw form. The r6 probe sweep
+    // (tools/ProbeIvfPq) showed recall on this corpus is PRUNING-bound:
+    // measured recall equals the probed-cell ceiling in 17/20 configs,
+    // so the 0.7 → 0.85 gate raise comes from probing 6/8 cells
+    // (ceiling 0.925, measured 0.875); residual coding holds parity
+    // with raw at identical budgets and is the right default where
+    // within-cell variance ≪ corpus variance.
+    val model = IvfPq.train(emb, "embedding", kc = kc, m = 8, k = 32, iters = 5,
+      residual = true)
     val got = IvfPq.annTopK(queries, "vec_id", "embedding",
       emb, "vec_id", "embedding", model, k = 5, nprobe = nprobe, rerank = 100)
       .select("query_id", "neighbor_id")
@@ -67,10 +76,12 @@ class AccuracySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = got.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.7, f"IVFPQ recall@5 = $recall%.3f < 0.7 (kc=$kc nprobe=$nprobe rerank=100)")
+    assert(recall >= 0.85, f"IVFPQ recall@5 = $recall%.3f < 0.85 (residual, kc=$kc nprobe=$nprobe rerank=100)")
 
     // pruning evidence: ADC candidates per query = the probed cells'
-    // rows only, ≈ nprobe/kc of the corpus (2× slack for cell-size skew)
+    // rows only, ≈ nprobe/kc of the corpus (1.25× slack for cell-size
+    // skew — at nprobe=6/8 a 2× slack would exceed the full-scan count
+    // and gate nothing)
     val codes = IvfPq.codeTable(emb, "vec_id", "embedding", model)
     val probed = queries.select(col("vec_id"),
       explode(slice(array_sort(array(model.coarse.centroids.zipWithIndex.map { case (c, i) =>
@@ -79,7 +90,7 @@ class AccuracySpec extends AnyFunSuite {
       }: _*)), 1, nprobe)).as("p"))
       .select(col("vec_id").as("query_id"), col("p.c").as("__cluster"))
     val scoredCandidates = codes.join(probed, Seq("__cluster")).count()
-    val bound = (2.0 * nQueries * corpus * nprobe / kc).toLong
+    val bound = (1.25 * nQueries * corpus * nprobe / kc).toLong
     assert(scoredCandidates <= bound,
       s"IVFPQ scored $scoredCandidates candidate pairs > bound $bound " +
         s"(corpus=$corpus queries=$nQueries nprobe=$nprobe/$kc cells)")

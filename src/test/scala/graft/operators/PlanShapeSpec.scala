@@ -221,10 +221,14 @@ class PlanShapeSpec extends AnyFunSuite {
     withStaticPlans {
       val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
       val queries = emb.filter(col("vec_id") < 4)
-      val model = IvfPq.train(emb, "embedding", kc = 8, m = 8, k = 16, iters = 2)
+      // residual form: also pins that the at-rest marker row round-trips
+      // (a probe that loaded residual codes as raw would score garbage)
+      val model = IvfPq.train(emb, "embedding", kc = 8, m = 8, k = 16, iters = 2,
+        residual = true)
       IvfPq.writeIndex(emb, "vec_id", "embedding", model, path)
       // model round-trips bit-exactly through parquet
       val loaded = IvfPq.loadModel(spark, path)
+      assert(loaded.residual == model.residual)
       assert(loaded.pq.subDim == model.pq.subDim)
       assert(loaded.coarse.centroids.map(_.toSeq) == model.coarse.centroids.map(_.toSeq))
       assert(loaded.pq.codebooks.map(_.centroids.map(_.toSeq)) ==
