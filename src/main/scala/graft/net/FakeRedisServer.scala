@@ -135,7 +135,11 @@ final class FakeRedisServer(requestedPort: Int = 0) {
           val n = args.tail.count(k => strings.remove(k) != null || hashes.remove(k) != null)
           Int64(n.toLong)
         case "MGET" =>
-          Arr(args.tail.map(k => Option(strings.get(k)).map(Bulk(_): RespValue).getOrElse(Null)))
+          // cluster semantics: a batch whose slot is owned elsewhere gets
+          // ONE redirect for the whole command (well-formed batches are
+          // single-slot; cross-slot would be CROSSSLOT on real Redis)
+          args.tail.flatMap(k => redirect(k, asking)).headOption.getOrElse(
+            Arr(args.tail.map(k => Option(strings.get(k)).map(Bulk(_): RespValue).getOrElse(Null))))
         case "HSET" =>
           val kv = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toMap
           hashes.merge(args(1), kv, (a, b) => a ++ b)

@@ -85,17 +85,34 @@ object RedisCommands {
       case other => fail("GET reply", other)
     }
 
-  /** Batched point lookups — one round trip for the whole batch. */
+  /** Batched point lookups — one round trip for the whole batch.
+    * Follows ONE cluster redirect for the whole batch: the partition
+    * seam keeps a batch single-slot (cross-slot MGET is a CROSSSLOT
+    * error on a real cluster), so a MOVED/ASK mid-migration applies to
+    * every key in it — the scan cursor keeps walking the old owner
+    * while value fetches land on the new one.
+    */
   def mget(c: RedisConnection, keys: Seq[String]): Seq[Option[String]] =
     if (keys.isEmpty) Nil
-    else c.command("MGET" +: keys: _*) match {
-      case Arr(items) => items.map {
-        case b: Bulk => Some(b.text)
-        case Null => None
-        case other => fail("MGET element", other)
+    else {
+      def parse(v: RespValue, where: String): Seq[Option[String]] = v match {
+        case Arr(items) => items.map {
+          case b: Bulk => Some(b.text)
+          case Null => None
+          case other => fail("MGET element", other)
+        }
+        case Err(m) => throw new java.io.IOException(s"MGET error$where: $m")
+        case other => fail("MGET reply", other)
       }
-      case Err(m) => throw new java.io.IOException(s"MGET error: $m")
-      case other => fail("MGET reply", other)
+      c.command("MGET" +: keys: _*) match {
+        case Err(m) => redirectTarget(m) match {
+          case Some((h, p, ask)) => onRedirectTarget(h, p, ask) { rc =>
+            parse(rc.command("MGET" +: keys: _*), " after redirect")
+          }
+          case None => throw new java.io.IOException(s"MGET error: $m")
+        }
+        case v => parse(v, "")
+      }
     }
 
   /** HGETALL → field map (RESP2 flat array or RESP3 map reply). Follows

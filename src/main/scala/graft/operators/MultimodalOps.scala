@@ -240,16 +240,56 @@ object MultimodalOps {
     */
   def audioHeader(bytes: Array[Byte]): (Int, Int, Int, Long, String) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, 0L, "unknown")
-    try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes))
-      val f = aff.getFormat
-      (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-        aff.getFrameLength.toLong, aff.getType.getExtension)
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException =>
-        (0, 0, 0, 0L, "unknown")
+    // RIFF/WAVE fast path: a direct chunk walk over the 44-byte-ish
+    // header. AudioSystem.getAudioFileFormat costs ~ms per call — every
+    // registered provider (AIFF, AU, …) probes the stream and signals
+    // mismatch with a thrown UnsupportedAudioFileException before the
+    // WAV reader matches — which the round-6 10× probe measured at 18×
+    // scale-up on a pure per-row operator. The manual parse reads the
+    // same fields the provider would; non-RIFF containers still take
+    // the provider path.
+    wavHeader(bytes).getOrElse {
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          aff.getFrameLength.toLong, aff.getType.getExtension)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          (0, 0, 0, 0L, "unknown")
+      }
     }
+  }
+
+  /** Direct RIFF/WAVE header walk (PCM "fmt " + "data" chunks): the
+    * zero-allocation per-row path for WAV corpora. None for anything
+    * that is not a well-formed RIFF/WAVE — caller falls back to the
+    * provider machinery.
+    */
+  private def wavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var dataLen = -1L
+    while (pos + 8 <= b.length && (dataLen < 0 || sampleRate == 0)) {
+      val sz = u32(pos + 4)
+      if (tag(pos, "fmt ") && pos + 24 <= b.length) {
+        channels = u16(pos + 10)
+        sampleRate = u32(pos + 12).toInt
+        blockAlign = u16(pos + 20)
+        bits = u16(pos + 22)
+      } else if (tag(pos, "data")) dataLen = sz
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) None
+    else Some((sampleRate, channels, bits, dataLen / blockAlign, "wav"))
   }
 
   /** Partition-batched audio metadata seam — the audio twin of

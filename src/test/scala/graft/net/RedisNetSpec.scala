@@ -72,6 +72,52 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SCAN survives a slot migration between pages: cursor stays on the old owner, values follow MOVED") {
+    // mid-scan migration: after page 1 the whole prefix moves to node B.
+    // The SCAN cursor must keep walking node A (SCAN iterates one node's
+    // keyspace — it is never redirected), while every subsequent value
+    // fetch gets MOVED and recovers via the one-hop redirect plumbing.
+    val nodeA = new FakeRedisServer()
+    (1 to 9).foreach(i => nodeA.put(s"mig:$i", s"v$i"))
+    val portA = nodeA.start()
+    val ca = new RedisConnection("127.0.0.1", portA)
+    val nodeB = new FakeRedisServer()
+    val portB = nodeB.start()
+    try {
+      val (cur1, page1) = RedisCommands.scanPage(ca, "0", "mig:*", 3)
+      val vals1 = RedisCommands.mget(ca, page1)
+      assert(cur1 != "0" && page1.nonEmpty, "fixture must span multiple pages")
+
+      // the migration happens HERE, between cursor pages
+      (1 to 9).foreach(i => nodeB.put(s"mig:$i", s"v$i"))
+      nodeA.setMoved("mig:", s"127.0.0.1:$portB")
+
+      // un-plumbed access now bounces (proves the fake enforces MOVED)
+      ca.command("MGET", "mig:1") match {
+        case graft.resp.RespValue.Err(m) => assert(m.startsWith("MOVED"))
+        case other => fail(s"old owner served a migrated batch: $other")
+      }
+
+      var cursor = cur1
+      var keys = page1.toVector
+      var vals = vals1.toVector
+      var pages = 1
+      while (cursor != "0") {
+        val (nx, page) = RedisCommands.scanPage(ca, cursor, "mig:*", 3)
+        keys ++= page
+        vals ++= RedisCommands.mget(ca, page) // follows MOVED to node B
+        cursor = nx
+        pages += 1
+        assert(pages < 100, "cursor never terminated")
+      }
+      assert(pages > 2, "migration must land between pages to test anything")
+      assert(keys.sorted == (1 to 9).map(i => s"mig:$i").sorted.toVector)
+      assert(vals.flatten.sorted == (1 to 9).map(i => s"v$i").sorted.toVector)
+    } finally {
+      ca.close(); nodeA.stop(); nodeB.stop()
+    }
+  }
+
   test("SCAN paginates with small COUNT and respects MATCH") {
     var cursor = "0"
     var keys = Vector.empty[String]

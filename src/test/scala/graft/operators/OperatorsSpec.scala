@@ -579,6 +579,14 @@ class OperatorsSpec extends AnyFunSuite {
     // header fields are known BY CONSTRUCTION of the synthesized WAV
     val wav = MultimodalOps.syntheticWav(seed = 7, sampleRate = 22050, channels = 2, nFrames = 123)
     assert(MultimodalOps.audioHeader(wav) == (22050, 2, 16, 123L, "wav"))
+    // the direct RIFF walk must agree with the provider machinery field
+    // for field (the fast path answers first for RIFF/WAVE payloads)
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(MultimodalOps.audioHeader(wav) ==
+      (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+        aff.getFormat.getSampleSizeInBits, aff.getFrameLength.toLong,
+        aff.getType.getExtension))
     // unparseable / empty payloads stay total
     assert(MultimodalOps.audioHeader(Array[Byte](1, 2, 3)) == (0, 0, 0, 0L, "unknown"))
     assert(MultimodalOps.audioHeader(null) == (0, 0, 0, 0L, "unknown"))
