@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, default 100: the 136-query inventory generates far
+      // more codegen'd classes than that per pass, so pass 2 recompiled
+      // every plan from scratch — with the floor (planning + janino)
+      // dominating sub-second queries, a cache that actually spans the
+      // pass lets min(p1, p2) measure execution, not compilation
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
