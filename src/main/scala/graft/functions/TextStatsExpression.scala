@@ -145,10 +145,53 @@ final case class NormalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization (`java.text.Normalizer`, JDK — no deps): the
+  * canonicalization pass a multilingual corpus needs BEFORE any
+  * fingerprint/dedup/join on text — visually identical strings with
+  * different codepoint sequences (composed é vs e + COMBINING ACUTE)
+  * otherwise hash apart and defeat exact dedup. Fast path:
+  * `Normalizer.isNormalized` short-circuits already-normalized (and all
+  * pure-ASCII) text without re-encoding, so the common case costs one
+  * scan of the string and zero allocation.
+  */
+object UnicodeNormalizeUtil {
+  def normalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}
+
+final case class UnicodeNormalize(child: Expression, formName: String)
+    extends UnaryExpression {
+  // construction-time validation: an unknown form must fail the QUERY
+  // plan, not every row at runtime
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(formName),
+    s"unknown normalization form '$formName' (expected NFC/NFD/NFKC/NFKD)")
+  @transient private lazy val form = java.text.Normalizer.Form.valueOf(formName)
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalizeUtil.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnicodeNormalizeUtil.normalize($c, java.text.Normalizer.Form.$formName)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsExpression {
   import org.apache.spark.sql.GraftSqlShims
   def textStats(text: Column, stopwords: Seq[String]): Column =
     GraftSqlShims.column(TextStats(GraftSqlShims.expression(text), stopwords))
   def normalizeText(text: Column): Column =
     GraftSqlShims.column(NormalizeText(GraftSqlShims.expression(text)))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftSqlShims.column(UnicodeNormalize(GraftSqlShims.expression(text), form))
 }

@@ -437,4 +437,58 @@ object DedupOps {
       .drop("__digest")
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  // ------------------------------------------------------------------
+  // Persisted exact-dedup LEDGER — the at-rest twin of exactDedup for
+  // INCREMENTAL ingest (the d38 cross-dedup shape, made durable): a
+  // parquet store of every digest already admitted to the corpus. Each
+  // new batch anti-joins the ledger (drop anything ever admitted),
+  // exact-dedups within itself, and appends only its survivors'
+  // digests — existing ledger files are never rewritten (the same
+  // append-only contract as IvfPq.appendToIndex). The ledger holds
+  // (digest, admitting id) only — 16-byte md5 + id, never payloads —
+  // so ledger I/O and the anti-join shuffle are digest-sized, ~0.1% of
+  // corpus bytes. At deployment scale, bucket the ledger BY digest
+  // (`bucketBy`) so batch-vs-ledger anti-joins co-locate without a
+  // ledger-side shuffle.
+  // ------------------------------------------------------------------
+
+  /** Create/overwrite the ledger from an initial corpus: one row per
+    * distinct fingerprint with the lowest admitting id.
+    */
+  def writeLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
+      path: String): Unit =
+    df.select(rowFingerprint(keyCols.map(col)).as("digest"), col(idCol).as("admitted_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("admitted_id")).as("admitted_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** The rows of `df` that survive BOTH dedup regimes: never admitted to
+    * the ledger at `path` (anti-join on digest), and first (lowest id)
+    * among in-batch copies. Column set of `df`, unchanged.
+    */
+  def dedupAgainstLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    val ledger = spark.read.parquet(path).select(col("digest").as("__digest"))
+    val withD = df.withColumn("__digest", rowFingerprint(keyCols.map(col)))
+    val fresh = withD.join(ledger, Seq("__digest"), "left_anti")
+    val keep = fresh.select(col(idCol), col("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__digest")
+    withD.drop("__digest").join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Admit a batch's digests: append-only, never rewrites existing
+    * ledger files. Pass the OUTPUT of [[dedupAgainstLedger]] (or any
+    * frame already deduped against the ledger) — appending an
+    * un-deduped batch would record digests the corpus rejected.
+    */
+  def appendToLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
+      path: String): Unit =
+    df.select(rowFingerprint(keyCols.map(col)).as("digest"), col(idCol).as("admitted_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("admitted_id")).as("admitted_id"))
+      .write.mode("append").parquet(path)
 }

@@ -206,6 +206,57 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- persisted dedup ledger
+    // incremental-ingest exact dedup AT REST (d38's cross-dedup shape
+    // made durable): a parquet digest store of everything ever admitted;
+    // each new batch anti-joins the ledger, dedups within itself, and
+    // appends only survivors — digests cross the network, never
+    // payloads. The oracle mirrors rowFingerprint's netstring encoding
+    // (length:value, NULL → \x01) byte for byte.
+    q("d39_dedup_ledger",
+      """WITH fp AS (SELECT doc_id,
+        |  md5(CASE WHEN text IS NULL THEN chr(1)
+        |       ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS dg
+        |  FROM documents),
+        |led AS (SELECT DISTINCT dg FROM fp WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT f.doc_id, f.dg FROM fp f
+        |          LEFT JOIN led l ON f.dg = l.dg WHERE l.dg IS NULL),
+        |keep AS (SELECT dg, min(doc_id) AS doc_id FROM fresh GROUP BY dg)
+        |SELECT k.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = s"/tmp/graft_conformance/d39_ledger_${dir.hashCode.toHexString}"
+      DedupOps.writeLedger(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", Seq("text"), path)
+      DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), path)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- unicode normalization
+    // NFC canonicalization via a codegen'd expression over the JDK's
+    // java.text.Normalizer — the pass that makes composed é and
+    // e+COMBINING ACUTE fingerprint identically before any dedup. The
+    // fixture text is ASCII, so the query GRAFTS a decomposed sequence
+    // onto every row ('e' + chr(769)); DuckDB's nfc_normalize is the
+    // oracle, and the n_raw/n_norm pair proves real composition
+    // happened (the char count shrinks by one).
+    q("d40_unicode_nfc",
+      """SELECT doc_id,
+        |  nfc_normalize(substr(text, 1, 24) || 'e' || chr(769)) AS norm,
+        |  CAST(length(substr(text, 1, 24) || 'e' || chr(769)) AS INTEGER) AS n_raw,
+        |  CAST(length(nfc_normalize(substr(text, 1, 24) || 'e' || chr(769))) AS INTEGER) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextStatsExpression.unicodeNormalize
+      val grafted = concat(substring(col("text"), 1, 24), lit("e"), lit("\u0301"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        unicodeNormalize(grafted).as("norm"),
+        length(grafted).cast("int").as("n_raw"),
+        length(unicodeNormalize(grafted)).cast("int").as("n_norm"))
+        .orderBy("doc_id")
+    },
+
     q("d09_simhash", {
       val bits = (0 until 16).map { j =>
         s"""(CASE WHEN list_sum(list_transform(tok,

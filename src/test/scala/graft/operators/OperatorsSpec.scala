@@ -575,6 +575,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup ledger: anti-join + in-batch dedup + append-only admit cycle") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ledger").toString + "/led"
+    val batch1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "t")
+    val batch2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"), (13L, "delta")).toDF("id", "t")
+    DedupOps.writeLedger(batch1, "id", Seq("t"), path)
+    val fresh = DedupOps.dedupAgainstLedger(batch2, "id", Seq("t"), path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // "beta" already admitted; "gamma" first copy wins; "delta" new
+    assert(fresh == Seq((11L, "gamma"), (13L, "delta")))
+    // admit the survivors: the SAME batch now fully dedups away
+    DedupOps.appendToLedger(batch2.filter(col("id").isin(11L, 13L)), "id", Seq("t"), path)
+    assert(DedupOps.dedupAgainstLedger(batch2, "id", Seq("t"), path).count() == 0)
+    // and a later batch still dedups against BOTH generations
+    val batch3 = Seq((20L, "delta"), (21L, "alpha"), (22L, "epsilon")).toDF("id", "t")
+    val fresh3 = DedupOps.dedupAgainstLedger(batch3, "id", Seq("t"), path)
+      .as[(Long, String)].collect().toSeq
+    assert(fresh3 == Seq((22L, "epsilon")))
+  }
+
+  test("unicodeNormalize matches java.text.Normalizer for all four forms; null-safe; codegen path") {
+    import graft.functions.TextStatsExpression.unicodeNormalize
+    val cases = Seq(
+      "cafe\u0301",     // e + combining acute: composes under NFC
+      "caf\u00e9",      // already composed
+      "\ufb01le fine",  // ligature fi: NFKC decomposes it, NFC keeps it
+      "\u2460 circled one", // circled 1 -> "1" under NFKC
+      "plain ascii", "")
+    val df = (cases.map(Option(_)) :+ None).toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(unicodeNormalize(col("s"), form)).as[Option[String]].collect()
+      val want = (cases.map(c => Some(java.text.Normalizer.normalize(
+        c, java.text.Normalizer.Form.valueOf(form)))) :+ None).toArray
+      assert(got.toSeq.sorted == want.toSeq.sorted, s"form=$form")
+    }
+    // the composed result really differs from the decomposed input
+    val nfc = df.filter(col("s") === "cafe\u0301")
+      .select(unicodeNormalize(col("s"))).as[String].head()
+    assert(nfc == "caf\u00e9" && nfc != "cafe\u0301")
+    intercept[IllegalArgumentException](unicodeNormalize(col("s"), "NFX"))
+  }
+
   test("audioHeader parses real WAV containers; audioMetaPartitioned flows binary through mapPartitions") {
     // header fields are known BY CONSTRUCTION of the synthesized WAV
     val wav = MultimodalOps.syntheticWav(seed = 7, sampleRate = 22050, channels = 2, nFrames = 123)
