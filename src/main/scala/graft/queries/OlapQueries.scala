@@ -1243,6 +1243,31 @@ object OlapQueries {
     // rows straight from parquet: the check passes only if Spark's ORC
     // writer+reader preserve every value (types, nulls, decimals-as-double)
     // bit-exactly through the round trip. Write stays parallel.
+    // ---------------------------------------------------------------- file-format conformance: XML round-trip
+    // Spark 4 ships the XML source in core (the spark-xml merge); DuckDB
+    // has no XML reader, so — like q59's ORC — the oracle aggregates the
+    // SAME source rows from parquet and the check passes only if the XML
+    // writer+reader preserve every value through the round trip.
+    q("q66_xml_roundtrip",
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal,
+        |  min(s_name) AS min_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_conformance/q66_xml"
+      table(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").option("rowTag", "supplier").xml(out)
+      s.read.option("rowTag", "supplier").xml(out)
+        // XML schema inference widens integers to LONG; restore the
+        // source's INTEGER so the round-trip proves value preservation
+        // under the original schema
+        .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          Qf.dround(sum(col("s_acctbal")), 2).as("sum_bal"),
+          min(col("s_name")).as("min_name"))
+        .orderBy("s_nationkey")
+    },
+
     q("q59_orc_roundtrip",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,
