@@ -453,15 +453,19 @@ object DedupOps {
   // ledger-side shuffle.
   // ------------------------------------------------------------------
 
-  /** Create/overwrite the ledger from an initial corpus: one row per
-    * distinct fingerprint with the lowest admitting id.
+  /** One row per distinct fingerprint with the lowest admitting id —
+    * the ledger's on-disk schema, shared by create and append so the
+    * two generations can never diverge.
     */
-  def writeLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
-      path: String): Unit =
+  private def ledgerRows(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.select(rowFingerprint(keyCols.map(col)).as("digest"), col(idCol).as("admitted_id"))
       .groupBy(col("digest"))
       .agg(min(col("admitted_id")).as("admitted_id"))
-      .write.mode("overwrite").parquet(path)
+
+  /** Create/overwrite the ledger from an initial corpus. */
+  def writeLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
+      path: String): Unit =
+    ledgerRows(df, idCol, keyCols).write.mode("overwrite").parquet(path)
 
   /** The rows of `df` that survive BOTH dedup regimes: never admitted to
     * the ledger at `path` (anti-join on digest), and first (lowest id)
@@ -487,8 +491,5 @@ object DedupOps {
     */
   def appendToLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
       path: String): Unit =
-    df.select(rowFingerprint(keyCols.map(col)).as("digest"), col(idCol).as("admitted_id"))
-      .groupBy(col("digest"))
-      .agg(min(col("admitted_id")).as("admitted_id"))
-      .write.mode("append").parquet(path)
+    ledgerRows(df, idCol, keyCols).write.mode("append").parquet(path)
 }

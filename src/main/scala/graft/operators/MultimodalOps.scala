@@ -253,8 +253,12 @@ object MultimodalOps {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(bytes))
         val f = aff.getFormat
-        (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-          aff.getFrameLength.toLong, aff.getType.getExtension)
+        // AudioSystem reports NOT_SPECIFIED (-1) for e.g. AU's legal
+        // unknown-data-size header; the seam's contract is zeros for
+        // anything unknown, never negatives
+        (math.max(0, f.getSampleRate.toInt), math.max(0, f.getChannels),
+          math.max(0, f.getSampleSizeInBits),
+          math.max(0L, aff.getFrameLength.toLong), aff.getType.getExtension)
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException =>
           (0, 0, 0, 0L, "unknown")
@@ -278,7 +282,8 @@ object MultimodalOps {
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
     var dataLen = -1L
-    while (pos + 8 <= b.length && (dataLen < 0 || sampleRate == 0)) {
+    var ok = true
+    while (ok && pos + 8 <= b.length && (dataLen < 0 || sampleRate == 0)) {
       val sz = u32(pos + 4)
       if (tag(pos, "fmt ") && pos + 24 <= b.length) {
         channels = u16(pos + 10)
@@ -286,8 +291,14 @@ object MultimodalOps {
         blockAlign = u16(pos + 20)
         bits = u16(pos + 22)
       } else if (tag(pos, "data")) dataLen = sz
-      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // advance in LONG arithmetic: a corrupt/adversarial size field up
+      // to 0xFFFFFFFF must neither stall the walk (sz.toInt = -8 would
+      // add 0) nor drive pos negative — a malformed payload bails to
+      // the provider path, it never hangs or throws out of the seam
+      val next = pos.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+      if (next <= pos || next > Int.MaxValue) ok = false else pos = next.toInt
     }
+    if (!ok) return None
     if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) None
     else Some((sampleRate, channels, bits, dataLen / blockAlign, "wav"))
   }

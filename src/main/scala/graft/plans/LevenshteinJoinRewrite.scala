@@ -81,15 +81,23 @@ object LevenshteinJoinRewrite extends Rule[LogicalPlan] {
       }
     }
     val hits = conjuncts.collect {
+      // 2-arg form: both argument orders of every comparison
       case p @ LessThanOrEqual(Lev2(a, b), Literal(k: Int, IntegerType)) =>
         (p, a, b, k)
       case p @ LessThan(Lev2(a, b), Literal(k: Int, IntegerType)) =>
         (p, a, b, k - 1)
       case p @ GreaterThanOrEqual(Literal(k: Int, IntegerType), Lev2(a, b)) =>
         (p, a, b, k)
+      case p @ GreaterThan(Literal(k: Int, IntegerType), Lev2(a, b)) =>
+        (p, a, b, k - 1)
+      // 3-arg bounded form: the not-exceeded tests, both argument orders
       case p @ GreaterThanOrEqual(Lev3(a, b, t), Literal(0, IntegerType)) =>
         (p, a, b, t)
+      case p @ LessThanOrEqual(Literal(0, IntegerType), Lev3(a, b, t)) =>
+        (p, a, b, t)
       case p @ GreaterThan(Lev3(a, b, t), Literal(-1, IntegerType)) =>
+        (p, a, b, t)
+      case p @ LessThan(Literal(-1, IntegerType), Lev3(a, b, t)) =>
         (p, a, b, t)
       case p @ Not(EqualTo(Lev3(a, b, t), Literal(-1, IntegerType))) =>
         (p, a, b, t)

@@ -55,16 +55,32 @@ object PipelineQueries {
     * for a run (same contract as Registry's plan cache). d33's semDedup
     * deliberately does NOT cache: dedup is a one-shot batch pass.
     */
+  // Keyed by SESSION: some cached values are persist()ed DataFrames
+  // bound to the session that built them — a process that runs the
+  // inventory under a second session must retrain rather than receive a
+  // frame pinned to the first (possibly stopped) one. A WeakHashMap
+  // CANNOT provide the eviction here: the cached DataFrames strongly
+  // reference their own SparkSession, so value → key keeps every entry
+  // reachable forever (the classic WeakHashMap value-cycle leak).
+  // Instead: an access-ordered bounded map — when a 5th distinct
+  // session appears, the least-recently-used session's entry is
+  // dropped and its persisted frames unpersisted.
   private val modelCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, Any]]
+    new java.util.LinkedHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.concurrent.TrieMap[String, Any]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[org.apache.spark.sql.SparkSession,
+            scala.collection.concurrent.TrieMap[String, Any]]): Boolean = {
+        val evict = size() > 4
+        if (evict) e.getValue.values.foreach {
+          case df: org.apache.spark.sql.DataFrame =>
+            try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          case _ => ()
+        }
+        evict
+      }
+    }
   private def cachedModel[M](s: org.apache.spark.sql.SparkSession, key: String)(train: => M): M = {
-    // keyed weakly by SESSION, like Registry.planCache: some cached
-    // values are persist()ed DataFrames bound to the session that built
-    // them — a process that runs the inventory under a second session
-    // must retrain rather than receive a frame pinned to the first
-    // (possibly stopped) one, and a collected session releases its
-    // cached blocks with it
     val perSession = modelCache.synchronized {
       var m = modelCache.get(s)
       if (m == null) { m = scala.collection.concurrent.TrieMap.empty; modelCache.put(s, m) }

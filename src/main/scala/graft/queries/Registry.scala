@@ -19,11 +19,19 @@ object Registry {
     * 100+-query inventory that fixed cost dominates small-SF runs and is
     * pure waste at any scale (the fixture dirs are immutable for a run).
     * The analyzed logical plan is immutable, so reusing the DataFrame
-    * object across queries is safe. Keyed weakly by session so a closed
-    * session's plans (which pin that session) can be collected.
+    * object across queries is safe.
+    *
+    * NOT a WeakHashMap: the cached DataFrames strongly reference their
+    * own SparkSession, so value → key would keep every entry reachable
+    * forever (the WeakHashMap value-cycle leak). An access-ordered
+    * bounded map caps retention at the 4 most recent sessions instead.
     */
   private val planCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+    new java.util.LinkedHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
+        size() > 4
+    }
 
   /** Read one fixture table from the given scale-factor directory.
     *

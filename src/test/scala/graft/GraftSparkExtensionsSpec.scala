@@ -125,6 +125,8 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) < 3") == base)
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 2 >= levenshtein(a.n, b.n)") == base)
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(b.n, a.n) <= 2") == base)
+    // literal-first strict form: 3 > lev ≡ lev <= 2
+    assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 3 > levenshtein(a.n, b.n)") == base)
   }
 
   test("levenshtein rewrite matches the thresholded 3-arg form (Spark >= 3.5 bounded levenshtein)") {
@@ -146,6 +148,9 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) >= 0") == base)
     assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) > -1") == base)
     assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n, 2) <> -1") == base)
+    // literal-first mirrors of the same tests
+    assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON 0 <= levenshtein(a.n, b.n, 2)") == base)
+    assert(rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON -1 < levenshtein(a.n, b.n, 2)") == base)
     // the BETWEEN-style compound: >= 0 drives the rewrite, <= 1 stays a
     // residual filter — a strictly tighter result than base
     val tight = rows(

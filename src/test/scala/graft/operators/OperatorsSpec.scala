@@ -631,6 +631,17 @@ class OperatorsSpec extends AnyFunSuite {
     // unparseable / empty payloads stay total
     assert(MultimodalOps.audioHeader(Array[Byte](1, 2, 3)) == (0, 0, 0, 0L, "unknown"))
     assert(MultimodalOps.audioHeader(null) == (0, 0, 0, 0L, "unknown"))
+    // adversarial RIFF: a chunk size of 0xFFFFFFF8 once truncated to int
+    // is -8 — the walk must bail (total), never stall or throw
+    val evil = new Array[Byte](64)
+    System.arraycopy("RIFF".getBytes, 0, evil, 0, 4)
+    System.arraycopy("WAVE".getBytes, 0, evil, 8, 4)
+    System.arraycopy("junk".getBytes, 0, evil, 12, 4)
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte; evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    assert(MultimodalOps.audioHeader(evil) == (0, 0, 0, 0L, "unknown"))
+    // and one that would drive pos negative (size near 2^31)
+    evil(16) = 0xF0.toByte; evil(17) = 0xFF.toByte; evil(18) = 0xFF.toByte; evil(19) = 0x7F.toByte
+    assert(MultimodalOps.audioHeader(evil) == (0, 0, 0, 0L, "unknown"))
     val df = Seq((1L, 8000, 1, 50), (2L, 44100, 2, 99)).toDF("id", "sr", "ch", "fr")
       .select(col("id"), udf((sr: Int, ch: Int, fr: Int) =>
         MultimodalOps.syntheticWav(0, sr, ch, fr)).apply(col("sr"), col("ch"), col("fr")).as("wav"))
