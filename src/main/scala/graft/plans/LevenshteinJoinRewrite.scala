@@ -104,11 +104,34 @@ object LevenshteinJoinRewrite extends Rule[LogicalPlan] {
       case p @ Not(EqualTo(Literal(-1, IntegerType), Lev3(a, b, t))) =>
         (p, a, b, t)
     }
-    hits match {
-      case Seq((p, a, b, k)) if k >= 1 && k <= MaxK
+    // EQUALITY forms — `levenshtein(a,b) = d` (the typo-join users
+    // write) and the bounded `levenshtein(a,b,t) = d` with 0 ≤ d ≤ t.
+    // `lev = d` implies `lev ≤ d`, so d drives the blocking; UNLIKE the
+    // bound forms the equality itself must survive as a residual filter
+    // (the rewrite's rescore only enforces ≤).
+    val eqHits = conjuncts.collect {
+      case p @ EqualTo(Lev2(a, b), Literal(d: Int, IntegerType)) => (p, a, b, d)
+      case p @ EqualTo(Literal(d: Int, IntegerType), Lev2(a, b)) => (p, a, b, d)
+      case p @ EqualTo(Lev3(a, b, t), Literal(d: Int, IntegerType)) if d >= 0 && d <= t =>
+        (p, a, b, d)
+      case p @ EqualTo(Literal(d: Int, IntegerType), Lev3(a, b, t)) if d >= 0 && d <= t =>
+        (p, a, b, d)
+    }
+    val all = hits.map { case (p, a, b, k) => (p, a, b, k, false) } ++
+      eqHits.map { case (p, a, b, k) => (p, a, b, k, true) }
+    all match {
+      case Seq((p, a, b, k, keepPredicate)) if k >= 1 && k <= MaxK
           && a.dataType == StringType && b.dataType == StringType
-          && !a.name.startsWith("__") && !b.name.startsWith("__") =>
-        val residual = conjuncts.filterNot(_ eq p)
+          && !a.name.startsWith("__") && !b.name.startsWith("__")
+          // second line of defense, now load-bearing for the equality
+          // forms: their residual KEEPS a levenshtein predicate, which
+          // predicate pushdown can merge into the rewrite's own internal
+          // joins (whose instance tags a copy may not carry) — any side
+          // already emitting rewrite-internal __ columns is our own
+          // output, never a user join
+          && !(l.output ++ r.output).exists(_.name.startsWith("__")) =>
+        val residual =
+          if (keepPredicate) conjuncts else conjuncts.filterNot(_ eq p)
         if (l.outputSet.contains(a) && r.outputSet.contains(b))
           Some((a, b, k, residual))
         else if (l.outputSet.contains(b) && r.outputSet.contains(a))

@@ -1455,6 +1455,27 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin)
     },
 
+    // the EQUALITY form — `levenshtein(a,b) = 1` is the typo join users
+    // write; `= d` implies `≤ d`, so d drives the PassJoin blocking and
+    // the equality survives as the residual rescore. The oracle runs the
+    // same naive SQL in DuckDB.
+    q("d36c_fuzzy_join_eq",
+      """SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part) a
+        |JOIN (SELECT DISTINCT p_name FROM part) b
+        |  ON levenshtein(a.p_name, b.p_name) = 1 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
+      table(s2, dir, "part").createOrReplaceTempView("part_fzc")
+      s2.sql("""SELECT a.p_name AS a, b.p_name AS b
+        |FROM (SELECT DISTINCT p_name FROM part_fzc) a
+        |JOIN (SELECT DISTINCT p_name FROM part_fzc) b
+        |  ON levenshtein(a.p_name, b.p_name) = 1 AND a.p_name < b.p_name
+        |ORDER BY a, b""".stripMargin)
+    },
+
     // ---------------------------------------------------------------- model-based quality filter
     // the classifier stage of the standard LLM data pipeline: fused-
     // kernel features → logistic regression on a stable-hash split with

@@ -60,6 +60,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming dedup against the PERSISTED batch ledger
+    * ([[graft.operators.DedupOps.writeLedger]]): rows whose fingerprint
+    * was ever admitted to the batch corpus drop via a stream-static
+    * LEFT ANTI join (the static side re-resolves per micro-batch, so a
+    * ledger append between batches is visible to the next one); rows
+    * duplicated WITHIN the stream then dedup through the watermarked
+    * state exactly like [[streamingDedup]]. Both regimes key on the
+    * same `rowFingerprint` as batch `exactDedup` — the batch backfill,
+    * the ledger and the stream agree on identity byte for byte. This is
+    * the continuous half of incremental-ingest dedup: batch admits and
+    * appends, the stream filters live against what the corpus already
+    * holds.
+    */
+  def streamingDedupAgainstLedger(events: DataFrame, contentCols: Seq[String],
+      ledgerPath: String, horizon: String = "1 hour"): DataFrame = {
+    val ledger = events.sparkSession.read.parquet(ledgerPath)
+      .select(col("digest").as("__fp"))
+    events
+      .withColumn("__fp", graft.operators.DedupOps.rowFingerprint(contentCols.map(col)))
+      .join(ledger, Seq("__fp"), "left_anti")
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks and the
     * join predicate bounds event time on both sides, which is what lets

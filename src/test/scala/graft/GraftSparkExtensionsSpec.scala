@@ -127,6 +127,21 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(b.n, a.n) <= 2") == base)
     // literal-first strict form: 3 > lev ≡ lev <= 2
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 3 > levenshtein(a.n, b.n)") == base)
+    // EQUALITY form (the typo join): lev = 1 blocks at k=1, the equality
+    // survives as a residual filter — strictly tighter than base
+    val eq1 = rows("SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) = 1")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vals = Seq("cold bolt", "old bolt", "blue rod", "red rod", "widget")
+    val naiveEq1 = (for (x <- vals; y <- vals if lev(x, y) == 1) yield (x, y)).sorted
+    assert(eq1 == naiveEq1 && eq1.nonEmpty)
+    assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 1 = levenshtein(a.n, b.n)") == eq1)
   }
 
   test("levenshtein rewrite matches the thresholded 3-arg form (Spark >= 3.5 bounded levenshtein)") {

@@ -165,6 +165,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against the batch ledger drops admitted content, then dedups within the stream") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // the BATCH corpus admits (1, click, 1.0) and (9, view, 2.0)
+    val path = java.nio.file.Files.createTempDirectory("graft-sled").toString + "/led"
+    val admitted = Seq(
+      EventStreams.Evt(1L, ts(0), "click", 1.0),
+      EventStreams.Evt(9L, ts(0), "view", 2.0)).toDF()
+      .withColumn("fp_id", monotonically_increasing_id())
+    graft.operators.DedupOps.writeLedger(admitted, "fp_id",
+      Seq("user_id", "event_type", "value"), path)
+    // the stream re-sends an admitted row, a new row twice, and a new row
+    val evts = Seq(
+      EventStreams.Evt(1L, ts(1), "click", 1.0),  // in ledger → dropped
+      EventStreams.Evt(2L, ts(2), "click", 1.0),  // new, first wins
+      EventStreams.Evt(2L, ts(3), "click", 1.0),  // in-stream dup
+      EventStreams.Evt(3L, ts(4), "view", 5.0))   // new
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Evt](
+      spark)
+    stream.addData(evts)
+    val q = EventStreams.streamingDedupAgainstLedger(stream.toDS().toDF(),
+        Seq("user_id", "event_type", "value"), path)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sled_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT user_id, event_type FROM sled_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(kept == Seq((2L, "click"), (3L, "view")))
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with q61's batch sessionization on the real fixture") {
     import spark.implicits._
     // batch truth: q61's exact plan (2h gap) over the events fixture
