@@ -298,7 +298,10 @@ object MultimodalOps {
       val next = pos.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
       if (next <= pos || next > Int.MaxValue) ok = false else pos = next.toInt
     }
-    if (!ok) return None
+    // no `if (!ok) return None` here: a bailed walk that already parsed
+    // both "fmt " and "data" (e.g. a huge final data chunk overflowing
+    // the advance) still yields a complete header; an INCOMPLETE bail
+    // fails the field validation below and falls to the provider path
     if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) None
     else Some((sampleRate, channels, bits, dataLen / blockAlign, "wav"))
   }

@@ -117,19 +117,27 @@ object LevenshteinJoinRewrite extends Rule[LogicalPlan] {
       case p @ EqualTo(Literal(d: Int, IntegerType), Lev3(a, b, t)) if d >= 0 && d <= t =>
         (p, a, b, d)
     }
-    val all = hits.map { case (p, a, b, k) => (p, a, b, k, false) } ++
-      eqHits.map { case (p, a, b, k) => (p, a, b, k, true) }
+    // a BOUND hit drives the rewrite when present (any equality on the
+    // same call simply stays in the residual, as every non-driving
+    // conjunct does); only a lone equality drives via its implied bound
+    val all = (hits, eqHits) match {
+      case (Seq(h), _) => Seq((h._1, h._2, h._3, h._4, false))
+      case (Seq(), Seq(e)) => Seq((e._1, e._2, e._3, e._4, true))
+      case _ => Nil
+    }
+    // second line of defense, load-bearing for the equality forms:
+    // their residual KEEPS a levenshtein predicate, which predicate
+    // pushdown can merge into the rewrite's own internal joins (whose
+    // instance tags a copy may not carry) — a side emitting the
+    // rewrite's OWN working columns is our output, never a user join.
+    // (Matched by exact name, not `__` prefix: a user column that
+    // happens to start with __ must not silently disable the rewrite.)
+    val rewriteInternals = Set("__sa", "__sb", "__seg", "__lb", "__one")
     all match {
       case Seq((p, a, b, k, keepPredicate)) if k >= 1 && k <= MaxK
           && a.dataType == StringType && b.dataType == StringType
           && !a.name.startsWith("__") && !b.name.startsWith("__")
-          // second line of defense, now load-bearing for the equality
-          // forms: their residual KEEPS a levenshtein predicate, which
-          // predicate pushdown can merge into the rewrite's own internal
-          // joins (whose instance tags a copy may not carry) — any side
-          // already emitting rewrite-internal __ columns is our own
-          // output, never a user join
-          && !(l.output ++ r.output).exists(_.name.startsWith("__")) =>
+          && !(l.output ++ r.output).exists(att => rewriteInternals(att.name)) =>
         val residual =
           if (keepPredicate) conjuncts else conjuncts.filterNot(_ eq p)
         if (l.outputSet.contains(a) && r.outputSet.contains(b))

@@ -1243,6 +1243,29 @@ object OlapQueries {
     // rows straight from parquet: the check passes only if Spark's ORC
     // writer+reader preserve every value (types, nulls, decimals-as-double)
     // bit-exactly through the round trip. Write stays parallel.
+    q("q59_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_conformance/q59_orc"
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Qf.dround(sum(col("l_quantity")), 2).as("sum_qty"),
+          Qf.dround(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // ---------------------------------------------------------------- file-format conformance: XML round-trip
     // Spark 4 ships the XML source in core (the spark-xml merge); DuckDB
     // has no XML reader, so — like q59's ORC — the oracle aggregates the
@@ -1267,28 +1290,5 @@ object OlapQueries {
           min(col("s_name")).as("min_name"))
         .orderBy("s_nationkey")
     },
-
-    q("q59_orc_roundtrip",
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
-        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      val out = "/tmp/graft_conformance/q59_orc"
-      table(s, dir, "lineitem")
-        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          Qf.dround(sum(col("l_quantity")), 2).as("sum_qty"),
-          Qf.dround(sum(col("l_extendedprice")), 2).as("sum_price"),
-          min(col("l_orderkey")).as("min_ok"),
-          max(col("l_orderkey")).as("max_ok"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }
   )
 }

@@ -62,16 +62,19 @@ object PipelineQueries {
   // CANNOT provide the eviction here: the cached DataFrames strongly
   // reference their own SparkSession, so value → key keeps every entry
   // reachable forever (the classic WeakHashMap value-cycle leak).
-  // Instead: an access-ordered bounded map — when a 5th distinct
-  // session appears, the least-recently-used session's entry is
-  // dropped and its persisted frames unpersisted.
+  // Instead: an access-ordered bounded map — beyond 16 distinct
+  // sessions the least-recently-used session's entry is dropped and
+  // its persisted frames unpersisted (eviction of a still-live session
+  // only costs a retrain on next use; 16 covers any realistic in-JVM
+  // session count, including the per-run sessions d36/d36b/d36c
+  // create, which age out by access order).
   private val modelCache =
     new java.util.LinkedHashMap[org.apache.spark.sql.SparkSession,
         scala.collection.concurrent.TrieMap[String, Any]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[org.apache.spark.sql.SparkSession,
             scala.collection.concurrent.TrieMap[String, Any]]): Boolean = {
-        val evict = size() > 4
+        val evict = size() > 16
         if (evict) e.getValue.values.foreach {
           case df: org.apache.spark.sql.DataFrame =>
             try df.unpersist(blocking = false) catch { case _: Throwable => () }

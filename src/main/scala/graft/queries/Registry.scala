@@ -24,13 +24,13 @@ object Registry {
     * NOT a WeakHashMap: the cached DataFrames strongly reference their
     * own SparkSession, so value → key would keep every entry reachable
     * forever (the WeakHashMap value-cycle leak). An access-ordered
-    * bounded map caps retention at the 4 most recent sessions instead.
+    * bounded map caps retention at the 16 most recent sessions instead.
     */
   private val planCache =
     new java.util.LinkedHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
-        size() > 4
+        size() > 16
     }
 
   /** Read one fixture table from the given scale-factor directory.

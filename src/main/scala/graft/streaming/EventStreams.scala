@@ -62,16 +62,20 @@ object EventStreams {
 
   /** Streaming dedup against the PERSISTED batch ledger
     * ([[graft.operators.DedupOps.writeLedger]]): rows whose fingerprint
-    * was ever admitted to the batch corpus drop via a stream-static
-    * LEFT ANTI join (the static side re-resolves per micro-batch, so a
-    * ledger append between batches is visible to the next one); rows
-    * duplicated WITHIN the stream then dedup through the watermarked
-    * state exactly like [[streamingDedup]]. Both regimes key on the
-    * same `rowFingerprint` as batch `exactDedup` — the batch backfill,
-    * the ledger and the stream agree on identity byte for byte. This is
-    * the continuous half of incremental-ingest dedup: batch admits and
-    * appends, the stream filters live against what the corpus already
-    * holds.
+    * was admitted to the batch corpus drop via a stream-static LEFT
+    * ANTI join; rows duplicated WITHIN the stream then dedup through
+    * the watermarked state exactly like [[streamingDedup]]. Both
+    * regimes key on the same `rowFingerprint` as batch `exactDedup` —
+    * the batch backfill, the ledger and the stream agree on identity
+    * byte for byte.
+    *
+    * Snapshot semantics: the ledger's FILE LISTING is captured when the
+    * stream is defined (parquet's InMemoryFileIndex) — files appended
+    * by a later `appendToLedger` are NOT picked up mid-stream. That is
+    * the right contract for the intended topology (the ledger holds
+    * what was admitted BEFORE the stream started; in-flight duplicates
+    * are the watermarked state's job); a long-lived stream adopts a
+    * grown ledger by restarting from its checkpoint.
     */
   def streamingDedupAgainstLedger(events: DataFrame, contentCols: Seq[String],
       ledgerPath: String, horizon: String = "1 hour"): DataFrame = {

@@ -142,6 +142,23 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val naiveEq1 = (for (x <- vals; y <- vals if lev(x, y) == 1) yield (x, y)).sorted
     assert(eq1 == naiveEq1 && eq1.nonEmpty)
     assert(rows("SELECT a.n, b.n FROM fz a JOIN fz b ON 1 = levenshtein(a.n, b.n)") == eq1)
+    // bound AND equality on the same call: the bound drives, the
+    // equality stays residual — still no nested loop
+    assert(rows(
+      "SELECT a.n, b.n FROM fz a JOIN fz b ON levenshtein(a.n, b.n) <= 2 AND levenshtein(a.n, b.n) = 1") == eq1)
+  }
+
+  test("levenshtein rewrite still fires when user columns start with __ (guard is by exact internal name)") {
+    val spark = extendedSession()
+    import spark.implicits._
+    Seq(("cold bolt", "m1"), ("old bolt", "m2"), ("widget", "m3"))
+      .toDF("n", "__meta").createOrReplaceTempView("fzm")
+    val df = spark.sql(
+      "SELECT a.n, b.n, a.__meta FROM fzm a JOIN fzm b ON levenshtein(a.n, b.n) <= 2")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Cartesian") && !phys.contains("BroadcastNestedLoop"),
+      s"a user __-prefixed column disabled the rewrite:\n$phys")
+    assert(df.count() > 0)
   }
 
   test("levenshtein rewrite matches the thresholded 3-arg form (Spark >= 3.5 bounded levenshtein)") {
