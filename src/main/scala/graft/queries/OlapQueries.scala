@@ -667,6 +667,26 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // the DISCONTINUOUS ordered-set aggregate (SQL-standard
+    // percentile_disc: smallest value whose cume_dist >= q — an actual
+    // data element, never an interpolation; DuckDB's quantile_disc is
+    // the same definition). No rounding needed: both engines return an
+    // element of the column verbatim.
+    q("q67_percentile_disc",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // The exact form above is already distributed (distinct-value counts +
     // sort-based window — no per-group buffering); this variant is the
     // sketch alternative for when even the distinct-value set is too wide:
