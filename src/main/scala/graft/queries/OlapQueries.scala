@@ -667,6 +667,52 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // linear-regression aggregate family (SQL-standard regr_*): slope /
+    // intercept / r² plus corr and sample covariance of
+    // (quantity, price) per flag — all one-pass moment aggregates that
+    // partial-combine map-side like any sum. Rounded: the two engines
+    // accumulate moments in different orders.
+    q("q68_regression_agg",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Qf.dround(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          Qf.dround(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          Qf.dround(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          Qf.dround(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          Qf.dround(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"))
+        .orderBy("l_returnflag")
+    },
+
+    // bitwise / boolean aggregate battery — exact integer semantics, no
+    // rounding: bit_and/or/xor over the line numbers and order keys,
+    // bool_and/bool_or over derived predicates.
+    q("q69_bit_bool_agg",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bit_and(l_linenumber)").cast("bigint").as("band"),
+          expr("bit_or(l_linenumber)").cast("bigint").as("bor"),
+          expr("bit_xor(l_orderkey)").cast("bigint").as("bxor"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // the DISCONTINUOUS ordered-set aggregate (SQL-standard
     // percentile_disc: smallest value whose cume_dist >= q — an actual
     // data element, never an interpolation; DuckDB's quantile_disc is
