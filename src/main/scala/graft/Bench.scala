@@ -78,8 +78,11 @@ object Bench {
     // line must stay well under that budget: short keys (unique prefix before
     // the first '_') and 3-decimal values keep 90+ queries near 1.4 KB.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // per-query values at 2 decimals (10 ms resolution — full precision is
+    // in bench_full.json); one char per query keeps 160+ queries under 1.8 KB
+    def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
