@@ -733,6 +733,112 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---------------------------------------------------------------- recursive CTE
+    // WITH RECURSIVE (Spark 4 / SQL:1999) generating a 12-month calendar
+    // spine, left-joined to pre-aggregated monthly order stats so absent
+    // months surface as zeros. Scale shape: the recursion produces a
+    // constant-size spine on the driver; the fact side aggregates FIRST
+    // (shuffle on month, ~thousands of groups), then the tiny spine
+    // broadcast-joins it — the recursion never touches fact-table rows.
+    q("q70_recursive_months",
+      """WITH RECURSIVE months(m) AS (SELECT 0 UNION ALL SELECT m + 1 FROM months WHERE m < 11),
+        |om AS (SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n, sum(o_totalprice) AS rev
+        |       FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |       AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1)
+        |SELECT make_date(1995, m + 1, 1) AS month,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+        |       round(coalesce(rev, 0), 2) AS revenue
+        |FROM months LEFT JOIN om ON om.mo = CAST(make_date(1995, m + 1, 1) AS TIMESTAMP)
+        |ORDER BY month""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (SELECT 0 UNION ALL SELECT m + 1 FROM months WHERE m < 11),
+          |om AS (SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n, sum(o_totalprice) AS rev
+          |       FROM orders_rec WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |       AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1)
+          |SELECT make_date(1995, m + 1, 1) AS month,
+          |       CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+          |       coalesce(rev, CAST(0 AS DOUBLE)) AS rev_raw
+          |FROM months LEFT JOIN om ON om.mo = CAST(make_date(1995, m + 1, 1) AS TIMESTAMP)""".stripMargin)
+        .select(col("month"), col("n_orders"), Qf.dround(col("rev_raw"), 2).as("revenue"))
+        .orderBy("month")
+    },
+
+    // ---------------------------------------------------------------- arg-min/max aggregates
+    // max_by/min_by (DuckDB arg_max/arg_min): the ordering column
+    // (s_acctbal, continuous double — verified duplicate-free per group
+    // in the fixtures) makes the picked row engine-independent. One-pass,
+    // map-side combinable: each partial keeps only the current best pair.
+    q("q71_arg_minmax",
+      """SELECT s_nationkey,
+        |  max_by(s_name, s_acctbal) AS richest,
+        |  min_by(s_name, s_acctbal) AS poorest,
+        |  round(max(s_acctbal), 2) AS top_bal,
+        |  round(min(s_acctbal), 2) AS low_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(
+          expr("max_by(s_name, s_acctbal)").as("richest"),
+          expr("min_by(s_name, s_acctbal)").as("poorest"),
+          Qf.dround(max(col("s_acctbal")), 2).as("top_bal"),
+          Qf.dround(min(col("s_acctbal")), 2).as("low_bal"))
+        .orderBy("s_nationkey")
+    },
+
+    // ---------------------------------------------------------------- deterministic mode
+    // Spark's mode(col, true) pins ties to the LOWEST value; the oracle
+    // spells that tie-break out (max count, then min value) so the match
+    // is definition-exact, never fixture-luck. Distributed as a two-level
+    // count-then-argmax — no per-group value buffering.
+    q("q72_mode_agg",
+      """WITH c AS (SELECT l_returnflag, l_linenumber AS v, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, max(n) AS mx FROM c GROUP BY 1)
+        |SELECT c.l_returnflag, CAST(min(v) AS BIGINT) AS mode_ln
+        |FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.n = m.mx
+        |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("mode(l_linenumber, true)").cast("bigint").as("mode_ln"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- time-series gap fill
+    // Calendar densification + forward fill — the resample/ffill of every
+    // metrics pipeline. sequence() builds the day spine from the observed
+    // bounds, the sparse daily aggregate left-joins it, and
+    // last(ignoreNulls) carries the previous observation across gaps.
+    // Scale shape: facts aggregate to one row per day BEFORE the join and
+    // the window runs over the spine (rows = days, not events), so the
+    // single-partition window is bounded by the calendar, never the data.
+    q("q73_gapfill_ffill",
+      """WITH b AS (SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+        |                  CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS d1 FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_raw, sum(value) AS rev_raw
+        |          FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1)
+        |SELECT s.day AS day, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
+        |       round(last_value(rev_raw IGNORE NULLS) OVER (
+        |         ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rev_filled
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val spine = ev
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 150)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_raw"), sum(col("value")).as("rev_raw"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .select(
+          col("day"),
+          coalesce(col("n_raw"), lit(0L)).as("n"),
+          Qf.dround(last(col("rev_raw"), ignoreNulls = true).over(w), 4).as("rev_filled"))
+        .orderBy("day")
+    },
+
     // The exact form above is already distributed (distinct-value counts +
     // sort-based window — no per-group buffering); this variant is the
     // sketch alternative for when even the distinct-value set is too wide:
