@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: Z-order clustering and sized writes.
@@ -76,4 +76,55 @@ object LayoutOps {
       .sortWithinPartitions(key)
       .write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)
+
+  /** Bucketed (co-located) join: both fact tables written ONCE with
+    * `bucketBy(n, key)` on the join key, after which every join on that
+    * key reads both sides already hash-distributed — zero Exchange in
+    * the join subtree (PlanShapeSpec gates this). At 100 TB this is THE
+    * layout decision: a repeated fact-fact join pays its shuffle once at
+    * write time instead of on every query, and bucket pruning serves
+    * point lookups on the key for free. The tables are registered in the
+    * shared catalog keyed by the source dir, so repeat calls (second
+    * bench pass, other sessions in the JVM) reuse the files.
+    */
+  def bucketedTables(s: SparkSession, dir: String, buckets: Int = 8): (DataFrame, DataFrame) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ot = s"graft_bkt_orders_$tag"
+    val lt = s"graft_bkt_lineitem_$tag"
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bucketed_$tag").getAbsolutePath
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists(ot)) {
+        graft.queries.Registry.table(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .write.format("parquet").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").mode("overwrite").saveAsTable(ot)
+      }
+      if (!s.catalog.tableExists(lt)) {
+        graft.queries.Registry.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.format("parquet").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(lt)
+      }
+    }
+    (s.table(ot), s.table(lt))
+  }
+
+  private val bucketLock = new Object
+
+  /** The co-located join itself (no aggregate) — what the no-Exchange
+    * plan gate inspects. Broadcast is disabled on a cloned session so
+    * the gate proves bucket co-location, not small-side luck.
+    */
+  def bucketedJoin(s: SparkSession, dir: String, adaptive: Boolean = true): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the plan gate turns AQE off so the asserted static shape is
+    // deterministic; the conformance query keeps it on
+    s2.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
+    val (o, l) = bucketedTables(s2, dir)
+    o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+  }
 }

@@ -839,6 +839,27 @@ object OlapQueries {
         .orderBy("day")
     },
 
+    // ---------------------------------------------------------------- bucketed co-located join
+    // Both fact tables written once with bucketBy(8, orderkey); the join
+    // then reads them pre-hash-distributed — ZERO Exchange in the join
+    // subtree (PlanShapeSpec gates this with broadcast disabled). The
+    // write-once/join-many layout that turns a repeated 100 TB fact-fact
+    // shuffle into a one-time cost. Bucketing is purely physical, so the
+    // oracle is the same join on the original parquet.
+    q("q74_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.operators.LayoutOps.bucketedJoin(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     // The exact form above is already distributed (distinct-value counts +
     // sort-based window — no per-group buffering); this variant is the
     // sketch alternative for when even the distinct-value set is too wide:

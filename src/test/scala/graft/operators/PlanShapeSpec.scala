@@ -280,4 +280,11 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     }
   }
+
+  test("q74's bucketedJoin: zero Exchange with broadcast disabled (bucket co-location, not small-side luck)") {
+    val df = LayoutOps.bucketedJoin(spark, "/root/testdata/sf0.001", adaptive = false)
+    assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+    assert(broadcasts(df) == 0, df.queryExecution.executedPlan.toString)
+    assert(df.count() > 0)
+  }
 }
