@@ -88,11 +88,19 @@ object LayoutOps {
     * bench pass, other sessions in the JVM) reuse the files.
     */
   def bucketedTables(s: SparkSession, dir: String, buckets: Int = 8): (DataFrame, DataFrame) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // Identity = (full dir path, bucket count): a different bucket count
+    // gets its own tables (never a silent 8-bucket reuse), and distinct
+    // dirs can't collide the way a raw hashCode tag could. The files live
+    // under a per-JVM tmpdir so concurrently running JVMs (Bench next to
+    // Verify) each write their own copy instead of racing on one
+    // overwrite target. Source parquet is assumed immutable for the JVM's
+    // lifetime — same contract as Registry.table's plan cache.
+    val tag = (dir + s"#$buckets").replaceAll("[^A-Za-z0-9]", "_")
     val ot = s"graft_bkt_orders_$tag"
     val lt = s"graft_bkt_lineitem_$tag"
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_bucketed_$tag").getAbsolutePath
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bucketed_pid${ProcessHandle.current.pid}_$tag").getAbsolutePath
     bucketLock.synchronized {
       if (!s.catalog.tableExists(ot)) {
         graft.queries.Registry.table(s, dir, "orders")
@@ -112,17 +120,34 @@ object LayoutOps {
 
   private val bucketLock = new Object
 
+  // One broadcast-disabled clone per (parent session, adaptive flag):
+  // newSession() builds a full SessionState, far too heavy to pay per
+  // bucketedJoin call inside a timed bench pass. WeakHashMap on the
+  // parent keeps stopped sessions collectable (the clone holds no
+  // context of its own).
+  private val cloneCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Boolean, SparkSession]]
+
+  private def bucketSession(s: SparkSession, adaptive: Boolean): SparkSession =
+    cloneCache.synchronized {
+      var m = cloneCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; cloneCache.put(s, m) }
+      m.getOrElseUpdate(adaptive, {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the plan gate turns AQE off so the asserted static shape is
+        // deterministic; the conformance query keeps it on
+        s2.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
+        s2
+      })
+    }
+
   /** The co-located join itself (no aggregate) — what the no-Exchange
     * plan gate inspects. Broadcast is disabled on a cloned session so
     * the gate proves bucket co-location, not small-side luck.
     */
   def bucketedJoin(s: SparkSession, dir: String, adaptive: Boolean = true): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // the plan gate turns AQE off so the asserted static shape is
-    // deterministic; the conformance query keeps it on
-    s2.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
-    val (o, l) = bucketedTables(s2, dir)
+    val (o, l) = bucketedTables(bucketSession(s, adaptive), dir)
     o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .join(l, col("l_orderkey") === col("o_orderkey"))

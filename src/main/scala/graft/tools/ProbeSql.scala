@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeSql {
   def main(args: Array[String]): Unit = {
+    // mirror the Verify/Bench session confs (UTC, nanos-as-long) so a
+    // probe's answer is the answer the conformance harness will see
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
