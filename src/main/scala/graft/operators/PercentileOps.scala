@@ -133,7 +133,11 @@ object PercentileOps {
     *
     * The picked ranks interpolate exactly like the window form
     * (`quantile_cont` semantics), so results are bit-identical (an sbt
-    * test pins this, ties/NULLs/edge quantiles included). Guard: if a
+    * test pins this, ties/NULLs/edge quantiles included). `disc = true`
+    * switches to SQL-standard `percentile_disc` semantics (element at
+    * rank ⌈q·n⌉-1, no interpolation) on the same two-job machinery —
+    * q67b conformance-checks it against DuckDB's `quantile_disc` and an
+    * sbt test pins it row-equal to Spark's built-in aggregate. Guard: if a
     * needed bucket holds more than `maxCandidates` values (pathological
     * point-mass), falls back to the window form rather than risk the
     * driver — the histogram itself reveals this before any collect.
@@ -145,7 +149,8 @@ object PercentileOps {
     */
   def exactQuantilesHist(df: DataFrame, keys: Seq[String],
       measures: Seq[(String, Column, Seq[(String, Double)])],
-      shift: Int = 44, maxCandidates: Int = 4000000): DataFrame = {
+      shift: Int = 44, maxCandidates: Int = 4000000,
+      disc: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
     val unpivoted = df
@@ -185,16 +190,28 @@ object PercentileOps {
       val mName = g.last.asInstanceOf[String]
       val qs = measures.find(_._1 == mName).get._3
       targets(g) = qs.map { case (name, q) =>
-        val t = (n - 1) * q
-        val i0 = math.floor(t).toLong
-        val i1 = math.ceil(t).toLong
-        needed += ((g, bucketOf(i0)))
-        needed += ((g, bucketOf(i1)))
-        (name, t, i0, i1)
+        if (disc) {
+          // SQL-standard percentile_disc: the smallest ELEMENT whose
+          // cume_dist >= q — 0-based rank ceil(q·n)-1, never an
+          // interpolation. Same histogram machinery, one rank, i0 == i1
+          // so the pick below returns the element verbatim.
+          val rd = math.min(n - 1, math.max(0L, math.ceil(q * n).toLong - 1))
+          needed += ((g, bucketOf(rd)))
+          (name, rd.toDouble, rd, rd)
+        } else {
+          val t = (n - 1) * q
+          val i0 = math.floor(t).toLong
+          val i1 = math.ceil(t).toLong
+          needed += ((g, bucketOf(i0)))
+          needed += ((g, bucketOf(i1)))
+          (name, t, i0, i1)
+        }
       }
     }
     if (needed.exists { case (g, b) => histByG(g).find(_._1 == b).get._2 > maxCandidates })
-      return exactQuantilesMulti(df, keys, measures) // pathological point-mass
+      // pathological point-mass: hand off to the buffering-but-safe form
+      return if (disc) discFallback(df, keys, measures)
+             else exactQuantilesMulti(df, keys, measures)
 
     // job 2: collect candidate values of the needed buckets only.
     // The composite key joins on an unprintable separator (cannot occur
@@ -247,5 +264,23 @@ object PercentileOps {
       df.select(keyCols: _*).schema.fields ++
         allQNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+  }
+
+  /** Point-mass fallback for `disc = true`: Spark's built-in
+    * `percentile_disc` aggregate (buffers per-group value maps — safe,
+    * just not the scale path; only reached when one histogram bucket
+    * exceeds `maxCandidates`).
+    */
+  private def discFallback(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.select(
+      keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
+    val aggs = measures.flatMap { case (m, _, qs) =>
+      qs.map { case (name, q) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY __in_$m)").as(name)
+      }
+    }
+    base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

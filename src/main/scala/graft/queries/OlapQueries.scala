@@ -733,6 +733,28 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // The built-in above buffers per-group (value,count) maps — three
+    // aggregates each materializing the near-unique price column (the
+    // slowest 1× query in the bench, see SCALE.md). This is the SAME
+    // oracle answered by the distributed histogram-selection machinery
+    // (q40's exactQuantilesHist with disc semantics): the shuffle
+    // carries occupied buckets, never the value set, and all three
+    // quantile points share one fused scan. percentile_disc returns an
+    // element verbatim — no rounding needed, hash-exact.
+    q("q67b_percentile_disc_hist",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.operators.PercentileOps.exactQuantilesHist(
+        table(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
+          ("price", col("l_extendedprice"),
+            Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))),
+        disc = true)
+        .orderBy("l_returnflag")
+    },
+
     // ---------------------------------------------------------------- recursive CTE
     // WITH RECURSIVE (Spark 4 / SQL:1999) generating a 12-month calendar
     // spine, left-joined to pre-aggregated monthly order stats so absent

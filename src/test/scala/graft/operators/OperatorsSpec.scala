@@ -493,6 +493,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb == wb)
   }
 
+  test("exactQuantilesHist disc mode is row-equal to Spark's built-in percentile_disc (incl. ties, edge q, fallback)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val qs = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    val measures = Seq(
+      ("price", col("l_extendedprice"), qs), // near-unique doubles
+      ("qty", col("l_quantity"), Seq("qmed" -> 0.5))) // heavily tied
+    val hist = PercentileOps.exactQuantilesHist(li, Seq("l_returnflag"), measures, shift = 52, disc = true)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDouble)).toMap
+    val builtin = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile_disc(0.0)  WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("percentile_disc(1.0)  WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)"))
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDouble)).toMap
+    assert(hist.keySet == builtin.keySet)
+    hist.foreach { case (k, v) => assert(v == builtin(k), s"group $k: $v != ${builtin(k)}") }
+    // point-mass guard routes disc mode to the built-in, not the cont form
+    val fb = PercentileOps.exactQuantilesHist(li, Seq("l_returnflag"),
+      Seq(("p", col("l_extendedprice"), Seq("p50" -> 0.5))), shift = 63, maxCandidates = 10, disc = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wb = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fb == wb)
+  }
+
   test("exactQuantilesHist handles negatives, ±0.0, ties, and single-value groups (bit-order edge cases)") {
     val rows = Seq(
       // group n: spans negative/zero/positive with ties and -0.0
