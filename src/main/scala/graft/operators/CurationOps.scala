@@ -269,4 +269,46 @@ object CurationOps {
       .withColumn("__cum_excl", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", floor(col("__cum_excl") / contextLen).cast("int"))
   }
+
+  // ------------------------------------------------------------------
+  // Incremental corpus-stats LEDGER — at-rest per-source aggregates
+  // (docs, tokens, chars) maintained by MERGING each ingested batch's
+  // delta instead of recomputing over the whole corpus. The companion
+  // to DedupOps' digest ledger: at 100 TB, "what does the corpus look
+  // like now" must cost O(batch), not O(corpus). All three stats are
+  // associative sums, so merge(ledger, delta(batch)) is EXACTLY equal
+  // to recompute(old ∪ new) — d41 hash-checks the merged ledger
+  // against the full-recompute oracle.
+  // ------------------------------------------------------------------
+
+  /** Per-key corpus statistics — the ledger's row shape (one row per
+    * key: tiny at rest, partial-agg map-side combined in flight).
+    */
+  def corpusStats(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+
+  /** Create/overwrite the stats ledger from an initial corpus. */
+  def writeStatsLedger(df: DataFrame, keyCol: String, textCol: String,
+      path: String): Unit =
+    corpusStats(df, keyCol, textCol).write.mode("overwrite").parquet(path)
+
+  /** Fold a new batch into the at-rest stats without touching the
+    * original documents: union the ledger rows with the batch's delta
+    * aggregate and re-sum per key. Keys new to this batch appear via
+    * the union; the original corpus is never re-read. Returns the
+    * merged frame — persist it as the next ledger generation.
+    */
+  def mergeStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
+      path: String): DataFrame =
+    batch.sparkSession.read.parquet(path)
+      .unionByName(corpusStats(batch, keyCol, textCol))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
 }

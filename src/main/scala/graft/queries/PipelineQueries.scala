@@ -276,6 +276,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- incremental stats ledger
+    // Corpus bookkeeping at O(batch) cost: per-source (docs, tokens,
+    // chars) aggregates persisted at rest, each ingested batch folded in
+    // by union + re-sum — the corpus itself is read once, ever. The
+    // oracle recomputes over ALL documents from scratch; the hash match
+    // proves merge(ledger, delta) == full recompute exactly.
+    q("d41_stats_ledger",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($sqlTokens)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = s"/tmp/graft_conformance/d41_stats_pid${ProcessHandle.current.pid}" +
+        s"_${dir.hashCode.toHexString}"
+      graft.operators.CurationOps.writeStatsLedger(docs.filter(col("doc_id") % 5 =!= 0), "source", "text", path)
+      graft.operators.CurationOps.mergeStatsLedger(docs.filter(col("doc_id") % 5 === 0), "source", "text", path)
+        .orderBy("source")
+    },
+
     q("d09_simhash", {
       val bits = (0 until 16).map { j =>
         s"""(CASE WHEN list_sum(list_transform(tok,
