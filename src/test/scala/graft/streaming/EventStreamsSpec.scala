@@ -285,4 +285,38 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(sessions == Seq((1L, 2)))
     } finally q.stop()
   }
+
+  test("streaming stats-ledger maintenance: per-microbatch merges equal the batch recompute") {
+    import spark.implicits._
+    // the streaming face of d41: each micro-batch folds its delta into
+    // the at-rest per-source stats via foreachBatch — generation dirs so
+    // a merge never overwrites the ledger it is lazily reading
+    val base = java.nio.file.Files.createTempDirectory("graft-stled").toString
+    def genPath(g: Int) = s"$base/g$g"
+    val seed = Seq(("s1", "a b c"), ("s1", "d e")).toDF("source", "text")
+    val later = Seq(
+      Seq(("s2", "x"), ("s2", "y z w")),
+      Seq(("s3", "hello world"), ("s1", "f")))
+    graft.operators.CurationOps.writeStatsLedger(seed, "source", "text", genPath(0))
+    @volatile var gen = 0
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](
+      spark)
+    val q = stream.toDS().toDF("source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.CurationOps.mergeStatsLedger(batch, "source", "text", genPath(gen))
+          .write.mode("overwrite").parquet(genPath(gen + 1))
+        gen += 1
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(genPath(gen))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = graft.operators.CurationOps.corpusStats(
+          (Seq(("s1", "a b c"), ("s1", "d e")) ++ later.flatten).toDF("source", "text"),
+          "source", "text")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"$got != $want")
+    } finally q.stop()
+  }
 }
