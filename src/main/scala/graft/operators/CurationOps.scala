@@ -299,8 +299,13 @@ object CurationOps {
   /** Fold a new batch into the at-rest stats without touching the
     * original documents: union the ledger rows with the batch's delta
     * aggregate and re-sum per key. Keys new to this batch appear via
-    * the union; the original corpus is never re-read. Returns the
-    * merged frame — persist it as the next ledger generation.
+    * the union; the original corpus is never re-read.
+    *
+    * The result LAZILY READS `path` — persist it to a NEW generation
+    * directory (writing back to `path` itself throws Spark's
+    * cannot-overwrite-a-path-being-read error, or worse silently
+    * corrupts through a path alias). For fixed-location ledgers use
+    * [[advanceStatsLedger]], which stages and swaps for you.
     */
   def mergeStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
       path: String): DataFrame =
@@ -311,4 +316,29 @@ object CurationOps {
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
+
+  /** Merge `batch` into the ledger at `path` IN PLACE: the merged frame
+    * is materialized to a staging sibling first, then swapped in with
+    * filesystem renames, so the read and the overwrite never touch the
+    * same files. Rename-based swap is atomic on HDFS/local; on object
+    * stores prefer explicit generation dirs via [[mergeStatsLedger]].
+    */
+  def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
+      path: String): Unit = {
+    val merged = mergeStatsLedger(batch, keyCol, textCol, path)
+    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(path + ".old")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(retired, true)
+    if (!fs.rename(target, retired))
+      throw new java.io.IOException(s"stats ledger swap: cannot retire $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back so the ledger is never absent
+      throw new java.io.IOException(s"stats ledger swap: cannot promote $staging")
+    }
+    fs.delete(retired, true)
+  }
 }

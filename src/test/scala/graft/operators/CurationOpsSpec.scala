@@ -344,4 +344,21 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(String, Long, Int)].collect().toSet
     assert(got == Set(("a", 1L, 0), ("a", 2L, 0), ("a", 3L, 1), ("b", 4L, 0)))
   }
+
+  test("advanceStatsLedger swaps the ledger in place and equals the full recompute") {
+    val path = java.nio.file.Files.createTempDirectory("graft-adv").toString + "/ledger"
+    val seed = Seq(("s1", "a b c"), ("s2", "d")).toDF("source", "text")
+    val b1 = Seq(("s1", "e f"), ("s3", "g h i")).toDF("source", "text")
+    val b2 = Seq(("s2", "j"), ("s3", "k l")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    CurationOps.advanceStatsLedger(b1, "source", "text", path) // same fixed path, twice
+    CurationOps.advanceStatsLedger(b2, "source", "text", path)
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = CurationOps.corpusStats(seed.unionByName(b1).unionByName(b2), "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"$got != $want")
+    // no staging/retired debris left behind
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
 }
