@@ -87,35 +87,52 @@ object LayoutOps {
     * shared catalog keyed by the source dir, so repeat calls (second
     * bench pass, other sessions in the JVM) reuse the files.
     */
+  /** Generic core: write `df` bucketed+sorted by `keyCol` at `path`,
+    * register it as `name`, and return the registered table. Reuses an
+    * existing registration only when its backing files are also present
+    * — a catalog entry that outlives its files (persistent metastore,
+    * recycled tmpdir) is silently rebuilt instead of read as a dead
+    * path. This is the write-once side of every co-located join: pay
+    * the shuffle at layout time, join forever without one.
+    */
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,
+      name: String, path: String): DataFrame = {
+    val s = df.sparkSession
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists(name) || !new java.io.File(path).isDirectory) {
+        df.write.format("parquet").bucketBy(buckets, keyCol).sortBy(keyCol)
+          .option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+    s.table(name)
+  }
+
   def bucketedTables(s: SparkSession, dir: String, buckets: Int = 8): (DataFrame, DataFrame) = {
     // Identity = (full dir path, bucket count): a different bucket count
     // gets its own tables (never a silent 8-bucket reuse), and distinct
-    // dirs can't collide the way a raw hashCode tag could. The files live
-    // under a per-JVM tmpdir so concurrently running JVMs (Bench next to
-    // Verify) each write their own copy instead of racing on one
-    // overwrite target. Source parquet is assumed immutable for the JVM's
-    // lifetime — same contract as Registry.table's plan cache.
-    val tag = (dir + s"#$buckets").replaceAll("[^A-Za-z0-9]", "_")
-    val ot = s"graft_bkt_orders_$tag"
-    val lt = s"graft_bkt_lineitem_$tag"
+    // dirs can't collide — the readable sanitized tag alone could (every
+    // punctuation char collapses to '_'), so an md5 of the exact string
+    // disambiguates. The files live under a per-JVM tmpdir so
+    // concurrently running JVMs (Bench next to Verify) each write their
+    // own copy instead of racing on one overwrite target. Source parquet
+    // is assumed immutable for the JVM's lifetime — same contract as
+    // Registry.table's plan cache.
+    val key = s"$dir#$buckets"
+    val tag = key.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_bucketed_pid${ProcessHandle.current.pid}_$tag").getAbsolutePath
-    bucketLock.synchronized {
-      if (!s.catalog.tableExists(ot)) {
-        graft.queries.Registry.table(s, dir, "orders")
-          .select("o_orderkey", "o_orderdate", "o_orderpriority")
-          .write.format("parquet").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/orders").mode("overwrite").saveAsTable(ot)
-      }
-      if (!s.catalog.tableExists(lt)) {
-        graft.queries.Registry.table(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.format("parquet").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(lt)
-      }
-    }
-    (s.table(ot), s.table(lt))
+    val o = writeBucketed(
+      graft.queries.Registry.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+      "o_orderkey", buckets, s"graft_bkt_orders_$tag", s"$base/orders")
+    val l = writeBucketed(
+      graft.queries.Registry.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", buckets, s"graft_bkt_lineitem_$tag", s"$base/lineitem")
+    (o, l)
   }
 
   private val bucketLock = new Object
