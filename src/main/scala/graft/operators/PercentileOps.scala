@@ -278,7 +278,7 @@ object PercentileOps {
       keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
     val aggs = measures.flatMap { case (m, _, qs) =>
       qs.map { case (name, q) =>
-        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY __in_$m)").as(name)
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY `__in_$m`)").as(name)
       }
     }
     base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)

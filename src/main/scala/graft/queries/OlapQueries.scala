@@ -787,22 +787,28 @@ object OlapQueries {
     },
 
     // ---------------------------------------------------------------- arg-min/max aggregates
-    // max_by/min_by (DuckDB arg_max/arg_min): the ordering column
-    // (s_acctbal, continuous double — verified duplicate-free per group
-    // in the fixtures) makes the picked row engine-independent. One-pass,
-    // map-side combinable: each partial keeps only the current best pair.
+    // max_by/min_by with a DETERMINISTIC tie-break: the ordering key is
+    // struct(s_acctbal, s_name), so a balance tie resolves to the
+    // larger/smaller name instead of whichever row an engine saw last —
+    // definition-exact at any scale factor, never fixture luck (DuckDB's
+    // max_by can't order by a struct, so the oracle spells the same
+    // tie-break out as window-max + name filter). One-pass, map-side
+    // combinable: each partial keeps only the current best pair.
     q("q71_arg_minmax",
-      """SELECT s_nationkey,
-        |  max_by(s_name, s_acctbal) AS richest,
-        |  min_by(s_name, s_acctbal) AS poorest,
+      """WITH r AS (SELECT s_nationkey, s_name, s_acctbal,
+        |  max(s_acctbal) OVER (PARTITION BY s_nationkey) AS mxb,
+        |  min(s_acctbal) OVER (PARTITION BY s_nationkey) AS mnb FROM supplier)
+        |SELECT s_nationkey,
+        |  max(s_name) FILTER (WHERE s_acctbal = mxb) AS richest,
+        |  min(s_name) FILTER (WHERE s_acctbal = mnb) AS poorest,
         |  round(max(s_acctbal), 2) AS top_bal,
         |  round(min(s_acctbal), 2) AS low_bal
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+        |FROM r GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
       table(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(
-          expr("max_by(s_name, s_acctbal)").as("richest"),
-          expr("min_by(s_name, s_acctbal)").as("poorest"),
+          expr("max_by(s_name, struct(s_acctbal, s_name))").as("richest"),
+          expr("min_by(s_name, struct(s_acctbal, s_name))").as("poorest"),
           Qf.dround(max(col("s_acctbal")), 2).as("top_bal"),
           Qf.dround(min(col("s_acctbal")), 2).as("low_bal"))
         .orderBy("s_nationkey")
