@@ -75,8 +75,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
 
     // The driver keeps only the final 2000 chars of output, so the metrics
-    // line must stay well under that budget: short keys (unique prefix before
-    // the first '_') and 3-decimal values keep 90+ queries near 1.4 KB.
+    // line must stay well under that budget; f3 is only used for the total.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // per-query values at 2 decimals (10 ms resolution — full precision is
     // in bench_full.json); one char per query keeps 160+ queries under 1.8 KB

@@ -320,17 +320,36 @@ object CurationOps {
   /** Merge `batch` into the ledger at `path` IN PLACE: the merged frame
     * is materialized to a staging sibling first, then swapped in with
     * filesystem renames, so the read and the overwrite never touch the
-    * same files. Rename-based swap is atomic on HDFS/local; on object
-    * stores prefer explicit generation dirs via [[mergeStatsLedger]].
+    * same files. Each RENAME is atomic on HDFS/local, but the swap is
+    * two of them — a crash in between leaves the ledger parked at the
+    * staging sibling; the next call (or reader that finds `path`
+    * absent) self-heals by promoting it. On object stores, where rename
+    * is copy+delete, prefer explicit generation dirs via
+    * [[mergeStatsLedger]].
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
       path: String): Unit = {
-    val merged = mergeStatsLedger(batch, keyCol, textCol, path)
     val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    // Path construction normalizes a trailing slash; suffix() appends to
+    // the FINAL NAME, so the siblings never nest inside the target (raw
+    // "path" + ".staging" would, and the retire rename would then try to
+    // move the directory into its own child).
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    val retired = new org.apache.hadoop.fs.Path(path + ".old")
+    val staging = target.suffix(".staging")
+    val retired = target.suffix(".old")
+    // Self-heal a crash between the two renames of a previous call: the
+    // staging write always completes BEFORE the target is retired, so if
+    // the target is absent a present staging dir is a complete newer
+    // generation — promote it; failing that restore the retired one.
+    if (!fs.exists(target)) {
+      val healed =
+        (fs.exists(staging) && fs.rename(staging, target)) ||
+        (fs.exists(retired) && fs.rename(retired, target))
+      if (!healed)
+        throw new java.io.IOException(s"stats ledger absent at $target and no staging/retired generation to restore")
+    }
+    val merged = mergeStatsLedger(batch, keyCol, textCol, path)
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.delete(retired, true)
     if (!fs.rename(target, retired))

@@ -270,6 +270,13 @@ object PercentileOps {
     * `percentile_disc` aggregate (buffers per-group value maps — safe,
     * just not the scale path; only reached when one histogram bucket
     * exceeds `maxCandidates`).
+    *
+    * Groups whose measures are ALL NULL are dropped to match the
+    * histogram and window forms (both build on unpivot + NOT NULL, so a
+    * key with no non-NULL value never surfaces there) — without the
+    * filter the same call's ROW SET would depend on whether the
+    * point-mass guard tripped. A non-empty group's percentile_disc is
+    * never NULL, so "every output NULL" identifies exactly those keys.
     */
   private def discFallback(df: DataFrame, keys: Seq[String],
       measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame = {
@@ -281,6 +288,8 @@ object PercentileOps {
         expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY `__in_$m`)").as(name)
       }
     }
+    val qNames = measures.flatMap(_._3.map(_._1))
     base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .filter(qNames.map(n => col(n).isNotNull).reduce(_ || _))
   }
 }

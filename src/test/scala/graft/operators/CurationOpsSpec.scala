@@ -361,4 +361,35 @@ class CurationOpsSpec extends AnyFunSuite {
     // no staging/retired debris left behind
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
+
+  test("advanceStatsLedger normalizes a trailing-slash path (siblings never nest inside the target)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-adv-slash").toString + "/ledger"
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    val b1 = Seq(("s1", "c"), ("s2", "d e")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    CurationOps.advanceStatsLedger(b1, "source", "text", path + "/") // trailing slash
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("s1" -> 3L, "s2" -> 2L), s"$got")
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
+
+  test("advanceStatsLedger self-heals a crash between the retire and promote renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft-adv-heal").toString
+    val path = base + "/ledger"
+    val seed = Seq(("s1", "a b c")).toDF("source", "text")
+    // Crash state of a previous advance: the completed NEW generation sits
+    // at .staging, the OLD one at .old, and the target itself is absent
+    // (killed after rename(target, .old), before rename(.staging, target)).
+    CurationOps.writeStatsLedger(seed, "source", "text", path + ".staging")
+    CurationOps.writeStatsLedger(Seq(("stale", "x")).toDF("source", "text"),
+      "source", "text", path + ".old")
+    val b1 = Seq(("s2", "d e")).toDF("source", "text")
+    CurationOps.advanceStatsLedger(b1, "source", "text", path)
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // staging (the newer generation) won the heal; the stale retired copy did not
+    assert(got == Map("s1" -> 3L, "s2" -> 2L), s"$got")
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
 }

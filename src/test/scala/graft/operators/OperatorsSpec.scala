@@ -521,6 +521,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb == wb)
   }
 
+  test("disc mode drops all-NULL groups identically on the hist path and the point-mass fallback") {
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("z", None), ("z", None)) // group with NO non-NULL measure values
+    val df = spark.createDataFrame(rows).toDF("g", "v")
+    val measures = Seq(("m", col("v"), Seq("p50" -> 0.5)))
+    def asMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hist = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures, disc = true))
+    val fb = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures,
+      maxCandidates = 1, disc = true)) // guard trips → built-in fallback
+    // the row SET must not depend on which path ran: 'z' absent from both
+    assert(hist == Map("a" -> 2.0), s"hist: $hist")
+    assert(fb == hist, s"fallback $fb != hist $hist")
+  }
+
   test("exactQuantilesHist handles negatives, ±0.0, ties, and single-value groups (bit-order edge cases)") {
     val rows = Seq(
       // group n: spans negative/zero/positive with ties and -0.0
