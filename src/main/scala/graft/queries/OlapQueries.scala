@@ -725,6 +725,15 @@ object OlapQueries {
         |  quantile_disc(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       table(s, dir, "lineitem")
+        // percentile_disc is a TypedImperativeAggregate: every partition
+        // builds a per-group value map PER AGGREGATE, serializes it, and
+        // the merge re-inserts every entry. Co-locating each group first
+        // makes the three buffers each get built exactly once (the merge
+        // is a passthrough) at the cost of a narrow two-column shuffle
+        // (~10% at sf0.1; the win grows with partial-buffer size since
+        // the serialized maps are what the merge would otherwise move).
+        // The scale path proper is q67b.
+        .repartition(col("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
