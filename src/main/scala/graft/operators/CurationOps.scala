@@ -151,6 +151,29 @@ object CurationOps {
       // probability (weight 0.5 → 0.5·scale, not 0)
       least(lit(SampleM), (weight * lit(scale)).cast("long"))
 
+  /** Deterministic train/validation/test assignment: the id's stable
+    * hash bucket (ppm of [[SampleM]]) routed through cumulative integer
+    * thresholds. Same contract as [[weightedKeep]] — reproducible across
+    * engines, partitionings and retries — and INDEPENDENT of corpus
+    * membership: a document keeps its split as the corpus around it
+    * grows, so yesterday's held-out set can never leak into tomorrow's
+    * training run. Fractions become fixed-point ppm cut points (no
+    * float rounding to diverge cross-engine); evaluation is a per-row
+    * codegen hash + comparison chain — zero shuffle, zero state.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val ppm = splits.map { case (name, f) => (name, math.round(f * SampleM)) }
+    val cuts = ppm.scanLeft(0L)(_ + _._2).tail // cumulative upper bounds
+    val bucket = pmod(DedupOps.md5Hash32(id.cast("string"), salt), lit(SampleM))
+    // last split is the CASE default so rounding slack can't drop a row
+    ppm.init.zip(cuts.init).foldRight(lit(ppm.last._1): Column) {
+      case (((name, _), cut), els) => when(bucket < cut, lit(name)).otherwise(els)
+    }
+  }
+
   /** Token-budget corpus mixing: downsample each source to (at most) a
     * token budget, deterministically. Per-source keep rates derive from
     * per-source token totals — a model-sized aggregate broadcast back —

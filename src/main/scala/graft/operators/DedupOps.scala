@@ -492,4 +492,29 @@ object DedupOps {
   def appendToLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
       path: String): Unit =
     ledgerRows(df, idCol, keyCols).write.mode("append").parquet(path)
+
+  /** Snapshot diff between two corpus generations by content digest:
+    * one row per id present in either side, labeled
+    * added / removed / changed / unchanged — the audit primitive behind
+    * "what did this ingest actually do" and incremental re-processing
+    * (run the expensive downstream operators on `added ∪ changed`
+    * only). Both sides reduce to (id, 16-byte [[rowFingerprint]])
+    * map-side, so the full-outer join moves digests, never payloads —
+    * diffing two 100 TB snapshots shuffles ~0.1% of their bytes, and
+    * with both snapshots bucketed by id it co-locates with no shuffle
+    * at all. The fingerprint is NULL-injective, so NULL vs NULL
+    * compares unchanged and NULL vs value compares changed, exactly
+    * like SQL's IS DISTINCT FROM on the raw columns.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    def digests(df: DataFrame, as: String) =
+      df.select(col(idCol), rowFingerprint(keyCols.map(col)).as(as))
+    digests(oldDf, "__od").join(digests(newDf, "__nd"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") =!= col("__nd"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

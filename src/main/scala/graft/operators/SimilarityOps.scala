@@ -50,6 +50,31 @@ object SimilarityOps {
     perKeyTopK(scored, "score", asc = false, k)
   }
 
+  /** Contrastive hard-negative mining: for each anchor, the top-k
+    * HIGHEST-cosine candidates whose label DIFFERS from the anchor's —
+    * the near-miss impostors a contrastive/metric-learning trainer
+    * wants next to each positive pair. Same regime as
+    * [[bruteForceTopK]] (anchors broadcast, corpus streams once,
+    * bounded-heap top-k — never a window), with the label inequality
+    * folded into the join condition so same-label pairs are dropped
+    * BEFORE the dot product is ever computed. Output:
+    * `(query_id, anchor_label, neighbor_id, score, rk)`.
+    */
+  def hardNegatives(anchors: DataFrame, aId: String, aVec: String,
+      aLabel: String, corpus: DataFrame, cId: String, cVec: String,
+      cLabel: String, k: Int, scoreDecimals: Int = 6): DataFrame = {
+    val scored = broadcast(anchors.select(col(aId).as("query_id"),
+        col(aLabel).as("anchor_label"), col(aVec).as("__qv")))
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__cl"),
+          col(cVec).as("__cv")),
+        col("query_id") =!= col("neighbor_id") &&
+          col("anchor_label") =!= col("__cl"))
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    perKeyTopK(scored, Seq("query_id", "anchor_label"), "neighbor_id",
+      "score", asc = false, k)
+  }
+
   /** Per-key top-k via the bounded-heap aggregate — NOT a row_number
     * window: the window form sorts every key's full candidate set
     * (corpus-sized per key) where the aggregate streams candidates

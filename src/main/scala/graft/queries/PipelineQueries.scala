@@ -295,6 +295,54 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------- train/val/test split
+    // deterministic hash-bucket split assignment: membership-independent
+    // (a doc keeps its split as the corpus grows — no held-out leakage
+    // across ingests), engine/partitioning/retry-reproducible, zero
+    // shuffle. The oracle re-derives the same md5 ppm bucket.
+    q("d42_split_assign", {
+      val h = s"${sqlHash("CAST(doc_id AS VARCHAR)", "split")} % 1000000"
+      s"""SELECT doc_id,
+         |  CASE WHEN $h < 800000 THEN 'train'
+         |       WHEN $h < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.CurationOps.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- corpus snapshot diff
+    // added/removed/changed/unchanged between two corpus generations by
+    // content digest — payloads never shuffle, only (id, md5). The two
+    // generations are deterministic slices of `documents` (old: id%7≠0;
+    // new: id%5≠0 with id%11=0 texts rewritten) so the oracle can diff
+    // the raw text with IS DISTINCT FROM; the digest compare must
+    // classify identically (rowFingerprint is NULL-injective).
+    q("d43_corpus_diff",
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")))
+      DedupOps.corpusDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    },
+
     q("d09_simhash", {
       val bits = (0 until 16).map { j =>
         s"""(CASE WHEN list_sum(list_transform(tok,
@@ -1372,6 +1420,33 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb.filter(col("label") === 3), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- hard-negative mining
+    // contrastive near-miss impostors: per anchor, the top-5
+    // highest-cosine neighbors with a DIFFERENT label. Label inequality
+    // sits in the join condition (same-label pairs never reach the dot
+    // product); ranking is the bounded-heap aggregate, not a window.
+    q("s11_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id, label AS anchor_label, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, anchor_label, neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+        |  FROM q JOIN c ON query_id <> neighbor_id AND anchor_label <> cl),
+        |ranked AS (SELECT query_id, anchor_label, neighbor_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, anchor_label, neighbor_id, score, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.hardNegatives(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id", "rk")
     },
 

@@ -247,6 +247,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(lo >= 5 && lo <= 45, s"lo=$lo outside the 1% band")
   }
 
+  test("splitAssign covers every id, holds the fractions, and is membership-independent") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = spark.range(0, 20000).toDF("id")
+    val assigned = ids.select(col("id"), CurationOps.splitAssign(col("id"), splits).as("split"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000L)     // a partition: nothing dropped
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.01)
+    // membership independence: a subset corpus assigns identically
+    val sub = ids.filter(col("id") % 3 === 0)
+      .select(col("id"), CurationOps.splitAssign(col("id"), splits).as("split"))
+    assert(sub.except(assigned).count() == 0)
+    intercept[IllegalArgumentException] {
+      CurationOps.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
+  test("corpusDiff labels added/removed/changed/unchanged; NULL text diffs like IS DISTINCT FROM") {
+    val oldDf = Seq(1L -> Option("a"), 2L -> Option("b"), 3L -> Option.empty[String],
+      4L -> Option("d"), 5L -> Option.empty[String]).toDF("id", "text")
+    val newDf = Seq(2L -> Option("B"), 3L -> Option.empty[String], 4L -> Option("d"),
+      5L -> Option("e"), 6L -> Option("f")).toDF("id", "text")
+    val got = DedupOps.corpusDiff(oldDf, newDf, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
+
   test("byteEntropy: 0 bits for one symbol, 1 bit for two, 2 bits for four") {
     val got = Seq("aaaa", "abab", "abcd").toDF("t")
       .select(TextOps.byteEntropy(col("t")).as("e"))

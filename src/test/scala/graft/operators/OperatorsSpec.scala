@@ -290,6 +290,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll == brute)
   }
 
+  test("hardNegatives excludes the anchor's label and equals the per-anchor filtered brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 4)
+    val rows = SimilarityOps.hardNegatives(anchors, "vec_id", "embedding", "label",
+      emb, "vec_id", "embedding", "label", k = 3).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getLong(r.fieldIndex("neighbor_id"))) !=
+        r.getInt(r.fieldIndex("anchor_label")))
+    }
+    // per anchor, identical to brute-force top-k over the other-label candidates
+    anchors.select("vec_id", "label").collect().foreach { a =>
+      val (aid, albl) = (a.getLong(0), a.getInt(1))
+      val expected = SimilarityOps.bruteForceTopK(
+        anchors.filter(col("vec_id") === aid), "vec_id", "embedding",
+        emb.filter(col("label") =!= albl), "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+      val mine = rows.filter(_.getLong(0) == aid)
+        .map(r => (r.getLong(r.fieldIndex("neighbor_id")), r.getInt(r.fieldIndex("rk")))).toSet
+      assert(mine == expected, s"anchor $aid")
+    }
+  }
+
   test("fused NormalizeText equals regexp_replace(lower(trim), ' +', ' ')") {
     def composable(t: org.apache.spark.sql.Column) =
       regexp_replace(lower(trim(t)), " +", " ")
