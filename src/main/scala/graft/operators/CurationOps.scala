@@ -160,18 +160,23 @@ object CurationOps {
     * training run. Fractions become fixed-point ppm cut points (no
     * float rounding to diverge cross-engine); evaluation is a per-row
     * codegen hash + comparison chain — zero shuffle, zero state.
+    * NULL id → NULL split (like [[weightedKeep]]'s NULL-drop): an
+    * unidentifiable row must never silently land in the held-out set.
     */
   def splitAssign(id: Column, splits: Seq[(String, Double)],
       salt: String = "split"): Column = {
-    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
-      s"split fractions must sum to 1: $splits")
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+        math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1: $splits")
     val ppm = splits.map { case (name, f) => (name, math.round(f * SampleM)) }
     val cuts = ppm.scanLeft(0L)(_ + _._2).tail // cumulative upper bounds
     val bucket = pmod(DedupOps.md5Hash32(id.cast("string"), salt), lit(SampleM))
-    // last split is the CASE default so rounding slack can't drop a row
-    ppm.init.zip(cuts.init).foldRight(lit(ppm.last._1): Column) {
-      case (((name, _), cut), els) => when(bucket < cut, lit(name)).otherwise(els)
-    }
+    // last split is the CASE default so rounding slack can't drop a row;
+    // the explicit NULL guard keeps a NULL bucket out of that default
+    when(bucket.isNull, lit(null).cast("string")).otherwise(
+      ppm.init.zip(cuts.init).foldRight(lit(ppm.last._1): Column) {
+        case (((name, _), cut), els) => when(bucket < cut, lit(name)).otherwise(els)
+      })
   }
 
   /** Token-budget corpus mixing: downsample each source to (at most) a

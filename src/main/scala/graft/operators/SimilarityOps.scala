@@ -36,19 +36,36 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
+  /** The one broadcast-cosine-topk shape behind [[bruteForceTopK]] and
+    * [[hardNegatives]]: anchors (with any extra carried key columns,
+    * pre-aliased, vector as `__qv`) broadcast against a candidate
+    * stream (vector as `__cv`), self-pairs plus anything failing
+    * `extraPred` dropped in the join condition, cosine rounded once,
+    * ranked through the bounded heap. Keeping tie-break, rounding, and
+    * broadcast placement in a single body means the row-equality tests
+    * pin every caller at once.
+    */
+  private def cosineTopK(anchors: DataFrame, candidates: DataFrame,
+      anchorKeys: Seq[String], extraPred: Column, k: Int,
+      scoreDecimals: Int): DataFrame = {
+    val scored = broadcast(anchors)
+      .join(candidates, col("query_id") =!= col("neighbor_id") && extraPred)
+      .select(Seq(col("query_id")) ++ anchorKeys.map(col) ++ Seq(col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score")): _*)
+    perKeyTopK(scored, "query_id" +: anchorKeys, "neighbor_id", "score",
+      asc = false, k)
+  }
+
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast); `candidates` can be huge.
     */
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
       candidates: DataFrame, cId: String, cVec: String, k: Int,
-      scoreDecimals: Int = 6): DataFrame = {
-    val scored = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
-      .join(candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
-        col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
-    perKeyTopK(scored, "score", asc = false, k)
-  }
+      scoreDecimals: Int = 6): DataFrame =
+    cosineTopK(
+      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")),
+      candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+      anchorKeys = Nil, extraPred = lit(true), k, scoreDecimals)
 
   /** Contrastive hard-negative mining: for each anchor, the top-k
     * HIGHEST-cosine candidates whose label DIFFERS from the anchor's —
@@ -57,23 +74,22 @@ object SimilarityOps {
     * [[bruteForceTopK]] (anchors broadcast, corpus streams once,
     * bounded-heap top-k — never a window), with the label inequality
     * folded into the join condition so same-label pairs are dropped
-    * BEFORE the dot product is ever computed. Output:
-    * `(query_id, anchor_label, neighbor_id, score, rk)`.
+    * BEFORE the dot product is ever computed. The comparison is SQL
+    * `<>`: a NULL label on EITHER side drops the pair (an unlabeled
+    * candidate is never mined, an unlabeled anchor yields no rows) —
+    * filter or impute labels upstream if that isn't what you want.
+    * Output: `(query_id, anchor_label, neighbor_id, score, rk)`.
     */
   def hardNegatives(anchors: DataFrame, aId: String, aVec: String,
       aLabel: String, corpus: DataFrame, cId: String, cVec: String,
-      cLabel: String, k: Int, scoreDecimals: Int = 6): DataFrame = {
-    val scored = broadcast(anchors.select(col(aId).as("query_id"),
-        col(aLabel).as("anchor_label"), col(aVec).as("__qv")))
-      .join(corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__cl"),
-          col(cVec).as("__cv")),
-        col("query_id") =!= col("neighbor_id") &&
-          col("anchor_label") =!= col("__cl"))
-      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
-        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
-    perKeyTopK(scored, Seq("query_id", "anchor_label"), "neighbor_id",
-      "score", asc = false, k)
-  }
+      cLabel: String, k: Int, scoreDecimals: Int = 6): DataFrame =
+    cosineTopK(
+      anchors.select(col(aId).as("query_id"), col(aLabel).as("anchor_label"),
+        col(aVec).as("__qv")),
+      corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__cl"),
+        col(cVec).as("__cv")),
+      anchorKeys = Seq("anchor_label"),
+      extraPred = col("anchor_label") =!= col("__cl"), k, scoreDecimals)
 
   /** Per-key top-k via the bounded-heap aggregate — NOT a row_number
     * window: the window form sorts every key's full candidate set

@@ -303,7 +303,8 @@ object PipelineQueries {
     q("d42_split_assign", {
       val h = s"${sqlHash("CAST(doc_id AS VARCHAR)", "split")} % 1000000"
       s"""SELECT doc_id,
-         |  CASE WHEN $h < 800000 THEN 'train'
+         |  CASE WHEN doc_id IS NULL THEN NULL
+         |       WHEN $h < 800000 THEN 'train'
          |       WHEN $h < 900000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin

@@ -264,6 +264,15 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CurationOps.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.3))
     }
+    // negative fractions sum to 1 but would make a split unreachable
+    intercept[IllegalArgumentException] {
+      CurationOps.splitAssign(col("id"), Seq("a" -> 1.1, "b" -> -0.1))
+    }
+    // NULL id → NULL split, never the CASE-default (held-out) bucket
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("id")
+      .select(CurationOps.splitAssign(col("id"), splits).as("split")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+    assert(withNull.count(r => !r.isNullAt(0)) == 1)
   }
 
   test("corpusDiff labels added/removed/changed/unchanged; NULL text diffs like IS DISTINCT FROM") {
