@@ -36,6 +36,33 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Overlapping token-window chunks — the RAG/embedding-pipeline
+    * splitter and the inverse of [[graft.operators.CurationOps.packBins]]:
+    * windows of `chunkSize` tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlap), space-rejoined. Chunk i covers
+    * tokens `[1 + i·stride, 1 + i·stride + chunkSize)` (1-based,
+    * clamped at the end), and starts exist while they land on a token —
+    * so every token appears in ≥1 chunk and no start is emitted past
+    * the text. Pure per-row codegen (`sequence`/`transform`/`slice`),
+    * zero shuffle; the caller explodes, so output rows ≈ n/stride per
+    * doc. NULL text → NULL (explode drops it). `trim`+single-space
+    * tokenization matches [[tokens]], so chunk boundaries agree with
+    * every other token-based operator.
+    */
+  def chunkWithOverlap(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val t = tokens(text)
+    // split() yields [""] (size 1) even for empty text, so size >= 1 and
+    // the ascending-sequence guard never fires on real input; it exists
+    // because Spark's sequence(1, 0) would count DOWN. The isNull guard
+    // is separate: greatest() SKIPS nulls, so without it a NULL text
+    // would produce [null] instead of propagating NULL.
+    when(t.isNull, lit(null).cast("array<string>")).otherwise(
+      transform(sequence(lit(1), greatest(size(t), lit(1)), lit(stride)),
+        s => array_join(slice(t, s, lit(chunkSize)), " ")))
+  }
+
   /** Shannon entropy of the UTF-8 byte distribution, in bits/byte — a
     * cheap noise/quality proxy: English text sits near 4.1-4.4 bits,
     * random bytes near 8, degenerate repetition near 0. Built on the

@@ -316,6 +316,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- overlapping chunking
+    // RAG/embedding-pipeline splitter: 32-token windows every 16 tokens
+    // (50% overlap). Starts are 1, 17, 33, ... while they land on a
+    // token; chunk_id orders them. Per-row codegen transform + explode —
+    // no shuffle; the chunker feeds the embedding/ANN stages.
+    q("d44_chunk_overlap",
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tok FROM documents),
+        |x AS (SELECT doc_id, unnest(range(1, len(tok) + 1, 16)) AS s, tok FROM d)
+        |SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
+        |  array_to_string(list_slice(tok, s, s + 31), ' ') AS chunk
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          TextOps.chunkWithOverlap(col("text"), chunkSize = 32, stride = 16))
+          .as(Seq("__p", "chunk")))
+        .select(col("doc_id"), col("__p").cast("int").as("chunk_id"), col("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---------------------------------------------------------------- corpus snapshot diff
     // added/removed/changed/unchanged between two corpus generations by
     // content digest — payloads never shuffle, only (id, md5). The two

@@ -247,6 +247,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(lo >= 5 && lo <= 45, s"lo=$lo outside the 1% band")
   }
 
+  test("chunkWithOverlap: every token covered, 50% overlap, clamped tail, NULL in → NULL out") {
+    val texts = Seq(
+      Option("a b c d e f g"),  // 7 tokens, size 4 / stride 2 → starts 1,3,5,7
+      Option("a b"),            // shorter than one chunk → single clamped chunk
+      Option(""),               // split("") = [""] → one empty chunk
+      Option.empty[String])
+    val got = texts.toDF("text")
+      .select(TextOps.chunkWithOverlap(col("text"), chunkSize = 4, stride = 2).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(got(0) == Seq("a b c d", "c d e f", "e f g", "g"))
+    assert(got(1) == Seq("a b"))
+    assert(got(2) == Seq(""))
+    assert(got(3) == null)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWithOverlap(col("text"), chunkSize = 4, stride = 5)
+    }
+  }
+
   test("splitAssign covers every id, holds the fractions, and is membership-independent") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val ids = spark.range(0, 20000).toDF("id")
