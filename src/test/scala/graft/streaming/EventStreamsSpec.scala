@@ -72,7 +72,11 @@ class EventStreamsSpec extends AnyFunSuite {
       val st = graft.functions.NgramExpressions.repetitionStats(col("text"))
       df.select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
         st.getField("n_unique").as("n_unique"),
-        graft.operators.CurationOps.piiScrub(col("text")).as("scrubbed"))
+        graft.operators.CurationOps.piiScrub(col("text")).as("scrubbed"),
+        graft.operators.CurationOps.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "test" -> 0.1)).as("split"),
+        size(graft.operators.TextOps.chunkWithOverlap(col("text"), 32, 16))
+          .as("n_chunks"))
     }
     val q = score(spark.readStream.schema(raw.schema).parquet(docsDir))
       .writeStream.outputMode("append")
@@ -80,10 +84,10 @@ class EventStreamsSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val streamed = spark.sql("SELECT * FROM curation_out")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
-      val batch = score(raw)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getString(4), r.getInt(5))
+      val streamed = spark.sql("SELECT * FROM curation_out").collect().map(key).toSet
+      val batch = score(raw).collect().map(key).toSet
       assert(streamed == batch)
       assert(streamed.size == 500)
     } finally q.stop()
