@@ -218,6 +218,46 @@ object CurationOps {
     * the 8-byte hash, rebuild groupBy on id), each bounded by corpus
     * size — inherent, since the output IS the scrubbed corpus.
     */
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * rule, cf. Wenzek et al. 2019 §3.1 / Penedo et al. 2023): split each
+    * document into non-overlapping `w`-token lines and drop EVERY copy of
+    * any line that occurs in at least `maxDf` distinct documents —
+    * headers, nav bars, license blurbs. The complement of [[passageDedup]]:
+    * that keeps the first occurrence of a duplicated passage; boilerplate
+    * is noise in all its copies, so none survives.
+    *
+    * Scale shape: doc-frequency is a two-stage exact distinct count —
+    * `(hash, id).distinct` dedupes with map-side partial aggregation
+    * (a line with 10⁹ copies in one doc combines before the shuffle),
+    * then a count per hash. The frequency table is distinct-line-sized,
+    * NOT broadcastable at corpus scale, so it joins back on the 8-byte
+    * hash as a shuffle join. Three shuffles (distinct, freq join,
+    * rebuild groupBy), each bounded by corpus size.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 12, maxDf: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val spans = docs
+      .select(id,
+        explode(graft.functions.NgramExpressions.wordChunks(col(textCol), w)).as("__c"))
+      .select(id, col("__c.pos").as("__pos"), col("__c.chunk").as("__chunk"),
+        col("__c.h").as("__h"))
+    val docFreq = spans.select(col("__h"), id).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    spans.join(docFreq, Seq("__h"))
+      .withColumn("__keep", col("__df") < maxDf)
+      .groupBy(id)
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        when(sum(when(col("__keep"), 1).otherwise(0)) === 0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(
+              array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__chunk"))))),
+              x => x.getField("__chunk")), " "))
+          .as("text_clean"))
+  }
+
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     val id = col(idCol)
