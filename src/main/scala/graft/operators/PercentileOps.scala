@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *     and interpolated exactly like Spark's built-in:
   *     v_lo·(⌈t⌉−t) + v_hi·(t−⌊t⌋) (v_lo when t is integral).
   *
-  * NULL values are excluded, like the built-in aggregate.
+  * NULL handling matches the built-in aggregate EXACTLY: NULL values are
+  * excluded from the ranks, but a group whose values are all NULL still
+  * emits its row (with NULL quantiles) — `groupBy` group membership never
+  * depends on the measure. This parity is what lets the optimizer rule
+  * [[graft.plans.PercentileAggregateRewrite]] substitute these plans for
+  * the built-in percentile aggregates transparently.
   */
 object PercentileOps {
 
@@ -49,20 +54,23 @@ object PercentileOps {
   def exactQuantilesMulti(df: DataFrame, keys: Seq[String],
       measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame = {
     val keyCols = keys.map(col)
-    // unpivot: one row per (input row × measure); NULL measure values are
-    // dropped per measure (matching the built-in aggregate), not per row
+    // unpivot: one row per (input row × measure). NULL measure values are
+    // KEPT through the count shuffle (one `__v IS NULL` row per group —
+    // it is what keeps an all-NULL group's row alive, like the built-in
+    // aggregate does) but excluded from the ranks: the window orders
+    // NULLs last so non-NULL indices are unaffected, and the group total
+    // __n counts non-NULL rows only.
     val unpivoted = df
       .select(keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
       .unpivot(
         ids = keyCols.toArray,
         values = measures.map { case (m, _, _) => col(s"__in_$m").as(m) }.toArray,
         variableColumnName = "__m", valueColumnName = "__v")
-      .filter(col("__v").isNotNull)
     val counts = unpivoted
       .groupBy(keyCols ++ Seq(col("__m"), col("__v")): _*)
       .agg(count(lit(1)).as("__cnt"))
     val grp = keyCols :+ col("__m")
-    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__v").asc_nulls_last)
     // group totals via a tiny broadcast aggregate, NOT a second
     // unbounded window: a whole-partition WindowExec pass over every
     // distinct value costs as much as the ranking window itself, while
@@ -73,7 +81,11 @@ object PercentileOps {
     // the totals join must be NULL-SAFE on the key columns (<=>): a
     // plain equi-join would silently drop every NULL-keyed group, while
     // groupBy (and the built-in percentile) keep NULL as a group
-    val totals = counts.groupBy(grp: _*).agg(sum(col("__cnt")).as("__n"))
+    // __n counts NON-NULL values only (sum skips the unmatched when);
+    // an all-NULL group gets __n NULL → t NULL → NULL output, while its
+    // row survives via the NULL-value count row — built-in semantics
+    val totals = counts.groupBy(grp: _*)
+      .agg(sum(when(col("__v").isNotNull, col("__cnt"))).as("__n"))
       .select(keys.map(c => col(c).as(s"__t_$c")) ++
         Seq(col("__m").as("__t_m"), col("__n")): _*)
     val totalsCond = keys.map(c => col(c) <=> col(s"__t_$c"))
@@ -153,20 +165,25 @@ object PercentileOps {
       disc: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
-    val unpivoted = df
+    // NULL values are kept through the histogram job (their bucket is
+    // NULL — DoubleSortableBucket is null-propagating) so an all-NULL
+    // group still surfaces as a group and emits its row with NULL
+    // quantiles, exactly like the built-in aggregate; job 2's candidate
+    // scan filters to non-NULL values only.
+    val unpivotedAll = df
       .select(keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
       .unpivot(
         ids = keyCols.toArray,
         values = measures.map { case (m, _, _) => col(s"__in_$m").as(m) }.toArray,
         variableColumnName = "__m", valueColumnName = "__v")
-      .filter(col("__v").isNotNull)
+    val unpivoted = unpivotedAll.filter(col("__v").isNotNull)
     val grp = keyCols :+ col("__m")
     val bucketExpr = org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.DoubleSortableBucket(
         org.apache.spark.sql.GraftSqlShims.expression(col("__v")), shift))
 
     // job 1: histogram counts (shuffle carries only occupied buckets)
-    val hist = unpivoted
+    val hist = unpivotedAll
       .groupBy(grp :+ bucketExpr.as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
       .collect()
@@ -174,10 +191,14 @@ object PercentileOps {
     // driver: cumulative counts → group totals, needed buckets, ranks
     val nKeys = keys.length
     def gkey(r: org.apache.spark.sql.Row): Seq[Any] = (0 until nKeys + 1).map(r.get)
-    // per group: (bucket, count) ascending — signed bucket order = value order
-    val histByG = hist.groupBy(gkey).map { case (g, rs) =>
+    // per group: (bucket, count) ascending — signed bucket order = value
+    // order. NULL-bucket rows (all-NULL measures) carry group presence
+    // only: they never join the rank math.
+    val histNN = hist.filter(r => !r.isNullAt(nKeys + 1))
+    val histByG = histNN.groupBy(gkey).map { case (g, rs) =>
       g -> rs.map(r => (r.getLong(nKeys + 1), r.getLong(nKeys + 2))).sortBy(_._1)
     }
+    val emptyGroups = hist.iterator.map(gkey).toSet -- histByG.keySet
     val needed = scala.collection.mutable.Set[(Seq[Any], Long)]()
     val targets = scala.collection.mutable.Map[Seq[Any], Seq[(String, Double, Long, Long)]]()
     histByG.foreach { case (g, sorted) =>
@@ -252,7 +273,7 @@ object PercentileOps {
         }
         name -> v
       }.toMap
-    }
+    } ++ emptyGroups.toSeq.map(g => g -> Map.empty[String, Double]) // all-NULL groups: row with NULL quantiles
     // one output row per KEY (measures fused back side by side)
     val allQNames = measures.flatMap(_._3.map(_._1))
     val byKey = outRows.groupBy(_._1.init)
@@ -271,12 +292,10 @@ object PercentileOps {
     * just not the scale path; only reached when one histogram bucket
     * exceeds `maxCandidates`).
     *
-    * Groups whose measures are ALL NULL are dropped to match the
-    * histogram and window forms (both build on unpivot + NOT NULL, so a
-    * key with no non-NULL value never surfaces there) — without the
-    * filter the same call's ROW SET would depend on whether the
-    * point-mass guard tripped. A non-empty group's percentile_disc is
-    * never NULL, so "every output NULL" identifies exactly those keys.
+    * No row filtering: the built-in aggregate keeps a group whose
+    * measures are all NULL (emitting NULL quantiles), and since r7 the
+    * histogram and window forms do too — all three forms agree on the
+    * row SET, so the point-mass guard tripping can never change it.
     */
   private def discFallback(df: DataFrame, keys: Seq[String],
       measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame = {
@@ -288,8 +307,6 @@ object PercentileOps {
         expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY `__in_$m`)").as(name)
       }
     }
-    val qNames = measures.flatMap(_._3.map(_._1))
     base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
-      .filter(qNames.map(n => col(n).isNotNull).reduce(_ || _))
   }
 }

@@ -545,20 +545,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb == wb)
   }
 
-  test("disc mode drops all-NULL groups identically on the hist path and the point-mass fallback") {
+  test("all-NULL groups emit a row with NULL quantiles on EVERY path (built-in parity)") {
+    // the built-in percentile/percentile_disc aggregates keep a group
+    // whose measure is entirely NULL — group membership never depends on
+    // the measure — and emit NULL. All four of our paths must agree:
+    // this parity is what makes PercentileAggregateRewrite sound.
     val rows = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
       ("z", None), ("z", None)) // group with NO non-NULL measure values
     val df = spark.createDataFrame(rows).toDF("g", "v")
     val measures = Seq(("m", col("v"), Seq("p50" -> 0.5)))
     def asMap(out: org.apache.spark.sql.DataFrame) =
-      out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val hist = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures, disc = true))
-    val fb = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures,
+      out.collect().map(r => r.getString(0) -> Option(r.getAs[java.lang.Double](1))).toMap
+    val expected = Map("a" -> Some(2.0), "z" -> None)
+    val histD = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures, disc = true))
+    val fbD = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures,
       maxCandidates = 1, disc = true)) // guard trips → built-in fallback
-    // the row SET must not depend on which path ran: 'z' absent from both
-    assert(hist == Map("a" -> 2.0), s"hist: $hist")
-    assert(fb == hist, s"fallback $fb != hist $hist")
+    val histC = asMap(PercentileOps.exactQuantilesHist(df, Seq("g"), measures))
+    val winC = asMap(PercentileOps.exactQuantilesMulti(df, Seq("g"), measures))
+    assert(histD == expected, s"hist disc: $histD")
+    assert(fbD == expected, s"fallback disc: $fbD")
+    assert(histC == expected, s"hist cont: $histC")
+    assert(winC == expected, s"window cont: $winC")
   }
 
   test("exactQuantilesHist handles negatives, ±0.0, ties, and single-value groups (bit-order edge cases)") {
