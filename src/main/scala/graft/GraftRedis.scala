@@ -83,6 +83,11 @@ object GraftRedis {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
+    // built-in percentile aggregates route onto the distributed window
+    // plan instead of per-group value-map buffering
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PercentileAggregateRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PercentileAggregateRewrite
   }
 
   /** Register `redis_scan('glob')` / `redis_kv('glob')` as SQL

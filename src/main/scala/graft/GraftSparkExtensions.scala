@@ -100,5 +100,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer: `JOIN ... ON levenshtein(a,b) <= k` (a cartesian
     // nested loop as written) rewrites to the PassJoin blocking plan
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinJoinRewrite)
+    // optimizer: built-in percentile/percentile_disc/percentile_cont/
+    // median aggregates (per-group value-map buffering — the ObjectHash
+    // OOM cliff at scale) rewrite to the distributed window plan
+    ext.injectOptimizerRule(_ => graft.plans.PercentileAggregateRewrite)
   }
 }

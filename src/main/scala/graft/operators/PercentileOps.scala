@@ -52,7 +52,21 @@ object PercentileOps {
     * per key with every requested quantile column.
     */
   def exactQuantilesMulti(df: DataFrame, keys: Seq[String],
-      measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame = {
+      measures: Seq[(String, Column, Seq[(String, Double)])]): DataFrame =
+    exactQuantilesWindowed(df, keys,
+      measures.map { case (m, c, qs) => (m, c, qs.map { case (n, q) => (n, q, false) }) })
+
+  /** The window form with a per-quantile `disc` flag: `disc = false`
+    * interpolates (`percentile` / `quantile_cont` semantics); `disc =
+    * true` returns the ELEMENT at 0-based rank ⌈q·n⌉−1 (SQL-standard
+    * `percentile_disc`, no interpolation). Discrete ranks ride the same
+    * machinery — a disc quantile's target rank is integral, so the
+    * lo/hi interpolation below degenerates to the picked element. This
+    * is the plan [[graft.plans.PercentileAggregateRewrite]] substitutes
+    * for the built-in buffering aggregates.
+    */
+  def exactQuantilesWindowed(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column, Seq[(String, Double, Boolean)])]): DataFrame = {
     val keyCols = keys.map(col)
     // unpivot: one row per (input row × measure). NULL measure values are
     // KEPT through the count shuffle (one `__v IS NULL` row per group —
@@ -96,11 +110,15 @@ object PercentileOps {
       .join(broadcast(totals), totalsCond) // per (keys, measure) total
       .drop((keys.map(c => s"__t_$c") :+ "__t_m"): _*)
     val aggs = measures.flatMap { case (m, _, qs) =>
-      qs.flatMap { case (name, q) =>
+      qs.flatMap { case (name, q, disc) =>
         // __n is this row's own (keys, measure) group total, so the target
         // rank t is row-local; the when(__m === m) guards pivot the fused
-        // frame back apart during the single final aggregation
-        val t = (col("__n") - 1) * lit(q)
+        // frame back apart during the single final aggregation.
+        // disc: 0-based rank ⌈q·n⌉−1 clamped to [0, n−1] — always
+        // integral, so the interpolation below returns the element
+        val t =
+          if (disc) greatest(lit(0.0), least(col("__n") - 1, ceil(col("__n") * lit(q)) - 1))
+          else (col("__n") - 1) * lit(q)
         val i0 = floor(t)
         val i1 = ceil(t)
         val isM = col("__m") === lit(m)
@@ -111,7 +129,7 @@ object PercentileOps {
       }
     }
     val picked = ranked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
-    val outCols = keyCols ++ measures.flatMap { case (_, _, qs) => qs.map { case (name, _) =>
+    val outCols = keyCols ++ measures.flatMap { case (_, _, qs) => qs.map { case (name, _, _) =>
       val (lo, hi, t) = (col(s"__${name}_lo"), col(s"__${name}_hi"), col(s"__${name}_t"))
       // Spark Percentile.getPercentile: lower when the rank is integral,
       // else lower·(higher−rank) + higher·(rank−lower)
@@ -120,6 +138,139 @@ object PercentileOps {
         .as(name)
     } }
     picked.select(outCols: _*)
+  }
+
+  /** Exact quantiles by histogram selection as ONE declarative plan —
+    * no driver collects anywhere: the two-job form below pulls the
+    * histogram and the candidates to the driver, which bounds group
+    * cardinality by driver memory; this form keeps everything
+    * distributed, so it is the plan the optimizer rule
+    * [[graft.plans.PercentileAggregateRewrite]] substitutes for the
+    * built-in aggregates.
+    *
+    *  scan 1: per (group, measure, bucket) counts
+    *          ([[graft.functions.DoubleSortableBucket]] — the shuffle
+    *          carries only OCCUPIED buckets, never the value set);
+    *  bucket math: one window over the bucket table (thousands of rows,
+    *          not the data) gives each bucket its cumulative rank range
+    *          [__start, __endc); group totals __n broadcast-join in;
+    *  needed: buckets holding any requested rank — a per-bucket filter,
+    *          model-sized output;
+    *  scan 2: rescan broadcast-semi-joined against `needed` — only
+    *          candidate values survive (a ~1/2^(64-shift) mantissa
+    *          slice of one binade per rank); a window over CANDIDATES
+    *          (partitioned by bucket) assigns exact global ranks
+    *          (__start + within-bucket row_number), and the usual
+    *          conditional-max pick + interpolation finishes.
+    *
+    * A pathological point-mass bucket makes scan 2's candidate set
+    * large, but the ranking window sorts and spills distributed — there
+    * is no driver cliff, hence no `maxCandidates` guard here.
+    *
+    * NULL parity with the built-ins (pinned by sbt tests): NULL values
+    * are excluded from ranks; all-NULL groups and NULL group keys emit
+    * their row; empty input yields zero rows grouped, one NULL row
+    * global.
+    */
+  def exactQuantilesSelect(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column, Seq[(String, Double, Boolean)])],
+      shift: Int = 44): DataFrame = {
+    val keyCols = keys.map(col)
+    val unpivotedAll = df
+      .select(keyCols ++ measures.map { case (m, c, _) => c.cast("double").as(s"__in_$m") }: _*)
+      .unpivot(
+        ids = keyCols.toArray,
+        values = measures.map { case (m, _, _) => col(s"__in_$m").as(m) }.toArray,
+        variableColumnName = "__m", valueColumnName = "__v")
+    val grp = keyCols :+ col("__m")
+    val bucketExpr = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.DoubleSortableBucket(
+        org.apache.spark.sql.GraftSqlShims.expression(col("__v")), shift))
+
+    // scan 1: occupied-bucket histogram. NULL values land in bucket NULL
+    // (kept so an all-NULL group still surfaces as a group).
+    val hist = unpivotedAll
+      .groupBy(grp :+ bucketExpr.as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+
+    // cumulative rank range per bucket AND the group total __n from ONE
+    // window pass over the bucket table (same partitioning + ordering,
+    // two frames → one WindowExec; signed bucket order = value order;
+    // NULL buckets last so they never perturb non-NULL ranks; an
+    // all-NULL group's __n is NULL — sum skips the unmatched when)
+    val wB = Window.partitionBy(grp: _*).orderBy(col("__b").asc_nulls_last)
+    val wAll = wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nonNullC = when(col("__b").isNotNull, col("__c"))
+    val cum = hist
+      .withColumn("__endc", sum(nonNullC).over(wB))
+      .withColumn("__n", sum(nonNullC).over(wAll))
+      .withColumn("__start", col("__endc") - col("__c"))
+
+    // per-quantile target ranks as expressions of the group total __n
+    def rankExprs(q: Double, disc: Boolean): (Column, Column, Column) = {
+      val t =
+        if (disc) greatest(lit(0.0), least(col("__n") - 1, ceil(col("__n") * lit(q)) - 1))
+        else (col("__n") - 1) * lit(q)
+      (floor(t), ceil(t), t)
+    }
+
+    // needed buckets: any requested rank falls inside [__start, __endc)
+    val neededCond = measures.flatMap { case (m, _, qs) =>
+      qs.map { case (_, q, disc) =>
+        val (i0, i1, _) = rankExprs(q, disc)
+        (col("__m") === lit(m)) &&
+          ((i0 >= col("__start") && i0 < col("__endc")) ||
+            (i1 >= col("__start") && i1 < col("__endc")))
+      }
+    }.reduce(_ || _)
+    val needed = cum.filter(col("__b").isNotNull && neededCond)
+      .select(keys.map(k => col(k).as(s"__nk_$k")) ++
+        Seq(col("__m").as("__n_m"), col("__b").as("__n_b"),
+          col("__start"), col("__n")): _*)
+
+    // scan 2: candidates only — broadcast semi-join against `needed`,
+    // then EXACT global rank = bucket start + within-bucket row_number
+    // (the ranking window sees candidates, never the full value set)
+    val candCond = keys.map(k => col(k) <=> col(s"__nk_$k"))
+      .foldLeft(col("__m") === col("__n_m") && bucketExpr === col("__n_b"))(_ && _)
+    val wC = Window.partitionBy((grp :+ col("__n_b")): _*).orderBy(col("__v"))
+    val cands = unpivotedAll.filter(col("__v").isNotNull)
+      .join(broadcast(needed), candCond)
+      .withColumn("__g", col("__start") + row_number().over(wC) - 1)
+      .select(grp ++ Seq(col("__v"), col("__n"), col("__g")): _*)
+    // one sentinel row per (group, measure) — rank −1 never matches a
+    // pick, so groups with NO candidate rows (all-NULL measures) still
+    // surface from the final aggregation with NULL quantiles, and __n
+    // rides along so the `t` aggregate stays NULL-correct. This keeps
+    // group presence WITHOUT a separate join stage.
+    val ranked = cands.unionByName(cum
+      .groupBy(grp: _*).agg(max(col("__n")).as("__n"))
+      .select(grp ++ Seq(lit(null).cast("double").as("__v"),
+        col("__n"), lit(-1L).as("__g")): _*))
+
+    // pick + interpolate, exactly like the window form
+    val aggs = measures.flatMap { case (m, _, qs) =>
+      qs.flatMap { case (name, q, disc) =>
+        val (i0, i1, t) = rankExprs(q, disc)
+        val isM = col("__m") === lit(m)
+        Seq(
+          max(when(isM && col("__g") === i0, col("__v"))).as(s"__${name}_lo"),
+          max(when(isM && col("__g") === i1, col("__v"))).as(s"__${name}_hi"),
+          max(when(isM, t)).as(s"__${name}_t"))
+      }
+    }
+    val picked = ranked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = measures.flatMap { case (_, _, qs) => qs.map { case (name, _, _) =>
+      val (lo, hi, t) = (col(s"__${name}_lo"), col(s"__${name}_hi"), col(s"__${name}_t"))
+      when(floor(t) === ceil(t), lo)
+        .otherwise(lo * (ceil(t) - t) + hi * (t - floor(t)))
+        .as(name)
+    } }
+
+    // grouped: one row per group (sentinel rows carry groups with no
+    // candidates); global: groupBy() emits exactly one row on every
+    // input including empty — both match the built-in aggregate
+    picked.select(keyCols ++ outCols: _*)
   }
 
   /** Exact quantiles by two-job HISTOGRAM SELECTION — the scale path

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, GraftSqlShims}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.operators.PercentileOps
+
+/** Optimizer rule: route the built-in exact-percentile aggregates —
+  * `percentile(c, q)`, `percentile_disc(q) WITHIN GROUP (ORDER BY c)`,
+  * and (via their analysis-time replacement into `Percentile`)
+  * `percentile_cont` and `median` — onto the fully-distributed
+  * histogram-selection plan of
+  * [[graft.operators.PercentileOps.exactQuantilesSelect]].
+  *
+  * Spark plans these as `TypedImperativeAggregate`s (ObjectHashAggregate):
+  * every group buffers its full value→count map in ONE executor hash map
+  * per aggregate expression. At 100 TB a popular group holds ~10⁸ map
+  * entries and OOMs; even at bench scale the per-row map churn made the
+  * SQL-standard syntax the slowest query in the inventory (q67). The
+  * substituted plan computes the identical result from shuffle-friendly
+  * pieces — an occupied-bucket histogram (map-side combined; the shuffle
+  * never carries the value set), rank math over buckets, and a
+  * candidates-only ranking window — with no per-group buffering and no
+  * driver collects, so the SQL syntax a user actually writes gets the
+  * plan that survives scale.
+  *
+  * Matched narrowly (the rewrite must be a pure win, never a risk): a
+  * logical `Aggregate` in which EVERY aggregate function is a
+  * `Percentile`/`PercentileDisc` over a numeric value expression with a
+  * foldable scalar fraction in [0,1], `frequency = 1`, `reverse = false`
+  * (no `ORDER BY ... DESC` within group), non-legacy disc calculation,
+  * no DISTINCT and no FILTER clause. Array-percentage forms, reversed
+  * orderings and any mix with other aggregate functions (the negative
+  * plan test pins one) are left untouched. Non-aggregate parts of the
+  * output — grouping columns, arithmetic around the percentile like
+  * `p50 + 1` — are re-evaluated over the substituted plan's output, and
+  * the final Project pins the original names, exprIds and order, so
+  * parent operators keep resolving unchanged.
+  *
+  * Semantics parity (pinned by sbt tests + the q67 DuckDB oracle):
+  * identical values incl. ties/interpolation edges, NULL values excluded
+  * per measure, all-NULL groups kept with NULL output, NULL group keys
+  * kept as their own group, empty input → no rows (with grouping) / one
+  * NULL row (global aggregate — preserved by the grand-total count row).
+  */
+object PercentileAggregateRewrite extends Rule[LogicalPlan] {
+
+  /** One rewritable percentile call: value expression, fraction, disc. */
+  private case class PctCall(value: Expression, q: Double, disc: Boolean)
+
+  /** Scalar literal fraction in [0,1] — by the time this rule runs the
+    * operator-optimization batch has folded the analyzer's implicit
+    * casts, but `foldable` also catches the first fixed-point pass.
+    */
+  private def fraction(e: Expression): Option[Double] = e match {
+    case f if f.foldable && f.dataType == DoubleType =>
+      f.eval() match {
+        case d: java.lang.Double if d >= 0.0 && d <= 1.0 => Some(d)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def pctCall(fn: AggregateFunction): Option[PctCall] = fn match {
+    case Percentile(c, pct, Literal(1L, LongType), _, _, false)
+        if c.dataType.isInstanceOf[NumericType] =>
+      fraction(pct).map(PctCall(c, _, disc = false))
+    case PercentileDisc(c, pct, false, _, _, false)
+        if c.dataType.isInstanceOf[NumericType] =>
+      fraction(pct).map(PctCall(c, _, disc = true))
+    case _ => None
+  }
+
+  /** Every AggregateExpression in `aggExprs`, or None if any is not a
+    * rewritable percentile (mixed aggregates disable the whole rewrite).
+    */
+  private def collectCalls(aggExprs: Seq[NamedExpression])
+      : Option[Map[ExprId, PctCall]] = {
+    val all = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (all.isEmpty) return None
+    val calls = all.map { ae =>
+      if (ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty)
+        pctCall(ae.aggregateFunction).map(ae.resultId -> _)
+      else None
+    }
+    if (calls.exists(_.isEmpty)) None
+    else Some(calls.flatten.toMap)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
+      collectCalls(aggExprs) match {
+        case Some(calls) if aggExprs.forall(substitutable(_, groupingExprs, calls)) =>
+          rewrite(agg, groupingExprs, aggExprs, child, calls)
+        case _ => agg
+      }
+  }
+
+  /** The non-aggregate parts of an output expression must be computable
+    * from the grouping expressions alone (SQL guarantees this for
+    * analyzer-accepted queries; re-checked here because this runs mid-
+    * optimizer where previous rules may have rearranged the tree).
+    */
+  private def substitutable(ne: NamedExpression, grouping: Seq[Expression],
+      calls: Map[ExprId, PctCall]): Boolean = {
+    def ok(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => calls.contains(ae.resultId)
+      case e if grouping.exists(_.semanticEquals(e)) => true
+      case _: Attribute => false // column that is neither grouping nor aggregate
+      case l: LeafExpression => l.foldable // literals and other constants
+      case other => other.children.forall(ok)
+    }
+    ne match {
+      case Alias(c, _) => ok(c)
+      case a: Attribute => ok(a)
+      case _ => false
+    }
+  }
+
+  private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      calls: Map[ExprId, PctCall]): LogicalPlan = {
+    val spark = SparkSession.active
+
+    // one measure per distinct value expression (3 percentiles over one
+    // column share a single unpivot arm); one output column per distinct
+    // (value, q, disc) — duplicate calls collapse onto it
+    val valueExprs = scala.collection.mutable.ArrayBuffer[Expression]()
+    def measureIdx(v: Expression): Int = {
+      val i = valueExprs.indexWhere(_.semanticEquals(v))
+      if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
+    }
+    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
+    val colOfCall = calls.map { case (rid, PctCall(v, q, disc)) =>
+      val k = (measureIdx(v), q, disc)
+      rid -> qKey.getOrElseUpdate(k, s"__q${qKey.size}")
+    }
+
+    // child projection: grouping exprs + measure value exprs, built with
+    // the public DataFrame API over the already-optimized child plan
+    val kNames = groupingExprs.indices.map(i => s"__k$i")
+    def c(e: Expression): Column = GraftSqlShims.column(e)
+    val df0 = GraftSqlShims.ofRows(spark, child).select(
+      groupingExprs.zip(kNames).map { case (g, n) => c(g).as(n) } ++
+        valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
+    val measures = valueExprs.indices.map { j =>
+      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
+      (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
+    }
+    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
+    // the spliced subtree is analyzed but NOT optimized, and this rule
+    // runs after the optimizer's Finish-Analysis batch — the broadcast()
+    // hint inside the window plan would reach the planner as a raw
+    // ResolvedHint (internal error). Fold it into the Join node here.
+    val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+      GraftSqlShims.analyzedPlan(out))
+    val outAttr = analyzed.output.map(a => a.name -> a).toMap
+
+    // final Project: re-evaluate each original output expression over the
+    // substituted plan — percentile calls become their picked column,
+    // grouping expressions their __k column — pinning name + exprId so
+    // the parent plan's references keep resolving
+    val groupAttr = groupingExprs.zip(kNames).map { case (g, n) => g -> outAttr(n) }
+    def substitute(e: Expression): Expression = e match {
+      case ae: AggregateExpression if colOfCall.contains(ae.resultId) =>
+        outAttr(colOfCall(ae.resultId))
+      case other => groupAttr.find(_._1.semanticEquals(other)) match {
+        case Some((_, attr)) => attr
+        case None => other.mapChildren(substitute)
+      }
+    }
+    val restored = aggExprs.map { ne =>
+      val core = ne match {
+        case Alias(childE, _) => substitute(childE)
+        case a: Attribute => substitute(a)
+        case other => substitute(other)
+      }
+      Alias(core, ne.name)(exprId = ne.exprId)
+    }
+    Project(restored, analyzed)
+  }
+}

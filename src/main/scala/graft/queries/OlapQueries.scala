@@ -724,16 +724,17 @@ object OlapQueries {
         |  quantile_disc(l_extendedprice, 0.5) AS p50,
         |  quantile_disc(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // written as the SQL-standard syntax a user would type; the
+      // injected PercentileAggregateRewrite routes it onto the window
+      // plan (distinct-value counts + one ranking window — no per-group
+      // value-map buffering), so this query is the rewrite's end-to-end
+      // conformance proof: same oracle, optimizer-substituted plan.
+      // GraftSparkExtensionsSpec pins the plan shape (no ObjectHash
+      // aggregate) and the negative case (mixed aggregates untouched).
+      if (!s.experimental.extraOptimizations.contains(graft.plans.PercentileAggregateRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.PercentileAggregateRewrite
       table(s, dir, "lineitem")
-        // percentile_disc is a TypedImperativeAggregate: every partition
-        // builds a per-group value map PER AGGREGATE, serializes it, and
-        // the merge re-inserts every entry. Co-locating each group first
-        // makes the three buffers each get built exactly once (the merge
-        // is a passthrough) at the cost of a narrow two-column shuffle
-        // (~10% at sf0.1; the win grows with partial-buffer size since
-        // the serialized maps are what the merge would otherwise move).
-        // The scale path proper is q67b.
-        .repartition(col("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),

@@ -190,4 +190,99 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val naive1 = rows("SELECT a.n, b.n FROM fz3 a JOIN fz3 b ON levenshtein(a.n, b.n) <= 1")
     assert(tight == naive1)
   }
+
+  /** Same query on a session WITHOUT the extension — the built-in
+    * buffering aggregates — as ground truth for the percentile rewrite.
+    */
+  private def plainSession(): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("percentile rewrite: the built-in percentile family routes onto the window plan, bit-identical") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("li")
+    val q =
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50c,
+        |  percentile(l_extendedprice, 0.9) AS p90,
+        |  median(l_quantity) AS med,
+        |  percentile(l_quantity, 0.5) + 1.0 AS shifted
+        |FROM li GROUP BY l_returnflag""".stripMargin
+    val df = spark.sql(q)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("percentile") && !phys.contains("ObjectHashAggregate"),
+      s"built-in buffering aggregate survived the rewrite:\n$phys")
+    val rewritten = rowsOf(df)
+    // global aggregate (no GROUP BY) and empty input: built-in emits one
+    // all-NULL row globally, zero rows grouped — the rewrite must too
+    val globalQ = "SELECT percentile(l_quantity, 0.5) AS m FROM li"
+    val emptyGlobalQ = "SELECT percentile(l_quantity, 0.5) AS m FROM li WHERE l_quantity < -1"
+    val emptyGroupQ =
+      "SELECT l_returnflag, median(l_quantity) AS m FROM li WHERE l_quantity < -1 GROUP BY l_returnflag"
+    val (g1, e1, ge1) = (rowsOf(spark.sql(globalQ)), rowsOf(spark.sql(emptyGlobalQ)),
+      rowsOf(spark.sql(emptyGroupQ)))
+    assert(!spark.sql(globalQ).queryExecution.executedPlan.toString.contains("percentile"))
+
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("li")
+    assert(rewritten == rowsOf(plain.sql(q)))
+    assert(g1 == rowsOf(plain.sql(globalQ)))
+    assert(e1 == rowsOf(plain.sql(emptyGlobalQ)) && e1.size == 1 && e1.head == Seq(null))
+    assert(ge1 == rowsOf(plain.sql(emptyGroupQ)) && ge1.isEmpty)
+  }
+
+  test("percentile rewrite: NULL group keys and all-NULL groups match the built-in") {
+    val spark = extendedSession()
+    import spark.implicits._
+    val rows = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(2.0)), (Option("a"), Option(5.0)),
+      (Option.empty[String], Option(10.0)), (Option.empty[String], Option(20.0)),
+      (Option("z"), Option.empty[Double]), (Option("z"), Option.empty[Double]))
+    rows.toDF("g", "v").createOrReplaceTempView("pnull")
+    val q =
+      """SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS d5,
+        |       percentile(v, 0.5) AS c5
+        |FROM pnull GROUP BY g""".stripMargin
+    val df = spark.sql(q)
+    assert(!df.queryExecution.executedPlan.toString.contains("percentile"))
+    val got = rowsOf(df)
+    val plain = plainSession()
+    plain.createDataFrame(rows).toDF("g", "v").createOrReplaceTempView("pnull")
+    assert(got == rowsOf(plain.sql(q)))
+    assert(got.size == 3) // a, NULL, and the all-NULL z all present
+  }
+
+  test("percentile rewrite negative: mixed aggregates, DESC ordering, and array percentages stay built-in") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin")
+    val mixed =
+      """SELECT l_returnflag, sum(l_quantity) AS sq,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50
+        |FROM lin GROUP BY l_returnflag""".stripMargin
+    val desc =
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS p50
+        |FROM lin GROUP BY l_returnflag""".stripMargin
+    val arr = "SELECT percentile(l_quantity, array(0.25, 0.5)) AS ps FROM lin"
+    for (q <- Seq(mixed, desc, arr)) {
+      val df = spark.sql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("percentile"),
+        s"ineligible query was rewritten away from the built-in: $q")
+      // and it still answers correctly
+      val plain = rowsOf(df)
+      assert(plain.nonEmpty)
+    }
+    // results of the ineligible forms equal the plain session's
+    val got = Seq(mixed, desc, arr).map(q => rowsOf(spark.sql(q)))
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin")
+    assert(got == Seq(mixed, desc, arr).map(q => rowsOf(plain.sql(q))))
+  }
 }
