@@ -83,8 +83,8 @@ object GraftRedis {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinJoinRewrite
-    // built-in percentile aggregates route onto the distributed window
-    // plan instead of per-group value-map buffering
+    // built-in percentile aggregates route onto the distributed
+    // histogram-selection plan instead of per-group value-map buffering
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PercentileAggregateRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PercentileAggregateRewrite

@@ -102,7 +102,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinJoinRewrite)
     // optimizer: built-in percentile/percentile_disc/percentile_cont/
     // median aggregates (per-group value-map buffering — the ObjectHash
-    // OOM cliff at scale) rewrite to the distributed window plan
+    // OOM cliff at scale) rewrite to the distributed histogram-selection
+    // plan
     ext.injectOptimizerRule(_ => graft.plans.PercentileAggregateRewrite)
   }
 }

@@ -393,10 +393,13 @@ object CurationOps {
     * staging sibling; the next call (or reader that finds `path`
     * absent) self-heals by promoting it. On object stores, where rename
     * is copy+delete, prefer explicit generation dirs via
-    * [[mergeStatsLedger]].
+    * [[mergeStatsLedger]]. Concurrency: in-JVM callers are serialized
+    * per path by [[advanceLocks]]; across JVMs the ledger is
+    * single-writer by contract (see [[advanceLocks]]).
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit = advanceLocks
+      .computeIfAbsent(path, _ => new Object).synchronized {
     val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
     // Path construction normalizes a trailing slash; suffix() appends to
     // the FINAL NAME, so the siblings never nest inside the target (raw
@@ -428,4 +431,15 @@ object CurationOps {
     }
     fs.delete(retired, true)
   }
+
+  /** Per-path in-JVM lock serializing [[advanceStatsLedger]]'s
+    * staging/retire swap: two concurrent callers would write the same
+    * staging dir and interleave the rename pair, losing one batch's
+    * delta. The lock closes the in-process race; ACROSS processes the
+    * ledger is SINGLE-WRITER BY CONTRACT — external callers must fence
+    * writers themselves (there is no cross-JVM lock a plain filesystem
+    * can promise), readers are always safe.
+    */
+  private val advanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 }

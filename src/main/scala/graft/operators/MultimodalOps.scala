@@ -302,7 +302,7 @@ object MultimodalOps {
     // both "fmt " and "data" (e.g. a huge final data chunk overflowing
     // the advance) still yields a complete header; an INCOMPLETE bail
     // fails the field validation below and falls to the provider path
-    if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) None
+    if (sampleRate <= 0 || channels <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0) None
     else Some((sampleRate, channels, bits, dataLen / blockAlign, "wav"))
   }
 

@@ -725,9 +725,10 @@ object OlapQueries {
         |  quantile_disc(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // written as the SQL-standard syntax a user would type; the
-      // injected PercentileAggregateRewrite routes it onto the window
-      // plan (distinct-value counts + one ranking window — no per-group
-      // value-map buffering), so this query is the rewrite's end-to-end
+      // injected PercentileAggregateRewrite routes it onto the
+      // histogram-selection plan (occupied-bucket counts + a candidates-
+      // only ranking window — no per-group value-map buffering), so
+      // this query is the rewrite's end-to-end
       // conformance proof: same oracle, optimizer-substituted plan.
       // GraftSparkExtensionsSpec pins the plan shape (no ObjectHash
       // aggregate) and the negative case (mixed aggregates untouched).
@@ -1458,10 +1459,15 @@ object OlapQueries {
         .filter(col("event_id") % 5 === 0)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       src.write.mode("overwrite").jdbc(url, "events_rtp", props)
-      val Array(lo, hi) = src.agg(min("event_id"), max("event_id")).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-      s.read.jdbc(url, "events_rtp", "event_id", lo, hi + 1, 4, props)
+      // empty filter match => min/max are NULL; fall back to an
+      // unpartitioned read of the (empty) table instead of NPEing on
+      // getLong
+      val bounds = src.agg(min("event_id"), max("event_id")).head()
+      val reader =
+        if (bounds.isNullAt(0)) s.read.jdbc(url, "events_rtp", props)
+        else s.read.jdbc(url, "events_rtp", "event_id",
+          bounds.getLong(0), bounds.getLong(1) + 1, 4, props)
+      reader
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("sum_uid"),
@@ -1507,7 +1513,10 @@ object OlapQueries {
         |  round(sum(s_acctbal), 2) AS sum_bal,
         |  min(s_name) AS min_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
-      val out = "/tmp/graft_conformance/q66_xml"
+      // pid+dir-scoped like d41's ledger: Bench and Verify can run this
+      // concurrently in separate JVMs, and a shared fixed path would let
+      // one overwrite while the other reads
+      val out = s"/tmp/graft_conformance/q66_xml_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
       table(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .write.mode("overwrite").option("rowTag", "supplier").xml(out)

@@ -70,26 +70,42 @@ object PipelineQueries {
   // create, which age out by access order).
   private val modelCache =
     new java.util.LinkedHashMap[org.apache.spark.sql.SparkSession,
-        scala.collection.concurrent.TrieMap[String, Any]](16, 0.75f, true) {
+        scala.collection.concurrent.TrieMap[String, ModelSlot]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[org.apache.spark.sql.SparkSession,
-            scala.collection.concurrent.TrieMap[String, Any]]): Boolean = {
+            scala.collection.concurrent.TrieMap[String, ModelSlot]]): Boolean = {
         val evict = size() > 16
-        if (evict) e.getValue.values.foreach {
-          case df: org.apache.spark.sql.DataFrame =>
-            try df.unpersist(blocking = false) catch { case _: Throwable => () }
-          case _ => ()
+        if (evict) e.getValue.values.foreach { slot =>
+          slot.value match {
+            case df: org.apache.spark.sql.DataFrame =>
+              try df.unpersist(blocking = false) catch { case _: Throwable => () }
+            case _ => ()
+          }
         }
         evict
       }
     }
+  /** One cache cell: the slot object is the per-key lock, so `train`
+    * runs AT MOST ONCE per (session, key) — TrieMap.getOrElseUpdate
+    * alone is not atomic (two racing threads could both train, double-
+    * persisting the s07/s08 code tables and leaking one copy). Losing
+    * a putIfAbsent race only discards an empty slot, never a model.
+    */
+  private final class ModelSlot { @volatile var value: Any = null }
   private def cachedModel[M](s: org.apache.spark.sql.SparkSession, key: String)(train: => M): M = {
     val perSession = modelCache.synchronized {
       var m = modelCache.get(s)
       if (m == null) { m = scala.collection.concurrent.TrieMap.empty; modelCache.put(s, m) }
       m
     }
-    perSession.getOrElseUpdate(key, train).asInstanceOf[M]
+    val slot = {
+      val fresh = new ModelSlot
+      perSession.putIfAbsent(key, fresh).getOrElse(fresh)
+    }
+    slot.synchronized {
+      if (slot.value == null) slot.value = train
+      slot.value.asInstanceOf[M]
+    }
   }
 
   val all: Seq[NamedQuery] = Seq(
