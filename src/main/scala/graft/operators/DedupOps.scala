@@ -119,17 +119,59 @@ object DedupOps {
 
   /** Candidate near-duplicate pairs from MinHash+LSH: self-join on
     * (band, bucket), counting how many bands agree per pair.
+    *
+    * Mega-bucket safety — the self-join runs over one representative
+    * per DISTINCT full signature, never over raw documents. On a
+    * duplicate-saturated corpus (the common pathology: boilerplate
+    * crawled thousands of times) every copy shares the whole signature,
+    * so raw buckets grow with the duplicate count and the bucket join
+    * explodes quadratically; collapsed, bucket width is the number of
+    * distinct signatures. The collapse is EXACT, not a cap:
+    *   - docs with identical signatures collide in EVERY band, so each
+    *     within-group pair gets `n_bands = numBands` verbatim;
+    *   - a cross-group pair collides in exactly the bands its two
+    *     representatives collide in (equal band-slices hash to equal
+    *     buckets), so it inherits the representative pair's count.
+    * Both expansions are linear joins through the signature-group
+    * membership — the only quadratic object left is the OUTPUT itself,
+    * produced by join fan-out, never held in one task's hash bucket.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
+    // docs with no shingles have an all-NULL signature: excluded here,
+    // exactly as lshBands' NULL-bucket filter excluded them before
     val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-    val bands = lshBands(sig, idCol, numHashes, bandSize)
-    val a = bands.select(col(idCol).as("d1"), col("band"), col("bucket"))
-    val b = bands.select(col(idCol).as("d2"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
+      .filter(col("mh0").isNotNull)
+    val sigKey = md5(concat_ws("_",
+      (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*))
+    val withSig = sig.withColumn("__sig", sigKey)
+    // one row per DISTINCT signature; all group members share every mh
+    // value (that is what __sig digests), so first() is exact
+    val groups = withSig.groupBy(col("__sig")).agg(
+      count(lit(1)).as("__size"),
+      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+    val bands = lshBands(groups, "__sig", numHashes, bandSize)
+    val a = bands.select(col("__sig").as("__s1"), col("band"), col("bucket"))
+    val b = bands.select(col("__sig").as("__s2"), col("band"), col("bucket"))
+    // group-level edges: cross-group collisions counted per band, plus
+    // one self edge per multi-member group (identical signatures
+    // collide in EVERY band)
+    val edges = a.join(b, Seq("band", "bucket"))
+      .filter(col("__s1") < col("__s2"))
+      .groupBy(col("__s1"), col("__s2"))
       .agg(count(lit(1)).as("n_bands"))
+      .unionByName(groups.filter(col("__size") >= 2)
+        .select(col("__sig").as("__s1"), col("__sig").as("__s2"),
+          lit((numHashes / bandSize).toLong).as("n_bands")))
+    // expand group edges to member pairs: two joins against the
+    // (id, signature) table — self edges keep one orientation per pair
+    val mem = withSig.select(col(idCol).as("__m"), col("__sig"))
+    edges
+      .join(mem.select(col("__sig").as("__s1"), col("__m").as("__m1")), "__s1")
+      .join(mem.select(col("__sig").as("__s2"), col("__m").as("__m2")), "__s2")
+      .filter(col("__s1") =!= col("__s2") || col("__m1") < col("__m2"))
+      .select(least(col("__m1"), col("__m2")).as("d1"),
+        greatest(col("__m1"), col("__m2")).as("d2"), col("n_bands"))
   }
 
   /** Cross-corpus near-dup candidates: which NEW documents collide with
@@ -145,14 +187,31 @@ object DedupOps {
   def crossDedupPairs(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
-    def bandsOf(df: DataFrame, as: String) = lshBands(
-      minHashSignatures(df, idCol, textCol, numHashes, shingleSize),
-      idCol, numHashes, bandSize)
-      .select(col(idCol).as(as), col("band"), col("bucket"))
-    broadcast(bandsOf(newDocs, "new_id"))
-      .join(bandsOf(corpus, "corpus_id"), Seq("band", "bucket"))
-      .groupBy(col("new_id"), col("corpus_id"))
+    // identical-signature collapse on BOTH sides, same exactness
+    // argument as [[lshCandidatePairs]]; equal-signature cross pairs
+    // need no self-edge arm here — the two group rows are distinct and
+    // collide in every band on their own
+    def sigTable(df: DataFrame): DataFrame = {
+      val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+        .filter(col("mh0").isNotNull)
+      sig.withColumn("__sig", md5(concat_ws("_",
+        (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*)))
+    }
+    def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("__sig")).agg(
+      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
+      (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+    val n = sigTable(newDocs)
+    val c = sigTable(corpus)
+    def bandsOf(g: DataFrame, as: String) = lshBands(g, "__sig", numHashes, bandSize)
+      .select(col("__sig").as(as), col("band"), col("bucket"))
+    val edges = broadcast(bandsOf(groupsOf(n), "__sn"))
+      .join(bandsOf(groupsOf(c), "__sc"), Seq("band", "bucket"))
+      .groupBy(col("__sn"), col("__sc"))
       .agg(count(lit(1)).as("n_bands"))
+    edges
+      .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id")), "__sn")
+      .join(c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id")), "__sc")
+      .select(col("new_id"), col("corpus_id"), col("n_bands"))
   }
 
   /** Star-contracted LSH candidate edges: within every (band, bucket),
@@ -182,6 +241,42 @@ object DedupOps {
     * as `minHashSignatures` — token digests run once per token, the 16
     * bit-sums are map-side partial aggregates.
     */
+  /** SimHash candidate pairs: band on the high `16 - bandBits` simhash
+    * bits (one equi-join shuffle), exact Hamming rescoring, threshold.
+    * The band join runs over one representative per DISTINCT simhash —
+    * same mega-bucket collapse as [[lshCandidatePairs]], and exact for
+    * the same reason: Hamming distance is a function of the two hashes
+    * alone, so every member pair inherits its representative pair's
+    * distance, and within-group pairs are Hamming 0. A boilerplate-
+    * saturated corpus (many docs, one hash) costs a linear membership
+    * fan-out, never a quadratic bucket join.
+    * Output: (d1, d2, hamming), d1 < d2, hamming <= maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, bandShift: Int = 8): DataFrame = {
+    val h = simHash16Df(docs, idCol, textCol)
+    // one row per DISTINCT simhash — the group key IS the signature
+    val groups = h.groupBy(col("simhash")).agg(count(lit(1)).as("__size"))
+    val a = groups.select(col("simhash").as("__ha"),
+      shiftright(col("simhash"), bandShift).as("__band"))
+    val b = groups.select(col("simhash").as("__hb"),
+      shiftright(col("simhash"), bandShift).as("__band"))
+    val edges = a.join(b, Seq("__band"))
+      .filter(col("__ha") < col("__hb"))
+      .select(col("__ha"), col("__hb"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .unionByName(groups.filter(col("__size") >= 2)
+        .select(col("simhash").as("__ha"), col("simhash").as("__hb"),
+          lit(0).as("hamming")))
+    edges
+      .join(h.select(col("simhash").as("__ha"), col(idCol).as("__m1")), "__ha")
+      .join(h.select(col("simhash").as("__hb"), col(idCol).as("__m2")), "__hb")
+      .filter(col("__ha") =!= col("__hb") || col("__m1") < col("__m2"))
+      .select(least(col("__m1"), col("__m2")).as("d1"),
+        greatest(col("__m1"), col("__m2")).as("d2"), col("hamming"))
+  }
+
   def simHash16Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val aggs = (0 until 16).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))

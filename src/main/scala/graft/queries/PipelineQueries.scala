@@ -747,17 +747,10 @@ object PipelineQueries {
     }) { (s, dir) =>
       // band on the high 8 simhash bits: candidate pairs share a band
       // (one equi-join shuffle), then exact Hamming rescoring — the
-      // SimHash analog of the MinHash LSH pipeline
-      val h = DedupOps.simHash16Df(table(s, dir, "documents"), "doc_id", "text")
-      val a = h.select(col("doc_id").as("d1"), col("simhash").as("__ha"),
-        shiftright(col("simhash"), 8).as("__band"))
-      val b = h.select(col("doc_id").as("d2"), col("simhash").as("__hb"),
-        shiftright(col("simhash"), 8).as("__band"))
-      a.join(b, Seq("__band"))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 6)
+      // SimHash analog of the MinHash LSH pipeline. simHashPairs joins
+      // one representative per distinct hash (exact; mega-bucket safe)
+      DedupOps.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6, bandShift = 8)
         .orderBy(col("hamming"), col("d1"), col("d2"))
         .limit(100)
     },
