@@ -588,6 +588,59 @@ object DedupOps {
       path: String): Unit =
     ledgerRows(df, idCol, keyCols).write.mode("append").parquet(path)
 
+  /** Compact an append-only ledger IN PLACE: collapse any duplicate
+    * digests that accumulated across appends (keeping the lowest
+    * admitting id, the same tie-break every writer uses) and rewrite
+    * the file set range-partitioned on digest to `targetFiles` sized
+    * files ([[LayoutOps.writeSized]] — digest-ordered files keep
+    * parquet min/max pruning effective for point probes). Without
+    * compaction an ingest loop accretes one small file set per batch
+    * and the anti-join's scan fans out over thousands of tiny files;
+    * digests at rest are ~24 B/row, so even a billion-row ledger
+    * rewrites in seconds per executor.
+    *
+    * Swap discipline mirrors [[graft.operators.CurationOps.advanceStatsLedger]]:
+    * the compacted generation materializes at a staging sibling, then
+    * two renames retire and promote (each atomic on HDFS/local; a
+    * crash between them leaves the staging dir, which the next call
+    * self-heals by promoting). In-JVM callers are serialized per path;
+    * across JVMs the ledger is single-writer by contract — concurrent
+    * APPENDERS during a compaction would be lost with or without this
+    * function, as overwrite-in-place cannot see files born mid-swap.
+    */
+  def compactLedger(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 16, maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    compactLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = target.suffix(".staging")
+      val retired = target.suffix(".old")
+      if (!fs.exists(target)) {
+        val healed =
+          (fs.exists(staging) && fs.rename(staging, target)) ||
+          (fs.exists(retired) && fs.rename(retired, target))
+        if (!healed)
+          throw new java.io.IOException(
+            s"ledger absent at $target and no staging/retired generation to restore")
+      }
+      val compacted = spark.read.parquet(path)
+        .groupBy(col("digest"))
+        .agg(min(col("admitted_id")).as("admitted_id"))
+      LayoutOps.writeSized(compacted, staging.toString, col("digest"),
+        targetFiles, maxRecordsPerFile)
+      fs.delete(retired, true)
+      if (!fs.rename(target, retired))
+        throw new java.io.IOException(s"ledger compaction: cannot retire $target")
+      if (!fs.rename(staging, target)) {
+        fs.rename(retired, target) // roll back so the ledger is never absent
+        throw new java.io.IOException(s"ledger compaction: cannot promote $staging")
+      }
+      fs.delete(retired, true)
+    }
+
+  private val compactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   /** Snapshot diff between two corpus generations by content digest:
     * one row per id present in either side, labeled
     * added / removed / changed / unchanged — the audit primitive behind

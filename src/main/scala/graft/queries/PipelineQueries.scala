@@ -268,6 +268,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- ledger compaction
+    // the maintenance half of the d39 ingest loop: each append lands a
+    // new small file set, so a long-lived ledger accretes thousands of
+    // tiny files and the anti-join scan fans out over all of them.
+    // compactLedger rewrites the file set (duplicate digests collapsed
+    // to min admitting id, range-partitioned on digest, staged-rename
+    // swap) — this query proves the COMPACTED ledger makes byte-
+    // identical admission decisions: two generations are written and
+    // appended (gen2 re-admits nothing but shares digests with probe
+    // rows), compacted in place, then the full corpus dedups against
+    // the compacted store. The oracle knows nothing of files — it
+    // dedups against the union of both generations' digests, so the
+    // check passes only if compaction lost or invented nothing.
+    q("d45_ledger_compact",
+      """WITH fp AS (SELECT doc_id,
+        |  md5(CASE WHEN text IS NULL THEN chr(1)
+        |       ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS dg
+        |  FROM documents),
+        |led AS (SELECT DISTINCT dg FROM fp WHERE doc_id % 3 = 1 OR doc_id % 3 = 2),
+        |fresh AS (SELECT f.doc_id, f.dg FROM fp f
+        |          LEFT JOIN led l ON f.dg = l.dg WHERE l.dg IS NULL),
+        |keep AS (SELECT dg, min(doc_id) AS doc_id FROM fresh GROUP BY dg)
+        |SELECT k.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = s"/tmp/graft_conformance/d45_ledger_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      DedupOps.writeLedger(docs.filter(col("doc_id") % 3 === 1), "doc_id", Seq("text"), path)
+      DedupOps.appendToLedger(docs.filter(col("doc_id") % 3 === 2), "doc_id", Seq("text"), path)
+      DedupOps.compactLedger(s, path, targetFiles = 4)
+      DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), path)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- unicode normalization
     // NFC canonicalization via a codegen'd expression over the JDK's
     // java.text.Normalizer — the pass that makes composed é and

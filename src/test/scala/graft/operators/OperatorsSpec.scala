@@ -670,6 +670,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fresh3 == Seq((22L, "epsilon")))
   }
 
+  test("compactLedger: collapses digests, hits target file count, dedup results bit-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ledger-c").toString + "/led"
+    DedupOps.writeLedger(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "t"), "id", Seq("t"), path)
+    // three appends, one of them re-admitting an existing digest with a
+    // HIGHER id (dup digest rows at rest — compaction must keep id 2)
+    DedupOps.appendToLedger(Seq((5L, "gamma")).toDF("id", "t"), "id", Seq("t"), path)
+    DedupOps.appendToLedger(Seq((9L, "beta"), (7L, "delta")).toDF("id", "t"), "id", Seq("t"), path)
+    DedupOps.appendToLedger(Seq((8L, "epsilon")).toDF("id", "t"), "id", Seq("t"), path)
+    val probe = Seq((30L, "alpha"), (31L, "gamma"), (32L, "zeta"), (33L, "zeta"),
+      (34L, "epsilon")).toDF("id", "t")
+    def results() = DedupOps.dedupAgainstLedger(probe, "id", Seq("t"), path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    def ledgerState() = spark.read.parquet(path)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val before = results()
+    assert(before == Seq((32L, "zeta"))) // zeta new, first copy wins
+    val filesBefore = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 2, s"fixture too small to prove compaction: $filesBefore files")
+    // the re-admitted beta digest sits twice at rest pre-compaction
+    val stateBefore = ledgerState()
+    assert(stateBefore.size == 6 && stateBefore.map(_._1).distinct.size == 5)
+    val minBefore = stateBefore.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    DedupOps.compactLedger(spark, path, targetFiles = 2)
+    val filesAfter = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter <= 2, s"compaction left $filesAfter files")
+    assert(results() == before) // anti-join semantics bit-identical
+    // one row per digest now, each at the min admitting id
+    assert(ledgerState().size == 5)
+    assert(ledgerState().toMap == minBefore)
+    // the ledger keeps working as an append target after the rewrite
+    DedupOps.appendToLedger(Seq((32L, "zeta")).toDF("id", "t"), "id", Seq("t"), path)
+    assert(results().isEmpty)
+  }
+
   test("unicodeNormalize matches java.text.Normalizer for all four forms; null-safe; codegen path") {
     import graft.functions.TextStatsExpression.unicodeNormalize
     val cases = Seq(
