@@ -33,6 +33,35 @@ object SketchOps {
     candidates.map(t => t -> cms.estimateCount(t))
   }
 
+  /** Sketch estimates from PRE-AGGREGATED (value, count) rows: adding a
+    * value with weight `count` touches the same cells `count` unit adds
+    * would, and the sketch is additive, so the resulting sketch — and
+    * therefore every estimate — is IDENTICAL to streaming the raw
+    * occurrences (same library, same eps/conf/seed hash functions).
+    * The win is pass economics: the sketch build runs over the
+    * vocabulary, not the token stream, so a caller that already owns
+    * the grouped counts (any heavy-hitter pipeline does) pays one
+    * corpus pass total instead of two.
+    */
+  def cmsEstimatesWeighted(counts: DataFrame, valueCol: Column, weightCol: Column,
+      candidates: Seq[String],
+      eps: Double = 0.001, conf: Double = 0.99, seed: Int = 42): Seq[(String, Long)] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val empty = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+    val cms = counts.select(valueCol.cast("string").as("__v"), weightCol.cast("long").as("__c"))
+      .as[(String, Long)].rdd
+      .mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+        it.foreach { case (v, c) => sk.add(v, c) }
+        Iterator(sk)
+      }
+      // fold (not reduce): an empty counts frame still yields the empty
+      // sketch instead of throwing
+      .fold(empty) { (a, b) => a.mergeInPlace(b); a }
+    candidates.map(t => t -> cms.estimateCount(t))
+  }
+
   /** Approximate heavy hitters: the top-k tokens by exact count alongside
     * their count-min estimates. The exact top-k (a TakeOrdered over a
     * partial-agg) supplies the candidate set; the sketch supplies the
@@ -43,13 +72,23 @@ object SketchOps {
       eps: Double = 0.001, conf: Double = 0.99, seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tok = df.select(tokenCol.as("token"))
-    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("token")).limit(k)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val ests = cmsEstimates(tok, col("token"), top.map(_._1).toSeq, eps, conf, seed).toMap
-    top.map { case (t, exact) => (t, exact, ests(t)) }.toSeq
-      .toDF("token", "exact", "est")
-      .orderBy(col("exact").desc, col("token"))
+    // ONE corpus pass: the grouped counts feed both the exact top-k
+    // (TakeOrdered) and the weighted sketch build — persisted so the
+    // two actions share the explode+shuffle instead of re-running it.
+    // The cache is vocabulary-sized (distinct tokens), never the token
+    // stream, and is dropped synchronously after the second action.
+    val counts = df.select(tokenCol.as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top = counts
+        .orderBy(col("exact").desc, col("token")).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val ests = cmsEstimatesWeighted(counts, col("token"), col("exact"),
+        top.map(_._1).toSeq, eps, conf, seed).toMap
+      top.map { case (t, exact) => (t, exact, ests(t)) }.toSeq
+        .toDF("token", "exact", "est")
+        .orderBy(col("exact").desc, col("token"))
+    } finally counts.unpersist(false)
   }
 }
