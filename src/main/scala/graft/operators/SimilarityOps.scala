@@ -290,19 +290,56 @@ object SimilarityOps {
     semDedup(emb, idCol, vecCol, k, iters, nprobe, tau)
   }
 
+  /** The probe-cell pair join runs over one representative per DISTINCT
+    * vector value, never over raw rows: an embedding corpus degenerated
+    * by exact-duplicate vectors (the boilerplate pathology) would
+    * otherwise concentrate every copy into the same probe cells and
+    * blow the self-join up quadratically inside single cells. The
+    * collapse is EXACT — the dropped set is provably the one the raw
+    * join produces:
+    *   - identical vectors share every probe cell and score cosine 1,
+    *     so a member is within-group-dropped iff a smaller member
+    *     exists (⟺ group rep < member; guarded by the group''s own
+    *     self-cosine so zero/NaN vectors keep their raw behavior);
+    *   - a cross-group pair shares cells and scores exactly like its
+    *     representatives (both are functions of the vector values
+    *     alone), so member m of group B is dropped via group A iff
+    *     some a∈A < m ⟺ rep(A) < m.
+    * Grouping is BY VECTOR VALUE (map-side combined), not by digest —
+    * no hash-collision risk, and the shuffle already carries one row
+    * per distinct vector. Centroid training is untouched (full corpus),
+    * so cluster assignments are identical to the previous behavior.
+    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, nprobe: Int, tau: Double): DataFrame = {
     val model = IvfIndex.train(emb, vecCol, k, iters)
-    val assigned = emb.select(col(idCol), col(vecCol),
-      IvfIndex.assignCluster(col(vecCol), model).as("cluster"),
-      explode(IvfIndex.assignClusters(col(vecCol), model, nprobe)).as("__probe"))
-    val a = assigned.select(col("__probe"), col(idCol).as("__ida"), col(vecCol).as("__va"))
-    val b = assigned.select(col("__probe"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("__probe"))
-      .filter(col("__ida") < col("__idb"))
+    val groups = emb.groupBy(col(vecCol).as("__v"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__gsize"))
+    val reps = groups.select(col("__rep"), col("__v"),
+      explode(IvfIndex.assignClusters(col("__v"), model, nprobe)).as("__probe"))
+    val a = reps.select(col("__probe"), col("__rep").as("__ra"), col("__v").as("__va"))
+    val b = reps.select(col("__probe"), col("__rep").as("__rb"), col("__v").as("__vb"))
+    val edges = a.join(b, Seq("__probe"))
+      .filter(col("__ra") < col("__rb"))
       .filter(cosine(col("__va"), col("__vb")) >= tau)
-      .select(col("__idb").as(idCol)).distinct()
-      .withColumn("__dup", lit(true))
+      .select(col("__ra"), col("__rb")).distinct()
+    val mem = emb.select(col(vecCol).as("__v"), col(idCol).as("__m"))
+      .join(groups.select(col("__v"), col("__rep")), Seq("__v"))
+      .select(col("__rep"), col("__m"))
+    val within = mem
+      .join(groups.filter(col("__gsize") >= 2)
+        .filter(cosine(col("__v"), col("__v")) >= tau)
+        .select(col("__rep")), Seq("__rep"))
+      .filter(col("__m") =!= col("__rep"))
+      .select(col("__m").as(idCol))
+    val crossB = edges
+      .join(mem.select(col("__rep").as("__rb"), col("__m")), "__rb")
+      .filter(col("__m") > col("__ra")).select(col("__m").as(idCol))
+    val crossA = edges
+      .join(mem.select(col("__rep").as("__ra"), col("__m")), "__ra")
+      .filter(col("__m") > col("__rb")).select(col("__m").as(idCol))
+    val dropped = within.unionByName(crossB).unionByName(crossA)
+      .distinct().withColumn("__dup", lit(true))
     emb.select(col(idCol),
         IvfIndex.assignCluster(col(vecCol), model).as("cluster"))
       .join(dropped, Seq(idCol), "left")

@@ -115,6 +115,39 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup duplicate-vector collapse is exact: same output as the raw probe-cell pair join") {
+    // corpus WITH exact duplicates: every vector appears 3x under
+    // distinct ids (the degenerate case the collapse exists for),
+    // interleaved so group reps are not simply the lowest id block
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(120).select(col("vec_id"), col("embedding"))
+    val dup = base
+      .unionByName(base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .unionByName(base.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val (k, iters, nprobe, tau) = (6, 4, 2, 0.4)
+    val got = SimilarityOps.semDedup(dup, "vec_id", "embedding", k, iters, nprobe, tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // reference: the pre-collapse formulation, raw rows through the
+    // probe-cell self-join (same model — training is untouched)
+    val model = IvfIndex.train(dup, "embedding", k, iters)
+    val assigned = dup.select(col("vec_id"), col("embedding"),
+      explode(IvfIndex.assignClusters(col("embedding"), model, nprobe)).as("__probe"))
+    val a = assigned.select(col("__probe"), col("vec_id").as("__ida"), col("embedding").as("__va"))
+    val b = assigned.select(col("__probe"), col("vec_id").as("__idb"), col("embedding").as("__vb"))
+    val droppedRef = a.join(b, Seq("__probe"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(SimilarityOps.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__idb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ref = dup.select(col("vec_id"),
+        IvfIndex.assignCluster(col("embedding"), model).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), !droppedRef(r.getLong(0))))
+      .sortBy(_._1).toSeq
+    assert(got == ref)
+    // sanity: the duplicates really did drop (each vector's 2 copies)
+    assert(got.count(!_._3) >= 240)
+  }
+
   test("d33 gate: semDedup dropped ids — precision 1 (subset) and recall ≥ 0.85 vs all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val tau = 0.4
