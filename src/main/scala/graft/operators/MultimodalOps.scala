@@ -361,6 +361,186 @@ object MultimodalOps {
     wavCache.computeIfAbsent((seed, sampleRate, channels, nFrames),
       k => syntheticWav(k._1, k._2, k._3, k._4))
 
+  val VideoMetaType: StructType = StructType(Seq(
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("container", StringType, nullable = false)))
+
+  /** REAL video container metadata via a direct ISO-BMFF (MP4) box walk
+    * — the video twin of [[audioHeader]]'s RIFF walk, pure byte reads
+    * over the PUBLIC box grammar (ISO/IEC 14496-12: [size:u32][type:4cc]
+    * headers, `size==1` → 64-bit largesize follows, `size==0` → box
+    * runs to end): `moov/mvhd` yields timescale + duration (version 0
+    * and 1 layouts), each `moov/trak` counts a track, and the first
+    * `trak/tkhd` yields width/height (16.16 fixed point, both
+    * versions). Frame DECODE stays out of scope — codec payloads
+    * (`mdat`) are opaque here by design; this reads the same fields a
+    * container probe reads, without touching sample data.
+    * Returns zeros/"unknown" for null/empty/malformed payloads so the
+    * seam stays total; the walk advances in LONG arithmetic and bails
+    * on any non-advancing or out-of-range size, like the RIFF walk.
+    */
+  def mp4Meta(b: Array[Byte]): (Long, Int, Int, Int, Int, String) = {
+    val unknown = (0L, 0, 0, 0, 0, "unknown")
+    if (b == null || b.length < 16) return unknown
+    def u32(i: Long): Long =
+      ((b(i.toInt) & 0xffL) << 24) | ((b(i.toInt + 1) & 0xffL) << 16) |
+        ((b(i.toInt + 2) & 0xffL) << 8) | (b(i.toInt + 3) & 0xffL)
+    def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Long): String =
+      new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the boxes in [start, end); false on any malformed header
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val sz32 = u32(pos)
+        var hdr = 8L
+        var size = sz32
+        if (sz32 == 1L) {
+          if (pos + 16 > end) return false
+          size = u64(pos + 8); hdr = 16L
+        } else if (sz32 == 0L) size = end - pos
+        if (size < hdr || size > end - pos) return false
+        f(fourcc(pos + 4), pos + hdr, pos + size)
+        pos += size
+      }
+      true
+    }
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0; var nTracks = 0
+    var malformed = false
+    val ok = walk(0L, b.length.toLong) {
+      case ("moov", ms, me) =>
+        malformed ||= !walk(ms, me) {
+          case ("mvhd", ps, pe) =>
+            val v = b(ps.toInt) & 0xff
+            if (v == 0 && pe - ps >= 20) {
+              timescale = u32(ps + 12); duration = u32(ps + 16)
+            } else if (v == 1 && pe - ps >= 32) {
+              timescale = u32(ps + 20); duration = u64(ps + 24)
+            } else malformed = true
+          case ("trak", ts, te) =>
+            nTracks += 1
+            malformed ||= !walk(ts, te) {
+              case ("tkhd", ps, pe) if width == 0 && height == 0 =>
+                val v = b(ps.toInt) & 0xff
+                // width/height are 16.16 fixed point; keep the integer part
+                if (v == 0 && pe - ps >= 84) {
+                  width = (u32(ps + 76) >> 16).toInt
+                  height = (u32(ps + 80) >> 16).toInt
+                } else if (v == 1 && pe - ps >= 96) {
+                  width = (u32(ps + 88) >> 16).toInt
+                  height = (u32(ps + 92) >> 16).toInt
+                } else malformed = true
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (!ok || malformed || timescale <= 0 || duration < 0 || nTracks == 0 ||
+        width < 0 || height < 0) unknown
+    else ((duration * 1000L) / timescale, timescale.toInt, width, height, nTracks, "mp4")
+  }
+
+  /** Partition-batched video metadata seam — same shape as
+    * [[audioMetaPartitioned]]: binary stays inside its input partition,
+    * only the small metadata struct flows on. Output schema = input
+    * minus the binary column, plus `meta: VideoMetaType`.
+    */
+  def videoMetaPartitioned(df: DataFrame, binCol: String,
+      parseOne: Array[Byte] => (Long, Int, Int, Int, Int, String) = mp4Meta): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inSchema.fields.patch(binIdx, Nil, 1).toSeq :+ StructField("meta", VideoMetaType))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val (dur, ts, w, h, nt, container) = parseOne(bytes)
+        val kept = row.toSeq.patch(binIdx, Nil, 1)
+        Row.fromSeq(kept :+ Row(dur, ts, w, h, nt, container))
+      }
+    }
+  }
+
+  /** Deterministic MP4 fixture: `ftyp` + `moov` (mvhd + `nTracks` ×
+    * trak/tkhd) + an mdat of (seed, index)-derived filler — a genuine
+    * ISO-BMFF box layout written by hand from the public spec, so
+    * conformance queries can assert the parsed fields BY CONSTRUCTION
+    * (the video analog of [[syntheticWav]]). `version` selects the
+    * mvhd/tkhd box version (0 or 1) to exercise both parser layouts.
+    */
+  def syntheticMp4(seed: Long, durationUnits: Long, timescale: Int,
+      width: Int, height: Int, nTracks: Int, version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, "mvhd/tkhd version must be 0 or 1")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def box(typ: String, payload: Array[Byte]): Unit = {
+      out.writeInt(8 + payload.length); out.writeBytes(typ); out.write(payload)
+    }
+    def payloadOf(f: java.io.DataOutputStream => Unit): Array[Byte] = {
+      val pb = new java.io.ByteArrayOutputStream()
+      val po = new java.io.DataOutputStream(pb)
+      f(po); po.flush(); pb.toByteArray
+    }
+    val unityMatrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    box("ftyp", payloadOf { o =>
+      o.writeBytes("isom"); o.writeInt(0x200); o.writeBytes("isom")
+    })
+    box("moov", payloadOf { moov =>
+      val mvhd = payloadOf { o =>
+        o.writeInt(version << 24) // version + flags
+        if (version == 0) { o.writeInt(0); o.writeInt(0); o.writeInt(timescale); o.writeInt(durationUnits.toInt) }
+        else { o.writeLong(0L); o.writeLong(0L); o.writeInt(timescale); o.writeLong(durationUnits) }
+        o.writeInt(0x00010000); o.writeShort(0x0100); o.writeShort(0)
+        o.writeInt(0); o.writeInt(0)
+        unityMatrix.foreach(o.writeInt)
+        (0 until 6).foreach(_ => o.writeInt(0)) // pre_defined
+        o.writeInt(nTracks + 1) // next_track_ID
+      }
+      moov.writeInt(8 + mvhd.length); moov.writeBytes("mvhd"); moov.write(mvhd)
+      (1 to nTracks).foreach { tid =>
+        val tkhd = payloadOf { o =>
+          o.writeInt((version << 24) | 0x7) // version + enabled/in-movie flags
+          if (version == 0) {
+            o.writeInt(0); o.writeInt(0); o.writeInt(tid); o.writeInt(0); o.writeInt(durationUnits.toInt)
+          } else {
+            o.writeLong(0L); o.writeLong(0L); o.writeInt(tid); o.writeInt(0); o.writeLong(durationUnits)
+          }
+          o.writeLong(0L) // reserved
+          o.writeShort(0); o.writeShort(0); o.writeShort(0); o.writeShort(0)
+          unityMatrix.foreach(o.writeInt)
+          o.writeInt(width << 16); o.writeInt(height << 16)
+        }
+        val trak = payloadOf { o =>
+          o.writeInt(8 + tkhd.length); o.writeBytes("tkhd"); o.write(tkhd)
+        }
+        moov.writeInt(8 + trak.length); moov.writeBytes("trak"); moov.write(trak)
+      }
+    })
+    box("mdat", payloadOf { o =>
+      (0 until 64).foreach(i => o.writeByte(((seed * 1315423911L + i * 2654435761L) >>> 7).toInt))
+    })
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Memoized [[syntheticMp4]] over a bounded seed set (m05 draws from
+    * 42 distinct combos) — fixture plumbing, same contract as
+    * [[syntheticWavCached]].
+    */
+  private val mp4Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int, Int, Int, Int), Array[Byte]]
+  def syntheticMp4Cached(seed: Long, durationUnits: Long, timescale: Int,
+      width: Int, height: Int, nTracks: Int): Array[Byte] =
+    mp4Cache.computeIfAbsent((seed, durationUnits, timescale, width, height, nTracks),
+      k => syntheticMp4(k._1, k._2, k._3, k._4, k._5, k._6))
+
   /** Frame-sampling stub for video-like payloads: emit every k-th chunk of
     * the byte stream as one "frame" row (explode pattern — the real
     * operator shape for frame extraction).

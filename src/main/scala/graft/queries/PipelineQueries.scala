@@ -706,6 +706,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- multimodal: video container metadata
+    // ISO-BMFF (MP4) box-header walk — moov/mvhd duration+timescale,
+    // trak count, first tkhd width/height (16.16 fixed point) — via the
+    // partitioned seam; frame decode is out of scope by design (mdat is
+    // opaque). Every field is a function of m = doc_id % 42, so the
+    // fixture generator draws from 42 distinct hand-written box
+    // layouts, memoized per executor, and the oracle re-derives the
+    // fields arithmetically: the check passes only if the generator's
+    // byte layout and the parser's walk agree on every field.
+    q("m05_video_meta",
+      """SELECT doc_id,
+        |  CAST(1000 + doc_id % 7 * 500 AS BIGINT) AS duration_ms,
+        |  1000 AS timescale,
+        |  CAST(640 + doc_id % 3 * 320 AS INTEGER) AS width,
+        |  CAST(360 + doc_id % 3 * 180 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        |  'mp4' AS container
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val gen = udf((m: Long) => MultimodalOps.syntheticMp4Cached(
+        m, 1000 + (m % 7) * 500, 1000,
+        (640 + (m % 3) * 320).toInt, (360 + (m % 3) * 180).toInt,
+        (1 + m % 2).toInt))
+      val mp4s = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 42).as("mp4"))
+      MultimodalOps.videoMetaPartitioned(mp4s, "mp4")
+        .select(col("doc_id"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.timescale").as("timescale"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_tracks").as("n_tracks"),
+          col("meta.container").as("container"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- as-of join (custom operator)
     q("q35_asof_join",
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

@@ -670,7 +670,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fresh3 == Seq((22L, "epsilon")))
   }
 
-  test("compactLedger: collapses digests, hits target file count, dedup results bit-identical") {
+  test("mp4Meta: box-walk round-trips the generator for v0 and v1; malformed payloads fall to unknown") {
+    import MultimodalOps.{mp4Meta, syntheticMp4}
+    for (v <- Seq(0, 1)) {
+      val b = syntheticMp4(seed = 3L, durationUnits = 2500L, timescale = 1000,
+        width = 960, height = 540, nTracks = 2, version = v)
+      assert(mp4Meta(b) == ((2500L, 1000, 960, 540, 2, "mp4")), s"version $v")
+    }
+    // 64-bit duration through the v1 layout
+    val big = syntheticMp4(1L, 5000000000L, 1000000, 64, 48, 1, version = 1)
+    assert(mp4Meta(big) == ((5000000L, 1000000, 64, 48, 1, "mp4")))
+    // malformed: truncation mid-moov, flipped size to past-the-end,
+    // garbage, empty, null — all fall to unknown, never throw
+    val good = syntheticMp4(2L, 1000L, 600, 320, 240, 1)
+    assert(mp4Meta(good.take(40)) == ((0L, 0, 0, 0, 0, "unknown")))
+    val oversize = good.clone()
+    oversize(0) = 0x7f.toByte // ftyp size far beyond the buffer
+    assert(mp4Meta(oversize) == ((0L, 0, 0, 0, 0, "unknown")))
+    assert(mp4Meta("definitely not an mp4 payload....".getBytes) == ((0L, 0, 0, 0, 0, "unknown")))
+    assert(mp4Meta(Array.emptyByteArray) == ((0L, 0, 0, 0, 0, "unknown")))
+    assert(mp4Meta(null) == ((0L, 0, 0, 0, 0, "unknown")))
+    // size==0 (box runs to end) on the LAST box is legal: rewrite the
+    // mdat header size to 0 and expect identical metadata
+    val mdatAt = {
+      // find 'mdat' fourcc offset
+      val pat = "mdat".getBytes
+      (0 until good.length - 4).find(i => pat.indices.forall(j => good(i + j) == pat(j))).get - 4
+    }
+    val toEnd = good.clone()
+    toEnd(mdatAt) = 0; toEnd(mdatAt + 1) = 0; toEnd(mdatAt + 2) = 0; toEnd(mdatAt + 3) = 0
+    assert(mp4Meta(toEnd) == ((1000L * 1000 / 600, 600, 320, 240, 1, "mp4")))
+  }
+
+    test("compactLedger: collapses digests, hits target file count, dedup results bit-identical") {
     val path = java.nio.file.Files.createTempDirectory("graft-ledger-c").toString + "/led"
     DedupOps.writeLedger(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "t"), "id", Seq("t"), path)
     // three appends, one of them re-admitting an existing digest with a
