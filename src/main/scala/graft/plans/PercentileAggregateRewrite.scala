@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSession, GraftSqlShims}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -27,6 +28,15 @@ import graft.operators.PercentileOps
   * candidates-only ranking window — with no per-group buffering and no
   * driver collects, so the SQL syntax a user actually writes gets the
   * plan that survives scale.
+  *
+  * Two shapes rewrite. (1) A logical `Aggregate` over percentile calls
+  * — the grouped report. (2) The same calls as WINDOW functions over a
+  * whole partition (`percentile(v, q) OVER (PARTITION BY k)`, no ORDER
+  * BY in the OVER clause): WindowExec buffers the identical value map
+  * per window partition, and since every row of a partition receives
+  * the same scalar, the node becomes the grouped plan joined back on
+  * the partition keys (null-safe). Ordered specs — running percentiles
+  * — are never touched.
   *
   * Matched narrowly (the rewrite must be a pure win, never a risk): a
   * logical `Aggregate` in which EVERY aggregate function is a
@@ -98,6 +108,78 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
           rewrite(agg, groupingExprs, aggExprs, child, calls)
         case _ => agg
       }
+    // percentile aggregates used as WINDOW functions over a whole
+    // partition — `percentile(v, q) OVER (PARTITION BY k)` — buffer the
+    // partition's full value map inside WindowExec: the same OOM cliff,
+    // per window partition. Every row of a partition receives the same
+    // group scalar, so the node rewrites to the grouped histogram-
+    // selection plan joined back onto the child on the partition keys
+    // (null-safe, matching window partitioning of NULL keys). Matched
+    // only when the OVER clause has no ORDER BY and every frame is the
+    // whole partition — an ordered spec means a RUNNING percentile,
+    // which this substitution must never touch.
+    case w @ Window(windowExprs, partitionSpec, Nil, child, _) =>
+      windowCalls(windowExprs) match {
+        case Some(calls) => rewriteWindow(partitionSpec, windowExprs, child, calls)
+        case None => w
+      }
+  }
+
+  /** One PctCall per window expression, or None unless EVERY window
+    * expression is a rewritable whole-partition percentile call.
+    */
+  private def windowCalls(windowExprs: Seq[NamedExpression])
+      : Option[Seq[PctCall]] = {
+    if (windowExprs.isEmpty) return None
+    val calls = windowExprs.map {
+      case Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(_, Nil, SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
+          if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+        pctCall(ae.aggregateFunction)
+      case _ => None
+    }
+    if (calls.exists(_.isEmpty)) None else Some(calls.flatten)
+  }
+
+  private def rewriteWindow(partitionSpec: Seq[Expression],
+      windowExprs: Seq[NamedExpression], child: LogicalPlan,
+      calls: Seq[PctCall]): LogicalPlan = {
+    val spark = SparkSession.active
+    val valueExprs = scala.collection.mutable.ArrayBuffer[Expression]()
+    def measureIdx(v: Expression): Int = {
+      val i = valueExprs.indexWhere(_.semanticEquals(v))
+      if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
+    }
+    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
+    val colOfExpr = calls.map { case PctCall(v, q, disc) =>
+      val k = (measureIdx(v), q, disc)
+      qKey.getOrElseUpdate(k, s"__q${qKey.size}")
+    }
+    val kNames = partitionSpec.indices.map(i => s"__k$i")
+    def c(e: Expression): Column = GraftSqlShims.column(e)
+    val df0 = GraftSqlShims.ofRows(spark, child).select(
+      partitionSpec.zip(kNames).map { case (g, n) => c(g).as(n) } ++
+        valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
+    val measures = valueExprs.indices.map { j =>
+      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
+      (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
+    }
+    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
+    val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+      GraftSqlShims.analyzedPlan(out))
+    val outAttr = analyzed.output.map(a => a.name -> a).toMap
+    // join the per-group quantiles back onto every child row. With an
+    // empty partitionSpec (OVER ()) the quantile side is exactly one
+    // row — a Cross join, so the planner's cartesian check stays quiet.
+    val cond = partitionSpec.zip(kNames)
+      .map { case (p, n) => EqualNullSafe(p, outAttr(n)): Expression }
+      .reduceOption(And)
+    val joinType = if (cond.isEmpty) Cross else Inner
+    val joined = Join(child, analyzed, joinType, cond, JoinHint.NONE)
+    val restored = windowExprs.zip(colOfExpr).map { case (ne, qc) =>
+      Alias(outAttr(qc), ne.name)(exprId = ne.exprId)
+    }
+    Project(child.output ++ restored, joined)
   }
 
   /** The non-aggregate parts of an output expression must be computable

@@ -259,7 +259,73 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3) // a, NULL, and the all-NULL z all present
   }
 
-  test("percentile rewrite negative: mixed aggregates, DESC ordering, and array percentages stay built-in") {
+  test("percentile rewrite: whole-partition window percentiles route onto the join-back plan") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw")
+    val q =
+      """SELECT l_orderkey, l_linenumber,
+        |  percentile(l_extendedprice, 0.5) OVER (PARTITION BY l_returnflag) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    OVER (PARTITION BY l_returnflag) AS p90d,
+        |  median(l_quantity) OVER (PARTITION BY l_returnflag) AS med,
+        |  median(l_quantity) OVER () AS gmed
+        |FROM liw""".stripMargin
+    val df = spark.sql(q)
+    val phys = df.queryExecution.executedPlan.toString
+    // the substituted plan legitimately contains WINDOW operators — the
+    // bucket-table cumulative sums and the candidates-only row_number,
+    // all model-sized — so the gate is the absence of any percentile
+    // aggregate, the per-partition value-map buffering being replaced
+    assert(!phys.contains("percentile"),
+      s"window percentile survived the rewrite: $phys")
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw")
+    assert(rowsOf(df) == rowsOf(plain.sql(q)))
+  }
+
+  test("percentile rewrite: NULL window partition keys group like the built-in") {
+    val spark = extendedSession()
+    import spark.implicits._
+    val rows = Seq((Option("a"), Option(1.0)), (Option("a"), Option(3.0)),
+      (Option.empty[String], Option(10.0)), (Option.empty[String], Option(30.0)),
+      (Option("z"), Option.empty[Double]))
+    rows.toDF("g", "v").createOrReplaceTempView("pw")
+    val q = "SELECT g, v, percentile(v, 0.5) OVER (PARTITION BY g) AS p FROM pw"
+    val df = spark.sql(q)
+    assert(!df.queryExecution.executedPlan.toString.contains("percentile"))
+    val plain = plainSession()
+    plain.createDataFrame(rows).toDF("g", "v").createOrReplaceTempView("pw")
+    assert(rowsOf(df) == rowsOf(plain.sql(q)))
+  }
+
+  test("percentile rewrite negative: running (ordered) and mixed window functions stay built-in") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw2")
+    val running =
+      """SELECT percentile(l_quantity, 0.5)
+        |  OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS p FROM liw2""".stripMargin
+    // mixing with a DIFFERENT spec is fine: the analyzer splits window
+    // functions into one Window node per spec, so the percentile node
+    // rewrites while row_number keeps its Window — both must answer
+    // correctly side by side
+    val mixed =
+      """SELECT percentile(l_quantity, 0.5) OVER (PARTITION BY l_returnflag) AS p,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS rn
+        |FROM liw2""".stripMargin
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw2")
+    val runDf = spark.sql(running)
+    assert(runDf.queryExecution.executedPlan.toString.contains("percentile"),
+      "running percentile must stay on the built-in window path")
+    assert(rowsOf(runDf) == rowsOf(plain.sql(running)))
+    val mixDf = spark.sql(mixed)
+    val mixPhys = mixDf.queryExecution.executedPlan.toString
+    assert(!mixPhys.contains("percentile") && mixPhys.contains("row_number()"),
+      s"mixed-spec split not handled as expected: $mixPhys")
+    assert(rowsOf(mixDf) == rowsOf(plain.sql(mixed)))
+  }
+
+    test("percentile rewrite negative: mixed aggregates, DESC ordering, and array percentages stay built-in") {
     val spark = extendedSession()
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin")
     val mixed =
