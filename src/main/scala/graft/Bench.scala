@@ -28,6 +28,10 @@ object Bench {
       // dominating sub-second queries, a cache that actually spans the
       // pass lets min(p1, p2) measure execution, not compilation
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // the full extension set (TVFs, kernels, levenshtein + percentile
+      // optimizer rules) active from session birth: every query plans
+      // identically regardless of run order
+      .withExtensions(new GraftSparkExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -16,6 +16,10 @@ object Verify {
       // let Registry.table normalize to a microsecond timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // the full extension set (TVFs, kernels, levenshtein + percentile
+      // optimizer rules) active from session birth: every query plans
+      // identically regardless of run order
+      .withExtensions(new GraftSparkExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

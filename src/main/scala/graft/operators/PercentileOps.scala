@@ -141,7 +141,7 @@ object PercentileOps {
   }
 
   /** Exact quantiles by histogram selection as ONE declarative plan —
-    * no driver collects anywhere: the two-job form below pulls the
+    * no unconditional driver collects: the two-job form below pulls the
     * histogram and the candidates to the driver, which bounds group
     * cardinality by driver memory; this form keeps everything
     * distributed, so it is the plan the optimizer rule
@@ -228,14 +228,20 @@ object PercentileOps {
         Seq(col("__m").as("__n_m"), col("__b").as("__n_b"),
           col("__start"), col("__n")): _*)
 
-    // scan 2: candidates only — broadcast semi-join against `needed`,
-    // then EXACT global rank = bucket start + within-bucket row_number
-    // (the ranking window sees candidates, never the full value set)
+    // scan 2: candidates only — semi-join against `needed`, then EXACT
+    // global rank = bucket start + within-bucket row_number (the
+    // ranking window sees candidates, never the full value set). NO
+    // explicit broadcast hint: `needed` is one row per (group, measure,
+    // needed bucket), so its size tracks GROUP CARDINALITY — tiny for
+    // the report shapes this plan targets, but a high-cardinality
+    // GROUP BY would OOM a forced broadcast. AQE broadcasts it at
+    // runtime when it is actually small and shuffle-joins otherwise,
+    // which is the behavior that survives both extremes.
     val candCond = keys.map(k => col(k) <=> col(s"__nk_$k"))
       .foldLeft(col("__m") === col("__n_m") && bucketExpr === col("__n_b"))(_ && _)
     val wC = Window.partitionBy((grp :+ col("__n_b")): _*).orderBy(col("__v"))
     val cands = unpivotedAll.filter(col("__v").isNotNull)
-      .join(broadcast(needed), candCond)
+      .join(needed, candCond)
       .withColumn("__g", col("__start") + row_number().over(wC) - 1)
       .select(grp ++ Seq(col("__v"), col("__n"), col("__g")): _*)
     // one sentinel row per (group, measure) — rank −1 never matches a

@@ -49,7 +49,10 @@ object SketchOps {
     val spark = counts.sparkSession
     import spark.implicits._
     val empty = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+    // the count_min_sketch SQL aggregate SKIPS NULL inputs; mirror that
+    // here — CountMinSketch.add(null, c) would throw
     val cms = counts.select(valueCol.cast("string").as("__v"), weightCol.cast("long").as("__c"))
+      .filter(col("__v").isNotNull)
       .as[(String, Long)].rdd
       .mapPartitions { it =>
         val sk = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
@@ -77,7 +80,11 @@ object SketchOps {
     // two actions share the explode+shuffle instead of re-running it.
     // The cache is vocabulary-sized (distinct tokens), never the token
     // stream, and is dropped synchronously after the second action.
+    // NULL tokens are excluded up front: the sketch side skips NULLs
+    // (count_min_sketch semantics), so a NULL in the top-k could never
+    // be estimated anyway
     val counts = df.select(tokenCol.as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("exact"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -101,10 +101,23 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
     else Some(calls.flatten.toMap)
   }
 
+  /** Both rewrite shapes re-embed the child subtree (the histogram scan
+    * plus, for windows, the row leg), so the child runs MORE THAN ONCE.
+    * That is only sound when every expression in the subtree is
+    * deterministic — a rand()/UDF child could disagree between the two
+    * evaluations and the join would pair rows against quantiles from a
+    * different draw. Same guard Spark's own subtree-duplicating rules
+    * apply. (Re-reading a stable source twice is the normal self-join
+    * contract and is fine.)
+    */
+  private def deterministic(p: LogicalPlan): Boolean =
+    p.expressions.forall(_.deterministic) && p.children.forall(deterministic)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
       collectCalls(aggExprs) match {
-        case Some(calls) if aggExprs.forall(substitutable(_, groupingExprs, calls)) =>
+        case Some(calls) if aggExprs.forall(substitutable(_, groupingExprs, calls)) &&
+            aggExprs.forall(_.deterministic) && deterministic(child) =>
           rewrite(agg, groupingExprs, aggExprs, child, calls)
         case _ => agg
       }
@@ -118,11 +131,132 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
     // only when the OVER clause has no ORDER BY and every frame is the
     // whole partition — an ordered spec means a RUNNING percentile,
     // which this substitution must never touch.
-    case w @ Window(windowExprs, partitionSpec, Nil, child, _) =>
-      windowCalls(windowExprs) match {
-        case Some(calls) => rewriteWindow(partitionSpec, windowExprs, child, calls)
-        case None => w
+    //
+    // A query with SEVERAL whole-partition percentile specs analyzes to
+    // a STACK of Window nodes (one per spec). The stack is peeled and
+    // rewritten as one replacement over the SHARED base child — one
+    // quantile subplan per spec, chained joins — so the base is scanned
+    // once per spec plus once for the row leg (linear), never
+    // duplicated per level (which would be exponential: each level
+    // embedding its child twice).
+    case w @ Window(_, _, Nil, _, _) =>
+      peelStack(w) match {
+        // every layer must be computable from the BASE alone (a layer
+        // referencing an inner window's output cannot ride the shared-
+        // base quantile plan) and fully deterministic — the value
+        // expressions run once per histogram scan. If the base still
+        // holds an eligible percentile Window the analyzer shaped in a
+        // way the peel cannot flatten, REFUSE: rewriting above it would
+        // re-embed (and so re-execute) that subtree once per scan —
+        // the exponential blowup this stack handling exists to avoid.
+        case Some((layers, base)) if deterministic(base) &&
+            !base.exists {
+              case ww: Window => windowCalls(ww.windowExpressions).isDefined
+              case _ => false
+            } &&
+            layers.forall { case (wes, ps, _) =>
+              wes.forall(_.deterministic) &&
+                AttributeSet(wes.flatMap(_.references) ++ ps.flatMap(_.references))
+                  .subsetOf(base.outputSet)
+            } =>
+          rewriteWindowStack(w, layers, base)
+        case _ => w
       }
+  }
+
+  /** Peel consecutive eligible whole-partition percentile Window nodes,
+    * stepping through the attribute-only pruning Projects the analyzer
+    * interposes between stacked Window nodes. Returns the eligible
+    * layers outermost-first and the shared base, or None if the
+    * outermost node itself is ineligible.
+    */
+  private def peelStack(w: Window)
+      : Option[(Seq[(Seq[NamedExpression], Seq[Expression], Seq[PctCall])], LogicalPlan)] = {
+    def through(p: LogicalPlan): LogicalPlan = p match {
+      case Project(projList, inner: Window) if projList.forall(_.isInstanceOf[Attribute]) =>
+        inner
+      case other => other
+    }
+    w match {
+      case Window(windowExprs, partitionSpec, Nil, child, _) =>
+        windowCalls(windowExprs) match {
+          case Some(calls) =>
+            val layer = (windowExprs, partitionSpec, calls)
+            through(child) match {
+              case cw: Window => peelStack(cw) match {
+                case Some((innerLayers, base)) => Some((layer +: innerLayers, base))
+                case None => Some((Seq(layer), child))
+              }
+              case _ => Some((Seq(layer), child))
+            }
+          case None => None
+        }
+      case _ => None
+    }
+  }
+
+  private def rewriteWindowStack(outer: Window,
+      layers: Seq[(Seq[NamedExpression], Seq[Expression], Seq[PctCall])],
+      base: LogicalPlan): LogicalPlan = {
+    // chain: each layer joins its quantiles (computed over the SHARED
+    // base) onto the accumulated plan
+    val (joined, cols) = layers.foldLeft((base: LogicalPlan, Seq.empty[NamedExpression])) {
+      case ((acc, cs), (windowExprs, partitionSpec, calls)) =>
+        val (j, restored) = joinQuantiles(acc, base, partitionSpec, windowExprs, calls)
+        (j, restored ++ cs)
+    }
+    // the replacement must reproduce the ORIGINAL outer node's output
+    // (names, exprIds, order) exactly — the peeled-through pruning
+    // Projects mean base.output is wider than what the parent expects.
+    // Each output attribute is either a base column (flows through the
+    // joins untouched) or one of the restored percentile aliases.
+    val byId = cols.map(a => a.exprId -> a).toMap
+    Project(outer.output.map(a => byId.getOrElse(a.exprId, a)), joined)
+  }
+
+  /** Build the quantile subplan for one (partitionSpec, calls) layer
+    * over `base` and join it onto `acc`. Returns the join and the
+    * restored output aliases (original names + exprIds).
+    */
+  private def joinQuantiles(acc: LogicalPlan, base: LogicalPlan,
+      partitionSpec: Seq[Expression], windowExprs: Seq[NamedExpression],
+      calls: Seq[PctCall]): (LogicalPlan, Seq[NamedExpression]) = {
+    val spark = SparkSession.active
+    val valueExprs = scala.collection.mutable.ArrayBuffer[Expression]()
+    def measureIdx(v: Expression): Int = {
+      val i = valueExprs.indexWhere(_.semanticEquals(v))
+      if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
+    }
+    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
+    val colOfExpr = calls.map { case PctCall(v, q, disc) =>
+      val k = (measureIdx(v), q, disc)
+      qKey.getOrElseUpdate(k, s"__q${qKey.size}")
+    }
+    val kNames = partitionSpec.indices.map(i => s"__k$i")
+    def c(e: Expression): Column = GraftSqlShims.column(e)
+    val df0 = GraftSqlShims.ofRows(spark, base).select(
+      partitionSpec.zip(kNames).map { case (g, n) => c(g).as(n) } ++
+        valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
+    val measures = valueExprs.indices.map { j =>
+      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
+      (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
+    }
+    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
+    val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+      GraftSqlShims.analyzedPlan(out))
+    val outAttr = analyzed.output.map(a => a.name -> a).toMap
+    // join the per-group quantiles onto every accumulated row. With an
+    // empty partitionSpec (OVER ()) the quantile side is exactly one
+    // row — a Cross join, so the planner's cartesian check stays quiet.
+    val cond = partitionSpec.zip(kNames)
+      .map { case (p, n) => EqualNullSafe(p, outAttr(n)): Expression }
+      .reduceOption(And)
+    val joinType = if (cond.isEmpty) Cross else Inner
+    val joined = Join(acc, analyzed, joinType, cond, JoinHint.NONE)
+    val restored = windowExprs.zip(colOfExpr).map { case (ne, qc) =>
+      Alias(outAttr(qc), ne.name)(exprId = ne.exprId)
+    }
+    (joined, restored)
   }
 
   /** One PctCall per window expression, or None unless EVERY window
@@ -139,47 +273,6 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     if (calls.exists(_.isEmpty)) None else Some(calls.flatten)
-  }
-
-  private def rewriteWindow(partitionSpec: Seq[Expression],
-      windowExprs: Seq[NamedExpression], child: LogicalPlan,
-      calls: Seq[PctCall]): LogicalPlan = {
-    val spark = SparkSession.active
-    val valueExprs = scala.collection.mutable.ArrayBuffer[Expression]()
-    def measureIdx(v: Expression): Int = {
-      val i = valueExprs.indexWhere(_.semanticEquals(v))
-      if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
-    }
-    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
-    val colOfExpr = calls.map { case PctCall(v, q, disc) =>
-      val k = (measureIdx(v), q, disc)
-      qKey.getOrElseUpdate(k, s"__q${qKey.size}")
-    }
-    val kNames = partitionSpec.indices.map(i => s"__k$i")
-    def c(e: Expression): Column = GraftSqlShims.column(e)
-    val df0 = GraftSqlShims.ofRows(spark, child).select(
-      partitionSpec.zip(kNames).map { case (g, n) => c(g).as(n) } ++
-        valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
-    val measures = valueExprs.indices.map { j =>
-      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
-      (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
-    }
-    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
-    val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-      GraftSqlShims.analyzedPlan(out))
-    val outAttr = analyzed.output.map(a => a.name -> a).toMap
-    // join the per-group quantiles back onto every child row. With an
-    // empty partitionSpec (OVER ()) the quantile side is exactly one
-    // row — a Cross join, so the planner's cartesian check stays quiet.
-    val cond = partitionSpec.zip(kNames)
-      .map { case (p, n) => EqualNullSafe(p, outAttr(n)): Expression }
-      .reduceOption(And)
-    val joinType = if (cond.isEmpty) Cross else Inner
-    val joined = Join(child, analyzed, joinType, cond, JoinHint.NONE)
-    val restored = windowExprs.zip(colOfExpr).map { case (ne, qc) =>
-      Alias(outAttr(qc), ne.name)(exprId = ne.exprId)
-    }
-    Project(child.output ++ restored, joined)
   }
 
   /** The non-aggregate parts of an output expression must be computable

@@ -725,16 +725,15 @@ object OlapQueries {
         |  quantile_disc(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // written as the SQL-standard syntax a user would type; the
-      // injected PercentileAggregateRewrite routes it onto the
-      // histogram-selection plan (occupied-bucket counts + a candidates-
-      // only ranking window — no per-group value-map buffering), so
-      // this query is the rewrite's end-to-end
+      // session's PercentileAggregateRewrite (injected by
+      // GraftSparkExtensions at session build — never registered from
+      // inside a query body, which would make plans order-dependent)
+      // routes it onto the histogram-selection plan (occupied-bucket
+      // counts + a candidates-only ranking window — no per-group
+      // value-map buffering), so this query is the rewrite's end-to-end
       // conformance proof: same oracle, optimizer-substituted plan.
       // GraftSparkExtensionsSpec pins the plan shape (no ObjectHash
       // aggregate) and the negative case (mixed aggregates untouched).
-      if (!s.experimental.extraOptimizations.contains(graft.plans.PercentileAggregateRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.PercentileAggregateRewrite
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(

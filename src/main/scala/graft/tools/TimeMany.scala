@@ -19,6 +19,10 @@ object TimeMany {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // the full extension set (TVFs, kernels, levenshtein + percentile
+      // optimizer rules) active from session birth: every query plans
+      // identically regardless of run order
+      .withExtensions(new graft.GraftSparkExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

@@ -298,7 +298,53 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf(df) == rowsOf(plain.sql(q)))
   }
 
-  test("percentile rewrite negative: running (ordered) and mixed window functions stay built-in") {
+  test("percentile rewrite: a stack of window specs rewrites linearly over the shared base") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw3")
+    // three DIFFERENT whole-partition specs => a 3-deep Window stack
+    // (with pruning Projects interposed); naive per-node rewriting
+    // embeds the child subtree per level multiplicatively (64 scans
+    // measured); the stack peel shares ONE base: 3 scans per layer
+    // (histogram, sentinel-row aggregate, candidates) + 1 row leg = 10
+    // — linear in layers, which is the property under test
+    val q =
+      """SELECT l_orderkey,
+        |  percentile(l_extendedprice, 0.5) OVER (PARTITION BY l_returnflag) AS pa,
+        |  percentile(l_extendedprice, 0.5) OVER (PARTITION BY l_linestatus) AS pb,
+        |  percentile(l_extendedprice, 0.5) OVER (PARTITION BY l_linenumber) AS pc
+        |FROM liw3""".stripMargin
+    val df = spark.sql(q)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("percentile"), s"stacked window percentiles survived: $phys")
+    val scans = "FileScan parquet".r.findAllIn(phys).length
+    assert(scans == 10, s"expected 3*layers+1 = 10 scans of the base, found $scans: $phys")
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw3")
+    assert(rowsOf(df) == rowsOf(plain.sql(q)))
+  }
+
+  test("percentile rewrite negative: non-deterministic inputs stay built-in (subtree is duplicated)") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lind")
+    // rand() in the child: the rewrite re-evaluates the child per scan,
+    // so a rewritten plan could pair rows with quantiles from a
+    // different draw — must stay on the single-evaluation built-in path
+    // (Spark rejects non-deterministic ARGUMENTS outright, so the
+    // non-determinism must live in a child projection)
+    val aggQ =
+      """SELECT percentile(r, 0.5) AS p
+        |FROM (SELECT l_returnflag, l_quantity + rand(0) AS r FROM lind)
+        |GROUP BY l_returnflag""".stripMargin
+    val winQ =
+      """SELECT percentile(r, 0.5) OVER (PARTITION BY l_returnflag) AS p
+        |FROM (SELECT l_returnflag, l_quantity + rand(0) AS r FROM lind)""".stripMargin
+    for (q <- Seq(aggQ, winQ)) {
+      val phys = spark.sql(q).queryExecution.executedPlan.toString
+      assert(phys.contains("percentile"), s"non-deterministic query was rewritten: $q -- $phys")
+    }
+  }
+
+    test("percentile rewrite negative: running (ordered) and mixed window functions stay built-in") {
     val spark = extendedSession()
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw2")
     val running =
