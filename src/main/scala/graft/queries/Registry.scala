@@ -35,13 +35,19 @@ object Registry {
 
   /** Read one fixture table from the given scale-factor directory.
     *
-    * The `events` table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench sessions) — the column then arrives as LONG
-    * nanoseconds. Normalize it back to a microsecond TIMESTAMP with
-    * integer division (`div`, not `/`: double division loses precision at
-    * ~1.7e18). Truncation toward zero matches DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)`, which the oracle SQL uses.
+    * The `events.ts` column is normalized to a session-zone (UTC)
+    * microsecond TIMESTAMP whatever the fixture generation encoded:
+    *  - TIMESTAMP(NANOS) parquet (earlier fixture rounds) reads as LONG
+    *    nanoseconds under `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set in Verify/Bench sessions) → integer-divide to micros
+    *    (`div`, not `/`: double division loses precision at ~1.7e18;
+    *    truncation toward zero matches DuckDB's `CAST(ts_ns AS
+    *    TIMESTAMP)`);
+    *  - TIMESTAMP_NTZ (timestamp[us] fixtures) → value-preserving cast
+    *    to TIMESTAMP (the session zone is pinned UTC, so wall-clock
+    *    fields are unchanged and epoch math — `cast(ts as long)`,
+    *    date_trunc, window ranges — behaves identically to the oracle's
+    *    native timestamp).
     */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = planCache.synchronized {
@@ -51,10 +57,12 @@ object Registry {
     }
     perSession.getOrElseUpdate(s"$dir/$name", {
       val df = s.read.parquet(s"$dir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-        case Some(_) =>
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
           df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        case None => df
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
       }
     })
   }

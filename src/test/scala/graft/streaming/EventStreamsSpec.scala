@@ -29,15 +29,23 @@ class EventStreamsSpec extends AnyFunSuite {
   }
   private val eventsPath = "/root/testdata/sf0.001/events.parquet"
 
+  // normalize ts to a session-zone (UTC) TIMESTAMP whichever encoding
+  // the fixture generation used — LONG nanos (nanosAsLong) or
+  // TIMESTAMP_NTZ micros — mirroring Registry.table
+  private def normTs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def streamingEvents() = {
     val raw = spark.read.parquet(eventsPath)
-    val stream = spark.readStream.schema(raw.schema).parquet(eventsDir)
-    stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normTs(spark.readStream.schema(raw.schema).parquet(eventsDir))
   }
 
   private def batchEvents() =
-    spark.read.parquet(eventsPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normTs(spark.read.parquet(eventsPath))
 
   test("streaming hourly counts equal the batch aggregation") {
     val q = EventStreams.hourlyTypeCounts(streamingEvents())
