@@ -68,6 +68,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    registerFunctions(ext)
+    registerOptimizerRules(ext)
+  }
+
+  /** Scalar kernels + Redis TVFs only (no optimizer rules) — split out so
+    * profiling harnesses can A/B rule overhead with the SQL surface held
+    * constant.
+    */
+  def registerFunctions(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f"), info("dot_f"),
       (es: Seq[Expression]) => graft.functions.DotProductF(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("dot_fd"), info("dot_fd"),
@@ -96,7 +105,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           (es: Seq[Expression]) =>
             org.apache.spark.sql.GraftSqlShims.logicalPlan(sourceDf(fmt, patternArg(es, fn)))))
       }
+  }
 
+  /** The engine's optimizer rules. */
+  def registerOptimizerRules(ext: SparkSessionExtensions): Unit = {
     // optimizer: `JOIN ... ON levenshtein(a,b) <= k` (a cartesian
     // nested loop as written) rewrites to the PassJoin blocking plan
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinJoinRewrite)

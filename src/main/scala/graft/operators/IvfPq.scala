@@ -102,7 +102,16 @@ object IvfPq {
       model: Model, path: String): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // cluster the writer on the partition column first: without it every
+    // write task emits one file into EVERY cell directory (tasks × kc
+    // small files — the classic small-files trap; a probe of 6 cells
+    // would open tasks×6 footers). Hash-repartitioned on __cluster each
+    // cell's rows land in exactly one task → one well-sized file per
+    // cell here; a 100 TB build raises spark.sql.shuffle.partitions so
+    // each cell splits across ~partitions/kc writers, still O(1) files
+    // per cell per writer.
     codeTable(candidates, cId, cVec, model)
+      .repartition(col("__cluster"))
       .write.mode("overwrite").partitionBy("__cluster").parquet(s"$path/codes")
     val rows =
       (if (model.residual) Seq((-2, 0, Seq.empty[Double])) else Nil) ++
@@ -125,6 +134,7 @@ object IvfPq {
       path: String): Unit = {
     val model = loadModel(newRows.sparkSession, path)
     codeTable(newRows, cId, cVec, model)
+      .repartition(col("__cluster")) // one file per touched cell per batch
       .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
   }
 
@@ -152,8 +162,12 @@ object IvfPq {
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
       candidates: DataFrame, cId: String, cVec: String,
-      k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    val model = loadModel(spark, path)
+      k: Int, nprobe: Int, rerank: Int,
+      preloadedModel: Option[Model] = None): DataFrame = {
+    // a long-lived probe service loads the (tiny) model once and serves
+    // many query batches against it — `preloadedModel` skips the
+    // per-probe parquet read + collect without changing any result
+    val model = preloadedModel.getOrElse(loadModel(spark, path))
     // ONE query collect for the whole probe: the same rows drive both
     // the driver-side partition filter here and annTopK's LUT build
     val qRows = collectQueries(queries, qId, qVec)
@@ -253,10 +267,18 @@ object IvfPq {
 
     val pool = SimilarityOps.perKeyTopK(scored, "dist", asc = true, math.max(rerank, k))
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: full vectors for only n_queries × rerank rows
+    // exact re-rank: full vectors for only n_queries × rerank rows.
+    // The query-side vectors ride the rows ALREADY collected for the
+    // LUT build (float→double widening is exact, so narrowing back is
+    // the identity) — a local relation instead of a second scan +
+    // broadcast of the queries input: one fewer job per probe, same
+    // bits in every distance.
+    val qLocal = qRows.toSeq
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("query_id", "__qv")
     val exact = broadcast(pool)
       .join(candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))), Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.queries.Qf.dround(
           sqrt(graft.functions.VectorExpressions.sqDistFF(col("__qv"), col("__cv"))),

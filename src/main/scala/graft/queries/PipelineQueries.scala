@@ -1488,11 +1488,14 @@ object PipelineQueries {
         val c = graft.operators.IvfPq.codeTable(emb, "vec_id", "embedding", model).persist()
         c.count(); c
       }
+      // output is ≤ queries×k rows by construction — a single-partition
+      // sort orders it in the final stage, skipping the range-partition
+      // sampling job a global orderBy would schedule
       graft.operators.IvfPq.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", model, k = 5, nprobe = 6, rerank = 100,
         prebuiltCodes = Some(codes))
-        .orderBy("query_id", "rk")
+        .coalesce(1).sortWithinPartitions("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- filtered vector search
@@ -1565,10 +1568,18 @@ object PipelineQueries {
         graft.operators.IvfPq.writeIndex(emb, "vec_id", "embedding", model, p)
         p
       }
+      // the probe service shape: the (tiny) at-rest model is loaded ONCE
+      // and reused across query batches — round-trip parity with the
+      // in-memory model is pinned by IvfPqSpec's writeIndex/loadModel
+      // bit-exactness test; the codes scan stays per-probe (that is the
+      // partition-pruned read the PlanShapeSpec gates)
+      val loaded = cachedModel(s, s"ivfpq:res:atrest:model:$dir")(
+        graft.operators.IvfPq.loadModel(s, path))
       graft.operators.IvfPq.probeIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100)
-        .orderBy("query_id", "rk")
+        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100,
+        preloadedModel = Some(loaded))
+        .coalesce(1).sortWithinPartitions("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- semantic dedup (SemDeDup)
