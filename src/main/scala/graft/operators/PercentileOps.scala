@@ -174,6 +174,27 @@ object PercentileOps {
     */
   def exactQuantilesSelect(df: DataFrame, keys: Seq[String],
       measures: Seq[(String, Column, Seq[(String, Double, Boolean)])],
+      shift: Int = 44): DataFrame =
+    exactQuantilesSelectRev(df, keys,
+      measures.map { case (m, c, qs) =>
+        (m, c, qs.map { case (n, q, d) => (n, q, d, false) })
+      }, shift)
+
+  /** [[exactQuantilesSelect]] with a per-quantile REVERSE flag —
+    * `rev = true` ranks from the HIGH end (`WITHIN GROUP (ORDER BY c
+    * DESC)`). The machinery is unchanged: a reverse rank r from the top
+    * of an n-element multiset is the forward rank n−1−r, so only the
+    * pick indices change —
+    *   disc: element at forward rank n−1−(⌈q·n⌉−1);
+    *   cont: t = (n−1)·q as usual, lo-pick at n−1−⌊t⌋, hi-pick at
+    *         n−1−⌈t⌉, SAME interpolation weights (the identity
+    *         w⌊t⌋·(⌈t⌉−t) + w⌈t⌉·(t−⌊t⌋) over the descending multiset w
+    *         equals lo·(⌈t⌉−t) + hi·(t−⌊t⌋) with lo = v[n−1−⌊t⌋],
+    *         hi = v[n−1−⌈t⌉] — exact, ties included, because the
+    *         multiset is shared and only indices mirror).
+    */
+  def exactQuantilesSelectRev(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column, Seq[(String, Double, Boolean, Boolean)])],
       shift: Int = 44): DataFrame = {
     val keyCols = keys.map(col)
     val unpivotedAll = df
@@ -206,18 +227,24 @@ object PercentileOps {
       .withColumn("__n", sum(nonNullC).over(wAll))
       .withColumn("__start", col("__endc") - col("__c"))
 
-    // per-quantile target ranks as expressions of the group total __n
-    def rankExprs(q: Double, disc: Boolean): (Column, Column, Column) = {
-      val t =
-        if (disc) greatest(lit(0.0), least(col("__n") - 1, ceil(col("__n") * lit(q)) - 1))
-        else (col("__n") - 1) * lit(q)
-      (floor(t), ceil(t), t)
+    // per-quantile target ranks as expressions of the group total __n:
+    // (lo-pick index, hi-pick index, t for the interpolation weights)
+    def rankExprs(q: Double, disc: Boolean, rev: Boolean): (Column, Column, Column) = {
+      if (disc) {
+        val rd = greatest(lit(0.0), least(col("__n") - 1, ceil(col("__n") * lit(q)) - 1))
+        val idx = if (rev) col("__n") - 1 - rd else rd
+        (idx, idx, idx) // integral t → the pick returns the element
+      } else {
+        val t = (col("__n") - 1) * lit(q)
+        if (rev) (col("__n") - 1 - floor(t), col("__n") - 1 - ceil(t), t)
+        else (floor(t), ceil(t), t)
+      }
     }
 
     // needed buckets: any requested rank falls inside [__start, __endc)
     val neededCond = measures.flatMap { case (m, _, qs) =>
-      qs.map { case (_, q, disc) =>
-        val (i0, i1, _) = rankExprs(q, disc)
+      qs.map { case (_, q, disc, rev) =>
+        val (i0, i1, _) = rankExprs(q, disc, rev)
         (col("__m") === lit(m)) &&
           ((i0 >= col("__start") && i0 < col("__endc")) ||
             (i1 >= col("__start") && i1 < col("__endc")))
@@ -256,8 +283,8 @@ object PercentileOps {
 
     // pick + interpolate, exactly like the window form
     val aggs = measures.flatMap { case (m, _, qs) =>
-      qs.flatMap { case (name, q, disc) =>
-        val (i0, i1, t) = rankExprs(q, disc)
+      qs.flatMap { case (name, q, disc, rev) =>
+        val (i0, i1, t) = rankExprs(q, disc, rev)
         val isM = col("__m") === lit(m)
         Seq(
           max(when(isM && col("__g") === i0, col("__v"))).as(s"__${name}_lo"),
@@ -266,7 +293,7 @@ object PercentileOps {
       }
     }
     val picked = ranked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
-    val outCols = measures.flatMap { case (_, _, qs) => qs.map { case (name, _, _) =>
+    val outCols = measures.flatMap { case (_, _, qs) => qs.map { case (name, _, _, _) =>
       val (lo, hi, t) = (col(s"__${name}_lo"), col(s"__${name}_hi"), col(s"__${name}_t"))
       when(floor(t) === ceil(t), lo)
         .otherwise(lo * (ceil(t) - t) + hi * (t - floor(t)))

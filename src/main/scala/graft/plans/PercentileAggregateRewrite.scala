@@ -40,12 +40,17 @@ import graft.operators.PercentileOps
   *
   * Matched narrowly (the rewrite must be a pure win, never a risk): a
   * logical `Aggregate` in which EVERY aggregate function is a
-  * `Percentile`/`PercentileDisc` over a numeric value expression with a
-  * foldable scalar fraction in [0,1], `frequency = 1`, `reverse = false`
-  * (no `ORDER BY ... DESC` within group), non-legacy disc calculation,
-  * no DISTINCT and no FILTER clause. Array-percentage forms, reversed
-  * orderings and any mix with other aggregate functions (the negative
-  * plan test pins one) are left untouched. Non-aggregate parts of the
+  * `Percentile`/`PercentileDisc` over a numeric value expression with
+  * foldable fraction(s) in [0,1] — a scalar, or for `percentile` the
+  * array form `percentile(c, array(0.25, 0.5, 0.9))` (each fraction
+  * becomes one histogram-plan column and the final Project re-assembles
+  * the array, preserving the built-in's NULL-array-on-empty-group
+  * shape) — `frequency = 1`, either within-group direction (`ORDER BY
+  * ... DESC` maps to mirrored pick ranks in the substituted plan),
+  * non-legacy disc calculation, no DISTINCT and no FILTER clause.
+  * `percentile_disc` array forms and any mix with other aggregate
+  * functions (the negative plan test pins one) are left untouched.
+  * Non-aggregate parts of the
   * output — grouping columns, arithmetic around the percentile like
   * `p50 + 1` — are re-evaluated over the substituted plan's output, and
   * the final Project pins the original names, exprIds and order, so
@@ -59,29 +64,53 @@ import graft.operators.PercentileOps
   */
 object PercentileAggregateRewrite extends Rule[LogicalPlan] {
 
-  /** One rewritable percentile call: value expression, fraction, disc. */
-  private case class PctCall(value: Expression, q: Double, disc: Boolean)
-
-  /** Scalar literal fraction in [0,1] — by the time this rule runs the
-    * operator-optimization batch has folded the analyzer's implicit
-    * casts, but `foldable` also catches the first fixed-point pass.
+  /** One rewritable percentile call: value expression, the requested
+    * fractions (one for the scalar forms; several for
+    * `percentile(c, array(...))`, which returns them as one array),
+    * disc/cont, and the within-group direction (`rev = true` ⇔
+    * `ORDER BY c DESC`).
     */
-  private def fraction(e: Expression): Option[Double] = e match {
+  private case class PctCall(value: Expression, qs: Seq[Double],
+      disc: Boolean, rev: Boolean, array: Boolean)
+
+  /** Literal fraction(s) in [0,1] — a scalar double, or a non-empty
+    * double array for the multi-quantile reporting form (`(fractions,
+    * isArray)`). By the time this rule runs the operator-optimization
+    * batch has folded the analyzer's implicit casts, but `foldable`
+    * also catches the first fixed-point pass. An array containing a
+    * NULL element is refused (the built-in raises its own error).
+    */
+  private def fractions(e: Expression): Option[(Seq[Double], Boolean)] = e match {
     case f if f.foldable && f.dataType == DoubleType =>
       f.eval() match {
-        case d: java.lang.Double if d >= 0.0 && d <= 1.0 => Some(d)
+        case d: java.lang.Double if d >= 0.0 && d <= 1.0 => Some((Seq(d), false))
+        case _ => None
+      }
+    case f if f.foldable && (f.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) =>
+      f.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData if a.numElements() > 0 =>
+          val vs = (0 until a.numElements()).map { i =>
+            if (a.isNullAt(i)) Double.NaN else a.getDouble(i) // NaN fails the range check
+          }
+          if (vs.forall(v => v >= 0.0 && v <= 1.0)) Some((vs, true)) else None
         case _ => None
       }
     case _ => None
   }
 
   private def pctCall(fn: AggregateFunction): Option[PctCall] = fn match {
-    case Percentile(c, pct, Literal(1L, LongType), _, _, false)
+    case Percentile(c, pct, Literal(1L, LongType), _, _, rev)
         if c.dataType.isInstanceOf[NumericType] =>
-      fraction(pct).map(PctCall(c, _, disc = false))
-    case PercentileDisc(c, pct, false, _, _, false)
+      fractions(pct).map { case (qs, arr) => PctCall(c, qs, disc = false, rev, arr) }
+    // scalar only: SQL syntax gives percentile_disc one fraction, and its
+    // array form would return child-typed elements this plan's double
+    // machinery must not silently re-type
+    case PercentileDisc(c, pct, rev, _, _, false)
         if c.dataType.isInstanceOf[NumericType] =>
-      fraction(pct).map(PctCall(c, _, disc = true))
+      fractions(pct).collect { case (qs, false) => PctCall(c, qs, disc = true, rev, array = false) }
     case _ => None
   }
 
@@ -117,7 +146,18 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
       collectCalls(aggExprs) match {
         case Some(calls) if aggExprs.forall(substitutable(_, groupingExprs, calls)) &&
-            aggExprs.forall(_.deterministic) && deterministic(child) =>
+            aggExprs.forall(_.deterministic) && deterministic(child) &&
+            // same re-embedding guard as the window path: if the child
+            // subtree still holds an eligible percentile node, rewriting
+            // HERE would embed that child ~3× (hist, sentinel, candidate
+            // scans) and each copy would then rewrite again —
+            // multiplicative scans. Let the inner node rewrite first;
+            // this node matches on the next fixed-point pass.
+            !child.exists {
+              case a: Aggregate => collectCalls(a.aggregateExpressions).isDefined
+              case ww: Window => windowCalls(ww.windowExpressions).isDefined
+              case _ => false
+            } =>
           rewrite(agg, groupingExprs, aggExprs, child, calls)
         case _ => agg
       }
@@ -227,10 +267,12 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
       val i = valueExprs.indexWhere(_.semanticEquals(v))
       if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
     }
-    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
-    val colOfExpr = calls.map { case PctCall(v, q, disc) =>
-      val k = (measureIdx(v), q, disc)
-      qKey.getOrElseUpdate(k, s"__q${qKey.size}")
+    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean, Boolean), String]()
+    val colOfExpr = calls.map { pc =>
+      val names = pc.qs.map { q =>
+        qKey.getOrElseUpdate((measureIdx(pc.value), q, pc.disc, pc.rev), s"__q${qKey.size}")
+      }
+      (pc, names)
     }
     val kNames = partitionSpec.indices.map(i => s"__k$i")
     def c(e: Expression): Column = GraftSqlShims.column(e)
@@ -238,10 +280,10 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
       partitionSpec.zip(kNames).map { case (g, n) => c(g).as(n) } ++
         valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
     val measures = valueExprs.indices.map { j =>
-      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
+      val qs = qKey.collect { case ((`j`, q, disc, rev), name) => (name, q, disc, rev) }.toSeq
       (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
     }
-    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
+    val out = PercentileOps.exactQuantilesSelectRev(df0, kNames, measures)
     val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
       GraftSqlShims.analyzedPlan(out))
     val outAttr = analyzed.output.map(a => a.name -> a).toMap
@@ -253,11 +295,27 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
       .reduceOption(And)
     val joinType = if (cond.isEmpty) Cross else Inner
     val joined = Join(acc, analyzed, joinType, cond, JoinHint.NONE)
-    val restored = windowExprs.zip(colOfExpr).map { case (ne, qc) =>
-      Alias(outAttr(qc), ne.name)(exprId = ne.exprId)
+    val restored = windowExprs.zip(colOfExpr).map { case (ne, (pc, names)) =>
+      Alias(restoreCall(pc, names, outAttr), ne.name)(exprId = ne.exprId)
     }
     (joined, restored)
   }
+
+  /** The expression that reproduces one original percentile call from
+    * the substituted plan's per-fraction output columns: the column
+    * itself for the scalar forms; for `percentile(c, array(...))` the
+    * fractions re-assemble into one array with the built-in's exact
+    * type and NULL shape — ArrayType(Double, containsNull = false),
+    * and a NULL ARRAY (not an array of NULLs) for a group with no
+    * values. All fractions of a call share one group's value multiset,
+    * so one column is NULL iff all are.
+    */
+  private def restoreCall(pc: PctCall, names: Seq[String],
+      outAttr: Map[String, Attribute]): Expression =
+    if (!pc.array) outAttr(names.head)
+    else If(IsNull(outAttr(names.head)),
+      Literal.create(null, ArrayType(DoubleType, containsNull = false)),
+      CreateArray(names.map(n => KnownNotNull(outAttr(n)))))
 
   /** One PctCall per window expression, or None unless EVERY window
     * expression is a rewritable whole-partition percentile call.
@@ -303,16 +361,19 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
 
     // one measure per distinct value expression (3 percentiles over one
     // column share a single unpivot arm); one output column per distinct
-    // (value, q, disc) — duplicate calls collapse onto it
+    // (value, q, disc, rev) — duplicate calls (and repeated fractions in
+    // one array) collapse onto it
     val valueExprs = scala.collection.mutable.ArrayBuffer[Expression]()
     def measureIdx(v: Expression): Int = {
       val i = valueExprs.indexWhere(_.semanticEquals(v))
       if (i >= 0) i else { valueExprs += v; valueExprs.length - 1 }
     }
-    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean), String]()
-    val colOfCall = calls.map { case (rid, PctCall(v, q, disc)) =>
-      val k = (measureIdx(v), q, disc)
-      rid -> qKey.getOrElseUpdate(k, s"__q${qKey.size}")
+    val qKey = scala.collection.mutable.LinkedHashMap[(Int, Double, Boolean, Boolean), String]()
+    val colOfCall = calls.map { case (rid, pc) =>
+      val names = pc.qs.map { q =>
+        qKey.getOrElseUpdate((measureIdx(pc.value), q, pc.disc, pc.rev), s"__q${qKey.size}")
+      }
+      rid -> ((pc, names))
     }
 
     // child projection: grouping exprs + measure value exprs, built with
@@ -323,10 +384,10 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
       groupingExprs.zip(kNames).map { case (g, n) => c(g).as(n) } ++
         valueExprs.zipWithIndex.map { case (v, j) => c(v).as(s"__pv$j") }: _*)
     val measures = valueExprs.indices.map { j =>
-      val qs = qKey.collect { case ((`j`, q, disc), name) => (name, q, disc) }.toSeq
+      val qs = qKey.collect { case ((`j`, q, disc, rev), name) => (name, q, disc, rev) }.toSeq
       (s"m$j", org.apache.spark.sql.functions.col(s"__pv$j"), qs)
     }
-    val out = PercentileOps.exactQuantilesSelect(df0, kNames, measures)
+    val out = PercentileOps.exactQuantilesSelectRev(df0, kNames, measures)
     // the spliced subtree is analyzed but NOT optimized, and this rule
     // runs after the optimizer's Finish-Analysis batch — the broadcast()
     // hint inside the window plan would reach the planner as a raw
@@ -342,7 +403,8 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
     val groupAttr = groupingExprs.zip(kNames).map { case (g, n) => g -> outAttr(n) }
     def substitute(e: Expression): Expression = e match {
       case ae: AggregateExpression if colOfCall.contains(ae.resultId) =>
-        outAttr(colOfCall(ae.resultId))
+        val (pc, names) = colOfCall(ae.resultId)
+        restoreCall(pc, names, outAttr)
       case other => groupAttr.find(_._1.semanticEquals(other)) match {
         case Some((_, attr)) => attr
         case None => other.mapChildren(substitute)

@@ -765,6 +765,53 @@ object OlapQueries {
         .orderBy("l_returnflag")
     },
 
+    // The ARRAY-percentage reporting form — `percentile(c, array(...))`,
+    // the multi-quantile syntax most reporting SQL uses — now rides the
+    // same optimizer substitution: each fraction becomes one column of
+    // the single-pass histogram plan and the final Project re-assembles
+    // the array. Elements are extracted here so the oracle compares
+    // scalar columns (DuckDB's quantile_cont list form computes the
+    // same three points in one pass). Rounded: interpolation arithmetic
+    // order differs across engines.
+    q("q67c_percentile_array",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          Qf.dround(element_at(col("ps"), 1), 4).as("p25"),
+          Qf.dround(element_at(col("ps"), 2), 4).as("p50"),
+          Qf.dround(element_at(col("ps"), 3), 4).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // DESC within-group ordering — `WITHIN GROUP (ORDER BY c DESC)` for
+    // both ordered-set aggregates, optimizer-routed onto the histogram
+    // plan with mirrored pick ranks (a reverse rank r in an n-element
+    // multiset is forward rank n-1-r; interpolation weights carry over
+    // exactly). The oracle derives the same semantics from DuckDB's
+    // ascending quantiles via negation: DESC order of x IS ASC order of
+    // -x, and quantile_cont is linear, so -quantile_*(-x, q) is the
+    // DESC answer element-for-element (negation is exact in IEEE-754).
+    q("q67d_percentile_desc",
+      """SELECT l_returnflag,
+        |  -quantile_disc(-l_extendedprice, 0.4) AS d40,
+        |  round(-quantile_cont(-l_extendedprice, 0.25), 4) AS c25,
+        |  -quantile_disc(-l_quantity, 0.5) AS t50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice DESC)").as("d40"),
+          Qf.dround(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC)"), 4).as("c25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity DESC)").as("t50"))
+        .orderBy("l_returnflag")
+    },
+
     // ---------------------------------------------------------------- recursive CTE
     // WITH RECURSIVE (Spark 4 / SQL:1999) generating a 12-month calendar
     // spine, left-joined to pre-aggregated monthly order stats so absent

@@ -371,30 +371,87 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf(mixDf) == rowsOf(plain.sql(mixed)))
   }
 
-    test("percentile rewrite negative: mixed aggregates, DESC ordering, and array percentages stay built-in") {
+    test("percentile rewrite negative: mixed aggregates and frequency != 1 stay built-in") {
     val spark = extendedSession()
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin")
     val mixed =
       """SELECT l_returnflag, sum(l_quantity) AS sq,
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50
         |FROM lin GROUP BY l_returnflag""".stripMargin
-    val desc =
-      """SELECT l_returnflag,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS p50
-        |FROM lin GROUP BY l_returnflag""".stripMargin
-    val arr = "SELECT percentile(l_quantity, array(0.25, 0.5)) AS ps FROM lin"
-    for (q <- Seq(mixed, desc, arr)) {
+    val freq =
+      "SELECT percentile(l_quantity, 0.5, l_linenumber) AS p FROM lin GROUP BY l_returnflag"
+    for (q <- Seq(mixed, freq)) {
       val df = spark.sql(q)
       assert(df.queryExecution.executedPlan.toString.contains("percentile"),
         s"ineligible query was rewritten away from the built-in: $q")
-      // and it still answers correctly
-      val plain = rowsOf(df)
-      assert(plain.nonEmpty)
+      assert(rowsOf(df).nonEmpty)
     }
-    // results of the ineligible forms equal the plain session's
-    val got = Seq(mixed, desc, arr).map(q => rowsOf(spark.sql(q)))
+    val got = Seq(mixed, freq).map(q => rowsOf(spark.sql(q)))
     val plain = plainSession()
     plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin")
-    assert(got == Seq(mixed, desc, arr).map(q => rowsOf(plain.sql(q))))
+    assert(got == Seq(mixed, freq).map(q => rowsOf(plain.sql(q))))
+  }
+
+  test("percentile rewrite: array-percentage forms route onto the histogram plan, bit-identical") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lia")
+    // grouped, global, duplicate fractions, arithmetic above the array,
+    // and the window shape — all on the substituted plan
+    val q =
+      """SELECT l_returnflag,
+        |  percentile(l_extendedprice, array(0.25, 0.5, 0.9)) AS ps,
+        |  percentile(l_quantity, array(0.5, 0.5)) AS dup,
+        |  element_at(percentile(l_quantity, array(0.1, 0.9)), 2) - 1.0 AS hi
+        |FROM lia GROUP BY l_returnflag""".stripMargin
+    val globalQ = "SELECT percentile(l_quantity, array(0.2, 0.8)) AS ps FROM lia"
+    // empty input: the built-in returns a NULL ARRAY, not an array of NULLs
+    val emptyQ = "SELECT percentile(l_quantity, array(0.5)) AS ps FROM lia WHERE l_quantity < -1"
+    val winQ =
+      """SELECT l_orderkey,
+        |  percentile(l_extendedprice, array(0.25, 0.75)) OVER (PARTITION BY l_returnflag) AS ps
+        |FROM lia""".stripMargin
+    for (qq <- Seq(q, globalQ, emptyQ, winQ)) {
+      val phys = spark.sql(qq).queryExecution.executedPlan.toString
+      assert(!phys.contains("percentile") && !phys.contains("ObjectHashAggregate"),
+        s"array-percentage form survived the rewrite: $qq\n$phys")
+    }
+    val got = Seq(q, globalQ, emptyQ, winQ).map(qq => rowsOf(spark.sql(qq)))
+    assert(got(2) == Seq(Seq(null))) // NULL array, one global row
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lia")
+    assert(got == Seq(q, globalQ, emptyQ, winQ).map(qq => rowsOf(plain.sql(qq))))
+    // schema parity incl. element nullability (built-in: containsNull = false)
+    assert(spark.sql(q).schema("ps").dataType == plain.sql(q).schema("ps").dataType)
+  }
+
+  test("percentile rewrite: DESC within-group (disc + cont), mixed directions, bit-identical") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lid")
+    // both directions in ONE aggregate (each call carries its own
+    // mirror-rank math), plus a ties-heavy measure (l_quantity) where
+    // disc's element pick is direction-sensitive
+    val q =
+      """SELECT l_returnflag,
+        |  percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS d40,
+        |  percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice) AS a40,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS c25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity DESC) AS t50,
+        |  percentile_cont(0.0) WITHIN GROUP (ORDER BY l_quantity DESC) AS c0,
+        |  percentile_cont(1.0) WITHIN GROUP (ORDER BY l_quantity DESC) AS c1
+        |FROM lid GROUP BY l_returnflag""".stripMargin
+    val winQ =
+      """SELECT l_orderkey,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC)
+        |    OVER (PARTITION BY l_returnflag) AS c25
+        |FROM lid""".stripMargin
+    for (qq <- Seq(q, winQ)) {
+      val phys = spark.sql(qq).queryExecution.executedPlan.toString
+      assert(!phys.contains("percentile") && !phys.contains("ObjectHashAggregate"),
+        s"DESC within-group form survived the rewrite: $qq\n$phys")
+    }
+    val got = Seq(q, winQ).map(qq => rowsOf(spark.sql(qq)))
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lid")
+    assert(got == Seq(q, winQ).map(qq => rowsOf(plain.sql(qq))))
   }
 }
