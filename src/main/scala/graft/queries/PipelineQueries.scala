@@ -440,14 +440,33 @@ object PipelineQueries {
       // (IntersectCountS) instead of array_intersect + array_union's two
       // hash-set builds per pair — the r1 bench hotspot (60s → ~s).
       // |∩|/(|a|+|b|−|∩|) ≡ |∩|/|∪| on sets, so the oracle is unchanged.
+      //
+      // EXACT duplicate collapse (r8, the same argument as the r7 LSH
+      // collapse): jaccard is a function of the token SETS alone, so the
+      // merge-count kernel runs once per DISTINCT (set_a, set_b) pair —
+      // grouped by the sorted-array VALUE, no digest, no collision risk
+      // — and member pairs expand back through two linear equi-joins on
+      // that value, with the id predicate applied on the expanded rows.
+      // A boilerplate-saturated corpus (many identical token sets) now
+      // scores each set pair once instead of once per document pair;
+      // the only quadratic object left is the OUTPUT.
       val tok = array_sort(array_distinct(graft.operators.TextOps.tokens(col("text"))))
       val a = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("d1"), tok.as("__ta"))
       val b = docs.select(col("doc_id").as("d2"), tok.as("__tb"))
-      a.join(b, col("d2") > col("d1"))
-        .select(col("d1"), col("d2"),
+      def distinctSets(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.groupBy(col(c)).agg(max(lit(1)).as("__one")).select(col(c))
+      // anchor side is id-sampled (~1/97 of the corpus) → its distinct
+      // sets broadcast; every distinct b-set scores against them once
+      val rep = distinctSets(b, "__tb")
+        .join(broadcast(distinctSets(a, "__ta")))
+        .select(col("__ta"), col("__tb"),
           Qf.dround(graft.operators.DedupOps.sortedJaccard(col("__ta"), col("__tb")), 4)
             .as("jaccard"))
+      rep.join(broadcast(a), Seq("__ta"))
+        .join(b, Seq("__tb"))
+        .filter(col("d2") > col("d1"))
+        .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy("d1", "d2")
     },
 
@@ -849,13 +868,26 @@ object PipelineQueries {
       val planes = SimilarityOps.hyperplanes(4, 64)
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
         SimilarityOps.hyperplaneBucket(col("embedding"), planes).as("bucket"))
-      val a = e.select(col("vec_id").as("d1"), col("embedding").as("__ea"), col("bucket"))
-      val b = e.select(col("vec_id").as("d2"), col("embedding").as("__eb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
+      // EXACT duplicate collapse (r8, the semDedup r7 treatment): the
+      // bucket AND the cosine are functions of the vector VALUE alone,
+      // so the bucket self-join and the dot-product kernel run over one
+      // row per DISTINCT vector (grouped by value — no digest), the
+      // score threshold prunes at the representative level, and member
+      // pairs expand back through two linear equi-joins on the vector
+      // value with the id ordering applied on expanded rows. Both
+      // directions survive at the representative level (no d1<d2 there),
+      // so each expanded (d1, d2) pair matches exactly one rep row —
+      // original multiplicity, hash-identical output.
+      val dv = e.groupBy(col("embedding"), col("bucket")).agg(max(lit(1)).as("__one"))
+      val rep = dv.select(col("embedding").as("__ea"), col("bucket"))
+        .join(dv.select(col("embedding").as("__eb"), col("bucket")), Seq("bucket"))
+        .select(col("__ea"), col("__eb"),
           Qf.dround(SimilarityOps.cosine(col("__ea"), col("__eb")), 6).as("score"))
         .filter(col("score") >= 0.25)
+      rep.join(e.select(col("vec_id").as("d1"), col("embedding").as("__ea")), Seq("__ea"))
+        .join(e.select(col("vec_id").as("d2"), col("embedding").as("__eb")), Seq("__eb"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("score"))
         .orderBy(col("score").desc, col("d1"), col("d2"))
         .limit(100)
     },
