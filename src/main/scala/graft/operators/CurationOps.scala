@@ -394,8 +394,9 @@ object CurationOps {
     * absent) self-heals by promoting it. On object stores, where rename
     * is copy+delete, prefer explicit generation dirs via
     * [[mergeStatsLedger]]. Concurrency: in-JVM callers are serialized
-    * per path by [[advanceLocks]]; across JVMs the ledger is
-    * single-writer by contract (see [[advanceLocks]]).
+    * per path by [[advanceLocks]]; across JVMs a best-effort
+    * [[LedgerGuard.withLease]] marker fences concurrent writers
+    * fail-fast (see [[advanceLocks]]).
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
       path: String): Unit = advanceLocks
@@ -407,6 +408,7 @@ object CurationOps {
     // move the directory into its own child).
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
+    LedgerGuard.withLease(fs, target) {
     val staging = target.suffix(".staging")
     val retired = target.suffix(".old")
     // Self-heal a crash between the two renames of a previous call: the
@@ -430,15 +432,16 @@ object CurationOps {
       throw new java.io.IOException(s"stats ledger swap: cannot promote $staging")
     }
     fs.delete(retired, true)
+    }
   }
 
   /** Per-path in-JVM lock serializing [[advanceStatsLedger]]'s
     * staging/retire swap: two concurrent callers would write the same
     * staging dir and interleave the rename pair, losing one batch's
-    * delta. The lock closes the in-process race; ACROSS processes the
-    * ledger is SINGLE-WRITER BY CONTRACT — external callers must fence
-    * writers themselves (there is no cross-JVM lock a plain filesystem
-    * can promise), readers are always safe.
+    * delta. The lock closes the in-process race; across processes the
+    * best-effort [[LedgerGuard.withLease]] marker makes a second
+    * writer fail fast naming the holder (a plain filesystem cannot
+    * promise more); readers are always safe.
     */
   private val advanceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]

@@ -569,7 +569,14 @@ object DedupOps {
   def dedupAgainstLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
       path: String): DataFrame = {
     val spark = df.sparkSession
-    val ledger = spark.read.parquet(path).select(col("digest").as("__digest"))
+    // resolve through the read-only sibling fallback: during a
+    // compaction's rename pair the target is briefly absent, but the
+    // staging generation is complete — readers load it instead of
+    // failing (and never rename, which would race the writer)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = spark.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+      .select(col("digest").as("__digest"))
     val withD = df.withColumn("__digest", rowFingerprint(keyCols.map(col)))
     val fresh = withD.join(ledger, Seq("__digest"), "left_anti")
     val keep = fresh.select(col(idCol), col("__digest"))
@@ -604,15 +611,19 @@ object DedupOps {
     * two renames retire and promote (each atomic on HDFS/local; a
     * crash between them leaves the staging dir, which the next call
     * self-heals by promoting). In-JVM callers are serialized per path;
-    * across JVMs the ledger is single-writer by contract — concurrent
-    * APPENDERS during a compaction would be lost with or without this
-    * function, as overwrite-in-place cannot see files born mid-swap.
+    * ACROSS JVMs a best-effort [[LedgerGuard.withLease]] marker makes a
+    * second concurrent writer fail fast naming the holder (stale leases
+    * from crashed holders are broken after a timeout). Concurrent
+    * APPENDERS during a compaction remain out of contract — overwrite-
+    * in-place cannot see files born mid-swap; route appends and
+    * compactions through one scheduler slot per ledger.
     */
   def compactLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 16, maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     compactLocks.computeIfAbsent(path, _ => new Object).synchronized {
       val target = new org.apache.hadoop.fs.Path(path)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      LedgerGuard.withLease(fs, target) {
       val staging = target.suffix(".staging")
       val retired = target.suffix(".old")
       if (!fs.exists(target)) {
@@ -636,6 +647,7 @@ object DedupOps {
         throw new java.io.IOException(s"ledger compaction: cannot promote $staging")
       }
       fs.delete(retired, true)
+      }
     }
 
   private val compactLocks =

@@ -441,7 +441,11 @@ object MultimodalOps {
         }
       case _ => ()
     }
-    if (!ok || malformed || timescale <= 0 || duration < 0 || nTracks == 0 ||
+    // duration > Long.MaxValue/1000 would overflow the ms scaling into a
+    // negative "valid" duration — an adversarial 64-bit mvhd duration is
+    // malformed data, not a 292-million-year video: fall to unknown
+    if (!ok || malformed || timescale <= 0 || duration < 0 ||
+        duration > Long.MaxValue / 1000L || nTracks == 0 ||
         width < 0 || height < 0) unknown
     else ((duration * 1000L) / timescale, timescale.toInt, width, height, nTracks, "mp4")
   }

@@ -1562,7 +1562,8 @@ object OlapQueries {
       // pid+dir-scoped like d41's ledger: Bench and Verify can run this
       // concurrently in separate JVMs, and a shared fixed path would let
       // one overwrite while the other reads
-      val out = s"/tmp/graft_conformance/q66_xml_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val out = Registry.scratchDir(
+        s"/tmp/graft_conformance/q66_xml_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
       table(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .write.mode("overwrite").option("rowTag", "supplier").xml(out)

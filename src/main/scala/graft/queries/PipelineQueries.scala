@@ -294,7 +294,8 @@ object PipelineQueries {
         |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
         |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val path = s"/tmp/graft_conformance/d45_ledger_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d45_ledger_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
       DedupOps.writeLedger(docs.filter(col("doc_id") % 3 === 1), "doc_id", Seq("text"), path)
       DedupOps.appendToLedger(docs.filter(col("doc_id") % 3 === 2), "doc_id", Seq("text"), path)
       DedupOps.compactLedger(s, path, targetFiles = 4)
@@ -339,8 +340,9 @@ object PipelineQueries {
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val path = s"/tmp/graft_conformance/d41_stats_pid${ProcessHandle.current.pid}" +
-        s"_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d41_stats_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
       graft.operators.CurationOps.writeStatsLedger(docs.filter(col("doc_id") % 5 =!= 0), "source", "text", path)
       graft.operators.CurationOps.mergeStatsLedger(docs.filter(col("doc_id") % 5 === 0), "source", "text", path)
         .orderBy("source")

@@ -33,6 +33,26 @@ object Registry {
         size() > 16
     }
 
+  /** Register a pid-scoped conformance scratch path for deletion at JVM
+    * exit. The query RESULT reads these paths lazily, so they cannot be
+    * deleted when the query builder returns — but without cleanup every
+    * Bench/Verify process accretes one directory set under /tmp forever.
+    * One hook per distinct path; pure java.io so it still works after
+    * the SparkSession is stopped.
+    */
+  def scratchDir(path: String): String = {
+    if (scratchHooked.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(new java.io.File(path))))
+    path
+  }
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRec(f: java.io.File): Unit =
+    try {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(): Unit
+    } catch { case _: Throwable => () }
+
   /** Read one fixture table from the given scale-factor directory.
     *
     * The `events.ts` column is normalized to a session-zone (UTC)

@@ -449,4 +449,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == Map("s1" -> 3L, "s2" -> 2L), s"$got")
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
+
+  test("advanceStatsLedger: a concurrent cross-JVM writer lease fails fast, ledger intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-adv-lock").toString + "/ledger"
+    val seed = Seq(("s1", "a b c")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path + ".lock"), "777@elsewhere")
+    val b1 = Seq(("s2", "d e")).toDF("source", "text")
+    val e = intercept[IllegalStateException](
+      CurationOps.advanceStatsLedger(b1, "source", "text", path))
+    assert(e.getMessage.contains("777@elsewhere"), e.getMessage)
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("s1" -> 3L)) // refused writer changed nothing
+    // holder releases → the same advance succeeds
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path + ".lock"))
+    CurationOps.advanceStatsLedger(b1, "source", "text", path)
+    val after = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after == Map("s1" -> 3L, "s2" -> 2L))
+  }
 }

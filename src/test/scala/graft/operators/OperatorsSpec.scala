@@ -680,6 +680,10 @@ class OperatorsSpec extends AnyFunSuite {
     // 64-bit duration through the v1 layout
     val big = syntheticMp4(1L, 5000000000L, 1000000, 64, 48, 1, version = 1)
     assert(mp4Meta(big) == ((5000000L, 1000000, 64, 48, 1, "mp4")))
+    // adversarial duration near Long.MaxValue: the *1000 ms scaling would
+    // overflow negative — must fall to unknown, not report a "valid" mp4
+    val huge = syntheticMp4(1L, Long.MaxValue / 900, 1000, 64, 48, 1, version = 1)
+    assert(mp4Meta(huge) == ((0L, 0, 0, 0, 0, "unknown")))
     // malformed: truncation mid-moov, flipped size to past-the-end,
     // garbage, empty, null — all fall to unknown, never throw
     val good = syntheticMp4(2L, 1000L, 600, 320, 240, 1)
@@ -734,6 +738,39 @@ class OperatorsSpec extends AnyFunSuite {
     // the ledger keeps working as an append target after the rewrite
     DedupOps.appendToLedger(Seq((32L, "zeta")).toDF("id", "t"), "id", Seq("t"), path)
     assert(results().isEmpty)
+  }
+
+  test("ledger writer lease: a second writer fails fast naming the holder; stale leases break") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ledger-l").toString + "/led"
+    DedupOps.writeLedger(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "t"), "id", Seq("t"), path)
+    DedupOps.appendToLedger(Seq((9L, "beta")).toDF("id", "t"), "id", Seq("t"), path)
+    // simulate another LIVE process holding the lease (fresh mtime)
+    val lock = new java.io.File(path + ".lock")
+    java.nio.file.Files.writeString(lock.toPath, "4242@otherhost")
+    val e = intercept[IllegalStateException](DedupOps.compactLedger(spark, path, targetFiles = 2))
+    assert(e.getMessage.contains("4242@otherhost"), e.getMessage)
+    // ledger untouched by the refused writer
+    assert(spark.read.parquet(path).count() == 3)
+    // a STALE lease (crashed holder) is broken and the compaction runs
+    assert(lock.setLastModified(System.currentTimeMillis - 16L * 60 * 1000))
+    DedupOps.compactLedger(spark, path, targetFiles = 2)
+    assert(spark.read.parquet(path).count() == 2) // beta collapsed
+    assert(!lock.exists) // lease released
+  }
+
+  test("ledger readers fall back to the staging sibling during the swap window") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ledger-r").toString
+    val path = base + "/led"
+    // the swap window / crash state: target absent, completed generation
+    // parked at .staging — readers must answer from it WITHOUT renaming
+    DedupOps.writeLedger(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "t"),
+      "id", Seq("t"), path + ".staging")
+    val probe = Seq((30L, "alpha"), (31L, "gamma")).toDF("id", "t")
+    val fresh = DedupOps.dedupAgainstLedger(probe, "id", Seq("t"), path)
+      .as[(Long, String)].collect().toSeq
+    assert(fresh == Seq((31L, "gamma")))
+    // read-only: the staging dir is still where it was
+    assert(new java.io.File(path + ".staging").exists && !new java.io.File(path).exists)
   }
 
   test("unicodeNormalize matches java.text.Normalizer for all four forms; null-safe; codegen path") {
