@@ -181,17 +181,36 @@ object SimilarityOps {
     * its buckets are computed driver-side and pushed as a LITERAL
     * partition filter — the scan plan shows `PartitionFilters:
     * [bucket IN (...)]` and reads only those directories.
+    *
+    * The literal list is bounded by the DISTINCT bucket count, which the
+    * plane count caps at 2^numPlanes — fine for the shallow indexes the
+    * static filter targets, but a deep index (say 24 planes → 16M
+    * possible buckets) probed by a large query batch would collect and
+    * inline an unbounded literal list into the plan. Above
+    * `maxLiteralBuckets` possible buckets the probe switches to a
+    * broadcast LEFT SEMI join of the index against the distinct query
+    * buckets: no driver collect, no giant plan literal, identical rows —
+    * trading the static `PartitionFilters` for Spark's runtime pruning
+    * of the broadcast join.
     */
   def probeBucketedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
       cId: String, cVec: String,
-      numPlanes: Int, dim: Int, k: Int): DataFrame = {
+      numPlanes: Int, dim: Int, k: Int,
+      maxLiteralBuckets: Int = 1024): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val qb = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
       hyperplaneBucket(col(qVec), planes).as("bucket"))
-    val wanted = qb.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(path)
-      .filter(col("bucket").isin(wanted: _*))
+    val idx = spark.read.parquet(path)
+    val prunedIdx =
+      if (numPlanes < 31 && (1L << numPlanes) <= maxLiteralBuckets) {
+        // bounded driver collect (≤ 2^numPlanes ints) → static partition
+        // pruning in the scan
+        val wanted = qb.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+        idx.filter(col("bucket").isin(wanted: _*))
+      } else
+        idx.join(broadcast(qb.select(col("bucket")).distinct()), Seq("bucket"), "left_semi")
+    val pruned = prunedIdx
       .select(col("bucket"), col(cId).as("neighbor_id"), col(cVec).as("__cv"))
     val scored = broadcast(qb).join(pruned, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

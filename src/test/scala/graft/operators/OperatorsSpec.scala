@@ -436,6 +436,18 @@ class OperatorsSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", k = 3, numPlanes = 4, dim = 64)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(fromIndex == inMemory)
+    // above the literal-list threshold the probe switches to a broadcast
+    // LEFT SEMI join on the bucket column (no driver collect, no giant
+    // IN literal) — identical rows
+    val semi = SimilarityOps.probeBucketedIndex(spark, dir, queries,
+      "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 3,
+      maxLiteralBuckets = 4) // 2^4 = 16 possible buckets > 4 → semi-join path
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi") && !semiPlan.contains("bucket IN ("),
+      s"expected a bucket semi-join instead of the IN literal:\n$semiPlan")
+    val fromSemi = semi.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(fromSemi == inMemory)
   }
 
   test("SkewOps.saltedAgg is row-identical to the plain aggregation") {
