@@ -424,6 +424,26 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(q).schema("ps").dataType == plain.sql(q).schema("ps").dataType)
   }
 
+  test("percentile rewrite: nested percentile aggregates rewrite inner-first, both substituted") {
+    val spark = extendedSession()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin2")
+    // an eligible Aggregate ABOVE another eligible percentile Aggregate:
+    // the outer must defer one fixed-point pass (re-embedding an
+    // unrewritten inner would multiply its scans), then rewrite over the
+    // inner's substituted plan — both end up on the histogram plan
+    val q =
+      """SELECT percentile(p50, 0.5) AS pp
+        |FROM (SELECT l_returnflag, percentile(l_extendedprice, 0.5) AS p50
+        |      FROM lin2 GROUP BY l_returnflag, l_linestatus)""".stripMargin
+    val df = spark.sql(q)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("percentile") && !phys.contains("ObjectHashAggregate"),
+      s"nested percentile aggregates not fully rewritten:\n$phys")
+    val plain = plainSession()
+    plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lin2")
+    assert(rowsOf(df) == rowsOf(plain.sql(q)))
+  }
+
   test("percentile rewrite: DESC within-group (disc + cont), mixed directions, bit-identical") {
     val spark = extendedSession()
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lid")
