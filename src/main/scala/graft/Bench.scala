@@ -88,7 +88,10 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // basename only: the full fixture path spends ~15 chars of the
+    // 2000-char budget saying nothing the basename doesn't
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // the driver records only the FINAL 2000 chars of output; if the
     // inventory grows the line past that, the JSON's head would be cut —
     // fail loudly here instead of silently zeroing the round's bench
