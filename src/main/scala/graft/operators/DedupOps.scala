@@ -571,8 +571,14 @@ object DedupOps {
     val spark = df.sparkSession
     // resolve through the read-only sibling fallback: during a
     // compaction's rename pair the target is briefly absent, but the
-    // staging generation is complete — readers load it instead of
-    // failing (and never rename, which would race the writer)
+    // staging generation is complete — the BUILDER binds to it instead
+    // of failing (and never renames, which would race the writer).
+    // Honest limit: the path is resolved HERE, the read happens at
+    // action time — a swap that starts after this call can still fail
+    // the lazy read with FileNotFound (rerun succeeds; content is
+    // equivalent either way since compaction only collapses duplicates).
+    // Closing that fully needs snapshot isolation (a manifest/table
+    // format), out of scope for a plain-parquet ledger.
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ledger = spark.read.parquet(LedgerGuard.readablePath(fs, target).toString)

@@ -35,12 +35,25 @@ object LedgerGuard {
     val lock = target.suffix(".lock")
     val holderInfo =
       s"${ProcessHandle.current.pid}@${java.net.InetAddress.getLocalHost.getHostName}"
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false) // atomic create-fail-if-exists
-        try out.write(holderInfo.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    def tryAcquire(): Boolean = {
+      val created =
+        try Some(fs.create(lock, false)) // atomic create-fail-if-exists
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try { out.write(holderInfo.getBytes("UTF-8")); out.close(); true }
+          catch { case _: java.io.IOException =>
+            // create succeeded but the holder-info write failed (disk
+            // full, transient IO): the file on disk is OURS and garbage.
+            // Remove it before reporting failure, or every writer —
+            // including this one on retry — would be refused for
+            // staleAfterMs behind an empty lease.
+            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+            false
+          }
+      }
+    }
     def holderOf(): String =
       try {
         val in = fs.open(lock)
@@ -50,7 +63,19 @@ object LedgerGuard {
       val stale =
         try System.currentTimeMillis - fs.getFileStatus(lock).getModificationTime > staleAfterMs
         catch { case _: java.io.IOException => true } // vanished: holder released; retry
-      if (stale) fs.delete(lock, false)
+      // Break a stale lease by RENAMING the observed file, never by
+      // delete-then-create: of N writers that all judged the lease
+      // stale, exactly one rename succeeds (the source vanishes for the
+      // rest), so a slow second breaker can never delete the winner's
+      // freshly re-acquired lease — the double-holder interleaving this
+      // guard exists to prevent. The winner disposes of the tombstone.
+      if (stale) {
+        val tomb = lock.suffix(s".stale.${ProcessHandle.current.pid}.${System.nanoTime}")
+        val broke = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        if (broke) {
+          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+        }
+      }
       if (!tryAcquire())
         throw new IllegalStateException(
           s"ledger $target is locked by writer ${holderOf()} (lease $lock); " +

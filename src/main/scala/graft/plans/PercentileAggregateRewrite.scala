@@ -105,9 +105,15 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
     case Percentile(c, pct, Literal(1L, LongType), _, _, rev)
         if c.dataType.isInstanceOf[NumericType] =>
       fractions(pct).map { case (qs, arr) => PctCall(c, qs, disc = false, rev, arr) }
-    // scalar only: SQL syntax gives percentile_disc one fraction, and its
-    // array form would return child-typed elements this plan's double
-    // machinery must not silently re-type
+    // scalar only: the WITHIN GROUP syntax gives percentile_disc one
+    // fraction; an array percentage (only constructible programmatically)
+    // is refused rather than guessed at. Output typing is safe for ANY
+    // numeric child: in this Spark version PercentileDisc returns DOUBLE
+    // (pinned by a type-parity test), and ranking double-CAST values
+    // cannot diverge the double-valued result even where distinct
+    // child values collide in double (>2^53 longs): colliding values
+    // share one output double, and a merged bucket's cume_dist is its
+    // largest member's — the picked double is identical either way.
     case PercentileDisc(c, pct, rev, _, _, false)
         if c.dataType.isInstanceOf[NumericType] =>
       fractions(pct).collect { case (qs, false) => PctCall(c, qs, disc = true, rev, array = false) }
@@ -186,12 +192,17 @@ object PercentileAggregateRewrite extends Rule[LogicalPlan] {
         // base quantile plan) and fully deterministic — the value
         // expressions run once per histogram scan. If the base still
         // holds an eligible percentile Window the analyzer shaped in a
-        // way the peel cannot flatten, REFUSE: rewriting above it would
-        // re-embed (and so re-execute) that subtree once per scan —
-        // the exponential blowup this stack handling exists to avoid.
+        // way the peel cannot flatten — or an eligible percentile
+        // Aggregate (a window over a grouped percentile subquery) —
+        // DEFER: rewriting above it would re-embed (and so re-execute)
+        // that subtree once per scan, the multiplicative blowup this
+        // stack handling exists to avoid. The inner node rewrites first
+        // (its replacement holds no percentile calls), and this node
+        // matches on the next fixed-point pass.
         case Some((layers, base)) if deterministic(base) &&
             !base.exists {
               case ww: Window => windowCalls(ww.windowExpressions).isDefined
+              case a: Aggregate => collectCalls(a.aggregateExpressions).isDefined
               case _ => false
             } &&
             layers.forall { case (wes, ps, _) =>

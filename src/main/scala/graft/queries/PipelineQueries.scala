@@ -456,17 +456,19 @@ object PipelineQueries {
       val a = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("d1"), tok.as("__ta"))
       val b = docs.select(col("doc_id").as("d2"), tok.as("__tb"))
-      def distinctSets(df: org.apache.spark.sql.DataFrame, c: String) =
-        df.groupBy(col(c)).agg(max(lit(1)).as("__one")).select(col(c))
       // anchor side is id-sampled (~1/97 of the corpus) → its distinct
-      // sets broadcast; every distinct b-set scores against them once
-      val rep = distinctSets(b, "__tb")
-        .join(broadcast(distinctSets(a, "__ta")))
+      // sets broadcast; every distinct b-set scores against them once.
+      // The expansion joins are NULL-SAFE: the oracle's pair join has no
+      // predicate on tok, so a NULL-text document still pairs (with NULL
+      // jaccard) — a plain equi-join on the set value would drop it.
+      val rep = b.select(col("__tb")).distinct()
+        .join(broadcast(a.select(col("__ta")).distinct()))
         .select(col("__ta"), col("__tb"),
           Qf.dround(graft.operators.DedupOps.sortedJaccard(col("__ta"), col("__tb")), 4)
             .as("jaccard"))
-      rep.join(broadcast(a), Seq("__ta"))
-        .join(b, Seq("__tb"))
+      rep.as("r")
+        .join(broadcast(a).as("aa"), col("r.__ta") <=> col("aa.__ta"))
+        .join(b.as("bb"), col("r.__tb") <=> col("bb.__tb"))
         .filter(col("d2") > col("d1"))
         .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy("d1", "d2")
@@ -880,7 +882,7 @@ object PipelineQueries {
       // directions survive at the representative level (no d1<d2 there),
       // so each expanded (d1, d2) pair matches exactly one rep row —
       // original multiplicity, hash-identical output.
-      val dv = e.groupBy(col("embedding"), col("bucket")).agg(max(lit(1)).as("__one"))
+      val dv = e.select(col("embedding"), col("bucket")).distinct()
       val rep = dv.select(col("embedding").as("__ea"), col("bucket"))
         .join(dv.select(col("embedding").as("__eb"), col("bucket")), Seq("bucket"))
         .select(col("__ea"), col("__eb"),

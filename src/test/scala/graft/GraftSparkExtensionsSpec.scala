@@ -259,6 +259,35 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3) // a, NULL, and the all-NULL z all present
   }
 
+  test("percentile rewrite: disc over int/long children matches the built-in's DOUBLE typing and values") {
+    // pins the typing premise the rewrite relies on: in this Spark
+    // version the built-in percentile_disc returns DOUBLE for every
+    // numeric child (NOT the child's type), so the histogram plan's
+    // double output needs no cast back. If a Spark upgrade ever changes
+    // PercentileDisc.dataType, this fails loudly instead of the rewrite
+    // silently re-typing user schemas.
+    val spark = extendedSession()
+    import spark.implicits._
+    val rows = Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 3L), ("b", 7, 7L))
+    rows.toDF("g", "vi", "vl").createOrReplaceTempView("ptyp")
+    val q =
+      """SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY vi) AS di,
+        |       percentile_disc(0.5) WITHIN GROUP (ORDER BY vl) AS dl
+        |FROM ptyp GROUP BY g""".stripMargin
+    val df = spark.sql(q)
+    assert(!df.queryExecution.executedPlan.toString.contains("percentile"))
+    val got = rowsOf(df)
+    val plain = plainSession()
+    plain.createDataFrame(rows).toDF("g", "vi", "vl").createOrReplaceTempView("ptyp")
+    val pdf = plain.sql(q)
+    assert(pdf.schema("di").dataType == org.apache.spark.sql.types.DoubleType &&
+      pdf.schema("dl").dataType == org.apache.spark.sql.types.DoubleType,
+      s"built-in percentile_disc no longer returns DOUBLE: ${pdf.schema} — " +
+        "the rewrite must now cast its result back to the child type")
+    assert(df.schema == pdf.schema)
+    assert(got == rowsOf(pdf))
+  }
+
   test("percentile rewrite: whole-partition window percentiles route onto the join-back plan") {
     val spark = extendedSession()
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("liw")

@@ -443,11 +443,27 @@ class OperatorsSpec extends AnyFunSuite {
       "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 3,
       maxLiteralBuckets = 4) // 2^4 = 16 possible buckets > 4 → semi-join path
     val semiPlan = semi.queryExecution.executedPlan.toString
-    assert(semiPlan.contains("LeftSemi") && !semiPlan.contains("bucket IN ("),
+    // rendered attributes carry exprIds ("bucket#12 IN (...)"), so the
+    // negative match must allow for them or it can never fire
+    assert(semiPlan.contains("LeftSemi") &&
+        "bucket#\\d+ IN \\(".r.findFirstIn(semiPlan).isEmpty,
       s"expected a bucket semi-join instead of the IN literal:\n$semiPlan")
     val fromSemi = semi.collect()
       .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(fromSemi == inMemory)
+  }
+
+  test("d10 n-gram jaccard keeps NULL-text documents in the pair output") {
+    // the oracle's pair join has no predicate on the token set, so a
+    // NULL-text document still pairs with every anchor (NULL jaccard);
+    // the duplicate-set collapse must expand through NULL-SAFE joins or
+    // those rows vanish
+    val dir = java.nio.file.Files.createTempDirectory("d10null").toString
+    Seq((0L, Some("alpha beta")), (1L, Some("alpha beta")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val out = graft.SparkEntry.queries("d10_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(out == Seq((0L, 1L, Some(1.0)), (0L, 2L, None)))
   }
 
   test("SkewOps.saltedAgg is row-identical to the plain aggregation") {
