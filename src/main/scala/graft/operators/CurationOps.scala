@@ -376,14 +376,22 @@ object CurationOps {
     * [[advanceStatsLedger]], which stages and swaps for you.
     */
   def mergeStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
-      path: String): DataFrame =
-    batch.sparkSession.read.parquet(path)
+      path: String): DataFrame = {
+    // bind through the read-only sibling fallback: a standalone merge
+    // racing another process's advance can find the target mid-swap —
+    // the staging/retired generation is complete and content-equivalent
+    // (same caveat as dedupAgainstLedger: resolution happens here, the
+    // read at action time)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    batch.sparkSession.read.parquet(LedgerGuard.readablePath(fs, target).toString)
       .unionByName(corpusStats(batch, keyCol, textCol))
       .groupBy(col(keyCol))
       .agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
+  }
 
   /** Merge `batch` into the ledger at `path` IN PLACE: the merged frame
     * is materialized to a staging sibling first, then swapped in with
@@ -399,13 +407,24 @@ object CurationOps {
     * fail-fast (see [[advanceLocks]]).
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
-      path: String): Unit = advanceLocks
+      path: String): Unit =
+    advanceInPlace(batch.sparkSession, path, "stats ledger")(
+      mergeStatsLedger(batch, keyCol, textCol, path))
+
+  /** The staged-swap core shared by every in-place ledger advance:
+    * lease, crash self-heal, merge (by-name — evaluated only after the
+    * self-heal so its read binds a present generation), staging write,
+    * rename pair with rollback.
+    *
+    * Path construction normalizes a trailing slash; suffix() appends to
+    * the FINAL NAME, so the siblings never nest inside the target (raw
+    * "path" + ".staging" would, and the retire rename would then try to
+    * move the directory into its own child).
+    */
+  private def advanceInPlace(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String)(merged: => DataFrame): Unit = advanceLocks
       .computeIfAbsent(path, _ => new Object).synchronized {
-    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
-    // Path construction normalizes a trailing slash; suffix() appends to
-    // the FINAL NAME, so the siblings never nest inside the target (raw
-    // "path" + ".staging" would, and the retire rename would then try to
-    // move the directory into its own child).
+    val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
     LedgerGuard.withLease(fs, target) {
@@ -420,19 +439,91 @@ object CurationOps {
         (fs.exists(staging) && fs.rename(staging, target)) ||
         (fs.exists(retired) && fs.rename(retired, target))
       if (!healed)
-        throw new java.io.IOException(s"stats ledger absent at $target and no staging/retired generation to restore")
+        throw new java.io.IOException(s"$what absent at $target and no staging/retired generation to restore")
     }
-    val merged = mergeStatsLedger(batch, keyCol, textCol, path)
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.delete(retired, true)
     if (!fs.rename(target, retired))
-      throw new java.io.IOException(s"stats ledger swap: cannot retire $target")
+      throw new java.io.IOException(s"$what swap: cannot retire $target")
     if (!fs.rename(staging, target)) {
       fs.rename(retired, target) // roll back so the ledger is never absent
-      throw new java.io.IOException(s"stats ledger swap: cannot promote $staging")
+      throw new java.io.IOException(s"$what swap: cannot promote $staging")
     }
     fs.delete(retired, true)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Distinct-content SKETCH ledger — at-rest per-key HLL sketches
+  // (Spark's built-in Datasketches hll_* functions) maintained by
+  // UNIONING each batch's delta sketch, the distinct-count companion
+  // to the sum-mergeable stats ledger above. Sums answer "how much";
+  // only a mergeable sketch answers "how many DISTINCT" in O(batch):
+  // at 100 TB, "how many unique documents has ingest seen per source"
+  // must not re-read the corpus, and keeping every digest at rest is
+  // the (much heavier) dedup ledger's job. HLL register-wise max is
+  // associative, so union(ledger, delta) covers exactly old ∪ new;
+  // the ESTIMATE of a unioned sketch may differ from a single-pass
+  // sketch at the estimator level (Datasketches invalidates the HIP
+  // estimator on union and falls back to the composite one), which is
+  // why the accuracy gate pins both merged-vs-single-pass closeness
+  // and vs-exact error.
+  // ------------------------------------------------------------------
+
+  /** Per-key sketch row: exact doc count + an HLL sketch of
+    * `distinctCol` (lgK=12 ⇒ ~1.6 KB dense, ~2.6% RSE). One row per
+    * key — model-sized at rest, partial-agg map-side combined.
+    */
+  def corpusSketch(df: DataFrame, keyCol: String, distinctCol: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        hll_sketch_agg(distinctCol, lit(lgK)).as("hll"))
+
+  /** Create/overwrite the sketch ledger from an initial corpus. */
+  def writeSketchLedger(df: DataFrame, keyCol: String, distinctCol: Column,
+      path: String, lgK: Int = 12): Unit =
+    corpusSketch(df, keyCol, distinctCol, lgK).write.mode("overwrite").parquet(path)
+
+  /** Fold a batch's delta sketch into the at-rest ledger: union rows,
+    * sum exact counts, HLL-union sketches per key. Same read-side
+    * contract as [[mergeStatsLedger]] (binds through the staging
+    * fallback; persist to a NEW generation dir, or use
+    * [[advanceSketchLedger]] for fixed-location in-place swaps).
+    */
+  def mergeSketchLedger(batch: DataFrame, keyCol: String, distinctCol: Column,
+      path: String, lgK: Int = 12): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    batch.sparkSession.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+      .unionByName(corpusSketch(batch, keyCol, distinctCol, lgK))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Merge `batch` into the sketch ledger at `path` IN PLACE — the same
+    * staged-rename swap, lease, and self-heal as [[advanceStatsLedger]].
+    */
+  def advanceSketchLedger(batch: DataFrame, keyCol: String, distinctCol: Column,
+      path: String, lgK: Int = 12): Unit =
+    advanceInPlace(batch.sparkSession, path, "sketch ledger")(
+      mergeSketchLedger(batch, keyCol, distinctCol, path, lgK))
+
+  /** Readable view of the sketch ledger: per key, the exact doc count
+    * and the approximate distinct count — the dedup-rate monitor
+    * (n_docs far above approx_distinct ⇒ the ingest is re-seeing
+    * content and the heavyweight dedup pass is overdue).
+    */
+  def sketchEstimates(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+      .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
+      .drop("hll")
   }
 
   /** Per-path in-JVM lock serializing [[advanceStatsLedger]]'s

@@ -304,6 +304,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- distinct-count sketch ledger
+    // at-rest per-key HLL sketches (built-in Datasketches hll_* family)
+    // advanced batch-over-batch — the distinct-count companion to the
+    // d39/d41 stats ledger: "how many UNIQUE documents has ingest seen
+    // per language" in O(batch), no corpus re-read, no per-digest state.
+    // Sketch estimates have no cross-engine oracle (DuckDB's HLL is a
+    // different implementation), so the driver records rows-only; the
+    // named gates live in AccuracySpec ("d46 gate": n_docs exactly
+    // equal to a full recompute, estimate within 5% of exact distinct,
+    // merged-ledger estimate within 2% of a single-pass sketch) and
+    // CurationOpsSpec (three-batch advance, crash self-heal shared with
+    // the stats ledger).
+    q("d46_distinct_ledger", null) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d46_sketch_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      graft.operators.CurationOps.writeSketchLedger(docs.filter(col("doc_id") % 2 === 0), "lang", col("text"), path)
+      graft.operators.CurationOps.advanceSketchLedger(docs.filter(col("doc_id") % 2 === 1), "lang", col("text"), path)
+      graft.operators.CurationOps.sketchEstimates(s, path).orderBy("lang")
+    },
+
     // ---------------------------------------------------------------- unicode normalization
     // NFC canonicalization via a codegen'd expression over the JDK's
     // java.text.Normalizer — the pass that makes composed é and

@@ -222,6 +222,38 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("d46 gate: sketch-ledger estimates — n_docs exact, distinct within 5%, merge within 2% of single-pass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("d46gate").toString + "/led"
+    // same construction as d46: ledger from the even half, advanced
+    // with the odd half
+    CurationOps.writeSketchLedger(docs.filter(col("doc_id") % 2 === 0), "lang", col("text"), dir)
+    CurationOps.advanceSketchLedger(docs.filter(col("doc_id") % 2 === 1), "lang", col("text"), dir)
+    val merged = CurationOps.sketchEstimates(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val single = CurationOps.corpusSketch(docs, "lang", col("text"))
+      .withColumn("e", hll_sketch_estimate(col("hll"))).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (lang, (nDocs, approx)) =>
+      // the exact count is sum-merged alongside the sketch — equality,
+      // not a bound
+      assert(nDocs == exact(lang)._1, s"$lang: n_docs $nDocs != ${exact(lang)._1}")
+      val e = exact(lang)._2
+      val err = math.abs(approx - e).toDouble / e
+      assert(err <= 0.05, f"$lang: approx=$approx exact=$e rel.err=$err%.4f > 5%%")
+      // union(ledger, delta) covers exactly old ∪ new; only the
+      // estimator may differ from a single-pass sketch (HIP is
+      // invalidated on union) — pin that slack tightly
+      val s1 = single(lang)
+      val merr = math.abs(approx - s1).toDouble / math.max(s1, 1)
+      assert(merr <= 0.02, f"$lang: merged=$approx single-pass=$s1 rel.diff=$merr%.4f > 2%%")
+    }
+  }
+
   test("q40b gate: approx_percentile within 1% of exact percentile per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cmp = li.groupBy(col("l_returnflag"))

@@ -419,6 +419,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("advanceSketchLedger: three-batch advance — exact counts sum, distinct estimate exact at tiny cardinality") {
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/ledger"
+    // "a b" appears in seed AND b1 under s1 — the union must not
+    // double-count it; tiny cardinalities are exact for HLL (the
+    // sketch stores them in sparse/coupon mode)
+    val seed = Seq(("s1", "a b"), ("s2", "d")).toDF("source", "text")
+    val b1 = Seq(("s1", "a b"), ("s1", "e f"), ("s3", "g")).toDF("source", "text")
+    val b2 = Seq(("s2", "d"), ("s3", "k l")).toDF("source", "text")
+    CurationOps.writeSketchLedger(seed, "source", col("text"), path)
+    CurationOps.advanceSketchLedger(b1, "source", col("text"), path)
+    CurationOps.advanceSketchLedger(b2, "source", col("text"), path)
+    val got = CurationOps.sketchEstimates(spark, path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n_docs: exact sums; approx_distinct: exact at these cardinalities
+    assert(got == Map("s1" -> ((3L, 2L)), "s2" -> ((2L, 1L)), "s3" -> ((2L, 2L))), got.toString)
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
+
   test("advanceStatsLedger normalizes a trailing-slash path (siblings never nest inside the target)") {
     val path = java.nio.file.Files.createTempDirectory("graft-adv-slash").toString + "/ledger"
     val seed = Seq(("s1", "a b")).toDF("source", "text")
