@@ -261,7 +261,10 @@ object PipelineQueries {
         |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
         |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val path = s"/tmp/graft_conformance/d39_ledger_${dir.hashCode.toHexString}"
+      // pid-scoped like d41/d45/q66: a concurrent JVM's overwrite of a
+      // shared path would race this query's lazy ledger read
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d39_ledger_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
       DedupOps.writeLedger(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", Seq("text"), path)
       DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), path)
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
