@@ -331,4 +331,38 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == want, s"$got != $want")
     } finally q.stop()
   }
+
+  test("streaming sketch-ledger maintenance: per-microbatch advances track distinct content at rest") {
+    import spark.implicits._
+    // the streaming face of d46: each micro-batch folds its delta HLL
+    // into the at-rest sketch ledger. Unlike the generation-dir stats
+    // test above, this uses the IN-PLACE advance at a fixed path — the
+    // natural fit for streaming, since foreachBatch invocations are
+    // serial (the lease never contends) and monitoring readers want one
+    // stable location. Honest limit (same as any foreachBatch side
+    // effect): a crash-and-replay of a micro-batch double-counts its
+    // n_docs delta (HLL distinct is replay-immune; sums are not) —
+    // exactly-once needs a batchId-gated advance on top.
+    val path = java.nio.file.Files.createTempDirectory("graft-skstream").toString + "/led"
+    val seed = Seq(("s1", "a b"), ("s2", "d")).toDF("source", "text")
+    val later = Seq(
+      Seq(("s1", "a b"), ("s2", "q")), // "a b" re-seen: doc counted, distinct not
+      Seq(("s3", "z"), ("s1", "w")))
+    graft.operators.CurationOps.writeSketchLedger(seed, "source", col("text"), path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](
+      spark)
+    val q = stream.toDS().toDF("source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.CurationOps.advanceSketchLedger(batch, "source", col("text"), path)
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = graft.operators.CurationOps.sketchEstimates(spark, path)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // tiny cardinalities are exact in HLL's sparse mode
+      assert(got == Map("s1" -> ((3L, 2L)), "s2" -> ((2L, 2L)), "s3" -> ((1L, 1L))),
+        got.toString)
+    } finally q.stop()
+  }
 }
