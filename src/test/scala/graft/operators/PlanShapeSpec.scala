@@ -62,6 +62,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 expansion: null-safe set joins stay hash joins; the only nested loop is the rep cross") {
+    withStaticPlans {
+      val df = graft.SparkEntry.queries("d10_ngram_jaccard")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      // EqualNullSafe is a legal hash-join key: the two member-expansion
+      // joins must plan as BroadcastHashJoin, never fall to a nested
+      // loop (which would be quadratic in members at scale)
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }.size
+      val bnlj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.size
+      assert(bhj == 2, s"expected 2 null-safe hash expansions, got $bhj:\n$plan")
+      assert(bnlj == 1, s"only the distinct-set scoring cross may nest, got $bnlj:\n$plan")
+    }
+  }
+
   test("passageDedup: no window over the chunk hash (the skew trap)") {
     withStaticPlans {
       val df = CurationOps.passageDedup(docs, "doc_id", "text", 10)
