@@ -377,14 +377,7 @@ object CurationOps {
     */
   def mergeStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
       path: String): DataFrame = {
-    // bind through the read-only sibling fallback: a standalone merge
-    // racing another process's advance can find the target mid-swap —
-    // the staging/retired generation is complete and content-equivalent
-    // (same caveat as dedupAgainstLedger: resolution happens here, the
-    // read at action time)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    batch.sparkSession.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+    LedgerGuard.readLedger(batch.sparkSession, path)
       .unionByName(corpusStats(batch, keyCol, textCol))
       .groupBy(col(keyCol))
       .agg(
@@ -401,57 +394,18 @@ object CurationOps {
     * staging sibling; the next call (or reader that finds `path`
     * absent) self-heals by promoting it. On object stores, where rename
     * is copy+delete, prefer explicit generation dirs via
-    * [[mergeStatsLedger]]. Concurrency: in-JVM callers are serialized
-    * per path by [[advanceLocks]]; across JVMs a best-effort
-    * [[LedgerGuard.withLease]] marker fences concurrent writers
-    * fail-fast (see [[advanceLocks]]).
+    * [[mergeStatsLedger]]. Concurrency and the full swap contract live
+    * in [[LedgerGuard.advanceInPlace]] (per-path in-JVM lock + the
+    * cross-JVM fail-fast lease); readers bind through
+    * [[LedgerGuard.readLedger]]'s staging fallback and can only fail
+    * transiently if a swap completes between bind and action.
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
       path: String): Unit =
-    advanceInPlace(batch.sparkSession, path, "stats ledger")(
-      mergeStatsLedger(batch, keyCol, textCol, path))
-
-  /** The staged-swap core shared by every in-place ledger advance:
-    * lease, crash self-heal, merge (by-name — evaluated only after the
-    * self-heal so its read binds a present generation), staging write,
-    * rename pair with rollback.
-    *
-    * Path construction normalizes a trailing slash; suffix() appends to
-    * the FINAL NAME, so the siblings never nest inside the target (raw
-    * "path" + ".staging" would, and the retire rename would then try to
-    * move the directory into its own child).
-    */
-  private def advanceInPlace(spark: org.apache.spark.sql.SparkSession,
-      path: String, what: String)(merged: => DataFrame): Unit = advanceLocks
-      .computeIfAbsent(path, _ => new Object).synchronized {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(hconf)
-    LedgerGuard.withLease(fs, target) {
-    val staging = target.suffix(".staging")
-    val retired = target.suffix(".old")
-    // Self-heal a crash between the two renames of a previous call: the
-    // staging write always completes BEFORE the target is retired, so if
-    // the target is absent a present staging dir is a complete newer
-    // generation — promote it; failing that restore the retired one.
-    if (!fs.exists(target)) {
-      val healed =
-        (fs.exists(staging) && fs.rename(staging, target)) ||
-        (fs.exists(retired) && fs.rename(retired, target))
-      if (!healed)
-        throw new java.io.IOException(s"$what absent at $target and no staging/retired generation to restore")
+    LedgerGuard.advanceInPlace(batch.sparkSession, path, "stats ledger") { staging =>
+      mergeStatsLedger(batch, keyCol, textCol, path)
+        .write.mode("overwrite").parquet(staging)
     }
-    merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(retired, true)
-    if (!fs.rename(target, retired))
-      throw new java.io.IOException(s"$what swap: cannot retire $target")
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target) // roll back so the ledger is never absent
-      throw new java.io.IOException(s"$what swap: cannot promote $staging")
-    }
-    fs.delete(retired, true)
-    }
-  }
 
   // ------------------------------------------------------------------
   // Distinct-content SKETCH ledger — at-rest per-key HLL sketches
@@ -472,14 +426,20 @@ object CurationOps {
 
   /** Per-key sketch row: exact doc count + an HLL sketch of
     * `distinctCol` (lgK=12 ⇒ ~1.6 KB dense, ~2.6% RSE). One row per
-    * key — model-sized at rest, partial-agg map-side combined.
+    * key — model-sized at rest, partial-agg map-side combined. The
+    * creation-time lgK rides along as a column: sketches of different
+    * lgK refuse to union (Spark's single-arg `hll_union_agg` throws),
+    * so the ledger must remember its own precision — a later merge
+    * builds its delta at the LEDGER's lgK, not at whatever the caller
+    * happened to default to.
     */
   def corpusSketch(df: DataFrame, keyCol: String, distinctCol: Column,
       lgK: Int = 12): DataFrame =
     df.groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        hll_sketch_agg(distinctCol, lit(lgK)).as("hll"))
+        hll_sketch_agg(distinctCol, lit(lgK)).as("hll"),
+        min(lit(lgK)).as("lgk"))
 
   /** Create/overwrite the sketch ledger from an initial corpus. */
   def writeSketchLedger(df: DataFrame, keyCol: String, distinctCol: Column,
@@ -494,14 +454,20 @@ object CurationOps {
     */
   def mergeSketchLedger(batch: DataFrame, keyCol: String, distinctCol: Column,
       path: String, lgK: Int = 12): DataFrame = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    batch.sparkSession.read.parquet(LedgerGuard.readablePath(fs, target).toString)
-      .unionByName(corpusSketch(batch, keyCol, distinctCol, lgK))
+    val ledger = LedgerGuard.readLedger(batch.sparkSession, path)
+    // the delta MUST be sketched at the ledger's own lgK or the union
+    // throws (HLL_UNION_DIFFERENT_LG_K) — the `lgK` parameter is only
+    // the fallback for a ledger with zero rows (empty initial corpus).
+    // One-row driver lookup against a model-sized table.
+    val atRestLgK = ledger.select(col("lgk")).take(1).headOption
+      .map(_.getInt(0)).getOrElse(lgK)
+    ledger
+      .unionByName(corpusSketch(batch, keyCol, distinctCol, atRestLgK))
       .groupBy(col(keyCol))
       .agg(
         sum(col("n_docs")).as("n_docs"),
-        hll_union_agg(col("hll")).as("hll"))
+        hll_union_agg(col("hll")).as("hll"),
+        min(col("lgk")).as("lgk"))
   }
 
   /** Merge `batch` into the sketch ledger at `path` IN PLACE — the same
@@ -509,8 +475,10 @@ object CurationOps {
     */
   def advanceSketchLedger(batch: DataFrame, keyCol: String, distinctCol: Column,
       path: String, lgK: Int = 12): Unit =
-    advanceInPlace(batch.sparkSession, path, "sketch ledger")(
-      mergeSketchLedger(batch, keyCol, distinctCol, path, lgK))
+    LedgerGuard.advanceInPlace(batch.sparkSession, path, "sketch ledger") { staging =>
+      mergeSketchLedger(batch, keyCol, distinctCol, path, lgK)
+        .write.mode("overwrite").parquet(staging)
+    }
 
   /** Readable view of the sketch ledger: per key, the exact doc count
     * and the approximate distinct count — the dedup-rate monitor
@@ -518,22 +486,8 @@ object CurationOps {
     * content and the heavyweight dedup pass is overdue).
     */
   def sketchEstimates(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+      path: String): DataFrame =
+    LedgerGuard.readLedger(spark, path)
       .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
-      .drop("hll")
-  }
-
-  /** Per-path in-JVM lock serializing [[advanceStatsLedger]]'s
-    * staging/retire swap: two concurrent callers would write the same
-    * staging dir and interleave the rename pair, losing one batch's
-    * delta. The lock closes the in-process race; across processes the
-    * best-effort [[LedgerGuard.withLease]] marker makes a second
-    * writer fail fast naming the holder (a plain filesystem cannot
-    * promise more); readers are always safe.
-    */
-  private val advanceLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
+      .drop("hll", "lgk")
 }

@@ -568,20 +568,9 @@ object DedupOps {
     */
   def dedupAgainstLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
       path: String): DataFrame = {
-    val spark = df.sparkSession
-    // resolve through the read-only sibling fallback: during a
-    // compaction's rename pair the target is briefly absent, but the
-    // staging generation is complete — the BUILDER binds to it instead
-    // of failing (and never renames, which would race the writer).
-    // Honest limit: the path is resolved HERE, the read happens at
-    // action time — a swap that starts after this call can still fail
-    // the lazy read with FileNotFound (rerun succeeds; content is
-    // equivalent either way since compaction only collapses duplicates).
-    // Closing that fully needs snapshot isolation (a manifest/table
-    // format), out of scope for a plain-parquet ledger.
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = spark.read.parquet(LedgerGuard.readablePath(fs, target).toString)
+    // binds through the staging fallback; the bind-vs-action caveat is
+    // documented once on LedgerGuard.readLedger
+    val ledger = LedgerGuard.readLedger(df.sparkSession, path)
       .select(col("digest").as("__digest"))
     val withD = df.withColumn("__digest", rowFingerprint(keyCols.map(col)))
     val fresh = withD.join(ledger, Seq("__digest"), "left_anti")
@@ -612,52 +601,25 @@ object DedupOps {
     * digests at rest are ~24 B/row, so even a billion-row ledger
     * rewrites in seconds per executor.
     *
-    * Swap discipline mirrors [[graft.operators.CurationOps.advanceStatsLedger]]:
-    * the compacted generation materializes at a staging sibling, then
-    * two renames retire and promote (each atomic on HDFS/local; a
-    * crash between them leaves the staging dir, which the next call
-    * self-heals by promoting). In-JVM callers are serialized per path;
-    * ACROSS JVMs a best-effort [[LedgerGuard.withLease]] marker makes a
-    * second concurrent writer fail fast naming the holder (stale leases
-    * from crashed holders are broken after a timeout). Concurrent
-    * APPENDERS during a compaction remain out of contract — overwrite-
-    * in-place cannot see files born mid-swap; route appends and
-    * compactions through one scheduler slot per ledger.
+    * Swap discipline is the shared [[LedgerGuard.advanceInPlace]]
+    * (staging write, retire/promote rename pair with rollback and
+    * crash self-heal, per-path in-JVM lock, cross-JVM fail-fast
+    * lease). Concurrent APPENDERS during a compaction remain out of
+    * contract — overwrite-in-place cannot see files born mid-swap;
+    * route appends and compactions through one scheduler slot per
+    * ledger.
     */
   def compactLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 16, maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
-    compactLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      val target = new org.apache.hadoop.fs.Path(path)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      LedgerGuard.withLease(fs, target) {
-      val staging = target.suffix(".staging")
-      val retired = target.suffix(".old")
-      if (!fs.exists(target)) {
-        val healed =
-          (fs.exists(staging) && fs.rename(staging, target)) ||
-          (fs.exists(retired) && fs.rename(retired, target))
-        if (!healed)
-          throw new java.io.IOException(
-            s"ledger absent at $target and no staging/retired generation to restore")
-      }
+    LedgerGuard.advanceInPlace(spark, path, "ledger compaction") { staging =>
+      // reading `path` here is safe: advanceInPlace runs this only
+      // after the self-heal, under the lock and lease
       val compacted = spark.read.parquet(path)
         .groupBy(col("digest"))
         .agg(min(col("admitted_id")).as("admitted_id"))
-      LayoutOps.writeSized(compacted, staging.toString, col("digest"),
+      LayoutOps.writeSized(compacted, staging, col("digest"),
         targetFiles, maxRecordsPerFile)
-      fs.delete(retired, true)
-      if (!fs.rename(target, retired))
-        throw new java.io.IOException(s"ledger compaction: cannot retire $target")
-      if (!fs.rename(staging, target)) {
-        fs.rename(retired, target) // roll back so the ledger is never absent
-        throw new java.io.IOException(s"ledger compaction: cannot promote $staging")
-      }
-      fs.delete(retired, true)
-      }
     }
-
-  private val compactLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   /** Snapshot diff between two corpus generations by content digest:
     * one row per id present in either side, labeled

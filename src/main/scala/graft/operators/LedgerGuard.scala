@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cross-JVM coordination primitives for the at-rest ledgers
   * ([[DedupOps.compactLedger]], [[CurationOps.advanceStatsLedger]]).
@@ -83,6 +84,82 @@ object LedgerGuard {
             s"wait for the holder or remove the lease if it is known dead")
     }
     try body finally fs.delete(lock, false)
+  }
+
+  /** The staged-swap discipline every in-place ledger writer shares —
+    * one implementation so a protocol fix (trailing-slash nesting and
+    * the cross-JVM lease were both such fixes) lands everywhere at
+    * once. Under the per-path in-JVM lock and the cross-JVM lease:
+    * self-heal a crashed predecessor (target absent ⇒ promote the
+    * complete staging generation, else restore the retired one), let
+    * `writeStaging` materialize the new generation at the staging
+    * sibling, then retire/promote with two renames (each atomic on
+    * HDFS/local; a crash between them is the state the next call
+    * heals). On failure to promote, the retired generation rolls back
+    * so the ledger is never left absent. `writeStaging` runs only
+    * AFTER the self-heal, so a merge reading the target binds a
+    * present generation.
+    *
+    * Path construction normalizes a trailing slash; suffix() appends
+    * to the FINAL NAME, so the siblings never nest inside the target
+    * (raw "path" + ".staging" would, and the retire rename would then
+    * try to move the directory into its own child).
+    *
+    * On object stores, where rename is copy+delete and create-no-
+    * overwrite may not be atomic, prefer explicit generation
+    * directories over this in-place swap.
+    */
+  def advanceInPlace(spark: SparkSession, path: String, what: String)(
+      writeStaging: String => Unit): Unit = advanceLocks
+      .computeIfAbsent(path, _ => new Object).synchronized {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLease(fs, target) {
+      val staging = target.suffix(".staging")
+      val retired = target.suffix(".old")
+      if (!fs.exists(target)) {
+        val healed =
+          (fs.exists(staging) && fs.rename(staging, target)) ||
+          (fs.exists(retired) && fs.rename(retired, target))
+        if (!healed)
+          throw new java.io.IOException(
+            s"$what absent at $target and no staging/retired generation to restore")
+      }
+      writeStaging(staging.toString)
+      fs.delete(retired, true)
+      if (!fs.rename(target, retired))
+        throw new java.io.IOException(s"$what swap: cannot retire $target")
+      if (!fs.rename(staging, target)) {
+        fs.rename(retired, target) // roll back so the ledger is never absent
+        throw new java.io.IOException(s"$what swap: cannot promote $staging")
+      }
+      fs.delete(retired, true)
+    }
+  }
+
+  /** Per-path in-JVM lock serializing the staged swaps: two concurrent
+    * writers would materialize the same staging dir and interleave the
+    * rename pair, losing one generation. One map across ALL ledger
+    * families, so a stats advance and a compaction of the same path
+    * serialize too. Across processes, [[withLease]] makes the second
+    * writer fail fast naming the holder.
+    */
+  private val advanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Read the ledger at `path` for any consumer, binding through the
+    * read-only sibling fallback of [[readablePath]]. Honest limit,
+    * documented once here for every call site: the path resolves NOW,
+    * the parquet read happens at ACTION time — a swap that completes
+    * in between can still fail the action with FileNotFound (rerun
+    * succeeds; generations are content-equivalent for their readers).
+    * Closing that fully needs snapshot isolation (a manifest/table
+    * format), out of scope for plain-parquet ledgers.
+    */
+  def readLedger(spark: SparkSession, path: String): DataFrame = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(readablePath(fs, target).toString)
   }
 
   /** The path a READER of the ledger should load: the target itself

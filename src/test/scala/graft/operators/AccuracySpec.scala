@@ -235,8 +235,8 @@ class AccuracySpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val single = CurationOps.corpusSketch(docs, "lang", col("text"))
-      .withColumn("e", hll_sketch_estimate(col("hll"))).collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
+      .select(col("lang"), hll_sketch_estimate(col("hll")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged.keySet == exact.keySet)
     merged.foreach { case (lang, (nDocs, approx)) =>
       // the exact count is sum-merged alongside the sketch — equality,

@@ -437,6 +437,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("advanceSketchLedger: the ledger's own lgK governs later advances (default param cannot poison it)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-sklgk").toString + "/ledger"
+    val seed = Seq(("s1", "a"), ("s1", "b")).toDF("source", "text")
+    CurationOps.writeSketchLedger(seed, "source", col("text"), path, lgK = 14)
+    // default lgK = 12: without the persisted-lgk lookup this union
+    // would throw HLL_UNION_DIFFERENT_LG_K and the ledger could never
+    // be advanced again
+    CurationOps.advanceSketchLedger(Seq(("s1", "c"), ("s2", "d")).toDF("source", "text"),
+      "source", col("text"), path)
+    val got = CurationOps.sketchEstimates(spark, path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((3L, 3L)), "s2" -> ((1L, 1L))), got.toString)
+    assert(spark.read.parquet(path).select("lgk").distinct().collect().map(_.getInt(0)).toSeq == Seq(14))
+  }
+
   test("advanceStatsLedger normalizes a trailing-slash path (siblings never nest inside the target)") {
     val path = java.nio.file.Files.createTempDirectory("graft-adv-slash").toString + "/ledger"
     val seed = Seq(("s1", "a b")).toDF("source", "text")
