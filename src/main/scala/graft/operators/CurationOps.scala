@@ -490,4 +490,34 @@ object CurationOps {
     LedgerGuard.readLedger(spark, path)
       .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
       .drop("hll", "lgk")
+
+  /** Estimated distinct-content OVERLAP between every pair of ledger
+    * keys, from the sketches alone — no corpus read: by
+    * inclusion-exclusion, |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) with
+    * the union taken register-wise (`hll_union`). The cross-source
+    * contamination monitor: "how much of source A's content has source
+    * B also shipped" for the cost of a self-join over one model-sized
+    * row per key.
+    *
+    * Honest error bar: HLL gives RELATIVE error (~2.6% at lgK=12) on
+    * each term, so the DIFFERENCE inherits an ABSOLUTE error of a few
+    * percent of |A ∪ B| — a small overlap between two large sources
+    * drowns in that noise. Readings are clamped at 0; near-zero means
+    * "no material overlap", not an exact count. When a reading is
+    * material, confirm with the exact machinery
+    * ([[DedupOps.crossDedupPairs]] over the corpora themselves).
+    */
+  def sketchOverlap(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val led = LedgerGuard.readLedger(spark, path)
+    val keyName = led.columns.head // ledger shape: key, n_docs, hll, lgk
+    val a = led.select(col(keyName).as("key_a"), col("hll").as("__ha"))
+    val b = led.select(col(keyName).as("key_b"), col("hll").as("__hb"))
+    a.join(b, col("key_a") < col("key_b")) // model-sized × model-sized
+      .select(col("key_a"), col("key_b"),
+        greatest(lit(0L),
+          hll_sketch_estimate(col("__ha")) + hll_sketch_estimate(col("__hb"))
+            - hll_sketch_estimate(hll_union(col("__ha"), col("__hb"))))
+          .as("approx_overlap"))
+  }
 }

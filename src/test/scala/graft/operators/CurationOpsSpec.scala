@@ -437,6 +437,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("sketchOverlap: inclusion-exclusion over ledger sketches recovers tiny-cardinality overlaps exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-skov").toString + "/ledger"
+    val corpus = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "b"), ("s2", "c"), ("s2", "d"),
+      ("s3", "x")).toDF("source", "text")
+    CurationOps.writeSketchLedger(corpus, "source", col("text"), path)
+    val got = CurationOps.sketchOverlap(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // sparse-mode sketches are exact at these cardinalities, so the
+    // inclusion-exclusion difference is exact too
+    assert(got == Map(
+      ("s1", "s2") -> 2L, // {b, c}
+      ("s1", "s3") -> 0L,
+      ("s2", "s3") -> 0L), got.toString)
+  }
+
   test("advanceSketchLedger: the ledger's own lgK governs later advances (default param cannot poison it)") {
     val path = java.nio.file.Files.createTempDirectory("graft-sklgk").toString + "/ledger"
     val seed = Seq(("s1", "a"), ("s1", "b")).toDF("source", "text")
