@@ -120,6 +120,44 @@ object TextOps {
     * normalization is the fused one-pass kernel — byte-identical to
     * `regexp_replace(lower(trim(text)), " +", " ")`, minus the regex.
     */
+  /** Canonical form of a URL for web-corpus identity — the dedup key
+    * every crawl pipeline needs before content ever loads (C4/CCNet
+    * dedupe by normalized URL first, content hash second). Composed
+    * entirely from codegen'd built-ins and array HOFs, NULL in → NULL
+    * out. Rules, in order:
+    *  1. drop the fragment (`#...` — client-side only);
+    *  2. lowercase the scheme and host (RFC 3986 §6.2.2.1; path and
+    *     query stay case-sensitive);
+    *  3. strip the scheme's default port (`:80` http, `:443` https);
+    *  4. strip trailing slashes from the path (`/a/b/` ≡ `/a/b`; the
+    *     bare root collapses to the empty path);
+    *  5. drop tracking query params (`utm_*`, `fbclid`, `gclid`,
+    *     `ref`) — they vary per click, not per resource;
+    *  6. byte-sort the surviving query params (`?b=2&a=1` ≡
+    *     `?a=1&b=2`) and drop the `?` when none survive.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portNorm = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(afterHost, "^([^?]*)", 1)
+    val pathNorm = regexp_replace(path, "/+$", "")
+    val q = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val qNorm = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portNorm, pathNorm,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
+  }
+
   def fingerprint(text: Column): Column =
     md5(graft.functions.TextStatsExpression.normalizeText(text))
 

@@ -307,6 +307,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- URL canonicalization
+    // the dedup key every web-corpus pipeline computes before content
+    // ever loads: fragment dropped, scheme/host lowercased, default
+    // port stripped, trailing slashes trimmed, tracking params
+    // (utm_*/fbclid/gclid/ref) removed, surviving params byte-sorted.
+    // The fixture has no URL column, so both sides SYNTHESIZE one per
+    // row from doc_id (same m03/m04 pattern: generator is fixture
+    // plumbing); the oracle then builds the canonical form from the
+    // ground-truth COMPONENTS while the Spark side must PARSE the
+    // assembled string — the hash match proves the parser recovers
+    // every rule exactly.
+    q("d47_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    ['HTTP','https','HtTpS'][CAST(doc_id % 3 AS INTEGER) + 1] AS scheme,
+        |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' AS host,
+        |    [':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INTEGER) + 1] AS port,
+        |    '/Dir' || CAST(doc_id % 7 AS VARCHAR) || '/page'
+        |      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS path,
+        |    ['?b=2&utm_source=x&a=1', '?fbclid=abc', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS q,
+        |    CASE WHEN doc_id % 2 = 0 THEN '#Sec1' ELSE '' END AS frag
+        |  FROM documents),
+        |raw AS (SELECT doc_id, scheme || '://' || host || port || path || q || frag AS url,
+        |               lower(scheme) AS ls, lower(host) AS lh, port, path, q FROM u),
+        |canon AS (SELECT doc_id, url,
+        |  ls || '://' || lh ||
+        |  CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
+        |       OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
+        |  regexp_replace(path, '/+$', '') ||
+        |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+        |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        |          string_split(ltrim(q, '?'), '&'),
+        |          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS cq
+        |        FROM raw))
+        |SELECT doc_id, url, canonical FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val scheme = element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int"))
+      val host = concat(lit("WWW.Site"), (id % 5).cast("string"), lit(".Example.COM"))
+      val port = element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")), (id % 4 + 1).cast("int"))
+      val path = concat(lit("/Dir"), (id % 7).cast("string"), lit("/page"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")))
+      val qq = element_at(array(lit("?b=2&utm_source=x&a=1"), lit("?fbclid=abc"), lit("")), (id % 3 + 1).cast("int"))
+      val frag = when(id % 2 === 0, lit("#Sec1")).otherwise(lit(""))
+      table(s, dir, "documents")
+        .select(id, concat(scheme, lit("://"), host, port, path, qq, frag).as("url"))
+        .withColumn("canonical", graft.operators.TextOps.canonicalUrl(col("url")))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- distinct-count sketch ledger
     // at-rest per-key HLL sketches (built-in Datasketches hll_* family)
     // advanced batch-over-batch — the distinct-count companion to the

@@ -453,6 +453,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromSemi == inMemory)
   }
 
+  test("canonicalUrl: every rule fires and NULL propagates") {
+    val cases = Seq(
+      // fragment drop + case fold + default port + trailing slash +
+      // tracking strip + param sort, all at once
+      "HTTP://WWW.Ex.COM:80/a/B/?b=2&utm_source=x&a=1#Frag" -> "http://www.ex.com/a/B?a=1&b=2",
+      "https://ex.com:443/" -> "https://ex.com",           // root path collapses
+      "https://ex.com:8443/p" -> "https://ex.com:8443/p",  // non-default port kept
+      "http://ex.com:443/p" -> "http://ex.com:443/p",      // 443 is not http's default
+      "http://ex.com/p?fbclid=z&gclid=y&ref=a" -> "http://ex.com/p", // all tracking → no '?'
+      "http://ex.com" -> "http://ex.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("; "))
+    val n = Seq(Option.empty[String]).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("d10 n-gram jaccard keeps NULL-text documents in the pair output") {
     // the oracle's pair join has no predicate on the token set, so a
     // NULL-text document still pairs with every anchor (NULL jaccard);
