@@ -158,6 +158,18 @@ object TextOps {
       when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
   }
 
+  /** Lowercased host of a URL (no port, no userinfo) — the per-domain
+    * grouping key for crawl-side controls (rate/licensing/robots are
+    * per host, and C4-style pipelines cap per-domain contributions).
+    */
+  def urlHost(url: Column): Column = {
+    val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val noUser = regexp_replace(hostPort, "^.*@", "")
+    lower(regexp_extract(noUser, "^([^:]*)", 1))
+  }
+
   def fingerprint(text: Column): Column =
     md5(graft.functions.TextStatsExpression.normalizeText(text))
 

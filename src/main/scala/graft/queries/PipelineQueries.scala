@@ -331,7 +331,7 @@ object PipelineQueries {
         |  FROM documents),
         |raw AS (SELECT doc_id, scheme || '://' || host || port || path || q || frag AS url,
         |               lower(scheme) AS ls, lower(host) AS lh, port, path, q FROM u),
-        |canon AS (SELECT doc_id, url,
+        |canon AS (SELECT doc_id, url, lh,
         |  ls || '://' || lh ||
         |  CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
         |       OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
@@ -341,7 +341,7 @@ object PipelineQueries {
         |          string_split(ltrim(q, '?'), '&'),
         |          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS cq
         |        FROM raw))
-        |SELECT doc_id, url, canonical FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |SELECT doc_id, url, canonical, lh AS host FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val id = col("doc_id")
       val scheme = element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int"))
       val host = concat(lit("WWW.Site"), (id % 5).cast("string"), lit(".Example.COM"))
@@ -353,6 +353,7 @@ object PipelineQueries {
       table(s, dir, "documents")
         .select(id, concat(scheme, lit("://"), host, port, path, qq, frag).as("url"))
         .withColumn("canonical", graft.operators.TextOps.canonicalUrl(col("url")))
+        .withColumn("host", graft.operators.TextOps.urlHost(col("url")))
         .orderBy("doc_id")
     },
 

@@ -470,6 +470,10 @@ class OperatorsSpec extends AnyFunSuite {
     val n = Seq(Option.empty[String]).toDF("u")
       .select(TextOps.canonicalUrl(col("u"))).collect()
     assert(n.head.isNullAt(0))
+    // host extraction: userinfo and port stripped, case folded
+    val hosts = Seq("HTTP://alice:pw@WWW.Ex.COM:8080/p?a=1#f", "https://ex.com")
+      .toDF("u").select(TextOps.urlHost(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("www.ex.com", "ex.com"), hosts.mkString("; "))
   }
 
   test("d10 n-gram jaccard keeps NULL-text documents in the pair output") {
