@@ -186,22 +186,37 @@ object DedupOps {
     */
   def crossDedupPairs(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
-      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
-    // identical-signature collapse on BOTH sides, same exactness
-    // argument as [[lshCandidatePairs]]; equal-signature cross pairs
-    // need no self-edge arm here — the two group rows are distinct and
-    // collide in every band on their own
-    def sigTable(df: DataFrame): DataFrame = {
-      val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
-        .filter(col("mh0").isNotNull)
-      sig.withColumn("__sig", md5(concat_ws("_",
-        (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*)))
-    }
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame =
+    crossPairsOfSigs(
+      sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
+      sigTable(corpus, idCol, textCol, numHashes, shingleSize),
+      idCol, numHashes, bandSize)
+
+  /** Signatures + the collapse key: one row per doc with `mh0..mhk-1`
+    * and `__sig` (digest of the whole signature — the exact-duplicate
+    * group key).
+    */
+  private def sigTable(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame =
+    withSigKey(minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull), numHashes)
+
+  private def withSigKey(sig: DataFrame, numHashes: Int): DataFrame =
+    sig.withColumn("__sig", md5(concat_ws("_",
+      (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*)))
+
+  /** The shared cross-pair core over two signature tables: identical-
+    * signature collapse on BOTH sides (same exactness argument as
+    * [[lshCandidatePairs]]; equal-signature cross pairs need no
+    * self-edge arm — the two group rows are distinct and collide in
+    * every band on their own), banded join per distinct signature,
+    * linear expansion back to member ids.
+    */
+  private def crossPairsOfSigs(n: DataFrame, c: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
     def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("__sig")).agg(
       (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
       (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
-    val n = sigTable(newDocs)
-    val c = sigTable(corpus)
     def bandsOf(g: DataFrame, as: String) = lshBands(g, "__sig", numHashes, bandSize)
       .select(col("__sig").as(as), col("band"), col("bucket"))
     val edges = broadcast(bandsOf(groupsOf(n), "__sn"))
@@ -213,6 +228,51 @@ object DedupOps {
       .join(c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id")), "__sc")
       .select(col("new_id"), col("corpus_id"), col("n_bands"))
   }
+
+  /** Persist the corpus side of [[crossDedupPairs]] — the at-rest
+    * near-dup counterpart of the digest ledger, and the missing half of
+    * that operator's own steady-state contract: ingest computes minhash
+    * signatures once per document at admission, and every later batch
+    * probes them WITHOUT re-reading or re-shingling the corpus (at
+    * 100 TB the shingle pass dwarfs the banded join — this ledger makes
+    * incremental near-dup O(batch)). Row shape: `idCol`, `mh0..mhk-1`
+    * (~8 ints/doc at rest). Append-only; signatures are per-doc unique
+    * so no compaction-style duplicate collapse is ever needed.
+    *
+    * The ledger does not store its own (numHashes, shingleSize): every
+    * probe/append MUST pass the creation-time values (a numHashes
+    * mismatch fails loudly on the missing `mh` columns; a shingleSize
+    * mismatch silently degrades recall — pin both in the ingest
+    * config).
+    */
+  def writeSignatureLedger(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit =
+    minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull)
+      .write.mode("overwrite").parquet(path)
+
+  /** Admit a batch's signatures (append-only, like [[appendToLedger]]).
+    * Pass rows already vetted for admission — the ledger should hold
+    * what the corpus kept.
+    */
+  def appendToSignatureLedger(batch: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit =
+    minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull)
+      .write.mode("append").parquet(path)
+
+  /** [[crossDedupPairs]] with the corpus side read from the at-rest
+    * signature ledger: the batch side shingles O(batch), the corpus
+    * side is a columnar scan of ids + signatures. Same output, same
+    * collapse, same banded join.
+    */
+  def crossDedupAgainstSignatures(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String,
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame =
+    crossPairsOfSigs(
+      sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
+      withSigKey(LedgerGuard.readLedger(newDocs.sparkSession, path), numHashes),
+      idCol, numHashes, bandSize)
 
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting

@@ -241,6 +241,38 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- persisted signature ledger
+    // d38's cross-dedup with the corpus side AT REST: signatures are
+    // written once (writeSignatureLedger), then the batch probes them
+    // without re-reading or re-shingling corpus text — the near-dup
+    // counterpart of the d39 digest ledger, and the steady-state
+    // contract crossDedupPairs documents. The oracle is d38's, file-
+    // blind (recomputes minhash for BOTH sub-corpora from text), so
+    // the hash match proves the at-rest signature round-trip changed
+    // nothing.
+    q("d48_cross_dedup_at_rest", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
+         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d48_sig_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      DedupOps.writeSignatureLedger(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", path)
+      DedupOps.crossDedupAgainstSignatures(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- persisted dedup ledger
     // incremental-ingest exact dedup AT REST (d38's cross-dedup shape
     // made durable): a parquet digest store of everything ever admitted;

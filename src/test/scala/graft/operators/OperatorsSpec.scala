@@ -476,6 +476,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hosts == Seq("www.ex.com", "ex.com"), hosts.mkString("; "))
   }
 
+  test("signature ledger: write + append probes equal the direct cross-dedup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sigled").toString + "/led"
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val gen2 = docs.filter(col("doc_id") % 10 > 5)
+    DedupOps.writeSignatureLedger(gen1, "doc_id", "text", dir)
+    DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atRest = rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir))
+    val direct = rows(DedupOps.crossDedupPairs(batch, gen1.unionByName(gen2), "doc_id", "text"))
+    assert(atRest == direct && direct.nonEmpty, s"atRest=$atRest direct=$direct")
+  }
+
   test("d10 n-gram jaccard keeps NULL-text documents in the pair output") {
     // the oracle's pair join has no predicate on the token set, so a
     // NULL-text document still pairs with every anchor (NULL jaccard);
