@@ -223,9 +223,17 @@ object DedupOps {
       .join(bandsOf(groupsOf(c), "__sc"), Seq("band", "bucket"))
       .groupBy(col("__sn"), col("__sc"))
       .agg(count(lit(1)).as("n_bands"))
+    // member expansion is per DISTINCT (sig, id): a replayed ledger
+    // append (crash-and-retry ingest) stores identical signature rows
+    // twice, and without this collapse every later probe would emit
+    // each pair once per copy. dropDuplicates costs one shuffle of
+    // (md5, id) pairs — noise next to the groupsOf shuffle both sides
+    // already pay.
     edges
-      .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id")), "__sn")
-      .join(c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id")), "__sc")
+      .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id"))
+        .dropDuplicates(), "__sn")
+      .join(c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id"))
+        .dropDuplicates(), "__sc")
       .select(col("new_id"), col("corpus_id"), col("n_bands"))
   }
 
@@ -236,8 +244,11 @@ object DedupOps {
     * probes them WITHOUT re-reading or re-shingling the corpus (at
     * 100 TB the shingle pass dwarfs the banded join — this ledger makes
     * incremental near-dup O(batch)). Row shape: `idCol`, `mh0..mhk-1`
-    * (~8 ints/doc at rest). Append-only; signatures are per-doc unique
-    * so no compaction-style duplicate collapse is ever needed.
+    * (~8 ints/doc at rest). Append-only; a replayed append (crash-and-
+    * retry) stores duplicate rows, which probes tolerate (the member
+    * expansion collapses per distinct (sig, id)) and
+    * [[compactSignatureLedger]] removes at rest along with the
+    * accreted small files.
     *
     * The ledger does not store its own (numHashes, shingleSize): every
     * probe/append MUST pass the creation-time values (a numHashes
@@ -273,6 +284,25 @@ object DedupOps {
       sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
       withSigKey(LedgerGuard.readLedger(newDocs.sparkSession, path), numHashes),
       idCol, numHashes, bandSize)
+
+  /** Compact the signature ledger IN PLACE: collapse duplicate rows
+    * (replayed appends) and rewrite the accreted per-batch small files
+    * to `targetFiles` sized files — the same maintenance
+    * [[compactLedger]] gives the digest ledger, for the same reason:
+    * a steady-state ingest loop appends one file set per batch, and
+    * the probe's "cheap columnar scan" otherwise fans out over
+    * thousands of tiny files. Same staged swap, lease, and self-heal.
+    */
+  def compactSignatureLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "signature-ledger compaction") { staging =>
+      val led = spark.read.parquet(path).dropDuplicates()
+      // sort by the id column (first at-rest column) so file-level
+      // min/max stats prune id-ranged reads
+      LayoutOps.writeSized(led, staging, col(led.columns.head),
+        targetFiles, maxRecordsPerFile)
+    }
 
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting

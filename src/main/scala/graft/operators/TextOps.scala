@@ -114,36 +114,42 @@ object TextOps {
     when(hits >= 3, "en").when(hits >= 1, "en_maybe").otherwise("und")
   }
 
-  /** Normalized-content fingerprint: md5 over lowercased, space-collapsed
-    * text. Identical fingerprints ⇒ exact near-duplicate after
-    * normalization (casing/whitespace-insensitive dedup key). The
-    * normalization is the fused one-pass kernel — byte-identical to
-    * `regexp_replace(lower(trim(text)), " +", " ")`, minus the regex.
-    */
   /** Canonical form of a URL for web-corpus identity — the dedup key
     * every crawl pipeline needs before content ever loads (C4/CCNet
     * dedupe by normalized URL first, content hash second). Composed
     * entirely from codegen'd built-ins and array HOFs, NULL in → NULL
     * out. Rules, in order:
     *  1. drop the fragment (`#...` — client-side only);
-    *  2. lowercase the scheme and host (RFC 3986 §6.2.2.1; path and
-    *     query stay case-sensitive);
-    *  3. strip the scheme's default port (`:80` http, `:443` https);
-    *  4. strip trailing slashes from the path (`/a/b/` ≡ `/a/b`; the
+    *  2. drop userinfo (`user:pw@` — never part of resource identity);
+    *  3. lowercase the scheme and host (RFC 3986 §6.2.2.1; path and
+    *     query stay case-sensitive; bracketed IPv6 hosts keep their
+    *     colons);
+    *  4. strip the scheme's default port (`:80` http, `:443` https);
+    *  5. strip trailing slashes from the path (`/a/b/` ≡ `/a/b`; the
     *     bare root collapses to the empty path);
-    *  5. drop tracking query params (`utm_*`, `fbclid`, `gclid`,
-    *     `ref`) — they vary per click, not per resource;
-    *  6. byte-sort the surviving query params (`?b=2&a=1` ≡
+    *  6. drop tracking query params — they vary per click, not per
+    *     resource. The default list is the unambiguous set (`utm_*`,
+    *     `fbclid`, `gclid`); pass `trackingParams` to extend it (e.g.
+    *     `ref`, which SOME sites use for referral tracking but others
+    *     use to address content — stripping it by default would merge
+    *     genuinely distinct resources);
+    *  7. byte-sort the surviving query params (`?b=2&a=1` ≡
     *     `?a=1&b=2`) and drop the `?` when none survive.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column,
+      trackingParams: Seq[String] = Seq("utm_[^=]*", "fbclid", "gclid")): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val noUser = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^/?@]*@", "")
     val afterHost = regexp_replace(rest, "^[^/?]*", "")
-    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
-    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    // a bracketed IPv6 literal keeps its colons; otherwise the host
+    // ends at the port separator
+    val bracketed = noUser.startsWith("[")
+    val host = lower(when(bracketed, regexp_extract(noUser, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(noUser, "^([^:]*)", 1)))
+    val port = when(bracketed, regexp_extract(noUser, "\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(noUser, "^[^:]*:([0-9]+)$", 1))
     val portNorm = when(port === "" ||
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
@@ -151,25 +157,33 @@ object TextOps {
     val path = regexp_extract(afterHost, "^([^?]*)", 1)
     val pathNorm = regexp_replace(path, "/+$", "")
     val q = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val trackRe = trackingParams.mkString("^(", "|", ")=")
     val params = filter(split(q, "&"),
-      p => !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+      p => !(p === "" || p.rlike(trackRe)))
     val qNorm = array_join(array_sort(params), "&")
     concat(scheme, lit("://"), host, portNorm, pathNorm,
       when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
   }
 
-  /** Lowercased host of a URL (no port, no userinfo) — the per-domain
-    * grouping key for crawl-side controls (rate/licensing/robots are
-    * per host, and C4-style pipelines cap per-domain contributions).
+  /** Lowercased host of a URL (no port, no userinfo; bracketed IPv6
+    * literals intact) — the per-domain grouping key for crawl-side
+    * controls (rate/licensing/robots are per host, and C4-style
+    * pipelines cap per-domain contributions).
     */
   def urlHost(url: Column): Column = {
     val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
       "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
-    val noUser = regexp_replace(hostPort, "^.*@", "")
-    lower(regexp_extract(noUser, "^([^:]*)", 1))
+    val noUser = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^/?@]*@", "")
+    lower(when(noUser.startsWith("["), regexp_extract(noUser, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(noUser, "^([^:]*)", 1)))
   }
 
+  /** Normalized-content fingerprint: md5 over lowercased, space-collapsed
+    * text. Identical fingerprints ⇒ exact near-duplicate after
+    * normalization (casing/whitespace-insensitive dedup key). The
+    * normalization is the fused one-pass kernel — byte-identical to
+    * `regexp_replace(lower(trim(text)), " +", " ")`, minus the regex.
+    */
   def fingerprint(text: Column): Column =
     md5(graft.functions.TextStatsExpression.normalizeText(text))
 

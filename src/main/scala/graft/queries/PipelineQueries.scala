@@ -47,6 +47,25 @@ object PipelineQueries {
   }
   private val sqlMh8 = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(",\n  ")
 
+  /** The d38/d48 oracle, shared verbatim: cross-corpus banded-LSH pairs
+    * recomputed from TEXT for both sub-corpora — file-blind, so d48's
+    * at-rest signature round-trip passes only if it changed nothing.
+    */
+  private val sqlCrossDedupOracle = {
+    def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+      .mkString("md5(", " || '_' || ", ")")
+    s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+       |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
+       |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   /** Trained ANN models memoized per fixture dir: an index is BUILT once
     * and PROBED many times, so repeated invocations (the bench's paired
     * passes; a user's query stream) should pay the probe, not a retrain —
@@ -219,20 +238,7 @@ object PipelineQueries {
     // collide with the EXISTING corpus (the rest) — bipartite banding
     // join, new side broadcast; at steady state the corpus bands are a
     // persisted, incrementally-maintained table.
-    q("d38_cross_dedup", {
-      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
-        .mkString("md5(", " || '_' || ", ")")
-      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
-         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
-         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_bands
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-         |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
-    }) { (s, dir) =>
+    q("d38_cross_dedup", sqlCrossDedupOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
       DedupOps.crossDedupPairs(
         docs.filter(col("doc_id") % 10 === 0),
@@ -250,24 +256,19 @@ object PipelineQueries {
     // blind (recomputes minhash for BOTH sub-corpora from text), so
     // the hash match proves the at-rest signature round-trip changed
     // nothing.
-    q("d48_cross_dedup_at_rest", {
-      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
-        .mkString("md5(", " || '_' || ", ")")
-      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
-         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig)
-         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_bands
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-         |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
-    }) { (s, dir) =>
+    q("d48_cross_dedup_at_rest", sqlCrossDedupOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val path = Registry.scratchDir(
         s"/tmp/graft_conformance/d48_sig_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
-      DedupOps.writeSignatureLedger(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", path)
+      // two generations + a replayed append + compaction: the oracle is
+      // file- and duplication-blind, so the probe passes only if the
+      // whole maintenance cycle lost and invented nothing
+      val gen2 = docs.filter((col("doc_id") % 10) > 5)
+      DedupOps.writeSignatureLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
+        "doc_id", "text", path)
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path)
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path) // crash-and-retry replay
+      DedupOps.compactSignatureLedger(s, path, targetFiles = 4)
       DedupOps.crossDedupAgainstSignatures(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
         .orderBy("new_id", "corpus_id")
@@ -371,7 +372,7 @@ object PipelineQueries {
         |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
         |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
         |          string_split(ltrim(q, '?'), '&'),
-        |          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS cq
+        |          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS cq
         |        FROM raw))
         |SELECT doc_id, url, canonical, lh AS host FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val id = col("doc_id")

@@ -461,12 +461,23 @@ class OperatorsSpec extends AnyFunSuite {
       "https://ex.com:443/" -> "https://ex.com",           // root path collapses
       "https://ex.com:8443/p" -> "https://ex.com:8443/p",  // non-default port kept
       "http://ex.com:443/p" -> "http://ex.com:443/p",      // 443 is not http's default
-      "http://ex.com/p?fbclid=z&gclid=y&ref=a" -> "http://ex.com/p", // all tracking → no '?'
+      "http://ex.com/p?fbclid=z&gclid=y" -> "http://ex.com/p", // all tracking → no '?'
+      "http://ex.com/p?ref=main" -> "http://ex.com/p?ref=main", // ref NOT in the default list
+      "https://alice:pw@Ex.com/a" -> "https://ex.com/a",   // userinfo never keys identity
+      "http://[2001:DB8::1]:8080/p" -> "http://[2001:db8::1]:8080/p", // IPv6 colons survive
+      "http://[2001:db8::1]:80/p" -> "http://[2001:db8::1]/p",        // default port, bracketed
       "http://ex.com" -> "http://ex.com")
     val got = cases.map(_._1).toDF("u")
       .select(TextOps.canonicalUrl(col("u")).as("c"))
       .collect().map(_.getString(0)).toSeq
-    assert(got == cases.map(_._2), got.mkString("; "))
+    assert(got == cases.map(_._2),
+      got.zip(cases.map(_._2)).filter(p => p._1 != p._2).mkString("; "))
+    // extended tracking list: caller opts ref in
+    val refGot = Seq("http://ex.com/p?ref=a&b=1").toDF("u")
+      .select(TextOps.canonicalUrl(col("u"),
+        Seq("utm_[^=]*", "fbclid", "gclid", "ref")).as("c"))
+      .collect().head.getString(0)
+    assert(refGot == "http://ex.com/p?b=1", refGot)
     val n = Seq(Option.empty[String]).toDF("u")
       .select(TextOps.canonicalUrl(col("u"))).collect()
     assert(n.head.isNullAt(0))
