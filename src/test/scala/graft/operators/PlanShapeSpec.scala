@@ -78,6 +78,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("signature-ledger probe shingles ONLY the batch side (the at-rest point)") {
+    withStaticPlans {
+      val dir = java.nio.file.Files.createTempDirectory("sigplan").toString + "/led"
+      DedupOps.writeSignatureLedger(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", dir)
+      def shingles(df: DataFrame): Int =
+        "(?i)shinglehash".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val probe = shingles(DedupOps.crossDedupAgainstSignatures(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir))
+      val direct = shingles(DedupOps.crossDedupPairs(
+        docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text"))
+      // the corpus side must come from the columnar signature scan, so
+      // the probe plan carries the shingle kernel for the batch side
+      // only — half the direct form's sites
+      assert(probe > 0 && probe * 2 == direct,
+        s"probe=$probe direct=$direct — corpus side is being re-shingled")
+    }
+  }
+
   test("passageDedup: no window over the chunk hash (the skew trap)") {
     withStaticPlans {
       val df = CurationOps.passageDedup(docs, "doc_id", "text", 10)
