@@ -401,8 +401,8 @@ object CurationOps {
     * transiently if a swap completes between bind and action.
     */
   def advanceStatsLedger(batch: DataFrame, keyCol: String, textCol: String,
-      path: String): Unit =
-    LedgerGuard.advanceInPlace(batch.sparkSession, path, "stats ledger") { staging =>
+      path: String, batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(batch.sparkSession, path, "stats ledger", batchId) { staging =>
       mergeStatsLedger(batch, keyCol, textCol, path)
         .write.mode("overwrite").parquet(staging)
     }
@@ -474,8 +474,8 @@ object CurationOps {
     * staged-rename swap, lease, and self-heal as [[advanceStatsLedger]].
     */
   def advanceSketchLedger(batch: DataFrame, keyCol: String, distinctCol: Column,
-      path: String, lgK: Int = 12): Unit =
-    LedgerGuard.advanceInPlace(batch.sparkSession, path, "sketch ledger") { staging =>
+      path: String, lgK: Int = 12, batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(batch.sparkSession, path, "sketch ledger", batchId) { staging =>
       mergeSketchLedger(batch, keyCol, distinctCol, path, lgK)
         .write.mode("overwrite").parquet(staging)
     }

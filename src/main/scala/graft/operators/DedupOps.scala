@@ -331,7 +331,7 @@ object DedupOps {
     * as `minHashSignatures` — token digests run once per token, the 16
     * bit-sums are map-side partial aggregates.
     */
-  /** SimHash candidate pairs: band on the high `16 - bandBits` simhash
+  /** SimHash CANDIDATE pairs: band on the high `16 - bandBits` simhash
     * bits (one equi-join shuffle), exact Hamming rescoring, threshold.
     * The band join runs over one representative per DISTINCT simhash —
     * same mega-bucket collapse as [[lshCandidatePairs]], and exact for
@@ -340,7 +340,18 @@ object DedupOps {
     * distance, and within-group pairs are Hamming 0. A boilerplate-
     * saturated corpus (many docs, one hash) costs a linear membership
     * fan-out, never a quadratic bucket join.
-    * Output: (d1, d2, hamming), d1 < d2, hamming <= maxHamming.
+    *
+    * Recall contract — candidates, not completeness: a pair qualifies
+    * only if its differing bits all fall OUTSIDE the banded high bits,
+    * so pairs that differ in the high `16 - bandBits` bits are never
+    * seen (single-band LSH recall, like one MinHash band). The
+    * guaranteed-complete scheme is Manku et al.'s multi-block
+    * permutation (band on every ⌈bits/(maxHamming+1)⌉-bit block so the
+    * pigeonhole forces a collision); at this 16-bit toy width those
+    * blocks collapse to near-empty buckets, so the single high-band
+    * trade is deliberate and the d09/d12 oracles pin exactly it.
+    * Output: (d1, d2, hamming), d1 < d2, hamming <= maxHamming among
+    * the banded candidates.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6, bandShift: Int = 8): DataFrame = {

@@ -34,8 +34,12 @@ object LedgerGuard {
   def withLease[T](fs: FileSystem, target: Path,
       staleAfterMs: Long = 15L * 60 * 1000)(body: => T): T = {
     val lock = target.suffix(".lock")
+    // unique per ACQUISITION, not just per process: the identity-checked
+    // release and the fresh-tomb check below compare against exactly
+    // this token, so two acquisitions from one process never alias
     val holderInfo =
-      s"${ProcessHandle.current.pid}@${java.net.InetAddress.getLocalHost.getHostName}"
+      s"${ProcessHandle.current.pid}@${java.net.InetAddress.getLocalHost.getHostName}" +
+        s"/${java.lang.Long.toHexString(System.nanoTime)}"
     def tryAcquire(): Boolean = {
       val created =
         try Some(fs.create(lock, false)) // atomic create-fail-if-exists
@@ -74,7 +78,26 @@ object LedgerGuard {
         val tomb = lock.suffix(s".stale.${ProcessHandle.current.pid}.${System.nanoTime}")
         val broke = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
         if (broke) {
-          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+          // TOCTOU guard: between our staleness check and the rename,
+          // another breaker may have disposed of the stale file AND a
+          // fresh lease may have been acquired — what we just renamed
+          // could be that LIVE lease (rename preserves mtime, so the
+          // tomb's age tells us which). A fresh tomb goes BACK; only a
+          // genuinely stale one is disposed of.
+          val tombFresh =
+            try System.currentTimeMillis - fs.getFileStatus(tomb).getModificationTime <= staleAfterMs
+            catch { case _: java.io.IOException => false }
+          if (tombFresh) {
+            // put-back fails only if yet another writer acquired in the
+            // gap; the displaced holder's identity-checked release below
+            // keeps it from deleting the usurper's lock. A plain
+            // filesystem has no compare-and-swap to close this fully.
+            if (!(try fs.rename(tomb, lock) catch { case _: java.io.IOException => false })) {
+              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+            }
+          } else {
+            try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+          }
         }
       }
       if (!tryAcquire())
@@ -83,7 +106,18 @@ object LedgerGuard {
             "concurrent ledger writers would interleave the staging swap and lose a batch — " +
             s"wait for the holder or remove the lease if it is known dead")
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // release ONLY our own lease: if this holder's lease went stale
+      // mid-body (a staging write longer than staleAfterMs) and another
+      // writer broke it, the lock now belongs to THEM — deleting it
+      // blindly would hand the path to a third writer while the second
+      // still swaps. The read-then-delete here is itself a tiny window;
+      // the alternative (no identity check) loses a generation, this
+      // one at worst leaves a lease to expire.
+      if (holderOf() == holderInfo) {
+        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** The staged-swap discipline every in-place ledger writer shares —
@@ -108,8 +142,20 @@ object LedgerGuard {
     * On object stores, where rename is copy+delete and create-no-
     * overwrite may not be atomic, prefer explicit generation
     * directories over this in-place swap.
+    *
+    * Retry semantics: WITHOUT `batchId`, a crash between the two swap
+    * renames followed by an application retry DOUBLE-APPLIES the batch —
+    * the self-heal promotes the staging generation (merge already folded
+    * in) and the retry merges again. Sum-based ledgers (stats n_docs/
+    * n_tokens, sketch n_docs) inflate; anti-join ledgers merely store
+    * duplicates. Passing a stable `batchId` closes this exactly-once:
+    * the id rides inside the staging generation as an `_`-prefixed
+    * marker file (invisible to parquet readers, promoted ATOMICALLY
+    * with the rename), and an advance whose id matches the ledger's
+    * last-applied marker is a no-op.
     */
-  def advanceInPlace(spark: SparkSession, path: String, what: String)(
+  def advanceInPlace(spark: SparkSession, path: String, what: String,
+      batchId: Option[String] = None)(
       writeStaging: String => Unit): Unit = advanceLocks
       .computeIfAbsent(path, _ => new Object).synchronized {
     val target = new Path(path)
@@ -125,17 +171,36 @@ object LedgerGuard {
           throw new java.io.IOException(
             s"$what absent at $target and no staging/retired generation to restore")
       }
-      writeStaging(staging.toString)
-      fs.delete(retired, true)
-      if (!fs.rename(target, retired))
-        throw new java.io.IOException(s"$what swap: cannot retire $target")
-      if (!fs.rename(staging, target)) {
-        fs.rename(retired, target) // roll back so the ledger is never absent
-        throw new java.io.IOException(s"$what swap: cannot promote $staging")
+      val alreadyApplied = batchId.exists { id =>
+        val marker = new Path(target, BatchMarker)
+        try {
+          val in = fs.open(marker)
+          try new String(in.readNBytes(4096), "UTF-8") == id finally in.close()
+        } catch { case _: java.io.IOException => false } // absent/unreadable: apply
       }
-      fs.delete(retired, true)
+      if (!alreadyApplied) {
+        writeStaging(staging.toString)
+        batchId.foreach { id =>
+          val out = fs.create(new Path(staging, BatchMarker), true)
+          try out.write(id.getBytes("UTF-8")) finally out.close()
+        }
+        fs.delete(retired, true)
+        if (!fs.rename(target, retired))
+          throw new java.io.IOException(s"$what swap: cannot retire $target")
+        if (!fs.rename(staging, target)) {
+          fs.rename(retired, target) // roll back so the ledger is never absent
+          throw new java.io.IOException(s"$what swap: cannot promote $staging")
+        }
+        fs.delete(retired, true)
+      }
     }
   }
+
+  /** Last-applied batch id, stored INSIDE the generation directory: the
+    * `_` prefix hides it from parquet readers, and living inside the
+    * dir means the swap rename carries it atomically with the data.
+    */
+  private val BatchMarker = "_GRAFT_LAST_BATCH"
 
   /** Per-path in-JVM lock serializing the staged swaps: two concurrent
     * writers would materialize the same staging dir and interleave the

@@ -53,14 +53,19 @@ object TextOps {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
     val t = tokens(text)
-    // split() yields [""] (size 1) even for empty text, so size >= 1 and
-    // the ascending-sequence guard never fires on real input; it exists
-    // because Spark's sequence(1, 0) would count DOWN. The isNull guard
-    // is separate: greatest() SKIPS nulls, so without it a NULL text
-    // would produce [null] instead of propagating NULL.
-    when(t.isNull, lit(null).cast("array<string>")).otherwise(
-      transform(sequence(lit(1), greatest(size(t), lit(1)), lit(stride)),
-        s => array_join(slice(t, s, lit(chunkSize)), " ")))
+    // split() yields [""] (size 1) even for empty text; an empty or
+    // whitespace-only document contributes NO chunks (not one empty
+    // chunk a RAG caller would embed and index), matching wordNgrams'
+    // empty-array behavior. The ascending-sequence guard exists because
+    // Spark's sequence(1, 0) would count DOWN. The isNull guard is
+    // separate: greatest() SKIPS nulls, so without it a NULL text would
+    // produce [null] instead of propagating NULL.
+    when(t.isNull, lit(null).cast("array<string>"))
+      .when(size(t) === 1 && element_at(t, 1) === "",
+        array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), greatest(size(t), lit(1)), lit(stride)),
+          s => array_join(slice(t, s, lit(chunkSize)), " ")))
   }
 
   /** Shannon entropy of the UTF-8 byte distribution, in bits/byte — a
@@ -97,9 +102,15 @@ object TextOps {
   def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     stopwordCount(text, stopwords) / tokenCount(text)
 
-  /** Heuristic quality score in [0,1]: rewards natural stopword density
-    * and document length. Deliberately simple + deterministic (oracle-
-    * checkable); swap in a model-based scorer via the same Column shape.
+  /** Heuristic quality score in [0,1]: penalizes stopword-HEAVY text
+    * (filler density) and rewards document length — a deliberately
+    * simple, deterministic placeholder whose value is its oracle-
+    * checkable shape, not its linguistics. Note the direction: real
+    * pipelines also weight stopword PRESENCE as a naturalness signal
+    * (Gopher's minimum-stopword rule — that direction lives in the
+    * repetition/Gopher battery, d03), and production scoring is the
+    * model-based classifier (d37); swap either in via the same Column
+    * shape.
     */
   def qualityScore(text: Column): Column =
     lit(0.5) * (lit(1.0) - stopwordRatio(text)) +
@@ -141,19 +152,23 @@ object TextOps {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val noUser = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^/?@]*@", "")
+    val noUser = authorityOf(rest)
     val afterHost = regexp_replace(rest, "^[^/?]*", "")
-    // a bracketed IPv6 literal keeps its colons; otherwise the host
-    // ends at the port separator
-    val bracketed = noUser.startsWith("[")
-    val host = lower(when(bracketed, regexp_extract(noUser, "^(\\[[^\\]]*\\])", 1))
-      .otherwise(regexp_extract(noUser, "^([^:]*)", 1)))
-    val port = when(bracketed, regexp_extract(noUser, "\\]:([0-9]+)$", 1))
-      .otherwise(regexp_extract(noUser, "^[^:]*:([0-9]+)$", 1))
-    val portNorm = when(port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"), lit(""))
-      .otherwise(concat(lit(":"), port))
+    val host = hostOf(noUser)
+    // everything after the host: "" normally, ":8080" for an explicit
+    // port — or crawl garbage (":8080x"). Garbage is kept VERBATIM:
+    // silently dropping it would canonical-collide a malformed URL with
+    // its clean sibling and a dedup pass could drop the real document.
+    val hostTail = when(noUser.startsWith("["),
+      regexp_replace(noUser, "^\\[[^\\]]*\\]", ""))
+      .otherwise(regexp_replace(noUser, "^[^:]*", ""))
+    val portDigits = regexp_extract(hostTail, "^:([0-9]+)$", 1)
+    // leading zeros normalize (":0080" ≡ ":80") before the default test
+    val portNum = regexp_replace(portDigits, "^0+([0-9])", "$1")
+    val portNorm = when(portDigits === "", hostTail) // no pure port: verbatim tail
+      .when((scheme === "http" && portNum === "80") ||
+        (scheme === "https" && portNum === "443"), lit(""))
+      .otherwise(concat(lit(":"), portNum))
     val path = regexp_extract(afterHost, "^([^?]*)", 1)
     val pathNorm = regexp_replace(path, "/+$", "")
     val q = regexp_extract(afterHost, "\\?(.*)$", 1)
@@ -170,13 +185,24 @@ object TextOps {
     * controls (rate/licensing/robots are per host, and C4-style
     * pipelines cap per-domain contributions).
     */
-  def urlHost(url: Column): Column = {
-    val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
-      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val noUser = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^/?@]*@", "")
-    lower(when(noUser.startsWith("["), regexp_extract(noUser, "^(\\[[^\\]]*\\])", 1))
-      .otherwise(regexp_extract(noUser, "^([^:]*)", 1)))
-  }
+  def urlHost(url: Column): Column =
+    hostOf(authorityOf(regexp_replace(regexp_replace(url, "#.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")))
+
+  /** The authority (host[:port]) of a scheme-stripped URL, userinfo
+    * removed — shared by [[canonicalUrl]] and [[urlHost]] so the
+    * canonical key and the per-domain grouping key can never diverge
+    * on how they parse the same URL.
+    */
+  private def authorityOf(schemeStripped: Column): Column =
+    regexp_replace(regexp_extract(schemeStripped, "^([^/?]*)", 1), "^[^/?@]*@", "")
+
+  /** Lowercased host of an authority; bracketed IPv6 literals keep
+    * their colons, otherwise the host ends at the port separator.
+    */
+  private def hostOf(authority: Column): Column =
+    lower(when(authority.startsWith("["), regexp_extract(authority, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(authority, "^([^:]*)", 1)))
 
   /** Normalized-content fingerprint: md5 over lowercased, space-collapsed
     * text. Identical fingerprints ⇒ exact near-duplicate after

@@ -251,14 +251,14 @@ class CurationOpsSpec extends AnyFunSuite {
     val texts = Seq(
       Option("a b c d e f g"),  // 7 tokens, size 4 / stride 2 → starts 1,3,5,7
       Option("a b"),            // shorter than one chunk → single clamped chunk
-      Option(""),               // split("") = [""] → one empty chunk
+      Option(""),               // empty doc → NO chunks (nothing to embed)
       Option.empty[String])
     val got = texts.toDF("text")
       .select(TextOps.chunkWithOverlap(col("text"), chunkSize = 4, stride = 2).as("c"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
     assert(got(0) == Seq("a b c d", "c d e f", "e f g", "g"))
     assert(got(1) == Seq("a b"))
-    assert(got(2) == Seq(""))
+    assert(got(2) == Seq.empty)
     assert(got(3) == null)
     intercept[IllegalArgumentException] {
       TextOps.chunkWithOverlap(col("text"), chunkSize = 4, stride = 5)
@@ -452,6 +452,26 @@ class CurationOpsSpec extends AnyFunSuite {
       ("s1", "s2") -> 2L, // {b, c}
       ("s1", "s3") -> 0L,
       ("s2", "s3") -> 0L), got.toString)
+  }
+
+  test("advance with a batchId is exactly-once: a replayed batch is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("graft-once").toString + "/ledger"
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    val b1 = Seq(("s1", "c d e"), ("s2", "f")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("batch-1"))
+    // application retry after a crash report: same id, must not re-sum
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("batch-1"))
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 5L)), "s2" -> ((1L, 1L))), got.toString)
+    // a NEW id applies normally
+    CurationOps.advanceStatsLedger(
+      Seq(("s2", "g h")).toDF("source", "text"), "source", "text", path,
+      batchId = Some("batch-2"))
+    val got2 = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == Map("s1" -> ((2L, 5L)), "s2" -> ((2L, 3L))), got2.toString)
   }
 
   test("advanceSketchLedger: the ledger's own lgK governs later advances (default param cannot poison it)") {

@@ -466,6 +466,9 @@ class OperatorsSpec extends AnyFunSuite {
       "https://alice:pw@Ex.com/a" -> "https://ex.com/a",   // userinfo never keys identity
       "http://[2001:DB8::1]:8080/p" -> "http://[2001:db8::1]:8080/p", // IPv6 colons survive
       "http://[2001:db8::1]:80/p" -> "http://[2001:db8::1]/p",        // default port, bracketed
+      "http://ex.com:8080x/p" -> "http://ex.com:8080x/p", // garbage port kept VERBATIM, no collision
+      "http://ex.com:0080/p" -> "http://ex.com/p",        // leading zeros ≡ default port
+      "https://ex.com:00443/p" -> "https://ex.com/p",
       "http://ex.com" -> "http://ex.com")
     val got = cases.map(_._1).toDF("u")
       .select(TextOps.canonicalUrl(col("u")).as("c"))

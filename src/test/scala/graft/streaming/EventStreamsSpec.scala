@@ -339,10 +339,9 @@ class EventStreamsSpec extends AnyFunSuite {
     // test above, this uses the IN-PLACE advance at a fixed path — the
     // natural fit for streaming, since foreachBatch invocations are
     // serial (the lease never contends) and monitoring readers want one
-    // stable location. Honest limit (same as any foreachBatch side
-    // effect): a crash-and-replay of a micro-batch double-counts its
-    // n_docs delta (HLL distinct is replay-immune; sums are not) —
-    // exactly-once needs a batchId-gated advance on top.
+    // stable location. The streaming batchId rides through the advance's
+    // exactly-once marker, so a crash-and-replay of a micro-batch is a
+    // no-op instead of double-counting n_docs.
     val path = java.nio.file.Files.createTempDirectory("graft-skstream").toString + "/led"
     val seed = Seq(("s1", "a b"), ("s2", "d")).toDF("source", "text")
     val later = Seq(
@@ -352,8 +351,9 @@ class EventStreamsSpec extends AnyFunSuite {
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](
       spark)
     val q = stream.toDS().toDF("source", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.operators.CurationOps.advanceSketchLedger(batch, "source", col("text"), path)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceSketchLedger(batch, "source", col("text"), path,
+          batchId = Some(id.toString))
       }
       .start()
     try {
