@@ -520,6 +520,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("withLease release is identity-checked: a usurped lock survives the displaced holder's release") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-id").toString
+    val target = new org.apache.hadoop.fs.Path(dir + "/led")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockFile = java.nio.file.Paths.get(dir + "/led.lock")
+    LedgerGuard.withLease(fs, target) {
+      // simulate: this holder's lease went stale mid-body and another
+      // writer broke it and re-acquired — the lock now carries THEIR
+      // token. Our release must leave it alone.
+      java.nio.file.Files.delete(lockFile)
+      java.nio.file.Files.writeString(lockFile, "usurper@elsewhere/fff")
+    }
+    assert(java.nio.file.Files.exists(lockFile),
+      "displaced holder deleted the new holder's lease")
+    assert(java.nio.file.Files.readString(lockFile) == "usurper@elsewhere/fff")
+  }
+
   test("advanceStatsLedger: a concurrent cross-JVM writer lease fails fast, ledger intact") {
     val path = java.nio.file.Files.createTempDirectory("graft-adv-lock").toString + "/ledger"
     val seed = Seq(("s1", "a b c")).toDF("source", "text")
