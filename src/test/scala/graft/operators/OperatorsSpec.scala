@@ -505,6 +505,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atRest == direct && direct.nonEmpty, s"atRest=$atRest direct=$direct")
   }
 
+  test("canonicalUrl property: parses any assembled URL back to the component-built canonical") {
+    import org.scalacheck.{Gen, Prop}
+    // mirror of the d47 oracle at property scale: the URL is ASSEMBLED
+    // from known components, the reference canonical is BUILT from
+    // them, and the column function must recover it by parsing alone
+    val schemes = Gen.oneOf("http", "HTTPS", "HtTp", "ftp")
+    val users = Gen.oneOf("", "u@", "alice:pw@")
+    val hosts = Gen.oneOf("Ex.COM", "WWW.site5.org", "[2001:DB8::1]", "localhost")
+    val ports = Gen.oneOf("", ":80", ":443", ":8080", ":0080", ":00443", ":8080x")
+    val paths = Gen.oneOf("", "/", "/A/b", "/a/b/", "/a//", "/p")
+    val queries = Gen.someOf(Seq("a=1", "B=2", "utm_source=x", "fbclid=z", "c="))
+      .map(_.toList)
+    val frags = Gen.oneOf("", "#f", "#Sec1")
+    def refCanonical(scheme: String, host: String, port: String,
+        path: String, params: List[String]): String = {
+      val ls = scheme.toLowerCase
+      val lh = host.toLowerCase
+      val portNorm =
+        if (port.isEmpty) ""
+        else if (port.matches(":[0-9]+")) {
+          val num = port.drop(1).replaceFirst("^0+([0-9])", "$1")
+          if ((ls == "http" && num == "80") || (ls == "https" && num == "443")) ""
+          else ":" + num
+        } else port // garbage tail verbatim
+      val pathNorm = path.replaceAll("/+$", "")
+      val kept = params.filter(p =>
+        p.nonEmpty && !p.matches("(utm_[^=]*|fbclid|gclid)=.*")).sorted
+      val qNorm = kept.mkString("&")
+      ls + "://" + lh + portNorm + pathNorm +
+        (if (qNorm.isEmpty) "" else "?" + qNorm)
+    }
+    val gen = for {
+      s <- schemes; u <- users; h <- hosts; p <- ports
+      pa <- paths; q <- queries; f <- frags
+    } yield (s, u, h, p, pa, q, f)
+    val prop = Prop.forAll(gen) { case (s, u, h, p, pa, q, f) =>
+      val qs = if (q.isEmpty) "" else "?" + q.mkString("&")
+      val url = s + "://" + u + h + p + pa + qs + f
+      val got = Seq(url).toDF("u")
+        .select(TextOps.canonicalUrl(col("u"))).collect().head.getString(0)
+      val want = refCanonical(s, h, p, pa, q)
+      if (got != want) println(s"URL $url: got $got want $want")
+      got == want
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("d10 n-gram jaccard keeps NULL-text documents in the pair output") {
     // the oracle's pair join has no predicate on the token set, so a
     // NULL-text document still pairs with every anchor (NULL jaccard);
