@@ -250,27 +250,92 @@ object DedupOps {
     * [[compactSignatureLedger]] removes at rest along with the
     * accreted small files.
     *
-    * The ledger does not store its own (numHashes, shingleSize): every
-    * probe/append MUST pass the creation-time values (a numHashes
-    * mismatch fails loudly on the missing `mh` columns; a shingleSize
-    * mismatch silently degrades recall — pin both in the ingest
-    * config).
+    * The ledger is SELF-DESCRIBING: creation persists its
+    * (numHashes, shingleSize) in a `_GRAFT_SIG_META` sidecar inside the
+    * generation dir (the same treatment the sketch ledger gives its
+    * lgK — the ledger must remember its own parameters), and every
+    * append/probe validates the caller's values against it, failing
+    * loudly naming both sides on mismatch. Without the check a
+    * numHashes mismatch fails accidentally on the missing `mh` columns
+    * but a shingleSize mismatch SILENTLY degrades recall — an ingest
+    * job upgraded with a new default would quietly stop finding
+    * near-dups. The sidecar rides through compaction via
+    * [[LedgerGuard.advanceInPlace]]'s `_GRAFT_` carry-forward.
     */
   def writeSignatureLedger(df: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit =
+      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit = {
     minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
       .write.mode("overwrite").parquet(path)
+    writeSigMeta(df.sparkSession, path, numHashes, shingleSize)
+  }
+
+  /** Sidecar name of the signature ledger's creation-time parameters
+    * (`numHashes=<k>\nshingleSize=<n>`): `_GRAFT_`-prefixed so parquet
+    * readers skip it and the staged swap carries it forward.
+    */
+  private val SigMetaFile = LedgerGuard.SidecarPrefix + "SIG_META"
+
+  private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, shingleSize: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, SigMetaFile), true)
+    try out.write(s"numHashes=$numHashes\nshingleSize=$shingleSize\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The persisted (numHashes, shingleSize) of the ledger generation a
+    * reader would bind (staging fallback included); None for a ledger
+    * created before the sidecar existed.
+    */
+  private def readSigMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val gen = LedgerGuard.readablePath(fs, dir)
+      val in = fs.open(new org.apache.hadoop.fs.Path(gen, SigMetaFile))
+      val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
+      val kv = text.linesIterator.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
+      }.toMap
+      for (nh <- kv.get("numHashes"); ss <- kv.get("shingleSize")) yield (nh, ss)
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** Fail-loudly gate every signature-ledger append/probe runs: the
+    * caller's parameters must equal the persisted creation-time ones —
+    * signatures built with different shingling are incomparable, and
+    * the resulting recall loss is silent.
+    */
+  private def requireSigMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, shingleSize: Int, op: String): Unit =
+    readSigMeta(spark, path).foreach { case (nh, ss) =>
+      if (nh != numHashes || ss != shingleSize)
+        throw new IllegalArgumentException(
+          s"signature ledger $op at $path: ledger was created with " +
+            s"numHashes=$nh, shingleSize=$ss but the caller passed " +
+            s"numHashes=$numHashes, shingleSize=$shingleSize — mixed " +
+            "shingling silently degrades near-dup recall; pass the " +
+            "creation-time values (or rebuild the ledger)")
+    }
 
   /** Admit a batch's signatures (append-only, like [[appendToLedger]]).
     * Pass rows already vetted for admission — the ledger should hold
     * what the corpus kept.
     */
   def appendToSignatureLedger(batch: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit =
+      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit = {
+    requireSigMeta(batch.sparkSession, path, numHashes, shingleSize, "append")
     minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
       .write.mode("append").parquet(path)
+    // adopt: first append to a pre-sidecar ledger stamps the caller's
+    // values (trusted once), so every LATER append/probe is validated
+    if (readSigMeta(batch.sparkSession, path).isEmpty)
+      writeSigMeta(batch.sparkSession, path, numHashes, shingleSize)
+  }
 
   /** [[crossDedupPairs]] with the corpus side read from the at-rest
     * signature ledger: the batch side shingles O(batch), the corpus
@@ -279,11 +344,13 @@ object DedupOps {
     */
   def crossDedupAgainstSignatures(newDocs: DataFrame, idCol: String,
       textCol: String, path: String,
-      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame =
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
+    requireSigMeta(newDocs.sparkSession, path, numHashes, shingleSize, "probe")
     crossPairsOfSigs(
       sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
       withSigKey(LedgerGuard.readLedger(newDocs.sparkSession, path), numHashes),
       idCol, numHashes, bandSize)
+  }
 
   /** Compact the signature ledger IN PLACE: collapse duplicate rows
     * (replayed appends) and rewrite the accreted per-batch small files

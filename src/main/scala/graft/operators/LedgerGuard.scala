@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and in-JVM writers are serialized per path — but two PROCESSES
   * advancing the same ledger could interleave the rename pair and lose
   * a batch. [[withLease]] closes that hole best-effort with a lease
-  * marker file: `create(path, overwrite = false)` is atomic on HDFS and
-  * local filesystems, so at most one process holds the lease; a second
-  * writer FAILS FAST with an error naming the holder instead of
+  * marker file: `create(path, overwrite = false)` is atomic on HDFS
+  * (namenode-arbitrated), but on local filesystems Hadoop's
+  * RawLocalFileSystem/ChecksumFileSystem implements it as
+  * exists-then-create, so two processes racing inside that window can
+  * BOTH acquire — on local/NFS deployments the lease is a best-effort
+  * check-then-create, not mutual exclusion. In the non-racing case a
+  * second writer FAILS FAST with an error naming the holder instead of
   * corrupting silently. The lease is best-effort by design — a plain
   * filesystem cannot promise more (no fencing tokens) — which is the
   * honest contract for an ingest cluster: the scheduler should not run
@@ -153,6 +157,17 @@ object LedgerGuard {
     * marker file (invisible to parquet readers, promoted ATOMICALLY
     * with the rename), and an advance whose id matches the ledger's
     * last-applied marker is a no-op.
+    *
+    * The marker records the LAST id only — monotonic-retry semantics:
+    * it absorbs the common failure (retry of the most recent batch,
+    * which is the only one a crash can leave in doubt), not arbitrary
+    * out-of-order replay (apply A, apply B, retry A re-applies A). A
+    * scheduler that can replay older batches needs its own applied-set
+    * bookkeeping. Advances that DON'T pass a batchId (compaction, any
+    * ad-hoc rewrite) carry the target's existing sidecars forward into
+    * the fresh generation — see the `_GRAFT_` copy loop below — so an
+    * unmarked advance never ERASES the last-applied id (a micro-batch
+    * retry straddling a compaction must still be recognized).
     */
   def advanceInPlace(spark: SparkSession, path: String, what: String,
       batchId: Option[String] = None)(
@@ -184,6 +199,27 @@ object LedgerGuard {
           val out = fs.create(new Path(staging, BatchMarker), true)
           try out.write(id.getBytes("UTF-8")) finally out.close()
         }
+        // Sidecar carry-forward: every `_GRAFT_*` file of the outgoing
+        // generation that the staging generation does not already have
+        // is copied in before the swap. This is what keeps an UNMARKED
+        // advance (compaction passes batchId = None) from erasing the
+        // exactly-once `_GRAFT_LAST_BATCH` marker — and keeps any other
+        // generation-scoped metadata (e.g. the signature ledger's
+        // `_GRAFT_SIG_META`) riding along with the data it describes.
+        // A marked advance wrote its own fresh marker above, so the
+        // copy loop skips it (staging already has the name).
+        try {
+          fs.listStatus(target).filter(_.isFile)
+            .map(_.getPath.getName)
+            .filter(_.startsWith(SidecarPrefix))
+            .foreach { name =>
+              val dst = new Path(staging, name)
+              if (!fs.exists(dst))
+                org.apache.hadoop.fs.FileUtil.copy(
+                  fs, new Path(target, name), fs, dst, false, false,
+                  spark.sparkContext.hadoopConfiguration)
+            }
+        } catch { case _: java.io.IOException => () } // carry is best-effort
         fs.delete(retired, true)
         if (!fs.rename(target, retired))
           throw new java.io.IOException(s"$what swap: cannot retire $target")
@@ -201,6 +237,13 @@ object LedgerGuard {
     * dir means the swap rename carries it atomically with the data.
     */
   private val BatchMarker = "_GRAFT_LAST_BATCH"
+
+  /** Name prefix of generation-scoped sidecar files (batch marker,
+    * signature-ledger meta): `_`-prefixed so parquet readers skip
+    * them, `_GRAFT_`-prefixed so [[advanceInPlace]] knows which files
+    * to carry into a fresh generation on an unmarked advance.
+    */
+  private[graft] val SidecarPrefix = "_GRAFT_"
 
   /** Per-path in-JVM lock serializing the staged swaps: two concurrent
     * writers would materialize the same staging dir and interleave the

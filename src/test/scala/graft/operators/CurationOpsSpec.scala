@@ -474,6 +474,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got2 == Map("s1" -> ((2L, 5L)), "s2" -> ((2L, 3L))), got2.toString)
   }
 
+  test("an unmarked advance (compaction) carries the exactly-once marker forward") {
+    val path = java.nio.file.Files.createTempDirectory("graft-once-cpt").toString + "/ledger"
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    val b1 = Seq(("s1", "c d e"), ("s2", "f")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("batch-1"))
+    // compaction-style rewrite: advanceInPlace with batchId = None
+    // materializes a fresh generation — the marker must ride along or
+    // a crash-and-replay of batch-1 straddling this compaction would
+    // re-sum it
+    LedgerGuard.advanceInPlace(spark, path, "test compaction") { staging =>
+      spark.read.parquet(path).write.parquet(staging)
+    }
+    assert(new java.io.File(path, "_GRAFT_LAST_BATCH").exists,
+      "compaction erased the exactly-once marker")
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("batch-1"))
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 5L)), "s2" -> ((1L, 1L))), got.toString)
+  }
+
   test("advanceSketchLedger: the ledger's own lgK governs later advances (default param cannot poison it)") {
     val path = java.nio.file.Files.createTempDirectory("graft-sklgk").toString + "/ledger"
     val seed = Seq(("s1", "a"), ("s1", "b")).toDF("source", "text")

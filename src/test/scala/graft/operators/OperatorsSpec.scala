@@ -505,6 +505,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atRest == direct && direct.nonEmpty, s"atRest=$atRest direct=$direct")
   }
 
+  test("signature ledger is self-describing: parameter mismatch fails loudly, meta survives compaction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sigmeta").toString + "/led"
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    DedupOps.writeSignatureLedger(gen1, "doc_id", "text", dir, numHashes = 8, shingleSize = 5)
+    // a probe with drifted shingling must throw naming BOTH sides —
+    // without the gate it would silently degrade recall
+    val e = intercept[IllegalArgumentException](
+      DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir, shingleSize = 7))
+    assert(e.getMessage.contains("shingleSize=5") && e.getMessage.contains("shingleSize=7"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DedupOps.appendToSignatureLedger(batch, "doc_id", "text", dir, numHashes = 6, shingleSize = 5))
+    assert(e2.getMessage.contains("numHashes=8") && e2.getMessage.contains("numHashes=6"),
+      e2.getMessage)
+    // the sidecar rides through compaction (advanceInPlace _GRAFT_ carry)
+    DedupOps.compactSignatureLedger(spark, dir, targetFiles = 2)
+    assert(new java.io.File(dir, "_GRAFT_SIG_META").exists,
+      "compaction dropped the signature-ledger meta sidecar")
+    val e3 = intercept[IllegalArgumentException](
+      DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir, shingleSize = 7))
+    assert(e3.getMessage.contains("shingleSize=5"), e3.getMessage)
+    assert(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir).count() > 0)
+    // legacy ledger (no sidecar): first append adopts the caller's values
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_GRAFT_SIG_META"))
+    DedupOps.appendToSignatureLedger(
+      docs.filter(col("doc_id") % 10 > 5), "doc_id", "text", dir)
+    assert(new java.io.File(dir, "_GRAFT_SIG_META").exists,
+      "append did not stamp a pre-sidecar ledger")
+  }
+
   test("canonicalUrl property: parses any assembled URL back to the component-built canonical") {
     import org.scalacheck.{Gen, Prop}
     // mirror of the d47 oracle at property scale: the URL is ASSEMBLED
