@@ -145,7 +145,20 @@ object TextOps {
     *     use to address content — stripping it by default would merge
     *     genuinely distinct resources);
     *  7. byte-sort the surviving query params (`?b=2&a=1` ≡
-    *     `?a=1&b=2`) and drop the `?` when none survive.
+    *     `?a=1&b=2`) and drop the `?` when none survive;
+    *  8. normalize percent-encoding in path and query (RFC 3986
+    *     §6.2.2.2): escapes of UNRESERVED characters decode (`%41` ≡
+    *     `A`, `%7E` ≡ `~` — crawl corpora carry both spellings of the
+    *     same resource constantly), every other escape keeps canonical
+    *     UPPERCASE hex (`%2f` ≡ `%2F`; decoding a reserved character
+    *     would move a component boundary).
+    *
+    * Input WITHOUT a scheme (`example.com/a`, `//cdn.example.com/x` —
+    * common crawl garbage) passes through VERBATIM: the function
+    * cannot know the scheme, and fabricating a `"://…"`-prefixed key
+    * would neither merge with the `https://` form nor stay honest to
+    * the keep-garbage-verbatim policy. Schemeless keys therefore only
+    * ever collide with byte-identical raw strings.
     */
   def canonicalUrl(url: Column,
       trackingParams: Seq[String] = Seq("utm_[^=]*", "fbclid", "gclid")): Column = {
@@ -170,14 +183,41 @@ object TextOps {
         (scheme === "https" && portNum === "443"), lit(""))
       .otherwise(concat(lit(":"), portNum))
     val path = regexp_extract(afterHost, "^([^?]*)", 1)
-    val pathNorm = regexp_replace(path, "/+$", "")
-    val q = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val pathNorm = pctNormalize(regexp_replace(path, "/+$", ""))
+    // percent-normalize BEFORE the tracking filter and the byte-sort:
+    // '%75tm_source' is utm_source, and two spellings of one param
+    // must sort identically. Decoding only unreserved chars can never
+    // introduce a new '&' or '=', so the split stays sound.
+    val q = pctNormalize(regexp_extract(afterHost, "\\?(.*)$", 1))
     val trackRe = trackingParams.mkString("^(", "|", ")=")
     val params = filter(split(q, "&"),
       p => !(p === "" || p.rlike(trackRe)))
     val qNorm = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, portNorm, pathNorm,
-      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, portNorm, pathNorm,
+        when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
+  }
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization, composed from
+    * codegen'd built-ins: split on a lookahead before each `%XX`
+    * escape (so each segment carries at most one, at its head), then
+    * per segment decode the escape when its code point is UNRESERVED
+    * (ALPHA / DIGIT / `-` `.` `_` `~`) or re-emit it with canonical
+    * uppercase hex otherwise. Malformed escapes (`%G1`, bare `%`)
+    * never match the lookahead or the head test and pass verbatim.
+    */
+  private def pctNormalize(s: Column): Column = {
+    val parts = split(s, "(?=%[0-9A-Fa-f]{2})")
+    array_join(transform(parts, p => {
+      val hex = upper(substring(p, 2, 2))
+      val code = conv(hex, 16, 10).cast("int")
+      val rest = substring(p, 4, Int.MaxValue)
+      val unreserved = code.between(48, 57) || code.between(65, 90) ||
+        code.between(97, 122) || code.isin(45, 46, 95, 126)
+      when(p.rlike("^%[0-9A-Fa-f]{2}"),
+        concat(when(unreserved, chr(code)).otherwise(concat(lit("%"), hex)), rest))
+        .otherwise(p)
+    }), "")
   }
 
   /** Lowercased host of a URL (no port, no userinfo; bracketed IPv6

@@ -344,47 +344,62 @@ object PipelineQueries {
     // the dedup key every web-corpus pipeline computes before content
     // ever loads: fragment dropped, scheme/host lowercased, default
     // port stripped, trailing slashes trimmed, tracking params
-    // (utm_*/fbclid/gclid/ref) removed, surviving params byte-sorted.
-    // The fixture has no URL column, so both sides SYNTHESIZE one per
-    // row from doc_id (same m03/m04 pattern: generator is fixture
-    // plumbing); the oracle then builds the canonical form from the
-    // ground-truth COMPONENTS while the Spark side must PARSE the
-    // assembled string — the hash match proves the parser recovers
-    // every rule exactly.
+    // (utm_*/fbclid/gclid; 'ref' is opt-in via trackingParams — some
+    // sites use it to ADDRESS content) removed, surviving params
+    // byte-sorted, and percent-encoding normalized (unreserved escapes
+    // decode, '%7Ea' ≡ '~a'; others uppercase, '%2fc' ≡ '%2Fc').
+    // Schemeless rows (doc_id % 11 = 0) pass through VERBATIM — the
+    // keep-garbage policy. The fixture has no URL column, so both
+    // sides SYNTHESIZE one per row from doc_id (same m03/m04 pattern:
+    // generator is fixture plumbing); the oracle then builds the
+    // canonical form from the ground-truth COMPONENTS while the Spark
+    // side must PARSE the assembled string — the hash match proves the
+    // parser recovers every rule exactly.
     q("d47_url_canonical",
       """WITH u AS (
         |  SELECT doc_id,
-        |    ['HTTP','https','HtTpS'][CAST(doc_id % 3 AS INTEGER) + 1] AS scheme,
+        |    CASE WHEN doc_id % 11 = 0 THEN ''
+        |         ELSE ['HTTP','https','HtTpS'][CAST(doc_id % 3 AS INTEGER) + 1] END AS scheme,
         |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' AS host,
         |    [':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INTEGER) + 1] AS port,
-        |    '/Dir' || CAST(doc_id % 7 AS VARCHAR) || '/page'
-        |      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS path,
-        |    ['?b=2&utm_source=x&a=1', '?fbclid=abc', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS q,
+        |    ['%7Ea', '%41b', '%2fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS enc,
+        |    ['~a', 'Ab', '%2Fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS cenc,
+        |    '/Dir' || CAST(doc_id % 7 AS VARCHAR) || '/page' AS pbase,
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS trail,
+        |    ['?b=%32&utm_source=x&a=%7E1', '?fbclid=abc', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS q,
+        |    ['a=~1&b=2', '', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS cq,
         |    CASE WHEN doc_id % 2 = 0 THEN '#Sec1' ELSE '' END AS frag
         |  FROM documents),
-        |raw AS (SELECT doc_id, scheme || '://' || host || port || path || q || frag AS url,
-        |               lower(scheme) AS ls, lower(host) AS lh, port, path, q FROM u),
+        |raw AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = '' THEN host || port || pbase || enc || trail || q || frag
+        |         ELSE scheme || '://' || host || port || pbase || enc || trail || q || frag
+        |    END AS url,
+        |    lower(scheme) AS ls, lower(host) AS lh, port, pbase, cenc, cq FROM u),
         |canon AS (SELECT doc_id, url, lh,
-        |  ls || '://' || lh ||
-        |  CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
-        |       OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
-        |  regexp_replace(path, '/+$', '') ||
-        |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
-        |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
-        |          string_split(ltrim(q, '?'), '&'),
-        |          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS cq
-        |        FROM raw))
+        |  CASE WHEN scheme = '' THEN url
+        |       ELSE ls || '://' || lh ||
+        |    CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
+        |         OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
+        |    pbase || cenc ||
+        |    CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        |  END AS canonical
+        |  FROM raw)
         |SELECT doc_id, url, canonical, lh AS host FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val id = col("doc_id")
-      val scheme = element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int"))
+      val scheme = when(id % 11 === 0, lit("")).otherwise(
+        element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int")))
       val host = concat(lit("WWW.Site"), (id % 5).cast("string"), lit(".Example.COM"))
       val port = element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")), (id % 4 + 1).cast("int"))
-      val path = concat(lit("/Dir"), (id % 7).cast("string"), lit("/page"),
+      val enc = element_at(array(lit("%7Ea"), lit("%41b"), lit("%2fc"), lit("")),
+        (floor((id % 16) / 4) + 1).cast("int"))
+      val path = concat(lit("/Dir"), (id % 7).cast("string"), lit("/page"), enc,
         when(id % 2 === 0, lit("/")).otherwise(lit("")))
-      val qq = element_at(array(lit("?b=2&utm_source=x&a=1"), lit("?fbclid=abc"), lit("")), (id % 3 + 1).cast("int"))
+      val qq = element_at(array(lit("?b=%32&utm_source=x&a=%7E1"), lit("?fbclid=abc"), lit("")), (id % 3 + 1).cast("int"))
       val frag = when(id % 2 === 0, lit("#Sec1")).otherwise(lit(""))
+      val assembled = concat(host, port, path, qq, frag)
       table(s, dir, "documents")
-        .select(id, concat(scheme, lit("://"), host, port, path, qq, frag).as("url"))
+        .select(id, when(scheme === "", assembled)
+          .otherwise(concat(scheme, lit("://"), assembled)).as("url"))
         .withColumn("canonical", graft.operators.TextOps.canonicalUrl(col("url")))
         .withColumn("host", graft.operators.TextOps.urlHost(col("url")))
         .orderBy("doc_id")

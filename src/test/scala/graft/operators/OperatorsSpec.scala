@@ -468,6 +468,13 @@ class OperatorsSpec extends AnyFunSuite {
       "http://[2001:db8::1]:80/p" -> "http://[2001:db8::1]/p",        // default port, bracketed
       "http://ex.com:8080x/p" -> "http://ex.com:8080x/p", // garbage port kept VERBATIM, no collision
       "http://ex.com:0080/p" -> "http://ex.com/p",        // leading zeros ≡ default port
+      // percent-encoding (RFC 3986 §6.2.2.2): unreserved escapes decode,
+      // others get canonical uppercase hex; malformed escapes verbatim
+      "http://ex.com/%7Euser/%41%2fb?x=%7E1" -> "http://ex.com/~user/A%2Fb?x=~1",
+      "http://ex.com/a%G1%" -> "http://ex.com/a%G1%",
+      // schemeless crawl garbage passes through VERBATIM — never "://…"
+      "example.com/a?utm_source=x" -> "example.com/a?utm_source=x",
+      "//cdn.ex.com/lib.js" -> "//cdn.ex.com/lib.js",
       "https://ex.com:00443/p" -> "https://ex.com/p",
       "http://ex.com" -> "http://ex.com")
     val got = cases.map(_._1).toDF("u")
@@ -546,10 +553,25 @@ class OperatorsSpec extends AnyFunSuite {
     val users = Gen.oneOf("", "u@", "alice:pw@")
     val hosts = Gen.oneOf("Ex.COM", "WWW.site5.org", "[2001:DB8::1]", "localhost")
     val ports = Gen.oneOf("", ":80", ":443", ":8080", ":0080", ":00443", ":8080x")
-    val paths = Gen.oneOf("", "/", "/A/b", "/a/b/", "/a//", "/p")
-    val queries = Gen.someOf(Seq("a=1", "B=2", "utm_source=x", "fbclid=z", "c="))
-      .map(_.toList)
+    val paths = Gen.oneOf("", "/", "/A/b", "/a/b/", "/a//", "/p",
+      "/%7Eu", "/%41b", "/a%2fb", "/%2F/")
+    val queries = Gen.someOf(Seq("a=1", "B=2", "utm_source=x", "fbclid=z", "c=",
+      "x=%7E1", "y=%2F2")).map(_.toList)
     val frags = Gen.oneOf("", "#f", "#Sec1")
+    // component-built percent normalization (imperative, deliberately
+    // nothing like the column function's split/transform shape)
+    def refPct(s: String): String = {
+      val m = java.util.regex.Pattern.compile("%([0-9A-Fa-f]{2})").matcher(s)
+      val sb = new StringBuffer
+      while (m.find()) {
+        val code = Integer.parseInt(m.group(1), 16)
+        val unreserved = (code >= 48 && code <= 57) || (code >= 65 && code <= 90) ||
+          (code >= 97 && code <= 122) || code == 45 || code == 46 || code == 95 || code == 126
+        val rep = if (unreserved) code.toChar.toString else "%" + m.group(1).toUpperCase
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+      }
+      m.appendTail(sb); sb.toString
+    }
     def refCanonical(scheme: String, host: String, port: String,
         path: String, params: List[String]): String = {
       val ls = scheme.toLowerCase
@@ -561,8 +583,8 @@ class OperatorsSpec extends AnyFunSuite {
           if ((ls == "http" && num == "80") || (ls == "https" && num == "443")) ""
           else ":" + num
         } else port // garbage tail verbatim
-      val pathNorm = path.replaceAll("/+$", "")
-      val kept = params.filter(p =>
+      val pathNorm = refPct(path.replaceAll("/+$", ""))
+      val kept = params.map(refPct).filter(p =>
         p.nonEmpty && !p.matches("(utm_[^=]*|fbclid|gclid)=.*")).sorted
       val qNorm = kept.mkString("&")
       ls + "://" + lh + portNorm + pathNorm +
