@@ -289,33 +289,51 @@ object CurationOps {
     * `-ln((c(w1,w2) + 1) / (c(w1) + V))`.
     *
     * Scale shape: bigram extraction is a per-row `transform` (no
-    * window/lag shuffle — positions never leave the row); counts are
-    * partial-agg shuffles on token keys; the scoring join is a shuffle
-    * join against the bigram-count table (corpus-vocab-sized — stays
-    * distributed), with the scalar vocab size broadcast. Hot unigrams
-    * ("the") skew the c1 join; AQE skew-join splits those at runtime.
+    * window/lag shuffle — positions never leave the row). The exploded
+    * stream carries one extra TAIL row `(last_token, NULL)` per
+    * document, so every token of every document appears in the `w1`
+    * column — and ONE tiny (w1, w2)-count aggregation then yields all
+    * three global tables: c2 (rows with w2 non-NULL), c1 = Σ_w2 c2,
+    * and V = countDistinct(w1) over the aggregate itself (the oracle's
+    * V counts ALL distinct tokens, including final and single-token-doc
+    * tokens that never open a bigram — the tail rows are exactly those).
+    * That removes the separate vocab pass: the corpus is scanned and
+    * tokenized TWICE total (count pass + scoring pass), which is the
+    * inherent floor — the scoring pass cannot begin until the count
+    * tables derived from the first pass are built (measured: persisting
+    * the exploded stream to share one tokenize is SLOWER at bench scale
+    * than re-deriving it, see SCALE.md d34). Counts are partial-agg
+    * shuffles on token keys; the per-bigram score table is
+    * corpus-vocab-bounded and stays distributed (AQE broadcasts it when
+    * small). Hot unigrams ("the") skew the c1 join; AQE skew-join
+    * splits those at runtime.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val toks = docs.select(id, TextOps.tokens(col(textCol)).as("__l"))
-    val pairs = toks.filter(size(col("__l")) >= 2)
+    val stream = toks.filter(size(col("__l")) >= 1)
       .select(id, explode(expr(
-        "transform(sequence(2, size(__l)), i -> struct(__l[i-2] AS w1, __l[i-1] AS w2))"))
+        "transform(sequence(1, size(__l)), i -> struct(__l[i-1] AS w1, " +
+          "CASE WHEN i < size(__l) THEN __l[i] ELSE NULL END AS w2))"))
         .as("__z"))
       .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
-    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    // ONE aggregation of the stream feeds c2, c1 AND vocab — the three
+    // consumers share the identical exchange subplan, so the shuffle
+    // (and the tokenize under it) materializes once (ReuseExchange)
+    val aggT = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val c2 = aggT.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("n").as("n2"))
     // c1(w1) = Σ_w2 c2(w1,w2): summing the bigram table reuses its
     // exchange instead of paying a second corpus scan + shuffle
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    val vocab = toks.select(explode(col("__l")).as("__tok"))
-      .agg(countDistinct(col("__tok")).as("vocab"))
+    val vocab = aggT.agg(countDistinct(col("w1")).as("vocab"))
     // fold counts + smoothing into ONE per-bigram score table, so the
-    // (large) occurrence stream pays a single shuffle join
+    // (large) occurrence stream pays a single join
     val bg = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         (-log((col("n2") + lit(1.0)) / (col("n1") + col("vocab")))).as("__nll"))
-    pairs
+    stream.filter(col("w2").isNotNull)
       .join(bg, Seq("w1", "w2"))
       .groupBy(id)
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
