@@ -250,36 +250,52 @@ object PercentileOps {
             (i1 >= col("__start") && i1 < col("__endc")))
       }
     }.reduce(_ || _)
-    val needed = cum.filter(col("__b").isNotNull && neededCond)
+    // `needed` keeps the NULL-bucket rows too (`__b IS NULL`): they
+    // match no candidate in the join below (the bucket of a non-NULL
+    // value never equals NULL), but they guarantee ≥1 row per
+    // (group, measure) — a group with data always has a needed bucket
+    // (every requested rank falls in one), and an all-NULL group has
+    // exactly its NULL-bucket row — which is what lets the sentinel
+    // rows derive from THIS model-sized table instead of re-deriving
+    // the whole histogram lineage a second time.
+    val needed = cum.filter(col("__b").isNull || neededCond)
       .select(keys.map(k => col(k).as(s"__nk_$k")) ++
         Seq(col("__m").as("__n_m"), col("__b").as("__n_b"),
           col("__start"), col("__n")): _*)
 
     // scan 2: candidates only — semi-join against `needed`, then EXACT
     // global rank = bucket start + within-bucket row_number (the
-    // ranking window sees candidates, never the full value set). NO
-    // explicit broadcast hint: `needed` is one row per (group, measure,
-    // needed bucket), so its size tracks GROUP CARDINALITY — tiny for
-    // the report shapes this plan targets, but a high-cardinality
-    // GROUP BY would OOM a forced broadcast. AQE broadcasts it at
-    // runtime when it is actually small and shuffle-joins otherwise,
-    // which is the behavior that survives both extremes.
+    // ranking window sees candidates, never the full value set).
+    // `needed` is broadcast EXPLICITLY: it is OUTPUT-shaped — one row
+    // per (group, measure, needed bucket) ≤ groups × picks × 2 (+ one
+    // NULL-bucket row per group with NULLs), the same cardinality the
+    // query RETURNS, so if it doesn't fit in a broadcast the query's
+    // own result doesn't fit on the driver either (huge-group shapes
+    // belong to [[exactQuantilesWindowed]]/[[exactQuantilesMulti]]).
+    // Without the hint the planner has no usable stats for the
+    // window-derived side and — measured on q67d — BROADCASTS THE
+    // UNPIVOTED FACT STREAM instead (the column-pruned scan estimate
+    // undercuts the threshold), a driver-side collect of rows ×
+    // measures that would OOM outright at real scale.
     val candCond = keys.map(k => col(k) <=> col(s"__nk_$k"))
       .foldLeft(col("__m") === col("__n_m") && bucketExpr === col("__n_b"))(_ && _)
     val wC = Window.partitionBy((grp :+ col("__n_b")): _*).orderBy(col("__v"))
     val cands = unpivotedAll.filter(col("__v").isNotNull)
-      .join(needed, candCond)
+      .join(broadcast(needed), candCond)
       .withColumn("__g", col("__start") + row_number().over(wC) - 1)
       .select(grp ++ Seq(col("__v"), col("__n"), col("__g")): _*)
     // one sentinel row per (group, measure) — rank −1 never matches a
     // pick, so groups with NO candidate rows (all-NULL measures) still
     // surface from the final aggregation with NULL quantiles, and __n
-    // rides along so the `t` aggregate stays NULL-correct. This keeps
-    // group presence WITHOUT a separate join stage.
-    val ranked = cands.unionByName(cum
-      .groupBy(grp: _*).agg(max(col("__n")).as("__n"))
-      .select(grp ++ Seq(lit(null).cast("double").as("__v"),
-        col("__n"), lit(-1L).as("__g")): _*))
+    // rides along so the `t` aggregate stays NULL-correct. Derived
+    // from `needed` (≥1 row per group — see above), so group presence
+    // costs a model-sized aggregate, not a second histogram pass.
+    val ranked = cands.unionByName(needed
+      .groupBy(keys.map(k => col(s"__nk_$k")) :+ col("__n_m"): _*)
+      .agg(max(col("__n")).as("__n"))
+      .select(keys.map(k => col(s"__nk_$k").as(k)) ++
+        Seq(col("__n_m").as("__m"), lit(null).cast("double").as("__v"),
+          col("__n"), lit(-1L).as("__g")): _*))
 
     // pick + interpolate, exactly like the window form
     val aggs = measures.flatMap { case (m, _, qs) =>

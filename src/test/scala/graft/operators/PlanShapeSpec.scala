@@ -129,6 +129,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesSelectRev: the NEEDED side broadcasts, never the unpivoted fact stream") {
+    withStaticPlans {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val df = PercentileOps.exactQuantilesSelectRev(li, Seq("l_returnflag"), Seq(
+        ("price", col("l_extendedprice"),
+          Seq(("d40", 0.4, true, true), ("c25", 0.25, false, true))),
+        ("qty", col("l_quantity"), Seq(("t50", 0.5, true, true)))))
+      val bcasts = nodes(df) { case e: BroadcastExchangeExec => e }
+      assert(bcasts.nonEmpty, df.queryExecution.executedPlan.toString)
+      // every broadcast subtree must be the model-sized `needed` lineage
+      // (recognizable by the cum-rank Window beneath it) — a broadcast
+      // WITHOUT a window is the unpivoted fact stream being collected
+      // to the driver, the stats-misestimate this plan explicitly pins
+      // against (rows × measures never fits at real scale)
+      bcasts.foreach { b =>
+        assert(b.collect { case w: WindowExec => w }.nonEmpty,
+          s"broadcast of a non-needed (fact-stream) side:\n$b")
+      }
+    }
+  }
+
   test("zValue interleaves bits (Morton order) and matches its own SQL form") {
     import spark.implicits._
     val df = Seq((3L, 5L), (0L, 0L), (1023L, 1L), (65535L, 65535L)).toDF("x", "y")
