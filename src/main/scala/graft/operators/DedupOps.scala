@@ -278,7 +278,9 @@ object DedupOps {
 
   private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, numHashes: Int, shingleSize: Int): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(path)
+    // into the current generation in manifest mode (the sidecar lives
+    // WITH the data it describes and rides the generation carry)
+    val dir = new org.apache.hadoop.fs.Path(LedgerGuard.appendPath(spark, path))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, SigMetaFile), true)
     try out.write(s"numHashes=$numHashes\nshingleSize=$shingleSize\n".getBytes("UTF-8"))
@@ -330,7 +332,7 @@ object DedupOps {
     requireSigMeta(batch.sparkSession, path, numHashes, shingleSize, "append")
     minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
     // adopt: first append to a pre-sidecar ledger stamps the caller's
     // values (trusted once), so every LATER append/probe is validated
     if (readSigMeta(batch.sparkSession, path).isEmpty)
@@ -364,7 +366,7 @@ object DedupOps {
       path: String, targetFiles: Int = 16,
       maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "signature-ledger compaction") { staging =>
-      val led = spark.read.parquet(path).dropDuplicates()
+      val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
       // sort by the id column (first at-rest column) so file-level
       // min/max stats prune id-ranged reads
       LayoutOps.writeSized(led, staging, col(led.columns.head),
@@ -756,7 +758,8 @@ object DedupOps {
     */
   def appendToLedger(df: DataFrame, idCol: String, keyCols: Seq[String],
       path: String): Unit =
-    ledgerRows(df, idCol, keyCols).write.mode("append").parquet(path)
+    ledgerRows(df, idCol, keyCols).write.mode("append")
+      .parquet(LedgerGuard.appendPath(df.sparkSession, path))
 
   /** Compact an append-only ledger IN PLACE: collapse any duplicate
     * digests that accumulated across appends (keeping the lowest
@@ -780,9 +783,10 @@ object DedupOps {
   def compactLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 16, maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "ledger compaction") { staging =>
-      // reading `path` here is safe: advanceInPlace runs this only
+      // readLedger binds the current generation (manifest mode) or the
+      // healed target (plain mode) — advanceInPlace runs this only
       // after the self-heal, under the lock and lease
-      val compacted = spark.read.parquet(path)
+      val compacted = LedgerGuard.readLedger(spark, path)
         .groupBy(col("digest"))
         .agg(min(col("admitted_id")).as("admitted_id"))
       LayoutOps.writeSized(compacted, staging, col("digest"),

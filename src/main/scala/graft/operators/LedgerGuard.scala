@@ -144,8 +144,11 @@ object LedgerGuard {
     * try to move the directory into its own child).
     *
     * On object stores, where rename is copy+delete and create-no-
-    * overwrite may not be atomic, prefer explicit generation
-    * directories over this in-place swap.
+    * overwrite may not be atomic, the rename swap is unsound — use
+    * MANIFEST mode there ([[convertToManifested]]; auto-detected by
+    * this method and every reader): explicit generation directories
+    * committed by replacing one pointer object, no directory renames
+    * at all.
     *
     * Retry semantics: WITHOUT `batchId`, a crash between the two swap
     * renames followed by an application retry DOUBLE-APPLIES the batch —
@@ -176,6 +179,19 @@ object LedgerGuard {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withLease(fs, target) {
+      if (isManifested(fs, target))
+        advanceManifestedLocked(spark, fs, target, what, batchId)(writeStaging)
+      else advancePlainLocked(spark, fs, target, what, batchId)(writeStaging)
+    }
+  }
+
+  /** The plain-mode (rename-swap) advance — runs under the per-path
+    * lock and the lease, dispatched from [[advanceInPlace]].
+    */
+  private def advancePlainLocked(spark: SparkSession, fs: FileSystem,
+      target: Path, what: String, batchId: Option[String])(
+      writeStaging: String => Unit): Unit = {
+    {
       val staging = target.suffix(".staging")
       val retired = target.suffix(".old")
       if (!fs.exists(target)) {
@@ -245,6 +261,189 @@ object LedgerGuard {
     */
   private[graft] val SidecarPrefix = "_GRAFT_"
 
+  // ------------------------------------------------------------------
+  // MANIFEST mode — the object-store-safe commit protocol. The rename
+  // swap above and the create-no-overwrite lease are both unsound on
+  // S3-class stores (rename is copy+delete; exclusive-create may not
+  // be exclusive). In manifest mode the ledger path is a DIRECTORY
+  // holding explicit generation dirs (`gen-<seq>-<token>/`) plus one
+  // small pointer file, `_GRAFT_MANIFEST`, naming the current
+  // generation. A writer materializes the NEW generation completely,
+  // then commits by REPLACING the manifest — one small-object write,
+  // which object stores make atomic per object (readers see the old
+  // or the new pointer, never a torn one). No directory is ever
+  // renamed after creation, and a crash before the manifest replace
+  // leaves an orphan generation the next advance garbage-collects —
+  // the manifest stays authoritative throughout, so there is no
+  // self-heal protocol at all.
+  //
+  // This also closes the plain-mode snapshot window: a reader binds
+  // the generation DIRECTORY named by the manifest at plan time, and
+  // that directory is immutable — a commit that lands between plan
+  // and action switches the manifest, not the files the reader holds.
+  // The previous generation is retained until the NEXT advance
+  // (keep-2 retention, like any table format's version retention), so
+  // in-flight readers keep a complete generation under them; only a
+  // reader that lags TWO commits behind can lose its files.
+  //
+  // The lease is still taken (fail-fast where exclusive-create works;
+  // best-effort on stores where it doesn't), but manifest mode no
+  // longer depends on it for durability: racing writers both build
+  // complete generations and the last manifest replace wins whole —
+  // one batch is lost loudly (its seq never appears), never a torn
+  // ledger. Exactly-once batchIds detect the common retry case either
+  // way.
+  // ------------------------------------------------------------------
+
+  /** Pointer-file name of a manifest-mode ledger: `gen=<dir>\nseq=<n>`. */
+  private[graft] val ManifestFile = SidecarPrefix + "MANIFEST"
+
+  /** A ledger directory is manifest-mode iff its pointer file exists. */
+  def isManifested(fs: FileSystem, target: Path): Boolean =
+    try fs.exists(new Path(target, ManifestFile))
+    catch { case _: java.io.IOException => false }
+
+  private case class Manifest(gen: String, seq: Long)
+
+  private def readManifest(fs: FileSystem, target: Path): Option[Manifest] =
+    try {
+      val in = fs.open(new Path(target, ManifestFile))
+      val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
+      val kv = text.linesIterator.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+      }.toMap
+      for (g <- kv.get("gen"); s <- kv.get("seq")) yield Manifest(g, s.toLong)
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+
+  /** Replace the manifest as atomically as the filesystem allows:
+    * write a temp sibling and rename over the target with
+    * `Options.Rename.OVERWRITE` (atomic on HDFS and local FS; on S3A
+    * the underlying single-object copy is itself an atomic object
+    * replace); where FileContext rename is unavailable, fall back to a
+    * direct overwrite-create — exactly the single PUT object stores
+    * make atomic.
+    */
+  private def replaceManifest(fs: FileSystem, target: Path, m: Manifest): Unit = {
+    val dst = new Path(target, ManifestFile)
+    val bytes = s"gen=${m.gen}\nseq=${m.seq}\n".getBytes("UTF-8")
+    val tmp = new Path(target,
+      s"$ManifestFile.tmp.${ProcessHandle.current.pid}.${java.lang.Long.toHexString(System.nanoTime)}")
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        val out = fs.create(dst, true) // single-object overwrite PUT
+        try out.write(bytes) finally out.close()
+    }
+  }
+
+  private def genName(seq: Long): String =
+    f"gen-$seq%06d-${java.lang.Long.toHexString(System.nanoTime)}"
+
+  /** The directory APPENDERS should write into: the current generation
+    * for a manifest-mode ledger, the path itself in plain mode. An
+    * append is visible to readers as its files land (appends were
+    * never atomic in either mode); the manifest protocol guards the
+    * REPLACE operations (advance, compaction), which are the ones a
+    * torn rename could corrupt.
+    */
+  def appendPath(spark: SparkSession, path: String): String = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, target)
+      .map(m => new Path(target, m.gen).toString).getOrElse(path)
+  }
+
+  /** Convert a PLAIN ledger (parquet files directly under `path`) to
+    * manifest mode in place: move the data files and `_GRAFT_*`
+    * sidecars into `gen-000001-<token>/` and write the pointer. The
+    * per-file moves are renames, so run the one-time conversion where
+    * renames are sane (HDFS/local — e.g. before the ledger ships to
+    * the object store) or create the ledger manifested from day one
+    * (write it, then convert while it is still local). Idempotent:
+    * a manifested ledger converts to itself.
+    */
+  def convertToManifested(spark: SparkSession, path: String): Unit = advanceLocks
+      .computeIfAbsent(path, _ => new Object).synchronized {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLease(fs, target) {
+      if (!isManifested(fs, target)) {
+        if (!fs.exists(target))
+          throw new java.io.FileNotFoundException(
+            s"no ledger at $target to convert to manifest mode")
+        val name = genName(1L)
+        val gen = new Path(target, name)
+        fs.mkdirs(gen)
+        fs.listStatus(target).filter(_.isFile).map(_.getPath)
+          .filter(_.getName != ManifestFile)
+          .foreach { f =>
+            if (!fs.rename(f, new Path(gen, f.getName)))
+              throw new java.io.IOException(
+                s"manifest conversion: cannot move $f into $gen")
+          }
+        replaceManifest(fs, target, Manifest(name, 1L))
+      }
+    }
+  }
+
+  /** The manifest-mode advance — runs under the per-path lock and the
+    * lease, dispatched from [[advanceInPlace]]. Protocol documented on
+    * the section header above.
+    */
+  private def advanceManifestedLocked(spark: SparkSession, fs: FileSystem,
+      target: Path, what: String, batchId: Option[String])(
+      writeStaging: String => Unit): Unit = {
+    val m = readManifest(fs, target).getOrElse(throw new java.io.IOException(
+      s"$what: unreadable manifest at $target"))
+    val cur = new Path(target, m.gen)
+    val alreadyApplied = batchId.exists { id =>
+      try {
+        val in = fs.open(new Path(cur, BatchMarker))
+        try new String(in.readNBytes(4096), "UTF-8") == id finally in.close()
+      } catch { case _: java.io.IOException => false }
+    }
+    if (!alreadyApplied) {
+      val name = genName(m.seq + 1)
+      val newGen = new Path(target, name)
+      // the merge inside writeStaging reads the ledger via readLedger →
+      // the manifest → `cur`, an immutable directory: a stable snapshot
+      writeStaging(newGen.toString)
+      batchId.foreach { id =>
+        val out = fs.create(new Path(newGen, BatchMarker), true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+      // same sidecar carry-forward as plain mode (marker on unmarked
+      // advances, signature meta, ...): from the outgoing generation
+      try {
+        fs.listStatus(cur).filter(_.isFile).map(_.getPath.getName)
+          .filter(_.startsWith(SidecarPrefix))
+          .foreach { n =>
+            val dst = new Path(newGen, n)
+            if (!fs.exists(dst))
+              org.apache.hadoop.fs.FileUtil.copy(
+                fs, new Path(cur, n), fs, dst, false, false,
+                spark.sparkContext.hadoopConfiguration)
+          }
+      } catch { case _: java.io.IOException => () }
+      replaceManifest(fs, target, Manifest(name, m.seq + 1))
+      // keep-2 retention: everything except the new and the outgoing
+      // generation goes — older generations in-flight readers may lag
+      // on, and orphans of crashed attempts alike
+      try {
+        fs.listStatus(target).filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName.startsWith("gen-") &&
+            p.getName != name && p.getName != m.gen)
+          .foreach(p => try fs.delete(p, true) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Per-path in-JVM lock serializing the staged swaps: two concurrent
     * writers would materialize the same staging dir and interleave the
     * rename pair, losing one generation. One map across ALL ledger
@@ -270,14 +469,21 @@ object LedgerGuard {
     spark.read.parquet(readablePath(fs, target).toString)
   }
 
-  /** The path a READER of the ledger should load: the target itself
-    * normally; if the target is absent (the window between a writer's
-    * two swap renames, or a crash there), fall back READ-ONLY to the
-    * staging sibling (written complete before the target is ever
+  /** The path a READER of the ledger should load. Manifest mode binds
+    * the generation directory the pointer names — an immutable dir, so
+    * the plan-vs-action caveat above disappears (keep-2 retention: only
+    * lagging TWO commits behind can lose it). Plain mode: the target
+    * itself normally; if the target is absent (the window between a
+    * writer's two swap renames, or a crash there), fall back READ-ONLY
+    * to the staging sibling (written complete before the target is ever
     * retired) or the retired one. Readers never rename — mutating here
     * would race the writer's own promote/rollback.
     */
   def readablePath(fs: FileSystem, target: Path): Path = {
+    readManifest(fs, target) match {
+      case Some(m) => return new Path(target, m.gen)
+      case None => ()
+    }
     if (fs.exists(target)) target
     else {
       val staging = target.suffix(".staging")

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A local filesystem whose rename is COPY + DELETE — the object-store
+  * failure model the manifest commit protocol exists for (S3 "rename"
+  * is a server-side copy then a delete; a crash mid-way leaves both or
+  * neither, and a directory "rename" is per-object, never atomic).
+  * Registered under the `nonatomic:` scheme; no AbstractFileSystem is
+  * registered for it, so FileContext-based atomic rename is unavailable
+  * too — exactly the degraded surface an object store presents.
+  */
+class NonAtomicRenameFs extends RawLocalFileSystem {
+  override def getScheme: String = "nonatomic"
+  override def getUri: java.net.URI = java.net.URI.create("nonatomic:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!exists(src)) false
+    else FileUtil.copy(this, src, this, dst, false, true, getConf) &&
+      delete(src, true)
+  }
+}
+
+/** Manifest-mode ledger commits: the object-store-safe protocol
+  * (explicit generation dirs + atomically-replaced pointer) must run
+  * every ledger family's maintenance cycle correctly on a filesystem
+  * whose rename is copy+delete, and equal the plain-mode results.
+  */
+class LedgerManifestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.hadoopConfiguration.set(
+      "fs.nonatomic.impl", classOf[NonAtomicRenameFs].getName)
+    s
+  }
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def genDirs(local: String): Seq[String] =
+    Option(new java.io.File(local).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSeq.sorted
+
+  test("stats ledger on copy+delete-rename FS: convert, advance, exactly-once, retention") {
+    val local = tmp("graft-manifest") + "/ledger"
+    val path = "nonatomic://" + local
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    val b1 = Seq(("s1", "c d e"), ("s2", "f")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    LedgerGuard.convertToManifested(spark, path)
+    assert(new java.io.File(local, "_GRAFT_MANIFEST").exists)
+    assert(genDirs(local).size == 1)
+    // no loose parquet left at the top level after conversion
+    assert(!new java.io.File(local).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("b-1"))
+    // exactly-once: replay is a no-op
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("b-1"))
+    val got = LedgerGuard.readLedger(spark, path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 5L)), "s2" -> ((1L, 1L))), got.toString)
+    // keep-2 retention: the pre-advance generation is still on disk for
+    // in-flight readers
+    assert(genDirs(local).size == 2, genDirs(local).toString)
+    CurationOps.advanceStatsLedger(
+      Seq(("s2", "g h")).toDF("source", "text"), "source", "text", path,
+      batchId = Some("b-2"))
+    assert(genDirs(local).size == 2, genDirs(local).toString)
+    val got2 = LedgerGuard.readLedger(spark, path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == Map("s1" -> ((2L, 5L)), "s2" -> ((2L, 3L))), got2.toString)
+    // plain-mode swap siblings never appear in manifest mode
+    assert(!new java.io.File(local + ".staging").exists)
+    assert(!new java.io.File(local + ".old").exists)
+  }
+
+  test("digest ledger + compaction: manifest mode on nonatomic FS equals plain mode (d39/d45 cycle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gen1 = docs.filter(col("doc_id") % 3 === 1)
+    val gen2 = docs.filter(col("doc_id") % 3 === 2)
+    def cycle(path: String, manifested: Boolean): Set[Long] = {
+      DedupOps.writeLedger(gen1, "doc_id", Seq("text"), path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      DedupOps.appendToLedger(gen2, "doc_id", Seq("text"), path)
+      DedupOps.compactLedger(spark, path, targetFiles = 2)
+      DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), path)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val plain = cycle(tmp("graft-led-p") + "/led", manifested = false)
+    val mani = cycle("nonatomic://" + tmp("graft-led-m") + "/led", manifested = true)
+    assert(plain == mani && plain.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+  }
+
+  test("signature ledger: manifest-mode append/replay/compact probe equals plain; meta survives") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val gen2 = docs.filter(col("doc_id") % 10 > 5)
+    def cycle(path: String, manifested: Boolean): Set[(Long, Long, Long)] = {
+      DedupOps.writeSignatureLedger(gen1, "doc_id", "text", path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path)
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path) // replay
+      DedupOps.compactSignatureLedger(spark, path, targetFiles = 2)
+      DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val plain = cycle(tmp("graft-sig-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-sig-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+    // the self-describing meta sidecar rode through conversion, appends
+    // and compaction: a drifted probe still fails loudly
+    val e = intercept[IllegalArgumentException](
+      DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", maniPath, shingleSize = 7))
+    assert(e.getMessage.contains("shingleSize=5"), e.getMessage)
+  }
+
+  test("sketch ledger: manifest-mode advance equals plain (d46 cycle)") {
+    val corpus = Seq(
+      ("s1", "a"), ("s1", "b"), ("s2", "b"), ("s2", "c"), ("s3", "x"))
+      .toDF("source", "text")
+    val b2 = Seq(("s1", "c"), ("s3", "y")).toDF("source", "text")
+    def cycle(path: String, manifested: Boolean): Map[String, (Long, Long)] = {
+      CurationOps.writeSketchLedger(corpus, "source", col("text"), path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      CurationOps.advanceSketchLedger(b2, "source", col("text"), path)
+      CurationOps.sketchEstimates(spark, path)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val plain = cycle(tmp("graft-sk-p") + "/led", manifested = false)
+    val mani = cycle("nonatomic://" + tmp("graft-sk-m") + "/led", manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+  }
+
+  test("manifest-mode compaction carries the exactly-once marker (batchId straddling compaction)") {
+    val local = tmp("graft-m-once") + "/ledger"
+    val path = "nonatomic://" + local
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    val b1 = Seq(("s1", "c d e"), ("s2", "f")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    LedgerGuard.convertToManifested(spark, path)
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("b-1"))
+    // unmarked advance (compaction-style rewrite) — marker must carry
+    LedgerGuard.advanceInPlace(spark, path, "test compaction") { staging =>
+      LedgerGuard.readLedger(spark, path).write.parquet(staging)
+    }
+    CurationOps.advanceStatsLedger(b1, "source", "text", path, batchId = Some("b-1"))
+    val got = LedgerGuard.readLedger(spark, path)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 5L)), "s2" -> ((1L, 1L))), got.toString)
+  }
+
+  test("conversion is idempotent and a second writer's lease still fails fast") {
+    val local = tmp("graft-m-lock") + "/ledger"
+    val path = "nonatomic://" + local
+    CurationOps.writeStatsLedger(
+      Seq(("s1", "a")).toDF("source", "text"), "source", "text", path)
+    LedgerGuard.convertToManifested(spark, path)
+    LedgerGuard.convertToManifested(spark, path) // no-op, no nesting
+    assert(genDirs(local).size == 1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(local + ".lock"), "999@elsewhere")
+    val e = intercept[IllegalStateException](
+      CurationOps.advanceStatsLedger(
+        Seq(("s2", "b")).toDF("source", "text"), "source", "text", path))
+    assert(e.getMessage.contains("999@elsewhere"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(local + ".lock"))
+  }
+}
