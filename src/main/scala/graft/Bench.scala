@@ -52,11 +52,26 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
       }
 
-    def timedPass(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
+    // Per-query drift diagnostics (the r8 d12/q67 full-suite anomaly):
+    // alongside wall time, record the JVM-wide GC-time and codegen
+    // compilation deltas each query incurred. A pass-2 query that is
+    // slower WITH a compilation delta is a codegen-cache eviction; one
+    // slower with a GC spike is suite-accumulated heap pressure; one
+    // slower with neither is the environment.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def nCompiled(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
+    case class QStat(sec: Double, gcMs: Long, nComp: Long)
+    def timedPass(): Map[String, QStat] = names.map { name =>
+      val (g0, c0, t0) = (gcMs(), nCompiled(), System.nanoTime())
       val ok = try { run(name); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      name -> QStat(if (ok) sec else -1.0, gcMs() - g0, nCompiled() - c0)
     }.toMap
 
     // Two full interleaved passes, per-query min: the shared VM throttles in
@@ -66,17 +81,28 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = names.map { n =>
-      n -> (if (p1(n) < 0 || p2(n) < 0) -1.0 else math.min(p1(n), p2(n)))
+      n -> (if (p1(n).sec < 0 || p2(n).sec < 0) -1.0 else math.min(p1(n).sec, p2(n).sec))
     }
 
     // Full-precision per-pass record for local analysis (not the driver line).
     val fullJson = results
-      .map { case (k, v) => s""""$k":{"min":$v,"p1":${p1(k)},"p2":${p2(k)}}""" }
+      .map { case (k, v) =>
+        s""""$k":{"min":$v,"p1":${p1(k).sec},"p2":${p2(k).sec},""" +
+          s""""gc1":${p1(k).gcMs},"gc2":${p2(k).gcMs},"nc1":${p1(k).nComp},"nc2":${p2(k).nComp}}"""
+      }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+
+    // Compact per-pass totals, printed BEFORE the metrics line so the
+    // driver's 2000-char output tail can carry both (per-query detail
+    // is in bench_full.json): total GC ms and codegen compilations per
+    // pass — the two suite-accumulation suspects.
+    def tot(p: Map[String, QStat]) =
+      s"""{"gc":${p.valuesIterator.map(_.gcMs).sum},"nc":${p.valuesIterator.map(_.nComp).sum}}"""
+    println(s"""{"diag":{"p1":${tot(p1)},"p2":${tot(p2)}}}""")
 
     // The driver keeps only the final 2000 chars of output, so the metrics
     // line must stay well under that budget; f3 is only used for the total.
