@@ -580,6 +580,12 @@ object PipelineQueries {
       val b = docs.select(col("doc_id").as("d2"), tok.as("__tb"))
       // anchor side is id-sampled (~1/97 of the corpus) → its distinct
       // sets broadcast; every distinct b-set scores against them once.
+      // BROADCAST BOUND: the build side carries full token ARRAYS (not
+      // digests) for the distinct anchor sets — bounded here by the
+      // 1/97 sample, and inherent to this CONFORMANCE query's declared
+      // all-pairs-rescore semantics, not to the operator; the
+      // production near-dup path is LSH candidates → sortedJaccard
+      // (d13), which never broadcasts token sets.
       // The expansion joins are NULL-SAFE: the oracle's pair join has no
       // predicate on tok, so a NULL-text document still pairs (with NULL
       // jaccard) — a plain equi-join on the set value would drop it.
