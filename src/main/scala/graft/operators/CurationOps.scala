@@ -93,6 +93,46 @@ object CurationOps {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC companion of
+    * [[ngramOverlap]]/[[ngramOverlapBloom]] (d24): a corpus document is
+    * contaminated when the cosine between its embedding and ANY
+    * benchmark item's embedding reaches `threshold`. N-gram overlap
+    * catches verbatim leakage; this catches the paraphrases,
+    * translations, and re-formattings that share no surface n-grams —
+    * the reason modern pipelines run BOTH checks before training.
+    * Returns one row per contaminated document:
+    * (idCol, bench_id, max_cos) with the smallest matching benchmark id
+    * on a tied score (deterministic across partitionings).
+    *
+    * Scale shape: benchmark suites are model-sized (10³–10⁵ rows ×
+    * ~64-1536 floats), so the bench side BROADCASTS and the 100 TB
+    * corpus STREAMS past it through the fused float-dot kernel
+    * ([[SimilarityOps.cosine]]) — scores are rounded once (engine-
+    * stable), the per-document max is a map-side-combining aggregate
+    * (the shuffle carries one row per document, and only until the
+    * threshold filter prunes it), and nothing ever materializes the
+    * corpus × benchmark pair set. For benchmark sets too large to
+    * broadcast, pre-filter with the ANN index
+    * ([[SimilarityOps.probeBucketedIndex]]) and rescore the candidates
+    * here — same contract as every LSH→exact pipeline in this repo.
+    */
+  def semanticDecontamination(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val b = bench.select(col(benchIdCol).as("__bid"), col(benchVecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol), col("__bid"),
+        graft.queries.Qf.dround(
+          SimilarityOps.cosine(col("__cv"), col("__bv")), 6).as("__cos"))
+      // arg-max with deterministic tie-break: max on (score, -id) picks
+      // the SMALLEST benchmark id among tied scores
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos").as("c"), (-col("__bid")).as("nb"))).as("__m"))
+      .select(col(idCol), (-col("__m.nb")).as("bench_id"), col("__m.c").as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
+
   /** BM25 keyword scoring: per-document score over a fixed term set.
     * Classic Robertson/Sparck-Jones idf `ln((N−df+0.5)/(df+0.5) + 1)`
     * with k1/b term saturation. The per-term document frequencies and

@@ -274,6 +274,39 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- semantic decontamination
+    // the embedding-space companion of d24's n-gram decontamination:
+    // a corpus document is contaminated when its embedding's cosine
+    // against ANY benchmark item reaches the threshold — catching the
+    // paraphrases/translations n-gram overlap misses. The benchmark
+    // side (vec_id % 50, a model-sized suite) broadcasts; the corpus
+    // streams past it through the fused dot kernel; per-doc arg-max
+    // with a smallest-bench-id tie-break. Exact brute-force form (the
+    // oracle mirrors it pair-for-pair); the ANN-prefiltered variant is
+    // the same rescore over probeBucketedIndex candidates.
+    q("d49_semantic_decontamination",
+      """WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0),
+        |scored AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> cv[i] * bv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i])))), 6) AS cos
+        |  FROM c, b),
+        |ranked AS (SELECT vec_id, bench_id, cos,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, bench_id, cos AS max_cos FROM ranked
+        |WHERE rk = 1 AND cos >= 0.3
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.operators.CurationOps.semanticDecontamination(
+        emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
     // ---------------------------------------------------------------- persisted dedup ledger
     // incremental-ingest exact dedup AT REST (d38's cross-dedup shape
     // made durable): a parquet digest store of everything ever admitted;

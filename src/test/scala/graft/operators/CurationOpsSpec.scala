@@ -454,6 +454,26 @@ class CurationOpsSpec extends AnyFunSuite {
       ("s2", "s3") -> 0L), got.toString)
   }
 
+  test("semanticDecontamination: threshold boundary inclusive, tied scores pick the smallest bench id") {
+    // benchmark ids 7 and 3 carry the SAME vector: doc 1 matches both
+    // with an identical rounded score and must report bench_id 3
+    val bench = Seq(
+      (7L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 vs bench 3 AND 7
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.7071 vs all three
+      (4L, Array(-1.0f, 0.0f))). // best cos 0.0 (vs bench 9) — below threshold
+      toDF("vec_id", "embedding")
+    val got = CurationOps.semanticDecontamination(
+      corpus, "vec_id", "embedding", bench, "vec_id", "embedding",
+      threshold = 0.707107) // exactly doc 2's rounded score: inclusive
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 3L, 0.707107)), got.toString)
+  }
+
   test("advance with a batchId is exactly-once: a replayed batch is a no-op") {
     val path = java.nio.file.Files.createTempDirectory("graft-once").toString + "/ledger"
     val seed = Seq(("s1", "a b")).toDF("source", "text")
