@@ -277,34 +277,20 @@ object DedupOps {
   private val SigMetaFile = LedgerGuard.SidecarPrefix + "SIG_META"
 
   private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, numHashes: Int, shingleSize: Int): Unit = {
-    // into the current generation in manifest mode (the sidecar lives
-    // WITH the data it describes and rides the generation carry)
-    val dir = new org.apache.hadoop.fs.Path(LedgerGuard.appendPath(spark, path))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, SigMetaFile), true)
-    try out.write(s"numHashes=$numHashes\nshingleSize=$shingleSize\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+      path: String, numHashes: Int, shingleSize: Int): Unit =
+    LedgerGuard.writeSidecarMeta(spark, path, SigMetaFile,
+      Seq("numHashes" -> numHashes.toLong, "shingleSize" -> shingleSize.toLong))
 
   /** The persisted (numHashes, shingleSize) of the ledger generation a
     * reader would bind (staging fallback included); None for a ledger
     * created before the sidecar existed.
     */
   private def readSigMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Int, Int)] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val gen = LedgerGuard.readablePath(fs, dir)
-      val in = fs.open(new org.apache.hadoop.fs.Path(gen, SigMetaFile))
-      val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
-      val kv = text.linesIterator.flatMap { l =>
-        l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
-      }.toMap
-      for (nh <- kv.get("numHashes"); ss <- kv.get("shingleSize")) yield (nh, ss)
-    } catch { case _: java.io.IOException | _: NumberFormatException => None }
-  }
+      path: String): Option[(Int, Int)] =
+    LedgerGuard.readSidecarMeta(spark, path, SigMetaFile).flatMap { kv =>
+      for (nh <- kv.get("numHashes"); ss <- kv.get("shingleSize"))
+        yield (nh.toInt, ss.toInt)
+    }
 
   /** Fail-loudly gate every signature-ledger append/probe runs: the
     * caller's parameters must equal the persisted creation-time ones —

@@ -255,11 +255,49 @@ object LedgerGuard {
   private val BatchMarker = "_GRAFT_LAST_BATCH"
 
   /** Name prefix of generation-scoped sidecar files (batch marker,
-    * signature-ledger meta): `_`-prefixed so parquet readers skip
-    * them, `_GRAFT_`-prefixed so [[advanceInPlace]] knows which files
-    * to carry into a fresh generation on an unmarked advance.
+    * signature-ledger meta, ANN-index meta): `_`-prefixed so parquet
+    * readers skip them, `_GRAFT_`-prefixed so [[advanceInPlace]] knows
+    * which files to carry into a fresh generation on an unmarked
+    * advance.
     */
   private[graft] val SidecarPrefix = "_GRAFT_"
+
+  /** Write a `key=value` metadata sidecar into the generation an
+    * APPENDER would target (current gen in manifest mode, the path in
+    * plain mode) — the shared mechanism behind every self-describing
+    * at-rest store: the parameters data was built with must live WITH
+    * that data, because a caller-side default can drift while the
+    * files cannot.
+    */
+  private[graft] def writeSidecarMeta(spark: SparkSession, path: String,
+      file: String, kv: Seq[(String, Long)]): Unit = {
+    val dir = new Path(appendPath(spark, path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, file), true)
+    try out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The metadata sidecar of the generation a READER would bind
+    * (manifest pointer or staging fallback included); None when the
+    * store predates the sidecar or the file is unreadable.
+    */
+  private[graft] def readSidecarMeta(spark: SparkSession, path: String,
+      file: String): Option[Map[String, Long]] = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val gen = readablePath(fs, target)
+      val in = fs.open(new Path(gen, file))
+      val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
+      Some(text.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v.trim.toLong)
+          case _ => None
+        }
+      }.toMap)
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
 
   // ------------------------------------------------------------------
   // MANIFEST mode — the object-store-safe commit protocol. The rename
@@ -379,14 +417,17 @@ object LedgerGuard {
             s"no ledger at $target to convert to manifest mode")
         val name = genName(1L)
         val gen = new Path(target, name)
-        fs.mkdirs(gen)
-        fs.listStatus(target).filter(_.isFile).map(_.getPath)
+        // list BEFORE creating the generation dir so it never moves
+        // into itself; entries include partition DIRECTORIES (the ANN
+        // index's bucket=... layout), not just flat data files
+        val entries = fs.listStatus(target).map(_.getPath)
           .filter(_.getName != ManifestFile)
-          .foreach { f =>
-            if (!fs.rename(f, new Path(gen, f.getName)))
-              throw new java.io.IOException(
-                s"manifest conversion: cannot move $f into $gen")
-          }
+        fs.mkdirs(gen)
+        entries.foreach { f =>
+          if (!fs.rename(f, new Path(gen, f.getName)))
+            throw new java.io.IOException(
+              s"manifest conversion: cannot move $f into $gen")
+        }
         replaceManifest(fs, target, Manifest(name, 1L))
       }
     }

@@ -174,7 +174,78 @@ object SimilarityOps {
     candidates.select(col(idCol), col(vecCol),
         hyperplaneBucket(col(vecCol), planes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    LedgerGuard.writeSidecarMeta(candidates.sparkSession, path, AnnMetaFile,
+      Seq("numPlanes" -> numPlanes.toLong, "dim" -> dim.toLong))
   }
+
+  /** Sidecar of the index's creation-time (numPlanes, dim): planes are
+    * derived deterministically from those two numbers, so an index is
+    * only probeable/appendable with the SAME pair — a drifted caller
+    * default would bucket by different planes, silently losing recall
+    * on probes and corrupting the layout on appends. Same treatment as
+    * the signature ledger's shingling meta and the sketch ledger's lgK.
+    */
+  private val AnnMetaFile = graft.operators.LedgerGuard.SidecarPrefix + "ANN_META"
+
+  private def requireAnnMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int, dim: Int, op: String): Unit =
+    LedgerGuard.readSidecarMeta(spark, path, AnnMetaFile).foreach { kv =>
+      (kv.get("numPlanes"), kv.get("dim")) match {
+        case (Some(np), Some(d)) if np != numPlanes || d != dim =>
+          throw new IllegalArgumentException(
+            s"ANN index $op at $path: index was built with numPlanes=$np, " +
+              s"dim=$d but the caller passed numPlanes=$numPlanes, dim=$dim — " +
+              "different planes assign different buckets, so probes silently " +
+              "lose recall and appends corrupt the layout; pass the " +
+              "creation-time values (or rebuild the index)")
+        case _ => ()
+      }
+    }
+
+  /** Admit a batch of vectors to the at-rest ANN index — the ingest
+    * loop's maintenance path: the batch gets the SAME deterministic
+    * bucket transform and appends new files into the matching
+    * `bucket=` partitions (creating new ones as needed) — O(batch)
+    * work, nothing rewrites, probes prune identically. Appends are not
+    * replay-tolerant by themselves (a crash-and-retry append stores
+    * duplicate rows which surface as duplicate candidates);
+    * [[compactBucketedIndex]] collapses exact duplicates at rest, the
+    * same remedy the signature ledger applies.
+    */
+  def appendToBucketedIndex(batch: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    requireAnnMeta(spark, path, numPlanes, dim, "append")
+    val planes = hyperplanes(numPlanes, dim)
+    batch.select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(LedgerGuard.appendPath(spark, path))
+    // adopt: first append to a pre-sidecar index stamps the caller's
+    // values, so every later append/probe is validated
+    if (LedgerGuard.readSidecarMeta(spark, path, AnnMetaFile).isEmpty)
+      LedgerGuard.writeSidecarMeta(spark, path, AnnMetaFile,
+        Seq("numPlanes" -> numPlanes.toLong, "dim" -> dim.toLong))
+  }
+
+  /** Compact the at-rest ANN index: collapse exact duplicate rows
+    * (replayed appends) and rewrite each bucket's accreted per-batch
+    * small files into one sized file (clustering on the partition
+    * column — each bucket lands in exactly one task, the same
+    * one-file-per-cell layout the IVFPQ index write uses). Runs under
+    * the shared staged-swap/lease/manifest discipline
+    * ([[LedgerGuard.advanceInPlace]]), so it is crash-safe in plain
+    * mode and object-store-safe in manifest mode.
+    */
+  def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "ANN index compaction") { staging =>
+      LedgerGuard.readLedger(spark, path)
+        .dropDuplicates()
+        .repartition(col("bucket"))
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("bucket").parquet(staging)
+    }
 
   /** ANN top-k against a [[writeBucketedIndex]] layout. The query set is
     * small by contract (same contract that lets annTopK broadcast it), so
@@ -198,10 +269,13 @@ object SimilarityOps {
       cId: String, cVec: String,
       numPlanes: Int, dim: Int, k: Int,
       maxLiteralBuckets: Int = 1024): DataFrame = {
+    requireAnnMeta(spark, path, numPlanes, dim, "probe")
     val planes = hyperplanes(numPlanes, dim)
     val qb = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
       hyperplaneBucket(col(qVec), planes).as("bucket"))
-    val idx = spark.read.parquet(path)
+    // readLedger: resolves the manifest generation / staging fallback —
+    // a partition-discovered read either way, so pruning is unchanged
+    val idx = LedgerGuard.readLedger(spark, path)
     val prunedIdx =
       if (numPlanes < 31 && (1L << numPlanes) <= maxLiteralBuckets) {
         // bounded driver collect (≤ 2^numPlanes ints) → static partition

@@ -66,6 +66,37 @@ object PipelineQueries {
        |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  /** The s03/s12 oracle: exact bucketed-ANN top-k with the hyperplanes
+    * embedded as literals (deterministic from (numPlanes=4, dim=64)) —
+    * file-blind, so s12 can reuse it verbatim to prove the at-rest
+    * index's append/replay/compact cycle lossless.
+    */
+  private val sqlAnnTopkOracle = {
+    val planes = graft.operators.SimilarityOps.hyperplanes(4, 64)
+    val planeCols = planes.zipWithIndex.map { case (p, j) =>
+      s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
+    }.mkString(",\n  ")
+    val bits = (0 until 4).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i] * pl$j[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH p AS (SELECT
+       |  $planeCols),
+       |e AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings, p),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+       |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Trained ANN models memoized per fixture dir: an index is BUILT once
     * and PROBED many times, so repeated invocations (the bench's paired
     * passes; a user's query stream) should pay the probe, not a retrain —
@@ -677,35 +708,36 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
-    q("s03_ann_topk", {
-      val planes = SimilarityOps.hyperplanes(4, 64)
-      val planeCols = planes.zipWithIndex.map { case (p, j) =>
-        s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
-      }.mkString(",\n  ")
-      val bits = (0 until 4).map { j =>
-        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i] * pl$j[i])) > 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH p AS (SELECT
-         |  $planeCols),
-         |e AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings, p),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
-         |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
-         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
-         |ranked AS (SELECT query_id, neighbor_id, score,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
-         |ORDER BY query_id, rk""".stripMargin
-    }) { (s, dir) =>
+    q("s03_ann_topk", sqlAnnTopkOracle) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       SimilarityOps.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64)
+        .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- maintained ANN index
+    // the at-rest index's INGEST LOOP: build from half the corpus,
+    // append the other half (plus a crash-and-retry REPLAY of that
+    // append), compact (collapses the duplicate rows, one file per
+    // bucket, staged swap), then probe. The oracle is s03's — file-
+    // and maintenance-blind, bucketing the whole corpus from scratch —
+    // so the hash match proves the append/replay/compact cycle lost
+    // and invented nothing. The index is self-describing: a probe or
+    // append with drifted (numPlanes, dim) fails loudly (unit-tested).
+    q("s12_ann_index_maintained", sqlAnnTopkOracle) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/s12_idx_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      SimilarityOps.writeBucketedIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 4, 64, path)
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path)
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path) // replay
+      SimilarityOps.compactBucketedIndex(s, path)
+      SimilarityOps.probeBucketedIndex(s, path,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        "vec_id", "embedding", numPlanes = 4, dim = 64, k = 5)
         .orderBy("query_id", "rk")
     },
 

@@ -162,6 +162,26 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(got == Map("s1" -> ((2L, 5L)), "s2" -> ((1L, 1L))), got.toString)
   }
 
+  test("ANN index (partitioned layout): manifest-mode maintenance cycle equals plain mode") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    def cycle(path: String, manifested: Boolean): Set[(Long, Int, Long)] = {
+      SimilarityOps.writeBucketedIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 4, 64, path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path)
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path) // replay
+      SimilarityOps.compactBucketedIndex(spark, path)
+      SimilarityOps.probeBucketedIndex(spark, path, queries,
+        "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    }
+    val plain = cycle(tmp("graft-ann-p") + "/idx", manifested = false)
+    val mani = cycle("nonatomic://" + tmp("graft-ann-m") + "/idx", manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+  }
+
   test("conversion is idempotent and a second writer's lease still fails fast") {
     val local = tmp("graft-m-lock") + "/ledger"
     val path = "nonatomic://" + local

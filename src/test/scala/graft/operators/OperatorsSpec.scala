@@ -453,6 +453,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromSemi == inMemory)
   }
 
+  test("ANN index is self-describing: plane-parameter drift fails loudly on probe and append") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("annmeta").toString + "/idx"
+    SimilarityOps.writeBucketedIndex(emb, "vec_id", "embedding", 4, 64, dir)
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.probeBucketedIndex(spark, dir,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        "vec_id", "embedding", numPlanes = 5, dim = 64, k = 3))
+    assert(e.getMessage.contains("numPlanes=4") && e.getMessage.contains("numPlanes=5"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      SimilarityOps.appendToBucketedIndex(emb, "vec_id", "embedding", 4, 32, dir))
+    assert(e2.getMessage.contains("dim=64") && e2.getMessage.contains("dim=32"),
+      e2.getMessage)
+    // compaction keeps the sidecar (the _GRAFT_ carry): probe still gated
+    SimilarityOps.compactBucketedIndex(spark, dir)
+    assert(new java.io.File(dir, "_GRAFT_ANN_META").exists,
+      "compaction dropped the ANN meta sidecar")
+    val e3 = intercept[IllegalArgumentException](
+      SimilarityOps.probeBucketedIndex(spark, dir,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        "vec_id", "embedding", numPlanes = 5, dim = 64, k = 3))
+    assert(e3.getMessage.contains("numPlanes=4"), e3.getMessage)
+  }
+
   test("canonicalUrl: every rule fires and NULL propagates") {
     val cases = Seq(
       // fragment drop + case fold + default port + trailing slash +
