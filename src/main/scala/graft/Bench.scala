@@ -98,11 +98,13 @@ object Bench {
 
     // Compact per-pass totals, printed BEFORE the metrics line so the
     // driver's 2000-char output tail can carry both (per-query detail
-    // is in bench_full.json): total GC ms and codegen compilations per
-    // pass — the two suite-accumulation suspects.
-    def tot(p: Map[String, QStat]) =
-      s"""{"gc":${p.valuesIterator.map(_.gcMs).sum},"nc":${p.valuesIterator.map(_.nComp).sum}}"""
-    println(s"""{"diag":{"p1":${tot(p1)},"p2":${tot(p2)}}}""")
+    // is in bench_full.json): [pass1, pass2] totals of GC ms and
+    // codegen compilations — the two suite-accumulation suspects.
+    // Deliberately tiny (~45 chars): if the tail budget runs out, only
+    // this line's HEAD is cut, never the metrics line after it.
+    val gcs = Seq(p1, p2).map(_.valuesIterator.map(_.gcMs).sum).mkString("[", ",", "]")
+    val ncs = Seq(p1, p2).map(_.valuesIterator.map(_.nComp).sum).mkString("[", ",", "]")
+    println(s"""{"diag":{"gc":$gcs,"nc":$ncs}}""")
 
     // The driver keeps only the final 2000 chars of output, so the metrics
     // line must stay well under that budget; f3 is only used for the total.

@@ -118,6 +118,39 @@ object SimilarityOps {
       k: Int): DataFrame =
     perKeyTopK(scored, Seq("query_id"), "neighbor_id", scoreCol, asc, k)
 
+  /** Reciprocal Rank Fusion (Cormack & Clarke, SIGIR 2009) — the
+    * standard combiner for HYBRID retrieval (BM25 lexical + dense
+    * cosine being the classic pair): fused score(d) = Σ_r 1/(k0 +
+    * rank_r(d)) over the rankings that contain d; documents absent
+    * from a ranking contribute nothing. Rank-based, so retriever score
+    * scales never need calibration against each other — the reason
+    * RRF beats score interpolation in practice.
+    *
+    * Inputs: one frame per retriever with `keys ++ (idCol, rankCol)`
+    * (ranks 1-based, e.g. the `rk` of [[perKeyTopK]]/
+    * [[bruteForceTopK]]). Output: `keys ++ (idCol, rrf_score, rk)`,
+    * top `k` per key by fused score with the deterministic id
+    * tie-break.
+    *
+    * Scale shape: the inputs are already per-key top-k — MODEL-sized,
+    * k × retrievers rows per key — so the union + map-side-combining
+    * sum + bounded-heap top-k never touch a corpus; the heavy lifting
+    * happened inside each retriever. Determinism: a (key, id) pair
+    * appears at most once per ranking, so the fused sum has ≤
+    * `rankings.size` terms — exact for the 2-retriever hybrid; beyond
+    * that the one rounding absorbs partial-agg order.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], keys: Seq[String], idCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    val shaped = rankings.map(_.select(
+      keys.map(col) :+ col(idCol) :+ col(rankCol).cast("double").as("__rnk"): _*))
+    val fused = shaped.reduce(_ unionByName _)
+      .groupBy((keys :+ idCol).map(col): _*)
+      .agg(graft.queries.Qf.dround(
+        sum(lit(1.0) / (lit(k0.toDouble) + col("__rnk"))), 6).as("rrf_score"))
+    perKeyTopK(fused, keys, idCol, "rrf_score", asc = false, k)
+  }
+
   /** Exact Euclidean (L2) top-k neighbors per query — the metric twin of
     * [[bruteForceTopK]]: same broadcast-queries shape, but ranked by
     * distance ASCENDING through the fused float×float squared-distance

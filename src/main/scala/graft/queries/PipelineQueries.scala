@@ -338,6 +338,61 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- hybrid retrieval (RRF)
+    // the standard lexical+dense hybrid: BM25 top-20 (d25's scorer)
+    // and cosine top-20 for one dense query vector, fused by
+    // Reciprocal Rank Fusion (score = Σ 1/(60 + rank)) — rank-based,
+    // so the two retrievers' incomparable score scales never need
+    // calibration. Both rankings are (rounded score DESC, id) — exact
+    // cross-engine — and the fused top-10 re-ranks on the rounded RRF
+    // sum with the same id tie-break. The oracle recomputes both
+    // retrievers and the fusion from scratch in SQL.
+    q("d50_hybrid_rrf", {
+      val terms = Seq("spark", "hash", "window", "merge").map(t => s"'$t'").mkString(", ")
+      s"""WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS DOUBLE) AS dl FROM documents),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, unnest($sqlTokens) AS term FROM documents)
+         |  WHERE term IN ($terms) GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |bmr AS (SELECT doc_id,
+         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |    * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl))), 4) AS s
+         |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id), c GROUP BY doc_id),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS DOUBLE) AS rnk
+         |        FROM bmr QUALIFY rnk <= 20),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |dn0 AS (SELECT vec_id AS doc_id,
+         |  round(list_sum(list_transform(range(1, 65), i -> embedding[i] * v[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i])))
+         |     * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS s
+         |  FROM embeddings, qv WHERE vec_id <> 0),
+         |den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS DOUBLE) AS rnk
+         |        FROM dn0 QUALIFY rnk <= 20),
+         |rrf AS (SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score
+         |        FROM (SELECT * FROM lex UNION ALL SELECT * FROM den) GROUP BY doc_id)
+         |SELECT doc_id, rrf_score,
+         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rk
+         |FROM rrf ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{CurationOps, SimilarityOps}
+      val emb = table(s, dir, "embeddings")
+      val lex = SimilarityOps.perKeyTopK(
+        CurationOps.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "hash", "window", "merge"))
+          .select(col("doc_id"), Qf.dround(col("bm25_raw"), 4).as("s")),
+        keys = Nil, idCol = "doc_id", scoreCol = "s", asc = false, k = 20)
+      val den = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rk"))
+      SimilarityOps.rrfFuse(
+        Seq(lex.select(col("doc_id"), col("rk")), den),
+        keys = Nil, idCol = "doc_id", rankCol = "rk", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    },
+
     // ---------------------------------------------------------------- persisted dedup ledger
     // incremental-ingest exact dedup AT REST (d38's cross-dedup shape
     // made durable): a parquet digest store of everything ever admitted;

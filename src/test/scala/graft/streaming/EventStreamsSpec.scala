@@ -298,6 +298,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination: per-microbatch scoring equals the batch pass") {
+    import spark.implicits._
+    // the streaming face of d49: contamination is per-document against
+    // a FIXED broadcast benchmark, so scoring a stream is the same
+    // operator applied per micro-batch (each document lives in exactly
+    // one batch — no cross-batch state)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val out = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])](
+      spark)
+    val q = stream.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= graft.operators.CurationOps.semanticDecontamination(
+            batch, "vec_id", "embedding", bench, "vec_id", "embedding", 0.3)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(rows.take(200).toSeq); q.processAllAvailable()
+      stream.addData(rows.drop(200).toSeq); q.processAllAvailable()
+      val batchResult = graft.operators.CurationOps.semanticDecontamination(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out.toSet == batchResult && batchResult.nonEmpty,
+        s"stream=${out.size} batch=${batchResult.size}")
+    } finally q.stop()
+  }
+
   test("streaming stats-ledger maintenance: per-microbatch merges equal the batch recompute") {
     import spark.implicits._
     // the streaming face of d41: each micro-batch folds its delta into
