@@ -182,6 +182,30 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
   }
 
+  test("manifest mode: a reader bound BEFORE an advance still reads its generation (snapshot isolation)") {
+    val local = tmp("graft-snap") + "/ledger"
+    val path = "nonatomic://" + local
+    val seed = Seq(("s1", "a b")).toDF("source", "text")
+    CurationOps.writeStatsLedger(seed, "source", "text", path)
+    LedgerGuard.convertToManifested(spark, path)
+    // bind NOW (resolves the manifest to the current generation and
+    // lists its immutable files at plan time)...
+    val bound = LedgerGuard.readLedger(spark, path)
+    // ...then a writer commits a new generation before the action runs.
+    // Plain mode's documented failure here is FileNotFound (the swap
+    // retired the directory under the plan); manifest mode keeps the
+    // previous generation on disk (keep-2), so the action succeeds AND
+    // returns the snapshot the reader bound.
+    CurationOps.advanceStatsLedger(
+      Seq(("s2", "c d e")).toDF("source", "text"), "source", "text", path)
+    val snap = bound.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap == Map("s1" -> 1L), s"stale reader saw $snap")
+    // a FRESH bind sees the advanced generation
+    val now = LedgerGuard.readLedger(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(now == Map("s1" -> 1L, "s2" -> 1L), now.toString)
+  }
+
   test("conversion is idempotent and a second writer's lease still fails fast") {
     val local = tmp("graft-m-lock") + "/ledger"
     val path = "nonatomic://" + local
