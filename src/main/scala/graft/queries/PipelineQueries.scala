@@ -338,6 +338,37 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- length winsorization
+    // the outlier-trimming curation stage: per-source EXACT p05/p95 of
+    // token counts (the distributed histogram-selection plan — the SQL
+    // a user would write routes onto it via the optimizer rule; here
+    // the operator form), broadcast back onto the corpus, every doc
+    // tagged and clipped. Composition proof: the percentile machinery
+    // feeding a pipeline stage, not just a report.
+    q("d51_length_winsorize",
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($sqlTokens) AS DOUBLE) AS n_tok FROM documents),
+         |qs AS (SELECT source,
+         |  quantile_cont(n_tok, 0.05) AS lo, quantile_cont(n_tok, 0.95) AS hi
+         |  FROM t GROUP BY source)
+         |SELECT doc_id, t.source, CAST(n_tok AS BIGINT) AS n_tok,
+         |  round(least(greatest(n_tok, lo), hi), 4) AS clipped,
+         |  CAST(CASE WHEN n_tok < lo OR n_tok > hi THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+         |FROM t JOIN qs ON t.source = qs.source
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PercentileOps
+      val t = table(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
+      val qs = PercentileOps.exactQuantilesSelect(t, Seq("source"), Seq(
+        ("n_tok", col("n_tok"), Seq(("lo", 0.05, false), ("hi", 0.95, false)))))
+      t.join(broadcast(qs), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
+          Qf.dround(least(greatest(col("n_tok"), col("lo")), col("hi")), 4).as("clipped"),
+          (col("n_tok") < col("lo") || col("n_tok") > col("hi"))
+            .cast("int").as("is_outlier"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- hybrid retrieval (RRF)
     // the standard lexical+dense hybrid: BM25 top-20 (d25's scorer)
     // and cosine top-20 for one dense query vector, fused by
