@@ -338,6 +338,38 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- per-domain crawl cap
+    // C4-style per-host contribution cap: crawl pipelines bound how
+    // many documents one domain may contribute (boilerplate farms
+    // otherwise dominate). The host key comes from PARSING the URL
+    // (TextOps.urlHost — the same shared parser as the d47 canonical
+    // key), and the cap is the bounded-heap per-key top-k (first N by
+    // doc id, deterministic), NOT a row_number window — a mega-domain
+    // streams through ≤N-element partial buffers instead of sorting
+    // its whole partition. The fixture synthesizes 5 hosts from
+    // doc_id, same m03/d47 generator pattern.
+    q("d52_domain_cap",
+      """WITH u AS (SELECT doc_id,
+        |  lower('WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM') AS host
+        |  FROM documents),
+        |r AS (SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER) AS rk
+        |  FROM u)
+        |SELECT host, doc_id, rk FROM r WHERE rk <= 30
+        |ORDER BY host, rk""".stripMargin) { (s, dir) =>
+      import graft.operators.{SimilarityOps, TextOps}
+      val url = concat(lit("HTTPS://"), lit("WWW.Site"), (col("doc_id") % 5).cast("string"),
+        lit(".Example.COM"), lit("/Dir"), (col("doc_id") % 7).cast("string"))
+      val hosts = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.urlHost(url).as("host"))
+      SimilarityOps.perKeyTopK(
+        hosts.withColumn("__ord", col("doc_id").cast("double")),
+        keys = Seq("host"), idCol = "doc_id", scoreCol = "__ord",
+        asc = true, k = 30)
+        .select(col("host"), col("doc_id"), col("rk"))
+        .orderBy("host", "rk")
+    },
+
     // ---------------------------------------------------------------- length winsorization
     // the outlier-trimming curation stage: per-source EXACT p05/p95 of
     // token counts (the distributed histogram-selection plan — the SQL
