@@ -109,9 +109,13 @@ object Bench {
     // The driver keeps only the final 2000 chars of output, so the metrics
     // line must stay well under that budget; f3 is only used for the total.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    // per-query values at 2 decimals (10 ms resolution — full precision is
-    // in bench_full.json); one char per query keeps 160+ queries under 1.8 KB
-    def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // per-query values at 2 decimals (10 ms resolution — full precision
+    // is in bench_full.json) with trailing zeros stripped ("0.40"→"0.4",
+    // "1.00"→"1": ~1 char × half the inventory) — the line must stay
+    // inside the driver's 2000-char output tail as the inventory grows
+    def f2(v: Double): String =
+      if (v < 0) "-1"
+      else f"$v%.2f".replaceAll("0+$", "").replaceAll("\\.$", "")
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
       .mkString("{", ",", "}")
