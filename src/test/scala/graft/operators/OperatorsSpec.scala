@@ -574,7 +574,9 @@ class OperatorsSpec extends AnyFunSuite {
     // mirror of the d47 oracle at property scale: the URL is ASSEMBLED
     // from known components, the reference canonical is BUILT from
     // them, and the column function must recover it by parsing alone
-    val schemes = Gen.oneOf("http", "HTTPS", "HtTp", "ftp")
+    // "" = schemeless crawl garbage: assembled WITHOUT "://" and the
+    // canonical is the raw input VERBATIM (pass-through policy)
+    val schemes = Gen.oneOf("http", "HTTPS", "HtTp", "ftp", "")
     val users = Gen.oneOf("", "u@", "alice:pw@")
     val hosts = Gen.oneOf("Ex.COM", "WWW.site5.org", "[2001:DB8::1]", "localhost")
     val ports = Gen.oneOf("", ":80", ":443", ":8080", ":0080", ":00443", ":8080x")
@@ -621,10 +623,12 @@ class OperatorsSpec extends AnyFunSuite {
     } yield (s, u, h, p, pa, q, f)
     val prop = Prop.forAll(gen) { case (s, u, h, p, pa, q, f) =>
       val qs = if (q.isEmpty) "" else "?" + q.mkString("&")
-      val url = s + "://" + u + h + p + pa + qs + f
+      val url =
+        if (s.isEmpty) u + h + p + pa + qs + f // schemeless: no "://"
+        else s + "://" + u + h + p + pa + qs + f
       val got = Seq(url).toDF("u")
         .select(TextOps.canonicalUrl(col("u"))).collect().head.getString(0)
-      val want = refCanonical(s, h, p, pa, q)
+      val want = if (s.isEmpty) url else refCanonical(s, h, p, pa, q)
       if (got != want) println(s"URL $url: got $got want $want")
       got == want
     }
