@@ -803,4 +803,112 @@ object DedupOps {
           .when(col("__od") =!= col("__nd"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  // ------------------------------------------------------------------
+  // Duplicated-SPAN detection (ExactSubstr dedup) — Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better": the
+  // unit of duplication is a SUBSTRING at an arbitrary offset, not the
+  // whole document (press-release boilerplate, quoted licenses, shared
+  // headers survive every whole-doc and chunk-aligned pass). The paper
+  // builds a corpus-wide suffix array; the scalable distributed
+  // equivalent is OVERLAPPING k-token window fingerprints: a span
+  // duplicated at any alignment contains every one of its k-windows,
+  // so window-hash recurrence ≡ substring recurrence (≥ k tokens), and
+  // a suffix array never has to exist. The shuffle carries (hash32,
+  // id, pos) — 16 bytes per token — never text; recurrence detection
+  // is a partial-aggregatable count per hash; per-doc span assembly is
+  // a collect_list bounded by document length. All linear at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** (id, pos, h) for every overlapping k-token window of `textCol`,
+    * pos = 0-based index of the window's first token. One fused codegen
+    * kernel ([[graft.functions.NgramUtil.wordGramMd5s]]) — no
+    * intermediate gram strings materialize.
+    */
+  private def windowGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.NgramExpressions.wordGramMd5s(col(textCol), k)))
+      .toDF(idCol, "pos", "h")
+
+  /** Fold a SORTED array of duplicated-window start positions into
+    * maximal spans `struct<s, e, nw>`: token range [s, e), nw = number
+    * of duplicated windows merged. Windows [p, p+k) chain while the
+    * next start is ≤ the running end (overlap or exact adjacency —
+    * the same `pos - lag(pos) <= k` gaps-and-islands rule a SQL user
+    * would write). Runs as a single higher-order `aggregate` over the
+    * per-doc array — no second shuffle to assemble spans.
+    */
+  private def mergeWindowSpans(sortedPos: Column, k: Int): Column = {
+    val empty = array().cast("array<struct<s:int,e:int,nw:bigint>>")
+    aggregate(sortedPos, empty, (acc, p) => {
+      val last = element_at(acc, -1)
+      val opened = concat(acc, array(struct(
+        p.cast("int").as("s"), (p + k).cast("int").as("e"), lit(1L).as("nw"))))
+      val extended = concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+        last.getField("s").as("s"), (p + k).cast("int").as("e"),
+        (last.getField("nw") + 1L).as("nw"))))
+      when(size(acc) === 0 || p > last.getField("e"), opened).otherwise(extended)
+    })
+  }
+
+  /** Maximal duplicated spans per document: one row per span of ≥ k
+    * consecutive tokens whose every k-token window recurs (≥
+    * `minOccurrences` occurrences corpus-wide, self included). Output
+    * `(id, span_start, span_end, n_windows)` — token indices, end
+    * exclusive. Docs with no duplicated window emit nothing.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1, "window width must be >= 1")
+    val grams = windowGrams(df, idCol, textCol, k)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences).select(col("h"))
+    val wins = grams.join(dup, Seq("h"), "left_semi")
+    wins.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col(idCol), explode(mergeWindowSpans(col("__ps"), k)).as("__sp"))
+      .select(col(idCol), col("__sp.s").as("span_start"),
+        col("__sp.e").as("span_end"), col("__sp.nw").as("n_windows"))
+  }
+
+  /** ExactSubstr SCRUB: remove every duplicated span from every copy
+    * EXCEPT the canonical one, so exactly one occurrence of each
+    * duplicated substring survives the corpus (the paper's dedup
+    * policy, vs. [[duplicatedSpans]]' report). Canonical occurrence
+    * per window hash = the (id, pos)-minimal one, computed as a
+    * partial-aggregatable `min(struct(id, pos))` per hash — NOT a
+    * row_number window, so a boilerplate string pasted into a million
+    * documents is a hot REDUCE key, never a million-row partition
+    * sort. Returns one row per input doc: `(id, clean_text,
+    * n_removed)`; untouched docs round-trip `trim(text)` verbatim
+    * (tokens are space-rejoined, and split-on-single-space keeps empty
+    * tokens, so reassembly is exact).
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1, "window width must be >= 1")
+    val id = col(idCol)
+    val grams = windowGrams(df, idCol, textCol, k)
+    val stats = grams.groupBy(col("h")).agg(
+      count(lit(1)).as("__cnt"), min(struct(id, col("pos"))).as("__canon"))
+    val scrubWins = grams
+      .join(stats.filter(col("__cnt") >= minOccurrences), Seq("h"))
+      .filter(!(id === col("__canon").getField(idCol) &&
+        col("pos") === col("__canon").getField("pos")))
+      .select(id, col("pos"))
+    val spans = scrubWins.groupBy(id)
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(id, mergeWindowSpans(col("__ps"), k).as("__spans"))
+    val toks = split(trim(col(textCol)), " ")
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:int,e:int,nw:bigint>>")))
+      .select(id,
+        array_join(filter(toks, (_, i) => !exists(col("__spans"),
+          sp => i >= sp.getField("s") && i < sp.getField("e"))), " ")
+          .as("clean_text"),
+        aggregate(col("__spans"), lit(0L),
+          (a, sp) => a + (sp.getField("e") - sp.getField("s"))).as("n_removed"))
+  }
 }

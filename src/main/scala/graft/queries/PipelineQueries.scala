@@ -338,6 +338,80 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- duplicated-span detection
+    // ExactSubstr dedup (Lee et al. 2022) — duplication at ARBITRARY
+    // offsets, which whole-doc digests and chunk-aligned passage dedup
+    // both miss. Overlapping k-token window hashes stand in for the
+    // paper's suffix array (window recurrence ≡ substring recurrence
+    // ≥ k tokens); recurring windows merge into maximal spans via the
+    // same gaps-and-islands rule the oracle writes with lag()/sum().
+    // k = 4 on the synthetic corpus yields 643 spans with genuine
+    // multi-window merging; real deployments use k ≈ 50.
+    q("d53_dup_spans", {
+      val kk = 4
+      s"""WITH gl AS (SELECT doc_id, list_transform(
+         |    ${sqlNgrams("(" + sqlTokens + ")", kk)}, x -> ${sqlHash("x", "")}) AS hs
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos FROM gl),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |w AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) <= $kk THEN 0 ELSE 1 END AS brk
+         |  FROM w),
+         |isl AS (SELECT doc_id, pos, sum(brk)
+         |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(pos) + $kk AS INTEGER) AS span_end, count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.duplicatedSpans(table(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---------------------------------------------------------------- duplicated-span scrub
+    // the paper's dedup POLICY over d53's report: every duplicated
+    // span is cut from every copy except the (id, pos)-minimal
+    // canonical one, so exactly one occurrence of each duplicated
+    // substring survives. Canonical selection is a partial-agg
+    // min(struct(id, pos)) per hash — a boilerplate string in a
+    // million docs is a hot reduce key, never a million-row window
+    // sort. Untouched docs round-trip trim(text) exactly (split on
+    // single space keeps empty tokens, so rejoin is lossless).
+    q("d54_dup_span_scrub", {
+      val kk = 4
+      s"""WITH toks AS (SELECT doc_id, ($sqlTokens) AS t FROM documents),
+         |gl AS (SELECT doc_id, list_transform(
+         |    ${sqlNgrams("t", kk)}, x -> ${sqlHash("x", "")}) AS hs FROM toks),
+         |g AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos FROM gl),
+         |hm AS (SELECT h, count(*) AS cnt, min(doc_id) AS mdoc FROM g GROUP BY h),
+         |hm2 AS (SELECT g.h, hm.cnt, hm.mdoc, min(g.pos) AS mpos
+         |  FROM g JOIN hm ON g.h = hm.h AND g.doc_id = hm.mdoc GROUP BY 1, 2, 3),
+         |scrub AS (SELECT g.doc_id, g.pos FROM g JOIN hm2 ON g.h = hm2.h
+         |  WHERE hm2.cnt >= 2 AND NOT (g.doc_id = hm2.mdoc AND g.pos = hm2.mpos)),
+         |m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) <= $kk THEN 0 ELSE 1 END AS brk
+         |  FROM scrub),
+         |isl AS (SELECT doc_id, pos, sum(brk)
+         |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $kk AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS pos FROM toks),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tk FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+         |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len($sqlTokens) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.scrubDuplicatedSpans(table(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- per-domain crawl cap
     // C4-style per-host contribution cap: crawl pipelines bound how
     // many documents one domain may contribute (boilerplate farms

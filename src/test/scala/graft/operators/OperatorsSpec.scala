@@ -1051,4 +1051,56 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().sortBy(_._2).toSeq
     assert(frames == Seq((1L, 0, "0123"), (1L, 1, "89ab")))
   }
+
+  test("duplicatedSpans merges overlapping recurring windows into maximal spans") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),   // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),   // same 5-token substring at offset 2
+      (3L, "p q r s t u"))       // no recurrence
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // two 4-windows each ("a b c d", "b c d e") merge into one span
+    assert(got == Set((1L, 0, 5, 2L), (2L, 2, 7, 2L)))
+  }
+
+  test("duplicatedSpans chains WITHIN-doc repetition through adjacency") {
+    val df = Seq((4L, "m n o p m n o p m n o p")).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // every one of the 9 windows recurs (period-4 text) → one maximal span
+    assert(got == Seq((4L, 0, 12, 9L)))
+  }
+
+  test("scrubDuplicatedSpans keeps exactly the canonical copy of each span") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.scrubDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f g h", 0L), // (id,pos)-minimal copy survives intact
+      (2L, "x y z", 5L),           // the other copy loses the span
+      (3L, "p q r s t u", 0L)))
+  }
+
+  test("scrubDuplicatedSpans leaves one period of self-repeating text") {
+    val df = Seq((4L, "m n o p m n o p m n o p")).toDF("doc_id", "text")
+    val got = DedupOps.scrubDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, String, Long)].collect().toSeq
+    // canonical windows are pos 0-3 (first occurrence of each distinct
+    // hash); the non-canonical tail [4, 12) is cut
+    assert(got == Seq((4L, "m n o p", 8L)))
+  }
+
+  test("scrubDuplicatedSpans round-trips untouched docs exactly, incl. empty tokens") {
+    val df = Seq((1L, "  a  b c  "), (2L, "")).toDF("doc_id", "text")
+    val got = DedupOps.scrubDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // split-on-single-space keeps the empty tokens of "a  b" so rejoin
+    // reproduces trim(text) byte-for-byte
+    assert(got == Seq((1L, "a  b c", 0L), (2L, "", 0L)))
+  }
 }
