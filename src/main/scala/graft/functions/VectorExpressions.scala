@@ -343,6 +343,119 @@ final case class ByteHistogram(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Shared runtime for the int8 scalar-quantization kernels — a named
+  * object so codegen can call it by a stable JVM path.
+  */
+object VecQuantUtil {
+  /** Symmetric per-vector int8 quantization of `array<float>`:
+    * `scale = maxAbs / 127` (0 for the all-zero vector), `q_i =
+    * round(x_i / scale)` — every code is in [-127, 127], so `-q` never
+    * overflows and the codebook is sign-symmetric (the faiss `SQ8`
+    * convention). Returns `struct<q: binary, scale: double>`; the
+    * original value is `q_i * scale` to within half a step, and
+    * `dot(a, b) ≈ dotI8(qa, qb) * scale_a * scale_b`.
+    */
+  def quantizeI8(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.round(v.getFloat(i) / scale).toByte // |x|<=maxAbs ⇒ code in [-127,127]
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](q, scale))
+  }
+
+  /** Integer dot product of two int8 code vectors (common prefix). */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `quantize_i8(vec)` → `struct<q: binary, scale: double>` — see
+  * [[VecQuantUtil.quantizeI8]]. The 4×-smaller at-rest form of an
+  * embedding column: 64 code bytes + one double per vector instead of
+  * 256 float bytes.
+  */
+final case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.BinaryType, nullable = false),
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecTypeChecks.arrayOf(child.dataType, FloatType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be array<float>, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    VecQuantUtil.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecQuantUtil.quantizeI8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `dot_i8(a, b)` → BIGINT — fused integer dot product of two int8 code
+  * vectors (binary columns). Exact integer arithmetic: 64-dim worst case
+  * is 64·127² ≈ 2^20, nowhere near overflow. Same common-prefix contract
+  * as [[DotProductF]].
+  */
+final case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bt = org.apache.spark.sql.types.BinaryType
+    if (left.dataType != bt)
+      TypeCheckResult.TypeCheckFailure(s"left must be binary, got ${left.dataType}")
+    else if (right.dataType != bt)
+      TypeCheckResult.TypeCheckFailure(s"right must be binary, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecQuantUtil.dotI8(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlShims
 
@@ -369,6 +482,14 @@ object VectorExpressions {
   /** Bucketed byte histogram of a binary column (codegen'd, one pass). */
   def byteHistogram(bin: Column, buckets: Int): Column =
     GraftSqlShims.column(ByteHistogram(GraftSqlShims.expression(bin), buckets))
+
+  /** Symmetric int8 scalar quantization → `struct<q binary, scale double>`. */
+  def quantizeI8(vec: Column): Column =
+    GraftSqlShims.column(QuantizeI8(GraftSqlShims.expression(vec)))
+
+  /** Fused integer dot product of two int8 code vectors (codegen'd). */
+  def dotI8(a: Column, b: Column): Column =
+    GraftSqlShims.column(DotI8(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
   /** Register SQL forms: `dot_f(a,b)`, `dot_fd(a,b)`, `intersect_count_s(a,b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -168,6 +168,52 @@ object SimilarityOps {
     perKeyTopK(scored, "dist", asc = true, k)
   }
 
+  /** Int8 scalar-quantized top-k (the faiss `SQ8` regime): rank by the
+    * integer dot product of symmetric per-vector int8 codes
+    * ([[graft.functions.VecQuantUtil.quantizeI8]] — scales cancel in
+    * cosine, so the approximate score needs ONLY the 64 code bytes per
+    * vector, 4× smaller than the float column), keep `k ·
+    * rerankFactor` candidates per query through the bounded heap, then
+    * re-rank exactly on the float vectors and cut to `k`. Same output
+    * shape as [[bruteForceTopK]].
+    *
+    * Scale shape: the approx pass streams the corpus ONCE against
+    * broadcast query codes — at rest, store `quantizeI8(vec)` next to
+    * (or instead of) the float column and the scan reads a quarter of
+    * the bytes, which is the entire point of SQ8 at 100 TB. The exact
+    * re-rank touches only the candidate set (queries × k·rerankFactor
+    * rows, model-sized): the candidate ids broadcast back against the
+    * corpus, so the second pass is a broadcast-semi-join fetch, never
+    * a shuffle. Recall is gated in AccuracySpec (int8 + 4× re-rank on
+    * 64-dim embeddings recovers the exact top-k almost always).
+    */
+  def quantizedTopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String, k: Int,
+      rerankFactor: Int = 4, scoreDecimals: Int = 6): DataFrame = {
+    import graft.functions.VectorExpressions.{dotI8, quantizeI8}
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    def codes(df: DataFrame, id: String, vec: String, as: String,
+        qAs: String, nAs: String) =
+      df.select(col(id).as(as), quantizeI8(col(vec)).getField("q").as(qAs))
+        .withColumn(nAs, sqrt(dotI8(col(qAs), col(qAs)).cast("double")))
+    val qc = codes(queries, qId, qVec, "query_id", "__qq", "__qn")
+    val cc = codes(candidates, cId, cVec, "neighbor_id", "__cq", "__cn")
+    val approx = broadcast(qc)
+      .join(cc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotI8(col("__qq"), col("__cq")).cast("double") /
+          (col("__qn") * col("__cn"))).as("__approx"))
+    val cand = perKeyTopK(approx, "__approx", asc = false, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    perKeyTopK(rer, "score", asc = false, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * reproducible from (plane, dim) alone so any engine can re-derive them.
     */

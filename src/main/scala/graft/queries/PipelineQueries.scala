@@ -933,6 +933,21 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- int8 scalar-quantized search
+    // the faiss-SQ8 regime: approximate ranking on 4×-smaller int8
+    // codes (integer dot products, scales cancel in cosine), 4k
+    // candidates per query, exact float re-rank. Quantization is
+    // engine-specific → rows-only; the AccuracySpec gate bounds
+    // recall vs brute force and pins score parity on common pairs
+    // (proving the re-rank is the exact cosine).
+    q("s13_sq8_topk", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.quantizedTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- multimodal plumbing
     q("m01_multimodal_meta",
       """SELECT doc_id,

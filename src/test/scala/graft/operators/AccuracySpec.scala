@@ -35,6 +35,26 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"IVF recall@5 = $recall%.3f < 0.6 (nprobe=3/8)")
   }
 
+  test("s13 gate: int8 SQ8 + exact re-rank recall@5 ≥ 0.9 and score parity at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sq = pairs(SimilarityOps.quantizedTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5))
+    val brute = pairs(SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5))
+    val common = sq.keySet.intersect(brute.keySet)
+    val recall = common.size.toDouble / brute.size
+    assert(recall >= 0.9, f"SQ8 recall@5 = $recall%.3f < 0.9 (rerankFactor=4)")
+    // the re-rank is the EXACT rounded cosine: every pair both methods
+    // return must carry an identical score
+    common.foreach { p =>
+      assert(sq(p) == brute(p), s"score drift on $p: ${sq(p)} vs ${brute(p)}")
+    }
+  }
+
   test("s07 gate: PQ+rerank ANN recall@5 vs brute force ≥ 0.7 at sf0.01") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)

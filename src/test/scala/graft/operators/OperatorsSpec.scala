@@ -1052,6 +1052,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames == Seq((1L, 0, "0123"), (1L, 1, "89ab")))
   }
 
+  test("quantizeI8 bounds reconstruction error at half a step; dotI8 matches boxed arithmetic") {
+    import graft.functions.VectorExpressions.{dotI8, quantizeI8}
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+      (2L, Array(-0.1f, 0.0f, 1.5f, -2.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: scale 0, codes 0
+      .toDF("id", "v")
+    val rows = vecs.select(col("id"), col("v"),
+        quantizeI8(col("v")).as("sq"))
+      .select(col("id"), col("v"), col("sq.q"), col("sq.scale"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val q = r.getAs[Array[Byte]](2)
+      val scale = r.getDouble(3)
+      assert(q.length == v.length)
+      if (v.forall(_ == 0f)) assert(scale == 0.0 && q.forall(_ == 0))
+      else v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"code $c * $scale too far from $x")
+        assert(c >= -127 && c <= 127)
+      }
+    }
+    // integer dot product parity with boxed arithmetic on the codes
+    val a = Array[Byte](1, -2, 127, -127)
+    val b = Array[Byte](3, 4, -1, -1)
+    val expected = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(dotI8(col("a"), col("b"))).as[Long].head()
+    assert(got == expected)
+  }
+
   test("duplicatedSpans merges overlapping recurring windows into maximal spans") {
     val df = Seq(
       (1L, "a b c d e f g h"),   // shares "a b c d e" with doc 2
