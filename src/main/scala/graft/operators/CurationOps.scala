@@ -133,6 +133,40 @@ object CurationOps {
       .filter(col("max_cos") >= threshold)
   }
 
+  /** ANN-prefiltered [[semanticDecontamination]] — the documented scale
+    * path made real, for benchmark suites too large to broadcast: the
+    * bench set is coarse-quantized once (IVF cells, model-sized
+    * centroid literal), each corpus document probes only its `nprobe`
+    * nearest cells, and the exact rounded cosine + threshold + arg-max
+    * run over those candidates with the identical contract as the
+    * brute-force form. Both sides join on the CELL key — the bench
+    * side is cell-partitioned at rest, the corpus side shuffles one
+    * (id, vec, cell) row per probe — so nothing ever materializes the
+    * corpus × bench pair set AND nothing broadcasts the bench.
+    *
+    * Recall: a contaminated pair is missed only when the matching
+    * bench vector lies outside the document's `nprobe` nearest cells —
+    * bounded in AccuracySpec against the exact form (precision is 1 by
+    * construction: every emitted pair carries its exact cosine).
+    */
+  def semanticDecontaminationIvf(corpus: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchIdCol: String,
+      benchVecCol: String, threshold: Double, model: IvfIndex.Model,
+      nprobe: Int): DataFrame = {
+    val b = bench.select(col(benchIdCol).as("__bid"), col(benchVecCol).as("__bv"),
+      IvfIndex.assignCluster(col(benchVecCol), model).as("__cell"))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      explode(IvfIndex.assignClusters(col(vecCol), model, nprobe)).as("__cell"))
+    c.join(b, Seq("__cell"))
+      .select(col(idCol), col("__bid"),
+        graft.queries.Qf.dround(
+          SimilarityOps.cosine(col("__cv"), col("__bv")), 6).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos").as("c"), (-col("__bid")).as("nb"))).as("__m"))
+      .select(col(idCol), (-col("__m.nb")).as("bench_id"), col("__m.c").as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
+
   /** BM25 keyword scoring: per-document score over a fixed term set.
     * Classic Robertson/Sparck-Jones idf `ln((N−df+0.5)/(df+0.5) + 1)`
     * with k1/b term saturation. The per-term document frequencies and
@@ -378,6 +412,49 @@ object CurationOps {
       .groupBy(id)
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         avg(col("__nll")).as("avg_nll_raw"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like it is, `log w(x) = Σ_f count_f(x) ·
+    * (ln p̂_target(f) − ln p̂_raw(f))`, over HASHED n-gram features
+    * (unigrams + bigrams folded into `buckets` slots — the paper's
+    * trick that makes both "LMs" a pair of fixed-size count tables
+    * instead of open vocabularies). Laplace add-1 smoothing over the
+    * bucket space on both sides, so unseen buckets are defined and the
+    * ratio is bounded. Downstream, sample ∝ exp(log_weight) (Gumbel
+    * top-k) to select target-like training data.
+    *
+    * Scale shape: the feature stream reuses the fused overlapping-gram
+    * kernel (one pass, no gram strings); both count tables are ≤
+    * `buckets` rows — MODEL-sized, so the log-ratio table broadcasts
+    * and the corpus-side join is map-side; the per-doc sum is a
+    * map-side-combining aggregate. Nothing shuffles but (bucket,
+    * count) partials and one row per document.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024, logDecimals: Int = 4): DataFrame = {
+    import graft.functions.NgramExpressions.wordGramMd5s
+    val id = col(idCol)
+    def feats(df: DataFrame) = df.select(id,
+        explode(concat(wordGramMd5s(col(textCol), 1), wordGramMd5s(col(textCol), 2)))
+          .as("__h"))
+      .select(id, (col("__h") % buckets).as("__f")) // md5-32 ≥ 0, % stays ≥ 0
+    val tf = feats(target).groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    val rf = feats(raw).groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
+    val tTot = tf.agg(sum(col("__ct")).cast("double").as("__tt"))
+    val rTot = rf.agg(sum(col("__cr")).cast("double").as("__rt"))
+    // association mirrors the oracle SQL exactly (floats are not
+    // associative): ln(ct+1) - ln(tt+B) - ln(cr+1) + ln(rt+B)
+    val lr = tf.join(rf, Seq("__f"), "full_outer")
+      .na.fill(0L, Seq("__ct", "__cr"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__f"),
+        (log(col("__ct") + 1.0) - log(col("__tt") + buckets)
+          - log(col("__cr") + 1.0) + log(col("__rt") + buckets)).as("__lr"))
+    feats(raw).join(broadcast(lr), Seq("__f"))
+      .groupBy(id)
+      .agg(graft.queries.Qf.dround(sum(col("__lr")), logDecimals).as("log_weight"))
   }
 
   /** Context-window packing: assign documents to fixed-token-budget bins

@@ -338,6 +338,59 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---------------------------------------------------------------- ANN-prefiltered semantic decon
+    // d49's scale path as real code: bench coarse-quantized into IVF
+    // cells, corpus probes its nprobe nearest cells, exact rescore on
+    // the candidates — no bench broadcast, no corpus × bench pair set.
+    // Model-dependent → rows-only; the AccuracySpec gate pins
+    // precision 1 (subset of exact) and recall ≥ 0.8 (measured 1.0).
+    q("d49b_semantic_decon_ivf", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+      val model = cachedModel(s, s"ivf-bench:k8:i3:$dir")(
+        IvfIndex.train(bench, "embedding", k = 8, iters = 3))
+      graft.operators.CurationOps.semanticDecontaminationIvf(
+        emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.3, model, nprobe = 3)
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- DSIR importance weighting
+    // Xie et al. 2023: rank raw documents by target-likeness via the
+    // hashed-n-gram likelihood ratio between a target slice (the
+    // deterministic doc_id % 97 holdout, as in d24/d49) and the raw
+    // corpus. Both "LMs" are 1024-bucket count tables — model-sized
+    // broadcasts; the corpus streams once per side through the fused
+    // gram kernel. ln-ratio association is pinned to the oracle's
+    // expression tree.
+    q("d55_dsir_weights", {
+      val b = 1024
+      s"""WITH tok AS (SELECT doc_id, ($sqlTokens) AS t FROM documents),
+         |f AS (SELECT doc_id, h % $b AS f FROM (
+         |  SELECT doc_id, unnest(list_concat(
+         |    list_transform(t, x -> ${sqlHash("x", "")}),
+         |    list_transform(${sqlNgrams("t", 2)}, x -> ${sqlHash("x", "")}))) AS h
+         |  FROM tok)),
+         |tf AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 97 = 0 GROUP BY f),
+         |rf AS (SELECT f, count(*) AS cr FROM f WHERE doc_id % 97 <> 0 GROUP BY f),
+         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tf),
+         |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt FROM rf),
+         |lr AS (SELECT f,
+         |    ln(coalesce(ct, 0) + 1.0) - ln(tt + $b)
+         |      - ln(coalesce(cr, 0) + 1.0) + ln(rt + $b) AS lr
+         |  FROM tf FULL JOIN rf USING (f), tt, rt)
+         |SELECT doc_id, round(sum(lr), 4) AS log_weight
+         |FROM f JOIN lr USING (f) WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.operators.CurationOps.dsirLogWeights(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- duplicated-span detection
     // ExactSubstr dedup (Lee et al. 2022) — duplication at ARBITRARY
     // offsets, which whole-doc digests and chunk-aligned passage dedup

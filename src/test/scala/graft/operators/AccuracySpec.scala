@@ -35,6 +35,25 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"IVF recall@5 = $recall%.3f < 0.6 (nprobe=3/8)")
   }
 
+  test("d49b gate: IVF-prefiltered semantic decon — precision 1 vs exact, recall bounded at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val exact = CurationOps.semanticDecontamination(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val model = IvfIndex.train(bench, "embedding", k = 8, iters = 3)
+    val ann = CurationOps.semanticDecontaminationIvf(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 0.3, model, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // precision 1: every ANN-flagged doc carries an exact cosine ≥ τ,
+    // so it must also be flagged by the brute-force form
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact).take(5)}")
+    val recall = if (exact.isEmpty) 1.0 else ann.size.toDouble / exact.size
+    info(f"d49b recall = $recall%.3f (${ann.size}/${exact.size}, nprobe=3/8)")
+    assert(recall >= 0.8, f"IVF-prefilter recall = $recall%.3f < 0.8 (nprobe=3/8)")
+  }
+
   test("s13 gate: int8 SQ8 + exact re-rank recall@5 ≥ 0.9 and score parity at sf0.01") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
