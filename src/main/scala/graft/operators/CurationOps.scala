@@ -457,6 +457,28 @@ object CurationOps {
       .agg(graft.queries.Qf.dround(sum(col("__lr")), logDecimals).as("log_weight"))
   }
 
+  /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
+    * over [[dsirLogWeights]]: sampling n documents WITHOUT replacement
+    * with probability ∝ exp(log_weight) is exactly "take the top n by
+    * `log_weight + Gumbel(0,1) noise`" (the Gumbel-max trick), which
+    * distributes as a bounded-heap top-n instead of a sequential
+    * sampler. The noise is DETERMINISTIC — `g = −ln(−ln(u))`,
+    * `u = (md5₃₂(id‖salt)+0.5)/2³²` — so retries, both engines, and
+    * any partitioning draw the same sample; vary `salt` for a fresh
+    * draw. Output: `(id, log_weight, gumbel_key)`, top n by rounded
+    * key with the id tie-break.
+    */
+  def gumbelTopK(weighted: DataFrame, idCol: String, logWeightCol: String,
+      n: Int, salt: String = "dsir", decimals: Int = 4): DataFrame = {
+    val u = (DedupOps.md5Hash32(col(idCol).cast("string"), salt).cast("double")
+      + 0.5) / lit(4294967296.0)
+    val key = col(logWeightCol) - log(-log(u))
+    weighted.select(col(idCol), col(logWeightCol),
+        graft.queries.Qf.dround(key, decimals).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol)) // TakeOrdered heap, no global sort
+      .limit(n)
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

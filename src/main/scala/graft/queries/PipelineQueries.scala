@@ -40,6 +40,29 @@ object PipelineQueries {
   private def sqlNgrams(t: String, n: Int) =
     s"list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(list_slice($t, i, i + ${n - 1}), ' '))"
 
+  /** d55/d56's shared DSIR CTE chain: hashed unigram+bigram features
+    * (1024 buckets), add-1-smoothed target/raw count tables, per-bucket
+    * ln likelihood ratio. Association mirrors
+    * `CurationOps.dsirLogWeights` exactly.
+    */
+  private val sqlDsirCtes = {
+    val b = 1024
+    s"""tok AS (SELECT doc_id, ($sqlTokens) AS t FROM documents),
+       |f AS (SELECT doc_id, h % $b AS f FROM (
+       |  SELECT doc_id, unnest(list_concat(
+       |    list_transform(t, x -> ${sqlHash("x", "")}),
+       |    list_transform(${sqlNgrams("t", 2)}, x -> ${sqlHash("x", "")}))) AS h
+       |  FROM tok)),
+       |tf AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 97 = 0 GROUP BY f),
+       |rf AS (SELECT f, count(*) AS cr FROM f WHERE doc_id % 97 <> 0 GROUP BY f),
+       |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tf),
+       |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt FROM rf),
+       |lr AS (SELECT f,
+       |    ln(coalesce(ct, 0) + 1.0) - ln(tt + $b)
+       |      - ln(coalesce(cr, 0) + 1.0) + ln(rt + $b) AS lr
+       |  FROM tf FULL JOIN rf USING (f), tt, rt)""".stripMargin
+  }
+
   private def sqlMinhash(j: Int) = {
     val a = graft.operators.DedupOps.MinHashA(j)
     val b = graft.operators.DedupOps.MinHashB(j)
@@ -363,32 +386,40 @@ object PipelineQueries {
     // broadcasts; the corpus streams once per side through the fused
     // gram kernel. ln-ratio association is pinned to the oracle's
     // expression tree.
-    q("d55_dsir_weights", {
-      val b = 1024
-      s"""WITH tok AS (SELECT doc_id, ($sqlTokens) AS t FROM documents),
-         |f AS (SELECT doc_id, h % $b AS f FROM (
-         |  SELECT doc_id, unnest(list_concat(
-         |    list_transform(t, x -> ${sqlHash("x", "")}),
-         |    list_transform(${sqlNgrams("t", 2)}, x -> ${sqlHash("x", "")}))) AS h
-         |  FROM tok)),
-         |tf AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 97 = 0 GROUP BY f),
-         |rf AS (SELECT f, count(*) AS cr FROM f WHERE doc_id % 97 <> 0 GROUP BY f),
-         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tf),
-         |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt FROM rf),
-         |lr AS (SELECT f,
-         |    ln(coalesce(ct, 0) + 1.0) - ln(tt + $b)
-         |      - ln(coalesce(cr, 0) + 1.0) + ln(rt + $b) AS lr
-         |  FROM tf FULL JOIN rf USING (f), tt, rt)
+    q("d55_dsir_weights",
+      s"""WITH $sqlDsirCtes
          |SELECT doc_id, round(sum(lr), 4) AS log_weight
          |FROM f JOIN lr USING (f) WHERE doc_id % 97 <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
       graft.operators.CurationOps.dsirLogWeights(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", buckets = 1024)
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- DSIR resampling (Gumbel top-k)
+    // the selection step over d55: sample-without-replacement ∝
+    // exp(log_weight) ≡ top-n by log_weight + Gumbel noise (the
+    // Gumbel-max trick) — a bounded-heap top-n, not a sequential
+    // sampler. Noise is deterministic (md5 of id‖salt), so the oracle
+    // redraws the identical sample.
+    q("d56_dsir_resample",
+      s"""WITH $sqlDsirCtes,
+         |w AS (SELECT doc_id, round(sum(lr), 4) AS log_weight
+         |  FROM f JOIN lr USING (f) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+         |SELECT doc_id, log_weight,
+         |  round(log_weight - ln(-ln(
+         |    (${sqlHash("CAST(doc_id AS VARCHAR)", "dsir")} + 0.5) / 4294967296.0)), 4)
+         |    AS gumbel_key
+         |FROM w ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val w = graft.operators.CurationOps.dsirLogWeights(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", buckets = 1024)
+      graft.operators.CurationOps.gumbelTopK(w, "doc_id", "log_weight", n = 100)
     },
 
     // ---------------------------------------------------------------- duplicated-span detection
