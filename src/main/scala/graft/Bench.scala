@@ -109,26 +109,30 @@ object Bench {
     // The driver keeps only the final 2000 chars of output, so the metrics
     // line must stay well under that budget; f3 is only used for the total.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    // per-query values at 2 decimals (10 ms resolution — full precision
-    // is in bench_full.json) with trailing zeros stripped ("0.40"→"0.4",
-    // "1.00"→"1": ~1 char × half the inventory) — the line must stay
-    // inside the driver's 2000-char output tail as the inventory grows
-    def f2(v: Double): String =
+    // per-query values with trailing zeros stripped ("0.40"→"0.4",
+    // "1.00"→"1"); precision is ADAPTIVE — 2 decimals while the line
+    // fits, else 1 (100 ms resolution; full per-pass precision is in
+    // the committed bench_full.json either way) — so inventory growth
+    // degrades resolution instead of truncating the JSON's head
+    def fN(v: Double, nd: Int): String =
       if (v < 0) "-1"
-      else f"$v%.2f".replaceAll("0+$", "").replaceAll("\\.$", "")
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+      else s"%.${nd}f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
     val total = results.map(_._2).filter(_ >= 0).sum
     // basename only: the full fixture path spends ~15 chars of the
     // 2000-char budget saying nothing the basename doesn't
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    def mkLine(nd: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fN(v, nd) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
     // the driver records only the FINAL 2000 chars of output; if the
     // inventory grows the line past that, the JSON's head would be cut —
-    // fail loudly here instead of silently zeroing the round's bench
+    // degrade precision first, and fail loudly when even 1 dp won't fit
+    val line = Iterator(2, 1).map(mkLine).find(_.length <= 1800).getOrElse(mkLine(1))
     if (line.length > 1800)
-      System.err.println(s"[bench] WARNING metrics line ${line.length} chars — nearing the driver's 2000-char tail; shorten keys or drop precision")
+      System.err.println(s"[bench] WARNING metrics line ${line.length} chars even at 1 dp — nearing the driver's 2000-char tail; shorten keys")
     println(line)
     spark.stop()
   }

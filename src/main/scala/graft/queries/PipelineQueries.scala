@@ -40,6 +40,63 @@ object PipelineQueries {
   private def sqlNgrams(t: String, n: Int) =
     s"list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(list_slice($t, i, i + ${n - 1}), ' '))"
 
+  /** d47/d57's shared synthetic-URL fixture (SQL side): scheme-case /
+    * default-port / percent-encoding / tracking-param / fragment
+    * variants synthesized from doc_id, plus the expected canonical —
+    * the oracle's independent re-derivation of
+    * `TextOps.canonicalUrl`'s RFC 3986 rules. Yields `canon(doc_id,
+    * url, canonical, lh)`.
+    */
+  private val sqlUrlFixtureCtes =
+    """u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN ''
+      |         ELSE ['HTTP','https','HtTpS'][CAST(doc_id % 3 AS INTEGER) + 1] END AS scheme,
+      |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' AS host,
+      |    [':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INTEGER) + 1] AS port,
+      |    ['%7Ea', '%41b', '%2fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS enc,
+      |    ['~a', 'Ab', '%2Fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS cenc,
+      |    '/Dir' || CAST(doc_id % 7 AS VARCHAR) || '/page' AS pbase,
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS trail,
+      |    ['?b=%32&utm_source=x&a=%7E1', '?fbclid=abc', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS q,
+      |    ['a=~1&b=2', '', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS cq,
+      |    CASE WHEN doc_id % 2 = 0 THEN '#Sec1' ELSE '' END AS frag
+      |  FROM documents),
+      |raw AS (SELECT doc_id, scheme,
+      |    CASE WHEN scheme = '' THEN host || port || pbase || enc || trail || q || frag
+      |         ELSE scheme || '://' || host || port || pbase || enc || trail || q || frag
+      |    END AS url,
+      |    lower(scheme) AS ls, lower(host) AS lh, port, pbase, cenc, cq FROM u),
+      |canon AS (SELECT doc_id, url, lh,
+      |  CASE WHEN scheme = '' THEN url
+      |       ELSE ls || '://' || lh ||
+      |    CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
+      |         OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
+      |    pbase || cenc ||
+      |    CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+      |  END AS canonical
+      |  FROM raw)""".stripMargin
+
+  /** d47/d57's shared synthetic-URL fixture (Spark side) — same
+    * generator as [[sqlUrlFixtureCtes]]; appends a `url` column.
+    */
+  private def syntheticUrls(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 11 === 0, lit("")).otherwise(
+      element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int")))
+    val host = concat(lit("WWW.Site"), (id % 5).cast("string"), lit(".Example.COM"))
+    val port = element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")), (id % 4 + 1).cast("int"))
+    val enc = element_at(array(lit("%7Ea"), lit("%41b"), lit("%2fc"), lit("")),
+      (floor((id % 16) / 4) + 1).cast("int"))
+    val path = concat(lit("/Dir"), (id % 7).cast("string"), lit("/page"), enc,
+      when(id % 2 === 0, lit("/")).otherwise(lit("")))
+    val qq = element_at(array(lit("?b=%32&utm_source=x&a=%7E1"), lit("?fbclid=abc"), lit("")), (id % 3 + 1).cast("int"))
+    val frag = when(id % 2 === 0, lit("#Sec1")).otherwise(lit(""))
+    val assembled = concat(host, port, path, qq, frag)
+    df.withColumn("url", when(scheme === "", assembled)
+      .otherwise(concat(scheme, lit("://"), assembled)))
+  }
+
   /** d55/d56's shared DSIR CTE chain: hashed unigram+bigram features
     * (1024 buckets), add-1-smoothed target/raw count tables, per-bucket
     * ln likelihood ratio. Association mirrors
@@ -696,53 +753,46 @@ object PipelineQueries {
     // side must PARSE the assembled string — the hash match proves the
     // parser recovers every rule exactly.
     q("d47_url_canonical",
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 11 = 0 THEN ''
-        |         ELSE ['HTTP','https','HtTpS'][CAST(doc_id % 3 AS INTEGER) + 1] END AS scheme,
-        |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' AS host,
-        |    [':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INTEGER) + 1] AS port,
-        |    ['%7Ea', '%41b', '%2fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS enc,
-        |    ['~a', 'Ab', '%2Fc', ''][CAST(floor((doc_id % 16) / 4) AS INTEGER) + 1] AS cenc,
-        |    '/Dir' || CAST(doc_id % 7 AS VARCHAR) || '/page' AS pbase,
-        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS trail,
-        |    ['?b=%32&utm_source=x&a=%7E1', '?fbclid=abc', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS q,
-        |    ['a=~1&b=2', '', ''][CAST(doc_id % 3 AS INTEGER) + 1] AS cq,
-        |    CASE WHEN doc_id % 2 = 0 THEN '#Sec1' ELSE '' END AS frag
-        |  FROM documents),
-        |raw AS (SELECT doc_id, scheme,
-        |    CASE WHEN scheme = '' THEN host || port || pbase || enc || trail || q || frag
-        |         ELSE scheme || '://' || host || port || pbase || enc || trail || q || frag
-        |    END AS url,
-        |    lower(scheme) AS ls, lower(host) AS lh, port, pbase, cenc, cq FROM u),
-        |canon AS (SELECT doc_id, url, lh,
-        |  CASE WHEN scheme = '' THEN url
-        |       ELSE ls || '://' || lh ||
-        |    CASE WHEN port = '' OR (ls = 'http' AND port = ':80')
-        |         OR (ls = 'https' AND port = ':443') THEN '' ELSE port END ||
-        |    pbase || cenc ||
-        |    CASE WHEN cq = '' THEN '' ELSE '?' || cq END
-        |  END AS canonical
-        |  FROM raw)
-        |SELECT doc_id, url, canonical, lh AS host FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val id = col("doc_id")
-      val scheme = when(id % 11 === 0, lit("")).otherwise(
-        element_at(array(lit("HTTP"), lit("https"), lit("HtTpS")), (id % 3 + 1).cast("int")))
-      val host = concat(lit("WWW.Site"), (id % 5).cast("string"), lit(".Example.COM"))
-      val port = element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")), (id % 4 + 1).cast("int"))
-      val enc = element_at(array(lit("%7Ea"), lit("%41b"), lit("%2fc"), lit("")),
-        (floor((id % 16) / 4) + 1).cast("int"))
-      val path = concat(lit("/Dir"), (id % 7).cast("string"), lit("/page"), enc,
-        when(id % 2 === 0, lit("/")).otherwise(lit("")))
-      val qq = element_at(array(lit("?b=%32&utm_source=x&a=%7E1"), lit("?fbclid=abc"), lit("")), (id % 3 + 1).cast("int"))
-      val frag = when(id % 2 === 0, lit("#Sec1")).otherwise(lit(""))
-      val assembled = concat(host, port, path, qq, frag)
-      table(s, dir, "documents")
-        .select(id, when(scheme === "", assembled)
-          .otherwise(concat(scheme, lit("://"), assembled)).as("url"))
+      s"""WITH $sqlUrlFixtureCtes
+         |SELECT doc_id, url, canonical, lh AS host FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      syntheticUrls(table(s, dir, "documents"))
         .withColumn("canonical", graft.operators.TextOps.canonicalUrl(col("url")))
         .withColumn("host", graft.operators.TextOps.urlHost(col("url")))
+        .select("doc_id", "url", "canonical", "host")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- canonical-URL dedup
+    // the CommonCrawl/C4 "keep one copy per URL" stage: canonical keys
+    // from the shared RFC 3986 canonicalizer collapse the
+    // scheme-case / default-port / tracking-param / percent-encoding
+    // variants of one resource, and the copy kept per key is the
+    // argmax-(quality, lowest-id) document — a partial-aggregatable
+    // max(struct), so a URL crawled a million times is a hot REDUCE
+    // key, never a window sort. The shuffle carries (canonical, score,
+    // id) — never text.
+    q("d57_url_dedup",
+      s"""WITH $sqlUrlFixtureCtes,
+         |qual AS (SELECT doc_id,
+         |  round(0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+         |      + 0.5 * least(1.0, len($sqlTokens) / 100.0), 4) AS q
+         |  FROM documents),
+         |r AS (SELECT c.canonical, c.doc_id, q,
+         |    count(*) OVER (PARTITION BY canonical) AS n_dups,
+         |    row_number() OVER (PARTITION BY canonical ORDER BY q DESC, c.doc_id) AS rk
+         |  FROM canon c JOIN qual USING (doc_id))
+         |SELECT canonical, doc_id, q AS quality, n_dups FROM r WHERE rk = 1
+         |ORDER BY canonical""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val docs = syntheticUrls(table(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.canonicalUrl(col("url")).as("canonical"),
+          Qf.dround(TextOps.qualityScore(col("text")), 4).as("q"))
+      docs.groupBy(col("canonical"))
+        .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("__m"),
+          count(lit(1)).as("n_dups"))
+        .select(col("canonical"), (-col("__m.nid")).as("doc_id"),
+          col("__m.q").as("quality"), col("n_dups"))
+        .orderBy("canonical")
     },
 
     // ---------------------------------------------------------------- distinct-count sketch ledger
