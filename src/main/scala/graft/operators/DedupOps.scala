@@ -890,6 +890,16 @@ object DedupOps {
       .filter(!(id === col("__canon").getField(idCol) &&
         col("pos") === col("__canon").getField("pos")))
       .select(id, col("pos"))
+    scrubByWindows(df, idCol, textCol, k, scrubWins)
+  }
+
+  /** Shared scrub tail: merge the (id, pos) windows-to-remove into
+    * spans and rebuild every document's text without the covered
+    * tokens. One row per input doc: `(id, clean_text, n_removed)`.
+    */
+  private def scrubByWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int, scrubWins: DataFrame): DataFrame = {
+    val id = col(idCol)
     val spans = scrubWins.groupBy(id)
       .agg(sort_array(collect_list(col("pos"))).as("__ps"))
       .select(id, mergeWindowSpans(col("__ps"), k).as("__spans"))
@@ -904,4 +914,117 @@ object DedupOps {
         aggregate(col("__spans"), lit(0L),
           (a, sp) => a + (sp.getField("e") - sp.getField("s"))).as("n_removed"))
   }
+
+  // ------------------------------------------------------------------
+  // Span-hash LEDGER — incremental ExactSubstr for an INGEST LOOP: the
+  // at-rest set of every k-token window hash already admitted to the
+  // corpus. A new batch scrubs (a) every window whose hash the corpus
+  // already contains — its canonical copy was admitted in some earlier
+  // batch — and (b) within-batch recurrences per the d54 rule, then
+  // appends its own (now-canonical) hashes. The ledger holds BARE
+  // HASHES (8 B/window at rest, ~2 B/corpus-token after dedup), never
+  // text or positions; probes are hash-semi-joins; replayed appends
+  // only add duplicate hash rows, which semi/anti joins ignore and
+  // compaction removes. Swap/lease/manifest discipline is the shared
+  // LedgerGuard core, like every other ledger family here.
+  // ------------------------------------------------------------------
+
+  /** Sidecar with the ledger's creation-time window width
+    * (`k=<width>`): window hashes of different widths are
+    * incomparable, so every append/probe validates against it — the
+    * same own-parameters treatment as the signature ledger's
+    * (numHashes, shingleSize).
+    */
+  private val SpanMetaFile = LedgerGuard.SidecarPrefix + "SPAN_META"
+
+  private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): Unit =
+    LedgerGuard.writeSidecarMeta(spark, path, SpanMetaFile, Seq("k" -> k.toLong))
+
+  private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] =
+    LedgerGuard.readSidecarMeta(spark, path, SpanMetaFile)
+      .flatMap(_.get("k")).map(_.toInt)
+
+  private def requireSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, op: String): Int =
+    readSpanMeta(spark, path) match {
+      case Some(kk) if kk != k =>
+        throw new IllegalArgumentException(
+          s"span-hash ledger $op at $path: ledger was created with k=$kk " +
+            s"but the caller passed k=$k — window hashes of different " +
+            "widths are incomparable; pass the creation-time width " +
+            "(or rebuild the ledger)")
+      case Some(kk) => kk
+      case None => k // pre-sidecar ledger: trust the caller once
+    }
+
+  /** Create/overwrite the span-hash ledger: the distinct window hashes
+    * of an initial corpus.
+    */
+  def writeSpanHashLedger(df: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String): Unit = {
+    require(k >= 1, "window width must be >= 1")
+    windowGrams(df, idCol, textCol, k).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(path)
+    writeSpanMeta(df.sparkSession, path, k)
+  }
+
+  /** Admit a batch's window hashes (append-only; duplicates across
+    * appends are harmless and compacted away). Pass the batch AFTER
+    * [[scrubAgainstSpanLedger]] — the ledger should hold what the
+    * corpus kept.
+    */
+  def appendToSpanHashLedger(batch: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String): Unit = {
+    requireSpanMeta(batch.sparkSession, path, k, "append")
+    windowGrams(batch, idCol, textCol, k).select(col("h")).distinct()
+      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
+    if (readSpanMeta(batch.sparkSession, path).isEmpty)
+      writeSpanMeta(batch.sparkSession, path, k)
+  }
+
+  /** Scrub a new batch against the corpus-so-far: every window whose
+    * hash is in the ledger is cut (the corpus already holds its
+    * canonical copy), and windows FRESH to the corpus follow the
+    * within-batch [[scrubDuplicatedSpans]] rule (first (id, pos) copy
+    * survives). The window width comes from the ledger's own sidecar —
+    * a probe cannot accidentally use a different k than the ledger was
+    * built with.
+    */
+  def scrubAgainstSpanLedger(df: DataFrame, idCol: String, textCol: String,
+      path: String, minOccurrences: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val k = readSpanMeta(spark, path).getOrElse(throw new IllegalStateException(
+      s"span-hash ledger at $path has no $SpanMetaFile sidecar — cannot " +
+        "determine the window width it was built with"))
+    val id = col(idCol)
+    val grams = windowGrams(df, idCol, textCol, k)
+    val led = LedgerGuard.readLedger(spark, path).select(col("h"))
+    val inLed = grams.join(led, Seq("h"), "left_semi").select(id, col("pos"))
+    val fresh = grams.join(led, Seq("h"), "left_anti")
+    val stats = fresh.groupBy(col("h")).agg(
+      count(lit(1)).as("__cnt"), min(struct(id, col("pos"))).as("__canon"))
+    val batchScrub = fresh
+      .join(stats.filter(col("__cnt") >= minOccurrences), Seq("h"))
+      .filter(!(id === col("__canon").getField(idCol) &&
+        col("pos") === col("__canon").getField("pos")))
+      .select(id, col("pos"))
+    // disjoint by construction (ledger-hit vs ledger-fresh) — no distinct
+    scrubByWindows(df, idCol, textCol, k, inLed.unionByName(batchScrub))
+  }
+
+  /** Compact the span-hash ledger IN PLACE: drop duplicate hashes from
+    * replayed/overlapping appends and rewrite the accreted per-batch
+    * file sets to `targetFiles` hash-ordered files (min/max pruning
+    * for point probes). Same staged swap, lease, and self-heal as
+    * every ledger.
+    */
+  def compactSpanHashLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "span-hash-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path).distinct()
+      LayoutOps.writeSized(led, staging, col("h"), targetFiles, maxRecordsPerFile)
+    }
 }

@@ -553,6 +553,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- incremental span scrub (at rest)
+    // d53/d54's INGEST LOOP: the span-hash ledger holds every window
+    // hash the corpus has admitted; a new batch cuts windows the
+    // corpus already contains and follows the within-batch canonical
+    // rule for fresh ones. The conformance run writes the ledger from
+    // one slice, appends another (plus a crash-and-retry REPLAY of
+    // that append), compacts (staged swap), then scrubs a probe slice.
+    // The oracle is FILE-BLIND — it recomputes the corpus hash set and
+    // the scrub from TEXT — so the hash match proves the whole
+    // write/append/replay/compact cycle lost and invented nothing.
+    q("d58_span_ledger_scrub", {
+      val kk = 4
+      s"""WITH toks AS (SELECT doc_id, ($sqlTokens) AS t FROM documents),
+         |gl AS (SELECT doc_id, t, list_transform(
+         |    ${sqlNgrams("t", kk)}, x -> ${sqlHash("x", "")}) AS hs FROM toks),
+         |g AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos FROM gl),
+         |led AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 <> 0),
+         |gb AS (SELECT doc_id, h, pos FROM g WHERE doc_id % 10 = 0),
+         |inled AS (SELECT gb.doc_id, gb.pos FROM gb JOIN led USING (h)),
+         |fresh AS (SELECT gb.doc_id, gb.h, gb.pos FROM gb
+         |  WHERE NOT EXISTS (SELECT 1 FROM led WHERE led.h = gb.h)),
+         |hm AS (SELECT h, count(*) AS cnt, min(doc_id) AS mdoc FROM fresh GROUP BY h),
+         |hm2 AS (SELECT f.h, hm.cnt, hm.mdoc, min(f.pos) AS mpos
+         |  FROM fresh f JOIN hm ON f.h = hm.h AND f.doc_id = hm.mdoc GROUP BY 1, 2, 3),
+         |bscrub AS (SELECT f.doc_id, f.pos FROM fresh f JOIN hm2 ON f.h = hm2.h
+         |  WHERE hm2.cnt >= 2 AND NOT (f.doc_id = hm2.mdoc AND f.pos = hm2.mpos)),
+         |scrub AS (SELECT * FROM inled UNION ALL SELECT * FROM bscrub),
+         |m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) <= $kk THEN 0 ELSE 1 END AS brk
+         |  FROM scrub),
+         |isl AS (SELECT doc_id, pos, sum(brk)
+         |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $kk AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS pos
+         |  FROM toks WHERE doc_id % 10 = 0),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tk FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+         |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len($sqlTokens) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d58_led_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val gen2 = docs.filter((col("doc_id") % 10) > 5)
+      DedupOps.writeSpanHashLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
+        "doc_id", "text", k = 4, path)
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path)
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path) // replay
+      DedupOps.compactSpanHashLedger(s, path, targetFiles = 4)
+      DedupOps.scrubAgainstSpanLedger(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- per-domain crawl cap
     // C4-style per-host contribution cap: crawl pipelines bound how
     // many documents one domain may contribute (boilerplate farms

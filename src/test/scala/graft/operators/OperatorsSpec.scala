@@ -569,6 +569,57 @@ class OperatorsSpec extends AnyFunSuite {
       "append did not stamp a pre-sidecar ledger")
   }
 
+  test("span-hash ledger: scrub-against-ledger equals whole-corpus scrub on the batch slice") {
+    // incremental == batch equivalence: scrubbing a probe slice against
+    // a ledger of the REST of the corpus must give the same rows the
+    // whole-corpus scrubDuplicatedSpans gives for those docs, because
+    // the rest-slice was admitted first (its ids are all smaller —
+    // corpus canonical copies live there whenever a hash is shared)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "q r a b c d e w"),
+      (10L, "x y a b c d e z"),   // probe: shares "a b c d e" with corpus
+      (11L, "m n o p m n o p m n o p"), // probe: self-repeating, fresh hashes
+      (12L, "u v w x y z a a"))   // probe: no recurrence
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val probe = docs.filter(col("doc_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("spanled").toString + "/led"
+    DedupOps.writeSpanHashLedger(corpus, "doc_id", "text", k = 4, dir)
+    val got = DedupOps.scrubAgainstSpanLedger(probe, "doc_id", "text", dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, "x y z", 5L),          // ledger hit: span cut, corpus holds canonical
+      (11L, "m n o p", 8L),        // fresh hashes: within-batch rule applies
+      (12L, "u v w x y z a a", 0L)))
+    val whole = DedupOps.scrubDuplicatedSpans(docs, "doc_id", "text", k = 4)
+      .filter(col("doc_id") >= 10)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == whole, s"incremental=$got whole=$whole")
+  }
+
+  test("span-hash ledger is self-describing: k mismatch fails loudly; replayed append + compaction are lossless") {
+    val docs = Seq((1L, "a b c d e f"), (10L, "p q a b c d e")).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val probe = docs.filter(col("doc_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("spanmeta").toString + "/led"
+    DedupOps.writeSpanHashLedger(corpus, "doc_id", "text", k = 4, dir)
+    val e = intercept[IllegalArgumentException](
+      DedupOps.appendToSpanHashLedger(probe, "doc_id", "text", k = 5, dir))
+    assert(e.getMessage.contains("k=4") && e.getMessage.contains("k=5"), e.getMessage)
+    val before = DedupOps.scrubAgainstSpanLedger(probe, "doc_id", "text", dir)
+      .as[(Long, String, Long)].collect().toSeq
+    // replayed append (same batch twice) + compaction change nothing
+    DedupOps.appendToSpanHashLedger(corpus, "doc_id", "text", k = 4, dir)
+    DedupOps.appendToSpanHashLedger(corpus, "doc_id", "text", k = 4, dir)
+    DedupOps.compactSpanHashLedger(spark, dir, targetFiles = 2)
+    assert(new java.io.File(dir, "_GRAFT_SPAN_META").exists,
+      "compaction dropped the span-ledger meta sidecar")
+    val after = DedupOps.scrubAgainstSpanLedger(probe, "doc_id", "text", dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(before == after, s"before=$before after=$after")
+  }
+
   test("canonicalUrl property: parses any assembled URL back to the component-built canonical") {
     import org.scalacheck.{Gen, Prop}
     // mirror of the d47 oracle at property scale: the URL is ASSEMBLED
