@@ -366,6 +366,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span-ledger maintenance: per-microbatch scrub+append matches the sequential batch replay") {
+    import spark.implicits._
+    // the streaming face of d58: each micro-batch is scrubbed against
+    // the corpus-so-far (ledger-hit windows cut, fresh ones kept) and
+    // then admits its own hashes — foreachBatch invocations are serial,
+    // so batch i+1 sees exactly seed ∪ batches ≤ i, the same contract
+    // the batch ingest loop has
+    val path = java.nio.file.Files.createTempDirectory("graft-spanstream").toString + "/led"
+    val seed = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    graft.operators.DedupOps.writeSpanHashLedger(seed, "doc_id", "text", k = 4, path)
+    val later = Seq(
+      Seq((10L, "x y a b c d e z")),     // hits the SEED's "a b c d e"
+      Seq((20L, "q x y a b c d w")))     // hits windows admitted by BATCH 1
+    val out = scala.collection.mutable.Map[Long, (String, Long)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist() // scrub + append both consume it
+        graft.operators.DedupOps.scrubAgainstSpanLedger(batch, "doc_id", "text", path)
+          .collect().foreach(r => out(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+        graft.operators.DedupOps.appendToSpanHashLedger(batch, "doc_id", "text", k = 4, path)
+        batch.unpersist()
+        ()
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      // batch 2's span comes from windows batch 1 admitted ("x y a b" …),
+      // proving appends are visible to the next micro-batch
+      assert(out.toMap == Map(
+        10L -> (("x y z", 5L)),
+        20L -> (("q w", 6L))), out.toString)
+    } finally q.stop()
+  }
+
   test("streaming sketch-ledger maintenance: per-microbatch advances track distinct content at rest") {
     import spark.implicits._
     // the streaming face of d46: each micro-batch folds its delta HLL
