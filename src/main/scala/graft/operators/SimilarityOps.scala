@@ -214,6 +214,56 @@ object SimilarityOps {
     perKeyTopK(rer, "score", asc = false, k)
   }
 
+  /** Write the SQ8 at-rest corpus: `(id, q, scale, vec)` parquet, codes
+    * first-class columns so a probe's approximate pass can read `(id,
+    * q)` ALONE — parquet column pruning skips the float vectors, which
+    * is the 4× scan-byte reduction that makes SQ8 pay at 100 TB (the
+    * plan gate in PlanShapeSpec pins the pruned ReadSchema). The float
+    * column rides along for the exact re-rank fetch (and any consumer
+    * that wants full precision).
+    */
+  def writeQuantizedCorpus(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    import graft.functions.VectorExpressions.quantizeI8
+    df.select(col(idCol), quantizeI8(col(vecCol)).as("__sq"), col(vecCol).as("vec"))
+      .select(col(idCol), col("__sq.q").as("q"), col("__sq.scale").as("scale"), col("vec"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[quantizedTopK]] against [[writeQuantizedCorpus]]'s at-rest form:
+    * identical rows (same codes, same candidates, same exact re-rank —
+    * pinned by test), but the approx pass scans only `(id, q)` and the
+    * re-rank fetches only the candidates' float rows via a broadcast
+    * semi-join. `idCol`/`vecCol` name the columns as stored.
+    */
+  def quantizedTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String, qVec: String,
+      idCol: String, k: Int, rerankFactor: Int = 4,
+      scoreDecimals: Int = 6): DataFrame = {
+    import graft.functions.VectorExpressions.{dotI8, quantizeI8}
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val corpus = spark.read.parquet(path)
+    val qc = queries
+      .select(col(qId).as("query_id"), quantizeI8(col(qVec)).getField("q").as("__qq"))
+      .withColumn("__qn", sqrt(dotI8(col("__qq"), col("__qq")).cast("double")))
+    val cc = corpus.select(col(idCol).as("neighbor_id"), col("q").as("__cq"))
+      .withColumn("__cn", sqrt(dotI8(col("__cq"), col("__cq")).cast("double")))
+    val approx = broadcast(qc)
+      .join(cc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotI8(col("__qq"), col("__cq")).cast("double") /
+          (col("__qn") * col("__cn"))).as("__approx"))
+    val cand = perKeyTopK(approx, "__approx", asc = false, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = corpus.select(col(idCol).as("neighbor_id"), col("vec").as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    perKeyTopK(rer, "score", asc = false, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * reproducible from (plane, dim) alone so any engine can re-derive them.
     */

@@ -1143,6 +1143,22 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- SQ8 index at rest
+    // s13's at-rest form: codes stored as first-class parquet columns,
+    // so the approximate pass scans (id, q) ALONE — column pruning
+    // delivers the 4× scan-byte cut (PlanShapeSpec pins the pruned
+    // ReadSchema), and the re-rank fetches only candidates' floats.
+    // Rows are identical to s13 by construction (AccuracySpec pins it).
+    q("s14_sq8_at_rest", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/s14_sq8_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      SimilarityOps.writeQuantizedCorpus(emb, "vec_id", "embedding", path)
+      SimilarityOps.quantizedTopKAtRest(s, path,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- multimodal plumbing
     q("m01_multimodal_meta",
       """SELECT doc_id,

@@ -74,6 +74,22 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("s14 gate: SQ8 at-rest probe equals the inline s13 rows exactly at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val path = java.nio.file.Files.createTempDirectory("sq8rest").toString + "/corpus"
+    SimilarityOps.writeQuantizedCorpus(emb, "vec_id", "embedding", path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "score", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val atRest = rows(SimilarityOps.quantizedTopKAtRest(spark, path,
+      queries, "vec_id", "embedding", "vec_id", k = 5))
+    val inline = rows(SimilarityOps.quantizedTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5))
+    assert(atRest == inline && inline.nonEmpty,
+      s"atRest diff: ${atRest.diff(inline).take(3)} / ${inline.diff(atRest).take(3)}")
+  }
+
   test("s07 gate: PQ+rerank ANN recall@5 vs brute force ≥ 0.7 at sf0.01") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)

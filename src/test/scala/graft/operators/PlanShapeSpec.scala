@@ -343,4 +343,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(broadcasts(df) == 0, df.queryExecution.executedPlan.toString)
     assert(df.count() > 0)
   }
+
+  test("s14's at-rest SQ8 probe prunes columns: approx pass reads (id, q) only, re-rank reads (id, vec) only") {
+    withStaticPlans {
+      // the 4× scan-byte cut IS this pruning — if the approx scan ever
+      // drags the float column along, SQ8-at-rest saves nothing
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val path = java.nio.file.Files.createTempDirectory("graft-sq8plan").toString + "/corpus"
+      SimilarityOps.writeQuantizedCorpus(emb, "vec_id", "embedding", path)
+      val probe = SimilarityOps.quantizedTopKAtRest(spark, path,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", "vec_id", k = 3)
+      val scans = nodes(probe) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("sq8plan")) => s
+        }.map(_.requiredSchema.fieldNames.toSet)
+      assert(scans.size == 2, s"expected 2 corpus scans, got $scans")
+      assert(scans.exists(s => s.contains("q") && !s.contains("vec")),
+        s"approx scan not pruned to codes: $scans")
+      assert(scans.exists(s => s.contains("vec") && !s.contains("q")),
+        s"re-rank scan not pruned to floats: $scans")
+      assert(probe.count() > 0)
+    }
+  }
 }
