@@ -97,6 +97,27 @@ object PipelineQueries {
       .otherwise(concat(scheme, lit("://"), assembled)))
   }
 
+  /** d53/d60's shared duplicated-span CTE chain: overlapping k-token
+    * window hashes → recurring windows → gaps-and-islands merge into
+    * maximal spans `sp(doc_id, s, e, nw)`. The oracle's independent
+    * re-derivation of `DedupOps.duplicatedSpans`.
+    */
+  private def sqlDupSpanCtes(kk: Int) =
+    s"""gl AS (SELECT doc_id, list_transform(
+       |    ${sqlNgrams("(" + sqlTokens + ")", kk)}, x -> ${sqlHash("x", "")}) AS hs
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos FROM gl),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |w AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+       |m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) <= $kk THEN 0 ELSE 1 END AS brk
+       |  FROM w),
+       |isl AS (SELECT doc_id, pos, sum(brk)
+       |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM m),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $kk AS e, count(*) AS nw
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** d55/d56's shared DSIR CTE chain: hashed unigram+bigram features
     * (1024 buckets), add-1-smoothed target/raw count tables, per-bucket
     * ln likelihood ratio. Association mirrors
@@ -479,6 +500,49 @@ object PipelineQueries {
       graft.operators.CurationOps.gumbelTopK(w, "doc_id", "log_weight", n = 100)
     },
 
+    // ---------------------------------------------------------------- script profile
+    // writing-system detection features: per-script character counts
+    // via Unicode script classes — the signal language-ID models and
+    // mojibake/mixed-script filters run on. Composed from codegen'd
+    // regexp_replace over the SAME Unicode Script property both
+    // engines implement (Java \\p{IsX} ≡ RE2 \\p{X}; parity probed:
+    // 5/6/2/5/2 on the mixed fixture). The synthetic corpus is ASCII,
+    // so the fixture synthesizes mixed-script text from doc_id — the
+    // m03/d47 generator pattern.
+    q("d59_script_profile",
+      s"""WITH t AS (SELECT doc_id,
+         |  'hello ' || ['привет', '你好', 'مرحبا', 'data42'][CAST(doc_id % 4 AS INTEGER) + 1]
+         |    || ' w' || CAST(doc_id % 7 AS VARCHAR) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(regexp_replace(s, '[^\\p{Latin}]', '', 'g')) AS INTEGER) AS n_latin,
+         |  CAST(length(regexp_replace(s, '[^\\p{Cyrillic}]', '', 'g')) AS INTEGER) AS n_cyrillic,
+         |  CAST(length(regexp_replace(s, '[^\\p{Han}]', '', 'g')) AS INTEGER) AS n_han,
+         |  CAST(length(regexp_replace(s, '[^\\p{Arabic}]', '', 'g')) AS INTEGER) AS n_arabic,
+         |  CAST(length(regexp_replace(s, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
+         |  CAST((CASE WHEN length(regexp_replace(s, '[^\\p{Latin}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN length(regexp_replace(s, '[^\\p{Cyrillic}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN length(regexp_replace(s, '[^\\p{Han}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN length(regexp_replace(s, '[^\\p{Arabic}]', '', 'g')) > 0 THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_scripts
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val txt = concat(lit("hello "),
+        element_at(array(lit("привет"), lit("你好"), lit("مرحبا"), lit("data42")),
+          (id % 4 + 1).cast("int")),
+        lit(" w"), (id % 7).cast("string"))
+      def cnt(re: String) = length(regexp_replace(col("__s"), re, ""))
+      val scripts = Seq(
+        "n_latin" -> "[^\\p{IsLatin}]", "n_cyrillic" -> "[^\\p{IsCyrillic}]",
+        "n_han" -> "[^\\p{IsHan}]", "n_arabic" -> "[^\\p{IsArabic}]")
+      table(s, dir, "documents").select(id, txt.as("__s"))
+        .select(Seq(id) ++ scripts.map { case (n, re) => cnt(re).as(n) } ++ Seq(
+          cnt("[^0-9]").as("n_digit"),
+          scripts.map { case (_, re) => when(cnt(re) > 0, 1).otherwise(0) }
+            .reduce(_ + _).as("n_scripts")): _*)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- duplicated-span detection
     // ExactSubstr dedup (Lee et al. 2022) — duplication at ARBITRARY
     // offsets, which whole-doc digests and chunk-aligned passage dedup
@@ -488,26 +552,39 @@ object PipelineQueries {
     // same gaps-and-islands rule the oracle writes with lag()/sum().
     // k = 4 on the synthetic corpus yields 643 spans with genuine
     // multi-window merging; real deployments use k ≈ 50.
-    q("d53_dup_spans", {
-      val kk = 4
-      s"""WITH gl AS (SELECT doc_id, list_transform(
-         |    ${sqlNgrams("(" + sqlTokens + ")", kk)}, x -> ${sqlHash("x", "")}) AS hs
-         |  FROM documents),
-         |g AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos FROM gl),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-         |w AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
-         |m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
-         |    OVER (PARTITION BY doc_id ORDER BY pos) <= $kk THEN 0 ELSE 1 END AS brk
-         |  FROM w),
-         |isl AS (SELECT doc_id, pos, sum(brk)
-         |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM m)
-         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
-         |  CAST(max(pos) + $kk AS INTEGER) AS span_end, count(*) AS n_windows
-         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
-    }) { (s, dir) =>
+    q("d53_dup_spans",
+      s"""WITH ${sqlDupSpanCtes(4)}
+         |SELECT doc_id, CAST(s AS INTEGER) AS span_start,
+         |  CAST(e AS INTEGER) AS span_end, nw AS n_windows
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       DedupOps.duplicatedSpans(table(s, dir, "documents"), "doc_id", "text", k = 4)
         .orderBy("doc_id", "span_start")
+    },
+
+    // ---------------------------------------------------------------- per-document duplication ratio
+    // the corpus-health metric the ExactSubstr paper reports: what
+    // fraction of each document's tokens sit inside a duplicated span.
+    // Pure composition over d53's spans — one extra per-doc agg.
+    q("d60_dup_ratio",
+      s"""WITH ${sqlDupSpanCtes(4)},
+         |agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len($sqlTokens) AS INTEGER) AS n_tokens,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(a.dup_tokens, 0) / len($sqlTokens), 4) AS dup_frac
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val dup = DedupOps.duplicatedSpans(docs, "doc_id", "text", k = 4)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+      docs.select(col("doc_id"),
+          graft.operators.TextOps.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          Qf.dround(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4).as("dup_frac"))
+        .orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- duplicated-span scrub
