@@ -127,6 +127,31 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shingleSize=5"), e.getMessage)
   }
 
+  test("span-hash ledger: manifest-mode write/append/replay/compact scrub equals plain (d58 cycle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val gen2 = docs.filter(col("doc_id") % 10 > 5)
+    def cycle(path: String, manifested: Boolean): Set[(Long, String, Long)] = {
+      DedupOps.writeSpanHashLedger(gen1, "doc_id", "text", k = 4, path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path)
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path) // replay
+      DedupOps.compactSpanHashLedger(spark, path, targetFiles = 2)
+      DedupOps.scrubAgainstSpanLedger(probe, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val plain = cycle(tmp("graft-span-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-span-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+    // the width sidecar rode through conversion + compaction: a drifted
+    // append still fails loudly naming both widths
+    val e = intercept[IllegalArgumentException](
+      DedupOps.appendToSpanHashLedger(probe, "doc_id", "text", k = 6, maniPath))
+    assert(e.getMessage.contains("k=4") && e.getMessage.contains("k=6"), e.getMessage)
+  }
+
   test("sketch ledger: manifest-mode advance equals plain (d46 cycle)") {
     val corpus = Seq(
       ("s1", "a"), ("s1", "b"), ("s2", "b"), ("s2", "c"), ("s3", "x"))
