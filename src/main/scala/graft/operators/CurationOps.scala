@@ -479,6 +479,37 @@ object CurationOps {
       .limit(n)
   }
 
+  /** One BPE-training iteration's merge-pair statistics (Sennrich et al.
+    * 2016 §3.2): adjacent-symbol pair counts weighted by word frequency,
+    * the quantity whose argmax is the next merge. Symbols here are
+    * characters — the state of iteration 1; iterating means re-running
+    * over a re-segmented vocab, and the SHAPE below is what makes that
+    * affordable at corpus scale: the corpus collapses to its VOCAB
+    * first (one token-count aggregation — the only corpus-sized
+    * shuffle, map-side combined on hot words), and the pair explosion
+    * runs over DISTINCT words only, so its cost is vocabulary-sized no
+    * matter how many tokens the corpus holds. This is exactly why
+    * production BPE trainers count words once and train on the
+    * frequency table. Output: top `topN` `(pair, cnt)` by (count desc,
+    * pair) — a deterministic total order, so the cut is portable.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("__freq"))
+    // sequence(1, len-1) guarded: Spark's sequence DESCENDS when start >
+    // stop, so a 1-char word would yield [1, 0] instead of no pairs.
+    val pairs = vocab
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("__freq"))
+    pairs.groupBy(col("pair")).agg(sum(col("__freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")) // TakeOrdered heap, no global sort
+      .limit(topN)
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

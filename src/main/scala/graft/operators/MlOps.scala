@@ -88,4 +88,48 @@ object MlOps {
       .select(col(idCol), col("is_train"), col("weak_label").cast("int").as("weak_label"),
         element_at(vector_to_array(col("probability")), 2).as("p_good"))
   }
+
+  /** Operating-point sweep for a "keep if score ≥ t" filter: one
+    * precision/recall/F1 row per candidate threshold — the curve an
+    * operator reads to CHOOSE the quality-filter cutoff (the step
+    * between training a classifier, d37, and deploying it, d32).
+    *
+    * Scale shape: the corpus collapses to per-threshold-bucket
+    * (positives, negatives) counts first — one aggregation with map-side
+    * combine on at most `10^decimals + 1` keys — and only then do the
+    * descending-cumulative windows run, over that BUCKET-sized frame.
+    * The single-partition window is deliberate and safe: its input is
+    * the bucket table (≤101 rows at the default 2 decimals), never the
+    * corpus — the same model-sized-window discipline as d50's fusion.
+    * Output per bucket `thr` (scores rounded to `decimals`): `tp`/`fp`
+    * = kept true/false positives at cutoff `thr`, `fn` = positives
+    * lost, precision/recall/f1 rounded to 4.
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
+      decimals: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = scored
+      .groupBy(graft.queries.Qf.dround(col(scoreCol), decimals).as("thr"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg"))
+    val desc = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = buckets.select(col("thr"),
+      sum(col("__pos")).over(desc).as("tp"),
+      sum(col("__neg")).over(desc).as("fp"),
+      (sum(col("__pos")).over(whole) - sum(col("__pos")).over(desc)).as("fn"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp"))
+    val r = col("tp").cast("double") / (col("tp") + col("fn"))
+    // tp+fp ≥ 1 by construction (the cumulative frame contains its own
+    // non-empty bucket), so precision is always defined; f1's 0/0 at
+    // tp = 0 is pinned to 0 explicitly — engines disagree on double
+    // division by zero, a hash-match must not depend on it.
+    cum.select(col("thr"), col("tp"), col("fp"), col("fn"),
+      graft.queries.Qf.dround(p, 4).as("precision"),
+      graft.queries.Qf.dround(r, 4).as("recall"),
+      graft.queries.Qf.dround(
+        when(col("tp") === 0, lit(0.0)).otherwise(lit(2.0) * p * r / (p + r)), 4).as("f1"))
+  }
 }

@@ -559,4 +559,46 @@ object MultimodalOps {
       .select(col(idCol), col("pos").cast("int").as("frame_no"),
         col("__bin").substr(col("pos") * (frameBytes * everyK) + 1, lit(frameBytes)).as("frame_bytes"))
   }
+
+  /** Video near-duplicate candidates by sampled-frame hashing — the
+    * standard video-dedup recipe (sample frames, hash each, compare
+    * hash SETS): two payloads pair when they share ≥ 1 frame hash, and
+    * the pair's score is the Jaccard of their distinct-frame-hash sets
+    * (re-encodes and containers differ, content frames agree). Frame
+    * extraction is [[sampleFrames]] — here the deterministic byte-chunk
+    * stand-in; swapping a real keyframe decoder into that seam changes
+    * nothing downstream because only the 16-byte md5s flow past it.
+    *
+    * Scale shape: payload bytes never shuffle — each binary collapses
+    * to distinct (id, frame-hash) rows at scan time; pair generation is
+    * the LSH-banding bucket join (pairs meet ONLY inside a shared frame
+    * hash — linear in bucket sizes, never corpus × corpus), and the
+    * Jaccard needs no second look at the payload because set sizes
+    * travel with the id. A frame shared by n payloads emits n·(n−1)/2
+    * candidate pairs — the same quadratic-in-duplicity property as
+    * d08's LSH pairs; threshold or cap upstream if a corpus carries a
+    * million copies of one intro frame.
+    * Output: `(a_id, b_id, n_common, jaccard)` with a_id < b_id,
+    * jaccard ≥ `minJaccard`.
+    */
+  def frameDedupPairs(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame = {
+    val frames = sampleFrames(df, idCol, binCol, frameBytes, everyK)
+      .select(col(idCol), md5(col("frame_bytes")).as("__fh"))
+      .distinct()
+    val sizes = frames.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = frames.select(col(idCol).as("a_id"), col("__fh"))
+      .join(frames.select(col(idCol).as("b_id"), col("__fh")), Seq("__fh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("__common"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        col("__common").cast("int").as("n_common"),
+        graft.queries.Qf.dround(
+          col("__common") / (col("__na") + col("__nb") - col("__common")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

@@ -264,6 +264,121 @@ object SimilarityOps {
     perKeyTopK(rer, "score", asc = false, k)
   }
 
+  /** Matryoshka (MRL) truncated-prefix retrieval (Kusupati et al. 2022):
+    * approximate ranking on the FIRST `prefixDim` dimensions (MRL
+    * training makes every prefix a usable embedding), `k · candFactor`
+    * candidates per query through the bounded heap, then an exact
+    * full-dimension cosine re-rank cut to `k`. Both stages round scores
+    * and tie-break on `neighbor_id`, so the whole pipeline is
+    * DETERMINISTIC — an oracle re-derives identical rows (unlike the
+    * quantization/LSH families, truncation has no engine-specific
+    * state), which is why this one is hash-checked rather than
+    * recall-gated.
+    *
+    * Scale shape: same two-pass regime as [[quantizedTopK]] — the
+    * prefix pass streams the corpus once against broadcast query
+    * prefixes and needs only `prefixDim/dim` of the vector bytes (at
+    * rest, store the prefix as its own column next to the full vector
+    * — the s14 column-pruning regime — and the scan-byte cut is
+    * `dim/prefixDim`×); the exact pass touches only the candidate set
+    * via a broadcast semi-join fetch, never a shuffle.
+    */
+  def matryoshkaTopK(queries: DataFrame, qId: String, qVec: String,
+      candidates: DataFrame, cId: String, cVec: String, k: Int,
+      prefixDim: Int, candFactor: Int = 4, scoreDecimals: Int = 6): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    require(candFactor >= 1, "candFactor must be >= 1")
+    val qp = queries.select(col(qId).as("query_id"),
+      slice(col(qVec), 1, prefixDim).as("__qp"))
+    val cp = candidates.select(col(cId).as("neighbor_id"),
+      slice(col(cVec), 1, prefixDim).as("__cp"))
+    val approx = broadcast(qp)
+      .join(cp, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qp"), col("__cp")), scoreDecimals)
+          .as("__approx"))
+    val cand = perKeyTopK(approx, "__approx", asc = false, k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = candidates.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    perKeyTopK(rer, "score", asc = false, k)
+  }
+
+  /** Sidecar of the MRL corpus's creation-time `prefixDim`: the stored
+    * `prefix` column is exactly that many leading dims, so probing with
+    * a different prefixDim would compare query prefixes against
+    * corpus prefixes of another length — zip_with pads the short side
+    * with nulls and the approximate scores silently degrade. Same
+    * own-parameters treatment as the ANN index's (numPlanes, dim), the
+    * signature ledger's shingling meta, and the sketch ledger's lgK.
+    */
+  private val MrlMetaFile = graft.operators.LedgerGuard.SidecarPrefix + "MRL_META"
+
+  /** Write the Matryoshka at-rest corpus: `(id, prefix, vec)` parquet
+    * with the truncated prefix as a FIRST-CLASS column, so a probe's
+    * approximate pass scans `(id, prefix)` alone — parquet column
+    * pruning delivers the `dim/prefixDim`× scan-byte cut (the same
+    * regime as [[writeQuantizedCorpus]]'s codes; the PlanShapeSpec gate
+    * pins the pruned ReadSchema). The full vector rides along for the
+    * exact re-rank fetch.
+    */
+  def writeMatryoshkaCorpus(df: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, path: String): Unit = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    df.select(col(idCol), slice(col(vecCol), 1, prefixDim).as("prefix"),
+        col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMeta(df.sparkSession, path, MrlMetaFile,
+      Seq("prefixDim" -> prefixDim.toLong))
+  }
+
+  /** [[matryoshkaTopK]] against [[writeMatryoshkaCorpus]]'s at-rest
+    * form: identical rows by construction (same truncation, same
+    * candidate cut, same exact re-rank), but the approximate pass scans
+    * only `(id, prefix)` and the re-rank fetches only the candidates'
+    * float rows via a broadcast semi-join. Fails loudly if the caller's
+    * `prefixDim` differs from the corpus's creation-time value.
+    */
+  def matryoshkaTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String, qVec: String,
+      idCol: String, k: Int, prefixDim: Int, candFactor: Int = 4,
+      scoreDecimals: Int = 6): DataFrame = {
+    require(candFactor >= 1, "candFactor must be >= 1")
+    LedgerGuard.readSidecarMeta(spark, path, MrlMetaFile).foreach { kv =>
+      kv.get("prefixDim") match {
+        case Some(p) if p != prefixDim =>
+          throw new IllegalArgumentException(
+            s"MRL corpus probe at $path: corpus was written with " +
+              s"prefixDim=$p but the caller passed prefixDim=$prefixDim — " +
+              "prefixes of different lengths do not compare; pass the " +
+              "creation-time value (or rewrite the corpus)")
+        case _ => ()
+      }
+    }
+    val corpus = spark.read.parquet(path)
+    val qp = queries.select(col(qId).as("query_id"),
+      slice(col(qVec), 1, prefixDim).as("__qp"))
+    val cp = corpus.select(col(idCol).as("neighbor_id"), col("prefix").as("__cp"))
+    val approx = broadcast(qp)
+      .join(cp, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qp"), col("__cp")), scoreDecimals)
+          .as("__approx"))
+    val cand = perKeyTopK(approx, "__approx", asc = false, k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = corpus.select(col(idCol).as("neighbor_id"), col("vec").as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score"))
+    perKeyTopK(rer, "score", asc = false, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * reproducible from (plane, dim) alone so any engine can re-derive them.
     */

@@ -256,4 +256,30 @@ object TextOps {
   /** Average token length (chars) — a cheap quality signal. */
   def avgTokenLength(text: Column): Column =
     stats(text, DefaultStopwords).getField("n_chars_nospace") / tokenCount(text)
+
+  /** HTML → text extraction (the first stage of every web-crawl corpus:
+    * markup off, content out). Tags are replaced by a single space
+    * (`<[^>]*>` — RE2 and java.util.regex agree on this class exactly),
+    * then runs of spaces collapse and the result is trimmed, so
+    * adjacent inline tags never glue two words together and block tags
+    * never leave double gaps. Composed codegen `regexp_replace` — a
+    * per-row kernel, zero shuffle, scan-speed at 100 TB. Entity
+    * decoding and script/style CONTENT removal are out of scope here
+    * (the fixture carries neither); a production crawl pass chains
+    * those as further per-row kernels.
+    */
+  def stripHtml(html: Column): Column =
+    trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
+
+  /** Total characters of anchor (`<a …>text</a>`) inner text — the
+    * numerator of LINK DENSITY, the classic boilerplate signal
+    * (navigation/footer blocks are link-dense, body prose is not).
+    * Non-nested anchors only (`[^<]*` inner), which is what real nav
+    * markup is; same per-row regexp-kernel regime as [[stripHtml]].
+    */
+  def anchorTextChars(html: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+        t => length(t)),
+      lit(0), (acc, v) => acc + v)
 }

@@ -1186,4 +1186,128 @@ class OperatorsSpec extends AnyFunSuite {
     // reproduces trim(text) byte-for-byte
     assert(got == Seq((1L, "a  b c", 0L), (2L, "", 0L)))
   }
+
+  test("bpePairStats weights pairs by word frequency; 1-char and empty tokens contribute nothing") {
+    val df = Seq("abc abc x", "abc  ab").toDF("text") // 'abc'×3, 'ab'×1, 'x'×1, ''×1
+    val got = CurationOps.bpePairStats(df, "text", topN = 10)
+      .as[(String, Long)].collect().toSeq
+    // 'ab' appears in 'abc' (×3) and 'ab' (×1) = 4; 'bc' only in 'abc' = 3;
+    // 'x' (1 char) and the empty token from the double space yield no pairs
+    assert(got == Seq(("ab", 4L), ("bc", 3L)))
+  }
+
+  test("bpePairStats counts within-word repeats and cuts deterministically at topN") {
+    val df = Seq("aaa bb").toDF("text") // 'aaa' → aa,aa ; 'bb' → bb
+    val got = CurationOps.bpePairStats(df, "text", topN = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa", 2L))) // count desc beats pair-asc 'bb'
+  }
+
+  test("stripHtml removes tags without gluing words; anchorTextChars sums anchor inner text only") {
+    val df = Seq(
+      "<p>hello <b>world</b></p>",
+      "<nav><a href=\"/x\">abc</a>-<a id=1>de</a></nav><p>fg</p>",
+      "no markup at all").toDF("h")
+    val got = df.select(TextOps.stripHtml(col("h")).as("t"),
+      TextOps.anchorTextChars(col("h")).as("a"))
+      .as[(String, Int)].collect().toSeq
+    assert(got(0) == (("hello world", 0)))
+    assert(got(1) == (("abc - de fg", 5))) // 'abc'(3) + 'de'(2); <p>/<nav> text excluded
+    assert(got(2) == (("no markup at all", 0)))
+  }
+
+  test("thresholdSweep: cumulative tp/fp/fn and P/R/F1 per descending threshold bucket") {
+    val df = Seq((0.9, 1), (0.9, 0), (0.5, 1), (0.1, 0)).toDF("s", "l")
+    val got = MlOps.thresholdSweep(df, "s", "l", decimals = 2)
+      .orderBy(col("thr").desc)
+      .as[(Double, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0.9, 1L, 1L, 1L, 0.5, 0.5, 0.5),
+      (0.5, 2L, 1L, 0L, 0.6667, 1.0, 0.8),
+      (0.1, 2L, 2L, 0L, 0.5, 1.0, 0.6667)))
+  }
+
+  test("matryoshkaTopK with a candidate pool covering the corpus equals brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val q = emb.filter(col("vec_id") < 3)
+    // k·candFactor = 5·8 = 40 ≥ corpus, so the prefix pass prunes nothing
+    // and the exact re-rank must reproduce bruteForceTopK row-for-row
+    val mrl = SimilarityOps.matryoshkaTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, prefixDim = 16, candFactor = 8)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = SimilarityOps.bruteForceTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(mrl == brute)
+  }
+
+  test("matryoshkaTopK re-rank scores are exact full-dim cosines even when the prefix pass prunes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val mrl = SimilarityOps.matryoshkaTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, prefixDim = 16, candFactor = 4)
+    // the guarantee truncation retrieval makes: whatever the prefix pass
+    // keeps, the SCORES and final order are the exact full-dim cosine —
+    // re-derive each returned pair's cosine independently and compare
+    val exact = mrl
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("__qv")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")), "neighbor_id")
+      .select(col("score"),
+        graft.queries.Qf.dround(SimilarityOps.cosine(col("__qv"), col("__cv")), 6).as("e"))
+      .as[(Double, Double)].collect()
+    assert(exact.length == 40) // 8 queries × k=5, the pool never starves
+    exact.foreach { case (s, e) => assert(s == e, s"re-rank score $s != exact cosine $e") }
+    // recall vs full-dim brute force is FIXTURE-dependent: these synthetic
+    // embeddings are random, so a 16/64 prefix is weakly informative (real
+    // MRL models train prefixes to preserve ranking). Keep only a floor
+    // that proves the candidate pool isn't degenerate.
+    val mset = mrl.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = SimilarityOps.bruteForceTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (mset intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"MRL recall $recall degenerate on the random fixture")
+  }
+
+  test("matryoshkaTopKAtRest: row-identical to the in-flight form; drifted prefixDim fails loudly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-mrl").toString + "/corpus"
+    SimilarityOps.writeMatryoshkaCorpus(emb, "vec_id", "embedding", prefixDim = 16, path)
+    val atRest = SimilarityOps.matryoshkaTopKAtRest(spark, path,
+      q, "vec_id", "embedding", "vec_id", k = 4, prefixDim = 16)
+      .orderBy("query_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    val inFlight = SimilarityOps.matryoshkaTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 4, prefixDim = 16)
+      .orderBy("query_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(atRest == inFlight)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.matryoshkaTopKAtRest(spark, path,
+        q, "vec_id", "embedding", "vec_id", k = 4, prefixDim = 8)
+    }
+    assert(e.getMessage.contains("prefixDim=16") && e.getMessage.contains("prefixDim=8"))
+  }
+
+  test("frameDedupPairs: identical payloads hit jaccard 1; disjoint payloads never pair") {
+    val df = Seq(
+      (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"), // frames: chunks 0 and 1 of 16
+      (2L, "aaaaaaaabbbbbbbbccccccccdddddddd"), // identical → jaccard 1.0
+      (3L, "aaaaaaaabbbbbbbbzzzzzzzzyyyyyyyy"), // shares frame 0 only → 1/3
+      (4L, "qqqqqqqqrrrrrrrrsssssssstttttttt")) // disjoint
+      .toDF("doc_id", "text")
+      .withColumn("__bin", col("text").cast("binary"))
+    val got = MultimodalOps.frameDedupPairs(df, "doc_id", "__bin",
+      frameBytes = 8, everyK = 2, minJaccard = 0.0)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // 32-byte payloads → frames at offsets 0 and 16 (8 bytes each):
+    // doc1/doc2 share both; doc3 shares only 'aaaaaaaa'; doc4 nothing
+    assert(got == Seq(
+      (1L, 2L, 2, 1.0),
+      (1L, 3L, 1, 0.3333),
+      (2L, 3L, 1, 0.3333)))
+  }
 }

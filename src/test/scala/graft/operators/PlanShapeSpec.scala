@@ -365,4 +365,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(probe.count() > 0)
     }
   }
+
+  test("s16's at-rest MRL probe prunes columns: approx pass reads (id, prefix) only, re-rank (id, vec) only") {
+    withStaticPlans {
+      // the dim/prefixDim× scan-byte cut IS this pruning — if the approx
+      // scan ever drags the full vector along, the prefix column buys nothing
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val path = java.nio.file.Files.createTempDirectory("graft-mrlplan").toString + "/corpus"
+      SimilarityOps.writeMatryoshkaCorpus(emb, "vec_id", "embedding", prefixDim = 16, path)
+      val probe = SimilarityOps.matryoshkaTopKAtRest(spark, path,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", "vec_id",
+        k = 3, prefixDim = 16)
+      val scans = nodes(probe) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("mrlplan")) => s
+        }.map(_.requiredSchema.fieldNames.toSet)
+      assert(scans.size == 2, s"expected 2 corpus scans, got $scans")
+      assert(scans.exists(s => s.contains("prefix") && !s.contains("vec")),
+        s"approx scan not pruned to the prefix column: $scans")
+      assert(scans.exists(s => s.contains("vec") && !s.contains("prefix")),
+        s"re-rank scan not pruned to floats: $scans")
+      assert(probe.count() > 0)
+    }
+  }
 }
