@@ -116,6 +116,7 @@ object Bench {
     // degrades resolution instead of truncating the JSON's head
     def fN(v: Double, nd: Int): String =
       if (v < 0) "-1"
+      else if (nd == 0) s"%.0f".format(v) // no '.', so no zero-stripping ("10" must stay "10")
       else s"%.${nd}f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
     val total = results.map(_._2).filter(_ >= 0).sum
     // basename only: the full fixture path spends ~15 chars of the
@@ -127,12 +128,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    // the driver records only the FINAL 2000 chars of output; if the
-    // inventory grows the line past that, the JSON's head would be cut —
-    // degrade precision first, and fail loudly when even 1 dp won't fit
-    val line = Iterator(2, 1).map(mkLine).find(_.length <= 1800).getOrElse(mkLine(1))
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING metrics line ${line.length} chars even at 1 dp — nearing the driver's 2000-char tail; shorten keys")
+    // the driver records only the FINAL 2000 chars of output and the
+    // metrics line prints LAST, so the line survives whole iff it fits
+    // that tail itself (minus sbt's "[info] " prefix ≈ 1990 usable).
+    // Degrade precision first — 2 dp → 1 dp → whole seconds (per-pass
+    // full precision is in the committed bench_full.json either way) —
+    // and fail loudly only when even 0 dp won't fit.
+    val line = Iterator(2, 1, 0).map(mkLine).find(_.length <= 1950).getOrElse(mkLine(0))
+    if (line.length > 1950)
+      System.err.println(s"[bench] WARNING metrics line ${line.length} chars even at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
     println(line)
     spark.stop()
   }
