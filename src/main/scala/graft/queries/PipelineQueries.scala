@@ -2642,6 +2642,35 @@ object PipelineQueries {
       MultimodalOps.frameDedupPairs(docs, "doc_id", "__bin",
         frameBytes = 8, everyK = 2, minJaccard = 0.5)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---------------------------------------------------------------- cross-document boilerplate scrub
+    // the CCNet/RefinedWeb paragraph-frequency stage: a chunk appearing
+    // in ≥ maxDf DISTINCT documents is boilerplate (headers, footers,
+    // license blocks) and is cut from every document that carries it —
+    // the complement of d30's passage dedup, which keeps one copy.
+    // Chunking and the 32-bit md5 chunk key are the same fused
+    // wordChunks kernel d30 proves parity for; the doc-frequency table
+    // is corpus-vocab-sized and the scrub is one join back.
+    q("d64_boilerplate_scrub", {
+      val w = 12
+      s"""WITH tok AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |ch0 AS (SELECT doc_id, t,
+         |  unnest(range(0, CAST(ceil(len(t) / $w.0) AS BIGINT))) AS p FROM tok),
+         |ch AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         |  array_to_string(t[(p*$w+1):least(p*$w+$w, len(t))], ' ') AS chunk FROM ch0),
+         |h AS (SELECT doc_id, pos, chunk, ${sqlHash("chunk", "")} AS hh FROM ch),
+         |df AS (SELECT hh, count(DISTINCT doc_id) AS d FROM h GROUP BY hh),
+         |j AS (SELECT h.doc_id, h.pos, h.chunk, df.d < 2 AS keep
+         |  FROM h JOIN df USING (hh))
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+         |  CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE keep) AS text_clean
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.CurationOps.boilerplateLines(
+        table(s, dir, "documents"), "doc_id", "text", w = 12, maxDf = 2)
+        .orderBy("doc_id")
     }
   )
 }

@@ -1291,6 +1291,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("prefixDim=16") && e.getMessage.contains("prefixDim=8"))
   }
 
+  test("boilerplateLines cuts chunks shared across docs; all-boilerplate docs go null") {
+    val df = Seq(
+      (1L, "x y a b"),   // chunks "x y" (shared with doc 2 → cut), "a b" (kept)
+      (2L, "x y c d"),
+      (3L, "p q r s"),   // nothing shared → intact
+      (4L, "x y"))       // only the shared chunk → scrubbed to null
+      .toDF("doc_id", "text")
+    val got = CurationOps.boilerplateLines(df, "doc_id", "text", w = 2, maxDf = 2)
+      .orderBy("doc_id").as[(Long, Int, Int, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2, 1, Some("a b")), (2L, 2, 1, Some("c d")),
+      (3L, 2, 2, Some("p q r s")), (4L, 1, 0, None)))
+  }
+
   test("frameDedupPairs: identical payloads hit jaccard 1; disjoint payloads never pair") {
     val df = Seq(
       (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"), // frames: chunks 0 and 1 of 16
