@@ -570,30 +570,40 @@ object MultimodalOps {
     * nothing downstream because only the 16-byte md5s flow past it.
     *
     * Scale shape: payload bytes never shuffle — each binary collapses
-    * to distinct (id, frame-hash) rows at scan time; pair generation is
-    * the LSH-banding bucket join (pairs meet ONLY inside a shared frame
-    * hash — linear in bucket sizes, never corpus × corpus), and the
-    * Jaccard needs no second look at the payload because set sizes
-    * travel with the id. A frame shared by n payloads emits n·(n−1)/2
-    * candidate pairs — the same quadratic-in-duplicity property as
-    * d08's LSH pairs; threshold or cap upstream if a corpus carries a
-    * million copies of one intro frame.
+    * to its distinct-frame-hash SET in one aggregation keyed on id
+    * (map-side combined; a set is ≤ frames-per-payload, model-sized),
+    * and the set SIZE rides along with every exploded hash so the
+    * Jaccard denominator needs no extra join or second derivation.
+    * Pair generation is the LSH-banding bucket join (pairs meet ONLY
+    * inside a shared frame hash — linear in bucket sizes, never
+    * corpus × corpus). The payload scan runs once per join SIDE (twice
+    * total — Spark re-executes a self-joined lineage); the earlier
+    * sizes-as-separate-branch form re-scanned the binary corpus 4×,
+    * which is what dominates at 100 TB of video. For the steady-state
+    * ingest loop, persist the (id, n, frame-hash) signature table and
+    * probe batches against it — the d48 signature-ledger regime; then
+    * each payload's bytes are read exactly once at admission.
+    * A frame shared by n payloads emits n·(n−1)/2 candidate pairs —
+    * the same quadratic-in-duplicity property as d08's LSH pairs;
+    * threshold or cap upstream if a corpus carries a million copies of
+    * one intro frame.
     * Output: `(a_id, b_id, n_common, jaccard)` with a_id < b_id,
     * jaccard ≥ `minJaccard`.
     */
   def frameDedupPairs(df: DataFrame, idCol: String, binCol: String,
       frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame = {
-    val frames = sampleFrames(df, idCol, binCol, frameBytes, everyK)
+    val perDoc = sampleFrames(df, idCol, binCol, frameBytes, everyK)
       .select(col(idCol), md5(col("frame_bytes")).as("__fh"))
-      .distinct()
-    val sizes = frames.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = frames.select(col(idCol).as("a_id"), col("__fh"))
-      .join(frames.select(col(idCol).as("b_id"), col("__fh")), Seq("__fh"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__fh")).as("__fhs"))
+      .select(col(idCol), size(col("__fhs")).as("__n"),
+        explode(col("__fhs")).as("__fh"))
+    val a = perDoc.select(col(idCol).as("a_id"), col("__n").as("__na"), col("__fh"))
+    val b = perDoc.select(col(idCol).as("b_id"), col("__n").as("__nb"), col("__fh"))
+    a.join(b, Seq("__fh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("__common"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), Seq("a_id"))
-      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), Seq("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__common"))
       .select(col("a_id"), col("b_id"),
         col("__common").cast("int").as("n_common"),
         graft.queries.Qf.dround(
