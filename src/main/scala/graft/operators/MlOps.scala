@@ -106,12 +106,26 @@ object MlOps {
     * lost, precision/recall/f1 rounded to 4.
     */
   def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
-      decimals: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val buckets = scored
+      decimals: Int = 2): DataFrame =
+    sweepFromBuckets(scored
       .groupBy(graft.queries.Qf.dround(col(scoreCol), decimals).as("thr"))
       .agg(sum(col(labelCol).cast("long")).as("__pos"),
-        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg"))
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg")))
+
+  /** The curve from already-maintained per-bucket counts `(thr, __pos,
+    * __neg)` — the INCREMENTAL entry point: bucket counts are additive,
+    * so an ingest loop keeps them at rest (the d41 stats-ledger regime,
+    * one ≤101-row generation per advance) and re-derives the whole
+    * operating-point curve in O(buckets) on demand, never rescanning
+    * the corpus. Streaming parity is pinned in EventStreamsSpec:
+    * summing per-micro-batch bucket counts and sweeping equals the
+    * one-shot batch sweep. Duplicate `thr` rows (e.g. one per batch)
+    * are merged here, so callers can feed the raw accreted ledger.
+    */
+  def sweepFromBuckets(bucketCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = bucketCounts.groupBy(col("thr"))
+      .agg(sum(col("__pos")).as("__pos"), sum(col("__neg")).as("__neg"))
     val desc = Window.orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.orderBy(col("thr").desc)

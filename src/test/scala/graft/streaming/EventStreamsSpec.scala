@@ -435,4 +435,51 @@ class EventStreamsSpec extends AnyFunSuite {
         got.toString)
     } finally q.stop()
   }
+
+  test("streaming threshold sweep: summed per-microbatch bucket counts re-derive the batch curve") {
+    import spark.implicits._
+    import graft.operators.{MlOps, TextOps}
+    // the streaming face of d63: per-bucket (pos, neg) counts are
+    // ADDITIVE, so the ingest loop maintains them incrementally (the
+    // d41 stats-ledger regime) and sweepFromBuckets re-derives the
+    // whole operating-point curve from the ≤101-row count table — the
+    // corpus is never rescanned. Parity: accumulate each micro-batch's
+    // bucket counts, sweep the sum, compare row-for-row to the one-shot
+    // batch sweep over the union.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+      TextOps.qualityScore(col("text")).as("__score"),
+      (TextOps.stopwordCount(col("text")) >= 2).cast("int").as("__lab"))
+    val acc = scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val counts = scored(batch)
+          .groupBy(graft.queries.Qf.dround(col("__score"), 2).as("thr"))
+          .agg(sum(col("__lab").cast("long")).as("__pos"),
+            (count(lit(1)) - sum(col("__lab").cast("long"))).as("__neg"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        acc.synchronized { acc ++= counts }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(docs.take(40).toSeq); q.processAllAvailable()
+      stream.addData(docs.slice(40, 70).toSeq); q.processAllAvailable()
+      stream.addData(docs.drop(70).toSeq); q.processAllAvailable()
+      val fromStream = MlOps.sweepFromBuckets(
+        acc.toSeq.toDF("thr", "__pos", "__neg"))
+        .orderBy(col("thr").desc)
+        .as[(Double, Long, Long, Long, Double, Double, Double)].collect().toSeq
+      val batchCurve = MlOps.thresholdSweep(
+        scored(docs.toSeq.toDF("doc_id", "text")), "__score", "__lab")
+        .orderBy(col("thr").desc)
+        .as[(Double, Long, Long, Long, Double, Double, Double)].collect().toSeq
+      assert(fromStream == batchCurve && batchCurve.nonEmpty,
+        s"stream=${fromStream.size} batch=${batchCurve.size}")
+    } finally q.stop()
+  }
 }
