@@ -271,6 +271,17 @@ object TextOps {
   def stripHtml(html: Column): Column =
     trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
 
+  /** Word-list content gate (the C4 §2.2 "bad words" filter shape —
+    * the list here is caller-supplied): true when ANY token of the
+    * document appears in `words`. Token-exact (no substring matches, so
+    * "class" never trips a "*ass*" rule — the Scunthorpe failure the
+    * original C4 filter is criticized for). The list is a literal array
+    * in the plan (policy lists are small); `arrays_overlap` short-
+    * circuits on first hit. Per-row kernel, zero shuffle at any scale.
+    */
+  def containsAnyWord(text: Column, words: Seq[String]): Column =
+    arrays_overlap(tokens(text), array(words.map(lit): _*))
+
   /** Total characters of anchor (`<a …>text</a>`) inner text — the
     * numerator of LINK DENSITY, the classic boilerplate signal
     * (navigation/footer blocks are link-dense, body prose is not).

@@ -2671,6 +2671,35 @@ object PipelineQueries {
       graft.operators.CurationOps.boilerplateLines(
         table(s, dir, "documents"), "doc_id", "text", w = 12, maxDf = 2)
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- word-list content gate
+    // the C4 §2.2 policy-list filter as a per-source report: drop any
+    // document whose TOKENS intersect the list (token-exact — no
+    // substring Scunthorpe hits), count the surviving token budget per
+    // source. One scan, per-row kernel, one source-keyed agg; the list
+    // is a plan literal. The fixture list pairs a common corpus word
+    // with an absent one, so both the hit and miss paths are exercised.
+    q("d65_content_filter",
+      s"""WITH f AS (SELECT source,
+         |  list_has_any($sqlTokens, ['slow', 'deprecated']) AS hit,
+         |  len($sqlTokens) AS nt FROM documents)
+         |SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE hit) AS INTEGER) AS n_dropped,
+         |  round(count(*) FILTER (WHERE hit) / count(*), 4) AS drop_ratio,
+         |  CAST(coalesce(sum(nt) FILTER (WHERE NOT hit), 0) AS BIGINT) AS n_tokens_kept
+         |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val hit = TextOps.containsAnyWord(col("text"), Seq("slow", "deprecated"))
+      table(s, dir, "documents")
+        .select(col("source"), hit.as("__hit"),
+          TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(when(col("__hit"), 1).otherwise(0)).cast("int").as("n_dropped"),
+          Qf.dround(sum(when(col("__hit"), 1).otherwise(0)) / count(lit(1)), 4)
+            .as("drop_ratio"),
+          coalesce(sum(when(!col("__hit"), col("__nt"))), lit(0L)).as("n_tokens_kept"))
+        .orderBy("source")
     }
   )
 }

@@ -1291,6 +1291,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("prefixDim=16") && e.getMessage.contains("prefixDim=8"))
   }
 
+  test("containsAnyWord is token-exact: no substring (Scunthorpe) hits, empty text never trips") {
+    val df = Seq("the class is full", "bad word here", "badge of honor", "", "bad").toDF("text")
+    val got = df.select(TextOps.containsAnyWord(col("text"), Seq("bad", "ass")).as("h"))
+      .as[Boolean].collect().toSeq
+    // "class" does not match "ass"; "badge" does not match "bad"
+    assert(got == Seq(false, true, false, false, true))
+  }
+
   test("boilerplateLines cuts chunks shared across docs; all-boilerplate docs go null") {
     val df = Seq(
       (1L, "x y a b"),   // chunks "x y" (shared with doc 2 → cut), "a b" (kept)
