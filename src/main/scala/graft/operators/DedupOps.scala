@@ -359,6 +359,112 @@ object DedupOps {
         targetFiles, maxRecordsPerFile)
     }
 
+  // ------------------------------------------------------------------
+  // Cluster-assignment ledger: near-dup CLUSTERING at rest (the d17
+  // pipeline's ingest loop). Layout: an embedded signature ledger at
+  // `<path>/sig` (the probe side — self-describing via its own
+  // (numHashes, shingleSize) sidecar, so a drifted advance fails
+  // loudly there) plus the assignments table `(node, label)` at
+  // `<path>/asg`, label = the cluster's minimum member id, singletons
+  // labeled by themselves.
+  // ------------------------------------------------------------------
+
+  private def clusterSigPath(path: String) = path + "/sig"
+  private[graft] def clusterAsgPath(path: String) = path + "/asg"
+
+  /** Create the cluster ledger from the initial corpus: signatures
+    * admitted to the embedded signature ledger, assignments from the
+    * in-flight star-edge + connected-components pipeline (exactly
+    * d17's), every document covered (no-edge docs label themselves).
+    */
+  def writeClusterLedger(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, bandSize: Int = 4,
+      shingleSize: Int = 5): Unit = {
+    writeSignatureLedger(docs, idCol, textCol, clusterSigPath(path),
+      numHashes, shingleSize)
+    val cc = connectedComponents(
+      lshStarEdges(docs, idCol, textCol, numHashes, bandSize, shingleSize),
+      "d1", "d2")
+    docs.select(col(idCol).cast("long").as("node")).distinct()
+      .join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      .write.mode("overwrite").parquet(clusterAsgPath(path))
+  }
+
+  /** Admit a batch and fold it into the clustering — O(batch) graph
+    * work, never a corpus-wide re-cluster: the batch probes the
+    * signature ledger for band collisions (same collision criterion
+    * full-corpus banding applies, so connectivity matches a from-
+    * scratch run — the d66 oracle pins it), corpus endpoints lift to
+    * their cluster LABELS, and connected components runs over a graph
+    * whose nodes are batch ids + touched labels only. A batch document
+    * bridging two existing clusters merges them: the losing labels
+    * REMAP to the merged component's minimum, applied to the stored
+    * assignments inside the staged swap (label-key join against the
+    * model-sized remap — the rewrite is the generation write every
+    * ledger advance already pays). Replay-safe end to end: a retried
+    * advance re-derives identical rows (probe collapses the replayed
+    * signature rows; labels are already minimal) and the full-row
+    * dropDuplicates makes the union a no-op; pass `batchId` to also
+    * ride the exactly-once marker.
+    */
+  def advanceClusterLedger(batch: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Option[String] = None, numHashes: Int = 8,
+      bandSize: Int = 4, shingleSize: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    // probe BEFORE admitting (a fresh batch never collides with itself;
+    // on replay the id-equal pairs are dropped here)
+    val probe = crossDedupAgainstSignatures(batch, idCol, textCol,
+      clusterSigPath(path), numHashes, bandSize, shingleSize)
+      .filter(col("new_id") =!= col("corpus_id"))
+    appendToSignatureLedger(batch, idCol, textCol, clusterSigPath(path),
+      numHashes, shingleSize)
+    val asg = LedgerGuard.readLedger(spark, clusterAsgPath(path))
+    val bc = probe
+      .select(col("new_id").cast("long").as("d1"),
+        col("corpus_id").cast("long").as("__cn"))
+      .join(asg.select(col("node").as("__cn"), col("label")), Seq("__cn"))
+      .select(col("d1"), col("label").as("d2"))
+    val internal = lshStarEdges(batch, idCol, textCol, numHashes, bandSize,
+      shingleSize)
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+    val comp = connectedComponents(bc.union(internal), "d1", "d2")
+    val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
+      .join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // old labels absorbed into a smaller-minimum component
+    val remap = comp.filter(col("node") =!= col("label"))
+      .select(col("node").as("__old"), col("label").as("__new"))
+    LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
+      "cluster-ledger advance", batchId) { staging =>
+      asg.join(broadcast(remap), asg("label") === col("__old"), "left")
+        .select(col("node"), coalesce(col("__new"), asg("label")).as("label"))
+        .union(batchAsg)
+        .dropDuplicates()
+        .write.parquet(staging)
+    }
+  }
+
+  /** Maintenance for both halves: the signature side compacts to sized
+    * files, the assignments side collapses replayed duplicates — same
+    * staged-swap/lease/manifest discipline everywhere.
+    */
+  def compactClusterLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16): Unit = {
+    compactSignatureLedger(spark, clusterSigPath(path), targetFiles)
+    LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
+      "cluster-ledger compaction") { staging =>
+      LayoutOps.writeSized(
+        LedgerGuard.readLedger(spark, clusterAsgPath(path)).dropDuplicates(),
+        staging, col("node"), targetFiles, 64L * 1000 * 1000)
+    }
+  }
+
+  /** Read the current assignments: `(node, label)`. */
+  def readClusterAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    LedgerGuard.readLedger(spark, clusterAsgPath(path))
+
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting
     * all O(|bucket|²) pairs. The transitive closure (connected

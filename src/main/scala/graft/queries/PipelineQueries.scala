@@ -2700,6 +2700,59 @@ object PipelineQueries {
             .as("drop_ratio"),
           coalesce(sum(when(!col("__hit"), col("__nt"))), lit(0L)).as("n_tokens_kept"))
         .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------- cluster-assignment ledger
+    // d17's INGEST LOOP: near-dup cluster assignments maintained at
+    // rest. The conformance run builds the ledger from the even half,
+    // advances the odd half (plus a crash-and-retry REPLAY of that
+    // advance), compacts, and reads the assignments — against a
+    // file-blind oracle that clusters the WHOLE corpus from scratch
+    // (d17's recursive-closure chain, extended to label singletons by
+    // themselves). The hash match proves incremental banding + label
+    // lifting + remap reach exactly the from-scratch connectivity and
+    // min-id labels, and that the replay invented nothing.
+    q("d66_cluster_ledger", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT d1 AS u, d2 AS v FROM cand UNION SELECT d2, d1 FROM cand),
+         |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u),
+         |al AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM al ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d66_cl_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      DedupOps.writeClusterLedger(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path)
+      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path)
+      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path) // replay
+      DedupOps.compactClusterLedger(s, path)
+      val labels = DedupOps.readClusterAssignments(s, path)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // sizes via partial-agg + same-key join, not count-over-window —
+      // the d17 rationale (a mega-cluster must not buffer in one task)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -127,6 +127,31 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shingleSize=5"), e.getMessage)
   }
 
+  test("cluster ledger: manifest-mode write/advance/replay/compact equals plain (d66 cycle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val gen1 = docs.filter(col("doc_id") % 2 === 0)
+    val gen2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def cycle(path: String, manifested: Boolean): Set[(Long, Long)] = {
+      DedupOps.writeClusterLedger(gen1, "doc_id", "text", path)
+      if (manifested) {
+        // composite ledger: both halves (embedded signature ledger +
+        // assignments) convert — the documented /sig + /asg layout
+        LedgerGuard.convertToManifested(spark, path + "/sig")
+        LedgerGuard.convertToManifested(spark, path + "/asg")
+      }
+      DedupOps.advanceClusterLedger(gen2, "doc_id", "text", path)
+      DedupOps.advanceClusterLedger(gen2, "doc_id", "text", path) // replay
+      DedupOps.compactClusterLedger(spark, path, targetFiles = 2)
+      DedupOps.readClusterAssignments(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val plain = cycle(tmp("graft-cl-p") + "/cl", manifested = false)
+    val mani = cycle("nonatomic://" + tmp("graft-cl-m") + "/cl", manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+    assert(mani.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
+  }
+
   test("span-hash ledger: manifest-mode write/append/replay/compact scrub equals plain (d58 cycle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val probe = docs.filter(col("doc_id") % 10 === 0)

@@ -1291,6 +1291,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("prefixDim=16") && e.getMessage.contains("prefixDim=8"))
   }
 
+  test("cluster ledger: a lower-id batch arrival relabels the stored cluster (remap), replay is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("graft-clled").toString + "/cl"
+    // corpus ids HIGH so the batch can take over the minimum: doc 10's
+    // cluster must remap 10 -> 1 when identical doc 1 arrives
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "one two three four five six seven")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // near-dup (identical) of 10
+      (5L, "completely different text with no overlap at all")).toDF("doc_id", "text")
+    DedupOps.writeClusterLedger(corpus, "doc_id", "text", path)
+    val before = DedupOps.readClusterAssignments(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(before == Map(10L -> 10L, 20L -> 20L))
+    DedupOps.advanceClusterLedger(batch, "doc_id", "text", path)
+    DedupOps.advanceClusterLedger(batch, "doc_id", "text", path) // crash-and-retry replay
+    val after = DedupOps.readClusterAssignments(spark, path)
+      .as[(Long, Long)].collect()
+    assert(after.length == after.map(_._1).distinct.length, "duplicate node rows after replay")
+    assert(after.toMap == Map(10L -> 1L, 1L -> 1L, 20L -> 20L, 5L -> 5L), after.toMap.toString)
+  }
+
+  test("cluster ledger: incremental maintenance equals clustering the whole corpus from scratch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incPath = java.nio.file.Files.createTempDirectory("graft-clinc").toString + "/cl"
+    val fullPath = java.nio.file.Files.createTempDirectory("graft-clfull").toString + "/cl"
+    DedupOps.writeClusterLedger(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", incPath)
+    DedupOps.advanceClusterLedger(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", incPath)
+    DedupOps.advanceClusterLedger(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", incPath)
+    DedupOps.compactClusterLedger(spark, incPath)
+    DedupOps.writeClusterLedger(docs, "doc_id", "text", fullPath)
+    val inc = DedupOps.readClusterAssignments(spark, incPath)
+      .as[(Long, Long)].collect().toSet
+    val full = DedupOps.readClusterAssignments(spark, fullPath)
+      .as[(Long, Long)].collect().toSet
+    assert(inc == full && full.nonEmpty, s"inc=${inc.size} full=${full.size}")
+    assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
+  }
+
   test("containsAnyWord is token-exact: no substring (Scunthorpe) hits, empty text never trips") {
     val df = Seq("the class is full", "bad word here", "badge of honor", "", "bad").toDF("text")
     val got = df.select(TextOps.containsAnyWord(col("text"), Seq("bad", "ass")).as("h"))
