@@ -380,15 +380,22 @@ object DedupOps {
   def writeClusterLedger(docs: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bandSize: Int = 4,
       shingleSize: Int = 5): Unit = {
-    writeSignatureLedger(docs, idCol, textCol, clusterSigPath(path),
-      numHashes, shingleSize)
-    val cc = connectedComponents(
-      lshStarEdges(docs, idCol, textCol, numHashes, bandSize, shingleSize),
-      "d1", "d2")
-    docs.select(col(idCol).cast("long").as("node")).distinct()
-      .join(cc, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      .write.mode("overwrite").parquet(clusterAsgPath(path))
+    // shingle the corpus ONCE: the signature write and the star edges
+    // both read the cached signature table, not the text pipeline
+    // (batch-bounded persist, released before return — same rationale
+    // as connectedComponents' internal edge persist)
+    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull).persist()
+    try {
+      sig.write.mode("overwrite").parquet(clusterSigPath(path))
+      writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
+      val cc = connectedComponents(
+        starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
+      docs.select(col(idCol).cast("long").as("node")).distinct()
+        .join(cc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .write.mode("overwrite").parquet(clusterAsgPath(path))
+    } finally sig.unpersist(false)
   }
 
   /** Admit a batch and fold it into the clustering — O(batch) graph
@@ -412,37 +419,54 @@ object DedupOps {
       path: String, batchId: Option[String] = None, numHashes: Int = 8,
       bandSize: Int = 4, shingleSize: Int = 5): Unit = {
     val spark = batch.sparkSession
-    // probe BEFORE admitting (a fresh batch never collides with itself;
-    // on replay the id-equal pairs are dropped here)
-    val probe = crossDedupAgainstSignatures(batch, idCol, textCol,
-      clusterSigPath(path), numHashes, bandSize, shingleSize)
-      .filter(col("new_id") =!= col("corpus_id"))
-    appendToSignatureLedger(batch, idCol, textCol, clusterSigPath(path),
-      numHashes, shingleSize)
-    val asg = LedgerGuard.readLedger(spark, clusterAsgPath(path))
-    val bc = probe
-      .select(col("new_id").cast("long").as("d1"),
-        col("corpus_id").cast("long").as("__cn"))
-      .join(asg.select(col("node").as("__cn"), col("label")), Seq("__cn"))
-      .select(col("d1"), col("label").as("d2"))
-    val internal = lshStarEdges(batch, idCol, textCol, numHashes, bandSize,
-      shingleSize)
-      .select(col("d1").cast("long"), col("d2").cast("long"))
-    val comp = connectedComponents(bc.union(internal), "d1", "d2")
-    val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
-      .join(comp, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-    // old labels absorbed into a smaller-minimum component
-    val remap = comp.filter(col("node") =!= col("label"))
-      .select(col("node").as("__old"), col("label").as("__new"))
-    LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
-      "cluster-ledger advance", batchId) { staging =>
-      asg.join(broadcast(remap), asg("label") === col("__old"), "left")
-        .select(col("node"), coalesce(col("__new"), asg("label")).as("label"))
-        .union(batchAsg)
-        .dropDuplicates()
-        .write.parquet(staging)
-    }
+    requireSigMeta(spark, clusterSigPath(path), numHashes, shingleSize, "probe")
+    // shingle the batch ONCE: the probe, the signature append, and the
+    // internal star edges all read this cached table (batch-bounded
+    // persist, released before return) — the naive composition
+    // re-shingled the batch three times per advance
+    val sig = minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull).persist()
+    try {
+      // probe BEFORE admitting (a fresh batch never collides with itself;
+      // on replay the id-equal pairs are dropped here)
+      val probe = crossPairsOfSigs(
+        withSigKey(sig, numHashes),
+        withSigKey(LedgerGuard.readLedger(spark, clusterSigPath(path)), numHashes),
+        idCol, numHashes, bandSize)
+        .filter(col("new_id") =!= col("corpus_id"))
+      val asg = LedgerGuard.readLedger(spark, clusterAsgPath(path))
+      val bc = probe
+        .select(col("new_id").cast("long").as("d1"),
+          col("corpus_id").cast("long").as("__cn"))
+        .join(asg.select(col("node").as("__cn"), col("label")), Seq("__cn"))
+        .select(col("d1"), col("label").as("d2"))
+      val internal = starEdgesOfSigs(sig, idCol, numHashes, bandSize)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+      // admit the signatures BEFORE advancing the assignments: a crash
+      // between the two self-heals on retry (probe tolerates its own
+      // replayed rows), where the reverse order could leave admitted
+      // assignments whose signatures later batches never probe. The
+      // probe plan reads the ledger at action time, so it MAY see the
+      // rows appended here — harmless: id-equal pairs are filtered and
+      // batch↔batch ledger pairs only restate the internal edges.
+      sig.write.mode("append")
+        .parquet(LedgerGuard.appendPath(spark, clusterSigPath(path)))
+      val comp = connectedComponents(bc.union(internal), "d1", "d2")
+      val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
+        .join(comp, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      // old labels absorbed into a smaller-minimum component
+      val remap = comp.filter(col("node") =!= col("label"))
+        .select(col("node").as("__old"), col("label").as("__new"))
+      LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
+        "cluster-ledger advance", batchId) { staging =>
+        asg.join(broadcast(remap), asg("label") === col("__old"), "left")
+          .select(col("node"), coalesce(col("__new"), asg("label")).as("label"))
+          .union(batchAsg)
+          .dropDuplicates()
+          .write.parquet(staging)
+      }
+    } finally sig.unpersist(false)
   }
 
   /** Maintenance for both halves: the signature side compacts to sized
@@ -477,9 +501,18 @@ object DedupOps {
     * (harmless to CC's reduce-by-min; a distinct would cost a shuffle).
     */
   def lshStarEdges(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
+      numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame =
+    starEdgesOfSigs(
+      minHashSignatures(docs, idCol, textCol, numHashes, shingleSize),
+      idCol, numHashes, bandSize)
+
+  /** [[lshStarEdges]] from an already-computed signature table — the
+    * reuse seam the cluster ledger needs to shingle a batch exactly
+    * once per advance.
+    */
+  private def starEdgesOfSigs(sig: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
     val bands = lshBands(sig, idCol, numHashes, bandSize)
     val w = Window.partitionBy(col("band"), col("bucket"))
     bands
