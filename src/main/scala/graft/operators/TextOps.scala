@@ -287,10 +287,13 @@ object TextOps {
     * (navigation/footer blocks are link-dense, body prose is not).
     * Non-nested anchors only (`[^<]*` inner), which is what real nav
     * markup is; same per-row regexp-kernel regime as [[stripHtml]].
+    * Computed as the length of the concatenated anchor texts (≡ the
+    * sum of lengths) rather than an `aggregate` HOF fold — higher-
+    * order functions evaluate interpreted and break whole-stage
+    * codegen for the surrounding projection (the repo's §7.3 rule;
+    * same reason d53's span fold became a fused kernel).
     */
   def anchorTextChars(html: Column): Column =
-    aggregate(
-      transform(regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
-        t => length(t)),
-      lit(0), (acc, v) => acc + v)
+    length(array_join(
+      regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
 }
