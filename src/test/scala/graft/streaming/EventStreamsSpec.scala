@@ -402,6 +402,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster-ledger maintenance: per-microbatch advances equal clustering everything at once") {
+    import spark.implicits._
+    // the streaming face of d66: each micro-batch folds into the
+    // at-rest near-dup clustering (probe → label-lift → CC → remap);
+    // foreachBatch invocations are serial, so batch i+1 probes exactly
+    // seed ∪ batches ≤ i — the batch ingest loop's contract. Parity:
+    // final assignments equal writeClusterLedger over the whole corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incPath = java.nio.file.Files.createTempDirectory("graft-clstream").toString + "/cl"
+    graft.operators.DedupOps.writeClusterLedger(seed, "doc_id", "text", incPath)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.DedupOps.advanceClusterLedger(batch, "doc_id", "text",
+          incPath, batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      stream.addData(rest.take(100).toSeq); q.processAllAvailable()
+      stream.addData(rest.drop(100).toSeq); q.processAllAvailable()
+      val fullPath = java.nio.file.Files.createTempDirectory("graft-clfull2").toString + "/cl"
+      graft.operators.DedupOps.writeClusterLedger(docs, "doc_id", "text", fullPath)
+      val inc = graft.operators.DedupOps.readClusterAssignments(spark, incPath)
+        .as[(Long, Long)].collect().toSet
+      val full = graft.operators.DedupOps.readClusterAssignments(spark, fullPath)
+        .as[(Long, Long)].collect().toSet
+      assert(inc == full && full.exists { case (n, l) => n != l },
+        s"inc=${inc.size} full=${full.size}")
+    } finally q.stop()
+  }
+
   test("streaming sketch-ledger maintenance: per-microbatch advances track distinct content at rest") {
     import spark.implicits._
     // the streaming face of d46: each micro-batch folds its delta HLL
