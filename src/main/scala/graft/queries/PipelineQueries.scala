@@ -2753,6 +2753,63 @@ object PipelineQueries {
       labels.join(sizes, Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- perplexity buckets (CCNet)
+    // CCNet's head/middle/tail split: per-LANGUAGE perplexity terciles
+    // of the bigram-LM score (d34's), every document bucketed, token
+    // budget per (lang, bucket) — the table a data-mixing plan reads.
+    // Composition: the d34 scorer feeds the d51 percentile-broadcast
+    // regime (exact per-group quantiles via the histogram-selection
+    // plan, model-sized broadcast back). Bucket boundaries compare
+    // 4dp-ROUNDED nll against 4dp-rounded tercile on BOTH sides, so
+    // the cut is ulp-safe cross-engine (d34 pins nll parity at 4dp,
+    // d51 pins the interpolation).
+    q("d67_perplexity_buckets",
+      s"""WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+         |big AS (
+         |  SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+         |  FROM lst WHERE len(l) >= 2),
+         |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS vocab
+         |      FROM (SELECT unnest(l) AS tok FROM lst)),
+         |nll AS (
+         |  SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nl
+         |  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+         |sc AS (SELECT n.doc_id, d.lang, len(string_split(trim(d.text), ' ')) AS n_tok,
+         |  round(avg(n.nl), 4) AS nll_r
+         |  FROM nll n JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+         |qs AS (SELECT lang,
+         |  round(quantile_cont(nll_r, 1.0/3), 4) AS lo,
+         |  round(quantile_cont(nll_r, 2.0/3), 4) AS hi
+         |  FROM sc GROUP BY lang),
+         |b AS (SELECT sc.lang,
+         |  CASE WHEN nll_r <= lo THEN 'head'
+         |       WHEN nll_r <= hi THEN 'middle' ELSE 'tail' END AS bucket, n_tok
+         |  FROM sc JOIN qs ON sc.lang = qs.lang)
+         |SELECT lang, bucket, CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.{CurationOps, PercentileOps}
+      val docs = table(s, dir, "documents")
+      val sc = CurationOps.bigramLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), Qf.dround(col("avg_nll_raw"), 4).as("nll_r"))
+        .join(docs.select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")), Seq("doc_id"))
+      val qs = PercentileOps.exactQuantilesSelect(sc, Seq("lang"),
+        Seq(("nll_r", col("nll_r"), Seq(("lo", 1.0 / 3, false), ("hi", 2.0 / 3, false)))))
+      sc.join(broadcast(qs), Seq("lang"))
+        .select(col("lang"),
+          when(col("nll_r") <= Qf.dround(col("lo"), 4), "head")
+            .when(col("nll_r") <= Qf.dround(col("hi"), 4), "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_tok"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "bucket")
     }
   )
 }
