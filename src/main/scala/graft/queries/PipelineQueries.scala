@@ -225,6 +225,18 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** d68's demo WordPiece vocabulary: full single-character coverage
+    * (so clean alphanumeric text never falls to `[UNK]`) plus a few
+    * multi-character pieces that exercise greedy longest-match-first.
+    * Public so the AccuracySpec gate re-derives the exact same
+    * tokenizer the conformance query runs.
+    */
+  val wordPieceVocab: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      (('a' to 'z') ++ ('0' to '9')).map(c => s"##$c") ++
+      Seq("scan", "##ner", "tab", "##le", "sp", "##ark", "join", "merge",
+        "the", "key", "##ey")
+
   /** Trained ANN models memoized per fixture dir: an index is BUILT once
     * and PROBED many times, so repeated invocations (the bench's paired
     * passes; a user's query stream) should pay the probe, not a retrain —
@@ -2810,6 +2822,31 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("int").as("n_docs"),
           sum(col("n_tok")).as("n_tokens"))
         .orderBy("lang", "bucket")
+    },
+
+    // ---------------------------------------------------------------- WordPiece tokenizer apply
+    // the encode side of subword tokenization (d61 counts the training
+    // statistics; this runs a finished vocabulary over the corpus):
+    // BERT's greedy longest-match-first WordPiece as ONE codegen'd
+    // Catalyst expression, the vocabulary riding as a model-sized
+    // reference object. Greedy segmentation is engine-specific →
+    // rows-only; the AccuracySpec gate pins the reconstruction
+    // invariant (strip ##, concat == the input sans spaces) and
+    // closed-vocabulary membership over the whole conformance corpus,
+    // and unit tests pin the greedy/UNK semantics exactly.
+    q("d68_wordpiece", null) { (s, dir) =>
+      val p = graft.functions.TokenizeExpressions.wordPieceEncode(
+        col("text"), wordPieceVocab)
+      table(s, dir, "documents")
+        .select(col("doc_id"), p.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).as("n_pieces"),
+          // array_remove, not a filter() lambda: HOFs evaluate
+          // interpreted and break the projection's codegen (§7.3)
+          (size(col("__p")) - size(array_remove(col("__p"), "[UNK]")))
+            .as("n_unk"),
+          md5(concat_ws(" ", col("__p"))).as("pieces_fp"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -262,6 +262,30 @@ class AccuracySpec extends AnyFunSuite {
     assert(auc >= 0.8, f"holdout AUC = $auc%.3f < 0.8")
   }
 
+  test("d68 gate: WordPiece encode — lossless reconstruction and closed vocabulary over the corpus") {
+    // the rows-only conformance query's bound: greedy segmentation is
+    // engine-specific, but two invariants pin it corpus-wide —
+    // (1) stripping ## and concatenating reproduces the input sans
+    // spaces for every non-UNK document, (2) every emitted piece is in
+    // the vocabulary (or is [UNK]). The demo vocab has full single-char
+    // coverage, so this corpus must produce zero UNK documents.
+    val vocab = graft.queries.PipelineQueries.wordPieceVocab
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val p = graft.functions.TokenizeExpressions.wordPieceEncode(col("text"), vocab)
+    val enc = docs.select(col("doc_id"), col("text"), p.as("p"))
+    val unkDocs = enc.filter(array_contains(col("p"), "[UNK]")).count()
+    assert(unkDocs == 0, s"$unkDocs UNK docs on an all-alphanumeric corpus")
+    val bad = enc.filter(
+      concat_ws("", transform(col("p"),
+        x => regexp_replace(x, "^##", ""))) =!=
+        regexp_replace(trim(col("text")), " ", "")).count()
+    assert(bad == 0, s"$bad docs fail piece reconstruction")
+    val outOfVocab = enc
+      .select(explode(col("p")).as("piece")).distinct()
+      .filter(!col("piece").isin(vocab :+ "[UNK]": _*)).count()
+    assert(outOfVocab == 0, s"$outOfVocab pieces outside the vocabulary")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would

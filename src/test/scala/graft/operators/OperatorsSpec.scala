@@ -1331,6 +1331,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("wordPieceEncode: greedy longest-match, ## continuations, whole-word UNK, empty-token skip") {
+    val vocab = Seq("tab", "table", "##le", "##t", "scan", "##ner", "a", "b", "##b")
+    val df = Seq("table", "tablet", "scanner", "abb", "xyz", "tabx", "a b", "", " a  b ")
+      .toDF("t")
+    val got = df.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("t"), vocab).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("table"),            // longest FIRST piece beats "tab"+"##le"
+      Seq("table", "##t"),
+      Seq("scan", "##ner"),
+      Seq("a", "##b", "##b"),
+      Seq("[UNK]"),            // nothing matches
+      Seq("[UNK]"),            // "tab" matched, then no "##x" → WHOLE word falls back
+      Seq("a", "b"),
+      Seq(),                   // empty text
+      Seq("a", "b")))          // leading/trailing/double spaces yield no empty pieces
+  }
+
+  test("wordPieceEncode codegen path equals interpreted eval") {
+    val vocab = Seq("tab", "##le", "a", "##a", "x")
+    val rows = Seq("table", "aaa x tab", "q").toDF("t")
+    val expr = graft.functions.TokenizeExpressions.wordPieceEncode(col("t"), vocab)
+    // wholestage on (default) vs forced-off interpreted projection
+    val on = rows.select(expr.as("p")).as[Seq[String]].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = rows.select(expr.as("p")).as[Seq[String]].collect().toSeq
+      assert(on == off, s"codegen $on != interpreted $off")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("containsAnyWord is token-exact: no substring (Scunthorpe) hits, empty text never trips") {
     val df = Seq("the class is full", "bad word here", "badge of honor", "", "bad").toDF("text")
     val got = df.select(TextOps.containsAnyWord(col("text"), Seq("bad", "ass")).as("h"))
