@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.StringType
   * Injects the engine's SQL surface into every session built over the
   * extension: scalar kernels (`dot_f`, `dot_fd`, `intersect_count_s`,
   * `md5_hash32`, `text_stats`, `normalize_text`, `repetition_stats`,
-  * `word_gram_md5s`, `shingle_hash32s`) and the table-valued
-  * `redis_scan('glob')` / `redis_kv('glob')` / `redis_hash('glob')`
-  * sources (the reference's primary syntax). Session-scoped registration
-  * for an existing session remains available via `GraftRedis.registerSql`.
+  * `word_gram_md5s`, `shingle_hash32s`), the composed text kernels
+  * (`strip_html`, `anchor_text_chars`, `canonical_url`, `url_host`,
+  * `quality_score`, `wordpiece_encode(text, ARRAY(...))` — same
+  * expression trees as the Scala API, so the surfaces cannot drift),
+  * and the table-valued `redis_scan('glob')` / `redis_kv('glob')` /
+  * `redis_hash('glob')` sources (the reference's primary syntax).
+  * Session-scoped registration for an existing session remains
+  * available via `GraftRedis.registerSql`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -99,12 +103,48 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.ShingleHash32s(es(0),
         intArg(es(1), "shingle_hash32s"), longArg(es(2), "shingle_hash32s"))))
 
+    // composed text kernels exposed to SQL by round-tripping through the
+    // Column shims: the SQL call builds the SAME expression tree the
+    // Scala API builds, so the two surfaces cannot drift
+    def composed1(name: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name),
+        (es: Seq[Expression]) => org.apache.spark.sql.GraftSqlShims.analyzableExpression(
+          f(org.apache.spark.sql.GraftSqlShims.column(es(0))))))
+    composed1("strip_html")(graft.operators.TextOps.stripHtml)
+    composed1("anchor_text_chars")(graft.operators.TextOps.anchorTextChars)
+    composed1("canonical_url")(c => graft.operators.TextOps.canonicalUrl(c))
+    composed1("url_host")(graft.operators.TextOps.urlHost)
+    composed1("quality_score")(graft.operators.TextOps.qualityScore)
+    ext.injectFunction((FunctionIdentifier("wordpiece_encode"), info("wordpiece_encode"),
+      (es: Seq[Expression]) =>
+        graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))
+
     Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
       .foreach { case (fn, fmt) =>
         ext.injectTableFunction((FunctionIdentifier(fn), info(fn),
           (es: Seq[Expression]) =>
             org.apache.spark.sql.GraftSqlShims.logicalPlan(sourceDf(fmt, patternArg(es, fn)))))
       }
+  }
+
+  /** Literal ARRAY of strings (`ARRAY('a', 'b')` / `['a', 'b']`) — the
+    * vocabulary argument of `wordpiece_encode`. Must fold at plan time:
+    * the vocab becomes a codegen reference object, not a per-row value.
+    */
+  private def stringSeqArg(e: Expression, fn: String): Seq[String] = e match {
+    case arr if arr.foldable && (arr.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    }) =>
+      val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until data.numElements()).map { i =>
+        val v = data.getUTF8String(i)
+        if (v == null) throw new IllegalArgumentException(s"$fn vocab must not contain NULL")
+        v.toString
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal ARRAY of strings as its vocabulary, e.g. " +
+        s"$fn(text, ARRAY('a', '##a'))")
   }
 
   /** The engine's optimizer rules. */

@@ -11,6 +11,16 @@ object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a catalyst Expression
+    * (possibly containing `Unresolved*` nodes for the analyzer to
+    * resolve). [[expression]] wraps API-built Columns in a LAZY
+    * `ColumnNodeExpression` leaf, which is fine inside a Dataset
+    * transformation but unevaluable when handed straight to the
+    * function registry — a SQL call site needs the real tree.
+    */
+  def analyzableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Logical plan of a (classic) DataFrame — used to register DataFrame-
     * built relations as SQL table-valued functions.
     */

@@ -70,6 +70,28 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(0) == "v3")
     assert(spark.sql("SELECT fields['f'] FROM redis_hash('exthash:*')")
       .head().getString(0) == "1")
+
+    // composed text kernels: the SQL names build the SAME trees as the
+    // Scala API (round-tripped through the Column shims)
+    assert(spark.sql("SELECT strip_html('<p>a <b>b</b></p>') AS t")
+      .head().getString(0) == "a b")
+    assert(spark.sql("SELECT anchor_text_chars('<a href=\"/x\">abc</a><p>zz</p>') AS n")
+      .head().getInt(0) == 3)
+    assert(spark.sql("SELECT canonical_url('HTTPS://Ex.COM:443/p?utm_source=1') AS u")
+      .head().getString(0) == "https://ex.com/p")
+    assert(spark.sql("SELECT url_host('https://A.B.c/q') AS h")
+      .head().getString(0) == "a.b.c")
+    val q = spark.sql("SELECT round(quality_score('the cat sat'), 4) AS q").head().getDouble(0)
+    val qApi = spark.range(1)
+      .select(graft.queries.Qf.dround(
+        graft.operators.TextOps.qualityScore(org.apache.spark.sql.functions.lit("the cat sat")), 4))
+      .head().getDouble(0)
+    assert(q == qApi)
+    assert(spark.sql("SELECT wordpiece_encode('table', ARRAY('table', 'tab', '##le')) AS p")
+      .head().getSeq[String](0) == Seq("table"))
+    val e = intercept[Exception](
+      spark.sql("SELECT wordpiece_encode('x', 'notanarray')").collect())
+    assert(e.getMessage.contains("ARRAY of strings"), e.getMessage)
   }
 
   test("optimizer rule rewrites the naive levenshtein join: no cartesian, identical rows") {
