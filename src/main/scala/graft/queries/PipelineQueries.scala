@@ -2824,6 +2824,46 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- n-gram novelty
+    // the memorization-risk / content-originality metric: what fraction
+    // of a document's 3-gram occurrences appear in NO other document
+    // (gram-level novelty — the complement of d60's span-duplication
+    // ratio, which only sees verbatim runs ≥ k). Grams flow as the
+    // fused 32-bit md5 kernel's hashes (d24's regime — shuffles carry
+    // 8-byte hashes, never text); the doc-frequency table is
+    // corpus-vocab-sized and the join-back is the d30/d64 2-scan shape.
+    q("d69_ngram_novelty",
+      s"""WITH tok AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |g AS (SELECT doc_id, ${sqlHash("g0", "")} AS h FROM (
+         |  SELECT doc_id, unnest(${sqlNgrams("t", 3)}) AS g0 FROM tok)),
+         |df AS (SELECT h, count(DISTINCT doc_id) AS d FROM g GROUP BY h),
+         |per AS (SELECT g.doc_id, count(*) AS n_grams,
+         |  count(*) FILTER (WHERE df.d = 1) AS n_novel
+         |  FROM g JOIN df USING (h) GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_grams, 0) AS INTEGER) AS n_grams,
+         |  CAST(coalesce(p.n_novel, 0) AS INTEGER) AS n_novel,
+         |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(p.n_novel / p.n_grams, 4) END AS novelty
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val g = docs.select(col("doc_id"),
+        explode(graft.functions.NgramExpressions.wordGramMd5s(col("text"), 3)).as("h"))
+      val df = g.distinct().groupBy(col("h")).agg(count(lit(1)).as("__d"))
+      val per = g.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(Qf.dround(col("n_novel") / col("n_grams"), 4)).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- WordPiece tokenizer apply
     // the encode side of subword tokenization (d61 counts the training
     // statistics; this runs a finished vocabulary over the corpus):
