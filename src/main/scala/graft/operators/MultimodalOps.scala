@@ -220,6 +220,109 @@ object MultimodalOps {
     synthCache.computeIfAbsent((seed, w, h, format),
       k => syntheticImage(k._1, k._2, k._3, k._4))
 
+  /** 64-bit average perceptual hash (aHash) over REAL decoded pixels:
+    * decode with `javax.imageio` (JRE-shipped, no native deps), bilinear
+    * downscale to 8×8 grayscale, threshold each cell at the mean. The
+    * standard cheap image near-dup key — stable across codec (PNG vs
+    * JPEG of the same content), resolution, and mild recompression,
+    * which is exactly what byte-level hashing (m01's content_hash)
+    * cannot see. Undecodable/empty payloads hash to 0.
+    *
+    * Deterministic for a given JDK's decode+scale pipeline, engine-
+    * specific across implementations → the conformance entry is
+    * rows-only; the AccuracySpec gate pins the perceptual properties
+    * (codec invariance, scale invariance, separation of distinct
+    * content).
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val src =
+      if (bytes == null || bytes.isEmpty) null
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (src == null) return 0L
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val r = small.getRaster
+    val px = new Array[Int](64)
+    var i = 0
+    var sum = 0L
+    while (i < 64) {
+      px(i) = r.getSample(i % 8, i / 8, 0)
+      sum += px(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Append an `ahash` LONG column computed per partition — the same
+    * mapPartitions seam as [[decodePartitioned]] (decoder init amortized
+    * per partition, payload bytes never shuffle).
+    */
+  def aHashPartitioned(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inSchema.fields.patch(binIdx, Nil, 1).toSeq :+
+        StructField("ahash", LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq.patch(binIdx, Nil, 1) :+ aHash64(bytes))
+      }
+    }
+  }
+
+  /** Smooth synthetic content for the perceptual-hash fixtures: linear
+    * per-channel ramps whose slopes derive from the seed. Perceptual
+    * hashing is DESIGNED for structured content — [[syntheticImage]]'s
+    * per-pixel noise downsamples to near-uniform cell means, the one
+    * regime where threshold bits are unstable by construction.
+    */
+  def syntheticGradientImage(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val a = (seed % 5 + 1).toInt
+    val b = (seed % 3 + 1).toInt
+    val flip = seed % 2 == 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x * 255 / math.max(1, w - 1)
+        val gy = y * 255 / math.max(1, h - 1)
+        val r0 = math.min(255, (gx * a) % 256)
+        val g0 = math.min(255, (gy * b) % 256)
+        val b0 = if (flip) 255 - gx else gy
+        img.setRGB(x, y, (r0 << 16) | (g0 << 8) | b0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private val gradCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, String), Array[Byte]]
+  def syntheticGradientImageCached(seed: Long, w: Int, h: Int,
+      format: String): Array[Byte] =
+    gradCache.computeIfAbsent((seed, w, h, format),
+      k => syntheticGradientImage(k._1, k._2, k._3, k._4))
+
   val AudioMetaType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),

@@ -2824,6 +2824,29 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- image perceptual hash
+    // near-dup keying for the IMAGE modality: 64-bit aHash over REAL
+    // javax.imageio-decoded pixels (8×8 grayscale downscale, mean
+    // threshold) — the content-level key that byte hashing (m01) can't
+    // provide, grouping re-encodes/rescales of the same picture. The
+    // fixture draws 8 distinct gradient images across the corpus (the
+    // m03 generator pattern, structured content because perceptual
+    // hashing is designed for it). Decode+scale is engine-specific →
+    // rows-only; the AccuracySpec gate pins codec invariance, scale
+    // invariance, and separation.
+    q("m07_image_phash", null) { (s, dir) =>
+      val gen = udf((m: Long) => MultimodalOps.syntheticGradientImageCached(
+        m, 32, 24, if (m % 2 == 0) "png" else "jpg"))
+      val imgs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 8).as("img"))
+      val hashed = MultimodalOps.aHashPartitioned(imgs, "img")
+      // same-hash grouping via partial-agg + join (the d17/d66 rationale)
+      val counts = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_copies"))
+      hashed.join(counts, Seq("ahash"))
+        .select(col("doc_id"), hex(col("ahash")).as("phash"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- n-gram novelty
     // the memorization-risk / content-originality metric: what fraction
     // of a document's 3-gram occurrences appear in NO other document

@@ -286,6 +286,29 @@ class AccuracySpec extends AnyFunSuite {
     assert(outOfVocab == 0, s"$outOfVocab pieces outside the vocabulary")
   }
 
+  test("m07 gate: aHash is codec- and scale-invariant on structured content, separates distinct content") {
+    import graft.operators.MultimodalOps._
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the three perceptual properties the rows-only m07 entry rests on,
+    // exercised over every fixture seed — real decode, real rescale
+    (0L until 8L).foreach { seed =>
+      val png = syntheticGradientImage(seed, 32, 24, "png")
+      val jpg = syntheticGradientImage(seed, 32, 24, "jpg")
+      val big = imageIoResize(png, 128, 96) // decode → bilinear upscale → re-encode
+      val h = aHash64(png)
+      assert(hamming(h, aHash64(jpg)) <= 8,
+        s"seed $seed: PNG vs JPEG of the same content drifted ${hamming(h, aHash64(jpg))} bits")
+      assert(hamming(h, aHash64(big)) <= 8,
+        s"seed $seed: 4x rescale drifted ${hamming(h, aHash64(big))} bits")
+    }
+    // distinct structured content lands far apart (and hashes are not
+    // degenerate constants)
+    val hs = (0L until 8L).map(s => aHash64(syntheticGradientImage(s, 32, 24, "png")))
+    val minSep = (for (i <- 0 until 8; j <- i + 1 until 8)
+      yield hamming(hs(i), hs(j))).min
+    assert(minSep >= 4, s"closest distinct-content pair only $minSep bits apart")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
