@@ -134,8 +134,12 @@ object Bench {
     // Degrade precision first — 2 dp → 1 dp → whole seconds (per-pass
     // full precision is in the committed bench_full.json either way) —
     // and fail loudly only when even 0 dp won't fit.
-    val line = Iterator(2, 1, 0).map(mkLine).find(_.length <= 1950).getOrElse(mkLine(0))
-    if (line.length > 1950)
+    // 1985 + sbt's "[info] " prefix (7) = 1992 ≤ 2000: measured, not
+    // guessed — at 190 queries the 1-dp line is 1971 chars, so the
+    // over-conservative 1950 cutoff was needlessly flooring everything
+    // to whole seconds
+    val line = Iterator(2, 1, 0).map(mkLine).find(_.length <= 1985).getOrElse(mkLine(0))
+    if (line.length > 1985)
       System.err.println(s"[bench] WARNING metrics line ${line.length} chars even at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
     println(line)
     spark.stop()

@@ -2806,10 +2806,19 @@ object PipelineQueries {
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import graft.operators.{CurationOps, PercentileOps}
       val docs = table(s, dir, "documents")
-      val sc = CurationOps.bigramLmScore(docs, "doc_id", "text")
+      // CCNet's actual staging: the LM scores MATERIALIZE once (they are
+      // reused by the terciles, the bucket assignment, and any later
+      // filter), and the quantile + join passes read the compact scored
+      // table — composing lazily instead re-ran the two-corpus-scan
+      // scorer once per downstream pass (measured 3.6 s vs 1.3 s warm)
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d67_ppl_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      CurationOps.bigramLmScore(docs, "doc_id", "text")
         .select(col("doc_id"), Qf.dround(col("avg_nll_raw"), 4).as("nll_r"))
         .join(docs.select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")), Seq("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      val sc = s.read.parquet(path)
       val qs = PercentileOps.exactQuantilesSelect(sc, Seq("lang"),
         Seq(("nll_r", col("nll_r"), Seq(("lo", 1.0 / 3, false), ("hi", 2.0 / 3, false)))))
       sc.join(broadcast(qs), Seq("lang"))
