@@ -472,20 +472,55 @@ object SimilarityOps {
         Seq("numPlanes" -> numPlanes.toLong, "dim" -> dim.toLong))
   }
 
+  /** Reserved partition holding delete TOMBSTONES: real vectors bucket
+    * into `0 .. 2^numPlanes - 1`, so `bucket = -1` can never collide
+    * with a probe's wanted-bucket list.
+    */
+  private val TombstoneBucket = -1
+
+  /** Delete ids from the at-rest index WITHOUT rewriting it: appends
+    * tombstone rows — `(id, NULL vector)` in the reserved
+    * `bucket = -1` partition — an O(batch) append like every other
+    * maintenance op. Every probe applies live tombstones as a
+    * broadcast anti-join; [[compactBucketedIndex]] makes them physical
+    * (drops the dead vectors AND the tombstone partition).
+    *
+    * Contract (documented + unit-tested): a tombstone wins until
+    * compaction — re-admitting a deleted id before compacting leaves
+    * it invisible (and the intervening compaction removes the re-added
+    * rows too, since tombstones apply by id). Re-append AFTER the
+    * compaction that absorbed the delete. The faiss `remove_ids` /
+    * LSM-delete regime, not a bug.
+    */
+  def deleteFromBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String, vecCol: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    ids.select(col(idCol),
+        lit(null).cast(ArrayType(FloatType)).as(vecCol),
+        lit(TombstoneBucket).as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(LedgerGuard.appendPath(spark, path))
+  }
+
   /** Compact the at-rest ANN index: collapse exact duplicate rows
-    * (replayed appends) and rewrite each bucket's accreted per-batch
-    * small files into one sized file (clustering on the partition
-    * column — each bucket lands in exactly one task, the same
-    * one-file-per-cell layout the IVFPQ index write uses). Runs under
-    * the shared staged-swap/lease/manifest discipline
-    * ([[LedgerGuard.advanceInPlace]]), so it is crash-safe in plain
-    * mode and object-store-safe in manifest mode.
+    * (replayed appends), APPLY tombstones physically (dead vectors and
+    * the `bucket = -1` partition both disappear), and rewrite each
+    * bucket's accreted per-batch small files into one sized file
+    * (clustering on the partition column — each bucket lands in
+    * exactly one task, the same one-file-per-cell layout the IVFPQ
+    * index write uses). Runs under the shared staged-swap/lease/
+    * manifest discipline ([[LedgerGuard.advanceInPlace]]), so it is
+    * crash-safe in plain mode and object-store-safe in manifest mode.
     */
   def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "ANN index compaction") { staging =>
-      LedgerGuard.readLedger(spark, path)
-        .dropDuplicates()
+      val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
+      val idc = led.columns.head // at-rest layout: (id, vec) + bucket partition col
+      val tombs = led.filter(col("bucket") === TombstoneBucket)
+        .select(col(idc).as("__del")).distinct()
+      led.filter(col("bucket") =!= TombstoneBucket)
+        .join(broadcast(tombs), col(idc) === col("__del"), "left_anti")
         .repartition(col("bucket"))
         .write.option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("bucket").parquet(staging)
@@ -528,8 +563,15 @@ object SimilarityOps {
         idx.filter(col("bucket").isin(wanted: _*))
       } else
         idx.join(broadcast(qb.select(col("bucket")).distinct()), Seq("bucket"), "left_semi")
+    // live delete tombstones (bucket = -1 — a partition real buckets
+    // can never select) apply as a broadcast anti-join; the scan of the
+    // tombstone partition reads ids only (column-pruned) and is empty
+    // on an index with no pending deletes
+    val tombs = idx.filter(col("bucket") === TombstoneBucket)
+      .select(col(cId).as("neighbor_id")).distinct()
     val pruned = prunedIdx
       .select(col("bucket"), col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .join(broadcast(tombs), Seq("neighbor_id"), "left_anti")
     val scored = broadcast(qb).join(pruned, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

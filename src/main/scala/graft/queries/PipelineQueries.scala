@@ -167,12 +167,14 @@ object PipelineQueries {
        |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin
   }
 
-  /** The s03/s12 oracle: exact bucketed-ANN top-k with the hyperplanes
-    * embedded as literals (deterministic from (numPlanes=4, dim=64)) —
-    * file-blind, so s12 can reuse it verbatim to prove the at-rest
-    * index's append/replay/compact cycle lossless.
+  /** The s03/s12/s17 oracle: exact bucketed-ANN top-k with the
+    * hyperplanes embedded as literals (deterministic from
+    * (numPlanes=4, dim=64)) — file-blind, so s12 reuses it verbatim to
+    * prove the at-rest index's append/replay/compact cycle lossless,
+    * and s17 restricts the CANDIDATE set (`candWhere`) to prove delete
+    * tombstones subtract exactly the deleted ids and nothing else.
     */
-  private val sqlAnnTopkOracle = {
+  private def annTopkOracle(candWhere: String) = {
     val planes = graft.operators.SimilarityOps.hyperplanes(4, 64)
     val planeCols = planes.zipWithIndex.map { case (p, j) =>
       s"[${p.mkString(", ")}]::DOUBLE[] AS pl$j"
@@ -184,7 +186,7 @@ object PipelineQueries {
        |  $planeCols),
        |e AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS bucket FROM embeddings, p),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
-       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e WHERE $candWhere),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
@@ -197,6 +199,8 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, score, rk FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  private val sqlAnnTopkOracle = annTopkOracle("TRUE")
 
   /** The s15/s16 oracle: Matryoshka truncated-prefix retrieval re-derived
     * from scratch — prefix-cosine candidate cut (top 20 by rounded
@@ -1238,6 +1242,31 @@ object PipelineQueries {
       SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path)
       SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path) // replay
       SimilarityOps.compactBucketedIndex(s, path)
+      SimilarityOps.probeBucketedIndex(s, path,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        "vec_id", "embedding", numPlanes = 4, dim = 64, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- ANN index deletes
+    // the missing CRUD op of the maintained index: delete ids WITHOUT a
+    // rewrite — O(batch) tombstone rows in the reserved bucket=-1
+    // partition (real buckets are ≥ 0, so probes' partition pruning
+    // never selects it for scoring), applied by every probe as a
+    // broadcast anti-join, made physical at compaction. The oracle is
+    // the same file-blind from-scratch ANN SQL with the candidate set
+    // restricted to the surviving ids — the hash match proves the
+    // tombstones subtract exactly the deleted ids and nothing else,
+    // THROUGH the live (uncompacted) path. Compact-equals-live is
+    // pinned separately in OperatorsSpec.
+    q("s17_ann_index_deletes", annTopkOracle("vec_id % 2 = 0")) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/s17_del_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      SimilarityOps.writeBucketedIndex(emb, "vec_id", "embedding", 4, 64, path)
+      SimilarityOps.deleteFromBucketedIndex(s, path,
+        emb.filter(col("vec_id") % 2 =!= 0).select(col("vec_id")),
+        "vec_id", "embedding")
       SimilarityOps.probeBucketedIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         "vec_id", "embedding", numPlanes = 4, dim = 64, k = 5)
@@ -2831,6 +2860,38 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("int").as("n_docs"),
           sum(col("n_tok")).as("n_tokens"))
         .orderBy("lang", "bucket")
+    },
+
+    // ---------------------------------------------------------------- corpus card
+    // the one-scan dataset datasheet: size, vocabulary-of-metadata,
+    // exact-dup rate, language mix, mean quality — the header block of
+    // a dataset card, computed in a SINGLE multi-aggregate pass (the
+    // distinct aggregates expand inside one scan; nothing materializes
+    // per-doc). Mean-of-doubles is summation-order dependent at the
+    // ulp level, so the mean is rounded at 4dp where ~1e-12 partial-sum
+    // drift cannot reach.
+    q("d70_corpus_card",
+      s"""SELECT
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($sqlTokens)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS INTEGER) AS n_langs,
+         |  CAST(count(DISTINCT source) AS INTEGER) AS n_sources,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+         |  round(count(*) FILTER (WHERE lang = 'en') / count(*), 4) AS en_frac,
+         |  round(avg(0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+         |      + 0.5 * least(1.0, len($sqlTokens) / 100.0)), 4) AS mean_quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("lang")).cast("int").as("n_langs"),
+        countDistinct(col("source")).cast("int").as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        Qf.dround(sum(when(col("lang") === "en", 1).otherwise(0)) / count(lit(1)), 4)
+          .as("en_frac"),
+        Qf.dround(avg(TextOps.qualityScore(col("text"))), 4).as("mean_quality"))
     },
 
     // ---------------------------------------------------------------- image perceptual hash

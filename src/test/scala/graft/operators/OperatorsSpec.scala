@@ -1331,6 +1331,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("ANN index deletes: compact equals live tombstones; tombstone wins until compaction; partition drops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-anndel").toString + "/idx"
+    SimilarityOps.writeBucketedIndex(emb, "vec_id", "embedding", 4, 64, path)
+    val deleted = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    SimilarityOps.deleteFromBucketedIndex(spark, path, deleted, "vec_id", "embedding")
+    def probe() = SimilarityOps.probeBucketedIndex(spark, path, q,
+      "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 5)
+      .orderBy("query_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    val live = probe()
+    assert(live.nonEmpty && live.forall(_._2 % 3 != 0), "deleted ids surfaced")
+    // a probe at id 0's own vector MUST rank id 0 first whenever it is
+    // visible (cosine 1.0) — the decisive visibility witness
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(999L).as("vec_id"), col("embedding"))
+    def sees0() = SimilarityOps.probeBucketedIndex(spark, path, q0,
+      "vec_id", "embedding", "vec_id", "embedding", 4, 64, k = 5)
+      .collect().exists(_.getAs[Long]("neighbor_id") == 0L)
+    assert(!sees0(), "deleted id visible to its own vector")
+    // tombstone wins: re-appending a deleted id before compaction stays invisible
+    SimilarityOps.appendToBucketedIndex(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", 4, 64, path)
+    assert(!sees0(), "tombstoned id resurfaced before compaction")
+    // compaction absorbs the delete (killing the premature re-add too,
+    // per the documented contract) and drops the tombstone partition
+    SimilarityOps.compactBucketedIndex(spark, path)
+    assert(probe() == live, "compaction changed the probe result")
+    assert(!sees0(), "premature re-add survived the compaction that absorbed its tombstone")
+    assert(!new java.io.File(path).listFiles().exists(_.getName == "bucket=-1"),
+      "tombstone partition survived compaction")
+    // after the compaction that absorbed the delete, re-admission works
+    SimilarityOps.appendToBucketedIndex(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", 4, 64, path)
+    assert(sees0(), "re-admitted id still invisible after compaction")
+  }
+
   test("wordPieceEncode: greedy longest-match, ## continuations, whole-word UNK, empty-token skip") {
     val vocab = Seq("tab", "table", "##le", "##t", "scan", "##ner", "a", "b", "##b")
     val df = Seq("table", "tablet", "scanner", "abb", "xyz", "tabx", "a b", "", " a  b ")
