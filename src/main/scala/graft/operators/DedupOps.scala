@@ -886,6 +886,46 @@ object DedupOps {
     ledgerRows(df, idCol, keyCols).write.mode("append")
       .parquet(LedgerGuard.appendPath(df.sparkSession, path))
 
+  /** Right-to-be-forgotten for the digest ledger: forget the CONTENT of
+    * the given rows — their digests leave the ledger inside one staged
+    * swap (same lease/manifest/self-heal discipline as every advance),
+    * so matching content is re-admittable by the very next batch. The
+    * purge list is broadcast (it is an operator-issued removal batch,
+    * model-sized by nature); the generation rewrite is the cost every
+    * ledger advance already pays, and `_GRAFT_` sidecar markers ride
+    * across the swap as usual.
+    *
+    * Family boundary, stated once here: the SKETCH ledger (d46) cannot
+    * forget — HLL sketches have no unmerge, so row-level removal there
+    * means rebuilding the affected keys' sketches from surviving
+    * content. The digest, signature, span, and cluster families all
+    * store per-row state and CAN forget.
+    */
+  def removeFromLedger(df: DataFrame, keyCols: Seq[String], path: String,
+      batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(df.sparkSession, path, "ledger removal",
+      batchId) { staging =>
+      val gone = df.select(rowFingerprint(keyCols.map(col)).as("__gone")).distinct()
+      LedgerGuard.readLedger(df.sparkSession, path)
+        .join(broadcast(gone), col("digest") === col("__gone"), "left_anti")
+        .write.parquet(staging)
+    }
+
+  /** The same purge for the SIGNATURE ledger (d48), by document id: the
+    * ids' signature rows leave the ledger, so later probes stop pairing
+    * against the forgotten documents. `idCol` names the id column as
+    * stored (the creation-time `idCol`).
+    */
+  def removeFromSignatureLedger(ids: DataFrame, idCol: String, path: String,
+      batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(ids.sparkSession, path, "signature-ledger removal",
+      batchId) { staging =>
+      val gone = ids.select(col(idCol).as("__gone")).distinct()
+      LedgerGuard.readLedger(ids.sparkSession, path)
+        .join(broadcast(gone), col(idCol) === col("__gone"), "left_anti")
+        .write.parquet(staging)
+    }
+
   /** Compact an append-only ledger IN PLACE: collapse any duplicate
     * digests that accumulated across appends (keeping the lowest
     * admitting id, the same tie-break every writer uses) and rewrite

@@ -882,6 +882,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- ledger forget (right-to-be-forgotten)
+    // the purge path of the d39 ingest loop: removed digests leave the
+    // ledger in one staged swap and the SAME content becomes
+    // re-admittable by the next batch — the oracle re-derives the
+    // ledger as (admitted digests EXCEPT purged digests) and replays
+    // the admission decision, so the hash match proves the removal
+    // subtracted exactly the purge list and nothing else.
+    q("d71_ledger_forget",
+      """WITH fp AS (SELECT doc_id,
+        |  md5(CASE WHEN text IS NULL THEN chr(1)
+        |       ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS dg
+        |  FROM documents),
+        |led0 AS (SELECT DISTINCT dg FROM fp WHERE doc_id % 3 <> 0),
+        |rm AS (SELECT DISTINCT dg FROM fp WHERE doc_id % 2 = 0),
+        |led AS (SELECT dg FROM led0 EXCEPT SELECT dg FROM rm),
+        |fresh AS (SELECT f.doc_id, f.dg FROM fp f
+        |          LEFT JOIN led l ON f.dg = l.dg WHERE l.dg IS NULL),
+        |keep AS (SELECT dg, min(doc_id) AS doc_id FROM fresh GROUP BY dg)
+        |SELECT k.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d71_forget_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      DedupOps.writeLedger(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", Seq("text"), path)
+      DedupOps.removeFromLedger(docs.filter(col("doc_id") % 2 === 0), Seq("text"), path)
+      DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), path)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- ledger compaction
     // the maintenance half of the d39 ingest loop: each append lands a
     // new small file set, so a long-lived ledger accretes thousands of

@@ -1331,6 +1331,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("ledger forget: purged content re-admits; signature forget stops probe pairs; sidecars survive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // digest ledger: content blocked before the purge admits after it
+    val dPath = java.nio.file.Files.createTempDirectory("graft-forget").toString + "/led"
+    DedupOps.writeLedger(docs, "doc_id", Seq("text"), dPath)
+    val before = DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), dPath).count()
+    assert(before == 0, "everything is admitted, nothing should survive")
+    DedupOps.removeFromLedger(docs.filter(col("doc_id") < 50), Seq("text"), dPath)
+    val after = DedupOps.dedupAgainstLedger(docs, "doc_id", Seq("text"), dPath)
+      .select("doc_id").as[Long].collect().toSet
+    // exactly the purged contents' min-id representatives re-admit
+    assert(after.nonEmpty && after.forall(_ < 50),
+      s"re-admission wrong: ${after.take(5)}")
+    // signature ledger: forgotten ids stop pairing, meta sidecar survives
+    val sPath = java.nio.file.Files.createTempDirectory("graft-sforget").toString + "/sig"
+    DedupOps.writeSignatureLedger(docs, "doc_id", "text", sPath)
+    val probeBatch = docs.filter(col("doc_id") < 20)
+    val pairsBefore = DedupOps.crossDedupAgainstSignatures(probeBatch, "doc_id", "text", sPath)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("corpus_id").as[Long].collect().toSet
+    DedupOps.removeFromSignatureLedger(
+      docs.filter(col("doc_id") >= 100).select(col("doc_id")), "doc_id", sPath)
+    val pairsAfter = DedupOps.crossDedupAgainstSignatures(probeBatch, "doc_id", "text", sPath)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("corpus_id").as[Long].collect().toSet
+    assert(pairsAfter.forall(_ < 100), "forgotten ids still pair")
+    assert(pairsAfter == pairsBefore.filter(_ < 100), "removal changed unrelated pairs")
+    // the self-describing meta rode through the removal swap
+    val e = intercept[IllegalArgumentException](
+      DedupOps.crossDedupAgainstSignatures(probeBatch, "doc_id", "text", sPath, shingleSize = 7))
+    assert(e.getMessage.contains("shingleSize=5"), e.getMessage)
+  }
+
   test("ANN index deletes: compact equals live tombstones; tombstone wins until compaction; partition drops") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 4)
