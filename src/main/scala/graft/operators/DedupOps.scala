@@ -895,11 +895,16 @@ object DedupOps {
     * ledger advance already pays, and `_GRAFT_` sidecar markers ride
     * across the swap as usual.
     *
-    * Family boundary, stated once here: the SKETCH ledger (d46) cannot
-    * forget — HLL sketches have no unmerge, so row-level removal there
+    * Family boundaries, stated once here: the SKETCH ledger (d46)
+    * cannot forget — HLL sketches have no unmerge, so removal there
     * means rebuilding the affected keys' sketches from surviving
-    * content. The digest, signature, span, and cluster families all
-    * store per-row state and CAN forget.
+    * content. The SPAN-HASH ledger (d58) cannot forget PER DOCUMENT
+    * either: it stores bare window hashes with no document
+    * attribution, and dropping one document's hashes would also
+    * un-admit windows that other surviving documents share (a
+    * refcounted or doc-attributed variant would trade that back for
+    * 3-5× the at-rest bytes). The digest, signature, and cluster
+    * families store attributed per-row state and CAN forget.
     */
   def removeFromLedger(df: DataFrame, keyCols: Seq[String], path: String,
       batchId: Option[String] = None): Unit =
