@@ -2893,6 +2893,48 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- host PageRank
+    // the link-structure quality prior crawl pipelines mix into their
+    // scores: fixed-iteration PageRank over the host graph (every node
+    // has out-edges by fixture construction, so no dangling mass). The
+    // oracle replays the SAME five synchronous rounds as chained CTEs —
+    // fixed iteration counts are what make distributed PageRank
+    // deterministic enough to hash-match cross-engine (per-node sums
+    // only, no ordering decisions; 4dp rounding absorbs ulp drift).
+    q("d72_host_pagerank", {
+      val iters = 5
+      val dmp = 0.85
+      val base = (1 - dmp) / 20 // printed via shortest-roundtrip, parses to the same double
+      val rounds = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  $base + $dmp * coalesce(sum(p.r / dg.deg), 0) AS r
+           |  FROM nodes n
+           |  LEFT JOIN e ON e.dst = n.node
+           |  LEFT JOIN dg ON dg.src = e.src
+           |  LEFT JOIN r${i - 1} p ON p.node = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+         |  FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1.0 / 20 AS r FROM nodes),
+         |$rounds
+         |SELECT CAST(node AS INTEGER) AS host, round(r, 4) AS pagerank
+         |FROM r$iters ORDER BY host""".stripMargin
+    }) { (s, dir) =>
+      val e = table(s, dir, "documents").select(
+        (col("doc_id") % 20).as("src"),
+        ((col("doc_id") * 7 + 3) % 20).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 5, damping = 0.85)
+        .select(col("node").cast("int").as("host"),
+          Qf.dround(col("rank"), 4).as("pagerank"))
+        .orderBy("host")
+    },
+
     // ---------------------------------------------------------------- corpus card
     // the one-scan dataset datasheet: size, vocabulary-of-metadata,
     // exact-dup rate, language mix, mean quality — the header block of

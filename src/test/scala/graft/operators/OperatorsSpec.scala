@@ -1331,6 +1331,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("pageRank: cycle is uniform, star concentrates on the hub, mass conserves") {
+    import graft.operators.GraphOps
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val cr = GraphOps.pageRank(cycle, "s", "d", iters = 7).as[(Long, Double)].collect().toMap
+    cr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, s"cycle not uniform: $cr"))
+    // star: a→{b,c}, b→a, c→a — one synchronous round from uniform:
+    // a = 0.05 + 0.85·(1/3 + 1/3); b = c = 0.05 + 0.85·(1/3)/2
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("s", "d")
+    val sr = GraphOps.pageRank(star, "s", "d", iters = 1).as[(Long, Double)].collect().toMap
+    assert(math.abs(sr(1L) - (0.05 + 0.85 * 2.0 / 3)) < 1e-12, sr.toString)
+    assert(math.abs(sr(2L) - (0.05 + 0.85 / 6)) < 1e-12 && sr(2L) == sr(3L), sr.toString)
+    // no dangling nodes ⇒ total mass conserves at every depth
+    (1 to 3).foreach { k =>
+      val tot = GraphOps.pageRank(star, "s", "d", iters = k)
+        .agg(sum(col("rank"))).head().getDouble(0)
+      assert(math.abs(tot - 1.0) < 1e-9, s"mass $tot at iters=$k")
+    }
+  }
+
   test("ledger forget: purged content re-admits; signature forget stops probe pairs; sidecars survive") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
