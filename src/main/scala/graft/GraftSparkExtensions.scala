@@ -118,6 +118,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("wordpiece_encode"), info("wordpiece_encode"),
       (es: Seq[Expression]) =>
         graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))
+    ext.injectFunction((FunctionIdentifier("repair_mojibake"), info("repair_mojibake"),
+      (es: Seq[Expression]) => graft.functions.RepairMojibake(es(0))))
 
     Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
       .foreach { case (fn, fmt) =>

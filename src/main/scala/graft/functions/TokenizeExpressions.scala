@@ -111,10 +111,134 @@ final case class WordPieceEncode(child: Expression, vocab: Seq[String],
     copy(child = newChild)
 }
 
+/** ftfy-style mojibake repair: undo the classic UTF-8-bytes-read-as-
+  * cp1252 mis-decode ("café" → "cafÃ©", "’" → "â€™"), the single most
+  * common encoding corruption in web crawls.
+  */
+object MojibakeUtil {
+
+  /** "Sloppy" windows-1252 (ftfy's `sloppy-windows-1252`): the real-
+    * world mis-decoders pass cp1252's five UNDEFINED bytes (81, 8D,
+    * 8F, 90, 9D) through as the corresponding C1 controls, where
+    * Java's own charset replaces them with U+FFFD and destroys the
+    * round-trip. Table built from the public cp1252 spec: latin-1
+    * identity except the 0x80–0x9F block.
+    */
+  private val Cp1252ToChar: Array[Char] = {
+    val t = Array.tabulate[Char](256)(_.toChar)
+    val block = Map(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+    block.foreach { case (b, c) => t(b) = c }
+    t
+  }
+
+  private val CharToCp1252: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte](512)
+    var b = 0
+    while (b < 256) {
+      m.put(Cp1252ToChar(b), b.toByte)
+      b += 1
+    }
+    m
+  }
+
+  /** Decode bytes as sloppy windows-1252 — the exact transform the wild
+    * applies when UTF-8 bytes are read with a cp1252 reader. Public so
+    * fixtures corrupt with the same semantics the repair undoes.
+    */
+  def sloppyDecode(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Cp1252ToChar(bytes(i) & 0xff))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Undo ONE corruption layer: re-encode the chars through sloppy
+    * cp1252 (a char outside its image means the string was never a
+    * cp1252 mis-decode; return unchanged), then strict-decode the
+    * bytes as UTF-8; on success with an actual change, that IS the
+    * repair (a change implies a multi-byte sequence was consumed, so
+    * false positives require legitimate text that both fits cp1252 AND
+    * parses as multi-byte UTF-8 — the same inherent ambiguity every
+    * fixer shares; pure-ASCII short-circuits untouched).
+    */
+  def repairOnce(str: String): String = {
+    var i = 0
+    var hasHigh = false
+    while (i < str.length && !hasHigh) {
+      if (str.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return str
+    val bytes = new Array[Byte](str.length)
+    i = 0
+    while (i < str.length) {
+      val b = CharToCp1252.get(str.charAt(i))
+      if (b == null) return str
+      bytes(i) = b
+      i += 1
+    }
+    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => str }
+  }
+
+  /** Iterate [[repairOnce]] to a fixpoint, capped at `maxLayers`
+    * (doubly-pasted mojibake exists in real crawls; the cap prevents a
+    * pathological self-similar string from looping).
+    */
+  def repair(s: UTF8String, maxLayers: Int): UTF8String = {
+    val orig = s.toString
+    var cur = orig
+    var i = 0
+    var changed = true
+    while (i < maxLayers && changed) {
+      val next = repairOnce(cur)
+      changed = next != cur
+      cur = next
+      i += 1
+    }
+    if (cur == orig) s else UTF8String.fromString(cur)
+  }
+}
+
+/** `repair_mojibake(text)` → STRING with up to `maxLayers` cp1252
+  * mis-decode layers undone. Per-row codegen kernel, zero shuffle.
+  */
+final case class RepairMojibake(child: Expression, maxLayers: Int = 2)
+    extends UnaryExpression {
+  require(maxLayers >= 1, "maxLayers must be >= 1")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"input must be string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MojibakeUtil.repair(input.asInstanceOf[UTF8String], maxLayers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MojibakeUtil.repair($c, $maxLayers)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TokenizeExpressions {
   import org.apache.spark.sql.GraftSqlShims
   /** Column-facing wrapper. */
   def wordPieceEncode(text: Column, vocab: Seq[String],
       unk: String = "[UNK]"): Column =
     GraftSqlShims.column(WordPieceEncode(GraftSqlShims.expression(text), vocab, unk))
+
+  /** Column-facing wrapper for [[RepairMojibake]]. */
+  def repairMojibake(text: Column, maxLayers: Int = 2): Column =
+    GraftSqlShims.column(RepairMojibake(GraftSqlShims.expression(text), maxLayers))
 }

@@ -2893,6 +2893,38 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- mojibake repair
+    // ftfy's core fix as a codegen kernel: undo UTF-8-bytes-read-as-
+    // cp1252 mis-decodes ("café"→"cafÃ©", "’"→"â€™") — the most common
+    // encoding corruption in web crawls, including doubly-pasted
+    // layers. The fixture corrupts unicode snippets with the SAME
+    // transform the wild applies (utf8 bytes, cp1252 decode), 0/1/2
+    // layers by doc_id. Byte-level charset surgery is engine-specific
+    // → rows-only; the OperatorsSpec gate pins exact recovery of both
+    // layers, untouchability of clean/ASCII/non-cp1252 text, and a
+    // 2000-case ScalaCheck round-trip property.
+    q("d73_mojibake_repair", null) { (s, dir) =>
+      val snippets = array(lit("café du marché"), lit("naïve — déjà vu"),
+        lit("日本語テキスト"), lit("Привет мир"), lit("plain ascii only"))
+      val corrupt = udf((t: String) => graft.functions.MojibakeUtil.sloppyDecode(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(snippets, (col("doc_id") % 5 + 1).cast("int")).as("__orig"))
+      base
+        .select(col("doc_id"), col("__orig"),
+          when(col("doc_id") % 3 === 0, col("__orig"))
+            .when(col("doc_id") % 3 === 1, corrupt(col("__orig")))
+            .otherwise(corrupt(corrupt(col("__orig")))).as("__wire"))
+        .select(col("doc_id"),
+          (col("__wire") =!= col("__orig")).as("was_corrupted"),
+          (graft.functions.TokenizeExpressions.repairMojibake(col("__wire"))
+            === col("__orig")).as("repaired_ok"),
+          md5(graft.functions.TokenizeExpressions.repairMojibake(col("__wire")))
+            .as("repaired_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- host PageRank
     // the link-structure quality prior crawl pipelines mix into their
     // scores: fixed-iteration PageRank over the host graph (every node

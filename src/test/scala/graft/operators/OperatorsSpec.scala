@@ -1331,6 +1331,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("repairMojibake: recovers 1 and 2 cp1252 layers exactly; clean/ASCII/non-cp1252 untouched; property") {
+    import graft.functions.MojibakeUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    // the exact wild transform: utf-8 bytes through a SLOPPY cp1252
+    // reader (Java's own charset maps the 5 undefined bytes to U+FFFD
+    // and would destroy the round-trip — ftfy's sloppy-windows-1252)
+    def corrupt(s: String) =
+      MojibakeUtil.sloppyDecode(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def rep(s: String) = MojibakeUtil.repair(UTF8String.fromString(s), 2).toString
+    Seq("café du marché", "naïve — déjà vu", "日本語テキスト", "Привет мир").foreach { s =>
+      assert(rep(corrupt(s)) == s, s"1-layer repair failed for $s")
+      assert(rep(corrupt(corrupt(s))) == s, s"2-layer repair failed for $s")
+      assert(rep(s) == s, s"clean text modified: $s") // none of these read as mojibake
+    }
+    assert(rep("plain ascii only") == "plain ascii only")
+    assert(rep("αβγ δεζ") == "αβγ δεζ") // greek is not cp1252-encodable → untouched
+    // round-trip property on repair-idempotent strings: one corruption
+    // layer undoes EXACTLY (2000 cases over mixed ascii/latin/CJK/cyrillic)
+    import org.scalacheck.{Gen, Prop}
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ü', 'ß', 'ñ', 'ø'),
+      1 -> Gen.oneOf('—', '…', '“', '”', '’'),
+      1 -> Gen.oneOf('日', '本', 'ж', 'я', 'Ω'))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      MojibakeUtil.repairOnce(s) != s || // precondition: skip strings that already read as mojibake
+        MojibakeUtil.repairOnce(corrupt(s)) == s
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("pageRank: cycle is uniform, star concentrates on the hub, mass conserves") {
     import graft.operators.GraphOps
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
