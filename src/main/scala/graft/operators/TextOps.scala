@@ -271,6 +271,27 @@ object TextOps {
   def stripHtml(html: Column): Column =
     trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
 
+  /** C4's LINE-level rules (§2.2 of the T5 paper): a line survives iff
+    * it has ≥ `minWords` whitespace words AND ends in terminal
+    * punctuation (`.` `!` `?` `"`). Returns the struct
+    * `(n_lines, n_kept, kept)` where `kept` is the surviving lines
+    * re-joined with `\n`. Lines-per-document is small (tens), so the
+    * `filter` lambda's interpreted evaluation is bounded per row —
+    * unlike the per-character HOFs §7.3 bans from hot paths; swap in a
+    * fused kernel if a profile ever shows it dominating.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 5): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      (size(split(t, " ")) >= minWords) &&
+        substring(t, -1, 1).isin(".", "!", "?", "\"")
+    })
+    struct(
+      size(split(text, "\n")).as("n_lines"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, l => trim(l)), "\n").as("kept"))
+  }
+
   /** Word-list content gate (the C4 §2.2 "bad words" filter shape —
     * the list here is caller-supplied): true when ANY token of the
     * document appears in `words`. Token-exact (no substring matches, so

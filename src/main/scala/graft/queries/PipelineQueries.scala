@@ -2893,6 +2893,55 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- C4 line filter
+    // the T5 paper's line-level cleaning rules: a line survives iff it
+    // has ≥ 5 words AND ends in terminal punctuation — the single most
+    // cited heuristic in web-corpus curation. The corpus is one-line,
+    // so the fixture synthesizes multi-line pages: 8-token lines, each
+    // line's terminal mark cycling none/./! by (doc_id + line) % 3 —
+    // both engines build the page from the same token slices, and the
+    // oracle re-applies the line rules in SQL.
+    q("d74_c4_line_filter", {
+      val w = 8
+      s"""WITH tok AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |ln AS (SELECT doc_id, t,
+         |  unnest(range(0, CAST(ceil(len(t) / $w.0) AS BIGINT))) AS p FROM tok),
+         |lines AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         |  array_to_string(t[(p*$w+1):least(p*$w+$w, len(t))], ' ')
+         |    || ['', '.', '!'][CAST((doc_id + p) % 3 AS INTEGER) + 1] AS line
+         |  FROM ln),
+         |f AS (SELECT doc_id, pos, line,
+         |  len(string_split(trim(line), ' ')) >= 5
+         |    AND substr(trim(line), -1, 1) IN ('.', '!', '?', '"') AS keep
+         |  FROM lines)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+         |  CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_kept,
+         |  coalesce(string_agg(trim(line), chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+         |    AS kept
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val w = 8
+      val t = TextOps.tokens(col("text"))
+      // same page construction, Spark side: 8-token slices + the cycling
+      // terminal mark, joined with newlines — then the OPERATOR under
+      // test re-splits and filters
+      val nl = ceil(size(t) / lit(w.toDouble)).cast("int")
+      val page = array_join(
+        transform(sequence(lit(0), greatest(nl - 1, lit(0))), p =>
+          concat(
+            array_join(slice(t, p * w + 1, lit(w)), " "),
+            element_at(array(lit(""), lit("."), lit("!")),
+              ((col("doc_id") + p) % 3 + 1).cast("int")))),
+        "\n")
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.c4LineFilter(page, minWords = 5).as("__f"))
+        .select(col("doc_id"),
+          col("__f.n_lines").as("n_lines"),
+          col("__f.n_kept").as("n_kept"),
+          col("__f.kept").as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- mojibake repair
     // ftfy's core fix as a codegen kernel: undo UTF-8-bytes-read-as-
     // cp1252 mis-decodes ("café"→"cafÃ©", "’"→"â€™") — the most common

@@ -1331,6 +1331,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.exists { case (n, l) => n != l }, "fixture produced no non-trivial cluster")
   }
 
+  test("c4LineFilter: keeps >=5-word terminal-punctuation lines only; counts and rejoin exact") {
+    val page = Seq(
+      "this line has enough words and ends right.", // kept
+      "short line.",                                 // < 5 words
+      "this line has enough words but no mark",      // no terminal punctuation
+      "does a question with enough words count?",    // kept
+      "  padded line with five words inside!  ",     // kept (trimmed first)
+      "").mkString("\n")
+    val got = Seq(page).toDF("t")
+      .select(TextOps.c4LineFilter(col("t"), minWords = 5).as("f"))
+      .select(col("f.n_lines"), col("f.n_kept"), col("f.kept"))
+      .as[(Int, Int, String)].head()
+    assert(got._1 == 6 && got._2 == 3, got.toString)
+    assert(got._3 == Seq(
+      "this line has enough words and ends right.",
+      "does a question with enough words count?",
+      "padded line with five words inside!").mkString("\n"), got._3)
+  }
+
   test("repairMojibake: recovers 1 and 2 cp1252 layers exactly; clean/ASCII/non-cp1252 untouched; property") {
     import graft.functions.MojibakeUtil
     import org.apache.spark.unsafe.types.UTF8String
