@@ -2893,6 +2893,40 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- Zipf fit
+    // corpus-health statistic: the power-law slope of the token
+    // frequency distribution (ln freq vs ln rank, least squares over
+    // the top-1000 vocab) — natural corpora sit near -1; synthetic or
+    // template-heavy corpora drift, which makes the slope a cheap
+    // generation-leak detector. Shapes: one corpus-sized vocab agg →
+    // bounded-heap top-1000 → regression over a 1000-row frame (the
+    // single-partition window is bucket-bounded, the d63 discipline);
+    // regr_* parity with DuckDB is already pinned by q68.
+    q("d75_zipf_fit",
+      s"""WITH f AS (SELECT w, count(*) AS c FROM (
+         |  SELECT unnest($sqlTokens) AS w FROM documents) WHERE w <> '' GROUP BY w),
+         |top AS (SELECT w, c FROM f ORDER BY c DESC, w LIMIT 1000),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM top)
+         |SELECT round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+         |  round(regr_intercept(ln(c), ln(rk)), 4) AS zipf_intercept,
+         |  round(regr_r2(ln(c), ln(rk)), 4) AS r2,
+         |  CAST(count(*) AS INTEGER) AS n_points
+         |FROM r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1000) // TakeOrdered heap
+      val r = f.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      r.agg(
+        Qf.dround(regr_slope(log(col("c")), log(col("rk"))), 4).as("zipf_slope"),
+        Qf.dround(regr_intercept(log(col("c")), log(col("rk"))), 4).as("zipf_intercept"),
+        Qf.dround(regr_r2(log(col("c")), log(col("rk"))), 4).as("r2"),
+        count(lit(1)).cast("int").as("n_points"))
+    },
+
     // ---------------------------------------------------------------- C4 line filter
     // the T5 paper's line-level cleaning rules: a line survives iff it
     // has ≥ 5 words AND ends in terminal punctuation — the single most
