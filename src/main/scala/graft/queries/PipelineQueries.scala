@@ -2893,6 +2893,55 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- embedding QA
+    // the vector-ingest health report every embedding pipeline runs
+    // before indexing: null / NaN / zero-norm counts (the rows that
+    // poison cosine math downstream) + the norm distribution (mean and
+    // EXACT median via the histogram-selection percentile plan — the
+    // d51 regime with a constant group key). One scan for the flags +
+    // moments; the median adds the percentile plan's bounded passes.
+    q("s18_embedding_qa",
+      """WITH n AS (SELECT vec_id,
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |       ELSE sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i])))
+        |  END AS nrm,
+        |  CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+        |  CASE WHEN embedding IS NOT NULL
+        |        AND len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END AS is_nan
+        |  FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(is_null) AS INTEGER) AS n_null,
+        |  CAST(sum(is_nan) AS INTEGER) AS n_nan,
+        |  CAST(count(*) FILTER (WHERE nrm = 0) AS INTEGER) AS n_zero,
+        |  round(avg(nrm), 4) AS norm_mean,
+        |  round(quantile_cont(nrm, 0.5), 4) AS norm_p50,
+        |  round(min(nrm), 4) AS norm_min,
+        |  round(max(nrm), 4) AS norm_max
+        |FROM n""".stripMargin) { (s, dir) =>
+      import graft.operators.PercentileOps
+      val n = table(s, dir, "embeddings").select(
+        when(col("embedding").isNull, lit(null).cast("double"))
+          .otherwise(SimilarityOps.norm(col("embedding"))).as("nrm"),
+        col("embedding").isNull.cast("int").as("is_null"),
+        (col("embedding").isNotNull &&
+          exists(col("embedding"), x => isnan(x))).cast("int").as("is_nan"),
+        lit(1).as("__qa_g"))
+      val agg = n.groupBy(col("__qa_g")).agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("is_null")).cast("int").as("n_null"),
+        sum(col("is_nan")).cast("int").as("n_nan"),
+        sum(when(col("nrm") === 0, 1).otherwise(0)).cast("int").as("n_zero"),
+        Qf.dround(avg(col("nrm")), 4).as("norm_mean"),
+        Qf.dround(min(col("nrm")), 4).as("norm_min"),
+        Qf.dround(max(col("nrm")), 4).as("norm_max"))
+      val med = PercentileOps.exactQuantilesSelect(n, Seq("__qa_g"),
+        Seq(("nrm", col("nrm"), Seq(("norm_p50", 0.5, false)))))
+      agg.join(med, Seq("__qa_g"))
+        .select(col("n_vecs"), col("n_null"), col("n_nan"), col("n_zero"),
+          col("norm_mean"), Qf.dround(col("norm_p50"), 4).as("norm_p50"),
+          col("norm_min"), col("norm_max"))
+    },
+
     // ---------------------------------------------------------------- Zipf fit
     // corpus-health statistic: the power-law slope of the token
     // frequency distribution (ln freq vs ln rank, least squares over
