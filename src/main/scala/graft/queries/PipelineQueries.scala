@@ -2893,6 +2893,42 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- corpus export (capstone)
+    // the END of the pipeline: stable-hash split assignment (d42's) →
+    // context-window packing within each split (d28's) → the packed
+    // manifest WRITTEN to split-partitioned parquet at rest → read
+    // back → per-(split, bin) accounting. The oracle re-derives split
+    // + packing + counts from scratch in SQL, so the hash match proves
+    // the whole export path — including the file round-trip — is
+    // deterministic end to end.
+    q("d76_corpus_export", {
+      val h = s"${sqlHash("CAST(doc_id AS VARCHAR)", "split")} % 1000000"
+      s"""WITH t AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok,
+         |  CASE WHEN $h < 800000 THEN 'train'
+         |       WHEN $h < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |c AS (SELECT split, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum
+         |  FROM t)
+         |SELECT split, CAST(floor(cum / 2048) AS INTEGER) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY split, bin""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.CurationOps
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d76_exp_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val withSplit = table(s, dir, "documents")
+        .withColumn("split", CurationOps.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      CurationOps.packBins(withSplit, "split", "doc_id", "text", contextLen = 2048)
+        .write.mode("overwrite").partitionBy("split").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("split"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("split", "bin")
+    },
+
     // ---------------------------------------------------------------- embedding QA
     // the vector-ingest health report every embedding pipeline runs
     // before indexing: null / NaN / zero-norm counts (the rows that
