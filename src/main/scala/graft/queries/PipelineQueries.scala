@@ -2893,6 +2893,54 @@ object PipelineQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- leak-free eval set (capstone)
+    // the eval-set construction recipe with its leakage guard in one
+    // plan: a stable-hash ~10% candidate sample, then every candidate
+    // that shares an LSH band bucket with ANY remaining train document
+    // (d38's near-dup criterion — catches the paraphrase-level leaks
+    // exact dedup misses) is ejected. Reported per language: candidates,
+    // leaks ejected, final eval size. Shapes: one signature pass over
+    // the corpus, the banded join meets only inside shared buckets, the
+    // guard is an anti-join — the same scale story as d38.
+    q("d77_eval_set_guard", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      def isEvalOf(c: String) =
+        s"${sqlHash(s"CAST($c AS VARCHAR)", "eval")} % 100 < 10"
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig),
+         |leak AS (
+         |  SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE ${isEvalOf("a.doc_id")}
+         |    AND NOT (${isEvalOf("b.doc_id")})),
+         |ev AS (SELECT doc_id, lang FROM documents WHERE ${isEvalOf("doc_id")})
+         |SELECT lang, CAST(count(*) AS INTEGER) AS n_candidates,
+         |  CAST(count(l.doc_id) AS INTEGER) AS n_leaked,
+         |  CAST(count(*) - count(l.doc_id) AS INTEGER) AS n_eval
+         |FROM ev LEFT JOIN leak l USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val isEval = DedupOps.md5Hash32(col("doc_id").cast("string"), "eval") % 100 < 10
+      val ev = docs.filter(isEval)
+      val leaks = DedupOps.crossDedupPairs(
+        ev, docs.filter(!isEval), "doc_id", "text",
+        numHashes = 8, bandSize = 4, shingleSize = 5)
+        .select(col("new_id").as("doc_id")).distinct()
+        .withColumn("__leak", lit(1))
+      ev.join(leaks, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_candidates"),
+          sum(coalesce(col("__leak"), lit(0))).cast("int").as("n_leaked"),
+          (count(lit(1)) - sum(coalesce(col("__leak"), lit(0)))).cast("int").as("n_eval"))
+        .orderBy("lang")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed
