@@ -34,7 +34,7 @@ object NgramUtil {
     * empty trimmed string has one empty token. Returns a packed array
     * [ts0, te0, ts1, te1, ...] (te exclusive).
     */
-  private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
+  private[functions] def tokenSpans(bytes: Array[Byte]): Array[Int] = {
     val len = bytes.length
     var start = 0
     while (start < len && bytes(start) == 0x20) start += 1
@@ -217,6 +217,63 @@ object NgramUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Rebuild a document's text without the tokens covered by `spans`
+    * — the ExactSubstr scrub tail. Bit-identical to the composable
+    * form
+    * {{{
+    * array_join(filter(split(trim(text), " "), (_, i) =>
+    *   !exists(spans, sp => i >= sp.s && i < sp.e)), " ")
+    * }}}
+    * plus `n_removed = Σ (sp.e − sp.s)`, but one byte walk: kept
+    * tokens are contiguous byte slices (single-0x20 separators), and
+    * the span check is a sorted-merge cursor rather than a per-token
+    * `exists` scan — the interpreted per-token HOF cost scales with
+    * exactly the dup-saturated corpora the operator targets. REQUIRES
+    * `spans` sorted ascending by `s` and pairwise disjoint (what
+    * [[mergeSpans]] emits); under that contract the cursor walk and
+    * the quadratic `exists` agree on every token. Returns the struct
+    * `(clean_text, n_removed)`.
+    */
+  def scrubSpans(s: UTF8String, spans: ArrayData): InternalRow = {
+    val bytes = s.getBytes
+    val tok = tokenSpans(bytes)
+    val nTok = tok.length / 2
+    val m = spans.numElements()
+    var removed = 0L
+    var j = 0
+    while (j < m) {
+      val st = spans.getStruct(j, 3)
+      removed += st.getInt(1).toLong - st.getInt(0).toLong
+      j += 1
+    }
+    val out = new Array[Byte](if (bytes.length == 0) 0 else bytes.length)
+    var p = 0
+    var first = true
+    var si = 0
+    var curS = if (m > 0) spans.getStruct(0, 3).getInt(0) else Int.MaxValue
+    var curE = if (m > 0) spans.getStruct(0, 3).getInt(1) else Int.MaxValue
+    var i = 0
+    while (i < nTok) {
+      while (si < m && i >= curE) {
+        si += 1
+        if (si < m) {
+          val st = spans.getStruct(si, 3)
+          curS = st.getInt(0); curE = st.getInt(1)
+        } else { curS = Int.MaxValue; curE = Int.MaxValue }
+      }
+      if (!(i >= curS && i < curE)) {
+        if (!first) { out(p) = 0x20; p += 1 }
+        val off = tok(2 * i)
+        val n = tok(2 * i + 1) - off
+        System.arraycopy(bytes, off, out, p, n)
+        p += n
+        first = false
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, 0, p)), removed)
+  }
+
   /** md5-32 hash of every word n-gram — bit-identical to
     * `transform(wordNgrams(text, n), g => md5Hash32(g))` (the gram
     * string's UTF-8 bytes ARE the byte slice between its end tokens),
@@ -321,6 +378,36 @@ final case class MergeSpans(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `scrub_spans(text, spans)` → STRUCT<clean_text STRING, n_removed BIGINT>
+  * (see [[NgramUtil.scrubSpans]]). `spans` must be sorted & disjoint.
+  */
+final case class ScrubSpans(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StructType(fs), _))
+          if fs.length == 3 && fs(0).dataType == IntegerType &&
+            fs(1).dataType == IntegerType && fs(2).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"inputs must be (string, array<struct<s:int,e:int,nw:bigint>>), got $other")
+    }
+
+  override def nullSafeEval(text: Any, spans: Any): Any =
+    NgramUtil.scrubSpans(text.asInstanceOf[UTF8String], spans.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, sp) => s"graft.functions.NgramUtil.scrubSpans($t, $sp)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `word_chunks(text, w)` → ARRAY<STRUCT<pos INT, chunk STRING, h BIGINT>>
   * (see [[NgramUtil.wordChunks]]).
   */
@@ -355,4 +442,7 @@ object NgramExpressions {
     GraftSqlShims.column(WordChunks(GraftSqlShims.expression(text), w))
   def mergeSpans(sortedPos: Column, k: Int): Column =
     GraftSqlShims.column(MergeSpans(GraftSqlShims.expression(sortedPos), k))
+  def scrubSpans(text: Column, spans: Column): Column =
+    GraftSqlShims.column(ScrubSpans(
+      GraftSqlShims.expression(text), GraftSqlShims.expression(spans)))
 }

@@ -1080,6 +1080,14 @@ object DedupOps {
   /** Shared scrub tail: merge the (id, pos) windows-to-remove into
     * spans and rebuild every document's text without the covered
     * tokens. One row per input doc: `(id, clean_text, n_removed)`.
+    * Rebuild + removal count are one fused codegen kernel
+    * ([[graft.functions.NgramUtil.scrubSpans]]) — the earlier
+    * per-token `filter`+`exists` lambdas evaluated interpreted, a
+    * cost that scales with exactly the dup-saturated corpora this
+    * operator targets; the kernel is byte-identical (unit-pinned
+    * against the HOF form) and the spans it consumes arrive sorted &
+    * disjoint from [[mergeWindowSpans]], so its merge-cursor walk is
+    * exact.
     */
   private def scrubByWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, scrubWins: DataFrame): DataFrame = {
@@ -1087,16 +1095,14 @@ object DedupOps {
     val spans = scrubWins.groupBy(id)
       .agg(sort_array(collect_list(col("pos"))).as("__ps"))
       .select(id, mergeWindowSpans(col("__ps"), k).as("__spans"))
-    val toks = split(trim(col(textCol)), " ")
     df.join(spans, Seq(idCol), "left")
       .withColumn("__spans", coalesce(col("__spans"),
         array().cast("array<struct<s:int,e:int,nw:bigint>>")))
+      .withColumn("__scr",
+        graft.functions.NgramExpressions.scrubSpans(col(textCol), col("__spans")))
       .select(id,
-        array_join(filter(toks, (_, i) => !exists(col("__spans"),
-          sp => i >= sp.getField("s") && i < sp.getField("e"))), " ")
-          .as("clean_text"),
-        aggregate(col("__spans"), lit(0L),
-          (a, sp) => a + (sp.getField("e") - sp.getField("s"))).as("n_removed"))
+        col("__scr.clean_text").as("clean_text"),
+        col("__scr.n_removed").as("n_removed"))
   }
 
   // ------------------------------------------------------------------

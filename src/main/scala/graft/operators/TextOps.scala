@@ -275,22 +275,15 @@ object TextOps {
     * it has ≥ `minWords` whitespace words AND ends in terminal
     * punctuation (`.` `!` `?` `"`). Returns the struct
     * `(n_lines, n_kept, kept)` where `kept` is the surviving lines
-    * re-joined with `\n`. Lines-per-document is small (tens), so the
-    * `filter` lambda's interpreted evaluation is bounded per row —
-    * unlike the per-character HOFs §7.3 bans from hot paths; swap in a
-    * fused kernel if a profile ever shows it dominating.
+    * (trimmed) re-joined with `\n`. One fused codegen kernel per doc
+    * ([[graft.functions.C4Util.c4LineFilter]]) — the earlier
+    * `filter`-lambda form evaluated interpreted per line and was the
+    * dominant cost of d74's plan (5.8× the oracle); the kernel is
+    * byte-identical to it (the r9 hashes pin the semantics) and the
+    * unit spec pins kernel ≡ HOF on adversarial line shapes.
     */
-  def c4LineFilter(text: Column, minWords: Int = 5): Column = {
-    val kept = filter(split(text, "\n"), l => {
-      val t = trim(l)
-      (size(split(t, " ")) >= minWords) &&
-        substring(t, -1, 1).isin(".", "!", "?", "\"")
-    })
-    struct(
-      size(split(text, "\n")).as("n_lines"),
-      size(kept).as("n_kept"),
-      array_join(transform(kept, l => trim(l)), "\n").as("kept"))
-  }
+  def c4LineFilter(text: Column, minWords: Int = 5): Column =
+    graft.functions.LineFilterExpressions.c4LineFilter(text, minWords)
 
   /** Word-list content gate (the C4 §2.2 "bad words" filter shape —
     * the list here is caller-supplied): true when ANY token of the

@@ -3088,18 +3088,13 @@ object PipelineQueries {
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val w = 8
-      val t = TextOps.tokens(col("text"))
       // same page construction, Spark side: 8-token slices + the cycling
-      // terminal mark, joined with newlines — then the OPERATOR under
-      // test re-splits and filters
-      val nl = ceil(size(t) / lit(w.toDouble)).cast("int")
-      val page = array_join(
-        transform(sequence(lit(0), greatest(nl - 1, lit(0))), p =>
-          concat(
-            array_join(slice(t, p * w + 1, lit(w)), " "),
-            element_at(array(lit(""), lit("."), lit("!")),
-              ((col("doc_id") + p) % 3 + 1).cast("int")))),
-        "\n")
+      // terminal mark, joined with newlines (the fused fixture kernel —
+      // byte-identical to the transform/slice lambda form, so the timed
+      // path measures the OPERATOR, not interpreted fixture HOFs) —
+      // then the OPERATOR under test re-splits and filters
+      val page = graft.functions.LineFilterExpressions.synthC4Page(
+        col("text"), col("doc_id"), w)
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.c4LineFilter(page, minWords = 5).as("__f"))
         .select(col("doc_id"),

@@ -598,4 +598,88 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(after == Map("s1" -> 3L, "s2" -> 2L))
   }
+
+  // Multi-line pages exercising every C4 line-rule edge: trailing
+  // newlines (split keeps trailing empties), blank and all-space lines,
+  // consecutive spaces (empty tokens COUNT toward the word count),
+  // every terminal mark incl. the quote, unicode lines, a line that is
+  // only punctuation, untrimmed padding around keepable lines.
+  private val pages = Seq(
+    "", "\n", "\n\n", "no terminal here", "one two three four five.",
+    "one two three four five", "one two three four five!\nshort.\n",
+    "  one two three four five?  \nsix seven eight nine ten\"\n\n",
+    "a  b  c  d  e.", // 8 split-tokens (empty count) but 5 words
+    "ends with quote one two\"\nends bang one two three four five six!",
+    "über straße geht é ü.\n日本 語 で す ね。\nascii one two three four.",
+    ".", " . ", "one two three four .", "line one two three four five.\r",
+    "tab\thas one two three four five.")
+
+  test("fused C4LineFilter kernel == composable filter/split HOF form") {
+    val df = pages.toDF("text")
+    val f = df.select(TextOps.c4LineFilter(col("text"), minWords = 5).as("s"))
+      .select(col("s.n_lines"), col("s.n_kept"), col("s.kept")).collect()
+    val kept = filter(split(col("text"), "\n"), l => {
+      val t = trim(l)
+      (size(split(t, " ")) >= 5) && substring(t, -1, 1).isin(".", "!", "?", "\"")
+    })
+    val c = df.select(
+      size(split(col("text"), "\n")).as("n_lines"), size(kept).as("n_kept"),
+      array_join(transform(kept, l => trim(l)), "\n").as("kept")).collect()
+    pages.indices.foreach { i =>
+      assert(f(i) == c(i), s"row $i: ${pages(i).replace("\n", "\\n")}")
+    }
+  }
+
+  test("fused SynthC4Page fixture kernel == composable slice/transform form") {
+    val w = 8
+    val df = awkward.zipWithIndex.map { case (t, i) => (t, i.toLong * 7) }
+      .toDF("text", "doc_id")
+    val fused = df.select(graft.functions.LineFilterExpressions
+      .synthC4Page(col("text"), col("doc_id"), w).as("p")).collect()
+    val t = TextOps.tokens(col("text"))
+    val nl = ceil(size(t) / lit(w.toDouble)).cast("int")
+    val page = array_join(
+      transform(sequence(lit(0), greatest(nl - 1, lit(0))), p =>
+        concat(
+          array_join(slice(t, p * w + 1, lit(w)), " "),
+          element_at(array(lit(""), lit("."), lit("!")),
+            ((col("doc_id") + p) % 3 + 1).cast("int")))),
+      "\n")
+    val comp = df.select(page.as("p")).collect()
+    awkward.indices.foreach { i =>
+      assert(fused(i) == comp(i), s"row $i: ${awkward(i)}")
+    }
+  }
+
+  test("fused ScrubSpans kernel == composable filter/exists HOF form") {
+    import graft.functions.NgramExpressions
+    // (text, sorted disjoint spans) — mergeSpans-shaped inputs: empty
+    // span set, span at the front, middle, clipped tail, whole doc,
+    // adjacent-but-disjoint spans, empty-token docs
+    val rows = Seq(
+      ("a b c d e f g h", Seq((1, 3, 2L), (5, 7, 2L))),
+      ("a b c d e f g h", Seq.empty[(Int, Int, Long)]),
+      ("a b c d", Seq((0, 4, 4L))),
+      ("a b c d", Seq((0, 1, 1L), (3, 4, 1L))),
+      ("solo", Seq((0, 1, 1L))),
+      ("  padded   doc here  ", Seq((1, 2, 1L))),
+      ("über straße é ü ok", Seq((2, 4, 2L))),
+      ("", Seq.empty[(Int, Int, Long)]))
+    val df = rows.toDF("text", "raw")
+      .withColumn("spans", expr(
+        "transform(raw, r -> named_struct('s', r._1, 'e', r._2, 'nw', r._3))"))
+    val fused = df.select(NgramExpressions.scrubSpans(col("text"), col("spans")).as("r"))
+      .select(col("r.clean_text"), col("r.n_removed")).collect()
+    val toks = split(trim(col("text")), " ")
+    val comp = df.select(
+      array_join(filter(toks, (_, i) => !exists(col("spans"),
+        sp => i >= sp.getField("s") && i < sp.getField("e"))), " ")
+        .as("clean_text"),
+      aggregate(col("spans"), lit(0L),
+        (a, sp) => a + (sp.getField("e") - sp.getField("s"))).as("n_removed"))
+      .collect()
+    rows.indices.foreach { i =>
+      assert(fused(i) == comp(i), s"row $i: ${rows(i)}")
+    }
+  }
 }
