@@ -103,6 +103,77 @@ final case class ShingleHash32s(child: Expression, n: Int, mod: Long)
     copy(child = newChild)
 }
 
+object FrameHashUtil {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** The distinct, SORTED md5-hex set of a payload's sampled frames —
+    * bit-identical to exploding [[graft.operators.MultimodalOps
+    * .sampleFrames]]'s chunks through `md5()` and re-collecting
+    * `sort_array(collect_set(...))`, but per-row: frame `p`
+    * (p ∈ [0, max(⌊len/(frameBytes·everyK)⌋, 1))) is the byte slice
+    * `[p·frameBytes·everyK, +frameBytes)` clipped to the payload (the
+    * `substr` clipping rule), hashed with a thread-local digest, hex'd
+    * without intermediate strings, dedup'd in a TreeSet. Replaces an
+    * explode (~frames-per-payload row amplification of the BINARY
+    * column) + a corpus-wide groupBy shuffle with zero-shuffle
+    * scan-local work — the difference between "payload bytes never
+    * leave the scan partition" as a doc-comment and as a plan shape.
+    */
+  def frameMd5s(bin: Array[Byte], frameBytes: Int, everyK: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = bin.length
+    val stride = frameBytes * everyK
+    val n = math.max(len / stride, 1)
+    val set = new java.util.TreeSet[String]()
+    val d = Md5Util.digest()
+    val scratch = new Array[Byte](16)
+    val hex = new Array[Char](32)
+    var p = 0
+    while (p < n) {
+      val off = p * stride
+      val end = math.min(off + frameBytes, len)
+      d.reset()
+      if (end > off) d.update(bin, off, end - off)
+      d.digest(scratch, 0, 16)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = HexDigits((scratch(i) >> 4) & 0xf)
+        hex(2 * i + 1) = HexDigits(scratch(i) & 0xf)
+        i += 1
+      }
+      set.add(new String(hex)): Unit
+      p += 1
+    }
+    val out = new Array[Any](set.size)
+    var i = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `frame_md5s(bin, frameBytes, everyK)` → ARRAY<STRING>, sorted
+  * distinct (see [[FrameHashUtil.frameMd5s]]).
+  */
+final case class FrameMd5s(child: Expression, frameBytes: Int, everyK: Int)
+    extends UnaryExpression {
+  require(frameBytes >= 1 && everyK >= 1, "frameBytes and everyK must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    FrameHashUtil.frameMd5s(input.asInstanceOf[Array[Byte]], frameBytes, everyK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrameHashUtil.frameMd5s($c, $frameBytes, $everyK)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 final case class Md5Hash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =

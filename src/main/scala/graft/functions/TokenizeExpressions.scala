@@ -33,26 +33,133 @@ object WordPieceUtil {
     * pieces); each token segments greedily: the longest vocab piece at
     * the cursor wins (`##`-prefixed after the first), and a token with
     * NO matching piece at some cursor emits `unk` for the WHOLE token —
-    * BERT's is_bad contract, not a partial emission.
+    * BERT's is_bad contract, not a partial emission. A token longer
+    * than `maxWordChars` codepoints emits `unk` without segmentation —
+    * BERT's `max_input_chars_per_word` cap (reference default 200).
+    *
+    * With `basic = true`, BERT's BasicTokenizer runs FIRST
+    * ([[basicTokenize]]): control-char cleanup, CJK char isolation,
+    * punctuation splitting, and (with `lowercase`) lowercasing +
+    * accent stripping — what raw web text needs before WordPiece, so
+    * punctuation-glued tokens segment instead of falling to whole-word
+    * `unk`. Default OFF: the pre-existing space-split contract (and
+    * the d68 conformance hashes) are unchanged.
     */
   def encode(text: UTF8String, vocab: java.util.HashSet[String],
-      maxPiece: Int, unk: String): ArrayData = {
-    val s = text.toString.trim
+      maxPiece: Int, unk: String, basic: Boolean, lowercase: Boolean,
+      maxWordChars: Int): ArrayData = {
+    val raw = text.toString
+    val s = (if (basic) basicTokenize(raw, lowercase) else raw).trim
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
     val n = s.length
     while (start <= n) {
       val sp = s.indexOf(' ', start)
       val end = if (sp < 0) n else sp
-      if (end > start) encodeWord(s, start, end, vocab, maxPiece, unk, out)
+      if (end > start) encodeWord(s, start, end, vocab, maxPiece, unk, maxWordChars, out)
       if (sp < 0) start = n + 1 else start = sp + 1
     }
     new GenericArrayData(out.toArray)
   }
 
+  /** BERT's BasicTokenizer (Devlin et al. 2019, `tokenization.py`):
+    * (1) drop U+0000/U+FFFD and control/format chars, map all
+    * whitespace to a space; (2) isolate CJK ideographs as single-char
+    * tokens (the unified-ideograph + compatibility blocks the
+    * reference lists); (3) whitespace-split; (4) per token, optionally
+    * lowercase + strip combining accents (NFD, drop Mn); (5) split
+    * punctuation (ASCII punct ranges + Unicode P* categories) into
+    * standalone tokens. Returns the tokens single-space-joined — the
+    * repo's standard token stream shape.
+    */
+  def basicTokenize(s: String, lowercase: Boolean): String = {
+    val cleaned = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!(cp == 0 || cp == 0xFFFD || isControl(cp))) {
+        if (isWhitespace(cp)) cleaned.append(' ')
+        else if (isCjk(cp)) {
+          cleaned.append(' '); cleaned.appendCodePoint(cp); cleaned.append(' ')
+        } else cleaned.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    val out = new java.lang.StringBuilder(cleaned.length)
+    cleaned.toString.split(" ").foreach { tok0 =>
+      if (tok0.nonEmpty) {
+        val tok =
+          if (lowercase) stripAccents(tok0.toLowerCase(java.util.Locale.ROOT))
+          else tok0
+        // split_on_punc: punctuation chars become their own tokens
+        var j = 0
+        var inWord = false
+        while (j < tok.length) {
+          val cp = tok.codePointAt(j)
+          if (isPunct(cp)) {
+            if (out.length > 0) out.append(' ')
+            out.appendCodePoint(cp)
+            inWord = false
+          } else {
+            if (!inWord && out.length > 0) out.append(' ')
+            out.appendCodePoint(cp)
+            inWord = true
+          }
+          j += Character.charCount(cp)
+        }
+      }
+    }
+    out.toString
+  }
+
+  private def isControl(cp: Int): Boolean =
+    if (cp == '\t' || cp == '\n' || cp == '\r') false
+    else {
+      val t = Character.getType(cp)
+      t == Character.CONTROL || t == Character.FORMAT
+    }
+
+  private def isWhitespace(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+      Character.getType(cp) == Character.SPACE_SEPARATOR
+
+  // BERT's _is_punctuation: the four ASCII punct ranges OR any Unicode
+  // P* category (treats $ ^ ` ~ etc. as punctuation via the ASCII arm)
+  private def isPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(cp)
+        t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+          t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+          t == Character.INITIAL_QUOTE_PUNCTUATION ||
+          t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
+      }
+
+  // the CJK ideograph blocks tokenization.py's _is_chinese_char lists
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+      (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  private def stripAccents(s: String): String = {
+    val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   private def encodeWord(s: String, from: Int, to: Int,
       vocab: java.util.HashSet[String], maxPiece: Int, unk: String,
-      out: java.util.ArrayList[UTF8String]): Unit = {
+      maxWordChars: Int, out: java.util.ArrayList[UTF8String]): Unit = {
+    if (s.codePointCount(from, to) > maxWordChars) {
+      out.add(UTF8String.fromString(unk)); return
+    }
     val first = out.size()
     var i = from
     while (i < to) {
@@ -76,10 +183,16 @@ object WordPieceUtil {
   }
 }
 
-/** `wordpiece_encode(text)` → ARRAY<STRING> of pieces. */
+/** `wordpiece_encode(text)` → ARRAY<STRING> of pieces. `basic` turns on
+  * BasicTokenizer pre-tokenization (flag-gated, default off — the
+  * space-split contract and the d68 hashes are unchanged);
+  * `maxWordChars` is BERT's whole-word-`[UNK]` length cap.
+  */
 final case class WordPieceEncode(child: Expression, vocab: Seq[String],
-    unk: String = "[UNK]") extends UnaryExpression {
+    unk: String = "[UNK]", basic: Boolean = false, lowercase: Boolean = false,
+    maxWordChars: Int = 200) extends UnaryExpression {
   require(vocab.nonEmpty, "vocab must be non-empty")
+  require(maxWordChars >= 1, "maxWordChars must be >= 1")
 
   @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.size * 2)
@@ -98,13 +211,14 @@ final case class WordPieceEncode(child: Expression, vocab: Seq[String],
   }
 
   override def nullSafeEval(input: Any): Any =
-    WordPieceUtil.encode(input.asInstanceOf[UTF8String], vocabSet, maxPiece, unk)
+    WordPieceUtil.encode(input.asInstanceOf[UTF8String], vocabSet, maxPiece, unk,
+      basic, lowercase, maxWordChars)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wpVocab", vocabSet, "java.util.HashSet")
     val unkLit = ctx.addReferenceObj("wpUnk", unk, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordPieceUtil.encode($c, $ref, $maxPiece, $unkLit)")
+      s"graft.functions.WordPieceUtil.encode($c, $ref, $maxPiece, $unkLit, $basic, $lowercase, $maxWordChars)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -235,8 +349,10 @@ object TokenizeExpressions {
   import org.apache.spark.sql.GraftSqlShims
   /** Column-facing wrapper. */
   def wordPieceEncode(text: Column, vocab: Seq[String],
-      unk: String = "[UNK]"): Column =
-    GraftSqlShims.column(WordPieceEncode(GraftSqlShims.expression(text), vocab, unk))
+      unk: String = "[UNK]", basic: Boolean = false, lowercase: Boolean = false,
+      maxWordChars: Int = 200): Column =
+    GraftSqlShims.column(WordPieceEncode(GraftSqlShims.expression(text), vocab,
+      unk, basic, lowercase, maxWordChars))
 
   /** Column-facing wrapper for [[RepairMojibake]]. */
   def repairMojibake(text: Column, maxLayers: Int = 2): Column =

@@ -270,7 +270,18 @@ object LedgerGuard {
     * files cannot.
     */
   private[graft] def writeSidecarMeta(spark: SparkSession, path: String,
-      file: String, kv: Seq[(String, Long)]): Unit = {
+      file: String, kv: Seq[(String, Long)]): Unit =
+    writeSidecarMetaStr(spark, path, file, kv.map { case (k, v) => k -> v.toString })
+
+  /** String-valued variant of [[writeSidecarMeta]] — same `k=v` line
+    * format; numeric and string keys coexist in one file (the numeric
+    * reader skips lines it can't parse, the string reader returns
+    * everything). Values must be newline-free.
+    */
+  private[graft] def writeSidecarMetaStr(spark: SparkSession, path: String,
+      file: String, kv: Seq[(String, String)]): Unit = {
+    require(kv.forall { case (k, v) => !k.contains('\n') && !v.contains('\n') },
+      "sidecar keys/values must be newline-free")
     val dir = new Path(appendPath(spark, path))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(dir, file), true)
@@ -292,11 +303,35 @@ object LedgerGuard {
       val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
       Some(text.linesIterator.flatMap { l =>
         l.split("=", 2) match {
-          case Array(k, v) => Some(k -> v.trim.toLong)
+          // skip (don't fail on) non-numeric values: a sidecar may mix
+          // numeric parameters with string ones (e.g. an id-column
+          // name); returning None here would silently disable the
+          // fail-loudly parameter gates that read this file
+          case Array(k, v) => scala.util.Try(v.trim.toLong).toOption.map(k -> _)
           case _ => None
         }
       }.toMap)
-    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** String-valued variant of [[readSidecarMeta]]: every `k=v` line
+    * verbatim (values trimmed), numeric or not.
+    */
+  private[graft] def readSidecarMetaStr(spark: SparkSession, path: String,
+      file: String): Option[Map[String, String]] = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val gen = readablePath(fs, target)
+      val in = fs.open(new Path(gen, file))
+      val text = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
+      Some(text.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v.trim)
+          case _ => None
+        }
+      }.toMap)
+    } catch { case _: java.io.IOException => None }
   }
 
   // ------------------------------------------------------------------

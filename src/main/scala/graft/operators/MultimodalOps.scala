@@ -663,6 +663,27 @@ object MultimodalOps {
         col("__bin").substr(col("pos") * (frameBytes * everyK) + 1, lit(frameBytes)).as("frame_bytes"))
   }
 
+  /** Per-payload distinct-frame-hash SIGNATURE: one row per payload,
+    * `(idCol, n, fhs)` where `fhs` is the SORTED array of distinct
+    * sampled-frame md5s and `n` its size. One fused per-row kernel
+    * ([[graft.functions.FrameHashUtil.frameMd5s]]) — bit-identical to
+    * exploding [[sampleFrames]] through `md5()` and re-collecting with
+    * `sort_array(collect_set(...))` (unit-pinned), but with ZERO
+    * shuffle and zero row amplification: the payload bytes never leave
+    * the scan partition, and no explode ever copies binary slices into
+    * per-frame rows. This is the table every frame-dedup consumer
+    * shares: the in-flight pair generator, the at-rest ledger writer,
+    * and the ledger probe's batch side.
+    */
+  def frameSignatures(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int): DataFrame =
+    df.select(col(idCol),
+        org.apache.spark.sql.GraftSqlShims.column(graft.functions.FrameMd5s(
+          org.apache.spark.sql.GraftSqlShims.expression(col(binCol)),
+          frameBytes, everyK)).as("fhs"))
+      .filter(col("fhs").isNotNull) // null payload ⇒ no frames (explode semantics)
+      .select(col(idCol), size(col("fhs")).as("n"), col("fhs"))
+
   /** Video near-duplicate candidates by sampled-frame hashing — the
     * standard video-dedup recipe (sample frames, hash each, compare
     * hash SETS): two payloads pair when they share ≥ 1 frame hash, and
@@ -672,46 +693,287 @@ object MultimodalOps {
     * stand-in; swapping a real keyframe decoder into that seam changes
     * nothing downstream because only the 16-byte md5s flow past it.
     *
-    * Scale shape: payload bytes never shuffle — each binary collapses
-    * to its distinct-frame-hash SET in one aggregation keyed on id
-    * (map-side combined; a set is ≤ frames-per-payload, model-sized),
-    * and the set SIZE rides along with every exploded hash so the
-    * Jaccard denominator needs no extra join or second derivation.
-    * Pair generation is the LSH-banding bucket join (pairs meet ONLY
-    * inside a shared frame hash — linear in bucket sizes, never
-    * corpus × corpus). The payload scan runs once per join SIDE (twice
-    * total — Spark re-executes a self-joined lineage); the earlier
-    * sizes-as-separate-branch form re-scanned the binary corpus 4×,
-    * which is what dominates at 100 TB of video. For the steady-state
-    * ingest loop, persist the (id, n, frame-hash) signature table and
-    * probe batches against it — the d48 signature-ledger regime; then
-    * each payload's bytes are read exactly once at admission.
-    * A frame shared by n payloads emits n·(n−1)/2 candidate pairs —
-    * the same quadratic-in-duplicity property as d08's LSH pairs;
-    * threshold or cap upstream if a corpus carries a million copies of
-    * one intro frame.
+    * Scale shape (the d10/d12 collapse discipline, applied here too):
+    * each payload collapses to its signature ONCE ([[frameSignatures]],
+    * locally checkpointed so the self-joined lineage reads the cached
+    * signature blocks instead of re-scanning the binary corpus — the
+    * cost that dominates at 100 TB of video), identical hash SETS
+    * collapse to one representative (identical sets ⇒ Jaccard exactly
+    * 1 within the group, and a cross-group rep-pair score is inherited
+    * by every member pair — so a frame shared by n exact re-uploads no
+    * longer emits n·(n−1)/2 rows inside the bucket join; pair output
+    * is still quadratic in duplicity, but as a rep-local expansion,
+    * never join work). Rep pair generation is the LSH-banding bucket
+    * join (pairs meet ONLY inside a shared frame hash — linear in
+    * bucket sizes, never corpus × corpus). For the steady-state ingest
+    * loop, use [[writeFrameLedger]] / [[frameDedupAgainstLedger]] —
+    * then each payload's bytes are read exactly once at admission.
     * Output: `(a_id, b_id, n_common, jaccard)` with a_id < b_id,
     * jaccard ≥ `minJaccard`.
     */
   def frameDedupPairs(df: DataFrame, idCol: String, binCol: String,
-      frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame = {
-    val perDoc = sampleFrames(df, idCol, binCol, frameBytes, everyK)
-      .select(col(idCol), md5(col("frame_bytes")).as("__fh"))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("__fh")).as("__fhs"))
-      .select(col(idCol), size(col("__fhs")).as("__n"),
-        explode(col("__fhs")).as("__fh"))
-    val a = perDoc.select(col(idCol).as("a_id"), col("__n").as("__na"), col("__fh"))
-    val b = perDoc.select(col(idCol).as("b_id"), col("__n").as("__nb"), col("__fh"))
-    a.join(b, Seq("__fh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("__common"))
-      .select(col("a_id"), col("b_id"),
-        col("__common").cast("int").as("n_common"),
+      frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame =
+    pairsOfFrameSignatures(
+      frameSignatures(df, idCol, binCol, frameBytes, everyK),
+      idCol, minJaccard)
+
+  /** The pair core over a signature table ([[frameSignatures]]-shaped
+    * or re-assembled from the at-rest ledger). Collapse-first: groups
+    * are distinct hash SETS (members sorted; the signature table is
+    * one row per id, so groups partition the ids), the payload-derived
+    * signature table is locally checkpointed (lazily — inside the
+    * consumer's own action) so the group table's several derivations
+    * (within-group arm, both bucket-join sides, both member
+    * expansions) share ONE computation of the expensive upstream
+    * scan-and-hash instead of re-executing it per derivation. At
+    * cluster scale the checkpoint blocks live on executors
+    * (MEMORY_AND_DISK); the at-rest ledger is the durable form of the
+    * same table for jobs that outlive a session.
+    */
+  private[graft] def pairsOfFrameSignatures(sigs: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame = {
+    val id = col(idCol)
+    val groups = sigs.groupBy(col("fhs"))
+      .agg(sort_array(collect_set(id)).as("__members"), first(col("n")).as("__n"))
+      .select(element_at(col("__members"), 1).as("__rep"),
+        col("__members"), col("__n"), col("fhs"))
+      .localCheckpoint(false)
+    // within-group arm: identical sets ⇒ every member pair at Jaccard
+    // exactly 1 with n_common = |set|; members are sorted, so pairing
+    // each element with its successors yields a_id < b_id directly
+    val ms = col("__members")
+    val within = groups.filter(size(ms) > 1)
+      .select(col("__n"), explode(flatten(transform(ms, (x, i) =>
+        transform(slice(ms, i + 2, greatest(size(ms) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"),
+        col("__n").cast("int").as("n_common"), lit(1.0).as("jaccard"))
+    // cross-group arm with PREFIX FILTERING (the SSJoin/PPJoin prefix
+    // principle): under ANY global element order, a pair with Jaccard
+    // ≥ t must share its order-smallest common element, and that
+    // element provably sits within the first |S| − ⌈t·|S|⌉ + 1
+    // elements of BOTH sets (if all common elements hid in A's
+    // suffix, |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|). The order used is
+    // ASCENDING CORPUS FREQUENCY (ties by hash) — the part that makes
+    // the filter bite: prefixes then hold each set's RAREST hashes, so
+    // the ubiquitous-frame hot buckets (intro frames; here, common
+    // 8-gram chunks) sit in suffixes and never generate candidates,
+    // and bucket-join work tracks the number of TRULY similar pairs
+    // instead of co-occurrence volume (the unfiltered bucket join
+    // emitted 1.7M rep pairs on the sf0.1 fixture for a ~10²-row
+    // result). Survivors are scored exactly with one array_intersect
+    // over the two model-sized sets — no corpus-wide count
+    // aggregation, no full-set arrays through a big join. The prefix
+    // threshold backs off by the 4-dp rounding margin so a pair whose
+    // TRUE Jaccard sits just under `minJaccard` but ROUNDS up is
+    // still generated (the emitted filter tests the rounded value,
+    // as before).
+    val tPre = math.max(minJaccard - 0.00005, 0.0)
+    val ex = groups.select(col("__rep"), explode(col("fhs")).as("__fh"))
+    val dfreq = ex.groupBy(col("__fh")).agg(count(lit(1)).as("__df"))
+    val ordered = ex.join(dfreq, "__fh")
+      .groupBy(col("__rep"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
+    val pLen = size(col("__ord")) -
+      ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1
+    // prefix rows carry (set size, 1-based position) so the bucket
+    // join can apply PPJoin's two other EXACT pruning rules before any
+    // pair materializes downstream:
+    //  - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  - positional filter: for the smallest common element at
+    //    positions (pa, pb), |A∩B| ≤ min(|A|−pa, |B|−pb) + 1, which
+    //    must reach the required overlap t/(1+t)·(|A|+|B|). Rows for
+    //    LATER shared elements may fail the bound spuriously, but the
+    //    smallest common element's row — guaranteed present by the
+    //    prefix theorem — always satisfies it, and dropDuplicates
+    //    keeps a pair if ANY of its rows survives.
+    val pre = ordered.select(col("__rep"), size(col("__ord")).as("__sz"),
+        posexplode(slice(transform(col("__ord"), s => s.getField("__fh")),
+          lit(1), pLen)))
+      .select(col("__rep"), col("__sz"), (col("pos") + 1).as("__pos"), col("col").as("__fh"))
+    val reqOverlap = lit(tPre / (1.0 + tPre)) * (col("__sa") + col("__sb"))
+    val cand = pre.select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+        col("__pos").as("__pa"), col("__fh"))
+      .join(pre.select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+        col("__pos").as("__pb"), col("__fh")), Seq("__fh"))
+      .filter(col("__ra") < col("__rb") &&
+        greatest(col("__sa"), col("__sb")) * lit(tPre) <=
+          least(col("__sa"), col("__sb")) &&
+        (least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) + 1) >= reqOverlap)
+      .select(col("__ra"), col("__rb")).dropDuplicates()
+    val full = groups.select(col("__rep"), col("__n"), col("fhs"))
+    val repPairs = cand
+      .join(full.select(col("__rep").as("__ra"), col("__n").as("__na"),
+        col("fhs").as("__fa")), "__ra")
+      .join(full.select(col("__rep").as("__rb"), col("__n").as("__nb"),
+        col("fhs").as("__fb")), "__rb")
+      .select(col("__ra"), col("__rb"),
+        size(array_intersect(col("__fa"), col("__fb"))).cast("long").as("__common"),
+        col("__na"), col("__nb"))
+      .select(col("__ra"), col("__rb"), col("__common"),
         graft.queries.Qf.dround(
           col("__common") / (col("__na") + col("__nb") - col("__common")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    val members = groups.select(col("__rep"), col("__members"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("__ra"), col("__members").as("__ma")), "__ra")
+      .join(members.select(col("__rep").as("__rb"), col("__members").as("__mb")), "__rb")
+      .select(explode(col("__ma")).as("__x"), col("__mb"), col("__common"), col("jaccard"))
+      .select(col("__x"), explode(col("__mb")).as("__y"), col("__common"), col("jaccard"))
+      .select(least(col("__x"), col("__y")).as("a_id"),
+        greatest(col("__x"), col("__y")).as("b_id"),
+        col("__common").cast("int").as("n_common"), col("jaccard"))
+    within.unionByName(cross).filter(col("jaccard") >= minJaccard)
   }
+
+  // ------------------------------------------------------------------
+  // Frame-signature LEDGER — the at-rest form of [[frameSignatures]]
+  // for the steady-state video-ingest loop (the d48 signature-ledger
+  // regime): admission computes each payload's frame hashes ONCE, and
+  // every later batch probes the stored hashes without re-reading or
+  // re-hashing the binary corpus — at 100 TB of video the payload scan
+  // dwarfs everything else, so this ledger is what makes incremental
+  // frame-dedup O(batch). Row shape: `(idCol, n, fh)` — one row per
+  // distinct frame hash per payload (16 B of hash + the set size at
+  // rest), never payload bytes. Append-only; replayed appends
+  // (crash-and-retry) store duplicate rows, which probes tolerate
+  // (signatures re-assemble per distinct (id, fh)) and
+  // [[compactFrameLedger]] removes at rest. SELF-DESCRIBING: creation
+  // persists (frameBytes, everyK) in a `_GRAFT_FRAME_META` sidecar and
+  // every append/probe validates the caller's values against it,
+  // failing loudly naming both sides — hashes sampled with different
+  // framing are incomparable, and the recall loss would be silent.
+  // ------------------------------------------------------------------
+
+  private val FrameMetaFile = LedgerGuard.SidecarPrefix + "FRAME_META"
+
+  private def writeFrameMeta(spark: SparkSession, path: String,
+      frameBytes: Int, everyK: Int): Unit =
+    LedgerGuard.writeSidecarMeta(spark, path, FrameMetaFile,
+      Seq("frameBytes" -> frameBytes.toLong, "everyK" -> everyK.toLong))
+
+  private def readFrameMeta(spark: SparkSession, path: String): Option[(Int, Int)] =
+    LedgerGuard.readSidecarMeta(spark, path, FrameMetaFile).flatMap { kv =>
+      for (fb <- kv.get("frameBytes"); ek <- kv.get("everyK"))
+        yield (fb.toInt, ek.toInt)
+    }
+
+  private def requireFrameMeta(spark: SparkSession, path: String,
+      frameBytes: Int, everyK: Int, op: String): Unit =
+    readFrameMeta(spark, path).foreach { case (fb, ek) =>
+      if (fb != frameBytes || ek != everyK)
+        throw new IllegalArgumentException(
+          s"frame ledger $op at $path: ledger was created with " +
+            s"frameBytes=$fb, everyK=$ek but the caller passed " +
+            s"frameBytes=$frameBytes, everyK=$everyK — mixed framing " +
+            "silently degrades dedup recall; pass the creation-time " +
+            "values (or rebuild the ledger)")
+    }
+
+  private def frameLedgerRows(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int): DataFrame =
+    frameSignatures(df, idCol, binCol, frameBytes, everyK)
+      .select(col(idCol), col("n"), explode(col("fhs")).as("fh"))
+
+  /** Create the frame-signature ledger from the initial corpus — ONE
+    * payload scan, hashes at rest thereafter.
+    */
+  def writeFrameLedger(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int, path: String): Unit = {
+    frameLedgerRows(df, idCol, binCol, frameBytes, everyK)
+      .write.mode("overwrite").parquet(path)
+    writeFrameMeta(df.sparkSession, path, frameBytes, everyK)
+  }
+
+  /** Admit a batch's frame signatures (append-only; pass rows already
+    * vetted for admission — the ledger should hold what the corpus
+    * kept). First append to a pre-sidecar ledger adopts the caller's
+    * framing (trusted once); every later append/probe is validated.
+    */
+  def appendToFrameLedger(batch: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyK: Int, path: String): Unit = {
+    requireFrameMeta(batch.sparkSession, path, frameBytes, everyK, "append")
+    frameLedgerRows(batch, idCol, binCol, frameBytes, everyK)
+      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
+    if (readFrameMeta(batch.sparkSession, path).isEmpty)
+      writeFrameMeta(batch.sparkSession, path, frameBytes, everyK)
+  }
+
+  /** Frame-dedup a NEW batch against the at-rest corpus signatures:
+    * the batch side hashes O(batch) payloads, the corpus side is a
+    * columnar scan of (id, fh) — no corpus payload is read. Same
+    * collapse discipline as [[pairsOfFrameSignatures]]: both sides
+    * group to distinct hash sets, reps meet in the bucket join,
+    * scores expand to members (identical sets across sides meet in
+    * every shared hash and score Jaccard 1 on their own — no special
+    * arm needed). Output: `(new_id, corpus_id, n_common, jaccard)`.
+    */
+  def frameDedupAgainstLedger(newDocs: DataFrame, idCol: String, binCol: String,
+      path: String, frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    requireFrameMeta(spark, path, frameBytes, everyK, "probe")
+    val corpus = LedgerGuard.readLedger(spark, path)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("fh"))).as("fhs"))
+      .select(col(idCol), size(col("fhs")).as("n"), col("fhs"))
+    val batch = frameSignatures(newDocs, idCol, binCol, frameBytes, everyK)
+    def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("fhs"))
+      .agg(sort_array(collect_set(col(idCol))).as("__members"),
+        first(col("n")).as("__n"))
+      .select(element_at(col("__members"), 1).as("__rep"),
+        col("__members"), col("__n"), col("fhs"))
+    val gn = groupsOf(batch).localCheckpoint(false)
+    val gc = groupsOf(corpus)
+    // same frequency-ordered PREFIX FILTERING as
+    // pairsOfFrameSignatures (see there for the completeness argument
+    // and the rounding back-off); the global order must be shared by
+    // both sides, so frequencies are counted over their union
+    val tPre = math.max(minJaccard - 0.00005, 0.0)
+    def exOf(g: DataFrame) = g.select(col("__rep"), explode(col("fhs")).as("__fh"))
+    val dfreq = exOf(gn).unionByName(exOf(gc))
+      .groupBy(col("__fh")).agg(count(lit(1)).as("__df"))
+    def preOf(g: DataFrame, rep: String) = exOf(g).join(dfreq, "__fh")
+      .groupBy(col("__rep"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
+      .select(col("__rep").as(rep),
+        explode(slice(transform(col("__ord"), s => s.getField("__fh")), lit(1),
+          size(col("__ord")) - ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1))
+          .as("__fh"))
+    val cand = preOf(gn, "__rn").join(preOf(gc, "__rc"), Seq("__fh"))
+      .select(col("__rn"), col("__rc")).dropDuplicates()
+    val repPairs = cand
+      .join(gn.select(col("__rep").as("__rn"), col("__n").as("__nn"),
+        col("fhs").as("__fn")), "__rn")
+      .join(gc.select(col("__rep").as("__rc"), col("__n").as("__nc"),
+        col("fhs").as("__fc")), "__rc")
+      .select(col("__rn"), col("__rc"),
+        size(array_intersect(col("__fn"), col("__fc"))).cast("long").as("__common"),
+        col("__nn"), col("__nc"))
+      .select(col("__rn"), col("__rc"), col("__common"),
+        graft.queries.Qf.dround(
+          col("__common") / (col("__nn") + col("__nc") - col("__common")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    repPairs
+      .join(gn.select(col("__rep").as("__rn"), col("__members").as("__mn")), "__rn")
+      .join(gc.select(col("__rep").as("__rc"), col("__members").as("__mc")), "__rc")
+      .select(explode(col("__mn")).as("new_id"), col("__mc"), col("__common"), col("jaccard"))
+      .select(col("new_id"), explode(col("__mc")).as("corpus_id"),
+        col("__common").cast("int").as("n_common"), col("jaccard"))
+  }
+
+  /** Compact the frame ledger IN PLACE: collapse duplicate rows
+    * (replayed appends) and rewrite accreted per-batch small files,
+    * sorted by id so file-level min/max stats prune id-ranged reads.
+    * Same staged swap, lease, self-heal, and manifest-mode support as
+    * every other ledger family.
+    */
+  def compactFrameLedger(spark: SparkSession, path: String,
+      targetFiles: Int = 16, maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "frame-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
+      LayoutOps.writeSized(led, staging, col(led.columns.head),
+        targetFiles, maxRecordsPerFile)
+    }
 }

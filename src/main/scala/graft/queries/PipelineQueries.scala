@@ -2716,6 +2716,46 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---------------------------------------------------------------- frame-signature ledger
+    // m06's steady-state ingest form: corpus frame hashes at rest (the
+    // d48 signature-ledger regime for the video modality) — admission
+    // hashes each payload once, later batches probe stored (id, n, fh)
+    // rows without re-reading any corpus payload. The query runs the
+    // whole maintenance cycle (create from gen-1, append gen-2, replay
+    // the same append crash-and-retry style, compact) before probing;
+    // the oracle is file- and duplication-blind (recomputes both
+    // sides' frame-hash sets from text), so the hash match proves the
+    // at-rest round-trip and the maintenance cycle lost and invented
+    // nothing.
+    q("m08_frame_ledger",
+      """WITH fr AS (SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(floor(length(text) / 16) AS BIGINT), 1))) AS p
+        |  FROM documents),
+        |h AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(p * 16 + 1 AS INTEGER), 8)) AS fh FROM fr),
+        |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+        |  FROM h a JOIN h b ON a.fh = b.fh
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2),
+        |j AS (SELECT new_id, corpus_id, c, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.new_id JOIN sz sb ON sb.doc_id = pr.corpus_id)
+        |SELECT new_id, corpus_id, CAST(c AS INTEGER) AS n_common, jaccard
+        |FROM j WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("__bin", col("text").cast("binary"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/m08_frames_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val gen2 = docs.filter((col("doc_id") % 10) > 5)
+      MultimodalOps.writeFrameLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
+        "doc_id", "__bin", frameBytes = 8, everyK = 2, path)
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path)
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path) // crash-and-retry replay
+      MultimodalOps.compactFrameLedger(s, path, targetFiles = 4)
+      MultimodalOps.frameDedupAgainstLedger(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", path,
+        frameBytes = 8, everyK = 2, minJaccard = 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- cross-document boilerplate scrub
     // the CCNet/RefinedWeb paragraph-frequency stage: a chunk appearing
     // in ≥ maxDf DISTINCT documents is boilerplate (headers, footers,

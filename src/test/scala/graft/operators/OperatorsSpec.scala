@@ -1493,6 +1493,41 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("a", "b")))          // leading/trailing/double spaces yield no empty pieces
   }
 
+  test("wordPieceEncode basic=true: BasicTokenizer punctuation/CJK/case/accents; default-off unchanged") {
+    val vocab = Seq("hello", "world", "don", "t", "'", ",", "!", "日", "本", "cafe")
+    val df = Seq("Hello, world!", "don't", "日本", "Café", "hello world").toDF("t")
+    // default OFF: punctuation-glued tokens fall to whole-word [UNK] —
+    // the pre-existing contract (d68 hashes pin it)
+    val off = df.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("t"), vocab).as("p")).as[Seq[String]].collect().toSeq
+    assert(off == Seq(Seq("[UNK]", "[UNK]"), Seq("[UNK]"), Seq("[UNK]"),
+      Seq("[UNK]"), Seq("hello", "world")))
+    // basic + lowercase ON: punctuation splits off, CJK chars isolate,
+    // case folds, accents strip — raw web text segments
+    val on = df.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("t"), vocab, basic = true, lowercase = true).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(on == Seq(
+      Seq("hello", ",", "world", "!"),
+      Seq("don", "'", "t"),
+      Seq("日", "本"),
+      Seq("cafe"),
+      Seq("hello", "world")))
+  }
+
+  test("wordPieceEncode: over-long words emit whole-word [UNK] (max_input_chars_per_word)") {
+    val vocab = Seq("a", "##a")
+    val df = Seq("a" * 200, "a" * 201).toDF("t")
+    val got = df.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("t"), vocab).as("p")).as[Seq[String]].collect().toSeq
+    assert(got.head.size == 200 && got.head.head == "a" && got.head.last == "##a")
+    assert(got(1) == Seq("[UNK]")) // 201 chars > BERT's 200 cap → no segmentation
+    val capped = df.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("t"), vocab, maxWordChars = 300).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(capped(1).size == 201) // raised cap segments it again
+  }
+
   test("wordPieceEncode codegen path equals interpreted eval") {
     val vocab = Seq("tab", "##le", "a", "##a", "x")
     val rows = Seq("table", "aaa x tab", "q").toDF("t")
@@ -1546,5 +1581,60 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L, 2, 1.0),
       (1L, 3L, 1, 0.3333),
       (2L, 3L, 1, 0.3333)))
+  }
+
+  test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {
+    // adversarial payload shapes: empty, shorter than a frame, exact
+    // frame multiple, one byte past a stride, repeated frames (distinct
+    // collapse), long payload
+    val rows = Seq((1L, ""), (2L, "abc"), (3L, "a" * 16), (4L, "b" * 17),
+      (5L, "cccccccc" * 6), (6L, ("x" * 16) + ("y" * 16) + ("x" * 16)),
+      (7L, "z" * 333))
+    val df = rows.toDF("doc_id", "text").withColumn("__bin", col("text").cast("binary"))
+    val fused = MultimodalOps.frameSignatures(df, "doc_id", "__bin", 8, 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
+    val comp = MultimodalOps.sampleFrames(df, "doc_id", "__bin", 8, 2)
+      .select(col("doc_id"), md5(col("frame_bytes")).as("fh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("fh"))).as("fhs"))
+      .select(col("doc_id"), size(col("fhs")).as("n"), col("fhs"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
+    assert(fused.toSeq == comp.toSeq)
+  }
+
+  test("frame ledger: cycle == in-flight cross pairs; framing drift fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-frames").toString + "/led"
+    val mk = (id: Long, t: String) => (id, t)
+    val docs = Seq(
+      mk(1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
+      mk(2L, "aaaaaaaabbbbbbbbzzzzzzzzyyyyyyyy"),
+      mk(3L, "qqqqqqqqrrrrrrrrsssssssstttttttt"),
+      mk(10L, "aaaaaaaabbbbbbbbccccccccdddddddd"), // probe: identical to 1
+      mk(11L, "aaaaaaaabbbbbbbbzzzzzzzzwwwwwwww")) // probe: shares with 1,2
+      .toDF("doc_id", "text").withColumn("__bin", col("text").cast("binary"))
+    val corpus = docs.filter(col("doc_id") < 10)
+    val batch = docs.filter(col("doc_id") >= 10)
+    MultimodalOps.writeFrameLedger(corpus.filter(col("doc_id") === 1), "doc_id", "__bin", 8, 2, path)
+    MultimodalOps.appendToFrameLedger(corpus.filter(col("doc_id") > 1), "doc_id", "__bin", 8, 2, path)
+    MultimodalOps.appendToFrameLedger(corpus.filter(col("doc_id") > 1), "doc_id", "__bin", 8, 2, path) // replay
+    MultimodalOps.compactFrameLedger(spark, path, targetFiles = 2)
+    val got = MultimodalOps.frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 8, 2, 0.0)
+      .orderBy("new_id", "corpus_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // doc10 ≡ doc1 (jaccard 1), shares 'aaaaaaaa' with doc2 (1/3);
+    // doc11 shares frame0 with 1 (1/3), frames 0+16 with 2 (2/2 of
+    // union 2+2-2=2 → 1.0? doc11 frames: aaaaaaaa, zzzzzzzz;
+    // doc2 frames: aaaaaaaa, zzzzzzzz → identical sets → 1.0)
+    assert(got == Seq(
+      (10L, 1L, 2, 1.0), (10L, 2L, 1, 0.3333),
+      (11L, 1L, 1, 0.3333), (11L, 2L, 2, 1.0)))
+    // framing drift: a probe/append with different (frameBytes, everyK)
+    // must fail loudly naming both sides
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 4, 2, 0.0))
+    assert(e.getMessage.contains("frameBytes=8") && e.getMessage.contains("frameBytes=4"))
+    val e2 = intercept[IllegalArgumentException](
+      MultimodalOps.appendToFrameLedger(batch, "doc_id", "__bin", 8, 3, path))
+    assert(e2.getMessage.contains("everyK=2") && e2.getMessage.contains("everyK=3"))
   }
 }
