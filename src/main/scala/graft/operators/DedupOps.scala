@@ -371,6 +371,53 @@ object DedupOps {
 
   private def clusterSigPath(path: String) = path + "/sig"
   private[graft] def clusterAsgPath(path: String) = path + "/asg"
+  private[graft] def clusterRmpPath(path: String) = path + "/rmp"
+
+  /** Schema of the remap table `<path>/rmp`: labels absorbed into a
+    * smaller-minimum component (`old_label` → `new_label`,
+    * new < old always, so chains never cycle). Model-sized — one row
+    * per cluster-MERGE event ever, not per document.
+    */
+  private val RemapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_label",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_label",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The remap closure as (old_label → FINAL label) pairs, chains
+    * followed transitively (L1→L2 stored by one advance, L2→L3 by a
+    * later one ⇒ L1 resolves to L3). None when the table is absent
+    * (pre-remap ledger) or empty. The `.collect()` is bounded by the
+    * number of cluster-merge events since the last compaction — a
+    * maintenance-log-sized table, never corpus-sized — and chains
+    * strictly decrease, so the walk terminates.
+    */
+  private def resolvedRemap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val rmp = clusterRmpPath(path)
+    val fs = new org.apache.hadoop.fs.Path(rmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(rmp))) return None
+    val entries = LedgerGuard.readLedgerWithSchema(spark, rmp, RemapSchema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (entries.isEmpty) return None
+    def fin(x: Long): Long = {
+      var v = x
+      while (entries.contains(v)) v = entries(v)
+      v
+    }
+    import spark.implicits._
+    Some(entries.keysIterator.map(k => (k, fin(k))).toSeq
+      .toDF("old_label", "new_label"))
+  }
+
+  /** Raw stored assignment rows (base generation + delta appends,
+    * labels unresolved, replays undeduplicated) — every consumer goes
+    * through [[readClusterAssignments]] instead.
+    */
+  private def rawAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    LedgerGuard.readLedger(spark, clusterAsgPath(path))
 
   /** Create the cluster ledger from the initial corpus: signatures
     * admitted to the embedded signature ledger, assignments from the
@@ -395,25 +442,39 @@ object DedupOps {
         .join(cc, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .write.mode("overwrite").parquet(clusterAsgPath(path))
+      // seed the (empty) remap table: advances append label-merge
+      // events here instead of rewriting the assignments table
+      docs.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+        .write.mode("overwrite").parquet(clusterRmpPath(path))
     } finally sig.unpersist(false)
   }
 
   /** Admit a batch and fold it into the clustering — O(batch) graph
-    * work, never a corpus-wide re-cluster: the batch probes the
-    * signature ledger for band collisions (same collision criterion
-    * full-corpus banding applies, so connectivity matches a from-
-    * scratch run — the d66 oracle pins it), corpus endpoints lift to
-    * their cluster LABELS, and connected components runs over a graph
-    * whose nodes are batch ids + touched labels only. A batch document
-    * bridging two existing clusters merges them: the losing labels
-    * REMAP to the merged component's minimum, applied to the stored
-    * assignments inside the staged swap (label-key join against the
-    * model-sized remap — the rewrite is the generation write every
-    * ledger advance already pays). Replay-safe end to end: a retried
-    * advance re-derives identical rows (probe collapses the replayed
-    * signature rows; labels are already minimal) and the full-row
-    * dropDuplicates makes the union a no-op; pass `batchId` to also
-    * ride the exactly-once marker.
+    * work AND O(batch) writes, never a corpus-wide re-cluster or a
+    * corpus-wide rewrite: the batch probes the signature ledger for
+    * band collisions (same collision criterion full-corpus banding
+    * applies, so connectivity matches a from-scratch run — the d66
+    * oracle pins it), corpus endpoints lift to their cluster LABELS,
+    * and connected components runs over a graph whose nodes are batch
+    * ids + touched labels only.
+    *
+    * Persistence is LSM-shaped (the r9 verdict's d66 ceiling — the
+    * per-advance O(corpus) assignments rewrite — closed): the batch's
+    * own `(node, label)` rows APPEND as a delta to `/asg`, and a batch
+    * document bridging two existing clusters records the losing
+    * label's merge as a row in the model-sized `/rmp` remap table
+    * (old_label → new_label; readers resolve chains transitively, so
+    * no stored row is ever rewritten by an advance). The remap rewrite
+    * under the staged swap is merge-event-sized, carries the
+    * exactly-once `batchId` marker, and [[compactClusterLedger]] folds
+    * deltas + remaps back into a clean sorted base — compaction pays
+    * the O(corpus) write ONCE per maintenance cycle instead of every
+    * advance paying it. Replay-safe end to end: a retried advance
+    * re-derives identical rows (probe collapses the replayed signature
+    * rows; labels are already minimal), the duplicate delta rows
+    * collapse in [[readClusterAssignments]]'s dedup and at compaction,
+    * and the marker skips the remap rewrite outright.
     */
   def advanceClusterLedger(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Option[String] = None, numHashes: Int = 8,
@@ -434,7 +495,10 @@ object DedupOps {
         withSigKey(LedgerGuard.readLedger(spark, clusterSigPath(path)), numHashes),
         idCol, numHashes, bandSize)
         .filter(col("new_id") =!= col("corpus_id"))
-      val asg = LedgerGuard.readLedger(spark, clusterAsgPath(path))
+      // the RESOLVED view (base + deltas, remap chains applied): labels
+      // seen here are always current, so new remap entries chain onto
+      // current labels and resolution stays a simple walk
+      val asg = readClusterAssignments(spark, path)
       val bc = probe
         .select(col("new_id").cast("long").as("d1"),
           col("corpus_id").cast("long").as("__cn"))
@@ -455,23 +519,47 @@ object DedupOps {
       val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
         .join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      // old labels absorbed into a smaller-minimum component
-      val remap = comp.filter(col("node") =!= col("label"))
-        .select(col("node").as("__old"), col("label").as("__new"))
-      LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
-        "cluster-ledger advance", batchId) { staging =>
-        asg.join(broadcast(remap), asg("label") === col("__old"), "left")
-          .select(col("node"), coalesce(col("__new"), asg("label")).as("label"))
-          .union(batchAsg)
+      // labels absorbed into a smaller-minimum component: only TOUCHED
+      // corpus labels (bc's lift targets) can lose — the semi-join
+      // keeps batch-node rows of `comp` out of the persisted remap
+      // table, which is what keeps it merge-event-sized
+      val touched = bc.select(col("d2").as("old_label")).distinct()
+      val newRemap = comp.filter(col("node") =!= col("label"))
+        .select(col("node").as("old_label"), col("label").as("new_label"))
+        .join(touched, Seq("old_label"), "left_semi")
+      // O(batch) delta append — no stored assignment row is rewritten
+      batchAsg.write.mode("append")
+        .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
+      // merge-event-sized remap rewrite under the staged swap; carries
+      // the exactly-once marker for the whole advance
+      val rmpPath = clusterRmpPath(path)
+      val fs = new org.apache.hadoop.fs.Path(rmpPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
+        spark.createDataFrame( // ledger predates the remap table: seed it
+            new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+          .write.mode("overwrite").parquet(rmpPath)
+      LedgerGuard.advanceInPlace(spark, rmpPath,
+        "cluster-ledger remap advance", batchId) { staging =>
+        LedgerGuard.readLedgerWithSchema(spark, rmpPath, RemapSchema)
+          .unionByName(newRemap)
           .dropDuplicates()
           .write.parquet(staging)
       }
     } finally sig.unpersist(false)
   }
 
-  /** Maintenance for both halves: the signature side compacts to sized
-    * files, the assignments side collapses replayed duplicates — same
-    * staged-swap/lease/manifest discipline everywhere.
+  /** Maintenance for all three parts: the signature side compacts to
+    * sized files; the assignments side FOLDS the LSM state — delta
+    * appends merged in, remap chains applied, replayed duplicates
+    * collapsed — into a clean node-sorted base (file min/max stats
+    * prune id-ranged reads); the remap table then resets to empty.
+    * This is where the O(corpus) assignments write happens — ONCE per
+    * maintenance cycle, not per advance. Crash between the two asg
+    * steps is safe: the folded base carries resolved labels, and
+    * re-applying the not-yet-cleared remap entries no-ops (their old
+    * labels no longer occur). Same staged-swap/lease/manifest
+    * discipline everywhere.
     */
   def compactClusterLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 16): Unit = {
@@ -479,15 +567,40 @@ object DedupOps {
     LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
       "cluster-ledger compaction") { staging =>
       LayoutOps.writeSized(
-        LedgerGuard.readLedger(spark, clusterAsgPath(path)).dropDuplicates(),
+        readClusterAssignments(spark, path),
         staging, col("node"), targetFiles, 64L * 1000 * 1000)
     }
+    val rmpPath = clusterRmpPath(path)
+    val fs = new org.apache.hadoop.fs.Path(rmpPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
+      LedgerGuard.advanceInPlace(spark, rmpPath,
+        "cluster-ledger remap reset") { staging =>
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+          .write.mode("overwrite").parquet(staging)
+      }
   }
 
-  /** Read the current assignments: `(node, label)`. */
+  /** Read the current assignments: `(node, label)` — the RESOLVED view
+    * over the LSM state (base generation + per-advance delta appends,
+    * labels lifted through the remap closure, replayed duplicates
+    * collapsed). Right after a compaction this is a plain dedup'd scan
+    * of the folded base.
+    */
   def readClusterAssignments(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    LedgerGuard.readLedger(spark, clusterAsgPath(path))
+      path: String): DataFrame = {
+    val raw = rawAssignments(spark, path)
+    val resolved = resolvedRemap(spark, path) match {
+      case None => raw
+      case Some(rm) =>
+        raw.join(broadcast(rm.withColumnRenamed("old_label", "__old")
+            .withColumnRenamed("new_label", "__fin")),
+          raw("label") === col("__old"), "left")
+          .select(col("node"), coalesce(col("__fin"), raw("label")).as("label"))
+    }
+    resolved.dropDuplicates()
+  }
 
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting

@@ -29,7 +29,12 @@ object GraphOps {
     * Contract: every node must have ≥ 1 out-edge (no dangling-mass
     * redistribution here — pre-add self-loops or filter sinks upstream
     * if your graph has them; the d72 fixture guarantees it by
-    * construction).
+    * construction). The contract is ENFORCED, not just documented: a
+    * graph with sink nodes would silently leak rank mass (the inner
+    * join on out-degree drops their contribution) and produce
+    * plausible-looking but wrong ranks, so violation throws — the
+    * check is one count over the node set, noise next to the
+    * per-iteration joins.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
@@ -37,6 +42,15 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct()
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct()
+    val nDangling = nodes
+      .join(e.select(col("__s").as("node")).distinct(), Seq("node"), "left_anti")
+      .count()
+    if (nDangling > 0)
+      throw new IllegalArgumentException(
+        s"pageRank: $nDangling node(s) have no out-edge — their rank mass " +
+          "would silently leak each iteration and totals drift below 1. " +
+          "Pre-add self-loops or filter sinks upstream (or redistribute " +
+          "dangling mass) before calling pageRank")
     val n = nodes.count()
     val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
     val base = (1 - damping) / n

@@ -545,6 +545,18 @@ object LedgerGuard {
     spark.read.parquet(readablePath(fs, target).toString)
   }
 
+  /** [[readLedger]] with an explicit schema — required for ledgers
+    * whose CURRENT generation may hold zero parquet files (an empty
+    * table write emits no footers, so schema inference fails), e.g.
+    * the cluster ledger's remap table before any cluster ever merged.
+    */
+  def readLedgerWithSchema(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.schema(schema).parquet(readablePath(fs, target).toString)
+  }
+
   /** The path a READER of the ledger should load. Manifest mode binds
     * the generation directory the pointer names — an immutable dir, so
     * the plan-vs-action caveat above disappears (keep-2 retention: only

@@ -266,9 +266,14 @@ object MultimodalOps {
     hash
   }
 
-  /** Append an `ahash` LONG column computed per partition — the same
-    * mapPartitions seam as [[decodePartitioned]] (decoder init amortized
-    * per partition, payload bytes never shuffle).
+  /** Compute an `ahash` LONG column per partition, REPLACING the
+    * binary payload column in the output schema (like
+    * [[decodePartitioned]], the payload is consumed at this seam and
+    * projected away — what follows a perceptual hash is hash-space
+    * work, and carrying the bytes further would put them in the next
+    * shuffle; keep a separate select of `binCol` upstream if you need
+    * them). Decoder init amortizes per partition; payload bytes never
+    * shuffle.
     */
   def aHashPartitioned(df: DataFrame, binCol: String): DataFrame = {
     val inSchema = df.schema

@@ -346,18 +346,28 @@ object SimilarityOps {
   def matryoshkaTopKAtRest(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qId: String, qVec: String,
       idCol: String, k: Int, prefixDim: Int, candFactor: Int = 4,
-      scoreDecimals: Int = 6): DataFrame = {
+      scoreDecimals: Int = 6, allowMissingMeta: Boolean = false): DataFrame = {
     require(candFactor >= 1, "candFactor must be >= 1")
-    LedgerGuard.readSidecarMeta(spark, path, MrlMetaFile).foreach { kv =>
-      kv.get("prefixDim") match {
-        case Some(p) if p != prefixDim =>
-          throw new IllegalArgumentException(
-            s"MRL corpus probe at $path: corpus was written with " +
-              s"prefixDim=$p but the caller passed prefixDim=$prefixDim — " +
-              "prefixes of different lengths do not compare; pass the " +
-              "creation-time value (or rewrite the corpus)")
-        case _ => ()
-      }
+    LedgerGuard.readSidecarMeta(spark, path, MrlMetaFile)
+      .flatMap(_.get("prefixDim")) match {
+      case Some(p) if p != prefixDim =>
+        throw new IllegalArgumentException(
+          s"MRL corpus probe at $path: corpus was written with " +
+            s"prefixDim=$p but the caller passed prefixDim=$prefixDim — " +
+            "prefixes of different lengths do not compare; pass the " +
+            "creation-time value (or rewrite the corpus)")
+      case Some(_) => ()
+      case None if allowMissingMeta => () // explicitly-declared legacy corpus
+      case None =>
+        // a MISSING sidecar is the exact failure the sidecar exists to
+        // prevent from passing silently: a probe with a wrong prefixDim
+        // against such a corpus would quietly degrade scores
+        throw new IllegalStateException(
+          s"MRL corpus probe at $path: no readable ${MrlMetaFile} sidecar — " +
+            "cannot validate the caller's prefixDim against the corpus. " +
+            "For a corpus written before the sidecar existed, pass " +
+            "allowMissingMeta = true (and prefer rewriting it with " +
+            "writeMatryoshkaCorpus, which stamps the sidecar)")
     }
     val corpus = spark.read.parquet(path)
     val qp = queries.select(col(qId).as("query_id"),
@@ -418,8 +428,12 @@ object SimilarityOps {
     candidates.select(col(idCol), col(vecCol),
         hyperplaneBucket(col(vecCol), planes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    LedgerGuard.writeSidecarMeta(candidates.sparkSession, path, AnnMetaFile,
-      Seq("numPlanes" -> numPlanes.toLong, "dim" -> dim.toLong))
+    // idCol rides along so maintenance ops bind the id BY NAME instead
+    // of inferring it from parquet field order (a layout change would
+    // otherwise anti-join tombstones on the wrong column without error)
+    LedgerGuard.writeSidecarMetaStr(candidates.sparkSession, path, AnnMetaFile,
+      Seq("numPlanes" -> numPlanes.toString, "dim" -> dim.toString,
+        "idCol" -> idCol))
   }
 
   /** Sidecar of the index's creation-time (numPlanes, dim): planes are
@@ -468,8 +482,9 @@ object SimilarityOps {
     // adopt: first append to a pre-sidecar index stamps the caller's
     // values, so every later append/probe is validated
     if (LedgerGuard.readSidecarMeta(spark, path, AnnMetaFile).isEmpty)
-      LedgerGuard.writeSidecarMeta(spark, path, AnnMetaFile,
-        Seq("numPlanes" -> numPlanes.toLong, "dim" -> dim.toLong))
+      LedgerGuard.writeSidecarMetaStr(spark, path, AnnMetaFile,
+        Seq("numPlanes" -> numPlanes.toString, "dim" -> dim.toString,
+          "idCol" -> idCol))
   }
 
   /** Reserved partition holding delete TOMBSTONES: real vectors bucket
@@ -516,7 +531,19 @@ object SimilarityOps {
       path: String, maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "ANN index compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
-      val idc = led.columns.head // at-rest layout: (id, vec) + bucket partition col
+      // bind the id BY NAME from the sidecar when present (legacy
+      // pre-idCol indexes fall back to field order); a sidecar naming
+      // a column the files don't carry fails loudly here rather than
+      // anti-joining tombstones on the wrong column
+      val idc = LedgerGuard.readSidecarMetaStr(spark, path, AnnMetaFile)
+        .flatMap(_.get("idCol")) match {
+        case Some(name) =>
+          require(led.columns.contains(name),
+            s"ANN index compaction at $path: sidecar names id column " +
+              s"'$name' but the index files carry ${led.columns.mkString(", ")}")
+          name
+        case None => led.columns.head // at-rest layout: (id, vec) + bucket
+      }
       val tombs = led.filter(col("bucket") === TombstoneBucket)
         .select(col(idc).as("__del")).distinct()
       led.filter(col("bucket") =!= TombstoneBucket)

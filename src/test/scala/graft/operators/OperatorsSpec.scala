@@ -1289,6 +1289,21 @@ class OperatorsSpec extends AnyFunSuite {
         q, "vec_id", "embedding", "vec_id", k = 4, prefixDim = 8)
     }
     assert(e.getMessage.contains("prefixDim=16") && e.getMessage.contains("prefixDim=8"))
+    // a MISSING sidecar fails loudly too (the drift guard must not
+    // silently disarm); explicit legacy opt-out restores the probe
+    val legacy = java.nio.file.Files.createTempDirectory("graft-mrl2").toString + "/corpus"
+    emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("prefix"),
+      col("embedding").as("vec")).write.parquet(legacy)
+    val e2 = intercept[IllegalStateException] {
+      SimilarityOps.matryoshkaTopKAtRest(spark, legacy,
+        q, "vec_id", "embedding", "vec_id", k = 4, prefixDim = 16)
+    }
+    assert(e2.getMessage.contains("allowMissingMeta"), e2.getMessage)
+    val optedIn = SimilarityOps.matryoshkaTopKAtRest(spark, legacy,
+      q, "vec_id", "embedding", "vec_id", k = 4, prefixDim = 16,
+      allowMissingMeta = true)
+      .orderBy("query_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(optedIn == inFlight)
   }
 
   test("cluster ledger: a lower-id batch arrival relabels the stored cluster (remap), replay is a no-op") {
@@ -1401,6 +1416,11 @@ class OperatorsSpec extends AnyFunSuite {
         .agg(sum(col("rank"))).head().getDouble(0)
       assert(math.abs(tot - 1.0) < 1e-9, s"mass $tot at iters=$k")
     }
+    // a sink node (no out-edge) would silently leak mass → enforced
+    val dangling = Seq((1L, 2L), (2L, 3L)).toDF("s", "d") // 3 is a sink
+    val e = intercept[IllegalArgumentException](
+      GraphOps.pageRank(dangling, "s", "d", iters = 2))
+    assert(e.getMessage.contains("no out-edge"), e.getMessage)
   }
 
   test("ledger forget: purged content re-admits; signature forget stops probe pairs; sidecars survive") {
