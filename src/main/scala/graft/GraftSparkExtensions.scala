@@ -17,10 +17,15 @@ import org.apache.spark.sql.types.StringType
   * `md5_hash32`, `text_stats`, `normalize_text`, `repetition_stats`,
   * `word_gram_md5s`, `shingle_hash32s`), the composed text kernels
   * (`strip_html`, `anchor_text_chars`, `canonical_url`, `url_host`,
-  * `quality_score`, `wordpiece_encode(text, ARRAY(...))` — same
-  * expression trees as the Scala API, so the surfaces cannot drift),
-  * and the table-valued `redis_scan('glob')` / `redis_kv('glob')` /
-  * `redis_hash('glob')` sources (the reference's primary syntax).
+  * `quality_score`, `wordpiece_encode(text, ARRAY(...))`,
+  * `c4_line_filter`, `contains_any_word(text, ARRAY(...))`,
+  * `frame_md5s`, `merge_spans`, `scrub_spans` — same expression trees
+  * as the Scala API, so the surfaces cannot drift), the table-valued
+  * `redis_scan('glob')` / `redis_kv('glob')` / `redis_hash('glob')`
+  * sources (the reference's primary syntax), and the
+  * `frame_dedup('<path>', idCol, binCol, frameBytes, everyK,
+  * minJaccard)` table function (m06's whole pair plan over an at-rest
+  * corpus).
   * Session-scoped registration for an existing session remains
   * available via `GraftRedis.registerSql`.
   */
@@ -120,6 +125,28 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))
     ext.injectFunction((FunctionIdentifier("repair_mojibake"), info("repair_mojibake"),
       (es: Seq[Expression]) => graft.functions.RepairMojibake(es(0))))
+    // round-10 kernels, same same-expression-tree guarantee:
+    // c4_line_filter(text[, minWords]) → struct(n_lines, n_kept, kept)
+    ext.injectFunction((FunctionIdentifier("c4_line_filter"), info("c4_line_filter"),
+      (es: Seq[Expression]) => graft.functions.C4LineFilter(es(0),
+        if (es.length > 1) intArg(es(1), "c4_line_filter") else 5)))
+    // contains_any_word(text, ARRAY('w1', ...)) → boolean, token-exact
+    ext.injectFunction((FunctionIdentifier("contains_any_word"), info("contains_any_word"),
+      (es: Seq[Expression]) => org.apache.spark.sql.GraftSqlShims.analyzableExpression(
+        graft.operators.TextOps.containsAnyWord(
+          org.apache.spark.sql.GraftSqlShims.column(es(0)),
+          stringSeqArg(es(1), "contains_any_word")))))
+    // frame_md5s(bin, frameBytes, everyK) → sorted distinct frame-hash set
+    ext.injectFunction((FunctionIdentifier("frame_md5s"), info("frame_md5s"),
+      (es: Seq[Expression]) => graft.functions.FrameMd5s(es(0),
+        intArg(es(1), "frame_md5s"), intArg(es(2), "frame_md5s"))))
+    // scrub_spans(text, spans) → struct(clean_text, n_removed)
+    ext.injectFunction((FunctionIdentifier("scrub_spans"), info("scrub_spans"),
+      (es: Seq[Expression]) => graft.functions.ScrubSpans(es(0), es(1))))
+    // merge_spans(sorted_pos, k) → merged span structs
+    ext.injectFunction((FunctionIdentifier("merge_spans"), info("merge_spans"),
+      (es: Seq[Expression]) => graft.functions.MergeSpans(es(0),
+        intArg(es(1), "merge_spans"))))
 
     Seq("redis_scan" -> "redis-scan", "redis_kv" -> "redis-kv", "redis_hash" -> "redis-hash")
       .foreach { case (fn, fmt) =>
@@ -127,6 +154,42 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           (es: Seq[Expression]) =>
             org.apache.spark.sql.GraftSqlShims.logicalPlan(sourceDf(fmt, patternArg(es, fn)))))
       }
+    // frame_dedup('<parquet path>', 'idCol', 'binCol', frameBytes,
+    // everyK, minJaccard): m06's pair generator as a table function over
+    // an at-rest corpus — the whole collapse + prefix-filter plan, built
+    // by the same Scala operator (surfaces cannot drift)
+    ext.injectTableFunction((FunctionIdentifier("frame_dedup"), info("frame_dedup"),
+      (es: Seq[Expression]) => {
+        if (es.length != 6) throw new IllegalArgumentException(
+          "frame_dedup expects (path, idCol, binCol, frameBytes, everyK, minJaccard) literals")
+        def str(e: Expression, what: String): String = e match {
+          case s if s.foldable && s.dataType == StringType && s.eval() != null =>
+            s.eval().toString
+          case _ => throw new IllegalArgumentException(
+            s"frame_dedup expects a literal string for $what")
+        }
+        val spark = SparkSession.active
+        val df = spark.read.parquet(str(es(0), "path"))
+        org.apache.spark.sql.GraftSqlShims.logicalPlan(
+          graft.operators.MultimodalOps.frameDedupPairs(df,
+            str(es(1), "idCol"), str(es(2), "binCol"),
+            intArg(es(3), "frame_dedup"), intArg(es(4), "frame_dedup"),
+            doubleArg(es(5), "frame_dedup")))
+      }))
+  }
+
+  /** Numeric literal → Double (integral literals widen). */
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case l if l.foldable && l.eval() != null => l.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case j: java.lang.Long => j.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a numeric literal argument, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn expects a numeric literal argument")
   }
 
   /** Literal ARRAY of strings (`ARRAY('a', 'b')` / `['a', 'b']`) — the

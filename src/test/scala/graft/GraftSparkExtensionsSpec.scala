@@ -92,6 +92,46 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("SELECT wordpiece_encode('x', 'notanarray')").collect())
     assert(e.getMessage.contains("ARRAY of strings"), e.getMessage)
+
+    // round-10 kernels
+    val c4 = spark.sql(
+      "SELECT c4_line_filter('one two three four five.\nshort') AS f").head().getStruct(0)
+    assert(c4.getAs[Int]("n_lines") == 2 && c4.getAs[Int]("n_kept") == 1 &&
+      c4.getAs[String]("kept") == "one two three four five.")
+    assert(spark.sql("SELECT c4_line_filter('a b.', 2) AS f").head()
+      .getStruct(0).getAs[Int]("n_kept") == 1) // explicit minWords
+    assert(spark.sql("SELECT contains_any_word('the class is full', ARRAY('bad', 'ass')) AS h")
+      .head().getBoolean(0) == false) // token-exact: no Scunthorpe hit
+    assert(spark.sql("SELECT contains_any_word('bad word', ARRAY('bad')) AS h")
+      .head().getBoolean(0))
+    val fm = spark.sql(
+      "SELECT frame_md5s(CAST('aaaaaaaabbbbbbbbaaaaaaaacccccccc' AS BINARY), 8, 2) AS f")
+      .head().getSeq[String](0)
+    // sampled frames at offsets 0 and 16 are both 'aaaaaaaa' → distinct set of 1
+    assert(fm == Seq(spark.sql("SELECT md5('aaaaaaaa')").head().getString(0)))
+    val fm2 = spark.sql(
+      "SELECT frame_md5s(CAST('aaaaaaaabbbbbbbbccccccccdddddddd' AS BINARY), 8, 2) AS f")
+      .head().getSeq[String](0)
+    assert(fm2 == fm2.sorted && fm2.size == 2) // frames 'aaaaaaaa' + 'cccccccc'
+    val scr = spark.sql(
+      "SELECT scrub_spans('a b c d e', merge_spans(array(1, 2), 2)) AS s").head().getStruct(0)
+    assert(scr.getAs[String]("clean_text") == "a e" && scr.getAs[Long]("n_removed") == 3L)
+  }
+
+  test("frame_dedup table function builds the m06 pair plan over an at-rest corpus") {
+    val spark = extendedSession()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fd-tvf").toString + "/corpus"
+    Seq((1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
+      (2L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
+      (3L, "qqqqqqqqrrrrrrrrsssssssstttttttt"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("bin"))
+      .write.parquet(dir)
+    val got = spark.sql(
+      s"SELECT * FROM frame_dedup('$dir', 'doc_id', 'bin', 8, 2, 0.5) ORDER BY a_id, b_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2, 1.0)))
   }
 
   test("optimizer rule rewrites the naive levenshtein join: no cartesian, identical rows") {
