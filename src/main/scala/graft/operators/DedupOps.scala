@@ -392,23 +392,47 @@ object DedupOps {
     * maintenance-log-sized table, never corpus-sized — and chains
     * strictly decrease, so the walk terminates.
     */
-  private def resolvedRemap(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val rmp = clusterRmpPath(path)
-    val fs = new org.apache.hadoop.fs.Path(rmp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(rmp))) return None
-    val entries = LedgerGuard.readLedgerWithSchema(spark, rmp, RemapSchema)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (entries.isEmpty) return None
-    def fin(x: Long): Long = {
-      var v = x
-      while (entries.contains(v)) v = entries(v)
-      v
-    }
-    import spark.implicits._
-    Some(entries.keysIterator.map(k => (k, fin(k))).toSeq
-      .toDF("old_label", "new_label"))
+  /** The resolved assignments view over already-collected remap
+    * entries: base + deltas, labels lifted through the chain closure,
+    * replays dedup'd.
+    */
+  private def resolvedView(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Map[Long, Long]): DataFrame = {
+    val raw = rawAssignments(spark, path)
+    val resolved =
+      if (entries.isEmpty) raw
+      else {
+        def fin(x: Long): Long = {
+          var v = x
+          while (entries.contains(v)) v = entries(v)
+          v
+        }
+        import spark.implicits._
+        val rm = entries.keysIterator.map(k => (k, fin(k))).toSeq
+          .toDF("__old", "__fin")
+        raw.join(broadcast(rm), raw("label") === col("__old"), "left")
+          .select(col("node"), coalesce(col("__fin"), raw("label")).as("label"))
+      }
+    resolved.dropDuplicates()
+  }
+
+  /** The raw (unresolved) remap entries, collected — None when the
+    * table is absent. An empty generation is detected by LISTING the
+    * directory (zero part files), not by running a Spark job: the
+    * resolved-view read happens several times per maintenance cycle
+    * and an empty remap log is the common case.
+    */
+  private def rawRemapEntries(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Map[Long, Long]] = {
+    val rmp = new org.apache.hadoop.fs.Path(clusterRmpPath(path))
+    val fs = rmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rmp)) return None
+    val gen = LedgerGuard.readablePath(fs, rmp)
+    val hasData = fs.listStatus(gen).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+    if (!hasData) return Some(Map.empty)
+    Some(LedgerGuard.readLedgerWithSchema(spark, clusterRmpPath(path), RemapSchema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   /** Raw stored assignment rows (base generation + delta appends,
@@ -497,8 +521,11 @@ object DedupOps {
         .filter(col("new_id") =!= col("corpus_id"))
       // the RESOLVED view (base + deltas, remap chains applied): labels
       // seen here are always current, so new remap entries chain onto
-      // current labels and resolution stays a simple walk
-      val asg = readClusterAssignments(spark, path)
+      // current labels and resolution stays a simple walk; the remap
+      // entries are collected ONCE per advance and reused for the
+      // staging union below
+      val existingRemap = rawRemapEntries(spark, path).getOrElse(Map.empty)
+      val asg = resolvedView(spark, path, existingRemap)
       val bc = probe
         .select(col("new_id").cast("long").as("d1"),
           col("corpus_id").cast("long").as("__cn"))
@@ -539,9 +566,13 @@ object DedupOps {
         spark.createDataFrame( // ledger predates the remap table: seed it
             new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
           .write.mode("overwrite").parquet(rmpPath)
+      // existing entries were collected once above; union them as a
+      // literal relation instead of re-scanning parquet inside the
+      // swap (one fewer job per advance)
+      import spark.implicits._
       LedgerGuard.advanceInPlace(spark, rmpPath,
         "cluster-ledger remap advance", batchId) { staging =>
-        LedgerGuard.readLedgerWithSchema(spark, rmpPath, RemapSchema)
+        existingRemap.toSeq.toDF("old_label", "new_label")
           .unionByName(newRemap)
           .dropDuplicates()
           .write.parquet(staging)
@@ -589,18 +620,8 @@ object DedupOps {
     * of the folded base.
     */
   def readClusterAssignments(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val raw = rawAssignments(spark, path)
-    val resolved = resolvedRemap(spark, path) match {
-      case None => raw
-      case Some(rm) =>
-        raw.join(broadcast(rm.withColumnRenamed("old_label", "__old")
-            .withColumnRenamed("new_label", "__fin")),
-          raw("label") === col("__old"), "left")
-          .select(col("node"), coalesce(col("__fin"), raw("label")).as("label"))
-    }
-    resolved.dropDuplicates()
-  }
+      path: String): DataFrame =
+    resolvedView(spark, path, rawRemapEntries(spark, path).getOrElse(Map.empty))
 
   /** Star-contracted LSH candidate edges: within every (band, bucket),
     * connect each member to the bucket's MINIMUM id instead of emitting

@@ -968,6 +968,24 @@ object MultimodalOps {
         col("__common").cast("int").as("n_common"), col("jaccard"))
   }
 
+  /** Right-to-be-forgotten purge for the frame ledger, by payload id
+    * (the d71 regime for the video family): the ids' stored frame
+    * hashes leave the ledger, so later probes stop pairing against the
+    * forgotten payloads — exact here because every ledger row is
+    * id-attributed (unlike the sketch families' documented
+    * boundaries). Re-admitting a forgotten payload later is a plain
+    * append (unit-pinned). Same staged-swap/lease/manifest discipline.
+    */
+  def removeFromFrameLedger(ids: DataFrame, idCol: String, path: String,
+      batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(ids.sparkSession, path, "frame-ledger removal",
+      batchId) { staging =>
+      val gone = ids.select(col(idCol).as("__gone")).distinct()
+      LedgerGuard.readLedger(ids.sparkSession, path)
+        .join(broadcast(gone), col(idCol) === col("__gone"), "left_anti")
+        .write.parquet(staging)
+    }
+
   /** Compact the frame ledger IN PLACE: collapse duplicate rows
     * (replayed appends) and rewrite accreted per-batch small files,
     * sorted by id so file-level min/max stats prune id-ranged reads.

@@ -2756,6 +2756,45 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- frame-ledger forget
+    // right-to-be-forgotten for the video family (the d71 regime):
+    // forgotten payloads' frame hashes leave the at-rest ledger — exact
+    // here, every row is id-attributed — and later probes stop pairing
+    // against them. The oracle recomputes cross pairs from text with
+    // the forgotten slice excluded, so the hash match proves the purge
+    // removed exactly the right rows and nothing else; re-admission
+    // (forget → append → pairs return) is unit-pinned.
+    q("m09_frame_forget",
+      """WITH fr AS (SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(floor(length(text) / 16) AS BIGINT), 1))) AS p
+        |  FROM documents),
+        |h AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(p * 16 + 1 AS INTEGER), 8)) AS fh FROM fr),
+        |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+        |  FROM h a JOIN h b ON a.fh = b.fh
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND b.doc_id % 3 <> 1
+        |  GROUP BY 1, 2),
+        |j AS (SELECT new_id, corpus_id, c, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.new_id JOIN sz sb ON sb.doc_id = pr.corpus_id)
+        |SELECT new_id, corpus_id, CAST(c AS INTEGER) AS n_common, jaccard
+        |FROM j WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("__bin", col("text").cast("binary"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/m09_frames_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      MultimodalOps.writeFrameLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
+        "doc_id", "__bin", frameBytes = 8, everyK = 2, path)
+      MultimodalOps.appendToFrameLedger(docs.filter((col("doc_id") % 10) > 5),
+        "doc_id", "__bin", 8, 2, path)
+      MultimodalOps.removeFromFrameLedger(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 1)
+          .select(col("doc_id")), "doc_id", path)
+      MultimodalOps.frameDedupAgainstLedger(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", path,
+        frameBytes = 8, everyK = 2, minJaccard = 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- cross-document boilerplate scrub
     // the CCNet/RefinedWeb paragraph-frequency stage: a chunk appearing
     // in ≥ maxDf DISTINCT documents is boilerplate (headers, footers,

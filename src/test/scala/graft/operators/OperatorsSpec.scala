@@ -1656,5 +1656,20 @@ class OperatorsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       MultimodalOps.appendToFrameLedger(batch, "doc_id", "__bin", 8, 3, path))
     assert(e2.getMessage.contains("everyK=2") && e2.getMessage.contains("everyK=3"))
+    // forget: doc1's hashes leave; probes stop pairing against it
+    MultimodalOps.removeFromFrameLedger(
+      corpus.filter(col("doc_id") === 1).select(col("doc_id")), "doc_id", path)
+    val afterForget = MultimodalOps
+      .frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 8, 2, 0.0)
+      .orderBy("new_id", "corpus_id").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(afterForget == Seq((10L, 2L, 1, 0.3333), (11L, 2L, 2, 1.0)))
+    // re-admission witness: a forgotten payload appends back like any
+    // batch and pairs again
+    MultimodalOps.appendToFrameLedger(
+      corpus.filter(col("doc_id") === 1), "doc_id", "__bin", 8, 2, path)
+    val readmitted = MultimodalOps
+      .frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 8, 2, 0.0)
+      .orderBy("new_id", "corpus_id").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(readmitted == got)
   }
 }
