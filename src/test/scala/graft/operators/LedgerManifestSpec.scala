@@ -135,10 +135,11 @@ class LedgerManifestSpec extends AnyFunSuite {
     def cycle(path: String, manifested: Boolean): Set[(Long, Long)] = {
       DedupOps.writeClusterLedger(gen1, "doc_id", "text", path)
       if (manifested) {
-        // composite ledger: both halves (embedded signature ledger +
-        // assignments) convert — the documented /sig + /asg layout
+        // composite ledger: all three parts (embedded signature ledger,
+        // assignments, remap log) convert — the /sig + /asg + /rmp layout
         LedgerGuard.convertToManifested(spark, path + "/sig")
         LedgerGuard.convertToManifested(spark, path + "/asg")
+        LedgerGuard.convertToManifested(spark, path + "/rmp")
       }
       DedupOps.advanceClusterLedger(gen2, "doc_id", "text", path)
       DedupOps.advanceClusterLedger(gen2, "doc_id", "text", path) // replay
@@ -192,6 +193,41 @@ class LedgerManifestSpec extends AnyFunSuite {
     val plain = cycle(tmp("graft-sk-p") + "/led", manifested = false)
     val mani = cycle("nonatomic://" + tmp("graft-sk-m") + "/led", manifested = true)
     assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+  }
+
+  test("frame ledger: manifest-mode write/append/replay/forget/compact probe equals plain (m08/m09 cycle)") {
+    val docs = Seq(
+      (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
+      (2L, "aaaaaaaabbbbbbbbzzzzzzzzyyyyyyyy"),
+      (3L, "qqqqqqqqrrrrrrrrsssssssstttttttt"),
+      (4L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
+      (10L, "aaaaaaaabbbbbbbbccccccccdddddddd"))
+      .toDF("doc_id", "text").withColumn("__bin", col("text").cast("binary"))
+    val batch = docs.filter(col("doc_id") >= 10)
+    def cycle(path: String, manifested: Boolean): Set[(Long, Long, Int, Double)] = {
+      MultimodalOps.writeFrameLedger(docs.filter(col("doc_id") === 1),
+        "doc_id", "__bin", 8, 2, path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      val gen2 = docs.filter(col("doc_id").between(2, 4))
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path)
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path) // replay
+      MultimodalOps.removeFromFrameLedger(
+        docs.filter(col("doc_id") === 3).select(col("doc_id")), "doc_id", path)
+      MultimodalOps.compactFrameLedger(spark, path, targetFiles = 2)
+      MultimodalOps.frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 8, 2, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    }
+    val plain = cycle(tmp("graft-fr-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-fr-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+    assert(!mani.exists(_._2 == 3L), "forgotten payload still paired")
+    // the framing sidecar rode through conversion, appends, forget and
+    // compaction: a drifted probe still fails loudly
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.frameDedupAgainstLedger(batch, "doc_id", "__bin",
+        maniPath, 4, 2, 0.0))
+    assert(e.getMessage.contains("frameBytes=8"), e.getMessage)
   }
 
   test("manifest-mode compaction carries the exactly-once marker (batchId straddling compaction)") {

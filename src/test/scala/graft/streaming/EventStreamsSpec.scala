@@ -402,6 +402,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frame-ledger ingest: per-microbatch appends equal one batch admission") {
+    import spark.implicits._
+    // the streaming face of m08: each micro-batch of video payloads is
+    // admitted to the at-rest frame-signature ledger (hashed ONCE at
+    // admission); a later probe sees the union of all batches exactly
+    // as if they were admitted together.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("__bin", col("text").cast("binary"))
+    val rest = docs.filter(col("doc_id") % 3 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incPath = java.nio.file.Files.createTempDirectory("graft-frstream").toString + "/fr"
+    graft.operators.MultimodalOps.writeFrameLedger(seed, "doc_id", "__bin", 8, 2, incPath)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.MultimodalOps.appendToFrameLedger(
+          batch.withColumn("__bin", col("text").cast("binary")),
+          "doc_id", "__bin", 8, 2, incPath)
+      }
+      .start()
+    try {
+      stream.addData(rest.take(30).toSeq); q.processAllAvailable()
+      stream.addData(rest.drop(30).toSeq); q.processAllAvailable()
+      val fullPath = java.nio.file.Files.createTempDirectory("graft-frfull").toString + "/fr"
+      graft.operators.MultimodalOps.writeFrameLedger(
+        docs.withColumn("__bin", col("text").cast("binary")),
+        "doc_id", "__bin", 8, 2, fullPath)
+      val probe = docs.filter(col("doc_id") < 20)
+        .withColumn("__bin", col("text").cast("binary"))
+      def pairs(p: String) = graft.operators.MultimodalOps
+        .frameDedupAgainstLedger(probe, "doc_id", "__bin", p, 8, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val inc = pairs(incPath)
+      val full = pairs(fullPath)
+      assert(inc == full && full.nonEmpty, s"inc=${inc.size} full=${full.size}")
+    } finally q.stop()
+  }
+
   test("streaming cluster-ledger maintenance: per-microbatch advances equal clustering everything at once") {
     import spark.implicits._
     // the streaming face of d66: each micro-batch folds into the
