@@ -806,24 +806,24 @@ object MultimodalOps {
           least(col("__sa"), col("__sb")) &&
         (least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) + 1) >= reqOverlap)
       .select(col("__ra"), col("__rb")).dropDuplicates()
-    val full = groups.select(col("__rep"), col("__n"), col("fhs"))
-    val repPairs = cand
+    // the scoring join fetches each side's full hash set AND its member
+    // list in ONE lookup (members ride along, so no second pair of
+    // joins for the expansion — every join here is a stage floor at
+    // bench scale and a shuffle at cluster scale)
+    val full = groups.select(col("__rep"), col("__n"), col("fhs"), col("__members"))
+    val cross = cand
       .join(full.select(col("__rep").as("__ra"), col("__n").as("__na"),
-        col("fhs").as("__fa")), "__ra")
+        col("fhs").as("__fa"), col("__members").as("__ma")), "__ra")
       .join(full.select(col("__rep").as("__rb"), col("__n").as("__nb"),
-        col("fhs").as("__fb")), "__rb")
-      .select(col("__ra"), col("__rb"),
+        col("fhs").as("__fb"), col("__members").as("__mb")), "__rb")
+      .select(col("__ma"), col("__mb"),
         size(array_intersect(col("__fa"), col("__fb"))).cast("long").as("__common"),
         col("__na"), col("__nb"))
-      .select(col("__ra"), col("__rb"), col("__common"),
+      .select(col("__ma"), col("__mb"), col("__common"),
         graft.queries.Qf.dround(
           col("__common") / (col("__na") + col("__nb") - col("__common")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    val members = groups.select(col("__rep"), col("__members"))
-    val cross = repPairs
-      .join(members.select(col("__rep").as("__ra"), col("__members").as("__ma")), "__ra")
-      .join(members.select(col("__rep").as("__rb"), col("__members").as("__mb")), "__rb")
       .select(explode(col("__ma")).as("__x"), col("__mb"), col("__common"), col("jaccard"))
       .select(col("__x"), explode(col("__mb")).as("__y"), col("__common"), col("jaccard"))
       .select(least(col("__x"), col("__y")).as("a_id"),
@@ -947,22 +947,20 @@ object MultimodalOps {
           .as("__fh"))
     val cand = preOf(gn, "__rn").join(preOf(gc, "__rc"), Seq("__fh"))
       .select(col("__rn"), col("__rc")).dropDuplicates()
-    val repPairs = cand
+    // members ride the scoring join — see pairsOfFrameSignatures
+    cand
       .join(gn.select(col("__rep").as("__rn"), col("__n").as("__nn"),
-        col("fhs").as("__fn")), "__rn")
+        col("fhs").as("__fn"), col("__members").as("__mn")), "__rn")
       .join(gc.select(col("__rep").as("__rc"), col("__n").as("__nc"),
-        col("fhs").as("__fc")), "__rc")
-      .select(col("__rn"), col("__rc"),
+        col("fhs").as("__fc"), col("__members").as("__mc")), "__rc")
+      .select(col("__mn"), col("__mc"),
         size(array_intersect(col("__fn"), col("__fc"))).cast("long").as("__common"),
         col("__nn"), col("__nc"))
-      .select(col("__rn"), col("__rc"), col("__common"),
+      .select(col("__mn"), col("__mc"), col("__common"),
         graft.queries.Qf.dround(
           col("__common") / (col("__nn") + col("__nc") - col("__common")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    repPairs
-      .join(gn.select(col("__rep").as("__rn"), col("__members").as("__mn")), "__rn")
-      .join(gc.select(col("__rep").as("__rc"), col("__members").as("__mc")), "__rc")
       .select(explode(col("__mn")).as("new_id"), col("__mc"), col("__common"), col("jaccard"))
       .select(col("new_id"), explode(col("__mc")).as("corpus_id"),
         col("__common").cast("int").as("n_common"), col("jaccard"))
