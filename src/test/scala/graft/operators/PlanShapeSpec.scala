@@ -388,4 +388,57 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(probe.count() > 0)
     }
   }
+
+  test("frameSignatures is a pure scan (zero shuffles) and no m06 exchange carries payload bytes") {
+    withStaticPlans {
+      val vids = docs.withColumn("__bin", col("text").cast("binary"))
+      // the per-payload signature is one per-row kernel: the r9 form's
+      // explode + corpus-wide groupBy (1 shuffle, binary row-amplified)
+      // is gone — payload bytes provably never leave the scan partition
+      val sigs = MultimodalOps.frameSignatures(vids, "doc_id", "__bin", 8, 2)
+      assert(shuffles(sigs) == 0, sigs.queryExecution.executedPlan.toString)
+      assert(windows(sigs) == 0)
+      // and in the full pair plan, no exchange (shuffle or broadcast)
+      // moves a BinaryType column — only hashes and id lists shuffle
+      val pairs = MultimodalOps.frameDedupPairs(vids, "doc_id", "__bin", 8, 2, 0.5)
+      val exchanges = nodes(pairs) {
+        case e: ShuffleExchangeExec => e: SparkPlan
+        case e: BroadcastExchangeExec => e: SparkPlan
+      }
+      // aggregate partial buffers are BinaryType too ("buf") — the gate
+      // targets PAYLOAD bytes: the input binary column (by name) or any
+      // other non-buffer binary attribute
+      val leaky = exchanges.filter(_.output.exists(a =>
+        a.name == "__bin" ||
+          (a.dataType == org.apache.spark.sql.types.BinaryType && a.name != "buf")))
+      assert(leaky.isEmpty, s"payload bytes cross an exchange: $leaky")
+    }
+  }
+
+  test("frame-ledger probe reads (id, n, fh) only — never a corpus payload") {
+    withStaticPlans {
+      val vids = docs.withColumn("__bin", col("text").cast("binary"))
+      val dir = java.nio.file.Files.createTempDirectory("frplan").toString + "/led"
+      MultimodalOps.writeFrameLedger(vids.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "__bin", 8, 2, dir)
+      val probe = MultimodalOps.frameDedupAgainstLedger(
+        vids.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", dir, 8, 2, 0.0)
+      val ledgerScans = nodes(probe) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("frplan")) => s
+        }.map(_.requiredSchema.fieldNames.toSet)
+      assert(ledgerScans.nonEmpty, "probe plan has no ledger scan")
+      ledgerScans.foreach(s => assert(s.subsetOf(Set("doc_id", "n", "fh")),
+        s"ledger scan reads unexpected columns: $s"))
+      // the only binary-bearing scan is the BATCH side's own input
+      val binScans = nodes(probe) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.requiredSchema.exists(_.dataType ==
+              org.apache.spark.sql.types.BinaryType) => s
+        }
+      assert(binScans.isEmpty, // batch binary comes from a cast projection, not a scan
+        s"a file scan reads binary payloads: $binScans")
+      assert(probe.count() > 0)
+    }
+  }
 }
