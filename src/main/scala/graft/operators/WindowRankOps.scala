@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed ranking windows for LOW-CARDINALITY partition keys — the
+  * classic window skew trap. `rank() OVER (PARTITION BY flag ORDER BY
+  * ...)` clusters by `flag`, so a 3-value key runs THREE tasks no
+  * matter how many executors the cluster has, and at 100 TB one task
+  * sorts ~33 billion rows. This operator computes the same
+  * rank/dense_rank/row_number/ntile values with parallelism equal to
+  * the shuffle width:
+  *
+  *  1. `repartitionByRange` on (partition cols ++ order cols) assigns
+  *     every row a SLICE id — a group's rows span contiguous slices in
+  *     global order;
+  *  2. the same window functions run partitioned by (slice, group) —
+  *     `np × groups` balanced partitions instead of `groups` skewed
+  *     ones — giving LOCAL row numbers / ranks / dense ranks
+  *     (whole-stage-codegen `WindowExec`, no custom row walk);
+  *  3. per-(slice, group) boundary stats come from one aggregation
+  *     over the ranked rows (`min_by`/`max_by` on the local row
+  *     number pick the slice's first/last order key; the trailing-tie
+  *     size is `n − max(local rank) + 1`), and the driver folds them
+  *     in slice order into per-slice OFFSETS — rows before, distinct
+  *     keys before, and, for a tie group straddling a slice boundary,
+  *     the global rank where the straddling tie began. The
+  *     `.collect()` is this slices × groups stats table (model-sized),
+  *     never data;
+  *  4. a broadcast join applies the offsets: `rank = local rank +
+  *     rows-before`, except rows continuing a boundary-straddling tie,
+  *     which take the recorded tie-start rank; `dense_rank = local
+  *     dense + distinct-before − (1 if the slice's first key
+  *     continues)`; `ntile` derives from the global row number and the
+  *     group total.
+  *
+  * The ranked slices are computed once (lazy local checkpoint shared
+  * by the stats pass and the output pass — materialized inside the
+  * caller's own action; a long-lived job would persist a staging
+  * table instead). Exactness is pinned against the built-in window on
+  * tie-heavy fixtures (ties straddling slice boundaries included) and
+  * by the q17b conformance oracle, which is q17's verbatim.
+  *
+  * Boundary comparisons are null-safe; partition columns join
+  * null-safely.
+  */
+object WindowRankOps {
+
+  /** `df` + (`rnk`, `drnk`, `rn`, ntile column named `ntileCol`) over
+    * `PARTITION BY partCols ORDER BY order` — order entries are
+    * (column name, ascending?).
+    */
+  def partitionedRanks(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], ntileN: Int,
+      ntileCol: String = "ntile"): DataFrame = {
+    require(partCols.nonEmpty && order.nonEmpty && ntileN >= 1,
+      "need partition cols, order cols, ntileN >= 1")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    val keyStruct = struct(order.zipWithIndex.map { case ((c, _), i) =>
+      col(c).as(s"_k$i") }: _*)
+
+    // slice assignment + local window, all codegen; one computation
+    // shared by the stats pass and the output pass
+    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    val local = df.repartitionByRange(np, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__lrk", rank().over(w).cast("long"))
+      .withColumn("__ldr", dense_rank().over(w).cast("long"))
+      .localCheckpoint(false)
+
+    // ---- per-(slice, group) boundary stats: one agg, tiny result ----
+    val statRows: Array[Row] = local.groupBy((col("__pid") +: partCols.map(col)): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        max(col("__ldr")).as("__nd"),
+        min_by(keyStruct, col("__lrn")).as("__firstKey"),
+        max_by(keyStruct, col("__lrn")).as("__lastKey"),
+        max(col("__lrk")).as("__lrkLast"))
+      .collect() // bounded: slices x groups rows, never data
+
+    // ---- driver fold: per-slice offsets in slice order, per group ----
+    case class Stat(pid: Int, part: Seq[Any], n: Long, nd: Long,
+        firstKey: Row, lastKey: Row, cntLast: Long)
+    val stats = statRows.map { r =>
+      val part = (1 to partCols.size).map(r.get)
+      val base = 1 + partCols.size
+      Stat(r.getInt(0), part, r.getLong(base), r.getLong(base + 1),
+        r.getStruct(base + 2), r.getStruct(base + 3),
+        r.getLong(base) - r.getLong(base + 4) + 1)
+    }
+    case class Adj(pid: Int, part: Seq[Any], cumRows: Long, cumDist: Long,
+        contTie: Boolean, tieStart: Long, firstKey: Row, total: Long)
+    val adjs = scala.collection.mutable.ArrayBuffer.empty[Adj]
+    stats.groupBy(_.part).foreach { case (part, rows) =>
+      val ordered = rows.sortBy(_.pid)
+      val total = ordered.map(_.n).sum
+      var cumRows = 0L
+      var cumDist = 0L
+      var lastKey: Row = null
+      var tieStart = 0L
+      ordered.foreach { s =>
+        val contTie = lastKey != null && s.firstKey == lastKey
+        adjs += Adj(s.pid, part, cumRows, cumDist, contTie, tieStart,
+          s.firstKey, total)
+        tieStart =
+          if (contTie && s.firstKey == s.lastKey) tieStart // one continuing tie
+          else cumRows + (s.n - s.cntLast) + 1 // global rank of lastKey's first row
+        cumDist += s.nd - (if (contTie) 1L else 0L)
+        cumRows += s.n
+        lastKey = s.lastKey
+      }
+    }
+
+    // ---- offset table as a broadcast relation, null-safe join ----
+    val schema = df.schema
+    val pIdx = partCols.map(schema.fieldIndex)
+    val oIdx = order.map(o => schema.fieldIndex(o._1))
+    val keyType = StructType(oIdx.map(i => schema.fields(i))
+      .zipWithIndex.map { case (f, i) => StructField(s"_k$i", f.dataType, f.nullable) })
+    val adjSchema = StructType(
+      Seq(StructField("__apid", IntegerType, nullable = false)) ++
+        pIdx.map(i => schema.fields(i)).zipWithIndex.map { case (f, i) =>
+          StructField(s"__p$i", f.dataType, f.nullable) } ++
+        Seq(
+          StructField("__cumRows", LongType, nullable = false),
+          StructField("__cumDist", LongType, nullable = false),
+          StructField("__contTie", BooleanType, nullable = false),
+          StructField("__tieStart", LongType, nullable = false),
+          StructField("__firstKey", keyType, nullable = true),
+          StructField("__total", LongType, nullable = false)))
+    val adjRows = new java.util.ArrayList[Row]()
+    adjs.foreach { a =>
+      adjRows.add(Row.fromSeq(
+        Seq(a.pid) ++ a.part ++ Seq(a.cumRows, a.cumDist, a.contTie,
+          a.tieStart, a.firstKey, a.total)))
+    }
+    val adjDf = spark.createDataFrame(adjRows, adjSchema)
+    val joinCond = (local("__pid") === adjDf("__apid")) && partCols.zipWithIndex
+      .map { case (c, i) => local(c) <=> adjDf(s"__p$i") }
+      .reduce(_ && _)
+    val joined = local.join(broadcast(adjDf), joinCond)
+    val isCont = col("__contTie") && (keyStruct <=> col("__firstKey"))
+    val rnG = col("__cumRows") + col("__lrn")
+    // ntile(q) over group total N: the first N % q tiles take
+    // ceil(N/q) rows, the rest floor(N/q) — from the global row number
+    val q = lit(ntileN.toLong)
+    val kfl = floor(col("__total") / q)
+    val m = col("__total") % q
+    val tile = when(rnG <= m * (kfl + 1), ceil(rnG / (kfl + 1)))
+      .otherwise(m + ceil((rnG - m * (kfl + 1)) / kfl))
+    joined.select(
+      schema.fieldNames.map(local(_)) ++ Seq(
+        when(isCont, col("__tieStart")).otherwise(col("__cumRows") + col("__lrk"))
+          .cast("long").as("rnk"),
+        (col("__cumDist") + col("__ldr") -
+          when(col("__contTie"), lit(1L)).otherwise(lit(0L))).cast("long").as("drnk"),
+        rnG.cast("long").as("rn"),
+        tile.cast("long").as(ntileCol)): _*)
+  }
+}

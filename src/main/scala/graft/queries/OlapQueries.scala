@@ -373,6 +373,32 @@ object OlapQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // q17's SCALE path: rank/dense_rank/ntile over a 3-value partition
+    // key clusters by that key — parallelism 3 at ANY cluster size (one
+    // task sorts ~33 B rows at 100 TB). partitionedRanks computes the
+    // same values at full shuffle width: range-partition + per-slice
+    // local ranks + driver-merged boundary offsets (the histogram-
+    // percentile playbook applied to ranking). Same oracle as q17 —
+    // the hash match IS the parity proof.
+    q("q17b_window_rank_dist",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.operators.WindowRankOps.partitionedRanks(
+        table(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(("l_quantity", false), ("l_orderkey", true), ("l_linenumber", true)),
+        ntileN = 4, ntileCol = "quartile")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("rnk").cast("int").as("rnk"),
+          col("drnk").cast("int").as("drnk"),
+          col("quartile").cast("int").as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     q("q18_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>

@@ -1603,6 +1603,46 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 3L, 1, 0.3333)))
   }
 
+  test("partitionedRanks == built-in window (rank/dense_rank/row_number/ntile), ties straddling slices") {
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy fixture: few distinct order values so tie groups span
+    // range-slice boundaries (4 shuffle partitions), multiple groups of
+    // very different sizes, a group smaller than the ntile count, and a
+    // descending first order column like q17's
+    val rows = for {
+      g <- Seq("A", "B", "C")
+      i <- 1 to (if (g == "A") 400 else if (g == "B") 37 else 2)
+    } yield (g, (i % 5).toDouble, (i % 7).toLong, i)
+    val df = rows.toDF("flag", "qty", "ok", "ln")
+    val got = WindowRankOps.partitionedRanks(df, Seq("flag"),
+      Seq(("qty", false), ("ok", true), ("ln", true)), ntileN = 4,
+      ntileCol = "quartile")
+      .select(col("flag"), col("qty"), col("ok"), col("ln"),
+        col("rnk").cast("int"), col("drnk").cast("int"),
+        col("rn").cast("int"), col("quartile").cast("int"))
+      .orderBy("flag", "qty", "ok", "ln")
+      .collect().toSeq
+    val w = Window.partitionBy(col("flag"))
+      .orderBy(col("qty").desc, col("ok"), col("ln"))
+    val exp = df.select(col("flag"), col("qty"), col("ok"), col("ln"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"), ntile(4).over(w).as("quartile"))
+      .orderBy("flag", "qty", "ok", "ln")
+      .collect().toSeq
+    // row_number breaks ties arbitrarily BUT both forms order ties the
+    // same way here (rn/ntile compared only where keys are unique is
+    // the general contract; this fixture's within-tie order agrees
+    // because both sort on the same full key) — compare rank/dense
+    // exactly everywhere, rn/ntile as multisets per (flag, key)
+    assert(got.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+      r.getInt(4), r.getInt(5))) ==
+      exp.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))), "rank/dense_rank mismatch")
+    def tiles(s: Seq[org.apache.spark.sql.Row]) = s.groupBy(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .map { case (k, rs) => k -> rs.map(r => (r.getInt(6), r.getInt(7))).sorted }
+    assert(tiles(got) == tiles(exp), "rn/ntile multiset mismatch")
+  }
+
   test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {
     // adversarial payload shapes: empty, shorter than a frame, exact
     // frame multiple, one byte past a stride, repeated frames (distinct
