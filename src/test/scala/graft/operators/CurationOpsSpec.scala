@@ -651,6 +651,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("C4LineFilter kernel == HOF form on 500 random pages (seeded)") {
+    val rnd = new scala.util.Random(0xC4C4)
+    val alphabet = "ab .!?\"\n\té日 "
+    val random = (1 to 500).map { _ =>
+      val n = rnd.nextInt(60)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = random.toDF("text")
+    val f = df.select(TextOps.c4LineFilter(col("text"), minWords = 2).as("s"))
+      .select(col("s.n_lines"), col("s.n_kept"), col("s.kept")).collect()
+    val kept = filter(split(col("text"), "\n"), l => {
+      val t = trim(l)
+      (size(split(t, " ")) >= 2) && substring(t, -1, 1).isin(".", "!", "?", "\"")
+    })
+    val c = df.select(
+      size(split(col("text"), "\n")).as("n_lines"), size(kept).as("n_kept"),
+      array_join(transform(kept, l => trim(l)), "\n").as("kept")).collect()
+    random.indices.foreach { i =>
+      assert(f(i) == c(i), s"row $i: ${random(i).replace("\n", "\\n")}")
+    }
+  }
+
   test("fused ScrubSpans kernel == composable filter/exists HOF form") {
     import graft.functions.NgramExpressions
     // (text, sorted disjoint spans) — mergeSpans-shaped inputs: empty

@@ -1662,6 +1662,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fused.toSeq == comp.toSeq)
   }
 
+  test("FrameMd5s kernel == explode form on 300 random payloads x 3 framings (seeded)") {
+    val rnd = new scala.util.Random(0xF4A3E5)
+    val payloads = (1 to 300).map { i =>
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val df = payloads.toDF("doc_id", "__bin")
+    Seq((8, 2), (16, 1), (5, 3)).foreach { case (fb, ek) =>
+      val fused = MultimodalOps.frameSignatures(df, "doc_id", "__bin", fb, ek)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](2)))
+      val comp = MultimodalOps.sampleFrames(df, "doc_id", "__bin", fb, ek)
+        .select(col("doc_id"), md5(col("frame_bytes")).as("fh"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("fh"))).as("fhs"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      assert(fused.toSeq == comp.toSeq, s"framing ($fb, $ek)")
+    }
+  }
+
   test("frame ledger: cycle == in-flight cross pairs; framing drift fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft-frames").toString + "/led"
     val mk = (id: Long, t: String) => (id, t)
