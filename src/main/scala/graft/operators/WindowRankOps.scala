@@ -48,6 +48,26 @@ import org.apache.spark.sql.types._
   */
 object WindowRankOps {
 
+  /** The pre-checkpoint fragment: range-slice assignment + LOCAL
+    * window numbers per (slice, group) — every window here partitions
+    * by (`__pid`, partCols), never by the low-cardinality key alone
+    * (PlanShapeSpec pins it on this fragment, because the checkpoint
+    * hides it from the output plan).
+    */
+  private[graft] def slicedLocalRanks(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], np: Int): DataFrame = {
+    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    df.repartitionByRange(np, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__lrk", rank().over(w).cast("long"))
+      .withColumn("__ldr", dense_rank().over(w).cast("long"))
+  }
+
   /** `df` + (`rnk`, `drnk`, `rn`, ntile column named `ntileCol`) over
     * `PARTITION BY partCols ORDER BY order` — order entries are
     * (column name, ascending?).
@@ -57,6 +77,10 @@ object WindowRankOps {
       ntileCol: String = "ntile"): DataFrame = {
     require(partCols.nonEmpty && order.nonEmpty && ntileN >= 1,
       "need partition cols, order cols, ntileN >= 1")
+    val reserved = Set("__pid", "__lrn", "__lrk", "__ldr", "rnk", "drnk", "rn", ntileCol)
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with partitionedRanks' internals/outputs: ${clash.mkString(", ")}")
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
@@ -66,15 +90,10 @@ object WindowRankOps {
       col(c).as(s"_k$i") }: _*)
 
     // slice assignment + local window, all codegen; one computation
-    // shared by the stats pass and the output pass
-    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
-      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
-    val local = df.repartitionByRange(np, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(w).cast("long"))
-      .withColumn("__lrk", rank().over(w).cast("long"))
-      .withColumn("__ldr", dense_rank().over(w).cast("long"))
-      .localCheckpoint(false)
+    // shared by the stats pass and the output pass (the checkpoint
+    // hides this fragment from the output plan, so the PlanShapeSpec
+    // gate inspects it via [[slicedLocalRanks]] directly)
+    val local = slicedLocalRanks(df, partCols, order, np).localCheckpoint(false)
 
     // ---- per-(slice, group) boundary stats: one agg, tiny result ----
     val statRows: Array[Row] = local.groupBy((col("__pid") +: partCols.map(col)): _*)

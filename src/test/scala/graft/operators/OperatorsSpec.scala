@@ -1641,6 +1641,25 @@ class OperatorsSpec extends AnyFunSuite {
     def tiles(s: Seq[org.apache.spark.sql.Row]) = s.groupBy(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
       .map { case (k, rs) => k -> rs.map(r => (r.getInt(6), r.getInt(7))).sorted }
     assert(tiles(got) == tiles(exp), "rn/ntile multiset mismatch")
+    // NULL order values sort per Spark defaults on both forms
+    val nulled = Seq(("A", Some(1.0), 1L, 1), ("A", None, 2L, 2), ("A", None, 2L, 3),
+      ("A", Some(3.0), 0L, 4), ("B", None, 9L, 5))
+      .toDF("flag", "qty", "ok", "ln")
+    val gotN = WindowRankOps.partitionedRanks(nulled, Seq("flag"),
+      Seq(("qty", false), ("ok", true), ("ln", true)), ntileN = 2, ntileCol = "t")
+      .select(col("flag"), col("ln"), col("rnk").cast("int"), col("drnk").cast("int"),
+        col("rn").cast("int"), col("t").cast("int"))
+      .orderBy("flag", "ln").collect().toSeq
+    val wN = Window.partitionBy(col("flag"))
+      .orderBy(col("qty").desc, col("ok"), col("ln"))
+    val expN = nulled.select(col("flag"), col("ln"), rank().over(wN), dense_rank().over(wN),
+        row_number().over(wN), ntile(2).over(wN))
+      .orderBy("flag", "ln").collect().toSeq
+    assert(gotN == expN, s"null-order mismatch: $gotN vs $expN")
+    // reserved-name collision fails loudly
+    val e = intercept[IllegalArgumentException](WindowRankOps.partitionedRanks(
+      nulled.withColumnRenamed("ln", "rnk"), Seq("flag"), Seq(("qty", true)), 2))
+    assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
   test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {

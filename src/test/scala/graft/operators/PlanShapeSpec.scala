@@ -441,4 +441,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(probe.count() > 0)
     }
   }
+
+  test("partitionedRanks: every window partitions by the slice id — never by the skew key alone") {
+    withStaticPlans {
+      import spark.implicits._
+      val df = (1 to 1000).map(i => ("F" + (i % 3), i % 5, i)).toDF("flag", "qty", "ln")
+      // the checkpoint hides the ranking fragment from the OUTPUT plan,
+      // so gate the fragment itself: every WindowExec must include the
+      // slice id in its partition spec — no window ever clusters on the
+      // low-cardinality key alone (the skew trap the operator avoids)
+      val frag = WindowRankOps.slicedLocalRanks(df, Seq("flag"),
+        Seq(("qty", false), ("ln", true)), np = 4)
+      val wins = nodes(frag) { case w: WindowExec => w }
+      assert(wins.nonEmpty, "fragment plan lost its window")
+      wins.foreach { w =>
+        assert(w.partitionSpec.exists(_.references.exists(_.name == "__pid")),
+          s"window clustered without the slice id: ${w.partitionSpec}")
+      }
+      // and the full operator still returns every row
+      val ranked = WindowRankOps.partitionedRanks(df, Seq("flag"),
+        Seq(("qty", false), ("ln", true)), ntileN = 4)
+      assert(ranked.count() == 1000)
+    }
+  }
 }
