@@ -546,14 +546,17 @@ object DedupOps {
       val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
         .join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      // labels absorbed into a smaller-minimum component: only TOUCHED
-      // corpus labels (bc's lift targets) can lose — the semi-join
-      // keeps batch-node rows of `comp` out of the persisted remap
-      // table, which is what keeps it merge-event-sized
-      val touched = bc.select(col("d2").as("old_label")).distinct()
+      // labels absorbed into a smaller-minimum component: only EXISTING
+      // corpus labels can lose — the semi-join against the stored label
+      // set keeps batch-node rows of `comp` out of the persisted remap
+      // table (merge-event-sized, exactly the rows the r9 design's
+      // rewrite join would have matched). Derived from `asg`, not from
+      // the probe: `comp` is CC-cached but a probe-derived filter would
+      // re-execute the whole signature probe inside the remap swap.
+      val existingLabels = asg.select(col("label").as("old_label")).distinct()
       val newRemap = comp.filter(col("node") =!= col("label"))
         .select(col("node").as("old_label"), col("label").as("new_label"))
-        .join(touched, Seq("old_label"), "left_semi")
+        .join(existingLabels, Seq("old_label"), "left_semi")
       // O(batch) delta append — no stored assignment row is rewritten
       batchAsg.write.mode("append")
         .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
