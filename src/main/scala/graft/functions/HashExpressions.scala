@@ -158,6 +158,7 @@ object FrameHashUtil {
 final case class FrameMd5s(child: Expression, frameBytes: Int, everyK: Int)
     extends UnaryExpression {
   require(frameBytes >= 1 && everyK >= 1, "frameBytes and everyK must be >= 1")
+  require(frameBytes.toLong * everyK <= Int.MaxValue, "frameBytes * everyK overflows Int")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =

@@ -103,6 +103,8 @@ object C4Util {
     * interpreted fixture lambda.
     */
   def synthC4Page(s: UTF8String, docId: Long, w: Int): UTF8String = {
+    // docId assumed non-negative (fixture doc ids): the Column form's
+    // element_at would error on the negative-% index this % mirrors
     val bytes = s.getBytes
     val spans = NgramUtil.tokenSpans(bytes)
     val nTok = spans.length / 2

@@ -753,8 +753,12 @@ object MultimodalOps {
           y => struct(x.as("a"), y.as("b")))))).as("__p"))
       .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"),
         col("__n").cast("int").as("n_common"), lit(1.0).as("jaccard"))
-    // cross-group arm with PREFIX FILTERING (the SSJoin/PPJoin prefix
-    // principle): under ANY global element order, a pair with Jaccard
+    // cross-group arm with PREFIX FILTERING (the set-similarity-join
+    // prefix principle — Chaudhuri et al. 2006 "A Primitive Operator
+    // for Similarity Joins"; ordering + length/positional rules per
+    // Xiao et al. 2008 "Efficient Similarity Joins for Near Duplicate
+    // Detection", both public): under ANY global element order, a pair
+    // with Jaccard
     // ≥ t must share its order-smallest common element, and that
     // element provably sits within the first |S| − ⌈t·|S|⌉ + 1
     // elements of BOTH sets (if all common elements hid in A's
@@ -779,8 +783,10 @@ object MultimodalOps {
     val ordered = ex.join(dfreq, "__fh")
       .groupBy(col("__rep"))
       .agg(sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
-    val pLen = size(col("__ord")) -
-      ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1
+    // clamped at 0 so a (degenerate) minJaccard > 1 yields empty
+    // prefixes and an empty result, matching the emitted filter
+    val pLen = greatest(size(col("__ord")) -
+      ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1, lit(0))
     // prefix rows carry (set size, 1-based position) so the bucket
     // join can apply PPJoin's two other EXACT pruning rules before any
     // pair materializes downstream:
