@@ -286,6 +286,40 @@ class AccuracySpec extends AnyFunSuite {
     assert(outOfVocab == 0, s"$outOfVocab pieces outside the vocabulary")
   }
 
+  test("d68 gate (basic=true): punctuation-glued and CJK web text segments instead of falling to UNK") {
+    // the r9 gap: raw web text puts punctuation-glued tokens and CJK
+    // runs in front of WordPiece; without BasicTokenizer every such
+    // token is whole-word [UNK]. With basic=true the same invariants
+    // hold against the BASIC-TOKENIZED stream: (1) closed vocabulary,
+    // (2) reconstruction reproduces the basic-tokenized form sans
+    // spaces, (3) zero UNK on fixtures whose chars the vocab covers.
+    val vocab = graft.queries.PipelineQueries.wordPieceVocab ++
+      Seq(",", ".", "!", "?", "'", "\"", "(", ")", "-", ":", ";", "日", "本", "語")
+    import spark.implicits._
+    val web = Seq(
+      "Hello, world! (Really.)", "don't stop - ever; why?",
+      "mixed 日本語 and ascii.", "\"quoted\" text:", "a,b,c").toDF("text")
+    val p = graft.functions.TokenizeExpressions.wordPieceEncode(
+      col("text"), vocab, basic = true, lowercase = true)
+    val enc = web.select(col("text"), p.as("p"))
+    val unkDocs = enc.filter(array_contains(col("p"), "[UNK]")).count()
+    assert(unkDocs == 0, s"$unkDocs UNK docs with basic pre-tokenization")
+    // reconstruction vs the basic-tokenized stream (what BERT's
+    // pipeline defines as the tokenizer's input)
+    val basic = udf((t: String) =>
+      graft.functions.WordPieceUtil.basicTokenize(t, true))
+    val bad = enc.filter(
+      concat_ws("", transform(col("p"), x => regexp_replace(x, "^##", ""))) =!=
+        regexp_replace(basic(col("text")), " ", "")).count()
+    assert(bad == 0, s"$bad docs fail basic-form reconstruction")
+    // and default-off stays the pre-existing contract: the same rows
+    // WITHOUT basic fall to whole-word UNK on their glued tokens
+    val gluedUnk = web.select(graft.functions.TokenizeExpressions
+        .wordPieceEncode(col("text"), vocab).as("p"))
+      .filter(array_contains(col("p"), "[UNK]")).count()
+    assert(gluedUnk == web.count(), "default-off behavior drifted")
+  }
+
   test("m07 gate: aHash is codec- and scale-invariant on structured content, separates distinct content") {
     import graft.operators.MultimodalOps._
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
