@@ -68,6 +68,122 @@ object WindowRankOps {
       .withColumn("__ldr", dense_rank().over(w).cast("long"))
   }
 
+  /** Running + moving SUMS over a low-cardinality partition key at
+    * full shuffle width — the running-aggregate face of the same skew
+    * trap [[partitionedRanks]] solves for ranking. `valueCol` must be
+    * integral (LONG sums — exact, so the distributed re-association of
+    * additions is bit-identical to the sequential built-in; for
+    * floating measures, scale to integer units first, e.g. cents — the
+    * float fold ORDER would otherwise drift ulps across slice
+    * boundaries). Returns `df` + `running_total` (unbounded-preceding
+    * row frame) + `moving_sum<k>` (last `movingK` rows incl. current).
+    *
+    * Shape: range slices + per-slice local windows (codegen, np ×
+    * groups balanced partitions), per-slice totals and tail values
+    * folded on the driver (bounded by slices × groups ×
+    * `movingK`), broadcast back: `running = local running + previous
+    * slices' total`; a row fewer than `movingK` rows into its slice
+    * completes its frame from the PREVIOUS slice's broadcast tail
+    * values — so frames straddling slice boundaries are exact, and a
+    * group's first rows see the same clipped frames the built-in
+    * produces.
+    */
+  def partitionedRunning(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], valueCol: String, movingK: Int): DataFrame = {
+    require(partCols.nonEmpty && order.nonEmpty && movingK >= 1,
+      "need partition cols, order cols, movingK >= 1")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (exact long sums); scale floats to integer units first")
+    val reserved = Set("__pid", "__lrn", "__lcnt", "__lrun", "__lmov",
+      "running_total", s"moving_sum$movingK")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with partitionedRunning's internals/outputs: ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    val v = col(valueCol).cast("long")
+    val local = df.repartitionByRange(np, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__lrun",
+        sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lmov",
+        sum(v).over(w.rowsBetween(-(movingK - 1).toLong, Window.currentRow)))
+      .localCheckpoint(false)
+
+    // per-slice totals + the last (movingK-1) values in order — the
+    // driver fold input, bounded by slices × groups × movingK
+    val tailK = movingK - 1
+    val statRows = local.groupBy((col("__pid") +: partCols.map(col)): _*)
+      .agg(sum(v).as("__tot"), count(lit(1)).as("__n"),
+        reverse(slice(reverse(sort_array(
+          collect_list(struct(col("__lrn"), v.as("__v"))))), 1, math.max(tailK, 1)))
+          .as("__tail"))
+      .collect()
+
+    case class SliceStat(pid: Int, part: Seq[Any], tot: Long, n: Long, tail: Seq[Long])
+    val stats = statRows.map { r =>
+      val part = (1 to partCols.size).map(r.get)
+      val base = 1 + partCols.size
+      val tail = r.getSeq[Row](base + 2).map(_.getLong(1))
+      SliceStat(r.getInt(0), part, r.getLong(base), r.getLong(base + 1),
+        if (tailK == 0) Seq.empty else tail)
+    }
+    case class RunAdj(pid: Int, part: Seq[Any], offset: Long, prevTail: Seq[Long])
+    val adjs = scala.collection.mutable.ArrayBuffer.empty[RunAdj]
+    stats.groupBy(_.part).foreach { case (part, rows) =>
+      val ordered = rows.sortBy(_.pid)
+      var offset = 0L
+      var prevTail = Seq.empty[Long]
+      ordered.foreach { s =>
+        adjs += RunAdj(s.pid, part, offset, prevTail)
+        offset += s.tot
+        // the group's trailing (movingK-1) values after this slice:
+        // this slice's tail, left-padded from the previous one when
+        // the slice itself is shorter than the frame
+        prevTail =
+          if (s.tail.size >= tailK) s.tail.takeRight(tailK)
+          else (prevTail ++ s.tail).takeRight(tailK)
+      }
+    }
+
+    val schema = df.schema
+    val pIdx = partCols.map(schema.fieldIndex)
+    val adjSchema = StructType(
+      Seq(StructField("__apid", IntegerType, nullable = false)) ++
+        pIdx.map(i => schema.fields(i)).zipWithIndex.map { case (f, i) =>
+          StructField(s"__p$i", f.dataType, f.nullable) } ++
+        Seq(StructField("__offset", LongType, nullable = false),
+          StructField("__prevTail", ArrayType(LongType, containsNull = false),
+            nullable = false)))
+    val adjRows = new java.util.ArrayList[Row]()
+    adjs.foreach { a =>
+      adjRows.add(Row.fromSeq(Seq(a.pid) ++ a.part ++ Seq(a.offset, a.prevTail)))
+    }
+    val adjDf = spark.createDataFrame(adjRows, adjSchema)
+    val joinCond = (local("__pid") === adjDf("__apid")) && partCols.zipWithIndex
+      .map { case (c, i) => local(c) <=> adjDf(s"__p$i") }
+      .reduce(_ && _)
+    val joined = local.join(broadcast(adjDf), joinCond)
+    // a row < movingK rows into its slice completes its frame from the
+    // previous slice's tail: take the LAST (movingK - lrn) tail values
+    val need = greatest(lit(movingK.toLong) - col("__lrn"), lit(0L)).cast("int")
+    val extras = slice(col("__prevTail"),
+      greatest(size(col("__prevTail")) - need + 1, lit(1)),
+      least(need, size(col("__prevTail"))))
+    joined.select(
+      schema.fieldNames.map(local(_)) ++ Seq(
+        (col("__lrun") + col("__offset")).as("running_total"),
+        (col("__lmov") + coalesce(aggregate(extras, lit(0L), _ + _), lit(0L)))
+          .as(s"moving_sum$movingK")): _*)
+  }
+
   /** `df` + (`rnk`, `drnk`, `rn`, ntile column named `ntileCol`) over
     * `PARTITION BY partCols ORDER BY order` — order entries are
     * (column name, ascending?).

@@ -373,6 +373,35 @@ object OlapQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // q16's SCALE face for a LOW-cardinality partition key: a running
+    // total per order-STATUS (3 values) clusters by status — the
+    // running-aggregate skew trap. partitionedRunning computes the
+    // same running + moving sums at full shuffle width (range slices,
+    // per-slice local windows, driver-folded offsets + boundary tail
+    // values so frames straddling slices stay exact). The measure is
+    // integer CENTS so the distributed re-association of additions is
+    // bit-identical to the sequential built-in (float folds would
+    // drift ulps across slice boundaries — enforced by the operator).
+    q("q16b_running_dist",
+      """WITH c AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents3
+        |FROM c ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.operators.WindowRankOps.partitionedRunning(c,
+        Seq("o_orderstatus"), Seq(("o_orderdate", true), ("o_orderkey", true)),
+        "cents", movingK = 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("running_total").as("running_cents"),
+          col("moving_sum3").as("moving_cents3"))
+        .orderBy("o_orderkey")
+    },
+
     // q17's SCALE path: rank/dense_rank/ntile over a 3-value partition
     // key clusters by that key — parallelism 3 at ANY cluster size (one
     // task sorts ~33 B rows at 100 TB). partitionedRanks computes the

@@ -1662,6 +1662,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("partitionedRunning == built-in running/moving sums, frames straddling slices") {
+    import org.apache.spark.sql.expressions.Window
+    // long runs per group so moving frames straddle the 4 range slices;
+    // group C has fewer rows than the moving frame
+    val rows = for {
+      g <- Seq("A", "B", "C")
+      i <- 1 to (if (g == "A") 500 else if (g == "B") 41 else 2)
+    } yield (g, i.toLong, (i * 7 % 100).toLong)
+    val df = rows.toDF("flag", "seq", "cents")
+    val got = WindowRankOps.partitionedRunning(df, Seq("flag"),
+      Seq(("seq", true)), "cents", movingK = 3)
+      .select(col("flag"), col("seq"), col("running_total"), col("moving_sum3"))
+      .orderBy("flag", "seq").collect().toSeq
+    val w = Window.partitionBy(col("flag")).orderBy(col("seq"))
+    val exp = df.select(col("flag"), col("seq"),
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_total"),
+        sum(col("cents")).over(w.rowsBetween(-2, Window.currentRow)).as("moving_sum3"))
+      .orderBy("flag", "seq").collect().toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    // movingK = 1 degenerates to the value itself
+    val k1 = WindowRankOps.partitionedRunning(df, Seq("flag"),
+      Seq(("seq", true)), "cents", movingK = 1)
+      .select(col("cents"), col("moving_sum1")).collect()
+    k1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // non-integral measures fail loudly (float fold order would drift)
+    val e = intercept[IllegalArgumentException](WindowRankOps.partitionedRunning(
+      df.withColumn("d", col("cents").cast("double")), Seq("flag"),
+      Seq(("seq", true)), "d", 3))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {
     // adversarial payload shapes: empty, shorter than a frame, exact
     // frame multiple, one byte past a stride, repeated frames (distinct
