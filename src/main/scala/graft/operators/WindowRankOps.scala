@@ -68,6 +68,29 @@ object WindowRankOps {
       .withColumn("__ldr", dense_rank().over(w).cast("long"))
   }
 
+  /** The pre-checkpoint running fragment (see [[slicedLocalRanks]] —
+    * same gate-ability rationale): slice assignment + LOCAL running /
+    * moving sums per (slice, group); every window partitions by
+    * (`__pid`, partCols).
+    */
+  private[graft] def slicedLocalRunning(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], valueCol: String, movingK: Int,
+      np: Int): DataFrame = {
+    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    val v = col(valueCol).cast("long")
+    df.repartitionByRange(np, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__lrun",
+        sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lmov",
+        sum(v).over(w.rowsBetween(-(movingK - 1).toLong, Window.currentRow)))
+  }
+
   /** Running + moving SUMS over a low-cardinality partition key at
     * full shuffle width — the running-aggregate face of the same skew
     * trap [[partitionedRanks]] solves for ranking. `valueCol` must be
@@ -102,19 +125,8 @@ object WindowRankOps {
       s"input columns collide with partitionedRunning's internals/outputs: ${clash.mkString(", ")}")
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
-      if (asc) col(c).asc else col(c).desc
-    }
-    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
-      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
     val v = col(valueCol).cast("long")
-    val local = df.repartitionByRange(np, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(w).cast("long"))
-      .withColumn("__lrun",
-        sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__lmov",
-        sum(v).over(w.rowsBetween(-(movingK - 1).toLong, Window.currentRow)))
+    val local = slicedLocalRunning(df, partCols, order, valueCol, movingK, np)
       .localCheckpoint(false)
 
     // per-slice totals + the last (movingK-1) values in order — the

@@ -462,6 +462,16 @@ class PlanShapeSpec extends AnyFunSuite {
       val ranked = WindowRankOps.partitionedRanks(df, Seq("flag"),
         Seq(("qty", false), ("ln", true)), ntileN = 4)
       assert(ranked.count() == 1000)
+      // same gate for the running-aggregate fragment
+      val runFrag = WindowRankOps.slicedLocalRunning(
+        df.withColumn("cents", col("ln").cast("long")),
+        Seq("flag"), Seq(("ln", true)), "cents", movingK = 3, np = 4)
+      val runWins = nodes(runFrag) { case w: WindowExec => w }
+      assert(runWins.nonEmpty, "running fragment plan lost its windows")
+      runWins.foreach { w =>
+        assert(w.partitionSpec.exists(_.references.exists(_.name == "__pid")),
+          s"running window clustered without the slice id: ${w.partitionSpec}")
+      }
     }
   }
 }
