@@ -55,17 +55,30 @@ object WindowRankOps {
     * hides it from the output plan).
     */
   private[graft] def slicedLocalRanks(df: DataFrame, partCols: Seq[String],
-      order: Seq[(String, Boolean)], np: Int): DataFrame = {
+      order: Seq[(String, Boolean)], np: Int,
+      withReverse: Boolean = false): DataFrame = {
     val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
       if (asc) col(c).asc else col(c).desc
     }
     val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
       .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
-    df.repartitionByRange(np, sortCols: _*)
+    val base = df.repartitionByRange(np, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn", row_number().over(w).cast("long"))
       .withColumn("__lrk", rank().over(w).cast("long"))
       .withColumn("__ldr", dense_rank().over(w).cast("long"))
+    if (!withReverse) base
+    else {
+      // local rank with every order direction FLIPPED (asc↔desc also
+      // flips Spark's null placement consistently): peers are the same
+      // set in both directions, so the reverse rank is the distance
+      // from the group's end — [[partitionedDistribution]] turns it
+      // into the last-peer position cume_dist needs
+      val wRev = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+        .orderBy(order.map { case (c, asc) =>
+          if (asc) col(c).desc else col(c).asc }: _*)
+      base.withColumn("__lrkR", rank().over(wRev).cast("long"))
+    }
   }
 
   /** The pre-checkpoint running fragment (see [[slicedLocalRanks]] —
@@ -311,5 +324,155 @@ object WindowRankOps {
           when(col("__contTie"), lit(1L)).otherwise(lit(0L))).cast("long").as("drnk"),
         rnG.cast("long").as("rn"),
         tile.cast("long").as(ntileCol)): _*)
+  }
+
+  /** Distribution windows (`percent_rank`/`cume_dist`/`ntile`) over a
+    * low-cardinality partition key at full shuffle width — the third
+    * face of the skew trap ([[partitionedRanks]] ranking,
+    * [[partitionedRunning]] running aggregates). Returns `df` +
+    * (`rnk`, `rn`, ntile column, `pct_rank`, `cume_dist`).
+    *
+    * `percent_rank = (rank − 1) / (N − 1)` (0 when N = 1) needs only
+    * the global rank. `cume_dist` is the LAST-peer position over N —
+    * computed from a REVERSE-direction rank: peers are the same set
+    * under both orders, so `last-peer position = N − rank_rev + 1` for
+    * any preorder (null peers included), and
+    * `cume_dist = (N − rank_rev + 1) / N`. Both numerators are exact
+    * integers folded from per-slice boundary stats (the forward fold
+    * is [[partitionedRanks]]'s; the reverse fold is its mirror —
+    * slices walked in descending order with first/last keys swapped),
+    * with ONE double division at the end — bit-identical to the
+    * built-in window's output, no rounding tolerance needed. The
+    * reverse local rank costs a second in-partition sort of each
+    * (slice, group) — still np × groups balanced partitions, never a
+    * per-key cluster.
+    */
+  def partitionedDistribution(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], ntileN: Int,
+      ntileCol: String = "ntile"): DataFrame = {
+    require(partCols.nonEmpty && order.nonEmpty && ntileN >= 1,
+      "need partition cols, order cols, ntileN >= 1")
+    val reserved = Set("__pid", "__lrn", "__lrk", "__ldr", "__lrkR",
+      "rnk", "rn", "pct_rank", "cume_dist", ntileCol)
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with partitionedDistribution's internals/outputs: ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val keyStruct = struct(order.zipWithIndex.map { case ((c, _), i) =>
+      col(c).as(s"_k$i") }: _*)
+    val local = slicedLocalRanks(df, partCols, order, np, withReverse = true)
+      .localCheckpoint(false)
+
+    // ---- per-(slice, group) boundary stats (one agg, tiny result):
+    // trailing-tie size n − max(lrk) + 1 feeds the forward fold,
+    // LEADING-tie size n − max(lrkR) + 1 the reverse one
+    val statRows: Array[Row] = local.groupBy((col("__pid") +: partCols.map(col)): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        min_by(keyStruct, col("__lrn")).as("__firstKey"),
+        max_by(keyStruct, col("__lrn")).as("__lastKey"),
+        max(col("__lrk")).as("__lrkLast"),
+        max(col("__lrkR")).as("__lrkRLast"))
+      .collect() // bounded: slices x groups rows, never data
+
+    case class Stat(pid: Int, part: Seq[Any], n: Long, firstKey: Row,
+        lastKey: Row, cntLast: Long, cntFirst: Long)
+    val stats = statRows.map { r =>
+      val base = 1 + partCols.size
+      val n = r.getLong(base)
+      Stat(r.getInt(0), (1 to partCols.size).map(r.get), n,
+        r.getStruct(base + 1), r.getStruct(base + 2),
+        n - r.getLong(base + 3) + 1, n - r.getLong(base + 4) + 1)
+    }
+    case class Adj(pid: Int, part: Seq[Any], cumRows: Long, contTie: Boolean,
+        tieStart: Long, firstKey: Row, cumRowsR: Long, contTieR: Boolean,
+        tieStartR: Long, lastKey: Row, total: Long)
+    val adjs = scala.collection.mutable.ArrayBuffer.empty[Adj]
+    stats.groupBy(_.part).foreach { case (part, rows) =>
+      val ordered = rows.sortBy(_.pid)
+      val total = ordered.map(_.n).sum
+      // forward fold — [[partitionedRanks]]'s, minus dense-rank
+      var cumRows = 0L; var lastKey: Row = null; var tieStart = 0L
+      val fwd = ordered.map { s =>
+        val contTie = lastKey != null && s.firstKey == lastKey
+        val a = (s.pid, cumRows, contTie, tieStart)
+        tieStart =
+          if (contTie && s.firstKey == s.lastKey) tieStart
+          else cumRows + (s.n - s.cntLast) + 1
+        cumRows += s.n; lastKey = s.lastKey
+        a
+      }
+      // reverse fold — the mirror: slices in DESCENDING pid order, the
+      // key that may straddle backwards is the slice's forward
+      // firstKey (= reverse-direction last key)
+      var cumRowsR = 0L; var lastKeyR: Row = null; var tieStartR = 0L
+      val rev = ordered.reverse.map { s =>
+        val contTieR = lastKeyR != null && s.lastKey == lastKeyR
+        val a = (s.pid, cumRowsR, contTieR, tieStartR)
+        tieStartR =
+          if (contTieR && s.firstKey == s.lastKey) tieStartR
+          else cumRowsR + (s.n - s.cntFirst) + 1
+        cumRowsR += s.n; lastKeyR = s.firstKey
+        a
+      }.map(a => a._1 -> a).toMap
+      ordered.zip(fwd).foreach { case (s, (pid, cr, ct, ts)) =>
+        val (_, crR, ctR, tsR) = rev(pid)
+        adjs += Adj(pid, part, cr, ct, ts, s.firstKey, crR, ctR, tsR,
+          s.lastKey, total)
+      }
+    }
+
+    // ---- offset table as a broadcast relation, null-safe join ----
+    val schema = df.schema
+    val pIdx = partCols.map(schema.fieldIndex)
+    val oIdx = order.map(o => schema.fieldIndex(o._1))
+    val keyType = StructType(oIdx.map(i => schema.fields(i))
+      .zipWithIndex.map { case (f, i) => StructField(s"_k$i", f.dataType, f.nullable) })
+    val adjSchema = StructType(
+      Seq(StructField("__apid", IntegerType, nullable = false)) ++
+        pIdx.map(i => schema.fields(i)).zipWithIndex.map { case (f, i) =>
+          StructField(s"__p$i", f.dataType, f.nullable) } ++
+        Seq(
+          StructField("__cumRows", LongType, nullable = false),
+          StructField("__contTie", BooleanType, nullable = false),
+          StructField("__tieStart", LongType, nullable = false),
+          StructField("__firstKey", keyType, nullable = true),
+          StructField("__cumRowsR", LongType, nullable = false),
+          StructField("__contTieR", BooleanType, nullable = false),
+          StructField("__tieStartR", LongType, nullable = false),
+          StructField("__lastKey", keyType, nullable = true),
+          StructField("__total", LongType, nullable = false)))
+    val adjRows = new java.util.ArrayList[Row]()
+    adjs.foreach { a =>
+      adjRows.add(Row.fromSeq(
+        Seq(a.pid) ++ a.part ++ Seq(a.cumRows, a.contTie, a.tieStart,
+          a.firstKey, a.cumRowsR, a.contTieR, a.tieStartR, a.lastKey, a.total)))
+    }
+    val adjDf = spark.createDataFrame(adjRows, adjSchema)
+    val joinCond = (local("__pid") === adjDf("__apid")) && partCols.zipWithIndex
+      .map { case (c, i) => local(c) <=> adjDf(s"__p$i") }
+      .reduce(_ && _)
+    val joined = local.join(broadcast(adjDf), joinCond)
+    val rnk = when(col("__contTie") && (keyStruct <=> col("__firstKey")),
+      col("__tieStart")).otherwise(col("__cumRows") + col("__lrk"))
+    val rnkR = when(col("__contTieR") && (keyStruct <=> col("__lastKey")),
+      col("__tieStartR")).otherwise(col("__cumRowsR") + col("__lrkR"))
+    val rnG = col("__cumRows") + col("__lrn")
+    val q = lit(ntileN.toLong)
+    val kfl = floor(col("__total") / q)
+    val m = col("__total") % q
+    val tile = when(rnG <= m * (kfl + 1), ceil(rnG / (kfl + 1)))
+      .otherwise(m + ceil((rnG - m * (kfl + 1)) / kfl))
+    joined.select(
+      schema.fieldNames.map(local(_)) ++ Seq(
+        rnk.cast("long").as("rnk"),
+        rnG.cast("long").as("rn"),
+        tile.cast("long").as(ntileCol),
+        when(col("__total") === 1L, lit(0.0))
+          .otherwise((rnk - 1L).cast("double") / (col("__total") - 1L))
+          .as("pct_rank"),
+        ((col("__total") - rnkR + 1L).cast("double") / col("__total"))
+          .as("cume_dist")): _*)
   }
 }

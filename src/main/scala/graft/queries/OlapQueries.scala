@@ -428,6 +428,34 @@ object OlapQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // q46's SCALE path, closing the distributed-window family (q17b
+    // ranking, q16b running aggregates): percent_rank/cume_dist/ntile
+    // over the 3-value status key at full shuffle width.
+    // partitionedDistribution folds exact integer numerators (forward
+    // rank for percent_rank; a reverse-direction rank gives the
+    // last-peer position for cume_dist — peers are the same set both
+    // ways) and divides once, so the doubles are bit-identical to the
+    // built-in window's. Same oracle as q46 — the hash match IS the
+    // parity proof.
+    q("q46b_distribution_dist",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.operators.WindowRankOps.partitionedDistribution(
+        table(s, dir, "orders"), Seq("o_orderstatus"),
+        Seq(("o_totalprice", true), ("o_orderkey", true)),
+        ntileN = 4, ntileCol = "quartile")
+        .select(col("o_orderkey"),
+          col("quartile").cast("int").as("quartile"),
+          Qf.dround(col("pct_rank"), 6).as("pct_rank"),
+          Qf.dround(col("cume_dist"), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
     q("q18_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>

@@ -1694,6 +1694,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("partitionedDistribution == built-in percent_rank/cume_dist/ntile, bit-identical, ties straddling slices") {
+    import org.apache.spark.sql.expressions.Window
+    // same tie-heavy shape as the ranks test: tie groups span the 4
+    // range slices, a 1-row group (percent_rank's N=1 special case),
+    // and a descending first order column
+    val rows = for {
+      g <- Seq("A", "B", "C")
+      i <- 1 to (if (g == "A") 400 else if (g == "B") 37 else 1)
+    } yield (g, (i % 5).toDouble, (i % 7).toLong, i)
+    val df = rows.toDF("flag", "qty", "ok", "ln")
+    val got = WindowRankOps.partitionedDistribution(df, Seq("flag"),
+      Seq(("qty", false), ("ok", true), ("ln", true)), ntileN = 4,
+      ntileCol = "quartile")
+      .select(col("flag"), col("qty"), col("ok"), col("ln"), col("rnk"),
+        col("quartile").cast("int"), col("pct_rank"), col("cume_dist"))
+      .orderBy("flag", "qty", "ok", "ln").collect().toSeq
+    val w = Window.partitionBy(col("flag"))
+      .orderBy(col("qty").desc, col("ok"), col("ln"))
+    val exp = df.select(col("flag"), col("qty"), col("ok"), col("ln"),
+        rank().over(w).cast("long").as("rnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_dist"))
+      .orderBy("flag", "qty", "ok", "ln").collect().toSeq
+    // rank/pct/cume are tie-invariant: compare EXACTLY (the doubles
+    // must be bit-identical — same integer numerators, one division);
+    // ntile depends on arbitrary within-tie order: multisets per key
+    assert(got.map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+      r.getLong(4), r.getDouble(6), r.getDouble(7))) ==
+      exp.map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(4), r.getDouble(6), r.getDouble(7))),
+      "rnk/pct_rank/cume_dist mismatch")
+    def tiles(s: Seq[org.apache.spark.sql.Row]) =
+      s.groupBy(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .map { case (k, rs) => k -> rs.map(_.getInt(5)).sorted }
+    assert(tiles(got) == tiles(exp), "ntile multiset mismatch")
+    // NULL order values: peers both directions, Spark default placement
+    val nulled = Seq(("A", Some(1.0), 1), ("A", None, 2), ("A", None, 3),
+      ("A", Some(3.0), 4), ("B", None, 5))
+      .toDF("flag", "qty", "ln")
+    val gotN = WindowRankOps.partitionedDistribution(nulled, Seq("flag"),
+      Seq(("qty", true)), ntileN = 2)
+      .select(col("flag"), col("ln"), col("pct_rank"), col("cume_dist"))
+      .orderBy("flag", "ln", "pct_rank").collect().toSeq
+    val wN = Window.partitionBy(col("flag")).orderBy(col("qty"))
+    val expN = nulled.select(col("flag"), col("ln"),
+        percent_rank().over(wN).as("pct_rank"), cume_dist().over(wN).as("cume_dist"))
+      .orderBy("flag", "ln", "pct_rank").collect().toSeq
+    assert(gotN == expN, s"null-order mismatch: $gotN vs $expN")
+    // reserved-name collision fails loudly
+    val e = intercept[IllegalArgumentException](WindowRankOps.partitionedDistribution(
+      nulled.withColumnRenamed("ln", "cume_dist"), Seq("flag"), Seq(("qty", true)), 2))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {
     // adversarial payload shapes: empty, shorter than a frame, exact
     // frame multiple, one byte past a stride, repeated frames (distinct

@@ -462,6 +462,15 @@ class PlanShapeSpec extends AnyFunSuite {
       val ranked = WindowRankOps.partitionedRanks(df, Seq("flag"),
         Seq(("qty", false), ("ln", true)), ntileN = 4)
       assert(ranked.count() == 1000)
+      // same gate with the reverse rank on (distribution windows)
+      val fragR = WindowRankOps.slicedLocalRanks(df, Seq("flag"),
+        Seq(("qty", false), ("ln", true)), np = 4, withReverse = true)
+      val winsR = nodes(fragR) { case w: WindowExec => w }
+      assert(winsR.size >= 2, "reverse fragment should add a second window")
+      winsR.foreach { w =>
+        assert(w.partitionSpec.exists(_.references.exists(_.name == "__pid")),
+          s"window clustered without the slice id: ${w.partitionSpec}")
+      }
       // same gate for the running-aggregate fragment
       val runFrag = WindowRankOps.slicedLocalRunning(
         df.withColumn("cents", col("ln").cast("long")),
