@@ -209,6 +209,135 @@ object WindowRankOps {
           .as(s"moving_sum$movingK")): _*)
   }
 
+  /** The pre-checkpoint shift fragment (see [[slicedLocalRanks]] —
+    * same gate-ability rationale): slice assignment + LOCAL
+    * lag/lead-by-`k` of the value struct per (slice, group); every
+    * window partitions by (`__pid`, partCols).
+    */
+  private[graft] def slicedLocalShift(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], valueCols: Seq[String], k: Int,
+      np: Int): DataFrame = {
+    val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
+    val w = Window.partitionBy((col("__pid") +: partCols.map(col)): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    val valStruct = struct(valueCols.map(col): _*)
+    df.repartitionByRange(np, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__llag", lag(valStruct, k).over(w))
+      .withColumn("__llead", lead(valStruct, k).over(w))
+  }
+
+  /** Distributed `lag`/`lead` over a low-cardinality partition key —
+    * the shift face of the skew trap ([[partitionedRanks]],
+    * [[partitionedRunning]], [[partitionedDistribution]]). Returns
+    * `df` + two STRUCT columns `lag<k>` and `lead<k>` holding
+    * `valueCols` shifted by `k` rows within each group (null at the
+    * group's edges, like the built-in); callers project the fields
+    * they need.
+    *
+    * Shape: range slices + per-slice local lag/lead (codegen, np ×
+    * groups balanced partitions); a row fewer than `k` rows into its
+    * slice takes its lag from the group's trailing `k` values across
+    * all PREVIOUS slices, a row fewer than `k` rows from its slice's
+    * end takes its lead from the leading `k` values across all
+    * FOLLOWING slices — both carried as driver-folded, broadcast
+    * head/tail arrays (bounded by slices × groups × `k`), exactly the
+    * [[partitionedRunning]] boundary-tail discipline in both
+    * directions.
+    *
+    * `order` should be a TOTAL order of each group (include a
+    * tiebreaker column): with duplicate sort keys the built-in window
+    * is itself nondeterministic about which peer is "previous", and
+    * range slicing may split peers across slices in a different
+    * arbitrary order.
+    */
+  def partitionedShift(df: DataFrame, partCols: Seq[String],
+      order: Seq[(String, Boolean)], valueCols: Seq[String], k: Int): DataFrame = {
+    require(partCols.nonEmpty && order.nonEmpty && valueCols.nonEmpty && k >= 1,
+      "need partition cols, order cols, value cols, k >= 1")
+    val reserved = Set("__pid", "__lrn", "__llag", "__llead", s"lag$k", s"lead$k")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with partitionedShift's internals/outputs: ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val local = slicedLocalShift(df, partCols, order, valueCols, k, np)
+      .localCheckpoint(false)
+    val valStruct = struct(valueCols.map(col): _*)
+
+    // per-(slice, group) head/tail-k values, one agg, tiny result
+    val sorted = sort_array(collect_list(struct(col("__lrn"), valStruct.as("__v"))))
+    val statRows = local.groupBy((col("__pid") +: partCols.map(col)): _*)
+      .agg(count(lit(1)).as("__n"),
+        slice(sorted, 1, k).as("__head"),
+        reverse(slice(reverse(sorted), 1, k)).as("__tail"))
+      .collect()
+
+    case class Stat(pid: Int, part: Seq[Any], n: Long, head: Seq[Row], tail: Seq[Row])
+    val stats = statRows.map { r =>
+      val base = 1 + partCols.size
+      Stat(r.getInt(0), (1 to partCols.size).map(r.get), r.getLong(base),
+        r.getSeq[Row](base + 1).map(_.getStruct(1)),
+        r.getSeq[Row](base + 2).map(_.getStruct(1)))
+    }
+    case class Adj(pid: Int, part: Seq[Any], n: Long, prevTail: Seq[Row], nextHead: Seq[Row])
+    val adjs = scala.collection.mutable.ArrayBuffer.empty[Adj]
+    stats.groupBy(_.part).foreach { case (part, rows) =>
+      val ordered = rows.sortBy(_.pid)
+      // group's trailing k values before each slice (forward walk)...
+      var carry = Seq.empty[Row]
+      val prevTails = ordered.map { s =>
+        val out = carry; carry = (carry ++ s.tail).takeRight(k); out
+      }
+      // ...and leading k values after it (reverse walk)
+      carry = Seq.empty[Row]
+      val nextHeads = ordered.reverse.map { s =>
+        val out = carry; carry = (s.head ++ carry).take(k); out
+      }.reverse
+      ordered.zip(prevTails.zip(nextHeads)).foreach { case (s, (pt, nh)) =>
+        adjs += Adj(s.pid, part, s.n, pt, nh)
+      }
+    }
+
+    val schema = df.schema
+    val pIdx = partCols.map(schema.fieldIndex)
+    val valType = StructType(valueCols.map(c => schema(schema.fieldIndex(c))))
+    val adjSchema = StructType(
+      Seq(StructField("__apid", IntegerType, nullable = false)) ++
+        pIdx.map(i => schema.fields(i)).zipWithIndex.map { case (f, i) =>
+          StructField(s"__p$i", f.dataType, f.nullable) } ++
+        Seq(StructField("__an", LongType, nullable = false),
+          StructField("__prevTail", ArrayType(valType, containsNull = false),
+            nullable = false),
+          StructField("__nextHead", ArrayType(valType, containsNull = false),
+            nullable = false)))
+    val adjRows = new java.util.ArrayList[Row]()
+    adjs.foreach { a =>
+      adjRows.add(Row.fromSeq(Seq(a.pid) ++ a.part ++ Seq(a.n, a.prevTail, a.nextHead)))
+    }
+    val adjDf = spark.createDataFrame(adjRows, adjSchema)
+    val joinCond = (local("__pid") === adjDf("__apid")) && partCols.zipWithIndex
+      .map { case (c, i) => local(c) <=> adjDf(s"__p$i") }
+      .reduce(_ && _)
+    val joined = local.join(broadcast(adjDf), joinCond)
+    // row k' = __lrn rows into its slice: lag comes from prevTail's
+    // (size − (k − k'))-th element once k' ≤ k; lead symmetric from
+    // nextHead once the slice's end is fewer than k rows away
+    val lagIdx = (size(col("__prevTail")) - (lit(k.toLong) - col("__lrn"))).cast("int")
+    val lagBoundary = when(lagIdx >= 1, element_at(col("__prevTail"), lagIdx))
+    val leadIdx = (col("__lrn") - col("__an") + lit(k.toLong)).cast("int")
+    val leadBoundary = when(leadIdx <= size(col("__nextHead")),
+      element_at(col("__nextHead"), leadIdx))
+    joined.select(
+      schema.fieldNames.map(local(_)) ++ Seq(
+        when(col("__lrn") > k, col("__llag")).otherwise(lagBoundary).as(s"lag$k"),
+        when(col("__lrn") <= col("__an") - k, col("__llead"))
+          .otherwise(leadBoundary).as(s"lead$k")): _*)
+  }
+
   /** `df` + (`rnk`, `drnk`, `rn`, ntile column named `ntileCol`) over
     * `PARTITION BY partCols ORDER BY order` — order entries are
     * (column name, ascending?).

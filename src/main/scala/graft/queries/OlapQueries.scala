@@ -373,6 +373,34 @@ object OlapQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // q15's SCALE face: lag/lead over the 3-value order-status key —
+    // the shift form of the window skew trap. partitionedShift runs
+    // lag/lead per (slice, group) at full width; a row within k of a
+    // slice edge completes its shift from the neighbor slices'
+    // broadcast head/tail carries (k=2 here so boundary shifts cross
+    // one AND two rows). Order is total (orderdate, orderkey), so the
+    // built-in's oracle matches row-for-row.
+    q("q15b_lag_lead_dist",
+      """SELECT o_orderkey, o_orderstatus,
+        |  lag(o_orderkey, 2) OVER w AS prev2_order,
+        |  lead(o_orderkey, 2) OVER w AS next2_order,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate, 2) OVER w, o_orderdate) AS INTEGER) AS days_since_prev2
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.operators.WindowRankOps.partitionedShift(
+        table(s, dir, "orders"), Seq("o_orderstatus"),
+        Seq(("o_orderdate", true), ("o_orderkey", true)),
+        Seq("o_orderkey", "o_orderdate"), k = 2)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("lag2.o_orderkey").as("prev2_order"),
+          col("lead2.o_orderkey").as("next2_order"),
+          datediff(col("o_orderdate"), col("lag2.o_orderdate"))
+            .as("days_since_prev2"))
+        .orderBy("o_orderkey")
+    },
+
     // q16's SCALE face for a LOW-cardinality partition key: a running
     // total per order-STATUS (3 values) clusters by status — the
     // running-aggregate skew trap. partitionedRunning computes the

@@ -1749,6 +1749,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("partitionedShift == built-in lag/lead, offsets straddling slices") {
+    import org.apache.spark.sql.expressions.Window
+    // group A spans all 4 range slices so k=3 shifts straddle slice
+    // boundaries repeatedly; B is SHORTER than k (all lags/leads from
+    // the carries or null); C has exactly one row (all null)
+    val rows = for {
+      g <- Seq("A", "B", "C")
+      i <- 1 to (if (g == "A") 500 else if (g == "B") 2 else 1)
+    } yield (g, i.toLong, s"v$g$i", (i * 3 % 11).toLong)
+    val df = rows.toDF("flag", "seq", "name", "x")
+    val got = WindowRankOps.partitionedShift(df, Seq("flag"),
+      Seq(("seq", true)), Seq("name", "x"), k = 3)
+      .select(col("flag"), col("seq"),
+        col("lag3.name").as("pn"), col("lag3.x").as("px"),
+        col("lead3.name").as("nn"), col("lead3.x").as("nx"))
+      .orderBy("flag", "seq").collect().toSeq
+    val w = Window.partitionBy(col("flag")).orderBy(col("seq"))
+    val vs = struct(col("name"), col("x"))
+    val exp = df.select(col("flag"), col("seq"),
+        lag(vs, 3).over(w).getField("name").as("pn"),
+        lag(vs, 3).over(w).getField("x").as("px"),
+        lead(vs, 3).over(w).getField("name").as("nn"),
+        lead(vs, 3).over(w).getField("x").as("nx"))
+      .orderBy("flag", "seq").collect().toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    // k = 1, single value col
+    val got1 = WindowRankOps.partitionedShift(df, Seq("flag"),
+      Seq(("seq", true)), Seq("x"), k = 1)
+      .select(col("flag"), col("seq"), col("lag1.x"), col("lead1.x"))
+      .orderBy("flag", "seq").collect().toSeq
+    val exp1 = df.select(col("flag"), col("seq"),
+        lag(col("x"), 1).over(w), lead(col("x"), 1).over(w))
+      .orderBy("flag", "seq").collect().toSeq
+    assert(got1 == exp1)
+    // reserved-name collision fails loudly
+    val e = intercept[IllegalArgumentException](WindowRankOps.partitionedShift(
+      df.withColumnRenamed("x", "lag2"), Seq("flag"), Seq(("seq", true)), Seq("name"), 2))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("fused FrameMd5s signature kernel == explode-md5-collect composable form") {
     // adversarial payload shapes: empty, shorter than a frame, exact
     // frame multiple, one byte past a stride, repeated frames (distinct

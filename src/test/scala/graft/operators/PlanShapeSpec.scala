@@ -471,6 +471,15 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(w.partitionSpec.exists(_.references.exists(_.name == "__pid")),
           s"window clustered without the slice id: ${w.partitionSpec}")
       }
+      // same gate for the shift fragment (lag/lead)
+      val shiftFrag = WindowRankOps.slicedLocalShift(df, Seq("flag"),
+        Seq(("ln", true)), Seq("qty"), k = 2, np = 4)
+      val shiftWins = nodes(shiftFrag) { case w: WindowExec => w }
+      assert(shiftWins.nonEmpty, "shift fragment plan lost its windows")
+      shiftWins.foreach { w =>
+        assert(w.partitionSpec.exists(_.references.exists(_.name == "__pid")),
+          s"shift window clustered without the slice id: ${w.partitionSpec}")
+      }
       // same gate for the running-aggregate fragment
       val runFrag = WindowRankOps.slicedLocalRunning(
         df.withColumn("cents", col("ln").cast("long")),
