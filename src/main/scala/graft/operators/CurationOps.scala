@@ -708,4 +708,173 @@ object CurationOps {
             - hll_sketch_estimate(hll_union(col("__ha"), col("__hb"))))
           .as("approx_overlap"))
   }
+
+  // ------------------------------------------------------------------
+  // Quantile-histogram ledger — incremental per-key QUANTILES over a
+  // growing corpus, the distribution companion to the sum-mergeable
+  // stats ledger (which answers "how much") and the HLL sketch ledger
+  // ("how many distinct"). "What is the p99 document length per
+  // source, across everything ingest has ever admitted" must not
+  // re-read the corpus; exact order statistics are not mergeable, but
+  // a FIXED-BUCKETING histogram is: rows are `(key, qh_b, qh_c)` with
+  // `qh_b = value >> shift` (arithmetic shift = floor division by
+  // 2^shift — order-preserving for signed longs, so bucket ids sort
+  // like the values; no prior min/max pass, no per-batch bucket
+  // drift), and merging is count addition per (key, bucket).
+  // DETERMINISTIC, unlike a KLL/t-digest: a probe's answer depends
+  // only on the data and the shift, so incremental ≡ from-scratch
+  // exactly and conformance is oracle-checkable, with the error bound
+  // explicit and user-chosen (the true quantile lies INSIDE the
+  // selected bucket — width 2^shift value units). The measure must be
+  // integral — the q16b discipline: scale floats to integer units
+  // first, which also makes the bound meaningful in those units.
+  // The histogram is model-sized (keys × occupied buckets, ≤
+  // value-range/2^shift each), so advance's re-aggregation is
+  // model-cost, not corpus-cost — the stats-ledger regime, not d66's
+  // per-doc assignments table. Self-describing: creation persists
+  // (shift, keyCol, valueCol) in a `_GRAFT_QHIST_META` sidecar;
+  // advances and probes validate against it and fail loudly naming
+  // both sides — histograms bucketed at different shifts are
+  // incomparable, and a silent mix would return plausible wrong
+  // bounds. Same staged-swap/lease/manifest + exactly-once batchId
+  // discipline as every other ledger family.
+  // ------------------------------------------------------------------
+
+  private val QhistMetaFile = LedgerGuard.SidecarPrefix + "QHIST_META"
+
+  private def writeQhistMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, shift: Int, keyCol: String, valueCol: String): Unit =
+    LedgerGuard.writeSidecarMetaStr(spark, path, QhistMetaFile,
+      Seq("shift" -> shift.toString, "keyCol" -> keyCol, "valueCol" -> valueCol))
+
+  private def readQhistMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, String, String)] =
+    LedgerGuard.readSidecarMetaStr(spark, path, QhistMetaFile).flatMap { kv =>
+      for (s <- kv.get("shift"); k <- kv.get("keyCol"); v <- kv.get("valueCol"))
+        yield (s.toInt, k, v)
+    }
+
+  private def requireQhistMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, shift: Int, keyCol: String, valueCol: String, op: String): Unit =
+    readQhistMeta(spark, path).foreach { case (s, k, v) =>
+      if (s != shift || k != keyCol || v != valueCol)
+        throw new IllegalArgumentException(
+          s"quantile ledger $op at $path: ledger was created with " +
+            s"shift=$s, keyCol=$k, valueCol=$v but the caller passed " +
+            s"shift=$shift, keyCol=$keyCol, valueCol=$valueCol — " +
+            "histograms bucketed differently are incomparable; pass the " +
+            "creation-time values (or rebuild the ledger)")
+    }
+
+  /** Per-key bucket counts of an integral measure: `(key, qh_b, qh_c)`
+    * with `qh_b = value >> shift`. The mergeable unit — and the probe's
+    * input shape.
+    */
+  def longHistogram(df: DataFrame, keyCol: String, valueCol: String,
+      shift: Int): DataFrame = {
+    require(shift >= 0 && shift < 63, "shift must be in [0, 63)")
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (fixed power-of-two buckets); " +
+        "scale floats to integer units first")
+    df.groupBy(col(keyCol),
+        shiftright(col(valueCol).cast("long"), shift).as("qh_b"))
+      .agg(count(lit(1)).as("qh_c"))
+  }
+
+  /** Create/overwrite the quantile ledger from an initial corpus. */
+  def writeQuantileLedger(df: DataFrame, keyCol: String, valueCol: String,
+      shift: Int, path: String): Unit = {
+    longHistogram(df, keyCol, valueCol, shift)
+      .write.mode("overwrite").parquet(path)
+    writeQhistMeta(df.sparkSession, path, shift, keyCol, valueCol)
+  }
+
+  /** Ledger ∪ batch, re-summed per (key, bucket) — lazily reads `path`;
+    * persist to a NEW generation dir (see [[mergeStatsLedger]]) or use
+    * [[advanceQuantileLedger]] for fixed-location ledgers.
+    */
+  def mergeQuantileLedger(batch: DataFrame, keyCol: String, valueCol: String,
+      shift: Int, path: String): DataFrame = {
+    requireQhistMeta(batch.sparkSession, path, shift, keyCol, valueCol, "merge")
+    LedgerGuard.readLedger(batch.sparkSession, path)
+      .unionByName(longHistogram(batch, keyCol, valueCol, shift))
+      .groupBy(col(keyCol), col("qh_b"))
+      .agg(sum(col("qh_c")).as("qh_c"))
+  }
+
+  /** Fold a batch into the at-rest histogram IN PLACE (staged swap,
+    * lease, manifest-mode, exactly-once `batchId` — the
+    * [[advanceStatsLedger]] contract). A pre-sidecar ledger adopts the
+    * caller's parameters on first advance (trusted once).
+    */
+  def advanceQuantileLedger(batch: DataFrame, keyCol: String, valueCol: String,
+      shift: Int, path: String, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    LedgerGuard.advanceInPlace(spark, path, "quantile ledger", batchId) { staging =>
+      mergeQuantileLedger(batch, keyCol, valueCol, shift, path)
+        .write.mode("overwrite").parquet(staging)
+    }
+    if (readQhistMeta(spark, path).isEmpty)
+      writeQhistMeta(spark, path, shift, keyCol, valueCol)
+  }
+
+  /** Quantile BOUNDS from the at-rest histogram, no corpus access: for
+    * each key and probability, the `percentile_disc`-selected value
+    * (rank `ceil(p·n)` in ascending order) provably lies in
+    * `[lo, hi]` — the selected bucket's bounds, width `2^shift`.
+    * Output: `(key, prob, lo, hi)`, one row per key × prob. The
+    * cumulative window runs over the MODEL-SIZED histogram (keys ×
+    * occupied buckets), never data — low-cardinality keys are fine
+    * here, unlike a data-sized window.
+    */
+  def quantilesFromLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    val (shift, keyCol, _) = readQhistMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"quantile ledger probe at $path: no _GRAFT_QHIST_META sidecar — " +
+          "cannot recover the creation-time shift, and guessing would " +
+          "return plausible wrong bounds; rebuild the ledger (or restore " +
+          "the sidecar)"))
+    val led = LedgerGuard.readLedger(spark, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("qh_b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val cum = led
+      .withColumn("__endc", sum(col("qh_c")).over(w))
+      .withColumn("__n", sum(col("qh_c")).over(wAll))
+    val ps = probs.map(p => struct(lit(p).as("prob"))).toArray
+    cum.select(col(keyCol), col("qh_b"), col("__endc"), col("__n"),
+        explode(array(ps: _*)).as("__p"))
+      .select(col(keyCol), col("qh_b"), col("__endc"), col("__n"),
+        col("__p.prob").as("prob"))
+      .filter(col("__endc") >= ceil(col("prob") * col("__n")))
+      .groupBy(col(keyCol), col("prob"))
+      .agg(min(col("qh_b")).as("__b"))
+      .select(col(keyCol), col("prob"),
+        shiftleft(col("__b"), shift).as("lo"),
+        (shiftleft(col("__b") + 1L, shift) - 1L).as("hi"))
+  }
+
+  /** Compact the quantile ledger IN PLACE: re-sum any accreted
+    * duplicate (key, bucket) rows and rewrite small files, sorted by
+    * key so file-level stats prune keyed reads. Same staged swap,
+    * lease, self-heal, and manifest-mode support as every other
+    * ledger family.
+    */
+  def compactQuantileLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "quantile-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path)
+      val keyName = led.columns.head
+      LayoutOps.writeSized(
+        led.groupBy(col(keyName), col("qh_b")).agg(sum(col("qh_c")).as("qh_c")),
+        staging, col(keyName), targetFiles, maxRecordsPerFile)
+    }
 }

@@ -3020,6 +3020,53 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // ---------------------------------------------------------------- quantile-histogram ledger
+    // incremental per-key QUANTILES over a growing corpus — the
+    // distribution companion to d41 (mergeable sums) and d46
+    // (mergeable distinct sketches): "p50/p90/p99 document length per
+    // language, across everything ingest has admitted" without
+    // re-reading the corpus. Rows are (key, value >> shift, count) —
+    // fixed power-of-two buckets merge by count addition and are
+    // DETERMINISTIC (probe depends only on data + shift, so
+    // incremental ≡ from-scratch and the oracle re-derives the same
+    // bounds from scratch in SQL — blind to the three-generation
+    // cycle, the exactly-once replay, and the compaction the query
+    // runs). The probe returns the bucket [lo, hi] containing the
+    // percentile_disc value — error bound 2^shift value units,
+    // explicit and user-chosen.
+    q("d78_quantile_ledger",
+      """WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |h AS (SELECT lang, len // 16 AS b, count(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS endc,
+        |        sum(c) OVER (PARTITION BY lang) AS n FROM h),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob),
+        |sel AS (SELECT lang, prob, min(b) AS b FROM cum, p
+        |        WHERE endc >= ceil(prob * n) GROUP BY 1, 2)
+        |SELECT lang, prob, CAST(b * 16 AS BIGINT) AS lo,
+        |  CAST(b * 16 + 15 AS BIGINT) AS hi
+        |FROM sel ORDER BY lang, prob""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d78_qh_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      CurationOps.writeQuantileLedger(
+        docs.filter(col("doc_id") % 10 < 6), "lang", "len", shift = 4, path)
+      CurationOps.advanceQuantileLedger(
+        docs.filter(col("doc_id") % 10 === 6), "lang", "len", 4, path,
+        batchId = Some("gen-2"))
+      val g3 = docs.filter(col("doc_id") % 10 > 6)
+      CurationOps.advanceQuantileLedger(g3, "lang", "len", 4, path,
+        batchId = Some("gen-3"))
+      CurationOps.advanceQuantileLedger(g3, "lang", "len", 4, path,
+        batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
+      CurationOps.compactQuantileLedger(s, path, targetFiles = 2)
+      CurationOps.quantilesFromLedger(s, path, Seq(0.5, 0.9, 0.99))
+        .orderBy("lang", "prob")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

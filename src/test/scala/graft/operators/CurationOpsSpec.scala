@@ -419,6 +419,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("quantile ledger: incremental == from-scratch, bounds contain percentile_disc, exactly-once replay, meta guard") {
+    val path = java.nio.file.Files.createTempDirectory("graft-qh").toString + "/ledger"
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (if (i % 3 == 0) "s1" else "s2", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("source", "len")
+    val (seed, b1) = (df.filter(col("len") < 500), df.filter(col("len") >= 500))
+    CurationOps.writeQuantileLedger(seed, "source", "len", shift = 4, path)
+    CurationOps.advanceQuantileLedger(b1, "source", "len", 4, path, batchId = Some("b-1"))
+    CurationOps.advanceQuantileLedger(b1, "source", "len", 4, path, batchId = Some("b-1")) // replay: no-op
+    // incremental histogram == from-scratch histogram
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = CurationOps.longHistogram(df, "source", "len", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"histogram drift: ${got.toSet.diff(want.toSet)}")
+    // probe bounds contain the exact percentile_disc value, width 2^4
+    val probs = Seq(0.5, 0.9, 0.99)
+    val bounds = CurationOps.quantilesFromLedger(spark, path, probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val byKey = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for ((k, vs) <- byKey; p <- probs) {
+      val exact = vs(math.ceil(p * vs.size).toInt - 1)
+      val (lo, hi) = bounds((k, p))
+      assert(lo <= exact && exact <= hi && hi - lo == 15,
+        s"$k p$p: exact $exact outside [$lo, $hi]")
+    }
+    // compaction re-sums and preserves the probe answer
+    CurationOps.compactQuantileLedger(spark, path, targetFiles = 1)
+    val bounds2 = CurationOps.quantilesFromLedger(spark, path, probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(bounds2 == bounds)
+    // drifted shift fails loudly naming both sides
+    val e = intercept[IllegalArgumentException](
+      CurationOps.advanceQuantileLedger(b1, "source", "len", 5, path))
+    assert(e.getMessage.contains("shift=4") && e.getMessage.contains("shift=5"), e.getMessage)
+    // non-integral measures fail loudly
+    val e2 = intercept[IllegalArgumentException](CurationOps.longHistogram(
+      df.withColumn("d", col("len").cast("double")), "source", "d", 4))
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // a probe without the sidecar fails loudly (no guessed shift)
+    new java.io.File(
+      new java.io.File(path), "_GRAFT_QHIST_META").delete()
+    val e3 = intercept[IllegalStateException](
+      CurationOps.quantilesFromLedger(spark, path, probs))
+    assert(e3.getMessage.contains("QHIST_META"), e3.getMessage)
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
+
   test("advanceSketchLedger: three-batch advance — exact counts sum, distinct estimate exact at tiny cardinality") {
     val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/ledger"
     // "a b" appears in seed AND b1 under s1 — the union must not

@@ -195,6 +195,30 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
   }
 
+  test("quantile ledger: manifest-mode write/advance/replay/compact probe equals plain (d78 cycle)") {
+    val corpus = Seq(("s1", 10L), ("s1", 200L), ("s1", 35L), ("s2", 7L),
+      ("s2", 900L)).toDF("source", "len")
+    val b2 = Seq(("s1", 64L), ("s3", 1000L)).toDF("source", "len")
+    def cycle(path: String, manifested: Boolean): Set[(String, Double, Long, Long)] = {
+      CurationOps.writeQuantileLedger(corpus, "source", "len", shift = 4, path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      CurationOps.advanceQuantileLedger(b2, "source", "len", 4, path, Some("g2"))
+      CurationOps.advanceQuantileLedger(b2, "source", "len", 4, path, Some("g2")) // replay
+      CurationOps.compactQuantileLedger(spark, path, targetFiles = 1)
+      CurationOps.quantilesFromLedger(spark, path, Seq(0.5, 0.99))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val plain = cycle(tmp("graft-qh-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-qh-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+    // the bucketing sidecar rode through conversion, advances and
+    // compaction: a drifted advance still fails loudly
+    val e = intercept[IllegalArgumentException](
+      CurationOps.advanceQuantileLedger(b2, "source", "len", 5, maniPath))
+    assert(e.getMessage.contains("shift=4"), e.getMessage)
+  }
+
   test("frame ledger: manifest-mode write/append/replay/forget/compact probe equals plain (m08/m09 cycle)") {
     val docs = Seq(
       (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),
