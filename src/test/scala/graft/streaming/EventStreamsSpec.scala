@@ -513,6 +513,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile-ledger maintenance: per-microbatch advances equal the from-scratch histogram") {
+    import spark.implicits._
+    // the streaming face of d78: each micro-batch folds its bucket
+    // counts into the at-rest histogram (in-place advance at a fixed
+    // path, streaming batchId as the exactly-once marker — the
+    // sketch-ledger pattern above). Determinism makes the parity claim
+    // exact: after any number of micro-batches the ledger equals the
+    // from-scratch histogram of everything admitted, bit-for-bit.
+    val path = java.nio.file.Files.createTempDirectory("graft-qhstream").toString + "/led"
+    val seed = Seq(("s1", 10L), ("s2", 300L)).toDF("source", "len")
+    val later = Seq(Seq(("s1", 17L), ("s2", 290L)), Seq(("s3", 64L), ("s1", 11L)))
+    graft.operators.CurationOps.writeQuantileLedger(seed, "source", "len", 4, path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](
+      spark)
+    val q = stream.toDS().toDF("source", "len").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceQuantileLedger(batch, "source", "len", 4, path,
+          batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(path)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val everything = seed.unionByName(later.flatten.toDF("source", "len"))
+      val want = graft.operators.CurationOps.longHistogram(everything, "source", "len", 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"$got != $want")
+    } finally q.stop()
+  }
+
   test("streaming threshold sweep: summed per-microbatch bucket counts re-derive the batch curve") {
     import spark.implicits._
     import graft.operators.{MlOps, TextOps}
