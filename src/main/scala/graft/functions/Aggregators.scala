@@ -85,6 +85,46 @@ object Aggregators {
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  final case class ScoredSid(score: Double, id: String)
+  final case class TopKSBuf(var items: List[ScoredSid])
+
+  /** [[TopKByScore]] for STRING ids (tokens, urls, hosts). Ties compare
+    * ids in UTF-8 BINARY order — `UTF8String`'s, the order the
+    * row-equal window's `order by id` uses — not Java's UTF-16
+    * code-unit order, which diverges on astral-plane characters.
+    */
+  final class TopKByScoreS(k: Int, asc: Boolean)
+      extends Aggregator[ScoredSid, TopKSBuf, TopKSBuf] {
+    require(k >= 1, "k must be >= 1")
+    private def better(a: ScoredSid, b: ScoredSid): Boolean = {
+      val c = if (a.score == b.score) 0 else java.lang.Double.compare(a.score, b.score)
+      if (c != 0) { if (asc) c < 0 else c > 0 }
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a.id)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.id)) < 0
+    }
+    private def insert(items: List[ScoredSid], x: ScoredSid): List[ScoredSid] = {
+      if (items.lengthCompare(k) >= 0 && better(items.last, x)) items
+      else {
+        val (pre, post) = items.span(better(_, x))
+        (pre ::: (x :: post)).take(k)
+      }
+    }
+    override def zero: TopKSBuf = TopKSBuf(Nil)
+    override def reduce(b: TopKSBuf, a: ScoredSid): TopKSBuf = {
+      b.items = insert(b.items, a); b
+    }
+    override def merge(x: TopKSBuf, y: TopKSBuf): TopKSBuf = {
+      x.items = y.items.foldLeft(x.items)(insert); x
+    }
+    override def finish(r: TopKSBuf): TopKSBuf = r
+    override def bufferEncoder: Encoder[TopKSBuf] = Encoders.product[TopKSBuf]
+    override def outputEncoder: Encoder[TopKSBuf] = Encoders.product[TopKSBuf]
+  }
+
+  /** [[topKByScore]] with string ids. */
+  def topKByScoreStr(k: Int, asc: Boolean)(score: Column, id: Column): Column =
+    udaf(new TopKByScoreS(k, asc)).apply(score, id).getField("items")
+
   /** `topKByScore(k, asc)(score, id)` → struct with an
     * `items: array<struct<score, id>>` field, best-first. Explode
     * `.getField("items")` + posexplode for (rank, id) rows.

@@ -102,10 +102,16 @@ object SimilarityOps {
   def perKeyTopK(scored: DataFrame, keys: Seq[String], idCol: String,
       scoreCol: String, asc: Boolean, k: Int): DataFrame = {
     val keyCols = keys.map(col)
+    // string ids route to the UTF-8-ordered heap; everything else to
+    // the long-id one (same contract, same tie-break semantics)
+    val heap =
+      if (scored.schema(idCol).dataType == org.apache.spark.sql.types.StringType)
+        graft.functions.Aggregators.topKByScoreStr(k, asc)(col(scoreCol), col(idCol))
+      else
+        graft.functions.Aggregators.topKByScore(k, asc)(col(scoreCol), col(idCol))
     scored
       .groupBy(keyCols: _*)
-      .agg(graft.functions.Aggregators.topKByScore(k, asc)(
-        col(scoreCol), col(idCol)).as("__top"))
+      .agg(heap.as("__top"))
       .select(keyCols :+ posexplode(col("__top")).as(Seq("__p", "__s")): _*)
       .select(keyCols ++ Seq(
         col("__s.id").as(idCol),

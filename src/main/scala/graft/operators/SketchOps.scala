@@ -98,4 +98,133 @@ object SketchOps {
         .orderBy(col("exact").desc, col("token"))
     } finally counts.unpersist(false)
   }
+
+  // ------------------------------------------------------------------
+  // Vocab-count ledger — EXACT heavy hitters over a growing corpus:
+  // per-key token counts at rest, merged by addition (sums are the
+  // one sketch that is both exact and mergeable). "Top tokens per
+  // language over everything ingest has admitted" — vocabulary drift,
+  // contamination spikes, tokenizer-retraining triggers — must not
+  // re-tokenize the corpus; an advance tokenizes only the BATCH and
+  // folds vocab-sized counts (the d41 stats-ledger regime; the ledger
+  // is vocab-sized — what any heavy-hitter pipeline keeps — never the
+  // token stream). The CMS path ([[cmsEstimates]], d22b) remains the
+  // fixed-size-state option for point lookups; this ledger is the
+  // exact companion that also answers ORDER statistics (top-k), which
+  // a CMS alone cannot enumerate. Probes use the bounded-heap
+  // per-key top-k — no whole-vocab window sort, and a mega-vocab key
+  // streams through ≤k-element partial buffers. Self-describing:
+  // `_GRAFT_VOCAB_META` persists (keyCol, tokenizerId) — advances
+  // under a different tokenizer tag fail loudly naming both sides,
+  // since counts from different tokenizations are incomparable and
+  // the drift would be silent. Same staged-swap/lease/manifest +
+  // exactly-once batchId discipline as every ledger family.
+  // ------------------------------------------------------------------
+
+  private val VocabMetaFile = LedgerGuard.SidecarPrefix + "VOCAB_META"
+
+  private def readVocabMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(String, String)] =
+    LedgerGuard.readSidecarMetaStr(spark, path, VocabMetaFile).flatMap { kv =>
+      for (k <- kv.get("keyCol"); t <- kv.get("tokenizerId")) yield (k, t)
+    }
+
+  private def requireVocabMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, tokenizerId: String, op: String): Unit =
+    readVocabMeta(spark, path).foreach { case (k, t) =>
+      if (k != keyCol || t != tokenizerId)
+        throw new IllegalArgumentException(
+          s"vocab ledger $op at $path: ledger was created with keyCol=$k, " +
+            s"tokenizerId=$t but the caller passed keyCol=$keyCol, " +
+            s"tokenizerId=$tokenizerId — counts from different " +
+            "tokenizations are incomparable; pass the creation-time values " +
+            "(or rebuild the ledger)")
+    }
+
+  /** Per-key token counts: `(key, token, tc)` — the mergeable unit.
+    * `tokenCol` yields one ARRAY of tokens per row (e.g.
+    * `TextOps.tokens(col("text"))`); null/empty tokens are dropped
+    * (they cannot be looked up, mirroring the CMS null contract).
+    */
+  def tokenCounts(df: DataFrame, keyCol: String, tokenCol: Column): DataFrame =
+    df.select(col(keyCol), explode(tokenCol).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col(keyCol), col("token"))
+      .agg(count(lit(1)).as("tc"))
+
+  /** Create/overwrite the vocab ledger from an initial corpus.
+    * `tokenizerId` names the tokenization for drift detection — use a
+    * stable tag per tokenizer config.
+    */
+  def writeVocabLedger(df: DataFrame, keyCol: String, tokenCol: Column,
+      path: String, tokenizerId: String = "ws"): Unit = {
+    tokenCounts(df, keyCol, tokenCol).write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(df.sparkSession, path, VocabMetaFile,
+      Seq("keyCol" -> keyCol, "tokenizerId" -> tokenizerId))
+  }
+
+  /** Ledger ∪ batch counts, re-summed — lazily reads `path`; persist to
+    * a NEW generation dir or use [[advanceVocabLedger]].
+    */
+  def mergeVocabLedger(batch: DataFrame, keyCol: String, tokenCol: Column,
+      path: String, tokenizerId: String = "ws"): DataFrame = {
+    requireVocabMeta(batch.sparkSession, path, keyCol, tokenizerId, "merge")
+    LedgerGuard.readLedger(batch.sparkSession, path)
+      .unionByName(tokenCounts(batch, keyCol, tokenCol))
+      .groupBy(col(keyCol), col("token"))
+      .agg(sum(col("tc")).as("tc"))
+  }
+
+  /** Fold a batch into the at-rest counts IN PLACE (staged swap, lease,
+    * manifest mode, exactly-once `batchId`). Only the batch is
+    * tokenized; the merge is vocab-sized. A pre-sidecar ledger adopts
+    * the caller's tags on first advance (trusted once).
+    */
+  def advanceVocabLedger(batch: DataFrame, keyCol: String, tokenCol: Column,
+      path: String, tokenizerId: String = "ws",
+      batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    LedgerGuard.advanceInPlace(spark, path, "vocab ledger", batchId) { staging =>
+      mergeVocabLedger(batch, keyCol, tokenCol, path, tokenizerId)
+        .write.mode("overwrite").parquet(staging)
+    }
+    if (readVocabMeta(spark, path).isEmpty)
+      LedgerGuard.writeSidecarMetaStr(spark, path, VocabMetaFile,
+        Seq("keyCol" -> keyCol, "tokenizerId" -> tokenizerId))
+  }
+
+  /** EXACT per-key top-k tokens from the at-rest counts, no corpus
+    * access: `(key, rk, token, tc)` ranked by (count desc, token) —
+    * the bounded-heap top-k, so a key's whole vocabulary never sorts
+    * in one task.
+    */
+  def topTokensFromLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val (keyCol, _) = readVocabMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"vocab ledger probe at $path: no _GRAFT_VOCAB_META sidecar — " +
+          "cannot verify the ledger's key/tokenizer; rebuild the ledger " +
+          "(or restore the sidecar)"))
+    val led = LedgerGuard.readLedger(spark, path)
+    // count desc, token as the deterministic tiebreak — exactly the
+    // bounded heap's (score desc, id asc) contract; the heap carries
+    // counts as doubles (exact to 2^53), re-cast on the way out
+    SimilarityOps.perKeyTopK(led, Seq(keyCol), "token", "tc", asc = false, k)
+      .select(col(keyCol), col("rk"), col("token"), col("tc").cast("long").as("tc"))
+  }
+
+  /** Compact the vocab ledger IN PLACE: re-sum accreted duplicate
+    * (key, token) rows and rewrite small files keyed for pruning.
+    */
+  def compactVocabLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "vocab-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path)
+      val keyName = led.columns.head
+      LayoutOps.writeSized(
+        led.groupBy(col(keyName), col("token")).agg(sum(col("tc")).as("tc")),
+        staging, col(keyName), targetFiles, maxRecordsPerFile)
+    }
 }

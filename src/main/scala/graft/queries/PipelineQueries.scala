@@ -3067,6 +3067,43 @@ object PipelineQueries {
         .orderBy("lang", "prob")
     },
 
+    // ---------------------------------------------------------------- vocab-count ledger
+    // EXACT heavy hitters over a growing corpus: per-key token counts
+    // at rest, merged by addition — an advance tokenizes only the
+    // BATCH (at 100 TB the corpus re-tokenize is the cost that
+    // matters). The CMS (d22b) stays the fixed-size point-lookup
+    // option; this is the exact companion that also answers top-k,
+    // which a CMS cannot enumerate. The probe is the bounded-heap
+    // per-key top-k (d52's discipline — no whole-vocab window sort).
+    // Oracle re-derives counts + ranks from scratch, blind to the
+    // cycle (write + 2 advances + exactly-once replay + compact).
+    q("d79_vocab_ledger",
+      """WITH t AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS tc FROM t WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, token, tc,
+        |      row_number() OVER (PARTITION BY lang ORDER BY tc DESC, token) AS rk FROM c)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, token, CAST(tc AS BIGINT) AS tc
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import graft.operators.{SketchOps, TextOps}
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d79_vocab_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      SketchOps.writeVocabLedger(
+        docs.filter(col("doc_id") % 10 < 6), "lang", TextOps.tokens(col("text")), path)
+      SketchOps.advanceVocabLedger(
+        docs.filter(col("doc_id") % 10 === 6), "lang", TextOps.tokens(col("text")),
+        path, batchId = Some("gen-2"))
+      val g3 = docs.filter(col("doc_id") % 10 > 6)
+      SketchOps.advanceVocabLedger(g3, "lang", TextOps.tokens(col("text")), path,
+        batchId = Some("gen-3"))
+      SketchOps.advanceVocabLedger(g3, "lang", TextOps.tokens(col("text")), path,
+        batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
+      SketchOps.compactVocabLedger(s, path, targetFiles = 2)
+      SketchOps.topTokensFromLedger(s, path, k = 5)
+        .orderBy("lang", "rk")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

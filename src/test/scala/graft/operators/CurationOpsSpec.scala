@@ -468,6 +468,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("vocab ledger: incremental == from-scratch counts, exact top-k probe, exactly-once replay, tokenizer guard") {
+    val path = java.nio.file.Files.createTempDirectory("graft-vocab").toString + "/ledger"
+    import graft.operators.{SketchOps, TextOps}
+    val seed = Seq(("en", "a b a"), ("de", "x y")).toDF("lang", "text")
+    val b1 = Seq(("en", "b b c"), ("fr", "z")).toDF("lang", "text")
+    SketchOps.writeVocabLedger(seed, "lang", TextOps.tokens(col("text")), path)
+    SketchOps.advanceVocabLedger(b1, "lang", TextOps.tokens(col("text")), path,
+      batchId = Some("b-1"))
+    SketchOps.advanceVocabLedger(b1, "lang", TextOps.tokens(col("text")), path,
+      batchId = Some("b-1")) // replay: no-op
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = SketchOps.tokenCounts(seed.unionByName(b1), "lang",
+        TextOps.tokens(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && want.nonEmpty, s"$got != $want")
+    // exact top-2 with (count desc, token asc) ties: en has b=3, a=2, c=1
+    SketchOps.compactVocabLedger(spark, path, targetFiles = 1)
+    val top = SketchOps.topTokensFromLedger(spark, path, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(top == Set(("en", 1, "b", 3L), ("en", 2, "a", 2L),
+      ("de", 1, "x", 1L), ("de", 2, "y", 1L), ("fr", 1, "z", 1L)), top.toString)
+    // a drifted tokenizer tag fails loudly naming both sides
+    val e = intercept[IllegalArgumentException](SketchOps.advanceVocabLedger(
+      b1, "lang", TextOps.tokens(col("text")), path, tokenizerId = "bpe-v2"))
+    assert(e.getMessage.contains("tokenizerId=ws") &&
+      e.getMessage.contains("tokenizerId=bpe-v2"), e.getMessage)
+  }
+
   test("advanceSketchLedger: three-batch advance — exact counts sum, distinct estimate exact at tiny cardinality") {
     val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/ledger"
     // "a b" appears in seed AND b1 under s1 — the union must not

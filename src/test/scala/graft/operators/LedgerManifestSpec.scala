@@ -219,6 +219,32 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shift=4"), e.getMessage)
   }
 
+  test("vocab ledger: manifest-mode write/advance/replay/compact probe equals plain (d79 cycle)") {
+    import graft.operators.{SketchOps, TextOps}
+    val corpus = Seq(("en", "a b a"), ("de", "x y")).toDF("lang", "text")
+    val b2 = Seq(("en", "b c"), ("fr", "z")).toDF("lang", "text")
+    def cycle(path: String, manifested: Boolean): Set[(String, Int, String, Long)] = {
+      SketchOps.writeVocabLedger(corpus, "lang", TextOps.tokens(col("text")), path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      SketchOps.advanceVocabLedger(b2, "lang", TextOps.tokens(col("text")), path,
+        batchId = Some("g2"))
+      SketchOps.advanceVocabLedger(b2, "lang", TextOps.tokens(col("text")), path,
+        batchId = Some("g2")) // replay
+      SketchOps.compactVocabLedger(spark, path, targetFiles = 1)
+      SketchOps.topTokensFromLedger(spark, path, 2)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    }
+    val plain = cycle(tmp("graft-vc-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-vc-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+    // the tokenizer sidecar rode through conversion, advances and
+    // compaction: a drifted advance still fails loudly
+    val e = intercept[IllegalArgumentException](SketchOps.advanceVocabLedger(
+      b2, "lang", TextOps.tokens(col("text")), maniPath, tokenizerId = "bpe-v2"))
+    assert(e.getMessage.contains("tokenizerId=ws"), e.getMessage)
+  }
+
   test("frame ledger: manifest-mode write/append/replay/forget/compact probe equals plain (m08/m09 cycle)") {
     val docs = Seq(
       (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),

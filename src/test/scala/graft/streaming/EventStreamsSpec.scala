@@ -544,6 +544,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vocab-ledger maintenance: per-microbatch advances equal the from-scratch counts") {
+    import spark.implicits._
+    // the streaming face of d79 — the quantile-ledger pattern above:
+    // exact mergeable counts, so parity is bit-for-bit
+    val path = java.nio.file.Files.createTempDirectory("graft-vcstream").toString + "/led"
+    val seed = Seq(("en", "a b a"), ("de", "x")).toDF("lang", "text")
+    val later = Seq(Seq(("en", "b c")), Seq(("fr", "z"), ("en", "a")))
+    graft.operators.SketchOps.writeVocabLedger(seed, "lang",
+      graft.operators.TextOps.tokens(col("text")), path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](
+      spark)
+    val q = stream.toDS().toDF("lang", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.SketchOps.advanceVocabLedger(batch, "lang",
+          graft.operators.TextOps.tokens(col("text")), path, batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(path)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val everything = seed.unionByName(later.flatten.toDF("lang", "text"))
+      val want = graft.operators.SketchOps.tokenCounts(everything, "lang",
+          graft.operators.TextOps.tokens(col("text")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"$got != $want")
+    } finally q.stop()
+  }
+
   test("streaming threshold sweep: summed per-microbatch bucket counts re-derive the batch curve") {
     import spark.implicits._
     import graft.operators.{MlOps, TextOps}
