@@ -861,6 +861,42 @@ object CurationOps {
         (shiftleft(col("__b") + 1L, shift) - 1L).as("hi"))
   }
 
+  /** Right-to-be-forgotten for the quantile ledger, by SUBTRACTION —
+    * exact because bucket counts are mergeable in both directions. The
+    * caller supplies the forgotten rows' (key, value) pairs (counts
+    * are not id-attributed, so the ledger itself cannot reconstruct
+    * them — the documented boundary the sketch families share); their
+    * bucket counts are subtracted and emptied buckets leave the
+    * ledger, so later probes answer as if the rows were never
+    * admitted. FAILS LOUDLY if any count would go negative — that
+    * means retracting data that was never admitted (or already
+    * retracted), and clamping would silently skew every later
+    * quantile. Same staged-swap/lease/manifest + batchId discipline.
+    */
+  def retractFromQuantileLedger(forgotten: DataFrame, keyCol: String,
+      valueCol: String, shift: Int, path: String,
+      batchId: Option[String] = None): Unit = {
+    val spark = forgotten.sparkSession
+    requireQhistMeta(spark, path, shift, keyCol, valueCol, "retract")
+    LedgerGuard.advanceInPlace(spark, path, "quantile-ledger retraction",
+      batchId) { staging =>
+      val merged = LedgerGuard.readLedger(spark, path)
+        .unionByName(longHistogram(forgotten, keyCol, valueCol, shift)
+          .withColumn("qh_c", -col("qh_c")))
+        .groupBy(col(keyCol), col("qh_b"))
+        .agg(sum(col("qh_c")).as("qh_c"))
+        .localCheckpoint() // one computation: the guard and the write
+      val neg = merged.filter(col("qh_c") < 0).limit(1).collect()
+      if (neg.nonEmpty)
+        throw new IllegalArgumentException(
+          s"quantile-ledger retraction at $path: bucket ${neg.head.get(1)} " +
+            s"of key ${neg.head.get(0)} would go negative — the forgotten " +
+            "rows were never admitted (or already retracted); retraction " +
+            "must subtract exactly what was added")
+      merged.filter(col("qh_c") > 0).write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** Compact the quantile ledger IN PLACE: re-sum any accreted
     * duplicate (key, bucket) rows and rewrite small files, sorted by
     * key so file-level stats prune keyed reads. Same staged swap,

@@ -214,6 +214,39 @@ object SketchOps {
       .select(col(keyCol), col("rk"), col("token"), col("tc").cast("long").as("tc"))
   }
 
+  /** Right-to-be-forgotten for the vocab ledger, by SUBTRACTION — the
+    * [[CurationOps.retractFromQuantileLedger]] contract: exact (counts
+    * merge both directions), caller supplies the forgotten documents
+    * (counts are not id-attributed), emptied tokens leave the ledger,
+    * and any count that would go negative fails loudly — that means
+    * retracting text that was never admitted (or already retracted,
+    * or tokenized differently), and clamping would silently skew
+    * every later top-k.
+    */
+  def retractFromVocabLedger(forgotten: DataFrame, keyCol: String,
+      tokenCol: Column, path: String, tokenizerId: String = "ws",
+      batchId: Option[String] = None): Unit = {
+    val spark = forgotten.sparkSession
+    requireVocabMeta(spark, path, keyCol, tokenizerId, "retract")
+    LedgerGuard.advanceInPlace(spark, path, "vocab-ledger retraction",
+      batchId) { staging =>
+      val merged = LedgerGuard.readLedger(spark, path)
+        .unionByName(tokenCounts(forgotten, keyCol, tokenCol)
+          .withColumn("tc", -col("tc")))
+        .groupBy(col(keyCol), col("token"))
+        .agg(sum(col("tc")).as("tc"))
+        .localCheckpoint() // one computation: the guard and the write
+      val neg = merged.filter(col("tc") < 0).limit(1).collect()
+      if (neg.nonEmpty)
+        throw new IllegalArgumentException(
+          s"vocab-ledger retraction at $path: token '${neg.head.get(1)}' " +
+            s"of key ${neg.head.get(0)} would go negative — the forgotten " +
+            "rows were never admitted (or already retracted, or tokenized " +
+            "differently); retraction must subtract exactly what was added")
+      merged.filter(col("tc") > 0).write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** Compact the vocab ledger IN PLACE: re-sum accreted duplicate
     * (key, token) rows and rewrite small files keyed for pruning.
     */

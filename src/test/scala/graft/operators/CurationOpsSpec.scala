@@ -459,6 +459,21 @@ class CurationOpsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](CurationOps.longHistogram(
       df.withColumn("d", col("len").cast("double")), "source", "d", 4))
     assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // retraction by subtraction: forget b1 → exactly the seed histogram
+    CurationOps.retractFromQuantileLedger(b1, "source", "len", 4, path)
+    val afterForget = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val seedOnly = CurationOps.longHistogram(seed, "source", "len", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterForget == seedOnly, s"retraction drift: $afterForget != $seedOnly")
+    // retracting never-admitted data fails loudly, ledger intact
+    val eR = intercept[IllegalArgumentException](
+      CurationOps.retractFromQuantileLedger(
+        Seq(("s9", 5L)).toDF("source", "len"), "source", "len", 4, path))
+    assert(eR.getMessage.contains("negative"), eR.getMessage)
+    assert(spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap == seedOnly,
+      "failed retraction must not change the ledger")
     // a probe without the sidecar fails loudly (no guessed shift)
     new java.io.File(
       new java.io.File(path), "_GRAFT_QHIST_META").delete()
@@ -495,6 +510,19 @@ class CurationOpsSpec extends AnyFunSuite {
       b1, "lang", TextOps.tokens(col("text")), path, tokenizerId = "bpe-v2"))
     assert(e.getMessage.contains("tokenizerId=ws") &&
       e.getMessage.contains("tokenizerId=bpe-v2"), e.getMessage)
+    // retraction by subtraction: forget b1 → exactly the seed counts,
+    // with b1's only-fr token gone entirely
+    SketchOps.retractFromVocabLedger(b1, "lang", TextOps.tokens(col("text")), path)
+    val afterForget = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val seedOnly = SketchOps.tokenCounts(seed, "lang", TextOps.tokens(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterForget == seedOnly, s"retraction drift: $afterForget != $seedOnly")
+    assert(!afterForget.keySet.exists(_._1 == "fr"), "emptied key should leave the ledger")
+    // retracting never-admitted text fails loudly, ledger intact
+    val eR = intercept[IllegalArgumentException](SketchOps.retractFromVocabLedger(
+      Seq(("en", "zzz")).toDF("lang", "text"), "lang", TextOps.tokens(col("text")), path))
+    assert(eR.getMessage.contains("negative"), eR.getMessage)
   }
 
   test("advanceSketchLedger: three-batch advance — exact counts sum, distinct estimate exact at tiny cardinality") {
