@@ -595,6 +595,47 @@ object CurationOps {
         .write.mode("overwrite").parquet(staging)
     }
 
+  /** Right-to-be-forgotten for the stats ledger, by SUBTRACTION — the
+    * [[retractFromQuantileLedger]] contract: exact (all three stats
+    * are sums, mergeable in both directions), the caller supplies the
+    * forgotten rows with their ORIGINAL text (aggregates are not
+    * id-attributed, so the ledger cannot reconstruct them — the
+    * documented boundary the merge-only families share), keys whose
+    * doc count reaches zero leave the ledger, and any stat that would
+    * go negative — or a zero-doc key with leftover tokens/chars, which
+    * means the forgotten text is not the admitted text — FAILS LOUDLY,
+    * because clamping would silently skew every later corpus card.
+    */
+  def retractFromStatsLedger(forgotten: DataFrame, keyCol: String,
+      textCol: String, path: String, batchId: Option[String] = None): Unit = {
+    val spark = forgotten.sparkSession
+    LedgerGuard.advanceInPlace(spark, path, "stats-ledger retraction",
+      batchId) { staging =>
+      val neg = corpusStats(forgotten, keyCol, textCol)
+        .select(col(keyCol), (-col("n_docs")).as("n_docs"),
+          (-col("n_tokens")).as("n_tokens"), (-col("n_chars")).as("n_chars"))
+      val merged = LedgerGuard.readLedger(spark, path)
+        .unionByName(neg)
+        .groupBy(col(keyCol))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .localCheckpoint() // one computation: the guard and the write
+      val bad = merged.filter(col("n_docs") < 0 || col("n_tokens") < 0 ||
+          col("n_chars") < 0 ||
+          (col("n_docs") === 0 && (col("n_tokens") =!= 0 || col("n_chars") =!= 0)))
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"stats-ledger retraction at $path: key ${bad.head.get(0)} would " +
+            "go inconsistent (a negative stat, or zero docs with leftover " +
+            "tokens/chars) — the forgotten rows were never admitted, were " +
+            "already retracted, or carry text that differs from admission; " +
+            "retraction must subtract exactly what was added")
+      merged.filter(col("n_docs") > 0).write.mode("overwrite").parquet(staging)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Distinct-content SKETCH ledger — at-rest per-key HLL sketches
   // (Spark's built-in Datasketches hll_* functions) maintained by

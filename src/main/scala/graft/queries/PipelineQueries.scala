@@ -3104,6 +3104,95 @@ object PipelineQueries {
         .orderBy("lang", "rk")
     },
 
+    // ---------------------------------------------------------------- ledger retraction (right-to-be-forgotten, mergeable families)
+    // the d71 regime extended to the COUNT-mergeable ledgers: counts
+    // merge by addition in both directions, so forgetting is exact
+    // SUBTRACTION of the forgotten rows' contribution (the caller
+    // supplies them — counts are not id-attributed, the documented
+    // boundary), with emptied rows leaving the store and any
+    // would-go-negative retraction failing loudly. Each oracle
+    // re-derives the probe from scratch over (admitted − forgotten)
+    // documents, blind to the write/advance/retract cycle — the hash
+    // match proves the subtraction removed exactly the forgotten
+    // rows' contribution and nothing else.
+    q("d80_quantile_ledger_forget",
+      """WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |h AS (SELECT lang, len // 16 AS b, count(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS endc,
+        |        sum(c) OVER (PARTITION BY lang) AS n FROM h),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob),
+        |sel AS (SELECT lang, prob, min(b) AS b FROM cum, p
+        |        WHERE endc >= ceil(prob * n) GROUP BY 1, 2)
+        |SELECT lang, prob, CAST(b * 16 AS BIGINT) AS lo,
+        |  CAST(b * 16 + 15 AS BIGINT) AS hi
+        |FROM sel ORDER BY lang, prob""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d80_qhf_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      CurationOps.writeQuantileLedger(
+        docs.filter(col("doc_id") % 10 < 6), "lang", "len", shift = 4, path)
+      CurationOps.advanceQuantileLedger(
+        docs.filter(col("doc_id") % 10 >= 6), "lang", "len", 4, path,
+        batchId = Some("gen-2"))
+      CurationOps.retractFromQuantileLedger(
+        docs.filter(col("doc_id") % 3 === 0), "lang", "len", 4, path,
+        batchId = Some("purge-1"))
+      CurationOps.quantilesFromLedger(s, path, Seq(0.5, 0.9, 0.99))
+        .orderBy("lang", "prob")
+    },
+
+    q("d81_vocab_ledger_forget",
+      """WITH t AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |c AS (SELECT lang, token, count(*) AS tc FROM t WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, token, tc,
+        |      row_number() OVER (PARTITION BY lang ORDER BY tc DESC, token) AS rk FROM c)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, token, CAST(tc AS BIGINT) AS tc
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import graft.operators.{SketchOps, TextOps}
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d81_vocf_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      SketchOps.writeVocabLedger(
+        docs.filter(col("doc_id") % 10 < 6), "lang", TextOps.tokens(col("text")), path)
+      SketchOps.advanceVocabLedger(
+        docs.filter(col("doc_id") % 10 >= 6), "lang", TextOps.tokens(col("text")),
+        path, batchId = Some("gen-2"))
+      SketchOps.retractFromVocabLedger(
+        docs.filter(col("doc_id") % 3 === 0), "lang", TextOps.tokens(col("text")),
+        path, batchId = Some("purge-1"))
+      SketchOps.topTokensFromLedger(s, path, k = 5)
+        .orderBy("lang", "rk")
+    },
+
+    q("d82_stats_ledger_forget",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($sqlTokens)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM documents WHERE doc_id % 3 <> 0
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d82_stf_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      CurationOps.writeStatsLedger(
+        docs.filter(col("doc_id") % 5 =!= 0), "source", "text", path)
+      CurationOps.advanceStatsLedger(
+        docs.filter(col("doc_id") % 5 === 0), "source", "text", path,
+        batchId = Some("gen-2"))
+      CurationOps.retractFromStatsLedger(
+        docs.filter(col("doc_id") % 3 === 0), "source", "text", path,
+        batchId = Some("purge-1"))
+      graft.operators.LedgerGuard.readLedger(s, path).orderBy("source")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

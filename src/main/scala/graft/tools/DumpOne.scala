@@ -28,6 +28,21 @@ object DumpOne {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[dump-one] wrote $outDir/$name")
     }
+    // refresh oracle_sql.json so selfcheck sees queries newer than the
+    // last full Verify sweep (same escaping as Verify)
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      graft.SparkEntry.oracleSql
+        .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

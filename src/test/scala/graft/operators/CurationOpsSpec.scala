@@ -417,6 +417,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
     // no staging/retired debris left behind
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+    // retraction by subtraction: forget b1 and b2 → exactly the seed stats
+    CurationOps.retractFromStatsLedger(b1, "source", "text", path)
+    CurationOps.retractFromStatsLedger(b2, "source", "text", path)
+    val afterForget = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val seedOnly = CurationOps.corpusStats(seed, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(afterForget == seedOnly, s"retraction drift: $afterForget != $seedOnly")
+    assert(!afterForget.contains("s3"), "emptied key should leave the ledger")
+    // retracting text that differs from admission fails loudly, ledger intact
+    val eR = intercept[IllegalArgumentException](CurationOps.retractFromStatsLedger(
+      Seq(("s1", "a b c d e f g h i j k")).toDF("source", "text"), "source", "text", path))
+    assert(eR.getMessage.contains("inconsistent"), eR.getMessage)
+    assert(spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == seedOnly,
+      "failed retraction must not change the ledger")
   }
 
   test("quantile ledger: incremental == from-scratch, bounds contain percentile_disc, exactly-once replay, meta guard") {
