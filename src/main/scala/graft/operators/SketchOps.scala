@@ -214,6 +214,61 @@ object SketchOps {
       .select(col(keyCol), col("rk"), col("token"), col("tc").cast("long").as("tc"))
   }
 
+  /** TF-IDF for a BATCH against at-rest ledgers — incremental keyword
+    * scoring: d18's exact formula (`round(tf · ln(N/df), 4)`) with tf
+    * from the batch alone, df from a vocab ledger built over per-doc
+    * DISTINCT tokens (`array_distinct` of the tokenizer output — one
+    * count per admitting document), and N from the stats ledger's doc
+    * count. At 100 TB the corpus-wide df/N pass is the cost that
+    * matters; here both live at rest and an ingest batch scores its
+    * keywords in O(batch + vocab). Advance both ledgers with the batch
+    * BEFORE probing: tokens absent from the df ledger have no defined
+    * df and are DROPPED (inner join) rather than scored with an
+    * invented frequency. Output: `(idCol, token, tf, df, tfidf, rk)`,
+    * per-doc top-k by (tfidf desc, token) — the per-doc window is
+    * doc-length-bounded, so no low-cardinality skew trap. The df
+    * ledger's tokenizer tag must match `tokenizerId` (df from a
+    * different tokenization is incomparable — fails loudly); pass the
+    * tag the df ledger was created with.
+    */
+  def tfidfAgainstLedgers(batch: DataFrame, idCol: String, tokenCol: Column,
+      dfLedgerPath: String, statsLedgerPath: String, k: Int,
+      tokenizerId: String = "ws-distinct"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = batch.sparkSession
+    readVocabMeta(spark, dfLedgerPath) match {
+      case Some((_, t)) if t != tokenizerId =>
+        throw new IllegalArgumentException(
+          s"tf-idf probe at $dfLedgerPath: df ledger was created with " +
+            s"tokenizerId=$t but the caller passed tokenizerId=$tokenizerId " +
+            "— document frequencies from a different tokenization are " +
+            "incomparable; pass the creation-time tag (or rebuild)")
+      case Some(_) => ()
+      case None => throw new IllegalStateException(
+        s"tf-idf probe at $dfLedgerPath: no _GRAFT_VOCAB_META sidecar — " +
+          "cannot verify the df ledger's tokenizer; rebuild the ledger " +
+          "(or restore the sidecar)")
+    }
+    val tf = batch
+      .select(col(idCol), explode(tokenCol).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfs = LedgerGuard.readLedger(spark, dfLedgerPath)
+      .groupBy(col("token")).agg(sum(col("tc")).as("df"))
+    val n = LedgerGuard.readLedger(spark, statsLedgerPath)
+      .agg(sum(col("n_docs")).as("ndocs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfs, Seq("token"))
+      .crossJoin(broadcast(n)) // 1-row aggregate
+      .withColumn("tfidf",
+        graft.queries.Qf.dround(col("tf") * log(col("ndocs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+  }
+
   /** Right-to-be-forgotten for the vocab ledger, by SUBTRACTION — the
     * [[CurationOps.retractFromQuantileLedger]] contract: exact (counts
     * merge both directions), caller supplies the forgotten documents

@@ -3193,6 +3193,52 @@ object PipelineQueries {
       graft.operators.LedgerGuard.readLedger(s, path).orderBy("source")
     },
 
+    // ---------------------------------------------------------------- incremental TF-IDF (ledger-backed)
+    // d18's scoring with the corpus-wide pass moved to rest: df lives
+    // in a vocab ledger built over per-doc DISTINCT tokens, N in the
+    // stats ledger — an ingest batch scores its keywords in
+    // O(batch + vocab) without re-reading the corpus (at 100 TB the
+    // df/N recompute is the cost that matters). The oracle re-derives
+    // df/N from scratch over all documents and scores the same probe
+    // slice — blind to the two-generation ledger cycle — so the hash
+    // match proves ledger-backed df/N equals the from-scratch pass.
+    q("d83_incremental_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |tfs0 AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |         WHERE token <> '' GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM tfs0 GROUP BY 1),
+         |n AS (SELECT count(*) AS ndocs FROM documents),
+         |tfs AS (SELECT * FROM tfs0 WHERE doc_id % 7 = 0),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df, round(tf * ln(ndocs / df), 4) AS tfidf
+         |  FROM tfs JOIN dfs USING (token), n),
+         |ranked AS (SELECT doc_id, token, tf, df, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import graft.operators.{CurationOps, SketchOps, TextOps}
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val dfPath = Registry.scratchDir(s"/tmp/graft_conformance/d83_df_$tag")
+      val stPath = Registry.scratchDir(s"/tmp/graft_conformance/d83_st_$tag")
+      val dtok = array_distinct(TextOps.tokens(col("text")))
+      val keyed = docs.withColumn("corpus", lit("all"))
+      SketchOps.writeVocabLedger(keyed.filter(col("doc_id") % 10 < 6),
+        "corpus", dtok, dfPath, tokenizerId = "ws-distinct")
+      SketchOps.advanceVocabLedger(keyed.filter(col("doc_id") % 10 >= 6),
+        "corpus", dtok, dfPath, tokenizerId = "ws-distinct",
+        batchId = Some("gen-2"))
+      CurationOps.writeStatsLedger(
+        docs.filter(col("doc_id") % 10 < 6), "source", "text", stPath)
+      CurationOps.advanceStatsLedger(
+        docs.filter(col("doc_id") % 10 >= 6), "source", "text", stPath,
+        batchId = Some("gen-2"))
+      SketchOps.tfidfAgainstLedgers(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", TextOps.tokens(col("text")), dfPath, stPath, k = 3)
+        .orderBy("doc_id", "rk")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -541,6 +541,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(eR.getMessage.contains("negative"), eR.getMessage)
   }
 
+  test("tfidfAgainstLedgers: ledger-backed df/N == from-scratch scoring; unseen tokens drop; tokenizer guard") {
+    import graft.operators.{SketchOps, TextOps}
+    val base = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    val (dfPath, stPath) = (base + "/df", base + "/stats")
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c d"))
+      .toDF("doc_id", "text").withColumn("corpus", lit("all"))
+    val dtok = array_distinct(TextOps.tokens(col("text")))
+    SketchOps.writeVocabLedger(docs.filter(col("doc_id") < 3), "corpus", dtok,
+      dfPath, tokenizerId = "ws-distinct")
+    SketchOps.advanceVocabLedger(docs.filter(col("doc_id") === 3), "corpus",
+      dtok, dfPath, tokenizerId = "ws-distinct", batchId = Some("g2"))
+    CurationOps.writeStatsLedger(docs, "corpus", "text", stPath)
+    val got = SketchOps.tfidfAgainstLedgers(
+      Seq((9L, "a b zzz")).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokens(col("text")), dfPath, stPath, k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    // N=3; df(a)=2, df(b)=2 → tfidf = round(1·ln(3/2), 4) = 0.4055 for
+    // both; rank tie broken by token; 'zzz' never admitted → dropped
+    assert(got == Set(("a", 1L, 2L, 0.4055, 1), ("b", 1L, 2L, 0.4055, 2)), got.toString)
+    // a drifted tokenizer tag fails loudly naming both sides
+    val e = intercept[IllegalArgumentException](SketchOps.tfidfAgainstLedgers(
+      docs, "doc_id", TextOps.tokens(col("text")), dfPath, stPath, k = 3,
+      tokenizerId = "ws"))
+    assert(e.getMessage.contains("ws-distinct") && e.getMessage.contains("tokenizerId=ws"),
+      e.getMessage)
+  }
+
   test("advanceSketchLedger: three-batch advance — exact counts sum, distinct estimate exact at tiny cardinality") {
     val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/ledger"
     // "a b" appears in seed AND b1 under s1 — the union must not
