@@ -120,6 +120,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     composed1("canonical_url")(c => graft.operators.TextOps.canonicalUrl(c))
     composed1("url_host")(graft.operators.TextOps.urlHost)
     composed1("quality_score")(graft.operators.TextOps.qualityScore)
+    composed1("scrub_pii")(c => graft.operators.TextOps.scrubPii(c))
+    composed1("pii_counts")(graft.operators.TextOps.piiCounts)
     ext.injectFunction((FunctionIdentifier("wordpiece_encode"), info("wordpiece_encode"),
       (es: Seq[Expression]) =>
         graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))

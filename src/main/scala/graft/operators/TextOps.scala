@@ -310,4 +310,54 @@ object TextOps {
   def anchorTextChars(html: Column): Column =
     length(array_join(
       regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
+
+  // ------------------------------------------------------------------
+  // PII scrubbing — the redaction pass every released training corpus
+  // runs (the Dolma/BigScience regime: emails, IP addresses, phone
+  // numbers → placeholder tokens). The default rules are deliberately
+  // written in the common subset of java.util.regex and RE2 — no
+  // backreferences, no lookaround, ASCII classes and word boundaries
+  // only — so the SAME pattern text scrubs identically in Spark and in
+  // an RE2 engine (the d84 oracle runs them verbatim in DuckDB).
+  // Composed codegen `regexp_replace`/`regexp_count` — per-row
+  // kernels, zero shuffle, scan-speed at any corpus size.
+  // ------------------------------------------------------------------
+
+  /** Email addresses (`user@host.tld`, alpha TLD ≥ 2). */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (no range check — redaction wants recall; an
+    * over-match like `999.0.0.1` is markup noise, not someone's PII).
+    */
+  val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-format phone: `+CC` then 7-12 digits broken by
+    * optional single spaces/dashes/dots (the format people paste;
+    * bare domestic digit runs are left alone — they collide with ids,
+    * years, and quantities far more often than they are phones).
+    */
+  val PiiPhonePattern = "\\+\\d{1,3}[- .]\\d{3}[- .]?\\d{3,4}[- .]?\\d{0,4}\\b"
+
+  /** Per-rule match counts on the ORIGINAL text (redaction
+    * observability: "how much PII did this corpus carry" is reported
+    * per class BEFORE any rule rewrites the row — counts are
+    * independent per rule, so a span matched by two rules counts in
+    * both). Struct `(n_email, n_ip, n_phone)`.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(PiiEmailPattern)).cast("int").as("n_email"),
+    regexp_count(text, lit(PiiIpv4Pattern)).cast("int").as("n_ip"),
+    regexp_count(text, lit(PiiPhonePattern)).cast("int").as("n_phone"))
+
+  /** Scrub PII in place: emails, then IPv4s, then phones, each rule's
+    * matches replaced by its placeholder. Email runs FIRST so an
+    * address's digits are gone before the looser numeric rules look
+    * (the placeholders themselves contain no digits, so later rules
+    * never match inside an earlier rule's replacement).
+    */
+  def scrubPii(text: Column, emailToken: String = "<EMAIL>",
+      ipToken: String = "<IP>", phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailPattern, emailToken),
+        PiiIpv4Pattern, ipToken),
+      PiiPhonePattern, phoneToken)
 }

@@ -3239,6 +3239,53 @@ object PipelineQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // ---------------------------------------------------------------- PII scrubbing
+    // the redaction pass every RELEASED training corpus runs (Dolma/
+    // BigScience regime): emails, IPv4s, international phones →
+    // placeholder tokens, with per-class counts reported BEFORE
+    // rewriting (redaction observability). The rules are written in
+    // the common java.util.regex ∩ RE2 subset and the oracle runs the
+    // IDENTICAL pattern text (interpolated from the same constants)
+    // through DuckDB's RE2 — the hash match proves both engines find
+    // the same spans. The fixture plants one known email + IP + phone
+    // per row derived from doc_id, so every rule is exercised on
+    // known-positive content, not vacuously green. Per-row codegen
+    // kernels, zero shuffle at any corpus size.
+    q("d84_pii_scrub", {
+      import graft.operators.TextOps
+      val aug = "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)" +
+        " || '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)" +
+        " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)" +
+        " || ' tel +1 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+      s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '${TextOps.PiiEmailPattern}')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '${TextOps.PiiIpv4Pattern}')) AS INTEGER) AS n_ip,
+         |  CAST(len(regexp_extract_all(aug, '${TextOps.PiiPhonePattern}')) AS INTEGER) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${TextOps.PiiEmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiIpv4Pattern}', '<IP>', 'g'),
+         |    '${TextOps.PiiPhonePattern}', '<PHONE>', 'g') AS scrubbed
+         |FROM a ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextOps
+      val aug = concat(
+        coalesce(col("text"), lit("")), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(" tel +1 555-"),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextOps.piiCounts(col("aug")).as("__p"),
+          TextOps.scrubPii(col("aug")).as("scrubbed"))
+        .select(col("doc_id"), col("__p.n_email").as("n_email"),
+          col("__p.n_ip").as("n_ip"), col("__p.n_phone").as("n_phone"),
+          col("scrubbed"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

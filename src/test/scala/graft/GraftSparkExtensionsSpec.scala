@@ -87,6 +87,11 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.operators.TextOps.qualityScore(org.apache.spark.sql.functions.lit("the cat sat")), 4))
       .head().getDouble(0)
     assert(q == qApi)
+    assert(spark.sql("SELECT scrub_pii('mail a@ex.com at 1.2.3.4 or +1 555-1234') AS s")
+      .head().getString(0) == "mail <EMAIL> at <IP> or <PHONE>")
+    val pc = spark.sql("SELECT pii_counts('a@ex.com 1.2.3.4') AS p").head().getStruct(0)
+    assert(pc.getAs[Int]("n_email") == 1 && pc.getAs[Int]("n_ip") == 1 &&
+      pc.getAs[Int]("n_phone") == 0)
     assert(spark.sql("SELECT wordpiece_encode('table', ARRAY('table', 'tab', '##le')) AS p")
       .head().getSeq[String](0) == Seq("table"))
     val e = intercept[Exception](

@@ -522,6 +522,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hosts == Seq("www.ex.com", "ex.com"), hosts.mkString("; "))
   }
 
+  test("scrubPii: every rule fires, order shields email digits, counts precede rewriting, NULL propagates") {
+    val cases = Seq(
+      // one of each, mixed prose
+      "mail a.b+c%d@sub.ex.co.uk now" -> "mail <EMAIL> now",
+      "server at 10.0.255.7 down" -> "server at <IP> down",
+      "call +44 555-123-4567 today" -> "call <PHONE> today",
+      // email digits never feed the phone/ip rules (email runs first,
+      // placeholder carries no digits)
+      "x1.2.3.4@ex.com" -> "<EMAIL>",
+      // ip rule is recall-first: no octet range check
+      "999.999.999.999" -> "<IP>",
+      // dotted phone separators; trailing boundary at end of string
+      "+1 555.123.4567" -> "<PHONE>",
+      // bare domestic digit runs are NOT phones (ids/years/quantities)
+      "ticket 5551234567 of 2024" -> "ticket 5551234567 of 2024",
+      // version-ish dotted pairs are not IPs (needs all four octets)
+      "v1.2.3 and 1.2 remain" -> "v1.2.3 and 1.2 remain",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases.map(_._2)).filter(p => p._1 != p._2).mkString("; "))
+    // counts are per-rule on the ORIGINAL text (independent rules; the
+    // email's embedded quad is NOT an extra IP — 'x1' has no \b)
+    val c = Seq("a@ex.com b@ex.org 1.2.3.4 +1 555-1234 x1.2.3.4@ex.com")
+      .toDF("t").select(TextOps.piiCounts(col("t")).as("p"))
+      .select("p.n_email", "p.n_ip", "p.n_phone")
+      .collect().head
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((3, 1, 1)), c.toString)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.scrubPii(col("t")), TextOps.piiCounts(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("signature ledger: write + append probes equal the direct cross-dedup") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("sigled").toString + "/led"
