@@ -204,6 +204,8 @@ class LedgerManifestSpec extends AnyFunSuite {
       if (manifested) LedgerGuard.convertToManifested(spark, path)
       CurationOps.advanceQuantileLedger(b2, "source", "len", 4, path, Some("g2"))
       CurationOps.advanceQuantileLedger(b2, "source", "len", 4, path, Some("g2")) // replay
+      CurationOps.retractFromQuantileLedger( // forget an admitted row
+        Seq(("s1", 200L)).toDF("source", "len"), "source", "len", 4, path, Some("rm1"))
       CurationOps.compactQuantileLedger(spark, path, targetFiles = 1)
       CurationOps.quantilesFromLedger(spark, path, Seq(0.5, 0.99))
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
@@ -230,6 +232,9 @@ class LedgerManifestSpec extends AnyFunSuite {
         batchId = Some("g2"))
       SketchOps.advanceVocabLedger(b2, "lang", TextOps.tokens(col("text")), path,
         batchId = Some("g2")) // replay
+      SketchOps.retractFromVocabLedger( // forget an admitted document
+        Seq(("fr", "z")).toDF("lang", "text"), "lang",
+        TextOps.tokens(col("text")), path, batchId = Some("rm1"))
       SketchOps.compactVocabLedger(spark, path, targetFiles = 1)
       SketchOps.topTokensFromLedger(spark, path, 2)
         .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
