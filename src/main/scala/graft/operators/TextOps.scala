@@ -316,11 +316,17 @@ object TextOps {
   // runs (the Dolma/BigScience regime: emails, IP addresses, phone
   // numbers → placeholder tokens). The default rules are deliberately
   // written in the common subset of java.util.regex and RE2 — no
-  // backreferences, no lookaround, ASCII classes and word boundaries
-  // only — so the SAME pattern text scrubs identically in Spark and in
-  // an RE2 engine (the d84 oracle runs them verbatim in DuckDB).
-  // Composed codegen `regexp_replace`/`regexp_count` — per-row
-  // kernels, zero shuffle, scan-speed at any corpus size.
+  // backreferences, no lookaround, ASCII classes — so the SAME
+  // pattern text scrubs identically in Spark and in an RE2 engine
+  // (the d84 oracle runs them verbatim in DuckDB). One documented
+  // divergence survives: `\b` word-ness is Unicode
+  // (Character.isLetterOrDigit) in java.util.regex but ASCII in RE2,
+  // so a rule whose boundary NEIGHBOR is a non-ASCII letter ('é1.2.3.4')
+  // matches in RE2 and not here — the d84 fixture plants
+  // ASCII-neighbored PII, and the fused kernel replicates the Java
+  // side exactly (see PiiUtil). Per-row byte-walk kernels
+  // (graft.functions.PiiUtil), zero shuffle, scan-speed at any
+  // corpus size.
   // ------------------------------------------------------------------
 
   /** Email addresses (`user@host.tld`, alpha TLD ≥ 2). */
@@ -340,20 +346,36 @@ object TextOps {
     * observability: "how much PII did this corpus carry" is reported
     * per class BEFORE any rule rewrites the row — counts are
     * independent per rule, so a span matched by two rules counts in
-    * both). Struct `(n_email, n_ip, n_phone)`.
+    * both). Struct `(n_email, n_ip, n_phone)`. One fused byte-walk
+    * kernel ([[graft.functions.PiiUtil]]) — semantics pinned ≡ the
+    * [[piiCountsRegex]] reference form by a ScalaCheck property.
     */
-  def piiCounts(text: Column): Column = struct(
-    regexp_count(text, lit(PiiEmailPattern)).cast("int").as("n_email"),
-    regexp_count(text, lit(PiiIpv4Pattern)).cast("int").as("n_ip"),
-    regexp_count(text, lit(PiiPhonePattern)).cast("int").as("n_phone"))
+  def piiCounts(text: Column): Column =
+    graft.functions.PiiExpressions.piiCounts(text)
 
   /** Scrub PII in place: emails, then IPv4s, then phones, each rule's
     * matches replaced by its placeholder. Email runs FIRST so an
     * address's digits are gone before the looser numeric rules look
     * (the placeholders themselves contain no digits, so later rules
-    * never match inside an earlier rule's replacement).
+    * never match inside an earlier rule's replacement). Fused kernel;
+    * the placeholder is inserted literally (no `$`-group expansion —
+    * the one deviation from the regex reference form, which treats
+    * `$`/`\` in the replacement specially).
     */
   def scrubPii(text: Column, emailToken: String = "<EMAIL>",
+      ipToken: String = "<IP>", phoneToken: String = "<PHONE>"): Column =
+    graft.functions.PiiExpressions.scrubPii(text, emailToken, ipToken, phoneToken)
+
+  /** The regex reference form of [[piiCounts]] — what the kernel is
+    * pinned against (and exactly what the d84 oracle runs in RE2).
+    */
+  private[graft] def piiCountsRegex(text: Column): Column = struct(
+    regexp_count(text, lit(PiiEmailPattern)).cast("int").as("n_email"),
+    regexp_count(text, lit(PiiIpv4Pattern)).cast("int").as("n_ip"),
+    regexp_count(text, lit(PiiPhonePattern)).cast("int").as("n_phone"))
+
+  /** The regex reference form of [[scrubPii]] (kernel parity pin). */
+  private[graft] def scrubPiiRegex(text: Column, emailToken: String = "<EMAIL>",
       ipToken: String = "<IP>", phoneToken: String = "<PHONE>"): Column =
     regexp_replace(
       regexp_replace(

@@ -557,6 +557,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("PII kernel ≡ java.util.regex reference: scrub and counts over 3000 fragment-junction cases") {
+    import graft.functions.PiiUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop}
+    val pats = Seq(TextOps.PiiEmailPattern, TextOps.PiiIpv4Pattern,
+      TextOps.PiiPhonePattern).map(java.util.regex.Pattern.compile)
+    val toks = Seq("<EMAIL>", "<IP>", "<PHONE>")
+    def refScrub(s: String): String =
+      pats.zip(toks).foldLeft(s) { case (t, (p, tok)) =>
+        p.matcher(t).replaceAll(java.util.regex.Matcher.quoteReplacement(tok)) }
+    def refCounts(s: String): (Int, Int, Int) = {
+      def c(p: java.util.regex.Pattern) = {
+        val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+      }
+      (c(pats(0)), c(pats(1)), c(pats(2)))
+    }
+    def kScrub(s: String): String = PiiUtil.scrub(UTF8String.fromString(s),
+      toks(0).getBytes, toks(1).getBytes, toks(2).getBytes).toString
+    def kCounts(s: String): (Int, Int, Int) = {
+      val r = PiiUtil.counts(UTF8String.fromString(s))
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    // junction-heavy fragments: valid PII, near-misses, boundary bait
+    val frag = Gen.oneOf(Gen.oneOf(
+      "a@ex.com", "x1.2.3.4@e.co", "a@b.c", "@ex.com", "a@", "a@@b.com",
+      "user@sub.ex.co.uk3", "a.b+c%d@x-y.org", "a@1.2.3.4", "a@b..com", "a@.com"),
+      Gen.oneOf(
+        "1.2.3.4", "999.999.999.999", "1234.5.6.7", "1.2.3.4567", "1.2.3.4.5",
+        "11.22.33.44", "1.2.3", "0.0.0.0_", "a1.2.3.4", "1.2.3.4a"),
+      Gen.oneOf(
+        "+1 555-1234", "+44 555-123-4567", "+1 555.123.4567", "+123 4567",
+        "+1-555-1234", "+1 5551234567", "+1 555 12", "+12 345-678 word",
+        "+12 345-678 ,", "+ 555-1234", "+1  555-1234", "5551234567",
+        "+1 55512345678", "+1 555-123456789"),
+      Gen.oneOf(" ", ".", "-", "", "word", "é日", "_", "2024", "..", "+", "@", "%"))
+    val strGen = Gen.listOf(frag).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val ok = kScrub(s) == refScrub(s) && kCounts(s) == refCounts(s)
+      if (!ok) println(s"PII parity break on <$s>: kernel=${kScrub(s)}/${kCounts(s)} " +
+        s"regex=${refScrub(s)}/${refCounts(s)}")
+      ok
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(result.passed, result.status.toString)
+    // the Column plumbing builds the same kernel (vs the regex Column form)
+    val rows = Seq("a@ex.com at 1.2.3.4 or +1 555-1234 x1.2.3.4@e.co word",
+      "+12 345-678 word 999.999.999.999 user@sub.ex.co.uk3").toDF("t")
+    val both = rows.select(
+      TextOps.scrubPii(col("t")).as("k"), TextOps.scrubPiiRegex(col("t")).as("r"),
+      TextOps.piiCounts(col("t")).as("kc"), TextOps.piiCountsRegex(col("t")).as("rc"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"${r.getString(0)} != ${r.getString(1)}")
+      assert(r.getStruct(2) == r.getStruct(3), s"${r.getStruct(2)} != ${r.getStruct(3)}")
+    }
+  }
+
   test("signature ledger: write + append probes equal the direct cross-dedup") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("sigled").toString + "/led"
