@@ -510,6 +510,74 @@ object CurationOps {
       .limit(topN)
   }
 
+  /** Iterative BPE vocabulary LEARNING — the training loop d61's
+    * one-round pair stats feed (Sennrich 2016 §3.2's learn-BPE
+    * algorithm re-expressed for Spark). The scale discipline is the
+    * word-count collapse: ONE corpus pass builds the `(word, count)`
+    * table, and every merge round runs over that VOCAB-SIZED table — pair counting is a zip of adjacent
+    * symbols weighted by word count, the argmax is a bounded 1-row
+    * collect (count desc, then (first, second) byte order — the
+    * deterministic tie the conformance oracle replays), and the merge
+    * applies as a left-to-right non-overlapping rewrite of each word's
+    * symbol array. The rewrite is a fold (replace-last when
+    * `(last, cur) == (a, b)`) — provably equal to the sequential scan
+    * because a just-merged symbol `a+b` can never string-equal `a` —
+    * and runs as an interpreted `aggregate` HOF: documented against
+    * the §7.3 rule, acceptable here because it touches vocab-sized
+    * data once per round, never the corpus. Each round
+    * localCheckpoints the rewritten table so lineage stays flat over
+    * `numMerges` rounds. Returns the ordered merge list
+    * `(rk, lhs, rhs, freq)` — rounds after pair exhaustion (every
+    * word a single symbol) stop early.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 1000, "numMerges must be in [1, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // symbols via regexp '[\s\S]' (code points, incl. newline) — the
+    // exact per-char split the oracle's RE2 runs
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_extract_all(col("w"), lit("[\\s\\S]"), lit(0)).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b")) // TakeOrdered heap
+        .limit(1)
+        .collect() // bounded: the round's single winning pair
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, f) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        out += ((r, a, b, f))
+        // left-to-right non-overlapping merge as a replace-last fold;
+        // `get` (null on empty) keeps ANSI mode from throwing on []
+        words = words.select(col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+                get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq.toDF("rk", "lhs", "rhs", "freq")
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

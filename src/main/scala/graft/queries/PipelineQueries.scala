@@ -3286,6 +3286,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- BPE vocabulary learning
+    // the tokenizer-training loop d61's one-round pair stats feed
+    // (Sennrich 2016): k ordered merges learned from the corpus. Scale
+    // discipline = the word-count collapse: one corpus pass builds the
+    // vocab-sized (word, count) table; every round is a zip-pair count
+    // over THAT + a 1-row argmax + a vocab-sized rewrite. The oracle
+    // replays three rounds as chained CTEs (the d72 chained-round
+    // regime): pair argmax with the same (freq desc, lhs, rhs) byte
+    // tie order, then the merge applied as a delimiter-wrapped string
+    // replace — left-to-right non-overlapping, provably the same
+    // rewrite as the engine's replace-last fold — so the hash match
+    // pins both the argmax order and the merge semantics per round.
+    q("d85_bpe_learn",
+      """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+        |l1 AS (SELECT cnt, regexp_extract_all(w, '[\s\S]') AS l FROM wc),
+        |p1 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l1, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, freq FROM p1 ORDER BY freq DESC, a, b LIMIT 1),
+        |s2 AS (SELECT cnt, replace(
+        |         array_to_string(list_transform(l, x -> chr(1) || x || chr(2)), ''),
+        |         chr(1) || m1.a || chr(2) || chr(1) || m1.b || chr(2),
+        |         chr(1) || m1.a || m1.b || chr(2)) AS str
+        |       FROM l1, m1),
+        |l2 AS (SELECT cnt, regexp_extract_all(str,
+        |         chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2), 1) AS l FROM s2),
+        |p2 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l2, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, freq FROM p2 ORDER BY freq DESC, a, b LIMIT 1),
+        |s3 AS (SELECT cnt, replace(str,
+        |         chr(1) || m2.a || chr(2) || chr(1) || m2.b || chr(2),
+        |         chr(1) || m2.a || m2.b || chr(2)) AS str
+        |       FROM s2, m2),
+        |l3 AS (SELECT cnt, regexp_extract_all(str,
+        |         chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2), 1) AS l FROM s3),
+        |p3 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l3, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, freq FROM p3 ORDER BY freq DESC, a, b LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rk, a AS lhs, b AS rhs, CAST(freq AS BIGINT) AS freq FROM m1
+        |UNION ALL SELECT 2, a, b, CAST(freq AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, a, b, CAST(freq AS BIGINT) FROM m3 ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.learnBpeMerges(
+        table(s, dir, "documents"), "text", numMerges = 3)
+        .orderBy("rk")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -541,6 +541,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(eR.getMessage.contains("negative"), eR.getMessage)
   }
 
+  test("learnBpeMerges: equals the sequential Sennrich reference; ties break on (lhs, rhs); early stop") {
+    // sequential reference: literal learn-BPE (pair counts over the
+    // word-count table, argmax by (freq desc, lhs, rhs), left-to-right
+    // non-overlapping scan merge)
+    def ref(words0: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var words = words0.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      var out = Vector.empty[(Int, String, String, Long)]
+      for (r <- 1 to k if out.length == r - 1) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- words; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pairs.nonEmpty) {
+          val ((a, b), f) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          out :+= ((r, a, b, f))
+          words = words.map { case (syms, c) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            (nb.result(), c)
+          }
+        }
+      }
+      out
+    }
+    val corpus = Seq("low low low low low", "lower lower newest widest",
+      "newest newest newest newest newest", "widest widest ab cd ab")
+    val docs = corpus.toDF("text")
+    val got = CurationOps.learnBpeMerges(docs, "text", 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wc = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    assert(got == ref(wc, 6), s"got $got\nref ${ref(wc, 6)}")
+    // a corpus whose words all collapse to single symbols stops early
+    val tiny = Seq("aa aa", "aa").toDF("text")
+    val tinyGot = CurationOps.learnBpeMerges(tiny, "text", 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(tinyGot == Seq((1, "a", "a", 3L)), tinyGot.toString)
+  }
+
   test("tfidfAgainstLedgers: ledger-backed df/N == from-scratch scoring; unseen tokens drop; tokenizer guard") {
     import graft.operators.{SketchOps, TextOps}
     val base = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
