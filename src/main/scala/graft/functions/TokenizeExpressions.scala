@@ -225,6 +225,118 @@ final case class WordPieceEncode(child: Expression, vocab: Seq[String],
     copy(child = newChild)
 }
 
+/** BPE ENCODING — the apply side of [[graft.operators.CurationOps
+  * .learnBpeMerges]] (Sennrich 2016 §3.2's apply algorithm): per
+  * whitespace token, start from code-point symbols and repeatedly
+  * merge the PRESENT adjacent pair with the LOWEST merge rank (all
+  * its occurrences, left to right) until no adjacent pair has a rank.
+  * The priority loop is the correct apply — sequential application in
+  * list order diverges when a later merge manufactures a symbol an
+  * earlier merge's pair names (two merge trees can yield the same
+  * symbol string). Per-row kernel, zero shuffle; the rank table rides
+  * as a model-sized reference object.
+  */
+object BpeUtil {
+
+  /** Build the rank lookup: key = `len(lhs) ":" lhs rhs` — length-
+    * prefixed so no separator char can collide with symbol content.
+    */
+  def ranksOf(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(s"${a.length}:$a$b", Int.box(i))
+    }
+    m
+  }
+
+  def encode(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = text.toString.trim
+    val out = new java.util.ArrayList[ArrayData]()
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) n else sp
+      if (end > start) out.add(encodeWord(s, start, end, ranks))
+      if (sp < 0) start = n + 1 else start = sp + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def encodeWord(s: String, from: Int, to: Int,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    // code-point symbols
+    var syms = new java.util.ArrayList[String]()
+    var i = from
+    while (i < to) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms.add(s.substring(i, math.min(i + w, to)))
+      i += w
+    }
+    var merging = syms.size >= 2
+    while (merging) {
+      var bestRank = Int.MaxValue
+      var ba: String = null
+      var bb: String = null
+      var j = 0
+      while (j < syms.size - 1) {
+        val a = syms.get(j); val b = syms.get(j + 1)
+        val r = ranks.get(s"${a.length}:$a$b")
+        if (r != null && r < bestRank) { bestRank = r; ba = a; bb = b }
+        j += 1
+      }
+      if (ba == null) merging = false
+      else {
+        // merge every occurrence of the winning pair, left to right
+        val nb = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k + 1 < syms.size && syms.get(k) == ba && syms.get(k + 1) == bb) {
+            nb.add(ba + bb); k += 2
+          } else { nb.add(syms.get(k)); k += 1 }
+        }
+        syms = nb
+        merging = syms.size >= 2
+      }
+    }
+    val arr = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** `bpe_encode(text)` → ARRAY<ARRAY<STRING>>: one piece array per
+  * whitespace token (inner concatenation reproduces the token exactly
+  * — the d86 gate's lossless invariant).
+  */
+final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val ranks = BpeUtil.ranksOf(merges)
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"input must be string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeUtil.encode(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeUtil.encode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ftfy-style mojibake repair: undo the classic UTF-8-bytes-read-as-
   * cp1252 mis-decode ("café" → "cafÃ©", "’" → "â€™"), the single most
   * common encoding corruption in web crawls.
@@ -357,4 +469,8 @@ object TokenizeExpressions {
   /** Column-facing wrapper for [[RepairMojibake]]. */
   def repairMojibake(text: Column, maxLayers: Int = 2): Column =
     GraftSqlShims.column(RepairMojibake(GraftSqlShims.expression(text), maxLayers))
+
+  /** Column-facing wrapper for [[BpeEncode]]. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlShims.column(BpeEncode(GraftSqlShims.expression(text), merges))
 }

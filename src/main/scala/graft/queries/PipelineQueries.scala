@@ -3664,6 +3664,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- BPE tokenizer apply
+    // the encode side of d85's learned merges (Sennrich 2016 apply:
+    // per token, repeatedly merge the present adjacent pair with the
+    // LOWEST rank — the priority loop, which diverges from naive
+    // in-list-order application when a later merge manufactures a
+    // symbol an earlier merge's pair names; the unit test pins that
+    // divergence case). This query is self-contained train-then-apply:
+    // 8 merges learned from the corpus (bounded 8-row collect), then
+    // the codegen kernel encodes every document with the merge table
+    // as a reference object. Encoding is engine-specific → rows-only;
+    // the AccuracySpec d86 gate pins lossless per-token reconstruction
+    // and piece-closure membership corpus-wide.
+    q("d86_bpe_encode", null) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val merges = graft.operators.CurationOps.learnBpeMerges(docs, "text", 8)
+        .orderBy("rk").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: ≤ 8 rows
+      val p = graft.functions.TokenizeExpressions.bpeEncode(col("text"), merges)
+      docs.select(col("doc_id"), p.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).as("n_tokens"),
+          size(flatten(col("__p"))).as("n_pieces"),
+          // flattened fingerprint is faithful: pieces never cross
+          // tokens, so piece order + content determine the encoding
+          md5(concat_ws(" ", flatten(col("__p")))).as("pieces_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- WordPiece tokenizer apply
     // the encode side of subword tokenization (d61 counts the training
     // statistics; this runs a finished vocabulary over the corpus):

@@ -286,6 +286,34 @@ class AccuracySpec extends AnyFunSuite {
     assert(outOfVocab == 0, s"$outOfVocab pieces outside the vocabulary")
   }
 
+  test("d86 gate: BPE encode — lossless per-token reconstruction and piece closure over the corpus") {
+    // the rows-only conformance query's bound: the encoding itself is
+    // engine-specific, but (1) concatenating each token's pieces must
+    // reproduce the token exactly, (2) every piece is a single code
+    // point or the target of a learned merge, (3) the merges actually
+    // fire corpus-wide (the gate is not vacuous).
+    import graft.operators.CurationOps
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val merges = CurationOps.learnBpeMerges(docs, "text", 12)
+      .orderBy("rk").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 12, s"expected 12 merges, got ${merges.size}")
+    val p = graft.functions.TokenizeExpressions.bpeEncode(col("text"), merges)
+    val enc = docs.select(col("doc_id"), col("text"), p.as("p"))
+    val bad = enc.filter(
+      transform(col("p"), w => array_join(w, "")) =!=
+        array_remove(graft.operators.TextOps.tokens(col("text")), "")).count()
+    assert(bad == 0, s"$bad docs fail per-token piece reconstruction")
+    val targets = merges.map { case (a, b) => a + b }
+    val badPieces = enc.select(explode(flatten(col("p"))).as("piece")).distinct()
+      .filter(!col("piece").isin(targets: _*) &&
+        size(regexp_extract_all(col("piece"), lit("[\\s\\S]"), lit(0))) =!= 1)
+      .count()
+    assert(badPieces == 0, s"$badPieces pieces outside the merge closure")
+    val fired = enc.select(explode(flatten(col("p"))).as("piece"))
+      .filter(col("piece").isin(targets: _*)).count()
+    assert(fired > 0, "no learned merge ever fired — vacuous gate")
+  }
+
   test("d68 gate (basic=true): punctuation-glued and CJK web text segments instead of falling to UNK") {
     // the r9 gap: raw web text puts punctuation-glued tokens and CJK
     // runs in front of WordPiece; without BasicTokenizer every such

@@ -584,6 +584,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(tinyGot == Seq((1, "a", "a", 3L)), tinyGot.toString)
   }
 
+  test("bpeEncode: priority-loop apply — divergence from naive list order, multi-occurrence, empties, NULL") {
+    import graft.functions.TokenizeExpressions.bpeEncode
+    def enc(text: String, merges: Seq[(String, String)]): Seq[Seq[String]] =
+      Seq(text).toDF("t").select(bpeEncode(col("t"), merges).as("p"))
+        .collect().head.getSeq[scala.collection.Seq[String]](0)
+        .map(_.toSeq).toSeq
+    // THE divergence case: rank0 = (ab, c) names a symbol only rank1 =
+    // (a, b) can manufacture. The priority loop applies rank1 first
+    // (only present pair), THEN rank0 → [abc]; naive in-list-order
+    // application would stop at [ab, c].
+    assert(enc("abc", Seq(("ab", "c"), ("a", "b"))) == Seq(Seq("abc")))
+    // left-to-right non-overlap within one merge step
+    assert(enc("bbb", Seq(("b", "b"))) == Seq(Seq("bb", "b")))
+    // all occurrences merge in one step; untouched tokens pass through
+    assert(enc("abab cd", Seq(("a", "b"))) ==
+      Seq(Seq("ab", "ab"), Seq("c", "d")))
+    // empty tokens (double spaces, edges) contribute no piece arrays
+    assert(enc("  ab  b ", Seq(("a", "b"))) == Seq(Seq("ab"), Seq("b")))
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(bpeEncode(col("t"), Seq(("a", "b")))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("tfidfAgainstLedgers: ledger-backed df/N == from-scratch scoring; unseen tokens drop; tokenizer guard") {
     import graft.operators.{SketchOps, TextOps}
     val base = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
