@@ -127,6 +127,17 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))
     ext.injectFunction((FunctionIdentifier("repair_mojibake"), info("repair_mojibake"),
       (es: Seq[Expression]) => graft.functions.RepairMojibake(es(0))))
+    // bpe_encode(text, ARRAY('lhs rhs', ...)) — each merge as one
+    // "lhs rhs" string, split at the FIRST space (unambiguous: symbols
+    // come from space-split words, so a lhs never contains a space)
+    ext.injectFunction((FunctionIdentifier("bpe_encode"), info("bpe_encode"),
+      (es: Seq[Expression]) => graft.functions.BpeEncode(es(0),
+        stringSeqArg(es(1), "bpe_encode").map { m =>
+          val sp = m.indexOf(' ')
+          if (sp <= 0 || sp == m.length - 1) throw new IllegalArgumentException(
+            s"bpe_encode merge '$m' must be 'lhs rhs' (one space)")
+          (m.substring(0, sp), m.substring(sp + 1))
+        })))
     // round-10 kernels, same same-expression-tree guarantee:
     // c4_line_filter(text[, minWords]) → struct(n_lines, n_kept, kept)
     ext.injectFunction((FunctionIdentifier("c4_line_filter"), info("c4_line_filter"),

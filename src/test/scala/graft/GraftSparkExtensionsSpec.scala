@@ -97,6 +97,12 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("SELECT wordpiece_encode('x', 'notanarray')").collect())
     assert(e.getMessage.contains("ARRAY of strings"), e.getMessage)
+    assert(spark.sql("SELECT bpe_encode('abc bd', ARRAY('ab c', 'a b')) AS p")
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toSeq) ==
+      Seq(Seq("abc"), Seq("b", "d"))) // the priority-loop divergence case via SQL
+    val eb = intercept[Exception](
+      spark.sql("SELECT bpe_encode('x', ARRAY('nospace'))").collect())
+    assert(eb.getMessage.contains("one space"), eb.getMessage)
 
     // round-10 kernels
     val c4 = spark.sql(

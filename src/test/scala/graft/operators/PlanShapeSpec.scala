@@ -344,6 +344,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("d83 probe: the corpus scans ONCE (the tf side) — df and N come from at-rest ledger scans") {
+    withStaticPlans {
+      // the operator's whole point is that the corpus-wide df/N pass
+      // lives at rest: if the probe's plan ever scans the documents
+      // file more than once, it is re-deriving what the ledgers hold
+      import graft.operators.{CurationOps, SketchOps, TextOps}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-tfidfplan").toString
+      val dtok = array_distinct(TextOps.tokens(col("text")))
+      SketchOps.writeVocabLedger(docs.withColumn("c", lit("all")), "c", dtok,
+        base + "/df", tokenizerId = "ws-distinct")
+      CurationOps.writeStatsLedger(docs, "source", "text", base + "/stats")
+      val probe = SketchOps.tfidfAgainstLedgers(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id",
+        TextOps.tokens(col("text")), base + "/df", base + "/stats", k = 3)
+      val scans = nodes(probe) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(scans.count(_.contains("documents.parquet")) == 1,
+        s"corpus must scan exactly once, got $scans")
+      assert(scans.exists(_.contains("/df")) && scans.exists(_.contains("/stats")),
+        s"df/N must come from the ledger scans, got $scans")
+      // one window: the per-doc top-k, partitioned by the doc id
+      // (doc-length-bounded — never the low-cardinality skew trap)
+      assert(windows(probe) == 1, probe.queryExecution.executedPlan.toString)
+      assert(probe.count() > 0)
+    }
+  }
+
   test("s14's at-rest SQ8 probe prunes columns: approx pass reads (id, q) only, re-rank reads (id, vec) only") {
     withStaticPlans {
       // the 4× scan-byte cut IS this pruning — if the approx scan ever
