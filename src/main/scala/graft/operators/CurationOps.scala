@@ -1017,7 +1017,17 @@ object CurationOps {
       maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "quantile-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path)
-      val keyName = led.columns.head
+      // key BY NAME from the sidecar, field-order fallback for legacy
+      // stores, loud failure on a drifted layout (compactBucketedIndex
+      // contract — re-summing on the wrong key would be silent)
+      val keyName = readQhistMeta(spark, path).map(_._2) match {
+        case Some(name) =>
+          require(led.columns.contains(name),
+            s"quantile-ledger compaction at $path: sidecar names key column " +
+              s"'$name' but the files carry ${led.columns.mkString(", ")}")
+          name
+        case None => led.columns.head
+      }
       LayoutOps.writeSized(
         led.groupBy(col(keyName), col("qh_b")).agg(sum(col("qh_c")).as("qh_c")),
         staging, col(keyName), targetFiles, maxRecordsPerFile)

@@ -310,7 +310,18 @@ object SketchOps {
       maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "vocab-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path)
-      val keyName = led.columns.head
+      // bind the key BY NAME from the sidecar (legacy pre-sidecar
+      // ledgers fall back to field order); a sidecar naming a column
+      // the files don't carry fails loudly rather than re-summing on
+      // the wrong key — the compactBucketedIndex contract
+      val keyName = readVocabMeta(spark, path).map(_._1) match {
+        case Some(name) =>
+          require(led.columns.contains(name),
+            s"vocab-ledger compaction at $path: sidecar names key column " +
+              s"'$name' but the files carry ${led.columns.mkString(", ")}")
+          name
+        case None => led.columns.head
+      }
       LayoutOps.writeSized(
         led.groupBy(col(keyName), col("token")).agg(sum(col("tc")).as("tc")),
         staging, col(keyName), targetFiles, maxRecordsPerFile)
