@@ -3332,6 +3332,80 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---------------------------------------------------------------- corpus card FROM LEDGERS (capstone)
+    // the ledger-compositionality capstone: the per-source corpus card
+    // — volumes, length quantiles, top token — assembled ENTIRELY from
+    // at-rest state (stats + quantile + vocab ledgers, each advanced
+    // across two generations) with the corpus never re-read at card
+    // time. At 100 TB this is the difference between "the dashboard
+    // reruns the corpus" and "the dashboard reads three model-sized
+    // parquet stores". The oracle re-derives every field from scratch
+    // over documents — blind to the six ledger writes/advances — so
+    // the hash match proves the composed at-rest state carries exactly
+    // the corpus's truth.
+    q("d87_card_from_ledgers",
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source),
+        |v AS (SELECT source, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |h AS (SELECT source, len // 16 AS b, count(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b) AS endc,
+        |        sum(c) OVER (PARTITION BY source) AS n FROM h),
+        |p AS (SELECT unnest([0.5, 0.99]) AS prob),
+        |sel AS (SELECT source, prob, min(b) AS b FROM cum, p
+        |        WHERE endc >= ceil(prob * n) GROUP BY 1, 2),
+        |pv AS (SELECT source,
+        |  CAST(max(CASE WHEN prob = 0.5 THEN b * 16 END) AS BIGINT) AS p50_lo,
+        |  CAST(max(CASE WHEN prob = 0.5 THEN b * 16 + 15 END) AS BIGINT) AS p50_hi,
+        |  CAST(max(CASE WHEN prob = 0.99 THEN b * 16 END) AS BIGINT) AS p99_lo,
+        |  CAST(max(CASE WHEN prob = 0.99 THEN b * 16 + 15 END) AS BIGINT) AS p99_hi
+        |  FROM sel GROUP BY source),
+        |t AS (SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS tc FROM t WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT source, token, tc,
+        |      row_number() OVER (PARTITION BY source ORDER BY tc DESC, token) AS rk FROM c),
+        |tk AS (SELECT source, token AS top_token, CAST(tc AS BIGINT) AS top_tc
+        |       FROM r WHERE rk = 1)
+        |SELECT source, n_docs, n_tokens, n_chars, p50_lo, p50_hi, p99_lo, p99_hi,
+        |  top_token, top_tc
+        |FROM st JOIN pv USING (source) JOIN tk USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.{CurationOps, SketchOps, TextOps}
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val stP = Registry.scratchDir(s"/tmp/graft_conformance/d87_st_$tag")
+      val qhP = Registry.scratchDir(s"/tmp/graft_conformance/d87_qh_$tag")
+      val vcP = Registry.scratchDir(s"/tmp/graft_conformance/d87_vc_$tag")
+      val g1 = docs.filter(col("doc_id") % 10 < 6)
+      val g2 = docs.filter(col("doc_id") % 10 >= 6)
+      CurationOps.writeStatsLedger(g1, "source", "text", stP)
+      CurationOps.advanceStatsLedger(g2, "source", "text", stP, batchId = Some("g2"))
+      def lens(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("source"), length(col("text")).cast("long").as("len"))
+      CurationOps.writeQuantileLedger(lens(g1), "source", "len", shift = 4, qhP)
+      CurationOps.advanceQuantileLedger(lens(g2), "source", "len", 4, qhP,
+        batchId = Some("g2"))
+      SketchOps.writeVocabLedger(g1, "source", TextOps.tokens(col("text")), vcP)
+      SketchOps.advanceVocabLedger(g2, "source", TextOps.tokens(col("text")), vcP,
+        batchId = Some("g2"))
+      // card time: THREE at-rest reads, zero corpus access
+      val st = graft.operators.LedgerGuard.readLedger(s, stP)
+      val qs = CurationOps.quantilesFromLedger(s, qhP, Seq(0.5, 0.99))
+      val pv = qs.groupBy(col("source")).agg(
+        max(when(col("prob") === 0.5, col("lo"))).as("p50_lo"),
+        max(when(col("prob") === 0.5, col("hi"))).as("p50_hi"),
+        max(when(col("prob") === 0.99, col("lo"))).as("p99_lo"),
+        max(when(col("prob") === 0.99, col("hi"))).as("p99_hi"))
+      val tk = SketchOps.topTokensFromLedger(s, vcP, k = 1)
+        .select(col("source"), col("token").as("top_token"), col("tc").as("top_tc"))
+      st.join(pv, Seq("source")).join(tk, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("p50_lo"), col("p50_hi"), col("p99_lo"), col("p99_hi"),
+          col("top_token"), col("top_tc"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed
