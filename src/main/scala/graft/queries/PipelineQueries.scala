@@ -3406,6 +3406,78 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------- registrable domain (public-suffix join)
+    // the per-domain key a crawl pipeline should REALLY cap/blocklist
+    // on: eTLD+1 via the publicsuffix.org matching algorithm, with the
+    // rule list as broadcast DATA (plain + `*.` wildcard + `!`
+    // exception rules, comment/blank lines dropped). Hosts synthesized
+    // from doc_id cover every rule class: nested plain rules, wildcard
+    // match, exception cancelling a wildcard, unknown TLD (default `*`
+    // rule), host-IS-public-suffix (NULL registrable), case folding.
+    // The oracle re-implements the published algorithm from the same
+    // RAW rule strings — blind to the Spark-side parse/join shape.
+    q("d88_registrable_domain",
+      """WITH rules(rule) AS (VALUES ('com'),('example.com'),('net'),('uk'),
+        |  ('co.uk'),('jp'),('ac.jp'),('*.kawasaki.jp'),('!city.kawasaki.jp'),
+        |  ('*.ck'),('!www.ck'),('// comment line'),('')),
+        |pr AS (SELECT
+        |  CASE WHEN rule LIKE '!%' THEN 2 WHEN rule LIKE '*.%' THEN 1 ELSE 0 END AS kind,
+        |  CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+        |       WHEN rule LIKE '*.%' THEN substr(rule, 3) ELSE rule END AS key
+        |  FROM rules WHERE rule <> '' AND rule NOT LIKE '//%'),
+        |pr2 AS (SELECT kind, key, greatest(1,
+        |  CASE WHEN kind = 2 THEN len(string_split(key, '.')) - 1
+        |       WHEN kind = 1 THEN len(string_split(key, '.')) + 1
+        |       ELSE len(string_split(key, '.')) END) AS psn FROM pr),
+        |hosts AS (SELECT DISTINCT lower(CASE doc_id % 8
+        |  WHEN 0 THEN 'a' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+        |  WHEN 1 THEN 'b' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
+        |  WHEN 2 THEN 'WWW.c' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        |  WHEN 3 THEN 'd' || CAST(doc_id % 50 AS VARCHAR) || '.site'
+        |              || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+        |  WHEN 4 THEN CASE doc_id % 2 WHEN 0 THEN 'www.ck' ELSE 'sub.www.ck' END
+        |  WHEN 5 THEN 'e' || CAST(doc_id % 50 AS VARCHAR) || '.zz'
+        |  WHEN 6 THEN CASE doc_id % 2 WHEN 0 THEN 'co.uk' ELSE 'x.kawasaki.jp' END
+        |  ELSE CASE doc_id % 2 WHEN 0 THEN 'city.kawasaki.jp'
+        |       ELSE 'y.x.kawasaki.jp' END END) AS host FROM documents),
+        |hh AS (SELECT host, string_split(host, '.') AS labs,
+        |       len(string_split(host, '.')) AS n FROM hosts),
+        |cand AS (SELECT host, n, k, array_to_string(labs[n-k+1:n], '.') AS suf
+        |         FROM hh, unnest(generate_series(1, n)) u(k)),
+        |m AS (SELECT c.host,
+        |        CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
+        |        CASE WHEN r.kind = 1 THEN c.k + 1 ELSE c.k END AS mlabs, r.psn
+        |      FROM cand c JOIN pr2 r ON c.suf = r.key
+        |        AND (r.kind <> 1 OR c.n > c.k)),
+        |sel AS (SELECT host, psn FROM (SELECT host, psn, row_number() OVER
+        |        (PARTITION BY host ORDER BY exc DESC, mlabs DESC) AS rk FROM m)
+        |        WHERE rk = 1),
+        |fin AS (SELECT h.host, h.n, h.labs, coalesce(s.psn, 1) AS psn
+        |        FROM hh h LEFT JOIN sel s USING (host))
+        |SELECT host, array_to_string(labs[n-psn+1:n], '.') AS public_suffix,
+        |  CASE WHEN n > psn THEN array_to_string(labs[n-psn:n], '.') END
+        |    AS registrable_domain
+        |FROM fin ORDER BY host""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.DomainOps
+      val rules = Seq("com", "example.com", "net", "uk", "co.uk", "jp", "ac.jp",
+        "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck",
+        "// comment line", "").toDF("rule")
+      val i = col("doc_id")
+      val host = when(i % 8 === 0, concat(lit("a"), (i % 50).cast("string"), lit(".example.com")))
+        .when(i % 8 === 1, concat(lit("b"), (i % 50).cast("string"), lit(".co.uk")))
+        .when(i % 8 === 2, concat(lit("WWW.c"), (i % 50).cast("string"), lit(".COM")))
+        .when(i % 8 === 3, concat(lit("d"), (i % 50).cast("string"), lit(".site"),
+          (i % 3).cast("string"), lit(".ck")))
+        .when(i % 8 === 4, when(i % 2 === 0, "www.ck").otherwise("sub.www.ck"))
+        .when(i % 8 === 5, concat(lit("e"), (i % 50).cast("string"), lit(".zz")))
+        .when(i % 8 === 6, when(i % 2 === 0, "co.uk").otherwise("x.kawasaki.jp"))
+        .otherwise(when(i % 2 === 0, "city.kawasaki.jp").otherwise("y.x.kawasaki.jp"))
+      DomainOps.registrableDomains(
+        table(s, dir, "documents").select(host.as("host")), "host", rules)
+        .orderBy("host")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

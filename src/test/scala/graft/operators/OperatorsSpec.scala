@@ -1972,4 +1972,55 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("new_id", "corpus_id").as[(Long, Long, Int, Double)].collect().toSeq
     assert(readmitted == got)
   }
+
+  test("registrableDomains: publicsuffix.org algorithm vectors (plain/nested/wildcard/exception/default)") {
+    // the rule classes from the published algorithm description, plus
+    // PSL file noise (comment + blank lines) the parser must drop
+    val rules = Seq("com", "example.com", "uk", "co.uk", "jp", "ac.jp",
+      "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck",
+      "// this is a comment", "").toDF("rule")
+    val hosts = Seq(
+      "example.com",        // host IS a public suffix → null registrable
+      "www.example.com",    // nested plain rule beats 'com'
+      "a.b.example.com",    // registrable is example.com + 1 label up
+      "shop.co.uk",         // 2-label plain rule
+      "co.uk",              // public suffix itself
+      "keio.ac.jp",
+      "x.kawasaki.jp",      // wildcard: host == matched suffix → null
+      "y.x.kawasaki.jp",    // wildcard + 1
+      "city.kawasaki.jp",   // exception cancels the wildcard
+      "sub.city.kawasaki.jp",
+      "www.ck",             // exception: registrable despite *.ck
+      "sub.www.ck",
+      "other.ck",           // wildcard *.ck, host == suffix → null
+      "unknown.tld",        // no rule → default '*' (rightmost label)
+      "WWW.Example.COM"     // case folds before matching
+    ).toDF("host")
+    val got = DomainOps.registrableDomains(hosts, "host", rules)
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("example.com") == (("example.com", None)))
+    assert(got("www.example.com") == (("example.com", Some("www.example.com"))))
+    assert(got("a.b.example.com") == (("example.com", Some("b.example.com"))))
+    assert(got("shop.co.uk") == (("co.uk", Some("shop.co.uk"))))
+    assert(got("co.uk") == (("co.uk", None)))
+    assert(got("keio.ac.jp") == (("ac.jp", Some("keio.ac.jp"))))
+    assert(got("x.kawasaki.jp") == (("x.kawasaki.jp", None)))
+    assert(got("y.x.kawasaki.jp") == (("x.kawasaki.jp", Some("y.x.kawasaki.jp"))))
+    assert(got("city.kawasaki.jp") == (("kawasaki.jp", Some("city.kawasaki.jp"))))
+    assert(got("sub.city.kawasaki.jp") == (("kawasaki.jp", Some("city.kawasaki.jp"))))
+    assert(got("www.ck") == (("ck", Some("www.ck"))))
+    assert(got("sub.www.ck") == (("ck", Some("www.ck"))))
+    assert(got("other.ck") == (("other.ck", None)))
+    assert(got("unknown.tld") == (("tld", Some("unknown.tld"))))
+    // case-folded key: the mixed-case host resolves under its folded form
+    assert(got("www.example.com") == (("example.com", Some("www.example.com"))))
+    assert(!got.contains("WWW.Example.COM") || got.size == 15)
+    // corpus convenience: mixed-case host column still resolves via the fold
+    val corpus = Seq((1L, "WWW.Example.COM"), (2L, "unknown.tld")).toDF("id", "h")
+    val joined = DomainOps.withRegistrableDomain(corpus, "h", rules)
+      .select("id", "registrable_domain").as[(Long, Option[String])].collect().toMap
+    assert(joined(1L) == Some("www.example.com"))
+    assert(joined(2L) == Some("unknown.tld"))
+  }
 }

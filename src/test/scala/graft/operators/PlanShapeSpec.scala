@@ -521,4 +521,22 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("registrableDomains: rules meet hosts in a broadcast hash join (no shuffle of the rule side)") {
+    withStaticPlans {
+      import spark.implicits._
+      val rules = Seq("com", "example.com", "*.ck", "!www.ck").toDF("rule")
+      val hosts = docs.select(concat(lit("h"), col("doc_id") % 100, lit(".example.com")).as("host"))
+      val df = DomainOps.registrableDomains(hosts, "host", rules)
+      val bhj = nodes(df) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      val bnlj = nodes(df) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
+      assert(bhj.size == 1, s"rule join must be a broadcast hash join:\n${df.queryExecution.executedPlan}")
+      assert(bnlj.isEmpty, "rule join fell to a nested loop")
+      // distinct-host collapse + prevailing-rule agg: shuffles bound by
+      // the distinct-host table, never the corpus row count
+      assert(shuffles(df) <= 2, df.queryExecution.executedPlan.toString)
+    }
+  }
 }
