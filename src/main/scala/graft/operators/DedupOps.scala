@@ -47,8 +47,19 @@ object DedupOps {
     */
   val MinHashP: Long = 2147483647L
   val MinHashA: Seq[Long] = Seq(1299721L, 15485863L, 32452843L, 49979687L,
-    67867967L, 86028121L, 104395301L, 122949823L)
-  val MinHashB: Seq[Long] = Seq(7L, 131L, 523L, 1031L, 2053L, 4099L, 8209L, 16411L)
+    67867967L, 86028121L, 104395301L, 122949823L,
+    // 9..32: the tuned band shapes (lshCandidatePairsTuned) may use up
+    // to 32 permutations; all prime, all < MinHashP, and APPENDED so
+    // the first 8 — and every oracle generated from them — are
+    // byte-identical to the pre-tuning family
+    141650963L, 160481183L, 179424673L, 198491317L, 217645177L, 236887691L,
+    256203161L, 275604541L, 295075147L, 314606869L, 334214459L, 353868013L,
+    373587883L, 393342739L, 413158511L, 433024223L, 452930459L, 472882027L,
+    492876847L, 512927357L, 533000389L, 553105243L, 573259391L, 593441843L)
+  val MinHashB: Seq[Long] = Seq(7L, 131L, 523L, 1031L, 2053L, 4099L, 8209L, 16411L,
+    32771L, 65537L, 131101L, 262147L, 524309L, 1048583L, 2097169L, 4194319L,
+    8388617L, 16777259L, 33554467L, 67108879L, 134217757L, 268435459L,
+    536870923L, 1073741827L, 3L, 13L, 41L, 101L, 211L, 307L, 401L, 503L)
 
   /** Base-hashed shingle array (md5 once per shingle, reduced mod P).
     * Fused one-pass kernel (ShingleHash32s): bit-identical to
@@ -172,6 +183,76 @@ object DedupOps {
       .filter(col("__s1") =!= col("__s2") || col("__m1") < col("__m2"))
       .select(least(col("__m1"), col("__m2")).as("d1"),
         greatest(col("__m1"), col("__m2")).as("d2"), col("n_bands"))
+  }
+
+  /** The LSH S-curve parameter grid: for every (bands b, rows r) with
+    * b·r ≤ `numHashes` and every requested threshold, the false-positive
+    * and false-negative integrals of the banding collision curve
+    * P(s) = 1 − (1 − s^r)^b (Leskovec-Rajaraman-Ullman MMDS §3.4; the
+    * same numerical-argmin scheme as datasketch's `_optimal_param`):
+    * FP = ∫₀ᵗ P(s) ds (dissimilar pairs that still collide),
+    * FN = ∫ₜ¹ (1 − P(s)) ds (similar pairs the banding misses), by
+    * `steps`-point midpoint quadrature. Output:
+    * `(threshold, b, r, fp, fn, cost)` with
+    * cost = fpWeight·FP + fnWeight·FN.
+    *
+    * This is model-sized math (≤ numHashes·H(numHashes) candidate pairs
+    * × |thresholds| rows; the quadrature runs as a per-row fold over a
+    * generated `steps`-element sequence) — it exists as a DataFrame so
+    * the tuning table itself is queryable/joinable and oracle-checkable,
+    * not because it needs a cluster.
+    */
+  def lshParamGrid(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      thresholds: Seq[Double], fpWeight: Double = 0.5, fnWeight: Double = 0.5,
+      steps: Int = 200): DataFrame = {
+    require(numHashes >= 1 && steps >= 1 && thresholds.nonEmpty)
+    require(thresholds.forall(t => t > 0d && t < 1d), "thresholds must be in (0,1)")
+    def curve(s: Column, r: Column, b: Column): Column =
+      lit(1d) - pow(lit(1d) - pow(s, r.cast("double")), b.cast("double"))
+    def quad(lo: Column, hi: Column, term: Column => Column): Column = {
+      val w = (hi - lo) / steps
+      aggregate(sequence(lit(0), lit(steps - 1)), lit(0d),
+        (acc, k) => acc + term(lo + (k.cast("double") + 0.5d) * w)) * w
+    }
+    val t = col("threshold")
+    spark.range(1, numHashes + 1L).withColumnRenamed("id", "b")
+      .withColumn("r", explode(sequence(lit(1L), lit(numHashes.toLong))))
+      .filter(col("b") * col("r") <= numHashes)
+      .withColumn("threshold", explode(array(thresholds.map(lit(_)): _*)))
+      .withColumn("fp", quad(lit(0d), t, s => curve(s, col("r"), col("b"))))
+      .withColumn("fn", quad(t, lit(1d), s => lit(1d) - curve(s, col("r"), col("b"))))
+      .select(t, col("b"), col("r"), col("fp"), col("fn"),
+        (lit(fpWeight) * col("fp") + lit(fnWeight) * col("fn")).as("cost"))
+  }
+
+  /** Pick the (bands, rows) minimizing the weighted FP/FN cost at
+    * `threshold` — datasketch's `optimal_param`, exposed so callers stop
+    * hand-picking band shapes. Driver-side `.head` on the model-sized
+    * grid (≤ ~100 rows for numHashes ≤ 32); ties break toward more
+    * bands (higher recall), then fewer rows.
+    */
+  def tuneLshParams(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      threshold: Double, fpWeight: Double = 0.5, fnWeight: Double = 0.5,
+      steps: Int = 200): (Int, Int) = {
+    val best = lshParamGrid(spark, numHashes, Seq(threshold), fpWeight, fnWeight, steps)
+      .orderBy(col("cost"), col("b").desc, col("r"))
+      .select(col("b"), col("r")).head()
+    (best.getLong(0).toInt, best.getLong(1).toInt)
+  }
+
+  /** [[lshCandidatePairs]] with the band shape TUNED for a similarity
+    * threshold instead of hand-picked: resolves (b, r) via
+    * [[tuneLshParams]] under the `maxHashes` budget, then runs the
+    * standard banding with b·r hash functions (the tuned pair may use
+    * fewer than `maxHashes` — extra permutations would change the curve,
+    * not improve it).
+    */
+  def lshCandidatePairsTuned(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxHashes: Int = 16, fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5, shingleSize: Int = 5): DataFrame = {
+    val (b, r) = tuneLshParams(docs.sparkSession, maxHashes, threshold, fpWeight, fnWeight)
+    lshCandidatePairs(docs, idCol, textCol, numHashes = b * r, bandSize = r,
+      shingleSize = shingleSize)
   }
 
   /** Cross-corpus near-dup candidates: which NEW documents collide with

@@ -3478,6 +3478,42 @@ object PipelineQueries {
         .orderBy("host")
     },
 
+    // ---------------------------------------------------------------- LSH parameter tuning (S-curve argmin)
+    // stop hand-picking band shapes: the full (bands, rows) tuning grid
+    // under a 16-hash budget at thresholds 0.5 and 0.8 — FP/FN
+    // integrals of the banding collision curve 1-(1-s^r)^b by 200-point
+    // midpoint quadrature (MMDS §3.4 / datasketch optimal_param), with
+    // the per-threshold argmin flagged. The oracle re-derives the same
+    // quadrature from generate_series; argmin margins (~1e-3) are far
+    // above cross-engine float-fold noise.
+    q("d89_lsh_tuning",
+      """WITH cand AS (SELECT b, r
+        |  FROM unnest(generate_series(1, 16)) tb(b),
+        |       unnest(generate_series(1, 16)) tr(r) WHERE b * r <= 16),
+        |th AS (SELECT unnest([0.5, 0.8]) AS threshold),
+        |ks AS (SELECT unnest(generate_series(0, 199)) AS k),
+        |g AS (SELECT threshold, b, r,
+        |  sum(1 - pow(1 - pow((k + 0.5) * threshold / 200, r), b))
+        |    * threshold / 200 AS fp,
+        |  sum(pow(1 - pow(threshold + (k + 0.5) * (1 - threshold) / 200, r), b))
+        |    * (1 - threshold) / 200 AS fn
+        |  FROM cand, th, ks GROUP BY 1, 2, 3)
+        |SELECT threshold, b, r, round(fp, 6) AS fp, round(fn, 6) AS fn,
+        |  round(0.5 * fp + 0.5 * fn, 6) AS cost,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY threshold
+        |    ORDER BY 0.5 * fp + 0.5 * fn, b DESC, r) = 1 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS best
+        |FROM g ORDER BY threshold, b, r""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("threshold")
+        .orderBy(col("cost"), col("b").desc, col("r"))
+      DedupOps.lshParamGrid(s, 16, Seq(0.5, 0.8))
+        .withColumn("best", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select(col("threshold"), col("b"), col("r"),
+          Qf.dround(col("fp"), 6).as("fp"), Qf.dround(col("fn"), 6).as("fn"),
+          Qf.dround(col("cost"), 6).as("cost"), col("best"))
+        .orderBy("threshold", "b", "r")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -1973,6 +1973,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(readmitted == got)
   }
 
+  test("tuneLshParams: S-curve argmin matches the independent quadrature; tuned pairs == hand-tuned pairs") {
+    // independently verified (numpy midpoint quadrature, 200 steps,
+    // equal weights): best (b, r) under a 16-hash budget is (5, 3) at
+    // t=0.5 (cost .068, margin .005 to 2nd) and (2, 8) at t=0.8
+    // (cost .047, margin .001) — margins far above float-fold noise
+    assert(DedupOps.tuneLshParams(spark, 16, 0.5) == ((5, 3)))
+    assert(DedupOps.tuneLshParams(spark, 16, 0.8) == ((2, 8)))
+    // heavier FN weight buys recall: more bands at the same threshold
+    val (bRecall, _) = DedupOps.tuneLshParams(spark, 16, 0.8, fpWeight = 0.1, fnWeight = 0.9)
+    assert(bRecall > 2, s"fn-weighted tuning should add bands, got b=$bRecall")
+    // the tuned entry point is exactly the standard banding at (b*r, r)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark and scala engines"),
+      (4L, "a completely different document about spark and scala motors"))
+      .toDF("doc_id", "text")
+    val tuned = DedupOps.lshCandidatePairsTuned(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("d1", "d2").collect().toSeq
+    val hand = DedupOps.lshCandidatePairs(docs, "doc_id", "text", numHashes = 15, bandSize = 3)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(tuned == hand)
+  }
+
   test("registrableDomains: publicsuffix.org algorithm vectors (plain/nested/wildcard/exception/default)") {
     // the rule classes from the published algorithm description, plus
     // PSL file noise (comment + blank lines) the parser must drop
