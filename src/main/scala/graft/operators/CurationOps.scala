@@ -414,6 +414,203 @@ object CurationOps {
         avg(col("__nll")).as("avg_nll_raw"))
   }
 
+  // ------------------------------------------------------------------
+  // Bigram-LM ledger — the corpus LANGUAGE MODEL at rest (a
+  // count-mergeable family, the stats/quantile/vocab regime applied
+  // to the CCNet quality signal): rows are `(w1, w2, n)` — exactly
+  // the one aggregate [[bigramLmScore]] derives its three tables
+  // from, INCLUDING one tail row `(last_token, NULL)` per document,
+  // so V = countDistinct(w1) over the ledger equals the from-scratch
+  // pass's vocabulary (final and single-token-doc tokens never open a
+  // bigram but must count toward V — the d34 invariant). Counts merge
+  // by addition in BOTH directions: an advance tokenizes only the
+  // batch and folds vocab²-bounded rows (the corpus is never
+  // re-read — at 100 TB the corpus-wide count pass is the cost that
+  // matters), and right-to-be-forgotten is exact subtraction with the
+  // family's fail-loud-on-negative contract. Scoring an ingest batch
+  // against the ledger is O(batch + model): "how fluent is this batch
+  // under everything admitted so far", the d83 incremental-TF-IDF
+  // regime applied to perplexity. Laplace smoothing makes
+  // NOT-yet-admitted text scoreable too (the from-scratch form never
+  // sees an unseen bigram; the ledger form is where smoothing earns
+  // its keep): unseen (w1, w2) scores −ln(1/(c1(w1)+V)), unseen w1
+  // scores −ln(1/V) — defined and bounded. `_GRAFT_BIGRAM_META`
+  // persists the tokenizer tag: counts from different tokenizations
+  // are incomparable, so drifted advances/probes fail loudly naming
+  // both sides. Same staged-swap/lease/manifest + exactly-once
+  // batchId discipline as every ledger family.
+  // ------------------------------------------------------------------
+
+  private val BigramMetaFile = LedgerGuard.SidecarPrefix + "BIGRAM_META"
+
+  private def readBigramMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    LedgerGuard.readSidecarMetaStr(spark, path, BigramMetaFile)
+      .flatMap(_.get("tokenizerId"))
+
+  private def requireBigramMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenizerId: String, op: String): Unit =
+    readBigramMeta(spark, path).foreach { t =>
+      if (t != tokenizerId)
+        throw new IllegalArgumentException(
+          s"bigram ledger $op at $path: ledger was created with " +
+            s"tokenizerId=$t but the caller passed tokenizerId=$tokenizerId " +
+            "— bigram counts from different tokenizations are incomparable; " +
+            "pass the creation-time tag (or rebuild the ledger)")
+    }
+
+  /** The mergeable unit: `(w1, w2, n)` bigram counts with one
+    * `(last_token, NULL)` tail row per document (see the family note
+    * above — the tail rows carry V). Whitespace tokens, matching
+    * [[bigramLmScore]]'s stream exactly.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextOps.tokens(col(textCol)).as("__l"))
+      .filter(size(col("__l")) >= 1)
+      .select(explode(expr(
+        "transform(sequence(1, size(__l)), i -> struct(__l[i-1] AS w1, " +
+          "CASE WHEN i < size(__l) THEN __l[i] ELSE NULL END AS w2))"))
+        .as("__z"))
+      .select(col("__z.w1").as("w1"), col("__z.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Create/overwrite the bigram-LM ledger from an initial corpus. */
+  def writeBigramLedger(docs: DataFrame, textCol: String, path: String,
+      tokenizerId: String = "ws"): Unit = {
+    bigramCounts(docs, textCol).write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(docs.sparkSession, path, BigramMetaFile,
+      Seq("tokenizerId" -> tokenizerId))
+  }
+
+  /** Ledger ∪ batch counts, re-summed — lazily reads `path`; persist
+    * to a NEW generation dir or use [[advanceBigramLedger]].
+    */
+  def mergeBigramLedger(batch: DataFrame, textCol: String, path: String,
+      tokenizerId: String = "ws"): DataFrame = {
+    requireBigramMeta(batch.sparkSession, path, tokenizerId, "merge")
+    LedgerGuard.readLedger(batch.sparkSession, path)
+      .unionByName(bigramCounts(batch, textCol))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Fold a batch into the at-rest counts IN PLACE (staged swap,
+    * lease, manifest mode, exactly-once `batchId`). Only the batch is
+    * tokenized; the merge is vocab²-bounded. A pre-sidecar ledger
+    * adopts the caller's tag on first advance (trusted once).
+    */
+  def advanceBigramLedger(batch: DataFrame, textCol: String, path: String,
+      tokenizerId: String = "ws", batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    LedgerGuard.advanceInPlace(spark, path, "bigram ledger", batchId) { staging =>
+      mergeBigramLedger(batch, textCol, path, tokenizerId)
+        .write.mode("overwrite").parquet(staging)
+    }
+    if (readBigramMeta(spark, path).isEmpty)
+      LedgerGuard.writeSidecarMetaStr(spark, path, BigramMetaFile,
+        Seq("tokenizerId" -> tokenizerId))
+  }
+
+  /** Score a batch's documents against the AT-REST language model —
+    * [[bigramLmScore]]'s output shape `(idCol, n_bigrams,
+    * avg_nll_raw)` with c2/c1/V read from the ledger instead of
+    * re-derived from the corpus. For batches already admitted (the
+    * advance-before-probe discipline, d83's contract) every bigram is
+    * present and the score equals the from-scratch pass exactly; for
+    * un-admitted text the Laplace terms smooth unseen bigrams/tokens
+    * (see the family note). Plan shape: the ledger-derived tables are
+    * model-sized (AQE broadcasts them when small); the batch stream
+    * pays two hash joins (c2 on (w1,w2), c1 on w1) and one broadcast
+    * 1-row V — batch-proportional, zero corpus access.
+    */
+  def bigramScoreFromLedger(batch: DataFrame, idCol: String, textCol: String,
+      path: String, tokenizerId: String = "ws"): DataFrame = {
+    val spark = batch.sparkSession
+    readBigramMeta(spark, path) match {
+      case Some(t) if t != tokenizerId =>
+        throw new IllegalArgumentException(
+          s"bigram-LM probe at $path: ledger was created with " +
+            s"tokenizerId=$t but the caller passed tokenizerId=$tokenizerId " +
+            "— scores under a different tokenization are incomparable; " +
+            "pass the creation-time tag (or rebuild)")
+      case Some(_) => ()
+      case None => throw new IllegalStateException(
+        s"bigram-LM probe at $path: no ${BigramMetaFile} sidecar — cannot " +
+          "verify the ledger's tokenizer; rebuild the ledger (or restore " +
+          "the sidecar)")
+    }
+    // re-sum defensively (the tfidfAgainstLedgers contract): probes
+    // stay correct even over a ledger with accreted duplicate rows
+    val led = LedgerGuard.readLedger(spark, path)
+    val c2 = led.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val v = led.agg(countDistinct(col("w1")).as("vocab"))
+    val id = col(idCol)
+    val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(id, explode(expr(
+        "transform(sequence(1, size(__l) - 1), i -> struct(__l[i-1] AS w1, " +
+          "__l[i] AS w2))")).as("__z"))
+      .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
+    stream.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v)) // 1-row aggregate
+      .select(id,
+        (-log((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n1"), lit(0L)) + col("vocab")))).as("__nll"))
+      .groupBy(id)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll_raw"))
+  }
+
+  /** Right-to-be-forgotten for the bigram ledger, by SUBTRACTION —
+    * the [[retractFromQuantileLedger]] contract: exact (counts merge
+    * both directions), caller supplies the forgotten documents'
+    * text (counts are not id-attributed — the family's stated
+    * boundary), emptied rows leave the store (a fully-departed w1
+    * shrinks V, matching the from-scratch pass over the remainder),
+    * and any count that would go negative fails loudly with the
+    * ledger unchanged.
+    */
+  def retractFromBigramLedger(forgotten: DataFrame, textCol: String,
+      path: String, tokenizerId: String = "ws",
+      batchId: Option[String] = None): Unit = {
+    val spark = forgotten.sparkSession
+    requireBigramMeta(spark, path, tokenizerId, "retract")
+    LedgerGuard.advanceInPlace(spark, path, "bigram-ledger retraction",
+      batchId) { staging =>
+      val merged = LedgerGuard.readLedger(spark, path)
+        .unionByName(bigramCounts(forgotten, textCol)
+          .withColumn("n", -col("n")))
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("n")).as("n"))
+        .localCheckpoint() // one computation: the guard and the write
+      val neg = merged.filter(col("n") < 0).limit(1).collect()
+      if (neg.nonEmpty)
+        throw new IllegalArgumentException(
+          s"bigram-ledger retraction at $path: bigram (${neg.head.get(0)}, " +
+            s"${neg.head.get(1)}) would go negative — the forgotten rows " +
+            "were never admitted (or already retracted, or tokenized " +
+            "differently); retraction must subtract exactly what was added")
+      merged.filter(col("n") > 0).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Compact the bigram ledger IN PLACE: re-sum accreted duplicate
+    * `(w1, w2)` rows and rewrite small files keyed for pruning.
+    */
+  def compactBigramLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "bigram-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path)
+      LayoutOps.writeSized(
+        led.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
+        staging, col("w1"), targetFiles, maxRecordsPerFile)
+    }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-like it is, `log w(x) = Σ_f count_f(x) ·

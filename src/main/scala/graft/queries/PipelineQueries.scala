@@ -3514,6 +3514,87 @@ object PipelineQueries {
         .orderBy("threshold", "b", "r")
     },
 
+    // ---------------------------------------------------------------- bigram-LM ledger (language model at rest)
+    // d34's CCNet fluency signal with the corpus-wide count pass moved
+    // to rest: the (w1, w2, n) aggregate — tail rows included, so V
+    // rides along — lives in a ledger advanced per ingest batch; a
+    // probe batch scores in O(batch + model) with NO corpus re-read.
+    // The oracle re-derives c2/c1/V from scratch over all documents
+    // and scores the same probe slice — blind to the two-generation
+    // write/advance/replay/compact cycle — so the hash match proves
+    // the at-rest LM equals the from-scratch pass.
+    q("d90_bigram_ledger_score",
+      """WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |  FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(l) AS tok FROM lst)),
+        |scored AS (
+        |  SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+        |  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |  WHERE p.doc_id % 7 = 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d90_lm_$tag")
+      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
+      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "text", path, batchId = Some("gen-2"))
+      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "text", path, batchId = Some("gen-2")) // replay: no-op
+      CurationOps.compactBigramLedger(s, path, targetFiles = 2)
+      CurationOps.bigramScoreFromLedger(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("n_bigrams"),
+          Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
+    // the right-to-be-forgotten face of the at-rest LM: retraction by
+    // exact count subtraction (a fully-departed token shrinks V too).
+    // The oracle recomputes the LM from scratch over admitted −
+    // forgotten documents and scores the surviving probe slice — the
+    // hash match proves subtraction ≡ never-having-admitted.
+    q("d91_bigram_ledger_forget",
+      """WITH kept AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM kept),
+        |big AS (
+        |  SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |  FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(l) AS tok FROM lst)),
+        |scored AS (
+        |  SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+        |  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |  WHERE p.doc_id % 7 = 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d91_lm_$tag")
+      CurationOps.writeBigramLedger(docs, "text", path)
+      CurationOps.retractFromBigramLedger(docs.filter(col("doc_id") % 3 === 0),
+        "text", path, batchId = Some("purge-1"))
+      CurationOps.bigramScoreFromLedger(
+        docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("n_bigrams"),
+          Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -541,6 +541,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(eR.getMessage.contains("negative"), eR.getMessage)
   }
 
+  test("bigram-LM ledger: at-rest score == from-scratch, replay, smoothing, tokenizer guard, retraction") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bigram").toString + "/ledger"
+    // seed + batch chosen so the batch introduces new bigrams, repeats
+    // seed bigrams, and carries a single-token doc (tail-row-only: it
+    // must still count toward V — the d34 invariant)
+    val seed = Seq((1L, "a b a b c"), (2L, "c a"), (3L, "q")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "b c a"), (5L, "z")).toDF("doc_id", "text")
+    val all = seed.unionByName(b1)
+    CurationOps.writeBigramLedger(seed, "text", path)
+    CurationOps.advanceBigramLedger(b1, "text", path, batchId = Some("b-1"))
+    CurationOps.advanceBigramLedger(b1, "text", path, batchId = Some("b-1")) // replay: no-op
+    // ledger counts == one from-scratch pass over seed ∪ batch
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = CurationOps.bigramCounts(all, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && want.nonEmpty, s"$got != $want")
+    // scoring admitted docs from the ledger == bigramLmScore from scratch
+    CurationOps.compactBigramLedger(spark, path, targetFiles = 1)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Double)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9))).toMap
+    val atRest = scores(CurationOps.bigramScoreFromLedger(all, "doc_id", "text", path))
+    val scratch = scores(CurationOps.bigramLmScore(all, "doc_id", "text"))
+    assert(atRest == scratch && atRest.nonEmpty, s"$atRest != $scratch")
+    // un-admitted text scores via Laplace smoothing: unseen (w1,w2) with
+    // seen w1 → −ln(1/(c1(w1)+V)); wholly unseen w1 → −ln(1/V).
+    // V = distinct w1 over the ledger = {a,b,c,q,z} = 5; c1("a") = 2
+    // ("a b" ×2 in doc 1; the "a"→nothing tail rows are excluded from c1).
+    val novel = scores(CurationOps.bigramScoreFromLedger(
+      Seq((9L, "a zz"), (10L, "yy zz")).toDF("doc_id", "text"), "doc_id", "text", path))
+    assert(math.abs(novel(9L)._2 - math.log(2 + 5)) < 1e-9, novel.toString)
+    assert(math.abs(novel(10L)._2 - math.log(5)) < 1e-9, novel.toString)
+    // a drifted tokenizer tag fails loudly naming both sides
+    val e = intercept[IllegalArgumentException](
+      CurationOps.advanceBigramLedger(b1, "text", path, tokenizerId = "bpe-v2"))
+    assert(e.getMessage.contains("tokenizerId=ws") &&
+      e.getMessage.contains("tokenizerId=bpe-v2"), e.getMessage)
+    // retraction by subtraction: forget b1 → exactly the seed counts;
+    // z (b1-only token) leaves entirely, so V shrinks with it
+    CurationOps.retractFromBigramLedger(b1, "text", path)
+    val afterForget = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val seedOnly = CurationOps.bigramCounts(seed, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterForget == seedOnly, s"retraction drift: $afterForget != $seedOnly")
+    assert(!afterForget.keySet.exists(_._1 == "z"), "emptied w1 should leave the ledger")
+    // retracting never-admitted text fails loudly, ledger intact
+    val eR = intercept[IllegalArgumentException](
+      CurationOps.retractFromBigramLedger(Seq((99L, "zz qq")).toDF("doc_id", "text"), "text", path))
+    assert(eR.getMessage.contains("negative"), eR.getMessage)
+    assert(spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == seedOnly,
+      "failed retraction must not change the ledger")
+    // a probe without the sidecar fails loudly (scores under an unknown
+    // tokenization are incomparable)
+    new java.io.File(new java.io.File(path), "_GRAFT_BIGRAM_META").delete()
+    val e3 = intercept[IllegalStateException](
+      CurationOps.bigramScoreFromLedger(seed, "doc_id", "text", path))
+    assert(e3.getMessage.contains("BIGRAM_META"), e3.getMessage)
+    assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
+  }
+
   test("learnBpeMerges: equals the sequential Sennrich reference; ties break on (lhs, rhs); early stop") {
     // sequential reference: literal learn-BPE (pair counts over the
     // word-count table, argmax by (freq desc, lhs, rhs), left-to-right

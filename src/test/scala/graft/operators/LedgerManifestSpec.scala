@@ -250,6 +250,33 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tokenizerId=ws"), e.getMessage)
   }
 
+  test("bigram-LM ledger: manifest-mode write/advance/replay/retract/compact score equals plain (d90/d91 cycle)") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "c a"), (3L, "q")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "b c a"), (5L, "z")).toDF("doc_id", "text")
+    val probe = corpus.unionByName(Seq((9L, "a zz")).toDF("doc_id", "text"))
+    def cycle(path: String, manifested: Boolean): Set[(Long, Int, Double)] = {
+      CurationOps.writeBigramLedger(corpus, "text", path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      CurationOps.advanceBigramLedger(b2, "text", path, batchId = Some("g2"))
+      CurationOps.advanceBigramLedger(b2, "text", path, batchId = Some("g2")) // replay
+      CurationOps.retractFromBigramLedger( // forget an admitted document
+        Seq((5L, "z")).toDF("doc_id", "text"), "text", path, batchId = Some("rm1"))
+      CurationOps.compactBigramLedger(spark, path, targetFiles = 1)
+      CurationOps.bigramScoreFromLedger(probe, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    }
+    val plain = cycle(tmp("graft-bg-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-bg-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+    // the tokenizer sidecar rode through conversion, advances, the
+    // retraction and compaction: a drifted probe still fails loudly
+    val e = intercept[IllegalArgumentException](CurationOps.bigramScoreFromLedger(
+      probe, "doc_id", "text", maniPath, tokenizerId = "bpe-v2"))
+    assert(e.getMessage.contains("tokenizerId=ws"), e.getMessage)
+  }
+
   test("frame ledger: manifest-mode write/append/replay/forget/compact probe equals plain (m08/m09 cycle)") {
     val docs = Seq(
       (1L, "aaaaaaaabbbbbbbbccccccccdddddddd"),

@@ -573,6 +573,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram-ledger maintenance: per-microbatch advances equal the from-scratch LM") {
+    import spark.implicits._
+    // the streaming face of d90 — the corpus language model advanced
+    // per microbatch; counts are exact and mergeable, so both the
+    // ledger rows AND a probe's scores are bit-for-bit the from-scratch
+    // pass over everything admitted
+    val path = java.nio.file.Files.createTempDirectory("graft-bgstream").toString + "/led"
+    val seed = Seq((1L, "a b a b c"), (2L, "c a")).toDF("doc_id", "text")
+    val later = Seq(Seq((3L, "b c a")), Seq((4L, "z"), (5L, "a b q")))
+    graft.operators.CurationOps.writeBigramLedger(seed, "text", path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceBigramLedger(batch, "text", path,
+          batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val everything = seed.unionByName(later.flatten.toDF("doc_id", "text"))
+      val got = spark.read.parquet(path)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.operators.CurationOps.bigramCounts(everything, "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"$got != $want")
+      val atRest = graft.operators.CurationOps.bigramScoreFromLedger(
+          everything, "doc_id", "text", path)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val scratch = graft.operators.CurationOps.bigramLmScore(
+          everything, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(atRest.keySet == scratch.keySet &&
+        atRest.forall { case (k, (n, s)) =>
+          scratch(k)._1 == n && math.abs(scratch(k)._2 - s) < 1e-9 },
+        s"$atRest != $scratch")
+    } finally q.stop()
+  }
+
   test("streaming threshold sweep: summed per-microbatch bucket counts re-derive the batch curve") {
     import spark.implicits._
     import graft.operators.{MlOps, TextOps}
