@@ -277,6 +277,84 @@ object CurationOps {
         < col("keep_ppm"))
   }
 
+  /** Token-budget mixture plan — the per-source allocation table a
+    * data-mixing run is configured from: given `(key, n_tokens,
+    * weight)` rows, a total token budget, and a max-epochs cap,
+    * allocate `budget` across sources ∝ weight, capping any source at
+    * `maxEpochs × n_tokens` (re-seeing text beyond a few epochs stops
+    * helping — the constraint every published mixture balances against).
+    * Capping redistributes the surplus to the uncapped sources, which
+    * may cap others in turn: classic WATER-FILLING, solved here in
+    * closed form rather than by iteration. Sort sources by the level at
+    * which each would cap, `r = capacity/weight`; for a cut after sorted
+    * position i−1 the level is `λ = (B − Σ_{j<i} c_j)/(Σ_{j≥i} w_j)`,
+    * and the true λ* is the unique candidate lying in its own bracket
+    * `[r_{i−1}, r_i]` — one sorted prefix scan finds it, no loop. Then
+    * `alloc = min(λ*·w, c)`. If the budget exceeds total capacity the
+    * plan allocates every capacity and reports the shortfall instead of
+    * silently over-sampling.
+    *
+    * Scale shape: the plan table is MIXTURE-sized (#sources — tens, not
+    * billions), so the single-partition window over it is deliberate;
+    * the corpus-scale work (per-source token counts) happens upstream —
+    * at rest in the stats ledger, which is where [[d92]]'s conformance
+    * form reads it from, with zero corpus access at plan time.
+    *
+    * Cross-engine determinism: with integral weights and capacities
+    * (integer-valued doubles), every cumulative sum is exact, λ* is a
+    * single division, and `alloc` a single multiply — the plan is
+    * bit-identical across engines regardless of each engine's window
+    * internals. `maxEpochs` with a short binary expansion (2.0, 1.5,
+    * 2.5) keeps capacities integral-or-half-integral and preserves this.
+    */
+  def mixturePlan(sources: DataFrame, keyCol: String, tokensCol: String,
+      weightCol: String, budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val base = sources.select(col(keyCol).as("mix_key"),
+      col(tokensCol).cast("long").as("n_tokens"),
+      col(weightCol).cast("double").as("weight"))
+    // invalid weights would produce a plausible-looking but wrong plan
+    // (the pageRank lesson) — validate loudly; model-sized collect
+    val bad = base.filter(col("weight") <= 0 || col("weight").isNull ||
+      col("n_tokens") < 0 || col("n_tokens").isNull).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"mixturePlan: source '${bad.head.get(0)}' has n_tokens=" +
+          s"${bad.head.get(1)}, weight=${bad.head.get(2)} — weights must be " +
+          "> 0 and token counts >= 0 (drop or fix the row; a silently " +
+          "clamped weight would skew every other source's allocation)")
+    val byLevel = Window.orderBy(col("r"), col("mix_key"))
+    val prefix = byLevel.rowsBetween(Window.unboundedPreceding, -1)
+    val all = byLevel.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val b = lit(budgetTokens.toDouble)
+    val scanned = base
+      .withColumn("capacity", lit(maxEpochs) * col("n_tokens"))
+      .withColumn("r", col("capacity") / col("weight"))
+      .withColumn("__cumc", coalesce(sum(col("capacity")).over(prefix), lit(0.0)))
+      .withColumn("__cumw", coalesce(sum(col("weight")).over(prefix), lit(0.0)))
+      .withColumn("__totc", sum(col("capacity")).over(all))
+      .withColumn("__totw", sum(col("weight")).over(all))
+      .withColumn("__rprev", lag(col("r"), 1).over(byLevel))
+      .withColumn("__lam", (b - col("__cumc")) / (col("__totw") - col("__cumw")))
+    // λ*: the unique candidate bracketed by its neighbours (budget-poor
+    // mode only; budget-rich mode never reads it)
+    val lam = scanned.agg(
+      max(when(col("__lam") <= col("r") &&
+        (col("__rprev").isNull || col("__rprev") <= col("__lam")), col("__lam")))
+        .as("__lamstar"))
+    scanned.crossJoin(broadcast(lam)) // 1-row plan scalar
+      .withColumn("alloc_raw", when(col("__totc") <= b, col("capacity"))
+        .otherwise(least(col("__lamstar") * col("weight"), col("capacity"))))
+      .select(col("mix_key"), col("weight"), col("n_tokens"),
+        col("capacity").cast("long").as("capacity_tokens"),
+        col("alloc_raw"),
+        when(col("n_tokens") > 0, col("alloc_raw") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("epochs_raw"),
+        (col("alloc_raw") >= col("capacity")).cast("int").as("capped"),
+        greatest(b - col("__totc"), lit(0.0)).cast("long").as("budget_shortfall"))
+  }
+
   /** Passage-level exact deduplication (the chunk-dedup pass big
     * pipelines run to strip boilerplate repeated ACROSS documents that
     * document-level dedup can't see): split each document into

@@ -3595,6 +3595,75 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- mixture plan (token-budget water-filling)
+    // the per-source allocation table a data-mixing run is configured
+    // from: budget split ∝ weight with a max-epochs cap per source,
+    // capping redistributing surplus to the uncapped — water-filling,
+    // solved in closed form by one sorted prefix scan over the
+    // MIXTURE-sized table. Token counts come from the stats ledger
+    // (two generations), so plan time reads one model-sized store and
+    // never the corpus. The oracle re-derives counts from documents
+    // and replays the same closed form in SQL windows; with integral
+    // weights/capacities every intermediate is exact, so the plans
+    // hash-match bit-for-bit.
+    q("d92_mixture_plan",
+      """WITH tc AS (
+        |  SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT sum(n_tokens) * 4 // 5 AS budget FROM tc),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(CAST(substr(source, 4) AS INTEGER) % 7 + 1 AS DOUBLE) AS weight,
+        |        1.0 * n_tokens AS capacity
+        |      FROM tc),
+        |o AS (SELECT *, capacity / weight AS r FROM w),
+        |sc AS (SELECT o.*, CAST(budget AS DOUBLE) AS bud,
+        |        coalesce(sum(capacity) OVER win1, 0) AS cumc,
+        |        coalesce(sum(weight) OVER win1, 0) AS cumw,
+        |        sum(capacity) OVER () AS totc,
+        |        sum(weight) OVER () AS totw,
+        |        lag(r) OVER (ORDER BY r, source) AS rprev
+        |       FROM o, b
+        |       WINDOW win1 AS (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |lam AS (SELECT max(CASE WHEN (bud - cumc) / (totw - cumw) <= r
+        |                     AND (rprev IS NULL OR rprev <= (bud - cumc) / (totw - cumw))
+        |                THEN (bud - cumc) / (totw - cumw) END) AS lamstar FROM sc),
+        |p AS (SELECT sc.*, lamstar,
+        |        CASE WHEN totc <= bud THEN capacity
+        |             ELSE least(lamstar * weight, capacity) END AS alloc_raw
+        |      FROM sc, lam)
+        |SELECT source, weight, n_tokens,
+        |  CAST(capacity AS BIGINT) AS capacity_tokens,
+        |  round(alloc_raw, 4) AS alloc_tokens,
+        |  round(CASE WHEN n_tokens > 0 THEN alloc_raw / n_tokens ELSE 0.0 END, 6) AS epochs,
+        |  CAST(alloc_raw >= capacity AS INTEGER) AS capped,
+        |  CAST(greatest(bud - totc, 0) AS BIGINT) AS budget_shortfall
+        |FROM p ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val stP = Registry.scratchDir(s"/tmp/graft_conformance/d92_st_$tag")
+      CurationOps.writeStatsLedger(docs.filter(col("doc_id") % 10 < 6),
+        "source", "text", stP)
+      CurationOps.advanceStatsLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "source", "text", stP, batchId = Some("g2"))
+      // plan time: one model-sized at-rest read, zero corpus access;
+      // the budget scalar is a 1-row collect over the mixture-sized
+      // ledger (a plan-time driver constant, not a data loop)
+      val tok = graft.operators.LedgerGuard.readLedger(s, stP)
+        .select(col("source"), col("n_tokens"))
+      val budget = tok.agg(sum(col("n_tokens"))).first.getLong(0) * 4 / 5
+      val src = tok.withColumn("weight",
+        (substring(col("source"), 4, 8).cast("int") % 7 + 1).cast("double"))
+      CurationOps.mixturePlan(src, "source", "n_tokens", "weight",
+          budget, maxEpochs = 1.0)
+        .select(col("mix_key").as("source"), col("weight"), col("n_tokens"),
+          col("capacity_tokens"),
+          Qf.dround(col("alloc_raw"), 4).as("alloc_tokens"),
+          Qf.dround(col("epochs_raw"), 6).as("epochs"),
+          col("capped"), col("budget_shortfall"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

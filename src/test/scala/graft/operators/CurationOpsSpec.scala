@@ -604,6 +604,66 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("mixturePlan: closed-form water-filling equals the iterative reference; shortfall mode; weight guard") {
+    // iterative reference: raise λ until budget is spent, re-capping
+    // each round (the textbook fixed-point the closed form replaces)
+    def ref(rows: Seq[(String, Long, Double)], budget: Long, maxEpochs: Double)
+        : Map[String, Double] = {
+      val cap = rows.map { case (k, t, _) => k -> maxEpochs * t }.toMap
+      var capped = Set.empty[String]
+      var lam = 0.0
+      var changed = true
+      while (changed) {
+        val freeW = rows.filterNot(r => capped(r._1)).map(_._3).sum
+        val spent = capped.toSeq.map(cap).sum
+        lam = if (freeW == 0) 0.0 else (budget - spent) / freeW
+        val newly = rows.filterNot(r => capped(r._1))
+          .filter(r => lam * r._3 >= cap(r._1)).map(_._1).toSet
+        changed = newly.nonEmpty
+        capped ++= newly
+      }
+      rows.map { case (k, _, w) =>
+        k -> (if (capped(k)) cap(k) else lam * w) }.toMap
+    }
+    val rows = Seq(("a", 100L, 1.0), ("b", 50L, 5.0), ("c", 400L, 2.0),
+      ("d", 10L, 4.0), ("e", 0L, 1.0))
+    val df = rows.toDF("src", "toks", "w")
+    def plan(budget: Long, eps: Double): Map[String, (Double, Double, Int, Long)] =
+      CurationOps.mixturePlan(df, "src", "toks", "w", budget, eps)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(4), r.getDouble(5), r.getInt(6), r.getLong(7)))).toMap
+    // budget-poor: closed form == iterative reference, budget fully spent
+    for (budget <- Seq(0L, 100L, 300L, 500L, 900L); eps <- Seq(0.5, 2.0)) {
+      val got = plan(budget, eps)
+      val want = ref(rows, budget, eps)
+      val totalCap = rows.map(_._2 * eps).sum
+      rows.foreach { case (k, _, _) =>
+        assert(math.abs(got(k)._1 - math.min(want(k), rows.find(_._1 == k).get._2 * eps)) < 1e-6,
+          s"budget=$budget eps=$eps key=$k: ${got(k)._1} != ${want(k)}")
+      }
+      if (budget <= totalCap)
+        assert(math.abs(got.values.map(_._1).sum - budget) < 1e-6,
+          s"budget=$budget eps=$eps: plan must spend the whole budget, " +
+            s"spent ${got.values.map(_._1).sum}")
+    }
+    // zero-token source: alloc 0, epochs 0 (not NaN), capped
+    val g = plan(300L, 2.0)
+    assert(g("e")._1 == 0.0 && g("e")._2 == 0.0 && g("e")._3 == 1)
+    // budget-rich: every capacity allocated, shortfall reported
+    val rich = plan(5000L, 2.0)
+    assert(rich.values.forall(_._3 == 1))
+    assert(math.abs(rich.values.map(_._1).sum - 1120.0) < 1e-9) // Σ 2·toks
+    assert(rich.values.head._4 == 5000L - 1120L, rich.toString)
+    // a non-positive weight fails loudly naming the row (a clamped
+    // weight would silently skew every other source's allocation)
+    val e = intercept[IllegalArgumentException](
+      CurationOps.mixturePlan(
+        Seq(("a", 10L, 0.0)).toDF("src", "toks", "w"), "src", "toks", "w", 5L, 1.0)
+        .collect())
+    assert(e.getMessage.contains("'a'") && e.getMessage.contains("weight=0.0"),
+      e.getMessage)
+  }
+
   test("learnBpeMerges: equals the sequential Sennrich reference; ties break on (lhs, rhs); early stop") {
     // sequential reference: literal learn-BPE (pair counts over the
     // word-count table, argmax by (freq desc, lhs, rhs), left-to-right
