@@ -1245,6 +1245,87 @@ object CurationOps {
         (shiftleft(col("__b") + 1L, shift) - 1L).as("hi"))
   }
 
+  /** Distribution-DRIFT report between two at-rest quantile-histogram
+    * ledgers (two corpora, two ingest windows, or pre/post a pipeline
+    * change): per key, the Kolmogorov-Smirnov statistic (max CDF gap),
+    * total-variation distance (half the L1 gap of bucket masses), and
+    * the population stability index (Σ (pA−pB)·ln(pA/pB) over buckets
+    * occupied on BOTH sides, with the one-sided bucket count reported
+    * explicitly rather than hidden behind an ε-smoothing constant).
+    * The monitoring query every at-scale pipeline runs per ingest —
+    * and it reads two MODEL-sized stores, never a corpus: at 100 TB
+    * drift detection costs keys × occupied buckets, the d87 regime.
+    *
+    * Both ledgers must carry their `_GRAFT_QHIST_META` sidecar and
+    * agree on (shift, keyCol, valueCol) — histograms bucketed
+    * differently are incomparable, so a mismatch (or a missing
+    * sidecar) fails loudly naming both sides. Counts are re-summed
+    * defensively per (key, bucket) before comparing (accreted
+    * duplicate rows tolerated, the probe contract every family
+    * shares). KS and TV are exact cross-engine (integral cumulative
+    * sums, then single divisions); PSI's `ln` is libm-dependent in the
+    * last ulp — round it one digit coarser than the exact stats.
+    *
+    * A key with an empty side is maximal drift by definition: ks = tv
+    * = 1.0, psi null. Output: `(key, n_a, n_b, ks_raw, tv_raw,
+    * psi_raw, n_onesided)`.
+    */
+  def histogramDrift(spark: org.apache.spark.sql.SparkSession,
+      pathA: String, pathB: String): DataFrame = {
+    def meta(p: String): (Int, String, String) = readQhistMeta(spark, p)
+      .getOrElse(throw new IllegalStateException(
+        s"histogram drift: no _GRAFT_QHIST_META sidecar at $p — cannot " +
+          "verify the two ledgers bucket identically, and comparing " +
+          "differently-bucketed histograms returns plausible wrong drift; " +
+          "rebuild the ledger (or restore the sidecar)"))
+    val (sa, ka, va) = meta(pathA)
+    val (sb, kb, vb) = meta(pathB)
+    if ((sa, ka, va) != ((sb, kb, vb)))
+      throw new IllegalArgumentException(
+        s"histogram drift: $pathA was created with shift=$sa, keyCol=$ka, " +
+          s"valueCol=$va but $pathB with shift=$sb, keyCol=$kb, valueCol=$vb " +
+          "— histograms bucketed differently are incomparable")
+    def side(p: String, as: String): DataFrame =
+      LedgerGuard.readLedger(spark, p)
+        .groupBy(col(ka), col("qh_b")).agg(sum(col("qh_c")).as(as))
+    val u = side(pathA, "__ca").join(side(pathB, "__cb"),
+        Seq(ka, "qh_b"), "full_outer")
+      .select(col(ka), col("qh_b"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val byB = Window.partitionBy(col(ka)).orderBy(col("qh_b"))
+    val whole = Window.partitionBy(col(ka))
+    val denom = (n: Column) => when(n === 0, lit(null)).otherwise(n)
+    val s = u
+      .withColumn("__cuma", sum(col("__ca")).over(byB))
+      .withColumn("__cumb", sum(col("__cb")).over(byB))
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+      .withColumn("__fa", col("__cuma").cast("double") / denom(col("__na")))
+      .withColumn("__fb", col("__cumb").cast("double") / denom(col("__nb")))
+      .withColumn("__pa", col("__ca").cast("double") / denom(col("__na")))
+      .withColumn("__pb", col("__cb").cast("double") / denom(col("__nb")))
+    s.groupBy(col(ka))
+      .agg(
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__fa") - col("__fb"))).as("__ks"),
+        (lit(0.5) * sum(abs(col("__pa") - col("__pb")))).as("__tv"),
+        sum(when(col("__ca") > 0 && col("__cb") > 0,
+          (col("__pa") - col("__pb")) *
+            log((col("__ca").cast("double") * col("__nb")) /
+              (col("__cb").cast("double") * col("__na")))))
+          .as("psi_raw"),
+        sum(when((col("__ca") > 0) =!= (col("__cb") > 0), 1L)
+          .otherwise(0L)).as("n_onesided"))
+      .select(col(ka),
+        col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(col("__ks")).as("ks_raw"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(col("__tv")).as("tv_raw"),
+        col("psi_raw"), col("n_onesided"))
+  }
+
   /** Right-to-be-forgotten for the quantile ledger, by SUBTRACTION —
     * exact because bucket counts are mergeable in both directions. The
     * caller supplies the forgotten rows' (key, value) pairs (counts

@@ -3664,6 +3664,63 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------- distribution drift at rest
+    // the monitoring query every at-scale pipeline runs per ingest:
+    // KS / total-variation / PSI between two corpora's length
+    // distributions (here: pre/post a whitespace-normalization
+    // change), computed ENTIRELY from two at-rest quantile-histogram
+    // ledgers — keys × occupied buckets of work, zero corpus access
+    // at drift time. The oracle re-derives both histograms from
+    // documents and replays the same formulas in SQL windows, blind
+    // to ledger A's two-generation build cycle.
+    q("d93_histogram_drift",
+      """WITH a AS (SELECT source, length(text) // 16 AS qb, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |bb AS (SELECT source, length(replace(text, ' ', '')) // 16 AS qb, count(*) AS c
+        |       FROM documents GROUP BY 1, 2),
+        |u AS (SELECT coalesce(a.source, bb.source) AS source,
+        |        coalesce(a.qb, bb.qb) AS qb,
+        |        coalesce(a.c, 0) AS ca, coalesce(bb.c, 0) AS cb
+        |      FROM a FULL OUTER JOIN bb ON a.source = bb.source AND a.qb = bb.qb),
+        |s AS (SELECT *, sum(ca) OVER (PARTITION BY source ORDER BY qb) AS cuma,
+        |        sum(cb) OVER (PARTITION BY source ORDER BY qb) AS cumb,
+        |        sum(ca) OVER (PARTITION BY source) AS na,
+        |        sum(cb) OVER (PARTITION BY source) AS nb FROM u)
+        |SELECT source, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1.0
+        |    ELSE max(abs(CAST(cuma AS DOUBLE)/nullif(na,0) - CAST(cumb AS DOUBLE)/nullif(nb,0))) END, 6) AS ks,
+        |  round(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1.0
+        |    ELSE 0.5 * sum(abs(CAST(ca AS DOUBLE)/nullif(na,0) - CAST(cb AS DOUBLE)/nullif(nb,0))) END, 6) AS tv,
+        |  round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+        |    (CAST(ca AS DOUBLE)/nullif(na,0) - CAST(cb AS DOUBLE)/nullif(nb,0)) *
+        |    ln((CAST(ca AS DOUBLE) * nb) / (CAST(cb AS DOUBLE) * na)) END), 4) AS psi,
+        |  CAST(sum(CASE WHEN (ca > 0) <> (cb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_onesided
+        |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val pA = Registry.scratchDir(s"/tmp/graft_conformance/d93_a_$tag")
+      val pB = Registry.scratchDir(s"/tmp/graft_conformance/d93_b_$tag")
+      val lenA = docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      val lenB = docs.select(col("source"),
+        expr("length(replace(text, ' ', ''))").cast("long").as("len"))
+      // ledger A built across two generations (the at-rest realism);
+      // ledger B in one — drift compares the resulting stores only
+      CurationOps.writeQuantileLedger(lenA.filter(col("doc_id") % 10 < 6),
+        "source", "len", shift = 4, pA)
+      CurationOps.advanceQuantileLedger(lenA.filter(col("doc_id") % 10 >= 6),
+        "source", "len", 4, pA, batchId = Some("g2"))
+      CurationOps.writeQuantileLedger(lenB, "source", "len", shift = 4, pB)
+      CurationOps.histogramDrift(s, pA, pB)
+        .select(col("source"), col("n_a"), col("n_b"),
+          Qf.dround(col("ks_raw"), 6).as("ks"),
+          Qf.dround(col("tv_raw"), 6).as("tv"),
+          Qf.dround(col("psi_raw"), 4).as("psi"),
+          col("n_onesided"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -499,6 +499,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("histogramDrift: hand-computed KS/TV/PSI, zero self-drift, empty-side key, meta guards") {
+    val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val (pA, pB, pC, pD) = (root + "/a", root + "/b", root + "/c", root + "/d")
+    // A: key k — values 0,0,16,32 (buckets 0:2, 1:1, 2:1, n=4)
+    //    key only_a — one value (the empty-B-side case)
+    // B: key k — values 0,16,16,48,48,48 (buckets 0:1, 1:2, 3:3, n=6)
+    val a = Seq(("k", 0L), ("k", 0L), ("k", 16L), ("k", 32L), ("only_a", 5L))
+      .toDF("src", "v")
+    val b = Seq(("k", 0L), ("k", 16L), ("k", 16L), ("k", 48L), ("k", 48L),
+      ("k", 48L)).toDF("src", "v")
+    CurationOps.writeQuantileLedger(a, "src", "v", shift = 4, pA)
+    CurationOps.writeQuantileLedger(b, "src", "v", shift = 4, pB)
+    val got = CurationOps.histogramDrift(spark, pA, pB)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]), r.getLong(6)))).toMap
+    // hand computation for k: cumA/4 = .5, .75, 1, 1 ; cumB/6 = 1/6, .5, .5, 1
+    //   KS = max(1/3, 1/4, 1/2, 0) = 0.5
+    //   TV = .5·(|.5−1/6| + |.25−1/3| + |.25−0| + |0−.5|) = .5·(1/3+1/12+1/4+1/2) = 7/12
+    //   PSI over both-occupied buckets 0 and 1:
+    //     (.5−1/6)·ln(3) + (.25−1/3)·ln(.75) ; one-sided buckets: 2 and 3
+    val (na, nb, ks, tv, psi, oneSided) = got("k")
+    assert(na == 4 && nb == 6 && oneSided == 2)
+    assert(math.abs(ks - 0.5) < 1e-12, ks.toString)
+    assert(math.abs(tv - 7.0 / 12.0) < 1e-12, tv.toString)
+    val wantPsi = (0.5 - 1.0 / 6.0) * math.log(3.0) +
+      (0.25 - 1.0 / 3.0) * math.log(0.75)
+    assert(math.abs(psi.get - wantPsi) < 1e-12, psi.toString)
+    // a key missing on one side is maximal drift by definition
+    val (naO, nbO, ksO, tvO, psiO, _) = got("only_a")
+    assert(naO == 1 && nbO == 0 && ksO == 1.0 && tvO == 1.0 && psiO.isEmpty)
+    // a ledger against itself is zero drift everywhere
+    val self = CurationOps.histogramDrift(spark, pA, pA)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getLong(6)))
+    assert(self.forall { case (k2, t2, o2) => k2 == 0.0 && t2 == 0.0 && o2 == 0L })
+    // differently-bucketed ledgers fail loudly naming both sides
+    CurationOps.writeQuantileLedger(a, "src", "v", shift = 5, pC)
+    val e = intercept[IllegalArgumentException](
+      CurationOps.histogramDrift(spark, pA, pC))
+    assert(e.getMessage.contains("shift=4") && e.getMessage.contains("shift=5"),
+      e.getMessage)
+    // a missing sidecar refuses to guess
+    CurationOps.writeQuantileLedger(a, "src", "v", shift = 4, pD)
+    new java.io.File(new java.io.File(pD), "_GRAFT_QHIST_META").delete()
+    val e2 = intercept[IllegalStateException](
+      CurationOps.histogramDrift(spark, pA, pD))
+    assert(e2.getMessage.contains("QHIST_META"), e2.getMessage)
+  }
+
   test("vocab ledger: incremental == from-scratch counts, exact top-k probe, exactly-once replay, tokenizer guard") {
     val path = java.nio.file.Files.createTempDirectory("graft-vocab").toString + "/ledger"
     import graft.operators.{SketchOps, TextOps}
