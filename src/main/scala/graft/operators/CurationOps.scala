@@ -253,6 +253,48 @@ object CurationOps {
       })
   }
 
+  /** LEAKAGE-SAFE split assignment: route every member of a duplicate
+    * GROUP through the same train/val/test split. [[splitAssign]] hashes
+    * the document id, so two near-copies of one page can land on
+    * opposite sides of the train/test wall — the held-out set then
+    * contains (near-)training data and every evaluation on it is
+    * quietly inflated. This variant decides the split ONCE per group —
+    * by the group's canonical representative, `min(id)` — and every
+    * member inherits it. `keyCols` is whatever grouping the pipeline
+    * already has: the d05 content digest, a d17/d66 dedup-cluster
+    * label, a d57 canonical URL — any column(s) under which "same
+    * content" collapses.
+    *
+    * Determinism contract matches [[splitAssign]]: the rep's stable
+    * hash, fixed-point cut points — a group keeps its split as the
+    * corpus grows, across engines, partitionings and retries, PROVIDED
+    * ids are assigned monotonically (the usual case): `min(id)` is then
+    * fixed at the group's first admission. A backfilled smaller id
+    * would re-elect the rep and can flip the group's split — if ids
+    * are not monotone, pass a content-derived id instead. A NULL
+    * group key or NULL rep yields a NULL split (an unattributable row
+    * must never silently land in the held-out set).
+    *
+    * Scale shape: one partial-agg `groupBy(keyCols) → min(id)` (the
+    * group table is distinct-content-sized — NOT broadcastable at
+    * corpus scale) and one shuffle hash join back on the group key;
+    * the split expression evaluates once per GROUP, not per row.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, keyCols: Seq[String],
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name at least one group column")
+    val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val reps = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__rep"))
+      .select(keyCols.map(k => col(k).as(s"__k_$k")) :+
+        when(keyIsNull, lit(null).cast("string"))
+          .otherwise(splitAssign(col("__rep"), splits, salt)).as("split"): _*)
+    // null-SAFE join: a NULL-keyed row must come back (with its NULL
+    // split), not silently vanish from the corpus
+    val cond = keyCols.map(k => df(k) <=> reps(s"__k_$k")).reduce(_ && _)
+    df.join(reps, cond).drop(keyCols.map(k => s"__k_$k"): _*)
+  }
+
   /** Token-budget corpus mixing: downsample each source to (at most) a
     * token budget, deterministically. Per-source keep rates derive from
     * per-source token totals — a model-sized aggregate broadcast back —

@@ -3721,6 +3721,38 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------- leakage-safe split
+    // d42's stable split decides per-document — two near-copies of one
+    // page can straddle the train/test wall and quietly inflate every
+    // evaluation. Here the split is decided ONCE per duplicate family
+    // (by the family's min-id representative) and members inherit it;
+    // the family key is whatever grouping the pipeline already has
+    // (content digest, d17/d66 cluster label, canonical URL — this
+    // fixture uses a shared 3-token prefix). The oracle re-derives
+    // families + rep hashes in SQL — a Spark-side grouping drift would
+    // change reps and hash-mismatch.
+    q("d94_leakage_safe_split", {
+      val h = s"${sqlHash("CAST(rep AS VARCHAR)", "split")} % 1000000"
+      s"""WITH k AS (SELECT doc_id,
+         |  array_to_string(list_slice(string_split(trim(text), ' '), 1, 3), ' ') AS fam
+         |  FROM documents),
+         |g AS (SELECT fam, min(doc_id) AS rep FROM k GROUP BY 1)
+         |SELECT k.doc_id,
+         |  CASE WHEN $h < 800000 THEN 'train'
+         |       WHEN $h < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k JOIN g USING (fam) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.CurationOps
+      val fam = expr("array_join(slice(split(trim(text), ' '), 1, 3), ' ')")
+      CurationOps.leakageSafeSplit(
+        table(s, dir, "documents").withColumn("fam", fam),
+        "doc_id", Seq("fam"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -653,6 +653,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("leakageSafeSplit: members inherit the rep's split; growth-stable under monotone ids; NULL key isolated") {
+    val docs = Seq((1L, "g1"), (2L, "g1"), (7L, "g2"), (3L, "g1"), (9L, "g2"),
+      (11L, null.asInstanceOf[String])).toDF("id", "fam")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = CurationOps.leakageSafeSplit(docs, "id", Seq("fam"), splits)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // every member of a family shares one split — and it is exactly the
+    // REP's per-document split (the d42 function applied to min(id))
+    def solo(id: Long) = Seq((id, "x")).toDF("id", "fam")
+      .select(CurationOps.splitAssign(col("id"), splits)).collect().head.getString(0)
+    assert(got(1L) == got(2L) && got(2L) == got(3L) && got(1L).contains(solo(1L)))
+    assert(got(7L) == got(9L) && got(7L).contains(solo(7L)))
+    // growing the corpus with LARGER ids never moves an existing group
+    val grown = CurationOps.leakageSafeSplit(
+      docs.unionByName(Seq((20L, "g1"), (21L, "g3")).toDF("id", "fam")),
+      "id", Seq("fam"), splits)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(Seq(1L, 2L, 3L, 7L, 9L).forall(i => grown(i) == got(i)))
+    assert(grown(20L) == got(1L), "a new member inherits its family's split")
+    // a NULL family key survives the (null-safe) join and gets a NULL
+    // split — an unattributable row must neither vanish from the
+    // corpus nor silently land in the held-out set
+    assert(got.contains(11L) && got(11L).isEmpty, got.toString)
+  }
+
   test("mixturePlan: closed-form water-filling equals the iterative reference; shortfall mode; weight guard") {
     // iterative reference: raise λ until budget is spent, re-capping
     // each round (the textbook fixed-point the closed form replaces)
