@@ -127,6 +127,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WordPieceEncode(es(0), stringSeqArg(es(1), "wordpiece_encode"))))
     ext.injectFunction((FunctionIdentifier("repair_mojibake"), info("repair_mojibake"),
       (es: Seq[Expression]) => graft.functions.RepairMojibake(es(0))))
+    ext.injectFunction((FunctionIdentifier("deflated_size"), info("deflated_size"),
+      (es: Seq[Expression]) => graft.functions.DeflatedSize(es(0))))
     // bpe_encode(text, ARRAY('lhs rhs', ...)) — each merge as one
     // "lhs rhs" string, split at the FIRST space (unambiguous: symbols
     // come from space-split words, so a lhs never contains a space)

@@ -88,6 +88,25 @@ object TextOps {
     when(n > 0, -sumPlogP / log(lit(2.0))).otherwise(lit(null).cast("double"))
   }
 
+  /** Compression-ratio quality signal: `deflate(utf8(text)).length /
+    * utf8(text).length` — [[byteEntropy]]'s stronger sibling (entropy
+    * sees only the byte histogram; deflate sees REPETITION, the thing
+    * boilerplate and spam actually have). Natural language sits in a
+    * band; both tails gate (too compressible = template/spam, ~1.0 =
+    * noise/binary junk). Per-row codegen kernel, zero shuffle; empty
+    * text → null (a ratio of nothing is undefined, and deflate's fixed
+    * ~5-byte empty-stream overhead would otherwise fabricate a huge
+    * ratio). Deterministic per JDK zlib build — a filter threshold,
+    * NOT a cross-engine-stable value (no SQL oracle; gated in spec by
+    * inflate-round-trip losslessness + band separation).
+    */
+  def compressionRatio(text: Column): Column = {
+    val n = octet_length(text).cast("double")
+    when(n > 0,
+      graft.functions.CompressionExpression.deflatedSize(text).cast("double") / n)
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** Fused one-pass counters (n_tokens, n_stop, n_chars_nospace). */
   private def stats(text: Column, stopwords: Seq[String]): Column =
     graft.functions.TextStatsExpression.textStats(text, stopwords)

@@ -3753,6 +3753,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- compression-ratio quality signal
+    // deflate-ratio filtering (the RedPajama-v2-class signal):
+    // byteEntropy sees only the byte histogram; deflate sees
+    // REPETITION, which is what boilerplate/spam actually have. No SQL
+    // oracle (DuckDB has no zlib surface and the value is
+    // deterministic-per-zlib-build, not cross-engine) → rows-only +
+    // the AccuracySpec gate: inflate∘deflate losslessness on 2000
+    // ScalaCheck strings, repetitive ≪ prose ≪ high-entropy band
+    // separation, empty→null, partitioning invariance.
+    q("d95_compression_ratio", null) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.functions.CompressionExpression.deflatedSize(col("text"))
+            .as("deflated_bytes"),
+          octet_length(col("text")).cast("long").as("raw_bytes"),
+          Qf.dround(TextOps.compressionRatio(col("text")), 4).as("ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

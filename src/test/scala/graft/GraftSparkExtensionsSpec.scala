@@ -127,6 +127,16 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scr = spark.sql(
       "SELECT scrub_spans('a b c d e', merge_spans(array(1, 2), 2)) AS s").head().getStruct(0)
     assert(scr.getAs[String]("clean_text") == "a e" && scr.getAs[Long]("n_removed") == 3L)
+
+    // deflated_size: the SQL name builds the same kernel as the Column API
+    val ds = spark.sql("SELECT deflated_size('click here to win now ' || repeat('click here to win now ', 59)) AS n")
+      .head().getLong(0)
+    val dsApi = spark.range(1)
+      .select(graft.functions.CompressionExpression.deflatedSize(
+        org.apache.spark.sql.functions.lit("click here to win now " * 60)))
+      .head().getLong(0)
+    assert(ds == dsApi && ds > 0 && ds < 22 * 60 / 10,
+      s"template text should crush: $ds") // ratio well under 0.1
   }
 
   test("frame_dedup table function builds the m06 pair plan over an at-rest corpus") {

@@ -430,4 +430,51 @@ class AccuracySpec extends AnyFunSuite {
       assert(err <= 0.01, f"group ${r.getString(0)}: approx=$a exact=$e rel.err=$err%.4f > 1%%")
     }
   }
+
+  test("d95 gate: deflate ratio — inflate∘deflate lossless over 2000 cases, band separation, empty→null, partitioning-invariant") {
+    import spark.implicits._
+    import graft.functions.DeflateUtil
+    import org.scalacheck.{Gen, Prop}
+    // losslessness: the size the filter keys on is the size of a stream
+    // that provably reconstructs the input byte-for-byte
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.oneOf("é日", "über straße", " ", "\n", "spam spam ", " ")))
+      .map(_.mkString)
+    val prop = Prop.forAll(gen) { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.equals(DeflateUtil.inflate(DeflateUtil.deflate(b)), b)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+    // band separation: template spam ≪ varied prose ≪ hash-chain noise
+    val repetitive = "click here to win now " * 60
+    val prose = (1 to 30).map(i =>
+      s"paragraph $i ponders a ${i * 37 % 97} percent chance of ${i * i} outcomes " +
+        s"under clause ${i * 13 % 41} of section $i").mkString(". ")
+    val noise = Iterator.iterate("seed")(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString).drop(1).take(40).mkString
+    val got = Seq(("rep", repetitive), ("prose", prose), ("noise", noise))
+      .toDF("k", "t")
+      .select(col("k"), TextOps.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rep") < 0.10, s"template text should crush: ${got("rep")}")
+    assert(got("rep") < got("prose") && got("prose") < got("noise"),
+      got.toString)
+    assert(got("noise") > 0.5, s"hash-chain hex should resist: ${got("noise")}")
+    // empty and null → null (no fabricated ratio from the fixed
+    // empty-stream overhead)
+    val edge = Seq(Some(""), Option.empty[String]).toDF("t")
+      .select(TextOps.compressionRatio(col("t"))).collect()
+    assert(edge.forall(_.isNullAt(0)), edge.mkString(","))
+    // the value is a pure per-row function: partitioning cannot move it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def dump(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"),
+          graft.functions.CompressionExpression.deflatedSize(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dump(docs.repartition(7)) == dump(docs.coalesce(1)))
+  }
 }
