@@ -35,6 +35,69 @@ object Md5Util {
     ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
       ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
   }
+
+  /** First 60 md5 bits (15 hex digits) as an always-positive long —
+    * bit-identical to SQL `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`
+    * (7 full bytes, then the high nibble of byte 7), the widest md5
+    * prefix both engines parse into a signed 64-bit integer without
+    * sign games. Token-hash width for the 60-bit SimHash family.
+    */
+  def hash60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val out = d.digest(s.getBytes)
+    hash60OfDigest(out)
+  }
+
+  private def hash60OfDigest(out: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    (v << 4) | ((out(7) & 0xffL) >>> 4)
+  }
+
+  /** Fused per-document 60-bit SimHash: ONE byte walk over the trimmed
+    * text, md5 per whitespace token (the thread-local digest), ±1
+    * bit-sums in a local array, sign `> 0` fold — bit-identical to
+    * `explode(tokens) → md5Hash60 → 60 sum aggregates → sign` (the
+    * composable form unit-pins the parity) with no explode, no 60-wide
+    * aggregation, no shuffle: simhash is a pure per-row function, and
+    * this kernel keeps it one. Tokenization matches `TextOps.tokens`
+    * exactly: `split(trim(text), ' ')` — single-space separators,
+    * empty tokens between consecutive spaces INCLUDED, all-space text
+    * yields the single empty token.
+    */
+  def simHash60(s: UTF8String): Long = {
+    val d = md.get()
+    // UTF8String.trim() strips 0x20 only — exactly functions.trim's
+    // StringTrim, so the kernel tokenizes precisely TextOps.tokens' list
+    val bytes = s.trim().getBytes
+    val n = bytes.length
+    val sums = new Array[Int](60)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        d.reset()
+        d.update(bytes, start, i - start)
+        val th = hash60OfDigest(d.digest())
+        var j = 0
+        while (j < 60) {
+          if (((th >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (sums(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
 }
 
 object ShingleUtil {
@@ -186,6 +249,38 @@ final case class Md5Hash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.hash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+final case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+final case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.simHash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.simHash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -790,6 +790,110 @@ object DedupOps {
         greatest(col("__m1"), col("__m2")).as("d2"), col("hamming"))
   }
 
+  /** 60-bit SimHash over whitespace tokens — the production-width
+    * sibling of [[simHash16Df]] (Charikar 2002 / Manku et al. 2007 use
+    * 64; 60 = the widest md5 prefix both engines parse into a signed
+    * long, so the conformance oracle can re-derive every bit). ONE
+    * fused per-row kernel (`Md5Util.simHash60`: byte walk + per-token
+    * md5 + 60 local bit-sums + sign `> 0` fold) — simhash is a pure
+    * function of the document, so no explode, no 60-wide aggregation,
+    * NO SHUFFLE; at 100 TB the signature pass is exactly one corpus
+    * scan. [[simHash60AggDf]] is the composable explode/agg form the
+    * spec pins the kernel against, bit for bit. Pair generation
+    * belongs to [[hammingPairs]] — which, at this width, can afford
+    * Manku's COMPLETE multi-block banding instead of the 16-bit toy's
+    * single-band recall trade.
+    */
+  def simHash60Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    df.select(col(idCol), GraftSqlShims.column(graft.functions.SimHash60(
+      GraftSqlShims.expression(col(textCol)))).as("simhash"))
+  }
+
+  /** The composable reference form of [[simHash60Df]] (explode + 60
+    * map-side partial sums): same rows, kept as the parity witness the
+    * unit spec checks the fused kernel against.
+    */
+  private[graft] def simHash60AggDf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val aggs = (0 until 60).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"__b$j"))
+    val bitSums = df
+      .select(col(idCol),
+        explode(transform(TextOps.tokens(col(textCol)), t => md5Hash60(t))).as("__h"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val combined = (0 until 60).map(j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    bitSums.select(col(idCol), combined.as("simhash"))
+  }
+
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    GraftSqlShims.column(graft.functions.Md5Hash60(GraftSqlShims.expression(c)))
+  }
+
+  /** COMPLETE Hamming-distance self-join over any ≤63-bit fingerprint
+    * column (SimHash60, aHash64-folded, any bit sketch): all pairs with
+    * `bit_count(a XOR b) <= maxHamming`, found by Manku et al. 2007's
+    * multi-block pigeonhole — partition the `bits` positions into
+    * `maxHamming + 1` near-equal disjoint blocks; a pair within the
+    * distance budget cannot differ in every block, so it MUST collide
+    * on at least one block's equi-join. Unlike [[simHashPairs]]'
+    * single-band trade this misses nothing: candidates ⊇ true pairs,
+    * and the exact `bit_count` rescore keeps precision 1 — the output
+    * is exactly the brute-force O(n²) join's, at banded cost.
+    *
+    * Scale shape: the join runs over one representative per DISTINCT
+    * hash (the d10/d12 collapse — within-group pairs are Hamming 0 by
+    * identity and bypass the join); each distinct hash emits
+    * `maxHamming + 1` block rows, block joins shuffle on the 12-byte
+    * (block, value) key, and a pair colliding in several blocks is
+    * deduped BEFORE the members expand. Hot blocks mean hashes sharing
+    * a block value — at web scale that is the near-dup mass itself, and
+    * the exact rescore bounds the damage to candidate volume (pick
+    * `maxHamming` so block width stays ≥ ~6 bits; width < 4 turns a
+    * block into a 16-bucket hot join, the documented ceiling).
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming for $bits bits")
+    val blocks = maxHamming + 1
+    val h = hashes.select(col(idCol), col(hashCol).as("__hash"))
+    val groups = h.groupBy(col("__hash")).agg(count(lit(1)).as("__size"))
+    // near-equal disjoint blocks: block i covers
+    // [⌊i·bits/blocks⌋, ⌊(i+1)·bits/blocks⌋) — every block nonempty
+    val blockStructs = (0 until blocks).map { i =>
+      val lo = i * bits / blocks
+      val hi = (i + 1) * bits / blocks
+      struct(lit(i).as("bi"),
+        shiftright(col("__hash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+    }
+    val banded = groups.select(col("__hash"),
+        explode(array(blockStructs: _*)).as("__blk"))
+      .select(col("__hash"), col("__blk.bi").as("__bi"), col("__blk.bv").as("__bv"))
+    val edges = banded.select(col("__hash").as("__ha"), col("__bi"), col("__bv"))
+      .join(banded.select(col("__hash").as("__hb"), col("__bi"), col("__bv")),
+        Seq("__bi", "__bv"))
+      .filter(col("__ha") < col("__hb"))
+      .select(col("__ha"), col("__hb")).dropDuplicates() // multi-block collisions
+      .select(col("__ha"), col("__hb"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .unionByName(groups.filter(col("__size") >= 2)
+        .select(col("__hash").as("__ha"), col("__hash").as("__hb"),
+          lit(0).as("hamming")))
+    edges
+      .join(h.select(col("__hash").as("__ha"), col(idCol).as("__m1")), "__ha")
+      .join(h.select(col("__hash").as("__hb"), col(idCol).as("__m2")), "__hb")
+      .filter(col("__ha") =!= col("__hb") || col("__m1") < col("__m2"))
+      .select(least(col("__m1"), col("__m2")).as("d1"),
+        greatest(col("__m1"), col("__m2")).as("d2"), col("hamming"))
+  }
+
   def simHash16Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val aggs = (0 until 16).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))

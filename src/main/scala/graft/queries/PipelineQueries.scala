@@ -3772,6 +3772,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- 60-bit SimHash + complete Hamming join
+    // the production-width simhash family: d09/d12's 16-bit form trades
+    // recall for bucket size (single high band); at 60 bits Manku's
+    // multi-block pigeonhole is affordable and COMPLETE — candidates ⊇
+    // true pairs, exact bit_count rescore, so the banded join's output
+    // IS the brute-force join's. The oracle is that brute force: it
+    // re-derives every simhash bit from the tokens (md5-prefix token
+    // hashes, sign > 0) and compares all O(n²) distinct pairs — any
+    // banding recall loss would drop rows and hash-mismatch.
+    q("d96_simhash60_pairs",
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM t),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (th >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(60) r(j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import graft.operators.DedupOps
+      DedupOps.hammingPairs(
+        DedupOps.simHash60Df(table(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 6, bits = 60)
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -2047,4 +2047,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined(1L) == Some("www.example.com"))
     assert(joined(2L) == Some("unknown.tld"))
   }
+
+  test("fused SimHash60 kernel == explode/60-agg reference, incl. tokenization edges and md5Hash60 prefix parity") {
+    val awkward = Seq("", " ", "   ", "a", " a ", "a  b", "  a b  c ", "a b",
+      "x y x y x y x y", "über straße — ümlaut über straße",
+      "日本 語 日本 語 日本", "a a a a a a a a a a", "tab\tis one token",
+      "one two three four five six seven eight nine ten")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = awkward.toDF("id", "t")
+    val fused = DedupOps.simHash60Df(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = DedupOps.simHash60AggDf(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == ref && fused.values.forall(v => v >= 0 && v < (1L << 60)),
+      s"$fused != $ref")
+    // md5Hash60 == the SQL '0x'||substr(md5, 1, 15) parse it mirrors
+    val viaSql = df.selectExpr(
+      "id", "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = df.select(col("id"), DedupOps.md5Hash60(col("t")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaKernel)
+  }
+
+  test("hammingPairs: multi-block banding equals brute force across widths, thresholds, duplicates") {
+    // seeded clustered fixture: cluster centers + members within a few
+    // flipped bits, plus exact duplicates (the within-group arm) and
+    // far-away noise — every regime the pigeonhole must cover
+    def fixture(seed: Int, bits: Int, n: Int): Seq[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      val mask = if (bits == 63) -1L >>> 1 else (1L << bits) - 1
+      val centers = Seq.fill(5)(rnd.nextLong() & mask)
+      (0 until n).map { i =>
+        val h =
+          if (i % 7 == 0) centers(i % 5) // exact duplicate of a center
+          else if (i % 2 == 0) { // near a center: flip 1..8 random bits
+            var v = centers(i % 5)
+            (0 until 1 + rnd.nextInt(8)).foreach(_ => v ^= 1L << rnd.nextInt(bits))
+            v & mask
+          } else rnd.nextLong() & mask // noise
+        (i.toLong, h)
+      }
+    }
+    def brute(rows: Seq[(Long, Long)], maxH: Int): Set[(Long, Long, Int)] =
+      (for {
+        (i1, h1) <- rows; (i2, h2) <- rows if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= maxH
+      } yield (i1, i2, d)).toSet
+    for ((bits, maxH, seed) <- Seq((60, 6, 1), (60, 11, 2), (63, 3, 3),
+        (16, 6, 4), (8, 2, 5))) {
+      val rows = fixture(seed, bits, 120)
+      val got = DedupOps.hammingPairs(rows.toDF("id", "h"), "id", "h", maxH, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = brute(rows, maxH)
+      assert(got == want && want.nonEmpty,
+        s"bits=$bits maxH=$maxH: got ${got.size}, want ${want.size}; " +
+          s"missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+    }
+    // guards: width/threshold domains
+    intercept[IllegalArgumentException](DedupOps.hammingPairs(
+      Seq((1L, 1L)).toDF("id", "h"), "id", "h", maxHamming = 60, bits = 60))
+    intercept[IllegalArgumentException](DedupOps.hammingPairs(
+      Seq((1L, 1L)).toDF("id", "h"), "id", "h", maxHamming = 1, bits = 64))
+  }
 }
