@@ -129,6 +129,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.RepairMojibake(es(0))))
     ext.injectFunction((FunctionIdentifier("deflated_size"), info("deflated_size"),
       (es: Seq[Expression]) => graft.functions.DeflatedSize(es(0))))
+    ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
+      (es: Seq[Expression]) => graft.functions.SimHash60(es(0))))
     // bpe_encode(text, ARRAY('lhs rhs', ...)) — each merge as one
     // "lhs rhs" string, split at the FIRST space (unambiguous: symbols
     // come from space-split words, so a lhs never contains a space)

@@ -855,6 +855,13 @@ object DedupOps {
     * the exact rescore bounds the damage to candidate volume (pick
     * `maxHamming` so block width stays ≥ ~6 bits; width < 4 turns a
     * block into a 16-bucket hot join, the documented ceiling).
+    *
+    * Full 64-bit fingerprints (aHash): pass `bits = 63` — banding on
+    * the low 63 positions stays COMPLETE for 64-bit Hamming, because a
+    * pair within budget has ≤ maxHamming differing bits in the banded
+    * subset too (uncovered positions only SHRINK the covered count),
+    * so some block is still clean; the `bit_count` rescore and the
+    * distinct-hash collapse see all 64 bits either way.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, bits: Int = 60): DataFrame = {

@@ -4094,6 +4094,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- image near-dup pairs
+    // the image modality's pair query: m07's perceptual hash feeding
+    // d96's COMPLETE Hamming join (64-bit aHash banded on its low 63
+    // bits — still complete, see hammingPairs' doc). maxHamming = 8 is
+    // m07's pinned codec/scale-invariance budget, so re-encodes of one
+    // image always pair. 64 distinct gradients (not m07's 8) keep the
+    // fixture's copy depth realistic — near-dup pair output is
+    // quadratic in copies per image by SEMANTICS, and 8 images ×
+    // thousands of copies measures that blowup, not the operator. No
+    // SQL oracle (the oracle can't decode images) → rows-only + the
+    // m10 gate: pairs ≡ brute force over real decoded aHashes.
+    q("m10_image_neardup", null) { (s, dir) =>
+      // format keyed by DOC (not image): every gradient circulates as
+      // both PNG and JPEG, so cross-codec re-encodes of one picture —
+      // the pairs the 8-bit budget exists for — are really in the data
+      val gen = udf((m: Long, f: String) =>
+        MultimodalOps.syntheticGradientImageCached(m, 32, 24, f))
+      val imgs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 64,
+          when(col("doc_id") % 2 === 0, "png").otherwise("jpg")).as("img"))
+      graft.operators.DedupOps.hammingPairs(
+        MultimodalOps.aHashPartitioned(imgs, "img"),
+        "doc_id", "ahash", maxHamming = 8, bits = 63)
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- n-gram novelty
     // the memorization-risk / content-originality metric: what fraction
     // of a document's 3-gram occurrences appear in NO other document

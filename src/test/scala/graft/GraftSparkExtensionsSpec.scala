@@ -128,6 +128,14 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT scrub_spans('a b c d e', merge_spans(array(1, 2), 2)) AS s").head().getStruct(0)
     assert(scr.getAs[String]("clean_text") == "a e" && scr.getAs[Long]("n_removed") == 3L)
 
+    // simhash60: the SQL name builds the same fused kernel
+    val sh = spark.sql("SELECT simhash60('a b a b c') AS h").head().getLong(0)
+    val shApi = spark.range(1).toDF("x").withColumn("t",
+        org.apache.spark.sql.functions.lit("a b a b c"))
+      .transform(d => graft.operators.DedupOps.simHash60Df(d, "x", "t"))
+      .head().getLong(1)
+    assert(sh == shApi && sh >= 0 && sh < (1L << 60))
+
     // deflated_size: the SQL name builds the same kernel as the Column API
     val ds = spark.sql("SELECT deflated_size('click here to win now ' || repeat('click here to win now ', 59)) AS n")
       .head().getLong(0)

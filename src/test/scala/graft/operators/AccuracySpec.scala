@@ -371,6 +371,35 @@ class AccuracySpec extends AnyFunSuite {
     assert(minSep >= 4, s"closest distinct-content pair only $minSep bits apart")
   }
 
+  test("m10 gate: image near-dup pairs ≡ brute force over the fixture's real aHashes (64-bit, 63-bit banding)") {
+    import spark.implicits._
+    import graft.operators.{DedupOps, MultimodalOps}
+    // the m10 fixture's actual hash multiset: 40 docs over the 8
+    // synthetic gradients, PNG/JPEG mixed — real decode, real hash
+    val rows = (0L until 40L).map { id =>
+      val m = id % 8
+      (id, MultimodalOps.aHash64(MultimodalOps.syntheticGradientImage(
+        m, 32, 24, if (m % 2 == 0) "png" else "jpg")))
+    }
+    val got = DedupOps.hammingPairs(rows.toDF("id", "h"), "id", "h",
+        maxHamming = 8, bits = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (i1, h1) <- rows; (i2, h2) <- rows if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 8
+    } yield (i1, i2, d)).toSet
+    assert(got == want && want.nonEmpty,
+      s"got ${got.size}, want ${want.size}")
+    // every same-image pair is present (the codec-invariance budget
+    // means identical source → Hamming 0 here, same bytes per m)
+    val sameImage = (for {
+      (i1, m1) <- rows.map(r => r._1 -> r._1 % 8)
+      (i2, m2) <- rows.map(r => r._1 -> r._1 % 8) if i1 < i2 && m1 == m2
+    } yield (i1, i2)).toSet
+    assert(sameImage.forall(p => got.exists(g => (g._1, g._2) == p)),
+      "a same-image pair is missing")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would

@@ -612,6 +612,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-microbatch quantile-ledger advances give the from-scratch drift vs a reference") {
+    import spark.implicits._
+    // the streaming face of d93: the live ingest window's histogram
+    // advances per microbatch; after each batch the drift vs a static
+    // reference ledger equals the from-scratch comparison over
+    // everything admitted — the monitoring loop never re-reads data
+    val root = java.nio.file.Files.createTempDirectory("graft-driftstream").toString
+    val (live, ref) = (root + "/live", root + "/ref")
+    val refRows = Seq(("k", 0L), ("k", 16L), ("k", 33L), ("k", 48L)).toDF("src", "v")
+    graft.operators.CurationOps.writeQuantileLedger(refRows, "src", "v", 4, ref)
+    val seed = Seq(("k", 0L), ("k", 17L)).toDF("src", "v")
+    graft.operators.CurationOps.writeQuantileLedger(seed, "src", "v", 4, live)
+    val later = Seq(Seq(("k", 34L)), Seq(("k", 49L), ("k", 3L)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](
+      spark)
+    val q = stream.toDS().toDF("src", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceQuantileLedger(batch, "src", "v", 4,
+          live, batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      def driftRow(a: String): (Long, Long, Double, Double) =
+        graft.operators.CurationOps.histogramDrift(spark, a, ref)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4))).head
+      val scratch = root + "/scratch"
+      graft.operators.CurationOps.writeQuantileLedger(
+        seed.unionByName(later.flatten.toDF("src", "v")), "src", "v", 4, scratch)
+      assert(driftRow(live) == driftRow(scratch),
+        s"${driftRow(live)} != ${driftRow(scratch)}")
+    } finally q.stop()
+  }
+
   test("streaming threshold sweep: summed per-microbatch bucket counts re-derive the batch curve") {
     import spark.implicits._
     import graft.operators.{MlOps, TextOps}
