@@ -901,6 +901,139 @@ object DedupOps {
         greatest(col("__m1"), col("__m2")).as("d2"), col("hamming"))
   }
 
+  /** Bipartite form of [[hammingPairs]] — all (left, right) pairs with
+    * `bit_count(lHash XOR rHash) <= maxHamming`, complete by the same
+    * multi-block pigeonhole (equal hashes collide in every block, so
+    * the bipartite join needs no separate within-group arm; the
+    * multi-collision dedup happens before members expand). The probe
+    * shape of the 60-bit SimHash family: new batch vs at-rest corpus
+    * signatures, never corpus × corpus.
+    */
+  def hammingJoin(left: DataFrame, leftId: String, leftHash: String,
+      right: DataFrame, rightId: String, rightHash: String,
+      maxHamming: Int, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming for $bits bits")
+    val blocks = maxHamming + 1
+    def blockRows(h: DataFrame, hc: String, as: String): DataFrame = {
+      val structs = (0 until blocks).map { i =>
+        val lo = i * bits / blocks
+        val hi = (i + 1) * bits / blocks
+        struct(lit(i).as("bi"),
+          shiftright(col(hc), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+      }
+      h.select(col(hc).as(as), explode(array(structs: _*)).as("__blk"))
+        .select(col(as), col("__blk.bi").as("__bi"), col("__blk.bv").as("__bv"))
+    }
+    val l = left.select(col(leftId), col(leftHash).as("__lh"))
+    val r = right.select(col(rightId), col(rightHash).as("__rh"))
+    val lDistinct = l.select(col("__lh")).distinct()
+    val rDistinct = r.select(col("__rh")).distinct()
+    val cand = blockRows(lDistinct, "__lh", "__lh")
+      .join(blockRows(rDistinct, "__rh", "__rh"), Seq("__bi", "__bv"))
+      .select(col("__lh"), col("__rh")).dropDuplicates()
+      .select(col("__lh"), col("__rh"),
+        bit_count(col("__lh").bitwiseXOR(col("__rh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    cand.join(l, "__lh").join(r, "__rh")
+      .select(col(leftId), col(rightId), col("hamming"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash signature ledger — the at-rest form of [[simHash60Df]] for
+  // the steady-state ingest loop (the d48 regime applied to the 60-bit
+  // family): admission computes each document's simhash ONCE (the
+  // fused per-row kernel — one corpus scan, no shuffle), and every
+  // later batch probes the stored `(id, simhash)` rows via the
+  // COMPLETE bipartite Hamming join without re-reading corpus text.
+  // Append-only; replayed appends store duplicate rows, which probes
+  // tolerate (distinct hashes drive the join; member expansion dedups)
+  // and compaction removes at rest. `_GRAFT_SIMHASH_META` persists the
+  // tokenizer tag — simhashes under different tokenizations are
+  // incomparable, so drifted appends/probes fail loudly naming both
+  // sides.
+  // ------------------------------------------------------------------
+
+  private val SimHashMetaFile = LedgerGuard.SidecarPrefix + "SIMHASH_META"
+
+  private def readSimHashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    LedgerGuard.readSidecarMetaStr(spark, path, SimHashMetaFile)
+      .flatMap(_.get("tokenizerId"))
+
+  private def requireSimHashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenizerId: String, op: String): Unit =
+    readSimHashMeta(spark, path).foreach { t =>
+      if (t != tokenizerId)
+        throw new IllegalArgumentException(
+          s"simhash ledger $op at $path: ledger was created with " +
+            s"tokenizerId=$t but the caller passed tokenizerId=$tokenizerId " +
+            "— simhashes under different tokenizations are incomparable; " +
+            "pass the creation-time tag (or rebuild the ledger)")
+    }
+
+  /** Create the simhash ledger from the initial corpus — one scan. */
+  def writeSimHashLedger(df: DataFrame, idCol: String, textCol: String,
+      path: String, tokenizerId: String = "ws-md5-60"): Unit = {
+    simHash60Df(df, idCol, textCol).write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(df.sparkSession, path, SimHashMetaFile,
+      Seq("tokenizerId" -> tokenizerId))
+  }
+
+  /** O(batch) append — crash-and-retry replays tolerated (see family
+    * note); a pre-sidecar ledger adopts the caller's tag (trusted once).
+    */
+  def appendToSimHashLedger(batch: DataFrame, idCol: String, textCol: String,
+      path: String, tokenizerId: String = "ws-md5-60"): Unit = {
+    val spark = batch.sparkSession
+    requireSimHashMeta(spark, path, tokenizerId, "append")
+    simHash60Df(batch, idCol, textCol)
+      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+    if (readSimHashMeta(spark, path).isEmpty)
+      LedgerGuard.writeSidecarMetaStr(spark, path, SimHashMetaFile,
+        Seq("tokenizerId" -> tokenizerId))
+  }
+
+  /** Near-dup pairs of a NEW batch against the at-rest corpus
+    * signatures: the batch simhashes per-row (one batch scan), the
+    * corpus side is a columnar `(id, simhash)` read — corpus text is
+    * never touched. Complete for the Hamming budget via
+    * [[hammingJoin]]. Output: `(new_id, corpus_id, hamming)`.
+    */
+  def crossDedupAgainstSimHashes(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, maxHamming: Int = 6,
+      tokenizerId: String = "ws-md5-60"): DataFrame = {
+    val spark = newDocs.sparkSession
+    if (readSimHashMeta(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"simhash-ledger probe at $path: no ${SimHashMetaFile} sidecar — " +
+          "cannot verify the ledger's tokenizer; rebuild the ledger (or " +
+          "restore the sidecar)")
+    requireSimHashMeta(spark, path, tokenizerId, "probe")
+    val led = LedgerGuard.readLedger(spark, path)
+      .select(col(idCol), col("simhash")).dropDuplicates() // replayed appends
+    hammingJoin(
+      simHash60Df(newDocs, idCol, textCol)
+        .withColumnRenamed(idCol, "new_id").withColumnRenamed("simhash", "__nh"),
+      "new_id", "__nh",
+      led.withColumnRenamed(idCol, "corpus_id").withColumnRenamed("simhash", "__ch"),
+      "corpus_id", "__ch", maxHamming)
+  }
+
+  /** Compact the simhash ledger IN PLACE: collapse replayed duplicate
+    * rows, rewrite accreted per-batch small files id-sorted for stats
+    * pruning — the [[compactSignatureLedger]] contract.
+    */
+  def compactSimHashLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 16,
+      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, path, "simhash-ledger compaction") { staging =>
+      val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
+      LayoutOps.writeSized(led, staging, col(led.columns.head),
+        targetFiles, maxRecordsPerFile)
+    }
+
   def simHash16Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val aggs = (0 until 16).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))

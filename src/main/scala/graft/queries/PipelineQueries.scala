@@ -3802,6 +3802,46 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- simhash ledger (at-rest 60-bit signatures)
+    // d96's steady-state ingest form (the d48 regime for the simhash
+    // family): admission simhashes each document ONCE (per-row kernel,
+    // one scan), later batches probe stored (id, simhash) rows through
+    // the COMPLETE bipartite Hamming join — corpus text never re-read.
+    // The query runs the whole maintenance cycle (create gen-1, append
+    // gen-2, replay the append crash-and-retry style, compact) before
+    // probing; the oracle is file- and duplication-blind (re-derives
+    // both sides' simhashes from text + brute-force cross join), so
+    // the hash match proves the cycle lost and invented nothing.
+    q("d97_simhash_ledger",
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM t),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (th >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(60) r(j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d97_sh_$tag")
+      val gen2 = docs.filter((col("doc_id") % 10) > 5)
+      DedupOps.writeSimHashLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
+        "doc_id", "text", path)
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path)
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path) // crash-and-retry replay
+      DedupOps.compactSimHashLedger(s, path, targetFiles = 4)
+      DedupOps.crossDedupAgainstSimHashes(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path,
+        maxHamming = 6)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

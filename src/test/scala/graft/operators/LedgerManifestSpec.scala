@@ -250,6 +250,33 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tokenizerId=ws"), e.getMessage)
   }
 
+  test("simhash ledger: manifest-mode write/append/replay/compact probe equals plain (d97 cycle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val gen2 = docs.filter(col("doc_id") % 10 > 5)
+    def cycle(path: String, manifested: Boolean): Set[(Long, Long, Int)] = {
+      DedupOps.writeSimHashLedger(gen1, "doc_id", "text", path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path)
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path) // replay
+      DedupOps.compactSimHashLedger(spark, path, targetFiles = 2)
+      DedupOps.crossDedupAgainstSimHashes(batch, "doc_id", "text", path,
+          maxHamming = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val plain = cycle(tmp("graft-sh-p") + "/led", manifested = false)
+    val maniPath = "nonatomic://" + tmp("graft-sh-m") + "/led"
+    val mani = cycle(maniPath, manifested = true)
+    assert(plain == mani && mani.nonEmpty, s"plain=${plain.size} mani=${mani.size}")
+    // the tokenizer sidecar rode through conversion, appends and
+    // compaction: a drifted probe still fails loudly
+    val e = intercept[IllegalArgumentException](
+      DedupOps.crossDedupAgainstSimHashes(batch, "doc_id", "text", maniPath,
+        maxHamming = 20, tokenizerId = "bpe-v2"))
+    assert(e.getMessage.contains("tokenizerId=ws-md5-60"), e.getMessage)
+  }
+
   test("bigram-LM ledger: manifest-mode write/advance/replay/retract/compact score equals plain (d90/d91 cycle)") {
     val corpus = Seq((1L, "a b a b c"), (2L, "c a"), (3L, "q")).toDF("doc_id", "text")
     val b2 = Seq((4L, "b c a"), (5L, "z")).toDF("doc_id", "text")

@@ -2110,4 +2110,33 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DedupOps.hammingPairs(
       Seq((1L, 1L)).toDF("id", "h"), "id", "h", maxHamming = 1, bits = 64))
   }
+
+  test("hammingJoin (bipartite) equals brute force, incl. equal hashes across sides and duplicate ids") {
+    val rnd = new scala.util.Random(42)
+    val mask = (1L << 60) - 1
+    val centers = Seq.fill(4)(rnd.nextLong() & mask)
+    def side(n: Int, off: Long): Seq[(Long, Long)] = (0 until n).map { i =>
+      val h =
+        if (i % 3 == 0) centers(i % 4)
+        else if (i % 3 == 1) {
+          var v = centers(i % 4)
+          (0 until 1 + rnd.nextInt(6)).foreach(_ => v ^= 1L << rnd.nextInt(60))
+          v
+        } else rnd.nextLong() & mask
+      (off + i, h)
+    }
+    val l = side(40, 0L) ++ Seq((1000L, centers(0))) // duplicate-hash left rows
+    val r = side(50, 5000L)
+    val got = DedupOps.hammingJoin(l.toDF("lid", "lh"), "lid", "lh",
+        r.toDF("rid", "rh"), "rid", "rh", maxHamming = 5, bits = 60)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = (for {
+      (li, lh) <- l; (ri, rh) <- r
+      d = java.lang.Long.bitCount(lh ^ rh) if d <= 5
+    } yield (li, ri, d)).toSet
+    assert(got == want && want.nonEmpty,
+      s"got ${got.size}, want ${want.size}; missing=${(want -- got).take(3)}")
+    // equal hashes across sides pair at Hamming 0 (no within-arm needed)
+    assert(want.exists(_._3 == 0))
+  }
 }
