@@ -869,7 +869,13 @@ object DedupOps {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, bits), got $maxHamming for $bits bits")
     val blocks = maxHamming + 1
+    // the signature table derives several plan arms (banding both
+    // sides, the within-group arm, both member expansions) — lazily
+    // checkpoint it so the upstream scan-and-hash computes ONCE (the
+    // pairsOfFrameSignatures contract; blocks are MEMORY_AND_DISK on
+    // executors, 16 B/row)
     val h = hashes.select(col(idCol), col(hashCol).as("__hash"))
+      .localCheckpoint(false)
     val groups = h.groupBy(col("__hash")).agg(count(lit(1)).as("__size"))
     // near-equal disjoint blocks: block i covers
     // [⌊i·bits/blocks⌋, ⌊(i+1)·bits/blocks⌋) — every block nonempty
@@ -926,7 +932,13 @@ object DedupOps {
       h.select(col(hc).as(as), explode(array(structs: _*)).as("__blk"))
         .select(col(as), col("__blk.bi").as("__bi"), col("__blk.bv").as("__bv"))
     }
+    // the LEFT (probe/batch) side feeds two arms (banding distinct +
+    // member expansion): checkpoint it so the batch scans and hashes
+    // once. The RIGHT side is typically an at-rest signature ledger —
+    // its two arms re-read a compact columnar file, which at corpus
+    // scale is cheaper than caching corpus-wide signature blocks.
     val l = left.select(col(leftId), col(leftHash).as("__lh"))
+      .localCheckpoint(false)
     val r = right.select(col(rightId), col(rightHash).as("__rh"))
     val lDistinct = l.select(col("__lh")).distinct()
     val rDistinct = r.select(col("__rh")).distinct()
@@ -1020,6 +1032,23 @@ object DedupOps {
       led.withColumnRenamed(idCol, "corpus_id").withColumnRenamed("simhash", "__ch"),
       "corpus_id", "__ch", maxHamming)
   }
+
+  /** Right-to-be-forgotten for the simhash ledger — EXACT here (every
+    * row is id-attributed, the m09 frame-ledger contract, unlike the
+    * count-mergeable families' stated boundary): the forgotten ids'
+    * rows leave the store and later probes stop pairing against them;
+    * re-admission is one [[appendToSimHashLedger]]. Staged swap,
+    * lease, manifest mode, exactly-once `batchId`.
+    */
+  def removeFromSimHashLedger(ids: DataFrame, idCol: String, path: String,
+      batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(ids.sparkSession, path, "simhash-ledger removal",
+      batchId) { staging =>
+      val gone = ids.select(col(idCol).as("__gone")).distinct()
+      LedgerGuard.readLedger(ids.sparkSession, path)
+        .join(broadcast(gone), col(idCol) === col("__gone"), "left_anti")
+        .write.parquet(staging)
+    }
 
   /** Compact the simhash ledger IN PLACE: collapse replayed duplicate
     * rows, rewrite accreted per-batch small files id-sorted for stats

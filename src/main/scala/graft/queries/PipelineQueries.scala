@@ -3842,6 +3842,42 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- simhash-ledger forget
+    // right-to-be-forgotten for the simhash family (the m09 regime):
+    // rows are id-attributed, so the purge is EXACT — forgotten docs'
+    // signatures leave the store and probes stop pairing against
+    // them. The oracle recomputes cross pairs from text with the
+    // forgotten slice excluded, blind to the write/forget cycle.
+    q("d98_simhash_forget",
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM t),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (th >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(60) r(j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND b.doc_id % 3 <> 0
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d98_sh_$tag")
+      DedupOps.writeSimHashLedger(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", path)
+      DedupOps.removeFromSimHashLedger(
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", path,
+        batchId = Some("purge-1"))
+      DedupOps.crossDedupAgainstSimHashes(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path,
+        maxHamming = 6)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -2139,4 +2139,27 @@ class OperatorsSpec extends AnyFunSuite {
     // equal hashes across sides pair at Hamming 0 (no within-arm needed)
     assert(want.exists(_._3 == 0))
   }
+
+  test("simhash-ledger forget is exact: purged ids stop pairing, re-admission restores them") {
+    val path = java.nio.file.Files.createTempDirectory("graft-shforget").toString + "/led"
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b a b c"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    DedupOps.writeSimHashLedger(corpus, "doc_id", "text", path)
+    def pairs(): Set[Long] =
+      DedupOps.crossDedupAgainstSimHashes(batch, "doc_id", "text", path,
+        maxHamming = 0).collect().map(_.getLong(1)).toSet
+    assert(pairs() == Set(1L, 2L))
+    DedupOps.removeFromSimHashLedger(Seq(1L).toDF("doc_id"), "doc_id", path,
+      batchId = Some("rm1"))
+    assert(pairs() == Set(2L), "purged id must stop pairing")
+    // exactly-once: replaying the purge is a no-op
+    DedupOps.removeFromSimHashLedger(Seq(1L).toDF("doc_id"), "doc_id", path,
+      batchId = Some("rm1"))
+    assert(pairs() == Set(2L))
+    // re-admission is one append
+    DedupOps.appendToSimHashLedger(
+      corpus.filter(col("doc_id") === 1L), "doc_id", "text", path)
+    assert(pairs() == Set(1L, 2L), "re-admitted id must pair again")
+  }
 }

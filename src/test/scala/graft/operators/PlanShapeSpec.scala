@@ -373,6 +373,52 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d93 drift: the plan reads TWO ledger stores and never a corpus file") {
+    withStaticPlans {
+      import graft.operators.CurationOps
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-driftplan").toString
+      CurationOps.writeQuantileLedger(
+        docs.select(col("source"), length(col("text")).cast("long").as("len")),
+        "source", "len", 4, base + "/a")
+      CurationOps.writeQuantileLedger(
+        docs.select(col("source"),
+          expr("length(replace(text, ' ', ''))").cast("long").as("len")),
+        "source", "len", 4, base + "/b")
+      val drift = CurationOps.histogramDrift(spark, base + "/a", base + "/b")
+      val scans = nodes(drift) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(!scans.exists(_.contains("documents.parquet")),
+        s"drift time must not touch the corpus, got $scans")
+      assert(scans.exists(_.contains("/a")) && scans.exists(_.contains("/b")), scans.toString)
+      assert(drift.count() > 0)
+    }
+  }
+
+  test("d97 probe: batch simhashes in ONE corpus scan; the corpus side is the ledger's columnar read") {
+    withStaticPlans {
+      import graft.operators.DedupOps
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-shplan").toString
+      DedupOps.writeSimHashLedger(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", base + "/led")
+      val probe = DedupOps.crossDedupAgainstSimHashes(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", base + "/led",
+        maxHamming = 30)
+      val scans = nodes(probe) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      // the batch side is lazily checkpointed inside hammingJoin, so
+      // its scan-and-hash computes once no matter how many plan arms
+      // consume it — at most one documents scan may survive in the plan
+      assert(scans.count(_.contains("documents.parquet")) <= 1,
+        s"the batch must scan at most once, got $scans")
+      assert(scans.exists(_.contains("/led")), scans.toString)
+      assert(probe.count() > 0)
+    }
+  }
+
   test("s14's at-rest SQ8 probe prunes columns: approx pass reads (id, q) only, re-rank reads (id, vec) only") {
     withStaticPlans {
       // the 4× scan-byte cut IS this pruning — if the approx scan ever
