@@ -3878,6 +3878,33 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ---------------------------------------------------------------- balanced sample (exact k per stratum)
+    // eval-set / few-shot-pool construction: EXACTLY k docs per
+    // stratum, deterministically — docs ranked inside each stratum by
+    // their stable hash (so membership is reproducible across engines,
+    // partitionings and corpus growth: a kept doc stays kept until k
+    // better-hashed docs exist). d14's rate sample can't promise exact
+    // counts; the window form row_number-sorts whole strata (the q17
+    // skew trap). This runs the bounded-heap per-key top-k: each
+    // stratum streams through ≤k-element partial buffers, map-side
+    // combined — no stratum-wide sort anywhere.
+    q("d99_balanced_sample", {
+      val h = sqlHash("CAST(doc_id AS VARCHAR)", "bal")
+      s"""WITH scored AS (SELECT lang, doc_id, $h AS hs FROM documents),
+         |r AS (SELECT lang, doc_id, hs,
+         |  row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rk FROM scored)
+         |SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin
+    }) { (s, dir) =>
+      val scored = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        DedupOps.md5Hash32(col("doc_id").cast("string"), "bal")
+          .cast("double").as("hs"))
+      SimilarityOps.perKeyTopK(scored, Seq("lang"), "doc_id", "hs",
+          asc = true, k = 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed
