@@ -612,6 +612,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash-ledger ingest: per-microbatch appends equal one batch admission") {
+    import spark.implicits._
+    // the streaming face of d97: each microbatch appends its (id,
+    // simhash) rows; a probe against the accreted ledger equals one
+    // against a single whole-corpus admission
+    val root = java.nio.file.Files.createTempDirectory("graft-shstream").toString
+    val (live, once) = (root + "/live", root + "/once")
+    val seed = Seq((1L, "a b a b c"), (2L, "c a d e f")).toDF("doc_id", "text")
+    val later = Seq(Seq((3L, "a b a b c x")), Seq((4L, "q r s t u"), (5L, "c a d e f")))
+    graft.operators.DedupOps.writeSimHashLedger(seed, "doc_id", "text", live)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.DedupOps.appendToSimHashLedger(batch, "doc_id", "text", live)
+      }
+      .start()
+    try {
+      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      graft.operators.DedupOps.writeSimHashLedger(
+        seed.unionByName(later.flatten.toDF("doc_id", "text")), "doc_id", "text", once)
+      val probe = Seq((100L, "a b a b c"), (101L, "q r s t u")).toDF("doc_id", "text")
+      def pairs(p: String): Set[(Long, Long, Int)] =
+        graft.operators.DedupOps.crossDedupAgainstSimHashes(
+            probe, "doc_id", "text", p, maxHamming = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs(live) == pairs(once) && pairs(once).nonEmpty,
+        s"${pairs(live)} != ${pairs(once)}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-microbatch quantile-ledger advances give the from-scratch drift vs a reference") {
     import spark.implicits._
     // the streaming face of d93: the live ingest window's histogram
