@@ -3905,6 +3905,48 @@ object PipelineQueries {
         .orderBy("lang", "rk")
     },
 
+    // ---------------------------------------------------------------- simhash near-dup clusters
+    // d17's clustering composition on the 60-bit family: COMPLETE
+    // Hamming pairs (so unlike d17's banded-LSH graph the edge set is
+    // exactly the ≤-threshold graph) → connected components → min-id
+    // labels + sizes. Docs with no within-budget neighbor don't appear
+    // (the d17 contract). The oracle re-derives simhashes, brute-forces
+    // the pair graph, and closes it with a recursive CTE — label and
+    // size must match per doc, hash-checked.
+    q("d100_simhash_clusters",
+      """WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM t),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (th >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(60) r2(j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+        |e AS (SELECT d1 AS u, d2 AS v FROM cand UNION SELECT d2, d1 FROM cand),
+        |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+        |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = table(s, dir, "documents")
+      val pairs = DedupOps.hammingPairs(
+        DedupOps.simHash60Df(docs, "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 6, bits = 60)
+      val labels = DedupOps.connectedComponents(pairs, "d1", "d2")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // sizes via partial-agg + join, never count-over-window (the d17
+      // rationale: dup clusters are where pathological corpora pile up)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -2070,6 +2070,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql == viaKernel)
   }
 
+  test("SimHash60 kernel == independent pure-Scala reference over 2000 ScalaCheck strings") {
+    import org.scalacheck.{Gen, Prop}
+    // independent reference: tokenize like split(trim, ' '), md5 via
+    // java.security per token, 15-hex-digit prefix parse, sign > 0 —
+    // shares NO code with the kernel's byte walk
+    def ref(s: String): Long = {
+      val t = {
+        var a = s; while (a.startsWith(" ")) a = a.substring(1)
+        while (a.endsWith(" ")) a = a.substring(0, a.length - 1); a
+      }
+      val toks = t.split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](60)
+      toks.foreach { tok =>
+        md.reset()
+        val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val th = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        (0 until 60).foreach(j =>
+          if (((th >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1)
+      }
+      (0 until 60).foldLeft(0L)((acc, j) => if (sums(j) > 0) acc | (1L << j) else acc)
+    }
+    val frag = Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("", " ", "  ", "é", "日本",
+      "über", "a b", "\t", "…"), Gen.asciiPrintableStr.map(_.take(6)))
+    val strGen = Gen.listOf(frag).map(_.mkString(" "))
+    val prop = Prop.forAll(strGen) { s =>
+      val k = graft.functions.Md5Util.simHash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val r = ref(s)
+      if (k != r) println(s"simhash60 break on <$s>: kernel=$k ref=$r")
+      k == r
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("hammingPairs: multi-block banding equals brute force across widths, thresholds, duplicates") {
     // seeded clustered fixture: cluster centers + members within a few
     // flipped bits, plus exact duplicates (the within-group arm) and
