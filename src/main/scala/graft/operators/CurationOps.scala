@@ -253,6 +253,73 @@ object CurationOps {
       })
   }
 
+  /** Temperature-scaled (α-smoothed) source sampling — the
+    * multilingual mixture trick (XLM-R / mT5): raw source shares
+    * p_i ∝ T_i are flattened to p_i^α (α < 1 upweights small sources,
+    * α = 1 is proportional, α → 0 is uniform), then each source keeps
+    * rows at `rate_i = min(1, B·q_i / T_i)` where q_i is the smoothed
+    * share — expected kept tokens track the smoothed mixture under the
+    * token budget B. Output: the SOURCE-sized rate table `(key,
+    * n_tokens, smoothed share q, keep_ppm)`; membership composes via
+    * [[weightedKeep]]'s stable-hash predicate at fixed-point ppm, so
+    * the sample is reproducible across engines, partitionings and
+    * retries ([[corpusMix]]'s contract with α-smoothing in front).
+    *
+    * Cross-engine determinism: α = 0.5 computes the smoothing with
+    * `sqrt` (IEEE correctly-rounded in both engines — exact); other α
+    * use `pow`, which is deterministic per libm build — pin rates by
+    * persisting the table if bit-parity across engines matters there.
+    * The ppm is rounded at the integer-ppm boundary (one `round`,
+    * integral double, exact cast) rather than truncated, so both
+    * engines derive the identical integer rate.
+    *
+    * Scale shape: the rate table is mixture-sized math over per-source
+    * token counts (read them from the stats ledger at plan time — zero
+    * corpus access, the d92 regime); the corpus itself only ever
+    * streams past the broadcast rate table.
+    */
+  def temperatureSampleRates(tokenCounts: DataFrame, keyCol: String,
+      tokensCol: String, budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val base = tokenCounts.select(col(keyCol),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val smoothed =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha))
+    // the normalizer sums floats in KEY order (ordered unbounded frame)
+    // so the addition order — hence every last ulp of q — is identical
+    // in any engine replaying the same definition; mixture-sized window
+    base.withColumn("__q", smoothed)
+      .withColumn("__qsum", sum(col("__q")).over(
+        Window.orderBy(col(keyCol)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(keyCol), col("n_tokens"),
+        (col("__q") / col("__qsum")).as("q"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          least(lit(SampleM),
+            round(least(lit(1.0),
+              lit(budgetTokens.toDouble) * (col("__q") / col("__qsum")) /
+                col("n_tokens")) * lit(SampleM), 0).cast("long")))
+          .as("keep_ppm"))
+  }
+
+  /** [[corpusMix]] with α-temperature smoothing: downsample each
+    * source so expected kept tokens track the SMOOTHED mixture under
+    * the budget. The corpus streams past the broadcast rate table;
+    * membership is the stable-hash ppm predicate.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col(srcCol))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("__tot"))
+    val rates = temperatureSampleRates(counts, srcCol, "__tot",
+      budgetTokens, alpha).select(col(srcCol), col("keep_ppm"))
+    docs.join(broadcast(rates), Seq(srcCol))
+      .filter(pmod(DedupOps.md5Hash32(col(idCol).cast("string"), ""), lit(SampleM))
+        < col("keep_ppm"))
+  }
+
   /** LEAKAGE-SAFE split assignment: route every member of a duplicate
     * GROUP through the same train/val/test split. [[splitAssign]] hashes
     * the document id, so two near-copies of one page can land on

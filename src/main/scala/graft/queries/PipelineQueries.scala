@@ -3947,6 +3947,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- temperature-scaled source sampling
+    // the multilingual α-smoothing mixture (XLM-R/mT5, α = 0.5 via
+    // exact-cross-engine sqrt): raw shares flatten to p^α, each source
+    // keeps rows at min(1, B·q/T) — small sources upweighted, budget
+    // respected in expectation. The oracle re-derives shares (float
+    // normalizer summed in KEY order both sides — bit-identical),
+    // integer ppm rates, AND the per-source kept-doc counts through
+    // the same stable-hash membership predicate — so the hash match
+    // pins the rate table and row-level membership together.
+    q("d101_temperature_mix", {
+      val h = s"${sqlHash("CAST(d.doc_id AS VARCHAR)", "")} % 1000000"
+      s"""WITH tc AS (SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |qq AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sm FROM tc),
+         |s AS (SELECT *, sum(sm) OVER (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qsum FROM qq),
+         |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM tc),
+         |r AS (SELECT source, n_tokens, sm / qsum AS q,
+         |    CASE WHEN n_tokens = 0 THEN 0
+         |         ELSE least(1000000, CAST(round(least(1.0,
+         |           CAST(budget AS DOUBLE) * (sm / qsum) / n_tokens) * 1000000, 0) AS BIGINT))
+         |    END AS keep_ppm
+         |  FROM s, b),
+         |k AS (SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE $h < r.keep_ppm GROUP BY 1)
+         |SELECT r.source, r.n_tokens, round(r.q, 6) AS q, r.keep_ppm,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("__tot"))
+      val budget = counts.agg(sum(col("__tot"))).first.getLong(0) * 2 / 5
+      val rates = CurationOps.temperatureSampleRates(counts, "source", "__tot",
+        budget, alpha = 0.5)
+      val kept = docs.join(broadcast(rates.select(col("source"), col("keep_ppm"))),
+          Seq("source"))
+        .filter(pmod(DedupOps.md5Hash32(col("doc_id").cast("string"), ""),
+          lit(1000000L)) < col("keep_ppm"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), Qf.dround(col("q"), 6).as("q"),
+          col("keep_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

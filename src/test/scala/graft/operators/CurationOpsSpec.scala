@@ -678,6 +678,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.contains(11L) && got(11L).isEmpty, got.toString)
   }
 
+  test("temperatureSampleRates: α flattens shares toward uniform; α=1 is proportional; budget respected; guards") {
+    val counts = Seq(("big", 90000L), ("small", 10000L), ("zero", 0L))
+      .toDF("src", "toks")
+    def rates(alpha: Double, b: Long): Map[String, (Double, Long)] =
+      CurationOps.temperatureSampleRates(counts, "src", "toks", b, alpha)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // α = 1: q is the raw share, keep rates equal across sources
+    // (B·(T/ΣT)/T = B/ΣT) — the proportional mix
+    val r1 = rates(1.0, 50000L)
+    assert(math.abs(r1("big")._1 - 0.9) < 1e-12 && math.abs(r1("small")._1 - 0.1) < 1e-12)
+    assert(r1("big")._2 == r1("small")._2 && r1("big")._2 == 500000L)
+    // α = 0.5: shares flatten (big's falls, small's rises), so small's
+    // keep rate EXCEEDS big's — the upweighting the trick exists for.
+    // q_big = 300/400, q_small = 100/400; B = 20000 keeps both uncapped
+    val rH = rates(0.5, 20000L)
+    assert(rH("big")._1 < 0.9 && rH("small")._1 > 0.1)
+    assert(rH("small")._2 > rH("big")._2,
+      s"small must be upweighted: $rH")
+    // expected kept tokens ≈ budget (Σ rate_i·T_i = B when nothing caps)
+    val expTok = Seq(("big", 90000L), ("small", 10000L)).map { case (k, t) =>
+      rH(k)._2.toDouble / 1e6 * t }.sum
+    assert(math.abs(expTok - 20000.0) < 100.0, expTok.toString)
+    // a budget big enough to cap the small source: its rate pins at
+    // 1e6 ppm (keep everything) and the surplus is NOT re-spread —
+    // temperature sampling is rate-based, not water-filling (d92 is)
+    assert(rates(0.5, 50000L)("small")._2 == 1000000L)
+    // a tiny budget with a huge source never caps above 1e6 ppm; a
+    // zero-token source keeps nothing rather than dividing by zero
+    assert(rates(0.5, Long.MaxValue / 4)("big")._2 == 1000000L)
+    assert(rH("zero")._2 == 0L)
+    intercept[IllegalArgumentException](
+      CurationOps.temperatureSampleRates(counts, "src", "toks", 10L, alpha = 0.0))
+    intercept[IllegalArgumentException](
+      CurationOps.temperatureSampleRates(counts, "src", "toks", -1L))
+    // temperatureMix: membership is the stable-hash predicate over the
+    // same ppm table — reproducible across partitionings
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 10 == 0) "small" else "big", "w " * (i % 7 + 1).toInt)).toDF("id", "src", "text")
+    val a = CurationOps.temperatureMix(docs.repartition(7), "id", "text", "src", 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = CurationOps.temperatureMix(docs.coalesce(1), "id", "text", "src", 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("mixturePlan: closed-form water-filling equals the iterative reference; shortfall mode; weight guard") {
     // iterative reference: raise λ until budget is spent, re-capping
     // each round (the textbook fixed-point the closed form replaces)
