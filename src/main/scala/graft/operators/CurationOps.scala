@@ -752,6 +752,63 @@ object CurationOps {
         avg(col("__nll")).as("avg_nll_raw"))
   }
 
+  /** Jelinek-Mercer INTERPOLATED scoring from the SAME bigram ledger —
+    * the CCNet-grade upgrade over [[bigramScoreFromLedger]]'s Laplace
+    * form: `p(w2|w1) = λ2·p_ML(w2|w1) + λ1·p_uni(w2) + λ0/V`, so a
+    * rare-but-fluent continuation is scored by the unigram channel
+    * instead of flat add-one mass, and the uniform floor keeps wholly
+    * unseen tokens finite. Everything comes from the one `(w1, w2, n)`
+    * aggregate: bigram ML from the non-tail rows, UNIGRAM counts are
+    * the per-w1 row sums (each token position contributes exactly one
+    * w1 occurrence — tails included, which is why the family stores
+    * them), N their total, V the distinct-w1 count. O(batch + model),
+    * zero corpus access, same meta/tokenizer guards as the family.
+    * Deterministic cross-engine: integer-valued ledger counts, single
+    * divisions, fixed-λ multiply-adds in declaration order; the ln is
+    * rounded at the query layer as usual.
+    */
+  def bigramScoreInterpolated(batch: DataFrame, idCol: String, textCol: String,
+      path: String, lambda2: Double = 0.7, lambda1: Double = 0.25,
+      lambda0: Double = 0.05, tokenizerId: String = "ws"): DataFrame = {
+    require(lambda2 >= 0 && lambda1 >= 0 && lambda0 > 0 &&
+      math.abs(lambda2 + lambda1 + lambda0 - 1.0) < 1e-9,
+      s"λ must be a distribution with λ0 > 0 (the finite-score floor): " +
+        s"($lambda2, $lambda1, $lambda0)")
+    val spark = batch.sparkSession
+    if (readBigramMeta(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"bigram-LM probe at $path: no ${BigramMetaFile} sidecar — cannot " +
+          "verify the ledger's tokenizer; rebuild the ledger (or restore " +
+          "the sidecar)")
+    requireBigramMeta(spark, path, tokenizerId, "probe")
+    val led = LedgerGuard.readLedger(spark, path)
+    val c2 = led.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val uni = led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
+    val nv = led.agg(sum(col("n")).cast("double").as("bigN"),
+      countDistinct(col("w1")).cast("double").as("vocab"))
+    val id = col(idCol)
+    val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(id, explode(expr(
+        "transform(sequence(1, size(__l) - 1), i -> struct(__l[i-1] AS w1, " +
+          "__l[i] AS w2))")).as("__z"))
+      .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
+    stream.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w1", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(nv)) // 1-row aggregate
+      .select(id,
+        (-log(
+          lit(lambda2) * coalesce(col("n2").cast("double") / col("n1"), lit(0.0)) +
+          lit(lambda1) * coalesce(col("nu").cast("double") / col("bigN"), lit(0.0)) +
+          lit(lambda0) / col("vocab"))).as("__nll"))
+      .groupBy(id)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll_raw"))
+  }
+
   /** Right-to-be-forgotten for the bigram ledger, by SUBTRACTION —
     * the [[retractFromQuantileLedger]] contract: exact (counts merge
     * both directions), caller supplies the forgotten documents'

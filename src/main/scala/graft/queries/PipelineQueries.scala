@@ -3996,6 +3996,51 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------- interpolated LM scoring (same ledger)
+    // Jelinek-Mercer over the d90 store: λ2·p_ML(w2|w1) + λ1·p_uni(w2)
+    // + λ0/V — rare-but-fluent continuations score through the unigram
+    // channel, unseen tokens hit the uniform floor. The unigram counts
+    // are the ledger's per-w1 row sums (the tail rows earn their keep a
+    // second time). Oracle re-derives all four tables from documents
+    // and replays the same multiply-add order — hash match.
+    q("d102_interpolated_lm",
+      """WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS w FROM lst),
+        |uni AS (SELECT w, count(*) AS nu FROM tok GROUP BY 1),
+        |nv AS (SELECT CAST(sum(nu) AS DOUBLE) AS bigN,
+        |         CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |big AS (SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |        FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    -ln(0.7 * coalesce(CAST(c2.n2 AS DOUBLE) / c1.n1, 0.0)
+        |      + 0.25 * coalesce(CAST(u.nu AS DOUBLE) / nv.bigN, 0.0)
+        |      + 0.05 / nv.vocab) AS nll
+        |  FROM pairs p
+        |  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+        |  LEFT JOIN c1 ON p.w1 = c1.w1
+        |  LEFT JOIN uni u ON p.w2 = u.w, nv
+        |  WHERE p.doc_id % 7 = 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d102_lm_$tag")
+      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
+      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "text", path, batchId = Some("gen-2"))
+      CurationOps.bigramScoreInterpolated(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("n_bigrams"),
+          Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

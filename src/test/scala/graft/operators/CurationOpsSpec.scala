@@ -499,6 +499,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("bigramScoreInterpolated: hand-computed JM mixture — unigram channel, uniform floor, λ guard") {
+    val path = java.nio.file.Files.createTempDirectory("graft-jm").toString + "/ledger"
+    // corpus "a b a c" ⇒ unigrams a:2 b:1 c:1 (N=4, V=3); bigrams
+    // (a,b):1 (b,a):1 (a,c):1 ⇒ c1(a)=2, c1(b)=1
+    CurationOps.writeBigramLedger(Seq((1L, "a b a c")).toDF("doc_id", "text"),
+      "text", path)
+    def score(text: String): Double =
+      CurationOps.bigramScoreInterpolated(
+        Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text", path)
+        .collect().head.getDouble(2)
+    def nll(pBi: Double, pUni: Double): Double =
+      -math.log(0.7 * pBi + 0.25 * pUni + 0.05 / 3.0)
+    // seen bigram: p_ML(b|a) = 1/2, p_uni(b) = 1/4
+    assert(math.abs(score("a b") - nll(0.5, 0.25)) < 1e-12)
+    // unseen bigram with SEEN w2: the unigram channel carries it —
+    // (c,a): p_bi = 0, p_uni(a) = 2/4
+    assert(math.abs(score("c a") - nll(0.0, 0.5)) < 1e-12)
+    // wholly unseen w2: only the uniform floor — finite, as promised
+    assert(math.abs(score("a zz") - nll(0.0, 0.0)) < 1e-12)
+    // the unigram channel ranks the fluent-but-unseen pair better than
+    // the wholly-unseen one (the property Laplace flattens away)
+    assert(score("c a") < score("c zz"))
+    // λ must be a distribution with a positive uniform floor
+    intercept[IllegalArgumentException](CurationOps.bigramScoreInterpolated(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", path,
+      lambda2 = 0.8, lambda1 = 0.2, lambda0 = 0.0))
+    intercept[IllegalArgumentException](CurationOps.bigramScoreInterpolated(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", path,
+      lambda2 = 0.8, lambda1 = 0.3, lambda0 = 0.05))
+  }
+
   test("histogramDrift: hand-computed KS/TV/PSI, zero self-drift, empty-side key, meta guards") {
     val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
     val (pA, pB, pC, pD) = (root + "/a", root + "/b", root + "/c", root + "/d")
