@@ -670,6 +670,93 @@ object SimilarityOps {
         avg(col("__cos")).as("avg_cos_raw"))
   }
 
+  /** Dominant embedding direction by POWER ITERATION — the first half
+    * of "All-but-the-Top" post-processing (Mu & Viswanath 2018, ICLR:
+    * embedding sets are anisotropic — a nonzero mean plus a few
+    * dominant directions carry corpus-frequency noise; subtracting
+    * them measurably improves similarity tasks). Returns the per-dim
+    * table `(pos, mu, comp)`: the mean vector and the unit top
+    * component of the centered covariance, `iters` rounds of
+    * `v ← normalize(Σᵢ (xᵢ−μ)·⟨xᵢ−μ, v⟩)`.
+    *
+    * Scale shape: each round is ONE corpus pass — the per-row
+    * projection `c = ⟨x, v⟩ − ⟨μ, v⟩` is the fused float×double
+    * kernel, and the per-dim sums `Σ xᵢⱼ·cᵢ` are posexplode partial
+    * aggregates (shuffles carry dim-sized partials, never vectors —
+    * the [[groupCentroids]] 100 TB shape). Driver state is the
+    * dim-sized (μ, v) pair, collected once per round (annotated:
+    * model-sized, iters-bounded — not a data loop).
+    *
+    * Cross-engine determinism: μ, each round's per-dim sums, and the
+    * normalized v are ROUNDED to `decimals` at every step — summation
+    * order can drift a few ulps per engine, rounding resets it before
+    * it can compound through the normalization (the groupCentroids
+    * contract). The start vector is uniform `1/√dim` (exact for
+    * power-of-two dims); the final sign is fixed deterministically
+    * (the largest-|component| coordinate — first index on ties — is
+    * made positive).
+    */
+  def topComponent(vecs: DataFrame, vecCol: String, iters: Int = 3,
+      decimals: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(decimals >= 1 && decimals <= 9, s"decimals in [1, 9], got $decimals")
+    val spark = vecs.sparkSession
+    def rnd(x: Double): Double = graft.queries.Qf.droundD(x, decimals)
+    // per-dim mean: model-sized posexplode agg, one collect
+    val mu = vecs.select(posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col("__p")).agg(avg(col("__v")).as("__m"))
+      .collect().map(r => r.getInt(0) -> rnd(r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val dim = mu.length
+    require(dim > 0, "empty input: no vectors to decompose")
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit).toIndexedSeq: _*)
+      // ⟨μ, v⟩ folded left in index order — the oracle replays the order
+      val muDotV = mu.zip(v).foldLeft(0.0) { case (a, (m, w)) => a + m * w }
+      val c = dotFD(col(vecCol), vLit) - lit(muDotV)
+      val per = vecs.select(c.as("__c"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy(col("__p"))
+        .agg(sum(col("__x") * col("__c")).as("__xy"), sum(col("__c")).as("__sc"))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .sortBy(_._1).map(_._2)
+      val y = per.zipWithIndex.map { case ((xy, sc), j) => rnd(xy - mu(j) * sc) }
+      val nrm = math.sqrt(y.foldLeft(0.0)((a, x) => a + x * x))
+      require(nrm > 0, "degenerate corpus: centered data is all-zero")
+      v = y.map(x => rnd(x / nrm))
+    }
+    // deterministic sign: the largest-|comp| coordinate (first on ties)
+    // points positive; `+ 0.0` collapses −0.0 so both engines emit the
+    // same zero bit pattern
+    val lead = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    val sgn = if (v(lead) < 0) -1.0 else 1.0
+    val signed = v.map(x => x * sgn + 0.0)
+    import spark.implicits._
+    mu.zip(signed).zipWithIndex
+      .map { case ((m, w), j) => (j, m, w) }.toSeq
+      .toDF("pos", "mu", "comp")
+  }
+
+  /** The second half of All-but-the-Top: `x' = x − μ − v·⟨x−μ, v⟩` —
+    * remove the mean and the top component's projection, per row, zero
+    * shuffle (μ and v ride as array literals; the projection is the
+    * fused kernel). Output replaces `vecCol` with a double array; pass
+    * [[topComponent]]'s table split into its two arrays.
+    */
+  def removeTopComponent(vecs: DataFrame, vecCol: String,
+      mu: Array[Double], comp: Array[Double], decimals: Int = 6): DataFrame = {
+    require(mu.length == comp.length && mu.nonEmpty, "mu/comp must align")
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val compLit = array(comp.map(lit).toIndexedSeq: _*)
+    val muDotV = mu.zip(comp).foldLeft(0.0) { case (a, (m, w)) => a + m * w }
+    val c = dotFD(col(vecCol), compLit) - lit(muDotV)
+    vecs.withColumn(vecCol,
+      zip_with(
+        zip_with(col(vecCol).cast("array<double>"), muLit, (x, m) => x - m),
+        compLit,
+        (xc, w) => graft.queries.Qf.dround(xc - w * c, decimals)))
+  }
+
   /** SemDeDup-style semantic deduplication (public method: Abbas et al.
     * 2023, arXiv:2303.09540): k-means-cluster the embeddings, then look
     * for near-duplicates only WITHIN clusters — pairwise cosine over a

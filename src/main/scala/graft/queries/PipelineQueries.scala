@@ -4041,6 +4041,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- ABTT top component (power iteration)
+    // All-but-the-Top post-processing, first half (Mu & Viswanath
+    // 2018): the corpus mean + dominant direction of the centered
+    // embeddings, two power-iteration rounds from the exact 1/√64
+    // start. Every per-dim quantity is rounded at each step (the
+    // groupCentroids contract) so summation-order ulps never compound
+    // through the normalization. The oracle replays both rounds as
+    // chained CTEs — the d72/d85 chained-round regime — and the hash
+    // match pins mean, component, and the deterministic sign fix.
+    q("s20_abtt_component",
+      """WITH e AS (SELECT embedding AS v FROM embeddings),
+        |d AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 65) t(i)),
+        |mu AS (SELECT i, round(avg(v[i]), 6) AS m FROM e, d GROUP BY i),
+        |mv0 AS (SELECT sum(m * 0.125) AS mdv FROM mu),
+        |c0 AS (SELECT v, list_sum(list_transform(range(1, 65), j -> v[j] * 0.125)) - mv0.mdv AS c
+        |       FROM e, mv0),
+        |s0 AS (SELECT i, sum(v[i] * c) AS xy, sum(c) AS sc FROM c0, d GROUP BY i),
+        |y0 AS (SELECT s0.i, round(xy - m * sc, 6) AS y FROM s0 JOIN mu ON s0.i = mu.i),
+        |n0 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y0),
+        |v1 AS (SELECT i, round(y / nrm, 6) AS w FROM y0, n0),
+        |l1 AS (SELECT list(w ORDER BY i) AS vl FROM v1),
+        |mv1 AS (SELECT sum(m * w) AS mdv FROM mu JOIN v1 USING (i)),
+        |c1 AS (SELECT v, list_sum(list_transform(range(1, 65), j -> v[j] * vl[j])) - mv1.mdv AS c
+        |       FROM e, l1, mv1),
+        |s1 AS (SELECT i, sum(v[i] * c) AS xy, sum(c) AS sc FROM c1, d GROUP BY i),
+        |y1 AS (SELECT s1.i, round(xy - m * sc, 6) AS y FROM s1 JOIN mu ON s1.i = mu.i),
+        |n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1),
+        |v2 AS (SELECT i, round(y / nrm, 6) AS w FROM y1, n1),
+        |sgn AS (SELECT CASE WHEN (SELECT w FROM v2 ORDER BY abs(w) DESC, i LIMIT 1) < 0
+        |          THEN -1.0 ELSE 1.0 END AS f)
+        |SELECT v2.i - 1 AS pos, mu.m AS mu, v2.w * sgn.f + 0.0 AS comp
+        |FROM v2 JOIN mu ON v2.i = mu.i, sgn
+        |ORDER BY pos""".stripMargin) { (s, dir) =>
+      SimilarityOps.topComponent(table(s, dir, "embeddings"), "embedding",
+        iters = 2)
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

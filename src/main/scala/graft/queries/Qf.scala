@@ -20,4 +20,14 @@ object Qf {
     val p = math.pow(10, n)
     (signum(c) * floor(abs(c) * p + 0.5) / p).cast("double")
   }
+
+  /** Driver-side scalar twin of [[dround]] — the SAME IEEE expression,
+    * for operators that iterate model-sized state on the driver (power
+    * iteration) and must round exactly like the column form and the
+    * oracle's `round`.
+    */
+  def droundD(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.signum(x) * math.floor(math.abs(x) * p + 0.5) / p
+  }
 }

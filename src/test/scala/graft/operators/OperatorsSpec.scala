@@ -2070,6 +2070,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql == viaKernel)
   }
 
+  test("ABTT: power iteration recovers a planted direction; removal leaves residuals orthogonal and centered") {
+    // planted anisotropy: a fixed offset + one strong direction with
+    // deterministic per-row coefficients + small structured noise
+    val dim = 16
+    val planted = Array.tabulate(dim)(j => math.sin(j + 1.0))
+    val pn = math.sqrt(planted.map(x => x * x).sum)
+    val unit = planted.map(_ / pn)
+    val rows = (0 until 300).map { i =>
+      val coef = (i % 21) - 10.0 // strong, zero-mean-ish spread
+      val vec = Array.tabulate(dim)(j =>
+        (0.3 * j + coef * unit(j) + 0.01 * math.cos(i * (j + 1))).toFloat)
+      Tuple1(vec.toSeq)
+    }
+    val df = rows.toDF("embedding")
+    val comp = SimilarityOps.topComponent(df, "embedding", iters = 5)
+      .orderBy("pos").collect()
+    val v = comp.map(_.getDouble(2))
+    val mu = comp.map(_.getDouble(1))
+    val cos = v.zip(unit).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.999, s"planted-direction recovery: |cos| = $cos")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4, "unit norm")
+    // removal: residuals are orthogonal to the component and centered
+    val post = SimilarityOps.removeTopComponent(df, "embedding", mu, v)
+      .collect().map(_.getSeq[Double](0))
+    val maxProj = post.map(x => math.abs(x.zip(v).map { case (a, b) => a * b }.sum)).max
+    assert(maxProj < 1e-3, s"residual projection on comp: $maxProj")
+    val meanNorm = math.sqrt((0 until dim).map(j =>
+      math.pow(post.map(_(j)).sum / post.length, 2)).sum)
+    assert(meanNorm < 1e-3, s"residual mean norm: $meanNorm")
+    // degenerate corpus fails loudly instead of dividing by zero
+    val zeros = Seq(Tuple1(Seq.fill(4)(0.0f)), Tuple1(Seq.fill(4)(0.0f))).toDF("embedding")
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.topComponent(zeros, "embedding"))
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("SimHash60 kernel == independent pure-Scala reference over 2000 ScalaCheck strings") {
     import org.scalacheck.{Gen, Prop}
     // independent reference: tokenize like split(trim, ' '), md5 via
