@@ -131,6 +131,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.DeflatedSize(es(0))))
     ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
       (es: Seq[Expression]) => graft.functions.SimHash60(es(0))))
+    ext.injectFunction((FunctionIdentifier("card_counts"), info("card_counts"),
+      (es: Seq[Expression]) => graft.functions.CardCounts(es(0))))
+    ext.injectFunction((FunctionIdentifier("scrub_cards"), info("scrub_cards"),
+      (es: Seq[Expression]) => graft.functions.CardScrub(es(0), "<CARD>")))
     // bpe_encode(text, ARRAY('lhs rhs', ...)) — each merge as one
     // "lhs rhs" string, split at the FIRST space (unambiguous: symbols
     // come from space-split words, so a lhs never contains a space)

@@ -291,6 +291,117 @@ object PiiUtil {
     val bs = s.getBytes
     InternalRow(count(0, bs), count(1, bs), count(2, bs))
   }
+
+  // ---- payment-card rule (d103): MAXIMAL digit[-sep-digit] runs ----
+  // A run is maximal digits-with-single-separators (sep counts only
+  // when followed by a digit — RE2's greedy `\d(?:[ -]?\d)*`, so the
+  // cross-engine oracle can extract the identical runs without
+  // lookarounds); it QUALIFIES when its digit count is 13..19 AND the
+  // Luhn checksum holds. Qualifying runs redact entirely (internal
+  // separators included). Deliberately run-maximal rather than
+  // regex-backtracking: a 20-digit blob is an ID, not a card with a
+  // tail — carving a 19-digit "card" out of it would be a false
+  // positive by construction.
+
+  /** Next qualifying card run at/after `from`, packed like the others. */
+  def nextCard(bs: Array[Byte], from: Int): Long = {
+    val n = bs.length
+    var p = from
+    while (p < n) {
+      if (digitB(bs(p)) && !runPreceded(bs, p)) {
+        val e = runEnd(bs, p)
+        val nd = digitCount(bs, p, e)
+        if (nd >= 13 && nd <= 19 && luhnOk(bs, p, e))
+          return (p.toLong << 32) | e
+        p = e // a non-qualifying run is skipped whole (it IS maximal)
+      } else p += 1
+    }
+    -1L
+  }
+
+  @inline private def digitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def sepB(b: Byte): Boolean = b == ' ' || b == '-'
+
+  /** Is the digit at `p` inside or continuing a run that began earlier
+    * (previous byte a digit, or a separator itself preceded by one)?
+    */
+  private def runPreceded(bs: Array[Byte], p: Int): Boolean =
+    (p >= 1 && digitB(bs(p - 1))) ||
+      (p >= 2 && sepB(bs(p - 1)) && digitB(bs(p - 2)))
+
+  /** End (exclusive) of the maximal run starting at digit `p`. */
+  private def runEnd(bs: Array[Byte], p0: Int): Int = {
+    val n = bs.length
+    var p = p0
+    while (p < n) {
+      if (digitB(bs(p))) p += 1
+      else if (sepB(bs(p)) && p + 1 < n && digitB(bs(p + 1))) p += 1
+      else return p
+    }
+    p
+  }
+
+  private def digitCount(bs: Array[Byte], s: Int, e: Int): Int = {
+    var c = 0; var p = s
+    while (p < e) { if (digitB(bs(p))) c += 1; p += 1 }
+    c
+  }
+
+  /** Luhn over the run's digits, right-to-left doubling every second. */
+  private def luhnOk(bs: Array[Byte], s: Int, e: Int): Boolean = {
+    var sum = 0; var k = 0; var p = e - 1
+    while (p >= s) {
+      if (digitB(bs(p))) {
+        var d = bs(p) - '0'
+        if (k % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d; k += 1
+      }
+      p -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def countCards(s: UTF8String): Int = {
+    val bs = s.getBytes
+    var c = 0; var m = nextCard(bs, 0)
+    while (m >= 0) { c += 1; m = nextCard(bs, (m & 0xFFFFFFFFL).toInt) }
+    c
+  }
+
+  /** Total digits inside qualifying runs (the redaction footprint —
+    * what the count alone can't see when card lengths vary).
+    */
+  def cardDigits(s: UTF8String): Int = {
+    val bs = s.getBytes
+    var c = 0; var m = nextCard(bs, 0)
+    while (m >= 0) {
+      c += digitCount(bs, (m >>> 32).toInt, (m & 0xFFFFFFFFL).toInt)
+      m = nextCard(bs, (m & 0xFFFFFFFFL).toInt)
+    }
+    c
+  }
+
+  /** (n_cards, n_card_digits) as one row — the CardCounts kernel. */
+  def cardCountsRow(s: UTF8String): InternalRow =
+    InternalRow(countCards(s), cardDigits(s))
+
+  def scrubCards(s: UTF8String, tok: Array[Byte]): UTF8String = {
+    val bs = s.getBytes
+    var m = nextCard(bs, 0)
+    if (m < 0) return s
+    val bos = new java.io.ByteArrayOutputStream(bs.length)
+    var p = 0
+    while (m >= 0) {
+      val st = (m >>> 32).toInt
+      val en = (m & 0xFFFFFFFFL).toInt
+      bos.write(bs, p, st - p)
+      bos.write(tok, 0, tok.length)
+      p = en
+      m = nextCard(bs, p)
+    }
+    bos.write(bs, p, bs.length - p)
+    UTF8String.fromBytes(bos.toByteArray)
+  }
 }
 
 /** `pii_counts(text)` → STRUCT<n_email INT, n_ip INT, n_phone INT>. */
@@ -344,6 +455,52 @@ final case class PiiScrub(child: Expression, emailTok: String, ipTok: String,
     copy(child = newChild)
 }
 
+/** `card_counts(text)` → (n_cards, n_card_digits): qualifying
+  * payment-card runs and their redaction footprint (see
+  * [[PiiUtil.nextCard]] — maximal runs, 13-19 digits, Luhn).
+  */
+final case class CardCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cards", IntegerType, nullable = false),
+    StructField("n_card_digits", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PiiUtil.cardCountsRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiUtil.cardCountsRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `scrub_cards(text)` → STRING with qualifying card runs replaced. */
+final case class CardScrub(child: Expression, tok: String)
+    extends UnaryExpression {
+  private lazy val tB = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PiiUtil.scrubCards(input.asInstanceOf[UTF8String], tB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("cardTok", tB, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiUtil.scrubCards($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PiiExpressions {
   def piiCounts(text: Column): Column =
     GraftSqlShims.column(PiiCounts(GraftSqlShims.expression(text)))
@@ -351,4 +508,8 @@ object PiiExpressions {
       phoneTok: String): Column =
     GraftSqlShims.column(PiiScrub(GraftSqlShims.expression(text),
       emailTok, ipTok, phoneTok))
+  def cardCounts(text: Column): Column =
+    GraftSqlShims.column(CardCounts(GraftSqlShims.expression(text)))
+  def scrubCards(text: Column, tok: String): Column =
+    GraftSqlShims.column(CardScrub(GraftSqlShims.expression(text), tok))
 }

@@ -385,6 +385,22 @@ object TextOps {
       ipToken: String = "<IP>", phoneToken: String = "<PHONE>"): Column =
     graft.functions.PiiExpressions.scrubPii(text, emailToken, ipToken, phoneToken)
 
+  /** Payment-card detection/redaction (Luhn-validated): a MAXIMAL
+    * digit[-sep-digit] run (RE2's greedy `\d(?:[ -]?\d)*`, so the
+    * cross-engine oracle extracts the identical runs) qualifies when
+    * its digit count is 13-19 AND the Luhn checksum holds; qualifying
+    * runs redact whole. Run-maximal by design: a 20-digit blob is an
+    * ID, not a card with a tail — no backtracked sub-matches, no
+    * false positives carved out of longer numbers. Fused byte-walk
+    * kernel, per row, zero shuffle; the Luhn conditional is exactly
+    * what a pure-regex pass cannot express.
+    */
+  def cardCounts(text: Column): Column =
+    graft.functions.PiiExpressions.cardCounts(text)
+
+  def scrubCards(text: Column, token: String = "<CARD>"): Column =
+    graft.functions.PiiExpressions.scrubCards(text, token)
+
   /** The regex reference form of [[piiCounts]] — what the kernel is
     * pinned against (and exactly what the d84 oracle runs in RE2).
     */

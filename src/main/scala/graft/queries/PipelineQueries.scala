@@ -4078,6 +4078,53 @@ object PipelineQueries {
         iters = 2)
     },
 
+    // ---------------------------------------------------------------- payment-card PII (Luhn)
+    // the d84 family's fourth rule: maximal digit[-sep-digit] runs,
+    // 13-19 digits, LUHN-validated — the checksum conditional a pure
+    // regex pass cannot express, which is why the oracle extracts the
+    // runs with RE2 and replays Luhn as list math. The fixture appends
+    // deterministic cards per doc: two valid test numbers (space- and
+    // dash-separated), a Luhn-failing 16er, a too-short 12er, a
+    // too-long 20er — each class must classify correctly on top of
+    // whatever stray digit runs the corpus text already has.
+    q("d103_card_scrub", {
+      val fixSql =
+        """CASE doc_id % 5
+          |      WHEN 0 THEN ' pay 4539 1488 0343 6467 and 6011-0009-9013-9424'
+          |      WHEN 1 THEN ' ref 1234 5678 9012 3456'
+          |      WHEN 2 THEN ' id 123456789012 end'
+          |      WHEN 3 THEN ' big 12345678901234567890'
+          |      ELSE '' END""".stripMargin
+      s"""WITH f AS (SELECT doc_id, text || $fixSql AS t FROM documents),
+         |runs AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\d([ -]?\\d)*')) AS r FROM f),
+         |ds AS (SELECT doc_id, replace(replace(r, ' ', ''), '-', '') AS d FROM runs),
+         |ok AS (SELECT doc_id, length(d) AS nd FROM ds
+         |  WHERE length(d) BETWEEN 13 AND 19
+         |    AND list_sum(list_transform(range(1, length(d) + 1), i ->
+         |      CASE WHEN i % 2 = 0
+         |        THEN CASE WHEN 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) > 9
+         |             THEN 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) - 9
+         |             ELSE 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) END
+         |        ELSE CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) END)) % 10 = 0)
+         |SELECT f.doc_id, CAST(coalesce(count(ok.nd), 0) AS INTEGER) AS n_cards,
+         |  CAST(coalesce(sum(ok.nd), 0) AS INTEGER) AS n_card_digits
+         |FROM f LEFT JOIN ok ON f.doc_id = ok.doc_id
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val fix = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" pay 4539 1488 0343 6467 and 6011-0009-9013-9424"))
+        .when(col("doc_id") % 5 === 1, lit(" ref 1234 5678 9012 3456"))
+        .when(col("doc_id") % 5 === 2, lit(" id 123456789012 end"))
+        .when(col("doc_id") % 5 === 3, lit(" big 12345678901234567890"))
+        .otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.cardCounts(fix).as("__c"))
+        .select(col("doc_id"), col("__c.n_cards").as("n_cards"),
+          col("__c.n_card_digits").as("n_card_digits"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

@@ -2107,6 +2107,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("degenerate"), e.getMessage)
   }
 
+  test("card kernel ≡ regex+Luhn reference: counts, digits, scrub over 3000 junction cases; SQL edge pins") {
+    import graft.functions.PiiUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop}
+    val runPat = java.util.regex.Pattern.compile("\\d([ -]?\\d)*")
+    def luhn(ds: String): Boolean = {
+      var sum = 0
+      ds.reverse.zipWithIndex.foreach { case (c, i) =>
+        var d = c - '0'
+        if (i % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+      }
+      sum % 10 == 0
+    }
+    def qualifies(run: String): Boolean = {
+      val ds = run.filter(_.isDigit)
+      ds.length >= 13 && ds.length <= 19 && luhn(ds)
+    }
+    def refCounts(s: String): (Int, Int) = {
+      val m = runPat.matcher(s)
+      var n = 0; var dsum = 0
+      while (m.find()) if (qualifies(m.group())) {
+        n += 1; dsum += m.group().count(_.isDigit)
+      }
+      (n, dsum)
+    }
+    def refScrub(s: String): String = {
+      val m = runPat.matcher(s)
+      val sb = new java.lang.StringBuilder
+      var p = 0
+      while (m.find()) if (qualifies(m.group())) {
+        sb.append(s.substring(p, m.start())).append("<CARD>"); p = m.end()
+      }
+      sb.append(s.substring(p)).toString
+    }
+    def kCounts(s: String): (Int, Int) = {
+      val r = PiiUtil.cardCountsRow(UTF8String.fromString(s))
+      (r.getInt(0), r.getInt(1))
+    }
+    def kScrub(s: String): String =
+      PiiUtil.scrubCards(UTF8String.fromString(s), "<CARD>".getBytes).toString
+    // junction-heavy fragments: valid cards both separators, the Luhn
+    // near-miss, boundary-length runs, glue that merges runs
+    val frag = Gen.oneOf(
+      "4539 1488 0343 6467", "6011-0009-9013-9424", "4539148803436467",
+      "1234 5678 9012 3456", "123456789012", "12345678901234567890",
+      "4222222222222", "4222222222223", // 13-digit: valid / off-by-one
+      "0", "00", " ", "-", "--", "x", "4", "a 1 b", "", "9 9", "12-34")
+    val strGen = Gen.listOf(frag).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val ok = kCounts(s) == refCounts(s) && kScrub(s) == refScrub(s)
+      if (!ok) println(s"card parity break on <$s>: kernel=${kCounts(s)}/" +
+        s"${kScrub(s)} ref=${refCounts(s)}/${refScrub(s)}")
+      ok
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(result.passed, result.status.toString)
+    // hand pins: two cards in one string redact independently; a run
+    // merged by glue digits stops qualifying (maximal-run semantics)
+    assert(kScrub("pay 4539 1488 0343 6467 and 6011-0009-9013-9424 ok")
+      == "pay <CARD> and <CARD> ok")
+    assert(kCounts("45391488034364679")._1 == 0, "17-digit Luhn-fail merged run")
+    // the Column plumbing builds the same kernel
+    val rows = Seq("a 4539 1488 0343 6467 b", "no cards 1 2 3").toDF("t")
+      .select(TextOps.scrubCards(col("t")).as("s"), TextOps.cardCounts(col("t")).as("c"))
+      .collect()
+    assert(rows(0).getString(0) == "a <CARD> b" && rows(0).getStruct(1).getInt(0) == 1)
+    assert(rows(1).getString(0) == "no cards 1 2 3" && rows(1).getStruct(1).getInt(0) == 0)
+  }
+
   test("SimHash60 kernel == independent pure-Scala reference over 2000 ScalaCheck strings") {
     import org.scalacheck.{Gen, Prop}
     // independent reference: tokenize like split(trim, ' '), md5 via
