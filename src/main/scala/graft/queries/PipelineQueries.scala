@@ -4125,6 +4125,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- mean-pooled document embeddings
+    // the late-chunking aggregation: document vectors as the
+    // L2-normalized mean of their chunks' embeddings (here: vec_id %
+    // 50 groups stand in for a doc's chunks). groupCentroids is the
+    // 100 TB shape — posexplode partial aggregates carry (group × dim)
+    // scalars, never vectors — and the centroid components are ROUNDED
+    // before normalization so cross-engine summation-order ulps can't
+    // leak into the output (the s20 discipline).
+    q("s21_doc_embedding",
+      """WITH c AS (SELECT vec_id % 50 AS doc_id, embedding AS v FROM embeddings),
+        |d AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 65) t(i)),
+        |m AS (SELECT doc_id, i, round(avg(v[i]), 6) AS c FROM c, d GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM m GROUP BY 1)
+        |SELECT m.doc_id, m.i - 1 AS pos, round(m.c / n.nrm, 6) AS comp
+        |FROM m JOIN n ON m.doc_id = n.doc_id
+        |ORDER BY m.doc_id, pos""".stripMargin) { (s, dir) =>
+      val chunks = table(s, dir, "embeddings")
+        .select((col("vec_id") % 50).as("doc_id"), col("embedding"))
+      val cen = SimilarityOps.groupCentroids(chunks, "doc_id", "embedding")
+        .withColumn("__nrm",
+          sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)))
+      cen.select(col("doc_id"), posexplode(col("centroid")).as(Seq("pos", "__c")))
+        .join(cen.select(col("doc_id"), col("__nrm")), Seq("doc_id"))
+        .select(col("doc_id"), col("pos"),
+          Qf.dround(col("__c") / col("__nrm"), 6).as("comp"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed

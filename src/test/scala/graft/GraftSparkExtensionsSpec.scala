@@ -136,6 +136,14 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(1)
     assert(sh == shApi && sh >= 0 && sh < (1L << 60))
 
+    // card rule: SQL surface matches the kernel (Luhn conditional incl.)
+    val cc = spark.sql(
+      "SELECT card_counts('pay 4539 1488 0343 6467 not 1234 5678 9012 3456') AS c")
+      .head().getStruct(0)
+    assert(cc.getAs[Int]("n_cards") == 1 && cc.getAs[Int]("n_card_digits") == 16)
+    assert(spark.sql("SELECT scrub_cards('x 6011-0009-9013-9424 y') AS s")
+      .head().getString(0) == "x <CARD> y")
+
     // deflated_size: the SQL name builds the same kernel as the Column API
     val ds = spark.sql("SELECT deflated_size('click here to win now ' || repeat('click here to win now ', 59)) AS n")
       .head().getLong(0)
