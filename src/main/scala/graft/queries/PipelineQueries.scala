@@ -4153,6 +4153,57 @@ object PipelineQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // ---------------------------------------------------------------- FIM example construction
+    // fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    // split each document into (prefix, middle, suffix) at two
+    // DETERMINISTIC hash-derived token cuts and emit the PSM layout
+    // `<PRE>prefix<SUF>suffix<MID>middle` — the same doc always yields
+    // the same example across engines, partitionings and retries (the
+    // d42 stable-hash discipline applied to an augmentation that is
+    // usually left to run-time RNG, where it silently breaks replay).
+    // Per-row codegen (hash + slice + join), zero shuffle; docs under
+    // 3 tokens can't split and pass through as plain text.
+    q("d104_fim_transform", {
+      val h1 = sqlHash("CAST(doc_id AS VARCHAR)", "f1")
+      val h2 = sqlHash("CAST(doc_id AS VARCHAR)", "f2")
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+         |c AS (SELECT doc_id, l, len(l) AS n,
+         |    1 + $h1 % (len(l) - 2) AS c1 FROM d WHERE len(l) >= 3),
+         |c2t AS (SELECT *, c1 + 1 + $h2 % (n - c1 - 1) AS c2 FROM c)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  '<PRE>' || array_to_string(list_slice(l, 1, c1), ' ') ||
+         |  '<SUF>' || array_to_string(list_slice(l, c2 + 1, n), ' ') ||
+         |  '<MID>' || array_to_string(list_slice(l, c1 + 1, c2), ' ') AS psm
+         |FROM c2t
+         |UNION ALL
+         |SELECT doc_id, CAST(len(l) AS INTEGER) AS n_tokens,
+         |  array_to_string(l, ' ') AS psm
+         |FROM d WHERE len(l) < 3
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__l"))
+        .withColumn("__n", size(col("__l")))
+      val h1 = DedupOps.md5Hash32(col("doc_id").cast("string"), "f1")
+      val h2 = DedupOps.md5Hash32(col("doc_id").cast("string"), "f2")
+      val split = docs.filter(col("__n") >= 3)
+        .withColumn("__c1", lit(1) + pmod(h1, (col("__n") - 2).cast("long")).cast("int"))
+        .withColumn("__c2", col("__c1") + lit(1) +
+          pmod(h2, (col("__n") - col("__c1") - 1).cast("long")).cast("int"))
+        .select(col("doc_id"), col("__n").cast("int").as("n_tokens"),
+          concat(lit("<PRE>"),
+            array_join(slice(col("__l"), lit(1), col("__c1")), " "),
+            lit("<SUF>"),
+            array_join(slice(col("__l"), col("__c2") + 1, col("__n") - col("__c2")), " "),
+            lit("<MID>"),
+            array_join(slice(col("__l"), col("__c1") + 1, col("__c2") - col("__c1")), " "))
+            .as("psm"))
+      val tiny = docs.filter(col("__n") < 3)
+        .select(col("doc_id"), col("__n").cast("int").as("n_tokens"),
+          array_join(col("__l"), " ").as("psm"))
+      split.unionByName(tiny).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- corpus export (capstone)
     // the END of the pipeline: stable-hash split assignment (d42's) →
     // context-window packing within each split (d28's) → the packed
