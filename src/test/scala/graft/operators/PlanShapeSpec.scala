@@ -373,6 +373,53 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d90 LM probe: the batch scans once, c2/c1/V come from ledger scans — the corpus is never re-read") {
+    withStaticPlans {
+      import graft.operators.CurationOps
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-lmplan").toString + "/lm"
+      CurationOps.writeBigramLedger(docs, "text", base)
+      val probe = CurationOps.bigramScoreFromLedger(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", base)
+      val scans = nodes(probe) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(scans.count(_.contains("documents.parquet")) == 1,
+        s"the probe batch must scan exactly once, got $scans")
+      assert(scans.exists(_.contains("/lm")), scans.toString)
+      assert(probe.count() > 0)
+      // the interpolated scorer keeps the same contract
+      val jm = CurationOps.bigramScoreInterpolated(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", base)
+      val jmScans = nodes(jm) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(jmScans.count(_.contains("documents.parquet")) == 1, jmScans.toString)
+      assert(jm.count() > 0)
+    }
+  }
+
+  test("d92 plan time: the mixture plan reads the stats ledger, never a corpus file") {
+    withStaticPlans {
+      import graft.operators.CurationOps
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-mixplan").toString + "/st"
+      CurationOps.writeStatsLedger(docs, "source", "text", base)
+      val tok = LedgerGuard.readLedger(spark, base)
+        .select(col("source"), col("n_tokens"))
+        .withColumn("weight", lit(1.0))
+      val plan = CurationOps.mixturePlan(tok, "source", "n_tokens", "weight",
+        budgetTokens = 1000L, maxEpochs = 2.0)
+      val scans = nodes(plan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(!scans.exists(_.contains("documents.parquet")),
+        s"plan time must not touch the corpus, got $scans")
+      assert(scans.exists(_.contains("/st")), scans.toString)
+      assert(plan.count() > 0)
+    }
+  }
+
   test("d93 drift: the plan reads TWO ledger stores and never a corpus file") {
     withStaticPlans {
       import graft.operators.CurationOps
