@@ -64,6 +64,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     * `shingle_hash32s`' Long mod to Int) and a non-integral literal
     * (e.g. 5.0) gets a clear error instead of NumberFormatException.
     */
+  /** Foldable string literal → String (fails loudly on anything else). */
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case l if l.foldable && l.eval() != null => l.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a string literal argument, got $other (${other.getClass.getSimpleName})")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn expects a literal string argument")
+  }
+
   private def longArg(e: Expression, fn: String): Long = e match {
     case l if l.foldable && l.eval() != null => l.eval() match {
       case i: java.lang.Integer => i.toLong
@@ -133,8 +143,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.SimHash60(es(0))))
     ext.injectFunction((FunctionIdentifier("card_counts"), info("card_counts"),
       (es: Seq[Expression]) => graft.functions.CardCounts(es(0))))
+    // scrub_cards(text[, token]) — the optional 2nd arg replaces the
+    // default '<CARD>' redaction token; any other arity fails loudly
+    // rather than silently ignoring what the caller passed
     ext.injectFunction((FunctionIdentifier("scrub_cards"), info("scrub_cards"),
-      (es: Seq[Expression]) => graft.functions.CardScrub(es(0), "<CARD>")))
+      (es: Seq[Expression]) => {
+        if (es.length < 1 || es.length > 2) throw new IllegalArgumentException(
+          s"scrub_cards expects (text[, token]), got ${es.length} arguments")
+        graft.functions.CardScrub(es(0),
+          if (es.length == 2) stringArg(es(1), "scrub_cards") else "<CARD>")
+      }))
     // bpe_encode(text, ARRAY('lhs rhs', ...)) — each merge as one
     // "lhs rhs" string, split at the FIRST space (unambiguous: symbols
     // come from space-split words, so a lhs never contains a space)

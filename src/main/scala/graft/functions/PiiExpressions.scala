@@ -296,14 +296,27 @@ object PiiUtil {
   // A run is maximal digits-with-single-separators (sep counts only
   // when followed by a digit — RE2's greedy `\d(?:[ -]?\d)*`, so the
   // cross-engine oracle can extract the identical runs without
-  // lookarounds); it QUALIFIES when its digit count is 13..19 AND the
-  // Luhn checksum holds. Qualifying runs redact entirely (internal
-  // separators included). Deliberately run-maximal rather than
-  // regex-backtracking: a 20-digit blob is an ID, not a card with a
-  // tail — carving a 19-digit "card" out of it would be a false
-  // positive by construction.
+  // lookarounds); a 13..19-digit run QUALIFIES when the Luhn checksum
+  // holds, and redacts entirely (internal separators included).
+  //
+  // OVER-LONG runs (>19 digits) are segmented, not dropped: two valid
+  // cards separated by a single space/dash merge into one run ("4111…
+  // 4012…" in a dump or CSV row), and a rule that only checks whole
+  // runs would silently leak both. Segmentation is greedy
+  // left-to-right over GROUP boundaries (run start, or a digit right
+  // after an in-run separator): from each boundary take the LONGEST
+  // boundary-bounded sub-segment of 13..19 digits that passes Luhn,
+  // emit it, and continue after it; a boundary that opens no valid
+  // segment advances one group. Segments must both START and END at a
+  // boundary, so a CONTIGUOUS 20-digit blob still has no internal
+  // boundaries and is never carved into a 19-digit "card" — the
+  // it's-an-ID-not-a-card defense survives; only separator-structured
+  // over-long runs (where adjacent real cards live) are split.
 
-  /** Next qualifying card run at/after `from`, packed like the others. */
+  /** Next qualifying card segment at/after `from`, packed like the
+    * others. Resuming from a previous segment's end lands on the
+    * run's next group boundary and continues the greedy segmentation.
+    */
   def nextCard(bs: Array[Byte], from: Int): Long = {
     val n = bs.length
     var p = from
@@ -313,8 +326,69 @@ object PiiUtil {
         val nd = digitCount(bs, p, e)
         if (nd >= 13 && nd <= 19 && luhnOk(bs, p, e))
           return (p.toLong << 32) | e
+        if (nd > 19) {
+          val seg = nextSegment(bs, p, e)
+          if (seg >= 0L) return seg
+        }
         p = e // a non-qualifying run is skipped whole (it IS maximal)
+      } else if (digitB(bs(p)) && groupStart(bs, p) &&
+          digitCount(bs, runStart(bs, p), runEnd(bs, p)) > 19) {
+        // resumed INSIDE an over-long run (the caller consumed an
+        // earlier segment): continue the greedy walk from this boundary
+        val e = runEnd(bs, p)
+        val seg = nextSegment(bs, p, e)
+        if (seg >= 0L) return seg
+        p = e
       } else p += 1
+    }
+    -1L
+  }
+
+  /** Is the digit at `p` a group boundary inside a run (preceded by an
+    * in-run separator)?
+    */
+  @inline private def groupStart(bs: Array[Byte], p: Int): Boolean =
+    p >= 2 && sepB(bs(p - 1)) && digitB(bs(p - 2))
+
+  /** Start of the maximal run containing the digit at `p0`. */
+  private def runStart(bs: Array[Byte], p0: Int): Int = {
+    var p = p0
+    var cont = true
+    while (cont) {
+      if (p >= 1 && digitB(bs(p - 1))) p -= 1
+      else if (p >= 2 && sepB(bs(p - 1)) && digitB(bs(p - 2))) p -= 2
+      else cont = false
+    }
+    p
+  }
+
+  /** Greedy next card segment in an over-long run: from group boundary
+    * `b0` (then each following boundary), the LONGEST boundary-bounded
+    * sub-segment of 13..19 digits passing Luhn. −1 if the rest of the
+    * run opens none.
+    */
+  private def nextSegment(bs: Array[Byte], b0: Int, runE: Int): Long = {
+    var b = b0
+    while (b < runE) {
+      var p = b
+      var nd = 0
+      var best = -1
+      var go = true
+      while (go && p < runE) {
+        if (digitB(bs(p))) {
+          nd += 1
+          if (nd > 19) go = false
+          else if (nd >= 13 && (p + 1 == runE || sepB(bs(p + 1))) &&
+              luhnOk(bs, b, p + 1)) best = p + 1
+        }
+        p += 1
+      }
+      if (best >= 0) return (b.toLong << 32) | best
+      // no valid segment opens here — advance to the next group boundary
+      var q = b
+      while (q < runE && digitB(bs(q))) q += 1
+      if (q < runE && sepB(bs(q))) q += 1
+      b = q
     }
     -1L
   }

@@ -314,8 +314,13 @@ object CurationOps {
     val counts = docs.groupBy(col(srcCol))
       .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("__tot"))
     val rates = temperatureSampleRates(counts, srcCol, "__tot",
-      budgetTokens, alpha).select(col(srcCol), col("keep_ppm"))
-    docs.join(broadcast(rates), Seq(srcCol))
+      budgetTokens, alpha).select(col(srcCol).as("__src_r"), col("keep_ppm"))
+    // null-SAFE join (the leakageSafeSplit discipline): groupBy already
+    // forms a NULL-source group with its own rate, so a NULL-source row
+    // must sample at that rate — an equi-join would silently drop every
+    // unattributable row from the mix
+    docs.join(broadcast(rates), col(srcCol) <=> col("__src_r"))
+      .drop("__src_r")
       .filter(pmod(DedupOps.md5Hash32(col(idCol).cast("string"), ""), lit(SampleM))
         < col("keep_ppm"))
   }
@@ -456,7 +461,11 @@ object CurationOps {
       .withColumn("alloc_raw", when(col("__totc") <= b, col("capacity"))
         .otherwise(least(col("__lamstar") * col("weight"), col("capacity"))))
       .select(col("mix_key"), col("weight"), col("n_tokens"),
-        col("capacity").cast("long").as("capacity_tokens"),
+        // ROUND, not truncate: with half-integral capacities (maxEpochs
+        // 1.5, odd n_tokens) a truncated report column would sit 0.5
+        // BELOW the capacity the allocation math actually used, so a
+        // capped row could show alloc_raw > capacity_tokens
+        round(col("capacity"), 0).cast("long").as("capacity_tokens"),
         col("alloc_raw"),
         when(col("n_tokens") > 0, col("alloc_raw") / col("n_tokens"))
           .otherwise(lit(0.0)).as("epochs_raw"),

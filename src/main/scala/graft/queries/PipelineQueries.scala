@@ -3632,7 +3632,7 @@ object PipelineQueries {
         |             ELSE least(lamstar * weight, capacity) END AS alloc_raw
         |      FROM sc, lam)
         |SELECT source, weight, n_tokens,
-        |  CAST(capacity AS BIGINT) AS capacity_tokens,
+        |  CAST(round(capacity, 0) AS BIGINT) AS capacity_tokens,
         |  round(alloc_raw, 4) AS alloc_tokens,
         |  round(CASE WHEN n_tokens > 0 THEN alloc_raw / n_tokens ELSE 0.0 END, 6) AS epochs,
         |  CAST(alloc_raw >= capacity AS INTEGER) AS capped,
@@ -4082,41 +4082,76 @@ object PipelineQueries {
     // the d84 family's fourth rule: maximal digit[-sep-digit] runs,
     // 13-19 digits, LUHN-validated — the checksum conditional a pure
     // regex pass cannot express, which is why the oracle extracts the
-    // runs with RE2 and replays Luhn as list math. The fixture appends
+    // runs with RE2 and replays Luhn as list math. OVER-LONG runs
+    // (>19 digits) are greedily segmented at group boundaries (see
+    // PiiUtil.nextSegment — adjacent cards separated by one space/dash
+    // merge into one run and must still redact), which the oracle
+    // replays as a per-run recursive-CTE greedy walk over a
+    // (start-group → longest-valid-segment) table. The fixture appends
     // deterministic cards per doc: two valid test numbers (space- and
     // dash-separated), a Luhn-failing 16er, a too-short 12er, a
-    // too-long 20er — each class must classify correctly on top of
-    // whatever stray digit runs the corpus text already has.
+    // too-long 20er (contiguous — no boundaries, stays an ID), and the
+    // adjacent-cards pair a whole-run-only rule silently leaks — each
+    // class must classify correctly on top of whatever stray digit
+    // runs the corpus text already has.
     q("d103_card_scrub", {
       val fixSql =
-        """CASE doc_id % 5
+        """CASE doc_id % 6
           |      WHEN 0 THEN ' pay 4539 1488 0343 6467 and 6011-0009-9013-9424'
           |      WHEN 1 THEN ' ref 1234 5678 9012 3456'
           |      WHEN 2 THEN ' id 123456789012 end'
           |      WHEN 3 THEN ' big 12345678901234567890'
+          |      WHEN 4 THEN ' duo 4539 1488 0343 6467 6011-0009-9013-9424'
           |      ELSE '' END""".stripMargin
-      s"""WITH f AS (SELECT doc_id, text || $fixSql AS t FROM documents),
-         |runs AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\d([ -]?\\d)*')) AS r FROM f),
-         |ds AS (SELECT doc_id, replace(replace(r, ' ', ''), '-', '') AS d FROM runs),
-         |ok AS (SELECT doc_id, length(d) AS nd FROM ds
-         |  WHERE length(d) BETWEEN 13 AND 19
-         |    AND list_sum(list_transform(range(1, length(d) + 1), i ->
-         |      CASE WHEN i % 2 = 0
-         |        THEN CASE WHEN 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) > 9
-         |             THEN 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) - 9
-         |             ELSE 2 * CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) END
-         |        ELSE CAST(substr(d, length(d) - i + 1, 1) AS INTEGER) END)) % 10 = 0)
+      def luhn(sx: String) =
+        s"""list_sum(list_transform(range(1, length($sx) + 1), k ->
+           |      CASE WHEN k % 2 = 0
+           |        THEN CASE WHEN 2 * CAST(substr($sx, length($sx) - k + 1, 1) AS INTEGER) > 9
+           |             THEN 2 * CAST(substr($sx, length($sx) - k + 1, 1) AS INTEGER) - 9
+           |             ELSE 2 * CAST(substr($sx, length($sx) - k + 1, 1) AS INTEGER) END
+           |        ELSE CAST(substr($sx, length($sx) - k + 1, 1) AS INTEGER) END)) % 10 = 0""".stripMargin
+      val seg = "array_to_string(g[c.i:c.j], '')"
+      s"""WITH RECURSIVE f AS (SELECT doc_id, text || $fixSql AS t FROM documents),
+         |runs AS (SELECT doc_id, rid, l[rid] AS r
+         |  FROM (SELECT doc_id, regexp_extract_all(t, '\\d([ -]?\\d)*') AS l FROM f),
+         |       UNNEST(range(1, len(l) + 1)) AS u(rid)),
+         |ds AS (SELECT doc_id, rid, r, replace(replace(r, ' ', ''), '-', '') AS d FROM runs),
+         |ok1 AS (SELECT doc_id, length(d) AS nd FROM ds
+         |  WHERE length(d) BETWEEN 13 AND 19 AND ${luhn("d")}),
+         |og AS (SELECT doc_id, rid, regexp_split_to_array(r, '[ -]') AS g,
+         |         len(regexp_split_to_array(r, '[ -]')) AS ng
+         |       FROM ds WHERE length(d) > 19),
+         |bestj AS (
+         |  SELECT o.doc_id, o.rid, c.i, max(c.j) AS j, max_by(length($seg), c.j) AS nd
+         |  FROM og o,
+         |       LATERAL (SELECT ui.i, uj.j FROM UNNEST(range(1, o.ng + 1)) ui(i),
+         |                UNNEST(range(1, o.ng + 1)) uj(j) WHERE uj.j >= ui.i) c(i, j)
+         |  WHERE length($seg) BETWEEN 13 AND 19 AND ${luhn(seg)}
+         |  GROUP BY 1, 2, 3),
+         |greedy AS (
+         |  SELECT doc_id, rid, ng, 1 AS pos, CAST(NULL AS INTEGER) AS card_nd FROM og
+         |  UNION ALL
+         |  SELECT g2.doc_id, g2.rid, g2.ng,
+         |         CAST(coalesce(b.j + 1, g2.pos + 1) AS INTEGER) AS pos,
+         |         CAST(b.nd AS INTEGER) AS card_nd
+         |  FROM greedy g2
+         |  LEFT JOIN bestj b ON b.doc_id = g2.doc_id AND b.rid = g2.rid AND b.i = g2.pos
+         |  WHERE g2.pos <= g2.ng),
+         |ok2 AS (SELECT doc_id, card_nd AS nd FROM greedy WHERE card_nd IS NOT NULL),
+         |ok AS (SELECT * FROM ok1 UNION ALL SELECT * FROM ok2)
          |SELECT f.doc_id, CAST(coalesce(count(ok.nd), 0) AS INTEGER) AS n_cards,
          |  CAST(coalesce(sum(ok.nd), 0) AS INTEGER) AS n_card_digits
          |FROM f LEFT JOIN ok ON f.doc_id = ok.doc_id
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
     }) { (s, dir) =>
       val fix = concat(col("text"),
-        when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 6 === 0,
           lit(" pay 4539 1488 0343 6467 and 6011-0009-9013-9424"))
-        .when(col("doc_id") % 5 === 1, lit(" ref 1234 5678 9012 3456"))
-        .when(col("doc_id") % 5 === 2, lit(" id 123456789012 end"))
-        .when(col("doc_id") % 5 === 3, lit(" big 12345678901234567890"))
+        .when(col("doc_id") % 6 === 1, lit(" ref 1234 5678 9012 3456"))
+        .when(col("doc_id") % 6 === 2, lit(" id 123456789012 end"))
+        .when(col("doc_id") % 6 === 3, lit(" big 12345678901234567890"))
+        .when(col("doc_id") % 6 === 4,
+          lit(" duo 4539 1488 0343 6467 6011-0009-9013-9424"))
         .otherwise(lit("")))
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.cardCounts(fix).as("__c"))

@@ -143,6 +143,16 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc.getAs[Int]("n_cards") == 1 && cc.getAs[Int]("n_card_digits") == 16)
     assert(spark.sql("SELECT scrub_cards('x 6011-0009-9013-9424 y') AS s")
       .head().getString(0) == "x <CARD> y")
+    // the 2-arg form honors a custom token; a wrong arity fails loudly
+    // instead of silently scrubbing with the default
+    assert(spark.sql("SELECT scrub_cards('x 6011-0009-9013-9424 y', '[PAN]') AS s")
+      .head().getString(0) == "x [PAN] y")
+    val arityErr = intercept[Exception](
+      spark.sql("SELECT scrub_cards('a', '<X>', 'extra') AS s").collect())
+    assert(arityErr.getMessage.contains("scrub_cards"), arityErr.getMessage)
+    // adjacent cards one separator apart (an over-long run) still redact
+    assert(spark.sql("SELECT scrub_cards('4111111111111111 4012888888881881') AS s")
+      .head().getString(0) == "<CARD> <CARD>")
 
     // deflated_size: the SQL name builds the same kernel as the Column API
     val ds = spark.sql("SELECT deflated_size('click here to win now ' || repeat('click here to win now ', 59)) AS n")

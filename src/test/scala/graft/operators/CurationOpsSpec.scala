@@ -752,6 +752,16 @@ class CurationOpsSpec extends AnyFunSuite {
     val b = CurationOps.temperatureMix(docs.coalesce(1), "id", "text", "src", 300L)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
+    // NULL-source rows form their own rate group and sample at it —
+    // never silently vanish (the leakageSafeSplit null-safe discipline)
+    val withNull = (1L to 100L).map(i =>
+      (i, if (i % 4 == 0) null else "big", "w " * (i % 5 + 1).toInt))
+      .toDF("id", "src", "text")
+    val mixed = CurationOps.temperatureMix(withNull, "id", "text", "src",
+      budgetTokens = 100000L) // budget >> tokens → every group keeps all
+    assert(mixed.count() == 100L,
+      "a keep-everything budget must return every row, NULL sources included")
+    assert(mixed.filter(col("src").isNull).count() == 25L)
   }
 
   test("mixturePlan: closed-form water-filling equals the iterative reference; shortfall mode; weight guard") {
@@ -804,6 +814,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rich.values.forall(_._3 == 1))
     assert(math.abs(rich.values.map(_._1).sum - 1120.0) < 1e-9) // Σ 2·toks
     assert(rich.values.head._4 == 5000L - 1120L, rich.toString)
+    // half-integral capacities (maxEpochs=1.5, odd n_tokens): the
+    // report column ROUNDS, so a capped row never shows
+    // alloc_raw > capacity_tokens (truncation sat 0.5 below the
+    // capacity the allocation math used)
+    val half = CurationOps.mixturePlan(
+      Seq(("a", 7L, 1.0), ("b", 9L, 1.0)).toDF("src", "toks", "w"),
+      "src", "toks", "w", budgetTokens = 1000L, maxEpochs = 1.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4), r.getInt(6)))).toMap
+    assert(half("a") == ((11L, 10.5, 1)), half.toString) // round(10.5)=11 >= alloc
+    assert(half("b") == ((14L, 13.5, 1)), half.toString)
+    assert(half.values.forall { case (capT, alloc, capped) =>
+      capped == 0 || alloc <= capT }, s"capped rows must show alloc <= capacity: $half")
     // a non-positive weight fails loudly naming the row (a clamped
     // weight would silently skew every other source's allocation)
     val e = intercept[IllegalArgumentException](

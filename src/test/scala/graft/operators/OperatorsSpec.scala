@@ -2121,15 +2121,52 @@ class OperatorsSpec extends AnyFunSuite {
       }
       sum % 10 == 0
     }
-    def qualifies(run: String): Boolean = {
-      val ds = run.filter(_.isDigit)
-      ds.length >= 13 && ds.length <= 19 && luhn(ds)
+    // reference card spans WITHIN a run: whole-run for 13-19 digits;
+    // greedy boundary segmentation (longest valid segment per start
+    // group, skip a group on failure) for over-long runs — an
+    // independent re-derivation of the contract, not the kernel's walk
+    def refSegs(run: String): List[(Int, Int)] = {
+      val nd = run.count(_.isDigit)
+      if (nd >= 13 && nd <= 19) {
+        if (luhn(run.filter(_.isDigit))) List((0, run.length)) else Nil
+      } else if (nd > 19) {
+        // digit groups as (start, end) offsets within the run
+        val gs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var i = 0
+        while (i < run.length) {
+          if (run(i).isDigit) {
+            val s0 = i
+            while (i < run.length && run(i).isDigit) i += 1
+            gs += ((s0, i))
+          } else i += 1
+        }
+        val out = List.newBuilder[(Int, Int)]
+        var gi = 0
+        while (gi < gs.length) {
+          var best = -1; var cum = 0
+          var gj = gi
+          var go = true
+          while (go && gj < gs.length) {
+            cum += gs(gj)._2 - gs(gj)._1
+            if (cum > 19) go = false
+            else {
+              if (cum >= 13 &&
+                  luhn(run.substring(gs(gi)._1, gs(gj)._2).filter(_.isDigit)))
+                best = gj
+              gj += 1
+            }
+          }
+          if (best >= 0) { out += ((gs(gi)._1, gs(best)._2)); gi = best + 1 }
+          else gi += 1
+        }
+        out.result()
+      } else Nil
     }
     def refCounts(s: String): (Int, Int) = {
       val m = runPat.matcher(s)
       var n = 0; var dsum = 0
-      while (m.find()) if (qualifies(m.group())) {
-        n += 1; dsum += m.group().count(_.isDigit)
+      while (m.find()) refSegs(m.group()).foreach { case (a, b) =>
+        n += 1; dsum += m.group().substring(a, b).count(_.isDigit)
       }
       (n, dsum)
     }
@@ -2137,8 +2174,9 @@ class OperatorsSpec extends AnyFunSuite {
       val m = runPat.matcher(s)
       val sb = new java.lang.StringBuilder
       var p = 0
-      while (m.find()) if (qualifies(m.group())) {
-        sb.append(s.substring(p, m.start())).append("<CARD>"); p = m.end()
+      while (m.find()) refSegs(m.group()).foreach { case (a, b) =>
+        sb.append(s.substring(p, m.start() + a)).append("<CARD>")
+        p = m.start() + b
       }
       sb.append(s.substring(p)).toString
     }
@@ -2170,6 +2208,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kScrub("pay 4539 1488 0343 6467 and 6011-0009-9013-9424 ok")
       == "pay <CARD> and <CARD> ok")
     assert(kCounts("45391488034364679")._1 == 0, "17-digit Luhn-fail merged run")
+    // over-long run segmentation: adjacent cards one space/dash apart
+    // redact (the dump/CSV case a whole-run-only rule silently leaks)
+    assert(kScrub("4111111111111111 4012888888881881") == "<CARD> <CARD>",
+      "adjacent contiguous-digit cards")
+    assert(kCounts("duo 4539 1488 0343 6467 6011-0009-9013-9424") == (2, 32),
+      "adjacent grouped cards, mixed separators")
+    assert(kScrub("12345 4111111111111111") == "12345 <CARD>", "junk prefix")
+    assert(kScrub("4111111111111111 12345") == "<CARD> 12345", "junk suffix")
+    // a 19-digit run (card + 3-digit tail) is NOT over-long: the
+    // whole-run rule still owns it, and Luhn over all 19 fails — the
+    // its-an-ID defense at the boundary
+    assert(kCounts("4111111111111111 123")._1 == 0, "19-digit run stays whole-run")
+    // but a CONTIGUOUS over-long blob has no boundaries — still an ID,
+    // never carved into a 19-digit "card"
+    assert(kCounts("12345678901234567890")._1 == 0, "20-digit contiguous blob")
+    assert(kCounts("41111111111111114012888888881881")._1 == 0,
+      "two cards fused with NO separator stay a blob")
     // the Column plumbing builds the same kernel
     val rows = Seq("a 4539 1488 0343 6467 b", "no cards 1 2 3").toDF("t")
       .select(TextOps.scrubCards(col("t")).as("s"), TextOps.cardCounts(col("t")).as("c"))
