@@ -469,6 +469,262 @@ object MultimodalOps {
     wavCache.computeIfAbsent((seed, sampleRate, channels, nFrames),
       k => syntheticWav(k._1, k._2, k._3, k._4))
 
+  // ------------------------------------------------------------------
+  // Audio CONTENT fingerprint (m11) — the modality-parity piece: image
+  // has aHash (m07), video has frame hashes (m06); this is the audio
+  // twin. A spectral band-energy hash in the lineage of
+  // Haitsma & Kalker 2002 ("A Highly Robust Audio Fingerprinting
+  // System") / chromaprint, reduced to the at-rest-key form this
+  // engine needs: decode PCM, frame-FFT, accumulate energy into 32
+  // log-spaced bands over 300-3000 Hz (the fingerprinting literature's
+  // perceptually-relevant range), threshold each band's WHOLE-RECORDING
+  // energy at the band mean → one 32-bit key per payload. Properties
+  // (AccuracySpec-gated like m07): volume-invariant (a gain multiplies
+  // every band, comparisons unchanged), resample-invariant (bands are
+  // fixed in Hz, not bins), and distinct tonal content lands in
+  // distinct bands. The key feeds the existing [[DedupOps.hammingPairs]]
+  // machinery; payload bytes never leave their input partition.
+  // ------------------------------------------------------------------
+
+  /** Decoded mono PCM as doubles in [-1, 1): 16-bit signed PCM via the
+    * JRE's own WAV reader, channels averaged. Null for anything the JRE
+    * can't decode to 16-bit PCM — the same honest boundary as
+    * [[audioHeader]] (no mp3/ogg codec ships with the JDK).
+    */
+  def decodeWavPcmMono(bytes: Array[Byte]): (Int, Array[Double]) = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return null
+      val ch = f.getChannels
+      if (ch <= 0) return null
+      val be = f.isBigEndian
+      val data = ais.readAllBytes()
+      val n = data.length / (2 * ch)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * 2
+          val s =
+            if (be) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+            else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      (f.getSampleRate.toInt, out)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT (the textbook public
+    * algorithm); `re`/`im` length must be a power of two.
+    */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val i0 = s + k
+          val i1 = s + k + len / 2
+          val xr = re(i1) * cr - im(i1) * ci
+          val xi = re(i1) * ci + im(i1) * cr
+          re(i1) = re(i0) - xr; im(i1) = im(i0) - xi
+          re(i0) += xr; im(i0) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Fingerprint geometry. 32 bands log-spaced over 300-3000 Hz: at the
+    * analysis frame of 1024 samples the NARROWEST band (≈22 Hz at
+    * 300 Hz) still spans more than one FFT bin up to 16 kHz input, so a
+    * tone's energy lands in the same Hz band at every supported rate.
+    */
+  val FpBands = 32
+  private val FpLoHz = 300.0
+  private val FpHiHz = 3000.0
+  private val FpFrame = 1024
+  private val binBandCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]
+
+  /** 32-bit audio content fingerprint (bit b = band b's total spectral
+    * energy above the band mean). 0 for undecodable payloads, payloads
+    * shorter than one analysis frame, or rates that cannot carry the
+    * 3 kHz band (sr < 6 kHz) — the [[aHash64]] convention.
+    */
+  def audioFingerprint32(bytes: Array[Byte]): Long = {
+    val dec = decodeWavPcmMono(bytes)
+    if (dec == null) return 0L
+    val (sr, pcm) = dec
+    if (sr < FpHiHz * 2 || pcm.length < FpFrame) return 0L
+    // bin → band map, cached per distinct sample rate (bounded: one
+    // small array per rate this executor ever sees)
+    val map = binBandCache.computeIfAbsent(sr, s => {
+      val m = new Array[Int](FpFrame / 2 + 1)
+      val logSpan = math.log10(FpHiHz / FpLoHz)
+      var k = 0
+      while (k < m.length) {
+        val f = k.toDouble * s / FpFrame
+        m(k) =
+          if (f < FpLoHz || f >= FpHiHz) -1
+          else math.min(FpBands - 1,
+            (math.log10(f / FpLoHz) / logSpan * FpBands).toInt)
+        k += 1
+      }
+      m
+    })
+    val e = new Array[Double](FpBands)
+    val re = new Array[Double](FpFrame)
+    val im = new Array[Double](FpFrame)
+    var off = 0
+    while (off + FpFrame <= pcm.length) {
+      System.arraycopy(pcm, off, re, 0, FpFrame)
+      java.util.Arrays.fill(im, 0.0)
+      fftInPlace(re, im)
+      var k = 0
+      while (k <= FpFrame / 2) {
+        val b = map(k)
+        if (b >= 0) e(b) += re(k) * re(k) + im(k) * im(k)
+        k += 1
+      }
+      off += FpFrame / 2
+    }
+    var tot = 0.0
+    var b = 0
+    while (b < FpBands) { tot += e(b); b += 1 }
+    if (tot <= 0.0) return 0L
+    val mean = tot / FpBands
+    var fp = 0L
+    b = 0
+    while (b < FpBands) {
+      if (e(b) > mean) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Compute an `afp` LONG column per partition, REPLACING the binary
+    * payload column — [[aHashPartitioned]]'s contract for the audio
+    * modality (payload bytes are consumed at this seam and never reach
+    * a shuffle; what follows a fingerprint is hash-space work).
+    */
+  def audioFingerprintPartitioned(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inSchema.fields.patch(binIdx, Nil, 1).toSeq :+
+        StructField("afp", LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq.patch(binIdx, Nil, 1) :+ audioFingerprint32(bytes))
+      }
+    }
+  }
+
+  /** The m11 fixture's 3 tone frequencies for a seed: distinct band
+    * CENTERS (bands 1..30, linear-probed for distinctness) snapped to
+    * multiples of 15.625 Hz — exact FFT-bin frequencies at BOTH 8 kHz
+    * and 16 kHz (15.625 = 8000/1024·2 = 16000/1024), so a tone's energy
+    * lands wholly in one bin with zero leakage at either rate and
+    * resample invariance is exact by construction. Structured content
+    * because fingerprinting is designed for it — [[syntheticWav]]'s
+    * hash noise has a flat spectrum, the one regime where threshold
+    * bits are unstable (same rationale as [[syntheticGradientImage]]).
+    */
+  def toneNotes(seed: Long): Array[Double] = {
+    val used = new Array[Boolean](30)
+    val idx = new Array[Int](3)
+    var k = (((seed % 30) + 30) % 30).toInt
+    val step = ((((seed * 7 + 3) % 29) + 29) % 29 + 1).toInt
+    var j = 0
+    while (j < 3) {
+      while (used(k)) k = (k + 1) % 30
+      used(k) = true
+      idx(j) = k + 1 // bands 1..30 (skip the edge bands)
+      k = (k + step) % 30
+      j += 1
+    }
+    idx.map { b =>
+      val c = FpLoHz * math.pow(10, (b + 0.5) / FpBands.toDouble)
+      math.max(1.0, math.round(c / 15.625).toDouble) * 15.625
+    }
+  }
+
+  /** Deterministic tonal WAV: a 3-tone mixture (see [[toneNotes]]) at
+    * `volume`, 16-bit mono PCM in a genuine JDK-written WAV container.
+    */
+  def syntheticToneWav(seed: Long, sampleRate: Int, nSamples: Int,
+      volume: Double = 1.0): Array[Byte] = {
+    val notes = toneNotes(seed)
+    val amps = Array(0.30, 0.24, 0.18)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      var s = 0.0
+      var j = 0
+      while (j < 3) {
+        s += amps(j) * math.sin(2 * math.Pi * notes(j) * i / sampleRate)
+        j += 1
+      }
+      val v = math.max(-32767, math.min(32767, (s * volume * 32767).toInt))
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Memoized [[syntheticToneWav]] over the bounded m11 combo set. */
+  private val toneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Double), Array[Byte]]
+  def syntheticToneWavCached(seed: Long, sampleRate: Int, nSamples: Int,
+      volume: Double): Array[Byte] =
+    toneCache.computeIfAbsent((seed, sampleRate, nSamples, volume),
+      k => syntheticToneWav(k._1, k._2, k._3, k._4))
+
   val VideoMetaType: StructType = StructType(Seq(
     StructField("duration_ms", LongType, nullable = false),
     StructField("timescale", IntegerType, nullable = false),

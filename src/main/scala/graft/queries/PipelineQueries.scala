@@ -4557,6 +4557,35 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- audio content fingerprint
+    // the audio modality's content-level key (m07's twin): 32-bit
+    // spectral band-energy hash over REAL JDK-decoded PCM — frame FFT,
+    // 32 log-spaced bands in 300-3000 Hz, threshold at the band mean
+    // (Haitsma & Kalker 2002 lineage). The fixture circulates 16
+    // distinct 3-tone contents, each rendered at BOTH 8 kHz and 16 kHz
+    // and at two volumes — so the same-fingerprint grouping the query
+    // reports exercises resample AND volume invariance in-band (tone
+    // frequencies sit on exact FFT bins at both rates, making the
+    // invariance exact by construction; the AccuracySpec gate pins it
+    // plus distinct-content separation). Decode+FFT is engine-specific
+    // → rows-only. Payload bytes never shuffle: the fingerprint seam
+    // replaces the binary column inside its input partition.
+    q("m11_audio_fingerprint", null) { (s, dir) =>
+      val gen = udf((m: Long, sr: Int, vol: Double) =>
+        MultimodalOps.syntheticToneWavCached(m, sr, 4096, vol))
+      val wavs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 16,
+          when(col("doc_id") % 2 === 0, 8000).otherwise(16000),
+          when(col("doc_id") % 4 < 2, 1.0).otherwise(0.5)).as("wav"))
+      val fps = MultimodalOps.audioFingerprintPartitioned(wavs, "wav")
+      // same-fingerprint grouping via partial-agg + join (the m07/d17
+      // rationale — never count-over-window on a duplicity-skewed key)
+      val counts = fps.groupBy(col("afp")).agg(count(lit(1)).as("n_copies"))
+      fps.join(counts, Seq("afp"))
+        .select(col("doc_id"), hex(col("afp")).as("afp_hex"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- n-gram novelty
     // the memorization-risk / content-originality metric: what fraction
     // of a document's 3-gram occurrences appear in NO other document

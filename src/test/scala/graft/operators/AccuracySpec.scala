@@ -400,6 +400,43 @@ class AccuracySpec extends AnyFunSuite {
       "a same-image pair is missing")
   }
 
+  test("m11 gate: audio fingerprint is volume- and resample-invariant on tonal content, separates distinct content") {
+    import graft.operators.MultimodalOps._
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the three properties the rows-only m11 entry rests on — real JDK
+    // decode, real FFT, over every fixture content class
+    val fps = (0L until 16L).map { seed =>
+      val base = audioFingerprint32(syntheticToneWav(seed, 8000, 4096))
+      assert(base != 0L, s"seed $seed: degenerate zero fingerprint")
+      // volume invariance is EXACT: gain scales every band energy by
+      // the same factor, the band-vs-mean comparisons never move
+      assert(audioFingerprint32(syntheticToneWav(seed, 8000, 4096, 0.25)) == base,
+        s"seed $seed: volume change moved the fingerprint")
+      // resample invariance is exact BY FIXTURE CONSTRUCTION (tones on
+      // shared FFT bins at both rates; bands are fixed in Hz)
+      assert(audioFingerprint32(syntheticToneWav(seed, 16000, 8192)) == base,
+        s"seed $seed: 2x resample moved the fingerprint")
+      // duration robustness: the whole-recording band profile of a
+      // stationary mixture doesn't depend on length
+      assert(audioFingerprint32(syntheticToneWav(seed, 8000, 8192)) == base,
+        s"seed $seed: doubled duration moved the fingerprint")
+      base
+    }
+    // distinct tonal content lands in distinct bands
+    val minSep = (for (i <- 0 until 16; j <- i + 1 until 16)
+      yield hamming(fps(i), fps(j))).min
+    assert(minSep >= 2, s"closest distinct-content pair only $minSep bits apart")
+    // undecodable / too-short / too-low-rate payloads key to 0 (the
+    // aHash convention), never throw
+    assert(audioFingerprint32(null) == 0L)
+    assert(audioFingerprint32(Array.emptyByteArray) == 0L)
+    assert(audioFingerprint32(Array.fill[Byte](100)(7)) == 0L)
+    assert(audioFingerprint32(syntheticToneWav(1L, 8000, 512)) == 0L,
+      "sub-frame payload must key to 0")
+    assert(audioFingerprint32(syntheticToneWav(1L, 4000, 4096)) == 0L,
+      "a rate that cannot carry the 3 kHz band must key to 0")
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
