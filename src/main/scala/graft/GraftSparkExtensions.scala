@@ -164,6 +164,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             s"bpe_encode merge '$m' must be 'lhs rhs' (one space)")
           (m.substring(0, sp), m.substring(sp + 1))
         })))
+    // unigram_encode(text, ARRAY('-1.5 piece', ...)) — each vocab entry
+    // as one 'logprob piece' string, split at the FIRST space (pieces
+    // come from space-split words, so a piece never contains a space)
+    ext.injectFunction((FunctionIdentifier("unigram_encode"), info("unigram_encode"),
+      (es: Seq[Expression]) => graft.functions.UnigramEncode(es(0),
+        stringSeqArg(es(1), "unigram_encode").map { m =>
+          val sp = m.indexOf(' ')
+          if (sp <= 0 || sp == m.length - 1) throw new IllegalArgumentException(
+            s"unigram_encode vocab entry '$m' must be 'logprob piece' (one space)")
+          val lp = try m.substring(0, sp).toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"unigram_encode vocab entry '$m': '${m.substring(0, sp)}' is not a double")
+          }
+          (m.substring(sp + 1), lp)
+        })))
     // round-10 kernels, same same-expression-tree guarantee:
     // c4_line_filter(text[, minWords]) → struct(n_lines, n_kept, kept)
     ext.injectFunction((FunctionIdentifier("c4_line_filter"), info("c4_line_filter"),

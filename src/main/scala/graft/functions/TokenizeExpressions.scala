@@ -337,6 +337,144 @@ final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unigram-LM (SentencePiece) tokenizer APPLY — the third major
+  * subword family next to BPE (d86) and WordPiece (d68): Kudo 2018
+  * ("Subword Regularization"), the vocabulary used by T5/LLaMA-lineage
+  * tokenizers. Encoding a word is exact VITERBI over a (piece,
+  * logprob) vocabulary: the segmentation maximizing the sum of piece
+  * log-probabilities, O(len × maxPieceLen) per word. Single code
+  * points absent from the vocabulary fall back to themselves at
+  * `unkLogProb` (a large penalty — SentencePiece's unk channel, kept
+  * text-preserving here so the d86/d68 lossless-reconstruction gate
+  * applies verbatim), which makes every position reachable and the
+  * encoder total. Ties break toward the LONGEST last piece
+  * (deterministic; the spec pins Viterbi score-optimality against
+  * brute-force enumeration, which is tie-break-agnostic).
+  */
+object UnigramUtil {
+
+  /** (piece → logprob) lookup plus the max piece length, as one
+    * reference object.
+    */
+  final class Vocab(pieces: Seq[(String, Double)], val unkLogProb: Double)
+      extends java.io.Serializable {
+    require(pieces.nonEmpty, "unigram vocab must be non-empty")
+    val map = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) =>
+      require(p.nonEmpty, "unigram vocab piece must be non-empty")
+      map.put(p, Double.box(lp))
+    }
+    val maxLen: Int = math.max(pieces.iterator.map(_._1.length).max, 2)
+  }
+
+  def encode(text: UTF8String, vocab: Vocab): ArrayData = {
+    val s = text.toString.trim
+    val out = new java.util.ArrayList[ArrayData]()
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) n else sp
+      if (end > start) out.add(encodeWord(s, start, end, vocab))
+      if (sp < 0) start = n + 1 else start = sp + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Is s[from, from+w) exactly one code point? */
+  @inline private def oneCp(s: String, from: Int, w: Int): Boolean =
+    w == 1 || (w == 2 && Character.isHighSurrogate(s.charAt(from)) &&
+      Character.isLowSurrogate(s.charAt(from + 1)))
+
+  private def encodeWord(s: String, from: Int, to: Int,
+      vocab: Vocab): ArrayData = {
+    val m = to - from
+    val best = new Array[Double](m + 1)
+    val back = new Array[Int](m + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= m) {
+      // j ascending from the farthest reachable start: among equal
+      // scores the SMALLEST j (longest piece) wins — strict > below
+      var j = math.max(0, i - vocab.maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val lp = vocab.map.get(s.substring(from + j, from + i))
+          val sc =
+            if (lp != null) best(j) + lp
+            else if (oneCp(s, from + j, i - j)) best(j) + vocab.unkLogProb
+            else Double.NegativeInfinity
+          if (sc > best(i)) { best(i) = sc; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // reconstruct (pieces found back-to-front)
+    var cnt = 0
+    var p = m
+    while (p > 0) { cnt += 1; p = back(p) }
+    val arr = new Array[Any](cnt)
+    p = m
+    var k = cnt - 1
+    while (p > 0) {
+      arr(k) = UTF8String.fromString(s.substring(from + back(p), from + p))
+      k -= 1
+      p = back(p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Viterbi total score of a word (the quantity the optimality spec
+    * compares against brute-force enumeration).
+    */
+  def wordScore(word: String, vocab: Vocab): Double = {
+    val a = encodeWord(word, 0, word.length, vocab)
+    var sc = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      val piece = a.getUTF8String(i).toString
+      val lp = vocab.map.get(piece)
+      sc += (if (lp != null) lp.doubleValue() else vocab.unkLogProb)
+      i += 1
+    }
+    sc
+  }
+}
+
+/** `unigram_encode(text)` → ARRAY<ARRAY<STRING>>: one Viterbi piece
+  * array per whitespace token (inner concatenation reproduces the
+  * token exactly — the d105 gate's lossless invariant).
+  */
+final case class UnigramEncode(child: Expression,
+    pieces: Seq[(String, Double)], unkLogProb: Double = -20.0)
+    extends UnaryExpression {
+  @transient private lazy val vocab = new UnigramUtil.Vocab(pieces, unkLogProb)
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"input must be string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramUtil.encode(input.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab",
+      new UnigramUtil.Vocab(pieces, unkLogProb),
+      "graft.functions.UnigramUtil.Vocab")
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnigramUtil.encode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ftfy-style mojibake repair: undo the classic UTF-8-bytes-read-as-
   * cp1252 mis-decode ("café" → "cafÃ©", "’" → "â€™"), the single most
   * common encoding corruption in web crawls.
@@ -473,4 +611,10 @@ object TokenizeExpressions {
   /** Column-facing wrapper for [[BpeEncode]]. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlShims.column(BpeEncode(GraftSqlShims.expression(text), merges))
+
+  /** Column-facing wrapper for [[UnigramEncode]]. */
+  def unigramEncode(text: Column, pieces: Seq[(String, Double)],
+      unkLogProb: Double = -20.0): Column =
+    GraftSqlShims.column(UnigramEncode(GraftSqlShims.expression(text),
+      pieces, unkLogProb))
 }

@@ -4654,6 +4654,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- unigram-LM tokenizer apply
+    // the THIRD major subword family (Kudo 2018's SentencePiece
+    // unigram model — T5/LLaMA-lineage tokenizers), closing the set
+    // next to BPE (d86) and WordPiece (d68): encoding is exact Viterbi
+    // over a (piece, logprob) vocabulary — the max-likelihood
+    // segmentation, not greedy matching. Self-contained
+    // train-then-apply like d86: the vocabulary is the corpus's top-80
+    // words plus its full single-character set with ML log-probs (two
+    // bounded model-sized collects), then the codegen kernel encodes
+    // every document with the vocab riding as a reference object.
+    // Segmentation is engine-specific → rows-only; the AccuracySpec
+    // gate pins lossless reconstruction + closed vocabulary
+    // corpus-wide, and the unit spec pins Viterbi ≡ brute-force
+    // enumeration on short strings.
+    q("d105_unigram_encode", null) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val totW = wc.agg(sum(col("n"))).first.getLong(0).toDouble
+      val topWords = wc.orderBy(col("n").desc, col("w")).limit(80)
+        .collect().map(r => (r.getString(0), math.log(r.getLong(1) / totW)))
+      val chars = toks.select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) === 1)
+        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .collect()
+      require(chars.length <= 512,
+        s"d105 vocab: ${chars.length} distinct characters — the char " +
+          "fallback set must stay model-sized; use a byte-level vocab " +
+          "for arbitrary-charset corpora")
+      val totC = chars.map(_.getLong(1)).sum.toDouble
+      val pieces = (topWords ++ chars.map(r =>
+        (r.getString(0), math.log(r.getLong(1) / totC))))
+        .groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }.toSeq
+        .sortBy(_._1)
+      val enc = graft.functions.TokenizeExpressions.unigramEncode(
+        col("text"), pieces)
+      docs.select(col("doc_id"), enc.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).as("n_tokens"),
+          size(flatten(col("__p"))).as("n_pieces"),
+          // faithful fingerprint: pieces never cross tokens (the d86
+          // rationale), so order + content pin the encoding
+          md5(concat_ws(" ", flatten(col("__p")))).as("pieces_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- WordPiece tokenizer apply
     // the encode side of subword tokenization (d61 counts the training
     // statistics; this runs a finished vocabulary over the corpus):

@@ -154,6 +154,16 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT scrub_cards('4111111111111111 4012888888881881') AS s")
       .head().getString(0) == "<CARD> <CARD>")
 
+    // unigram_encode: the SQL name builds the same Viterbi kernel; a
+    // malformed vocab entry fails loudly
+    val ue = spark.sql(
+      "SELECT unigram_encode('abc zq', ARRAY('-1.0 a', '-1.5 bc', '-3.5 ab', '-2.0 c')) AS p")
+      .head().getSeq[scala.collection.Seq[String]](0)
+    assert(ue == Seq(Seq("a", "bc"), Seq("z", "q")), ue.toString)
+    val ueErr = intercept[Exception](
+      spark.sql("SELECT unigram_encode('a', ARRAY('nodouble piece')) AS p").collect())
+    assert(ueErr.getMessage.contains("not a double"), ueErr.getMessage)
+
     // deflated_size: the SQL name builds the same kernel as the Column API
     val ds = spark.sql("SELECT deflated_size('click here to win now ' || repeat('click here to win now ', 59)) AS n")
       .head().getLong(0)

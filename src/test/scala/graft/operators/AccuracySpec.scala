@@ -314,6 +314,44 @@ class AccuracySpec extends AnyFunSuite {
     assert(fired > 0, "no learned merge ever fired — vacuous gate")
   }
 
+  test("d105 gate: unigram encode — lossless reconstruction, closed vocabulary, and real multi-char pieces over the corpus") {
+    // the rows-only conformance query's bound, the d86 regime for the
+    // unigram family: (1) concatenating each token's Viterbi pieces
+    // reproduces the token exactly, (2) every emitted piece is in the
+    // vocabulary or is a single code point (the unk fallback channel),
+    // (3) multi-char vocabulary pieces actually win segmentations
+    // corpus-wide (the gate is not vacuous).
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val totW = wc.agg(sum(col("n"))).first.getLong(0).toDouble
+    val topWords = wc.orderBy(col("n").desc, col("w")).limit(80)
+      .collect().map(r => (r.getString(0), math.log(r.getLong(1) / totW)))
+    val chars = toks.select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .groupBy(col("c")).agg(count(lit(1)).as("n")).collect()
+    val totC = chars.map(_.getLong(1)).sum.toDouble
+    val pieces = (topWords ++ chars.map(r =>
+      (r.getString(0), math.log(r.getLong(1) / totC))))
+      .groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }.toSeq
+      .sortBy(_._1)
+    val enc = docs.select(col("doc_id"), col("text"),
+      graft.functions.TokenizeExpressions.unigramEncode(col("text"), pieces).as("p"))
+    val bad = enc.filter(
+      transform(col("p"), w => array_join(w, "")) =!=
+        array_remove(graft.operators.TextOps.tokens(col("text")), "")).count()
+    assert(bad == 0, s"$bad docs fail per-token piece reconstruction")
+    val vocabSet = pieces.map(_._1)
+    val badPieces = enc.select(explode(flatten(col("p"))).as("piece")).distinct()
+      .filter(!col("piece").isin(vocabSet: _*) &&
+        size(regexp_extract_all(col("piece"), lit("[\\s\\S]"), lit(0))) =!= 1)
+      .count()
+    assert(badPieces == 0, s"$badPieces pieces outside vocab ∪ single code points")
+    val multi = enc.select(explode(flatten(col("p"))).as("piece"))
+      .filter(length(col("piece")) > 1).count()
+    assert(multi > 0, "no multi-char piece ever won a segmentation — vacuous gate")
+  }
+
   test("d68 gate (basic=true): punctuation-glued and CJK web text segments instead of falling to UNK") {
     // the r9 gap: raw web text puts punctuation-glued tokens and CJK
     // runs in front of WordPiece; without BasicTokenizer every such

@@ -1654,6 +1654,66 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("unigramEncode: Viterbi ≡ brute-force max-likelihood over 2000 ScalaCheck cases; unk fallback; codegen parity") {
+    import graft.functions.{TokenizeExpressions, UnigramUtil}
+    import org.scalacheck.{Gen, Prop}
+    // brute force: enumerate EVERY segmentation of a short word, score
+    // with the same (vocab | single-cp-unk) rule, take the max — shares
+    // no code with the kernel's DP
+    def bruteBest(w: String, m: Map[String, Double], unk: Double): Double = {
+      if (w.isEmpty) return 0.0
+      (1 to w.length).flatMap { k =>
+        val head = w.substring(0, k)
+        val hs = m.get(head).orElse(
+          if (head.codePointCount(0, head.length) == 1) Some(unk) else None)
+        hs.map(_ + bruteBest(w.substring(k), m, unk))
+      } match { case xs if xs.isEmpty => Double.NegativeInfinity case xs => xs.max }
+    }
+    val pieceGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString take 4)
+    val vocabGen = for {
+      ps <- Gen.listOfN(8, pieceGen)
+      lps <- Gen.listOfN(8, Gen.choose(-8.0, -0.5))
+    } yield ps.distinct.zip(lps).toMap
+    val wordGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString take 9)
+    val prop = Prop.forAll(vocabGen, wordGen) { (vm, w0) =>
+      val vm2 = if (vm.isEmpty) Map("a" -> -1.0) else vm
+      val w = w0.trim
+      val vocab = new UnigramUtil.Vocab(vm2.toSeq, -20.0)
+      val got = if (w.isEmpty) 0.0 else UnigramUtil.wordScore(w, vocab)
+      val want = bruteBest(w, vm2, -20.0)
+      val ok = math.abs(got - want) < 1e-9
+      if (!ok) println(s"viterbi break on <$w> vocab=$vm2: got $got want $want")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+    // hand pins: max-likelihood beats greedy-longest ("abc" as a+bc
+    // when ab is cheap but a·bc is cheaper), unk fallback preserves
+    // text, multi-token split, longest-piece tie-break
+    val vocab = Seq("a" -> -1.0, "ab" -> -3.5, "bc" -> -1.5, "abc" -> -6.0, "c" -> -2.0)
+    val out = Seq("abc zq ab").toDF("t")
+      .select(TokenizeExpressions.unigramEncode(col("t"), vocab).as("p"))
+      .as[Seq[Seq[String]]].head()
+    // a(-1)+bc(-1.5)=-2.5 beats ab(-3.5)+c(-2)=-5.5 and abc(-6)
+    assert(out == Seq(Seq("a", "bc"), Seq("z", "q"), Seq("ab")), out.toString)
+    // ties prefer the longest last piece
+    val tied = Seq("xy").toDF("t")
+      .select(TokenizeExpressions.unigramEncode(col("t"),
+        Seq("x" -> -1.0, "y" -> -1.0, "xy" -> -2.0)).as("p"))
+      .as[Seq[Seq[String]]].head()
+    assert(tied == Seq(Seq("xy")), tied.toString)
+    // codegen vs interpreted
+    val rows = Seq("abc zq", "", "a").toDF("t")
+    val expr = TokenizeExpressions.unigramEncode(col("t"), vocab)
+    val on = rows.select(expr.as("p")).as[Seq[Seq[String]]].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = rows.select(expr.as("p")).as[Seq[Seq[String]]].collect().toSeq
+      assert(on == off, s"codegen $on != interpreted $off")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("containsAnyWord is token-exact: no substring (Scunthorpe) hits, empty text never trips") {
     val df = Seq("the class is full", "bad word here", "badge of honor", "", "bad").toDF("text")
     val got = df.select(TextOps.containsAnyWord(col("text"), Seq("bad", "ass")).as("h"))
