@@ -22,12 +22,21 @@ object GraftRedis {
   def connect(spark: SparkSession, hostPort: String): String =
     functions.RedduckFunctions.redisConnect(spark, hostPort)
 
+  /** [[connect]] with credentials ("password" or "user password"):
+    * authenticates the validation PING and persists the credential in
+    * session conf so every session-target read/write/TVF below uses it.
+    */
+  def connect(spark: SparkSession, hostPort: String, auth: String): String =
+    functions.RedduckFunctions.redisConnect(spark, hostPort, Some(auth))
+
   private def reader(spark: SparkSession, fmt: String, pattern: String,
       numPartitionsPatterns: Seq[String]) = {
     val (host, port) = functions.RedduckFunctions.target(spark)
-    val base = spark.read.format(fmt)
+    val base0 = spark.read.format(fmt)
       .option("host", host).option("port", port.toString)
       .option("pattern", pattern)
+    val base = functions.RedduckFunctions.sessionAuth(spark)
+      .map(a => base0.option("auth", a)).getOrElse(base0)
     (if (numPartitionsPatterns.nonEmpty)
       base.option("partition.patterns", numPartitionsPatterns.mkString(","))
     else base).load()
@@ -50,8 +59,10 @@ object GraftRedis {
     */
   def writeKv(df: DataFrame): Unit = {
     val (host, port) = functions.RedduckFunctions.target(df.sparkSession)
-    df.write.format("redis-kv")
+    val w0 = df.write.format("redis-kv")
       .option("host", host).option("port", port.toString)
+    functions.RedduckFunctions.sessionAuth(df.sparkSession)
+      .map(a => w0.option("auth", a)).getOrElse(w0)
       .mode("append").save()
   }
 
@@ -61,9 +72,11 @@ object GraftRedis {
     */
   def keyStream(spark: SparkSession, pattern: String = "*"): DataFrame = {
     val (host, port) = functions.RedduckFunctions.target(spark)
-    spark.readStream.format("redis-key-stream")
+    val r0 = spark.readStream.format("redis-key-stream")
       .option("host", host).option("port", port.toString)
-      .option("pattern", pattern).load()
+      .option("pattern", pattern)
+    functions.RedduckFunctions.sessionAuth(spark)
+      .map(a => r0.option("auth", a)).getOrElse(r0).load()
   }
 
   /** Register the SQL scalar surface AND the table-valued functions on

@@ -47,9 +47,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   private def sourceDf(fmt: String, pattern: String) = {
     val spark = SparkSession.active
     val (host, port) = functions.RedduckFunctions.target(spark)
-    spark.read.format(fmt)
+    val base = spark.read.format(fmt)
       .option("host", host).option("port", port.toString)
-      .option("pattern", pattern).load()
+      .option("pattern", pattern)
+    functions.RedduckFunctions.sessionAuth(spark)
+      .map(a => base.option("auth", a)).getOrElse(base).load()
   }
 
   private def intArg(e: Expression, fn: String): Int = {

@@ -21,6 +21,17 @@ object RedduckFunctions {
   val HostConf = "spark.redduck.host"
   val PortConf = "spark.redduck.port"
 
+  /** Session-default credentials ("password" or "user password" — the
+    * Redis 6 ACL form): connector `.option("auth", …)` is authoritative
+    * per-read; this conf backs the UDF/session surface the same way
+    * HostConf/PortConf do. Never logged, never echoed by
+    * [[redisConnect]]'s status string.
+    */
+  val AuthConf = "spark.redduck.auth"
+
+  def sessionAuth(spark: SparkSession): Option[String] =
+    spark.conf.getOption(AuthConf).filter(_.nonEmpty)
+
   /** Bug-compat flag (SURVEY §1.2): the reference returns "" for a missing
     * key (redis_client.cpp:232-236, GET on absent key → empty string,
     * indistinguishable from an empty value). Our default is SQL NULL —
@@ -38,18 +49,21 @@ object RedduckFunctions {
     * (:54-119) including eager connect; the constant-only restriction
     * becomes natural (one driver-side call, not a per-row function).
     */
-  def redisConnect(spark: SparkSession, target: String): String = {
+  def redisConnect(spark: SparkSession, target: String,
+      auth: Option[String] = None): String = {
     val idx = target.indexOf(':')
     require(idx > 0 && idx < target.length - 1, s"expected 'host:port', got '$target'")
     val host = target.substring(0, idx)
     val port = try target.substring(idx + 1).toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"invalid port in '$target'") }
-    val c = new RedisConnection(host, port)
+    val creds = auth.orElse(sessionAuth(spark))
+    val c = new RedisConnection(host, port, auth = creds)
     try c.ping() finally c.close()
     spark.conf.set(HostConf, host)
     spark.conf.set(PortConf, port.toString)
-    s"Redis Target Set: $host:$port"
+    auth.foreach(a => spark.conf.set(AuthConf, a))
+    s"Redis Target Set: $host:$port" // reference-exact; never echoes creds
   }
 
   def target(spark: SparkSession): (String, Int) =
@@ -61,6 +75,7 @@ object RedduckFunctions {
     */
   def registerAll(spark: SparkSession): Unit = {
     val (host, port) = target(spark)
+    val auth = sessionAuth(spark)
     val missingDefault: String = if (legacyEmpty(spark)) "" else null
 
     // demo scalars, kept for smoke-test parity (redduck_extension.cpp:17-40)
@@ -73,12 +88,12 @@ object RedduckFunctions {
     // was set at registration time.
     spark.udf.register("redis_get", (key: String) =>
       if (key == null) null
-      else RedisConnection.withPooled(host, port)(c =>
+      else RedisConnection.withPooled(host, port, auth)(c =>
         RedisCommands.get(c, key).getOrElse(missingDefault)))
 
     spark.udf.register("redis_hgetall", (key: String) =>
       if (key == null) null
-      else RedisConnection.withPooled(host, port)(c => RedisCommands.hgetall(c, key)))
+      else RedisConnection.withPooled(host, port, auth)(c => RedisCommands.hgetall(c, key)))
   }
 
   /** Batched `redis_get`: resolves `keyCol` for a whole DataFrame with one
@@ -88,9 +103,11 @@ object RedduckFunctions {
     * use at scale; the UDF above is row-at-a-time parity.
     */
   def withRedisValues(df: DataFrame, keyCol: String, valueCol: String = "value",
-      batchSize: Int = 512, hostPort: Option[(String, Int)] = None): DataFrame = {
+      batchSize: Int = 512, hostPort: Option[(String, Int)] = None,
+      auth: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val (host, port) = hostPort.getOrElse(target(spark))
+    val creds = auth.orElse(sessionAuth(spark))
     val missingDefault: String = if (legacyEmpty(spark)) "" else null
     val schema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(valueCol, StringType, nullable = true))
@@ -99,7 +116,7 @@ object RedduckFunctions {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { group =>
         val keys = group.map(_.getString(keyIdx))
-        val values = RedisConnection.withPooled(host, port)(c => RedisCommands.mget(c, keys))
+        val values = RedisConnection.withPooled(host, port, creds)(c => RedisCommands.mget(c, keys))
         group.iterator.zip(values.iterator).map { case (row, v) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v.getOrElse(missingDefault))
         }
@@ -113,12 +130,13 @@ object RedduckFunctions {
     * decision 5 makes Map the honest default).
     */
   def withHashFields(df: DataFrame, keyCol: String, structSchema: Option[StructType] = None,
-      hostPort: Option[(String, Int)] = None): DataFrame = {
+      hostPort: Option[(String, Int)] = None, auth: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val (host, port) = hostPort.getOrElse(target(spark))
+    val creds = auth.orElse(sessionAuth(spark))
     val hget = udf((key: String) =>
       if (key == null) null
-      else RedisConnection.withPooled(host, port)(c => RedisCommands.hgetall(c, key)))
+      else RedisConnection.withPooled(host, port, creds)(c => RedisCommands.hgetall(c, key)))
     val withMap = df.withColumn("hash", hget(col(keyCol)))
     structSchema match {
       case None => withMap

@@ -86,8 +86,19 @@ final class FakeRedisServer(requestedPort: Int = 0) {
     if (server != null) server.close()
   }
 
-  /** Per-connection one-shot ASKING flag (real Redis scopes it this way). */
-  private final class ConnState { var asking = false }
+  // requirepass / ACL simulation: when set, every command except
+  // AUTH/QUIT on an unauthenticated connection answers NOAUTH (real
+  // Redis 6 behavior); AUTH checks the password (and, when a username
+  // is configured, the ACL 2-arg form)
+  @volatile private var requirePassConf: Option[(Option[String], String)] = None
+  def setRequirePass(password: String, user: Option[String] = None): Unit =
+    requirePassConf = Some((user, password))
+  def clearRequirePass(): Unit = requirePassConf = None
+
+  /** Per-connection one-shot ASKING flag (real Redis scopes it this way)
+    * plus the connection's authentication state.
+    */
+  private final class ConnState { var asking = false; var authed = false }
 
   private def serve(sock: Socket): Unit = {
     val in = sock.getInputStream
@@ -124,6 +135,18 @@ final class FakeRedisServer(requestedPort: Int = 0) {
       val cmd = args.head.toUpperCase
       val asking = st.asking
       if (cmd != "ASKING") st.asking = false // one-shot: covers only the next command
+      requirePassConf match {
+        case Some((user, pass)) if cmd == "AUTH" =>
+          val ok = (args.length == 2 && user.isEmpty && args(1) == pass) ||
+            (args.length == 3 && user.contains(args(1)) && args(2) == pass)
+          return if (ok) { st.authed = true; Simple("OK") }
+          else Err("WRONGPASS invalid username-password pair or user is disabled.")
+        case Some(_) if !st.authed && cmd != "QUIT" =>
+          return Err("NOAUTH Authentication required.")
+        case None if cmd == "AUTH" =>
+          return Err("ERR Client sent AUTH, but no password is set.")
+        case _ => ()
+      }
       cmd match {
         case "PING" => Simple("PONG")
         case "ECHO" => Bulk(args(1))

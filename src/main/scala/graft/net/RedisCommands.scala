@@ -54,8 +54,9 @@ object RedisCommands {
     * there — without it the target answers MOVED back and the query fails);
     * MOVED targets own the slot and take the plain command.
     */
-  private def onRedirectTarget[T](host: String, port: Int, ask: Boolean)(f: RedisConnection => T): T =
-    RedisConnection.withPooled(host, port) { rc =>
+  private def onRedirectTarget[T](host: String, port: Int, ask: Boolean,
+      auth: Option[String])(f: RedisConnection => T): T =
+    RedisConnection.withPooled(host, port, auth) { rc =>
       if (ask) rc.command("ASKING") match {
         case Err(m) => throw new java.io.IOException(s"ASKING refused: $m")
         case _ => ()
@@ -72,7 +73,7 @@ object RedisCommands {
       case b: Bulk => Some(b.text)
       case Null => None
       case Err(m) => redirectTarget(m) match {
-        case Some((h, p, ask)) => onRedirectTarget(h, p, ask) { rc =>
+        case Some((h, p, ask)) => onRedirectTarget(h, p, ask, c.auth) { rc =>
           rc.command("GET", key) match {
             case b: Bulk => Some(b.text)
             case Null => None
@@ -106,7 +107,7 @@ object RedisCommands {
       }
       c.command("MGET" +: keys: _*) match {
         case Err(m) => redirectTarget(m) match {
-          case Some((h, p, ask)) => onRedirectTarget(h, p, ask) { rc =>
+          case Some((h, p, ask)) => onRedirectTarget(h, p, ask, c.auth) { rc =>
             parse(rc.command("MGET" +: keys: _*), " after redirect")
           }
           case None => throw new java.io.IOException(s"MGET error: $m")
@@ -128,7 +129,7 @@ object RedisCommands {
         entries.collect { case (k: Bulk, value: Bulk) => k.text -> value.text }.toMap
       case Err(m) => redirectTarget(m) match {
         case Some((h, p, ask)) if !afterRedirect =>
-          onRedirectTarget(h, p, ask)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
+          onRedirectTarget(h, p, ask, c.auth)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
         case _ => throw new java.io.IOException(s"HGETALL error: $m")
       }
       case other => fail("HGETALL reply", other)

@@ -20,7 +20,8 @@ import graft.resp.{RespCodec, RespValue}
   * serializes all I/O behind two process-global mutexes; we scale by
   * giving each Spark partition its own connection instead).
   */
-final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 5000)
+final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 5000,
+    val auth: Option[String] = None)
     extends AutoCloseable {
 
   private val socket = new Socket()
@@ -33,6 +34,28 @@ final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 50
   private var buf = new Array[Byte](16 * 1024)
   private var bufEnd = 0
   private var bufPos = 0
+
+  // AUTH before anything else (neither the reference nor plain PING
+  // works on a requirepass/ACL server): "password" sends the RESP2
+  // 1-arg form, "user password" (one space) the Redis-6 ACL 2-arg form.
+  // A refused credential fails LOUDLY at connect — a silently
+  // unauthenticated connection would error per-command downstream.
+  auth.foreach { a =>
+    val sp = a.indexOf(' ')
+    val reply =
+      if (sp > 0 && sp < a.length - 1)
+        command("AUTH", a.substring(0, sp), a.substring(sp + 1))
+      else command("AUTH", a)
+    reply match {
+      case RespValue.Simple("OK") => ()
+      case RespValue.Err(m) =>
+        try close() catch { case _: Throwable => () }
+        throw new java.io.IOException(s"AUTH failed for $host:$port: $m")
+      case other =>
+        try close() catch { case _: Throwable => () }
+        throw new java.io.IOException(s"unexpected AUTH reply: $other")
+    }
+  }
 
   /** PING/PONG handshake (reference: redis_client.cpp:98-118). */
   def ping(): Unit = command("PING") match {
@@ -97,16 +120,16 @@ object RedisConnection {
     * run on a bounded executor thread pool, so this bounds connections at
     * (threads × targets) while never sharing a socket across threads.
     */
-  private val pool = new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), RedisConnection]()
+  private val pool = new java.util.concurrent.ConcurrentHashMap[(String, Int, Option[String], Long), RedisConnection]()
 
-  def pooled(host: String, port: Int): RedisConnection = {
-    val key = (host, port, Thread.currentThread().getId)
+  def pooled(host: String, port: Int, auth: Option[String] = None): RedisConnection = {
+    val key = (host, port, auth, Thread.currentThread().getId)
     var c = pool.get(key)
     if (c == null || !c.isOpen) {
       if (c != null) { // close the dead socket before replacing: no fd leak
         try c.close() catch { case _: Throwable => () }
       }
-      c = new RedisConnection(host, port)
+      c = new RedisConnection(host, port, auth = auth)
       pool.put(key, c)
     }
     c
@@ -128,9 +151,10 @@ object RedisConnection {
   /** Run `f` with a pooled connection, evicting it on I/O failure so the
     * next call reconnects.
     */
-  def withPooled[T](host: String, port: Int)(f: RedisConnection => T): T = {
-    val key = (host, port, Thread.currentThread().getId)
-    val c = pooled(host, port)
+  def withPooled[T](host: String, port: Int, auth: Option[String] = None)(
+      f: RedisConnection => T): T = {
+    val key = (host, port, auth, Thread.currentThread().getId)
+    val c = pooled(host, port, auth)
     try f(c)
     catch {
       case e: java.io.IOException =>

@@ -138,6 +138,64 @@ object IvfPq {
       .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
   }
 
+  /** Reserved tombstone partition for [[deleteFromIndex]]. */
+  private val TombstoneCell = -1
+
+  /** Right-to-be-forgotten / retraction for the at-rest IVFPQ index
+    * WITHOUT rewriting it — the maintenance op
+    * [[SimilarityOps.deleteFromBucketedIndex]] (s17) provides for the
+    * LSH index, mirrored here so both at-rest ANN families carry the
+    * full CRUD story: append tombstone rows `(id, zero codes)` into the
+    * reserved `__cluster = -1` partition (a model-cheap one-partition
+    * write; existing cell files are never touched). [[probeIndex]]
+    * applies LIVE tombstones as a broadcast anti-join before scoring;
+    * [[compactIndex]] makes them physical. Same contract as s17,
+    * documented + spec-pinned: a tombstone wins until compaction (it
+    * kills later re-appends of the same id too, since tombstones apply
+    * by id) — re-append AFTER the compaction.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, cId: String): Unit = {
+    val model = loadModel(spark, path)
+    ids.select(
+        col(cId).as("neighbor_id") +:
+          (0 until model.pq.m).map(j => lit(0).as(s"__c$j")) :+
+          lit(TombstoneCell).as("__cluster"): _*)
+      .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
+  }
+
+  /** Live tombstone set of an at-rest index — a partition-pruned read
+    * of the single reserved directory (empty scan when no delete ever
+    * ran).
+    */
+  private def liveTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .filter(col("__cluster") === TombstoneCell)
+      .select(col("neighbor_id").as("__del")).distinct()
+
+  /** Compact the at-rest IVFPQ index: collapse exact duplicate rows
+    * (replayed appends), APPLY tombstones physically (dead codes and
+    * the `__cluster = -1` partition both disappear), and rewrite each
+    * cell's accreted per-batch small files into one sized file —
+    * [[SimilarityOps.compactBucketedIndex]]'s contract for this layout,
+    * under the same staged-swap/lease/manifest discipline
+    * ([[LedgerGuard.advanceInPlace]] over the codes directory; the
+    * model table is immutable and stays in place).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
+    LedgerGuard.advanceInPlace(spark, s"$path/codes", "IVFPQ index compaction") { staging =>
+      val led = spark.read.parquet(s"$path/codes").dropDuplicates()
+      val tombs = led.filter(col("__cluster") === TombstoneCell)
+        .select(col("neighbor_id").as("__del")).distinct()
+      led.filter(col("__cluster") =!= TombstoneCell)
+        .join(broadcast(tombs), col("neighbor_id") === col("__del"), "left_anti")
+        .repartition(col("__cluster"))
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("__cluster").parquet(staging)
+    }
+
   /** Load the model written by [[writeIndex]] (bit-exact round-trip). */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._
@@ -174,8 +232,13 @@ object IvfPq {
     val wanted = qRows.flatMap { case (_, v) =>
       nearestCells(model, v.toArray, nprobe)
     }.distinct.toSeq
+    // live tombstones (s19 deletes) anti-join the pruned codes BEFORE
+    // scoring, so a deleted id can never reach the re-rank pool; when no
+    // delete ever ran this is a zero-file partition-pruned read
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("__cluster").isin(wanted: _*))
+      .join(broadcast(liveTombstones(spark, path)),
+        col("neighbor_id") === col("__del"), "left_anti")
     annTopK(queries, qId, qVec, candidates, cId, cVec,
       model, k, nprobe, rerank, prebuiltCodes = Some(codes),
       collectedQueries = Some(qRows))

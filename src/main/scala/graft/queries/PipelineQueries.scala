@@ -1304,6 +1304,37 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- IVFPQ index maintenance cycle
+    // the s17 CRUD story completed for the SECOND at-rest ANN family:
+    // build the IVFPQ index from the even half, append the odd half
+    // with the frozen model, tombstone-delete every vec_id % 3 == 0
+    // (plus a crash-and-retry replay of the delete), compact (dead
+    // codes and the tombstone partition physically disappear, each
+    // cell rewritten to one sized file), then probe. Model-dependent →
+    // rows-only; PlanShapeSpec pins row-identity with the live annTopK
+    // over the surviving corpus before AND after compaction, plus the
+    // partition-pruned probe shape.
+    q("s19_ivfpq_maintenance", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:$dir")(
+        graft.operators.IvfPq.train(emb, "embedding",
+          kc = 8, m = 8, k = 32, iters = 5, residual = true))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/s19_ivfpq_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      graft.operators.IvfPq.writeIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", model, path)
+      graft.operators.IvfPq.appendToIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path)
+      val dead = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id")
+      graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id") // replay
+      graft.operators.IvfPq.compactIndex(s, path)
+      graft.operators.IvfPq.probeIndex(s, path,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100)
+        .coalesce(1).sortWithinPartitions("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- int8 scalar-quantized search
     // the faiss-SQ8 regime: approximate ranking on 4×-smaller int8
     // codes (integer dot products, scales cancel in cosine), 4k

@@ -47,7 +47,8 @@ object RedisSources {
     StructField("fields", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
 
   final case class Options(host: String, port: Int, pattern: String, count: Int,
-      partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean) {
+      partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean,
+      auth: Option[String] = None) {
     /** Disjoint pattern lists, one per input partition. */
     def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
       case Some(p) => Seq(Seq(p))
@@ -63,6 +64,8 @@ object RedisSources {
     val opts = Options(
       host = o.getOrDefault("host", "127.0.0.1"),
       port = o.getOrDefault("port", "6379").toInt,
+      // requirepass / ACL credentials: "password" or "user password"
+      auth = Option(o.get("auth")).filter(_.nonEmpty),
       pattern = o.getOrDefault("pattern", "*"),
       count = o.getOrDefault("scan.count", "2048").toInt, // reference batch size, resp_parser.cpp:159-161
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
@@ -93,12 +96,14 @@ object RedisSources {
     */
   def clusterPartitions(opts: Options, pushed: Option[String],
       limit: Option[Int], topN: Option[TopN]): Array[InputPartition] = {
-    val conn = new RedisConnection(opts.host, opts.port)
+    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth)
     val ranges = try RedisCommands.clusterSlots(conn) finally conn.close()
     val masters = ranges.map(r => (r.host, r.port)).distinct
     val pats = Seq(pushed.getOrElse(opts.pattern))
     masters.map { case (h, p) =>
-      RedisInputPartition(h, p, pats, opts.count, limit, topN): InputPartition
+      // cluster nodes share the deployment's credentials
+      RedisInputPartition(h, p, pats, opts.count, limit, topN,
+        auth = opts.auth): InputPartition
     }.toArray
   }
 
@@ -221,7 +226,8 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
               if (opts.clusterMode)
                 RedisSources.clusterPartitions(opts, pushedGlob, None, None)
               else opts.effectivePatterns(pushedGlob)
-                .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count): InputPartition)
+                .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
+                  auth = opts.auth): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               (partition: InputPartition) =>
@@ -236,7 +242,7 @@ class RedisHashPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {
   import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 
-  private val conn = new RedisConnection(p.host, p.port)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -314,7 +320,7 @@ class RedisBatchWrite(opts: RedisSources.Options)
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new RedisDataWriterFactory(opts.host, opts.port, opts.count)
+    new RedisDataWriterFactory(opts.host, opts.port, opts.count, opts.auth)
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   // no coordinator: SET is an idempotent upsert, so task retries are safe
@@ -324,12 +330,13 @@ class RedisBatchWrite(opts: RedisSources.Options)
 final case class RedisWriteCommit(written: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class RedisDataWriterFactory(host: String, port: Int, batchSize: Int)
+class RedisDataWriterFactory(host: String, port: Int, batchSize: Int,
+    auth: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private val conn = new RedisConnection(host, port)
+      private val conn = new RedisConnection(host, port, auth = auth)
       private val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
       private var written = 0L
 
@@ -429,7 +436,7 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
       RedisSources.clusterPartitions(opts, pushedGlob, pushedLimit, pushedTopN)
     else opts.effectivePatterns(pushedGlob)
       .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
-        pushedLimit, pushedTopN): InputPartition)
+        pushedLimit, pushedTopN, auth = opts.auth): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
@@ -440,7 +447,8 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
   * exact-prefix literal in the same partition).
   */
 final case class RedisInputPartition(host: String, port: Int, patterns: Seq[String], count: Int,
-    limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None)
+    limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None,
+    auth: Option[String] = None)
     extends InputPartition
 
 class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
@@ -472,7 +480,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val conn = new RedisConnection(p.host, p.port)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -526,7 +534,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
 class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     extends PartitionReader[InternalRow] {
 
-  private val conn = new RedisConnection(p.host, p.port)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false

@@ -78,7 +78,7 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options)
   private var initialized = false
 
   private def scanKeys(): Seq[String] = {
-    val conn = new RedisConnection(opts.host, opts.port)
+    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth)
     try {
       val out = Seq.newBuilder[String]
       var cursor = "0"

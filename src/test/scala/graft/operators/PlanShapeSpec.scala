@@ -318,6 +318,35 @@ class PlanShapeSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       }
       assert(probedAll == oneShot)
+
+      // s19: tombstone delete + compaction — row-identity with the LIVE
+      // path over the surviving corpus, before AND after compaction
+      // (the s17 contract mirrored onto the IVFPQ layout)
+      val dead = union.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      IvfPq.deleteFromIndex(spark, path, dead, "vec_id")
+      IvfPq.deleteFromIndex(spark, path, dead, "vec_id") // crash-and-retry replay
+      val survivors = union.filter(col("vec_id") % 3 =!= 0)
+      def probeSet(): Set[(Long, Long, Double, Int)] =
+        IvfPq.probeIndex(spark, path, queries, "vec_id", "embedding",
+          union, "vec_id", "embedding", k = 5, nprobe = 3, rerank = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val liveAnswer = IvfPq.annTopK(queries, "vec_id", "embedding",
+        survivors, "vec_id", "embedding", model, k = 5, nprobe = 3, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(probeSet() == liveAnswer, "tombstoned probe != live path over survivors")
+      assert(!liveAnswer.exists(_._2 % 3 == 0) && liveAnswer.nonEmpty)
+      IvfPq.compactIndex(spark, path)
+      assert(probeSet() == liveAnswer, "post-compact probe drifted")
+      // the tombstone partition is physically gone and each surviving
+      // cell compacted to one data file
+      val cellDirs = new java.io.File(s"$path/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(!cellDirs.contains("__cluster=-1"), cellDirs.toString)
+      cellDirs.filter(_.startsWith("__cluster=")).foreach { d =>
+        val files = new java.io.File(s"$path/codes/$d").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(files == 1, s"$d holds $files data files after compaction")
+      }
     }
   }
 

@@ -359,4 +359,61 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(graft.functions.RedduckFunctions.LegacyEmptyConf, "false")
     graft.GraftRedis.registerSql(spark)
   }
+
+  test("AUTH: requirepass server rejects unauthenticated reads; .option(auth)/session conf authenticate; ACL 2-arg form; wrong password fails loudly") {
+    val authServer = new FakeRedisServer()
+    authServer.setRequirePass("s3cret")
+    (1 to 5).foreach(i => authServer.put(s"ak:$i", s"v$i"))
+    val aport = authServer.start()
+    try {
+      // no credentials → the server's NOAUTH surfaces loudly
+      val noAuth = intercept[Exception] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", aport.toString)
+          .option("pattern", "ak:*").load().count()
+      }
+      assert(noAuth.getMessage.contains("NOAUTH") ||
+        Option(noAuth.getCause).exists(_.getMessage.contains("NOAUTH")),
+        s"expected NOAUTH, got: ${noAuth.getMessage}")
+      // wrong password fails at connect, naming AUTH (never silently)
+      val badPw = intercept[Exception] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", aport.toString)
+          .option("auth", "wrong").option("pattern", "ak:*").load().count()
+      }
+      assert(badPw.getMessage.contains("AUTH") ||
+        Option(badPw.getCause).exists(_.getMessage.contains("AUTH")),
+        s"expected AUTH failure, got: ${badPw.getMessage}")
+      // correct password: scan + kv read + write path all authenticate
+      def authed(fmt: String) = spark.read.format(fmt)
+        .option("host", "127.0.0.1").option("port", aport.toString)
+        .option("auth", "s3cret").option("pattern", "ak:*").load()
+      assert(authed("redis-scan").count() == 5)
+      assert(authed("redis-kv").collect().map(_.getString(1)).sorted.toSeq ==
+        Seq("v1", "v2", "v3", "v4", "v5"))
+      import spark.implicits._
+      Seq(("ak:6", "v6")).toDF("key", "value").write.format("redis-kv")
+        .option("host", "127.0.0.1").option("port", aport.toString)
+        .option("auth", "s3cret").mode("append").save()
+      assert(authed("redis-scan").count() == 6)
+      // ACL 2-arg form ("user password", one space)
+      authServer.setRequirePass("pw2", user = Some("svc"))
+      assert(spark.read.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", aport.toString)
+        .option("auth", "svc pw2").option("pattern", "ak:*").load().count() == 6)
+      // session surface: connect(host:port, auth) persists the credential,
+      // UDFs and TVF-style reads pick it up; the status string never
+      // echoes the credential
+      val status = graft.GraftRedis.connect(spark, s"127.0.0.1:$aport", "svc pw2")
+      assert(status == s"Redis Target Set: 127.0.0.1:$aport" && !status.contains("pw2"))
+      graft.GraftRedis.registerSql(spark)
+      assert(spark.sql("SELECT redis_get('ak:1') AS v").head().getString(0) == "v1")
+      assert(graft.GraftRedis.scan(spark, "ak:*").count() == 6)
+    } finally {
+      authServer.stop()
+      spark.conf.unset(graft.functions.RedduckFunctions.AuthConf)
+      graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+      graft.GraftRedis.registerSql(spark)
+    }
+  }
 }
