@@ -477,24 +477,63 @@ object DedupOps {
     * entries: base + deltas, labels lifted through the chain closure,
     * replays dedup'd.
     */
+  // CLEAN marker for the assignments store: present ⇔ the current
+  // generation is a freshly folded base with no delta appends since
+  // (written by create/compact, deleted by every advance BEFORE its
+  // delta lands — a crash between the delete and the append leaves the
+  // safe-but-slower unmarked state, never a lying marker). Readers of a
+  // clean store skip the replay-collapse dropDuplicates — at 100 TB
+  // that dedup is a corpus-wide shuffle paid on EVERY read of a store
+  // that is clean in the steady state (read-mostly after compaction).
+  private val AsgCleanFile = LedgerGuard.SidecarPrefix + "ASG_CLEAN"
+
+  private def markAsgClean(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    LedgerGuard.writeSidecarMetaStr(spark, clusterAsgPath(path),
+      AsgCleanFile, Seq("clean" -> "1"))
+
+  private def clearAsgClean(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      LedgerGuard.appendPath(spark, clusterAsgPath(path)))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, AsgCleanFile), false): Unit
+  }
+
+  private def asgClean(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    LedgerGuard.readSidecarMetaStr(spark, clusterAsgPath(path), AsgCleanFile)
+      .isDefined
+
   private def resolvedView(spark: org.apache.spark.sql.SparkSession,
       path: String, entries: Map[Long, Long]): DataFrame = {
+    // the user-facing form collapses replayed delta rows; the advance
+    // uses [[resolvedViewRaw]] (its consumers tolerate duplicates).
+    // A CLEAN store (no deltas since the last fold) has nothing to
+    // collapse and skips the corpus-wide dedup shuffle outright.
+    val raw = resolvedViewRaw(spark, path, entries)
+    if (entries.isEmpty && asgClean(spark, path)) raw else raw.dropDuplicates()
+  }
+
+  /** Remap-resolved but UNDEDUPLICATED assignments (replayed delta
+    * appends may repeat rows).
+    */
+  private def resolvedViewRaw(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Map[Long, Long]): DataFrame = {
     val raw = rawAssignments(spark, path)
-    val resolved =
-      if (entries.isEmpty) raw
-      else {
-        def fin(x: Long): Long = {
-          var v = x
-          while (entries.contains(v)) v = entries(v)
-          v
-        }
-        import spark.implicits._
-        val rm = entries.keysIterator.map(k => (k, fin(k))).toSeq
-          .toDF("__old", "__fin")
-        raw.join(broadcast(rm), raw("label") === col("__old"), "left")
-          .select(col("node"), coalesce(col("__fin"), raw("label")).as("label"))
+    if (entries.isEmpty) raw
+    else {
+      def fin(x: Long): Long = {
+        var v = x
+        while (entries.contains(v)) v = entries(v)
+        v
       }
-    resolved.dropDuplicates()
+      import spark.implicits._
+      val rm = entries.keysIterator.map(k => (k, fin(k))).toSeq
+        .toDF("__old", "__fin")
+      raw.join(broadcast(rm), raw("label") === col("__old"), "left")
+        .select(col("node"), coalesce(col("__fin"), raw("label")).as("label"))
+    }
   }
 
   /** The raw (unresolved) remap entries, collected — None when the
@@ -552,6 +591,7 @@ object DedupOps {
       docs.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
         .write.mode("overwrite").parquet(clusterRmpPath(path))
+      markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
     } finally sig.unpersist(false)
   }
 
@@ -604,9 +644,14 @@ object DedupOps {
       // seen here are always current, so new remap entries chain onto
       // current labels and resolution stays a simple walk; the remap
       // entries are collected ONCE per advance and reused for the
-      // staging union below
+      // staging union below. UNDEDUPLICATED on purpose: the advance's
+      // consumers tolerate replayed duplicate rows (duplicate bc edges
+      // are a no-op to CC; existingLabels distincts anyway), so the
+      // corpus-wide dropDuplicates shuffle the user-facing read pays
+      // is pure overhead here — measured 2 shuffles/advance at bench
+      // scale (SCALE.md round-11 d66 A/B)
       val existingRemap = rawRemapEntries(spark, path).getOrElse(Map.empty)
-      val asg = resolvedView(spark, path, existingRemap)
+      val asg = resolvedViewRaw(spark, path, existingRemap)
       val bc = probe
         .select(col("new_id").cast("long").as("d1"),
           col("corpus_id").cast("long").as("__cn"))
@@ -638,28 +683,43 @@ object DedupOps {
       val newRemap = comp.filter(col("node") =!= col("label"))
         .select(col("node").as("old_label"), col("label").as("new_label"))
         .join(existingLabels, Seq("old_label"), "left_semi")
-      // O(batch) delta append — no stored assignment row is rewritten
+      // O(batch) delta append — no stored assignment row is rewritten.
+      // The clean marker falls FIRST: a crash in between leaves the
+      // safe unmarked state (readers dedup), never a lying marker.
+      clearAsgClean(spark, path)
       batchAsg.write.mode("append")
         .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
-      // merge-event-sized remap rewrite under the staged swap; carries
-      // the exactly-once marker for the whole advance
-      val rmpPath = clusterRmpPath(path)
-      val fs = new org.apache.hadoop.fs.Path(rmpPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
-        spark.createDataFrame( // ledger predates the remap table: seed it
-            new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
-          .write.mode("overwrite").parquet(rmpPath)
-      // existing entries were collected once above; union them as a
-      // literal relation instead of re-scanning parquet inside the
-      // swap (one fewer job per advance)
-      import spark.implicits._
-      LedgerGuard.advanceInPlace(spark, rmpPath,
-        "cluster-ledger remap advance", batchId) { staging =>
-        existingRemap.toSeq.toDF("old_label", "new_label")
-          .unionByName(newRemap)
-          .dropDuplicates()
-          .write.parquet(staging)
+      // merge events are model-sized by construction — collect them and
+      // SKIP the staged remap swap when the advance produced nothing
+      // new (every no-merge advance, and every replay: its merges were
+      // applied last time, so the resolved view no longer shows the old
+      // labels and the recomputed set is empty/contained). The swap is
+      // the advance's single most expensive fixed cost (lease + staged
+      // write + rename + sidecar carry ≈ 0.5 s at bench scale, SCALE.md
+      // round-11 d66 A/B), paid only when a merge actually happened.
+      val newEntries = newRemap.collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .filterNot { case (o, n) => existingRemap.get(o).contains(n) }
+      if (newEntries.nonEmpty) {
+        // merge-event-sized remap rewrite under the staged swap; carries
+        // the exactly-once marker for the whole advance
+        val rmpPath = clusterRmpPath(path)
+        val fs = new org.apache.hadoop.fs.Path(rmpPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
+          spark.createDataFrame( // ledger predates the remap table: seed it
+              new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+            .write.mode("overwrite").parquet(rmpPath)
+        // existing entries were collected once above; union them as a
+        // literal relation instead of re-scanning parquet inside the
+        // swap (one fewer job per advance)
+        import spark.implicits._
+        LedgerGuard.advanceInPlace(spark, rmpPath,
+          "cluster-ledger remap advance", batchId) { staging =>
+          (existingRemap.toSeq ++ newEntries).toDF("old_label", "new_label")
+            .dropDuplicates()
+            .write.parquet(staging)
+        }
       }
     } finally sig.unpersist(false)
   }
@@ -685,6 +745,10 @@ object DedupOps {
         readClusterAssignments(spark, path),
         staging, col("node"), targetFiles, 64L * 1000 * 1000)
     }
+    // the folded base is clean: readers skip the replay-collapse dedup
+    // until the next advance dirties it (marker written AFTER the swap;
+    // a crash in between leaves the safe unmarked state)
+    markAsgClean(spark, path)
     val rmpPath = clusterRmpPath(path)
     val fs = new org.apache.hadoop.fs.Path(rmpPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
