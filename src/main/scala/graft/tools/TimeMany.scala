@@ -25,11 +25,19 @@ object TimeMany {
       .withExtensions(new graft.GraftSparkExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def nCompiled(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     names.foreach { name =>
-      val t0 = System.nanoTime()
+      val (c0, g0, t0) = (nCompiled(), gcMs(), System.nanoTime())
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[time-many] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[time-many] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        s" nc=${nCompiled() - c0} gc=${gcMs() - g0}ms")
     }
     spark.stop()
   }
