@@ -232,6 +232,61 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             intArg(es(3), "frame_dedup"), intArg(es(4), "frame_dedup"),
             doubleArg(es(5), "frame_dedup")))
       }))
+
+    // the round-10 planning/monitoring report forms as table functions
+    // over at-rest parquet, each built by the SAME Scala operator (the
+    // frame_dedup precedent — surfaces cannot drift):
+    def strLit(e: Expression, fn: String, what: String): String = e match {
+      case s if s.foldable && s.dataType == StringType && s.eval() != null =>
+        s.eval().toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a literal string for $what")
+    }
+    // temperature_mix(path, idCol, textCol, srcCol, budgetTokens, alpha):
+    // the α-smoothed source-sampled corpus view (d101's operator)
+    ext.injectTableFunction((FunctionIdentifier("temperature_mix"), info("temperature_mix"),
+      (es: Seq[Expression]) => {
+        if (es.length != 6) throw new IllegalArgumentException(
+          "temperature_mix expects (path, idCol, textCol, srcCol, budgetTokens, alpha)")
+        val spark = SparkSession.active
+        org.apache.spark.sql.GraftSqlShims.logicalPlan(
+          graft.operators.CurationOps.temperatureMix(
+            spark.read.parquet(strLit(es(0), "temperature_mix", "path")),
+            strLit(es(1), "temperature_mix", "idCol"),
+            strLit(es(2), "temperature_mix", "textCol"),
+            strLit(es(3), "temperature_mix", "srcCol"),
+            longArg(es(4), "temperature_mix"),
+            doubleArg(es(5), "temperature_mix")))
+      }))
+    // mixture_plan(path, keyCol, tokensCol, weightCol, budgetTokens,
+    // maxEpochs): the water-filling allocation table (d92's operator)
+    // over a MIXTURE-sized sources table at rest
+    ext.injectTableFunction((FunctionIdentifier("mixture_plan"), info("mixture_plan"),
+      (es: Seq[Expression]) => {
+        if (es.length != 6) throw new IllegalArgumentException(
+          "mixture_plan expects (path, keyCol, tokensCol, weightCol, budgetTokens, maxEpochs)")
+        val spark = SparkSession.active
+        org.apache.spark.sql.GraftSqlShims.logicalPlan(
+          graft.operators.CurationOps.mixturePlan(
+            spark.read.parquet(strLit(es(0), "mixture_plan", "path")),
+            strLit(es(1), "mixture_plan", "keyCol"),
+            strLit(es(2), "mixture_plan", "tokensCol"),
+            strLit(es(3), "mixture_plan", "weightCol"),
+            longArg(es(4), "mixture_plan"),
+            doubleArg(es(5), "mixture_plan")))
+      }))
+    // histogram_drift(pathA, pathB): KS/TV/PSI between two at-rest
+    // quantile-histogram ledgers (d93's operator) — zero corpus access
+    ext.injectTableFunction((FunctionIdentifier("histogram_drift"), info("histogram_drift"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2) throw new IllegalArgumentException(
+          "histogram_drift expects (pathA, pathB)")
+        val spark = SparkSession.active
+        org.apache.spark.sql.GraftSqlShims.logicalPlan(
+          graft.operators.CurationOps.histogramDrift(spark,
+            strLit(es(0), "histogram_drift", "pathA"),
+            strLit(es(1), "histogram_drift", "pathB")))
+      }))
   }
 
   /** Numeric literal → Double (integral literals widen). */

@@ -622,4 +622,48 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     plain.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lid")
     assert(got == Seq(q, winQ).map(qq => rowsOf(plain.sql(qq))))
   }
+
+  test("report-form TVFs build the same plans as the Scala operators: temperature_mix, mixture_plan, histogram_drift") {
+    val spark = extendedSession()
+    import spark.implicits._
+    import graft.operators.CurationOps
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    // a small at-rest corpus with sources and text
+    val docs = (1L to 120L).map(i =>
+      (i, s"src${i % 3}", ("w " * (i % 9 + 1).toInt).trim)).toDF("id", "src", "text")
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    val viaSql = spark.sql(
+      s"SELECT id FROM temperature_mix('$base/docs', 'id', 'text', 'src', 150L, 0.5) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = CurationOps.temperatureMix(
+        spark.read.parquet(s"$base/docs"), "id", "text", "src", 150L, 0.5)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    val srcs = Seq(("a", 100L, 1.0), ("b", 50L, 5.0), ("c", 400L, 2.0))
+      .toDF("k", "toks", "w")
+    srcs.write.mode("overwrite").parquet(s"$base/srcs")
+    val planSql = spark.sql(
+      s"SELECT mix_key, capacity_tokens, capped FROM mixture_plan('$base/srcs', 'k', 'toks', 'w', 300L, 2.0) ORDER BY mix_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val planApi = CurationOps.mixturePlan(srcs, "k", "toks", "w", 300L, 2.0)
+      .select("mix_key", "capacity_tokens", "capped").orderBy("mix_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(planSql == planApi && planSql.nonEmpty)
+
+    CurationOps.writeQuantileLedger(docs, "src", "id", shift = 4, s"$base/qa")
+    CurationOps.writeQuantileLedger(
+      docs.withColumn("id", col("id") * 2), "src", "id", shift = 4, s"$base/qb")
+    val driftSql = spark.sql(
+      s"SELECT * FROM histogram_drift('$base/qa', '$base/qb') ORDER BY src")
+      .collect().map(_.toSeq).toSeq
+    val driftApi = CurationOps.histogramDrift(spark, s"$base/qa", s"$base/qb")
+      .orderBy("src").collect().map(_.toSeq).toSeq
+    assert(driftSql == driftApi && driftSql.nonEmpty)
+    // malformed arity fails loudly at the TVF boundary
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM histogram_drift('$base/qa')").collect())
+    assert(e.getMessage.contains("histogram_drift"), e.getMessage)
+  }
 }
