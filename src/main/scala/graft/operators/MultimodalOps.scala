@@ -668,7 +668,7 @@ object MultimodalOps {
     * hash noise has a flat spectrum, the one regime where threshold
     * bits are unstable (same rationale as [[syntheticGradientImage]]).
     */
-  def toneNotes(seed: Long): Array[Double] = {
+  private def toneBands(seed: Long): Array[Int] = {
     val used = new Array[Boolean](30)
     val idx = new Array[Int](3)
     var k = (((seed % 30) + 30) % 30).toInt
@@ -681,18 +681,43 @@ object MultimodalOps {
       k = (k + step) % 30
       j += 1
     }
-    idx.map { b =>
-      val c = FpLoHz * math.pow(10, (b + 0.5) / FpBands.toDouble)
-      math.max(1.0, math.round(c / 15.625).toDouble) * 15.625
-    }
+    idx
+  }
+
+  private def bandNote(b: Int): Double = {
+    val c = FpLoHz * math.pow(10, (b + 0.5) / FpBands.toDouble)
+    math.max(1.0, math.round(c / 15.625).toDouble) * 15.625
+  }
+
+  def toneNotes(seed: Long): Array[Double] = toneBands(seed).map(bandNote)
+
+  /** [[toneNotes]] with the THIRD note moved to a band outside the
+    * seed's set — a NEAR-duplicate content class (2 of 3 tones shared ⇒
+    * fingerprint Hamming distance exactly 2): the m12 fixture's
+    * controlled near-miss, the audio analog of m10's cross-codec
+    * re-encodes.
+    */
+  def toneNotesNear(seed: Long): Array[Double] = {
+    val b = toneBands(seed)
+    var nb = (b(2) - 1 + 11) % 30 + 1
+    while (nb == b(0) || nb == b(1) || nb == b(2)) nb = nb % 30 + 1
+    Array(bandNote(b(0)), bandNote(b(1)), bandNote(nb))
   }
 
   /** Deterministic tonal WAV: a 3-tone mixture (see [[toneNotes]]) at
     * `volume`, 16-bit mono PCM in a genuine JDK-written WAV container.
     */
   def syntheticToneWav(seed: Long, sampleRate: Int, nSamples: Int,
-      volume: Double = 1.0): Array[Byte] = {
-    val notes = toneNotes(seed)
+      volume: Double = 1.0): Array[Byte] =
+    toneWavOf(toneNotes(seed), sampleRate, nSamples, volume)
+
+  /** [[syntheticToneWav]] over the [[toneNotesNear]] variant. */
+  def syntheticToneWavNear(seed: Long, sampleRate: Int, nSamples: Int,
+      volume: Double = 1.0): Array[Byte] =
+    toneWavOf(toneNotesNear(seed), sampleRate, nSamples, volume)
+
+  private def toneWavOf(notes: Array[Double], sampleRate: Int, nSamples: Int,
+      volume: Double): Array[Byte] = {
     val amps = Array(0.30, 0.24, 0.18)
     val data = new Array[Byte](nSamples * 2)
     var i = 0
@@ -717,13 +742,17 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** Memoized [[syntheticToneWav]] over the bounded m11 combo set. */
+  /** Memoized [[syntheticToneWav]] over the bounded m11/m12 combo sets. */
   private val toneCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Double), Array[Byte]]
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Double, Boolean), Array[Byte]]
   def syntheticToneWavCached(seed: Long, sampleRate: Int, nSamples: Int,
       volume: Double): Array[Byte] =
-    toneCache.computeIfAbsent((seed, sampleRate, nSamples, volume),
+    toneCache.computeIfAbsent((seed, sampleRate, nSamples, volume, false),
       k => syntheticToneWav(k._1, k._2, k._3, k._4))
+  def syntheticToneWavNearCached(seed: Long, sampleRate: Int, nSamples: Int,
+      volume: Double = 1.0): Array[Byte] =
+    toneCache.computeIfAbsent((seed, sampleRate, nSamples, volume, true),
+      k => syntheticToneWavNear(k._1, k._2, k._3, k._4))
 
   val VideoMetaType: StructType = StructType(Seq(
     StructField("duration_ms", LongType, nullable = false),

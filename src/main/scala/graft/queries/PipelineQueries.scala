@@ -4617,6 +4617,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- audio near-dup pairs
+    // the audio modality's pair query (m10's twin, completing content
+    // near-dup parity across all three modalities): m11's spectral
+    // fingerprint feeding the COMPLETE banded Hamming join at a 4-bit
+    // budget over 32 bits. The fixture circulates 64 base tone
+    // contents plus a controlled NEAR variant of each (2 of 3 tones
+    // shared ⇒ fingerprint Hamming exactly 2), so near-miss pairs are
+    // really in the data, not only exact copies — near-dup pair output
+    // is quadratic in copies per content BY SEMANTICS (the m10 note).
+    // maxHamming = 2 IS the semantics here: one moved tone band (2 bit
+    // flips); a 4-bit budget would admit every pair sharing a single
+    // band of three — co-occurrence, not near-duplication. No SQL
+    // oracle (the oracle can't decode audio) → rows-only + the m12
+    // gate: pairs ≡ brute force over real fingerprints.
+    q("m12_audio_neardup", null) { (s, dir) =>
+      val gen = udf((m: Long, near: Boolean) =>
+        if (near) MultimodalOps.syntheticToneWavNearCached(m, 8000, 4096, 1.0)
+        else MultimodalOps.syntheticToneWavCached(m, 8000, 4096, 1.0))
+      val wavs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 64,
+          col("doc_id") % 128 >= 64).as("wav"))
+      graft.operators.DedupOps.hammingPairs(
+        MultimodalOps.audioFingerprintPartitioned(wavs, "wav"),
+        "doc_id", "afp", maxHamming = 2, bits = 32)
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- n-gram novelty
     // the memorization-risk / content-originality metric: what fraction
     // of a document's 3-gram occurrences appear in NO other document

@@ -475,6 +475,41 @@ class AccuracySpec extends AnyFunSuite {
       "a rate that cannot carry the 3 kHz band must key to 0")
   }
 
+  test("m12 gate: audio near-dup pairs ≡ brute force over real fingerprints; controlled near-miss lands at Hamming 2") {
+    import spark.implicits._
+    import graft.operators.{DedupOps, MultimodalOps}
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the m12 fixture's actual fingerprint multiset: 48 docs over 12
+    // base tone contents + their near variants — real decode, real FFT
+    val rows = (0L until 48L).map { id =>
+      val m = id % 12
+      val wav =
+        if (id % 24 >= 12) MultimodalOps.syntheticToneWavNear(m, 8000, 4096)
+        else MultimodalOps.syntheticToneWav(m, 8000, 4096)
+      (id, MultimodalOps.audioFingerprint32(wav))
+    }
+    val got = DedupOps.hammingPairs(rows.toDF("id", "h"), "id", "h",
+        maxHamming = 2, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (i1, h1) <- rows; (i2, h2) <- rows if i1 < i2
+      d = hamming(h1, h2) if d <= 2
+    } yield (i1, i2, d)).toSet
+    assert(got == want && want.nonEmpty, s"got ${got.size}, want ${want.size}")
+    // the controlled near variant is exactly 2 bits from its base (one
+    // band off, one band on), so every (base, near) doc pair is present
+    (0L until 12L).foreach { m =>
+      val base = MultimodalOps.audioFingerprint32(
+        MultimodalOps.syntheticToneWav(m, 8000, 4096))
+      val near = MultimodalOps.audioFingerprint32(
+        MultimodalOps.syntheticToneWavNear(m, 8000, 4096))
+      assert(hamming(base, near) == 2,
+        s"content $m: near variant drifted ${hamming(base, near)} bits, want 2")
+      assert(got.exists(p => p._1 == m && p._2 == m + 12),
+        s"missing (base=$m, near=${m + 12}) pair")
+    }
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
