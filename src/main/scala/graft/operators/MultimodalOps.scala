@@ -754,6 +754,109 @@ object MultimodalOps {
     toneCache.computeIfAbsent((seed, sampleRate, nSamples, volume, true),
       k => syntheticToneWavNear(k._1, k._2, k._3, k._4))
 
+  // ------------------------------------------------------------------
+  // Audio-fingerprint LEDGER — the at-rest form of
+  // [[audioFingerprint32]] for the steady-state audio-ingest loop,
+  // completing the per-modality at-rest story (text: d48/d97 signature
+  // ledgers; video: m08/m09 frame ledger; audio: this). Admission
+  // decodes + FFTs each payload ONCE and stores `(id, afp)` — 8 bytes
+  // of key per payload, never PCM; every later batch probes the stored
+  // fingerprints via the COMPLETE bipartite Hamming join without
+  // re-reading any corpus payload (at 100 TB of audio the payload
+  // decode is the cost that matters). Append-only with replay-tolerant
+  // probes; forget is exact (rows are id-attributed — the m09
+  // contract); compaction collapses replayed rows and rewrites
+  // id-sorted sized files. SELF-DESCRIBING: a `_GRAFT_AUDIOFP_META`
+  // sidecar pins the fingerprint geometry — fingerprints from a
+  // different band layout are incomparable, and the recall loss would
+  // be silent.
+  // ------------------------------------------------------------------
+
+  private val AudioFpMetaFile = LedgerGuard.SidecarPrefix + "AUDIOFP_META"
+  private def fpGeometry: String = s"sbe:$FpBands:$FpLoHz:$FpHiHz:$FpFrame"
+
+  private def requireAudioFpMeta(spark: SparkSession, path: String,
+      op: String, mustExist: Boolean): Unit =
+    LedgerGuard.readSidecarMetaStr(spark, path, AudioFpMetaFile)
+      .flatMap(_.get("geometry")) match {
+      case Some(g) if g != fpGeometry =>
+        throw new IllegalArgumentException(
+          s"audio-fp ledger $op at $path: ledger was created with " +
+            s"geometry=$g but this build fingerprints with $fpGeometry — " +
+            "fingerprints under different band layouts are incomparable; " +
+            "rebuild the ledger")
+      case None if mustExist =>
+        throw new IllegalStateException(
+          s"audio-fp ledger $op at $path: no $AudioFpMetaFile sidecar — " +
+            "cannot verify the ledger's fingerprint geometry; rebuild the " +
+            "ledger (or restore the sidecar)")
+      case _ => ()
+    }
+
+  /** Create the audio-fingerprint ledger from the initial corpus — one
+    * payload scan, fingerprints computed at the partition seam.
+    */
+  def writeAudioFpLedger(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    audioFingerprintPartitioned(df.select(col(idCol), col(binCol)), binCol)
+      .write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(df.sparkSession, path, AudioFpMetaFile,
+      Seq("geometry" -> fpGeometry, "idCol" -> idCol))
+  }
+
+  /** O(batch) append — crash-and-retry replays tolerated (probes dedup
+    * the stored rows; compaction removes duplicates at rest).
+    */
+  def appendToAudioFpLedger(batch: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    requireAudioFpMeta(spark, path, "append", mustExist = false)
+    audioFingerprintPartitioned(batch.select(col(idCol), col(binCol)), binCol)
+      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+  }
+
+  /** Near-dup pairs of a NEW audio batch against the at-rest corpus
+    * fingerprints — batch payloads fingerprint per-row (one batch
+    * scan), the corpus side is a columnar `(id, afp)` read; corpus
+    * payloads are never touched. Complete for the Hamming budget via
+    * [[DedupOps.hammingJoin]]. Output: `(new_id, corpus_id, hamming)`.
+    */
+  def audioNearDupAgainstLedger(newAudio: DataFrame, idCol: String,
+      binCol: String, path: String, maxHamming: Int = 2): DataFrame = {
+    val spark = newAudio.sparkSession
+    requireAudioFpMeta(spark, path, "probe", mustExist = true)
+    val led = LedgerGuard.readLedger(spark, path)
+      .select(col(idCol), col("afp")).dropDuplicates() // replayed appends
+    DedupOps.hammingJoin(
+      audioFingerprintPartitioned(newAudio.select(col(idCol), col(binCol)), binCol)
+        .withColumnRenamed(idCol, "new_id").withColumnRenamed("afp", "__nh"),
+      "new_id", "__nh",
+      led.withColumnRenamed(idCol, "corpus_id").withColumnRenamed("afp", "__ch"),
+      "corpus_id", "__ch", maxHamming, bits = 32)
+  }
+
+  /** Right-to-be-forgotten — EXACT (every row is id-attributed): the
+    * forgotten ids' fingerprints leave the store, later probes stop
+    * pairing against them, re-admission is one append. Staged swap,
+    * lease, manifest mode, exactly-once `batchId`.
+    */
+  def removeFromAudioFpLedger(ids: DataFrame, idCol: String, path: String,
+      batchId: Option[String] = None): Unit =
+    LedgerGuard.advanceInPlace(ids.sparkSession, path, "audio-fp ledger removal",
+      batchId) { staging =>
+      val gone = ids.select(col(idCol).as("__gone")).distinct()
+      LedgerGuard.readLedger(ids.sparkSession, path)
+        .join(broadcast(gone), col(idCol) === col("__gone"), "left_anti")
+        .write.parquet(staging)
+    }
+
+  /** Compact IN PLACE — [[DedupOps.compactSignatureLedger]]'s generic
+    * contract (it sorts by the first at-rest column = the id).
+    */
+  def compactAudioFpLedger(spark: SparkSession, path: String,
+      targetFiles: Int = 16): Unit =
+    DedupOps.compactSignatureLedger(spark, path, targetFiles)
+
   val VideoMetaType: StructType = StructType(Seq(
     StructField("duration_ms", LongType, nullable = false),
     StructField("timescale", IntegerType, nullable = false),

@@ -4644,6 +4644,43 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- audio-fingerprint ledger
+    // the audio modality's at-rest ingest form, completing per-modality
+    // ledger parity (text d48/d97, video m08/m09, audio this): corpus
+    // fingerprints at rest — admission decodes + FFTs each payload
+    // once, later batches probe stored (id, afp) rows without
+    // re-reading any corpus payload. The query runs the whole
+    // maintenance cycle (create gen-1, append gen-2, crash-and-retry
+    // replay of the append, compact, FORGET a slice) before probing
+    // with the complete 2-bit bipartite Hamming join. Decode+FFT is
+    // engine-specific → rows-only; the AccuracySpec gate pins
+    // probe ≡ brute force over the surviving corpus's real
+    // fingerprints, replay no-op, forget subtraction, and re-admission.
+    q("m13_audio_fp_ledger", null) { (s, dir) =>
+      val gen = udf((m: Long, near: Boolean) =>
+        if (near) MultimodalOps.syntheticToneWavNearCached(m, 8000, 4096, 1.0)
+        else MultimodalOps.syntheticToneWavCached(m, 8000, 4096, 1.0))
+      val wavs = table(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 64,
+          col("doc_id") % 128 >= 64).as("wav"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/m13_afp_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
+      val corpus = wavs.filter(col("doc_id") % 10 =!= 0)
+      val gen2 = corpus.filter(col("doc_id") % 10 > 5)
+      MultimodalOps.writeAudioFpLedger(
+        corpus.filter((col("doc_id") % 10).between(1, 5)), "doc_id", "wav", path)
+      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path)
+      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path) // replay
+      MultimodalOps.compactAudioFpLedger(s, path, targetFiles = 4)
+      MultimodalOps.removeFromAudioFpLedger(
+        corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id")),
+        "doc_id", path)
+      MultimodalOps.audioNearDupAgainstLedger(
+        wavs.filter(col("doc_id") % 10 === 0), "doc_id", "wav", path,
+        maxHamming = 2)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---------------------------------------------------------------- n-gram novelty
     // the memorization-risk / content-originality metric: what fraction
     // of a document's 3-gram occurrences appear in NO other document

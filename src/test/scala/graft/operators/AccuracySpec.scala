@@ -510,6 +510,55 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("m13 gate: audio-fp ledger probe ≡ brute force over surviving fingerprints; replay no-op; forget + re-admission; geometry guard") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def wav(id: Long): Array[Byte] = {
+      val m = id % 8
+      if (id % 16 >= 8) MultimodalOps.syntheticToneWavNear(m, 8000, 4096)
+      else MultimodalOps.syntheticToneWav(m, 8000, 4096)
+    }
+    val corpusIds = (1L to 40L).filter(_ % 5 != 0)
+    val probeIds = (1L to 40L).filter(_ % 5 == 0)
+    def df(ids: Seq[Long]) = ids.map(i => (i, wav(i))).toDF("id", "wav")
+    val path = java.nio.file.Files.createTempDirectory("graft-afp").toString + "/led"
+    val (g1, g2) = corpusIds.partition(_ % 2 == 0)
+    MultimodalOps.writeAudioFpLedger(df(g1), "id", "wav", path)
+    MultimodalOps.appendToAudioFpLedger(df(g2), "id", "wav", path)
+    MultimodalOps.appendToAudioFpLedger(df(g2), "id", "wav", path) // replay
+    MultimodalOps.compactAudioFpLedger(spark, path, targetFiles = 2)
+    def probe(): Set[(Long, Long, Int)] =
+      MultimodalOps.audioNearDupAgainstLedger(df(probeIds), "id", "wav", path,
+        maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def brute(survivors: Seq[Long]): Set[(Long, Long, Int)] = {
+      val fp = (probeIds ++ survivors)
+        .map(i => i -> MultimodalOps.audioFingerprint32(wav(i))).toMap
+      (for {
+        p <- probeIds; c <- survivors
+        d = hamming(fp(p), fp(c)) if d <= 2
+      } yield (p, c, d)).toSet
+    }
+    // full corpus (replay invented nothing; compaction lost nothing)
+    assert(probe() == brute(corpusIds) && probe().nonEmpty)
+    // forget: the purged slice's pairs vanish, nothing else moves
+    val gone = corpusIds.filter(_ % 3 == 1)
+    MultimodalOps.removeFromAudioFpLedger(gone.toDF("id"), "id", path)
+    assert(probe() == brute(corpusIds.filterNot(_ % 3 == 1)))
+    // re-admission: one append restores the pairs exactly
+    MultimodalOps.appendToAudioFpLedger(df(gone), "id", "wav", path)
+    assert(probe() == brute(corpusIds))
+    // a store without the geometry sidecar refuses to probe (silent
+    // recall loss from a drifted band layout is the failure this guards)
+    val bare = java.nio.file.Files.createTempDirectory("graft-afp2").toString + "/led"
+    MultimodalOps.audioFingerprintPartitioned(df(g1), "wav")
+      .write.parquet(bare)
+    val e = intercept[IllegalStateException](
+      MultimodalOps.audioNearDupAgainstLedger(df(probeIds), "id", "wav", bare))
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
   test("q29 gate: approx_count_distinct within 5% of exact per group") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     // rsd=0.02: the default sketch's rsd is 0.05, i.e. the 5% gate would
