@@ -427,6 +427,77 @@ object UnigramUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Per-word EXPECTED piece counts + log-marginal under a (piece →
+    * logprob) vocabulary — the E-step of unigram-LM training (Kudo
+    * 2018 §3.2): forward-backward over ALL segmentations in log space,
+    * so `expCount(p spanning [i,j)) = exp(α(i) + lp(p) + β(j) − Z)`
+    * and the word's likelihood contribution is `Z = α(m)`. No unk
+    * channel here — training seeds every single character, so every
+    * word is segmentable by construction; an unsegmentable word (a
+    * piece-less vocab) returns (empty, −∞) and the trainer skips it
+    * loudly.
+    */
+  def expectedCounts(word: String,
+      vocab: java.util.HashMap[String, java.lang.Double], maxLen: Int)
+      : (java.util.HashMap[String, java.lang.Double], Double) = {
+    val m = word.length
+    val out = new java.util.HashMap[String, java.lang.Double]()
+    if (m == 0) return (out, 0.0)
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val alpha = Array.fill(m + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(m + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var j = 1
+    while (j <= m) {
+      var i = math.max(0, j - maxLen)
+      while (i < j) {
+        if (alpha(i) != Double.NegativeInfinity) {
+          val lp = vocab.get(word.substring(i, j))
+          if (lp != null) alpha(j) = lse(alpha(j), alpha(i) + lp.doubleValue())
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val z = alpha(m)
+    if (z == Double.NegativeInfinity) return (out, Double.NegativeInfinity)
+    beta(m) = 0.0
+    var i = m - 1
+    while (i >= 0) {
+      var j2 = math.min(m, i + maxLen)
+      while (j2 > i) {
+        if (beta(j2) != Double.NegativeInfinity) {
+          val lp = vocab.get(word.substring(i, j2))
+          if (lp != null) beta(i) = lse(beta(i), lp.doubleValue() + beta(j2))
+        }
+        j2 -= 1
+      }
+      i -= 1
+    }
+    i = 0
+    while (i < m) {
+      var j3 = i + 1
+      val hi = math.min(m, i + maxLen)
+      while (j3 <= hi) {
+        val p = word.substring(i, j3)
+        val lp = vocab.get(p)
+        if (lp != null && alpha(i) != Double.NegativeInfinity &&
+            beta(j3) != Double.NegativeInfinity) {
+          val e = math.exp(alpha(i) + lp.doubleValue() + beta(j3) - z)
+          if (e > 0.0) out.merge(p, java.lang.Double.valueOf(e),
+            (x, y) => java.lang.Double.valueOf(x + y))
+        }
+        j3 += 1
+      }
+      i += 1
+    }
+    (out, z)
+  }
+
   /** Viterbi total score of a word (the quantity the optimality spec
     * compares against brute-force enumeration).
     */

@@ -960,6 +960,110 @@ object CurationOps {
       .limit(topN)
   }
 
+  /** Unigram-LM vocabulary LEARNING — the training half of the d105
+    * apply kernel (Kudo 2018 §3.2's EM procedure, the same
+    * learn-then-apply pairing BPE has with d85/d86). Seed = every
+    * single character plus the `seedSize` most frequent substrings up
+    * to `seedMaxLen`, scores ∝ frequency; each EM round computes
+    * per-piece EXPECTED counts by exact forward-backward over ALL
+    * segmentations of each distinct word
+    * ([[graft.functions.UnigramUtil.expectedCounts]] — sum-product in
+    * log space, not Viterbi) weighted by word count, then renormalizes
+    * (the multinomial M-step, so corpus log-likelihood is
+    * non-decreasing round over round — the returned `lls` let callers
+    * assert it). Final pruning keeps every single code point (the
+    * segmentability guarantee the apply kernel's closure gate relies
+    * on) plus the highest-probability multi-char pieces, renormalized.
+    * Simplification vs Kudo's full trainer, documented: pruning is by
+    * piece probability, not by per-piece likelihood-loss ranking, and
+    * the seed is frequency-capped rather than suffix-array-complete.
+    *
+    * Scale shape: ONE corpus pass builds the `(word, count)` table
+    * (the learnBpeMerges collapse); every EM pass maps that
+    * VOCAB-SIZED table against a broadcast model and reduces
+    * model-sized `(piece, expected-count)` partials — the corpus is
+    * never re-read, and the driver holds only the model.
+    *
+    * @return (vocab as (piece, logprob) sorted by piece,
+    *         per-round corpus log-likelihoods)
+    */
+  def learnUnigramVocab(docs: DataFrame, textCol: String,
+      seedMaxLen: Int = 4, seedSize: Int = 300, emRounds: Int = 3,
+      finalSize: Int = 120): (Seq[(String, Double)], Seq[Double]) = {
+    require(seedMaxLen >= 2 && seedSize >= 1 && emRounds >= 1 && finalSize >= 1,
+      s"invalid unigram-training parameters: seedMaxLen=$seedMaxLen " +
+        s"seedSize=$seedSize emRounds=$emRounds finalSize=$finalSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .persist()
+    try {
+      val chars = words.toDF("w", "c")
+        .select(explode(split(col("w"), "")).as("p"), col("c"))
+        .filter(length(col("p")) === 1)
+        .groupBy(col("p")).agg(sum(col("c")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(chars.length <= 512,
+        s"unigram training: ${chars.length} distinct characters — the " +
+          "single-char closure set must stay model-sized; use a " +
+          "byte-level vocabulary for arbitrary-charset corpora")
+      val subs = words.flatMap { case (w, c) =>
+        for {
+          l <- 2 to math.min(seedMaxLen, w.length)
+          i <- 0 to w.length - l
+        } yield (w.substring(i, i + l), c)
+      }.toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val seedTot = (chars.iterator ++ subs.iterator).map(_._2).sum.toDouble
+      var vocab: Seq[(String, Double)] = (chars ++ subs).toSeq
+        .map { case (p, n) => (p, math.log(n / seedTot)) }.sortBy(_._1)
+      val lls = Seq.newBuilder[Double]
+      (1 to emRounds).foreach { _ =>
+        val vm = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
+        vocab.foreach { case (p, lp) => vm.put(p, java.lang.Double.valueOf(lp)) }
+        val vb = spark.sparkContext.broadcast(vm)
+        val stats = words.mapPartitions { it =>
+          val m = vb.value
+          it.flatMap { case (w, c) =>
+            val (ec, z) = graft.functions.UnigramUtil.expectedCounts(w, m, seedMaxLen)
+            if (z == Double.NegativeInfinity) Iterator.empty // unsegmentable: skip
+            else {
+              import scala.jdk.CollectionConverters._
+              ec.asScala.iterator.map { case (p, e) =>
+                (false, p, e.doubleValue() * c) } ++ Iterator((true, "", z * c))
+            }
+          }
+        }.toDF("isLL", "p", "v")
+          .groupBy(col("isLL"), col("p")).agg(sum(col("v")).as("v"))
+          .collect() // model-sized: |vocab| + 1 rows
+        lls += stats.find(_.getBoolean(0)).map(_.getDouble(2)).getOrElse(0.0)
+        val cnts = stats.filterNot(_.getBoolean(0))
+          .map(r => r.getString(1) -> r.getDouble(2)).toMap
+        val total = cnts.values.sum
+        vocab = vocab.flatMap { case (p, _) =>
+          val e = cnts.getOrElse(p, 0.0)
+          if (e > 0) Some(p -> math.log(e / total))
+          // a zero-expectation single char keeps a floor so every word
+          // stays segmentable (cannot trigger for corpus-derived seeds —
+          // a char's own one-piece segmentations always carry mass)
+          else if (p.codePointCount(0, p.length) == 1) Some(p -> -30.0)
+          else None // EM support shrinkage: a dead piece never re-enters
+        }
+        vb.destroy()
+      }
+      val (singles, multis) = vocab.partition(
+        p => p._1.codePointCount(0, p._1.length) == 1)
+      val kept = singles ++ multis.sortBy { case (p, lp) => (-lp, p) }
+        .take(math.max(0, finalSize - singles.size))
+      val norm = math.log(kept.iterator.map { case (_, lp) => math.exp(lp) }.sum)
+      (kept.map { case (p, lp) => (p, lp - norm) }.sortBy(_._1), lls.result())
+    } finally { words.unpersist(false); () }
+  }
+
   /** Iterative BPE vocabulary LEARNING — the training loop d61's
     * one-round pair stats feed (Sennrich 2016 §3.2's learn-BPE
     * algorithm re-expressed for Spark). The scale discipline is the

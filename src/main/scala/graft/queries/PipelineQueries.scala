@@ -4795,6 +4795,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- unigram-LM vocabulary LEARNING (EM)
+    // the training half of d105 — the learn/apply pairing BPE has with
+    // d85/d86, completing tokenizer-training coverage for all three
+    // subword families: seed (chars + frequent substrings), exact
+    // forward-backward EM over the word-count table (expected counts
+    // over ALL segmentations, corpus never re-read after the one
+    // vocab-collapsing pass), probability pruning, then the Viterbi
+    // apply kernel encodes the corpus with the LEARNED vocabulary.
+    // EM is engine-specific → rows-only; the AccuracySpec gate pins
+    // monotone non-decreasing corpus log-likelihood across rounds +
+    // lossless reconstruction + closure under the learned vocab, and
+    // the unit spec pins forward-backward ≡ brute-force enumeration.
+    q("d106_unigram_learn", null) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val (pieces, _) = CurationOps.learnUnigramVocab(docs, "text",
+        seedMaxLen = 4, seedSize = 200, emRounds = 3, finalSize = 160)
+      val enc = graft.functions.TokenizeExpressions.unigramEncode(
+        col("text"), pieces)
+      docs.select(col("doc_id"), enc.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).as("n_tokens"),
+          size(flatten(col("__p"))).as("n_pieces"),
+          md5(concat_ws(" ", flatten(col("__p")))).as("pieces_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- WordPiece tokenizer apply
     // the encode side of subword tokenization (d61 counts the training
     // statistics; this runs a finished vocabulary over the corpus):

@@ -352,6 +352,34 @@ class AccuracySpec extends AnyFunSuite {
     assert(multi > 0, "no multi-char piece ever won a segmentation — vacuous gate")
   }
 
+  test("d106 gate: unigram EM training — monotone corpus LL, lossless reconstruction and closure under the LEARNED vocab") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val (pieces, lls) = graft.operators.CurationOps.learnUnigramVocab(
+      docs, "text", seedMaxLen = 4, seedSize = 200, emRounds = 3, finalSize = 160)
+    // EM's defining property, corpus-scale: log-likelihood never drops
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-6, s"EM log-likelihood decreased across rounds: $lls") }
+    assert(pieces.count(_._1.length > 1) >= 10,
+      s"only ${pieces.count(_._1.length > 1)} multi-char pieces survived pruning")
+    // the learned vocab is a valid d105 model: lossless reconstruction
+    // and closed membership over the whole conformance corpus
+    val enc = docs.select(col("doc_id"), col("text"),
+      graft.functions.TokenizeExpressions.unigramEncode(col("text"), pieces).as("p"))
+    val bad = enc.filter(
+      transform(col("p"), w => array_join(w, "")) =!=
+        array_remove(graft.operators.TextOps.tokens(col("text")), "")).count()
+    assert(bad == 0, s"$bad docs fail per-token piece reconstruction")
+    val vocabSet = pieces.map(_._1)
+    val badPieces = enc.select(explode(flatten(col("p"))).as("piece")).distinct()
+      .filter(!col("piece").isin(vocabSet: _*) &&
+        size(regexp_extract_all(col("piece"), lit("[\\s\\S]"), lit(0))) =!= 1)
+      .count()
+    assert(badPieces == 0, s"$badPieces pieces outside learned vocab ∪ single code points")
+    val multiUsed = enc.select(explode(flatten(col("p"))).as("piece"))
+      .filter(length(col("piece")) > 1).count()
+    assert(multiUsed > 0, "no learned multi-char piece ever won a segmentation — vacuous")
+  }
+
   test("d68 gate (basic=true): punctuation-glued and CJK web text segments instead of falling to UNK") {
     // the r9 gap: raw web text puts punctuation-glued tokens and CJK
     // runs in front of WordPiece; without BasicTokenizer every such

@@ -1714,6 +1714,71 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("unigram EM E-step: forward-backward expected counts ≡ brute-force enumeration over 1500 ScalaCheck cases; trainer LL monotone") {
+    import graft.functions.UnigramUtil
+    import org.scalacheck.{Gen, Prop}
+    // brute force: enumerate every segmentation, weight each piece
+    // occurrence by the segmentation's probability share — shares no
+    // code with the kernel's log-space DP
+    def bruteExpected(w: String, m: Map[String, Double])
+        : (Map[String, Double], Double) = {
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to s.length).flatMap { k =>
+          val h = s.substring(0, k)
+          if (m.contains(h)) segs(s.substring(k)).map(h :: _) else Nil
+        }
+      val all = segs(w)
+      if (all.isEmpty) return (Map.empty, Double.NegativeInfinity)
+      val probs = all.map(seg => seg.map(p => math.exp(m(p))).product)
+      val z = probs.sum
+      val exp = all.zip(probs).foldLeft(Map.empty[String, Double]) {
+        case (acc, (seg, pr)) => seg.foldLeft(acc) { (a, p) =>
+          a.updated(p, a.getOrElse(p, 0.0) + pr / z)
+        }
+      }
+      (exp, math.log(z))
+    }
+    val pieceGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b')).map(_.mkString take 3)
+    val vocabGen = for {
+      ps <- Gen.listOfN(6, pieceGen)
+      lps <- Gen.listOfN(8, Gen.choose(-6.0, -0.5))
+    } yield (ps ++ Seq("a", "b")).distinct.zip(lps).toMap // chars always in
+    val wordGen = Gen.listOf(Gen.oneOf('a', 'b')).map(_.mkString take 7)
+    val prop = Prop.forAll(vocabGen, wordGen) { (vm, w) =>
+      val jm = new java.util.HashMap[String, java.lang.Double]()
+      vm.foreach { case (p, lp) => jm.put(p, java.lang.Double.valueOf(lp)) }
+      val (gotEc, gotZ) = UnigramUtil.expectedCounts(w, jm, 3)
+      val (wantEc, wantZ) = bruteExpected(w, vm)
+      import scala.jdk.CollectionConverters._
+      val g = gotEc.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap
+      val zOk = (gotZ.isNegInfinity && wantZ.isNegInfinity) ||
+        math.abs(gotZ - wantZ) < 1e-9
+      val ecOk = (g.keySet ++ wantEc.keySet).forall(k =>
+        math.abs(g.getOrElse(k, 0.0) - wantEc.getOrElse(k, 0.0)) < 1e-9)
+      val ok = zOk && ecOk
+      if (!ok) println(s"FB break on <$w> vocab=$vm: got ($g, $gotZ) want ($wantEc, $wantZ)")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(1500), prop)
+    assert(res.passed, res.status.toString)
+    // trainer on a tiny corpus: LL non-decreasing, singles retained,
+    // learned vocab round-trips through the apply kernel losslessly
+    val docs = Seq("the cat sat", "the cat ran", "the the the").toDF("text")
+    val (pieces, lls) = CurationOps.learnUnigramVocab(docs, "text",
+      seedMaxLen = 3, seedSize = 20, emRounds = 4, finalSize = 16)
+    assert(lls.size == 4)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"EM log-likelihood decreased: $lls") }
+    assert(pieces.exists(_._1 == "t") && pieces.exists(_._1 == "c"))
+    assert(pieces.exists(p => p._1.length > 1), "no multi-char piece learned")
+    val enc = Seq("the cat").toDF("t")
+      .select(graft.functions.TokenizeExpressions.unigramEncode(col("t"), pieces).as("p"))
+      .as[Seq[Seq[String]]].head()
+    assert(enc.map(_.mkString) == Seq("the", "cat"), enc.toString)
+  }
+
   test("containsAnyWord is token-exact: no substring (Scunthorpe) hits, empty text never trips") {
     val df = Seq("the class is full", "bad word here", "badge of honor", "", "bad").toDF("text")
     val got = df.select(TextOps.containsAnyWord(col("text"), Seq("bad", "ass")).as("h"))
