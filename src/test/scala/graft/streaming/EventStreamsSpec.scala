@@ -643,6 +643,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio-fp-ledger ingest: per-microbatch appends equal one batch admission") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // the streaming face of m13: each microbatch decodes + fingerprints
+    // its payloads once and appends (id, afp); a probe against the
+    // accreted ledger equals one against a single whole-corpus admission
+    val root = java.nio.file.Files.createTempDirectory("graft-afpstream").toString
+    val (live, once) = (root + "/live", root + "/once")
+    def wav(id: Long): Array[Byte] =
+      if (id % 2 == 0) MultimodalOps.syntheticToneWav(id % 4, 8000, 4096)
+      else MultimodalOps.syntheticToneWavNear(id % 4, 8000, 4096)
+    def df(ids: Seq[Long]) = ids.map(i => (i, wav(i))).toDF("id", "wav")
+    val seedIds = Seq(1L, 2L)
+    val laterBatches = Seq(Seq(3L, 4L), Seq(5L, 6L, 7L))
+    MultimodalOps.writeAudioFpLedger(df(seedIds), "id", "wav", live)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q = stream.toDS().toDF("id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val wavUdf = udf((i: Long) => wav(i))
+        MultimodalOps.appendToAudioFpLedger(
+          batch.withColumn("wav", wavUdf(col("id"))), "id", "wav", live)
+      }
+      .start()
+    try {
+      laterBatches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      MultimodalOps.writeAudioFpLedger(
+        df(seedIds ++ laterBatches.flatten), "id", "wav", once)
+      val probe = df(Seq(100L, 101L, 102L))
+      def pairs(p: String): Set[(Long, Long, Int)] =
+        MultimodalOps.audioNearDupAgainstLedger(probe, "id", "wav", p, maxHamming = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs(live) == pairs(once) && pairs(once).nonEmpty,
+        s"${pairs(live)} != ${pairs(once)}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-microbatch quantile-ledger advances give the from-scratch drift vs a reference") {
     import spark.implicits._
     // the streaming face of d93: the live ingest window's histogram
