@@ -818,6 +818,68 @@ object CurationOps {
         avg(col("__nll")).as("avg_nll_raw"))
   }
 
+  /** Interpolated KNESER-NEY scoring from the SAME d90 ledger — the
+    * smoothing the CCNet-class quality scorers actually use (Chen &
+    * Goodman 1998 §2.7's interpolated KN, bigram order): absolute
+    * discount `d` on seen bigrams, the freed mass routed per-w1 to the
+    * CONTINUATION distribution pCont(w2) = N1+(·,w2)/N1+(··) — "how
+    * many contexts does w2 complete" rather than raw frequency, the
+    * property that keeps "Francisco" cheap outside "San Francisco".
+    * Every model quantity derives from the ledger's (w1, w2, n) rows:
+    * c(w1,w2), c(w1) as row sums, N1+(w1,·)/N1+(·,w2) as distinct
+    * counts, N1+(··) as the distinct-bigram total, V from the tail
+    * rows (the d34 invariant). A small uniform floor `alpha`/V keeps
+    * unseen-everything finite (the d102 λ0 channel, same rationale).
+    * O(batch + model), zero corpus access — the third scorer off one
+    * at-rest store (Laplace d91, Jelinek-Mercer d102, KN this).
+    */
+  def bigramScoreKneserNey(batch: DataFrame, idCol: String, textCol: String,
+      path: String, discount: Double = 0.75, alpha: Double = 0.05,
+      tokenizerId: String = "ws"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    require(alpha > 0 && alpha < 1,
+      s"alpha must be in (0,1) — it is the finite-score floor: $alpha")
+    val spark = batch.sparkSession
+    if (readBigramMeta(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"bigram-LM probe at $path: no ${BigramMetaFile} sidecar — cannot " +
+          "verify the ledger's tokenizer; rebuild the ledger (or restore " +
+          "the sidecar)")
+    requireBigramMeta(spark, path, tokenizerId, "probe")
+    val led = LedgerGuard.readLedger(spark, path)
+    val c2 = led.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    // ONE aggregation of c2 feeds both per-w1 tables (row sum + distinct
+    // continuation count share the exchange)
+    val byW1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"),
+      count(lit(1)).cast("double").as("n1fw"))
+    val byW2 = c2.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1bw"))
+    val tot = c2.agg(count(lit(1)).cast("double").as("n1tot"))
+      .crossJoin(led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
+    val id = col(idCol)
+    val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(id, explode(expr(
+        "transform(sequence(1, size(__l) - 1), i -> struct(__l[i-1] AS w1, " +
+          "__l[i] AS w2))")).as("__z"))
+      .select(id, col("__z.w1").as("w1"), col("__z.w2").as("w2"))
+    val pc = coalesce(col("n1bw") / col("n1tot"), lit(0.0))
+    val pkn = when(col("n1").isNotNull,
+        greatest(coalesce(col("n2").cast("double"), lit(0.0)) - lit(discount),
+          lit(0.0)) / col("n1") +
+          lit(discount) * col("n1fw") / col("n1") * pc)
+      .otherwise(pc)
+    stream.join(c2, Seq("w1", "w2"), "left")
+      .join(byW1, Seq("w1"), "left")
+      .join(byW2, Seq("w2"), "left")
+      .crossJoin(broadcast(tot)) // 1-row aggregate
+      .select(id,
+        (-log(lit(1.0 - alpha) * pkn + lit(alpha) / col("vocab"))).as("__nll"))
+      .groupBy(id)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll_raw"))
+  }
+
   /** Right-to-be-forgotten for the bigram ledger, by SUBTRACTION —
     * the [[retractFromQuantileLedger]] contract: exact (counts merge
     * both directions), caller supplies the forgotten documents'

@@ -4072,6 +4072,59 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- Kneser-Ney scoring (same ledger)
+    // the THIRD scorer off the one d90 store (Laplace d91,
+    // Jelinek-Mercer d102, interpolated Kneser-Ney this — Chen &
+    // Goodman 1998 §2.7, the smoothing the CCNet-class scorers
+    // actually deploy): absolute discount on seen bigrams, freed mass
+    // routed to the CONTINUATION distribution N1+(·,w2)/N1+(··) — the
+    // "Francisco stays cheap outside San Francisco" property raw
+    // frequency can't express. Every model quantity is a row-sum or
+    // distinct-count over the ledger's (w1, w2, n) rows; a small
+    // uniform floor keeps unseen-everything finite. The oracle
+    // re-derives all five tables from documents and replays the exact
+    // discount/backoff arithmetic — hash match.
+    q("d107_kneser_ney",
+      """WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS w FROM lst),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab FROM tok),
+        |big AS (SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |        FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |by1 AS (SELECT w1, sum(n2) AS n1, CAST(count(*) AS DOUBLE) AS n1fw
+        |        FROM c2 GROUP BY 1),
+        |by2 AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1bw FROM c2 GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS n1tot FROM c2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    -ln((1.0 - 0.05) * (CASE WHEN by1.n1 IS NOT NULL
+        |        THEN greatest(coalesce(CAST(c2.n2 AS DOUBLE), 0.0) - 0.75, 0.0) / by1.n1
+        |             + 0.75 * by1.n1fw / by1.n1 * coalesce(by2.n1bw / tt.n1tot, 0.0)
+        |        ELSE coalesce(by2.n1bw / tt.n1tot, 0.0) END)
+        |      + 0.05 / vv.vocab) AS nll
+        |  FROM pairs p
+        |  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+        |  LEFT JOIN by1 ON p.w1 = by1.w1
+        |  LEFT JOIN by2 ON p.w2 = by2.w2, tt, vv
+        |  WHERE p.doc_id % 7 = 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d107_lm_$tag")
+      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
+      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "text", path, batchId = Some("gen-2"))
+      CurationOps.bigramScoreKneserNey(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", path)
+        .select(col("doc_id"), col("n_bigrams"),
+          Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- ABTT top component (power iteration)
     // All-but-the-Top post-processing, first half (Mu & Viswanath
     // 2018): the corpus mean + dominant direction of the centered

@@ -530,6 +530,41 @@ class CurationOpsSpec extends AnyFunSuite {
       lambda2 = 0.8, lambda1 = 0.3, lambda0 = 0.05))
   }
 
+  test("bigramScoreKneserNey: hand-computed KN — discount mass, continuation ranking, unseen-w1 backoff, param guards") {
+    val path = java.nio.file.Files.createTempDirectory("graft-kn").toString + "/ledger"
+    // corpus "x a y a z a q b": bigrams (x,a)(a,y)(y,a)(a,z)(z,a)(a,q)(q,b)
+    // — 'a' completes 3 distinct contexts (x,y,z), 'b' completes 1 (q):
+    // KN's continuation counts distinguish them where raw frequency of
+    // the PREDICTED token would too, so pin with unseen-bigram probes
+    CurationOps.writeBigramLedger(
+      Seq((1L, "x a y a z a q b")).toDF("doc_id", "text"), "text", path)
+    def score(text: String): Double =
+      CurationOps.bigramScoreKneserNey(
+        Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text", path)
+        .collect().head.getDouble(2)
+    // model tables: c2 has 7 distinct bigrams, all count 1;
+    // by1: c1(a)=3 n1fw(a)=3; c1(x)=c1(y)=c1(z)=c1(q)=1 n1fw=1
+    // by2: n1bw(a)=3 (x,y,z), n1bw(y)=n1bw(z)=n1bw(q)=1(a), n1bw(b)=1(q)
+    // n1tot=7; V = 7 distinct tokens (x a y z q b + tail… tokens: x,a,y,z,q,b = 6)
+    val V = 6.0; val d = 0.75; val al = 0.05
+    def nll(pkn: Double): Double = -math.log((1.0 - al) * pkn + al / V)
+    // seen bigram (a,y): (1-d)/3 + d*3/3 * pCont(y)=1/7
+    assert(math.abs(score("a y") - nll((1 - d) / 3.0 + d * 3.0 / 3.0 * (1.0 / 7.0))) < 1e-12)
+    // unseen bigram, seen w1 (x,b): 0/1 + d*1/1 * pCont(b)=1/7
+    assert(math.abs(score("x b") - nll(d * (1.0 / 7.0))) < 1e-12)
+    // unseen w1 backs off to pure continuation: (zz,a) vs (zz,b) —
+    // 'a' completes 3 contexts, 'b' one: KN ranks 'a' cheaper
+    assert(math.abs(score("zz a") - nll(3.0 / 7.0)) < 1e-12)
+    assert(math.abs(score("zz b") - nll(1.0 / 7.0)) < 1e-12)
+    assert(score("zz a") < score("zz b"))
+    // wholly unseen: the uniform floor keeps it finite
+    assert(math.abs(score("zz qq") - nll(0.0)) < 1e-12)
+    intercept[IllegalArgumentException](CurationOps.bigramScoreKneserNey(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", path, discount = 1.0))
+    intercept[IllegalArgumentException](CurationOps.bigramScoreKneserNey(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", path, alpha = 0.0))
+  }
+
   test("histogramDrift: hand-computed KS/TV/PSI, zero self-drift, empty-side key, meta guards") {
     val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
     val (pA, pB, pC, pD) = (root + "/a", root + "/b", root + "/c", root + "/d")
