@@ -1714,6 +1714,53 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("totality fuzz: unigramEncode reconstructs arbitrary unicode (lone surrogates included); audioFingerprint32 never throws on corrupt bytes") {
+    import graft.functions.UnigramUtil
+    import org.scalacheck.{Gen, Prop}
+    // ANY input string — full unicode including unpaired surrogates —
+    // must reconstruct losslessly per whitespace token under ANY vocab
+    // (the single-char fallback makes the encoder total)
+    val vocab = new UnigramUtil.Vocab(
+      Seq("ab" -> -1.0, "a" -> -2.0, "é" -> -1.5, "😀" -> -1.0), -20.0)
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaChar, Gen.oneOf(' ', 'é', '世', '\ud83d', '\ude00', ' ')))
+      .map(_.mkString take 40)
+    val prop = Prop.forAll(strGen) { s0 =>
+      // Spark strings are UTF-8 (UTF8String) — a JVM-String lone
+      // surrogate canonicalizes to '?' at that boundary, so the
+      // lossless contract is against the UTF-8 form the engine stores
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+      val s = u.toString
+      val enc = UnigramUtil.encode(u, vocab)
+      val toks = s.trim.split(" ").filter(_.nonEmpty).toSeq
+      val rebuilt = (0 until enc.numElements()).map { i =>
+        val w = enc.getArray(i)
+        (0 until w.numElements()).map(j => w.getUTF8String(j).toString).mkString
+      }
+      val ok = rebuilt == toks
+      if (!ok) println(s"totality break on ${s.map(_.toInt)}: $rebuilt != $toks")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+    // audio: arbitrary byte garbage and bit-flipped real WAVs must key
+    // to a value or 0 — never throw out of the partition seam
+    val real = MultimodalOps.syntheticToneWav(3L, 8000, 2048)
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { i =>
+      val bytes =
+        if (i % 3 == 0) Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+        else {
+          val b = real.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt().toByte }
+          if (i % 3 == 1) b else b.take(rnd.nextInt(b.length))
+        }
+      MultimodalOps.audioFingerprint32(bytes): Unit // must not throw
+    }
+  }
+
   test("unigram EM E-step: forward-backward expected counts ≡ brute-force enumeration over 1500 ScalaCheck cases; trainer LL monotone") {
     import graft.functions.UnigramUtil
     import org.scalacheck.{Gen, Prop}
