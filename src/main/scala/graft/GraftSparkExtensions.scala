@@ -143,6 +143,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.DeflatedSize(es(0))))
     ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
       (es: Seq[Expression]) => graft.functions.SimHash60(es(0))))
+    // audio_fingerprint(bin) → the m11 spectral content key (0 when
+    // undecodable), same kernel as the Scala seam
+    ext.injectFunction((FunctionIdentifier("audio_fingerprint"), info("audio_fingerprint"),
+      (es: Seq[Expression]) => graft.functions.AudioFingerprint(es(0))))
     ext.injectFunction((FunctionIdentifier("card_counts"), info("card_counts"),
       (es: Seq[Expression]) => graft.functions.CardCounts(es(0))))
     // scrub_cards(text[, token]) — the optional 2nd arg replaces the

@@ -323,3 +323,27 @@ final case class DoubleSortableBucket(child: Expression, shift: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `audio_fingerprint(bin)` → LONG: the 32-band spectral band-energy
+  * content key ([[graft.operators.MultimodalOps.audioFingerprint32]] —
+  * JDK PCM decode + frame FFT per row; 0 for undecodable payloads).
+  * The scalar-SQL face of the m11 seam, same kernel, so the two
+  * surfaces cannot drift.
+  */
+final case class AudioFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.MultimodalOps.audioFingerprint32(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.MultimodalOps.audioFingerprint32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

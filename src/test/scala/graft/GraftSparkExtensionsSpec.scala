@@ -154,6 +154,14 @@ class GraftSparkExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT scrub_cards('4111111111111111 4012888888881881') AS s")
       .head().getString(0) == "<CARD> <CARD>")
 
+    // audio_fingerprint: the SQL name runs the same decode+FFT kernel
+    val wavLit = graft.operators.MultimodalOps.syntheticToneWav(2L, 8000, 2048)
+    val afpSql = spark.range(1).toDF("x")
+      .withColumn("b", org.apache.spark.sql.functions.lit(wavLit))
+      .createOrReplaceTempView("__afp_t")
+    val afp = spark.sql("SELECT audio_fingerprint(b) AS f FROM __afp_t").head().getLong(0)
+    assert(afp == graft.operators.MultimodalOps.audioFingerprint32(wavLit) && afp != 0L)
+
     // unigram_encode: the SQL name builds the same Viterbi kernel; a
     // malformed vocab entry fails loudly
     val ue = spark.sql(
