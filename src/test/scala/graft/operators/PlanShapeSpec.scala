@@ -425,6 +425,16 @@ class PlanShapeSpec extends AnyFunSuite {
       }.map(_.relation.location.rootPaths.map(_.toString).mkString)
       assert(jmScans.count(_.contains("documents.parquet")) == 1, jmScans.toString)
       assert(jm.count() > 0)
+      // ...and so does the Kneser-Ney scorer (d107): one batch scan,
+      // every model table a ledger derivation
+      val kn = CurationOps.bigramScoreKneserNey(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", base)
+      val knScans = nodes(kn) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.rootPaths.map(_.toString).mkString)
+      assert(knScans.count(_.contains("documents.parquet")) == 1, knScans.toString)
+      assert(knScans.exists(_.contains("/lm")), knScans.toString)
+      assert(kn.count() > 0)
     }
   }
 
