@@ -1080,6 +1080,9 @@ object CurationOps {
       }.toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("p")).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(chars.nonEmpty,
+        "unigram training: the corpus has no tokens — nothing to learn " +
+          "from (an empty vocab would fail only later, at apply time)")
       val seedTot = (chars.iterator ++ subs.iterator).map(_._2).sum.toDouble
       var vocab: Seq[(String, Double)] = (chars ++ subs).toSeq
         .map { case (p, n) => (p, math.log(n / seedTot)) }.sortBy(_._1)

@@ -592,9 +592,12 @@ object MultimodalOps {
     if (dec == null) return 0L
     val (sr, pcm) = dec
     if (sr < FpHiHz * 2 || pcm.length < FpFrame) return 0L
-    // bin → band map, cached per distinct sample rate (bounded: one
-    // small array per rate this executor ever sees)
-    val map = binBandCache.computeIfAbsent(sr, s => {
+    // bin → band map, cached per distinct sample rate. BOUNDED: real
+    // corpora use a handful of rates, but the rate field is
+    // payload-controlled (a u32 in the container) — past 64 distinct
+    // rates we compute without caching rather than let adversarial
+    // headers grow the map without limit
+    def buildMap(s: Int): Array[Int] = {
       val m = new Array[Int](FpFrame / 2 + 1)
       val logSpan = math.log10(FpHiHz / FpLoHz)
       var k = 0
@@ -607,7 +610,11 @@ object MultimodalOps {
         k += 1
       }
       m
-    })
+    }
+    val map =
+      if (binBandCache.size < 64 || binBandCache.containsKey(sr))
+        binBandCache.computeIfAbsent(sr, buildMap(_))
+      else buildMap(sr)
     val e = new Array[Double](FpBands)
     val re = new Array[Double](FpFrame)
     val im = new Array[Double](FpFrame)
@@ -776,21 +783,28 @@ object MultimodalOps {
   private def fpGeometry: String = s"sbe:$FpBands:$FpLoHz:$FpHiHz:$FpFrame"
 
   private def requireAudioFpMeta(spark: SparkSession, path: String,
-      op: String, mustExist: Boolean): Unit =
-    LedgerGuard.readSidecarMetaStr(spark, path, AudioFpMetaFile)
-      .flatMap(_.get("geometry")) match {
-      case Some(g) if g != fpGeometry =>
-        throw new IllegalArgumentException(
-          s"audio-fp ledger $op at $path: ledger was created with " +
-            s"geometry=$g but this build fingerprints with $fpGeometry — " +
-            "fingerprints under different band layouts are incomparable; " +
-            "rebuild the ledger")
+      op: String, mustExist: Boolean, idCol: Option[String] = None): Unit =
+    LedgerGuard.readSidecarMetaStr(spark, path, AudioFpMetaFile) match {
+      case Some(kv) =>
+        kv.get("geometry").filter(_ != fpGeometry).foreach { g =>
+          throw new IllegalArgumentException(
+            s"audio-fp ledger $op at $path: ledger was created with " +
+              s"geometry=$g but this build fingerprints with $fpGeometry — " +
+              "fingerprints under different band layouts are incomparable; " +
+              "rebuild the ledger")
+        }
+        // an id-column drift would anti-join/probe on the wrong column —
+        // loud, never a silent no-op (the compactBucketedIndex lesson)
+        for (want <- idCol; have <- kv.get("idCol") if have != want)
+          throw new IllegalArgumentException(
+            s"audio-fp ledger $op at $path: ledger stores ids in column " +
+              s"'$have' but the caller passed '$want'")
       case None if mustExist =>
         throw new IllegalStateException(
           s"audio-fp ledger $op at $path: no $AudioFpMetaFile sidecar — " +
             "cannot verify the ledger's fingerprint geometry; rebuild the " +
             "ledger (or restore the sidecar)")
-      case _ => ()
+      case None => ()
     }
 
   /** Create the audio-fingerprint ledger from the initial corpus — one
@@ -810,7 +824,7 @@ object MultimodalOps {
   def appendToAudioFpLedger(batch: DataFrame, idCol: String, binCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
-    requireAudioFpMeta(spark, path, "append", mustExist = false)
+    requireAudioFpMeta(spark, path, "append", mustExist = false, Some(idCol))
     audioFingerprintPartitioned(batch.select(col(idCol), col(binCol)), binCol)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
   }
@@ -824,7 +838,7 @@ object MultimodalOps {
   def audioNearDupAgainstLedger(newAudio: DataFrame, idCol: String,
       binCol: String, path: String, maxHamming: Int = 2): DataFrame = {
     val spark = newAudio.sparkSession
-    requireAudioFpMeta(spark, path, "probe", mustExist = true)
+    requireAudioFpMeta(spark, path, "probe", mustExist = true, Some(idCol))
     val led = LedgerGuard.readLedger(spark, path)
       .select(col(idCol), col("afp")).dropDuplicates() // replayed appends
     DedupOps.hammingJoin(
@@ -841,7 +855,9 @@ object MultimodalOps {
     * lease, manifest mode, exactly-once `batchId`.
     */
   def removeFromAudioFpLedger(ids: DataFrame, idCol: String, path: String,
-      batchId: Option[String] = None): Unit =
+      batchId: Option[String] = None): Unit = {
+    requireAudioFpMeta(ids.sparkSession, path, "forget", mustExist = false,
+      Some(idCol))
     LedgerGuard.advanceInPlace(ids.sparkSession, path, "audio-fp ledger removal",
       batchId) { staging =>
       val gone = ids.select(col(idCol).as("__gone")).distinct()
@@ -849,6 +865,7 @@ object MultimodalOps {
         .join(broadcast(gone), col(idCol) === col("__gone"), "left_anti")
         .write.parquet(staging)
     }
+  }
 
   /** Compact IN PLACE — [[DedupOps.compactSignatureLedger]]'s generic
     * contract (it sorts by the first at-rest column = the id).
