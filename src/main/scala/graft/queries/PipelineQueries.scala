@@ -4125,6 +4125,61 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- code-fence extraction
+    // the code-corpus curation primitive (the StarCoder-class pipelines
+    // extract fenced blocks + language tags from markdown/web text
+    // before any code-specific filtering): per document, the fenced
+    // ``` blocks — count, ordered language tags (untagged → '?'), code
+    // characters, and an order-faithful content fingerprint. One scan,
+    // one regexp kernel per row (non-greedy [\s\S]*? so blocks never
+    // merge across a following fence); an unclosed fence is NOT a
+    // block (class-3 fixture pins it). Both engines speak the same
+    // RE2-compatible pattern, so the extraction is hash-checked, not
+    // gated. The fixture appends deterministic fence classes: two
+    // blocks (tagged + untagged), no fences, one multi-line block, a
+    // broken unclosed fence, and back-to-back adjacent blocks.
+    q("d108_code_fences", {
+      val fixSql =
+        """CASE doc_id % 5
+          |      WHEN 0 THEN E' intro ```python\nprint(1)\n``` mid ```\nplain\n``` end'
+          |      WHEN 1 THEN ''
+          |      WHEN 2 THEN E' ```scala\nval x = 1\nval y = 2\n```'
+          |      WHEN 3 THEN ' broken ``` fence without close'
+          |      ELSE E' tight ```c\nx;\n``````go\ny()\n```' END""".stripMargin
+      s"""WITH f AS (SELECT doc_id, text || $fixSql AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  regexp_extract_all(t, '```(\\w*)\\n([\\s\\S]*?)```', 1) AS langs,
+         |  regexp_extract_all(t, '```(\\w*)\\n([\\s\\S]*?)```', 2) AS bodies
+         |  FROM f)
+         |SELECT doc_id, CAST(len(bodies) AS INTEGER) AS n_blocks,
+         |  coalesce(array_to_string(list_transform(langs,
+         |    x -> CASE WHEN x = '' THEN '?' ELSE x END), ','), '') AS langs,
+         |  CAST(coalesce(list_sum(list_transform(bodies, b -> length(b))), 0) AS INTEGER) AS code_chars,
+         |  md5(coalesce(array_to_string(bodies, chr(1)), '')) AS bodies_fp
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val fix = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" intro ```python\nprint(1)\n``` mid ```\nplain\n``` end"))
+        .when(col("doc_id") % 5 === 1, lit(""))
+        .when(col("doc_id") % 5 === 2, lit(" ```scala\nval x = 1\nval y = 2\n```"))
+        .when(col("doc_id") % 5 === 3, lit(" broken ``` fence without close"))
+        .otherwise(lit(" tight ```c\nx;\n``````go\ny()\n```")))
+      val pat = lit("```(\\w*)\\n([\\s\\S]*?)```")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(fix, pat, lit(1)).as("__langs"),
+          regexp_extract_all(fix, pat, lit(2)).as("__bodies"))
+        .select(col("doc_id"),
+          size(col("__bodies")).as("n_blocks"),
+          concat_ws(",", transform(col("__langs"),
+            x => when(x === "", lit("?")).otherwise(x))).as("langs"),
+          coalesce(aggregate(col("__bodies"), lit(0),
+            (a, b) => a + length(b)), lit(0)).as("code_chars"),
+          md5(concat_ws("\u0001", col("__bodies"))).as("bodies_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- ABTT top component (power iteration)
     // All-but-the-Top post-processing, first half (Mu & Viswanath
     // 2018): the corpus mean + dominant direction of the centered
