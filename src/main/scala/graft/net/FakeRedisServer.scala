@@ -18,7 +18,8 @@ import graft.resp.RespValue._
   * exercises the empty-page retry loop the reference depends on
   * (redduck_extension.cpp:219-227).
   */
-final class FakeRedisServer(requestedPort: Int = 0) {
+final class FakeRedisServer(requestedPort: Int = 0,
+    tlsKeystore: Option[(String, String)] = None) {
   private val strings = new ConcurrentHashMap[String, String]()
   private val hashes = new ConcurrentHashMap[String, Map[String, String]]()
   @volatile private var server: ServerSocket = _
@@ -64,7 +65,21 @@ final class FakeRedisServer(requestedPort: Int = 0) {
 
   def start(): Int = synchronized {
     if (running) return server.getLocalPort
-    server = new ServerSocket(requestedPort)
+    server = tlsKeystore match {
+      case None => new ServerSocket(requestedPort)
+      case Some((ksPath, ksPass)) =>
+        // TLS mode (the rediss:// simulation): serve over an
+        // SSLServerSocket backed by the given JKS/PKCS12 keystore
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = new java.io.FileInputStream(ksPath)
+        try ks.load(in, ksPass.toCharArray) finally in.close()
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+          javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, ksPass.toCharArray)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kmf.getKeyManagers, null, null)
+        ctx.getServerSocketFactory.createServerSocket(requestedPort)
+    }
     running = true
     val acceptor = new Thread(() => {
       while (running) {

@@ -21,13 +21,45 @@ import graft.resp.{RespCodec, RespValue}
   * giving each Spark partition its own connection instead).
   */
 final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 5000,
-    val auth: Option[String] = None)
+    val auth: Option[String] = None, val tls: Boolean = false,
+    val tlsTrustAll: Boolean = false)
     extends AutoCloseable {
 
-  private val socket = new Socket()
-  socket.setTcpNoDelay(true)
-  socket.setSoTimeout(timeoutMs)
-  socket.connect(new InetSocketAddress(host, port), timeoutMs)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.setTcpNoDelay(true)
+    plain.setSoTimeout(timeoutMs)
+    plain.connect(new InetSocketAddress(host, port), timeoutMs)
+    if (!tls) plain
+    else {
+      // TLS-wrap the connected socket (the rediss:// deployment shape).
+      // `tlsTrustAll` skips chain validation for self-signed test/dev
+      // servers — NEVER the production default; real deployments trust
+      // the JVM's CA store (or a custom one via standard javax.net.ssl
+      // system properties).
+      val factory =
+        if (!tlsTrustAll)
+          javax.net.ssl.SSLContext.getDefault.getSocketFactory
+        else {
+          val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+          ctx.init(null, Array[javax.net.ssl.TrustManager](
+            new javax.net.ssl.X509TrustManager {
+              override def checkClientTrusted(
+                  c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              override def checkServerTrusted(
+                  c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+                Array.empty
+            }), null)
+          ctx.getSocketFactory
+        }
+      val ssl = factory.createSocket(plain, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setSoTimeout(timeoutMs)
+      ssl.startHandshake() // fail at connect, not first command
+      ssl
+    }
+  }
   private val in = socket.getInputStream
   private val out = socket.getOutputStream
 
@@ -120,16 +152,19 @@ object RedisConnection {
     * run on a bounded executor thread pool, so this bounds connections at
     * (threads × targets) while never sharing a socket across threads.
     */
-  private val pool = new java.util.concurrent.ConcurrentHashMap[(String, Int, Option[String], Long), RedisConnection]()
+  private val pool = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Option[String], Boolean, Boolean, Long), RedisConnection]()
 
-  def pooled(host: String, port: Int, auth: Option[String] = None): RedisConnection = {
-    val key = (host, port, auth, Thread.currentThread().getId)
+  def pooled(host: String, port: Int, auth: Option[String] = None,
+      tls: Boolean = false, tlsTrustAll: Boolean = false): RedisConnection = {
+    val key = (host, port, auth, tls, tlsTrustAll, Thread.currentThread().getId)
     var c = pool.get(key)
     if (c == null || !c.isOpen) {
       if (c != null) { // close the dead socket before replacing: no fd leak
         try c.close() catch { case _: Throwable => () }
       }
-      c = new RedisConnection(host, port, auth = auth)
+      c = new RedisConnection(host, port, auth = auth, tls = tls,
+        tlsTrustAll = tlsTrustAll)
       pool.put(key, c)
     }
     c
@@ -151,10 +186,11 @@ object RedisConnection {
   /** Run `f` with a pooled connection, evicting it on I/O failure so the
     * next call reconnects.
     */
-  def withPooled[T](host: String, port: Int, auth: Option[String] = None)(
+  def withPooled[T](host: String, port: Int, auth: Option[String] = None,
+      tls: Boolean = false, tlsTrustAll: Boolean = false)(
       f: RedisConnection => T): T = {
-    val key = (host, port, auth, Thread.currentThread().getId)
-    val c = pooled(host, port, auth)
+    val key = (host, port, auth, tls, tlsTrustAll, Thread.currentThread().getId)
+    val c = pooled(host, port, auth, tls, tlsTrustAll)
     try f(c)
     catch {
       case e: java.io.IOException =>

@@ -48,7 +48,8 @@ object RedisSources {
 
   final case class Options(host: String, port: Int, pattern: String, count: Int,
       partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean,
-      auth: Option[String] = None) {
+      auth: Option[String] = None, tls: Boolean = false,
+      tlsTrustAll: Boolean = false) {
     /** Disjoint pattern lists, one per input partition. */
     def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
       case Some(p) => Seq(Seq(p))
@@ -66,6 +67,10 @@ object RedisSources {
       port = o.getOrDefault("port", "6379").toInt,
       // requirepass / ACL credentials: "password" or "user password"
       auth = Option(o.get("auth")).filter(_.nonEmpty),
+      // rediss://-style transport: TLS-wrap every connection;
+      // tls.trustAll accepts self-signed certs (test/dev ONLY)
+      tls = o.getOrDefault("tls", "false").toBoolean,
+      tlsTrustAll = o.getOrDefault("tls.trustAll", "false").toBoolean,
       pattern = o.getOrDefault("pattern", "*"),
       count = o.getOrDefault("scan.count", "2048").toInt, // reference batch size, resp_parser.cpp:159-161
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
@@ -96,14 +101,16 @@ object RedisSources {
     */
   def clusterPartitions(opts: Options, pushed: Option[String],
       limit: Option[Int], topN: Option[TopN]): Array[InputPartition] = {
-    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth)
+    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
     val ranges = try RedisCommands.clusterSlots(conn) finally conn.close()
     val masters = ranges.map(r => (r.host, r.port)).distinct
     val pats = Seq(pushed.getOrElse(opts.pattern))
     masters.map { case (h, p) =>
       // cluster nodes share the deployment's credentials
       RedisInputPartition(h, p, pats, opts.count, limit, topN,
-        auth = opts.auth): InputPartition
+        auth = opts.auth, tls = opts.tls,
+        tlsTrustAll = opts.tlsTrustAll): InputPartition
     }.toArray
   }
 
@@ -227,7 +234,8 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
                 RedisSources.clusterPartitions(opts, pushedGlob, None, None)
               else opts.effectivePatterns(pushedGlob)
                 .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
-                  auth = opts.auth): InputPartition)
+                  auth = opts.auth, tls = opts.tls,
+                  tlsTrustAll = opts.tlsTrustAll): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               (partition: InputPartition) =>
@@ -242,7 +250,8 @@ class RedisHashPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {
   import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 
-  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -320,7 +329,8 @@ class RedisBatchWrite(opts: RedisSources.Options)
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new RedisDataWriterFactory(opts.host, opts.port, opts.count, opts.auth)
+    new RedisDataWriterFactory(opts.host, opts.port, opts.count, opts.auth,
+      opts.tls, opts.tlsTrustAll)
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   // no coordinator: SET is an idempotent upsert, so task retries are safe
@@ -331,12 +341,14 @@ final case class RedisWriteCommit(written: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class RedisDataWriterFactory(host: String, port: Int, batchSize: Int,
-    auth: Option[String] = None)
+    auth: Option[String] = None, tls: Boolean = false,
+    tlsTrustAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private val conn = new RedisConnection(host, port, auth = auth)
+      private val conn = new RedisConnection(host, port, auth = auth,
+        tls = tls, tlsTrustAll = tlsTrustAll)
       private val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
       private var written = 0L
 
@@ -436,7 +448,8 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
       RedisSources.clusterPartitions(opts, pushedGlob, pushedLimit, pushedTopN)
     else opts.effectivePatterns(pushedGlob)
       .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
-        pushedLimit, pushedTopN, auth = opts.auth): InputPartition)
+        pushedLimit, pushedTopN, auth = opts.auth, tls = opts.tls,
+        tlsTrustAll = opts.tlsTrustAll): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
@@ -448,7 +461,8 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
   */
 final case class RedisInputPartition(host: String, port: Int, patterns: Seq[String], count: Int,
     limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None,
-    auth: Option[String] = None)
+    auth: Option[String] = None, tls: Boolean = false,
+    tlsTrustAll: Boolean = false)
     extends InputPartition
 
 class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
@@ -480,7 +494,8 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -534,7 +549,8 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
 class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     extends PartitionReader[InternalRow] {
 
-  private val conn = new RedisConnection(p.host, p.port, auth = p.auth)
+  private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false

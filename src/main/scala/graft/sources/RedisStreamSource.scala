@@ -78,7 +78,8 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options)
   private var initialized = false
 
   private def scanKeys(): Seq[String] = {
-    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth)
+    val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
     try {
       val out = Seq.newBuilder[String]
       var cursor = "0"

@@ -416,4 +416,44 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.GraftRedis.registerSql(spark)
     }
   }
+
+  test("TLS: rediss-style server serves scans over .option(tls); plain client and handshake failures are loud; AUTH composes") {
+    // self-signed server keystore via the JDK's own keytool (offline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls").toString
+    val ks = s"$dir/server.p12"
+    val gen = new ProcessBuilder("keytool", "-genkeypair", "-alias", "redis",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
+      "-dname", "CN=localhost", "-keystore", ks, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool failed")
+    val tlsServer = new FakeRedisServer(tlsKeystore = Some((ks, "changeit")))
+    tlsServer.setRequirePass("tlspw")
+    (1 to 4).foreach(i => tlsServer.put(s"tk:$i", s"v$i"))
+    val tport = tlsServer.start()
+    try {
+      def reader(tls: Boolean, trustAll: Boolean, auth: Boolean) = {
+        var r = spark.read.format("redis-kv")
+          .option("host", "127.0.0.1").option("port", tport.toString)
+          .option("pattern", "tk:*")
+        if (tls) r = r.option("tls", "true")
+        if (trustAll) r = r.option("tls.trustAll", "true")
+        if (auth) r = r.option("auth", "tlspw")
+        r.load()
+      }
+      // the full stack: TLS transport + AUTH + pipelined MGET values
+      assert(reader(tls = true, trustAll = true, auth = true)
+        .collect().map(_.getString(1)).sorted.toSeq == Seq("v1", "v2", "v3", "v4"))
+      // a PLAIN client against a TLS server fails loudly (garbled RESP /
+      // connection reset — never silent wrong data)
+      intercept[Exception](reader(tls = false, trustAll = false, auth = true).count())
+      // without trustAll the self-signed chain is rejected at handshake
+      val bad = intercept[Exception](
+        reader(tls = true, trustAll = false, auth = true).count())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(bad).exists(m => m.contains("SSL") || m.contains("PKIX") ||
+        m.contains("certificate")), chain(bad).mkString(" | "))
+    } finally tlsServer.stop()
+  }
 }
