@@ -22,12 +22,15 @@ object RedduckFunctions {
   val PortConf = "spark.redduck.port"
 
   /** Session-default credentials ("password" or "user password" — the
-    * Redis 6 ACL form): connector `.option("auth", …)` is authoritative
-    * per-read; this conf backs the UDF/session surface the same way
-    * HostConf/PortConf do. Never logged, never echoed by
-    * [[redisConnect]]'s status string.
+    * Redis 6 ACL form): connector `.option("password", …)` is
+    * authoritative per-read; this conf backs the UDF/session surface the
+    * same way HostConf/PortConf do. Never echoed by [[redisConnect]]'s
+    * status string — and the conf key deliberately contains "password"
+    * so Spark's DEFAULT redaction regex (`(?i)secret|password|token|
+    * access[.]key`) masks it in `SET -v`, the UI environment tab, and
+    * event logs without any extra configuration.
     */
-  val AuthConf = "spark.redduck.auth"
+  val AuthConf = "spark.redduck.auth.password"
 
   def sessionAuth(spark: SparkSession): Option[String] =
     spark.conf.getOption(AuthConf).filter(_.nonEmpty)
@@ -57,12 +60,20 @@ object RedduckFunctions {
     val port = try target.substring(idx + 1).toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"invalid port in '$target'") }
-    val creds = auth.orElse(sessionAuth(spark))
-    val c = new RedisConnection(host, port, auth = creds)
+    // Credentials are per-connect: auth = None means "this target needs
+    // none", NOT "reuse whatever a previous connect stored" — otherwise
+    // retargeting from an authed server to an open one replays the stale
+    // password (the server answers "ERR Client sent AUTH, but no password
+    // is set" and the eager ping fails loudly) with no API way out.
+    // connect(target, None) therefore also DROPS the persisted credential.
+    val c = new RedisConnection(host, port, auth = auth)
     try c.ping() finally c.close()
     spark.conf.set(HostConf, host)
     spark.conf.set(PortConf, port.toString)
-    auth.foreach(a => spark.conf.set(AuthConf, a))
+    auth match {
+      case Some(a) => spark.conf.set(AuthConf, a)
+      case None => spark.conf.unset(AuthConf)
+    }
     s"Redis Target Set: $host:$port" // reference-exact; never echoes creds
   }
 

@@ -22,6 +22,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
     tlsKeystore: Option[(String, String)] = None) {
   private val strings = new ConcurrentHashMap[String, String]()
   private val hashes = new ConcurrentHashMap[String, Map[String, String]]()
+  // streams: append-only entry logs, ids strictly increasing (real Redis
+  // Streams semantics — XADD with an id ≤ the top entry is an error)
+  private val streams = new ConcurrentHashMap[String,
+    scala.collection.mutable.ArrayBuffer[((Long, Long), Seq[(String, String)])]]()
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
   // SCAN round-trip counter: tests assert pushed limits actually cut pages
@@ -52,6 +56,12 @@ final class FakeRedisServer(requestedPort: Int = 0,
   @volatile private var clusterSlotsConf: Seq[(Int, Int, String, Int)] = Nil
   def setClusterSlots(entries: Seq[(Int, Int, String, Int)]): Unit =
     clusterSlotsConf = entries
+  // deterministic mid-scan reshard: after the Nth SCAN round trip this
+  // node's CLUSTER SLOTS answer flips to `entries` (one-shot) — the test
+  // hook for "slot ownership changed while a cursor was walking"
+  @volatile private var reshardAfter: Option[(Int, Seq[(Int, Int, String, Int)])] = None
+  def setReshardAfterScans(n: Int, entries: Seq[(Int, Int, String, Int)]): Unit =
+    reshardAfter = Some((n, entries))
 
   private def redirect(key: String, asking: Boolean): Option[RespValue] =
     movedRule.collect { case (p, t) if key.startsWith(p) => Err(s"MOVED 1234 $t") }
@@ -170,7 +180,8 @@ final class FakeRedisServer(requestedPort: Int = 0,
         case "GET" => redirect(args(1), asking).getOrElse(
           Option(strings.get(args(1))).map(Bulk(_): RespValue).getOrElse(Null))
         case "DEL" =>
-          val n = args.tail.count(k => strings.remove(k) != null || hashes.remove(k) != null)
+          val n = args.tail.count(k =>
+            strings.remove(k) != null | hashes.remove(k) != null | streams.remove(k) != null)
           Int64(n.toLong)
         case "MGET" =>
           // cluster semantics: a batch whose slot is owned elsewhere gets
@@ -187,6 +198,11 @@ final class FakeRedisServer(requestedPort: Int = 0,
           Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
         }
         case "SCAN" => scan(args.tail)
+        case "XADD" => xadd(args.tail)
+        case "XRANGE" => xrange(args.tail, rev = false)
+        case "XREVRANGE" => xrange(args.tail, rev = true)
+        case "XLEN" =>
+          Int64(Option(streams.get(args(1))).map(b => b.synchronized(b.length.toLong)).getOrElse(0L))
         case "CLUSTER" if args.length >= 2 && args(1).toUpperCase == "SLOTS" =>
           if (clusterSlotsConf.isEmpty) Err("ERR This instance has cluster support disabled")
           else Arr(clusterSlotsConf.toVector.map { case (s, e, h, p) =>
@@ -201,7 +217,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
   }
 
   private def scan(args: Seq[String]): RespValue = {
-    scanCallCount.incrementAndGet()
+    val calls = scanCallCount.incrementAndGet()
+    reshardAfter.foreach { case (n, entries) =>
+      if (calls >= n) { clusterSlotsConf = entries; reshardAfter = None }
+    }
     var cursor = args.head.toInt
     var pattern = "*"
     var count = 10
@@ -218,7 +237,8 @@ final class FakeRedisServer(requestedPort: Int = 0,
       }
     }
     // real Redis SCAN walks the whole keyspace regardless of value type
-    val allKeys = (strings.keySet.asScala ++ hashes.keySet.asScala).toVector.sorted
+    val allKeys = (strings.keySet.asScala ++ hashes.keySet.asScala ++
+      streams.keySet.asScala).toVector.sorted
     if (cursor >= allKeys.length) cursor = allKeys.length
     val page = allKeys.slice(cursor, cursor + count)
     val nextCursor = if (cursor + count >= allKeys.length) 0 else cursor + count
@@ -227,6 +247,88 @@ final class FakeRedisServer(requestedPort: Int = 0,
     Arr(Vector(
       Bulk(nextCursor.toString),
       Arr(matched.map(Bulk(_): RespValue))))
+  }
+
+  // -- streams ----------------------------------------------------------
+
+  /** Seed a stream entry directly (tests). `id` must be `ms-seq`. */
+  def putStreamEntry(key: String, id: String, fields: Seq[(String, String)]): Unit = {
+    val buf = streams.computeIfAbsent(key,
+      _ => scala.collection.mutable.ArrayBuffer.empty)
+    buf.synchronized { buf += ((parseId(id, forStart = true), fields)) }
+  }
+
+  private def parseId(s: String, forStart: Boolean): (Long, Long) = s match {
+    case "-" => (Long.MinValue, Long.MinValue)
+    case "+" => (Long.MaxValue, Long.MaxValue)
+    case _ =>
+      val i = s.indexOf('-')
+      // a bare `ms` means ms-0 as a start bound and ms-MAX as an end
+      // bound (real XRANGE semantics)
+      if (i < 0) (s.toLong, if (forStart) 0L else Long.MaxValue)
+      else (s.substring(0, i).toLong, s.substring(i + 1).toLong)
+  }
+
+  private def xadd(args: Seq[String]): RespValue = {
+    if (args.length < 4 || args.length % 2 != 0) return Err("ERR wrong number of arguments for 'xadd' command")
+    val key = args(0)
+    val fields = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toSeq
+    val buf = streams.computeIfAbsent(key,
+      _ => scala.collection.mutable.ArrayBuffer.empty)
+    buf.synchronized {
+      val top = buf.lastOption.map(_._1).getOrElse((0L, -1L))
+      val id = args(1) match {
+        case "*" =>
+          val ms = System.currentTimeMillis
+          if (ms > top._1) (ms, 0L) else (top._1, top._2 + 1)
+        case explicit =>
+          val parsed = try {
+            // XADD accepts `ms` (meaning ms-0) and `ms-*` (next seq in ms)
+            if (explicit.endsWith("-*")) {
+              val ms = explicit.dropRight(2).toLong
+              if (ms == top._1) (ms, top._2 + 1) else (ms, 0L)
+            } else parseId(explicit, forStart = true)
+          } catch { case _: NumberFormatException =>
+            return Err("ERR Invalid stream ID specified as stream command argument")
+          }
+          parsed
+      }
+      if (id._1 < top._1 || (id._1 == top._1 && id._2 <= top._2))
+        return Err("ERR The ID specified in XADD is equal or smaller than the target stream top item")
+      buf += ((id, fields))
+      Bulk(s"${id._1}-${id._2}")
+    }
+  }
+
+  private def xrange(args: Seq[String], rev: Boolean): RespValue = {
+    if (args.length < 3) return Err(s"ERR wrong number of arguments for 'x${if (rev) "rev" else ""}range' command")
+    val key = args(0)
+    // XREVRANGE takes (end, start); normalize to (start, end)
+    val (rawStart, rawEnd) = if (rev) (args(2), args(1)) else (args(1), args(2))
+    var count = Int.MaxValue
+    if (args.length >= 5 && args(3).toUpperCase == "COUNT") count = args(4).toInt
+    def bound(raw: String, forStart: Boolean): ((Long, Long), Boolean) =
+      if (raw.startsWith("(")) (parseId(raw.drop(1), forStart), true) // exclusive, Redis 6.2+
+      else (parseId(raw, forStart), false)
+    val ((s, sx), (e, ex)) = try (bound(rawStart, forStart = true), bound(rawEnd, forStart = false)) match {
+      case (a, b) => (a, b)
+    } catch { case _: NumberFormatException =>
+      return Err("ERR Invalid stream ID specified as stream command argument")
+    }
+    val buf = Option(streams.get(key)).getOrElse(return Arr(Vector.empty))
+    val entries = buf.synchronized {
+      val ord = implicitly[Ordering[(Long, Long)]]
+      val inRange = buf.filter { case (id, _) =>
+        (if (sx) ord.gt(id, s) else ord.gteq(id, s)) &&
+          (if (ex) ord.lt(id, e) else ord.lteq(id, e))
+      }
+      (if (rev) inRange.reverse else inRange).take(count).toVector
+    }
+    Arr(entries.map { case ((ms, seq), fields) =>
+      Arr(Vector(
+        Bulk(s"$ms-$seq"): RespValue,
+        Arr(fields.toVector.flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })))
+    })
   }
 
   /** Redis glob → java regex: `*` any, `?` one, `[...]` class, `\x` literal. */

@@ -191,6 +191,88 @@ object RedisCommands {
     sorted
   }
 
+  // ---------------------------------------------------------------------
+  // Redis Streams (XADD/XRANGE/XLEN — the public Redis Streams spec,
+  // https://redis.io/docs/data-types/streams/): entry IDs are
+  // `<ms>-<seq>`, totally ordered and immutable once appended, which is
+  // what makes them natural exactly-once offsets for a Spark
+  // MicroBatchStream (replay of a committed range re-reads the same
+  // entries via XRANGE).
+
+  /** One stream entry: id + field/value pairs in server order. */
+  final case class StreamEntry(id: String, fields: Seq[(String, String)])
+
+  /** Entry-ID total order: numeric (ms, seq), NOT lexicographic
+    * ("9-1" < "10-1"). "-" sorts first, "+" last.
+    */
+  def compareStreamIds(a: String, b: String): Int = {
+    def parse(s: String): (Long, Long) = s match {
+      case "-" => (Long.MinValue, Long.MinValue)
+      case "+" => (Long.MaxValue, Long.MaxValue)
+      case _ =>
+        val i = s.indexOf('-')
+        if (i < 0) (s.toLong, 0L) else (s.substring(0, i).toLong, s.substring(i + 1).toLong)
+    }
+    val (am, as) = parse(a); val (bm, bs) = parse(b)
+    if (am != bm) java.lang.Long.compare(am, bm) else java.lang.Long.compare(as, bs)
+  }
+
+  /** `XADD key id field value [field value ...]` → the assigned entry id
+    * (`*` asks the server to generate one).
+    */
+  def xadd(c: RedisConnection, key: String, id: String,
+      fields: Seq[(String, String)]): String = {
+    require(fields.nonEmpty, "XADD requires at least one field/value pair")
+    val args = Seq("XADD", key, id) ++ fields.flatMap { case (f, v) => Seq(f, v) }
+    c.command(args: _*) match {
+      case b: Bulk => b.text
+      case Err(m) => throw new java.io.IOException(s"XADD error: $m")
+      case other => fail("XADD reply", other)
+    }
+  }
+
+  private def parseEntries(v: RespValue, what: String): Seq[StreamEntry] = v match {
+    case Arr(items) => items.map {
+      case Arr(Vector(idv, fv)) =>
+        val id = idv match { case b: Bulk => b.text; case Simple(s) => s; case o => fail(s"$what id", o) }
+        val fields = fv match {
+          case Arr(pairs) => pairs.grouped(2).collect {
+            case Vector(f: Bulk, value: Bulk) => f.text -> value.text
+          }.toSeq
+          case o => fail(s"$what fields", o)
+        }
+        StreamEntry(id, fields)
+      case o => fail(s"$what entry", o)
+    }
+    case Err(m) => throw new java.io.IOException(s"$what error: $m")
+    case other => fail(s"$what reply", other)
+  }
+
+  /** `XRANGE key start end [COUNT n]`. `start`/`end` are inclusive ids,
+    * `-`/`+` for the extremes, or `(id` for an EXCLUSIVE bound (Redis
+    * 6.2+) — the form the streaming source uses to resume after its
+    * last committed offset.
+    */
+  def xrange(c: RedisConnection, key: String, start: String, end: String,
+      count: Option[Int] = None): Seq[StreamEntry] = {
+    val args = Seq("XRANGE", key, start, end) ++
+      count.toSeq.flatMap(n => Seq("COUNT", n.toString))
+    parseEntries(c.command(args: _*), "XRANGE")
+  }
+
+  /** Last entry id of a stream (`XREVRANGE key + - COUNT 1`), if any. */
+  def xlast(c: RedisConnection, key: String): Option[String] =
+    parseEntries(c.command("XREVRANGE", key, "+", "-", "COUNT", "1"), "XREVRANGE")
+      .headOption.map(_.id)
+
+  /** `XLEN key` — stream length (0 for a missing key, like real Redis). */
+  def xlen(c: RedisConnection, key: String): Long =
+    c.command("XLEN", key) match {
+      case Int64(n) => n
+      case Err(m) => throw new java.io.IOException(s"XLEN error: $m")
+      case other => fail("XLEN reply", other)
+    }
+
   def set(c: RedisConnection, key: String, value: String): Unit =
     c.command("SET", key, value) match {
       case Simple("OK") => ()

@@ -625,6 +625,13 @@ object DedupOps {
       path: String, batchId: Option[String] = None, numHashes: Int = 8,
       bandSize: Int = 4, shingleSize: Int = 5): Unit = {
     val spark = batch.sparkSession
+    // Replay fast-path: a batchId the remap ledger already recorded makes
+    // the WHOLE advance a no-op — appends included. The swap-side marker
+    // alone only guarded merge-bearing advances; a hot retry loop around
+    // a no-merge batch would otherwise re-append duplicate sig/asg delta
+    // rows every pass (reader-tolerated, but unbounded until compaction).
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, clusterRmpPath(path)) == batchId) return
     requireSigMeta(spark, clusterSigPath(path), numHashes, shingleSize, "probe")
     // shingle the batch ONCE: the probe, the signature append, and the
     // internal star edges all read this cached table (batch-bounded
@@ -720,6 +727,11 @@ object DedupOps {
             .dropDuplicates()
             .write.parquet(staging)
         }
+      } else batchId.foreach { id =>
+        // no-merge advance: nothing to swap, but the exactly-once marker
+        // must still land (on the same remap ledger the swap path marks)
+        // or every replay of this batch re-appends its delta rows
+        LedgerGuard.recordBatchApplied(spark, clusterRmpPath(path), id)
       }
     } finally sig.unpersist(false)
   }

@@ -157,9 +157,27 @@ object IvfPq {
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, cId: String): Unit = {
     val model = loadModel(spark, path)
+    // Tombstones must match the STORED schema exactly: an id column of a
+    // different type (long caller vs int index, or vice versa) would
+    // accrete mixed parquet schemas under /codes and break or silently
+    // coerce every later probe/compact read. Lossless-castable ids are
+    // cast to the stored type; anything else fails loudly here.
+    val stored = spark.read.parquet(s"$path/codes").schema
+    val storedId = stored("neighbor_id").dataType
+    val callerId = ids.schema(cId).dataType
+    val idCol =
+      if (callerId == storedId) col(cId)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(callerId, storedId))
+        col(cId).cast(storedId)
+      else throw new IllegalArgumentException(
+        s"deleteFromIndex: ids column '$cId' is ${callerId.simpleString} but the " +
+          s"index stores neighbor_id as ${storedId.simpleString} — not losslessly " +
+          "castable; delete with the index's id type")
+    val codeCols = (0 until model.pq.m).map { j =>
+      lit(0).cast(stored(s"__c$j").dataType).as(s"__c$j")
+    }
     ids.select(
-        col(cId).as("neighbor_id") +:
-          (0 until model.pq.m).map(j => lit(0).as(s"__c$j")) :+
+        idCol.as("neighbor_id") +: codeCols :+
           lit(TombstoneCell).as("__cluster"): _*)
       .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
   }

@@ -432,6 +432,38 @@ object LedgerGuard {
       .map(m => new Path(target, m.gen).toString).getOrElse(path)
   }
 
+  /** Last-applied exactly-once batch id recorded on a ledger (plain or
+    * manifested), if any — the same `_GRAFT_LAST_BATCH` sidecar a marked
+    * [[advanceInPlace]] promotes with its swap. Lets LSM-shaped callers
+    * make a replayed batch a no-op for their APPEND legs too, not just
+    * the guarded swap.
+    */
+  def lastAppliedBatchId(spark: SparkSession, path: String): Option[String] = {
+    val dir = new Path(appendPath(spark, path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(new Path(dir, BatchMarker))
+      try Some(new String(in.readNBytes(4096), "UTF-8")) finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Record `id` as a ledger's last-applied batch WITHOUT a data advance
+    * — the no-merge leg of LSM-shaped advances, where there is nothing to
+    * swap but the marker must still land or a hot retry loop re-appends
+    * its (reader-tolerated) delta rows unbounded until compaction. A
+    * direct sidecar create, not a staged swap: there is no data replace
+    * to be atomic with, and the worst crash interleaving (appends landed,
+    * marker missing) merely re-runs an append-tolerant advance — exactly
+    * the pre-marker behavior.
+    */
+  def recordBatchApplied(spark: SparkSession, path: String, id: String): Unit = {
+    val dir = new Path(appendPath(spark, path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, BatchMarker), true)
+    try out.write(id.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Convert a PLAIN ledger (parquet files directly under `path`) to
     * manifest mode in place: move the data files and `_GRAFT_*`
     * sidecars into `gen-000001-<token>/` and write the pointer. The

@@ -37,6 +37,10 @@ object RedisQueries {
       users.foreach { case (id, name, age, city) =>
         s.putHash(s"user:$id", Map("name" -> name, "age" -> age.toString, "city" -> city))
       }
+      // Redis Streams fixture: deterministic entry ids so the r15 oracle
+      // is a plain VALUES literal
+      (1 to 9).foreach(i =>
+        s.putStreamEntry("events:log", s"100-$i", Seq("v" -> s"ev$i", "n" -> i.toString)))
       startWithRetry(s)
     }
 
@@ -255,6 +259,35 @@ object RedisQueries {
         .option("partition.mode", "cluster")
         .option("pattern", "ckey:*").load()
         .orderBy("key_name")
+    },
+
+    // Redis Streams as a replayable micro-batch source: entry-id offsets
+    // (public Redis Streams spec — XADD ids are strictly increasing and
+    // XRANGE replays any committed range). The query DRIVES the streaming
+    // source across ≥3 micro-batches (admission control at 3 entries per
+    // trigger over a 9-entry stream) and returns what arrived — the
+    // VALUES oracle is exactly the stream's XRANGE content, so this IS
+    // the batch-read parity check, hash-compared by the driver.
+    q("r15_redis_stream_source", {
+      val rows = (1 to 9).map(i => s"('100-$i', 'ev$i', $i)").mkString(", ")
+      s"SELECT * FROM (VALUES $rows) t(entry_id, v, n) ORDER BY entry_id"
+    }) { (s, _) =>
+      Harness.ensureStarted
+      val stream = s.readStream.format("redis-stream")
+        .option("host", Harness.Host).option("port", Harness.Port.toString)
+        .option("stream", "events:log").option("maxEntriesPerTrigger", "3")
+        .load()
+        .writeStream.format("memory").queryName("r15_stream_sink").start()
+      try {
+        stream.processAllAvailable()
+        val batches = stream.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"admission control failed: $batches micro-batches for 9 entries at 3/trigger")
+      } finally stream.stop()
+      s.table("r15_stream_sink")
+        .select(col("entry_id"),
+          col("fields")("v").as("v"),
+          col("fields")("n").cast("int").as("n"))
+        .orderBy("entry_id")
     }
   )
 }

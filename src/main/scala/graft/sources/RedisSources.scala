@@ -65,8 +65,11 @@ object RedisSources {
     val opts = Options(
       host = o.getOrDefault("host", "127.0.0.1"),
       port = o.getOrDefault("port", "6379").toInt,
-      // requirepass / ACL credentials: "password" or "user password"
-      auth = Option(o.get("auth")).filter(_.nonEmpty),
+      // requirepass / ACL credentials: "password" or "user password".
+      // Preferred option name is "password" — it matches Spark's default
+      // SQL-options redaction regex, so EXPLAIN/UI plan dumps mask it;
+      // "auth" stays accepted for back-compat but is NOT auto-redacted.
+      auth = Option(o.get("password")).orElse(Option(o.get("auth"))).filter(_.nonEmpty),
       // rediss://-style transport: TLS-wrap every connection;
       // tls.trustAll accepts self-signed certs (test/dev ONLY)
       tls = o.getOrDefault("tls", "false").toBoolean,
@@ -107,11 +110,46 @@ object RedisSources {
     val masters = ranges.map(r => (r.host, r.port)).distinct
     val pats = Seq(pushed.getOrElse(opts.pattern))
     masters.map { case (h, p) =>
+      // Each partition remembers the slot ranges its node owned at PLAN
+      // time: the reader re-checks ownership when its cursor completes,
+      // so a reshard that migrated slots mid-scan fails loudly naming
+      // them instead of returning a silently short result.
+      val owned = ranges.filter(r => r.host == h && r.port == p)
+        .map(r => (r.start, r.end))
       // cluster nodes share the deployment's credentials
       RedisInputPartition(h, p, pats, opts.count, limit, topN,
         auth = opts.auth, tls = opts.tls,
-        tlsTrustAll = opts.tlsTrustAll): InputPartition
+        tlsTrustAll = opts.tlsTrustAll, ownedSlots = owned): InputPartition
     }.toArray
+  }
+
+  /** End-of-cursor reshard guard for cluster-mode partitions: re-fetch
+    * `CLUSTER SLOTS` on the partition's own node and require every
+    * plan-time range to still be owned here. Redis Cluster migrates
+    * slots key-by-key, so a cursor that straddled a migration can have
+    * MISSED keys (they left before the cursor reached them) with no
+    * error anywhere — guaranteed-complete scans are impossible mid-
+    * reshard (the same window Kafka calls an unclean leader election).
+    * The honest contract is fail-loud-and-rerun: a rerun re-plans from
+    * the NEW slot map. Single-key value fetches (MGET/HGETALL) already
+    * follow one MOVED/ASK hop, so an in-flight migration only aborts
+    * the scan when ownership actually changed.
+    */
+  def verifySlotOwnership(conn: RedisConnection, host: String, port: Int,
+      owned: Seq[(Int, Int)]): Unit = {
+    if (owned.isEmpty) return
+    val now = RedisCommands.clusterSlots(conn) // re-validates 0..16383 coverage
+    // every overlap of a plan-time range with a range now owned ELSEWHERE
+    // is a migrated sub-range — report each with its new owner
+    val moved = for {
+      (s, e) <- owned
+      r <- now if r.start <= e && s <= r.end
+      if !(r.host == host && r.port == port)
+    } yield s"[${math.max(s, r.start)},${math.min(e, r.end)}]→${r.host}:${r.port}"
+    if (moved.nonEmpty)
+      throw new java.io.IOException(
+        s"cluster reshard during scan: node $host:$port no longer owns slots ${moved.mkString(", ")}; " +
+          "results would be silently incomplete — rerun the scan to re-plan from the new slot map")
   }
 
   /** First-character alphabet used by `partition.slots` sharding — no glob
@@ -278,8 +316,16 @@ class RedisHashPartitionReader(p: RedisInputPartition)
         }
       }
     }
-    if (batch.hasNext) { current = batch.next(); true } else false
+    if (batch.hasNext) { current = batch.next(); true }
+    else {
+      if (!guarded) { // cluster mode: reshard-during-scan fails loudly
+        guarded = true
+        RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
+      }
+      false
+    }
   }
+  private var guarded = false
 
   override def get(): InternalRow = current
   override def close(): Unit = conn.close()
@@ -462,8 +508,18 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
 final case class RedisInputPartition(host: String, port: Int, patterns: Seq[String], count: Int,
     limit: Option[Int] = None, topN: Option[RedisSources.TopN] = None,
     auth: Option[String] = None, tls: Boolean = false,
-    tlsTrustAll: Boolean = false)
-    extends InputPartition
+    tlsTrustAll: Boolean = false,
+    // cluster mode: slot ranges this node owned at plan time (empty =
+    // standalone; readers re-verify ownership at cursor end)
+    ownedSlots: Seq[(Int, Int)] = Nil)
+    extends InputPartition {
+  // case-class toString would print the credential into task logs /
+  // debug dumps — mask it (present/absent is all an operator needs)
+  override def toString: String =
+    s"RedisInputPartition($host,$port,${patterns.mkString("|")},$count," +
+      s"limit=$limit,topN=$topN,auth=${if (auth.isDefined) "***" else "none"}," +
+      s"tls=$tls,tlsTrustAll=$tlsTrustAll)"
+}
 
 class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -529,8 +585,13 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
         return true
       }
     }
+    if (!guarded) { // cluster mode: reshard-during-scan fails loudly
+      guarded = true
+      RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
+    }
     false
   }
+  private var guarded = false
 
   override def get(): ColumnarBatch = current
 
@@ -565,7 +626,16 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
       case _ => ()
     }
     while (!batch.hasNext && !done) fetchNextBatch()
-    if (batch.hasNext) { current = batch.next(); true } else false
+    if (batch.hasNext) { current = batch.next(); true }
+    else { reshardGuard(); false }
+  }
+
+  // cluster mode: fail loudly (never silently short) if this node's
+  // plan-time slots moved while the cursor was walking
+  private var guarded = false
+  private def reshardGuard(): Unit = if (!guarded) {
+    guarded = true
+    RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
   }
 
   override def get(): InternalRow = current

@@ -166,3 +166,238 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options)
 }
 
 final case class RedisKeyBatch(keys: Array[String]) extends InputPartition
+
+// ---------------------------------------------------------------------------
+// redis-stream: Redis Streams (XADD/XRANGE) as a replayable Structured
+// Streaming source — the real ingestion surface (the key-stream source
+// above is a polling SCAN diff and says so).
+
+/** Redis Streams as a DSv2 source, batch AND micro-batch:
+  *
+  *   spark.readStream.format("redis-stream")
+  *     .option("host", h).option("port", p).option("stream", "events")
+  *     .option("maxEntriesPerTrigger", "1000")
+  *     .load()            // → (entry_id STRING, fields MAP<STRING,STRING>)
+  *
+  * Unlike `redis-key-stream`, this IS fault-tolerant: offsets are stream
+  * entry IDs (`<ms>-<seq>`, strictly increasing, assigned at XADD — the
+  * public Redis Streams contract), so a restarted query resumes from its
+  * checkpointed ID and a replayed micro-batch re-reads exactly the same
+  * entries via `XRANGE (start end` (exclusive start, Redis 6.2+). The
+  * executor reads the range directly — the driver never buffers entry
+  * data, only the two bounding IDs.
+  *
+  * Semantics and limits, stated honestly:
+  *  - Exactly-once REPLAY requires the replayed range to still exist on
+  *    the server: `XTRIM`/MAXLEN retention that outruns checkpoint lag
+  *    silently shortens a replayed batch (same contract as Kafka with
+  *    aggressive retention). Size retention to exceed downtime.
+  *  - A stream key lives on one cluster slot, so one stream = one
+  *    ordered partition (that's Redis's ordering guarantee, not a Spark
+  *    limitation). Scale-out is N streams → N source unions, each its
+  *    own offset line.
+  *  - Entry fields are exposed as MAP<STRING,STRING>; a duplicated field
+  *    name within one entry (legal in Redis) keeps the LAST occurrence.
+  *  - `startingOffsets` = `earliest` (default) | `latest`, mirroring the
+  *    Kafka source's option.
+  */
+class RedisStreamEntriesProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "redis-stream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedisStreamEntries.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedisStreamEntriesTable(RedisSources.parseOptions(properties),
+      RedisStreamEntries.parseStreamOptions(properties))
+}
+
+object RedisStreamEntries {
+  import org.apache.spark.sql.types._
+
+  val Schema: StructType = StructType(Seq(
+    StructField("entry_id", StringType, nullable = false),
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)))
+
+  /** Minimum exclusive-start sentinel: real XADD rejects 0-0, so
+    * `(0-0` admits every possible entry.
+    */
+  val ZeroId = "0-0"
+
+  final case class StreamOptions(stream: String, maxPerTrigger: Option[Int],
+      startAtLatest: Boolean)
+
+  def parseStreamOptions(m: util.Map[String, String]): StreamOptions = {
+    val o = new CaseInsensitiveStringMap(m)
+    val key = o.get("stream")
+    require(key != null && key.nonEmpty,
+      "redis-stream requires .option(\"stream\", <key>) — the stream to read")
+    val maxPer = Option(o.get("maxEntriesPerTrigger")).map(_.toInt)
+    maxPer.foreach(n => require(n > 0, s"maxEntriesPerTrigger must be > 0, got $n"))
+    val start = o.getOrDefault("startingOffsets", "earliest") match {
+      case "earliest" => false
+      case "latest" => true
+      case other => throw new IllegalArgumentException(
+        s"startingOffsets must be 'earliest' or 'latest', got '$other'")
+    }
+    StreamOptions(key, maxPer, start)
+  }
+}
+
+class RedisStreamEntriesTable(opts: RedisSources.Options,
+    sopts: RedisStreamEntries.StreamOptions) extends Table with SupportsRead {
+  override def name(): String =
+    s"redis-stream(${opts.host}:${opts.port}, ${sopts.stream})"
+  override def schema(): StructType = RedisStreamEntries.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.Batch {
+        override def readSchema(): StructType = RedisStreamEntries.Schema
+        override def description(): String =
+          s"RedisStreamEntries(stream=${sopts.stream}, count=${opts.count})"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RedisStreamEntriesMicroBatch(opts, sopts)
+        // batch face: the whole stream as of planning time — the oracle
+        // face of the streaming read (and a backfill path)
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val end = RedisConnection.withPooled(opts.host, opts.port, opts.auth,
+              tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(c =>
+            RedisCommands.xlast(c, sopts.stream))
+          end match {
+            case None => Array.empty
+            case Some(last) => Array(RedisStreamRange(opts.host, opts.port,
+              sopts.stream, RedisStreamEntries.ZeroId, last, opts.count,
+              opts.auth, opts.tls, opts.tlsTrustAll))
+          }
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          RedisStreamEntriesMicroBatch.readerFactory
+      }
+    }
+}
+
+/** Offset = last entry ID emitted (inclusive); `0-0` before any. */
+final case class RedisEntryOffset(id: String) extends Offset {
+  override def json(): String = id
+}
+
+/** One contiguous entry-ID range (exclusive start, inclusive end) of one
+  * stream — the unit of replay.
+  */
+final case class RedisStreamRange(host: String, port: Int, stream: String,
+    startExclusive: String, endInclusive: String, pageSize: Int,
+    auth: Option[String], tls: Boolean, tlsTrustAll: Boolean)
+    extends InputPartition {
+  override def toString: String =
+    s"RedisStreamRange($host,$port,$stream,($startExclusive,$endInclusive]," +
+      s"page=$pageSize,auth=${if (auth.isDefined) "***" else "none"})"
+}
+
+object RedisStreamEntriesMicroBatch {
+  import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+
+  /** Shared by the batch and micro-batch faces: drain the range with
+    * paged `XRANGE (cursor end COUNT page` — bounded memory per page,
+    * exclusive-start resume after each page's last id.
+    */
+  val readerFactory: PartitionReaderFactory = (partition: InputPartition) => {
+    val p = partition.asInstanceOf[RedisStreamRange]
+    new PartitionReader[InternalRow] {
+      private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
+        tls = p.tls, tlsTrustAll = p.tlsTrustAll)
+      private var cursor = p.startExclusive
+      private var done = false
+      private var batch: Iterator[InternalRow] = Iterator.empty
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!batch.hasNext && !done) {
+          val page = RedisCommands.xrange(conn, p.stream,
+            "(" + cursor, p.endInclusive, Some(p.pageSize))
+          if (page.isEmpty) done = true
+          else {
+            cursor = page.last.id
+            if (page.length < p.pageSize) done = true
+            batch = page.iterator.map { e =>
+              // duplicate field names keep the last occurrence (map key
+              // uniqueness); order is server order otherwise
+              val m = scala.collection.mutable.LinkedHashMap[String, String]()
+              e.fields.foreach { case (f, v) => m(f) = v }
+              InternalRow(UTF8String.fromString(e.id),
+                ArrayBasedMapData(
+                  m.keysIterator.map(UTF8String.fromString).toArray,
+                  m.valuesIterator.map(UTF8String.fromString).toArray))
+            }
+          }
+        }
+        if (batch.hasNext) { current = batch.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = conn.close()
+    }
+  }
+}
+
+class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
+    sopts: RedisStreamEntries.StreamOptions)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def withConn[T](f: RedisConnection => T): T =
+    RedisConnection.withPooled(opts.host, opts.port, opts.auth,
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
+
+  override def initialOffset(): Offset =
+    if (!sopts.startAtLatest) RedisEntryOffset(RedisStreamEntries.ZeroId)
+    else RedisEntryOffset(
+      withConn(c => RedisCommands.xlast(c, sopts.stream))
+        .getOrElse(RedisStreamEntries.ZeroId))
+
+  override def getDefaultReadLimit: ReadLimit =
+    sopts.maxPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RedisEntryOffset].id
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(r.maxRows().min(Int.MaxValue.toLong).toInt)
+      case _ => sopts.maxPerTrigger
+    }
+    val end = cap match {
+      case Some(n) => withConn(c =>
+        RedisCommands.xrange(c, sopts.stream, "(" + from, "+", Some(n)))
+        .lastOption.map(_.id)
+      case None => withConn(c => RedisCommands.xlast(c, sopts.stream))
+        .filter(last => RedisCommands.compareStreamIds(last, from) > 0)
+    }
+    RedisEntryOffset(end.getOrElse(from))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RedisEntryOffset].id
+    val e = end.asInstanceOf[RedisEntryOffset].id
+    if (RedisCommands.compareStreamIds(e, s) <= 0) Array.empty
+    else Array(RedisStreamRange(opts.host, opts.port, sopts.stream, s, e,
+      opts.count, opts.auth, opts.tls, opts.tlsTrustAll))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RedisStreamEntriesMicroBatch.readerFactory
+
+  override def deserializeOffset(json: String): Offset = RedisEntryOffset(json)
+
+  /** Nothing to release: entries live on the server under the
+    * operator's retention policy (`XTRIM`), exactly like Kafka.
+    */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -109,6 +109,49 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { nodeA.stop(); nodeB.stop() }
   }
 
+  test("partition.mode=cluster: a mid-scan reshard fails loudly naming the moved slots — never a silently short result") {
+    val nodeA = new FakeRedisServer()
+    val nodeB = new FakeRedisServer()
+    val portA = nodeA.start()
+    val portB = nodeB.start()
+    try {
+      (0 until 12).foreach { i =>
+        (if (i % 2 == 0) nodeA else nodeB).put(f"rk:$i%02d", s"v$i")
+      }
+      val before = Seq((0, 8191, "127.0.0.1", portA), (8192, 16383, "127.0.0.1", portB))
+      nodeA.setClusterSlots(before)
+      nodeB.setClusterSlots(before)
+      // after the 2nd SCAN round trip on node A, half of A's slots
+      // migrate to B (one-shot toggle) — the cursor is mid-walk
+      val after = Seq((0, 4095, "127.0.0.1", portA), (4096, 16383, "127.0.0.1", portB))
+      nodeA.setReshardAfterScans(2, after)
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", portA)
+          .option("partition.mode", "cluster")
+          .option("scan.count", "2") // force a multi-page cursor
+          .option("pattern", "rk:*").load()
+          .collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      val msg = chain(e)
+      assert(msg.contains("cluster reshard during scan"), msg)
+      assert(msg.contains("[4096,8191]"), msg) // names the moved range
+      assert(msg.contains(s":$portB"), msg) // ...and its new owner
+      // an UNCHANGED map sails through the same guard (no false alarms)
+      nodeA.setClusterSlots(after)
+      nodeB.setClusterSlots(after)
+      val keys = spark.read.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", portA)
+        .option("partition.mode", "cluster")
+        .option("scan.count", "2")
+        .option("pattern", "rk:*").load()
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == (0 until 12).map(i => f"rk:$i%02d"))
+    } finally { nodeA.stop(); nodeB.stop() }
+  }
+
   test("partition.mode=cluster rejects gapped slot maps and option conflicts") {
     val node = new FakeRedisServer()
     val p = node.start()
@@ -455,5 +498,147 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(chain(bad).exists(m => m.contains("SSL") || m.contains("PKIX") ||
         m.contains("certificate")), chain(bad).mkString(" | "))
     } finally tlsServer.stop()
+  }
+
+  // -- Redis Streams (XADD/XRANGE/XLEN + the redis-stream source) ---------
+
+  test("Streams command layer: XADD id rules, XRANGE inclusive/exclusive bounds, XLEN, last-id") {
+    import graft.net.{RedisCommands, RedisConnection}
+    val c = new RedisConnection("127.0.0.1", port)
+    try {
+      val k = "xcmd:s1"
+      assert(RedisCommands.xlen(c, k) == 0) // missing stream = empty, like real Redis
+      assert(RedisCommands.xadd(c, k, "5-1", Seq("a" -> "1")) == "5-1")
+      assert(RedisCommands.xadd(c, k, "5-2", Seq("a" -> "2", "b" -> "x")) == "5-2")
+      assert(RedisCommands.xadd(c, k, "7", Seq("a" -> "3")) == "7-0") // bare ms = ms-0
+      assert(RedisCommands.xadd(c, k, "7-*", Seq("a" -> "4")) == "7-1") // ms-* = next seq
+      // auto id is strictly greater than the top entry
+      val auto = RedisCommands.xadd(c, k, "*", Seq("a" -> "5"))
+      assert(RedisCommands.compareStreamIds(auto, "7-1") > 0, auto)
+      // id ≤ top is the documented XADD error, loud
+      val e = intercept[java.io.IOException](RedisCommands.xadd(c, k, "5-2", Seq("a" -> "x")))
+      assert(e.getMessage.contains("equal or smaller"), e.getMessage)
+      assert(RedisCommands.xlen(c, k) == 5)
+      assert(RedisCommands.xlast(c, k).contains(auto))
+      // inclusive full range, inclusive sub-range, exclusive start, COUNT
+      assert(RedisCommands.xrange(c, k, "-", "+").map(_.id) ==
+        Seq("5-1", "5-2", "7-0", "7-1", auto))
+      assert(RedisCommands.xrange(c, k, "5-2", "7-0").map(_.id) == Seq("5-2", "7-0"))
+      assert(RedisCommands.xrange(c, k, "(5-2", "7-1").map(_.id) == Seq("7-0", "7-1"))
+      assert(RedisCommands.xrange(c, k, "(0-0", "+", Some(2)).map(_.id) == Seq("5-1", "5-2"))
+      // bare-ms bounds: start means ms-0, end means ms-MAX
+      assert(RedisCommands.xrange(c, k, "5", "7").map(_.id) == Seq("5-1", "5-2", "7-0", "7-1"))
+      // field order and values survive the round trip
+      assert(RedisCommands.xrange(c, k, "5-2", "5-2").head.fields ==
+        Seq("a" -> "2", "b" -> "x"))
+      // entry-id order is numeric, not lexicographic
+      assert(RedisCommands.compareStreamIds("9-1", "10-0") < 0)
+      assert(RedisCommands.compareStreamIds("10-2", "10-10") < 0)
+    } finally c.close()
+  }
+
+  test("redis-stream micro-batch source: entry-id offsets, admission control across ≥3 batches, batch-face parity, live appends") {
+    import graft.net.RedisCommands
+    val k = "xsrc:ev"
+    (1 to 9).foreach(i => server.putStreamEntry(k, s"1-$i", Seq("v" -> s"d$i")))
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).option("maxEntriesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("xs1")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("xs1").collect()
+        .map(r => r.getString(0) -> r.getMap[String, String](1).toMap)
+      assert(got.map(_._1).toSeq.sorted == (1 to 9).map(i => s"1-$i").sorted)
+      assert(got.toMap.apply("1-4") == Map("v" -> "d4"))
+      // admission control actually split the backlog: 9 entries at 3 per
+      // trigger is ≥3 non-empty micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      // batch face reads the same entries (the in-engine oracle)
+      val batch = spark.read.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).load()
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(batch == got.map(_._1).toSeq.sorted)
+      // entries appended WHILE the query runs arrive in later batches
+      val c = new graft.net.RedisConnection("127.0.0.1", port)
+      try {
+        RedisCommands.xadd(c, k, "2-1", Seq("v" -> "late1"))
+        RedisCommands.xadd(c, k, "2-2", Seq("v" -> "late2"))
+      } finally c.close()
+      q.processAllAvailable()
+      assert(spark.table("xs1").count() == 11)
+    } finally q.stop()
+  }
+
+  test("redis-stream checkpoint restart: resumes from the committed entry id, no replay, no loss") {
+    import graft.net.RedisCommands
+    val k = "xsrc:ckpt"
+    (1 to 5).foreach(i => server.putStreamEntry(k, s"3-$i", Seq("v" -> s"a$i")))
+    val base = java.nio.file.Files.createTempDirectory("graft-xckpt").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).option("maxEntriesPerTrigger", "2")
+        .load()
+        .selectExpr("entry_id", "fields['v'] AS v")
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() == 5)
+    // appends while the query is DOWN
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      RedisCommands.xadd(c, k, "4-1", Seq("v" -> "b1"))
+      RedisCommands.xadd(c, k, "4-2", Seq("v" -> "b2"))
+      RedisCommands.xadd(c, k, "4-3", Seq("v" -> "b3"))
+    } finally c.close()
+    // restart from the same checkpoint: exactly the three new entries
+    // land — the committed entry-id offset held, nothing replayed, and
+    // the union is complete with no duplicates
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(all == Seq("3-1" -> "a1", "3-2" -> "a2", "3-3" -> "a3", "3-4" -> "a4",
+      "3-5" -> "a5", "4-1" -> "b1", "4-2" -> "b2", "4-3" -> "b3"), all.mkString(","))
+  }
+
+  test("redis-stream startingOffsets=latest skips the backlog; AUTH via the redaction-friendly password option") {
+    import graft.net.RedisCommands
+    val authServer = new FakeRedisServer()
+    authServer.setRequirePass("xpw")
+    authServer.putStreamEntry("xs:auth", "1-1", Seq("v" -> "old"))
+    val aport = authServer.start()
+    try {
+      // batch face + AUTH through .option("password", …) — the alias that
+      // Spark's default options-redaction regex masks in plan dumps
+      val rows = spark.read.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", aport.toString)
+        .option("password", "xpw").option("stream", "xs:auth").load()
+      assert(rows.collect().map(_.getString(0)).toSeq == Seq("1-1"))
+      // latest: initial offset is the current tip, so only post-start
+      // appends flow
+      val q = spark.readStream.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", aport.toString)
+        .option("password", "xpw").option("stream", "xs:auth")
+        .option("startingOffsets", "latest")
+        .load()
+        .writeStream.format("memory").queryName("xlat")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("xlat").count() == 0)
+        val c = new graft.net.RedisConnection("127.0.0.1", aport, auth = Some("xpw"))
+        try RedisCommands.xadd(c, "xs:auth", "9-1", Seq("v" -> "new")) finally c.close()
+        q.processAllAvailable()
+        assert(spark.table("xlat").collect().map(_.getString(0)).toSeq == Seq("9-1"))
+      } finally q.stop()
+    } finally authServer.stop()
   }
 }
