@@ -122,9 +122,24 @@ object Bench {
           s""""st1":${p1(k).steal},"st2":${p2(k).steal},"th1":${p1(k).thrMs},"th2":${p2(k).thrMs}}"""
       }
       .mkString("{", ",", "}")
+    // q01-normalized total, emitted alongside raw: committed sweeps from
+    // different wall-clock windows carry different host steal/throttle
+    // levels (SCALE.md), and q01 (one fixed scan+agg) is the suite's
+    // environment probe — its calm-window time is 0.21 s at sf0.1
+    // (committed range 0.19-0.22 across rounds 9-11). Scaling the total
+    // by calm_q01/q01 makes round-over-round sums comparable without the
+    // manual normalization step every verdict has been doing by hand.
+    // At other scale factors the normalized number is still internally
+    // consistent (same-window comparisons), just not 0.21-anchored.
+    val rawTotal = results.map(_._2).filter(_ >= 0).sum
+    val q01Min = results.toMap.getOrElse("q01_pricing_summary", -1.0)
+    val q01Calm = 0.21
+    val q01Norm = if (q01Min > 0) rawTotal * (q01Calm / q01Min) else -1.0
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","total":$rawTotal,"q01":$q01Min,""" +
+        s""""q01_calm_ref":$q01Calm,"total_q01norm":$q01Norm,""" +
+        s""""queries":$fullJson}""").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
 
     // Compact per-pass totals, printed BEFORE the metrics line so the
@@ -151,29 +166,37 @@ object Bench {
       if (v < 0) "-1"
       else if (nd == 0) s"%.0f".format(v) // no '.', so no zero-stripping ("10" must stay "10")
       else s"%.${nd}f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = rawTotal
     // basename only: the full fixture path spends ~15 chars of the
     // 2000-char budget saying nothing the basename doesn't
     val sfName = new java.io.File(sfDir).getName
-    def mkLine(nd: Int): String = {
-      val qs = results
-        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fN(v, nd) }
+    def mkLine(nd: Int, sparse: Boolean): String = {
+      val formatted = results
+        .map { case (k, v) => (k.takeWhile(_ != '_'), fN(v, nd)) }
+      val (zeros, kept) =
+        if (sparse) formatted.partition(_._2 == "0") else (Nil, formatted)
+      val qs = kept.map { case (k, s) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      val omitted = if (sparse) s""","omitted_zeros":${zeros.size}""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$omitted,"sf":"$sfName"}"""
     }
     // the driver records only the FINAL 2000 chars of output and the
     // metrics line prints LAST, so the line survives whole iff it fits
     // that tail itself (minus sbt's "[info] " prefix ≈ 1990 usable).
-    // Degrade precision first — 2 dp → 1 dp → whole seconds (per-pass
-    // full precision is in the committed bench_full.json either way) —
-    // and fail loudly only when even 0 dp won't fit.
-    // 1985 + sbt's "[info] " prefix (7) = 1992 ≤ 2000: measured, not
-    // guessed — at 190 queries the 1-dp line is 1971 chars, so the
-    // over-conservative 1950 cutoff was needlessly flooring everything
-    // to whole seconds
-    val line = Iterator(2, 1, 0).map(mkLine).find(_.length <= 1985).getOrElse(mkLine(0))
+    // Degrade in two dimensions (full precision lives in the committed
+    // bench_full.json either way): precision first — 2 dp → 1 dp →
+    // whole seconds — then SPARSITY: drop entries that format to "0"
+    // at that precision and record how many were dropped as a
+    // top-level "omitted_zeros" (the r11 artifact shows the full
+    // 244-query line no longer fits even at 0 dp — the driver stored
+    // parsed:null — so sparse is the only form that keeps the line
+    // machine-readable as the inventory grows).
+    val line = Iterator((2, false), (1, false), (0, false),
+        (2, true), (1, true), (0, true))
+      .map { case (nd, sp) => mkLine(nd, sp) }
+      .find(_.length <= 1985).getOrElse(mkLine(0, sparse = true))
     if (line.length > 1985)
-      System.err.println(s"[bench] WARNING metrics line ${line.length} chars even at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
+      System.err.println(s"[bench] WARNING metrics line ${line.length} chars even sparse at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
     println(line)
     spark.stop()
   }

@@ -1197,6 +1197,86 @@ object CurationOps {
     out.toSeq.toDF("rk", "lhs", "rhs", "freq")
   }
 
+  /** TRUE WordPiece vocabulary learning (Schuster & Nakajima 2012; the
+    * objective BERT's tokenizer was trained with): per round, merge the
+    * adjacent symbol pair maximizing the LIKELIHOOD GAIN of a unigram
+    * LM over the current segmentation — score(a,b) =
+    * freq(ab) / (freq(a) · freq(b)) — not the raw pair frequency BPE
+    * maximizes (Sennrich 2016). The two objectives genuinely disagree:
+    * a pair of two very common symbols can have the highest count yet
+    * a tiny score, while a rare-but-always-together pair scores near
+    * its own inverse frequency (the spec pins a corpus where the two
+    * argmaxes differ). Everything else reuses [[learnBpeMerges]]'s
+    * scale shape: ONE corpus pass builds the vocab-sized (word, count)
+    * table; each round is a symbol-frequency aggregate + a pair
+    * aggregate over that table, a 1-row argmax collect (score desc,
+    * then (lhs, rhs) byte order — the deterministic tie the DuckDB
+    * oracle replays), and the same left-to-right non-overlapping
+    * replace-last fold rewrite. Scores are IEEE doubles from exact
+    * longs (< 2^53), so Spark and DuckDB order them identically.
+    *
+    * @return ordered merges (rk, lhs, rhs, freq, lhs_freq, rhs_freq) —
+    *         all-integer output so the cross-engine hash is exact; the
+    *         score is freq/(lhs_freq·rhs_freq) by construction.
+    */
+  def learnWordPieceMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 1000, "numMerges must be in [1, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_extract_all(col("w"), lit("[\\s\\S]"), lit(0)).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      // current-segmentation symbol frequencies — the likelihood
+      // denominator; vocab-sized (distinct symbols), recomputed per
+      // round because each merge shifts mass from (a, b) to ab
+      val symFreq = words
+        .select(explode(col("syms")).as("s"), col("cnt"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("f"))
+      val pairs = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+      val best = pairs
+        .join(symFreq.select(col("s").as("a"), col("f").as("fa")), Seq("a"))
+        .join(symFreq.select(col("s").as("b"), col("f").as("fb")), Seq("b"))
+        .select(col("a"), col("b"), col("freq"), col("fa"), col("fb"),
+          (col("freq").cast("double") /
+            (col("fa").cast("double") * col("fb").cast("double"))).as("score"))
+        .orderBy(col("score").desc, col("a"), col("b")) // TakeOrdered heap
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head // explicit select above fixes column order
+        val (a, b) = (row.getString(0), row.getString(1))
+        out += ((r, a, b, row.getLong(2), row.getLong(3), row.getLong(4)))
+        words = words.select(col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+                get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq.toDF("rk", "lhs", "rhs", "freq", "lhs_freq", "rhs_freq")
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget bins
     * greedily in id order WITHIN a shard partition (exclusive running
     * token sum ÷ context length). Packing is inherently sequential, so

@@ -3098,6 +3098,45 @@ object PipelineQueries {
         .orderBy("lang", "prob")
     },
 
+    // ---------------------------------------------------------------- KLL quantile-sketch ledger
+    // the mergeable-quantile family member d78 deliberately refuses:
+    // DOUBLE measures with no meaningful integer scaling (here: mean
+    // word length per document — a ratio). Deterministic MRL/KLL level
+    // stack (alternating-parity collapse, no RNG) so the ledger cycle
+    // replays bit-exactly; rank error is O(log(n/k)/k), AccuracySpec-
+    // gated at ≤0.035 rank error vs the exact quantile, with min/max
+    // exact. Rows-only by construction: a sketch estimate has no
+    // cross-engine oracle (the same reason q29's HLL and q40b's
+    // approx_percentile are gated, not hashed). Retraction = REBUILD —
+    // the d71 family boundary: sums subtract, sketches don't.
+    q("d110_kll_ledger", null) { (s, dir) =>
+      import graft.operators.KllSketch
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (length(col("text")).cast("double") /
+            greatest(size(split(trim(col("text")), " +")), lit(1)).cast("double"))
+            .as("mwl"))
+      val path = Registry.scratchDir(
+        s"/tmp/graft_conformance/d110_kll_pid${ProcessHandle.current.pid}" +
+          s"_${dir.hashCode.toHexString}")
+      KllSketch.writeKllLedger(
+        docs.filter(col("doc_id") % 10 < 6), "lang", "mwl", k = 128, path = path)
+      KllSketch.advanceKllLedger(
+        docs.filter(col("doc_id") % 10 === 6), "lang", "mwl", 128, path,
+        batchId = Some("gen-2"))
+      val g3 = docs.filter(col("doc_id") % 10 > 6)
+      KllSketch.advanceKllLedger(g3, "lang", "mwl", 128, path,
+        batchId = Some("gen-3"))
+      KllSketch.advanceKllLedger(g3, "lang", "mwl", 128, path,
+        batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
+      KllSketch.compactKllLedger(s, path)
+      KllSketch.quantilesFromKllLedger(s, path, Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("key").as("lang"), col("prob"),
+          // round for artifact stability; the unrounded est feeds the gate
+          round(col("est"), 6).as("est"), col("n"))
+        .orderBy("lang", "prob")
+    },
+
     // ---------------------------------------------------------------- vocab-count ledger
     // EXACT heavy hitters over a growing corpus: per-key token counts
     // at rest, merged by addition — an advance tokenizes only the
@@ -3359,6 +3398,67 @@ object PipelineQueries {
         |UNION ALL SELECT 2, a, b, CAST(freq AS BIGINT) FROM m2
         |UNION ALL SELECT 3, a, b, CAST(freq AS BIGINT) FROM m3 ORDER BY rk""".stripMargin) { (s, dir) =>
       graft.operators.CurationOps.learnBpeMerges(
+        table(s, dir, "documents"), "text", numMerges = 3)
+        .orderBy("rk")
+    },
+
+    // ---------------------------------------------------------------- TRUE WordPiece learning
+    // the likelihood objective (Schuster & Nakajima 2012) d85's raw-
+    // frequency argmax is NOT: each round merges the pair maximizing
+    // freq(ab)/(freq(a)·freq(b)) over the CURRENT segmentation. Same
+    // word-count-collapse scale shape as d85; the oracle replays three
+    // rounds as chained CTEs with per-round symbol-frequency tables in
+    // the denominator, same (score desc, lhs, rhs) tie order, same
+    // delimiter-wrapped replace for the merge. All-integer output keeps
+    // the cross-engine hash exact; scores are doubles from exact longs
+    // (< 2^53), ordered identically by both engines.
+    q("d109_wordpiece_learn",
+      """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+        |l1 AS (SELECT cnt, regexp_extract_all(w, '[\s\S]') AS l FROM wc),
+        |u1 AS (SELECT l[i] AS sym, sum(cnt) AS f
+        |       FROM l1, unnest(range(1, len(l) + 1)) AS t(i) GROUP BY 1),
+        |p1 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l1, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, freq, fa.f AS lf, fb.f AS rf
+        |       FROM p1 JOIN u1 fa ON fa.sym = p1.a JOIN u1 fb ON fb.sym = p1.b
+        |       ORDER BY CAST(freq AS DOUBLE) / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) DESC,
+        |         a, b LIMIT 1),
+        |t2 AS (SELECT cnt, replace(
+        |         array_to_string(list_transform(l, x -> chr(1) || x || chr(2)), ''),
+        |         chr(1) || m1.a || chr(2) || chr(1) || m1.b || chr(2),
+        |         chr(1) || m1.a || m1.b || chr(2)) AS str
+        |       FROM l1, m1),
+        |l2 AS (SELECT cnt, regexp_extract_all(str,
+        |         chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2), 1) AS l FROM t2),
+        |u2 AS (SELECT l[i] AS sym, sum(cnt) AS f
+        |       FROM l2, unnest(range(1, len(l) + 1)) AS t(i) GROUP BY 1),
+        |p2 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l2, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, freq, fa.f AS lf, fb.f AS rf
+        |       FROM p2 JOIN u2 fa ON fa.sym = p2.a JOIN u2 fb ON fb.sym = p2.b
+        |       ORDER BY CAST(freq AS DOUBLE) / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) DESC,
+        |         a, b LIMIT 1),
+        |t3 AS (SELECT cnt, replace(str,
+        |         chr(1) || m2.a || chr(2) || chr(1) || m2.b || chr(2),
+        |         chr(1) || m2.a || m2.b || chr(2)) AS str
+        |       FROM t2, m2),
+        |l3 AS (SELECT cnt, regexp_extract_all(str,
+        |         chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2), 1) AS l FROM t3),
+        |u3 AS (SELECT l[i] AS sym, sum(cnt) AS f
+        |       FROM l3, unnest(range(1, len(l) + 1)) AS t(i) GROUP BY 1),
+        |p3 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |       FROM l3, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, freq, fa.f AS lf, fb.f AS rf
+        |       FROM p3 JOIN u3 fa ON fa.sym = p3.a JOIN u3 fb ON fb.sym = p3.b
+        |       ORDER BY CAST(freq AS DOUBLE) / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) DESC,
+        |         a, b LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rk, a AS lhs, b AS rhs, CAST(freq AS BIGINT) AS freq,
+        |  CAST(lf AS BIGINT) AS lhs_freq, CAST(rf AS BIGINT) AS rhs_freq FROM m1
+        |UNION ALL SELECT 2, a, b, CAST(freq AS BIGINT), CAST(lf AS BIGINT), CAST(rf AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, a, b, CAST(freq AS BIGINT), CAST(lf AS BIGINT), CAST(rf AS BIGINT) FROM m3
+        |ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.learnWordPieceMerges(
         table(s, dir, "documents"), "text", numMerges = 3)
         .orderBy("rk")
     },

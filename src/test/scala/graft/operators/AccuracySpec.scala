@@ -693,4 +693,62 @@ class AccuracySpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dump(docs.repartition(7)) == dump(docs.coalesce(1)))
   }
+
+  test("d110 gate: KLL ledger quantiles within 0.035 rank error of exact; min/max exact; n exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        (length(col("text")).cast("double") /
+          greatest(size(split(trim(col("text")), " +")), lit(1)).cast("double"))
+          .as("mwl"))
+    val path = java.nio.file.Files.createTempDirectory("graft-kll-acc").toString + "/led"
+    KllSketch.writeKllLedger(docs.filter(col("doc_id") % 3 =!= 0), "lang", "mwl",
+      k = 128, path = path)
+    KllSketch.advanceKllLedger(docs.filter(col("doc_id") % 3 === 0), "lang", "mwl",
+      128, path, batchId = Some("g2"))
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val est = KllSketch.quantilesFromKllLedger(spark, path, probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val exact = docs.select(col("lang"), col("mwl")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    exact.foreach { case (lang, vs) =>
+      val n = vs.length.toLong
+      probs.foreach { p =>
+        val (e, en) = est((lang, p))
+        assert(en == n, s"$lang n: sketch=$en exact=$n")
+        // rank error: the estimate's rank position vs the target rank
+        val below = vs.count(_ <= e).toLong
+        val target = math.ceil(p * n).toLong
+        val err = math.abs(below - target).toDouble / n
+        assert(err <= 0.035, f"$lang p=$p: est=$e rank-err=$err%.4f > 0.035 (n=$n)")
+      }
+      val (mx, _) = est((lang, 1.0))
+      assert(mx == vs.last, s"$lang max: sketch=$mx exact=${vs.last}")
+    }
+    // drifted-parameter advance fails loudly naming both sides
+    val e = intercept[IllegalArgumentException](
+      KllSketch.advanceKllLedger(docs.limit(5), "lang", "mwl", 64, path))
+    assert(e.getMessage.contains("k=128") && e.getMessage.contains("k=64"), e.getMessage)
+  }
+
+  test("d110 determinism: same data + partitioning => bit-identical sketch; replay with batchId is a no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), length(col("text")).cast("double").as("v"))
+    val a = KllSketch.sketchPerKey(docs, "lang", "v", k = 64)
+    val b = KllSketch.sketchPerKey(docs, "lang", "v", k = 64)
+    assert(a == b, "deterministic build: two identical runs must agree exactly")
+    val base = java.nio.file.Files.createTempDirectory("graft-kll-det").toString
+    val path = base + "/led"
+    KllSketch.writeKllLedger(docs, "lang", "v", k = 64, path = path)
+    val q1 = KllSketch.quantilesFromKllLedger(spark, path, Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    KllSketch.advanceKllLedger(docs.limit(50), "lang", "v", 64, path, batchId = Some("gX"))
+    val q2 = KllSketch.quantilesFromKllLedger(spark, path, Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    KllSketch.advanceKllLedger(docs.limit(50), "lang", "v", 64, path, batchId = Some("gX"))
+    val q3 = KllSketch.quantilesFromKllLedger(spark, path, Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    assert(q2 == q3, "exactly-once: replaying batchId gX must not re-merge")
+    assert(q1 != null && q2 != null)
+  }
 }

@@ -1250,4 +1250,112 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(fused(i) == comp(i), s"row $i: ${rows(i)}")
     }
   }
+
+  // -- d109: TRUE WordPiece learning (likelihood argmax) -----------------
+
+  /** Sequential reference for WordPiece learning: the textbook
+    * single-threaded loop (Schuster & Nakajima 2012) — symbol freqs,
+    * pair freqs, argmax freq(ab)/(freq(a)·freq(b)) with (score desc,
+    * a, b) ties, left-to-right non-overlapping merge.
+    */
+  private def wordPieceRef(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long, Long, Long)] = {
+    var segs = words.map { case (w, c) => (w.split("").toSeq, c) }
+    val out = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    var stop = false
+    (1 to rounds).foreach { r => if (!stop) {
+      val sym = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val pair = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      segs.foreach { case (ss, c) =>
+        ss.foreach(s => sym(s) += c)
+        ss.zip(ss.drop(1)).foreach(p => pair(p) += c)
+      }
+      if (pair.isEmpty) stop = true
+      else {
+        val best = pair.toSeq.map { case ((a, b), f) =>
+          (a, b, f, sym(a), sym(b), f.toDouble / (sym(a).toDouble * sym(b).toDouble))
+        }.minBy { case (a, b, _, _, _, sc) => (-sc, a, b) }
+        out += ((r, best._1, best._2, best._3, best._4, best._5))
+        val (a, b) = (best._1, best._2)
+        segs = segs.map { case (ss, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          ss.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) { acc.remove(acc.length - 1); acc += (a + b) }
+            else acc += s
+          }
+          (acc.toSeq, c)
+        }
+      }
+    }}
+    out.result()
+  }
+
+  test("learnWordPieceMerges == sequential reference, incl. a corpus where likelihood and raw frequency disagree") {
+    // 'xy' appears 6 times but x and y are everywhere (score 6/(9·8));
+    // 'qz' appears only 3 times but q,z appear ONLY together (score
+    // 3/(3·3) = 1/3 — the maximum possible). BPE's frequency argmax
+    // picks (x,y); WordPiece's likelihood argmax must pick (q,z).
+    val corpus = Seq(("qz", 3L), ("xy", 6L), ("x", 3L), ("y", 2L))
+    val df = Seq(corpus.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      .mkString(" ")).toDF("text") // one doc holding all words
+    val got = CurationOps.learnWordPieceMerges(df, "text", numMerges = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = wordPieceRef(corpus, 3)
+    assert(got == want, s"got=$got want=$want")
+    // the disagreement is real: round 1's raw-frequency argmax differs
+    val pairFreqs = {
+      val sym = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val pair = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      corpus.foreach { case (w, c) =>
+        val ss = w.split("").toSeq
+        ss.foreach(s => sym(s) += c)
+        ss.zip(ss.drop(1)).foreach(p => pair(p) += c)
+      }
+      pair
+    }
+    val bpePick = pairFreqs.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+    assert((got.head._2, got.head._3) == ("q", "z"), s"likelihood argmax: ${got.head}")
+    assert(bpePick == ("x", "y"), s"frequency argmax should differ: $bpePick")
+  }
+
+  test("d68 apply over a d109-learned vocab: learned pieces tokenize the corpus losslessly and actually fire") {
+    import graft.functions.TokenizeExpressions
+    // normalize whitespace to single spaces: the encoder's word split
+    // and this test's reconstruction then agree exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("text"))
+    val merges = CurationOps.learnWordPieceMerges(docs, "text", numMerges = 8)
+      .orderBy("rk").collect()
+    assert(merges.length == 8)
+    val learned = merges.map(r => r.getString(1) + r.getString(2)).toSeq
+    // vocab = the learned multi-char pieces (word-initial and ##-
+    // continuation forms) + full single-char closure over the corpus
+    val chars = docs
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct()
+      .collect().map(_.getString(0)).toSeq.filterNot(_ == " ")
+    val vocab = (chars ++ chars.map("##" + _) ++
+      learned ++ learned.map("##" + _)).distinct
+    val enc = docs.select(col("text"),
+      TokenizeExpressions.wordPieceEncode(col("text"), vocab,
+        maxWordChars = 100000).as("p"))
+      .collect()
+    // lossless: strip ## and concat == input sans spaces; no [UNK]
+    enc.foreach { r =>
+      val txt = r.getString(0).split("\\s+").filter(_.nonEmpty).mkString("")
+      val ps = r.getSeq[String](1)
+      assert(!ps.contains("[UNK]"), s"UNK in: ${r.getString(0).take(60)}")
+      assert(ps.map(_.stripPrefix("##")).mkString("") == txt,
+        s"reconstruction failed for: ${r.getString(0).take(60)}")
+    }
+    // the learned pieces FIRE: at least one multi-char learned piece
+    // appears in the encoded corpus (greedy longest-match uses it)
+    val used = enc.iterator.flatMap(_.getSeq[String](1))
+      .map(_.stripPrefix("##")).toSet
+    assert(learned.exists(p => used.contains(p)),
+      s"no learned piece used; learned=$learned")
+  }
 }

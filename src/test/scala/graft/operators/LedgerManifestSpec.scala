@@ -417,4 +417,36 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("999@elsewhere"), e.getMessage)
     java.nio.file.Files.delete(java.nio.file.Paths.get(local + ".lock"))
   }
+
+  test("KLL sketch ledger: manifest-mode write/advance/replay/compact equals plain (d110 cycle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("double").as("v"))
+    val gen1 = docs.filter(col("doc_id") % 2 === 0)
+    val gen2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def cycle(path: String, manifested: Boolean): Seq[(String, Double, Double, Long)] = {
+      KllSketch.writeKllLedger(gen1, "lang", "v", k = 64, path = path)
+      if (manifested) LedgerGuard.convertToManifested(spark, path)
+      KllSketch.advanceKllLedger(gen2, "lang", "v", 64, path, batchId = Some("g2"))
+      KllSketch.advanceKllLedger(gen2, "lang", "v", 64, path, batchId = Some("g2")) // replay
+      KllSketch.compactKllLedger(spark, path)
+      KllSketch.quantilesFromKllLedger(spark, path, Seq(0.25, 0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+    }
+    val plainPath = tmp("graft-kll-p") + "/led"
+    val plain = cycle(plainPath, manifested = false)
+    val mani = cycle("nonatomic://" + tmp("graft-kll-m") + "/led", manifested = true)
+    // deterministic sketch (no RNG) => the two cycles agree EXACTLY,
+    // and per-lang n sums to the corpus count (replay did not
+    // double-merge; weight-exact collapses lost nothing)
+    assert(plain == mani && mani.nonEmpty, s"plain=$plain mani=$mani")
+    assert(mani.groupBy(_._1).map(_._2.head._4).sum == docs.count(),
+      s"per-lang n must sum to ${docs.count()}")
+    // drifted k on a later advance fails loudly naming both sides
+    val e2 = intercept[IllegalArgumentException](
+      KllSketch.advanceKllLedger(gen2.limit(3), "lang", "v", 32, plainPath))
+    assert(e2.getMessage.contains("k=64") && e2.getMessage.contains("k=32"),
+      e2.getMessage)
+  }
 }
