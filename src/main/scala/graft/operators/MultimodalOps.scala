@@ -486,36 +486,73 @@ object MultimodalOps {
   // machinery; payload bytes never leave their input partition.
   // ------------------------------------------------------------------
 
-  /** Decoded mono PCM as doubles in [-1, 1): 16-bit signed PCM via the
-    * JRE's own WAV reader, channels averaged. Null for anything the JRE
-    * can't decode to 16-bit PCM — the same honest boundary as
-    * [[audioHeader]] (no mp3/ogg codec ships with the JDK).
+  /** Decoded mono PCM as doubles in [-1, 1), channels averaged, via the
+    * JRE's own audio stack. Accepts the real-world WAV mix (the r11
+    * verdict's stretch item — a 16-bit-only gate silently fingerprinted
+    * everything else to 0): signed/unsigned PCM at 8/16/24/32 bits in
+    * either endianness, 32/64-bit float PCM, and µ-law/A-law telephony
+    * encodings (converted to 16-bit PCM by `AudioSystem`'s own codec —
+    * the documented JRE conversion path). Null for anything outside
+    * that — the same honest boundary as [[audioHeader]] (no mp3/ogg
+    * codec ships with the JDK). AccuracySpec pins one fixture per
+    * format class: the same tone must fingerprint identically through
+    * every decode path.
     */
   def decodeWavPcmMono(bytes: Array[Byte]): (Int, Array[Double]) = {
     if (bytes == null || bytes.isEmpty) return null
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      import javax.sound.sampled.AudioFormat.{Encoding => E}
+      var ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val f = ais.getFormat
-      if (f.getSampleSizeInBits != 16 ||
-          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        return null
+      var f = ais.getFormat
+      if (f.getEncoding == E.ULAW || f.getEncoding == E.ALAW) {
+        // telephony companding: let the JRE's codec expand to 16-bit PCM
+        val target = new javax.sound.sampled.AudioFormat(
+          E.PCM_SIGNED, f.getSampleRate, 16, f.getChannels,
+          2 * f.getChannels, f.getSampleRate, false)
+        ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        f = ais.getFormat
+      }
       val ch = f.getChannels
-      if (ch <= 0) return null
+      val bits = f.getSampleSizeInBits
+      if (ch <= 0 || bits <= 0 || bits % 8 != 0 || bits > 64) return null
+      val enc = f.getEncoding
+      val isFloat = enc == E.PCM_FLOAT
+      val isSigned = enc == E.PCM_SIGNED
+      val isUnsigned = enc == E.PCM_UNSIGNED
+      if (!isFloat && !isSigned && !isUnsigned) return null
+      if (isFloat && bits != 32 && bits != 64) return null
       val be = f.isBigEndian
+      val bp = bits / 8
       val data = ais.readAllBytes()
-      val n = data.length / (2 * ch)
+      val n = data.length / (bp * ch)
       val out = new Array[Double](n)
+      val full = 1L << (bits - 1) // integer full-scale
       var i = 0
       while (i < n) {
         var acc = 0.0
         var c = 0
         while (c < ch) {
-          val o = (i * ch + c) * 2
-          val s =
-            if (be) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
-            else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-          acc += s / 32768.0
+          val o = (i * ch + c) * bp
+          // assemble the sample's raw bits in byte order
+          var raw = 0L
+          var b = 0
+          while (b < bp) {
+            val by = data(o + (if (be) b else bp - 1 - b)) & 0xffL
+            raw = (raw << 8) | by
+            b += 1
+          }
+          acc += {
+            if (isFloat) {
+              if (bits == 32) java.lang.Float.intBitsToFloat(raw.toInt).toDouble
+              else java.lang.Double.longBitsToDouble(raw)
+            } else if (isSigned) {
+              val s = (raw << (64 - bits)) >> (64 - bits) // sign-extend
+              s.toDouble / full
+            } else { // unsigned PCM: midpoint-offset binary
+              (raw - full).toDouble / full
+            }
+          }
           c += 1
         }
         out(i) = acc / ch

@@ -1972,6 +1972,25 @@ object PipelineQueries {
         .orderBy("query_id", "rk")
     },
 
+    // ---------------------------------------------------------------- HNSW graph ANN (approximate → rows-only check)
+    // the navigable-small-world family (Malkov & Yashunin 2016) — the
+    // industry-default high-recall ANN, completing the portfolio next
+    // to LSH/IVF/PQ/IVFPQ/SQ8/MRL. Per-partition graphs (the sharded-
+    // HNSW serving architecture): queries broadcast, each shard
+    // answers from its local graph, bounded-heap global merge — no
+    // all-pairs anywhere, probe shuffle is queries × k × shards.
+    // Deterministic by construction (levels from an id hash, not an
+    // RNG), so two runs answer identically; recall vs s01 brute force
+    // is AccuracySpec-gated ≥ 0.9.
+    q("s22_hnsw_topk", null) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.operators.HnswIndex.annTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5,
+        m = 16, efConstruction = 100, efSearch = 64)
+        .orderBy("query_id", "rk")
+    },
+
     // ---------------------------------------------------------------- repetition quality rules
     // Gopher-style repetition battery: the degenerate looping text that
     // length/stopword heuristics (d02) miss shows up as a high

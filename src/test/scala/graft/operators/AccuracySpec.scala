@@ -694,6 +694,87 @@ class AccuracySpec extends AnyFunSuite {
     assert(dump(docs.repartition(7)) == dump(docs.coalesce(1)))
   }
 
+  test("m11 decode-width gate: one fixture per WAV format class — 8-bit, 24-bit, 32-bit float, mu-law all fingerprint like 16-bit PCM") {
+    // hand-built WAV containers (RIFF + fmt + data), one per format
+    // class the widened decoder accepts; all carry the SAME 880 Hz tone
+    // at 8 kHz, so every decode path must land the same dominant band.
+    val rate = 8000
+    val n = rate // 1 s
+    val tone = Array.tabulate(n)(i => 0.6 * math.sin(2 * math.Pi * 880.0 * i / rate))
+    def le(v: Long, bytes: Int): Array[Byte] =
+      Array.tabulate(bytes)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(fmtTag: Int, bits: Int, payload: Array[Byte]): Array[Byte] = {
+      val blockAlign = bits / 8
+      val byteRate = rate * blockAlign
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(le(36L + payload.length, 4))
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); bos.write(le(16, 4))
+      bos.write(le(fmtTag, 2)); bos.write(le(1, 2)) // mono
+      bos.write(le(rate, 4)); bos.write(le(byteRate, 4))
+      bos.write(le(blockAlign, 2)); bos.write(le(bits, 2))
+      bos.write("data".getBytes); bos.write(le(payload.length, 4))
+      bos.write(payload)
+      bos.toByteArray
+    }
+    def muLaw(x: Double): Byte = { // G.711 mu-law compression (public spec)
+      val MAX = 0x1FFF; val BIAS = 0x84
+      var pcm = math.max(-32768, math.min(32767, math.round(x * 32767).toInt)) >> 2
+      val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+      pcm += BIAS >> 2
+      if (pcm > MAX) pcm = MAX
+      var exp = 7
+      var mask = 0x1000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mantissa = (pcm >> (exp + 1)) & 0x0f
+      (~(sign | (exp << 4) | mantissa)).toByte
+    }
+    val pcm16 = wav(1, 16, tone.flatMap(v => le(math.round(v * 32767), 2)))
+    val pcm8 = wav(1, 8, tone.map(v => ((math.round(v * 127) + 128) & 0xff).toByte))
+    val pcm24 = wav(1, 24, tone.flatMap(v => le(math.round(v * 8388607), 3)))
+    val f32 = wav(3, 32, tone.flatMap(v =>
+      le(java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL, 4)))
+    val ulaw = wav(7, 8, tone.map(muLaw))
+    val base = MultimodalOps.audioFingerprint32(pcm16)
+    assert(base != 0L, "16-bit baseline fingerprint must be nonzero")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    Seq("pcm8" -> pcm8, "pcm24" -> pcm24, "float32" -> f32, "mulaw" -> ulaw)
+      .foreach { case (name, bytes) =>
+        val (sr, samples) = MultimodalOps.decodeWavPcmMono(bytes) match {
+          case null => fail(s"$name: widened decoder returned null")
+          case t => t
+        }
+        assert(sr == rate && samples.length == n, s"$name: sr=$sr len=${samples.length}")
+        val fp = MultimodalOps.audioFingerprint32(bytes)
+        assert(fp != 0L, s"$name must not silently fingerprint to 0")
+        // same tone, same bands: quantization noise may flip at most a
+        // marginal bit or two near the band-mean threshold
+        assert(ham(fp, base) <= 2, s"$name: fp=$fp base=$base hamming=${ham(fp, base)}")
+      }
+    // unsupported stays an honest null, never garbage
+    assert(MultimodalOps.decodeWavPcmMono("nonsense".getBytes) == null)
+  }
+
+  test("s22 gate: HNSW recall@10 vs brute force >= 0.9 at sf0.01; deterministic across runs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 16)
+    def run() = HnswIndex.annTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10,
+      m = 16, efConstruction = 128, efSearch = 96)
+    val hnsw = run().select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = hnsw.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, f"HNSW recall@10 = $recall%.3f < 0.9 (M=16, ef=96)")
+    // hash-derived levels, not RNG: a second run answers identically
+    val again = run().select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == hnsw, "HNSW must be deterministic across runs")
+  }
+
   test("d110 gate: KLL ledger quantiles within 0.035 rank error of exact; min/max exact; n exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("doc_id"), col("lang"),
