@@ -129,10 +129,55 @@ object GraftRedis {
       exprs => GraftSqlShims.logicalPlan(kv(spark, patternArg(exprs, "redis_kv"))), "scala_udf")
     reg.createOrReplaceTempFunction("redis_hash",
       exprs => GraftSqlShims.logicalPlan(hash(spark, patternArg(exprs, "redis_hash"))), "scala_udf")
+    // Redis Streams batch face: SELECT * FROM redis_stream('events')
+    reg.createOrReplaceTempFunction("redis_stream",
+      exprs => GraftSqlShims.logicalPlan(stream(spark, patternArg(exprs, "redis_stream"))), "scala_udf")
   }
 
   /** Hash keys → (key STRING, fields MAP<STRING,STRING>). */
   def hash(spark: SparkSession, pattern: String = "*",
       shards: Seq[String] = Nil): DataFrame =
     reader(spark, "redis-hash", pattern, shards)
+
+  private def streamOpts(r0: org.apache.spark.sql.DataFrameReader,
+      spark: SparkSession): org.apache.spark.sql.DataFrameReader = {
+    val (host, port) = functions.RedduckFunctions.target(spark)
+    val r1 = r0.option("host", host).option("port", port.toString)
+    functions.RedduckFunctions.sessionAuth(spark)
+      .map(a => r1.option("password", a)).getOrElse(r1)
+  }
+
+  /** Redis Stream contents, batch face → (entry_id, fields MAP). */
+  def stream(spark: SparkSession, key: String): DataFrame =
+    streamOpts(spark.read.format("redis-stream"), spark)
+      .option("stream", key).load()
+
+  /** Redis Stream as a fault-tolerant Structured Streaming source:
+    * entry-id offsets, exactly-once replay (see
+    * `sources.RedisStreamEntriesProvider`).
+    */
+  def entryStream(spark: SparkSession, key: String,
+      maxEntriesPerTrigger: Option[Int] = None): DataFrame = {
+    val (host, port) = functions.RedduckFunctions.target(spark)
+    val r0 = spark.readStream.format("redis-stream")
+      .option("host", host).option("port", port.toString)
+      .option("stream", key)
+    val r1 = maxEntriesPerTrigger
+      .map(n => r0.option("maxEntriesPerTrigger", n.toString)).getOrElse(r0)
+    functions.RedduckFunctions.sessionAuth(spark)
+      .map(a => r1.option("password", a)).getOrElse(r1).load()
+  }
+
+  /** XADD rows into a Redis Stream (batch face; at-least-once — see
+    * the sink's contract in `RedisStreamSource.scala`).
+    */
+  def writeStreamEntries(df: DataFrame, key: String): Unit = {
+    val (host, port) = functions.RedduckFunctions.target(df.sparkSession)
+    val w0 = df.write.format("redis-stream")
+      .option("host", host).option("port", port.toString)
+      .option("stream", key)
+    functions.RedduckFunctions.sessionAuth(df.sparkSession)
+      .map(a => w0.option("password", a)).getOrElse(w0)
+      .mode("append").save()
+  }
 }

@@ -206,10 +206,15 @@ class RedisStreamEntriesProvider extends TableProvider
   override def shortName(): String = "redis-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RedisStreamEntries.Schema
+  // writes carry ARBITRARY input schemas (each column becomes a field,
+  // or one MAP column becomes the entry) — external metadata lets the
+  // write schema flow through getTable instead of being forced to the
+  // read shape
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new RedisStreamEntriesTable(RedisSources.parseOptions(properties),
-      RedisStreamEntries.parseStreamOptions(properties))
+      RedisStreamEntries.parseStreamOptions(properties), schema)
 }
 
 object RedisStreamEntries {
@@ -246,13 +251,45 @@ object RedisStreamEntries {
 }
 
 class RedisStreamEntriesTable(opts: RedisSources.Options,
-    sopts: RedisStreamEntries.StreamOptions) extends Table with SupportsRead {
+    sopts: RedisStreamEntries.StreamOptions,
+    tableSchema: StructType = RedisStreamEntries.Schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"redis-stream(${opts.host}:${opts.port}, ${sopts.stream})"
-  override def schema(): StructType = RedisStreamEntries.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+  /** Write path — XADD with server-assigned (`*`) ids, pipelined per
+    * partition. Delivery is AT-LEAST-ONCE under task/epoch retries,
+    * exactly like Spark's Kafka sink: XADD is an append, not an upsert,
+    * and synthesizing "exactly-once" by treating the server's
+    * monotonic-id error as "already written" would silently drop
+    * genuinely-new out-of-order rows from concurrent writers — so we
+    * don't. Deduplicate downstream on a payload field if the pipeline
+    * needs it. Input: either a single `fields MAP<STRING,STRING>`
+    * column, or arbitrary columns (each non-null column becomes a
+    * field named after it, value cast to string).
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new RedisStreamWrite(opts, sopts.stream, info.schema())
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new RedisStreamWrite(opts, sopts.stream, info.schema())
+        }
+    }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == RedisStreamEntries.Schema,
+      s"redis-stream reads produce ${RedisStreamEntries.Schema.simpleString}; " +
+        s"a user-supplied read schema (${tableSchema.simpleString}) is not " +
+        "supported — project after load()")
     new ScanBuilder {
       override def build(): Scan = new Scan
           with org.apache.spark.sql.connector.read.Batch {
@@ -279,6 +316,89 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
           RedisStreamEntriesMicroBatch.readerFactory
       }
     }
+  }
+}
+
+/** Shared batch + streaming XADD writer (see `newWriteBuilder` for the
+  * at-least-once contract). One factory serves both faces: the epoch /
+  * commit hooks are no-ops because XADD is unconditionally appended —
+  * there is nothing transactional to finalize on the server.
+  */
+class RedisStreamWrite(opts: RedisSources.Options, stream: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private def factory = RedisStreamWriterFactory(opts, stream, schema)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    factory
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = factory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def useCommitCoordinator(): Boolean = false
+}
+
+/** Serializable task-side writer factory (ships to executors — must
+  * not capture the driver-side Write object).
+  */
+final case class RedisStreamWriterFactory(opts: RedisSources.Options,
+    stream: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer()
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = writer()
+
+  private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val mapIdx =
+      if (schema.fields.length == 1 &&
+        schema.fields(0).dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) 0
+      else -1
+    private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
+    private val buf = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    private val names = schema.fieldNames
+
+    private def flush(): Unit = if (buf.nonEmpty) {
+      conn.pipeline(buf.toSeq).foreach {
+        case graft.resp.RespValue.Err(m) =>
+          throw new java.io.IOException(s"XADD failed: $m")
+        case _ => ()
+      }
+      buf.clear()
+    }
+
+    override def write(row: InternalRow): Unit = {
+      val fields: Seq[(String, String)] =
+        if (mapIdx >= 0) {
+          if (row.isNullAt(mapIdx)) Nil
+          else {
+            val m = row.getMap(mapIdx)
+            val ks = m.keyArray(); val vs = m.valueArray()
+            (0 until m.numElements()).map(i =>
+              ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString)
+          }
+        } else names.indices.collect {
+          case i if !row.isNullAt(i) =>
+            names(i) -> row.get(i, schema.fields(i).dataType).toString
+        }.toSeq
+      if (fields.nonEmpty) {
+        buf += (Seq("XADD", stream, "*") ++ fields.flatMap(f => Seq(f._1, f._2)))
+        if (buf.length >= opts.count) flush()
+      }
+    }
+    override def commit(): WriterCommitMessage = { flush(); RedisWriteCommit(0L) }
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = conn.close()
+  }
 }
 
 /** Offset = last entry ID emitted (inclusive); `0-0` before any. */

@@ -609,6 +609,48 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "3-5" -> "a5", "4-1" -> "b1", "4-2" -> "b2", "4-3" -> "b3"), all.mkString(","))
   }
 
+  test("redis-stream sink: batch + streaming XADD writes round-trip through the source; redis_stream TVF reads in SQL") {
+    import spark.implicits._
+    val k = "xsink:rt"
+    def opts[T](w: org.apache.spark.sql.DataFrameWriter[T]) = w
+      .format("redis-stream").option("host", "127.0.0.1")
+      .option("port", port.toString).option("stream", k).mode("append")
+    // batch write, arbitrary columns: each non-null column becomes a field
+    opts(Seq((1L, "x"), (2L, "y")).toDF("n", "v").write).save()
+    // batch write, single-MAP form: the map IS the entry
+    opts(Seq(Map("n" -> "3", "v" -> "z")).toDF("fields").write).save()
+    val batchRead = spark.read.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).load()
+      .selectExpr("fields['n'] AS n", "fields['v'] AS v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batchRead == Set("1" -> "x", "2" -> "y", "3" -> "z"), batchRead)
+    // streaming sink: micro-batches append as they commit
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-xsink").toString
+    val q = ms.toDS().toDF("n", "v").writeStream
+      .format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k)
+      .option("checkpointLocation", s"$ckpt/c")
+      .start()
+    try {
+      ms.addData((4L, "w")); q.processAllAvailable()
+      ms.addData((5L, "u")); q.processAllAvailable()
+    } finally q.stop()
+    // TVF face: the reference-style literal syntax, via the session target
+    graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    graft.GraftRedis.registerSql(spark)
+    val sqlRead = spark.sql(s"SELECT fields['n'] AS n FROM redis_stream('$k')")
+      .collect().map(_.getString(0)).toSet
+    assert(sqlRead == Set("1", "2", "3", "4", "5"), sqlRead)
+    // ids stayed strictly increasing across both write faces
+    val ids = spark.sql(s"SELECT entry_id FROM redis_stream('$k')")
+      .collect().map(_.getString(0)).toSeq
+    val parsed = ids.map { s => val Array(a, b) = s.split("-"); (a.toLong, b.toLong) }
+    assert(parsed == parsed.sorted && parsed.distinct.size == 5, ids.mkString(","))
+  }
+
   test("redis-stream startingOffsets=latest skips the backlog; AUTH via the redaction-friendly password option") {
     import graft.net.RedisCommands
     val authServer = new FakeRedisServer()
