@@ -108,4 +108,55 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.synchronized(out.toMap).get("enrich:c").contains("vc"))
     } finally query.stop()
   }
+
+  test("end-to-end: Redis Streams ingestion feeds the stats ledger — per-microbatch advances equal one batch pass") {
+    import org.apache.spark.sql.functions._
+    import graft.net.RedisCommands
+    // live pipeline shape: XADD events land in a Redis Stream, the
+    // redis-stream source replays them exactly-once by entry id, and
+    // each micro-batch folds into the at-rest stats ledger with the
+    // micro-batch id as the exactly-once marker. Parity: the composed
+    // at-rest state equals computing the stats over the whole stream
+    // read back in one batch via XRANGE.
+    val k = "ing:docs"
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try (1 to 6).foreach(i => RedisCommands.xadd(c, k, s"5-$i",
+      Seq("src" -> (if (i % 2 == 0) "web" else "books"), "text" -> s"w$i " * i)))
+    finally c.close()
+    val path = java.nio.file.Files.createTempDirectory("graft-xing").toString + "/led"
+    graft.operators.CurationOps.writeStatsLedger(
+      spark.emptyDataFrame.select(lit("x").as("src"), lit("").as("text")).limit(0),
+      "src", "text", path)
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).option("maxEntriesPerTrigger", "2")
+      .load()
+      .select(col("fields")("src").as("src"), col("fields")("text").as("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceStatsLedger(batch, "src", "text", path,
+          batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // more arrivals while the query runs: later micro-batches fold in
+      val c2 = new graft.net.RedisConnection("127.0.0.1", port)
+      try (7 to 8).foreach(i => RedisCommands.xadd(c2, k, s"6-$i",
+        Seq("src" -> "web", "text" -> s"w$i late")))
+      finally c2.close()
+      q.processAllAvailable()
+    } finally q.stop()
+    val atRest = graft.operators.LedgerGuard.readLedger(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val oneShot = spark.read.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).load()
+      .select(col("fields")("src").as("src"), col("fields")("text").as("text"))
+    val expect = graft.operators.CurationOps.corpusStats(oneShot, "src", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(atRest == expect && expect.nonEmpty, s"atRest=$atRest expect=$expect")
+  }
 }
