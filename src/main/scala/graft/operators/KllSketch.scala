@@ -208,6 +208,18 @@ object KllSketch {
       k: Int): Map[String, KllSketch] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The driver folds #partitions × #keys shard sketches, so the KEY
+    // CARDINALITY must be model-sized (sources/domains/languages — the
+    // same contract as the stats/quantile-histogram ledgers, whose rows
+    // are also per-key). A document-keyed call would silently try to
+    // hold corpus-many sketches on the driver; fail loudly instead.
+    // The probe is batch-sized (one distinct over the key column).
+    val nKeys = df.select(col(keyCol)).distinct().limit(4097).count()
+    require(nKeys <= 4096,
+      s"KLL sketch ledger: more than 4096 distinct '$keyCol' keys — per-key " +
+        "sketches fold on the driver and the key must be model-sized " +
+        "(source/domain/language), not a document id; bucket the key " +
+        "upstream or use the exact quantile-histogram ledger per shard")
     val parts = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))
       .as[(String, Double)]

@@ -831,5 +831,12 @@ class AccuracySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(q2 == q3, "exactly-once: replaying batchId gX must not re-merge")
     assert(q1 != null && q2 != null)
+    // document-keyed misuse fails loudly instead of folding corpus-many
+    // sketches on the driver
+    val docs2 = spark.range(5000)
+      .select(col("id").cast("string").as("k"), col("id").cast("double").as("v"))
+    val eg = intercept[IllegalArgumentException](
+      KllSketch.sketchPerKey(docs2, "k", "v", k = 64))
+    assert(eg.getMessage.contains("model-sized"), eg.getMessage)
   }
 }
