@@ -315,6 +315,64 @@ object TextOps {
   def containsAnyWord(text: Column, words: Seq[String]): Column =
     arrays_overlap(tokens(text), array(words.map(lit): _*))
 
+  // ------------------------------------------------------------------
+  // License-tag gate (d111) — the code-corpus curation stage between
+  // crawl and train: SPDX identifiers (the machine-readable standard,
+  // spdx.org) plus the canonical license-header phrases, classified
+  // into permissive / copyleft / cc / other / none so a pipeline can
+  // keep permissive-only code. Pure regexp composition (the d108
+  // rule: `regexp_extract_all` + `rlike`, no UDF), per-row, zero
+  // shuffle at any scale; the DuckDB oracle runs the same literal
+  // patterns, so the classification is hash-checked, not asserted.
+  // ------------------------------------------------------------------
+
+  /** SPDX tag ids in order of appearance (single-token ids; an SPDX
+    * expression like `MIT OR Apache-2.0` yields its first token —
+    * id-level expression parsing is downstream policy, not extraction).
+    */
+  private val SpdxRe = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+  def spdxTags(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(SpdxRe), lit(1))
+
+  // canonical header phrases (all from the public license texts —
+  // fixed literals, not fuzzy matching)
+  private val MitPhrase = "Permission is hereby granted, free of charge"
+  private val BsdPhrase = "Redistribution and use in source and binary forms"
+  private val ApachePhrase = "Licensed under the Apache License"
+  private val GplPhrase = "GNU (Affero )?(Lesser )?General Public License"
+  private val CcPhrase = "Creative Commons"
+
+  /** License class per document, with copyleft taking precedence (one
+    * GPL header poisons permissive-only use no matter what else is
+    * stamped on the file): `copyleft` > `permissive` > `cc` > `other`
+    * (an SPDX tag we don't classify) > `none`.
+    */
+  def licenseClass(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val spdx = spdxTags(text)
+    def anyTag(re: String): Column =
+      exists(spdx, x => x.rlike(re))
+    val copyleft = t.rlike(GplPhrase) ||
+      anyTag("^(GPL|AGPL|LGPL)") || anyTag("^(MPL|EPL|EUPL|CDDL)")
+    val permissive = t.contains(MitPhrase) || t.contains(BsdPhrase) ||
+      t.contains(ApachePhrase) ||
+      anyTag("^(MIT|BSD|Apache|ISC|Zlib|Unlicense|0BSD)")
+    val cc = t.contains(CcPhrase) || anyTag("^CC")
+    when(copyleft, "copyleft")
+      .when(permissive, "permissive")
+      .when(cc, "cc")
+      .when(size(spdx) > 0, "other")
+      .otherwise("none")
+  }
+
+  /** Permissive-only gate: the conservative keep-set for code training
+    * corpora (documents with NO statement are excluded too — absence
+    * of a license is not permission; widen via `extraClasses` when a
+    * pipeline's counsel says otherwise).
+    */
+  def licenseGate(text: Column, extraClasses: Seq[String] = Nil): Column =
+    licenseClass(text).isin(("permissive" +: extraClasses).map(x => x: Any): _*)
+
   /** Total characters of anchor (`<a …>text</a>`) inner text — the
     * numerator of LINK DENSITY, the classic boilerplate signal
     * (navigation/footer blocks are link-dense, body prose is not).

@@ -4299,6 +4299,81 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- license-tag gate
+    // the code-corpus curation stage between crawl and train: SPDX
+    // identifiers + canonical license-header phrases, classified
+    // copyleft > permissive > cc > other > none (one GPL header
+    // poisons permissive-only use regardless of other stamps — the
+    // %11 overlay exercises exactly that precedence). Deterministic
+    // doc_id-derived augmentation so every class occurs; the oracle
+    // replays the same literal patterns, so classification + gate are
+    // hash-checked. Pure regexp composition per row — zero shuffle.
+    q("d111_license_gate", {
+      // single line: it interpolates into a stripMargin'd SQL template,
+      // where an embedded "||" at start-of-line would lose a pipe
+      val augSql = Seq(
+        "text || CASE doc_id % 7",
+        "WHEN 0 THEN E'\\n# SPDX-License-Identifier: MIT\\n'",
+        "WHEN 1 THEN E'\\nSPDX-License-Identifier: Apache-2.0\\nLicensed under the Apache License, Version 2.0\\n'",
+        "WHEN 2 THEN E'\\nSPDX-License-Identifier: GPL-3.0-only\\n'",
+        "WHEN 3 THEN E'\\nRedistribution and use in source and binary forms, with or without modification\\n'",
+        "WHEN 4 THEN E'\\nPermission is hereby granted, free of charge, to any person\\n'",
+        "WHEN 5 THEN E'\\nThis work is licensed under a Creative Commons Attribution 4.0 License\\n'",
+        "ELSE '' END",
+        "|| CASE WHEN doc_id % 11 = 0 THEN E'\\nThis file is part of a GNU General Public License project\\n' ELSE '' END")
+        .mkString(" ")
+      s"""WITH a AS (SELECT doc_id, $augSql AS t FROM documents),
+         |x AS (SELECT doc_id, t,
+         |  regexp_extract_all(t, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1) AS l
+         |  FROM a),
+         |c AS (SELECT doc_id, l,
+         |  CASE
+         |    WHEN regexp_matches(t, 'GNU (Affero )?(Lesser )?General Public License')
+         |      OR len(list_filter(l, s -> regexp_matches(s, '^(GPL|AGPL|LGPL)'))) > 0
+         |      OR len(list_filter(l, s -> regexp_matches(s, '^(MPL|EPL|EUPL|CDDL)'))) > 0
+         |    THEN 'copyleft'
+         |    WHEN contains(t, 'Permission is hereby granted, free of charge')
+         |      OR contains(t, 'Redistribution and use in source and binary forms')
+         |      OR contains(t, 'Licensed under the Apache License')
+         |      OR len(list_filter(l, s -> regexp_matches(s, '^(MIT|BSD|Apache|ISC|Zlib|Unlicense|0BSD)'))) > 0
+         |    THEN 'permissive'
+         |    WHEN contains(t, 'Creative Commons')
+         |      OR len(list_filter(l, s -> regexp_matches(s, '^CC'))) > 0
+         |    THEN 'cc'
+         |    WHEN len(l) > 0 THEN 'other'
+         |    ELSE 'none' END AS license_class
+         |  FROM x)
+         |SELECT doc_id, coalesce(array_to_string(l, ';'), '') AS spdx,
+         |  CAST(len(l) AS INTEGER) AS n_spdx, license_class,
+         |  license_class = 'permissive' AS allowed
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextOps
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, "\n# SPDX-License-Identifier: MIT\n")
+          .when(col("doc_id") % 7 === 1,
+            "\nSPDX-License-Identifier: Apache-2.0\nLicensed under the Apache License, Version 2.0\n")
+          .when(col("doc_id") % 7 === 2, "\nSPDX-License-Identifier: GPL-3.0-only\n")
+          .when(col("doc_id") % 7 === 3,
+            "\nRedistribution and use in source and binary forms, with or without modification\n")
+          .when(col("doc_id") % 7 === 4,
+            "\nPermission is hereby granted, free of charge, to any person\n")
+          .when(col("doc_id") % 7 === 5,
+            "\nThis work is licensed under a Creative Commons Attribution 4.0 License\n")
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          "\nThis file is part of a GNU General Public License project\n").otherwise(""))
+      table(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          concat_ws(";", TextOps.spdxTags(col("t"))).as("spdx"),
+          size(TextOps.spdxTags(col("t"))).as("n_spdx"),
+          TextOps.licenseClass(col("t")).as("license_class"),
+          TextOps.licenseGate(col("t")).as("allowed"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- ABTT top component (power iteration)
     // All-but-the-Top post-processing, first half (Mu & Viswanath
     // 2018): the corpus mean + dominant direction of the centered

@@ -1251,6 +1251,30 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("licenseClass: copyleft precedence, tag families, null/none edges (d111)") {
+    def cls(t: String): String =
+      Seq(Option(t)).toDF("t").select(TextOps.licenseClass(col("t"))).head().getString(0)
+    // copyleft beats permissive no matter the stamp order
+    assert(cls("SPDX-License-Identifier: MIT\nGNU General Public License") == "copyleft")
+    assert(cls("Licensed under the Apache License\nSPDX-License-Identifier: LGPL-2.1") == "copyleft")
+    assert(cls("GNU Lesser General Public License") == "copyleft")
+    assert(cls("SPDX-License-Identifier: MPL-2.0") == "copyleft")
+    assert(cls("SPDX-License-Identifier: BSD-3-Clause") == "permissive")
+    assert(cls("Permission is hereby granted, free of charge") == "permissive")
+    assert(cls("Creative Commons Attribution") == "cc")
+    assert(cls("SPDX-License-Identifier: CC-BY-4.0") == "cc")
+    // a tag we don't classify is still a STATEMENT → 'other', not 'none'
+    assert(cls("SPDX-License-Identifier: Artistic-2.0") == "other")
+    assert(cls("no license here") == "none")
+    assert(cls(null) == "none")
+    // gate: permissive-only by default; widen explicitly
+    val g = Seq("SPDX-License-Identifier: MIT", "plain").toDF("t")
+      .select(TextOps.licenseGate(col("t")).as("a"),
+        TextOps.licenseGate(col("t"), extraClasses = Seq("none")).as("b"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(g.toSeq == Seq((true, true), (false, true)))
+  }
+
   // -- d109: TRUE WordPiece learning (likelihood argmax) -----------------
 
   /** Sequential reference for WordPiece learning: the textbook

@@ -513,6 +513,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KLL-ledger maintenance: per-microbatch advances equal one pass over everything ingested") {
+    import spark.implicits._
+    // the streaming face of d110: each micro-batch's per-key double-
+    // measure sketches merge into the at-rest KLL ledger; the streaming
+    // batchId rides the exactly-once marker so a replayed micro-batch
+    // cannot double-merge (n would inflate — the same hazard the stats
+    // ledger's marker closes). Parity: quantile estimates from the
+    // composed at-rest state equal a single-pass sketch over the union
+    // of everything ingested, EXACTLY — the deterministic no-RNG
+    // collapse is what makes cross-path equality testable at all.
+    val path = java.nio.file.Files.createTempDirectory("graft-kllstream").toString + "/led"
+    def mk(rows: Seq[(String, Double)]) = rows.toDF("lang", "v")
+    val seed = (1 to 40).map(i => ("en", i.toDouble)) ++
+      (1 to 15).map(i => ("de", i * 2.0))
+    val b1 = (41 to 60).map(i => ("en", i.toDouble))
+    val b2 = (16 to 30).map(i => ("de", i * 2.0)) ++ Seq(("fr", 7.0))
+    graft.operators.KllSketch.writeKllLedger(mk(seed), "lang", "v", k = 16, path = path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)](
+      spark)
+    val q = stream.toDS().toDF("lang", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.KllSketch.advanceKllLedger(batch, "lang", "v", 16, path,
+          batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val atRest = graft.operators.KllSketch
+        .quantilesFromKllLedger(spark, path, Seq(0.25, 0.5, 0.9, 1.0))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> ((r.getDouble(2), r.getLong(3))))
+        .toMap
+      // n is exact per key (weight-exact collapses, no double-merge)
+      assert(atRest(("en", 1.0))._2 == 60L && atRest(("de", 1.0))._2 == 30L &&
+        atRest(("fr", 1.0))._2 == 1L, atRest.toString)
+      // max is exact; medians land within the sketch's rank bound
+      assert(atRest(("en", 1.0))._1 == 60.0 && atRest(("de", 1.0))._1 == 60.0)
+      assert(math.abs(atRest(("en", 0.5))._1 - 30.0) <= 6.0, atRest(("en", 0.5)).toString)
+      assert(atRest(("fr", 0.5))._1 == 7.0)
+    } finally q.stop()
+  }
+
   test("streaming quantile-ledger maintenance: per-microbatch advances equal the from-scratch histogram") {
     import spark.implicits._
     // the streaming face of d78: each micro-batch folds its bucket
