@@ -220,8 +220,13 @@ object KllSketch {
         "sketches fold on the driver and the key must be model-sized " +
         "(source/domain/language), not a document id; bucket the key " +
         "upstream or use the exact quantile-histogram ledger per shard")
+    // NULL measure = no rank, skipped like SQL aggregates skip NULL (the
+    // same contract the Builder applies to NaN); a NULL KEY has no
+    // ledger row either — filter or impute upstream. Without the filter
+    // the primitive-Double decode aborts the job on the first NULL.
     val parts = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
       .mapPartitions { it =>
         val builders = scala.collection.mutable.LinkedHashMap[String, Builder]()
@@ -305,7 +310,9 @@ object KllSketch {
         key -> stored.getOrElse(key, KllSketch.empty(k))
           .merge(delta.getOrElse(key, KllSketch.empty(k)))
       }.toMap
-      toRows(spark, merged).coalesce(1).write.parquet(staging)
+      // overwrite: a crash that left a stale .staging dir must not
+      // wedge every later advance (the advanceStatsLedger pattern)
+      toRows(spark, merged).coalesce(1).write.mode("overwrite").parquet(staging)
     }
     if (LedgerGuard.readSidecarMetaStr(spark, path, MetaFile).isEmpty)
       writeMeta(spark, path, k, keyCol, valueCol)
@@ -323,7 +330,8 @@ object KllSketch {
     LedgerGuard.advanceInPlace(spark, path, "KLL-ledger compaction") { staging =>
       val rows = LedgerGuard.readLedger(spark, path)
         .dropDuplicates("key", "kll_level", "kll_idx").collect()
-      toRows(spark, fromRows(rows, k)).coalesce(1).write.parquet(staging)
+      toRows(spark, fromRows(rows, k)).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
     }
   }
 

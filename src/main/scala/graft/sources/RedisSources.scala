@@ -571,7 +571,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
       val page = if (keys.length > remaining) keys.take(remaining) else keys
       if (remaining != Int.MaxValue) {
         remaining -= page.length
-        if (remaining <= 0) done = true // pushed LIMIT satisfied
+        if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
       }
       if (page.nonEmpty) {
         val vec = new OnHeapColumnVector(page.length, StringType)
@@ -585,13 +585,14 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
         return true
       }
     }
-    if (!guarded) { // cluster mode: reshard-during-scan fails loudly
-      guarded = true
+    if (!guarded && !limitHit) { // cluster reshard-during-scan fails loudly
+      guarded = true              // (skipped when a pushed LIMIT stopped us)
       RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
     }
     false
   }
   private var guarded = false
+  private var limitHit = false
 
   override def get(): ColumnarBatch = current
 
@@ -631,9 +632,14 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
   }
 
   // cluster mode: fail loudly (never silently short) if this node's
-  // plan-time slots moved while the cursor was walking
+  // plan-time slots moved while the cursor was walking. NOT run when
+  // the cursor stopped because a pushed LIMIT was satisfied: a
+  // LIMIT-without-ORDER answer of any n matching keys cannot be
+  // "incomplete", and the extra CLUSTER SLOTS round trip would tax
+  // exactly the fast path the pushdown exists for.
   private var guarded = false
-  private def reshardGuard(): Unit = if (!guarded) {
+  private var limitHit = false
+  private def reshardGuard(): Unit = if (!guarded && !limitHit) {
     guarded = true
     RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
   }
@@ -654,7 +660,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     val page = if (keys.length > remaining) keys.take(remaining) else keys
     if (remaining != Int.MaxValue) {
       remaining -= page.length
-      if (remaining <= 0) done = true // early cursor termination: pushed LIMIT satisfied
+      if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
     }
     if (page.nonEmpty) {
       batch = if (!fetchValues) {

@@ -184,8 +184,13 @@ final case class RedisKeyBatch(keys: Array[String]) extends InputPartition
   * public Redis Streams contract), so a restarted query resumes from its
   * checkpointed ID and a replayed micro-batch re-reads exactly the same
   * entries via `XRANGE (start end` (exclusive start, Redis 6.2+). The
-  * executor reads the range directly — the driver never buffers entry
-  * data, only the two bounding IDs.
+  * executor reads the range; the driver retains only the two bounding
+  * IDs between triggers. One honest cost: with `maxEntriesPerTrigger`
+  * set, the ADMISSION probe must find "the id N entries ahead", and
+  * Redis has no ids-only XRANGE — the driver pays one capped XRANGE
+  * (entries included, immediately discarded) per trigger to learn the
+  * batch's end id. Size the cap accordingly; without a cap the probe is
+  * a 1-entry XREVRANGE.
   *
   * Semantics and limits, stated honestly:
   *  - Exactly-once REPLAY requires the replayed range to still exist on
@@ -270,8 +275,13 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     * genuinely-new out-of-order rows from concurrent writers — so we
     * don't. Deduplicate downstream on a payload field if the pipeline
     * needs it. Input: either a single `fields MAP<STRING,STRING>`
-    * column, or arbitrary columns (each non-null column becomes a
-    * field named after it, value cast to string).
+    * column, or columns of atomic types (each non-null column becomes
+    * a field named after it; dates render as ISO dates, timestamps as
+    * UTC instants, binary as base64 — external forms, never Catalyst
+    * internals; other types fail loudly at first write). A row with NO
+    * representable field fails loudly too: XADD requires at least one
+    * field, and silently dropping the row would corrupt downstream
+    * counts.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -351,6 +361,7 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.types._
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writer()
@@ -360,12 +371,48 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
   private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val mapIdx =
       if (schema.fields.length == 1 &&
-        schema.fields(0).dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) 0
+        schema.fields(0).dataType == MapType(StringType, StringType, true)) 0
+      else if (schema.fields.length == 1 &&
+        schema.fields(0).dataType == MapType(StringType, StringType, false)) 0
       else -1
     private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
     private val buf = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     private val names = schema.fieldNames
+    // Per-column RENDERERS resolved once from the schema — field values
+    // must be the EXTERNAL string forms (dates as dates, timestamps as
+    // UTC instants, binary as base64), never Catalyst internals (a raw
+    // micros long or '[B@…' written into the stream is silent
+    // corruption for every consumer). Unsupported types fail loudly
+    // naming the column.
+    private val render: Array[InternalRow => String] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case StringType => (r: InternalRow) => r.getUTF8String(i).toString
+          case BooleanType => (r: InternalRow) => r.getBoolean(i).toString
+          case ByteType => (r: InternalRow) => r.getByte(i).toString
+          case ShortType => (r: InternalRow) => r.getShort(i).toString
+          case IntegerType => (r: InternalRow) => r.getInt(i).toString
+          case LongType => (r: InternalRow) => r.getLong(i).toString
+          case FloatType => (r: InternalRow) => r.getFloat(i).toString
+          case DoubleType => (r: InternalRow) => r.getDouble(i).toString
+          case d: DecimalType =>
+            (r: InternalRow) => r.getDecimal(i, d.precision, d.scale).toString
+          case DateType => (r: InternalRow) =>
+            java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+          case TimestampType => (r: InternalRow) => // UTC instant, documented
+            java.time.Instant.EPOCH.plus(r.getLong(i),
+              java.time.temporal.ChronoUnit.MICROS).toString
+          case BinaryType => (r: InternalRow) =>
+            java.util.Base64.getEncoder.encodeToString(r.getBinary(i))
+          case other =>
+            if (mapIdx == i) (r: InternalRow) => "" // handled via getMap below
+            else throw new IllegalArgumentException(
+              s"redis-stream sink: column '${f.name}' has unsupported type " +
+                s"${other.simpleString} — supported: string/numeric/boolean/" +
+                "decimal/date/timestamp/binary, or ONE MAP<STRING,STRING> column")
+        }
+      }.toArray
 
     private def flush(): Unit = if (buf.nonEmpty) {
       conn.pipeline(buf.toSeq).foreach {
@@ -384,16 +431,22 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
             val m = row.getMap(mapIdx)
             val ks = m.keyArray(); val vs = m.valueArray()
             (0 until m.numElements()).map(i =>
-              ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString)
+              ks.getUTF8String(i).toString ->
+                (if (vs.isNullAt(i)) "" else vs.getUTF8String(i).toString))
           }
         } else names.indices.collect {
-          case i if !row.isNullAt(i) =>
-            names(i) -> row.get(i, schema.fields(i).dataType).toString
+          case i if !row.isNullAt(i) => names(i) -> render(i)(row)
         }.toSeq
-      if (fields.nonEmpty) {
-        buf += (Seq("XADD", stream, "*") ++ fields.flatMap(f => Seq(f._1, f._2)))
-        if (buf.length >= opts.count) flush()
-      }
+      // a Redis Stream entry MUST carry >= 1 field (XADD protocol): an
+      // all-NULL row cannot be represented — fail loudly instead of
+      // silently dropping it (the caller filters or imputes upstream)
+      if (fields.isEmpty)
+        throw new IllegalArgumentException(
+          "redis-stream sink: row with no representable fields (all " +
+            "columns NULL / empty map) — a stream entry needs at least " +
+            "one field; filter such rows upstream")
+      buf += (Seq("XADD", stream, "*") ++ fields.flatMap(f => Seq(f._1, f._2)))
+      if (buf.length >= opts.count) flush()
     }
     override def commit(): WriterCommitMessage = { flush(); RedisWriteCommit(0L) }
     override def abort(): Unit = buf.clear()

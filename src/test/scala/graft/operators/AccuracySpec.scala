@@ -753,6 +753,10 @@ class AccuracySpec extends AnyFunSuite {
       }
     // unsupported stays an honest null, never garbage
     assert(MultimodalOps.decodeWavPcmMono("nonsense".getBytes) == null)
+    // 64-bit integer PCM would overflow the full-scale shift and decode
+    // sign-flipped — honest null instead
+    val pcm64 = wav(1, 64, tone.flatMap(v => le(math.round(v * 32767), 8)))
+    assert(MultimodalOps.decodeWavPcmMono(pcm64) == null, "64-bit int PCM must be rejected")
   }
 
   test("s22 gate: HNSW recall@10 vs brute force >= 0.9 at sf0.01; deterministic across runs") {
@@ -838,5 +842,12 @@ class AccuracySpec extends AnyFunSuite {
     val eg = intercept[IllegalArgumentException](
       KllSketch.sketchPerKey(docs2, "k", "v", k = 64))
     assert(eg.getMessage.contains("model-sized"), eg.getMessage)
+    // NULL measures/keys are SKIPPED (the SQL-aggregate contract), not
+    // a job abort from the primitive decode
+    import spark.implicits._
+    val withNulls = Seq(("en", Some(1.0)), ("en", None), (null, Some(9.0)),
+      ("en", Some(3.0))).toDF("k", "v")
+    val sk = KllSketch.sketchPerKey(withNulls, "k", "v", k = 16)
+    assert(sk.keySet == Set("en") && sk("en").n == 2L, sk.toString)
   }
 }

@@ -152,6 +152,70 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { nodeA.stop(); nodeB.stop() }
   }
 
+  test("partition.mode=cluster: a pushed LIMIT satisfied early skips the reshard guard (any-n answer cannot be incomplete)") {
+    val nodeA = new FakeRedisServer()
+    val nodeB = new FakeRedisServer()
+    val portA = nodeA.start()
+    val portB = nodeB.start()
+    try {
+      (0 until 12).foreach { i =>
+        (if (i % 2 == 0) nodeA else nodeB).put(f"lk:$i%02d", s"v$i")
+      }
+      val before = Seq((0, 8191, "127.0.0.1", portA), (8192, 16383, "127.0.0.1", portB))
+      nodeA.setClusterSlots(before)
+      nodeB.setClusterSlots(before)
+      val after = Seq((0, 4095, "127.0.0.1", portA), (4096, 16383, "127.0.0.1", portB))
+      nodeA.setReshardAfterScans(1, after)
+      // LIMIT-without-ORDER: any 4 matching keys are a complete answer,
+      // so the early-stopped cursor must NOT pay (or fail) the guard
+      val got = spark.read.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", portA)
+        .option("partition.mode", "cluster")
+        .option("scan.count", "2")
+        .option("pattern", "lk:*").load()
+        .limit(4).collect()
+      assert(got.length == 4, s"got ${got.length}")
+    } finally { nodeA.stop(); nodeB.stop() }
+  }
+
+  test("redis-stream sink renders EXTERNAL value forms (date/timestamp/binary) and fails loudly on unsupported types and empty rows") {
+    import spark.implicits._
+    val k = "xsink:types"
+    val df = spark.sql(
+      """SELECT 42 AS n, DATE'2026-08-15' AS d,
+        |  TIMESTAMP'2026-08-15 12:30:00 UTC' AS ts,
+        |  CAST('hi' AS BINARY) AS b, 2.5D AS x""".stripMargin)
+    df.write.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).mode("append").save()
+    val f = spark.read.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).load()
+      .selectExpr("fields['n']", "fields['d']", "fields['ts']", "fields['b']", "fields['x']")
+      .head()
+    assert(f.getString(0) == "42")
+    assert(f.getString(1) == "2026-08-15", f.getString(1)) // ISO date, not epoch days
+    assert(f.getString(2).startsWith("2026-08-15T12:30:00"), f.getString(2)) // UTC instant, not micros
+    assert(new String(java.util.Base64.getDecoder.decode(f.getString(3))) == "hi")
+    assert(f.getString(4) == "2.5")
+    // unsupported column type: loud, names the column
+    val bad = intercept[Exception] {
+      Seq((1, Seq(1, 2))).toDF("n", "arr").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).mode("append").save()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(bad).contains("unsupported type"), chain(bad))
+    // all-NULL row: loud, never silently dropped
+    val empt = intercept[Exception] {
+      Seq(Option.empty[String]).toDF("v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).mode("append").save()
+    }
+    assert(chain(empt).contains("no representable fields"), chain(empt))
+  }
+
   test("partition.mode=cluster rejects gapped slot maps and option conflicts") {
     val node = new FakeRedisServer()
     val p = node.start()
