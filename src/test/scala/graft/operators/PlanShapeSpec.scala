@@ -671,4 +671,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(shuffles(df) <= 2, df.queryExecution.executedPlan.toString)
     }
   }
+
+  test("license gate (d111) is a pure per-row scan: zero shuffles, zero windows") {
+    withStaticPlans {
+      val df = docs.select(col("doc_id"),
+        TextOps.spdxTags(col("text")).as("spdx"),
+        TextOps.licenseClass(col("text")).as("license_class"),
+        TextOps.licenseGate(col("text")).as("allowed"))
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(windows(df) == 0)
+    }
+  }
 }
