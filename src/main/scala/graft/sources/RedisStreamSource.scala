@@ -235,8 +235,16 @@ object RedisStreamEntries {
     */
   val ZeroId = "0-0"
 
+  sealed trait StartAt
+  case object StartEarliest extends StartAt
+  case object StartLatest extends StartAt
+  /** Start AFTER this entry id (exclusive — the id itself is assumed
+    * already consumed, matching the offset semantics).
+    */
+  final case class StartAfter(id: String) extends StartAt
+
   final case class StreamOptions(stream: String, maxPerTrigger: Option[Int],
-      startAtLatest: Boolean)
+      startAt: StartAt)
 
   def parseStreamOptions(m: util.Map[String, String]): StreamOptions = {
     val o = new CaseInsensitiveStringMap(m)
@@ -246,10 +254,12 @@ object RedisStreamEntries {
     val maxPer = Option(o.get("maxEntriesPerTrigger")).map(_.toInt)
     maxPer.foreach(n => require(n > 0, s"maxEntriesPerTrigger must be > 0, got $n"))
     val start = o.getOrDefault("startingOffsets", "earliest") match {
-      case "earliest" => false
-      case "latest" => true
+      case "earliest" => StartEarliest
+      case "latest" => StartLatest
+      case id if id.matches("\\d+-\\d+") => StartAfter(id) // backfill-from-point
       case other => throw new IllegalArgumentException(
-        s"startingOffsets must be 'earliest' or 'latest', got '$other'")
+        "startingOffsets must be 'earliest', 'latest', or an entry id " +
+          s"'<ms>-<seq>' (start strictly after it), got '$other'")
     }
     StreamOptions(key, maxPer, start)
   }
@@ -518,17 +528,31 @@ object RedisStreamEntriesMicroBatch {
 
 class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
     sopts: RedisStreamEntries.StreamOptions)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def withConn[T](f: RedisConnection => T): T =
     RedisConnection.withPooled(opts.host, opts.port, opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
 
-  override def initialOffset(): Offset =
-    if (!sopts.startAtLatest) RedisEntryOffset(RedisStreamEntries.ZeroId)
-    else RedisEntryOffset(
+  // Trigger.AvailableNow: snapshot the stream tip ONCE at query start;
+  // every admission-capped batch then clamps to it, so the query drains
+  // exactly the backlog that existed at start (entries XADDed during
+  // the drain wait for the next run) and terminates. Without this the
+  // generic wrapper would pin the target to the FIRST capped batch's
+  // end and stop early.
+  @volatile private var availableNowEnd: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = withConn(c => RedisCommands.xlast(c, sopts.stream))
+
+  override def initialOffset(): Offset = sopts.startAt match {
+    case RedisStreamEntries.StartEarliest =>
+      RedisEntryOffset(RedisStreamEntries.ZeroId)
+    case RedisStreamEntries.StartLatest => RedisEntryOffset(
       withConn(c => RedisCommands.xlast(c, sopts.stream))
         .getOrElse(RedisStreamEntries.ZeroId))
+    case RedisStreamEntries.StartAfter(id) => RedisEntryOffset(id)
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     sopts.maxPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
@@ -552,7 +576,13 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
       case None => withConn(c => RedisCommands.xlast(c, sopts.stream))
         .filter(last => RedisCommands.compareStreamIds(last, from) > 0)
     }
-    RedisEntryOffset(end.getOrElse(from))
+    val clamped = (end, availableNowEnd) match {
+      case (Some(e), Some(cap2)) if RedisCommands.compareStreamIds(e, cap2) > 0 =>
+        Some(cap2) // AvailableNow: never pass the start-time tip
+      case _ => end
+    }
+    RedisEntryOffset(clamped.filter(
+      e => RedisCommands.compareStreamIds(e, from) > 0).getOrElse(from))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

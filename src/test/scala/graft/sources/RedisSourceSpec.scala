@@ -715,6 +715,36 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed == parsed.sorted && parsed.distinct.size == 5, ids.mkString(","))
   }
 
+  test("redis-stream startingOffsets=<entry-id> backfills strictly after the given id; Trigger.AvailableNow drains and stops") {
+    import graft.net.RedisCommands
+    val k = "xoff:bf"
+    (1 to 6).foreach(i => server.putStreamEntry(k, s"7-$i", Seq("v" -> s"e$i")))
+    // explicit-id start: strictly after 7-3 → 7-4..7-6 only
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).option("startingOffsets", "7-3")
+      .option("maxEntriesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("xbf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow: the query drains the backlog in capped batches and
+    // TERMINATES on its own — await, don't stop
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val got = spark.table("xbf").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("7-4", "7-5", "7-6"), got.mkString(","))
+    // malformed id fails loudly at option parse
+    val bad = intercept[Exception] {
+      spark.readStream.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).option("startingOffsets", "yesterday")
+        .load()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(bad).contains("startingOffsets"), chain(bad))
+  }
+
   test("redis-stream startingOffsets=latest skips the backlog; AUTH via the redaction-friendly password option") {
     import graft.net.RedisCommands
     val authServer = new FakeRedisServer()
