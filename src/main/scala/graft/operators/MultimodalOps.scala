@@ -522,11 +522,11 @@ object MultimodalOps {
       val isUnsigned = enc == E.PCM_UNSIGNED
       if (!isFloat && !isSigned && !isUnsigned) return null
       if (isFloat && bits != 32 && bits != 64) return null
-      // integer PCM caps at 32 bits: the 1L << (bits-1) full-scale
-      // overflows at 64 and would decode sign-flipped garbage — honest
-      // null beats confidently wrong PCM (64-bit integer WAV is not a
-      // real-world format anyway)
-      if (!isFloat && bits > 32) return null
+      // 64-bit integer PCM only: the 1L << 63 full-scale overflows and
+      // would decode sign-flipped garbage — honest null beats
+      // confidently wrong PCM. 24/32/40/48-bit all fit the long math
+      // and decode exactly.
+      if (!isFloat && bits == 64) return null
       val be = f.isBigEndian
       val bp = bits / 8
       val data = ais.readAllBytes()

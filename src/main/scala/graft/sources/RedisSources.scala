@@ -568,11 +568,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
         cursor = "0"
         if (patternIdx >= p.patterns.length) done = true
       }
-      val page = if (keys.length > remaining) keys.take(remaining) else keys
-      if (remaining != Int.MaxValue) {
-        remaining -= page.length
-        if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
-      }
+      val page = limitPage(keys)
       if (page.nonEmpty) {
         val vec = new OnHeapColumnVector(page.length, StringType)
         var i = 0
@@ -593,6 +589,17 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
   }
   private var guarded = false
   private var limitHit = false
+  // distinct-key LIMIT accounting — see RedisPartitionReader.limitPage
+  private val seenForLimit =
+    if (p.limit.isDefined) new java.util.HashSet[String]() else null
+  private def limitPage(keys: Seq[String]): Seq[String] = {
+    if (remaining == Int.MaxValue) return keys
+    val fresh = keys.filter(seenForLimit.add)
+    val page = if (fresh.length > remaining) fresh.take(remaining) else fresh
+    remaining -= page.length
+    if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
+    page
+  }
 
   override def get(): ColumnarBatch = current
 
@@ -634,14 +641,31 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
   // cluster mode: fail loudly (never silently short) if this node's
   // plan-time slots moved while the cursor was walking. NOT run when
   // the cursor stopped because a pushed LIMIT was satisfied: a
-  // LIMIT-without-ORDER answer of any n matching keys cannot be
-  // "incomplete", and the extra CLUSTER SLOTS round trip would tax
-  // exactly the fast path the pushdown exists for.
+  // LIMIT-without-ORDER answer of any n DISTINCT matching keys cannot
+  // be "incomplete", and the extra CLUSTER SLOTS round trip would tax
+  // exactly the fast path the pushdown exists for. The distinctness
+  // matters: SCAN may return a key twice during rehash/migration
+  // (documented Redis behavior), so the limit budget counts distinct
+  // keys via a seen-set (bounded by the scanned prefix, ≈ n + one
+  // page) — without it a duplicate could occupy one of the n slots.
   private var guarded = false
   private var limitHit = false
+  private val seenForLimit =
+    if (p.limit.exists(_ => p.topN.isEmpty)) new java.util.HashSet[String]() else null
   private def reshardGuard(): Unit = if (!guarded && !limitHit) {
     guarded = true
     RedisSources.verifySlotOwnership(conn, p.host, p.port, p.ownedSlots)
+  }
+  /** Apply the pushed-LIMIT budget to a SCAN page: distinct-key
+    * accounting, early cursor stop when the budget is spent.
+    */
+  private def limitPage(keys: Seq[String]): Seq[String] = {
+    if (remaining == Int.MaxValue) return keys
+    val fresh = keys.filter(seenForLimit.add)
+    val page = if (fresh.length > remaining) fresh.take(remaining) else fresh
+    remaining -= page.length
+    if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
+    page
   }
 
   override def get(): InternalRow = current
@@ -657,11 +681,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
     cursor = next
     if (cursor == "0") cursorDone()
-    val page = if (keys.length > remaining) keys.take(remaining) else keys
-    if (remaining != Int.MaxValue) {
-      remaining -= page.length
-      if (remaining <= 0) { done = true; limitHit = true } // pushed LIMIT satisfied
-    }
+    val page = limitPage(keys)
     if (page.nonEmpty) {
       batch = if (!fetchValues) {
         page.iterator.map(k => InternalRow(UTF8String.fromString(k)))

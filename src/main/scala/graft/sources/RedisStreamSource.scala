@@ -203,8 +203,9 @@ final case class RedisKeyBatch(keys: Array[String]) extends InputPartition
   *    own offset line.
   *  - Entry fields are exposed as MAP<STRING,STRING>; a duplicated field
   *    name within one entry (legal in Redis) keeps the LAST occurrence.
-  *  - `startingOffsets` = `earliest` (default) | `latest`, mirroring the
-  *    Kafka source's option.
+  *  - `startingOffsets` = `earliest` (default) | `latest` | an entry id
+  *    `<ms>-<seq>` (start strictly AFTER it — backfill-from-a-point),
+  *    mirroring the Kafka source's option.
   */
 class RedisStreamEntriesProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -256,10 +257,17 @@ object RedisStreamEntries {
     val start = o.getOrDefault("startingOffsets", "earliest") match {
       case "earliest" => StartEarliest
       case "latest" => StartLatest
-      case id if id.matches("\\d+-\\d+") => StartAfter(id) // backfill-from-point
+      case id if id.matches("\\d+-\\d+") &&
+          // both components must fit a signed long (the engine's id
+          // arithmetic) — validated HERE so an over-wide id fails with
+          // the documented message, not a NumberFormatException deep in
+          // the offset path
+          id.split("-").forall(p => scala.util.Try(p.toLong).isSuccess) =>
+        StartAfter(id) // backfill-from-point
       case other => throw new IllegalArgumentException(
         "startingOffsets must be 'earliest', 'latest', or an entry id " +
-          s"'<ms>-<seq>' (start strictly after it), got '$other'")
+          s"'<ms>-<seq>' with components up to 2^63-1 (start strictly " +
+          s"after it), got '$other'")
     }
     StreamOptions(key, maxPer, start)
   }
@@ -294,7 +302,11 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     * counts.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // validate ON THE DRIVER, before any executor work: an unsupported
+    // column type should fail at plan time, not after the upstream job
+    // ran and every write task threw
+    RedisStreamWriterFactory.validateSinkSchema(info.schema())
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -305,6 +317,7 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
             new RedisStreamWrite(opts, sopts.stream, info.schema())
         }
     }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == RedisStreamEntries.Schema,
       s"redis-stream reads produce ${RedisStreamEntries.Schema.simpleString}; " +
@@ -366,6 +379,39 @@ class RedisStreamWrite(opts: RedisSources.Options, stream: String,
 /** Serializable task-side writer factory (ships to executors — must
   * not capture the driver-side Write object).
   */
+object RedisStreamWriterFactory {
+  import org.apache.spark.sql.types._
+
+  /** Is this a type the sink can render as an external string form? */
+  private[sources] def renderable(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | FloatType | DoubleType | DateType | TimestampType |
+         BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private[sources] def isEntryMap(dt: DataType): Boolean = dt match {
+    case MapType(StringType, StringType, _) => true
+    case _ => false
+  }
+
+  /** Driver-side schema gate: ONE MAP<STRING,STRING> column, or all
+    * columns renderable atomics — anything else fails at plan time
+    * naming the column, before a single executor task runs.
+    */
+  def validateSinkSchema(schema: StructType): Unit = {
+    val mapForm = schema.fields.length == 1 && isEntryMap(schema.fields(0).dataType)
+    if (!mapForm) schema.fields.foreach { f =>
+      if (!renderable(f.dataType))
+        throw new IllegalArgumentException(
+          s"redis-stream sink: column '${f.name}' has unsupported type " +
+            s"${f.dataType.simpleString} — supported: string/numeric/boolean/" +
+            "decimal/date/timestamp/binary, or ONE MAP<STRING,STRING> column")
+    }
+  }
+}
+
 final case class RedisStreamWriterFactory(opts: RedisSources.Options,
     stream: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
@@ -381,9 +427,7 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
   private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val mapIdx =
       if (schema.fields.length == 1 &&
-        schema.fields(0).dataType == MapType(StringType, StringType, true)) 0
-      else if (schema.fields.length == 1 &&
-        schema.fields(0).dataType == MapType(StringType, StringType, false)) 0
+        RedisStreamWriterFactory.isEntryMap(schema.fields(0).dataType)) 0
       else -1
     private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
@@ -541,9 +585,13 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
   // the drain wait for the next run) and terminates. Without this the
   // generic wrapper would pin the target to the FIRST capped batch's
   // end and stop early.
+  // an EMPTY stream at start must still pin the target (to "nothing"):
+  // leaving it None would let a live producer keep the drain running
+  // forever and consume post-start entries
   @volatile private var availableNowEnd: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = withConn(c => RedisCommands.xlast(c, sopts.stream))
+    availableNowEnd = Some(withConn(c => RedisCommands.xlast(c, sopts.stream))
+      .getOrElse(RedisStreamEntries.ZeroId))
 
   override def initialOffset(): Offset = sopts.startAt match {
     case RedisStreamEntries.StartEarliest =>

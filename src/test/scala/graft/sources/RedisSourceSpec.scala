@@ -15,6 +15,10 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val server = new FakeRedisServer()
   private var port: Int = _
 
+  /** Flatten an exception's cause chain into one searchable string. */
+  private def chain(t: Throwable): String =
+    if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -133,8 +137,6 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           .option("pattern", "rk:*").load()
           .collect()
       }
-      def chain(t: Throwable): String =
-        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
       val msg = chain(e)
       assert(msg.contains("cluster reshard during scan"), msg)
       assert(msg.contains("[4096,8191]"), msg) // names the moved range
@@ -204,8 +206,6 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("host", "127.0.0.1").option("port", port.toString)
         .option("stream", k).mode("append").save()
     }
-    def chain(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(bad).contains("unsupported type"), chain(bad))
     // all-NULL row: loud, never silently dropped
     val empt = intercept[Exception] {
@@ -740,8 +740,6 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("stream", k).option("startingOffsets", "yesterday")
         .load()
     }
-    def chain(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(bad).contains("startingOffsets"), chain(bad))
   }
 
