@@ -36,7 +36,7 @@ object GraftRedis {
       .option("host", host).option("port", port.toString)
       .option("pattern", pattern)
     val base = functions.RedduckFunctions.sessionAuth(spark)
-      .map(a => base0.option("auth", a)).getOrElse(base0)
+      .map(a => base0.option("password", a)).getOrElse(base0)
     (if (numPartitionsPatterns.nonEmpty)
       base.option("partition.patterns", numPartitionsPatterns.mkString(","))
     else base).load()
@@ -62,7 +62,7 @@ object GraftRedis {
     val w0 = df.write.format("redis-kv")
       .option("host", host).option("port", port.toString)
     functions.RedduckFunctions.sessionAuth(df.sparkSession)
-      .map(a => w0.option("auth", a)).getOrElse(w0)
+      .map(a => w0.option("password", a)).getOrElse(w0)
       .mode("append").save()
   }
 
@@ -76,7 +76,7 @@ object GraftRedis {
       .option("host", host).option("port", port.toString)
       .option("pattern", pattern)
     functions.RedduckFunctions.sessionAuth(spark)
-      .map(a => r0.option("auth", a)).getOrElse(r0).load()
+      .map(a => r0.option("password", a)).getOrElse(r0).load()
   }
 
   /** Register the SQL scalar surface AND the table-valued functions on
