@@ -129,16 +129,23 @@ object Bench {
     // (committed range 0.19-0.22 across rounds 9-11). Scaling the total
     // by calm_q01/q01 makes round-over-round sums comparable without the
     // manual normalization step every verdict has been doing by hand.
-    // At other scale factors the normalized number is still internally
-    // consistent (same-window comparisons), just not 0.21-anchored.
+    // The 0.21 s anchor is an sf0.1 measurement, so the normalized
+    // total is emitted ONLY at sf0.1 (-1 elsewhere) and the anchor's
+    // scale factor is recorded in the JSON — a bench_full.json from
+    // another sfDir must not carry a number that LOOKS cross-round
+    // comparable when it is not.
     val rawTotal = results.map(_._2).filter(_ >= 0).sum
     val q01Min = results.toMap.getOrElse("q01_pricing_summary", -1.0)
     val q01Calm = 0.21
-    val q01Norm = if (q01Min > 0) rawTotal * (q01Calm / q01Min) else -1.0
+    val q01CalmSf = "sf0.1"
+    val atAnchorSf = sfDir.stripSuffix("/").endsWith(q01CalmSf)
+    val q01Norm =
+      if (q01Min > 0 && atAnchorSf) rawTotal * (q01Calm / q01Min) else -1.0
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (s"""{"sf":"$sfDir","total":$rawTotal,"q01":$q01Min,""" +
-        s""""q01_calm_ref":$q01Calm,"total_q01norm":$q01Norm,""" +
+        s""""q01_calm_ref":$q01Calm,"q01_calm_sf":"$q01CalmSf",""" +
+        s""""total_q01norm":$q01Norm,""" +
         s""""queries":$fullJson}""").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
 

@@ -47,6 +47,11 @@ final class HnswGraph(M: Int, efConstruction: Int) {
     new scala.collection.mutable.ArrayBuffer[Array[scala.collection.mutable.ArrayBuffer[Int]]]()
   private var entry: Int = -1
   private var topLevel: Int = -1
+  // vector dimensionality, pinned by the first insert: a malformed
+  // embedding must fail LOUDLY here, not silently score a truncated
+  // dot product as a plausible-but-wrong distance (the repo's
+  // fail-loud discipline)
+  private var dim: Int = -1
 
   def size: Int = ids.length
 
@@ -67,7 +72,8 @@ final class HnswGraph(M: Int, efConstruction: Int) {
     val v = vecs(node)
     var dot = 0.0
     var i = 0
-    val n = math.min(q.length, v.length)
+    // equal lengths are guaranteed by the insert/search dim gates
+    val n = q.length
     while (i < n) { dot += q(i).toDouble * v(i).toDouble; i += 1 }
     val denom = qNorm * norms(node)
     if (denom == 0.0) 1.0 else 1.0 - dot / denom
@@ -143,6 +149,10 @@ final class HnswGraph(M: Int, efConstruction: Int) {
   }
 
   def insert(id: Long, v: Array[Float]): Unit = {
+    if (dim < 0) dim = v.length
+    else require(v.length == dim,
+      s"HNSW insert id=$id: vector has ${v.length} dims, index holds $dim-dim " +
+        "vectors — mixed dimensionality would silently corrupt distances")
     val node = ids.length
     val l = levelOf(id)
     ids += id
@@ -188,6 +198,8 @@ final class HnswGraph(M: Int, efConstruction: Int) {
     */
   def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Double)] = {
     if (entry < 0) return Nil
+    require(q.length == dim,
+      s"HNSW search: query has ${q.length} dims, index holds $dim-dim vectors")
     val qNorm = vecNorm(q)
     var ep = entry
     var lev = topLevel

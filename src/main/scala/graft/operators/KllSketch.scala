@@ -302,6 +302,11 @@ object KllSketch {
       k: Int, path: String, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     requireMeta(spark, path, k, keyCol, valueCol, "advance")
+    // replay fast-path (the DedupOps pattern): a re-delivered batchId is
+    // a no-op, so skip the batch sketch job + driver fold entirely —
+    // advanceInPlace would refuse it anyway, but only AFTER the compute
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
     val delta = sketchPerKey(batch, keyCol, valueCol, k)
     LedgerGuard.advanceInPlace(spark, path, "KLL sketch ledger", batchId) { staging =>
       // read INSIDE the swap so a concurrent advance's rows are not lost

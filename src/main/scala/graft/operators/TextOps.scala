@@ -346,6 +346,17 @@ object TextOps {
     * GPL header poisons permissive-only use no matter what else is
     * stamped on the file): `copyleft` > `permissive` > `cc` > `other`
     * (an SPDX tag we don't classify) > `none`.
+    *
+    * Tag-level policy edges (deliberate, oracle-checked in d111):
+    *  - `CC0-1.0` is a public-domain DEDICATION, not an attribution
+    *    license — it classifies `permissive` (alongside Unlicense and
+    *    0BSD), not `cc`.
+    *  - `BSD-4-Clause` is excluded from `permissive`: its advertising
+    *    clause is exactly the obligation permissive-only corpora
+    *    exist to avoid — a lone 4-clause tag lands in `other`.
+    *    (The BSD HEADER PHRASE is shared by all BSD variants and
+    *    cannot see the 4th clause, so phrase-only detection stays
+    *    permissive; the SPDX tag is the authoritative signal.)
     */
   def licenseClass(text: Column): Column = {
     val t = coalesce(text, lit(""))
@@ -356,7 +367,8 @@ object TextOps {
       anyTag("^(GPL|AGPL|LGPL)") || anyTag("^(MPL|EPL|EUPL|CDDL)")
     val permissive = t.contains(MitPhrase) || t.contains(BsdPhrase) ||
       t.contains(ApachePhrase) ||
-      anyTag("^(MIT|BSD|Apache|ISC|Zlib|Unlicense|0BSD)")
+      anyTag("^(MIT|Apache|ISC|Zlib|Unlicense|0BSD|CC0)") ||
+      exists(spdx, x => x.rlike("^BSD") && !x.rlike("^BSD-4-Clause"))
     val cc = t.contains(CcPhrase) || anyTag("^CC")
     when(copyleft, "copyleft")
       .when(permissive, "permissive")

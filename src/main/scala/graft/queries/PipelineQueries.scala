@@ -4312,13 +4312,18 @@ object PipelineQueries {
       // single line: it interpolates into a stripMargin'd SQL template,
       // where an embedded "||" at start-of-line would lose a pipe
       val augSql = Seq(
-        "text || CASE doc_id % 7",
+        "text || CASE doc_id % 9",
         "WHEN 0 THEN E'\\n# SPDX-License-Identifier: MIT\\n'",
         "WHEN 1 THEN E'\\nSPDX-License-Identifier: Apache-2.0\\nLicensed under the Apache License, Version 2.0\\n'",
         "WHEN 2 THEN E'\\nSPDX-License-Identifier: GPL-3.0-only\\n'",
         "WHEN 3 THEN E'\\nRedistribution and use in source and binary forms, with or without modification\\n'",
         "WHEN 4 THEN E'\\nPermission is hereby granted, free of charge, to any person\\n'",
         "WHEN 5 THEN E'\\nThis work is licensed under a Creative Commons Attribution 4.0 License\\n'",
+        // the r12 ADVICE policy edges, exercised both ways: CC0 is a
+        // public-domain dedication → permissive (NOT cc), while
+        // BSD-4-Clause's advertising clause drops it to other
+        "WHEN 6 THEN E'\\nSPDX-License-Identifier: CC0-1.0\\n'",
+        "WHEN 7 THEN E'\\nSPDX-License-Identifier: BSD-4-Clause\\n'",
         "ELSE '' END",
         "|| CASE WHEN doc_id % 11 = 0 THEN E'\\nThis file is part of a GNU General Public License project\\n' ELSE '' END")
         .mkString(" ")
@@ -4335,7 +4340,8 @@ object PipelineQueries {
          |    WHEN contains(t, 'Permission is hereby granted, free of charge')
          |      OR contains(t, 'Redistribution and use in source and binary forms')
          |      OR contains(t, 'Licensed under the Apache License')
-         |      OR len(list_filter(l, s -> regexp_matches(s, '^(MIT|BSD|Apache|ISC|Zlib|Unlicense|0BSD)'))) > 0
+         |      OR len(list_filter(l, s -> regexp_matches(s, '^(MIT|Apache|ISC|Zlib|Unlicense|0BSD|CC0)')
+         |            OR (regexp_matches(s, '^BSD') AND NOT regexp_matches(s, '^BSD-4-Clause')))) > 0
          |    THEN 'permissive'
          |    WHEN contains(t, 'Creative Commons')
          |      OR len(list_filter(l, s -> regexp_matches(s, '^CC'))) > 0
@@ -4351,16 +4357,18 @@ object PipelineQueries {
       import graft.operators.TextOps
       val aug = concat(
         col("text"),
-        when(col("doc_id") % 7 === 0, "\n# SPDX-License-Identifier: MIT\n")
-          .when(col("doc_id") % 7 === 1,
+        when(col("doc_id") % 9 === 0, "\n# SPDX-License-Identifier: MIT\n")
+          .when(col("doc_id") % 9 === 1,
             "\nSPDX-License-Identifier: Apache-2.0\nLicensed under the Apache License, Version 2.0\n")
-          .when(col("doc_id") % 7 === 2, "\nSPDX-License-Identifier: GPL-3.0-only\n")
-          .when(col("doc_id") % 7 === 3,
+          .when(col("doc_id") % 9 === 2, "\nSPDX-License-Identifier: GPL-3.0-only\n")
+          .when(col("doc_id") % 9 === 3,
             "\nRedistribution and use in source and binary forms, with or without modification\n")
-          .when(col("doc_id") % 7 === 4,
+          .when(col("doc_id") % 9 === 4,
             "\nPermission is hereby granted, free of charge, to any person\n")
-          .when(col("doc_id") % 7 === 5,
+          .when(col("doc_id") % 9 === 5,
             "\nThis work is licensed under a Creative Commons Attribution 4.0 License\n")
+          .when(col("doc_id") % 9 === 6, "\nSPDX-License-Identifier: CC0-1.0\n")
+          .when(col("doc_id") % 9 === 7, "\nSPDX-License-Identifier: BSD-4-Clause\n")
           .otherwise(""),
         when(col("doc_id") % 11 === 0,
           "\nThis file is part of a GNU General Public License project\n").otherwise(""))

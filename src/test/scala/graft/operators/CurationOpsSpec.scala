@@ -1263,6 +1263,13 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(cls("Permission is hereby granted, free of charge") == "permissive")
     assert(cls("Creative Commons Attribution") == "cc")
     assert(cls("SPDX-License-Identifier: CC-BY-4.0") == "cc")
+    // policy edges (r12 ADVICE): CC0 is a public-domain dedication →
+    // permissive, not cc; BSD-4-Clause's advertising clause drops the
+    // TAG out of permissive (other), but another permissive tag on the
+    // same file still admits it
+    assert(cls("SPDX-License-Identifier: CC0-1.0") == "permissive")
+    assert(cls("SPDX-License-Identifier: BSD-4-Clause") == "other")
+    assert(cls("SPDX-License-Identifier: BSD-4-Clause\nSPDX-License-Identifier: MIT") == "permissive")
     // a tag we don't classify is still a STATEMENT → 'other', not 'none'
     assert(cls("SPDX-License-Identifier: Artistic-2.0") == "other")
     assert(cls("no license here") == "none")
