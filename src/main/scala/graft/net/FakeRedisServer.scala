@@ -32,6 +32,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
   private val scanCallCount = new java.util.concurrent.atomic.AtomicInteger(0)
   def scanCalls: Int = scanCallCount.get()
   def resetScanCalls(): Unit = scanCallCount.set(0)
+  // last SCAN's raw argument vector: tests assert options (TYPE, MATCH)
+  // actually reached the server as COMMANDS, not as client-side filters
+  @volatile private var lastScanArgsVar: Seq[String] = Nil
+  def lastScanArgs: Seq[String] = lastScanArgsVar
 
   // cluster-redirect simulation: single-key commands on keys with this
   // prefix answer `-MOVED <slot> <target>` like a resharded cluster node
@@ -216,23 +220,32 @@ final class FakeRedisServer(requestedPort: Int = 0,
     case _ => Err("ERR protocol: expected command array")
   }
 
+  private def typeOf(key: String): String =
+    if (strings.containsKey(key)) "string"
+    else if (hashes.containsKey(key)) "hash"
+    else if (streams.containsKey(key)) "stream"
+    else "none"
+
   private def scan(args: Seq[String]): RespValue = {
     val calls = scanCallCount.incrementAndGet()
+    lastScanArgsVar = "SCAN" +: args
     reshardAfter.foreach { case (n, entries) =>
       if (calls >= n) { clusterSlotsConf = entries; reshardAfter = None }
     }
     var cursor = args.head.toInt
     var pattern = "*"
     var count = 10
+    var typeFilter: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i).toUpperCase match {
-        case "MATCH" | "COUNT" if i + 1 >= args.length =>
+        case "MATCH" | "COUNT" | "TYPE" if i + 1 >= args.length =>
           // dangling option token: real Redis answers an error, it does
           // not kill the connection
           return Err("ERR syntax error")
         case "MATCH" => pattern = args(i + 1); i += 2
         case "COUNT" => count = args(i + 1).toInt; i += 2
+        case "TYPE" => typeFilter = Some(args(i + 1).toLowerCase); i += 2
         case _ => i += 1
       }
     }
@@ -243,7 +256,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
     val page = allKeys.slice(cursor, cursor + count)
     val nextCursor = if (cursor + count >= allKeys.length) 0 else cursor + count
     val re = globToRegex(pattern)
-    val matched = page.filter(k => re.matcher(k).matches())
+    // like real Redis: MATCH and TYPE are both post-filters on the
+    // bucket walk (pages can come back short or empty, cursor non-zero)
+    val matched = page.filter(k => re.matcher(k).matches() &&
+      typeFilter.forall(_ == typeOf(k)))
     Arr(Vector(
       Bulk(nextCursor.toString),
       Arr(matched.map(Bulk(_): RespValue))))

@@ -9,14 +9,19 @@ import graft.resp.RespValue._
   */
 object RedisCommands {
 
-  /** One SCAN page: `SCAN cursor MATCH pattern COUNT n`
+  /** One SCAN page: `SCAN cursor MATCH pattern COUNT n [TYPE t]`
     * (reference command builder: resp_parser.cpp:146-163; reply-shape
-    * validation mirrors redduck_extension.cpp:191-217).
+    * validation mirrors redduck_extension.cpp:191-217). The optional
+    * `TYPE` filter (public Redis ≥6.0 surface) trims mixed keyspaces
+    * SERVER-side — on a keyspace where hashes share a prefix with
+    * strings/streams, the non-matching keys never cross the wire.
     *
     * @return (nextCursor, keys); cursor "0" = exhausted
     */
-  def scanPage(c: RedisConnection, cursor: String, pattern: String, count: Int): (String, Seq[String]) =
-    c.command("SCAN", cursor, "MATCH", pattern, "COUNT", count.toString) match {
+  def scanPage(c: RedisConnection, cursor: String, pattern: String, count: Int,
+      scanType: Option[String] = None): (String, Seq[String]) =
+    c.command(Seq("SCAN", cursor, "MATCH", pattern, "COUNT", count.toString) ++
+        scanType.toSeq.flatMap(t => Seq("TYPE", t)): _*) match {
       case Arr(Vector(cur, keys)) =>
         val next = cur match {
           case b: Bulk => b.text

@@ -49,7 +49,7 @@ object RedisSources {
   final case class Options(host: String, port: Int, pattern: String, count: Int,
       partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean,
       auth: Option[String] = None, tls: Boolean = false,
-      tlsTrustAll: Boolean = false) {
+      tlsTrustAll: Boolean = false, scanType: Option[String] = None) {
     /** Disjoint pattern lists, one per input partition. */
     def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
       case Some(p) => Seq(Seq(p))
@@ -76,6 +76,16 @@ object RedisSources {
       tlsTrustAll = o.getOrDefault("tls.trustAll", "false").toBoolean,
       pattern = o.getOrDefault("pattern", "*"),
       count = o.getOrDefault("scan.count", "2048").toInt, // reference batch size, resp_parser.cpp:159-161
+      // `SCAN ... TYPE t` server-side type filter (Redis ≥6.0): opt-in
+      // so existing plans stay byte-identical; on a mixed keyspace
+      // `.option("scan.type", "hash")` keeps string/stream keys from
+      // ever crossing the wire
+      scanType = Option(o.get("scan.type")).filter(_.nonEmpty).map { t =>
+        val valid = Set("string", "list", "set", "zset", "hash", "stream")
+        require(valid(t.toLowerCase),
+          s"scan.type must be one of ${valid.toSeq.sorted.mkString("/")}, got '$t'")
+        t.toLowerCase
+      },
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
       slots = o.getOrDefault("partition.slots", "0").toInt,
@@ -119,7 +129,8 @@ object RedisSources {
       // cluster nodes share the deployment's credentials
       RedisInputPartition(h, p, pats, opts.count, limit, topN,
         auth = opts.auth, tls = opts.tls,
-        tlsTrustAll = opts.tlsTrustAll, ownedSlots = owned): InputPartition
+        tlsTrustAll = opts.tlsTrustAll, ownedSlots = owned,
+        scanType = opts.scanType): InputPartition
     }.toArray
   }
 
@@ -273,7 +284,8 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
               else opts.effectivePatterns(pushedGlob)
                 .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
                   auth = opts.auth, tls = opts.tls,
-                  tlsTrustAll = opts.tlsTrustAll): InputPartition)
+                  tlsTrustAll = opts.tlsTrustAll,
+                  scanType = opts.scanType): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               (partition: InputPartition) =>
@@ -298,7 +310,7 @@ class RedisHashPartitionReader(p: RedisInputPartition)
 
   override def next(): Boolean = {
     while (!batch.hasNext && !done) {
-      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count, p.scanType)
       cursor = next
       if (cursor == "0") {
         patternIdx += 1
@@ -495,7 +507,7 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
     else opts.effectivePatterns(pushedGlob)
       .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
         pushedLimit, pushedTopN, auth = opts.auth, tls = opts.tls,
-        tlsTrustAll = opts.tlsTrustAll): InputPartition)
+        tlsTrustAll = opts.tlsTrustAll, scanType = opts.scanType): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
@@ -511,14 +523,17 @@ final case class RedisInputPartition(host: String, port: Int, patterns: Seq[Stri
     tlsTrustAll: Boolean = false,
     // cluster mode: slot ranges this node owned at plan time (empty =
     // standalone; readers re-verify ownership at cursor end)
-    ownedSlots: Seq[(Int, Int)] = Nil)
+    ownedSlots: Seq[(Int, Int)] = Nil,
+    // `SCAN ... TYPE t` server-side filter (scan.type option)
+    scanType: Option[String] = None)
     extends InputPartition {
   // case-class toString would print the credential into task logs /
   // debug dumps — mask it (present/absent is all an operator needs)
   override def toString: String =
     s"RedisInputPartition($host,$port,${patterns.mkString("|")},$count," +
       s"limit=$limit,topN=$topN,auth=${if (auth.isDefined) "***" else "none"}," +
-      s"tls=$tls,tlsTrustAll=$tlsTrustAll)"
+      s"tls=$tls,tlsTrustAll=$tlsTrustAll" +
+      scanType.map(t => s",type=$t").getOrElse("") + ")"
 }
 
 class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
@@ -561,7 +576,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
     while (!done) {
-      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count, p.scanType)
       cursor = next
       if (cursor == "0") {
         patternIdx += 1
@@ -678,7 +693,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
   }
 
   private def fetchNextBatch(): Unit = {
-    val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+    val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count, p.scanType)
     cursor = next
     if (cursor == "0") cursorDone()
     val page = limitPage(keys)
@@ -712,7 +727,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     // max-heap of the n best-so-far: root is the WORST kept key
     val heap = new java.util.PriorityQueue[UTF8String](math.max(1, t.n), ord.reverse)
     while (!done) {
-      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count)
+      val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count, p.scanType)
       cursor = next
       if (cursor == "0") cursorDone()
       keys.foreach { s =>

@@ -65,6 +65,45 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hash:2" -> Map("a" -> "2")))
   }
 
+  test("scan.type pushes SCAN ... TYPE t server-side: non-matching types never cross the wire") {
+    // the fixture keyspace is MIXED: strings (testkey:*, binpat:*),
+    // hashes (hash:*) — a `mixed:` prefix shared by BOTH types proves
+    // the filter is by TYPE, not by pattern
+    server.put("mixed:s1", "a-string")
+    server.putHash("mixed:h1", Map("f" -> "v"))
+    try {
+      val keys = spark.read.format("redis-scan")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("pattern", "mixed:*").option("scan.type", "hash").load()
+        .collect().map(_.getString(0)).toSeq
+      assert(keys == Seq("mixed:h1"), s"TYPE hash should exclude mixed:s1, got $keys")
+      // command-level assertion: the filter ran ON THE SERVER — the last
+      // SCAN carried a literal TYPE argument (not a client-side filter)
+      val args = server.lastScanArgs.map(_.toUpperCase)
+      val ti = args.indexOf("TYPE")
+      assert(ti > 0 && args.lift(ti + 1).contains("HASH"),
+        s"expected SCAN ... TYPE hash on the wire, got ${server.lastScanArgs}")
+      // the hash source composes: scan.type=hash keeps the string key out
+      // of the HGETALL batch entirely
+      val hashRows = spark.read.format("redis-hash")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("pattern", "mixed:*").option("scan.type", "hash").load()
+        .collect().map(_.getString(0)).toSeq
+      assert(hashRows == Seq("mixed:h1"))
+      // invalid type name fails at option-parse time, naming the values
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("redis-scan")
+          .option("host", "127.0.0.1").option("port", port)
+          .option("scan.type", "hashes").load().collect()
+      }
+      assert(chain(e).contains("scan.type"))
+    } finally {
+      // remove the mixed keys so the pattern-only suites stay untouched
+      val conn = new graft.net.RedisConnection("127.0.0.1", port)
+      try conn.command("DEL", "mixed:s1", "mixed:h1") finally conn.close()
+    }
+  }
+
   test("redis-hash WHERE on key pushes a MATCH glob like the other sources") {
     val df = spark.read.format("redis-hash")
       .option("host", "127.0.0.1").option("port", port)
