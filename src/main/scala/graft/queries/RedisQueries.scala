@@ -41,6 +41,13 @@ object RedisQueries {
       // is a plain VALUES literal
       (1 to 9).foreach(i =>
         s.putStreamEntry("events:log", s"100-$i", Seq("v" -> s"ev$i", "n" -> i.toString)))
+      // second stream for r16 (multi-stream read): ids INTERLEAVE with
+      // events:log's ms=100 block (95..105 straddles it), so the
+      // composite-offset read is exercised on streams whose entries are
+      // not time-separable
+      Seq(95, 97, 99, 101, 103, 105).zipWithIndex.foreach { case (ms, i) =>
+        s.putStreamEntry("events:bus", s"$ms-1", Seq("v" -> s"bus${i + 1}", "n" -> (i + 1).toString))
+      }
       startWithRetry(s)
     }
 
@@ -288,6 +295,41 @@ object RedisQueries {
           col("fields")("v").as("v"),
           col("fields")("n").cast("int").as("n"))
         .orderBy("entry_id")
+    },
+
+    // MULTI-stream source: two streams (ids interleaved across them)
+    // read by ONE query under a composite {stream → last id} offset —
+    // the 100 TB ingest shape (a Redis stream is one ordered partition
+    // by design; scale-out is many streams, like Kafka partitions). The
+    // admission cap is split across the streams per trigger; the VALUES
+    // oracle is the union of both streams' XRANGE content, so this IS
+    // the union-equals-batch parity check, hash-compared by the driver.
+    q("r16_redis_multi_stream", {
+      val logRows = (1 to 9).map(i => s"('events:log', '100-$i', 'ev$i', $i)")
+      val busRows = Seq(95, 97, 99, 101, 103, 105).zipWithIndex.map {
+        case (ms, i) => s"('events:bus', '$ms-1', 'bus${i + 1}', ${i + 1})"
+      }
+      s"""SELECT * FROM (VALUES ${(logRows ++ busRows).mkString(", ")})
+         |t(stream, entry_id, v, n) ORDER BY stream, entry_id""".stripMargin
+    }) { (s, _) =>
+      Harness.ensureStarted
+      val stream = s.readStream.format("redis-stream")
+        .option("host", Harness.Host).option("port", Harness.Port.toString)
+        .option("streams", "events:log,events:bus")
+        .option("maxEntriesPerTrigger", "4")
+        .load()
+        .writeStream.format("memory").queryName("r16_stream_sink").start()
+      try {
+        stream.processAllAvailable()
+        val batches = stream.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 4,
+          s"admission split failed: $batches micro-batches for 15 entries at 4/trigger")
+      } finally stream.stop()
+      s.table("r16_stream_sink")
+        .select(col("stream"), col("entry_id"),
+          col("fields")("v").as("v"),
+          col("fields")("n").cast("int").as("n"))
+        .orderBy("stream", "entry_id")
     }
   )
 }

@@ -199,8 +199,12 @@ final case class RedisKeyBatch(keys: Array[String]) extends InputPartition
   *    aggressive retention). Size retention to exceed downtime.
   *  - A stream key lives on one cluster slot, so one stream = one
   *    ordered partition (that's Redis's ordering guarantee, not a Spark
-  *    limitation). Scale-out is N streams → N source unions, each its
-  *    own offset line.
+  *    limitation). Scale-out is N streams read by ONE query:
+  *    `.option("streams", "a,b,c")` or `.option("streams.pattern",
+  *    "events:*")` — composite {stream → last id} offset, one range
+  *    partition per stream per batch, a `stream` column prepended
+  *    (the Kafka topic-column analog), admission cap split across
+  *    streams deterministically (see [[RedisMultiStreamMicroBatch]]).
   *  - Entry fields are exposed as MAP<STRING,STRING>; a duplicated field
   *    name within one entry (legal in Redis) keeps the LAST occurrence.
   *  - `startingOffsets` = `earliest` (default) | `latest` | an entry id
@@ -211,7 +215,7 @@ class RedisStreamEntriesProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "redis-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RedisStreamEntries.Schema
+    RedisStreamEntries.schemaFor(RedisStreamEntries.parseStreamOptions(options))
   // writes carry ARBITRARY input schemas (each column becomes a field,
   // or one MAP column becomes the entry) — external metadata lets the
   // write schema flow through getTable instead of being forced to the
@@ -231,6 +235,17 @@ object RedisStreamEntries {
     StructField("fields", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 
+  /** Multi-stream reads prepend the origin stream — the Kafka `topic`
+    * column analog, so downstream plans can group/route per stream.
+    */
+  val MultiSchema: StructType = StructType(
+    StructField("stream", StringType, nullable = false) +: Schema.fields)
+
+  def schemaFor(sopts: StreamOptions): StructType = sopts.selection match {
+    case SingleStream(_) => Schema
+    case _ => MultiSchema
+  }
+
   /** Minimum exclusive-start sentinel: real XADD rejects 0-0, so
     * `(0-0` admits every possible entry.
     */
@@ -244,14 +259,52 @@ object RedisStreamEntries {
     */
   final case class StartAfter(id: String) extends StartAt
 
-  final case class StreamOptions(stream: String, maxPerTrigger: Option[Int],
-      startAt: StartAt)
+  /** Which stream keys the source reads — exactly one of the three:
+    *  - `stream`: one key, the r15 surface (schema without the
+    *    `stream` column, bare-id offsets — existing checkpoints keep
+    *    working);
+    *  - `streams`: an explicit comma-separated list — N ordered
+    *    partitions per batch, composite JSON offset map;
+    *  - `streams.pattern`: a key glob resolved against the server
+    *    (`SCAN MATCH glob TYPE stream`) at query start AND re-resolved
+    *    every trigger, so streams created while the query runs join the
+    *    read (from their beginning — the Kafka new-partition rule).
+    */
+  sealed trait StreamSelection
+  final case class SingleStream(name: String) extends StreamSelection
+  final case class MultiStreams(names: Seq[String]) extends StreamSelection
+  final case class PatternStreams(glob: String) extends StreamSelection
 
-  def parseStreamOptions(m: util.Map[String, String]): StreamOptions = {
-    val o = new CaseInsensitiveStringMap(m)
-    val key = o.get("stream")
-    require(key != null && key.nonEmpty,
-      "redis-stream requires .option(\"stream\", <key>) — the stream to read")
+  final case class StreamOptions(selection: StreamSelection,
+      maxPerTrigger: Option[Int], startAt: StartAt) {
+    def describe: String = selection match {
+      case SingleStream(n) => n
+      case MultiStreams(ns) => ns.mkString(",")
+      case PatternStreams(g) => s"pattern=$g"
+    }
+  }
+
+  def parseStreamOptions(m: util.Map[String, String]): StreamOptions =
+    parseStreamOptions(new CaseInsensitiveStringMap(m))
+
+  def parseStreamOptions(o: CaseInsensitiveStringMap): StreamOptions = {
+    val single = Option(o.get("stream")).filter(_.nonEmpty)
+    val multi = Option(o.get("streams")).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq.distinct)
+    val pattern = Option(o.get("streams.pattern")).filter(_.nonEmpty)
+    val selection = (single, multi, pattern) match {
+      case (Some(n), None, None) => SingleStream(n)
+      case (None, Some(ns), None) =>
+        require(ns.nonEmpty, "streams: no stream names after trimming")
+        MultiStreams(ns)
+      case (None, None, Some(g)) => PatternStreams(g)
+      case (None, None, None) => throw new IllegalArgumentException(
+        "redis-stream requires exactly one of .option(\"stream\", <key>), " +
+          ".option(\"streams\", <k1,k2,...>), or .option(\"streams.pattern\", <glob>)")
+      case _ => throw new IllegalArgumentException(
+        "redis-stream: options stream / streams / streams.pattern are " +
+          "mutually exclusive — set exactly one")
+    }
     val maxPer = Option(o.get("maxEntriesPerTrigger")).map(_.toInt)
     maxPer.foreach(n => require(n > 0, s"maxEntriesPerTrigger must be > 0, got $n"))
     val start = o.getOrDefault("startingOffsets", "earliest") match {
@@ -269,7 +322,7 @@ object RedisStreamEntries {
           s"'<ms>-<seq>' with components up to 2^63-1 (start strictly " +
           s"after it), got '$other'")
     }
-    StreamOptions(key, maxPer, start)
+    StreamOptions(selection, maxPer, start)
   }
 }
 
@@ -279,11 +332,16 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
-    s"redis-stream(${opts.host}:${opts.port}, ${sopts.stream})"
+    s"redis-stream(${opts.host}:${opts.port}, ${sopts.describe})"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+  override def capabilities(): util.Set[TableCapability] = sopts.selection match {
+    // a write targets ONE stream: multi/pattern tables are read-only
+    case RedisStreamEntries.SingleStream(_) =>
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+    case _ =>
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  }
 
   /** Write path — XADD with server-assigned (`*`) ids, pipelined per
     * partition. Delivery is AT-LEAST-ONCE under task/epoch retries,
@@ -303,6 +361,12 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val target = sopts.selection match {
+      case RedisStreamEntries.SingleStream(n) => n
+      case other => throw new IllegalArgumentException(
+        s"redis-stream sink: a write targets ONE stream — use " +
+          s".option(\"stream\", <key>), not ${other.getClass.getSimpleName}")
+    }
     // validate ON THE DRIVER, before any executor work: an unsupported
     // column type should fail at plan time, not after the upstream job
     // ran and every write task threw
@@ -311,40 +375,46 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new RedisStreamWrite(opts, sopts.stream, info.schema())
+            new RedisStreamWrite(opts, target, info.schema())
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new RedisStreamWrite(opts, sopts.stream, info.schema())
+            new RedisStreamWrite(opts, target, info.schema())
         }
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(tableSchema == RedisStreamEntries.Schema,
-      s"redis-stream reads produce ${RedisStreamEntries.Schema.simpleString}; " +
+    val expected = RedisStreamEntries.schemaFor(sopts)
+    require(tableSchema == expected,
+      s"redis-stream reads produce ${expected.simpleString}; " +
         s"a user-supplied read schema (${tableSchema.simpleString}) is not " +
         "supported — project after load()")
     new ScanBuilder {
       override def build(): Scan = new Scan
           with org.apache.spark.sql.connector.read.Batch {
-        override def readSchema(): StructType = RedisStreamEntries.Schema
+        override def readSchema(): StructType = expected
         override def description(): String =
-          s"RedisStreamEntries(stream=${sopts.stream}, count=${opts.count})"
+          s"RedisStreamEntries(streams=${sopts.describe}, count=${opts.count})"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new RedisStreamEntriesMicroBatch(opts, sopts)
-        // batch face: the whole stream as of planning time — the oracle
-        // face of the streaming read (and a backfill path)
-        override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-        override def planInputPartitions(): Array[InputPartition] = {
-          val end = RedisConnection.withPooled(opts.host, opts.port, opts.auth,
-              tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(c =>
-            RedisCommands.xlast(c, sopts.stream))
-          end match {
-            case None => Array.empty
-            case Some(last) => Array(RedisStreamRange(opts.host, opts.port,
-              sopts.stream, RedisStreamEntries.ZeroId, last, opts.count,
-              opts.auth, opts.tls, opts.tlsTrustAll))
+          sopts.selection match {
+            case RedisStreamEntries.SingleStream(_) =>
+              new RedisStreamEntriesMicroBatch(opts, sopts)
+            case _ => new RedisMultiStreamMicroBatch(opts, sopts)
           }
-        }
+        // batch face: every member stream as of planning time — the
+        // oracle face of the streaming read (and a backfill path)
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          RedisConnection.withPooled(opts.host, opts.port, opts.auth,
+              tls = opts.tls, tlsTrustAll = opts.tlsTrustAll) { c =>
+            val multi = !sopts.selection.isInstanceOf[RedisStreamEntries.SingleStream]
+            RedisMultiStreamMicroBatch.members(c, opts, sopts.selection).flatMap {
+              stream => RedisCommands.xlast(c, stream).map(last =>
+                RedisStreamRange(opts.host, opts.port, stream,
+                  RedisStreamEntries.ZeroId, last, opts.count,
+                  opts.auth, opts.tls, opts.tlsTrustAll,
+                  emitStream = multi): InputPartition)
+            }.toArray
+          }
         override def createReaderFactory(): PartitionReaderFactory =
           RedisStreamEntriesMicroBatch.readerFactory
       }
@@ -513,12 +583,47 @@ final case class RedisEntryOffset(id: String) extends Offset {
   override def json(): String = id
 }
 
+/** Multi-stream offset: {stream → last entry id emitted (inclusive)}.
+  * Serialized as a JSON object with SORTED keys — Spark decides
+  * "anything new?" by comparing offset JSON, so the form must be
+  * canonical (the Kafka source's {topic: {partition: offset}} JSON
+  * precedent, one level flatter because a Redis stream has exactly one
+  * ordered shard).
+  */
+final case class RedisEntryMapOffset(ids: Map[String, String]) extends Offset {
+  override def json(): String = RedisEntryMapOffset.serialize(ids)
+}
+
+object RedisEntryMapOffset {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def serialize(ids: Map[String, String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(ids.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))
+
+  def parse(json: String): Map[String, String] = JsonMethods.parse(json) match {
+    case JObject(fields) => fields.map {
+      case (k, JString(v)) => k -> v
+      case (k, other) => throw new IllegalArgumentException(
+        s"redis-stream offset map: stream '$k' has non-string position $other")
+    }.toMap
+    case other => throw new IllegalArgumentException(
+      "redis-stream multi-stream offset must be a JSON object " +
+        s"{stream: lastId}, got: $other — a bare-id checkpoint written by " +
+        "the single-stream mode cannot drive a streams=/streams.pattern " +
+        "query (start a fresh checkpoint)")
+  }
+}
+
 /** One contiguous entry-ID range (exclusive start, inclusive end) of one
   * stream — the unit of replay.
   */
 final case class RedisStreamRange(host: String, port: Int, stream: String,
     startExclusive: String, endInclusive: String, pageSize: Int,
-    auth: Option[String], tls: Boolean, tlsTrustAll: Boolean)
+    auth: Option[String], tls: Boolean, tlsTrustAll: Boolean,
+    // multi-stream reads prepend the origin stream column
+    emitStream: Boolean = false)
     extends InputPartition {
   override def toString: String =
     s"RedisStreamRange($host,$port,$stream,($startExclusive,$endInclusive]," +
@@ -550,15 +655,18 @@ object RedisStreamEntriesMicroBatch {
           else {
             cursor = page.last.id
             if (page.length < p.pageSize) done = true
+            val streamUtf8 = UTF8String.fromString(p.stream)
             batch = page.iterator.map { e =>
               // duplicate field names keep the last occurrence (map key
               // uniqueness); order is server order otherwise
               val m = scala.collection.mutable.LinkedHashMap[String, String]()
               e.fields.foreach { case (f, v) => m(f) = v }
-              InternalRow(UTF8String.fromString(e.id),
-                ArrayBasedMapData(
-                  m.keysIterator.map(UTF8String.fromString).toArray,
-                  m.valuesIterator.map(UTF8String.fromString).toArray))
+              val fieldsMap = ArrayBasedMapData(
+                m.keysIterator.map(UTF8String.fromString).toArray,
+                m.valuesIterator.map(UTF8String.fromString).toArray)
+              if (p.emitStream)
+                InternalRow(streamUtf8, UTF8String.fromString(e.id), fieldsMap)
+              else InternalRow(UTF8String.fromString(e.id), fieldsMap)
             }
           }
         }
@@ -575,6 +683,9 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  private val stream: String =
+    sopts.selection.asInstanceOf[RedisStreamEntries.SingleStream].name
+
   private def withConn[T](f: RedisConnection => T): T =
     RedisConnection.withPooled(opts.host, opts.port, opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
@@ -590,14 +701,14 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
   // forever and consume post-start entries
   @volatile private var availableNowEnd: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(withConn(c => RedisCommands.xlast(c, sopts.stream))
+    availableNowEnd = Some(withConn(c => RedisCommands.xlast(c, stream))
       .getOrElse(RedisStreamEntries.ZeroId))
 
   override def initialOffset(): Offset = sopts.startAt match {
     case RedisStreamEntries.StartEarliest =>
       RedisEntryOffset(RedisStreamEntries.ZeroId)
     case RedisStreamEntries.StartLatest => RedisEntryOffset(
-      withConn(c => RedisCommands.xlast(c, sopts.stream))
+      withConn(c => RedisCommands.xlast(c, stream))
         .getOrElse(RedisStreamEntries.ZeroId))
     case RedisStreamEntries.StartAfter(id) => RedisEntryOffset(id)
   }
@@ -619,9 +730,9 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
     }
     val end = cap match {
       case Some(n) => withConn(c =>
-        RedisCommands.xrange(c, sopts.stream, "(" + from, "+", Some(n)))
+        RedisCommands.xrange(c, stream, "(" + from, "+", Some(n)))
         .lastOption.map(_.id)
-      case None => withConn(c => RedisCommands.xlast(c, sopts.stream))
+      case None => withConn(c => RedisCommands.xlast(c, stream))
         .filter(last => RedisCommands.compareStreamIds(last, from) > 0)
     }
     val clamped = (end, availableNowEnd) match {
@@ -637,7 +748,7 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
     val s = start.asInstanceOf[RedisEntryOffset].id
     val e = end.asInstanceOf[RedisEntryOffset].id
     if (RedisCommands.compareStreamIds(e, s) <= 0) Array.empty
-    else Array(RedisStreamRange(opts.host, opts.port, sopts.stream, s, e,
+    else Array(RedisStreamRange(opts.host, opts.port, stream, s, e,
       opts.count, opts.auth, opts.tls, opts.tlsTrustAll))
   }
 
@@ -648,6 +759,202 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
 
   /** Nothing to release: entries live on the server under the
     * operator's retention policy (`XTRIM`), exactly like Kafka.
+    */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object RedisMultiStreamMicroBatch {
+  import RedisStreamEntries._
+
+  /** Resolve the member streams of a selection. Pattern mode walks one
+    * full `SCAN MATCH glob TYPE stream` cursor DRIVER-side — a keyspace
+    * directory operation (key names only, type-filtered on the server),
+    * the analog of Kafka's subscribePattern metadata fetch, re-run per
+    * trigger so streams created while the query runs join the read.
+    */
+  def members(c: RedisConnection, opts: RedisSources.Options,
+      sel: StreamSelection): Seq[String] = sel match {
+    case SingleStream(n) => Seq(n)
+    case MultiStreams(ns) => ns
+    case PatternStreams(glob) =>
+      val out = Seq.newBuilder[String]
+      var cursor = "0"
+      var first = true
+      while (first || cursor != "0") {
+        first = false
+        val (next, keys) = RedisCommands.scanPage(c, cursor, glob, opts.count,
+          scanType = Some("stream"))
+        cursor = next
+        out ++= keys
+      }
+      out.result().distinct.sorted
+  }
+}
+
+/** N streams, one micro-batch query: the 100 TB ingest shape (a single
+  * Redis stream is one ordered partition by design — the server's
+  * ordering guarantee — so scale-out is MANY streams, exactly like
+  * Kafka topics scale by partition count). One [[RedisStreamRange]]
+  * partition per advanced stream per batch; the offset is a composite
+  * {stream → last id} JSON map ([[RedisEntryMapOffset]]).
+  *
+  * Admission-cap split, stated precisely (all deterministic given the
+  * start offset and server state — the same contract as the
+  * single-stream probe, and replay never re-probes: a committed batch
+  * replays from its recorded (start, end] ranges):
+  *  - the cap is split evenly across the member streams (n/k each,
+  *    the first n%k in probe order get one extra);
+  *  - streams are probed in sorted order ROTATED by a hash of the
+  *    start-offset JSON, so which streams get the extras (and the
+  *    carry, below) rotates as the query makes progress — a fixed
+  *    order would starve the lexicographically-last stream whenever
+  *    cap < backlog everywhere;
+  *  - a stream that cannot fill its share donates the leftover to the
+  *    NEXT stream in probe order (work-conserving within the trigger).
+  *
+  * Membership semantics:
+  *  - `streams` list: fixed; a checkpointed stream no longer listed is
+  *    carried in the offset map untouched (re-adding it resumes);
+  *  - `streams.pattern`: re-resolved every trigger; a NEW match enters
+  *    at `0-0` (read fully — the Kafka new-partition rule, regardless
+  *    of startingOffsets, which only positions query-START members); a
+  *    checkpointed stream that stops matching keeps its map entry and
+  *    stops advancing only if deleted (XRANGE on a missing key is
+  *    empty) — never silently dropped from the offset;
+  *  - Trigger.AvailableNow pins both membership and per-stream tips at
+  *    start: the drain reads exactly the backlog that existed then.
+  */
+class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
+    sopts: RedisStreamEntries.StreamOptions)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import RedisStreamEntries._
+
+  private def withConn[T](f: RedisConnection => T): T =
+    RedisConnection.withPooled(opts.host, opts.port, opts.auth,
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
+
+  private def membersNow(c: RedisConnection): Seq[String] =
+    RedisMultiStreamMicroBatch.members(c, opts, sopts.selection)
+
+  // AvailableNow: pin membership AND per-stream tips once at query
+  // start; an empty keyspace pins the empty map so a live producer
+  // cannot keep the drain running forever
+  @volatile private var availableNowEnds: Option[Map[String, String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnds = Some(withConn { c =>
+      membersNow(c).map(s => s -> RedisCommands.xlast(c, s).getOrElse(ZeroId)).toMap
+    })
+
+  override def initialOffset(): Offset = withConn { c =>
+    val ms = membersNow(c)
+    RedisEntryMapOffset(ms.map { s =>
+      s -> (sopts.startAt match {
+        case StartEarliest => ZeroId
+        case StartLatest => RedisCommands.xlast(c, s).getOrElse(ZeroId)
+        // a point-in-time id is meaningful across streams: the ms
+        // component is a wall-clock timestamp on every stream
+        case StartAfter(id) => id
+      })
+    }.toMap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    sopts.maxPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val restored = start.asInstanceOf[RedisEntryMapOffset].ids
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(r.maxRows().min(Int.MaxValue.toLong).toInt)
+      case _ => sopts.maxPerTrigger
+    }
+    withConn { c =>
+      // during an AvailableNow drain membership is the pinned set;
+      // otherwise re-resolve (new pattern matches enter at 0-0)
+      val membership = (availableNowEnds match {
+        case Some(pinned) => pinned.keySet ++ restored.keySet
+        case None => membersNow(c).toSet ++ restored.keySet
+      }).toSeq.sorted
+      val k = membership.length
+      if (k == 0) RedisEntryMapOffset(restored)
+      else {
+        // rotate the probe order by a hash of the canonical start
+        // offset: deterministic for a given start, rotates with
+        // progress (see class doc)
+        val rot = math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(
+            RedisEntryMapOffset.serialize(restored)), k)
+        val order = membership.drop(rot) ++ membership.take(rot)
+        val shares: Map[String, Int] = cap match {
+          case None => Map.empty // unused
+          case Some(n) => order.zipWithIndex.map { case (s, i) =>
+            s -> (n / k + (if (i < n % k) 1 else 0))
+          }.toMap
+        }
+        var carry = 0
+        val advanced = order.map { s =>
+          val from = restored.getOrElse(s, ZeroId)
+          // drain mode: never pass the pinned tip; a stream with no pin
+          // (appeared after prepare) is not admitted during the drain
+          val tip: Option[String] = availableNowEnds match {
+            case Some(pinned) => pinned.get(s).orElse(Some(from))
+            case None => None
+          }
+          val rangeEnd = tip.getOrElse("+")
+          val end = cap match {
+            case Some(_) =>
+              val quota = shares(s) + carry
+              if (quota <= 0 ||
+                  tip.exists(t => RedisCommands.compareStreamIds(t, from) <= 0)) {
+                carry = quota // nothing read: the whole quota rolls on
+                None
+              } else {
+                val page = RedisCommands.xrange(c, s, "(" + from, rangeEnd,
+                  Some(quota))
+                carry = quota - page.length
+                page.lastOption.map(_.id)
+              }
+            case None =>
+              if (tip.isDefined) tip.filter(t =>
+                RedisCommands.compareStreamIds(t, from) > 0)
+              else RedisCommands.xlast(c, s).filter(last =>
+                RedisCommands.compareStreamIds(last, from) > 0)
+          }
+          s -> end.filter(e => RedisCommands.compareStreamIds(e, from) > 0)
+            .getOrElse(from)
+        }.toMap
+        RedisEntryMapOffset(restored ++ advanced)
+      }
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RedisEntryMapOffset].ids
+    val e = end.asInstanceOf[RedisEntryMapOffset].ids
+    e.toSeq.sortBy(_._1).flatMap { case (stream, endId) =>
+      val from = s.getOrElse(stream, ZeroId)
+      if (RedisCommands.compareStreamIds(endId, from) <= 0) None
+      else Some(RedisStreamRange(opts.host, opts.port, stream, from, endId,
+        opts.count, opts.auth, opts.tls, opts.tlsTrustAll,
+        emitStream = true): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RedisStreamEntriesMicroBatch.readerFactory
+
+  override def deserializeOffset(json: String): Offset =
+    RedisEntryMapOffset(RedisEntryMapOffset.parse(json))
+
+  /** Like the single-stream source: retention (`XTRIM`) is the
+    * server operator's policy; nothing to release here.
     */
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -712,6 +712,150 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "3-5" -> "a5", "4-1" -> "b1", "4-2" -> "b2", "4-3" -> "b3"), all.mkString(","))
   }
 
+  test("multi-stream: streams=a,b reads both under one composite offset, prepends the stream column, splits the cap, batch face matches") {
+    val (a, b) = ("xmulti:a", "xmulti:b")
+    (1 to 6).foreach(i => server.putStreamEntry(a, s"10-$i", Seq("v" -> s"a$i")))
+    (1 to 6).foreach(i => server.putStreamEntry(b, s"11-$i", Seq("v" -> s"b$i")))
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams", s"$a, $b").option("maxEntriesPerTrigger", "4")
+      .load()
+      .writeStream.format("memory").queryName("xmulti")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("xmulti").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getMap[String, String](2).toMap.apply("v"))).sortBy(t => (t._1, t._2))
+      // union-equals-backlog, stream column names the origin
+      assert(got.toSeq ==
+        (1 to 6).map(i => (a, s"10-$i", s"a$i")) ++
+          (1 to 6).map(i => (b, s"11-$i", s"b$i")), got.mkString(","))
+      // the cap was ADMISSION (per batch ≤ 4, so ≥3 non-empty batches),
+      // split across the two streams rather than serialized one-by-one
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 4), sizes.mkString(","))
+      assert(sizes.length >= 3, sizes.mkString(","))
+      // batch face: same union, same schema
+      val batch = spark.read.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams", s"$a,$b").load()
+      assert(batch.columns.toSeq == Seq("stream", "entry_id", "fields"))
+      assert(batch.count() == 12)
+    } finally q.stop()
+    // a multi-stream table is read-only: a write must name ONE stream
+    val w = intercept[Exception] {
+      import spark.implicits._
+      Seq(("1", "x")).toDF("n", "v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams", s"$a,$b").mode("append").save()
+    }
+    // the capability gate makes the table read-only, so the writer is
+    // rejected at plan time ("does not allow create table as select")
+    assert(chain(w).toLowerCase.contains("does not allow"), chain(w))
+    // stream/streams/streams.pattern are mutually exclusive
+    val x = intercept[Exception] {
+      spark.read.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", a).option("streams", s"$a,$b").load()
+    }
+    assert(chain(x).contains("mutually exclusive"), chain(x))
+  }
+
+  test("multi-stream checkpoint restart: the composite {stream -> id} offset resumes every stream, no replay, no loss") {
+    import graft.net.RedisCommands
+    val (a, b) = ("xmc:a", "xmc:b")
+    (1 to 3).foreach(i => server.putStreamEntry(a, s"20-$i", Seq("v" -> s"a$i")))
+    (1 to 2).foreach(i => server.putStreamEntry(b, s"21-$i", Seq("v" -> s"b$i")))
+    val base = java.nio.file.Files.createTempDirectory("graft-xmc").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams", s"$a,$b").option("maxEntriesPerTrigger", "2")
+        .load()
+        .selectExpr("stream", "entry_id", "fields['v'] AS v")
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() == 5)
+    // the committed offset is a canonical JSON map (sorted keys)
+    val offsetFiles = new java.io.File(s"$base/ckpt/offsets").listFiles().sortBy(_.getName)
+    val lastOffset = new String(java.nio.file.Files.readAllBytes(
+      offsetFiles.last.toPath), "UTF-8")
+    assert(lastOffset.contains(s"""{"$a":"20-3","$b":"21-2"}"""), lastOffset)
+    // appends to BOTH streams while the query is down
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      RedisCommands.xadd(c, a, "22-1", Seq("v" -> "a4"))
+      RedisCommands.xadd(c, b, "22-2", Seq("v" -> "b3"))
+    } finally c.close()
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(all == Seq((a, "20-1", "a1"), (a, "20-2", "a2"), (a, "20-3", "a3"),
+      (a, "22-1", "a4"), (b, "21-1", "b1"), (b, "21-2", "b2"), (b, "22-2", "b3")),
+      all.mkString(","))
+  }
+
+  test("streams.pattern: TYPE-filtered glob membership, re-resolved per trigger — a stream created mid-query joins from 0-0") {
+    import graft.net.RedisCommands
+    val (a, b) = ("xpat:one", "xpat:two")
+    (1 to 2).foreach(i => server.putStreamEntry(a, s"30-$i", Seq("v" -> s"a$i")))
+    (1 to 2).foreach(i => server.putStreamEntry(b, s"31-$i", Seq("v" -> s"b$i")))
+    // a STRING key matching the glob must not be treated as a stream
+    // (membership scan runs SCAN ... TYPE stream)
+    server.put("xpat:decoy", "not-a-stream")
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams.pattern", "xpat:*")
+      .load()
+      .writeStream.format("memory").queryName("xpat")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("xpat").select("stream").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq == Seq(a, b))
+      // a brand-new stream matching the pattern joins the SAME query,
+      // read from its beginning
+      val c = new graft.net.RedisConnection("127.0.0.1", port)
+      try RedisCommands.xadd(c, "xpat:three", "32-1", Seq("v" -> "c1"))
+      finally c.close()
+      q.processAllAvailable()
+      val got = spark.table("xpat").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((a, "30-1"), (a, "30-2"), ("xpat:three", "32-1"),
+        (b, "31-1"), (b, "31-2")), got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("multi-stream cap smaller than stream count: rotation + carry drain every stream (no starvation); AvailableNow pins the multi tip") {
+    import graft.net.RedisCommands
+    val streams = Seq("xrot:a", "xrot:b", "xrot:c")
+    streams.zipWithIndex.foreach { case (s, si) =>
+      (1 to 4).foreach(i => server.putStreamEntry(s, s"4${si}-$i", Seq("v" -> s"$si$i")))
+    }
+    // cap 2 < 3 streams: a FIXED probe order would starve the last
+    // stream; the offset-hash rotation + leftover carry must drain all 12
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams", streams.mkString(","))
+      .option("maxEntriesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("xrot")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow + multi: tips pinned per stream, the drain terminates
+    assert(q.awaitTermination(120000), "AvailableNow multi-stream drain must self-terminate")
+    val got = spark.table("xrot").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got.length == 12 && got.map(_._1).distinct.length == 3, got.mkString(","))
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.forall(_ <= 2), sizes.mkString(","))
+  }
+
   test("redis-stream sink: batch + streaming XADD writes round-trip through the source; redis_stream TVF reads in SQL") {
     import spark.implicits._
     val k = "xsink:rt"
