@@ -210,6 +210,28 @@ final case class RedisKeyBatch(keys: Array[String]) extends InputPartition
   *  - `startingOffsets` = `earliest` (default) | `latest` | an entry id
   *    `<ms>-<seq>` (start strictly AFTER it — backfill-from-a-point),
   *    mirroring the Kafka source's option.
+  *
+  * WHY NOT CONSUMER GROUPS (XREADGROUP/XACK) — the decision record:
+  * Redis consumer groups implement COMPETING-CONSUMER delivery: the
+  * server hands each entry to whichever group member asks first, tracks
+  * it in a pending-entries list, and retires it on XACK. That is a
+  * work-queue contract — delivery assignment is a server-side, runtime
+  * choice that differs run to run. Spark's micro-batch model needs the
+  * opposite: a batch is DEFINED by its (start, end] offset range, and a
+  * replayed batch must re-read exactly the same entries (that is what
+  * makes checkpoint recovery and end-to-end exactly-once composition
+  * work). Under XREADGROUP a "replay" would re-deliver whatever happens
+  * to be pending for THIS consumer — not the committed range — and
+  * XACK would retire entries Spark might still need to reprocess, so
+  * the server's delivery state and Spark's checkpoint state would fight
+  * over ownership. Entry-id offsets + XRANGE give deterministic ranges
+  * with the driver as the single source of truth, the same division of
+  * labor as the Kafka source (which likewise manages offsets itself and
+  * does not use Kafka's own consumer-group commit). Parallelism does
+  * not need groups either: it comes from N streams (see
+  * [[RedisMultiStreamMicroBatch]]), not from splitting one stream's
+  * order. Groups remain the right tool for non-Spark worker pools
+  * sharing one stream; they are deliberately NOT part of this source.
   */
 class RedisStreamEntriesProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -276,7 +298,8 @@ object RedisStreamEntries {
   final case class PatternStreams(glob: String) extends StreamSelection
 
   final case class StreamOptions(selection: StreamSelection,
-      maxPerTrigger: Option[Int], startAt: StartAt) {
+      maxPerTrigger: Option[Int], startAt: StartAt,
+      idColumn: Option[String] = None) {
     def describe: String = selection match {
       case SingleStream(n) => n
       case MultiStreams(ns) => ns.mkString(",")
@@ -322,7 +345,8 @@ object RedisStreamEntries {
           s"'<ms>-<seq>' with components up to 2^63-1 (start strictly " +
           s"after it), got '$other'")
     }
-    StreamOptions(selection, maxPer, start)
+    StreamOptions(selection, maxPer, start,
+      idColumn = Option(o.get("idColumn")).filter(_.nonEmpty))
   }
 }
 
@@ -358,6 +382,20 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     * representable field fails loudly too: XADD requires at least one
     * field, and silently dropping the row would corrupt downstream
     * counts.
+    *
+    * IDEMPOTENT MODE (opt-in): `.option("idColumn", c)` consumes STRING
+    * column `c` as the EXPLICIT XADD entry id (`<ms>-<seq>`) instead of
+    * `*` — Redis's own idempotence lever, because the server rejects any
+    * id ≤ the stream top. On that monotonic-id rejection the writer
+    * fetches the entry at that exact id: present WITH an equal payload →
+    * a replay, skipped (the server already holds the row); anything else
+    * (id absent = genuinely out-of-order, or present with a DIFFERENT
+    * payload = id collision) fails loudly naming the row — never a
+    * silent drop. Deterministic ids + this rule make task/epoch retries
+    * server-deduplicated. The id column must be ordered ascending within
+    * each partition and disjoint across partitions (e.g. derive it from
+    * an event timestamp and `sortWithinPartitions`); the default `*`
+    * mode stays honest at-least-once.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -370,15 +408,15 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     // validate ON THE DRIVER, before any executor work: an unsupported
     // column type should fail at plan time, not after the upstream job
     // ran and every write task threw
-    RedisStreamWriterFactory.validateSinkSchema(info.schema())
+    RedisStreamWriterFactory.validateSinkSchema(info.schema(), sopts.idColumn)
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new RedisStreamWrite(opts, target, info.schema())
+            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new RedisStreamWrite(opts, target, info.schema())
+            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn)
         }
     }
   }
@@ -428,12 +466,12 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
   * there is nothing transactional to finalize on the server.
   */
 class RedisStreamWrite(opts: RedisSources.Options, stream: String,
-    schema: StructType)
+    schema: StructType, idColumn: Option[String] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
-  private def factory = RedisStreamWriterFactory(opts, stream, schema)
+  private def factory = RedisStreamWriterFactory(opts, stream, schema, idColumn)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     factory
@@ -468,9 +506,11 @@ object RedisStreamWriterFactory {
 
   /** Driver-side schema gate: ONE MAP<STRING,STRING> column, or all
     * columns renderable atomics — anything else fails at plan time
-    * naming the column, before a single executor task runs.
+    * naming the column, before a single executor task runs. With
+    * `idColumn` set (idempotent mode), that column must exist, be
+    * STRING, and leave at least one field column beside it.
     */
-  def validateSinkSchema(schema: StructType): Unit = {
+  def validateSinkSchema(schema: StructType, idColumn: Option[String] = None): Unit = {
     val mapForm = schema.fields.length == 1 && isEntryMap(schema.fields(0).dataType)
     if (!mapForm) schema.fields.foreach { f =>
       if (!renderable(f.dataType))
@@ -479,11 +519,26 @@ object RedisStreamWriterFactory {
             s"${f.dataType.simpleString} — supported: string/numeric/boolean/" +
             "decimal/date/timestamp/binary, or ONE MAP<STRING,STRING> column")
     }
+    idColumn.foreach { c =>
+      if (mapForm) throw new IllegalArgumentException(
+        "redis-stream sink: idColumn requires the columns form — with the " +
+          "single-MAP form there is no id column to consume")
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"redis-stream sink: idColumn '$c' is not in the write schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      if (f.dataType != StringType) throw new IllegalArgumentException(
+        s"redis-stream sink: idColumn '$c' must be STRING ('<ms>-<seq>'), " +
+          s"got ${f.dataType.simpleString}")
+      if (schema.fields.length < 2) throw new IllegalArgumentException(
+        "redis-stream sink: idColumn consumes its column as the entry id — " +
+          "at least one other column is needed for the entry's fields")
+    }
   }
 }
 
 final case class RedisStreamWriterFactory(opts: RedisSources.Options,
-    stream: String, schema: StructType)
+    stream: String, schema: StructType, idColumn: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write._
@@ -499,9 +554,14 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       if (schema.fields.length == 1 &&
         RedisStreamWriterFactory.isEntryMap(schema.fields(0).dataType)) 0
       else -1
+    // idempotent mode: this column IS the explicit XADD id, not a field
+    private val idIdx = idColumn.map(schema.fieldIndex).getOrElse(-1)
     private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
-    private val buf = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    // each pending XADD keeps its (id, fields) so a server rejection can
+    // be classified (replay vs genuine error) without re-rendering
+    private val buf =
+      scala.collection.mutable.ArrayBuffer[(Seq[String], String, Seq[(String, String)])]()
     private val names = schema.fieldNames
     // Per-column RENDERERS resolved once from the schema — field values
     // must be the EXTERNAL string forms (dates as dates, timestamps as
@@ -538,13 +598,33 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
         }
       }.toArray
 
+    /** Replay test for an explicit-id rejection: the entry at that exact
+      * id already exists on the server WITH the same payload → this row
+      * was written by an earlier attempt of this task/epoch; anything
+      * else is a genuine error. Field ORDER matters: XADD preserves it,
+      * so an equal multiset in a different order is a different payload.
+      */
+    private def isReplay(id: String, fields: Seq[(String, String)]): Boolean =
+      RedisCommands.xrange(conn, stream, id, id, Some(1))
+        .headOption.exists(e => e.id == id && e.fields == fields)
+
     private def flush(): Unit = if (buf.nonEmpty) {
-      conn.pipeline(buf.toSeq).foreach {
-        case graft.resp.RespValue.Err(m) =>
-          throw new java.io.IOException(s"XADD failed: $m")
+      val pending = buf.toVector
+      buf.clear()
+      conn.pipeline(pending.map(_._1)).zip(pending).foreach {
+        case (graft.resp.RespValue.Err(m), (_, id, fields)) =>
+          // the server's monotonic-id rejection: in idempotent mode,
+          // exact-duplicate-id-with-equal-payload is a REPLAY (skip —
+          // the server already holds the row); everything else is loud
+          if (id != "*" && m.contains("equal or smaller") && isReplay(id, fields)) ()
+          else if (id != "*" && m.contains("equal or smaller"))
+            throw new java.io.IOException(
+              s"XADD $stream $id rejected (id <= stream top) and no equal " +
+                s"entry exists at that id — out-of-order or colliding " +
+                s"explicit ids; fields were ${fields.map(_._1).mkString(",")}")
+          else throw new java.io.IOException(s"XADD failed: $m")
         case _ => ()
       }
-      buf.clear()
     }
 
     override def write(row: InternalRow): Unit = {
@@ -559,7 +639,7 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
                 (if (vs.isNullAt(i)) "" else vs.getUTF8String(i).toString))
           }
         } else names.indices.collect {
-          case i if !row.isNullAt(i) => names(i) -> render(i)(row)
+          case i if i != idIdx && !row.isNullAt(i) => names(i) -> render(i)(row)
         }.toSeq
       // a Redis Stream entry MUST carry >= 1 field (XADD protocol): an
       // all-NULL row cannot be represented — fail loudly instead of
@@ -569,7 +649,21 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
           "redis-stream sink: row with no representable fields (all " +
             "columns NULL / empty map) — a stream entry needs at least " +
             "one field; filter such rows upstream")
-      buf += (Seq("XADD", stream, "*") ++ fields.flatMap(f => Seq(f._1, f._2)))
+      val id =
+        if (idIdx < 0) "*"
+        else {
+          if (row.isNullAt(idIdx)) throw new IllegalArgumentException(
+            s"redis-stream sink: idColumn '${names(idIdx)}' is NULL for a row " +
+              s"with fields ${fields.map(_._1).mkString(",")} — explicit ids " +
+              "must be present on every row")
+          val v = row.getUTF8String(idIdx).toString
+          if (!v.matches("\\d+-\\d+")) throw new IllegalArgumentException(
+            s"redis-stream sink: idColumn value '$v' is not an entry id " +
+              "'<ms>-<seq>'")
+          v
+        }
+      buf += ((Seq("XADD", stream, id) ++ fields.flatMap(f => Seq(f._1, f._2)),
+        id, fields))
       if (buf.length >= opts.count) flush()
     }
     override def commit(): WriterCommitMessage = { flush(); RedisWriteCommit(0L) }

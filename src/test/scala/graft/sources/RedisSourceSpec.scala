@@ -898,6 +898,69 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed == parsed.sorted && parsed.distinct.size == 5, ids.mkString(","))
   }
 
+  test("idempotent sink (idColumn): replayed epoch is server-deduplicated, out-of-order or colliding ids fail loudly") {
+    import spark.implicits._
+    import graft.net.RedisCommands
+    val k = "xsink:idem"
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("redis-stream").option("host", "127.0.0.1")
+        .option("port", port.toString).option("stream", k)
+        .option("idColumn", "id").mode("append").save()
+    val batch = Seq(("5-1", "a"), ("5-2", "b"), ("5-3", "c")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+    write(batch)
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      assert(RedisCommands.xlen(c, k) == 3)
+      // the id column was CONSUMED as the entry id, not written as a field
+      val entries = RedisCommands.xrange(c, k, "-", "+")
+      assert(entries.map(_.id) == Seq("5-1", "5-2", "5-3"))
+      assert(entries.forall(_.fields.map(_._1) == Seq("v")),
+        entries.map(_.fields).mkString(","))
+    } finally c.close()
+    // same batch written twice (the task-retry / epoch-replay shape):
+    // every XADD is rejected by the server's monotonic-id rule, the
+    // writer verifies equal payloads at those exact ids, and skips —
+    // XLEN unchanged
+    write(batch)
+    val c2 = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      assert(RedisCommands.xlen(c2, k) == 3)
+      assert(RedisCommands.xrange(c2, k, "-", "+")
+        .map(e => e.id -> e.fields) == Seq(
+        "5-1" -> Seq("v" -> "a"), "5-2" -> Seq("v" -> "b"), "5-3" -> Seq("v" -> "c")))
+    } finally c2.close()
+    // an id <= stream top with a DIFFERENT payload is NOT a replay:
+    // loud failure naming the id, nothing silently dropped
+    val coll = intercept[Exception] {
+      write(Seq(("5-2", "DIFFERENT")).toDF("id", "v"))
+    }
+    assert(chain(coll).contains("5-2") && chain(coll).contains("no equal"), chain(coll))
+    // an id that never existed but sorts below the top: out-of-order, loud
+    val ooo = intercept[Exception] {
+      write(Seq(("4-9", "late")).toDF("id", "v"))
+    }
+    assert(chain(ooo).contains("4-9"), chain(ooo))
+    // driver-side schema gates: missing / non-string / field-less id column
+    val miss = intercept[Exception] {
+      write(Seq(("5-9", "x")).toDF("wrong", "v"))
+    }
+    assert(chain(miss).contains("idColumn"), chain(miss))
+    val nonStr = intercept[Exception] {
+      Seq((59L, "x")).toDF("id", "v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).option("idColumn", "id").mode("append").save()
+    }
+    assert(chain(nonStr).contains("STRING"), chain(nonStr))
+    // default mode (no idColumn) is untouched: same duplicate ids would
+    // never arise because the server assigns them
+    Seq(("z", "tail")).toDF("n", "v").write.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("stream", k).mode("append").save()
+    val c3 = new graft.net.RedisConnection("127.0.0.1", port)
+    try assert(RedisCommands.xlen(c3, k) == 4) finally c3.close()
+  }
+
   test("redis-stream startingOffsets=<entry-id> backfills strictly after the given id; Trigger.AvailableNow drains and stops") {
     import graft.net.RedisCommands
     val k = "xoff:bf"
