@@ -1632,6 +1632,50 @@ object OlapQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- avro round-trip (graft-avro on the core library)
+    // The one big-data interchange format the q57-q66 battery lacked.
+    // DuckDB 1.0 has no Avro reader, so (the q59 ORC pattern) the oracle
+    // re-derives the SAME projection straight from parquet: the check
+    // passes only if the writer+reader preserve every value — longs,
+    // doubles, strings, injected NULLs, and the three LOGICAL types
+    // (timestamp-micros, date, decimal-as-bytes) plus raw binary —
+    // bit-exactly through the container-file round trip. Write is one
+    // file per partition from the executors; read plans one partition
+    // per file (AvroSources.scala scale notes).
+    q("q75_avro_roundtrip",
+      """WITH src AS (
+        |  SELECT event_id, ts, CAST(ts AS DATE) AS d, event_type, value AS v,
+        |    CAST(event_id AS DECIMAL(12,2)) AS dec,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props_n,
+        |    unhex(md5(coalesce(props, ''))) AS bin
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(count(props_n) AS BIGINT) AS n_props,
+        |  round(sum(v), 2) AS sum_value, CAST(sum(dec) AS DOUBLE) AS sum_dec,
+        |  min(ts) AS min_ts, max(ts) AS max_ts, min(d) AS min_d, max(d) AS max_d,
+        |  CAST(sum(octet_length(bin)) AS BIGINT) AS bin_bytes,
+        |  min(lower(hex(bin))) AS bin_min
+        |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_conformance/q75_avro"
+      val src = table(s, dir, "events").select(
+        col("event_id"), col("ts"), to_date(col("ts")).as("d"), col("event_type"),
+        col("value").as("v"),
+        col("event_id").cast("decimal(12,2)").as("dec"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("props")).as("props_n"),
+        unhex(md5(coalesce(col("props"), lit("")))).as("bin"))
+      graft.sources.AvroIO.write(src, out)
+      s.read.format("graft-avro").load(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("props_n")).as("n_props"),
+          Qf.dround(sum(col("v")), 2).as("sum_value"),
+          sum(col("dec")).cast("double").as("sum_dec"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+          sum(length(col("bin"))).cast("long").as("bin_bytes"),
+          min(lower(hex(col("bin")))).as("bin_min"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- file-format conformance: ORC round-trip
     // DuckDB has no ORC reader, so the oracle aggregates the SAME source
     // rows straight from parquet: the check passes only if Spark's ORC

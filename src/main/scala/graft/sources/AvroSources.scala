@@ -1,0 +1,302 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => AvroSchema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file interchange (writer + DSv2 reader) built directly
+  * on the `org.apache.avro` core library that ships with Spark's jars —
+  * the spark-avro CONNECTOR module is deliberately not a dependency
+  * (zero-egress build), and this surface needs only the flat-relational
+  * subset the engine's other interchange formats (csv/jdbc/xml) speak.
+  *
+  *   AvroIO.write(df, dir)                      // one .avro file per partition
+  *   spark.read.format("graft-avro").load(dir)  // schema inferred from the files
+  *
+  * Type mapping (both directions, Avro logical types per the public
+  * Avro 1.12 spec — nullability = union(null, T)):
+  *   boolean/int/long/float/double/string/bytes ↔ the obvious Catalyst
+  *   atomics; DateType ↔ int+`date`; TimestampType ↔ long+
+  *   `timestamp-micros`; DecimalType(p,s) ↔ bytes+`decimal(p,s)`
+  *   (two's-complement unscaled big-endian, the spec's encoding).
+  * Nested/complex Catalyst types fail loudly at write (and unknown Avro
+  * shapes at read) — flat-relational by design, like the q62 JDBC
+  * surface.
+  *
+  * Scale shape: the writer emits one container file per input
+  * partition from the executors (no driver collect), so read
+  * parallelism equals write parallelism; the reader plans one
+  * partition per file and streams records through Avro's decoder
+  * (container-file blocks bound memory). Task-sized files are the
+  * operating assumption, as with the engine's other interchange
+  * writers; finer-than-file splitting (Avro sync markers) is what the
+  * connector module exists for and is out of scope here.
+  */
+object AvroIO {
+
+  /** Spark → Avro schema for the supported flat-relational subset. */
+  def toAvroSchema(schema: StructType, recordName: String = "spark_row"): AvroSchema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+        case IntegerType => AvroSchema.create(AvroSchema.Type.INT)
+        case LongType => AvroSchema.create(AvroSchema.Type.LONG)
+        case FloatType => AvroSchema.create(AvroSchema.Type.FLOAT)
+        case DoubleType => AvroSchema.create(AvroSchema.Type.DOUBLE)
+        case StringType => AvroSchema.create(AvroSchema.Type.STRING)
+        case BinaryType => AvroSchema.create(AvroSchema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(AvroSchema.create(AvroSchema.Type.INT))
+        case TimestampType => LogicalTypes.timestampMicros()
+          .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+        case d: DecimalType => LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
+        case other => throw new IllegalArgumentException(
+          s"graft-avro: column '${f.name}' has unsupported type " +
+            s"${other.simpleString} — the surface is flat-relational " +
+            "(boolean/int/long/float/double/string/binary/date/timestamp/decimal)")
+      }
+      val t = if (f.nullable)
+        AvroSchema.createUnion(util.Arrays.asList(
+          AvroSchema.create(AvroSchema.Type.NULL), base))
+      else base
+      new AvroSchema.Field(f.name, t, null, null)
+    }
+    AvroSchema.createRecord(recordName, null, "graft", false, util.Arrays.asList(fields: _*))
+  }
+
+  /** Avro → Spark schema; inverse of [[toAvroSchema]], rejecting shapes
+    * outside the documented subset loudly.
+    */
+  def toSparkSchema(schema: AvroSchema): StructType = {
+    require(schema.getType == AvroSchema.Type.RECORD,
+      s"graft-avro: top-level Avro type must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (t, nullable) = unwrap(f.schema(), f.name())
+      StructField(f.name(), t, nullable)
+    }.toArray)
+  }
+
+  private def unwrap(s: AvroSchema, field: String): (DataType, Boolean) =
+    s.getType match {
+      case AvroSchema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != AvroSchema.Type.NULL)
+        require(nonNull.length == 1 && branches.length <= 2,
+          s"graft-avro: field '$field' has a non-nullable-union schema $s — " +
+            "only union(null, T) is supported")
+        (atomic(nonNull.head, field), true)
+      case _ => (atomic(s, field), false)
+    }
+
+  private def atomic(s: AvroSchema, field: String): DataType =
+    (s.getType, Option(s.getLogicalType)) match {
+      case (AvroSchema.Type.INT, Some(_: LogicalTypes.Date)) => DateType
+      case (AvroSchema.Type.LONG, Some(_: LogicalTypes.TimestampMicros)) => TimestampType
+      case (AvroSchema.Type.BYTES, Some(d: LogicalTypes.Decimal)) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (AvroSchema.Type.BOOLEAN, _) => BooleanType
+      case (AvroSchema.Type.INT, _) => IntegerType
+      case (AvroSchema.Type.LONG, _) => LongType
+      case (AvroSchema.Type.FLOAT, _) => FloatType
+      case (AvroSchema.Type.DOUBLE, _) => DoubleType
+      case (AvroSchema.Type.STRING, _) => StringType
+      case (AvroSchema.Type.BYTES, _) => BinaryType
+      case (t, _) => throw new IllegalArgumentException(
+        s"graft-avro: field '$field' has unsupported Avro type $t — " +
+          "flat-relational subset only")
+    }
+
+  /** Write `df` under `dir` as one Avro container file per partition,
+    * written BY THE EXECUTORS (same layout contract as parquet/orc
+    * writers: `part-<partitionId>` names, deflate-compressed blocks).
+    * A task retry overwrites its own file (same name), so the layout
+    * is retry-stable.
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    val avroJson = toAvroSchema(schema).toString // ship JSON, not the object
+    val spark = df.sparkSession
+    val hadoop = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hadoop)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.rdd.foreachPartition { it =>
+      val pid = TaskContext.get().partitionId()
+      val avro = new AvroSchema.Parser().parse(avroJson)
+      val out = new Path(dir, f"part-$pid%05d.avro")
+      val ofs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      val os = ofs.create(out, true)
+      try {
+        w.create(avro, os)
+        it.foreach { row =>
+          val rec = new GenericData.Record(avro)
+          var i = 0
+          while (i < schema.length) {
+            rec.put(i, if (row.isNullAt(i)) null else encodeValue(
+              schema(i).dataType, row.get(i)))
+            i += 1
+          }
+          w.append(rec)
+        }
+      } finally w.close() // closes os
+    }
+  }
+
+  /** External Row value → Avro runtime value (per the type mapping). */
+  private def encodeValue(dt: DataType, v: Any): AnyRef = dt match {
+    case DateType =>
+      Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+    case TimestampType =>
+      val ts = v.asInstanceOf[java.sql.Timestamp]
+      // floorDiv, not /: pre-epoch times have getTime < 0 with nanos
+      // still counting FORWARD within the second — truncation toward
+      // zero would shift them a whole second late
+      Long.box(math.addExact(
+        math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L),
+        (ts.getNanos / 1000).toLong))
+    case d: DecimalType =>
+      val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+      java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+    case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case _ => v.asInstanceOf[AnyRef] // boolean/int/long/float/double/string
+  }
+}
+
+class AvroSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroIO.toSparkSchema(AvroTable.readFileSchema(AvroTable.listFiles(options)))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroTable(schema, AvroTable.listFiles(
+      new CaseInsensitiveStringMap(properties)))
+}
+
+object AvroTable {
+  /** The .avro files under the load path (option "path"), sorted for
+    * deterministic partition order. Runs on the driver at plan time —
+    * one directory listing, the same cost as any file source's.
+    */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val path = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-avro requires a load path: spark.read.format(\"graft-avro\").load(dir)"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stat = fs.getFileStatus(root)
+    val files =
+      if (stat.isDirectory)
+        fs.listStatus(root).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+          .map(_.getPath.toString)
+      else Array(root.toString)
+    require(files.nonEmpty, s"graft-avro: no .avro files under $path")
+    files.sorted.toSeq
+  }
+
+  /** Container-file header → Avro schema (first file wins; all files of
+    * one write share it).
+    */
+  def readFileSchema(files: Seq[String]): AvroSchema = {
+    val p = new Path(files.head)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val s = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try s.getSchema finally s.close()
+    } finally scala.util.Try(in.close())
+  }
+
+  private[sources] val readerFactory: PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[AvroFilePartition]
+      val sparkSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+      new PartitionReader[InternalRow] {
+        private val path = new Path(p.file)
+        private val in = path.getFileSystem(
+          new org.apache.hadoop.conf.Configuration()).open(path)
+        private val stream =
+          new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        private var current: InternalRow = _
+        // per-column decoders resolved once from the SPARK schema (the
+        // write side's inverse; Avro runtime values → Catalyst)
+        private val dec: Array[AnyRef => Any] =
+          sparkSchema.fields.map(f => decodeValue(f.dataType) _).toArray
+
+        override def next(): Boolean =
+          if (!stream.hasNext) false
+          else {
+            val rec = stream.next()
+            val vals = new Array[Any](dec.length)
+            var i = 0
+            while (i < dec.length) {
+              val v = rec.get(i)
+              vals(i) = if (v == null) null else dec(i)(v)
+              i += 1
+            }
+            current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(vals))
+            true
+          }
+        override def get(): InternalRow = current
+        override def close(): Unit = { stream.close(); scala.util.Try(in.close()) }
+      }
+    }
+
+  private def decodeValue(dt: DataType)(v: AnyRef): Any = dt match {
+    case StringType => UTF8String.fromString(v.toString) // Utf8 or String
+    case BinaryType =>
+      val b = v.asInstanceOf[java.nio.ByteBuffer]
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case DateType => v.asInstanceOf[java.lang.Integer].intValue()
+    case TimestampType => v.asInstanceOf[java.lang.Long].longValue()
+    case d: DecimalType =>
+      val b = v.asInstanceOf[java.nio.ByteBuffer]
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale), d.precision, d.scale)
+    case _ => v // boolean/int/long/float/double are identical runtime types
+  }
+}
+
+final case class AvroFilePartition(file: String, schemaJson: String)
+    extends InputPartition
+
+class AvroTable(tableSchema: StructType, files: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro(${files.length} files)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"GraftAvro(${files.length} files)"
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f => AvroFilePartition(f, tableSchema.json): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          AvroTable.readerFactory
+      }
+    }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft-avro interchange conformance (q75's unit face): every supported
+  * type — including the three logical types and NULLs in every column —
+  * must survive the container-file round trip bit-exactly, write
+  * parallelism must be preserved on read, and everything outside the
+  * flat-relational subset must fail loudly.
+  */
+class AvroSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-avro").toString
+
+  test("all supported types round-trip bit-exactly, nulls included") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType), StructField("dec", DecimalType(12, 3))))
+    import java.sql.{Date, Timestamp}
+    val rows = Seq(
+      org.apache.spark.sql.Row(true, 1, 2L, 1.5f, 2.25, "héllo ✓",
+        Array[Byte](0, 1, -1, 127), Date.valueOf("2024-02-29"),
+        Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+        new java.math.BigDecimal("12345.678")),
+      org.apache.spark.sql.Row(false, -2, -3L, -0.5f, -1.125, "",
+        Array[Byte](), Date.valueOf("1969-12-31"),
+        Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        new java.math.BigDecimal("-0.001")),
+      // a NULL in every column
+      org.apache.spark.sql.Row(null, null, null, null, null, null,
+        null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp()
+    AvroIO.write(df, dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    // canonical render both sides: bit-exactness without Row equality quirks
+    def canon(x: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val hexed = x.withColumn("bin", lower(hex(col("bin"))))
+      hexed.select(hexed.columns.map(c => col(c).cast("string").as(c)): _*)
+        .collect().map(_.mkString("§")).sorted.toSeq
+    }
+    assert(canon(back) == canon(df), canon(back).mkString("\n"))
+    // write parallelism preserved: 2 input partitions → 2 files → 2 read partitions
+    assert(back.rdd.getNumPartitions == 2)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 2)
+  }
+
+  test("outside the flat-relational subset fails loudly; missing path/empty dir fail loudly") {
+    import spark.implicits._
+    val nested = Seq((1, Seq("a", "b"))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] { AvroIO.write(nested, tmp()) }
+    assert(e.getMessage.contains("arr") && e.getMessage.contains("unsupported"))
+    val noFiles = intercept[Exception] {
+      spark.read.format("graft-avro").load(tmp()).collect()
+    }
+    assert(noFiles.getMessage.contains("no .avro files"))
+  }
+
+  test("avro schema mapping is its own inverse (logical types, nullability)") {
+    val schema = StructType(Seq(
+      StructField("a", TimestampType, nullable = true),
+      StructField("b", DateType, nullable = false),
+      StructField("c", DecimalType(20, 6), nullable = true),
+      StructField("d", BinaryType, nullable = false)))
+    assert(AvroIO.toSparkSchema(AvroIO.toAvroSchema(schema)) == schema)
+  }
+}
