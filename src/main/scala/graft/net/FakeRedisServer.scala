@@ -22,6 +22,7 @@ final class FakeRedisServer(requestedPort: Int = 0,
     tlsKeystore: Option[(String, String)] = None) {
   private val strings = new ConcurrentHashMap[String, String]()
   private val hashes = new ConcurrentHashMap[String, Map[String, String]]()
+  private val sets = new ConcurrentHashMap[String, Set[String]]()
   // streams: append-only entry logs, ids strictly increasing (real Redis
   // Streams semantics — XADD with an id ≤ the top entry is an error)
   private val streams = new ConcurrentHashMap[String,
@@ -125,9 +126,19 @@ final class FakeRedisServer(requestedPort: Int = 0,
   def clearRequirePass(): Unit = requirePassConf = None
 
   /** Per-connection one-shot ASKING flag (real Redis scopes it this way)
-    * plus the connection's authentication state.
+    * plus the connection's authentication state and negotiated protocol
+    * (HELLO 3 flips `resp3`, like a real ≥6.0 server).
     */
-  private final class ConnState { var asking = false; var authed = false }
+  private final class ConnState {
+    var asking = false; var authed = false; var resp3 = false
+  }
+
+  // RESP3 out-of-band test hook: the next command on a RESP3 connection
+  // gets this push frame written BEFORE its reply (the shape of a
+  // client-tracking invalidation arriving mid-conversation) — clients
+  // must skip it, not mistake it for the reply
+  @volatile private var pushOnNext: Option[RespValue] = None
+  def setPushOnNext(frame: RespValue): Unit = pushOnNext = Some(frame)
 
   private def serve(sock: Socket): Unit = {
     val in = sock.getInputStream
@@ -142,7 +153,12 @@ final class FakeRedisServer(requestedPort: Int = 0,
           case RespCodec.Decoded(v, next) =>
             pos = next
             if (pos == end) { pos = 0; end = 0 }
-            out.write(RespCodec.encode(handle(v, st)))
+            val reply = handle(v, st)
+            if (st.resp3) pushOnNext.foreach { p =>
+              pushOnNext = None
+              out.write(RespCodec.encode(p))
+            }
+            out.write(RespCodec.encode(reply))
             out.flush()
           case RespCodec.Incomplete =>
             if (end == buf.length) {
@@ -179,13 +195,41 @@ final class FakeRedisServer(requestedPort: Int = 0,
       cmd match {
         case "PING" => Simple("PONG")
         case "ECHO" => Bulk(args(1))
+        case "HELLO" =>
+          // real ≥6.0 semantics: bare HELLO reports, HELLO 2|3 switches;
+          // anything else is NOPROTO
+          val want = if (args.length >= 2) args(1) else (if (st.resp3) "3" else "2")
+          want match {
+            case "2" => st.resp3 = false
+            case "3" => st.resp3 = true
+            case _ => return Err(
+              "NOPROTO unsupported protocol version")
+          }
+          val meta: Vector[(RespValue, RespValue)] = Vector(
+            (Bulk("server"), Bulk("fake-redis")),
+            (Bulk("version"), Bulk("7.4.0")),
+            (Bulk("proto"), Int64(if (st.resp3) 3L else 2L)),
+            (Bulk("mode"), Bulk("standalone")))
+          // RESP2 renders the same metadata as a flat array, RESP3 as a map
+          if (st.resp3) Mp(meta)
+          else Arr(meta.flatMap { case (k, v) => Vector(k, v) })
         case "ASKING" => st.asking = true; Simple("OK")
+        case "SADD" =>
+          val before = Option(sets.get(args(1))).getOrElse(Set.empty)
+          val after = before ++ args.drop(2)
+          sets.put(args(1), after)
+          Int64((after.size - before.size).toLong)
+        case "SMEMBERS" =>
+          val m = Option(sets.get(args(1))).getOrElse(Set.empty)
+            .toVector.sorted.map(Bulk(_): RespValue)
+          if (st.resp3) St(m) else Arr(m)
         case "SET" => strings.put(args(1), args(2)); Simple("OK")
         case "GET" => redirect(args(1), asking).getOrElse(
           Option(strings.get(args(1))).map(Bulk(_): RespValue).getOrElse(Null))
         case "DEL" =>
           val n = args.tail.count(k =>
-            strings.remove(k) != null | hashes.remove(k) != null | streams.remove(k) != null)
+            strings.remove(k) != null | hashes.remove(k) != null |
+              streams.remove(k) != null | sets.remove(k) != null)
           Int64(n.toLong)
         case "MGET" =>
           // cluster semantics: a batch whose slot is owned elsewhere gets
@@ -198,8 +242,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
           hashes.merge(args(1), kv, (a, b) => a ++ b)
           Int64(kv.size.toLong)
         case "HGETALL" => redirect(args(1), asking).getOrElse {
-          val m = Option(hashes.get(args(1))).getOrElse(Map.empty)
-          Arr(m.toVector.sortBy(_._1).flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
+          val m = Option(hashes.get(args(1))).getOrElse(Map.empty).toVector.sortBy(_._1)
+          // real RESP3 servers answer HGETALL with a MAP frame
+          if (st.resp3) Mp(m.map { case (f, v) => (Bulk(f): RespValue, Bulk(v): RespValue) })
+          else Arr(m.flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
         }
         case "SCAN" => scan(args.tail)
         case "XADD" => xadd(args.tail)
@@ -224,6 +270,7 @@ final class FakeRedisServer(requestedPort: Int = 0,
     if (strings.containsKey(key)) "string"
     else if (hashes.containsKey(key)) "hash"
     else if (streams.containsKey(key)) "stream"
+    else if (sets.containsKey(key)) "set"
     else "none"
 
   private def scan(args: Seq[String]): RespValue = {
@@ -251,7 +298,7 @@ final class FakeRedisServer(requestedPort: Int = 0,
     }
     // real Redis SCAN walks the whole keyspace regardless of value type
     val allKeys = (strings.keySet.asScala ++ hashes.keySet.asScala ++
-      streams.keySet.asScala).toVector.sorted
+      streams.keySet.asScala ++ sets.keySet.asScala).toVector.sorted
     if (cursor >= allKeys.length) cursor = allKeys.length
     val page = allKeys.slice(cursor, cursor + count)
     val nextCursor = if (cursor + count >= allKeys.length) 0 else cursor + count

@@ -121,6 +121,23 @@ object RedisCommands {
       }
     }
 
+  /** SMEMBERS → member set (RESP2 array or RESP3 set reply — the `~`
+    * frame a RESP3 server uses for set-typed replies).
+    */
+  def smembers(c: RedisConnection, key: String): Set[String] = {
+    def members(items: Vector[RespValue]): Set[String] = items.map {
+      case b: Bulk => b.text
+      case Simple(s) => s
+      case o => fail("SMEMBERS member", o)
+    }.toSet
+    c.command("SMEMBERS", key) match {
+      case Arr(items) => members(items)
+      case St(items) => members(items)
+      case Err(m) => throw new java.io.IOException(s"SMEMBERS error: $m")
+      case other => fail("SMEMBERS reply", other)
+    }
+  }
+
   /** HGETALL → field map (RESP2 flat array or RESP3 map reply). Follows
     * one cluster redirect.
     */

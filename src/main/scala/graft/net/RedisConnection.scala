@@ -22,7 +22,7 @@ import graft.resp.{RespCodec, RespValue}
   */
 final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 5000,
     val auth: Option[String] = None, val tls: Boolean = false,
-    val tlsTrustAll: Boolean = false)
+    val tlsTrustAll: Boolean = false, val resp3: Boolean = false)
     extends AutoCloseable {
 
   private val socket: Socket = {
@@ -89,6 +89,40 @@ final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 50
     }
   }
 
+  // RESP3 mode: HELLO 3 switches the server's protocol for this
+  // connection (public Redis ≥6.0 surface). The reply is the server
+  // metadata map — require proto=3 in it; an old server answers
+  // -NOPROTO, which fails LOUDLY here rather than silently running
+  // RESP2 (the caller asked for RESP3 semantics — e.g. map-typed
+  // HGETALL — and must not get a lookalike). Runs AFTER auth: both
+  // handshake orders are legal, and keeping AUTH first reuses its
+  // loud-failure path unchanged.
+  if (resp3) command("HELLO", "3") match {
+    case RespValue.Mp(entries) =>
+      val proto = entries.collectFirst {
+        case (b: RespValue.Bulk, RespValue.Int64(p)) if b.text == "proto" => p
+      }
+      if (!proto.contains(3L)) {
+        try close() catch { case _: Throwable => () }
+        throw new java.io.IOException(
+          s"HELLO 3 handshake with $host:$port: reply lacks proto=3 ($entries)")
+      }
+    case RespValue.Err(m) =>
+      try close() catch { case _: Throwable => () }
+      throw new java.io.IOException(
+        s"server $host:$port does not speak RESP3 (HELLO 3 → $m)")
+    case other =>
+      try close() catch { case _: Throwable => () }
+      throw new java.io.IOException(s"unexpected HELLO reply: $other")
+  }
+
+  /** Out-of-band RESP3 push frames skipped by [[readReply]] — a client
+    * that never SUBSCRIBEs ignores them by contract (they are
+    * invalidation/pubsub traffic addressed to nobody here); counted so
+    * tests can assert the skip actually happened.
+    */
+  @volatile var pushesIgnored: Long = 0L
+
   /** PING/PONG handshake (reference: redis_client.cpp:98-118). */
   def ping(): Unit = command("PING") match {
     case RespValue.Simple("PONG") => ()
@@ -121,7 +155,12 @@ final class RedisConnection(val host: String, val port: Int, timeoutMs: Int = 50
           case RespCodec.Decoded(v, next) =>
             bufPos = next
             if (bufPos == bufEnd) { bufPos = 0; bufEnd = 0 } // cheap compaction
-            return v
+            v match {
+              // RESP3 out-of-band push: not the reply to anything —
+              // skip it and keep reading (see pushesIgnored)
+              case _: RespValue.Push if resp3 => pushesIgnored += 1
+              case _ => return v
+            }
           case RespCodec.Incomplete => fill()
         }
       } else fill()

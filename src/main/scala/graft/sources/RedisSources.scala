@@ -49,7 +49,8 @@ object RedisSources {
   final case class Options(host: String, port: Int, pattern: String, count: Int,
       partitionPatterns: Seq[String], slots: Int, clusterMode: Boolean,
       auth: Option[String] = None, tls: Boolean = false,
-      tlsTrustAll: Boolean = false, scanType: Option[String] = None) {
+      tlsTrustAll: Boolean = false, scanType: Option[String] = None,
+      resp3: Boolean = false) {
     /** Disjoint pattern lists, one per input partition. */
     def effectivePatterns(pushed: Option[String]): Seq[Seq[String]] = pushed match {
       case Some(p) => Seq(Seq(p))
@@ -85,6 +86,16 @@ object RedisSources {
         require(valid(t.toLowerCase),
           s"scan.type must be one of ${valid.toSeq.sorted.mkString("/")}, got '$t'")
         t.toLowerCase
+      },
+      // protocol negotiation: .option("resp", "3") sends HELLO 3 on every
+      // connection (loud failure on pre-6.0 servers) — reply SHAPES differ
+      // (map-typed HGETALL, set frames) but the parsed rows are identical,
+      // pinned by spec
+      resp3 = o.getOrDefault("resp", "2") match {
+        case "2" => false
+        case "3" => true
+        case other => throw new IllegalArgumentException(
+          s"resp must be '2' (default) or '3', got '$other'")
       },
       partitionPatterns = Option(o.get("partition.patterns")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
@@ -130,7 +141,7 @@ object RedisSources {
       RedisInputPartition(h, p, pats, opts.count, limit, topN,
         auth = opts.auth, tls = opts.tls,
         tlsTrustAll = opts.tlsTrustAll, ownedSlots = owned,
-        scanType = opts.scanType): InputPartition
+        scanType = opts.scanType, resp3 = opts.resp3): InputPartition
     }.toArray
   }
 
@@ -285,7 +296,7 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
                 .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
                   auth = opts.auth, tls = opts.tls,
                   tlsTrustAll = opts.tlsTrustAll,
-                  scanType = opts.scanType): InputPartition)
+                  scanType = opts.scanType, resp3 = opts.resp3): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               (partition: InputPartition) =>
@@ -301,7 +312,7 @@ class RedisHashPartitionReader(p: RedisInputPartition)
   import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 
   private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
-    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll, resp3 = p.resp3)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -507,7 +518,8 @@ class RedisScan(fetchValues: Boolean, opts: RedisSources.Options, pushedGlob: Op
     else opts.effectivePatterns(pushedGlob)
       .map(ps => RedisInputPartition(opts.host, opts.port, ps, opts.count,
         pushedLimit, pushedTopN, auth = opts.auth, tls = opts.tls,
-        tlsTrustAll = opts.tlsTrustAll, scanType = opts.scanType): InputPartition)
+        tlsTrustAll = opts.tlsTrustAll, scanType = opts.scanType,
+        resp3 = opts.resp3): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedisReaderFactory(fetchValues)
@@ -525,7 +537,9 @@ final case class RedisInputPartition(host: String, port: Int, patterns: Seq[Stri
     // standalone; readers re-verify ownership at cursor end)
     ownedSlots: Seq[(Int, Int)] = Nil,
     // `SCAN ... TYPE t` server-side filter (scan.type option)
-    scanType: Option[String] = None)
+    scanType: Option[String] = None,
+    // HELLO 3 per connection (resp option)
+    resp3: Boolean = false)
     extends InputPartition {
   // case-class toString would print the credential into task logs /
   // debug dumps — mask it (present/absent is all an operator needs)
@@ -566,7 +580,7 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
-    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll, resp3 = p.resp3)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false
@@ -634,7 +648,7 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
-    tls = p.tls, tlsTrustAll = p.tlsTrustAll)
+    tls = p.tls, tlsTrustAll = p.tlsTrustAll, resp3 = p.resp3)
   private var cursor = "0"
   private var patternIdx = 0
   private var done = false

@@ -183,4 +183,58 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c2 = new RedisConnection("localhost", port)
     try c2.ping() finally c2.close()
   }
+
+  test("RESP3 live mode: HELLO 3 handshake, map-typed HGETALL, set frame, ignored out-of-band push") {
+    val c3 = new RedisConnection("127.0.0.1", port, resp3 = true)
+    try {
+      // the handshake already validated proto=3; commands behave identically
+      c3.ping()
+      // HGETALL arrives as a RESP3 MAP frame (%) — parsed to the same rows
+      // the RESP2 flat array gives (the codec's Mp path, live end-to-end)
+      assert(RedisCommands.hgetall(c3, "user:1001") ==
+        RedisCommands.hgetall(conn, "user:1001"))
+      assert(RedisCommands.hgetall(c3, "user:1001") == Map("name" -> "Ada", "age" -> "36"))
+      // set-typed reply arrives as a RESP3 SET frame (~) on c3, an array on conn
+      c3.command("SADD", "resp3:set", "a", "b", "c")
+      assert(RedisCommands.smembers(c3, "resp3:set") == Set("a", "b", "c"))
+      assert(RedisCommands.smembers(conn, "resp3:set") == Set("a", "b", "c"))
+      // an out-of-band PUSH frame (>) lands BEFORE the next reply — the
+      // client must skip it, not hand it back as the command's answer
+      import graft.resp.RespValue._
+      server.setPushOnNext(Push(Vector(Bulk("invalidate"), Bulk("user:1001"))))
+      assert(RedisCommands.get(c3, "testkey:0001").contains("value1"))
+      assert(c3.pushesIgnored == 1, s"pushes ignored: ${c3.pushesIgnored}")
+      // pipelines skip pushes the same way
+      server.setPushOnNext(Push(Vector(Bulk("invalidate"), Bulk("x"))))
+      val replies = c3.pipeline(Seq(Seq("GET", "testkey:0002"), Seq("GET", "testkey:0003")))
+      assert(replies.collect { case b: Bulk => b.text } == Seq("value2", "value3"))
+      assert(c3.pushesIgnored == 2)
+    } finally c3.close()
+    // a server that answers NOPROTO (RESP2-only) fails the connect loudly
+    // — simulated by requesting a protocol the fake rejects is not
+    // possible here (it speaks 3), so assert the option-parse/handshake
+    // contract the other way: HELLO with an unsupported version errors
+    assert(conn.command("HELLO", "4").isInstanceOf[graft.resp.RespValue.Err])
+  }
+
+  test("RESP3 through the DSv2 sources: .option(\"resp\", \"3\") returns identical rows") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    def rows(resp: String): Seq[(String, String)] =
+      spark.read.format("redis-hash")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("pattern", "user:*").option("resp", resp).load()
+        .selectExpr("key", "fields['name'] AS name")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows("3") == rows("2"))
+    assert(rows("3") == Seq("user:1001" -> "Ada"))
+    val bad = intercept[Exception] {
+      spark.read.format("redis-hash")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("resp", "4").load().collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(bad).contains("resp must be"), chain(bad))
+  }
 }
