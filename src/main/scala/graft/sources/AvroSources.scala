@@ -185,11 +185,14 @@ class AvroSourceProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroIO.toSparkSchema(AvroTable.readFileSchema(AvroTable.listFiles(options)))
+    AvroIO.toSparkSchema(AvroTable.readFileSchema(
+      AvroTable.listFiles(AvroTable.pathOf(options))))
+  // writes carry the dataframe's schema (the path may not exist yet);
+  // reads infer from the files
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AvroTable(schema, AvroTable.listFiles(
-      new CaseInsensitiveStringMap(properties)))
+    new AvroTable(schema, AvroTable.pathOf(new CaseInsensitiveStringMap(properties)))
 }
 
 object AvroTable {
@@ -197,10 +200,12 @@ object AvroTable {
     * deterministic partition order. Runs on the driver at plan time —
     * one directory listing, the same cost as any file source's.
     */
-  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
-    val path = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+  def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).filter(_.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
-        "graft-avro requires a load path: spark.read.format(\"graft-avro\").load(dir)"))
+        "graft-avro requires a path: .load(dir) to read, .save(dir) to write"))
+
+  def listFiles(path: String): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val stat = fs.getFileStatus(root)
@@ -281,14 +286,19 @@ object AvroTable {
 final case class AvroFilePartition(file: String, schemaJson: String)
     extends InputPartition
 
-class AvroTable(tableSchema: StructType, files: Seq[String])
-    extends Table with SupportsRead {
-  override def name(): String = s"graft-avro(${files.length} files)"
+class AvroTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"graft-avro($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      // files listed at SCAN build, not table construction: the same
+      // path may be the target of a write that hasn't happened yet
+      private lazy val files = AvroTable.listFiles(path)
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = tableSchema
         override def description(): String = s"GraftAvro(${files.length} files)"
@@ -298,5 +308,140 @@ class AvroTable(tableSchema: StructType, files: Seq[String])
         override def createReaderFactory(): PartitionReaderFactory =
           AvroTable.readerFactory
       }
+    }
+
+  /** DSv2 write face — `df.write.format("graft-avro").mode(m).save(dir)`
+    * with the standard staged-commit file protocol: every task attempt
+    * writes its own UNIQUELY-NAMED file under `<dir>/.staging-<queryId>`,
+    * only the files named in COMMITTED task messages are renamed into
+    * the target, and the staging dir is dropped — so task retries and
+    * speculative duplicates can never surface, and a failed job leaves
+    * the target untouched (the same atomicity family as LedgerGuard's
+    * staged swaps). `overwrite` deletes the previous `.avro` files at
+    * COMMIT time, after every task has succeeded; `append` final names
+    * carry the queryId so they cannot collide with earlier writes.
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    AvroIO.toAvroSchema(info.schema()) // plan-time loud validation
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new AvroBatchWrite(path, info.schema(), overwrite, info.queryId())
+        }
+    }
+  }
+}
+
+/** Driver-side half of the staged-commit protocol (see
+  * [[AvroTable.newWriteBuilder]]).
+  */
+class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
+    queryId: String) extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingName = s".staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(new Path(root, stagingName))
+    AvroWriterFactory(s"$dir/$stagingName", queryId, schema.json,
+      AvroIO.toAvroSchema(schema).toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val staging = new Path(root, stagingName)
+    if (overwrite) fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach { case AvroTaskCommit(staged, fin) =>
+      if (!fs.rename(new Path(staging, staged), new Path(root, fin)))
+        throw new java.io.IOException(
+          s"graft-avro commit: rename $staged -> $fin under $dir failed")
+    }
+    fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new Path(root, stagingName), true)
+  }
+}
+
+/** One staged file per task attempt; `staged` is attempt-unique, `fin`
+  * is partition-unique (exactly one attempt per partition commits).
+  */
+final case class AvroTaskCommit(staged: String, fin: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final case class AvroWriterFactory(stagingDir: String, queryId: String,
+    sparkSchemaJson: String, avroSchemaJson: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val sparkSchema =
+        DataType.fromJson(sparkSchemaJson).asInstanceOf[StructType]
+      private val avro = new AvroSchema.Parser().parse(avroSchemaJson)
+      private val staged = f"part-$partitionId%05d-$taskId.avro"
+      private val fin = f"part-$partitionId%05d-${queryId.take(8)}.avro"
+      private val out = new Path(stagingDir, staged)
+      private val w = {
+        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val wr = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avro))
+        wr.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        wr.create(avro, fs.create(out, true))
+        wr
+      }
+      // Catalyst-side getters: InternalRow already stores timestamps as
+      // MICROS and dates as DAYS — exactly Avro's logical encodings, so
+      // the write path has no conversion at all for them
+      private val get: Array[InternalRow => AnyRef] =
+        sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case BooleanType => (r: InternalRow) => Boolean.box(r.getBoolean(i))
+            case IntegerType | DateType => (r: InternalRow) => Int.box(r.getInt(i))
+            case LongType | TimestampType => (r: InternalRow) => Long.box(r.getLong(i))
+            case FloatType => (r: InternalRow) => Float.box(r.getFloat(i))
+            case DoubleType => (r: InternalRow) => Double.box(r.getDouble(i))
+            case StringType => (r: InternalRow) => r.getUTF8String(i).toString
+            case BinaryType => (r: InternalRow) =>
+              java.nio.ByteBuffer.wrap(r.getBinary(i))
+            case d: DecimalType => (r: InternalRow) => java.nio.ByteBuffer.wrap(
+              r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+                .setScale(d.scale).unscaledValue().toByteArray)
+            case other => throw new IllegalArgumentException(
+              s"graft-avro: unsupported type ${other.simpleString}") // gated at plan
+          }
+        }.toArray
+
+      override def write(row: InternalRow): Unit = {
+        val rec = new GenericData.Record(avro)
+        var i = 0
+        while (i < get.length) {
+          rec.put(i, if (row.isNullAt(i)) null else get(i)(row))
+          i += 1
+        }
+        w.append(rec)
+      }
+      override def commit(): WriterCommitMessage = { w.close(); AvroTaskCommit(staged, fin) }
+      override def abort(): Unit = {
+        scala.util.Try(w.close())
+        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        scala.util.Try(fs.delete(out, false))
+      }
+      override def close(): Unit = ()
     }
 }

@@ -73,6 +73,37 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(noFiles.getMessage.contains("no .avro files"))
   }
 
+  test("DSv2 write face: staged commit, overwrite and append modes, no staging residue") {
+    import spark.implicits._
+    val dir = tmp()
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+    df1.write.format("graft-avro").mode("overwrite").save(dir)
+    val back1 = spark.read.format("graft-avro").load(dir)
+    assert(back1.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // write parallelism preserved through the staged protocol
+    assert(back1.rdd.getNumPartitions == 2)
+    // append: new files carry the queryId, never colliding with run 1
+    Seq((4L, "d")).toDF("id", "v").write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 4)
+    // overwrite: previous .avro files are replaced at commit time
+    Seq((9L, "z")).toDF("id", "v").write.format("graft-avro").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-avro").load(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((9L, "z")), after.mkString(","))
+    // the staging dir was dropped with the commit — no residue
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")),
+      new java.io.File(dir).listFiles().map(_.getName).mkString(","))
+    // unsupported type fails at PLAN time through the DSv2 face too
+    val e = intercept[Exception] {
+      Seq((1, Map("k" -> "v"))).toDF("id", "m").write
+        .format("graft-avro").mode("overwrite").save(tmp())
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("unsupported"), chain(e))
+  }
+
   test("avro schema mapping is its own inverse (logical types, nullability)") {
     val schema = StructType(Seq(
       StructField("a", TimestampType, nullable = true),
