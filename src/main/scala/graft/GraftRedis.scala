@@ -129,9 +129,24 @@ object GraftRedis {
       exprs => GraftSqlShims.logicalPlan(kv(spark, patternArg(exprs, "redis_kv"))), "scala_udf")
     reg.createOrReplaceTempFunction("redis_hash",
       exprs => GraftSqlShims.logicalPlan(hash(spark, patternArg(exprs, "redis_hash"))), "scala_udf")
-    // Redis Streams batch face: SELECT * FROM redis_stream('events')
+    // Redis Streams batch face: SELECT * FROM redis_stream('events') —
+    // or several streams at once, redis_stream('a', 'b', ...), which
+    // returns the multi-stream shape with the leading `stream` column
+    def streamArgs(exprs: Seq[Expression]): Seq[String] = {
+      val lits = exprs.collect {
+        case e if e.foldable && e.dataType == StringType && e.eval() != null =>
+          e.eval().toString
+      }
+      require(lits.nonEmpty && lits.length == exprs.length,
+        "redis_stream expects one or more literal string stream keys, " +
+          "e.g. redis_stream('events') or redis_stream('a', 'b')")
+      lits
+    }
     reg.createOrReplaceTempFunction("redis_stream",
-      exprs => GraftSqlShims.logicalPlan(stream(spark, patternArg(exprs, "redis_stream"))), "scala_udf")
+      exprs => GraftSqlShims.logicalPlan(streamArgs(exprs) match {
+        case Seq(one) => stream(spark, one)
+        case many => streams(spark, many)
+      }), "scala_udf")
   }
 
   /** Hash keys → (key STRING, fields MAP<STRING,STRING>). */
@@ -151,6 +166,27 @@ object GraftRedis {
   def stream(spark: SparkSession, key: String): DataFrame =
     streamOpts(spark.read.format("redis-stream"), spark)
       .option("stream", key).load()
+
+  /** Several streams at once, batch face → (stream, entry_id, fields)
+    * — the multi-stream read's leading origin column.
+    */
+  def streams(spark: SparkSession, keys: Seq[String]): DataFrame =
+    streamOpts(spark.read.format("redis-stream"), spark)
+      .option("streams", keys.mkString(",")).load()
+
+  /** Trim a stream to (approximately) its newest `maxLen` entries —
+    * `XTRIM key MAXLEN ~ n`, the retention lever the source's replay
+    * contract points at (size it to exceed checkpoint lag). Returns
+    * entries removed. The sink-side dual is `.option("maxlen", n)`
+    * (inline `XADD ... MAXLEN ~ n`).
+    */
+  def trimStream(spark: SparkSession, key: String, maxLen: Long,
+      approx: Boolean = true): Long = {
+    val (host, port) = functions.RedduckFunctions.target(spark)
+    net.RedisConnection.withPooled(host, port,
+        functions.RedduckFunctions.sessionAuth(spark))(c =>
+      net.RedisCommands.xtrim(c, key, maxLen, approx))
+  }
 
   /** Redis Stream as a fault-tolerant Structured Streaming source:
     * entry-id offsets, exactly-once replay (see

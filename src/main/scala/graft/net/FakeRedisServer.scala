@@ -249,6 +249,7 @@ final class FakeRedisServer(requestedPort: Int = 0,
         }
         case "SCAN" => scan(args.tail)
         case "XADD" => xadd(args.tail)
+        case "XTRIM" => xtrim(args.tail)
         case "XRANGE" => xrange(args.tail, rev = false)
         case "XREVRANGE" => xrange(args.tail, rev = true)
         case "XLEN" =>
@@ -332,7 +333,33 @@ final class FakeRedisServer(requestedPort: Int = 0,
       else (s.substring(0, i).toLong, s.substring(i + 1).toLong)
   }
 
-  private def xadd(args: Seq[String]): RespValue = {
+  /** `XTRIM key MAXLEN [~|=] n` — drops the OLDEST entries beyond n
+    * (this fake trims exactly even for `~`, a legal behavior of the
+    * approximate form), answers the removed count.
+    */
+  private def xtrim(args: Seq[String]): RespValue = {
+    if (args.length < 3 || args(1).toUpperCase != "MAXLEN")
+      return Err("ERR syntax error")
+    val nArg = if (args(2) == "~" || args(2) == "=") args.lift(3) else args.lift(2)
+    val n = nArg.flatMap(a => scala.util.Try(a.toLong).toOption).getOrElse(
+      return Err("ERR value is not an integer or out of range"))
+    val buf = Option(streams.get(args(0))).getOrElse(return Int64(0L))
+    buf.synchronized {
+      val drop = math.max(0, buf.length - n.toInt)
+      if (drop > 0) buf.remove(0, drop)
+      Int64(drop.toLong)
+    }
+  }
+
+  private def xadd(args0: Seq[String]): RespValue = {
+    // optional inline retention: XADD key MAXLEN [~|=] n <id|*> f v ...
+    val (args, trimTo): (Seq[String], Option[Long]) =
+      if (args0.length >= 3 && args0(1).toUpperCase == "MAXLEN") {
+        val skip = if (args0(2) == "~" || args0(2) == "=") 1 else 0
+        val n = scala.util.Try(args0(2 + skip).toLong).getOrElse(
+          return Err("ERR value is not an integer or out of range"))
+        (args0.head +: args0.drop(3 + skip), Some(n))
+      } else (args0, None)
     if (args.length < 4 || args.length % 2 != 0) return Err("ERR wrong number of arguments for 'xadd' command")
     val key = args(0)
     val fields = args.drop(2).grouped(2).collect { case Seq(f, v) => f -> v }.toSeq
@@ -359,6 +386,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
       if (id._1 < top._1 || (id._1 == top._1 && id._2 <= top._2))
         return Err("ERR The ID specified in XADD is equal or smaller than the target stream top item")
       buf += ((id, fields))
+      trimTo.foreach { n =>
+        val drop = math.max(0, buf.length - n.toInt)
+        if (drop > 0) buf.remove(0, drop)
+      }
       Bulk(s"${id._1}-${id._2}")
     }
   }

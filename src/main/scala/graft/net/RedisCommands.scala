@@ -287,6 +287,20 @@ object RedisCommands {
     parseEntries(c.command("XREVRANGE", key, "+", "-", "COUNT", "1"), "XREVRANGE")
       .headOption.map(_.id)
 
+  /** `XTRIM key MAXLEN [~|=] n` → entries removed. The retention lever
+    * every scaladoc in the streams source points at: `approx = true`
+    * (default, the production form) lets the server trim lazily at
+    * node boundaries; `=` forces the exact length.
+    */
+  def xtrim(c: RedisConnection, key: String, maxLen: Long,
+      approx: Boolean = true): Long =
+    c.command("XTRIM", key, "MAXLEN", if (approx) "~" else "=",
+        maxLen.toString) match {
+      case Int64(n) => n
+      case Err(m) => throw new java.io.IOException(s"XTRIM error: $m")
+      case other => fail("XTRIM reply", other)
+    }
+
   /** `XLEN key` — stream length (0 for a missing key, like real Redis). */
   def xlen(c: RedisConnection, key: String): Long =
     c.command("XLEN", key) match {

@@ -299,7 +299,7 @@ object RedisStreamEntries {
 
   final case class StreamOptions(selection: StreamSelection,
       maxPerTrigger: Option[Int], startAt: StartAt,
-      idColumn: Option[String] = None) {
+      idColumn: Option[String] = None, maxLen: Option[Long] = None) {
     def describe: String = selection match {
       case SingleStream(n) => n
       case MultiStreams(ns) => ns.mkString(",")
@@ -345,8 +345,11 @@ object RedisStreamEntries {
           s"'<ms>-<seq>' with components up to 2^63-1 (start strictly " +
           s"after it), got '$other'")
     }
+    val maxLen = Option(o.get("maxlen")).map(_.toLong)
+    maxLen.foreach(n => require(n > 0, s"maxlen must be > 0, got $n"))
     StreamOptions(selection, maxPer, start,
-      idColumn = Option(o.get("idColumn")).filter(_.nonEmpty))
+      idColumn = Option(o.get("idColumn")).filter(_.nonEmpty),
+      maxLen = maxLen)
   }
 }
 
@@ -413,10 +416,12 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn)
+            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn,
+              sopts.maxLen)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn)
+            new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn,
+              sopts.maxLen)
         }
     }
   }
@@ -466,12 +471,14 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
   * there is nothing transactional to finalize on the server.
   */
 class RedisStreamWrite(opts: RedisSources.Options, stream: String,
-    schema: StructType, idColumn: Option[String] = None)
+    schema: StructType, idColumn: Option[String] = None,
+    maxLen: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
-  private def factory = RedisStreamWriterFactory(opts, stream, schema, idColumn)
+  private def factory =
+    RedisStreamWriterFactory(opts, stream, schema, idColumn, maxLen)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     factory
@@ -538,7 +545,8 @@ object RedisStreamWriterFactory {
 }
 
 final case class RedisStreamWriterFactory(opts: RedisSources.Options,
-    stream: String, schema: StructType, idColumn: Option[String] = None)
+    stream: String, schema: StructType, idColumn: Option[String] = None,
+    maxLen: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write._
@@ -662,8 +670,15 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
               "'<ms>-<seq>'")
           v
         }
-      buf += ((Seq("XADD", stream, id) ++ fields.flatMap(f => Seq(f._1, f._2)),
-        id, fields))
+      // inline retention: XADD key MAXLEN ~ n <id> ... — the production
+      // trim form (approximate: the server may trim lazily at node
+      // boundaries). With idColumn, retention that outruns a retry
+      // window can trim a replayed row's entry — the replay check then
+      // fails LOUDLY (id <= top, no equal entry), the same
+      // retention-vs-replay contract the SOURCE documents for XTRIM.
+      val maxlenArgs = maxLen.toSeq.flatMap(n => Seq("MAXLEN", "~", n.toString))
+      buf += ((Seq("XADD", stream) ++ maxlenArgs ++ Seq(id) ++
+        fields.flatMap(f => Seq(f._1, f._2)), id, fields))
       if (buf.length >= opts.count) flush()
     }
     override def commit(): WriterCommitMessage = { flush(); RedisWriteCommit(0L) }

@@ -961,6 +961,46 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(RedisCommands.xlen(c3, k) == 4) finally c3.close()
   }
 
+  test("stream retention: sink maxlen trims inline (XADD MAXLEN ~), XTRIM/trimStream trim at rest, multi-arg redis_stream TVF") {
+    import spark.implicits._
+    import graft.net.RedisCommands
+    val k = "xret:cap"
+    // inline retention: every XADD carries MAXLEN ~ 5 — the stream
+    // never grows past the cap no matter how many rows are written
+    (1 to 3).foreach { wave =>
+      Seq((s"w$wave-1", "a"), (s"w$wave-2", "b"), (s"w$wave-3", "c"))
+        .toDF("n", "v").coalesce(1) // one writer: deterministic arrival order
+        .write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", k).option("maxlen", "5").mode("append").save()
+    }
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      assert(RedisCommands.xlen(c, k) == 5, s"xlen=${RedisCommands.xlen(c, k)}")
+      // the SURVIVING entries are the newest five (oldest trimmed first)
+      val vs = RedisCommands.xrange(c, k, "-", "+").flatMap(_.fields)
+        .collect { case ("n", v) => v }
+      assert(vs == Seq("w2-2", "w2-3", "w3-1", "w3-2", "w3-3"), vs.mkString(","))
+      // at-rest retention: XTRIM to 2
+      assert(RedisCommands.xtrim(c, k, 2) == 3)
+      assert(RedisCommands.xlen(c, k) == 2)
+    } finally c.close()
+    // facade form over the session target
+    graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
+    assert(graft.GraftRedis.trimStream(spark, k, 1) == 1)
+    // multi-arg TVF: two streams in one FROM, leading stream column
+    graft.GraftRedis.registerSql(spark)
+    val c2 = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      RedisCommands.xadd(c2, "xret:t1", "1-1", Seq("v" -> "x"))
+      RedisCommands.xadd(c2, "xret:t2", "1-1", Seq("v" -> "y"))
+    } finally c2.close()
+    val rows = spark.sql(
+      "SELECT stream, fields['v'] AS v FROM redis_stream('xret:t1', 'xret:t2') ORDER BY stream")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq("xret:t1" -> "x", "xret:t2" -> "y"), rows.mkString(","))
+  }
+
   test("redis-stream startingOffsets=<entry-id> backfills strictly after the given id; Trigger.AvailableNow drains and stops") {
     import graft.net.RedisCommands
     val k = "xoff:bf"
