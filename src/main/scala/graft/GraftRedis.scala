@@ -133,9 +133,9 @@ object GraftRedis {
     // or several streams at once, redis_stream('a', 'b', ...), which
     // returns the multi-stream shape with the leading `stream` column
     def streamArgs(exprs: Seq[Expression]): Seq[String] = {
-      val lits = exprs.collect {
-        case e if e.foldable && e.dataType == StringType && e.eval() != null =>
-          e.eval().toString
+      val lits = exprs.flatMap { e =>
+        if (e.foldable && e.dataType == StringType) Option(e.eval()).map(_.toString)
+        else None
       }
       require(lits.nonEmpty && lits.length == exprs.length,
         "redis_stream expects one or more literal string stream keys, " +

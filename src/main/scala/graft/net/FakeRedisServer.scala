@@ -345,7 +345,10 @@ final class FakeRedisServer(requestedPort: Int = 0,
       return Err("ERR value is not an integer or out of range"))
     val buf = Option(streams.get(args(0))).getOrElse(return Int64(0L))
     buf.synchronized {
-      val drop = math.max(0, buf.length - n.toInt)
+      // Long math then clamp: a threshold above Int.MaxValue is legal
+      // (real Redis takes a 64-bit count) and must trim NOTHING here,
+      // not overflow into a bogus drop count
+      val drop = math.max(0L, buf.length.toLong - n).min(buf.length.toLong).toInt
       if (drop > 0) buf.remove(0, drop)
       Int64(drop.toLong)
     }
@@ -387,7 +390,7 @@ final class FakeRedisServer(requestedPort: Int = 0,
         return Err("ERR The ID specified in XADD is equal or smaller than the target stream top item")
       buf += ((id, fields))
       trimTo.foreach { n =>
-        val drop = math.max(0, buf.length - n.toInt)
+        val drop = math.max(0L, buf.length.toLong - n).min(buf.length.toLong).toInt
         if (drop > 0) buf.remove(0, drop)
       }
       Bulk(s"${id._1}-${id._2}")

@@ -253,7 +253,10 @@ object RedisCommands {
     }
   }
 
-  private def parseEntries(v: RespValue, what: String): Seq[StreamEntry] = v match {
+  /** Parse an XRANGE-shaped reply (public within the engine so callers
+    * that PIPELINE many XRANGEs can decode the batched replies).
+    */
+  private[graft] def parseEntries(v: RespValue, what: String): Seq[StreamEntry] = v match {
     case Arr(items) => items.map {
       case Arr(Vector(idv, fv)) =>
         val id = idv match { case b: Bulk => b.text; case Simple(s) => s; case o => fail(s"$what id", o) }

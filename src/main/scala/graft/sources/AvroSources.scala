@@ -8,7 +8,6 @@ import org.apache.avro.{LogicalTypes, Schema => AvroSchema, SchemaBuilder}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -121,64 +120,15 @@ object AvroIO {
           "flat-relational subset only")
     }
 
-  /** Write `df` under `dir` as one Avro container file per partition,
-    * written BY THE EXECUTORS (same layout contract as parquet/orc
-    * writers: `part-<partitionId>` names, deflate-compressed blocks).
-    * A task retry overwrites its own file (same name), so the layout
-    * is retry-stable.
+  /** Write `df` under `dir`, replacing its previous contents — a thin
+    * alias for `df.write.format("graft-avro").mode("overwrite").save(dir)`,
+    * so it carries the SAME staged-commit protocol as the DSv2 face
+    * (task retries / speculative duplicates can never surface a torn
+    * file, and a failed job leaves the previous contents untouched).
+    * One container file per input partition, written by the executors.
     */
-  def write(df: DataFrame, dir: String): Unit = {
-    val schema = df.schema
-    val avroJson = toAvroSchema(schema).toString // ship JSON, not the object
-    val spark = df.sparkSession
-    val hadoop = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hadoop)
-    if (fs.exists(root)) fs.delete(root, true)
-    fs.mkdirs(root)
-    df.rdd.foreachPartition { it =>
-      val pid = TaskContext.get().partitionId()
-      val avro = new AvroSchema.Parser().parse(avroJson)
-      val out = new Path(dir, f"part-$pid%05d.avro")
-      val ofs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
-      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      val os = ofs.create(out, true)
-      try {
-        w.create(avro, os)
-        it.foreach { row =>
-          val rec = new GenericData.Record(avro)
-          var i = 0
-          while (i < schema.length) {
-            rec.put(i, if (row.isNullAt(i)) null else encodeValue(
-              schema(i).dataType, row.get(i)))
-            i += 1
-          }
-          w.append(rec)
-        }
-      } finally w.close() // closes os
-    }
-  }
-
-  /** External Row value → Avro runtime value (per the type mapping). */
-  private def encodeValue(dt: DataType, v: Any): AnyRef = dt match {
-    case DateType =>
-      Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
-    case TimestampType =>
-      val ts = v.asInstanceOf[java.sql.Timestamp]
-      // floorDiv, not /: pre-epoch times have getTime < 0 with nanos
-      // still counting FORWARD within the second — truncation toward
-      // zero would shift them a whole second late
-      Long.box(math.addExact(
-        math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L),
-        (ts.getNanos / 1000).toLong))
-    case d: DecimalType =>
-      val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
-      java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
-    case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-    case _ => v.asInstanceOf[AnyRef] // boolean/int/long/float/double/string
-  }
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.format("graft-avro").mode("overwrite").save(dir)
 }
 
 class AvroSourceProvider extends TableProvider
@@ -196,6 +146,21 @@ class AvroSourceProvider extends TableProvider
 }
 
 object AvroTable {
+  /** Driver-side Hadoop configuration: the SESSION's (fs credentials,
+    * defaultFS overrides), falling back to a bare Configuration only
+    * when no session is active. Executors get it shipped inside the
+    * partitions / writer factory as a SerializableConfiguration — a
+    * bare `new Configuration()` on an executor would silently drop
+    * everything the session set.
+    */
+  private[sources] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[sources] def shippableConf(): org.apache.spark.util.SerializableConfiguration =
+    org.apache.spark.sql.GraftSqlShims.serializableConf(hadoopConf())
+
   /** The .avro files under the load path (option "path"), sorted for
     * deterministic partition order. Runs on the driver at plan time —
     * one directory listing, the same cost as any file source's.
@@ -207,7 +172,7 @@ object AvroTable {
 
   def listFiles(path: String): Seq[String] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(hadoopConf())
     val stat = fs.getFileStatus(root)
     val files =
       if (stat.isDirectory)
@@ -223,7 +188,7 @@ object AvroTable {
     */
   def readFileSchema(files: Seq[String]): AvroSchema = {
     val p = new Path(files.head)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val in = fs.open(p)
     try {
       val s = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -237,8 +202,7 @@ object AvroTable {
       val sparkSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
       new PartitionReader[InternalRow] {
         private val path = new Path(p.file)
-        private val in = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration()).open(path)
+        private val in = path.getFileSystem(p.conf.value).open(path)
         private val stream =
           new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
         private var current: InternalRow = _
@@ -283,7 +247,8 @@ object AvroTable {
   }
 }
 
-final case class AvroFilePartition(file: String, schemaJson: String)
+final case class AvroFilePartition(file: String, schemaJson: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends InputPartition
 
 class AvroTable(tableSchema: StructType, path: String)
@@ -300,11 +265,26 @@ class AvroTable(tableSchema: StructType, path: String)
       // path may be the target of a write that hasn't happened yet
       private lazy val files = AvroTable.listFiles(path)
       override def build(): Scan = new Scan with Batch {
+        // records decode POSITIONALLY against tableSchema, so a
+        // user-supplied .schema(...) that differs from the files would
+        // be silent corruption — require exact agreement (the
+        // redis-stream source's rule: project after load())
+        private lazy val validated: Seq[String] = {
+          val inferred = AvroIO.toSparkSchema(AvroTable.readFileSchema(files))
+          require(tableSchema == inferred,
+            s"graft-avro reads produce ${inferred.simpleString} (from the " +
+              s"files); a different read schema (${tableSchema.simpleString}) " +
+              "is not supported — project after load()")
+          files
+        }
         override def readSchema(): StructType = tableSchema
         override def description(): String = s"GraftAvro(${files.length} files)"
         override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] =
-          files.map(f => AvroFilePartition(f, tableSchema.json): InputPartition).toArray
+        override def planInputPartitions(): Array[InputPartition] = {
+          val conf = AvroTable.shippableConf()
+          validated.map(f =>
+            AvroFilePartition(f, tableSchema.json, conf): InputPartition).toArray
+        }
         override def createReaderFactory(): PartitionReaderFactory =
           AvroTable.readerFactory
       }
@@ -350,15 +330,33 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(AvroTable.hadoopConf())
+    // APPEND onto existing files requires the SAME schema: reads infer
+    // from the first file and decode every file positionally against
+    // it, so a mixed-schema directory would be silent corruption —
+    // reject it here, driver-side, before any task runs. (Overwrite
+    // replaces the files, so only the new schema matters.)
+    if (!overwrite && fs.exists(root)) {
+      val existing = fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .map(_.getPath.toString).sorted
+      if (existing.nonEmpty) {
+        val have = AvroTable.readFileSchema(existing.toSeq)
+        val want = AvroIO.toAvroSchema(schema)
+        require(have == want,
+          s"graft-avro append: the directory's files carry schema $have " +
+            s"but the write carries $want — appends must match exactly " +
+            "(names, types, nullability); use overwrite to replace")
+      }
+    }
     fs.mkdirs(new Path(root, stagingName))
     AvroWriterFactory(s"$dir/$stagingName", queryId, schema.json,
-      AvroIO.toAvroSchema(schema).toString)
+      AvroIO.toAvroSchema(schema).toString, AvroTable.shippableConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(AvroTable.hadoopConf())
     val staging = new Path(root, stagingName)
     if (overwrite) fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
@@ -373,7 +371,7 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(AvroTable.hadoopConf())
     fs.delete(new Path(root, stagingName), true)
   }
 }
@@ -385,7 +383,8 @@ final case class AvroTaskCommit(staged: String, fin: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final case class AvroWriterFactory(stagingDir: String, queryId: String,
-    sparkSchemaJson: String, avroSchemaJson: String)
+    sparkSchemaJson: String, avroSchemaJson: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write._
 
@@ -398,7 +397,7 @@ final case class AvroWriterFactory(stagingDir: String, queryId: String,
       private val fin = f"part-$partitionId%05d-${queryId.take(8)}.avro"
       private val out = new Path(stagingDir, staged)
       private val w = {
-        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = out.getFileSystem(conf.value)
         val wr = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avro))
         wr.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -439,8 +438,7 @@ final case class AvroWriterFactory(stagingDir: String, queryId: String,
       override def commit(): WriterCommitMessage = { w.close(); AvroTaskCommit(staged, fin) }
       override def abort(): Unit = {
         scala.util.Try(w.close())
-        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        scala.util.Try(fs.delete(out, false))
+        scala.util.Try(out.getFileSystem(conf.value).delete(out, false))
       }
       override def close(): Unit = ()
     }

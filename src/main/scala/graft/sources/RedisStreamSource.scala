@@ -497,6 +497,11 @@ class RedisStreamWrite(opts: RedisSources.Options, stream: String,
 object RedisStreamWriterFactory {
   import org.apache.spark.sql.types._
 
+  /** `<ms>-<seq>` — precompiled: this runs per ROW in the id-column
+    * write path.
+    */
+  private[sources] val IdForm = java.util.regex.Pattern.compile("\\d+-\\d+")
+
   /** Is this a type the sink can render as an external string form? */
   private[sources] def renderable(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
@@ -606,32 +611,38 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
         }
       }.toArray
 
-    /** Replay test for an explicit-id rejection: the entry at that exact
-      * id already exists on the server WITH the same payload → this row
-      * was written by an earlier attempt of this task/epoch; anything
-      * else is a genuine error. Field ORDER matters: XADD preserves it,
-      * so an equal multiset in a different order is a different payload.
-      */
-    private def isReplay(id: String, fields: Seq[(String, String)]): Boolean =
-      RedisCommands.xrange(conn, stream, id, id, Some(1))
-        .headOption.exists(e => e.id == id && e.fields == fields)
-
     private def flush(): Unit = if (buf.nonEmpty) {
       val pending = buf.toVector
       buf.clear()
+      // first pass: split replies into ok / monotonic-rejections /
+      // genuine errors. Rejections are NOT verified one by one — a
+      // replayed task re-sends its whole buffer and every XADD is
+      // rejected, so the verification must be ONE pipelined round trip
+      // too, not per-row XRANGEs
+      val suspects = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
       conn.pipeline(pending.map(_._1)).zip(pending).foreach {
         case (graft.resp.RespValue.Err(m), (_, id, fields)) =>
-          // the server's monotonic-id rejection: in idempotent mode,
-          // exact-duplicate-id-with-equal-payload is a REPLAY (skip —
-          // the server already holds the row); everything else is loud
-          if (id != "*" && m.contains("equal or smaller") && isReplay(id, fields)) ()
-          else if (id != "*" && m.contains("equal or smaller"))
-            throw new java.io.IOException(
-              s"XADD $stream $id rejected (id <= stream top) and no equal " +
-                s"entry exists at that id — out-of-order or colliding " +
-                s"explicit ids; fields were ${fields.map(_._1).mkString(",")}")
+          if (id != "*" && m.contains("equal or smaller")) suspects += ((id, fields))
           else throw new java.io.IOException(s"XADD failed: $m")
         case _ => ()
+      }
+      // second pass (replays only): the entry at that exact id already
+      // existing on the server WITH the same payload → written by an
+      // earlier attempt of this task/epoch, skip; anything else is
+      // loud. Field ORDER matters: XADD preserves it, so an equal
+      // multiset in a different order is a different payload.
+      if (suspects.nonEmpty) {
+        val checks = conn.pipeline(suspects.toSeq.map { case (id, _) =>
+          Seq("XRANGE", stream, id, id, "COUNT", "1")
+        })
+        checks.zip(suspects).foreach { case (reply, (id, fields)) =>
+          val replay = RedisCommands.parseEntries(reply, "XRANGE")
+            .headOption.exists(e => e.id == id && e.fields == fields)
+          if (!replay) throw new java.io.IOException(
+            s"XADD $stream $id rejected (id <= stream top) and no equal " +
+              s"entry exists at that id — out-of-order or colliding " +
+              s"explicit ids; fields were ${fields.map(_._1).mkString(",")}")
+        }
       }
     }
 
@@ -665,7 +676,8 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
               s"with fields ${fields.map(_._1).mkString(",")} — explicit ids " +
               "must be present on every row")
           val v = row.getUTF8String(idIdx).toString
-          if (!v.matches("\\d+-\\d+")) throw new IllegalArgumentException(
+          if (!RedisStreamWriterFactory.IdForm.matcher(v).matches())
+            throw new IllegalArgumentException(
             s"redis-stream sink: idColumn value '$v' is not an entry id " +
               "'<ms>-<seq>'")
           v

@@ -38,4 +38,15 @@ object GraftSqlShims {
   /** Analyzed plan of a DataFrame (attribute-resolved, pre-optimizer). */
   def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Java-serializable wrapper for a Hadoop Configuration
+    * (`org.apache.spark.util.SerializableConfiguration` is
+    * `private[spark]`) — lets DSv2 partitions/factories carry the
+    * SESSION Hadoop conf to executors instead of re-reading a bare
+    * `new Configuration()` that would drop fs credentials / defaultFS
+    * overrides the session set.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

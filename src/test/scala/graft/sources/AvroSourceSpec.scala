@@ -104,6 +104,34 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(chain(e).contains("unsupported"), chain(e))
   }
 
+  test("schema gates: user read schema must match the files; append must match the directory") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-avro")
+      .mode("overwrite").save(dir)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    // a user-supplied schema that differs (here: column order flipped)
+    // would decode POSITIONALLY wrong — rejected loudly, never silent
+    val r = intercept[Exception] {
+      spark.read.schema("v STRING, id BIGINT").format("graft-avro")
+        .load(dir).collect()
+    }
+    assert(chain(r).contains("project after load"), chain(r))
+    // append with a different schema would make a mixed-schema dir that
+    // first-file-wins inference then misdecodes — rejected driver-side
+    val a = intercept[Exception] {
+      Seq(("x", 2L)).toDF("v", "id").write.format("graft-avro")
+        .mode("append").save(dir)
+    }
+    assert(chain(a).contains("append") && chain(a).toLowerCase.contains("match"),
+      chain(a))
+    // same schema still appends fine
+    Seq((2L, "b")).toDF("id", "v").write.format("graft-avro")
+      .mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 2)
+  }
+
   test("avro schema mapping is its own inverse (logical types, nullability)") {
     val schema = StructType(Seq(
       StructField("a", TimestampType, nullable = true),
