@@ -330,6 +330,42 @@ object RedisQueries {
           col("fields")("v").as("v"),
           col("fields")("n").cast("int").as("n"))
         .orderBy("stream", "entry_id")
+    },
+
+    // ROUTED multi-stream sink (the sink-side scale-out shape, dual to
+    // r16's read): 9 rows route to 3 streams through the streamColumn
+    // (the Kafka topic-column analog), with explicit ids (idempotent
+    // mode) so a re-run of this query is server-deduplicated — the
+    // write, like the read, is exercised end-to-end on every
+    // conformance pass. Read-back is ONE multi-stream batch read; the
+    // VALUES oracle computes the identical mod-3 routing, so the hash
+    // compare proves rows landed on exactly their named streams.
+    q("r17_routed_stream_sink", {
+      val rows = (1 to 9).map(i => s"('xshard:${i % 3}', '300-$i', 'm$i', $i)")
+      s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+         |t(stream, entry_id, v, n) ORDER BY stream, entry_id""".stripMargin
+    }) { (s, _) =>
+      Harness.ensureStarted
+      val streams = "xshard:0,xshard:1,xshard:2"
+      val df = s.range(1, 10).select(
+        concat_ws("", lit("xshard:"), col("id") % 3).as("stream"),
+        concat_ws("", lit("300-"), col("id")).as("entry_id"),
+        concat_ws("", lit("m"), col("id")).as("v"),
+        col("id").cast("int").as("n"))
+        // idempotent + routed: ids must ascend per (partition, stream) —
+        // one writer sorted by (stream, id) satisfies it for all three
+        .coalesce(1).sortWithinPartitions("stream", "entry_id")
+      df.write.format("redis-stream")
+        .option("host", Harness.Host).option("port", Harness.Port.toString)
+        .option("streams", streams).option("streamColumn", "stream")
+        .option("idColumn", "entry_id").mode("append").save()
+      s.read.format("redis-stream")
+        .option("host", Harness.Host).option("port", Harness.Port.toString)
+        .option("streams", streams).load()
+        .select(col("stream"), col("entry_id"),
+          col("fields")("v").as("v"),
+          col("fields")("n").cast("int").as("n"))
+        .orderBy("stream", "entry_id")
     }
   )
 }

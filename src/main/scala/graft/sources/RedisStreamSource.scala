@@ -299,7 +299,8 @@ object RedisStreamEntries {
 
   final case class StreamOptions(selection: StreamSelection,
       maxPerTrigger: Option[Int], startAt: StartAt,
-      idColumn: Option[String] = None, maxLen: Option[Long] = None) {
+      idColumn: Option[String] = None, maxLen: Option[Long] = None,
+      streamColumn: Option[String] = None) {
     def describe: String = selection match {
       case SingleStream(n) => n
       case MultiStreams(ns) => ns.mkString(",")
@@ -349,7 +350,8 @@ object RedisStreamEntries {
     maxLen.foreach(n => require(n > 0, s"maxlen must be > 0, got $n"))
     StreamOptions(selection, maxPer, start,
       idColumn = Option(o.get("idColumn")).filter(_.nonEmpty),
-      maxLen = maxLen)
+      maxLen = maxLen,
+      streamColumn = Option(o.get("streamColumn")).filter(_.nonEmpty))
   }
 }
 
@@ -362,12 +364,17 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     s"redis-stream(${opts.host}:${opts.port}, ${sopts.describe})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = sopts.selection match {
-    // a write targets ONE stream: multi/pattern tables are read-only
-    case RedisStreamEntries.SingleStream(_) =>
+    // single-stream and EXPLICIT multi-stream tables are writable (the
+    // latter routes per row through `streamColumn` — validated loudly in
+    // newWriteBuilder so the user sees the option name, not Spark's
+    // generic "does not support writes"); pattern tables stay read-only:
+    // their membership is re-resolved per trigger, and a write target
+    // set must be explicit, not whatever the glob happened to match
+    case RedisStreamEntries.PatternStreams(_) =>
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    case _ =>
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
-    case _ =>
-      util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   }
 
   /** Write path — XADD with server-assigned (`*`) ids, pipelined per
@@ -399,29 +406,61 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
     * each partition and disjoint across partitions (e.g. derive it from
     * an event timestamp and `sortWithinPartitions`); the default `*`
     * mode stays honest at-least-once.
+    *
+    * ROUTED MULTI-STREAM WRITES (the sink-side scale-out shape, dual to
+    * the `streams` read): on a `.option("streams", "a,b,c")` table,
+    * `.option("streamColumn", c)` consumes STRING column `c` as each
+    * row's target stream — the Kafka sink's `topic`-column analog. The
+    * value must be a member of the DECLARED stream set (fail loud on
+    * anything else: a typo must not spray entries into new keys), which
+    * also keeps the round-trip symmetric — the multi-stream READ schema
+    * leads with the same `stream` column this write face consumes.
+    * Hash-sharding is deliberately NOT a sink feature: it composes in
+    * one line of the DataFrame layer
+    * (`element_at(array(<streams>), pmod(hash($"k"), n) + 1)`), stays
+    * visible in the plan, and lets the user pick any assignment
+    * (hash/range/lookup) without sink-private hash semantics.
+    * Pattern tables are read-only — see `capabilities`. With idColumn +
+    * routing combined, the ascending/disjoint id constraint applies per
+    * (partition, TARGET STREAM) — ids on different streams are
+    * independent Redis sequences.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val target = sopts.selection match {
-      case RedisStreamEntries.SingleStream(n) => n
+    val (target, members) = sopts.selection match {
+      case RedisStreamEntries.SingleStream(n) =>
+        if (sopts.streamColumn.isDefined) throw new IllegalArgumentException(
+          "redis-stream sink: streamColumn is only meaningful with " +
+            ".option(\"streams\", <k1,k2,...>) — a single-stream table " +
+            "already names its one target")
+        (n, Set.empty[String])
+      case RedisStreamEntries.MultiStreams(ns) =>
+        if (sopts.streamColumn.isEmpty) throw new IllegalArgumentException(
+          "redis-stream sink: writing a multi-stream table needs " +
+            ".option(\"streamColumn\", <col>) — the STRING column naming " +
+            s"each row's target among {${ns.mkString(", ")}}")
+        ("", ns.toSet)
       case other => throw new IllegalArgumentException(
-        s"redis-stream sink: a write targets ONE stream — use " +
-          s".option(\"stream\", <key>), not ${other.getClass.getSimpleName}")
+        s"redis-stream sink: pattern tables are read-only (membership is " +
+          s"re-resolved per trigger; a write target set must be explicit) — " +
+          s"use .option(\"stream\", <key>) or .option(\"streams\", <k1,k2,...>), " +
+          s"not ${other.getClass.getSimpleName}")
     }
     // validate ON THE DRIVER, before any executor work: an unsupported
     // column type should fail at plan time, not after the upstream job
     // ran and every write task threw
-    RedisStreamWriterFactory.validateSinkSchema(info.schema(), sopts.idColumn)
+    RedisStreamWriterFactory.validateSinkSchema(info.schema(), sopts.idColumn,
+      sopts.streamColumn.filter(_ => members.nonEmpty))
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn,
-              sopts.maxLen)
+              sopts.maxLen, sopts.streamColumn, members)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new RedisStreamWrite(opts, target, info.schema(), sopts.idColumn,
-              sopts.maxLen)
+              sopts.maxLen, sopts.streamColumn, members)
         }
     }
   }
@@ -472,13 +511,15 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
   */
 class RedisStreamWrite(opts: RedisSources.Options, stream: String,
     schema: StructType, idColumn: Option[String] = None,
-    maxLen: Option[Long] = None)
+    maxLen: Option[Long] = None, streamColumn: Option[String] = None,
+    members: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
   private def factory =
-    RedisStreamWriterFactory(opts, stream, schema, idColumn, maxLen)
+    RedisStreamWriterFactory(opts, stream, schema, idColumn, maxLen,
+      streamColumn, members)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     factory
@@ -522,36 +563,49 @@ object RedisStreamWriterFactory {
     * `idColumn` set (idempotent mode), that column must exist, be
     * STRING, and leave at least one field column beside it.
     */
-  def validateSinkSchema(schema: StructType, idColumn: Option[String] = None): Unit = {
-    val mapForm = schema.fields.length == 1 && isEntryMap(schema.fields(0).dataType)
-    if (!mapForm) schema.fields.foreach { f =>
+  def validateSinkSchema(schema: StructType, idColumn: Option[String] = None,
+      streamColumn: Option[String] = None): Unit = {
+    if (idColumn.isDefined && idColumn == streamColumn)
+      throw new IllegalArgumentException(
+        s"redis-stream sink: idColumn and streamColumn both name " +
+          s"'${idColumn.get}' — one column cannot be both the entry id and " +
+          "the routing target")
+    def consumed(kind: String, c: String): Unit = {
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"redis-stream sink: $kind '$c' is not in the write schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      if (f.dataType != StringType) throw new IllegalArgumentException(
+        s"redis-stream sink: $kind '$c' must be STRING, " +
+          s"got ${f.dataType.simpleString}")
+    }
+    idColumn.foreach(consumed("idColumn", _))
+    streamColumn.foreach(consumed("streamColumn", _))
+    // the NON-consumed remainder is the entry payload: either exactly one
+    // MAP<STRING,STRING> (the map form — so a multi-stream READ's
+    // (stream, entry_id, fields) round-trips straight back through the
+    // routed+idempotent write face), or >= 1 renderable atomic columns
+    val consumedNames = (idColumn ++ streamColumn).toSet
+    val remaining = schema.fields.filterNot(f => consumedNames(f.name))
+    if (remaining.isEmpty) throw new IllegalArgumentException(
+      "redis-stream sink: idColumn/streamColumn are consumed as the entry " +
+        "id and routing target — at least one other column is needed for " +
+        "the entry's fields")
+    val mapForm = remaining.length == 1 && isEntryMap(remaining(0).dataType)
+    if (!mapForm) remaining.foreach { f =>
       if (!renderable(f.dataType))
         throw new IllegalArgumentException(
           s"redis-stream sink: column '${f.name}' has unsupported type " +
             s"${f.dataType.simpleString} — supported: string/numeric/boolean/" +
             "decimal/date/timestamp/binary, or ONE MAP<STRING,STRING> column")
     }
-    idColumn.foreach { c =>
-      if (mapForm) throw new IllegalArgumentException(
-        "redis-stream sink: idColumn requires the columns form — with the " +
-          "single-MAP form there is no id column to consume")
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"redis-stream sink: idColumn '$c' is not in the write schema " +
-            s"(${schema.fieldNames.mkString(", ")})"))
-      if (f.dataType != StringType) throw new IllegalArgumentException(
-        s"redis-stream sink: idColumn '$c' must be STRING ('<ms>-<seq>'), " +
-          s"got ${f.dataType.simpleString}")
-      if (schema.fields.length < 2) throw new IllegalArgumentException(
-        "redis-stream sink: idColumn consumes its column as the entry id — " +
-          "at least one other column is needed for the entry's fields")
-    }
   }
 }
 
 final case class RedisStreamWriterFactory(opts: RedisSources.Options,
     stream: String, schema: StructType, idColumn: Option[String] = None,
-    maxLen: Option[Long] = None)
+    maxLen: Option[Long] = None, streamColumn: Option[String] = None,
+    members: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write._
@@ -563,18 +617,27 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       epochId: Long): DataWriter[InternalRow] = writer()
 
   private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val mapIdx =
-      if (schema.fields.length == 1 &&
-        RedisStreamWriterFactory.isEntryMap(schema.fields(0).dataType)) 0
-      else -1
     // idempotent mode: this column IS the explicit XADD id, not a field
     private val idIdx = idColumn.map(schema.fieldIndex).getOrElse(-1)
+    // routed mode: this column names each row's target stream
+    private val streamIdx = streamColumn.map(schema.fieldIndex).getOrElse(-1)
+    // map form = the single NON-consumed column is MAP<STRING,STRING>
+    // (mirrors validateSinkSchema — so a multi-stream read's
+    // (stream, entry_id, fields) writes straight back)
+    private val mapIdx = {
+      val remaining = schema.fields.indices.filter(i => i != idIdx && i != streamIdx)
+      if (remaining.length == 1 &&
+        RedisStreamWriterFactory.isEntryMap(schema.fields(remaining.head).dataType))
+        remaining.head
+      else -1
+    }
     private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
       tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
-    // each pending XADD keeps its (id, fields) so a server rejection can
-    // be classified (replay vs genuine error) without re-rendering
+    // each pending XADD keeps its (stream, id, fields) so a server
+    // rejection can be classified (replay vs genuine error) without
+    // re-rendering
     private val buf =
-      scala.collection.mutable.ArrayBuffer[(Seq[String], String, Seq[(String, String)])]()
+      scala.collection.mutable.ArrayBuffer[(Seq[String], String, String, Seq[(String, String)])]()
     private val names = schema.fieldNames
     // Per-column RENDERERS resolved once from the schema — field values
     // must be the EXTERNAL string forms (dates as dates, timestamps as
@@ -619,10 +682,10 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       // replayed task re-sends its whole buffer and every XADD is
       // rejected, so the verification must be ONE pipelined round trip
       // too, not per-row XRANGEs
-      val suspects = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
+      val suspects = scala.collection.mutable.ArrayBuffer[(String, String, Seq[(String, String)])]()
       conn.pipeline(pending.map(_._1)).zip(pending).foreach {
-        case (graft.resp.RespValue.Err(m), (_, id, fields)) =>
-          if (id != "*" && m.contains("equal or smaller")) suspects += ((id, fields))
+        case (graft.resp.RespValue.Err(m), (_, target, id, fields)) =>
+          if (id != "*" && m.contains("equal or smaller")) suspects += ((target, id, fields))
           else throw new java.io.IOException(s"XADD failed: $m")
         case _ => ()
       }
@@ -630,16 +693,17 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       // existing on the server WITH the same payload → written by an
       // earlier attempt of this task/epoch, skip; anything else is
       // loud. Field ORDER matters: XADD preserves it, so an equal
-      // multiset in a different order is a different payload.
+      // multiset in a different order is a different payload. Each check
+      // ranges the suspect's OWN target stream (routed mode).
       if (suspects.nonEmpty) {
-        val checks = conn.pipeline(suspects.toSeq.map { case (id, _) =>
-          Seq("XRANGE", stream, id, id, "COUNT", "1")
+        val checks = conn.pipeline(suspects.toSeq.map { case (target, id, _) =>
+          Seq("XRANGE", target, id, id, "COUNT", "1")
         })
-        checks.zip(suspects).foreach { case (reply, (id, fields)) =>
+        checks.zip(suspects).foreach { case (reply, (target, id, fields)) =>
           val replay = RedisCommands.parseEntries(reply, "XRANGE")
             .headOption.exists(e => e.id == id && e.fields == fields)
           if (!replay) throw new java.io.IOException(
-            s"XADD $stream $id rejected (id <= stream top) and no equal " +
+            s"XADD $target $id rejected (id <= stream top) and no equal " +
               s"entry exists at that id — out-of-order or colliding " +
               s"explicit ids; fields were ${fields.map(_._1).mkString(",")}")
         }
@@ -658,7 +722,8 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
                 (if (vs.isNullAt(i)) "" else vs.getUTF8String(i).toString))
           }
         } else names.indices.collect {
-          case i if i != idIdx && !row.isNullAt(i) => names(i) -> render(i)(row)
+          case i if i != idIdx && i != streamIdx && !row.isNullAt(i) =>
+            names(i) -> render(i)(row)
         }.toSeq
       // a Redis Stream entry MUST carry >= 1 field (XADD protocol): an
       // all-NULL row cannot be represented — fail loudly instead of
@@ -688,9 +753,26 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       // window can trim a replayed row's entry — the replay check then
       // fails LOUDLY (id <= top, no equal entry), the same
       // retention-vs-replay contract the SOURCE documents for XTRIM.
+      // routed mode: the row's stream column names the target, which
+      // must be in the DECLARED set — a typo or upstream bug must fail
+      // here, not spray entries into brand-new keys
+      val target =
+        if (streamIdx < 0) stream
+        else {
+          if (row.isNullAt(streamIdx)) throw new IllegalArgumentException(
+            s"redis-stream sink: streamColumn '${names(streamIdx)}' is NULL " +
+              s"for a row with fields ${fields.map(_._1).mkString(",")} — " +
+              "every row must name its target stream")
+          val v = row.getUTF8String(streamIdx).toString
+          if (!members.contains(v)) throw new IllegalArgumentException(
+            s"redis-stream sink: streamColumn value '$v' is not in the " +
+              s"declared stream set {${members.toSeq.sorted.mkString(", ")}} — " +
+              "declare it in .option(\"streams\", ...) or fix the routing")
+          v
+        }
       val maxlenArgs = maxLen.toSeq.flatMap(n => Seq("MAXLEN", "~", n.toString))
-      buf += ((Seq("XADD", stream) ++ maxlenArgs ++ Seq(id) ++
-        fields.flatMap(f => Seq(f._1, f._2)), id, fields))
+      buf += ((Seq("XADD", target) ++ maxlenArgs ++ Seq(id) ++
+        fields.flatMap(f => Seq(f._1, f._2)), target, id, fields))
       if (buf.length >= opts.count) flush()
     }
     override def commit(): WriterCommitMessage = { flush(); RedisWriteCommit(0L) }

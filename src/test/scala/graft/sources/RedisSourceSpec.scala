@@ -961,6 +961,122 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(RedisCommands.xlen(c3, k) == 4) finally c3.close()
   }
 
+  test("routed multi-stream sink (streamColumn): rows land on their named streams; read→write round-trip replicates; misuse is loud") {
+    import spark.implicits._
+    import graft.net.RedisCommands
+    val (a, b) = ("xroute:a", "xroute:b")
+    def routedWrite(df: org.apache.spark.sql.DataFrame, streams: String,
+        extra: Map[String, String] = Map.empty): Unit = {
+      val w = df.write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams", streams).option("streamColumn", "stream")
+        .mode("append")
+      extra.foreach { case (k, v) => w.option(k, v) }
+      w.save()
+    }
+    // batch write routed by the stream column — interleaved targets
+    routedWrite(Seq((a, "1", "x"), (b, "2", "y"), (a, "3", "z"), (b, "4", "w"))
+      .toDF("stream", "n", "v").coalesce(1), s"$a,$b")
+    val c = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      // each stream holds exactly its rows; the stream column was
+      // CONSUMED for routing, never written as a field
+      val ea = RedisCommands.xrange(c, a, "-", "+")
+      val eb = RedisCommands.xrange(c, b, "-", "+")
+      assert(ea.map(_.fields.toMap.apply("n")) == Seq("1", "3"), ea)
+      assert(eb.map(_.fields.toMap.apply("n")) == Seq("2", "4"), eb)
+      assert((ea ++ eb).forall(_.fields.map(_._1) == Seq("n", "v")),
+        (ea ++ eb).map(_.fields).mkString(","))
+    } finally c.close()
+    // ROUND-TRIP REPLICATION: the multi-stream READ schema
+    // (stream, entry_id, fields) writes straight back through the routed
+    // + idempotent face — rename streams, keep ids, one shot
+    val (a2, b2) = ("xroute:a2", "xroute:b2")
+    val mirrored = spark.read.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams", s"$a,$b").load()
+      .withColumn("stream",
+        org.apache.spark.sql.functions.concat_ws("", $"stream",
+          org.apache.spark.sql.functions.lit("2")))
+      .coalesce(1).sortWithinPartitions("stream", "entry_id")
+    routedWrite(mirrored, s"$a2,$b2", Map("idColumn" -> "entry_id"))
+    // a REPLAY of the same replication batch is server-deduplicated
+    // per stream (idempotent + routed compose)
+    routedWrite(mirrored, s"$a2,$b2", Map("idColumn" -> "entry_id"))
+    val c2 = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      val src = RedisCommands.xrange(c2, a, "-", "+").map(e => e.id -> e.fields)
+      val dst = RedisCommands.xrange(c2, a2, "-", "+").map(e => e.id -> e.fields)
+      assert(src == dst, s"$src != $dst")
+      assert(RedisCommands.xlen(c2, b2) == 2)
+    } finally c2.close()
+    // loud misuse, all driver-side at plan time where possible:
+    // (1) a routed value outside the DECLARED set — typos must not
+    // spray entries into new keys
+    val stray = intercept[Exception] {
+      routedWrite(Seq(("xroute:TYPO", "9", "q")).toDF("stream", "n", "v"), s"$a,$b")
+    }
+    assert(chain(stray).contains("TYPO") && chain(stray).contains("declared"),
+      chain(stray))
+    // (2) NULL routing value
+    val nul = intercept[Exception] {
+      routedWrite(Seq((null.asInstanceOf[String], "9", "q"))
+        .toDF("stream", "n", "v"), s"$a,$b")
+    }
+    assert(chain(nul).contains("NULL"), chain(nul))
+    // (3) multi-stream write without streamColumn names the option
+    val noCol = intercept[Exception] {
+      Seq(("9", "q")).toDF("n", "v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams", s"$a,$b").mode("append").save()
+    }
+    assert(chain(noCol).contains("streamColumn"), chain(noCol))
+    // (4) streamColumn on a single-stream table is meaningless — loud
+    val single = intercept[Exception] {
+      Seq((a, "9", "q")).toDF("stream", "n", "v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("stream", a).option("streamColumn", "stream")
+        .mode("append").save()
+    }
+    assert(chain(single).contains("single-stream"), chain(single))
+    // (5) pattern tables are read-only for writes
+    val pat = intercept[Exception] {
+      Seq((a, "9", "q")).toDF("stream", "n", "v").write.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("streams.pattern", "xroute:*").option("streamColumn", "stream")
+        .mode("append").save()
+    }
+    // the pattern table advertises no write capability, so Spark itself
+    // refuses before our builder runs ("does not allow create table as
+    // select" on the writer-v2 path) — any loud refusal is correct here
+    assert(Seq("read-only", "does not support", "does not allow")
+      .exists(chain(pat).toLowerCase.contains), chain(pat))
+    // (6) one column cannot be both id and route
+    val both = intercept[Exception] {
+      routedWrite(Seq((a, "9", "q")).toDF("stream", "n", "v"), s"$a,$b",
+        Map("idColumn" -> "stream"))
+    }
+    assert(chain(both).contains("both"), chain(both))
+    // streaming face: micro-batches route per row under a checkpoint
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-xroute").toString
+    val q = ms.toDS().toDF("stream", "v").writeStream
+      .format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams", s"$a,$b").option("streamColumn", "stream")
+      .option("checkpointLocation", s"$ckpt/c")
+      .start()
+    try {
+      ms.addData((a, "s1"), (b, "s2")); q.processAllAvailable()
+      ms.addData((b, "s3")); q.processAllAvailable()
+    } finally q.stop()
+    val c3 = new graft.net.RedisConnection("127.0.0.1", port)
+    try {
+      assert(RedisCommands.xlen(c3, a) == 3)
+      assert(RedisCommands.xlen(c3, b) == 4)
+    } finally c3.close()
+  }
+
   test("stream retention: sink maxlen trims inline (XADD MAXLEN ~), XTRIM/trimStream trim at rest, multi-arg redis_stream TVF") {
     import spark.implicits._
     import graft.net.RedisCommands
