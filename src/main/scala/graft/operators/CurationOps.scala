@@ -1669,6 +1669,61 @@ object CurationOps {
         (shiftleft(col("__b") + 1L, shift) - 1L).as("hi"))
   }
 
+  /** Pairwise Jensen-Shannon divergence (in bits, [0,1]) between the
+    * per-group unigram TOKEN distributions — the lexical-drift
+    * complement of [[histogramDrift]]'s numeric KS/TV/PSI: "how far
+    * apart do two corpus sources speak?", the standard diagnostic
+    * before choosing mixture weights (d92/d101) or flagging a crawl
+    * snapshot whose vocabulary shifted.
+    *
+    * Computed WITHOUT a full-outer join over the pair-union vocabulary:
+    * JS(P,Q) = ½·Σ_{x: p,q>0} [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *         + ½·ln2·[(1 − Σ_{both} p) + (1 − Σ_{both} q)],
+    * because every one-sided token contributes exactly p·ln2 (its
+    * mixture mass is p/2) — so the shared-token INNER join plus each
+    * side's shared-mass total carries the whole sum. Result divided by
+    * ln2 → bits, 1.0 = disjoint vocabularies.
+    *
+    * Scale shape: one corpus pass to (group, token) counts (map-side
+    * combined), token probabilities via a broadcast of the K group
+    * totals, then a self-join keyed on TOKEN (vocab-sized state, ≤ K²/2
+    * rows per shared token) with partial aggregation down to K·(K−1)/2
+    * result rows. The corpus text never shuffles; only the vocab does.
+    */
+  def sourceUnigramJsd(docs: DataFrame, groupCol: String, textCol: String,
+      decimals: Int = 4): DataFrame = {
+    val ln2 = math.log(2d)
+    val counts = docs.select(col(groupCol).as("__g"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val dist = counts.join(broadcast(totals), "__g")
+      .select(col("__g"), col("__tok"),
+        (col("__c").cast("double") / col("__n")).as("__p"))
+    val a = dist.select(col("__g").as("src1"), col("__tok"), col("__p").as("__pa"))
+    val b = dist.select(col("__g").as("src2"), col("__tok"), col("__p").as("__pb"))
+    val shared = a.join(b, a("__tok") === b("__tok") && col("src1") < col("src2"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(
+        sum(col("__pa") * log(lit(2d) * col("__pa") / (col("__pa") + col("__pb"))) +
+          col("__pb") * log(lit(2d) * col("__pb") / (col("__pa") + col("__pb"))))
+          .as("__both"),
+        sum(col("__pa")).as("__shp"), sum(col("__pb")).as("__shq"))
+    // a pair with NO shared token has no inner-join row — it must still
+    // report (at the maximum, 1 bit), so the result attaches to the
+    // complete K·(K−1)/2 pair grid built from the model-sized group list
+    val groups = totals.select(col("__g"))
+    val allPairs = groups.select(col("__g").as("src1"))
+      .join(groups.select(col("__g").as("src2")), col("src1") < col("src2"))
+    allPairs.join(shared, Seq("src1", "src2"), "left")
+      .select(col("src1"), col("src2"),
+        graft.queries.Qf.dround(
+          (lit(0.5) * coalesce(col("__both"), lit(0d)) +
+            lit(0.5 * ln2) * ((lit(1d) - coalesce(col("__shp"), lit(0d))) +
+              (lit(1d) - coalesce(col("__shq"), lit(0d))))) / ln2,
+          decimals).as("js_bits"))
+  }
+
   /** Distribution-DRIFT report between two at-rest quantile-histogram
     * ledgers (two corpora, two ingest windows, or pre/post a pipeline
     * change): per key, the Kolmogorov-Smirnov statistic (max CDF gap),

@@ -1187,6 +1187,21 @@ object DedupOps {
     ic / (size(sortedA) + size(sortedB) - ic)
   }
 
+  /** Asymmetric token-set CONTAINMENT over pre-sorted distinct arrays:
+    * |∩| / min(|a|, |b|) (Broder 1997's containment measure, the
+    * companion to resemblance/Jaccard). This is the doc-inside-doc
+    * signal Jaccard structurally suppresses: a 100-token doc pasted
+    * whole into a 10k-token doc scores Jaccard ≈ 0.01 (the union is
+    * huge) but containment 1.0 — exactly the quote-farm / aggregator /
+    * boilerplate-wrapper duplication a training-data pipeline must
+    * catch. Same fused merge-count kernel as [[sortedJaccard]]; rescore
+    * the LSH candidate pairs with BOTH and gate on either.
+    */
+  def sortedContainment(sortedA: Column, sortedB: Column): Column = {
+    val ic = graft.functions.VectorExpressions.intersectCountSorted(sortedA, sortedB)
+    ic / least(size(sortedA), size(sortedB))
+  }
+
   /** Connected components over an undirected edge list (e.g. the LSH
     * candidate pairs): min-label propagation + pointer jumping. Every
     * node starts labeled with itself; each round a node takes the min of

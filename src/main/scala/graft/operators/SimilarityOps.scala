@@ -91,6 +91,103 @@ object SimilarityOps {
       anchorKeys = Seq("anchor_label"),
       extraPred = col("anchor_label") =!= col("__cl"), k, scoreDecimals)
 
+  /** kNN label agreement — the standard intrinsic embedding-quality
+    * probe (a usable embedding puts same-label points near each other):
+    * for each labeled anchor, the fraction of its k nearest neighbors
+    * by cosine (self excluded) sharing its label. Output one row per
+    * anchor: `(query_id, query_label, knn_agree)` — aggregate further
+    * per label/corpus for a scorecard. A collapsing agreement after an
+    * embedding-model or index change is the canary that similarity
+    * search, semantic dedup and decontamination are about to degrade.
+    *
+    * Shape: anchors are a model-sized PROBE SAMPLE (they broadcast via
+    * [[bruteForceTopK]] — QA doesn't need every point scored); the
+    * corpus streams ONCE through the bounded-heap top-k. Neighbor
+    * labels then attach by broadcasting the (anchors × k)-sized
+    * neighbor table against the corpus' 2-column (id, label)
+    * projection — the corpus is never shuffled, and the label pass
+    * reads only 2 columns (column pruning reaches the scan).
+    */
+  def knnLabelAgreement(anchors: DataFrame, aId: String, aVec: String,
+      aLabel: String, corpus: DataFrame, cId: String, cVec: String,
+      cLabel: String, k: Int, scoreDecimals: Int = 6,
+      agreeDecimals: Int = 4): DataFrame = {
+    val nn = bruteForceTopK(anchors, aId, aVec, corpus, cId, cVec, k,
+      scoreDecimals)
+    val aL = anchors.select(col(aId).as("query_id"), col(aLabel).as("__ql"))
+    val cL = corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__nl"))
+    // (nn ⋈ anchor labels) is anchors×k rows — broadcast it against the
+    // corpus label projection so the corpus side never shuffles
+    val probe = nn.join(broadcast(aL), "query_id")
+    cL.join(broadcast(probe), "neighbor_id")
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(graft.queries.Qf.dround(
+        avg(when(col("__nl") === col("__ql"), 1d).otherwise(0d)),
+        agreeDecimals).as("knn_agree"))
+      .select(col("query_id"), col("__ql").as("query_label"), col("knn_agree"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): for source vectors X and
+    * target vectors Y (two languages in one multilingual embedding
+    * space), score a candidate pair by the RATIO margin
+    * `cos(x,y) / ((avg cos(x, NNk(x,Y)) + avg cos(y, NNk(y,X))) / 2)`
+    * and keep each x's argmax y. Dividing by the two neighborhoods'
+    * mean similarity cancels the hubness that makes raw-cosine
+    * thresholds unusable across languages: a y that is everyone's
+    * neighbor has a high denominator and wins nothing.
+    *
+    * Candidates are the standard forward ∪ backward top-k union (the
+    * margin argmax can sit in the backward list — scoring all |X|·|Y|
+    * pairs is exactly what the method avoids). Both directions run
+    * through [[bruteForceTopK]]'s broadcast + bounded-heap shape; the
+    * k-NN averages and the candidate set are (anchors × k)-sized, so
+    * everything after the two directional passes is model-sized
+    * broadcast work. 100 TB: replace the two brute-force passes with
+    * the ANN index probes (s03/s12/s22) — the margin algebra downstream
+    * is unchanged; mine per language-pair partition.
+    *
+    * Output: `(src_id, tgt_id, score, margin)`, one row per src vector
+    * (ties on margin break by tgt id, pinned by the oracle).
+    */
+  def marginBitextMine(src: DataFrame, sId: String, sVec: String,
+      tgt: DataFrame, tId: String, tVec: String, k: Int,
+      scoreDecimals: Int = 6, marginDecimals: Int = 4): DataFrame = {
+    val fwd = bruteForceTopK(src, sId, sVec, tgt, tId, tVec, k, scoreDecimals)
+    val bwd = bruteForceTopK(tgt, tId, tVec, src, sId, sVec, k, scoreDecimals)
+    val fAvg = fwd.groupBy(col("query_id")).agg(avg(col("score")).as("__fa"))
+      .select(col("query_id").as("src_id"), col("__fa"))
+    val bAvg = bwd.groupBy(col("query_id")).agg(avg(col("score")).as("__ba"))
+      .select(col("query_id").as("tgt_id"), col("__ba"))
+    // forward ∪ swapped-backward candidates; the rounded cosine is
+    // direction-independent (elementwise products and the commutative
+    // norm product are bit-identical), so first() after the dedup
+    // groupBy is exact, not a nondeterministic pick
+    val cand = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("score"))
+      .unionByName(bwd.select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("score")))
+      .groupBy(col("src_id"), col("tgt_id"))
+      .agg(first(col("score")).as("score"))
+    val margined = cand
+      .join(broadcast(fAvg), "src_id")
+      .join(broadcast(bAvg), "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("score"),
+        graft.queries.Qf.dround(
+          col("score") / ((col("__fa") + col("__ba")) / 2),
+          marginDecimals).as("margin"))
+    val best = perKeyTopK(
+      margined.select(col("src_id").as("query_id"),
+        col("tgt_id").as("neighbor_id"), col("margin")),
+      "margin", asc = false, k = 1)
+    // re-attach the raw cosine: (src,tgt) is unique in the candidate set
+    best.select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("margin"))
+      .join(broadcast(margined.select(col("src_id"), col("tgt_id"), col("score"))),
+        Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("score"), col("margin"))
+  }
+
   /** Per-key top-k via the bounded-heap aggregate — NOT a row_number
     * window: the window form sorts every key's full candidate set
     * (corpus-sized per key) where the aggregate streams candidates

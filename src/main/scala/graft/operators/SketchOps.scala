@@ -214,6 +214,62 @@ object SketchOps {
       .select(col(keyCol), col("rk"), col("token"), col("tc").cast("long").as("tc"))
   }
 
+  /** Lexical drift AT REST: per-key Jensen-Shannon divergence (bits,
+    * [0,1]) between the token distributions of TWO vocab ledgers — two
+    * corpora, two ingest windows, or pre/post a tokenizer-preserving
+    * pipeline change — with ZERO corpus access at drift time: the
+    * at-rest counterpart of `CurationOps.sourceUnigramJsd`, exactly as
+    * `histogramDrift` is to the numeric KS/TV/PSI. Same inner-join
+    * decomposition (one-sided tokens contribute ln2 · residual mass, so
+    * the union vocabulary never materializes); a key present in only
+    * one ledger reports the maximum (1 bit) by definition. Both
+    * sidecars are required and must agree on keyCol AND tokenizerId —
+    * distributions from different tokenizations are incomparable and
+    * fail loudly naming both sides (the histogramDrift rule).
+    */
+  def vocabLedgerJsd(spark: org.apache.spark.sql.SparkSession,
+      pathA: String, pathB: String, decimals: Int = 4): DataFrame = {
+    def meta(p: String): (String, String) = readVocabMeta(spark, p)
+      .getOrElse(throw new IllegalStateException(
+        s"vocab ledger drift: no _GRAFT_VOCAB_META sidecar at $p — cannot " +
+          "verify the two ledgers tokenize identically; rebuild the ledger " +
+          "(or restore the sidecar)"))
+    val (ka, ta) = meta(pathA)
+    val (kb, tb) = meta(pathB)
+    if ((ka, ta) != ((kb, tb)))
+      throw new IllegalArgumentException(
+        s"vocab ledger drift: $pathA was created with keyCol=$ka, " +
+          s"tokenizerId=$ta but $pathB with keyCol=$kb, tokenizerId=$tb — " +
+          "token distributions keyed or tokenized differently are incomparable")
+    val ln2 = math.log(2d)
+    // re-sum defensively: a pre-compaction ledger may hold one row per
+    // generation for a (key, token) — the merge contract, not an error
+    def dist(p: String): DataFrame = {
+      val c = LedgerGuard.readLedger(spark, p)
+        .groupBy(col(ka), col("token")).agg(sum(col("tc")).as("__c"))
+      val n = c.groupBy(col(ka)).agg(sum(col("__c")).as("__n"))
+      c.join(n, ka).select(col(ka), col("token"),
+        (col("__c").cast("double") / col("__n")).as("__p"))
+    }
+    val a = dist(pathA).select(col(ka).as("__k"), col("token"), col("__p").as("__pa"))
+    val b = dist(pathB).select(col(ka).as("__k"), col("token"), col("__p").as("__pb"))
+    val shared = a.join(b, Seq("__k", "token"))
+      .groupBy(col("__k"))
+      .agg(
+        sum(col("__pa") * log(lit(2d) * col("__pa") / (col("__pa") + col("__pb"))) +
+          col("__pb") * log(lit(2d) * col("__pb") / (col("__pa") + col("__pb"))))
+          .as("__both"),
+        sum(col("__pa")).as("__shp"), sum(col("__pb")).as("__shq"))
+    val keys = a.select(col("__k")).union(b.select(col("__k"))).distinct()
+    keys.join(shared, Seq("__k"), "left")
+      .select(col("__k").as(ka),
+        graft.queries.Qf.dround(
+          (lit(0.5) * coalesce(col("__both"), lit(0d)) +
+            lit(0.5 * ln2) * ((lit(1d) - coalesce(col("__shp"), lit(0d))) +
+              (lit(1d) - coalesce(col("__shq"), lit(0d))))) / ln2,
+          decimals).as("js_bits"))
+  }
+
   /** TF-IDF for a BATCH against at-rest ledgers — incremental keyword
     * scoring: d18's exact formula (`round(tf · ln(N/df), 4)`) with tf
     * from the batch alone, df from a vocab ledger built over per-doc

@@ -1204,6 +1204,65 @@ object PipelineQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- containment rescoring
+    // Asymmetric CONTAINMENT |∩|/min(|A|,|B|) (Broder 1997) next to
+    // Jaccard on the SAME d08 LSH candidate pairs: the doc-inside-doc
+    // signal a Jaccard-only gate structurally misses (small doc pasted
+    // into a big one → tiny Jaccard, containment ~1). Candidates come
+    // from banding — never all-pairs — and the merge-count kernel runs
+    // ONCE per pair (both measures derive from the one |∩| column).
+    // 100 TB: identical bound to d10 — the quadratic object is the
+    // candidate set, and the token arrays ship only to candidate rows.
+    q("d113_containment_rescore", {
+      def bucket(b: Int) = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("md5(", " || '_' || ", ")")
+      s"""WITH sh AS (SELECT doc_id, $sqlHashedShingles AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sqlMh8 FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${bucket(0)} AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, ${bucket(1)} AS bucket FROM sig),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS t
+         |        FROM documents),
+         |scored AS (
+         |  SELECT p.d1, p.d2,
+         |    round(len(list_intersect(ta.t, tb.t)) / least(len(ta.t), len(tb.t)), 4)
+         |      AS containment,
+         |    round(len(list_intersect(ta.t, tb.t))
+         |      / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4)
+         |      AS jaccard
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.d1
+         |  JOIN tok tb ON tb.doc_id = p.d2)
+         |SELECT * FROM scored WHERE containment >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        numHashes = 8, bandSize = 4, shingleSize = 5).select("d1", "d2")
+      val tok = docs.select(col("doc_id"),
+        array_sort(array_distinct(graft.operators.TextOps.tokens(col("text")))).as("__t"))
+      pairs
+        .join(tok.select(col("doc_id").as("d1"), col("__t").as("__ta")), "d1")
+        .join(tok.select(col("doc_id").as("d2"), col("__t").as("__tb")), "d2")
+        // one kernel pass per pair; both measures derive from |∩|
+        .withColumn("__ic",
+          graft.functions.VectorExpressions.intersectCountSorted(col("__ta"), col("__tb")))
+        .select(col("d1"), col("d2"),
+          Qf.dround(col("__ic") / least(size(col("__ta")), size(col("__tb"))), 4)
+            .as("containment"),
+          Qf.dround(col("__ic") /
+            (size(col("__ta")) + size(col("__tb")) - col("__ic")), 4)
+            .as("jaccard"))
+        .filter(col("containment") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- similarity search
     q("s01_cosine_topk",
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -1224,6 +1283,79 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rk")
+    },
+
+    // ---------------------------------------------------------------- kNN label agreement
+    // Intrinsic embedding QA: fraction of each probe vector's k nearest
+    // neighbors sharing its label. Probe sample broadcast, corpus
+    // streamed once through the bounded heap; neighbor labels attach by
+    // broadcasting the (probe × k) table against the corpus' 2-column
+    // label projection — the corpus never shuffles (see
+    // SimilarityOps.knnLabelAgreement).
+    q("s24_knn_label_agreement",
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, ql, neighbor_id, nl,
+        |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS score
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, ql, nl, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, ql AS query_label,
+        |  round(avg(CASE WHEN nl = ql THEN 1.0 ELSE 0.0 END), 4) AS knn_agree
+        |FROM ranked WHERE rk <= 10
+        |GROUP BY query_id, ql ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      SimilarityOps.knnLabelAgreement(
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 10)
+        .orderBy("query_id")
+    },
+
+    // ---------------------------------------------------------------- bitext mining
+    // Margin-based parallel-corpus mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix miner): en docs as source, de docs as target in
+    // the shared embedding space (lang from documents, vector from
+    // embeddings, joined on id). Ratio margin over forward ∪ backward
+    // top-4 candidates, argmax target per source. The oracle replays
+    // the whole margin algebra in CTEs — hash match pins candidates,
+    // averages, ratio, and the tie-break.
+    q("s23_bitext_margin", {
+      def cos(a: String, b: String) =
+        s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+           |  / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+           |   * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      s"""WITH e AS (SELECT d.lang, v.vec_id, v.embedding
+         |           FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id),
+         |s AS (SELECT vec_id AS src_id, embedding AS sv FROM e WHERE lang = 'en'),
+         |t AS (SELECT vec_id AS tgt_id, embedding AS tv FROM e WHERE lang = 'de'),
+         |sc AS (SELECT src_id, tgt_id, ${cos("sv", "tv")} AS score FROM s, t),
+         |fr AS (SELECT src_id, tgt_id, score,
+         |  row_number() OVER (PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rk FROM sc),
+         |br AS (SELECT src_id, tgt_id, score,
+         |  row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rk FROM sc),
+         |fa AS (SELECT src_id, avg(score) AS fa FROM fr WHERE rk <= 4 GROUP BY 1),
+         |ba AS (SELECT tgt_id, avg(score) AS ba FROM br WHERE rk <= 4 GROUP BY 1),
+         |cand AS (SELECT src_id, tgt_id, score FROM fr WHERE rk <= 4
+         |         UNION SELECT src_id, tgt_id, score FROM br WHERE rk <= 4),
+         |m AS (SELECT c.src_id, c.tgt_id, c.score,
+         |        round(c.score / ((fa.fa + ba.ba) / 2), 4) AS margin
+         |      FROM cand c JOIN fa USING (src_id) JOIN ba USING (tgt_id)),
+         |best AS (SELECT src_id, tgt_id, score, margin,
+         |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk FROM m)
+         |SELECT src_id, tgt_id, score, margin FROM best WHERE rk = 1
+         |ORDER BY src_id""".stripMargin
+    }) { (s, dir) =>
+      val byLang = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(table(s, dir, "embeddings"), col("vec_id") === col("doc_id"))
+      SimilarityOps.marginBitextMine(
+        byLang.filter(col("lang") === "en"), "vec_id", "embedding",
+        byLang.filter(col("lang") === "de"), "vec_id", "embedding", k = 4)
+        .orderBy("src_id")
     },
 
     q("s02_ann_buckets", {
@@ -3869,6 +4001,80 @@ object PipelineQueries {
           Qf.dround(col("psi_raw"), 4).as("psi"),
           col("n_onesided"))
         .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------- lexical drift (JSD)
+    // d93 drifts NUMERIC distributions; this drifts the VOCABULARY:
+    // pairwise Jensen-Shannon divergence (bits) between per-source
+    // unigram distributions — the diagnostic behind mixture-weight
+    // choices (d92/d101). Computed with the inner-join decomposition
+    // (one-sided tokens contribute exactly ln2 · residual mass), so the
+    // pair-union vocabulary never materializes; the oracle replays the
+    // identical algebra over a shared-token join.
+    q("d112_source_unigram_jsd",
+      """WITH tok AS (SELECT source AS g, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |counts AS (SELECT g, t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+        |dist AS (SELECT g, t, c / sum(c) OVER (PARTITION BY g) AS p FROM counts),
+        |pairs AS (
+        |  SELECT a.g AS src1, b.g AS src2,
+        |    sum(a.p * ln(2*a.p/(a.p+b.p)) + b.p * ln(2*b.p/(a.p+b.p))) AS both_term,
+        |    sum(a.p) AS shp, sum(b.p) AS shq
+        |  FROM dist a JOIN dist b ON a.t = b.t AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |groups AS (SELECT DISTINCT g FROM counts),
+        |ap AS (SELECT a.g AS src1, b.g AS src2 FROM groups a JOIN groups b ON a.g < b.g)
+        |SELECT ap.src1, ap.src2,
+        |  round((0.5*coalesce(both_term, 0)
+        |    + 0.5*ln(2)*((1-coalesce(shp, 0))+(1-coalesce(shq, 0)))) / ln(2), 4) AS js_bits
+        |FROM ap LEFT JOIN pairs p ON p.src1 = ap.src1 AND p.src2 = ap.src2
+        |ORDER BY ap.src1, ap.src2""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.sourceUnigramJsd(
+        table(s, dir, "documents"), "source", "text")
+        .orderBy("src1", "src2")
+    },
+
+    // ---------------------------------------------------------------- lexical drift AT REST
+    // d112's JSD with BOTH sides at rest: two vocab-count ledgers (two
+    // ingest windows of the corpus), drifted per source with zero
+    // corpus access — the lexical sibling of d93's histogram drift.
+    // Ledger A is built across two generations plus a REPLAYED advance
+    // (exactly-once batchId); the oracle recomputes both distributions
+    // from documents, blind to the ledger cycle, so the hash match
+    // proves the at-rest path lost and invented nothing.
+    q("d114_vocab_ledger_jsd",
+      """WITH ta AS (SELECT source AS g, unnest(string_split(trim(text), ' ')) AS t
+        |            FROM documents WHERE doc_id % 10 < 6),
+        |tb AS (SELECT source AS g, unnest(string_split(trim(text), ' ')) AS t
+        |       FROM documents WHERE doc_id % 10 >= 6),
+        |ca AS (SELECT g, t, CAST(count(*) AS DOUBLE) AS c FROM ta GROUP BY 1, 2),
+        |cb AS (SELECT g, t, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY 1, 2),
+        |da AS (SELECT g, t, c / sum(c) OVER (PARTITION BY g) AS p FROM ca),
+        |db AS (SELECT g, t, c / sum(c) OVER (PARTITION BY g) AS p FROM cb),
+        |sh AS (SELECT da.g,
+        |    sum(da.p * ln(2*da.p/(da.p+db.p)) + db.p * ln(2*db.p/(da.p+db.p))) AS both_term,
+        |    sum(da.p) AS shp, sum(db.p) AS shq
+        |  FROM da JOIN db ON da.g = db.g AND da.t = db.t GROUP BY 1),
+        |keys AS (SELECT DISTINCT g FROM ca UNION SELECT DISTINCT g FROM cb)
+        |SELECT keys.g AS source,
+        |  round((0.5*coalesce(both_term, 0)
+        |    + 0.5*ln(2)*((1-coalesce(shp, 0))+(1-coalesce(shq, 0)))) / ln(2), 4) AS js_bits
+        |FROM keys LEFT JOIN sh ON sh.g = keys.g ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.SketchOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val pA = Registry.scratchDir(s"/tmp/graft_conformance/d114_a_$tag")
+      val pB = Registry.scratchDir(s"/tmp/graft_conformance/d114_b_$tag")
+      val tok = graft.operators.TextOps.tokens(col("text"))
+      val gen2 = docs.filter(col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6)
+      SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 < 3),
+        "source", tok, pA)
+      SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
+      // replayed delivery of the same batch: exactly-once marker no-ops
+      SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
+      SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "source", tok, pB)
+      SketchOps.vocabLedgerJsd(s, pA, pB).orderBy("source")
     },
 
     // ---------------------------------------------------------------- leakage-safe split

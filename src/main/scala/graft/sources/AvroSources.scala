@@ -196,6 +196,25 @@ object AvroTable {
     } finally scala.util.Try(in.close())
   }
 
+  /** The files' writer schema filtered to `keep` (in that order) —
+    * record name/namespace and per-field schemas preserved EXACTLY, so
+    * Avro's resolution (which matches records and fields by name)
+    * accepts it for any producer, not just this writer. Fields the
+    * reader omits are SKIPPED by the decoder: the byte-level column
+    * pruning a row-oriented container supports.
+    */
+  def prunedAvroSchema(writer: AvroSchema, keep: Seq[String]): AvroSchema = {
+    val fields = keep.map { n =>
+      val f = Option(writer.getField(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-avro: required column '$n' is not in the file schema " +
+            s"(${writer.getFields.asScala.map(_.name()).mkString(", ")})"))
+      new AvroSchema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+    }
+    AvroSchema.createRecord(writer.getName, writer.getDoc, writer.getNamespace,
+      false, util.Arrays.asList(fields: _*))
+  }
+
   private[sources] val readerFactory: PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[AvroFilePartition]
@@ -203,8 +222,16 @@ object AvroTable {
       new PartitionReader[InternalRow] {
         private val path = new Path(p.file)
         private val in = path.getFileSystem(p.conf.value).open(path)
+        // expected (= pruned reader) schema set up front; DataFileStream
+        // installs the file's writer schema as the actual, and the
+        // resolving decoder skips the omitted fields' bytes
+        private val datumReader = {
+          val dr = new GenericDatumReader[GenericRecord]()
+          dr.setExpected(new AvroSchema.Parser().parse(p.readerAvroJson))
+          dr
+        }
         private val stream =
-          new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+          new DataFileStream[GenericRecord](in, datumReader)
         private var current: InternalRow = _
         // per-column decoders resolved once from the SPARK schema (the
         // write side's inverse; Avro runtime values → Catalyst)
@@ -248,7 +275,8 @@ object AvroTable {
 }
 
 final case class AvroFilePartition(file: String, schemaJson: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    readerAvroJson: String)
     extends InputPartition
 
 class AvroTable(tableSchema: StructType, path: String)
@@ -260,12 +288,24 @@ class AvroTable(tableSchema: StructType, path: String)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // files listed at SCAN build, not table construction: the same
       // path may be the target of a write that hasn't happened yet
       private lazy val files = AvroTable.listFiles(path)
+      // COLUMN PRUNING — Avro's own schema-resolution rules are the
+      // format's pruning path: a reader schema that omits fields makes
+      // the decoder SKIP their bytes (no object is ever materialized),
+      // which is as close to columnar pruning as a row-oriented
+      // container gets. Catalyst pushes the required columns here; the
+      // scan then ships a reader schema built by FILTERING the files'
+      // OWN writer schema (names/types/record name preserved exactly, so
+      // resolution never trips on a foreign record name).
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan with Batch {
-        // records decode POSITIONALLY against tableSchema, so a
+        // records decode POSITIONALLY against the expected schema, so a
         // user-supplied .schema(...) that differs from the files would
         // be silent corruption — require exact agreement (the
         // redis-stream source's rule: project after load())
@@ -277,13 +317,23 @@ class AvroTable(tableSchema: StructType, path: String)
               "is not supported — project after load()")
           files
         }
-        override def readSchema(): StructType = tableSchema
-        override def description(): String = s"GraftAvro(${files.length} files)"
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftAvro(${files.length} files, " +
+            s"ReadSchema: ${required.fieldNames.mkString(",")})"
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
           val conf = AvroTable.shippableConf()
+          // the pruned READER schema, filtered from the files' writer
+          // schema in the REQUIRED order (Avro resolution matches by
+          // name and handles reordering; a zero-field record is legal —
+          // the count(*) shape decodes nothing)
+          val writerSchema = AvroTable.readFileSchema(validated)
+          val readerAvro = AvroTable.prunedAvroSchema(writerSchema,
+            required.fieldNames.toSeq)
           validated.map(f =>
-            AvroFilePartition(f, tableSchema.json, conf): InputPartition).toArray
+            AvroFilePartition(f, required.json, conf,
+              readerAvro.toString): InputPartition).toArray
         }
         override def createReaderFactory(): PartitionReaderFactory =
           AvroTable.readerFactory

@@ -614,6 +614,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("QHIST_META"), e2.getMessage)
   }
 
+  test("vocabLedgerJsd: zero self-drift, 1 bit for one-sided keys, sidecar guards") {
+    import graft.operators.{SketchOps, TextOps}
+    val base = java.nio.file.Files.createTempDirectory("graft-vjsd").toString
+    val (pA, pB, pC) = (s"$base/a", s"$base/b", s"$base/c")
+    val a = Seq(("en", "a b a"), ("de", "x y")).toDF("lang", "text")
+    val b = Seq(("en", "a b a"), ("fr", "z")).toDF("lang", "text")
+    SketchOps.writeVocabLedger(a, "lang", TextOps.tokens(col("text")), pA)
+    SketchOps.writeVocabLedger(b, "lang", TextOps.tokens(col("text")), pB)
+    val out = SketchOps.vocabLedgerJsd(spark, pA, pB)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // en identical on both sides → 0; de/fr exist on one side only → 1
+    assert(out == Map("en" -> 0.0, "de" -> 1.0, "fr" -> 1.0), out)
+    // self-drift is identically zero
+    assert(SketchOps.vocabLedgerJsd(spark, pA, pA)
+      .collect().forall(_.getDouble(1) == 0.0))
+    // a differently-tokenized ledger is incomparable — loud, naming both
+    SketchOps.writeVocabLedger(a, "lang", TextOps.tokens(col("text")), pC,
+      tokenizerId = "bpe-v2")
+    val e = intercept[IllegalArgumentException](
+      SketchOps.vocabLedgerJsd(spark, pA, pC))
+    assert(e.getMessage.contains("ws") && e.getMessage.contains("bpe-v2"),
+      e.getMessage)
+    // a missing sidecar refuses to guess
+    new java.io.File(new java.io.File(pB), "_GRAFT_VOCAB_META").delete()
+    val e2 = intercept[IllegalStateException](
+      SketchOps.vocabLedgerJsd(spark, pA, pB))
+    assert(e2.getMessage.contains("VOCAB_META"), e2.getMessage)
+  }
+
   test("vocab ledger: incremental == from-scratch counts, exact top-k probe, exactly-once replay, tokenizer guard") {
     val path = java.nio.file.Files.createTempDirectory("graft-vocab").toString + "/ledger"
     import graft.operators.{SketchOps, TextOps}

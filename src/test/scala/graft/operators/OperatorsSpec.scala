@@ -145,6 +145,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaPairs == viaStars && viaPairs.nonEmpty)
   }
 
+  test("knnLabelAgreement scores the fraction of same-label neighbors") {
+    // 2-d toy space: ids 1,2,3 cluster near (1,0) with label 0 except id 3
+    // (label 1); id 4 sits alone near (0,1) with label 1.
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 1),
+      (4L, Array(0f, 1f), 1)).toDF("id", "v", "lab")
+    val out = SimilarityOps.knnLabelAgreement(
+      vecs, "id", "v", "lab", vecs, "id", "v", "lab", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // id 1's 2-NN = {2, 3} → one of two shares label 0; id 3's 2-NN =
+    // {1, 2} (closer than 4) → zero share label 1; id 4's 2-NN = {3, 2}
+    // → 3 has label 1 → 0.5
+    assert(out == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0, 4L -> 0.5), out)
+  }
+
+  test("marginBitextMine: the ratio margin beats the raw-cosine hub") {
+    // hub target 20 is near EVERY source; target 21 is the true match of
+    // source 2 only. Raw cosine for source 2 prefers the hub; the margin
+    // divides by the hub's inflated backward neighborhood and flips the
+    // choice to 21 — the Artetxe & Schwenk effect in miniature.
+    val src = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0.55f)),
+      (3L, Array(0.7f, 0.7f, 0f))).toDF("id", "v")
+    val tgt = Seq(
+      (20L, Array(0.6f, 0.6f, 0.5f)), // the hub: close to everything
+      (21L, Array(0f, 0.8f, 0.65f)),  // genuinely parallel to source 2
+      (22L, Array(0.9f, 0.1f, 0f))).toDF("id", "v")
+    val out = SimilarityOps.marginBitextMine(src, "id", "v", tgt, "id", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw cosine would pair source 2 with the hub 20 — assert the
+    // premise, then that the margin picks 21 instead
+    val raw = SimilarityOps.bruteForceTopK(src.filter(col("id") === 2L),
+      "id", "v", tgt, "id", "v", k = 1)
+      .collect().map(r => r.getLong(1)).head
+    assert(raw == 20L || raw == 21L) // cosine is close either way
+    assert(out(2L) == 21L, out)
+    assert(out(1L) == 22L, out) // source 1's best margin is its true match
+  }
+
+  test("sourceUnigramJsd: 0 bits for identical distributions, 1 bit for disjoint vocabularies") {
+    val docs = Seq(
+      ("a", "x y z"), ("b", "x y z"),        // identical unigram dists
+      ("c", "p q r p")).toDF("source", "text") // disjoint from both
+    val out = CurationOps.sourceUnigramJsd(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", "b")) == 0.0, out)
+    assert(out(("a", "c")) == 1.0 && out(("b", "c")) == 1.0, out)
+    // partial overlap lands strictly between
+    val mix = CurationOps.sourceUnigramJsd(
+      Seq(("a", "x y"), ("b", "x q")).toDF("source", "text"), "source", "text")
+      .collect().head.getDouble(2)
+    assert(mix > 0.0 && mix < 1.0, mix)
+  }
+
   test("l2TopK ranks by Euclidean distance ascending") {
     val vecs = Seq(
       (1L, Array(0f, 0f)),
@@ -161,6 +218,21 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(DedupOps.tokenJaccard(col("x"), col("y")).as("j"))
     assert(df.as[Double].head() == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("sortedContainment catches doc-inside-doc that Jaccard suppresses") {
+    // small set {a,b} fully inside the big one: containment 1.0, Jaccard 0.25
+    val df = Seq((Seq("a", "b"), Seq("a", "b", "c", "d", "e", "f", "g", "h")))
+      .toDF("x", "y")
+      .select(DedupOps.sortedContainment(col("x"), col("y")).as("c"),
+        DedupOps.sortedJaccard(col("x"), col("y")).as("j"))
+    val (c, j) = df.as[(Double, Double)].head()
+    assert(c == 1.0 && j == 0.25, s"c=$c j=$j")
+    // symmetric: min(|a|,|b|) normalizes regardless of argument order
+    val rev = Seq((Seq("a", "b", "c", "d", "e", "f", "g", "h"), Seq("a", "b")))
+      .toDF("x", "y")
+      .select(DedupOps.sortedContainment(col("x"), col("y")).as("c"))
+    assert(rev.as[Double].head() == 1.0)
   }
 
   test("minhash is permutation-stable: identical text ⇒ identical signature") {

@@ -132,6 +132,28 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-avro").load(dir).count() == 2)
   }
 
+  test("column pruning reaches the avro decoder: the scan reads only the required fields") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5))
+      .toDF("id", "v", "x").write.format("graft-avro").mode("overwrite").save(dir)
+    // a 1-column projection: the scan's output schema (and thus the
+    // reader's expected avro schema) must carry ONLY that column
+    val one = spark.read.format("graft-avro").load(dir).select("v")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq == Seq("v"), scan.schema)
+    assert(scan.toString.contains("ReadSchema: v"), scan.toString)
+    assert(one.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    // column ORDER in the projection is honored through avro's
+    // name-based resolution (reader fields may reorder vs the writer)
+    val re = spark.read.format("graft-avro").load(dir).select("x", "id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(re == Seq((10.5, 1L), (20.5, 2L), (30.5, 3L)), re)
+    // the count(*) shape prunes to ZERO fields — a legal empty record
+    // read that decodes nothing
+    assert(spark.read.format("graft-avro").load(dir).count() == 3)
+  }
+
   test("avro schema mapping is its own inverse (logical types, nullability)") {
     val schema = StructType(Seq(
       StructField("a", TimestampType, nullable = true),

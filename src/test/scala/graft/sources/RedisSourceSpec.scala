@@ -743,16 +743,16 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch.columns.toSeq == Seq("stream", "entry_id", "fields"))
       assert(batch.count() == 12)
     } finally q.stop()
-    // a multi-stream table is read-only: a write must name ONE stream
+    // a multi-stream write needs per-row routing: without streamColumn
+    // the builder rejects at plan time naming the missing option (the
+    // routed-sink face — see the dedicated routed-sink test)
     val w = intercept[Exception] {
       import spark.implicits._
       Seq(("1", "x")).toDF("n", "v").write.format("redis-stream")
         .option("host", "127.0.0.1").option("port", port.toString)
         .option("streams", s"$a,$b").mode("append").save()
     }
-    // the capability gate makes the table read-only, so the writer is
-    // rejected at plan time ("does not allow create table as select")
-    assert(chain(w).toLowerCase.contains("does not allow"), chain(w))
+    assert(chain(w).contains("streamColumn"), chain(w))
     // stream/streams/streams.pattern are mutually exclusive
     val x = intercept[Exception] {
       spark.read.format("redis-stream")
