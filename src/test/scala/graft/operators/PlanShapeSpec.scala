@@ -672,6 +672,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("knnLabelAgreement: zero windows; the corpus label pass reads a pruned 2-column projection and never shuffles") {
+    withStaticPlans {
+      val df = SimilarityOps.knnLabelAgreement(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(windows(df) == 0, plan)
+      // the label side of the plan must scan only (vec_id, label) — the
+      // vector column is pruned off the second corpus pass
+      assert(plan.contains("ReadSchema: struct<vec_id:bigint,label:int>"), plan)
+      // shuffles: only the two model-sized aggregations (top-k partials
+      // + the per-anchor agreement agg); the corpus joins are broadcast
+      assert(shuffles(df) <= 2, plan)
+      assert(broadcasts(df) >= 2, plan)
+    }
+  }
+
+  test("marginBitextMine: zero windows — both directional passes rank through the bounded heap, the margin algebra is broadcast-joined") {
+    withStaticPlans {
+      val df = SimilarityOps.marginBitextMine(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 20), "vec_id", "embedding",
+        k = 3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(windows(df) == 0, plan)
+      assert(broadcasts(df) >= 3, plan) // 2 directional + avg/score re-joins
+    }
+  }
+
+  test("sourceUnigramJsd: the corpus text scans for tokenization only — every join above it is vocab- or group-sized") {
+    withStaticPlans {
+      val df = CurationOps.sourceUnigramJsd(docs, "source", "text")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(windows(df) == 0, plan)
+      // the token-probability divide joins group totals via BROADCAST
+      // (model-sized: one row per group)
+      assert(broadcasts(df) >= 1, plan)
+    }
+  }
+
+  test("graft-avro pruned scan: a projection's scan node carries only the required columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroplan").toString + "/t"
+    docs.select(col("doc_id"), col("lang"), col("source")).limit(10)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val one = spark.read.format("graft-avro").load(dir).select("lang")
+    val leaf = one.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.schema.fieldNames.toSeq == Seq("lang"), leaf.schema)
+    assert(leaf.toString.contains("ReadSchema: lang"), leaf.toString)
+  }
+
   test("license gate (d111) is a pure per-row scan: zero shuffles, zero windows") {
     withStaticPlans {
       val df = docs.select(col("doc_id"),
