@@ -1724,6 +1724,26 @@ object CurationOps {
           decimals).as("js_bits"))
   }
 
+  /** Deterministic per-EPOCH corpus reshuffle: position = global rank of
+    * `md5(salt:id)` (id tiebreak) — the reproducible data-ordering every
+    * trainer needs per epoch. No RNG and no stored permutation: any
+    * worker, any restart, any engine recomputes the identical order from
+    * (salt, id) alone; a new salt = a fresh, uncorrelated permutation
+    * (the d42 stable-split argument applied to ORDER). The global
+    * row_number runs through WindowRankOps.partitionedRanks with a
+    * constant group — range-partitioned local ranks + a driver fold of
+    * per-slice offsets — never a single-partition window, so the sort
+    * stays at full shuffle width at any corpus size.
+    * Output: `(pos, id, hk)`, pos = 1..N exactly once.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, salt: String): DataFrame =
+    graft.operators.WindowRankOps.partitionedRanks(
+      docs.select(col(idCol),
+        md5(concat_ws("", lit(s"$salt:"), col(idCol).cast("string"))).as("__hk"),
+        lit(1).as("__g")),
+      Seq("__g"), Seq(("__hk", true), (idCol, true)), ntileN = 1)
+      .select(col("rn").as("pos"), col(idCol), col("__hk").as("hk"))
+
   /** Distribution-DRIFT report between two at-rest quantile-histogram
     * ledgers (two corpora, two ingest windows, or pre/post a pipeline
     * change): per key, the Kolmogorov-Smirnov statistic (max CDF gap),

@@ -112,6 +112,43 @@ object MlOps {
       .agg(sum(col(labelCol).cast("long")).as("__pos"),
         (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg")))
 
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * 2015 / Guo et al. 2017) — the companion readout to
+    * [[thresholdSweep]]: a sweep picks the operating point, this says
+    * whether the scores can be TRUSTED as probabilities (a quality
+    * classifier that says 0.9 but is right 60% of the time poisons any
+    * downstream budget math that treats scores as admission
+    * probabilities). Equal-width bins over [0,1] (score 1.0 folds into
+    * the top bin, the standard convention); per bin: count, mean
+    * confidence, observed accuracy, |acc − conf| gap; every row also
+    * carries ECE = Σ (n_b/N)·gap_b.
+    *
+    * Scale shape: the corpus collapses to ≤ `bins` rows in ONE
+    * aggregation with map-side combine; the ECE total attaches by
+    * broadcasting the 1-row sum over the bin table — no windows, no
+    * second corpus pass. Bin counts and sums are additive, so the same
+    * shape maintains incrementally at rest (the d63 bucket-ledger
+    * regime). Gap/ECE derive from the ROUNDED per-bin columns, making
+    * the numbers replayable cross-engine.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10, decimals: Int = 4): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+    val perBin = scored
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Qf.dround(avg(col(scoreCol)), decimals).as("conf"),
+        graft.queries.Qf.dround(avg(col(labelCol).cast("double")), decimals)
+          .as("acc"))
+      .withColumn("gap",
+        graft.queries.Qf.dround(abs(col("acc") - col("conf")), decimals))
+    val ece = perBin.agg(
+      graft.queries.Qf.dround(
+        sum(col("n") * col("gap")) / sum(col("n")), decimals).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
   /** The curve from already-maintained per-bucket counts `(thr, __pos,
     * __neg)` — the INCREMENTAL entry point: bucket counts are additive,
     * so an ingest loop keeps them at rest (the d41 stats-ledger regime,

@@ -4077,6 +4077,54 @@ object PipelineQueries {
       SketchOps.vocabLedgerJsd(s, pA, pB).orderBy("source")
     },
 
+    // ---------------------------------------------------------------- epoch reshuffle
+    // Deterministic training-order permutation: position = global rank
+    // of md5(salt:id). No RNG, no stored permutation — any worker or
+    // engine recomputes the identical order from (salt, id); the global
+    // row_number is the q17b distributed form (range-partitioned local
+    // ranks + driver-folded slice offsets), never one fat window
+    // partition. The oracle IS the definition: row_number over the same
+    // md5 — hash match pins the whole permutation.
+    q("d115_epoch_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |  md5('epoch-7:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos,
+        |  doc_id, hk
+        |FROM h ORDER BY pos""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.epochShuffle(
+        table(s, dir, "documents"), "doc_id", "epoch-7")
+        .orderBy("pos")
+    },
+
+    // ---------------------------------------------------------------- calibration / ECE
+    // Reliability diagram + expected calibration error for a scorer
+    // used as an admission probability (the d63 sweep's companion:
+    // "where to cut" vs "can the scores be trusted"). Scores = the d02
+    // quality score (rounded, so both engines bin identically); labels
+    // = a deterministic length proxy. One map-side-combined aggregation
+    // to <= 10 rows; ECE broadcast back over the bin table.
+    q("d116_calibration_ece", {
+      val quality =
+        s"""round(0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+           |  + 0.5 * least(1.0, len($sqlTokens) / 100.0), 4)""".stripMargin
+      s"""WITH s AS (SELECT doc_id, $quality AS score,
+         |  CASE WHEN length(text) > 400 THEN 1 ELSE 0 END AS label FROM documents),
+         |b AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+         |    count(*) AS n, round(avg(score), 4) AS conf,
+         |    round(avg(CAST(label AS DOUBLE)), 4) AS acc
+         |  FROM s GROUP BY 1),
+         |g AS (SELECT bin, n, conf, acc, round(abs(acc - conf), 4) AS gap FROM b)
+         |SELECT bin, n, conf, acc, gap,
+         |  round(sum(n * gap) OVER () / sum(n) OVER (), 4) AS ece
+         |FROM g ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      val scored = table(s, dir, "documents").select(
+        Qf.dround(TextOps.qualityScore(col("text")), 4).as("score"),
+        (length(col("text")) > 400).cast("int").as("label"))
+      graft.operators.MlOps.calibrationBins(scored, "score", "label", bins = 10)
+        .orderBy("bin")
+    },
+
     // ---------------------------------------------------------------- leakage-safe split
     // d42's stable split decides per-document — two near-copies of one
     // page can straddle the train/test wall and quietly inflate every

@@ -614,6 +614,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("QHIST_META"), e2.getMessage)
   }
 
+  test("epochShuffle: exact permutation, reproducible per salt, uncorrelated across salts") {
+    import graft.operators.CurationOps
+    val docs = spark.range(0, 200).toDF("doc_id")
+    def order(salt: String): Seq[Long] =
+      CurationOps.epochShuffle(docs, "doc_id", salt)
+        .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    val e1 = order("epoch-1")
+    // a permutation: every id exactly once
+    assert(e1.sorted == (0L until 200L), e1.take(10))
+    // deterministic: recomputing the same epoch gives the identical order
+    assert(order("epoch-1") == e1)
+    // a different salt is a different permutation
+    val e2 = order("epoch-2")
+    assert(e2 != e1 && e2.sorted == (0L until 200L))
+    // pos is the contiguous 1..N ranking, not a sparse rank
+    val pos = CurationOps.epochShuffle(docs, "doc_id", "epoch-1")
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(pos == (1L to 200L), pos.take(10))
+  }
+
+  test("calibrationBins: hand-checked bins, top-bin fold for score 1.0, ECE weighting") {
+    import graft.operators.MlOps
+    // bin 0: scores .01/.05, labels 0,0 → conf .03, acc 0, gap .03
+    // bin 9: scores .9/.95/1.0 (1.0 folds in), labels 1,0,1
+    //        → conf .95, acc round(2/3, 4) = .6667, gap .2833
+    val scored = Seq((0.01, 0), (0.05, 0), (0.9, 1), (0.95, 0), (1.0, 1))
+      .toDF("score", "label")
+    val rows = MlOps.calibrationBins(scored, "score", "label", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set(0, 9), rows)
+    // ECE = (2·0.03 + 3·0.2833) / 5 = 0.9099 / 5 = 0.18198 → 0.182
+    assert(rows(0) == ((2L, 0.03, 0.0, 0.03, 0.182)), rows(0))
+    assert(rows(9) == ((3L, 0.95, 0.6667, 0.2833, 0.182)), rows(9))
+  }
+
   test("vocabLedgerJsd: zero self-drift, 1 bit for one-sided keys, sidecar guards") {
     import graft.operators.{SketchOps, TextOps}
     val base = java.nio.file.Files.createTempDirectory("graft-vjsd").toString
