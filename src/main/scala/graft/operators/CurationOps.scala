@@ -1724,6 +1724,96 @@ object CurationOps {
           decimals).as("js_bits"))
   }
 
+  /** Deterministic bottom-k sample — the classic bottom-k sketch run on
+    * a hash PRIORITY instead of an RNG: sample = the k smallest
+    * `md5Hash32(id·salt)` values (id tiebreak), so membership is a pure
+    * function of (salt, id) — reproducible across engines, retries and
+    * partitionings, like [[weightedKeep]]/[[splitAssign]], but with an
+    * EXACT size k instead of a probabilistic rate. With `weightCol`,
+    * the Efraimidis-Spirakis (2006) weighted form on hash-derived
+    * uniforms: u = (h+1)/2³², key = u^(1/w), keep the k LARGEST — a
+    * weight-proportional sample without replacement, still fully
+    * deterministic.
+    *
+    * Mergeable by construction: bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) for any fixed per-id priority
+    * — the property [[advanceSampleLedger]] rests on, and why the
+    * at-rest state is k rows, not a corpus. Ids are assumed unique (they
+    * are keys); re-DELIVERED ids across ledger advances dedup in the
+    * merge, where the duplicate can actually arise.
+    *
+    * Scale: priorities are per-row codegen; the top-k runs through the
+    * bounded heap (map-side ≤k partial buffers), never a global sort.
+    * Output: `(idCol, pr, rk)` — pr is the hash priority (uniform) or
+    * the E-S key rounded to 6 (weighted).
+    */
+  def bottomKSample(docs: DataFrame, idCol: String, salt: String, k: Int,
+      weightCol: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = DedupOps.md5Hash32(col(idCol).cast("string"), salt)
+    val scored = weightCol match {
+      case None =>
+        docs.select(lit(1).as("__all"), col(idCol), h.cast("double").as("__pr"))
+      case Some(w) =>
+        docs.select(lit(1).as("__all"), col(idCol),
+          pow((h + 1d) / lit(4294967296d), lit(1d) / col(w)).as("__pr"))
+    }
+    val asc = weightCol.isEmpty // uniform: smallest priorities; E-S: largest keys
+    val top = SimilarityOps.perKeyTopK(scored, Seq("__all"), idCol, "__pr",
+      asc = asc, k = k)
+    val pr =
+      if (weightCol.isEmpty) col("__pr").cast("long").as("pr")
+      else graft.queries.Qf.dround(col("__pr"), 6).as("pr")
+    top.select(col(idCol), pr, col("rk"))
+  }
+
+  private val SampleMetaFile = "_GRAFT_SAMPLE_META"
+
+  /** Create/overwrite the at-rest bottom-k sample. */
+  def writeSampleLedger(docs: DataFrame, idCol: String, salt: String, k: Int,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    bottomKSample(docs, idCol, salt, k).drop("rk")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(spark, path, SampleMetaFile,
+      Seq("idCol" -> idCol, "salt" -> salt, "k" -> k.toString))
+  }
+
+  /** Fold a batch into the at-rest sample IN PLACE (staged swap, lease,
+    * manifest mode, exactly-once batchId): union the stored k rows with
+    * the batch's own bottom-k and keep the global bottom-k — the
+    * bottom-k sketch merge, model-sized on the ledger side. The sidecar
+    * (idCol, salt, k) must match: a sample under a different salt or k
+    * is a DIFFERENT sample and merging them yields silent garbage.
+    */
+  def advanceSampleLedger(batch: DataFrame, idCol: String, salt: String,
+      k: Int, path: String, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    LedgerGuard.readSidecarMetaStr(spark, path, SampleMetaFile).foreach { kv =>
+      if (kv.get("idCol") != Some(idCol) || kv.get("salt") != Some(salt) ||
+          kv.get("k") != Some(k.toString))
+        throw new IllegalArgumentException(
+          s"sample ledger advance at $path: ledger was created with " +
+            s"${kv.toSeq.sorted.mkString(", ")} but the caller passed " +
+            s"idCol=$idCol, salt=$salt, k=$k — different parameters define " +
+            "a different sample; pass the creation-time values")
+    }
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    val delta = bottomKSample(batch, idCol, salt, k).drop("rk")
+    LedgerGuard.advanceInPlace(spark, path, "bottom-k sample ledger", batchId) {
+      staging =>
+        val merged = LedgerGuard.readLedger(spark, path)
+          .unionByName(delta)
+          .groupBy(col(idCol)).agg(first(col("pr")).as("pr")) // replayed ids dedup
+          .orderBy(col("pr"), col(idCol)).limit(k)
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    if (LedgerGuard.readSidecarMetaStr(spark, path, SampleMetaFile).isEmpty)
+      LedgerGuard.writeSidecarMetaStr(spark, path, SampleMetaFile,
+        Seq("idCol" -> idCol, "salt" -> salt, "k" -> k.toString))
+  }
+
   /** Deterministic per-EPOCH corpus reshuffle: position = global rank of
     * `md5(salt:id)` (id tiebreak) — the reproducible data-ordering every
     * trainer needs per epoch. No RNG and no stored permutation: any

@@ -4096,6 +4096,57 @@ object PipelineQueries {
         .orderBy("pos")
     },
 
+    // ---------------------------------------------------------------- bottom-k sample ledger
+    // Deterministic sampling without an RNG: the k smallest md5
+    // priorities ARE the sample (the bottom-k sketch on a hash
+    // priority), so membership is a pure function of (salt, id) and the
+    // at-rest state is k rows. Ledger built across two advances plus a
+    // replayed delivery; the oracle recomputes the bottom-k from
+    // documents directly, blind to the ledger cycle — the merge
+    // property bottom-k(A∪B) = bottom-k(bottom-k(A)∪bottom-k(B)) is
+    // exactly what the hash match proves.
+    q("d117_bottomk_sample_ledger",
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's17'), 1, 8) AS BIGINT) AS pr
+        |  FROM documents)
+        |SELECT doc_id, pr FROM h ORDER BY pr, doc_id LIMIT 32""".stripMargin) { (s, dir) =>
+      import graft.operators.CurationOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d117_$tag")
+      CurationOps.writeSampleLedger(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "s17", 32, path)
+      val g2 = docs.filter(col("doc_id") % 3 =!= 0)
+      CurationOps.advanceSampleLedger(g2, "doc_id", "s17", 32, path,
+        batchId = Some("g2"))
+      CurationOps.advanceSampleLedger(g2, "doc_id", "s17", 32, path,
+        batchId = Some("g2")) // replayed delivery: exactly-once no-op
+      graft.operators.LedgerGuard.readLedger(s, path)
+        .select(col("doc_id"), col("pr")).orderBy("pr", "doc_id")
+    },
+
+    // ---------------------------------------------------------------- weighted sample (E-S)
+    // Efraimidis-Spirakis weighted sampling WITHOUT REPLACEMENT on
+    // hash-derived uniforms: key = u^(1/w), top-k — weight-proportional
+    // and still a pure function of (salt, id, w). Weights here are doc
+    // lengths (the sample leans long) — the oracle replays the identical
+    // key algebra.
+    q("d118_weighted_sample",
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w18'), 1, 8) AS BIGINT) AS hh,
+        |  length(text) AS w FROM documents),
+        |k AS (SELECT doc_id, pow((hh + 1) / 4294967296.0, 1.0 / w) AS key FROM h),
+        |r AS (SELECT doc_id, key,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rk FROM k)
+        |SELECT doc_id, round(key, 6) AS pr, rk FROM r WHERE rk <= 24
+        |ORDER BY rk""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("__w", length(col("text")).cast("double"))
+      graft.operators.CurationOps.bottomKSample(docs, "doc_id", "w18", 24,
+        weightCol = Some("__w"))
+        .orderBy("rk")
+    },
+
     // ---------------------------------------------------------------- calibration / ECE
     // Reliability diagram + expected calibration error for a scorer
     // used as an admission probability (the d63 sweep's companion:

@@ -614,6 +614,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("QHIST_META"), e2.getMessage)
   }
 
+  test("bottomKSample: deterministic, merge-equals-one-shot ledger, replay no-op, param gate, weighted leans heavy") {
+    import graft.operators.{CurationOps, LedgerGuard}
+    val docs = spark.range(0, 300).toDF("doc_id")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = ids(CurationOps.bottomKSample(docs, "doc_id", "s", 20))
+    assert(oneShot.size == 20)
+    // deterministic: same (salt, corpus) → same sample
+    assert(ids(CurationOps.bottomKSample(docs, "doc_id", "s", 20)) == oneShot)
+    // incremental == from-scratch: two advances in arbitrary split order
+    val base = java.nio.file.Files.createTempDirectory("graft-bks").toString
+    val path = s"$base/ledger"
+    CurationOps.writeSampleLedger(docs.filter(col("doc_id") < 100),
+      "doc_id", "s", 20, path)
+    CurationOps.advanceSampleLedger(docs.filter(col("doc_id") >= 200),
+      "doc_id", "s", 20, path, batchId = Some("b1"))
+    CurationOps.advanceSampleLedger(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+      "doc_id", "s", 20, path, batchId = Some("b2"))
+    // replayed delivery: no-op (and no double-occupancy of the sample)
+    CurationOps.advanceSampleLedger(docs.filter(col("doc_id") >= 200),
+      "doc_id", "s", 20, path, batchId = Some("b1"))
+    assert(ids(LedgerGuard.readLedger(spark, path)) == oneShot)
+    // parameter drift is a DIFFERENT sample — loud, naming the sidecar
+    val e = intercept[IllegalArgumentException](CurationOps.advanceSampleLedger(
+      docs, "doc_id", "OTHER", 20, path))
+    assert(e.getMessage.contains("salt") && e.getMessage.contains("OTHER"),
+      e.getMessage)
+    // Efraimidis-Spirakis: weight-1000 ids should dominate weight-1 ids
+    val weighted = docs.withColumn("w",
+      when(col("doc_id") < 30, 1000d).otherwise(1d))
+    val heavy = ids(CurationOps.bottomKSample(weighted, "doc_id", "w", 20,
+      weightCol = Some("w"))).count(_ < 30)
+    assert(heavy >= 15, s"only $heavy of 20 from the heavy stratum")
+  }
+
   test("epochShuffle: exact permutation, reproducible per salt, uncorrelated across salts") {
     import graft.operators.CurationOps
     val docs = spark.range(0, 200).toDF("doc_id")
