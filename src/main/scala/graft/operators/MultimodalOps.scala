@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to DISK-backed image streams: every
+  // createImageInputStream/read spools the payload to a temp FILE under
+  // java.io.tmpdir (through a global cache-dir lock) before decoding.
+  // For byte-array payloads that's pure per-row file churn — measured
+  // as m03's in-sweep inflation with 32 executor threads hammering the
+  // same tmpdir, and at cluster scale it would put a disk write in
+  // every decode. All inputs here are in-memory byte arrays, so force
+  // the memory-backed stream once, JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val ImageMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
