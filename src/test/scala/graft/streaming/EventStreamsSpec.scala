@@ -554,6 +554,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sample-ledger maintenance: per-microbatch advances equal the one-shot bottom-k") {
+    import spark.implicits._
+    // the streaming face of d117: each micro-batch's own bottom-k merges
+    // into the at-rest sample under the exactly-once marker. The
+    // bottom-k sketch's merge property + hash priorities (no RNG) make
+    // the parity EXACT: after any number of micro-batches the ledger IS
+    // the one-shot sample of everything ingested.
+    val path = java.nio.file.Files.createTempDirectory("graft-bkstream").toString + "/led"
+    val seed = (0L until 100L).map(i => Tuple1(i))
+    val b1 = (100L until 180L).map(i => Tuple1(i))
+    val b2 = (180L until 250L).map(i => Tuple1(i))
+    graft.operators.CurationOps.writeSampleLedger(
+      seed.toDF("doc_id"), "doc_id", "s", 25, path)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tuple1[Long]](spark)
+    val q = stream.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CurationOps.advanceSampleLedger(batch, "doc_id", "s", 25,
+          path, batchId = Some(id.toString))
+      }
+      .start()
+    try {
+      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val atRest = graft.operators.LedgerGuard.readLedger(spark, path)
+        .collect().map(_.getLong(0)).toSet
+      val oneShot = graft.operators.CurationOps.bottomKSample(
+        (0L until 250L).toDF("doc_id"), "doc_id", "s", 25)
+        .collect().map(_.getLong(0)).toSet
+      assert(atRest == oneShot && atRest.size == 25, s"$atRest != $oneShot")
+    } finally q.stop()
+  }
+
   test("streaming quantile-ledger maintenance: per-microbatch advances equal the from-scratch histogram") {
     import spark.implicits._
     // the streaming face of d78: each micro-batch folds its bucket
