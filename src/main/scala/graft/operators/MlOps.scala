@@ -130,6 +130,12 @@ object MlOps {
     * shape maintains incrementally at rest (the d63 bucket-ledger
     * regime). Gap/ECE derive from the ROUNDED per-bin columns, making
     * the numbers replayable cross-engine.
+    *
+    * Domain: scores are probabilities in [0,1]. A score above 1 folds
+    * into the top bin by the same `least` that folds 1.0 — visible, not
+    * silent, because that bin's `conf` (the mean RAW score) then
+    * exceeds 1; a negative score lands in a negative bin id, equally
+    * visible. Clamp or fix the scorer upstream.
     */
   def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10, decimals: Int = 4): DataFrame = {

@@ -747,12 +747,6 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
               "'<ms>-<seq>'")
           v
         }
-      // inline retention: XADD key MAXLEN ~ n <id> ... — the production
-      // trim form (approximate: the server may trim lazily at node
-      // boundaries). With idColumn, retention that outruns a retry
-      // window can trim a replayed row's entry — the replay check then
-      // fails LOUDLY (id <= top, no equal entry), the same
-      // retention-vs-replay contract the SOURCE documents for XTRIM.
       // routed mode: the row's stream column names the target, which
       // must be in the DECLARED set — a typo or upstream bug must fail
       // here, not spray entries into brand-new keys
@@ -770,6 +764,12 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
               "declare it in .option(\"streams\", ...) or fix the routing")
           v
         }
+      // inline retention: XADD key MAXLEN ~ n <id> ... — the production
+      // trim form (approximate: the server may trim lazily at node
+      // boundaries). With idColumn, retention that outruns a retry
+      // window can trim a replayed row's entry — the replay check then
+      // fails LOUDLY (id <= top, no equal entry), the same
+      // retention-vs-replay contract the SOURCE documents for XTRIM.
       val maxlenArgs = maxLen.toSeq.flatMap(n => Seq("MAXLEN", "~", n.toString))
       buf += ((Seq("XADD", target) ++ maxlenArgs ++ Seq(id) ++
         fields.flatMap(f => Seq(f._1, f._2)), target, id, fields))
