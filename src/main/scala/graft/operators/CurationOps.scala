@@ -1702,26 +1702,41 @@ object CurationOps {
         (col("__c").cast("double") / col("__n")).as("__p"))
     val a = dist.select(col("__g").as("src1"), col("__tok"), col("__p").as("__pa"))
     val b = dist.select(col("__g").as("src2"), col("__tok"), col("__p").as("__pb"))
-    val shared = a.join(b, a("__tok") === b("__tok") && col("src1") < col("src2"))
-      .groupBy(col("src1"), col("src2"))
-      .agg(
-        sum(col("__pa") * log(lit(2d) * col("__pa") / (col("__pa") + col("__pb"))) +
-          col("__pb") * log(lit(2d) * col("__pb") / (col("__pa") + col("__pb"))))
-          .as("__both"),
-        sum(col("__pa")).as("__shp"), sum(col("__pb")).as("__shq"))
+    val pairs = a.join(b, a("__tok") === b("__tok") && col("src1") < col("src2"))
     // a pair with NO shared token has no inner-join row — it must still
     // report (at the maximum, 1 bit), so the result attaches to the
     // complete K·(K−1)/2 pair grid built from the model-sized group list
     val groups = totals.select(col("__g"))
     val allPairs = groups.select(col("__g").as("src1"))
       .join(groups.select(col("__g").as("src2")), col("src1") < col("src2"))
-    allPairs.join(shared, Seq("src1", "src2"), "left")
-      .select(col("src1"), col("src2"),
+    jsdBits(pairs, Seq("src1", "src2"), allPairs, decimals)
+  }
+
+  /** The JSD-in-bits fold both drift faces share (`sourceUnigramJsd`
+    * live, `SketchOps.vocabLedgerJsd` at rest): given the SHARED-token
+    * inner-join rows `keys ++ (__pa, __pb)` and the COMPLETE key frame,
+    * aggregate the both-present term + each side's shared mass, attach
+    * to every key (absent = fully disjoint = 1 bit), and emit
+    * `keys ++ js_bits`. One implementation so the live and at-rest
+    * numbers can never drift apart.
+    */
+  private[operators] def jsdBits(pairs: DataFrame, keyCols: Seq[String],
+      allKeys: DataFrame, decimals: Int): DataFrame = {
+    val ln2 = math.log(2d)
+    val shared = pairs
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__pa") * log(lit(2d) * col("__pa") / (col("__pa") + col("__pb"))) +
+          col("__pb") * log(lit(2d) * col("__pb") / (col("__pa") + col("__pb"))))
+          .as("__both"),
+        sum(col("__pa")).as("__shp"), sum(col("__pb")).as("__shq"))
+    allKeys.join(shared, keyCols, "left")
+      .select(keyCols.map(col) :+
         graft.queries.Qf.dround(
           (lit(0.5) * coalesce(col("__both"), lit(0d)) +
             lit(0.5 * ln2) * ((lit(1d) - coalesce(col("__shp"), lit(0d))) +
               (lit(1d) - coalesce(col("__shq"), lit(0d))))) / ln2,
-          decimals).as("js_bits"))
+          decimals).as("js_bits"): _*)
   }
 
   /** Deterministic bottom-k sample — the classic bottom-k sketch run on
@@ -1755,8 +1770,19 @@ object CurationOps {
       case None =>
         docs.select(lit(1).as("__all"), col(idCol), h.cast("double").as("__pr"))
       case Some(w) =>
+        // E-S requires w > 0: w = 0 → 1/w = Inf → key 0 (row silently
+        // never sampled); w < 0 → key ≥ 1 (row ALWAYS sampled); NULL →
+        // NULL priority in the heap. All three are silent sample
+        // corruption — fail loudly naming the id instead
+        val guarded = when(col(w).isNull || col(w) <= 0d,
+          raise_error(concat(
+            lit("bottomKSample: weight column '" + w + "' must be > 0 and " +
+              "non-NULL for every row (Efraimidis-Spirakis), got "),
+            coalesce(col(w).cast("string"), lit("NULL")),
+            lit(s" at $idCol="), col(idCol).cast("string"))))
+          .otherwise(col(w).cast("double"))
         docs.select(lit(1).as("__all"), col(idCol),
-          pow((h + 1d) / lit(4294967296d), lit(1d) / col(w)).as("__pr"))
+          pow((h + 1d) / lit(4294967296d), lit(1d) / guarded).as("__pr"))
     }
     val asc = weightCol.isEmpty // uniform: smallest priorities; E-S: largest keys
     val top = SimilarityOps.perKeyTopK(scored, Seq("__all"), idCol, "__pr",

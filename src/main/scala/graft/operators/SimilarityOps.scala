@@ -47,9 +47,16 @@ object SimilarityOps {
     */
   private def cosineTopK(anchors: DataFrame, candidates: DataFrame,
       anchorKeys: Seq[String], extraPred: Column, k: Int,
-      scoreDecimals: Int): DataFrame = {
+      scoreDecimals: Int, excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf drops query_id = neighbor_id pairs — correct when both
+    // sides are the SAME id space (self is trivially its own nearest
+    // neighbor); CROSS-corpus callers whose id spaces merely overlap
+    // numerically (bitext: both sides numbered 1..N) must pass false or
+    // every coincidentally-equal-id pair silently vanishes
+    val selfPred =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
     val scored = broadcast(anchors)
-      .join(candidates, col("query_id") =!= col("neighbor_id") && extraPred)
+      .join(candidates, selfPred && extraPred)
       .select(Seq(col("query_id")) ++ anchorKeys.map(col) ++ Seq(col("neighbor_id"),
         graft.queries.Qf.dround(cosine(col("__qv"), col("__cv")), scoreDecimals).as("score")): _*)
     perKeyTopK(scored, "query_id" +: anchorKeys, "neighbor_id", "score",
@@ -153,8 +160,20 @@ object SimilarityOps {
   def marginBitextMine(src: DataFrame, sId: String, sVec: String,
       tgt: DataFrame, tId: String, tVec: String, k: Int,
       scoreDecimals: Int = 6, marginDecimals: Int = 4): DataFrame = {
-    val fwd = bruteForceTopK(src, sId, sVec, tgt, tId, tVec, k, scoreDecimals)
-    val bwd = bruteForceTopK(tgt, tId, tVec, src, sId, sVec, k, scoreDecimals)
+    // src and tgt are DIFFERENT corpora whose id spaces may overlap
+    // numerically (sentence-aligned bitext is typically numbered 1..N on
+    // BOTH sides): the same-corpus self-exclusion must NOT apply, or the
+    // gold pair (i, i) silently vanishes from the candidates AND the
+    // kNN-average denominators
+    def directional(q: DataFrame, qId: String, qVec: String,
+        c: DataFrame, cId: String, cVec: String): DataFrame =
+      cosineTopK(
+        q.select(col(qId).as("query_id"), col(qVec).as("__qv")),
+        c.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        anchorKeys = Nil, extraPred = lit(true), k, scoreDecimals,
+        excludeSelf = false)
+    val fwd = directional(src, sId, sVec, tgt, tId, tVec)
+    val bwd = directional(tgt, tId, tVec, src, sId, sVec)
     val fAvg = fwd.groupBy(col("query_id")).agg(avg(col("score")).as("__fa"))
       .select(col("query_id").as("src_id"), col("__fa"))
     val bAvg = bwd.groupBy(col("query_id")).agg(avg(col("score")).as("__ba"))

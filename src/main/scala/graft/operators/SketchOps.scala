@@ -241,7 +241,6 @@ object SketchOps {
         s"vocab ledger drift: $pathA was created with keyCol=$ka, " +
           s"tokenizerId=$ta but $pathB with keyCol=$kb, tokenizerId=$tb — " +
           "token distributions keyed or tokenized differently are incomparable")
-    val ln2 = math.log(2d)
     // re-sum defensively: a pre-compaction ledger may hold one row per
     // generation for a (key, token) — the merge contract, not an error
     def dist(p: String): DataFrame = {
@@ -253,21 +252,12 @@ object SketchOps {
     }
     val a = dist(pathA).select(col(ka).as("__k"), col("token"), col("__p").as("__pa"))
     val b = dist(pathB).select(col(ka).as("__k"), col("token"), col("__p").as("__pb"))
-    val shared = a.join(b, Seq("__k", "token"))
-      .groupBy(col("__k"))
-      .agg(
-        sum(col("__pa") * log(lit(2d) * col("__pa") / (col("__pa") + col("__pb"))) +
-          col("__pb") * log(lit(2d) * col("__pb") / (col("__pa") + col("__pb"))))
-          .as("__both"),
-        sum(col("__pa")).as("__shp"), sum(col("__pb")).as("__shq"))
+    val pairs = a.join(b, Seq("__k", "token"))
     val keys = a.select(col("__k")).union(b.select(col("__k"))).distinct()
-    keys.join(shared, Seq("__k"), "left")
-      .select(col("__k").as(ka),
-        graft.queries.Qf.dround(
-          (lit(0.5) * coalesce(col("__both"), lit(0d)) +
-            lit(0.5 * ln2) * ((lit(1d) - coalesce(col("__shp"), lit(0d))) +
-              (lit(1d) - coalesce(col("__shq"), lit(0d))))) / ln2,
-          decimals).as("js_bits"))
+    // the shared fold lives in CurationOps.jsdBits — ONE implementation,
+    // so the live (d112) and at-rest (d114) drift numbers cannot diverge
+    CurationOps.jsdBits(pairs, Seq("__k"), keys, decimals)
+      .withColumnRenamed("__k", ka)
   }
 
   /** TF-IDF for a BATCH against at-rest ledgers — incremental keyword

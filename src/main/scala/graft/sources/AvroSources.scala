@@ -124,8 +124,10 @@ object AvroIO {
     * alias for `df.write.format("graft-avro").mode("overwrite").save(dir)`,
     * so it carries the SAME staged-commit protocol as the DSv2 face
     * (task retries / speculative duplicates can never surface a torn
-    * file, and a failed job leaves the previous contents untouched).
-    * One container file per input partition, written by the executors.
+    * file; a pre-commit failure leaves the previous contents untouched,
+    * and the rename-first commit never destroys them — see
+    * [[AvroBatchWrite.commit]]). One container file per input
+    * partition, written by the executors.
     */
   def write(df: DataFrame, dir: String): Unit =
     df.write.format("graft-avro").mode("overwrite").save(dir)
@@ -309,13 +311,17 @@ class AvroTable(tableSchema: StructType, path: String)
         // user-supplied .schema(...) that differs from the files would
         // be silent corruption — require exact agreement (the
         // redis-stream source's rule: project after load())
-        private lazy val validated: Seq[String] = {
-          val inferred = AvroIO.toSparkSchema(AvroTable.readFileSchema(files))
+        // ONE header read per scan: the writer schema parsed here feeds
+        // both the validation and the pruned reader schema (on a remote
+        // FS each header read is an open + round trip)
+        private lazy val validated: (Seq[String], AvroSchema) = {
+          val writerSchema = AvroTable.readFileSchema(files)
+          val inferred = AvroIO.toSparkSchema(writerSchema)
           require(tableSchema == inferred,
             s"graft-avro reads produce ${inferred.simpleString} (from the " +
               s"files); a different read schema (${tableSchema.simpleString}) " +
               "is not supported — project after load()")
-          files
+          (files, writerSchema)
         }
         override def readSchema(): StructType = required
         override def description(): String =
@@ -328,10 +334,10 @@ class AvroTable(tableSchema: StructType, path: String)
           // schema in the REQUIRED order (Avro resolution matches by
           // name and handles reordering; a zero-field record is legal —
           // the count(*) shape decodes nothing)
-          val writerSchema = AvroTable.readFileSchema(validated)
+          val (vFiles, writerSchema) = validated
           val readerAvro = AvroTable.prunedAvroSchema(writerSchema,
             required.fieldNames.toSeq)
-          validated.map(f =>
+          vFiles.map(f =>
             AvroFilePartition(f, required.json, conf,
               readerAvro.toString): InputPartition).toArray
         }
@@ -345,11 +351,15 @@ class AvroTable(tableSchema: StructType, path: String)
     * writes its own UNIQUELY-NAMED file under `<dir>/.staging-<queryId>`,
     * only the files named in COMMITTED task messages are renamed into
     * the target, and the staging dir is dropped — so task retries and
-    * speculative duplicates can never surface, and a failed job leaves
-    * the target untouched (the same atomicity family as LedgerGuard's
-    * staged swaps). `overwrite` deletes the previous `.avro` files at
-    * COMMIT time, after every task has succeeded; `append` final names
-    * carry the queryId so they cannot collide with earlier writes.
+    * speculative duplicates can never surface, and a job that fails
+    * BEFORE commit leaves the target untouched. `overwrite` swaps
+    * RENAME-FIRST-THEN-DELETE: the new generation is fully in place
+    * before any previous file is removed, so even a crash INSIDE commit
+    * can never destroy data (worst case both generations are visible
+    * behind a loud job failure — see [[AvroBatchWrite.commit]]; a
+    * pointer-atomic swap is LedgerGuard manifest territory). `append`
+    * final names carry the queryId so they cannot collide with earlier
+    * writes.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -404,18 +414,31 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
       AvroIO.toAvroSchema(schema).toString, AvroTable.shippableConf())
   }
 
+  /** Commit order is RENAME-THEN-DELETE: the new generation is fully in
+    * place before any previous file is touched, so a commit-time crash
+    * can never destroy data — the failure mode is both generations
+    * visible (duplicates, loud job failure) rather than a half-deleted
+    * directory with the old contents already gone. Previous-generation
+    * names can't collide with the new ones (final names carry the
+    * queryId). Pointer-atomic swaps need a manifest — that's
+    * LedgerGuard's manifest mode, deliberately not re-implemented for a
+    * plain file sink.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(AvroTable.hadoopConf())
     val staging = new Path(root, stagingName)
-    if (overwrite) fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .foreach(s => fs.delete(s.getPath, false))
+    val previous =
+      if (overwrite) fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .map(_.getPath).toSeq
+      else Seq.empty
     messages.foreach { case AvroTaskCommit(staged, fin) =>
       if (!fs.rename(new Path(staging, staged), new Path(root, fin)))
         throw new java.io.IOException(
           s"graft-avro commit: rename $staged -> $fin under $dir failed")
     }
+    previous.foreach(p => fs.delete(p, false))
     fs.delete(staging, true)
   }
 

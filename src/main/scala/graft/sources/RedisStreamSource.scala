@@ -1102,7 +1102,9 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
           }.toMap
         }
         var carry = 0
-        val advanced = order.map { s =>
+        val advanced = scala.collection.mutable.LinkedHashMap[String, String]()
+        val rangeEnds = scala.collection.mutable.HashMap[String, String]()
+        order.foreach { s =>
           val from = restored.getOrElse(s, ZeroId)
           // drain mode: never pass the pinned tip; a stream with no pin
           // (appeared after prepare) is not admitted during the drain
@@ -1111,6 +1113,7 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
             case None => None
           }
           val rangeEnd = tip.getOrElse("+")
+          rangeEnds(s) = rangeEnd
           val end = cap match {
             case Some(_) =>
               val quota = shares(s) + carry
@@ -1130,9 +1133,34 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
               else RedisCommands.xlast(c, s).filter(last =>
                 RedisCommands.compareStreamIds(last, from) > 0)
           }
-          s -> end.filter(e => RedisCommands.compareStreamIds(e, from) > 0)
+          advanced(s) = end.filter(e => RedisCommands.compareStreamIds(e, from) > 0)
             .getOrElse(from)
-        }.toMap
+        }
+        // WORK-CONSERVING second pass (cap mode): quota left after the
+        // LAST stream in probe order goes back to streams that still
+        // have backlog — without this, rotation putting a drained stream
+        // last admits less than both the cap and the available backlog
+        // (streams earlier in probe order were held to their shares).
+        // One extra XRANGE per still-backlogged stream at most; if carry
+        // survives this pass every stream is at its tip for the trigger.
+        if (cap.isDefined && carry > 0) {
+          val it = order.iterator
+          while (carry > 0 && it.hasNext) {
+            val s = it.next()
+            val from = advanced(s)
+            val rangeEnd = rangeEnds(s)
+            val atTip = rangeEnd != "+" &&
+              RedisCommands.compareStreamIds(rangeEnd, from) <= 0
+            if (!atTip) {
+              val page = RedisCommands.xrange(c, s, "(" + from, rangeEnd,
+                Some(carry))
+              if (page.nonEmpty) {
+                carry -= page.length
+                advanced(s) = page.last.id
+              }
+            }
+          }
+        }
         RedisEntryMapOffset(restored ++ advanced)
       }
     }

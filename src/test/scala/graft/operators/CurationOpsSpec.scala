@@ -648,6 +648,18 @@ class CurationOpsSpec extends AnyFunSuite {
     val heavy = ids(CurationOps.bottomKSample(weighted, "doc_id", "w", 20,
       weightCol = Some("w"))).count(_ < 30)
     assert(heavy >= 15, s"only $heavy of 20 from the heavy stratum")
+    // E-S requires w > 0: zero/negative/NULL weights silently corrupt
+    // the sample (never-sampled / always-sampled / NULL priority) — loud
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chainMsg(t.getCause)
+    val zero = intercept[Exception](ids(CurationOps.bottomKSample(
+      docs.withColumn("w", when(col("doc_id") === 7, 0d).otherwise(1d)),
+      "doc_id", "s", 5, weightCol = Some("w"))))
+    assert(chainMsg(zero).contains("must be > 0") &&
+      chainMsg(zero).contains("doc_id=7"), chainMsg(zero))
+    val neg = intercept[Exception](ids(CurationOps.bottomKSample(
+      docs.withColumn("w", lit(-1d)), "doc_id", "s", 5, weightCol = Some("w"))))
+    assert(chainMsg(neg).contains("must be > 0"), chainMsg(neg))
   }
 
   test("epochShuffle: exact permutation, reproducible per salt, uncorrelated across salts") {

@@ -177,6 +177,15 @@ class OperatorsSpec extends AnyFunSuite {
       (22L, Array(0.9f, 0.1f, 0f))).toDF("id", "v")
     val out = SimilarityOps.marginBitextMine(src, "id", "v", tgt, "id", "v", k = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // OVERLAPPING id spaces (sentence-aligned corpora number both sides
+    // 1..N): the gold pair (i, i) must survive — same-corpus
+    // self-exclusion does not apply across corpora
+    val srcN = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f))).toDF("id", "v")
+    val tgtN = Seq((1L, Array(0.99f, 0.1f, 0f)), (2L, Array(0.1f, 0.99f, 0f)))
+      .toDF("id", "v")
+    val aligned = SimilarityOps.marginBitextMine(srcN, "id", "v", tgtN, "id", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aligned == Map(1L -> 1L, 2L -> 2L), aligned)
     // raw cosine would pair source 2 with the hub 20 — assert the
     // premise, then that the margin picks 21 instead
     val raw = SimilarityOps.bruteForceTopK(src.filter(col("id") === 2L),

@@ -856,6 +856,28 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ <= 2), sizes.mkString(","))
   }
 
+  test("multi-stream admission is work-conserving: a drained stream's unused quota reaches the hot stream regardless of probe order") {
+    import graft.net.RedisCommands
+    // one hot stream (6 entries), one empty: every non-final trigger must
+    // admit the FULL cap of 4, wherever rotation puts the drained stream
+    // in probe order (a dropped final carry would admit only 2 when the
+    // drained stream probes last)
+    (1 to 6).foreach(i => server.putStreamEntry("xwc:hot", s"70-$i", Seq("v" -> s"h$i")))
+    val q = spark.readStream.format("redis-stream")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("streams", "xwc:hot,xwc:empty")
+      .option("maxEntriesPerTrigger", "4")
+      .load()
+      .writeStream.format("memory").queryName("xwc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow drain must self-terminate")
+    assert(spark.table("xwc").count() == 6)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    // 6 entries at a work-conserving cap of 4 → exactly [4, 2]
+    assert(sizes == Seq(4, 2), sizes.mkString(","))
+  }
+
   test("redis-stream sink: batch + streaming XADD writes round-trip through the source; redis_stream TVF reads in SQL") {
     import spark.implicits._
     val k = "xsink:rt"
