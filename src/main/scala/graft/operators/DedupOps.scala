@@ -1043,6 +1043,117 @@ object DedupOps {
   // sides.
   // ------------------------------------------------------------------
 
+  private val BloomMetaFile = LedgerGuard.SidecarPrefix + "BLOOM_META"
+
+  private def requireBloomMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, digestTag: String, expectedItems: Long, fpp: Double,
+      op: String): Unit =
+    LedgerGuard.readSidecarMetaStr(spark, path, BloomMetaFile) match {
+      case None => throw new IllegalStateException(
+        s"bloom ledger $op at $path: no ${BloomMetaFile} sidecar — cannot " +
+          "verify digest/sizing compatibility (merging differently-sized " +
+          "filters corrupts both); rebuild the ledger (or restore the sidecar)")
+      case Some(kv) =>
+        val want = Seq("digestTag" -> digestTag,
+          "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString)
+        if (want.exists { case (k, v) => kv.get(k) != Some(v) })
+          throw new IllegalArgumentException(
+            s"bloom ledger $op at $path: ledger was created with " +
+              s"${kv.toSeq.sorted.mkString(", ")} but the caller passed " +
+              s"${want.map { case (k, v) => s"$k=$v" }.mkString(", ")} — a " +
+              "bloom OR-merge is only sound between identically-sized, " +
+              "identically-hashed filters over the same digest; pass the " +
+              "creation-time values (or rebuild)")
+    }
+
+  private def bloomOf(df: DataFrame, digestCol: Column, expectedItems: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    df.select(digestCol.cast("long").as("__h")).stat
+      .bloomFilter("__h", expectedItems, fpp)
+
+  private def bloomBytes(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The at-rest filter, deserialized. */
+  def readBloomLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = LedgerGuard.readLedger(spark, path)
+      .select(col("bloom_bits")).head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** At-rest BLOOM MEMBERSHIP ledger over a 64-bit digest — the
+    * constant-size prefilter in front of the exact digest ledger (d39):
+    * at 100 TB the exact dedup join must eventually touch ledger
+    * partitions, but "definitely new" documents (the common case on a
+    * healthy crawl) can skip it entirely, because a Bloom filter has NO
+    * FALSE NEGATIVES: `might_contain = false` is a proof of novelty.
+    * The d24b decontamination filter made this argument per query; the
+    * ledger form keeps ONE filter at rest and advances it per ingest.
+    *
+    * Merging is an OR of bit arrays, and OR-of-filters built with the
+    * same sizing/hashing over batches IS the filter built over their
+    * union, BIT-EXACTLY — so incremental ≡ from-scratch is testable to
+    * the byte (the strongest conformance in the ledger family), and
+    * retraction is structurally impossible (bits are shared) — forget =
+    * rebuild, exactly the d71 boundary the HLL sketch ledger documents.
+    * Sizing is fixed at creation (`expectedItems`, `fpp`) and gated by
+    * the sidecar: merging differently-sized filters corrupts both, so
+    * it fails loudly. Saturation is visible: probe FP rate rises past
+    * `fpp` as inserts exceed `expectedItems` — size for the corpus
+    * target, not the first batch.
+    */
+  def writeBloomLedger(docs: DataFrame, digestCol: Column, digestTag: String,
+      expectedItems: Long, fpp: Double, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(bloomBytes(bloomOf(docs, digestCol, expectedItems, fpp)))
+      .toDF("bloom_bits")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    LedgerGuard.writeSidecarMetaStr(spark, path, BloomMetaFile,
+      Seq("digestTag" -> digestTag,
+        "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString))
+  }
+
+  /** Fold a batch into the at-rest filter IN PLACE (staged swap, lease,
+    * manifest mode, exactly-once batchId with the replay fast-path).
+    */
+  def advanceBloomLedger(batch: DataFrame, digestCol: Column, digestTag: String,
+      expectedItems: Long, fpp: Double, path: String,
+      batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    requireBloomMeta(spark, path, digestTag, expectedItems, fpp, "advance")
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    val delta = bloomOf(batch, digestCol, expectedItems, fpp)
+    LedgerGuard.advanceInPlace(spark, path, "bloom membership ledger", batchId) {
+      staging =>
+        val merged = readBloomLedger(spark, path).mergeInPlace(delta)
+        Seq(bloomBytes(merged)).toDF("bloom_bits")
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Probe: `(idCol, might_contain)` — false is a PROOF the digest was
+    * never admitted (route those rows around the exact join); true means
+    * "check exactly" (FP rate ≤ the sized `fpp` while unsaturated). The
+    * filter broadcasts; the batch streams — zero shuffle.
+    */
+  def probeBloomLedger(batch: DataFrame, idCol: String, digestCol: Column,
+      path: String, digestTag: String, expectedItems: Long,
+      fpp: Double): DataFrame = {
+    val spark = batch.sparkSession
+    requireBloomMeta(spark, path, digestTag, expectedItems, fpp, "probe")
+    val bc = spark.sparkContext.broadcast(readBloomLedger(spark, path))
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    batch.select(col(idCol), might(digestCol.cast("long")).as("might_contain"))
+  }
+
   private val SimHashMetaFile = LedgerGuard.SidecarPrefix + "SIMHASH_META"
 
   private def readSimHashMeta(spark: org.apache.spark.sql.SparkSession,

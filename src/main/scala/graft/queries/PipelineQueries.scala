@@ -4077,6 +4077,34 @@ object PipelineQueries {
       SketchOps.vocabLedgerJsd(s, pA, pB).orderBy("source")
     },
 
+    // ---------------------------------------------------------------- bloom membership ledger
+    // At-rest Bloom prefilter in front of the exact digest ledger:
+    // might_contain=false is a PROOF of novelty (no false negatives), so
+    // "definitely new" documents skip the exact join entirely at 100 TB.
+    // Ledger built over the admitted half across two advances plus a
+    // replayed delivery; the probe classifies the full corpus. Bloom
+    // bits are not SQL-expressible → declared rows-only; the superset /
+    // no-false-negative / FP-budget / bit-exact-merge gates live in
+    // AccuracySpec.
+    q("d119_bloom_ledger_probe", null) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = table(s, dir, "documents")
+      val digest = DedupOps.md5Hash32(col("text"), "")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d119_$tag")
+      val admitted = docs.filter(col("doc_id") % 2 === 0)
+      DedupOps.writeBloomLedger(admitted.filter(col("doc_id") % 4 === 0),
+        digest, "md5-32", expectedItems = 10000L, fpp = 0.01, path = path)
+      val g2 = admitted.filter(col("doc_id") % 4 =!= 0)
+      DedupOps.advanceBloomLedger(g2, digest, "md5-32", 10000L, 0.01, path,
+        batchId = Some("g2"))
+      DedupOps.advanceBloomLedger(g2, digest, "md5-32", 10000L, 0.01, path,
+        batchId = Some("g2")) // replayed delivery: exactly-once no-op
+      DedupOps.probeBloomLedger(docs, "doc_id", digest, path, "md5-32",
+        10000L, 0.01)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- epoch reshuffle
     // Deterministic training-order permutation: position = global rank
     // of md5(salt:id). No RNG, no stored permutation — any worker or

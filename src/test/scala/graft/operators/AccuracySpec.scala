@@ -244,6 +244,50 @@ class AccuracySpec extends AnyFunSuite {
       s"$fpDocs false-positive docs of $clean clean — bloom fpp out of budget")
   }
 
+  test("d119 gate: bloom ledger — no false negatives, fp budget, BIT-EXACT incremental merge, replay no-op, sizing guard") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bloomled").toString
+    val (path, oneShot) = (s"$base/led", s"$base/one")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val digest = DedupOps.md5Hash32(col("text"), "")
+    val admitted = docs.filter(col("doc_id") % 2 === 0)
+    DedupOps.writeBloomLedger(admitted.filter(col("doc_id") % 4 === 0),
+      digest, "md5-32", 10000L, 0.01, path)
+    val g2 = admitted.filter(col("doc_id") % 4 =!= 0)
+    DedupOps.advanceBloomLedger(g2, digest, "md5-32", 10000L, 0.01, path,
+      batchId = Some("g2"))
+    val afterOnce = spark.read.parquet(path)
+      .head().getAs[Array[Byte]](0).toSeq
+    DedupOps.advanceBloomLedger(g2, digest, "md5-32", 10000L, 0.01, path,
+      batchId = Some("g2")) // replay: bytes must be untouched
+    assert(spark.read.parquet(path).head().getAs[Array[Byte]](0).toSeq == afterOnce)
+    // OR-merge of per-batch filters IS the filter over the union — byte-exact
+    DedupOps.writeBloomLedger(admitted, digest, "md5-32", 10000L, 0.01, oneShot)
+    assert(spark.read.parquet(oneShot).head().getAs[Array[Byte]](0).toSeq == afterOnce,
+      "incremental bloom != from-scratch bloom (merge must be bit-exact)")
+    // probe: every admitted digest says true (no false negatives — proof
+    // of novelty contract); unadmitted digests' fp rate within budget
+    val probe = DedupOps.probeBloomLedger(docs, "doc_id", digest, path,
+      "md5-32", 10000L, 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val admittedIds = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    // duplicate text across the parity boundary can make an unadmitted
+    // doc's digest genuinely admitted — classify by DIGEST membership
+    val admittedDigests = admitted.select(digest.as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val docDigest = docs.select(col("doc_id"), digest.as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (in, out) = probe.keys.partition(id => admittedDigests(docDigest(id)))
+    assert(in.forall(probe(_)), "false negative: an admitted digest probed false")
+    val fp = out.count(probe(_))
+    assert(fp <= math.max(3, out.size * 0.05),
+      s"$fp of ${out.size} unadmitted digests probed true — fpp out of budget")
+    assert(admittedIds.forall(probe(_))) // a fortiori
+    // sizing/digest drift is a DIFFERENT filter — loud, naming both sides
+    val e = intercept[IllegalArgumentException](DedupOps.advanceBloomLedger(
+      g2, digest, "md5-32", 20000L, 0.01, path))
+    assert(e.getMessage.contains("expectedItems"), e.getMessage)
+  }
+
   test("d37 gate: quality classifier holdout AUC ≥ 0.8 against the weak labels") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val scored = MlOps.scoreQuality(docs, "doc_id", "text")
