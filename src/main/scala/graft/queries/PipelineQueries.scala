@@ -4105,6 +4105,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- bloom-prefiltered exact dedup
+    // The d119 prefilter COMPOSED with the d39 exact ledger, proving the
+    // accelerant changes the PLAN and not the ANSWER: rows whose bloom
+    // probe says false are provably novel (no false negatives) and skip
+    // the digest anti-join; rows flagged true take the exact path. The
+    // two branches are text-disjoint (same text → same digest → same
+    // branch), so in-batch min-id dedup per branch composes exactly.
+    // The oracle is d39's plain-semantics SQL over the same split —
+    // hash-matching it certifies the fast path end-to-end.
+    q("d120_bloom_prefiltered_dedup",
+      """WITH fp AS (SELECT doc_id,
+        |  md5(CASE WHEN text IS NULL THEN chr(1)
+        |       ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS dg
+        |  FROM documents),
+        |led AS (SELECT DISTINCT dg FROM fp WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT f.doc_id, f.dg FROM fp f
+        |          LEFT JOIN led l ON f.dg = l.dg WHERE l.dg IS NULL),
+        |keep AS (SELECT dg, min(doc_id) AS doc_id FROM fresh GROUP BY dg)
+        |SELECT k.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        |FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = table(s, dir, "documents")
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val pathD = Registry.scratchDir(s"/tmp/graft_conformance/d120_dg_$tag")
+      val pathB = Registry.scratchDir(s"/tmp/graft_conformance/d120_bl_$tag")
+      val admitted = docs.filter(col("doc_id") % 3 =!= 0)
+      DedupOps.writeLedger(admitted, "doc_id", Seq("text"), pathD)
+      val h = DedupOps.md5Hash32(col("text"), "")
+      DedupOps.writeBloomLedger(admitted, h, "md5-32", 10000L, 0.01, pathB)
+      val flagged = docs.join(
+        DedupOps.probeBloomLedger(docs, "doc_id", h, pathB, "md5-32",
+          10000L, 0.01), "doc_id")
+      // bloom-true → the exact ledger anti-join; bloom-false → provably
+      // novel, in-batch dedup only
+      val checked = DedupOps.dedupAgainstLedger(
+        flagged.filter(col("might_contain")).drop("might_contain"),
+        "doc_id", Seq("text"), pathD)
+      val fast = DedupOps.exactDedup(
+        flagged.filter(!col("might_contain")).drop("might_contain"),
+        "doc_id", Seq("text"))
+      checked.unionByName(fast)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- epoch reshuffle
     // Deterministic training-order permutation: position = global rank
     // of md5(salt:id). No RNG, no stored permutation — any worker or
