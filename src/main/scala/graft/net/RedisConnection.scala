@@ -192,18 +192,20 @@ object RedisConnection {
     * (threads × targets) while never sharing a socket across threads.
     */
   private val pool = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Option[String], Boolean, Boolean, Long), RedisConnection]()
+    (String, Int, Option[String], Boolean, Boolean, Boolean, Long), RedisConnection]()
 
   def pooled(host: String, port: Int, auth: Option[String] = None,
-      tls: Boolean = false, tlsTrustAll: Boolean = false): RedisConnection = {
-    val key = (host, port, auth, tls, tlsTrustAll, Thread.currentThread().getId)
+      tls: Boolean = false, tlsTrustAll: Boolean = false,
+      resp3: Boolean = false): RedisConnection = {
+    val key = (host, port, auth, tls, tlsTrustAll, resp3,
+      Thread.currentThread().getId)
     var c = pool.get(key)
     if (c == null || !c.isOpen) {
       if (c != null) { // close the dead socket before replacing: no fd leak
         try c.close() catch { case _: Throwable => () }
       }
       c = new RedisConnection(host, port, auth = auth, tls = tls,
-        tlsTrustAll = tlsTrustAll)
+        tlsTrustAll = tlsTrustAll, resp3 = resp3)
       pool.put(key, c)
     }
     c
@@ -226,10 +228,12 @@ object RedisConnection {
     * next call reconnects.
     */
   def withPooled[T](host: String, port: Int, auth: Option[String] = None,
-      tls: Boolean = false, tlsTrustAll: Boolean = false)(
+      tls: Boolean = false, tlsTrustAll: Boolean = false,
+      resp3: Boolean = false)(
       f: RedisConnection => T): T = {
-    val key = (host, port, auth, tls, tlsTrustAll, Thread.currentThread().getId)
-    val c = pooled(host, port, auth, tls, tlsTrustAll)
+    val key = (host, port, auth, tls, tlsTrustAll, resp3,
+      Thread.currentThread().getId)
+    val c = pooled(host, port, auth, tls, tlsTrustAll, resp3)
     try f(c)
     catch {
       case e: java.io.IOException =>

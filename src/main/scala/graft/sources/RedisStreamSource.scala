@@ -79,7 +79,7 @@ class RedisKeyMicroBatchStream(opts: RedisSources.Options)
 
   private def scanKeys(): Seq[String] = {
     val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
-      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll, resp3 = opts.resp3)
     try {
       val out = Seq.newBuilder[String]
       var cursor = "0"
@@ -487,14 +487,15 @@ class RedisStreamEntriesTable(opts: RedisSources.Options,
         override def toBatch: org.apache.spark.sql.connector.read.Batch = this
         override def planInputPartitions(): Array[InputPartition] =
           RedisConnection.withPooled(opts.host, opts.port, opts.auth,
-              tls = opts.tls, tlsTrustAll = opts.tlsTrustAll) { c =>
+              tls = opts.tls, tlsTrustAll = opts.tlsTrustAll,
+              resp3 = opts.resp3) { c =>
             val multi = !sopts.selection.isInstanceOf[RedisStreamEntries.SingleStream]
             RedisMultiStreamMicroBatch.members(c, opts, sopts.selection).flatMap {
               stream => RedisCommands.xlast(c, stream).map(last =>
                 RedisStreamRange(opts.host, opts.port, stream,
                   RedisStreamEntries.ZeroId, last, opts.count,
                   opts.auth, opts.tls, opts.tlsTrustAll,
-                  emitStream = multi): InputPartition)
+                  emitStream = multi, resp3 = opts.resp3): InputPartition)
             }.toArray
           }
         override def createReaderFactory(): PartitionReaderFactory =
@@ -632,7 +633,7 @@ final case class RedisStreamWriterFactory(opts: RedisSources.Options,
       else -1
     }
     private val conn = new RedisConnection(opts.host, opts.port, auth = opts.auth,
-      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll, resp3 = opts.resp3)
     // each pending XADD keeps its (stream, id, fields) so a server
     // rejection can be classified (replay vs genuine error) without
     // re-rendering
@@ -826,7 +827,8 @@ final case class RedisStreamRange(host: String, port: Int, stream: String,
     startExclusive: String, endInclusive: String, pageSize: Int,
     auth: Option[String], tls: Boolean, tlsTrustAll: Boolean,
     // multi-stream reads prepend the origin stream column
-    emitStream: Boolean = false)
+    emitStream: Boolean = false,
+    resp3: Boolean = false)
     extends InputPartition {
   override def toString: String =
     s"RedisStreamRange($host,$port,$stream,($startExclusive,$endInclusive]," +
@@ -844,7 +846,7 @@ object RedisStreamEntriesMicroBatch {
     val p = partition.asInstanceOf[RedisStreamRange]
     new PartitionReader[InternalRow] {
       private val conn = new RedisConnection(p.host, p.port, auth = p.auth,
-        tls = p.tls, tlsTrustAll = p.tlsTrustAll)
+        tls = p.tls, tlsTrustAll = p.tlsTrustAll, resp3 = p.resp3)
       private var cursor = p.startExclusive
       private var done = false
       private var batch: Iterator[InternalRow] = Iterator.empty
@@ -952,7 +954,8 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
     val e = end.asInstanceOf[RedisEntryOffset].id
     if (RedisCommands.compareStreamIds(e, s) <= 0) Array.empty
     else Array(RedisStreamRange(opts.host, opts.port, stream, s, e,
-      opts.count, opts.auth, opts.tls, opts.tlsTrustAll))
+      opts.count, opts.auth, opts.tls, opts.tlsTrustAll,
+      resp3 = opts.resp3))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1174,7 +1177,7 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
       if (RedisCommands.compareStreamIds(endId, from) <= 0) None
       else Some(RedisStreamRange(opts.host, opts.port, stream, from, endId,
         opts.count, opts.auth, opts.tls, opts.tlsTrustAll,
-        emitStream = true): InputPartition)
+        emitStream = true, resp3 = opts.resp3): InputPartition)
     }.toArray
   }
 

@@ -236,5 +236,17 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(bad).contains("resp must be"), chain(bad))
+    // the STREAM source honors resp=3 on its executor connections too
+    // (XRANGE replies are arrays under both protocols — identical rows)
+    server.putStreamEntry("resp3:stream", "9-1", Seq("v" -> "a"))
+    server.putStreamEntry("resp3:stream", "9-2", Seq("v" -> "b"))
+    def streamRows(resp: String): Seq[(String, String)] =
+      spark.read.format("redis-stream")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("stream", "resp3:stream").option("resp", resp).load()
+        .selectExpr("entry_id", "fields['v'] AS v")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(streamRows("3") == streamRows("2"))
+    assert(streamRows("3") == Seq("9-1" -> "a", "9-2" -> "b"))
   }
 }
