@@ -68,6 +68,60 @@ object TextOps {
           s => array_join(slice(t, s, lit(chunkSize)), " ")))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the LBFS / rsync / FastCDC boundary
+    * idea): a chunk boundary falls AFTER position `i` whenever the hash
+    * of the trailing `w`-char window `text[i-w+1..i]` lands on the mask
+    * (`hash % 2^maskBits == 0`, expected chunk length ≈ 2^maskBits).
+    * Because boundaries depend only on LOCAL window content, an insert
+    * or delete re-chunks only the neighborhood it touches — every chunk
+    * after the edit's window keeps its identity, which is exactly what
+    * fixed-stride chunking ([[chunkWithOverlap]], d30 passages) cannot
+    * give: there a one-character prefix shift re-digests the whole
+    * document. Chunk-digest dedup on CDC chunks therefore catches
+    * PARTIAL overlap (code files sharing functions, documents sharing
+    * sections) at a granularity exact-dedup misses and with a
+    * robustness fixed windows miss; it is the standard primitive for
+    * code-corpus and blob dedup.
+    *
+    * Output: one `array<struct<idx int, len int, digest string>>` per
+    * row — chunk index (1-based), length, and the chunk's md5 hex (the
+    * d39 digest family, so chunk ledgers compose with the existing
+    * exact-dedup machinery). The document end always closes the final
+    * chunk; empty/NULL text yields an empty/NULL array. Pure per-row
+    * `sequence`/`filter`/`transform` codegen — zero shuffle, scan-speed
+    * at 100 TB; callers explode and group by digest. FastCDC's min/max
+    * chunk clamps are a documented extension point (they need a
+    * sequential fold over boundary candidates; the pure mask rule keeps
+    * the operator — and its oracle — exactly replayable).
+    */
+  def cdcChunks(text: Column, w: Int = 8, maskBits: Int = 6): Column = {
+    require(w >= 2 && maskBits >= 1 && maskBits <= 20,
+      s"need w >= 2 and 1 <= maskBits <= 20, got w=$w maskBits=$maskBits")
+    val mask = 1 << maskBits
+    // boundary candidates: window ENDS i in [w, len] whose trailing
+    // window hashes onto the mask; the doc end is always a boundary.
+    // The length guard exists because Spark's sequence(w, len) counts
+    // DOWN when len < w (the shingles trap): a short doc has no
+    // candidate windows, just its end boundary.
+    val ends = when(length(text) >= w,
+      filter(sequence(lit(w), length(text)),
+        i => pmod(graft.operators.DedupOps.md5Hash32(
+          text.substr(i - (w - 1), lit(w)), ""), lit(mask)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = array_distinct(concat(ends, array(length(text))))
+    val chunks = transform(bounds, (e, j) => {
+      val s = when(j === 0, lit(0)).otherwise(element_at(bounds, j)) // j is 0-based; element_at 1-based → previous bound
+      struct((j + 1).cast("int").as("idx"),
+        (e - s).cast("int").as("len"),
+        md5(text.substr(s + 1, e - s).cast("binary")).as("digest"))
+    })
+    when(text.isNull, lit(null).cast(
+      "array<struct<idx:int,len:int,digest:string>>"))
+      .when(length(text) === 0,
+        array().cast("array<struct<idx:int,len:int,digest:string>>"))
+      .otherwise(chunks)
+  }
+
   /** Shannon entropy of the UTF-8 byte distribution, in bits/byte — a
     * cheap noise/quality proxy: English text sits near 4.1-4.4 bits,
     * random bytes near 8, degenerate repetition near 0. Built on the

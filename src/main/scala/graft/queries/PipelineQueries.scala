@@ -4151,6 +4151,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- content-defined chunking
+    // Shift-robust chunk boundaries (LBFS/FastCDC): a boundary falls
+    // where the trailing 8-char window's hash lands on the 2^6 mask, so
+    // an edit re-chunks only its neighborhood — the primitive behind
+    // chunk-level dedup of partially-overlapping documents/code. The
+    // oracle replays the identical boundary rule + digests in SQL.
+    q("d121_cdc_chunks",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i FROM d),
+        |hit AS (SELECT doc_id, i FROM pos
+        |  WHERE CAST('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8) AS BIGINT) % 64 = 0),
+        |b AS (SELECT doc_id, i FROM hit
+        |      UNION SELECT doc_id, length(text) FROM d),
+        |seq AS (SELECT doc_id, i AS e,
+        |  lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS INTEGER) AS idx
+        |  FROM b)
+        |SELECT q.doc_id, q.idx, CAST(q.e - q.s AS INTEGER) AS len,
+        |  md5(substr(d.text, q.s + 1, q.e - q.s)) AS digest
+        |FROM seq q JOIN d ON d.doc_id = q.doc_id
+        |ORDER BY q.doc_id, q.idx""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(graft.operators.TextOps.cdcChunks(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"),
+          col("c.len").as("len"), col("c.digest").as("digest"))
+        .orderBy("doc_id", "idx")
+    },
+
+    // ---------------------------------------------------------------- CDC chunk dedup
+    // Chunk-level cross-document dedup on the CDC chunks: digests shared
+    // by >= 2 documents are the PARTIAL overlaps exact doc-dedup misses
+    // and fixed windows only catch when alignment cooperates.
+    q("d122_cdc_chunk_dedup",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i FROM d),
+        |hit AS (SELECT doc_id, i FROM pos
+        |  WHERE CAST('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8) AS BIGINT) % 64 = 0),
+        |b AS (SELECT doc_id, i FROM hit
+        |      UNION SELECT doc_id, length(text) FROM d),
+        |seq AS (SELECT doc_id, i AS e,
+        |  lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s FROM b),
+        |chunks AS (SELECT q.doc_id, CAST(q.e - q.s AS INTEGER) AS len,
+        |    md5(substr(d.text, q.s + 1, q.e - q.s)) AS digest
+        |  FROM seq q JOIN d ON d.doc_id = q.doc_id)
+        |SELECT digest, CAST(min(len) AS INTEGER) AS len,
+        |  count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM chunks GROUP BY digest HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY digest""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(graft.operators.TextOps.cdcChunks(col("text"))).as("c"))
+        .groupBy(col("c.digest").as("digest"))
+        .agg(min(col("c.len")).as("len"),
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("digest")
+    },
+
     // ---------------------------------------------------------------- epoch reshuffle
     // Deterministic training-order permutation: position = global rank
     // of md5(salt:id). No RNG, no stored permutation — any worker or

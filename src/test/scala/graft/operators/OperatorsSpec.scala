@@ -145,6 +145,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaPairs == viaStars && viaPairs.nonEmpty)
   }
 
+  test("cdcChunks: shift-robust boundaries, exact reassembly, degenerate inputs") {
+    import graft.operators.TextOps
+    // deterministic pseudo-random text (~1.6k chars → ~25 boundaries at
+    // the 2^6 mask) — hash hex so windows are well-mixed
+    val base = (1 to 50).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString
+    def chunksOf(t: String): Seq[(Int, Int, String)] =
+      Seq(Tuple1(t)).toDF("text")
+        .select(explode(TextOps.cdcChunks(col("text"))).as("c"))
+        .select(col("c.idx"), col("c.len"), col("c.digest"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    val orig = chunksOf(base)
+    assert(orig.length > 10, s"expected many chunks, got ${orig.length}")
+    // chunks reassemble the document exactly
+    assert(orig.map(_._2).sum == base.length)
+    assert(orig.map(_._1) == (1 to orig.length))
+    // THE CDC PROPERTY: a prefix edit re-chunks only its neighborhood —
+    // every chunk after the first boundary past the edit keeps its digest
+    // (fixed-stride chunking would re-digest the ENTIRE document here)
+    val shifted = chunksOf("EDITED-PREFIX " + base)
+    val kept = orig.map(_._3).toSet intersect shifted.map(_._3).toSet
+    assert(kept.size >= orig.length - 2,
+      s"only ${kept.size}/${orig.length} chunk digests survived a prefix edit")
+    // ...and a mid-document edit preserves both flanks
+    val mid = base.length / 2
+    val midEdit = chunksOf(base.substring(0, mid) + "XYZ" + base.substring(mid))
+    val keptMid = orig.map(_._3).toSet intersect midEdit.map(_._3).toSet
+    assert(keptMid.size >= orig.length - 3,
+      s"only ${keptMid.size}/${orig.length} survived a mid-document edit")
+    // degenerate inputs: shorter than the window → one whole-doc chunk;
+    // empty → no chunks
+    assert(chunksOf("tiny") == Seq((1, 4,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("tiny".getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+    assert(chunksOf("") == Seq.empty)
+  }
+
   test("knnLabelAgreement scores the fraction of same-label neighbors") {
     // 2-d toy space: ids 1,2,3 cluster near (1,0) with label 0 except id 3
     // (label 1); id 4 sits alone near (0,1) with label 1.
