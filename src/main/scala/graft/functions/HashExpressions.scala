@@ -166,6 +166,109 @@ final case class ShingleHash32s(child: Expression, n: Int, mod: Long)
     copy(child = newChild)
 }
 
+object CdcUtil {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Content-defined chunks in ONE byte pass — bit-identical to the
+    * composable `filter(window-hash % mask == 0)` + per-chunk
+    * `md5(substr)` chain (pinned by the d121 oracle), but fused: the
+    * window residues, boundary selection and chunk digests share one
+    * traversal and one thread-local MessageDigest, with no HOF lambdas
+    * (which Catalyst evaluates interpreted) and no re-evaluation of the
+    * boundary array inside its own transform — the two costs that made
+    * the composable form ~6× slower than the data volume justifies.
+    * Returns `array<struct<idx int, len int, digest string>>`; empty
+    * text → empty array; the document end always closes the last chunk.
+    */
+  def cdcChunks(s: UTF8String, w: Int, mask: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    if (numChars == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[InternalRow])
+    // char-start byte offsets (numChars + 1 entries; last = total bytes)
+    val starts = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      starts(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    starts(numChars) = bytes.length
+    val d = Md5Util.digest()
+    val scratch = new Array[Byte](16)
+    // boundary = 1-based char position ending a window whose md5-32
+    // residue mod `mask` is 0; the doc end always closes the final chunk
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var k = 0
+    while (k <= numChars - w) {
+      d.reset()
+      d.update(bytes, starts(k), starts(k + w) - starts(k))
+      d.digest(scratch, 0, 16)
+      val h = ((scratch(0) & 0xffL) << 24) | ((scratch(1) & 0xffL) << 16) |
+        ((scratch(2) & 0xffL) << 8) | (scratch(3) & 0xffL)
+      if (h % mask == 0) bounds += (k + w)
+      k += 1
+    }
+    if (bounds.isEmpty || bounds(bounds.length - 1) != numChars)
+      bounds += numChars
+    val rows = new Array[InternalRow](bounds.length)
+    val hex = new Array[Char](32)
+    var prev = 0
+    var j = 0
+    while (j < bounds.length) {
+      val e = bounds(j)
+      d.reset()
+      d.update(bytes, starts(prev), starts(e) - starts(prev))
+      d.digest(scratch, 0, 16)
+      var x = 0
+      while (x < 16) {
+        hex(2 * x) = HexDigits((scratch(x) >> 4) & 0xf)
+        hex(2 * x + 1) = HexDigits(scratch(x) & 0xf)
+        x += 1
+      }
+      rows(j) = InternalRow(j + 1, e - prev,
+        UTF8String.fromString(new String(hex)))
+      prev = e
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+}
+
+/** Fused content-defined chunker: `cdc_chunks(text, w, maskBits)` →
+  * ARRAY<STRUCT<idx, len, digest>> — see [[CdcUtil.cdcChunks]] and
+  * `TextOps.cdcChunks` for semantics and the scale argument.
+  */
+final case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int)
+    extends UnaryExpression {
+  require(w >= 2 && maskBits >= 1 && maskBits <= 20,
+    s"need w >= 2 and 1 <= maskBits <= 20, got w=$w maskBits=$maskBits")
+  private def mask = 1 << maskBits
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("len",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("digest",
+          StringType, nullable = false))),
+      containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CdcUtil.cdcChunks(input.asInstanceOf[UTF8String], w, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcUtil.cdcChunks($c, $w, $mask)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object FrameHashUtil {
   private val HexDigits = "0123456789abcdef".toCharArray
 
