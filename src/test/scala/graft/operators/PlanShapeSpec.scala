@@ -722,6 +722,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(leaf.toString.contains("ReadSchema: lang"), leaf.toString)
   }
 
+  test("cdcChunks is a pure per-row scan (zero shuffles, zero windows) and plans ONE kernel call") {
+    withStaticPlans {
+      val df = docs.select(col("doc_id"),
+        explode(TextOps.cdcChunks(col("text"))).as("c"))
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(windows(df) == 0)
+      // one fused kernel call in the plan — not a sequence/transform/
+      // filter HOF chain (those evaluate interpreted)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("cdcchunks"), plan)
+      assert(!plan.contains("transform("), plan)
+    }
+  }
+
   test("license gate (d111) is a pure per-row scan: zero shuffles, zero windows") {
     withStaticPlans {
       val df = docs.select(col("doc_id"),
