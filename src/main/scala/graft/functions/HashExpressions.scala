@@ -27,6 +27,40 @@ object Md5Util {
   /** Thread-local reusable digest (for fused kernels in this file). */
   def digest(): java.security.MessageDigest = md.get()
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Render a 16-byte digest as lowercase md5 hex into a caller-owned
+    * 32-char scratch — the one hex loop every fused kernel in this file
+    * shares (an uppercase/format change must change them all at once).
+    */
+  def hex32(scratch: Array[Byte], hex: Array[Char]): String = {
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((scratch(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(scratch(i) & 0xf)
+      i += 1
+    }
+    new String(hex)
+  }
+
+  /** Char-start byte offsets of a UTF-8 buffer (numChars + 1 entries,
+    * last = total bytes) — the shared offset walk that lets kernels
+    * slice n-CHAR windows as byte ranges without UTF8String.substr's
+    * scan-from-start indexing.
+    */
+  def charStarts(bytes: Array[Byte], numChars: Int): Array[Int] = {
+    val starts = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      starts(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    starts(numChars) = bytes.length
+    starts
+  }
+
   /** First 4 md5 bytes of the string's UTF-8 encoding, big-endian unsigned. */
   def hash32(s: UTF8String): Long = {
     val d = md.get()
@@ -115,16 +149,7 @@ object ShingleUtil {
     val numChars = s.numChars()
     if (numChars < n)
       return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
-    // char-start byte offsets (numChars + 1 entries; last = total bytes)
-    val starts = new Array[Int](numChars + 1)
-    var i = 0
-    var b = 0
-    while (i < numChars) {
-      starts(i) = b
-      b += UTF8String.numBytesForFirstByte(bytes(b))
-      i += 1
-    }
-    starts(numChars) = bytes.length
+    val starts = Md5Util.charStarts(bytes, numChars)
     val out = new Array[Long](numChars - n + 1)
     val d = Md5Util.digest()
     val scratch = new Array[Byte](16)
@@ -167,8 +192,6 @@ final case class ShingleHash32s(child: Expression, n: Int, mod: Long)
 }
 
 object CdcUtil {
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** Content-defined chunks in ONE byte pass — bit-identical to the
     * composable `filter(window-hash % mask == 0)` + per-chunk
     * `md5(substr)` chain (pinned by the d121 oracle), but fused: the
@@ -188,16 +211,7 @@ object CdcUtil {
     if (numChars == 0)
       return org.apache.spark.sql.catalyst.util.ArrayData
         .toArrayData(Array.empty[InternalRow])
-    // char-start byte offsets (numChars + 1 entries; last = total bytes)
-    val starts = new Array[Int](numChars + 1)
-    var i = 0
-    var b = 0
-    while (i < numChars) {
-      starts(i) = b
-      b += UTF8String.numBytesForFirstByte(bytes(b))
-      i += 1
-    }
-    starts(numChars) = bytes.length
+    val starts = Md5Util.charStarts(bytes, numChars)
     val d = Md5Util.digest()
     val scratch = new Array[Byte](16)
     // boundary = 1-based char position ending a window whose md5-32
@@ -224,14 +238,8 @@ object CdcUtil {
       d.reset()
       d.update(bytes, starts(prev), starts(e) - starts(prev))
       d.digest(scratch, 0, 16)
-      var x = 0
-      while (x < 16) {
-        hex(2 * x) = HexDigits((scratch(x) >> 4) & 0xf)
-        hex(2 * x + 1) = HexDigits(scratch(x) & 0xf)
-        x += 1
-      }
       rows(j) = InternalRow(j + 1, e - prev,
-        UTF8String.fromString(new String(hex)))
+        UTF8String.fromString(Md5Util.hex32(scratch, hex)))
       prev = e
       j += 1
     }
@@ -270,8 +278,6 @@ final case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int)
 }
 
 object FrameHashUtil {
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** The distinct, SORTED md5-hex set of a payload's sampled frames —
     * bit-identical to exploding [[graft.operators.MultimodalOps
     * .sampleFrames]]'s chunks through `md5()` and re-collecting
@@ -301,13 +307,7 @@ object FrameHashUtil {
       d.reset()
       if (end > off) d.update(bin, off, end - off)
       d.digest(scratch, 0, 16)
-      var i = 0
-      while (i < 16) {
-        hex(2 * i) = HexDigits((scratch(i) >> 4) & 0xf)
-        hex(2 * i + 1) = HexDigits(scratch(i) & 0xf)
-        i += 1
-      }
-      set.add(new String(hex)): Unit
+      set.add(Md5Util.hex32(scratch, hex)): Unit
       p += 1
     }
     val out = new Array[Any](set.size)

@@ -1143,6 +1143,15 @@ object DedupOps {
     * never admitted (route those rows around the exact join); true means
     * "check exactly" (FP rate ≤ the sized `fpp` while unsaturated). The
     * filter broadcasts; the batch streams — zero shuffle.
+    *
+    * A NULL digest (e.g. `md5Hash32(text)` of a NULL text) probes TRUE:
+    * the filter can prove nothing about a row it never hashed, and the
+    * conservative answer keeps the no-false-negative contract — the row
+    * takes the exact path, where the digest family's own NULL
+    * convention (rowFingerprint's \\u0001 sentinel) decides. Without the
+    * coalesce, a NULL verdict would fall out of BOTH branch filters of
+    * a prefilter composition (the d120 shape) and the row would
+    * silently vanish.
     */
   def probeBloomLedger(batch: DataFrame, idCol: String, digestCol: Column,
       path: String, digestTag: String, expectedItems: Long,
@@ -1151,7 +1160,8 @@ object DedupOps {
     requireBloomMeta(spark, path, digestTag, expectedItems, fpp, "probe")
     val bc = spark.sparkContext.broadcast(readBloomLedger(spark, path))
     val might = udf((h: Long) => bc.value.mightContainLong(h))
-    batch.select(col(idCol), might(digestCol.cast("long")).as("might_contain"))
+    batch.select(col(idCol),
+      coalesce(might(digestCol.cast("long")), lit(true)).as("might_contain"))
   }
 
   private val SimHashMetaFile = LedgerGuard.SidecarPrefix + "SIMHASH_META"

@@ -87,9 +87,10 @@ object TextOps {
     * row — chunk index (1-based), length, and the chunk's md5 hex (the
     * d39 digest family, so chunk ledgers compose with the existing
     * exact-dedup machinery). The document end always closes the final
-    * chunk; empty/NULL text yields an empty/NULL array. Pure per-row
-    * `sequence`/`filter`/`transform` codegen — zero shuffle, scan-speed
-    * at 100 TB; callers explode and group by digest. FastCDC's min/max
+    * chunk; empty/NULL text yields an empty/NULL array. One fused
+    * per-row kernel call ([[graft.functions.CdcChunksExpr]], plan-gated)
+    * — zero shuffle, scan-speed at 100 TB; callers explode and group by
+    * digest. FastCDC's min/max
     * chunk clamps are a documented extension point (they need a
     * sequential fold over boundary candidates; the pure mask rule keeps
     * the operator — and its oracle — exactly replayable).

@@ -893,7 +893,8 @@ class RedisStreamEntriesMicroBatch(opts: RedisSources.Options,
 
   private def withConn[T](f: RedisConnection => T): T =
     RedisConnection.withPooled(opts.host, opts.port, opts.auth,
-      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll,
+      resp3 = opts.resp3)(f)
 
   // Trigger.AvailableNow: snapshot the stream tip ONCE at query start;
   // every admission-capped batch then clamps to it, so the query drains
@@ -1039,7 +1040,8 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
 
   private def withConn[T](f: RedisConnection => T): T =
     RedisConnection.withPooled(opts.host, opts.port, opts.auth,
-      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll)(f)
+      tls = opts.tls, tlsTrustAll = opts.tlsTrustAll,
+      resp3 = opts.resp3)(f)
 
   private def membersNow(c: RedisConnection): Seq[String] =
     RedisMultiStreamMicroBatch.members(c, opts, sopts.selection)
