@@ -286,6 +286,16 @@ class AccuracySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](DedupOps.advanceBloomLedger(
       g2, digest, "md5-32", 20000L, 0.01, path))
     assert(e.getMessage.contains("expectedItems"), e.getMessage)
+    // a NULL digest (NULL text) probes TRUE — conservative routing to
+    // the exact branch; a NULL verdict would vanish from BOTH branch
+    // filters of a prefilter composition (the d120 hazard)
+    import spark.implicits._
+    val nullProbe = DedupOps.probeBloomLedger(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", DedupOps.md5Hash32(col("text"), ""), path, "md5-32",
+      10000L, 0.01).collect()
+    assert(nullProbe.length == 1 && nullProbe(0).getBoolean(1),
+      nullProbe.mkString(","))
   }
 
   test("d37 gate: quality classifier holdout AUC ≥ 0.8 against the weak labels") {
