@@ -4212,6 +4212,72 @@ object PipelineQueries {
         .orderBy("digest")
     },
 
+    // ---------------------------------------------------------------- CDC chunk ledger
+    // The CDC family AT REST: admitted documents' chunk digests live in
+    // a d39-style ledger (built across two generations), and a batch
+    // scores its per-document CHUNK NOVELTY — the fraction of its
+    // distinct chunks never seen in the corpus — without re-chunking a
+    // single admitted document. This is the incremental partial-overlap
+    // admission signal (a quote-farm page scores near 0, genuinely new
+    // content near 1). The oracle recomputes both sides' chunks from
+    // text, blind to the ledger cycle.
+    q("d123_cdc_chunk_ledger",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i FROM d),
+        |hit AS (SELECT doc_id, i FROM pos
+        |  WHERE CAST('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8) AS BIGINT) % 64 = 0),
+        |b AS (SELECT doc_id, i FROM hit
+        |      UNION SELECT doc_id, length(text) FROM d),
+        |seq AS (SELECT doc_id, i AS e,
+        |  lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s FROM b),
+        |chunks AS (SELECT DISTINCT q.doc_id,
+        |    md5(substr(d.text, q.s + 1, q.e - q.s)) AS digest
+        |  FROM seq q JOIN d ON d.doc_id = q.doc_id),
+        |led AS (SELECT DISTINCT digest FROM chunks WHERE doc_id % 3 <> 0),
+        |scored AS (SELECT c.doc_id,
+        |    count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN l.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+        |  FROM chunks c LEFT JOIN led l ON c.digest = l.digest
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, n_chunks, n_fresh,
+        |  round(CAST(n_fresh AS DOUBLE) / n_chunks, 4) AS novelty
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{DedupOps, LedgerGuard}
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/d123_$tag")
+      val docs = table(s, dir, "documents").filter(length(col("text")) > 0)
+      def chunkRows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(graft.operators.TextOps.cdcChunks(col("text"))).as("c"))
+        // the chunk uid feeds the ledger's min-id bookkeeping only
+        // (membership is all the probe needs; distinct below makes
+        // novelty per-DIGEST)
+        .select(col("doc_id"), col("c.digest").as("digest"),
+          (col("doc_id") * 10000 + col("c.idx")).as("uid"))
+      val admitted = docs.filter(col("doc_id") % 3 =!= 0)
+      // two generations, append-only (the d39 ingest-loop shape)
+      DedupOps.writeLedger(chunkRows(admitted.filter(col("doc_id") % 2 === 0)),
+        "uid", Seq("digest"), path)
+      DedupOps.appendToLedger(chunkRows(admitted.filter(col("doc_id") % 2 =!= 0)),
+        "uid", Seq("digest"), path)
+      // probe: per-doc distinct chunk digests vs the at-rest set — the
+      // admitted corpus is NEVER re-chunked here
+      val batch = chunkRows(docs).select(col("doc_id"),
+        DedupOps.rowFingerprint(Seq(col("digest"))).as("__fp"),
+        col("digest")).distinct()
+      val ledgerFps = LedgerGuard.readLedger(s, path)
+        .select(col("digest").as("__fp"))
+      batch.join(ledgerFps, Seq("__fp"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fresh"))
+        .join(batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+          Qf.dround(coalesce(col("n_fresh"), lit(0L)).cast("double") / col("n_chunks"), 4)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- epoch reshuffle
     // Deterministic training-order permutation: position = global rank
     // of md5(salt:id). No RNG, no stored permutation — any worker or
