@@ -48,6 +48,37 @@ import org.apache.spark.sql.types._
   */
 object WindowRankOps {
 
+  /** Auto-route threshold: below this ESTIMATED input size every
+    * `partitioned*` entry point returns the built-in window's plan
+    * instead — identical values and schema (the distributed forms are
+    * exactness-pinned against the built-ins), none of the machinery
+    * (range shuffle, checkpoint, stats collect, broadcast join). The
+    * skew trap this family exists for is a 100 TB problem; under a
+    * couple of GB a single task sorts the largest group in seconds and
+    * the machinery costs more than it saves, so small inputs should
+    * pay NOTHING extra (q15b/q16b/q17b/q46b ≈ their built-in twins at
+    * conformance scale) while big ones keep the 10× crossover win
+    * (SCALE.md). The size comes from Catalyst's plan statistics
+    * (file-size based for scans — free, no extra job); set the conf to
+    * 0 to force the distributed path (the spec does), or raise it to
+    * route more through the built-in.
+    */
+  private[graft] val MinBytesKey = "spark.graft.window.distributedMinBytes"
+  private[graft] val DefaultMinBytes: Long = 2L * 1024 * 1024 * 1024
+
+  /** True when `df` is small enough (plan-stats estimate under the
+    * [[MinBytesKey]] threshold) that the built-in window wins.
+    */
+  private[graft] def routesToBuiltin(df: DataFrame): Boolean = {
+    val min = BigInt(df.sparkSession.conf
+      .get(MinBytesKey, DefaultMinBytes.toString).toLong)
+    min > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes < min
+  }
+
+  private def builtinW(partCols: Seq[String], order: Seq[(String, Boolean)]) =
+    Window.partitionBy(partCols.map(col): _*)
+      .orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+
   /** The pre-checkpoint fragment: range-slice assignment + LOCAL
     * window numbers per (slice, group) — every window here partitions
     * by (`__pid`, partCols), never by the low-cardinality key alone
@@ -136,6 +167,15 @@ object WindowRankOps {
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"input columns collide with partitionedRunning's internals/outputs: ${clash.mkString(", ")}")
+    if (routesToBuiltin(df)) {
+      val w = builtinW(partCols, order)
+      val vb = col(valueCol).cast("long")
+      return df.select(df.columns.map(col) ++ Seq(
+        sum(vb).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_total"),
+        sum(vb).over(w.rowsBetween(-(movingK - 1).toLong, Window.currentRow))
+          .as(s"moving_sum$movingK")): _*)
+    }
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val v = col(valueCol).cast("long")
@@ -262,6 +302,13 @@ object WindowRankOps {
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"input columns collide with partitionedShift's internals/outputs: ${clash.mkString(", ")}")
+    if (routesToBuiltin(df)) {
+      val w = builtinW(partCols, order)
+      val vs = struct(valueCols.map(col): _*)
+      return df.select(df.columns.map(col) ++ Seq(
+        lag(vs, k).over(w).as(s"lag$k"),
+        lead(vs, k).over(w).as(s"lead$k")): _*)
+    }
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val local = slicedLocalShift(df, partCols, order, valueCols, k, np)
@@ -351,6 +398,14 @@ object WindowRankOps {
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"input columns collide with partitionedRanks' internals/outputs: ${clash.mkString(", ")}")
+    if (routesToBuiltin(df)) {
+      val w = builtinW(partCols, order)
+      return df.select(df.columns.map(col) ++ Seq(
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(ntileN).over(w).cast("long").as(ntileCol)): _*)
+    }
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val sortCols = partCols.map(col) ++ order.map { case (c, asc) =>
@@ -486,6 +541,15 @@ object WindowRankOps {
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"input columns collide with partitionedDistribution's internals/outputs: ${clash.mkString(", ")}")
+    if (routesToBuiltin(df)) {
+      val w = builtinW(partCols, order)
+      return df.select(df.columns.map(col) ++ Seq(
+        rank().over(w).cast("long").as("rnk"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(ntileN).over(w).cast("long").as(ntileCol),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_dist")): _*)
+    }
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val keyStruct = struct(order.zipWithIndex.map { case ((c, _), i) =>

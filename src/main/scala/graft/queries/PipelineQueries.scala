@@ -241,6 +241,99 @@ object PipelineQueries {
       Seq("scan", "##ner", "tab", "##le", "sp", "##ark", "join", "merge",
         "the", "key", "##ey")
 
+  /** d68's oracle: greedy longest-match-first WordPiece as a DuckDB
+    * recursive CTE — one segmentation step per recursion round, the
+    * vocabulary inlined as a list literal (derived from the SAME
+    * [[wordPieceVocab]] the Spark kernel runs). The step's best match
+    * is a list comprehension over the vocab filtered to pieces that
+    * match at the cursor (raw surface at word start, `##`-prefixed
+    * continuation after — [[graft.functions.WordPieceUtil.encodeWord]]'s
+    * exact lookup contract, including the maxPiece candidate-length
+    * bound at BOTH cursors), reduced with `list_aggregate('max')` to
+    * the longest consumed length; no match → the whole word falls to
+    * `[UNK]` (BERT's is_bad contract), as does a word over 200 chars.
+    */
+  private val wordPieceOracle: String = {
+    val vlit = wordPieceVocab
+      .map(v => "'" + v.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val maxPiece = wordPieceVocab
+      .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+    s"""WITH RECURSIVE
+       |w AS (
+       |  SELECT doc_id,
+       |         unnest(toks) AS word,
+       |         unnest(generate_series(1, len(toks))) AS pos
+       |  FROM (SELECT doc_id,
+       |               list_filter($sqlTokens, t -> t <> '') AS toks
+       |        FROM documents)),
+       |seg AS (
+       |  SELECT doc_id, pos, word, length(word) AS wl,
+       |         1 AS cur,
+       |         CAST([] AS VARCHAR[]) AS pieces,
+       |         (length(word) > 200) AS failed,
+       |         (length(word) > 200) AS stop
+       |  FROM w
+       |  UNION ALL
+       |  SELECT doc_id, pos, word, wl,
+       |         cur + coalesce(bl, 0) AS cur,
+       |         CASE WHEN bl IS NULL THEN pieces
+       |              ELSE list_append(pieces,
+       |                CASE WHEN cur = 1 THEN substr(word, 1, bl)
+       |                     ELSE '##' || substr(word, cur, bl) END) END AS pieces,
+       |         (bl IS NULL) AS failed,
+       |         (bl IS NULL OR cur + bl > wl) AS stop
+       |  FROM (
+       |    SELECT *,
+       |      list_aggregate(
+       |        [CASE WHEN cur = 1 THEN length(v) ELSE length(v) - 2 END
+       |         FOR v IN $vlit
+       |         IF CASE WHEN cur = 1
+       |                 THEN length(v) <= $maxPiece
+       |                      AND substr(word, cur, length(v)) = v
+       |                 ELSE length(v) >= 3 AND substr(v, 1, 2) = '##'
+       |                      AND length(v) - 2 <= $maxPiece
+       |                      AND substr(word, cur, length(v) - 2) = substr(v, 3)
+       |            END], 'max') AS bl
+       |    FROM seg WHERE NOT stop)),
+       |tokp AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+       |  FROM seg WHERE stop),
+       |docp AS (
+       |  SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS allp
+       |  FROM tokp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(p.allp), 0) AS INTEGER) AS n_pieces,
+       |  CAST(coalesce(len(list_filter(p.allp, x -> x = '[UNK]')), 0) AS INTEGER) AS n_unk,
+       |  md5(array_to_string(coalesce(p.allp, CAST([] AS VARCHAR[])), ' ')) AS pieces_fp
+       |FROM documents d LEFT JOIN docp p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The bigram-LM store state d102 and d107 both probe — corpus 60%
+    * admitted at creation, 40% folded by one marked advance, then
+    * compacted (compaction persists the derived model sidecar) — built
+    * ONCE per (session, fixture dir) through [[cachedModel]] and
+    * probed by both scorers: build-once/probe-many, the amortization
+    * the at-rest store exists for. Ledger MUTATION semantics stay
+    * independently covered: d90 exercises write/advance/replay/compact
+    * on its own store, d91 retraction on another.
+    */
+  private def sharedLmLedger(s: org.apache.spark.sql.SparkSession,
+      dir: String, docs: org.apache.spark.sql.DataFrame): String =
+    cachedModel(s, s"bigram-lm-ledger:$dir") {
+      import graft.operators.CurationOps
+      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+      val path = Registry.scratchDir(s"/tmp/graft_conformance/dlm_shared_$tag")
+      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
+      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
+        "text", path, batchId = Some("gen-2"))
+      // compaction persists the derived model sidecar — ONE model
+      // write amortized across both scorers' probes
+      CurationOps.compactBigramLedger(s, path, targetFiles = 2)
+      path
+    }
+
   /** Trained ANN models memoized per fixture dir: an index is BUILT once
     * and PROBED many times, so repeated invocations (the bench's paired
     * passes; a user's query stream) should pay the probe, not a retrain —
@@ -4685,11 +4778,15 @@ object PipelineQueries {
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.CurationOps
       val docs = table(s, dir, "documents")
-      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
-      val path = Registry.scratchDir(s"/tmp/graft_conformance/d102_lm_$tag")
-      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
-      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
-        "text", path, batchId = Some("gen-2"))
+      // d102 and d107 probe the SAME store state (write 60%, advance
+      // 40%) with different scorers — the ledger is built ONCE per
+      // (session, fixture) and both pay only their probe, the build-
+      // once/probe-many amortization the store exists for (mutation
+      // semantics are d90/d91's coverage). The build's compaction
+      // persisted the derived model tables: the probes bind them and
+      // recompute nothing (same hashes either way — the LM spec pins
+      // sidecar ≡ recomputed).
+      val path = sharedLmLedger(s, dir, docs)
       CurationOps.bigramScoreInterpolated(docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", path)
         .select(col("doc_id"), col("n_bigrams"),
@@ -4738,11 +4835,9 @@ object PipelineQueries {
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.CurationOps
       val docs = table(s, dir, "documents")
-      val tag = s"pid${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
-      val path = Registry.scratchDir(s"/tmp/graft_conformance/d107_lm_$tag")
-      CurationOps.writeBigramLedger(docs.filter(col("doc_id") % 10 < 6), "text", path)
-      CurationOps.advanceBigramLedger(docs.filter(col("doc_id") % 10 >= 6),
-        "text", path, batchId = Some("gen-2"))
+      // one shared build with d102 (see its note): same store state,
+      // different scorer — this query pays only the KN probe
+      val path = sharedLmLedger(s, dir, docs)
       CurationOps.bigramScoreKneserNey(docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", path)
         .select(col("doc_id"), col("n_bigrams"),
@@ -5581,15 +5676,23 @@ object PipelineQueries {
     // enumeration on short strings.
     q("d105_unigram_encode", null) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // ONE corpus-scale pass: tokenize + count words. Everything else
+      // (total mass, top-80 words, char vocabulary) derives from this
+      // vocab-sized frame — the char counts come from exploding the
+      // DISTINCT words weighted by n, never from re-walking the corpus.
+      val wc = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .persist()
       val totW = wc.agg(sum(col("n"))).first.getLong(0).toDouble
       val topWords = wc.orderBy(col("n").desc, col("w")).limit(80)
         .collect().map(r => (r.getString(0), math.log(r.getLong(1) / totW)))
-      val chars = toks.select(explode(split(col("w"), "")).as("c"))
+      val chars = wc
+        .select(explode(split(col("w"), "")).as("c"), col("n"))
         .filter(length(col("c")) === 1)
-        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .groupBy(col("c")).agg(sum(col("n")).as("n"))
         .collect()
+      wc.unpersist()
       require(chars.length <= 512,
         s"d105 vocab: ${chars.length} distinct characters — the char " +
           "fallback set must stay model-sized; use a byte-level vocab " +
@@ -5643,12 +5746,14 @@ object PipelineQueries {
     // statistics; this runs a finished vocabulary over the corpus):
     // BERT's greedy longest-match-first WordPiece as ONE codegen'd
     // Catalyst expression, the vocabulary riding as a model-sized
-    // reference object. Greedy segmentation is engine-specific →
-    // rows-only; the AccuracySpec gate pins the reconstruction
-    // invariant (strip ##, concat == the input sans spaces) and
-    // closed-vocabulary membership over the whole conformance corpus,
-    // and unit tests pin the greedy/UNK semantics exactly.
-    q("d68_wordpiece", null) { (s, dir) =>
+    // reference object. The oracle re-derives the segmentation in
+    // DuckDB as a recursive CTE over the SAME vocab literal
+    // ([[wordPieceOracle]]) → full hash-match; the AccuracySpec gate
+    // additionally pins the reconstruction invariant (strip ##,
+    // concat == the input sans spaces) and closed-vocabulary
+    // membership corpus-wide, and unit tests pin the greedy/UNK
+    // semantics exactly.
+    q("d68_wordpiece", wordPieceOracle) { (s, dir) =>
       val p = graft.functions.TokenizeExpressions.wordPieceEncode(
         col("text"), wordPieceVocab)
       table(s, dir, "documents")

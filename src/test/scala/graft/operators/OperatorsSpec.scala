@@ -1987,7 +1987,29 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 3L, 1, 0.3333)))
   }
 
+  test("partitioned* auto-route: small inputs take the built-in plan (no slice machinery), identical values") {
+    val df = (1 to 60).map(i => ("g" + (i % 3), i % 5, i.toLong))
+      .toDF("flag", "qty", "ln")
+    // default threshold: a tiny frame routes to the built-in window —
+    // no slice id in the plan, nothing collected on the driver
+    spark.conf.unset(WindowRankOps.MinBytesKey)
+    assert(WindowRankOps.routesToBuiltin(df), "tiny input must route to the built-in")
+    def ranks() = WindowRankOps.partitionedRanks(df, Seq("flag"),
+      Seq(("qty", true), ("ln", true)), ntileN = 3)
+    assert(!ranks().queryExecution.executedPlan.toString.contains("__pid"),
+      "built-in route must not carry the slice machinery")
+    val viaBuiltin = ranks().orderBy("flag", "qty", "ln").collect().toSeq
+    // conf 0 forces the distributed form — same values, same schema
+    spark.conf.set(WindowRankOps.MinBytesKey, "0")
+    assert(!WindowRankOps.routesToBuiltin(df))
+    val viaDistributed = ranks().orderBy("flag", "qty", "ln").collect().toSeq
+    assert(viaBuiltin == viaDistributed && viaBuiltin.nonEmpty,
+      s"route divergence: $viaBuiltin != $viaDistributed")
+  }
+
   test("partitionedRanks == built-in window (rank/dense_rank/row_number/ntile), ties straddling slices") {
+    spark.conf.set(WindowRankOps.MinBytesKey, "0") // force the distributed path
+
     import org.apache.spark.sql.expressions.Window
     // tie-heavy fixture: few distinct order values so tie groups span
     // range-slice boundaries (4 shuffle partitions), multiple groups of
@@ -2047,6 +2069,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("partitionedRunning == built-in running/moving sums, frames straddling slices") {
+    spark.conf.set(WindowRankOps.MinBytesKey, "0") // force the distributed path
+
     import org.apache.spark.sql.expressions.Window
     // long runs per group so moving frames straddle the 4 range slices;
     // group C has fewer rows than the moving frame
@@ -2079,6 +2103,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("partitionedDistribution == built-in percent_rank/cume_dist/ntile, bit-identical, ties straddling slices") {
+    spark.conf.set(WindowRankOps.MinBytesKey, "0") // force the distributed path
+
     import org.apache.spark.sql.expressions.Window
     // same tie-heavy shape as the ranks test: tie groups span the 4
     // range slices, a 1-row group (percent_rank's N=1 special case),
@@ -2134,6 +2160,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("partitionedShift == built-in lag/lead, offsets straddling slices") {
+    spark.conf.set(WindowRankOps.MinBytesKey, "0") // force the distributed path
+
     import org.apache.spark.sql.expressions.Window
     // group A spans all 4 range slices so k=3 shifts straddle slice
     // boundaries repeatedly; B is SHORTER than k (all lags/leads from
