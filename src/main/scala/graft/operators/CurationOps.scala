@@ -84,11 +84,11 @@ object CurationOps {
       explode(graft.functions.NgramExpressions.wordGramMd5s(col(textCol), n)).as("__h"))
     val filter = grams(bench).select(col("__h")).stat
       .bloomFilter("__h", expectedGrams, fpp)
-    val spark = train.sparkSession
-    val bc = spark.sparkContext.broadcast(filter)
-    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    // shared codegen probe kernel (graft.functions.BloomMightContain):
+    // the filter rides in the stage's task binary, the probe stays
+    // inside whole-stage codegen — no UDF seam
     grams(train).distinct()
-      .filter(might(col("__h")))
+      .filter(graft.functions.BloomExpressions.mightContain(col("__h"), filter))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_flagged"))
   }
@@ -736,13 +736,30 @@ object CurationOps {
           "verify the ledger's tokenizer; rebuild the ledger (or restore " +
           "the sidecar)")
     }
-    // re-sum defensively (the tfidfAgainstLedgers contract): probes
-    // stay correct even over a ledger with accreted duplicate rows
+    // compaction-time model sidecar when present (see
+    // [[compactBigramLedger]]): per-token sums and the vocab total are
+    // READ, not recomputed — and model-present certifies the rows are
+    // the duplicate-free compacted snapshot, so the defensive re-sum
+    // (the tfidfAgainstLedgers contract, still the fallback path) is
+    // skipped too. Same arithmetic on integral counts → same hashes.
     val led = LedgerGuard.readLedger(spark, path)
-    val c2 = led.filter(col("w2").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    val v = led.agg(countDistinct(col("w1")).as("vocab"))
+    val model = readBigramModelDir(spark, path)
+    val c2 = model match {
+      case Some(_) => led.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("n").as("n2"))
+      case None => led.filter(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    }
+    val c1 = model match {
+      case Some(m) => spark.read.parquet(s"$m/tok")
+        .filter(col("n1").isNotNull) // never-opening tokens: a c1 MISS
+        .select(col("tok").as("w1"), col("n1"))
+      case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    }
+    val v = model match {
+      case Some(m) => spark.read.parquet(s"$m/tot").select(col("vocab"))
+      case None => led.agg(countDistinct(col("w1")).as("vocab"))
+    }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
       .filter(size(col("__l")) >= 2)
@@ -790,13 +807,33 @@ object CurationOps {
           "verify the ledger's tokenizer; rebuild the ledger (or restore " +
           "the sidecar)")
     requireBigramMeta(spark, path, tokenizerId, "probe")
+    // model sidecar when present: every recompute aggregation becomes
+    // a read (see bigramScoreFromLedger's note; identical arithmetic)
     val led = LedgerGuard.readLedger(spark, path)
-    val c2 = led.filter(col("w2").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    val uni = led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
-    val nv = led.agg(sum(col("n")).cast("double").as("bigN"),
-      countDistinct(col("w1")).cast("double").as("vocab"))
+    val model = readBigramModelDir(spark, path)
+    val modelTok = model.map(m => spark.read.parquet(s"$m/tok"))
+    val c2 = model match {
+      case Some(_) => led.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("n").as("n2"))
+      case None => led.filter(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    }
+    val c1 = modelTok match {
+      case Some(t) => t.filter(col("n1").isNotNull)
+        .select(col("tok").as("w1"), col("n1"))
+      case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    }
+    val uni = modelTok match {
+      case Some(t) => t.select(col("tok").as("w1"), col("nu"))
+      case None => led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
+    }
+    val nv = model match {
+      case Some(m) => spark.read.parquet(s"$m/tot")
+        .select(col("bigN").cast("double").as("bigN"),
+          col("vocab").cast("double").as("vocab"))
+      case None => led.agg(sum(col("n")).cast("double").as("bigN"),
+        countDistinct(col("w1")).cast("double").as("vocab"))
+    }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
       .filter(size(col("__l")) >= 2)
@@ -846,16 +883,37 @@ object CurationOps {
           "verify the ledger's tokenizer; rebuild the ledger (or restore " +
           "the sidecar)")
     requireBigramMeta(spark, path, tokenizerId, "probe")
+    // model sidecar when present: every recompute aggregation becomes
+    // a read (see bigramScoreFromLedger's note; identical arithmetic)
     val led = LedgerGuard.readLedger(spark, path)
-    val c2 = led.filter(col("w2").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    val model = readBigramModelDir(spark, path)
+    val modelTok = model.map(m => spark.read.parquet(s"$m/tok"))
+    val c2 = model match {
+      case Some(_) => led.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("n").as("n2"))
+      case None => led.filter(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    }
     // ONE aggregation of c2 feeds both per-w1 tables (row sum + distinct
-    // continuation count share the exchange)
-    val byW1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"),
-      count(lit(1)).cast("double").as("n1fw"))
-    val byW2 = c2.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1bw"))
-    val tot = c2.agg(count(lit(1)).cast("double").as("n1tot"))
-      .crossJoin(led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
+    // continuation count share the exchange) on the recompute path
+    val byW1 = modelTok match {
+      case Some(t) => t.filter(col("n1").isNotNull)
+        .select(col("tok").as("w1"), col("n1"), col("n1fw"))
+      case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"),
+        count(lit(1)).cast("double").as("n1fw"))
+    }
+    val byW2 = modelTok match {
+      case Some(t) => t.filter(col("n1bw").isNotNull)
+        .select(col("tok").as("w2"), col("n1bw"))
+      case None => c2.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1bw"))
+    }
+    val tot = model match {
+      case Some(m) => spark.read.parquet(s"$m/tot")
+        .select(col("n1tot").cast("double").as("n1tot"),
+          col("vocab").cast("double").as("vocab"))
+      case None => c2.agg(count(lit(1)).cast("double").as("n1tot"))
+        .crossJoin(led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
+    }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
       .filter(size(col("__l")) >= 2)
@@ -914,7 +972,18 @@ object CurationOps {
   }
 
   /** Compact the bigram ledger IN PLACE: re-sum accreted duplicate
-    * `(w1, w2)` rows and rewrite small files keyed for pruning.
+    * `(w1, w2)` rows and rewrite small files keyed for pruning — and
+    * persist the DERIVED MODEL TABLES the scorers otherwise recompute
+    * per probe (see [[writeBigramModel]]): compaction is the one
+    * moment the whole store is being paid for anyway, so the per-token
+    * sums/distinct-counts land at rest next to the rows they derive
+    * from. The model lives in a `_GRAFT_BIGRAM_MODEL/` SUBDIRECTORY of
+    * the new generation: invisible to parquet readers of the ledger
+    * (underscore convention), atomic with the compacted rows (same
+    * swap), and — because [[LedgerGuard.advanceInPlace]]'s sidecar
+    * carry-forward copies only FILES — automatically DROPPED by any
+    * later advance/retraction, so a probe can never bind a stale model
+    * to fresher counts.
     */
   def compactBigramLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 16,
@@ -924,7 +993,90 @@ object CurationOps {
       LayoutOps.writeSized(
         led.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
         staging, col("w1"), targetFiles, maxRecordsPerFile)
+      // derive the model from the rows JUST WRITTEN (read back, one
+      // materialization) so model ≡ file contents by construction
+      writeBigramModel(spark.read.parquet(staging), staging)
     }
+
+  /** Generation-scoped model subdirectory name (underscore-prefixed:
+    * parquet readers of the generation never see it).
+    */
+  private val BigramModelDir = LedgerGuard.SidecarPrefix + "BIGRAM_MODEL"
+
+  /** Persist the scorers' derived model tables under
+    * `genDir/_GRAFT_BIGRAM_MODEL/`:
+    *
+    *  - `tok/` — one row per distinct token (every token occurs as a
+    *    `w1` thanks to the tail rows): `nu` = Σn over w1=tok (unigram
+    *    count, tails included — d102's channel), `n1` = Σn over
+    *    NON-tail w1=tok (NULL when the token never opens a bigram —
+    *    the scorers' left-join-miss semantics ride on that), `n1fw` =
+    *    N1+(tok,·), `n1bw` = N1+(·,tok) (NULL when never a
+    *    continuation).
+    *  - `tot/` — one row: `bigN` = Σn (all rows), `vocab` = distinct
+    *    tokens, `n1tot` = N1+(··) (distinct non-tail bigrams).
+    *
+    * All counts are stored INTEGRAL (longs where the scorers cast, so
+    * sidecar-vs-recomputed arithmetic is bit-identical; `n1fw`/`n1bw`
+    * stay the doubles the KN scorer uses directly). Tables are
+    * vocab-bounded — model-sized, coalesced to single files.
+    *
+    * ONE aggregation derives the whole `tok` table: each `(w1, w2, n)`
+    * row contributes a w1-keyed partial (nu, and the non-tail n1/n1fw)
+    * and a w2-keyed partial (n1bw); `sum` over all-NULL groups stays
+    * NULL, which is exactly the never-opens / never-continues
+    * semantics above. `tot/` then folds the written `tok` file — two
+    * small jobs total per rewrite.
+    */
+  private def writeBigramModel(counts: DataFrame, genDir: String): Unit = {
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val parts = counts.select(explode(array(
+        struct(col("w1").as("tok"), col("n").as("nu"),
+          when(col("w2").isNotNull, col("n")).as("n1"),
+          when(col("w2").isNotNull, lit(1.0)).as("n1fw"),
+          nullD.as("n1bw")),
+        struct(col("w2").as("tok"), nullL.as("nu"), nullL.as("n1"),
+          nullD.as("n1fw"),
+          when(col("w2").isNotNull, lit(1.0)).as("n1bw"))))
+        .as("p"))
+      .filter(col("p.tok").isNotNull)
+    parts.groupBy(col("p.tok").as("tok"))
+      .agg(sum(col("p.nu")).as("nu"), sum(col("p.n1")).as("n1"),
+        sum(col("p.n1fw")).as("n1fw"), sum(col("p.n1bw")).as("n1bw"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$genDir/$BigramModelDir/tok")
+    val back = counts.sparkSession.read.parquet(s"$genDir/$BigramModelDir/tok")
+    back.agg(coalesce(sum(col("nu")), lit(0L)).as("bigN"),
+        count(lit(1)).as("vocab"),
+        // Σ n1fw (sum skips the NULLs of never-opening tokens) = the
+        // distinct non-tail bigram count; integral-valued, exact
+        coalesce(sum(col("n1fw")).cast("long"), lit(0L)).as("n1tot"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$genDir/$BigramModelDir/tot")
+  }
+
+  /** The model directory of the generation a READER binds, iff the
+    * compaction-time sidecar is present AND complete (`tok/_SUCCESS`):
+    * probes then skip every recompute aggregation. Model present also
+    * certifies the generation's `(w1, w2)` rows are the compacted,
+    * duplicate-free snapshot (any mutation goes through an advance,
+    * which drops the subdirectory — see [[compactBigramLedger]]), so
+    * the defensive re-sum of `c2` is skippable too.
+    */
+  private def readBigramModelDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val gen = LedgerGuard.readablePath(fs, target)
+      val model = new org.apache.hadoop.fs.Path(gen, BigramModelDir)
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(model, "tok/_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(model, "tot/_SUCCESS"))
+      if (complete) Some(model.toString) else None
+    } catch { case _: java.io.IOException => None }
+  }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
@@ -1692,7 +1844,6 @@ object CurationOps {
     */
   def sourceUnigramJsd(docs: DataFrame, groupCol: String, textCol: String,
       decimals: Int = 4): DataFrame = {
-    val ln2 = math.log(2d)
     val counts = docs.select(col(groupCol).as("__g"),
         explode(TextOps.tokens(col(textCol))).as("__tok"))
       .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
@@ -1855,7 +2006,10 @@ object CurationOps {
   def epochShuffle(docs: DataFrame, idCol: String, salt: String): DataFrame =
     graft.operators.WindowRankOps.partitionedRanks(
       docs.select(col(idCol),
-        md5(concat_ws("", lit(s"$salt:"), col(idCol).cast("string"))).as("__hk"),
+        // concat (not concat_ws): a NULL id must hash to NULL — the
+        // documented md5(salt:id) definition and the oracle's `||`
+        // NULL-propagating semantics — not collide on md5("salt:")
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))).as("__hk"),
         lit(1).as("__g")),
       Seq("__g"), Seq(("__hk", true), (idCol, true)), ntileN = 1)
       .select(col("rn").as("pos"), col(idCol), col("__hk").as("hk"))

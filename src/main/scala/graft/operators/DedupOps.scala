@@ -1158,10 +1158,13 @@ object DedupOps {
       fpp: Double): DataFrame = {
     val spark = batch.sparkSession
     requireBloomMeta(spark, path, digestTag, expectedItems, fpp, "probe")
-    val bc = spark.sparkContext.broadcast(readBloomLedger(spark, path))
-    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    // shared codegen probe kernel (graft.functions.BloomMightContain) —
+    // same task-binary distribution the explicit broadcast gave the
+    // old UDF form, zero per-row UDF seam
     batch.select(col(idCol),
-      coalesce(might(digestCol.cast("long")), lit(true)).as("might_contain"))
+      coalesce(graft.functions.BloomExpressions.mightContain(
+        digestCol.cast("long"), readBloomLedger(spark, path)),
+        lit(true)).as("might_contain"))
   }
 
   private val SimHashMetaFile = LedgerGuard.SidecarPrefix + "SIMHASH_META"

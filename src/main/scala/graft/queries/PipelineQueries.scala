@@ -241,6 +241,22 @@ object PipelineQueries {
       Seq("scan", "##ner", "tab", "##le", "sp", "##ark", "join", "merge",
         "the", "key", "##ey")
 
+  /** d24's exact decontamination answer — shared verbatim by d24b,
+    * whose bloom-prefilter → exact-rescore composition must produce
+    * the SAME rows (no false negatives ⇒ restricting the exact join to
+    * bloom-flagged docs loses nothing; the hash match proves it).
+    */
+  private lazy val d24OracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${sqlHash("g0", "")} AS h FROM (
+       |    SELECT doc_id, unnest(${sqlNgrams("(" + sqlTokens + ")", 3)}) AS g0
+       |    FROM documents)),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+       |train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM train JOIN bench USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** d68's oracle: greedy longest-match-first WordPiece as a DuckDB
     * recursive CTE — one segmentation step per recursion round, the
     * vocabulary inlined as a list literal (derived from the SAME
@@ -2253,16 +2269,7 @@ object PipelineQueries {
     // n = 8-13; the synthetic word-salad corpus shares no 8-grams at all
     // (a vacuous 0 = 0 check), so the conformance entry uses n = 3, which
     // yields a few hundred genuine overlaps at sf0.01.
-    q("d24_decontamination",
-      s"""WITH g AS (
-         |  SELECT doc_id, ${sqlHash("g0", "")} AS h FROM (
-         |    SELECT doc_id, unnest(${sqlNgrams("(" + sqlTokens + ")", 3)}) AS g0
-         |    FROM documents)),
-         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
-         |train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0)
-         |SELECT doc_id, count(*) AS n_shared
-         |FROM train JOIN bench USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    q("d24_decontamination", d24OracleSql) { (s, dir) =>
       val docs = table(s, dir, "documents")
       graft.operators.CurationOps.ngramOverlap(
         docs.filter(col("doc_id") % 97 =!= 0),
@@ -2272,17 +2279,25 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------- bloom-filter decontamination
-    // constant-memory variant of d24 for benchmark gram sets too wide to
-    // broadcast exactly: grams fold into a mergeable bloom filter, the
-    // corpus probes it at scan speed. Sketch-dependent → rows-only; the
-    // AccuracySpec gate asserts no false negatives vs exact d24 and
-    // bounds the false-positive docs.
-    q("d24b_decontamination_bloom", null) { (s, dir) =>
+    // constant-memory variant of d24 for benchmark gram sets too wide
+    // to broadcast exactly — run as the full PREFILTER → EXACT-RESCORE
+    // composition (the d120 shape): the bloom routes the corpus, only
+    // flagged docs pay the exact gram join, and the FINAL answer is
+    // the exact one. That makes the query hash-matchable against d24's
+    // own oracle: the bloom has NO false negatives, so restricting the
+    // exact join to flagged docs loses nothing — a dropped true
+    // positive would make the hashes differ, so the oracle match IS
+    // the flagged ⊇ exact proof, per run. The AccuracySpec gate
+    // additionally bounds false-positive docs (fpp budget).
+    q("d24b_decontamination_bloom", d24OracleSql) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      graft.operators.CurationOps.ngramOverlapBloom(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", n = 3, expectedGrams = 200000L)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val flagged = graft.operators.CurationOps.ngramOverlapBloom(
+        train, bench, "doc_id", "text", n = 3, expectedGrams = 200000L)
+      graft.operators.CurationOps.ngramOverlap(
+        train.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        bench, "doc_id", "text", n = 3)
         .orderBy("doc_id")
     },
 

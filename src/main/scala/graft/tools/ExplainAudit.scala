@@ -39,7 +39,8 @@ object ExplainAudit {
       "d33_semdedup",         // auto-k cluster join
       "s08_ivfpq_topk",       // cell-pruned ADC + heap top-k
       "q61_sessionization",   // one user_id shuffle for both windows + agg
-      "q60_runtime_bloom_join") // injected runtime filter
+      "q60_runtime_bloom_join", // injected runtime filter
+      "d24b_decontamination_bloom") // shared BloomMightContain kernel, fused probe
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)

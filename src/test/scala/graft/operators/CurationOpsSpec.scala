@@ -833,6 +833,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("bigram model sidecar: compaction persists it, all three scorers bind it ≡ recomputed, any advance drops it") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bgm").toString + "/ledger"
+    val seed = Seq((1L, "a b a b c"), (2L, "c a"), (3L, "q")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "b c a"), (5L, "z")).toDF("doc_id", "text")
+    val probe = Seq((9L, "a b zz"), (10L, "c a q")).toDF("doc_id", "text")
+    def modelDir = new java.io.File(new java.io.File(path), "_GRAFT_BIGRAM_MODEL")
+    def delRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delRec)
+      f.delete(): Unit
+    }
+    CurationOps.writeBigramLedger(seed, "text", path)
+    CurationOps.advanceBigramLedger(b1, "text", path, batchId = Some("b-1"))
+    assert(!modelDir.exists, "no model before compaction")
+    CurationOps.compactBigramLedger(spark, path, targetFiles = 1)
+    assert(new java.io.File(modelDir, "tok/_SUCCESS").exists &&
+      new java.io.File(modelDir, "tot/_SUCCESS").exists,
+      "compaction must persist the complete model sidecar")
+    // sidecar-bound scores ≡ recomputed scores, for ALL THREE scorers
+    // (delete the sidecar between passes; same ledger rows both times)
+    def all3 = Seq(
+      CurationOps.bigramScoreFromLedger(probe, "doc_id", "text", path),
+      CurationOps.bigramScoreInterpolated(probe, "doc_id", "text", path),
+      CurationOps.bigramScoreKneserNey(probe, "doc_id", "text", path))
+      .map(_.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap)
+    val withModel = all3
+    delRec(modelDir)
+    assert(!modelDir.exists)
+    val recomputed = all3
+    assert(withModel == recomputed && withModel.forall(_.nonEmpty),
+      s"sidecar-vs-recomputed drift: $withModel != $recomputed")
+    // staleness guarantee: ANY advance/retraction rewrites the
+    // generation and the model subdirectory does not ride along
+    CurationOps.compactBigramLedger(spark, path, targetFiles = 1)
+    assert(modelDir.exists)
+    CurationOps.advanceBigramLedger(
+      Seq((6L, "q z")).toDF("doc_id", "text"), "text", path, batchId = Some("b-2"))
+    assert(!modelDir.exists, "an advance must drop the compaction-time model")
+    CurationOps.compactBigramLedger(spark, path, targetFiles = 1)
+    assert(modelDir.exists)
+    CurationOps.retractFromBigramLedger(
+      Seq((6L, "q z")).toDF("doc_id", "text"), "text", path)
+    assert(!modelDir.exists, "a retraction must drop the compaction-time model")
+  }
+
   test("leakageSafeSplit: members inherit the rep's split; growth-stable under monotone ids; NULL key isolated") {
     val docs = Seq((1L, "g1"), (2L, "g1"), (7L, "g2"), (3L, "g1"), (9L, "g2"),
       (11L, null.asInstanceOf[String])).toDF("id", "fam")
