@@ -434,7 +434,16 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
         .map(_.getPath).toSeq
       else Seq.empty
     messages.foreach { case AvroTaskCommit(staged, fin) =>
-      if (!fs.rename(new Path(staging, staged), new Path(root, fin)))
+      val target = new Path(root, fin)
+      // belt-and-braces next to the full-queryId names: a local FS's
+      // rename silently replaces an existing target (HDFS fails), so
+      // refuse loudly rather than let any residual collision turn the
+      // previous-generation delete below into data loss
+      if (fs.exists(target))
+        throw new java.io.IOException(
+          s"graft-avro commit: final name $fin already exists under $dir " +
+            "— refusing to overwrite a previous generation in-place")
+      if (!fs.rename(new Path(staging, staged), target))
         throw new java.io.IOException(
           s"graft-avro commit: rename $staged -> $fin under $dir failed")
     }
@@ -467,7 +476,13 @@ final case class AvroWriterFactory(stagingDir: String, queryId: String,
         DataType.fromJson(sparkSchemaJson).asInstanceOf[StructType]
       private val avro = new AvroSchema.Parser().parse(avroSchemaJson)
       private val staged = f"part-$partitionId%05d-$taskId.avro"
-      private val fin = f"part-$partitionId%05d-${queryId.take(8)}.avro"
+      // FULL queryId (never a truncated prefix): the commit's
+      // rename-then-delete ordering is only crash-safe if a new
+      // generation's names can never equal a previous generation's —
+      // an 8-char prefix collision would let the local-FS rename
+      // silently replace an old file and the subsequent
+      // previous-generation delete remove the just-committed one
+      private val fin = f"part-$partitionId%05d-$queryId.avro"
       private val out = new Path(stagingDir, staged)
       private val w = {
         val fs = out.getFileSystem(conf.value)

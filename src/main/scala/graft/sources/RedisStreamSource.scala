@@ -1109,6 +1109,13 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
         var carry = 0
         val advanced = scala.collection.mutable.LinkedHashMap[String, String]()
         val rangeEnds = scala.collection.mutable.HashMap[String, String]()
+        // streams the FIRST pass already proved drained (a page shorter
+        // than its quota means no more entries up to rangeEnd at probe
+        // time — true for "+" and pinned ends alike): the second pass
+        // must skip them, or in non-drain capped mode (rangeEnd "+",
+        // where no tip comparison can detect exhaustion) it would issue
+        // a wasted XRANGE per already-drained stream per trigger
+        val drained = scala.collection.mutable.HashSet[String]()
         order.foreach { s =>
           val from = restored.getOrElse(s, ZeroId)
           // drain mode: never pass the pinned tip; a stream with no pin
@@ -1124,11 +1131,14 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
               val quota = shares(s) + carry
               if (quota <= 0 ||
                   tip.exists(t => RedisCommands.compareStreamIds(t, from) <= 0)) {
+                if (tip.exists(t => RedisCommands.compareStreamIds(t, from) <= 0))
+                  drained += s // at its pinned tip: nothing to read later either
                 carry = quota // nothing read: the whole quota rolls on
                 None
               } else {
                 val page = RedisCommands.xrange(c, s, "(" + from, rangeEnd,
                   Some(quota))
+                if (page.length < quota) drained += s // exhausted up to rangeEnd
                 carry = quota - page.length
                 page.lastOption.map(_.id)
               }
@@ -1146,16 +1156,18 @@ class RedisMultiStreamMicroBatch(opts: RedisSources.Options,
         // have backlog — without this, rotation putting a drained stream
         // last admits less than both the cap and the available backlog
         // (streams earlier in probe order were held to their shares).
-        // One extra XRANGE per still-backlogged stream at most; if carry
-        // survives this pass every stream is at its tip for the trigger.
+        // Streams the first pass proved drained are skipped (see
+        // `drained`), so this really is one extra XRANGE per
+        // still-backlogged stream at most; if carry survives this pass
+        // every stream is at its tip for the trigger.
         if (cap.isDefined && carry > 0) {
           val it = order.iterator
           while (carry > 0 && it.hasNext) {
             val s = it.next()
             val from = advanced(s)
             val rangeEnd = rangeEnds(s)
-            val atTip = rangeEnd != "+" &&
-              RedisCommands.compareStreamIds(rangeEnd, from) <= 0
+            val atTip = drained.contains(s) || (rangeEnd != "+" &&
+              RedisCommands.compareStreamIds(rangeEnd, from) <= 0)
             if (!atTip) {
               val page = RedisCommands.xrange(c, s, "(" + from, rangeEnd,
                 Some(carry))
