@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses `runMain graft.Bench` stdout for the metrics
+// JSON line: pass the forked JVM's output through UNPREFIXED (no
+// "[info] " decoration) and drop sbt's trailing "[success] Total time"
+// line, so the metrics line Bench prints last IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

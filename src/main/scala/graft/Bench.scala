@@ -204,7 +204,15 @@ object Bench {
       .find(_.length <= 1985).getOrElse(mkLine(0, sparse = true))
     if (line.length > 1985)
       System.err.println(s"[bench] WARNING metrics line ${line.length} chars even sparse at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
-    println(line)
+    // The metrics line must be the FINAL stdout line (the driver
+    // tail-parses it): silence logging BEFORE stop so Spark's shutdown
+    // chatter (stderr) cannot interleave after it in a combined
+    // capture, stop the session, THEN print. build.sbt passes forked
+    // output through unprefixed and suppresses sbt's "[success]" line.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }
