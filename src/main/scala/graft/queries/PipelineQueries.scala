@@ -3182,8 +3182,14 @@ object PipelineQueries {
       val odd = docs.filter(col("doc_id") % 2 =!= 0)
       DedupOps.writeClusterLedger(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", path)
-      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path)
-      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path) // replay
+      // marked advance + replay (d90's regime): the retry takes the
+      // exactly-once fast-path and must invent nothing — the UNMARKED
+      // append-tolerant replay stays covered by OperatorsSpec and
+      // LedgerManifestSpec, which re-advance without a batchId
+      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path,
+        batchId = Some("odd-1"))
+      DedupOps.advanceClusterLedger(odd, "doc_id", "text", path,
+        batchId = Some("odd-1")) // replay: no-op via the marker
       DedupOps.compactClusterLedger(s, path)
       val labels = DedupOps.readClusterAssignments(s, path)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
