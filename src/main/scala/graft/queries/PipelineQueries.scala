@@ -257,6 +257,87 @@ object PipelineQueries {
        |FROM train JOIN bench USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d86's oracle: BPE learn-then-apply entirely in DuckDB SQL. The
+    * LEARN half replays [[graft.operators.CurationOps.learnBpeMerges]]
+    * over the word-count-collapsed vocab for 8 rounds (d85's
+    * chained-CTE regime with the chr(1)/chr(2)-delimited `replace`
+    * re-segmentation, rounds generated programmatically like d72's
+    * pagerank). The APPLY half is Sennrich's priority loop as a
+    * recursive CTE per (doc, token): state = the delimiter-wrapped
+    * symbol string; each step finds the LOWEST-rank merge whose pair
+    * is present (a CASE over the 8 one-row merge CTEs) and replaces
+    * every occurrence left-to-right (`replace` scanning semantics ==
+    * the kernel's merge-all-occurrences walk); no pair present → stop.
+    * Delimiters make pair matches whole-symbol-exact, and an `aaa` ×
+    * `(a,a)` overlap consumes left-to-right identically in both
+    * engines.
+    */
+  private lazy val bpeEncodeOracle: String = {
+    val nm = 8
+    val ext = "chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2)"
+    def pat(i: Int) =
+      s"chr(1) || m$i.a || chr(2) || chr(1) || m$i.b || chr(2)"
+    def rep(i: Int) = s"chr(1) || m$i.a || m$i.b || chr(2)"
+    val learn = new StringBuilder(
+      s"""l1 AS (SELECT cnt, regexp_extract_all(w, '[\\s\\S]') AS l FROM wc),
+         |s1 AS (SELECT cnt, array_to_string(list_transform(l, x -> chr(1) || x || chr(2)), '') AS str FROM l1)""".stripMargin)
+    (1 to nm).foreach { i =>
+      learn.append(s""",
+        |p$i AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
+        |  FROM l$i, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin)
+      if (i < nm) learn.append(s""",
+        |s${i + 1} AS (SELECT cnt, replace(str, ${pat(i)}, ${rep(i)}) AS str FROM s$i, m$i),
+        |l${i + 1} AS (SELECT cnt, regexp_extract_all(str, $ext, 1) AS l FROM s${i + 1})""".stripMargin)
+    }
+    val pats = (1 to nm).map(i =>
+      s"        WHEN contains(s, ${pat(i)}) THEN $i").mkString("\n")
+    val reps = (1 to nm).map(i =>
+      s"        WHEN $i THEN replace(s, ${pat(i)}, ${rep(i)})").mkString("\n")
+    val mjoin = (1 to nm).map(i => s"m$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |tok0 AS (SELECT unnest($sqlTokens) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM tok0 WHERE w <> '' GROUP BY w),
+       |$learn,
+       |w AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |         unnest(generate_series(1, len(toks))) AS pos
+       |  FROM (SELECT doc_id,
+       |               list_filter($sqlTokens, t -> t <> '') AS toks
+       |        FROM documents)),
+       |seg AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(list_transform(regexp_extract_all(word, '[\\s\\S]'),
+       |      x -> chr(1) || x || chr(2)), '') AS s,
+       |    false AS stop
+       |  FROM w
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    CASE bl
+       |$reps
+       |      ELSE s END AS s,
+       |    (bl IS NULL) AS stop
+       |  FROM (
+       |    SELECT seg.*,
+       |      CASE
+       |$pats
+       |      END AS bl
+       |    FROM seg, $mjoin WHERE NOT stop), $mjoin),
+       |tokp AS (
+       |  SELECT doc_id, pos, regexp_extract_all(s, $ext, 1) AS pieces
+       |  FROM seg WHERE stop),
+       |docp AS (
+       |  SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS allp,
+       |         count(*) AS n_tok
+       |  FROM tokp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_tok, 0) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(len(p.allp), 0) AS INTEGER) AS n_pieces,
+       |  md5(array_to_string(coalesce(p.allp, CAST([] AS VARCHAR[])), ' ')) AS pieces_fp
+       |FROM documents d LEFT JOIN docp p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** d68's oracle: greedy longest-match-first WordPiece as a DuckDB
     * recursive CTE — one segmentation step per recursion round, the
     * vocabulary inlined as a list literal (derived from the SAME
@@ -5662,10 +5743,12 @@ object PipelineQueries {
     // divergence case). This query is self-contained train-then-apply:
     // 8 merges learned from the corpus (bounded 8-row collect), then
     // the codegen kernel encodes every document with the merge table
-    // as a reference object. Encoding is engine-specific → rows-only;
-    // the AccuracySpec d86 gate pins lossless per-token reconstruction
-    // and piece-closure membership corpus-wide.
-    q("d86_bpe_encode", null) { (s, dir) =>
+    // as a reference object. The oracle replays BOTH halves in DuckDB
+    // ([[bpeEncodeOracle]]: d85's chained-CTE learn × 8 rounds + the
+    // priority-loop apply as a recursive CTE) → full hash-match; the
+    // AccuracySpec d86 gate additionally pins lossless per-token
+    // reconstruction and piece-closure membership corpus-wide.
+    q("d86_bpe_encode", bpeEncodeOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val merges = graft.operators.CurationOps.learnBpeMerges(docs, "text", 8)
         .orderBy("rk").collect()
