@@ -392,18 +392,29 @@ object DedupOps {
 
   /** Admit a batch's signatures (append-only, like [[appendToLedger]]).
     * Pass rows already vetted for admission — the ledger should hold
-    * what the corpus kept.
+    * what the corpus kept. An optional exactly-once `batchId` makes a
+    * replayed delivery a full no-op (marker fast-path, the cluster
+    * ledger's regime) — without one, replays stay tolerated the LSM
+    * way (probes collapse duplicates; compaction removes them) but
+    * re-pay the batch's hash work and re-append its rows.
     */
   def appendToSignatureLedger(batch: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit = {
-    requireSigMeta(batch.sparkSession, path, numHashes, shingleSize, "append")
+      path: String, numHashes: Int = 8, shingleSize: Int = 5,
+      batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    requireSigMeta(spark, path, numHashes, shingleSize, "append")
     minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
-      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
+      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     // adopt: first append to a pre-sidecar ledger stamps the caller's
     // values (trusted once), so every LATER append/probe is validated
-    if (readSigMeta(batch.sparkSession, path).isEmpty)
-      writeSigMeta(batch.sparkSession, path, numHashes, shingleSize)
+    if (readSigMeta(spark, path).isEmpty)
+      writeSigMeta(spark, path, numHashes, shingleSize)
+    // marker lands AFTER the append: a crash in between leaves the
+    // safe unmarked state (replay re-appends, tolerated as ever)
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** [[crossDedupPairs]] with the corpus side read from the at-rest
@@ -1195,16 +1206,21 @@ object DedupOps {
 
   /** O(batch) append — crash-and-retry replays tolerated (see family
     * note); a pre-sidecar ledger adopts the caller's tag (trusted once).
+    * Optional exactly-once `batchId`: see [[appendToSignatureLedger]].
     */
   def appendToSimHashLedger(batch: DataFrame, idCol: String, textCol: String,
-      path: String, tokenizerId: String = "ws-md5-60"): Unit = {
+      path: String, tokenizerId: String = "ws-md5-60",
+      batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
     requireSimHashMeta(spark, path, tokenizerId, "append")
     simHash60Df(batch, idCol, textCol)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     if (readSimHashMeta(spark, path).isEmpty)
       LedgerGuard.writeSidecarMetaStr(spark, path, SimHashMetaFile,
         Seq("tokenizerId" -> tokenizerId))
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** Near-dup pairs of a NEW batch against the at-rest corpus
@@ -1872,12 +1888,16 @@ object DedupOps {
     * corpus kept.
     */
   def appendToSpanHashLedger(batch: DataFrame, idCol: String, textCol: String,
-      k: Int, path: String): Unit = {
-    requireSpanMeta(batch.sparkSession, path, k, "append")
+      k: Int, path: String, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    requireSpanMeta(spark, path, k, "append")
     windowGrams(batch, idCol, textCol, k).select(col("h")).distinct()
-      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
-    if (readSpanMeta(batch.sparkSession, path).isEmpty)
-      writeSpanMeta(batch.sparkSession, path, k)
+      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+    if (readSpanMeta(spark, path).isEmpty)
+      writeSpanMeta(spark, path, k)
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** Scrub a new batch against the corpus-so-far: every window whose

@@ -871,14 +871,20 @@ object MultimodalOps {
   }
 
   /** O(batch) append — crash-and-retry replays tolerated (probes dedup
-    * the stored rows; compaction removes duplicates at rest).
+    * the stored rows; compaction removes duplicates at rest). Optional
+    * exactly-once `batchId`: a marked replay skips the re-fingerprint
+    * (FFT per payload — the family's dominant batch cost) and the
+    * duplicate append outright; see [[appendToFrameLedger]].
     */
   def appendToAudioFpLedger(batch: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
     requireAudioFpMeta(spark, path, "append", mustExist = false, Some(idCol))
     audioFingerprintPartitioned(batch.select(col(idCol), col(binCol)), binCol)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** Near-dup pairs of a NEW audio batch against the at-rest corpus
@@ -1360,12 +1366,22 @@ object MultimodalOps {
     * framing (trusted once); every later append/probe is validated.
     */
   def appendToFrameLedger(batch: DataFrame, idCol: String, binCol: String,
-      frameBytes: Int, everyK: Int, path: String): Unit = {
-    requireFrameMeta(batch.sparkSession, path, frameBytes, everyK, "append")
+      frameBytes: Int, everyK: Int, path: String,
+      batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    // exactly-once fast-path (the cluster ledger's regime): a marked
+    // replay skips the re-hash and the duplicate append outright;
+    // unmarked replays stay LSM-tolerated (probes dedup, compaction
+    // removes). Marker lands AFTER the append — a crash in between
+    // leaves the safe unmarked state.
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    requireFrameMeta(spark, path, frameBytes, everyK, "append")
     frameLedgerRows(batch, idCol, binCol, frameBytes, everyK)
-      .write.mode("append").parquet(LedgerGuard.appendPath(batch.sparkSession, path))
-    if (readFrameMeta(batch.sparkSession, path).isEmpty)
-      writeFrameMeta(batch.sparkSession, path, frameBytes, everyK)
+      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+    if (readFrameMeta(spark, path).isEmpty)
+      writeFrameMeta(spark, path, frameBytes, everyK)
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** Frame-dedup a NEW batch against the at-rest corpus signatures:

@@ -593,8 +593,16 @@ object SimilarityOps {
     * same remedy the signature ledger applies.
     */
   def appendToBucketedIndex(batch: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, dim: Int, path: String): Unit = {
+      numPlanes: Int, dim: Int, path: String,
+      batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // exactly-once fast-path: a marked replayed delivery skips the
+    // re-bucket and the duplicate append (which would otherwise
+    // surface as duplicate candidates until compaction); marker lands
+    // AFTER the append so a crash in between degrades to the old
+    // replay-tolerated state, never to a lying marker
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
     requireAnnMeta(spark, path, numPlanes, dim, "append")
     val planes = hyperplanes(numPlanes, dim)
     batch.select(col(idCol), col(vecCol),
@@ -607,6 +615,7 @@ object SimilarityOps {
       LedgerGuard.writeSidecarMetaStr(spark, path, AnnMetaFile,
         Seq("numPlanes" -> numPlanes.toString, "dim" -> dim.toString,
           "idCol" -> idCol))
+    batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
   /** Reserved partition holding delete TOMBSTONES: real vectors bucket

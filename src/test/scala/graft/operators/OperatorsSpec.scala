@@ -2241,6 +2241,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSM append markers: a marked replay is a full no-op, a new batchId appends, unmarked stays tolerated") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mark").toString + "/led"
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j"), (3L, "k l m n o"))
+      .toDF("doc_id", "text")
+    DedupOps.writeSignatureLedger(docs.filter(col("doc_id") === 1), "doc_id", "text", path)
+    def nRows = spark.read.parquet(path).count()
+    val base = nRows
+    DedupOps.appendToSignatureLedger(docs.filter(col("doc_id") === 2),
+      "doc_id", "text", path, batchId = Some("b2"))
+    val afterB2 = nRows
+    assert(afterB2 > base)
+    // marked replay: no re-hash, no duplicate rows
+    DedupOps.appendToSignatureLedger(docs.filter(col("doc_id") === 2),
+      "doc_id", "text", path, batchId = Some("b2"))
+    assert(nRows == afterB2, "marked replay must append nothing")
+    // a NEW batchId appends (monotonic-retry semantics: only the LAST
+    // id is remembered)
+    DedupOps.appendToSignatureLedger(docs.filter(col("doc_id") === 3),
+      "doc_id", "text", path, batchId = Some("b3"))
+    val afterB3 = nRows
+    assert(afterB3 > afterB2)
+    // unmarked append after a marked one still lands (tolerated path)
+    DedupOps.appendToSignatureLedger(docs.filter(col("doc_id") === 3),
+      "doc_id", "text", path)
+    assert(nRows > afterB3, "unmarked append must not be swallowed by the marker")
+  }
+
   test("frame ledger: cycle == in-flight cross pairs; framing drift fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft-frames").toString + "/led"
     val mk = (id: Long, t: String) => (id, t)
