@@ -209,8 +209,11 @@ object Bench {
     // chatter (stderr) cannot interleave after it in a combined
     // capture, stop the session, THEN print. build.sbt passes forked
     // output through unprefixed and suppresses sbt's "[success]" line.
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // stop() must never cost the run its only output: a listener/
+    // shutdown race throwing here would otherwise propagate before the
+    // println and lose every measurement of a multi-minute sweep
+    try { spark.sparkContext.setLogLevel("OFF"); spark.stop() }
+    catch { case scala.util.control.NonFatal(_) => () }
     System.out.flush()
     println(line)
     System.out.flush()

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -17,19 +18,23 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * A native codegen expression, not a Scala UDF: the probe stays
   * INSIDE whole-stage codegen (no per-row encoder boundary, no
-  * interpreted projection seam), and the filter rides as a codegen
-  * reference object — shipped once per stage inside the broadcast task
-  * binary, exactly the distribution cost of the explicit
-  * `sparkContext.broadcast` the UDF form paid, without the UDF.
+  * interpreted projection seam). The filter travels as a BROADCAST —
+  * the expression holds only the small `Broadcast` handle, so a
+  * multi-GB filter ships via chunked TorrentBroadcast once per
+  * executor (the too-wide-to-broadcast-exactly regime these probes
+  * exist for), never inside the per-stage task binary whose single
+  * serialization buffer caps at ~2 GB. Codegen resolves
+  * `broadcast.value()` ONCE per generated instance into a field; the
+  * per-row call is a plain virtual `mightContainLong`.
   *
   * NULL digest → NULL verdict (UnaryExpression's null-safe contract):
   * the filter can prove nothing about a row it never hashed. Callers
   * that must keep the conservative route-to-exact-path semantics
   * coalesce the verdict to TRUE (probeBloomLedger documents why).
   */
-final case class BloomMightContain(child: Expression, filter: BloomFilter)
-    extends UnaryExpression {
-  require(filter != null, "bloom filter must be non-null")
+final case class BloomMightContain(child: Expression,
+    bc: Broadcast[BloomFilter]) extends UnaryExpression {
+  require(bc != null, "bloom filter broadcast must be non-null")
 
   override def dataType: DataType = BooleanType
 
@@ -39,12 +44,15 @@ final case class BloomMightContain(child: Expression, filter: BloomFilter)
   }
 
   override def nullSafeEval(input: Any): Any =
-    filter.mightContainLong(input.asInstanceOf[Long])
+    bc.value.mightContainLong(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", filter,
-      "org.apache.spark.util.sketch.BloomFilter")
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val filter = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$filter.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -56,7 +64,12 @@ object BloomExpressions {
 
   /** `might_contain(digest)` over a driver-built filter; `digest` must
     * be LONG (cast upstream — the digest family's 32-bit md5 fits).
+    * Broadcasts the filter (once per call site — build the Column once
+    * and reuse it).
     */
-  def mightContain(digest: Column, filter: BloomFilter): Column =
-    GraftSqlShims.column(BloomMightContain(GraftSqlShims.expression(digest), filter))
+  def mightContain(digest: Column, filter: BloomFilter): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(filter)
+    GraftSqlShims.column(BloomMightContain(GraftSqlShims.expression(digest), bc))
+  }
 }

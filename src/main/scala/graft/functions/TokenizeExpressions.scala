@@ -8,6 +8,23 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Space-ONLY edge trim — the repo's token-stream contract
+  * (`TextOps.tokens` = Spark `trim`, which strips ' ' alone; the
+  * DuckDB oracles' `trim(text)` likewise). Java's `String.trim` strips
+  * every char <= U+0020, which would silently diverge from both on
+  * text with edge tabs/newlines — newly load-bearing now that the
+  * d68/d86 tokenizer applies are hash-matched against SQL oracles.
+  */
+private[functions] object SpaceTrim {
+  def apply(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+}
+
 /** WordPiece tokenizer APPLY (the encode side of subword tokenization —
   * d61 counts the training statistics, this runs a finished vocabulary
   * over the corpus): greedy longest-match-first segmentation with `##`
@@ -49,7 +66,7 @@ object WordPieceUtil {
       maxPiece: Int, unk: String, basic: Boolean, lowercase: Boolean,
       maxWordChars: Int): ArrayData = {
     val raw = text.toString
-    val s = (if (basic) basicTokenize(raw, lowercase) else raw).trim
+    val s = SpaceTrim(if (basic) basicTokenize(raw, lowercase) else raw)
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
     val n = s.length
@@ -251,7 +268,7 @@ object BpeUtil {
 
   def encode(text: UTF8String,
       ranks: java.util.HashMap[String, Integer]): ArrayData = {
-    val s = text.toString.trim
+    val s = SpaceTrim(text.toString)
     val out = new java.util.ArrayList[ArrayData]()
     var start = 0
     val n = s.length
@@ -368,7 +385,7 @@ object UnigramUtil {
   }
 
   def encode(text: UTF8String, vocab: Vocab): ArrayData = {
-    val s = text.toString.trim
+    val s = SpaceTrim(text.toString)
     val out = new java.util.ArrayList[ArrayData]()
     var start = 0
     val n = s.length

@@ -737,28 +737,15 @@ object CurationOps {
           "the sidecar)")
     }
     // compaction-time model sidecar when present (see
-    // [[compactBigramLedger]]): per-token sums and the vocab total are
-    // READ, not recomputed — and model-present certifies the rows are
-    // the duplicate-free compacted snapshot, so the defensive re-sum
-    // (the tfidfAgainstLedgers contract, still the fallback path) is
-    // skipped too. Same arithmetic on integral counts → same hashes.
-    val led = LedgerGuard.readLedger(spark, path)
-    val model = readBigramModelDir(spark, path)
-    val c2 = model match {
-      case Some(_) => led.filter(col("w2").isNotNull)
-        .select(col("w1"), col("w2"), col("n").as("n2"))
-      case None => led.filter(col("w2").isNotNull)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
-    }
-    val c1 = model match {
-      case Some(m) => spark.read.parquet(s"$m/tok")
-        .filter(col("n1").isNotNull) // never-opening tokens: a c1 MISS
-        .select(col("tok").as("w1"), col("n1"))
-      case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    }
-    val v = model match {
+    // [[compactBigramLedger]] / [[bindBigram]]): per-token sums and
+    // the vocab total are READ, not recomputed. Same arithmetic on
+    // integral counts → same hashes.
+    val b = bindBigram(spark, path)
+    val c2 = b.c2
+    val c1 = bigramC1(b)
+    val v = b.modelDir match {
       case Some(m) => spark.read.parquet(s"$m/tot").select(col("vocab"))
-      case None => led.agg(countDistinct(col("w1")).as("vocab"))
+      case None => b.led.agg(countDistinct(col("w1")).as("vocab"))
     }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
@@ -808,30 +795,19 @@ object CurationOps {
           "the sidecar)")
     requireBigramMeta(spark, path, tokenizerId, "probe")
     // model sidecar when present: every recompute aggregation becomes
-    // a read (see bigramScoreFromLedger's note; identical arithmetic)
-    val led = LedgerGuard.readLedger(spark, path)
-    val model = readBigramModelDir(spark, path)
-    val modelTok = model.map(m => spark.read.parquet(s"$m/tok"))
-    val c2 = model match {
-      case Some(_) => led.filter(col("w2").isNotNull)
-        .select(col("w1"), col("w2"), col("n").as("n2"))
-      case None => led.filter(col("w2").isNotNull)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
-    }
-    val c1 = modelTok match {
-      case Some(t) => t.filter(col("n1").isNotNull)
-        .select(col("tok").as("w1"), col("n1"))
-      case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    }
-    val uni = modelTok match {
+    // a read (see [[bindBigram]]; identical arithmetic)
+    val b = bindBigram(spark, path)
+    val c2 = b.c2
+    val c1 = bigramC1(b)
+    val uni = b.tok match {
       case Some(t) => t.select(col("tok").as("w1"), col("nu"))
-      case None => led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
+      case None => b.led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
     }
-    val nv = model match {
+    val nv = b.modelDir match {
       case Some(m) => spark.read.parquet(s"$m/tot")
         .select(col("bigN").cast("double").as("bigN"),
           col("vocab").cast("double").as("vocab"))
-      case None => led.agg(sum(col("n")).cast("double").as("bigN"),
+      case None => b.led.agg(sum(col("n")).cast("double").as("bigN"),
         countDistinct(col("w1")).cast("double").as("vocab"))
     }
     val id = col(idCol)
@@ -884,35 +860,28 @@ object CurationOps {
           "the sidecar)")
     requireBigramMeta(spark, path, tokenizerId, "probe")
     // model sidecar when present: every recompute aggregation becomes
-    // a read (see bigramScoreFromLedger's note; identical arithmetic)
-    val led = LedgerGuard.readLedger(spark, path)
-    val model = readBigramModelDir(spark, path)
-    val modelTok = model.map(m => spark.read.parquet(s"$m/tok"))
-    val c2 = model match {
-      case Some(_) => led.filter(col("w2").isNotNull)
-        .select(col("w1"), col("w2"), col("n").as("n2"))
-      case None => led.filter(col("w2").isNotNull)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
-    }
+    // a read (see [[bindBigram]]; identical arithmetic)
+    val b = bindBigram(spark, path)
+    val c2 = b.c2
     // ONE aggregation of c2 feeds both per-w1 tables (row sum + distinct
     // continuation count share the exchange) on the recompute path
-    val byW1 = modelTok match {
+    val byW1 = b.tok match {
       case Some(t) => t.filter(col("n1").isNotNull)
         .select(col("tok").as("w1"), col("n1"), col("n1fw"))
       case None => c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"),
         count(lit(1)).cast("double").as("n1fw"))
     }
-    val byW2 = modelTok match {
+    val byW2 = b.tok match {
       case Some(t) => t.filter(col("n1bw").isNotNull)
         .select(col("tok").as("w2"), col("n1bw"))
       case None => c2.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1bw"))
     }
-    val tot = model match {
+    val tot = b.modelDir match {
       case Some(m) => spark.read.parquet(s"$m/tot")
         .select(col("n1tot").cast("double").as("n1tot"),
           col("vocab").cast("double").as("vocab"))
       case None => c2.agg(count(lit(1)).cast("double").as("n1tot"))
-        .crossJoin(led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
+        .crossJoin(b.led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
     }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
@@ -1076,6 +1045,41 @@ object CurationOps {
           fs.exists(new org.apache.hadoop.fs.Path(model, "tot/_SUCCESS"))
       if (complete) Some(model.toString) else None
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** The three scorers' ONE model-vs-recompute binding (the sidecar ≡
+    * recomputed invariant lives here and in [[writeBigramModel]], not
+    * in three per-scorer copies): ledger rows, the bound model `tok`
+    * table when the compaction-time sidecar is present, and `c2` —
+    * read straight off the rows when the model certifies the
+    * duplicate-free compacted snapshot, defensively re-summed
+    * otherwise (the tfidfAgainstLedgers contract).
+    */
+  private final case class BigramBinding(led: DataFrame,
+      modelDir: Option[String], tok: Option[DataFrame], c2: DataFrame)
+
+  private def bindBigram(spark: org.apache.spark.sql.SparkSession,
+      path: String): BigramBinding = {
+    val led = LedgerGuard.readLedger(spark, path)
+    val model = readBigramModelDir(spark, path)
+    val tok = model.map(m => spark.read.parquet(s"$m/tok"))
+    val c2 = model match {
+      case Some(_) => led.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("n").as("n2"))
+      case None => led.filter(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n2"))
+    }
+    BigramBinding(led, model, tok, c2)
+  }
+
+  /** c1(w1) = Σ non-tail n — tokens that never open a bigram MISS the
+    * join (NULL n1 rows filtered on the model path ≡ the recompute
+    * path's absent rows).
+    */
+  private def bigramC1(b: BigramBinding): DataFrame = b.tok match {
+    case Some(t) => t.filter(col("n1").isNotNull)
+      .select(col("tok").as("w1"), col("n1"))
+    case None => b.c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -402,9 +402,12 @@ object DedupOps {
       path: String, numHashes: Int = 8, shingleSize: Int = 5,
       batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // drift guard FIRST: a replayed delivery with drifted parameters
+    // must still fail loudly (the family contract), not be silently
+    // absorbed by the marker fast-path
+    requireSigMeta(spark, path, numHashes, shingleSize, "append")
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireSigMeta(spark, path, numHashes, shingleSize, "append")
     minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
@@ -1212,9 +1215,10 @@ object DedupOps {
       path: String, tokenizerId: String = "ws-md5-60",
       batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // drift guard first (see appendToSignatureLedger)
+    requireSimHashMeta(spark, path, tokenizerId, "append")
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireSimHashMeta(spark, path, tokenizerId, "append")
     simHash60Df(batch, idCol, textCol)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     if (readSimHashMeta(spark, path).isEmpty)
@@ -1890,9 +1894,10 @@ object DedupOps {
   def appendToSpanHashLedger(batch: DataFrame, idCol: String, textCol: String,
       k: Int, path: String, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // drift guard first (see appendToSignatureLedger)
+    requireSpanMeta(spark, path, k, "append")
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireSpanMeta(spark, path, k, "append")
     windowGrams(batch, idCol, textCol, k).select(col("h")).distinct()
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     if (readSpanMeta(spark, path).isEmpty)

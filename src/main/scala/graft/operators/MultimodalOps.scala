@@ -879,9 +879,9 @@ object MultimodalOps {
   def appendToAudioFpLedger(batch: DataFrame, idCol: String, binCol: String,
       path: String, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    requireAudioFpMeta(spark, path, "append", mustExist = false, Some(idCol)) // drift guard first
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireAudioFpMeta(spark, path, "append", mustExist = false, Some(idCol))
     audioFingerprintPartitioned(batch.select(col(idCol), col(binCol)), binCol)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
@@ -1374,9 +1374,9 @@ object MultimodalOps {
     // unmarked replays stay LSM-tolerated (probes dedup, compaction
     // removes). Marker lands AFTER the append — a crash in between
     // leaves the safe unmarked state.
+    requireFrameMeta(spark, path, frameBytes, everyK, "append") // drift guard first
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireFrameMeta(spark, path, frameBytes, everyK, "append")
     frameLedgerRows(batch, idCol, binCol, frameBytes, everyK)
       .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
     if (readFrameMeta(spark, path).isEmpty)

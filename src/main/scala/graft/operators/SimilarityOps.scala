@@ -601,9 +601,9 @@ object SimilarityOps {
     // surface as duplicate candidates until compaction); marker lands
     // AFTER the append so a crash in between degrades to the old
     // replay-tolerated state, never to a lying marker
+    requireAnnMeta(spark, path, numPlanes, dim, "append") // drift guard first
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
-    requireAnnMeta(spark, path, numPlanes, dim, "append")
     val planes = hyperplanes(numPlanes, dim)
     batch.select(col(idCol), col(vecCol),
         hyperplaneBucket(col(vecCol), planes).as("bucket"))

@@ -275,17 +275,30 @@ object PipelineQueries {
   private lazy val bpeEncodeOracle: String = {
     val nm = 8
     val ext = "chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2)"
+    // pattern/replacement coalesce to a chr(3) sentinel when round i
+    // admitted NO merge (pair exhaustion before round nm — the Spark
+    // learner just returns fewer merges): m$i is then the one all-NULL
+    // row an aggregate over empty input yields, contains(s, chr(3)) is
+    // false, and replace(str, chr(3), chr(3)) is the identity — the
+    // oracle degrades exactly like the kernel's shorter merge list
+    // instead of collapsing every downstream cross join to zero rows
     def pat(i: Int) =
-      s"chr(1) || m$i.a || chr(2) || chr(1) || m$i.b || chr(2)"
-    def rep(i: Int) = s"chr(1) || m$i.a || m$i.b || chr(2)"
+      s"coalesce(chr(1) || m$i.a || chr(2) || chr(1) || m$i.b || chr(2), chr(3))"
+    def rep(i: Int) = s"coalesce(chr(1) || m$i.a || m$i.b || chr(2), chr(3))"
     val learn = new StringBuilder(
       s"""l1 AS (SELECT cnt, regexp_extract_all(w, '[\\s\\S]') AS l FROM wc),
          |s1 AS (SELECT cnt, array_to_string(list_transform(l, x -> chr(1) || x || chr(2)), '') AS str FROM l1)""".stripMargin)
     (1 to nm).foreach { i =>
+      // the argmax lands via an aggregate (not LIMIT 1) so an EMPTY
+      // pair table still yields exactly one (NULL, NULL) row — the
+      // sentinel arm above needs the row to exist to cross-join on
       learn.append(s""",
         |p$i AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS freq
         |  FROM l$i, unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2),
-        |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin)
+        |m$i AS MATERIALIZED (
+        |  SELECT max(CASE WHEN rn = 1 THEN a END) AS a,
+        |         max(CASE WHEN rn = 1 THEN b END) AS b
+        |  FROM (SELECT a, b, row_number() OVER (ORDER BY freq DESC, a, b) AS rn FROM p$i))""".stripMargin)
       if (i < nm) learn.append(s""",
         |s${i + 1} AS (SELECT cnt, replace(str, ${pat(i)}, ${rep(i)}) AS str FROM s$i, m$i),
         |l${i + 1} AS (SELECT cnt, regexp_extract_all(str, $ext, 1) AS l FROM s${i + 1})""".stripMargin)

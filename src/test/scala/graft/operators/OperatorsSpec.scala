@@ -1851,7 +1851,11 @@ class OperatorsSpec extends AnyFunSuite {
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s0)
       val s = u.toString
       val enc = UnigramUtil.encode(u, vocab)
-      val toks = s.trim.split(" ").filter(_.nonEmpty).toSeq
+      // space-ONLY tokenization (split on ' ', empties dropped) — the
+      // repo-wide contract (TextOps.tokens = Spark trim + split, the
+      // oracles' trim(text)); the kernels' SpaceTrim matches it, where
+      // Java's String.trim would also strip U+0000..U+0020 edge chars
+      val toks = s.split(' ').filter(_.nonEmpty).toSeq
       val rebuilt = (0 until enc.numElements()).map { i =>
         val w = enc.getArray(i)
         (0 until w.numElements()).map(j => w.getUTF8String(j).toString).mkString
