@@ -304,6 +304,61 @@ object CurationOps {
           .as("keep_ppm"))
   }
 
+  /** One FEEDBACK-derived mixture-reweighting step (the DoReMi lineage
+    * — Xie et al. 2023's group-DRO update collapsed to a single
+    * exponentiated-gradient step over a measurable proxy loss): score
+    * every document under the corpus's own bigram LM
+    * ([[bigramLmScore]] — the reference-model role), take each
+    * source's mean NLL, and upweight sources by how much WORSE than
+    * the corpus mean they score: `w_s ∝ share_s · exp(η · excess_s)`,
+    * normalized. Harder-than-average sources (higher excess) gain
+    * mixture mass — the "train more where the reference model is
+    * perplexed" signal — while the share prior keeps a tiny source
+    * from exploding. This is the missing third face of mixture
+    * planning next to [[mixturePlan]]'s budget water-filling (static
+    * weights → allocations) and [[temperatureMix]]'s α-smoothing
+    * (counts → smoothed weights): feedback → weights.
+    *
+    * Scale shape: the scorer's two corpus passes dominate (count pass
+    * + scoring pass, see bigramLmScore); everything after is one
+    * mixture-sized aggregate — K rows for K sources. Cross-engine
+    * determinism: per-doc NLLs are 4dp-rounded BEFORE the per-source
+    * mean (the d34-pinned parity boundary), all later rounding at
+    * `decimals`; docs the scorer excludes (no bigram) carry no signal
+    * and are excluded from `n_docs` too, documented here.
+    *
+    * Output: `(srcCol, n_docs, avg_nll, excess, weight)` — weights sum
+    * to 1 before rounding.
+    */
+  def mixtureReweight(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, eta: Double = 1.0, decimals: Int = 4): DataFrame = {
+    require(eta >= 0, s"eta must be >= 0, got $eta")
+    val perDoc = bigramLmScore(docs, idCol, textCol)
+      .select(col(idCol), graft.queries.Qf.dround(col("avg_nll_raw"), 4).as("__nll"))
+    val bySrc = docs.select(col(idCol), col(srcCol))
+      .join(perDoc, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__nll")).as("__nll_s"))
+    // mixture-sized from here (K rows): the corpus mean is the
+    // doc-weighted mean of the per-source means — numerically the
+    // all-docs mean, expressed over the K-row frame so no second
+    // corpus-wide aggregate runs
+    val tot = bySrc.agg(
+      (sum(col("__nll_s") * col("n_docs")) / sum(col("n_docs"))).as("__mean"),
+      sum(col("n_docs")).cast("double").as("__ndocs"))
+    val weighted = bySrc.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"), col("__nll_s"),
+        (col("__nll_s") - col("__mean")).as("__excess"),
+        (col("n_docs") / col("__ndocs") *
+          exp(lit(eta) * (col("__nll_s") - col("__mean")))).as("__wraw"))
+    val z = weighted.agg(sum(col("__wraw")).as("__z"))
+    weighted.crossJoin(broadcast(z))
+      .select(col(srcCol), col("n_docs").cast("int").as("n_docs"),
+        graft.queries.Qf.dround(col("__nll_s"), decimals).as("avg_nll"),
+        graft.queries.Qf.dround(col("__excess"), decimals).as("excess"),
+        graft.queries.Qf.dround(col("__wraw") / col("__z"), decimals).as("weight"))
+  }
+
   /** [[corpusMix]] with α-temperature smoothing: downsample each
     * source so expected kept tokens track the SMOOTHED mixture under
     * the budget. The corpus streams past the broadcast rate table;

@@ -4112,6 +4112,48 @@ object PipelineQueries {
     // and replays the same closed form in SQL windows; with integral
     // weights/capacities every intermediate is exact, so the plans
     // hash-match bit-for-bit.
+    // ---------------------------------------------------------------- feedback mixture reweighting (DoReMi step)
+    // the third face of mixture planning (d92 water-fills a budget from
+    // static weights, d101 α-smooths counts; this derives the weights
+    // from FEEDBACK): one exponentiated-gradient step of the DoReMi
+    // group-DRO update over a measurable proxy loss — each source's
+    // mean bigram-LM NLL under the corpus's own statistics (d34's
+    // scorer as the reference model). Harder-than-average sources gain
+    // mixture mass, the share prior keeps a tiny source bounded. The
+    // oracle replays the d34 scorer per doc (4dp — the pinned parity
+    // boundary), the per-source means, and the exp-reweight arithmetic
+    // — hash match.
+    q("d124_mixture_reweight",
+      """WITH lst AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        |  FROM lst WHERE len(l) >= 2),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab
+        |      FROM (SELECT unnest(l) AS tok FROM lst)),
+        |scored AS (
+        |  SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+        |  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        |perdoc AS (SELECT doc_id, round(avg(nll), 4) AS nll_r
+        |  FROM scored GROUP BY doc_id),
+        |bysrc AS (SELECT d.source, count(*) AS n_docs, avg(p.nll_r) AS nll_s
+        |  FROM perdoc p JOIN documents d USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT sum(nll_s * n_docs) / sum(n_docs) AS mean,
+        |  CAST(sum(n_docs) AS DOUBLE) AS ndocs FROM bysrc),
+        |w AS (SELECT source, n_docs, nll_s, nll_s - mean AS excess,
+        |  n_docs / ndocs * exp(1.0 * (nll_s - mean)) AS wraw FROM bysrc, tot),
+        |z AS (SELECT sum(wraw) AS z FROM w)
+        |SELECT source, CAST(n_docs AS INTEGER) AS n_docs,
+        |  round(nll_s, 4) AS avg_nll, round(excess, 4) AS excess,
+        |  round(wraw / z, 4) AS weight
+        |FROM w, z ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.CurationOps.mixtureReweight(
+        table(s, dir, "documents"), "doc_id", "source", "text", eta = 1.0)
+        .orderBy("source")
+    },
+
     q("d92_mixture_plan",
       """WITH tc AS (
         |  SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens

@@ -833,6 +833,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists && !new java.io.File(path + ".old").exists)
   }
 
+  test("mixtureReweight: harder sources gain mass, weights normalize, eta=0 returns the share prior") {
+    // two sources: src A's docs repeat one fluent bigram (low NLL),
+    // src B's docs are each unique word salad (every bigram count 1 →
+    // higher NLL than A's repeated pair)
+    val docs = Seq(
+      (1L, "A", "x y x y x y"), (2L, "A", "x y x y"),
+      (3L, "B", "q w e r"), (4L, "B", "t u i o"))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.mixtureReweight(docs, "doc_id", "source", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq("A", "B") && got.map(_._2) == Seq(2, 2))
+    val (a, b) = (got(0), got(1))
+    assert(b._3 > a._3, s"word salad must score worse: $got")
+    // excess is centered on the doc-weighted mean: equal doc counts →
+    // excesses are symmetric
+    assert(math.abs(a._4 + b._4) <= 2e-4, s"excess not centered: $got")
+    assert(b._4 > 0 && a._4 < 0)
+    // the harder source gains mass; weights sum to 1 (4dp)
+    assert(b._5 > 0.5 && a._5 < 0.5 && math.abs(a._5 + b._5 - 1.0) <= 2e-4, got.toString)
+    // eta = 0: feedback off, weights collapse to the share prior
+    val flat = CurationOps.mixtureReweight(docs, "doc_id", "source", "text", eta = 0.0)
+      .collect().map(_.getDouble(4)).toSeq
+    assert(flat == Seq(0.5, 0.5), flat.toString)
+    intercept[IllegalArgumentException](
+      CurationOps.mixtureReweight(docs, "doc_id", "source", "text", eta = -1.0))
+  }
+
   test("bigram model sidecar: compaction persists it, all three scorers bind it ≡ recomputed, any advance drops it") {
     val path = java.nio.file.Files.createTempDirectory("graft-bgm").toString + "/ledger"
     val seed = Seq((1L, "a b a b c"), (2L, "c a"), (3L, "q")).toDF("doc_id", "text")
