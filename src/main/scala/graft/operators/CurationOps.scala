@@ -331,11 +331,22 @@ object CurationOps {
     * to 1 before rounding.
     */
   def mixtureReweight(docs: DataFrame, idCol: String, srcCol: String,
-      textCol: String, eta: Double = 1.0, decimals: Int = 4): DataFrame = {
+      textCol: String, eta: Double = 1.0, decimals: Int = 4): DataFrame =
+    mixtureReweightScored(docs.select(col(idCol), col(srcCol)), idCol, srcCol,
+      bigramLmScore(docs, idCol, textCol), eta, decimals)
+
+  /** [[mixtureReweight]] over an ALREADY-SCORED per-doc table
+    * (`idCol`, `avg_nll_raw`, ...) — the score-once/reuse-many face:
+    * the reference-model pass is the only corpus-scale cost, so a
+    * pipeline that also buckets (d67) or filters on the same scores
+    * should compute them once and feed every consumer.
+    */
+  def mixtureReweightScored(docsSrc: DataFrame, idCol: String, srcCol: String,
+      scored: DataFrame, eta: Double = 1.0, decimals: Int = 4): DataFrame = {
     require(eta >= 0, s"eta must be >= 0, got $eta")
-    val perDoc = bigramLmScore(docs, idCol, textCol)
+    val perDoc = scored
       .select(col(idCol), graft.queries.Qf.dround(col("avg_nll_raw"), 4).as("__nll"))
-    val bySrc = docs.select(col(idCol), col(srcCol))
+    val bySrc = docsSrc.select(col(idCol), col(srcCol))
       .join(perDoc, Seq(idCol))
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"), avg(col("__nll")).as("__nll_s"))

@@ -444,6 +444,23 @@ object PipelineQueries {
       path
     }
 
+  /** The d34 from-scratch bigram-LM scorer's per-doc output
+    * `(doc_id, n_bigrams, avg_nll_raw)` over the full documents table,
+    * computed ONCE per (session, fixture) and persisted: d34 (the
+    * scorer's own conformance row), d67 (perplexity buckets) and d124
+    * (mixture reweighting) all consume the SAME scores — CCNet's
+    * actual staging, where the reference-model pass materializes once
+    * and every downstream selector reads the compact scored table.
+    */
+  private def sharedLmScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    cachedModel(s, s"bigram-lm-scores:$dir") {
+      val df = graft.operators.CurationOps.bigramLmScore(
+        table(s, dir, "documents"), "doc_id", "text").persist()
+      df.count() // materialize while the cache slot is held
+      df
+    }
+
   /** Trained ANN models memoized per fixture dir: an index is BUILT once
     * and PROBED many times, so repeated invocations (the bench's paired
     * passes; a user's query stream) should pay the probe, not a retrain —
@@ -2939,7 +2956,7 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |  round(avg(nll), 4) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.CurationOps.bigramLmScore(table(s, dir, "documents"), "doc_id", "text")
+      sharedLmScores(s, dir)
         .select(col("doc_id"), col("n_bigrams"),
           Qf.dround(col("avg_nll_raw"), 4).as("avg_nll"))
         .orderBy("doc_id")
@@ -3358,7 +3375,7 @@ object PipelineQueries {
       // scorer once per downstream pass (measured 3.6 s vs 1.3 s warm)
       val path = Registry.scratchDir(
         s"/tmp/graft_conformance/d67_ppl_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
-      CurationOps.bigramLmScore(docs, "doc_id", "text")
+      sharedLmScores(s, dir)
         .select(col("doc_id"), Qf.dround(col("avg_nll_raw"), 4).as("nll_r"))
         .join(docs.select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")), Seq("doc_id"))
@@ -4149,8 +4166,9 @@ object PipelineQueries {
         |  round(nll_s, 4) AS avg_nll, round(excess, 4) AS excess,
         |  round(wraw / z, 4) AS weight
         |FROM w, z ORDER BY source""".stripMargin) { (s, dir) =>
-      graft.operators.CurationOps.mixtureReweight(
-        table(s, dir, "documents"), "doc_id", "source", "text", eta = 1.0)
+      graft.operators.CurationOps.mixtureReweightScored(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", sharedLmScores(s, dir), eta = 1.0)
         .orderBy("source")
     },
 
