@@ -174,15 +174,19 @@ object PiiUtil {
   }
 
   /** Next phone match at/after `from` (same packing). Anchored on each
-    * '+': country run (whole 1-3 digit run) + mandatory separator +
-    * exactly 3 digits, then the backtracking tail
-    * `[- .]? \d{3,4} [- .]? \d{0,4} \b` tried in java.util.regex
-    * preference order — each optional separator greedy-present first,
-    * each digit group longest first — so the first combination whose
-    * end lands on a word boundary wins. That includes the engine's
-    * quirk of annexing a trailing separator when a letter follows
-    * (`"+12 345-678 word"` matches through the space: sep taken,
-    * `\d{0,4}` empty, `\b` holds between ' ' and 'w').
+    * '+': country code `\d{1,3}` (greedy, BACKTRACKED 3→1 — a long
+    * unseparated run splits between the code and the body) + OPTIONAL
+    * separator (greedy-present first) + exactly 3 digits, then the
+    * backtracking tail `[- .]? \d{3,4} [- .]? \d{0,4} \b` tried in
+    * java.util.regex preference order — each optional separator
+    * greedy-present first, each digit group longest first — so the
+    * first combination whose end lands on a word boundary wins. That
+    * includes the engine's quirk of annexing a trailing separator when
+    * a letter follows (`"+12 345-678 word"` matches through the space:
+    * sep taken, `\d{0,4}` empty, `\b` holds between ' ' and 'w').
+    * The optional first separator is what admits the very common
+    * unseparated paste format `+14155551234` (r14 — previously the
+    * mandatory separator silently under-redacted those).
     */
   def nextPhone(bs: Array[Byte], from: Int): Long = {
     val n = bs.length
@@ -199,14 +203,31 @@ object PiiUtil {
 
   private def phoneAt(bs: Array[Byte], start: Int): Int = {
     val n = bs.length
-    var p = start + 1
-    val rl1 = digitRun(bs, p)
-    if (rl1 < 1 || rl1 > 3) return -1
-    p += rl1
-    if (p >= n || !in(S, bs(p))) return -1
-    p += 1
-    if (p + 3 > n || !in(G, bs(p)) || !in(G, bs(p + 1)) || !in(G, bs(p + 2))) return -1
-    val t = p + 3
+    val p0 = start + 1
+    val rl = digitRun(bs, p0)
+    if (rl < 1) return -1
+    var cc = math.min(3, rl) // \d{1,3} greedy: longest first
+    while (cc >= 1) {
+      val q = p0 + cc
+      var s1 = if (q < n && in(S, bs(q))) 1 else 0 // [- .]? present first
+      while (s1 >= 0) {
+        val r = q + s1
+        if (r + 3 <= n && in(G, bs(r)) && in(G, bs(r + 1)) && in(G, bs(r + 2))) {
+          val x = phoneTail(bs, r + 3)
+          if (x > 0) return x
+        }
+        s1 -= 1
+      }
+      cc -= 1
+    }
+    -1
+  }
+
+  /** The `[- .]? \d{3,4} [- .]? \d{0,4} \b` tail from `t`, java-regex
+    * preference order; end offset or −1.
+    */
+  private def phoneTail(bs: Array[Byte], t: Int): Int = {
+    val n = bs.length
     var s2 = if (t < n && in(S, bs(t))) 1 else 0
     while (s2 >= 0) {
       val u = t + s2

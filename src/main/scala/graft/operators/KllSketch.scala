@@ -83,18 +83,37 @@ final case class KllSketch(k: Int, n: Long, min: Double, max: Double,
   /** percentile_disc-style estimate: smallest retained value whose
     * cumulative weight reaches ceil(p·n); exact min/max at the ends.
     */
-  def quantile(p: Double): Double = {
-    require(p > 0.0 && p <= 1.0, s"prob must be in (0, 1], got $p")
+  def quantile(p: Double): Double = quantiles(Seq(p)).head
+
+  /** All `probs` in ONE pass: the weighted multiset sorts once and a
+    * single cumulative walk serves every requested rank (probing P
+    * deciles used to re-sort the same data P times). Results align
+    * positionally with `probs`.
+    */
+  def quantiles(probs: Seq[Double]): Seq[Double] = {
+    probs.foreach(p =>
+      require(p > 0.0 && p <= 1.0, s"prob must be in (0, 1], got $p"))
     require(n > 0, "empty sketch has no quantiles")
-    if (p == 1.0) return max
-    val target = math.ceil(p * n).toLong
     val sorted = weighted.sortBy(_._1)
+    // walk targets in ascending rank order, restore caller order after
+    val order = probs.zipWithIndex.sortBy(_._1)
+    val out = new Array[Double](probs.length)
     var cum = 0L
-    sorted.foreach { case (v, w) =>
-      cum += w
-      if (cum >= target) return math.max(min, math.min(max, v))
+    var si = 0
+    order.foreach { case (p, oi) =>
+      if (p == 1.0) out(oi) = max
+      else {
+        val target = math.ceil(p * n).toLong
+        while (cum < target && si < sorted.length) {
+          cum += sorted(si)._2
+          si += 1
+        }
+        out(oi) =
+          if (cum >= target) math.max(min, math.min(max, sorted(si - 1)._1))
+          else max
+      }
     }
-    max
+    out.toSeq
   }
 }
 
@@ -185,16 +204,29 @@ object KllSketch {
 
   private def requireMeta(spark: SparkSession, path: String, k: Int,
       keyCol: String, valueCol: String, op: String): Unit =
-    LedgerGuard.readSidecarMetaStr(spark, path, MetaFile).foreach { kv =>
-      val (sk, skk, skv) = (kv.getOrElse("k", "?"), kv.getOrElse("keyCol", "?"),
-        kv.getOrElse("valueCol", "?"))
-      if (sk != k.toString || skk != keyCol || skv != valueCol)
-        throw new IllegalArgumentException(
-          s"KLL ledger $op at $path: ledger was created with k=$sk, " +
-            s"keyCol=$skk, valueCol=$skv but the caller passed k=$k, " +
-            s"keyCol=$keyCol, valueCol=$valueCol — sketches with " +
-            "different parameters are incomparable; pass the " +
-            "creation-time values (or rebuild the ledger)")
+    LedgerGuard.readSidecarMetaStr(spark, path, MetaFile) match {
+      case Some(kv) =>
+        val (sk, skk, skv) = (kv.getOrElse("k", "?"), kv.getOrElse("keyCol", "?"),
+          kv.getOrElse("valueCol", "?"))
+        if (sk != k.toString || skk != keyCol || skv != valueCol)
+          throw new IllegalArgumentException(
+            s"KLL ledger $op at $path: ledger was created with k=$sk, " +
+              s"keyCol=$skk, valueCol=$skv but the caller passed k=$k, " +
+              s"keyCol=$keyCol, valueCol=$valueCol — sketches with " +
+              "different parameters are incomparable; pass the " +
+              "creation-time values (or rebuild the ledger)")
+      case None =>
+        // creation ALWAYS writes the sidecar (no pre-sidecar legacy for
+        // this family), so an existing ledger without one is damaged
+        // state — and merging at a guessed k would DECODE the stored
+        // rows as k'-sketches and silently corrupt every later
+        // quantile, then stamp the wrong k permanently. Fail loudly
+        // like compaction/probe do.
+        throw new IllegalStateException(
+          s"KLL ledger $op at $path: no ${MetaFile} sidecar — cannot " +
+            "verify (k, keyCol, valueCol), and a k-mismatched decode " +
+            "silently corrupts the sketches; rebuild the ledger (or " +
+            "restore the sidecar)")
     }
 
   /** Per-key sketches of a double measure, built distributed: one
@@ -214,7 +246,12 @@ object KllSketch {
     // are also per-key). A document-keyed call would silently try to
     // hold corpus-many sketches on the driver; fail loudly instead.
     // The probe is batch-sized (one distinct over the key column).
-    val nKeys = df.select(col(keyCol)).distinct().limit(4097).count()
+    // count exactly what the sketch job below keys on: the CAST string
+    // form, NULL keys excluded — the raw column would over-count (NULL
+    // is a distinct group; distinct raw values can collapse under the
+    // cast) and spuriously reject a batch at the boundary
+    val nKeys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct().limit(4097).count()
     require(nKeys <= 4096,
       s"KLL sketch ledger: more than 4096 distinct '$keyCol' keys — per-key " +
         "sketches fold on the driver and the key must be model-sized " +
@@ -319,8 +356,8 @@ object KllSketch {
       // wedge every later advance (the advanceStatsLedger pattern)
       toRows(spark, merged).coalesce(1).write.mode("overwrite").parquet(staging)
     }
-    if (LedgerGuard.readSidecarMetaStr(spark, path, MetaFile).isEmpty)
-      writeMeta(spark, path, k, keyCol, valueCol)
+    // no adopt-on-missing backfill here: requireMeta above already
+    // failed loudly if the sidecar was absent (see its rationale)
   }
 
   /** Compact the ledger: collapse replayed duplicate row accretion by
@@ -355,7 +392,7 @@ object KllSketch {
         s"KLL ledger probe at $path: no ${MetaFile} sidecar — not a KLL ledger"))
     val sketches = fromRows(LedgerGuard.readLedger(spark, path).collect(), k)
     sketches.toSeq.sortBy(_._1).flatMap { case (key, s) =>
-      probs.map(p => (key, p, s.quantile(p), s.n))
+      probs.zip(s.quantiles(probs)).map { case (p, est) => (key, p, est, s.n) }
     }.toDF("key", "prob", "est", "n")
   }
 }

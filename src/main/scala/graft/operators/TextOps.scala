@@ -26,13 +26,18 @@ object TextOps {
 
   /** Word n-grams joined with single spaces: `["a b c", "b c d", ...]`.
     * Documents with fewer than `n` tokens yield an EMPTY array (the
-    * `sequence` guard — Spark's `sequence(1, k)` counts DOWN for k < 1).
+    * `sequence` guard — Spark's `sequence(1, k)` counts DOWN for k < 1);
+    * NULL text propagates NULL (the file's null-in→null-out convention
+    * and the documented bit-parity with the WordGramMd5s kernel, which
+    * is null-intolerant — without the guard, `size(NULL) >= n` is
+    * not-true and the otherwise-branch minted `[]` for NULL rows).
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    when(t.isNull, lit(null).cast("array<string>"))
+      .when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -436,9 +441,17 @@ object TextOps {
     * codegen for the surrounding projection (the repo's §7.3 rule;
     * same reason d53's span fold became a fused kernel).
     */
+  /** Anchor-element pattern shared verbatim with the d47 oracle (java
+    * + RE2 common subset): case-insensitive, attributes OPTIONAL —
+    * `<a>Home</a>` and legacy-uppercase `<A HREF=..>` are anchors too
+    * (r14; the old attribute-mandatory lowercase form scored such nav
+    * blocks as body prose). The anchor text is capture group 2.
+    */
+  val AnchorPattern = "(?i)<a(\\s[^>]*)?>([^<]*)</a>"
+
   def anchorTextChars(html: Column): Column =
     length(array_join(
-      regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
+      regexp_extract_all(html, lit(AnchorPattern), lit(2)), ""))
 
   // ------------------------------------------------------------------
   // PII scrubbing — the redaction pass every released training corpus
@@ -464,12 +477,15 @@ object TextOps {
     * over-match like `999.0.0.1` is markup noise, not someone's PII).
     */
   val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  /** International-format phone: `+CC` then 7-12 digits broken by
-    * optional single spaces/dashes/dots (the format people paste;
-    * bare domestic digit runs are left alone — they collide with ids,
-    * years, and quantities far more often than they are phones).
+  /** International-format phone: `+CC` then 7-14 digits broken by
+    * optional single spaces/dashes/dots — EVERY separator optional, so
+    * the very common unseparated paste format `+14155551234` redacts
+    * too (r14; the first separator used to be mandatory and silently
+    * under-redacted those). Bare domestic digit runs are left alone —
+    * they collide with ids, years, and quantities far more often than
+    * they are phones.
     */
-  val PiiPhonePattern = "\\+\\d{1,3}[- .]\\d{3}[- .]?\\d{3,4}[- .]?\\d{0,4}\\b"
+  val PiiPhonePattern = "\\+\\d{1,3}[- .]?\\d{3}[- .]?\\d{3,4}[- .]?\\d{0,4}\\b"
 
   /** Per-rule match counts on the ORIGINAL text (redaction
     * observability: "how much PII did this corpus carry" is reported

@@ -2985,10 +2985,10 @@ object PipelineQueries {
     // regexp kernels — zero shuffle, scan speed at 100 TB. The corpus
     // is plain text, so the fixture synthesizes nav/footer-wrapped HTML
     // from doc_id + text (the d59/m03 generator pattern); the regex
-    // classes used ('<[^>]*>', '<a [^>]*>([^<]*)</a>') mean the same
-    // thing to java.util.regex and RE2.
+    // classes used ('<[^>]*>', TextOps.AnchorPattern — shared verbatim
+    // both sides) mean the same thing to java.util.regex and RE2.
     q("d62_html_extract",
-      """WITH h AS (SELECT doc_id,
+      s"""WITH h AS (SELECT doc_id,
         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
         |  || '<nav><a href="/home">Home</a> <a href="/about">About Us</a>'
         |  || CASE WHEN doc_id % 3 = 0 THEN ' <a href="/more">More Links Here</a>' ELSE '' END
@@ -2998,7 +2998,7 @@ object PipelineQueries {
         |x AS (SELECT doc_id, html,
         |  trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
         |  coalesce(list_sum(list_transform(
-        |    regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1), x -> length(x))), 0) AS anchor_chars
+        |    regexp_extract_all(html, '${TextOps.AnchorPattern}', 2), x -> length(x))), 0) AS anchor_chars
         |  FROM h)
         |SELECT doc_id, clean_text,
         |  CAST(len(string_split(html, '<')) - 1 AS INTEGER) AS n_tags,

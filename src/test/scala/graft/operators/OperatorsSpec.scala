@@ -709,7 +709,11 @@ class OperatorsSpec extends AnyFunSuite {
         "+1 555-1234", "+44 555-123-4567", "+1 555.123.4567", "+123 4567",
         "+1-555-1234", "+1 5551234567", "+1 555 12", "+12 345-678 word",
         "+12 345-678 ,", "+ 555-1234", "+1  555-1234", "5551234567",
-        "+1 55512345678", "+1 555-123456789"),
+        "+1 55512345678", "+1 555-123456789",
+        // unseparated paste formats (r14: the first separator is
+        // optional, the country code backtracks inside a long run)
+        "+14155551234", "+441234567890", "+12345678901234", "+1234567",
+        "+123456", "+14155551234567890", "+1415-555-1234"),
       Gen.oneOf(" ", ".", "-", "", "word", "é日", "_", "2024", "..", "+", "@", "%"))
     val strGen = Gen.listOf(frag).map(_.mkString)
     val prop = Prop.forAll(strGen) { s =>
