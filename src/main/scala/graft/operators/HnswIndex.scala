@@ -41,7 +41,6 @@ final class HnswGraph(M: Int, efConstruction: Int) {
   private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
   private val vecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
   private val norms = new scala.collection.mutable.ArrayBuffer[Double]()
-  private val nodeLevel = new scala.collection.mutable.ArrayBuffer[Int]()
   // neighbors(node)(level) = growable int list
   private val nbrs =
     new scala.collection.mutable.ArrayBuffer[Array[scala.collection.mutable.ArrayBuffer[Int]]]()
@@ -158,7 +157,6 @@ final class HnswGraph(M: Int, efConstruction: Int) {
     ids += id
     vecs += v
     norms += vecNorm(v)
-    nodeLevel += l
     nbrs += Array.fill(l + 1)(new scala.collection.mutable.ArrayBuffer[Int](mMax0))
     if (entry < 0) { entry = node; topLevel = l; return }
     val qNorm = norms(node)
@@ -228,9 +226,21 @@ object HnswIndex {
     // query set is small by the ANN-op contract (same as every probe op)
     val qArr = queries.select(col(qId).cast("long"), col(qVec))
       .as[(Long, Array[Float])].collect()
+    // fail loudly HERE, not as an NPE inside every shard task: a NULL
+    // candidate vector is skipped (below), but a NULL query vector has
+    // no defined answer
+    qArr.find(_._2 == null).foreach { case (qid, _) =>
+      throw new IllegalArgumentException(
+        s"hnswTopK: query id $qid has a NULL vector — filter or impute " +
+          "query embeddings (NULL candidates are skipped; NULL queries cannot be)")
+    }
     require(qArr.length <= 10000,
       s"hnswTopK probes ${qArr.length} queries — the query set is " +
         "broadcast and must stay model-sized; batch larger probe sets")
+    // ContextCleaner reclaims this broadcast when the returned plan is
+    // garbage-collected (the handle lives only in the task closure) — a
+    // probe service looping over batches does not accrete blocks as
+    // long as it drops the result frames
     val qb = spark.sparkContext.broadcast(qArr)
     val perShard = candidates.select(col(cId).cast("long"), col(cVec))
       .as[(Long, Array[Float])]

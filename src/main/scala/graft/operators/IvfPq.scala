@@ -131,11 +131,23 @@ object IvfPq {
     * practice.)
     */
   def appendToIndex(newRows: DataFrame, cId: String, cVec: String,
-      path: String): Unit = {
-    val model = loadModel(newRows.sparkSession, path)
+      path: String, batchId: Option[String] = None): Unit = {
+    val spark = newRows.sparkSession
+    // exactly-once fast-path (the LSH index's appendToBucketedIndex
+    // regime): a marked replayed delivery appends nothing — without a
+    // marker a crash-retried append stores every batch row twice and
+    // the probe's top-k heap (which does not dedup ids) surfaces the
+    // duplicate at two ranks until compaction. Marker lands AFTER the
+    // append, so a crash in between degrades to the old
+    // replay-tolerated-at-compaction state, never a lying marker.
+    if (batchId.isDefined &&
+        LedgerGuard.lastAppliedBatchId(spark, s"$path/codes") == batchId) return
+    val model = loadModel(spark, path)
     codeTable(newRows, cId, cVec, model)
       .repartition(col("__cluster")) // one file per touched cell per batch
       .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
+    batchId.foreach(id =>
+      LedgerGuard.recordBatchApplied(spark, s"$path/codes", id))
   }
 
   /** Reserved tombstone partition for [[deleteFromIndex]]. */
@@ -207,11 +219,24 @@ object IvfPq {
       val led = spark.read.parquet(s"$path/codes").dropDuplicates()
       val tombs = led.filter(col("__cluster") === TombstoneCell)
         .select(col("neighbor_id").as("__del")).distinct()
-      led.filter(col("__cluster") =!= TombstoneCell)
+      val kept = led.filter(col("__cluster") =!= TombstoneCell)
         .join(broadcast(tombs), col("neighbor_id") === col("__del"), "left_anti")
-        .repartition(col("__cluster"))
-        .write.option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("__cluster").parquet(staging)
+      if (kept.isEmpty) {
+        // FULLY-EMPTIED index (every id purged): a partitioned write of
+        // zero rows emits no parquet footer, and every later read of
+        // /codes would die in schema inference — the store would be
+        // bricked instead of legitimately empty. Write one 0-row
+        // FOOTER-CARRYING file into a manually-named tombstone-cell
+        // partition directory: the layout stays uniformly partitioned
+        // (later appends compose), schema inference reads the footer,
+        // and zero rows carry zero semantics.
+        kept.drop("__cluster").repartition(1)
+          .write.parquet(s"$staging/__cluster=$TombstoneCell")
+      } else {
+        kept.repartition(col("__cluster"))
+          .write.option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("__cluster").parquet(staging)
+      }
     }
 
   /** Load the model written by [[writeIndex]] (bit-exact round-trip). */
@@ -252,10 +277,14 @@ object IvfPq {
     }.distinct.toSeq
     // live tombstones (s19 deletes) anti-join the pruned codes BEFORE
     // scoring, so a deleted id can never reach the re-rank pool; when no
-    // delete ever ran this is a zero-file partition-pruned read
-    val codes = spark.read.parquet(s"$path/codes")
+    // delete ever ran this is a zero-file partition-pruned read. ONE
+    // relation feeds both sides — a second spark.read.parquet would pay
+    // the file listing + schema inference twice per probe
+    val codesAll = spark.read.parquet(s"$path/codes")
+    val codes = codesAll
       .filter(col("__cluster").isin(wanted: _*))
-      .join(broadcast(liveTombstones(spark, path)),
+      .join(broadcast(codesAll.filter(col("__cluster") === TombstoneCell)
+        .select(col("neighbor_id").as("__del")).distinct()),
         col("neighbor_id") === col("__del"), "left_anti")
     annTopK(queries, qId, qVec, candidates, cId, cVec,
       model, k, nprobe, rerank, prebuiltCodes = Some(codes),

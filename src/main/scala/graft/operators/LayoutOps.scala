@@ -35,12 +35,27 @@ object LayoutOps {
       v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(mask))
     }
 
-  /** Morton/Z-order value of two non-negative values < 2^16: bits of `x`
-    * at even positions, bits of `y` at odd. Pure codegen'd bitwise
-    * arithmetic.
+  /** A value outside [0, 2^16) would silently ALIAS under the spread
+    * masks (spread(65536) == spread(256)): distinct key ranges would
+    * interleave to identical z-values and min/max pruning would quietly
+    * stop working — fail loudly per row instead (callers clamp with
+    * pmod upstream, q53's regime). The SQL twin deliberately carries no
+    * guard: the oracle replays already-validated values.
+    */
+  private def in16(c: Column): Column = {
+    val v = c.cast("long")
+    when(v < 0 || v > 65535,
+      raise_error(concat(lit("zValue input outside [0, 65535]: "),
+        c.cast("string"))))
+      .otherwise(v)
+  }
+
+  /** Morton/Z-order value of two non-negative values < 2^16 (guarded —
+    * see [[in16]]): bits of `x` at even positions, bits of `y` at odd.
+    * Pure codegen'd bitwise arithmetic.
     */
   def zValue(x: Column, y: Column): Column =
-    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+    spread(in16(x)).bitwiseOR(shiftleft(spread(in16(y)), 1))
 
   /** The same interleave as ANSI SQL text (for cross-engine oracles) —
     * generated from the same constants so the engines cannot drift.
@@ -59,11 +74,14 @@ object LayoutOps {
     * must land in the same or adjacent files for min/max pruning to
     * bite), then sort within partitions.
     */
-  def zorderBy(df: DataFrame, numFiles: Int, x: Column, y: Column): DataFrame =
+  def zorderBy(df: DataFrame, numFiles: Int, x: Column, y: Column): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "input column __z collides with zorderBy's internal sort key — rename it")
     df.withColumn("__z", zValue(x, y))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
 
   /** Compaction write: range-repartition on `key` to `numFiles` roughly
     * equal files (keeping `key` order for min/max pruning), capped at

@@ -350,6 +350,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ: full purge + compaction leaves a READABLE empty index; marked append replay no-ops; re-append revives") {
+    withStaticPlans {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-purge").toString
+      val small = emb.filter(col("vec_id") < 40)
+      val queries = emb.filter(col("vec_id") < 2)
+      val model = IvfPq.train(small, "embedding", kc = 4, m = 8, k = 16, iters = 2)
+      IvfPq.writeIndex(small, "vec_id", "embedding", model, path)
+      // purge EVERY id, then compact: the store must stay readable as a
+      // legitimately empty index (a zero-row partitioned write carries
+      // no parquet footer — the 0-row footer file the empty branch
+      // writes is what keeps schema inference alive)
+      IvfPq.deleteFromIndex(spark, path, small.select(col("vec_id")), "vec_id")
+      IvfPq.compactIndex(spark, path)
+      assert(spark.read.parquet(s"$path/codes").count() == 0,
+        "fully-purged index must read as empty, not throw")
+      assert(IvfPq.probeIndex(spark, path, queries, "vec_id", "embedding",
+        small, "vec_id", "embedding", k = 3, nprobe = 2, rerank = 10)
+        .collect().isEmpty, "probe of an empty index must return no rows")
+      // marked re-append + replay: exactly-once, then the index revives
+      val revived = small.filter(col("vec_id") < 20)
+      IvfPq.appendToIndex(revived, "vec_id", "embedding", path, batchId = Some("r1"))
+      val afterOnce = spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster") =!= -1).count()
+      IvfPq.appendToIndex(revived, "vec_id", "embedding", path, batchId = Some("r1"))
+      assert(spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster") =!= -1).count() == afterOnce,
+        "marked replay must append nothing")
+      assert(afterOnce == 20)
+      val probed = IvfPq.probeIndex(spark, path, queries, "vec_id", "embedding",
+        revived, "vec_id", "embedding", k = 3, nprobe = 4, rerank = 20)
+      assert(probed.collect().nonEmpty, "revived index must answer probes")
+    }
+  }
+
   test("pre-bucketed tables join with zero shuffles (the co-located fact join layout)") {
     withStaticPlans {
       val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
