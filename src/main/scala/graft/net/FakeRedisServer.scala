@@ -242,10 +242,17 @@ final class FakeRedisServer(requestedPort: Int = 0,
           hashes.merge(args(1), kv, (a, b) => a ++ b)
           Int64(kv.size.toLong)
         case "HGETALL" => redirect(args(1), asking).getOrElse {
-          val m = Option(hashes.get(args(1))).getOrElse(Map.empty).toVector.sortBy(_._1)
-          // real RESP3 servers answer HGETALL with a MAP frame
-          if (st.resp3) Mp(m.map { case (f, v) => (Bulk(f): RespValue, Bulk(v): RespValue) })
-          else Arr(m.flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
+          // faithful to real Redis: HGETALL on a key holding another
+          // type answers WRONGTYPE (the clients' tolerance of it is
+          // what the tests must exercise, not a lenient fake)
+          if (strings.containsKey(args(1)))
+            Err("WRONGTYPE Operation against a key holding the wrong kind of value")
+          else {
+            val m = Option(hashes.get(args(1))).getOrElse(Map.empty).toVector.sortBy(_._1)
+            // real RESP3 servers answer HGETALL with a MAP frame
+            if (st.resp3) Mp(m.map { case (f, v) => (Bulk(f): RespValue, Bulk(v): RespValue) })
+            else Arr(m.flatMap { case (f, v) => Vector(Bulk(f): RespValue, Bulk(v)) })
+          }
         }
         case "SCAN" => scan(args.tail)
         case "XADD" => xadd(args.tail)

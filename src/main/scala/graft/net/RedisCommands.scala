@@ -152,6 +152,9 @@ object RedisCommands {
       case Err(m) => redirectTarget(m) match {
         case Some((h, p, ask)) if !afterRedirect =>
           onRedirectTarget(h, p, ask, c.auth)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
+        // non-hash key: empty map, the documented contract (see
+        // hgetallPipelined — mixed-type keyspaces are normal)
+        case _ if m.startsWith("WRONGTYPE") => Map.empty[String, String]
         case _ => throw new java.io.IOException(s"HGETALL error: $m")
       }
       case other => fail("HGETALL reply", other)
@@ -169,6 +172,12 @@ object RedisCommands {
         }.toMap
       case Mp(entries) =>
         entries.collect { case (k: Bulk, v: Bulk) => k.text -> v.text }.toMap
+      // a non-hash key answers WRONGTYPE on a real server: the readers'
+      // documented contract is "string-typed keys contribute an empty
+      // map", so realize it HERE (a pattern like user:* routinely
+      // matches mixed types; dying on the first string key would make
+      // scan.type mandatory). Any other error still fails loudly.
+      case Err(m) if m.startsWith("WRONGTYPE") => Map.empty[String, String]
       case Err(m) => throw new java.io.IOException(s"HGETALL error: $m")
       case other => fail("HGETALL reply", other)
     }

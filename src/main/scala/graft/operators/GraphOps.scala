@@ -39,18 +39,29 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct()
+    // persist the loop-invariant frames: the sink check, the n count
+    // and every iteration's joins all read e/nodes/deg — without the
+    // persists each of those is a separate job re-running the upstream
+    // distinct/union from scratch ("out-degrees compute once" must hold
+    // as EXECUTION, not just as a logical plan). Released before
+    // return: the result frame re-derives lazily if the caller
+    // evaluates after that, which is the usual collect-immediately
+    // pattern; long-lived callers persist the result themselves.
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist()
     val nodes = e.select(col("__s").as("node"))
-      .union(e.select(col("__d").as("node"))).distinct()
+      .union(e.select(col("__d").as("node"))).distinct().persist()
     val nDangling = nodes
       .join(e.select(col("__s").as("node")).distinct(), Seq("node"), "left_anti")
       .count()
-    if (nDangling > 0)
+    if (nDangling > 0) {
+      e.unpersist(false); nodes.unpersist(false)
       throw new IllegalArgumentException(
         s"pageRank: $nDangling node(s) have no out-edge — their rank mass " +
           "would silently leak each iteration and totals drift below 1. " +
           "Pre-add self-loops or filter sinks upstream (or redistribute " +
           "dangling mass) before calling pageRank")
+    }
     val n = nodes.count()
     val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
     val base = (1 - damping) / n
@@ -67,6 +78,11 @@ object GraphOps {
           (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
       i += 1
     }
-    ranks.select(col("node"), col("__r").as("rank"))
+    // materialize the result OFF the caches (one computation), then
+    // release them — the returned frame is its own checkpointed lineage
+    val out = ranks.select(col("node"), col("__r").as("rank"))
+      .localCheckpoint(true)
+    e.unpersist(false); nodes.unpersist(false)
+    out
   }
 }

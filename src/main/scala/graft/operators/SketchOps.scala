@@ -50,9 +50,12 @@ object SketchOps {
     import spark.implicits._
     val empty = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
     // the count_min_sketch SQL aggregate SKIPS NULL inputs; mirror that
-    // here — CountMinSketch.add(null, c) would throw
+    // here — CountMinSketch.add(null, c) would throw. A NULL WEIGHT is
+    // skipped too (SQL aggregates skip NULL addends): without the
+    // filter the non-nullable Long decode dies in the encoder with an
+    // opaque NPE instead of the documented null contract
     val cms = counts.select(valueCol.cast("string").as("__v"), weightCol.cast("long").as("__c"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && col("__c").isNotNull)
       .as[(String, Long)].rdd
       .mapPartitions { it =>
         val sk = org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
@@ -206,7 +209,13 @@ object SketchOps {
         s"vocab ledger probe at $path: no _GRAFT_VOCAB_META sidecar — " +
           "cannot verify the ledger's key/tokenizer; rebuild the ledger " +
           "(or restore the sidecar)"))
+    // re-sum defensively BEFORE the heap (the vocabLedgerJsd contract:
+    // a pre-compaction ledger may hold one row per generation for a
+    // (key, token) — the merge contract, not an error; ranking the
+    // partial rows separately would return wrong "exact" top-k counts
+    // and could place one token at two ranks)
     val led = LedgerGuard.readLedger(spark, path)
+      .groupBy(col(keyCol), col("token")).agg(sum(col("tc")).as("tc"))
     // count desc, token as the deterministic tiebreak — exactly the
     // bounded heap's (score desc, id asc) contract; the heap carries
     // counts as doubles (exact to 2^53), re-cast on the way out

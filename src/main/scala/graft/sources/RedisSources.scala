@@ -399,7 +399,7 @@ class RedisBatchWrite(opts: RedisSources.Options)
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new RedisDataWriterFactory(opts.host, opts.port, opts.count, opts.auth,
-      opts.tls, opts.tlsTrustAll)
+      opts.tls, opts.tlsTrustAll, opts.resp3)
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   // no coordinator: SET is an idempotent upsert, so task retries are safe
@@ -411,13 +411,17 @@ final case class RedisWriteCommit(written: Long)
 
 class RedisDataWriterFactory(host: String, port: Int, batchSize: Int,
     auth: Option[String] = None, tls: Boolean = false,
-    tlsTrustAll: Boolean = false)
+    tlsTrustAll: Boolean = false, resp3: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      // resp3 rides to the WRITE connections too: resp=3 documents
+      // "HELLO 3 on every connection", and silently leaving writers on
+      // RESP2 would defeat protocol pinning against a RESP3-required
+      // proxy
       private val conn = new RedisConnection(host, port, auth = auth,
-        tls = tls, tlsTrustAll = tlsTrustAll)
+        tls = tls, tlsTrustAll = tlsTrustAll, resp3 = resp3)
       private val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
       private var written = 0L
 
@@ -740,14 +744,26 @@ class RedisPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     val ord = if (t.ascending) utf8Asc else utf8Asc.reverse
     // max-heap of the n best-so-far: root is the WORST kept key
     val heap = new java.util.PriorityQueue[UTF8String](math.max(1, t.n), ord.reverse)
+    // SCAN may return a key TWICE during a rehash/migration (the same
+    // documented behavior the LIMIT path dedups with its seen-set):
+    // without the dedup both copies would occupy heap slots, evicting a
+    // distinct key that belongs in the true top-n — and evicted keys
+    // are gone before Spark's re-sort can restore them. The set is
+    // bounded by the keys ADMITTED to the heap's vicinity, not the
+    // keyspace: only keys that beat the current worst are remembered.
+    val seen = new java.util.HashSet[UTF8String]()
     while (!done) {
       val (next, keys) = RedisCommands.scanPage(conn, cursor, p.patterns(patternIdx), p.count, p.scanType)
       cursor = next
       if (cursor == "0") cursorDone()
       keys.foreach { s =>
         val k = UTF8String.fromString(s)
-        if (heap.size < t.n) heap.add(k)
-        else if (heap.size > 0 && ord.lt(k, heap.peek())) { heap.poll(); heap.add(k) }
+        if (heap.size < t.n) {
+          if (seen.add(k)) heap.add(k)
+        } else if (heap.size > 0 && ord.lt(k, heap.peek()) && seen.add(k)) {
+          seen.remove(heap.poll())
+          heap.add(k)
+        }
       }
     }
     val out = new Array[UTF8String](heap.size)
