@@ -382,10 +382,22 @@ object PercentileOps {
       graft.functions.DoubleSortableBucket(
         org.apache.spark.sql.GraftSqlShims.expression(col("__v")), shift))
 
+    // the composite-key rendering the candidate filter (job 2) matches
+    // on is computed by SPARK on BOTH sides: job 1 carries the
+    // cast-based rendering of each group key alongside the typed
+    // values, so driver-side toString (which disagrees with Spark's
+    // cast for timestamp/decimal keys — java.sql.Timestamp renders a
+    // trailing '.0') never enters the comparison
+    val sep = "\u0001"
+    val nullSentinel = "\u0000NULL"
+    val gRenderExpr = concat_ws(sep,
+      grp.map(c => coalesce(c.cast("string"), lit(nullSentinel))): _*)
+
     // job 1: histogram counts (shuffle carries only occupied buckets)
     val hist = unpivotedAll
       .groupBy(grp :+ bucketExpr.as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
+      .withColumn("__gr", gRenderExpr)
       .collect()
 
     // driver: cumulative counts → group totals, needed buckets, ranks
@@ -434,19 +446,18 @@ object PercentileOps {
       return if (disc) discFallback(df, keys, measures)
              else exactQuantilesMulti(df, keys, measures)
 
-    // job 2: collect candidate values of the needed buckets only.
-    // The composite key joins on an unprintable separator (cannot occur
-    // in sane key columns); Scala number toString matches Spark's
-    // cast-to-string for int/long/double keys. NULL key columns need a
-    // sentinel on BOTH sides: concat_ws silently SKIPS null inputs
-    // (shifting the composite key), so every column is coalesced to a
-    // NUL-prefixed sentinel and the driver-side rendering mirrors it —
-    // without this a NULL group key never matches, no candidates
-    // arrive, and valueAt throws on the missing bucket.
-    val sep = "\u0001"
-    val nullSentinel = "\u0000NULL"
-    def render(x: Any): String = if (x == null) nullSentinel else x.toString
-    val neededKeys = needed.map { case (g, b) => g.map(render).mkString(sep) + sep + b }.toSeq
+    // job 2: collect candidate values of the needed buckets only. The
+    // composite key joins on an unprintable separator (cannot occur in
+    // sane key columns); both sides of the match use SPARK's rendering
+    // — the group part was carried from job 1 (`__gr`), the bucket is a
+    // long (Scala and Spark agree on long-to-string). NULL key columns
+    // need a sentinel on BOTH sides: concat_ws silently SKIPS null
+    // inputs (shifting the composite key), so every column is coalesced
+    // to a NUL-prefixed sentinel — without this a NULL group key never
+    // matches, no candidates arrive, and valueAt throws.
+    val renderByG = hist.iterator
+      .map(r => gkey(r) -> r.getString(nKeys + 3)).toMap
+    val neededKeys = needed.map { case (g, b) => renderByG(g) + sep + b }.toSeq
     val gkeyExpr = concat_ws(sep,
       (grp :+ bucketExpr.as("__b")).map(c => coalesce(c.cast("string"), lit(nullSentinel))): _*)
     val candRows = unpivoted
@@ -481,10 +492,17 @@ object PercentileOps {
       val vals = gs.flatMap(_._2).toMap
       org.apache.spark.sql.Row.fromSeq(k ++ allQNames.map(n => vals.get(n).map(Double.box).orNull))
     }
+    // global aggregation over EMPTY input: the built-in aggregate (and
+    // the select/windowed siblings) returns ONE row of NULL quantiles,
+    // not zero rows — keep the three forms row-set-identical
+    val rowsOut =
+      if (keys.isEmpty && rows.isEmpty)
+        Seq(org.apache.spark.sql.Row.fromSeq(allQNames.map(_ => null)))
+      else rows
     val outSchema = org.apache.spark.sql.types.StructType(
       df.select(keyCols: _*).schema.fields ++
         allQNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rowsOut, 1), outSchema)
   }
 
   /** Point-mass fallback for `disc = true`: Spark's built-in

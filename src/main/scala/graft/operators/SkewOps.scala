@@ -33,15 +33,31 @@ object SkewOps {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int, aggs: Seq[Agg]): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(aggs.head match { case a => partial(a) }, aggs.tail.map(partial): _*)
+      .agg(partial(aggs.head), aggs.tail.map(partial): _*)
     phase1
       .groupBy(keys.map(col): _*)
       .agg(combine(aggs.head), aggs.tail.map(combine): _*)
   }
+
+  /** The deterministic per-row salt both ops share: content hash PLUS
+    * the input partition id. Content alone is the retry-idempotent
+    * part, but BYTE-IDENTICAL duplicate rows of a hot key — exactly
+    * the boilerplate-document case this module exists for — would all
+    * hash to ONE salt and defeat the spread entirely; folding the
+    * partition id in spreads identical rows across as many salts as
+    * input partitions touch them while staying deterministic under
+    * task retry (a retried task re-reads the same input split, so pid
+    * and content are both stable). Residual: identical rows WITHIN one
+    * input partition still share a salt — bounded by
+    * spark.sql.files.maxPartitionBytes, not by the hot key's size.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash((df.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
+      lit(salts))
 
   private def partial(a: Agg): Column = a match {
     case SumAgg(in, out) => sum(in).as(s"__p_$out")
@@ -75,8 +91,7 @@ object SkewOps {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val bigS = big.withColumn("__salt", rowSalt(big, salts))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

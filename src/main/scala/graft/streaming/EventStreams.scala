@@ -79,7 +79,14 @@ object EventStreams {
     */
   def streamingDedupAgainstLedger(events: DataFrame, contentCols: Seq[String],
       ledgerPath: String, horizon: String = "1 hour"): DataFrame = {
-    val ledger = events.sparkSession.read.parquet(ledgerPath)
+    // read through LedgerGuard like every batch consumer: a raw
+    // recursive parquet read of a MANIFEST-mode ledger would ingest
+    // the retired generation alongside the current one (keep-2
+    // retention) — digests a forget already purged would keep
+    // anti-join-dropping re-admittable rows — and a plain ledger read
+    // during a writer's swap window would miss the staging fallback
+    val ledger = graft.operators.LedgerGuard
+      .readLedger(events.sparkSession, ledgerPath)
       .select(col("digest").as("__fp"))
     events
       .withColumn("__fp", graft.operators.DedupOps.rowFingerprint(contentCols.map(col)))
@@ -134,43 +141,77 @@ object EventStreams {
       }
   }
 
-  /** Gap-based sessionization skeleton via flatMapGroupsWithState: closes
-    * a session when `gapMinutes` passes without events for the user.
+  /** Gap-based sessionization via flatMapGroupsWithState: closes a
+    * session when `gapMinutes` of EVENT time passes without events for
+    * the user. Cross-batch LATE events (the per-batch sort can't order
+    * across triggers) merge into the open session with MONOTONE bounds
+    * — start only moves earlier, end only later — rather than
+    * regressing `session_end` below `session_start`.
+    *
+    * `closeIdleSessions = true` additionally registers a
+    * PROCESSING-TIME timeout of the same gap: a user who simply goes
+    * away gets their final session FLUSHED and their state REMOVED —
+    * without it the last session per user is never emitted and per-key
+    * state lives for the query's lifetime (the unbounded-state trap).
+    * It is opt-in because registered processing-time timeouts make the
+    * micro-batch engine run CONTINUOUS batches under the default
+    * trigger to evaluate them — a production query sets a trigger
+    * interval anyway; a drive-to-quiescence test harness
+    * (`processAllAvailable`) would spin forever.
     */
   final case class SessionAcc(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
 
-  def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[Session] = {
+  def sessionize(events: Dataset[Evt], gapMinutes: Int,
+      closeIdleSessions: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val timeoutMode =
+      if (closeIdleSessions) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutMode) {
         (userId: Long, batch: Iterator[Evt], state: GroupState[SessionAcc]) =>
-          // within one micro-batch events arrive unordered: sort locally
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          val closed = Seq.newBuilder[Session]
-          var acc = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            acc match {
-              case Some(a) if t - a.last <= gapMs =>
-                acc = Some(a.copy(last = t, n = a.n + 1))
-              case Some(a) =>
-                closed += Session(userId, new java.sql.Timestamp(a.start),
-                  new java.sql.Timestamp(a.last), a.n)
-                acc = Some(SessionAcc(t, t, 1))
-              case None =>
-                acc = Some(SessionAcc(t, t, 1))
+          def toSession(a: SessionAcc): Session =
+            Session(userId, new java.sql.Timestamp(a.start),
+              new java.sql.Timestamp(a.last), a.n)
+          if (closeIdleSessions && state.hasTimedOut) {
+            // no events for a gap of processing time: flush the open
+            // session and RELEASE the key's state
+            val out = state.getOption.map(toSession).iterator
+            state.remove()
+            out
+          } else {
+            // within one micro-batch events arrive unordered: sort locally
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var acc = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.last <= gapMs =>
+                  // monotone bounds: a late straggler (t below start —
+                  // possible only across batches) widens the session
+                  // backward, never drags session_end below start
+                  acc = Some(SessionAcc(math.min(a.start, t),
+                    math.max(a.last, t), a.n + 1))
+                case Some(a) =>
+                  closed += toSession(a)
+                  acc = Some(SessionAcc(t, t, 1))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1))
+              }
             }
+            acc.foreach { a =>
+              state.update(a)
+              // setTimeoutDuration requires a positive duration
+              if (closeIdleSessions) state.setTimeoutDuration(math.max(gapMs, 1L))
+            }
+            closed.result().iterator
           }
-          acc match {
-            case Some(a) => state.update(a)
-            case None => ()
-          }
-          closed.result().iterator
       }
   }
 }

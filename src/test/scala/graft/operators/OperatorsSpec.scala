@@ -972,6 +972,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesHist: timestamp group keys match (Spark-rendered composite keys); empty global emits one NULL row") {
+    import spark.implicits._
+    // java.sql.Timestamp.toString renders a trailing '.0' that Spark's
+    // cast-to-string does not — the candidate filter must compare
+    // SPARK-rendered keys on both sides or every group misses
+    val df = Seq(
+      (new java.sql.Timestamp(1700000000000L), 1.0),
+      (new java.sql.Timestamp(1700000000000L), 3.0),
+      (new java.sql.Timestamp(1700003600000L), 10.0))
+      .toDF("hour", "v")
+    val got = PercentileOps.exactQuantilesHist(df, Seq("hour"),
+        Seq(("v", col("v"), Seq(("p50", 0.5)))))
+      .orderBy("hour")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).toSeq
+    assert(got == Seq((1700000000000L, 2.0), (1700003600000L, 10.0)), got.toString)
+    // global aggregation over EMPTY input: one row of NULL quantiles,
+    // like the built-in aggregate and the sibling forms
+    val empty = PercentileOps.exactQuantilesHist(df.filter(lit(false)),
+        Seq.empty, Seq(("v", col("v"), Seq(("p50", 0.5)))))
+      .collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0), empty.toSeq.toString)
+  }
+
   test("exactQuantilesHist is bit-identical to the window form (incl. ties, nulls, edge q)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val measures = Seq(

@@ -273,6 +273,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize closeIdleSessions: an idle user's final session flushes via the processing-time timeout") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Evt](
+      spark)
+    stream.addData(Seq(
+      EventStreams.Evt(7L, ts(0), "click", 1.0),
+      EventStreams.Evt(7L, ts(0), "view", 1.0))) // same ts: one open session, n=2
+    // gap 0 ⇒ the registered timeout is the 1 ms floor: the flush fires
+    // on the engine's next timeout-evaluation batch. No
+    // processAllAvailable here — registered processing-time timeouts
+    // keep the engine running batches, so the test POLLS the sink.
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 0,
+        closeIdleSessions = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_idle_out")
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var rows = Array.empty[(Long, Int)]
+      while (rows.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        rows = spark.sql("SELECT user_id, n_events FROM sessions_idle_out")
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+      }
+      assert(rows.toSeq == Seq((7L, 2)),
+        s"idle session not flushed within 30 s: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
