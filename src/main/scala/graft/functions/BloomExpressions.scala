@@ -64,12 +64,25 @@ object BloomExpressions {
 
   /** `might_contain(digest)` over a driver-built filter; `digest` must
     * be LONG (cast upstream — the digest family's 32-bit md5 fits).
-    * Broadcasts the filter (once per call site — build the Column once
-    * and reuse it).
+    * Broadcasts the filter once per CALL — build the Column once and
+    * reuse it. Lifecycle: ContextCleaner reclaims the broadcast when
+    * the returned plan is garbage-collected (the handle lives only in
+    * the expression — the hnswTopK contract), so a long-lived service
+    * probing per batch does not accrete blocks as long as it drops the
+    * result frames; a service that wants deterministic reclamation
+    * should broadcast the filter itself and use the [[Broadcast]]
+    * overload, destroying the handle when done.
     */
-  def mightContain(digest: Column, filter: BloomFilter): Column = {
-    val bc = org.apache.spark.sql.SparkSession.active
-      .sparkContext.broadcast(filter)
+  def mightContain(digest: Column, filter: BloomFilter): Column =
+    mightContain(digest,
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(filter))
+
+  /** [[mightContain]] over a caller-owned broadcast handle: reuse ONE
+    * broadcast across many probe plans (e.g. a standing service probing
+    * every microbatch against the same ledger filter) and
+    * `bc.destroy()` it deterministically when retiring the filter,
+    * instead of waiting for the plans to be GC'd.
+    */
+  def mightContain(digest: Column, bc: Broadcast[BloomFilter]): Column =
     GraftSqlShims.column(BloomMightContain(GraftSqlShims.expression(digest), bc))
-  }
 }

@@ -140,6 +140,13 @@ object RedisCommands {
 
   /** HGETALL → field map (RESP2 flat array or RESP3 map reply). Follows
     * one cluster redirect.
+    *
+    * WRONGTYPE fails LOUDLY here, unlike [[hgetallPipelined]]: this is
+    * the direct single-key read (the `redis_hgetall` UDF and
+    * `withHashFields` paths, where the caller NAMED the key) — an empty
+    * map would silently mask reading a key known to be a string. The
+    * mixed-keyspace tolerance belongs only to the pattern/SCAN-driven
+    * readers, where `user:*` routinely matches mixed types.
     */
   def hgetall(c: RedisConnection, key: String): Map[String, String] = {
     def parse(v: RespValue, afterRedirect: Boolean): Map[String, String] = v match {
@@ -152,9 +159,6 @@ object RedisCommands {
       case Err(m) => redirectTarget(m) match {
         case Some((h, p, ask)) if !afterRedirect =>
           onRedirectTarget(h, p, ask, c.auth)(rc => parse(rc.command("HGETALL", key), afterRedirect = true))
-        // non-hash key: empty map, the documented contract (see
-        // hgetallPipelined — mixed-type keyspaces are normal)
-        case _ if m.startsWith("WRONGTYPE") => Map.empty[String, String]
         case _ => throw new java.io.IOException(s"HGETALL error: $m")
       }
       case other => fail("HGETALL reply", other)

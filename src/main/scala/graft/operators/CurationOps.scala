@@ -85,8 +85,9 @@ object CurationOps {
     val filter = grams(bench).select(col("__h")).stat
       .bloomFilter("__h", expectedGrams, fpp)
     // shared codegen probe kernel (graft.functions.BloomMightContain):
-    // the filter rides in the stage's task binary, the probe stays
-    // inside whole-stage codegen — no UDF seam
+    // the filter ships as a BROADCAST referenced from the expression
+    // (TorrentBroadcast, once per executor — never the task binary),
+    // and the probe stays inside whole-stage codegen — no UDF seam
     grams(train).distinct()
       .filter(graft.functions.BloomExpressions.mightContain(col("__h"), filter))
       .groupBy(col(idCol))
@@ -947,7 +948,10 @@ object CurationOps {
         .select(col("n1tot").cast("double").as("n1tot"),
           col("vocab").cast("double").as("vocab"))
       case None => c2.agg(count(lit(1)).cast("double").as("n1tot"))
-        .crossJoin(b.led.agg(countDistinct(col("w1")).cast("double").as("vocab")))
+        // broadcast like every other 1-row scalar crossJoin site: the
+        // plan choice must not be left to AQE
+        .crossJoin(broadcast(
+          b.led.agg(countDistinct(col("w1")).cast("double").as("vocab"))))
     }
     val id = col(idCol)
     val stream = batch.select(id, TextOps.tokens(col(textCol)).as("__l"))
@@ -1099,12 +1103,9 @@ object CurationOps {
     * which drops the subdirectory — see [[compactBigramLedger]]), so
     * the defensive re-sum of `c2` is skippable too.
     */
-  private def readBigramModelDir(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def readBigramModelDir(fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Option[String] = {
     try {
-      val gen = LedgerGuard.readablePath(fs, target)
       val model = new org.apache.hadoop.fs.Path(gen, BigramModelDir)
       val complete =
         fs.exists(new org.apache.hadoop.fs.Path(model, "tok/_SUCCESS")) &&
@@ -1126,8 +1127,18 @@ object CurationOps {
 
   private def bindBigram(spark: org.apache.spark.sql.SparkSession,
       path: String): BigramBinding = {
-    val led = LedgerGuard.readLedger(spark, path)
-    val model = readBigramModelDir(spark, path)
+    // Resolve the readable generation ONCE and take both the ledger
+    // rows and the model sidecar from that single directory: two
+    // independent readablePath resolutions could — under keep-2
+    // manifest retention with an advance completing in between — bind
+    // the RETIRED generation's model to the NEW generation's rows and
+    // score silently wrong, instead of the loud FileNotFound the
+    // plan-vs-action caveat (readLedger's doc) accepts.
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = LedgerGuard.readablePath(fs, target)
+    val led = spark.read.parquet(gen.toString)
+    val model = readBigramModelDir(fs, gen)
     val tok = model.map(m => spark.read.parquet(s"$m/tok"))
     val c2 = model match {
       case Some(_) => led.filter(col("w2").isNotNull)

@@ -197,6 +197,9 @@ object KllSketch {
 
   private val MetaFile = LedgerGuard.SidecarPrefix + "KLL_META"
 
+  /** Hard bound on per-key driver folds — batch side AND stored side. */
+  private val MaxKeys = 4096
+
   private def writeMeta(spark: SparkSession, path: String, k: Int,
       keyCol: String, valueCol: String): Unit =
     LedgerGuard.writeSidecarMetaStr(spark, path, MetaFile,
@@ -251,8 +254,8 @@ object KllSketch {
     // is a distinct group; distinct raw values can collapse under the
     // cast) and spuriously reject a batch at the boundary
     val nKeys = df.select(col(keyCol).cast("string").as("k"))
-      .filter(col("k").isNotNull).distinct().limit(4097).count()
-    require(nKeys <= 4096,
+      .filter(col("k").isNotNull).distinct().limit(MaxKeys + 1).count()
+    require(nKeys <= MaxKeys,
       s"KLL sketch ledger: more than 4096 distinct '$keyCol' keys — per-key " +
         "sketches fold on the driver and the key must be model-sized " +
         "(source/domain/language), not a document id; bucket the key " +
@@ -302,6 +305,27 @@ object KllSketch {
     rows.toDF("key", "kll_level", "kll_idx", "kll_v")
   }
 
+  /** Read the stored ledger with a LOUD key-cardinality bound before
+    * any driver collect — the same ≤4096 contract [[sketchPerKey]]
+    * enforces on the batch side (and HnswIndex's ≤10k probe bound
+    * follows for its collect): a ledger someone keyed by document id
+    * (or a foreign path) must fail naming the problem, not melt the
+    * driver silently. The probe is one distinct over the model-sized
+    * key column; the ledger itself is left untouched.
+    */
+  private def guardedLedgerRead(spark: SparkSession, path: String,
+      what: String): DataFrame = {
+    val led = LedgerGuard.readLedger(spark, path)
+    val nKeys = led.select(col("key")).distinct().limit(MaxKeys + 1).count()
+    require(nKeys <= MaxKeys,
+      s"KLL sketch ledger $what at $path: more than $MaxKeys distinct keys " +
+        "in the stored ledger — per-key sketches fold on the driver and the " +
+        "key must be model-sized (source/domain/language), not a document " +
+        "id; this store was built outside the write/advance guards or the " +
+        "path is not a KLL ledger")
+    led
+  }
+
   private def fromRows(rows: Array[org.apache.spark.sql.Row],
       k: Int): Map[String, KllSketch] =
     rows.groupBy(_.getString(0)).map { case (key, rs) =>
@@ -347,7 +371,8 @@ object KllSketch {
     val delta = sketchPerKey(batch, keyCol, valueCol, k)
     LedgerGuard.advanceInPlace(spark, path, "KLL sketch ledger", batchId) { staging =>
       // read INSIDE the swap so a concurrent advance's rows are not lost
-      val stored = fromRows(LedgerGuard.readLedger(spark, path).collect(), k)
+      val stored =
+        fromRows(guardedLedgerRead(spark, path, "advance").collect(), k)
       val merged = (stored.keySet ++ delta.keySet).iterator.map { key =>
         key -> stored.getOrElse(key, KllSketch.empty(k))
           .merge(delta.getOrElse(key, KllSketch.empty(k)))
@@ -370,7 +395,7 @@ object KllSketch {
       .flatMap(_.get("k")).map(_.toInt).getOrElse(throw new IllegalStateException(
         s"KLL ledger compaction at $path: no ${MetaFile} sidecar"))
     LedgerGuard.advanceInPlace(spark, path, "KLL-ledger compaction") { staging =>
-      val rows = LedgerGuard.readLedger(spark, path)
+      val rows = guardedLedgerRead(spark, path, "compaction")
         .dropDuplicates("key", "kll_level", "kll_idx").collect()
       toRows(spark, fromRows(rows, k)).coalesce(1)
         .write.mode("overwrite").parquet(staging)
@@ -390,7 +415,8 @@ object KllSketch {
     val k = LedgerGuard.readSidecarMetaStr(spark, path, MetaFile)
       .flatMap(_.get("k")).map(_.toInt).getOrElse(throw new IllegalStateException(
         s"KLL ledger probe at $path: no ${MetaFile} sidecar — not a KLL ledger"))
-    val sketches = fromRows(LedgerGuard.readLedger(spark, path).collect(), k)
+    val sketches =
+      fromRows(guardedLedgerRead(spark, path, "probe").collect(), k)
     sketches.toSeq.sortBy(_._1).flatMap { case (key, s) =>
       probs.zip(s.quantiles(probs)).map { case (p, est) => (key, p, est, s.n) }
     }.toDF("key", "prob", "est", "n")

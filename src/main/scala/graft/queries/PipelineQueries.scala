@@ -351,6 +351,96 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** d105's oracle: unigram-LM learn-then-apply entirely in DuckDB SQL
+    * — the third tokenizer-family graduation after d68 (greedy
+    * recursive CTE) and d86 (priority-loop recursive CTE). The LEARN
+    * half replays the query's vocabulary derivation over the SAME
+    * word-count table (top-80 words by (cnt DESC, w) with ML
+    * log-probs over total token mass; the full character set with ML
+    * log-probs over total char mass; max on collision), log-probs
+    * rounded at 4dp via the [[Qf.dround]] IEEE expression on BOTH
+    * sides so the DP sums are bit-identical doubles. The APPLY half is
+    * exact Viterbi as a recursive CTE over DISTINCT words (the DP only
+    * depends on the word — encode once, join back per (doc, pos)):
+    * state carries the `best`/`back` arrays as lists, each step scores
+    * the candidate window `j ∈ [i−maxLen, i)` with a list
+    * comprehension (vocab lookup = `lpl[list_position(pl, piece)]`,
+    * NULL-coalesced to the single-code-point unk channel at −20.0),
+    * and `list_position(sc, max(sc))` lands the argmax on the FIRST
+    * occurrence — the kernel's strict-`>`-ascending-`j` tie-break
+    * (longest last piece) exactly. Reconstruction is a second
+    * recursive CTE walking `back` from `m` to 0. Code-unit vs
+    * code-point positions agree because [[UnigramUtil]] requires no
+    * surrogate handling on this corpus (ASCII; the `oneCp` channel is
+    * mirrored by the `len = 1` arm).
+    */
+  private lazy val unigramEncodeOracle: String = {
+    // the same IEEE rounding expression dround/droundD compute —
+    // sign(x)*floor(abs(x)*1e4 + 0.5)/1e4, NOT DuckDB round() (which
+    // can disagree on representation boundaries)
+    def r4(x: String) = s"sign($x) * floor(abs($x) * 10000.0 + 0.5) / 10000.0"
+    s"""WITH RECURSIVE
+       |tok0 AS (SELECT unnest($sqlTokens) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM tok0 GROUP BY w),
+       |topw AS (SELECT w AS p, ${r4("ln(cnt / t)")} AS lp
+       |  FROM wc, (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM wc)
+       |  ORDER BY cnt DESC, w LIMIT 80),
+       |cc AS (SELECT c, sum(cnt) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(w, '[\\s\\S]')) AS c, cnt FROM wc)
+       |  WHERE length(c) = 1 GROUP BY c),
+       |chl AS (SELECT c AS p, ${r4("ln(n / t)")} AS lp
+       |  FROM cc, (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cc)),
+       |vocab AS (SELECT p, max(lp) AS lp
+       |  FROM (SELECT * FROM topw UNION ALL SELECT * FROM chl) GROUP BY p),
+       |vlist AS (SELECT list(p ORDER BY p) AS pl, list(lp ORDER BY p) AS lpl,
+       |  greatest(max(length(p)), 2) AS maxlen FROM vocab),
+       |words AS (SELECT DISTINCT w AS word FROM wc WHERE w <> ''),
+       |dp AS (
+       |  SELECT word, length(word) AS m, 0 AS i,
+       |         [CAST(0.0 AS DOUBLE)] AS best, [0] AS back, pl, lpl, maxlen
+       |  FROM words, vlist
+       |  UNION ALL
+       |  SELECT word, m, i,
+       |         list_append(best, list_aggregate(sc, 'max')) AS best,
+       |         list_append(back,
+       |           lo + list_position(sc, list_aggregate(sc, 'max')) - 1) AS back,
+       |         pl, lpl, maxlen
+       |  FROM (
+       |    SELECT word, m, i + 1 AS i, best, back, pl, lpl, maxlen,
+       |           greatest(0, i + 1 - maxlen) AS lo,
+       |           [coalesce(
+       |              best[j + 1] + lpl[list_position(pl, substr(word, j + 1, (i + 1) - j))],
+       |              CASE WHEN (i + 1) - j = 1 THEN best[j + 1] + (-20.0)
+       |                   ELSE CAST('-infinity' AS DOUBLE) END)
+       |            FOR j IN range(greatest(0, i + 1 - maxlen), i + 1)] AS sc
+       |    FROM dp WHERE i < m)),
+       |dpf AS (SELECT word, m, back FROM dp WHERE i = m),
+       |rec AS (
+       |  SELECT word, m AS p, CAST([] AS VARCHAR[]) AS pieces, back FROM dpf
+       |  UNION ALL
+       |  SELECT word, back[p + 1] AS p,
+       |         list_prepend(substr(word, back[p + 1] + 1, p - back[p + 1]),
+       |           pieces) AS pieces,
+       |         back
+       |  FROM rec WHERE p > 0),
+       |wenc AS (SELECT word, pieces FROM rec WHERE p = 0),
+       |w AS (SELECT doc_id, unnest(toks) AS word,
+       |             unnest(generate_series(1, len(toks))) AS pos
+       |      FROM (SELECT doc_id,
+       |                   list_filter($sqlTokens, t -> t <> '') AS toks
+       |            FROM documents)),
+       |tokp AS (SELECT doc_id, pos, e.pieces FROM w JOIN wenc e USING (word)),
+       |docp AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS allp,
+       |                count(*) AS n_tok
+       |         FROM tokp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_tok, 0) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(len(p.allp), 0) AS INTEGER) AS n_pieces,
+       |  md5(array_to_string(coalesce(p.allp, CAST([] AS VARCHAR[])), ' ')) AS pieces_fp
+       |FROM documents d LEFT JOIN docp p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** d68's oracle: greedy longest-match-first WordPiece as a DuckDB
     * recursive CTE — one segmentation step per recursion round, the
     * vocabulary inlined as a list literal (derived from the SAME
@@ -5871,11 +5961,13 @@ object PipelineQueries {
     // words plus its full single-character set with ML log-probs (two
     // bounded model-sized collects), then the codegen kernel encodes
     // every document with the vocab riding as a reference object.
-    // Segmentation is engine-specific → rows-only; the AccuracySpec
-    // gate pins lossless reconstruction + closed vocabulary
-    // corpus-wide, and the unit spec pins Viterbi ≡ brute-force
-    // enumeration on short strings.
-    q("d105_unigram_encode", null) { (s, dir) =>
+    // Log-probs are rounded at 4dp via the droundD IEEE expression
+    // (the d34/s20 parity discipline) so the oracle's recursive-CTE
+    // Viterbi ([[unigramEncodeOracle]]) sums bit-identical doubles →
+    // full hash-match; the AccuracySpec gate additionally pins
+    // lossless reconstruction + closed vocabulary corpus-wide, and
+    // the unit spec pins Viterbi ≡ brute-force enumeration.
+    q("d105_unigram_encode", unigramEncodeOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
       // ONE corpus-scale pass: tokenize + count words. Everything else
       // (total mass, top-80 words, char vocabulary) derives from this
@@ -5887,7 +5979,8 @@ object PipelineQueries {
         .persist()
       val totW = wc.agg(sum(col("n"))).first.getLong(0).toDouble
       val topWords = wc.orderBy(col("n").desc, col("w")).limit(80)
-        .collect().map(r => (r.getString(0), math.log(r.getLong(1) / totW)))
+        .collect()
+        .map(r => (r.getString(0), Qf.droundD(math.log(r.getLong(1) / totW), 4)))
       val chars = wc
         .select(explode(split(col("w"), "")).as("c"), col("n"))
         .filter(length(col("c")) === 1)
@@ -5900,7 +5993,7 @@ object PipelineQueries {
           "for arbitrary-charset corpora")
       val totC = chars.map(_.getLong(1)).sum.toDouble
       val pieces = (topWords ++ chars.map(r =>
-        (r.getString(0), math.log(r.getLong(1) / totC))))
+        (r.getString(0), Qf.droundD(math.log(r.getLong(1) / totC), 4))))
         .groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }.toSeq
         .sortBy(_._1)
       val enc = graft.functions.TokenizeExpressions.unigramEncode(

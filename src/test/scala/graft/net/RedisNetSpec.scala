@@ -164,6 +164,19 @@ class RedisNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RedisCommands.hgetall(conn, "user:none") == Map.empty)
   }
 
+  test("HGETALL WRONGTYPE: direct single-key read fails LOUDLY; the scan-page pipelined reader tolerates") {
+    // a direct read of a key the caller NAMED and that holds a string is
+    // a caller bug — an empty map would mask it silently
+    val e = intercept[java.io.IOException](
+      RedisCommands.hgetall(conn, "testkey:0001"))
+    assert(e.getMessage.contains("WRONGTYPE"), e.getMessage)
+    // the SCAN-driven reader keeps the mixed-keyspace tolerance: a
+    // pattern like user:* routinely matches strings and hashes
+    assert(RedisCommands.hgetallPipelined(conn,
+        Seq("user:1001", "testkey:0001", "user:none")) ==
+      Seq(Map("name" -> "Ada", "age" -> "36"), Map.empty, Map.empty))
+  }
+
   test("pipelined commands return replies in order") {
     val replies = conn.pipeline(Seq(
       Seq("GET", "testkey:0001"), Seq("PING"), Seq("GET", "missing:x")))

@@ -904,4 +904,33 @@ class AccuracySpec extends AnyFunSuite {
     val sk = KllSketch.sketchPerKey(withNulls, "k", "v", k = 16)
     assert(sk.keySet == Set("en") && sk("en").n == 2L, sk.toString)
   }
+
+  test("d110 guard: oversized STORED KLL ledger fails loudly on probe/advance/compact, store intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-kll-guard").toString
+    val path = base + "/led"
+    val docs = Seq(("en", 1.0), ("en", 2.0), ("de", 3.0)).toDF("lang", "v")
+    KllSketch.writeKllLedger(docs, "lang", "v", k = 16, path = path)
+    // Corrupt the store the only way the bound can be exceeded: append
+    // document-keyed rows DIRECTLY, bypassing the write/advance guards
+    // (a foreign tool writing into the path). Schema matches toRows.
+    spark.range(5000)
+      .select(concat(lit("doc_"), col("id")).as("key"),
+        lit(-1).as("kll_level"), lit(0).as("kll_idx"), lit(1.0).as("kll_v"))
+      .write.mode("append").parquet(path)
+    val stored = spark.read.parquet(path).count()
+    val e1 = intercept[IllegalArgumentException](
+      KllSketch.quantilesFromKllLedger(spark, path, Seq(0.5)))
+    assert(e1.getMessage.contains("4096") && e1.getMessage.contains("probe"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      KllSketch.advanceKllLedger(docs, "lang", "v", 16, path))
+    assert(e2.getMessage.contains("advance"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      KllSketch.compactKllLedger(spark, path))
+    assert(e3.getMessage.contains("compaction"), e3.getMessage)
+    // the failed advance/compaction aborted BEFORE any swap: rows intact
+    assert(spark.read.parquet(path).count() == stored,
+      "guard must fire before any mutation — stored rows changed")
+  }
 }

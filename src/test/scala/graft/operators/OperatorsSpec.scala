@@ -2036,6 +2036,32 @@ class OperatorsSpec extends AnyFunSuite {
     val viaDistributed = ranks().orderBy("flag", "qty", "ln").collect().toSeq
     assert(viaBuiltin == viaDistributed && viaBuiltin.nonEmpty,
       s"route divergence: $viaBuiltin != $viaDistributed")
+
+    // ALL FOUR entry points must agree route-vs-distributed on values
+    // AND schema — a column-name or frame mismatch in a built-in branch
+    // would silently change small-input results (the branches build
+    // their output column lists by hand)
+    def bothRoutes(f: () => org.apache.spark.sql.DataFrame): Unit = {
+      spark.conf.unset(WindowRankOps.MinBytesKey)
+      val b = f().orderBy("flag", "qty", "ln")
+      val builtinRows = b.collect().toSeq
+      val builtinSchema = b.schema.map(x => (x.name, x.dataType))
+      spark.conf.set(WindowRankOps.MinBytesKey, "0")
+      val d = f().orderBy("flag", "qty", "ln")
+      assert(builtinSchema == d.schema.map(x => (x.name, x.dataType)),
+        s"schema divergence: $builtinSchema != ${d.schema}")
+      val distRows = d.collect().toSeq
+      assert(builtinRows == distRows && builtinRows.nonEmpty,
+        s"route divergence: $builtinRows != $distRows")
+    }
+    bothRoutes(() => WindowRankOps.partitionedRunning(df, Seq("flag"),
+      Seq(("qty", true), ("ln", true)), valueCol = "qty", movingK = 3))
+    bothRoutes(() => WindowRankOps.partitionedShift(df, Seq("flag"),
+      Seq(("qty", true), ("ln", true)), valueCols = Seq("qty", "ln"), k = 2))
+    bothRoutes(() => WindowRankOps.partitionedDistribution(df, Seq("flag"),
+      Seq(("qty", true), ("ln", true)), ntileN = 3))
+    bothRoutes(() => WindowRankOps.partitionedRanks(df, Seq("flag"),
+      Seq(("qty", true), ("ln", true)), ntileN = 3))
   }
 
   test("partitionedRanks == built-in window (rank/dense_rank/row_number/ntile), ties straddling slices") {
