@@ -286,6 +286,92 @@ object DedupOps {
     sig.withColumn("__sig", md5(concat_ws("_",
       (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*)))
 
+  // ------------------------------------------------------------------
+  // Banded probe index: the signature ledger's creation/compaction-time
+  // sidecar (the `_GRAFT_BIGRAM_MODEL` pattern applied to `/sig`).
+  // ------------------------------------------------------------------
+
+  /** Generation-scoped subdirectory holding the PRE-BANDED probe
+    * index: `bands` = (__sig, band, bucket) per DISTINCT stored
+    * signature — the corpus-side table [[crossPairsOfSigs]] otherwise
+    * re-derives on EVERY probe with a groupBy shuffle over all stored
+    * rows. The index also CERTIFIES the generation is clean: it is
+    * written only where the rows were just created/compacted (one row
+    * per (sig, id) by construction) and any LSM append DELETES it
+    * first, so an index-bound probe reads the raw rows as the member
+    * table directly and skips the replay-collapse dropDuplicates
+    * shuffle too. A stale index would silently miss collisions with
+    * appended rows — the recall loss this family never accepts —
+    * hence delete-BEFORE-append; every staged-swap mutation (removal,
+    * foreign advance) drops it for free (the `_GRAFT_` sidecar carry
+    * copies only FILES, never subdirectories). The band shape rides
+    * in the directory name — a probe with a different bandSize misses
+    * the index and derives bands from the rows as before.
+    */
+  private def sigIndexDirName(bandSize: Int): String =
+    LedgerGuard.SidecarPrefix + s"SIG_INDEX_B$bandSize"
+
+  /** Derive + write the index into `genDir` — from `fromRows` when the
+    * writer already holds the generation's rows (creation: the cached
+    * signature frame), else by reading the generation's parquet back
+    * (compaction — one cheap columnar pass, no text access). ONE extra
+    * write job per build site; no-op when the band shape does not
+    * divide the signature width.
+    */
+  private def writeSigIndex(spark: org.apache.spark.sql.SparkSession,
+      genDir: String, bandSize: Int,
+      fromRows: Option[DataFrame] = None): Unit = {
+    val rows = fromRows.getOrElse(spark.read.parquet(genDir))
+    val numHashes = rows.columns.count(_.startsWith("mh"))
+    if (numHashes == 0 || numHashes % bandSize != 0) return
+    val keyed = withSigKey(rows, numHashes)
+    val groups = keyed.groupBy(col("__sig")).agg(
+      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
+      (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+    lshBands(groups, "__sig", numHashes, bandSize)
+      .write.mode("overwrite")
+      .parquet(s"$genDir/${sigIndexDirName(bandSize)}/bands")
+  }
+
+  /** The readable generation's rows plus its bound index (both from ONE
+    * readablePath resolution — the bindBigram discipline): Some(bands)
+    * iff the index subdir is present AND complete for this band shape
+    * (`bands/_SUCCESS`).
+    */
+  private def boundSigLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, bandSize: Int): (DataFrame, Option[DataFrame]) = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = LedgerGuard.readablePath(fs, target)
+    val rows = spark.read.parquet(gen.toString)
+    val index = try {
+      val idx = new org.apache.hadoop.fs.Path(gen, sigIndexDirName(bandSize))
+      if (fs.exists(new org.apache.hadoop.fs.Path(idx, "bands/_SUCCESS")))
+        Some(spark.read.parquet(s"$idx/bands"))
+      else None
+    } catch { case _: java.io.IOException => None }
+    (rows, index)
+  }
+
+  /** Drop every band-shape variant of the index in the APPEND
+    * destination — called BEFORE the append lands (crash between
+    * delete and append leaves no index and no rows: merely slower;
+    * the reverse order could leave a stale index silently missing
+    * the appended rows).
+    */
+  private def invalidateSigIndex(spark: org.apache.spark.sql.SparkSession,
+      appendDest: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(appendDest)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(LedgerGuard.SidecarPrefix + "SIG_INDEX"))
+          .foreach(st => fs.delete(st.getPath, true))
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** The shared cross-pair core over two signature tables: identical-
     * signature collapse on BOTH sides (same exactness argument as
     * [[lshCandidatePairs]]; equal-signature cross pairs need no
@@ -294,27 +380,49 @@ object DedupOps {
     * linear expansion back to member ids.
     */
   private def crossPairsOfSigs(n: DataFrame, c: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame =
+    crossPairsCore(n, c, None, idCol, numHashes, bandSize)
+
+  /** [[crossPairsOfSigs]] with the corpus side optionally PRE-BANDED
+    * (the at-rest index [[writeSigIndex]] persists): with the index
+    * bound, the corpus band table is one columnar read (no groupBy
+    * shuffle, no band derivation), and the member expansion reads the
+    * raw rows WITHOUT the replay-collapse dropDuplicates shuffle —
+    * the index's presence certifies the generation is append-free
+    * since creation/compaction, i.e. one row per (sig, id) already.
+    * Identical output by construction (OperatorsSpec pins it).
+    */
+  private def crossPairsCore(n: DataFrame, c: DataFrame,
+      cIndex: Option[DataFrame], idCol: String,
       numHashes: Int, bandSize: Int): DataFrame = {
     def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("__sig")).agg(
       (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
       (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
     def bandsOf(g: DataFrame, as: String) = lshBands(g, "__sig", numHashes, bandSize)
       .select(col("__sig").as(as), col("band"), col("bucket"))
-    val edges = broadcast(bandsOf(groupsOf(n), "__sn"))
-      .join(bandsOf(groupsOf(c), "__sc"), Seq("band", "bucket"))
-      .groupBy(col("__sn"), col("__sc"))
-      .agg(count(lit(1)).as("n_bands"))
     // member expansion is per DISTINCT (sig, id): a replayed ledger
     // append (crash-and-retry ingest) stores identical signature rows
     // twice, and without this collapse every later probe would emit
     // each pair once per copy. dropDuplicates costs one shuffle of
     // (md5, id) pairs — noise next to the groupsOf shuffle both sides
-    // already pay.
+    // already pay. The index side skips BOTH (see the Scaladoc).
+    val (cBands, cMem) = cIndex match {
+      case Some(bands) => (
+        bands.select(col("__sig").as("__sc"), col("band"), col("bucket")),
+        c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id")))
+      case None => (
+        bandsOf(groupsOf(c), "__sc"),
+        c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id"))
+          .dropDuplicates())
+    }
+    val edges = broadcast(bandsOf(groupsOf(n), "__sn"))
+      .join(cBands, Seq("band", "bucket"))
+      .groupBy(col("__sn"), col("__sc"))
+      .agg(count(lit(1)).as("n_bands"))
     edges
       .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id"))
         .dropDuplicates(), "__sn")
-      .join(c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id"))
-        .dropDuplicates(), "__sc")
+      .join(cMem, "__sc")
       .select(col("new_id"), col("corpus_id"), col("n_bands"))
   }
 
@@ -344,11 +452,16 @@ object DedupOps {
     * [[LedgerGuard.advanceInPlace]]'s `_GRAFT_` carry-forward.
     */
   def writeSignatureLedger(df: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit = {
+      path: String, numHashes: Int = 8, shingleSize: Int = 5,
+      bandSize: Int = 4): Unit = {
     minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
       .write.mode("overwrite").parquet(path)
     writeSigMeta(df.sparkSession, path, numHashes, shingleSize)
+    // pre-banded probe index from the just-written parquet (read-back;
+    // no re-shingle) — probes at this band shape skip the corpus-side
+    // group/band/dedup work until the next append drops it
+    writeSigIndex(df.sparkSession, path, bandSize)
   }
 
   /** Sidecar name of the signature ledger's creation-time parameters
@@ -408,9 +521,13 @@ object DedupOps {
     requireSigMeta(spark, path, numHashes, shingleSize, "append")
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, path) == batchId) return
+    val dest = LedgerGuard.appendPath(spark, path)
+    // the pre-banded index is about to go stale: drop it BEFORE the
+    // rows land (see invalidateSigIndex for the crash-order argument)
+    invalidateSigIndex(spark, dest)
     minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
-      .write.mode("append").parquet(LedgerGuard.appendPath(spark, path))
+      .write.mode("append").parquet(dest)
     // adopt: first append to a pre-sidecar ledger stamps the caller's
     // values (trusted once), so every LATER append/probe is validated
     if (readSigMeta(spark, path).isEmpty)
@@ -429,9 +546,10 @@ object DedupOps {
       textCol: String, path: String,
       numHashes: Int = 8, bandSize: Int = 4, shingleSize: Int = 5): DataFrame = {
     requireSigMeta(newDocs.sparkSession, path, numHashes, shingleSize, "probe")
-    crossPairsOfSigs(
+    val (rows, index) = boundSigLedger(newDocs.sparkSession, path, bandSize)
+    crossPairsCore(
       sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
-      withSigKey(LedgerGuard.readLedger(newDocs.sparkSession, path), numHashes),
+      withSigKey(rows, numHashes), index,
       idCol, numHashes, bandSize)
   }
 
@@ -445,13 +563,17 @@ object DedupOps {
     */
   def compactSignatureLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 16,
-      maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
+      maxRecordsPerFile: Long = 64L * 1000 * 1000, bandSize: Int = 4): Unit =
     LedgerGuard.advanceInPlace(spark, path, "signature-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
       // sort by the id column (first at-rest column) so file-level
       // min/max stats prune id-ranged reads
       LayoutOps.writeSized(led, staging, col(led.columns.head),
         targetFiles, maxRecordsPerFile)
+      // rebuild the pre-banded probe index off the just-compacted rows
+      // (read-back of the staging parquet — the writeBigramModel
+      // pattern); rides into the promoted generation with the swap
+      writeSigIndex(spark, staging, bandSize)
     }
 
   // ------------------------------------------------------------------
@@ -594,6 +716,18 @@ object DedupOps {
     try {
       sig.write.mode("overwrite").parquet(clusterSigPath(path))
       writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
+      // pre-banded probe index: the FIRST advance after creation is the
+      // common case (build, then ingest), and it probes without ever
+      // grouping/banding the stored rows; derived off the CACHED
+      // signature frame — no read-back, no re-shingle. Runs CONCURRENT
+      // with the assignments leg below: both read only the cached
+      // signature table and write disjoint paths, so the overlap is
+      // pure scheduler-idle reclamation (local mode and cluster alike).
+      implicit val ec = scala.concurrent.ExecutionContext.global
+      val idxF = scala.concurrent.Future {
+        writeSigIndex(docs.sparkSession, clusterSigPath(path), bandSize,
+          fromRows = Some(sig))
+      }
       val cc = connectedComponents(
         starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
       docs.select(col(idCol).cast("long").as("node")).distinct()
@@ -606,6 +740,9 @@ object DedupOps {
           new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
         .write.mode("overwrite").parquet(clusterRmpPath(path))
       markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
+      // surface index-write failures HERE (creation must not return
+      // "done" with a corrupt/absent-but-half-written index subdir)
+      scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
     } finally sig.unpersist(false)
   }
 
@@ -655,10 +792,15 @@ object DedupOps {
       .filter(col("mh0").isNotNull).persist()
     try {
       // probe BEFORE admitting (a fresh batch never collides with itself;
-      // on replay the id-equal pairs are dropped here)
-      val probe = crossPairsOfSigs(
+      // on replay the id-equal pairs are dropped here); the stored side
+      // binds the pre-banded index when creation/compaction left one —
+      // then the probe reads (sig, band, bucket)/(sig, id) columnar and
+      // never groups, bands, or dedups the stored rows
+      val (storedSig, storedIdx) =
+        boundSigLedger(spark, clusterSigPath(path), bandSize)
+      val probe = crossPairsCore(
         withSigKey(sig, numHashes),
-        withSigKey(LedgerGuard.readLedger(spark, clusterSigPath(path)), numHashes),
+        withSigKey(storedSig, numHashes), storedIdx,
         idCol, numHashes, bandSize)
         .filter(col("new_id") =!= col("corpus_id"))
       // the RESOLVED view (base + deltas, remap chains applied): labels
@@ -680,16 +822,24 @@ object DedupOps {
         .select(col("d1"), col("label").as("d2"))
       val internal = starEdgesOfSigs(sig, idCol, numHashes, bandSize)
         .select(col("d1").cast("long"), col("d2").cast("long"))
-      // admit the signatures BEFORE advancing the assignments: a crash
-      // between the two self-heals on retry (probe tolerates its own
-      // replayed rows), where the reverse order could leave admitted
-      // assignments whose signatures later batches never probe. The
-      // probe plan reads the ledger at action time, so it MAY see the
-      // rows appended here — harmless: id-equal pairs are filtered and
-      // batch↔batch ledger pairs only restate the internal edges.
-      sig.write.mode("append")
-        .parquet(LedgerGuard.appendPath(spark, clusterSigPath(path)))
+      // MATERIALIZE the component labels (connectedComponents counts
+      // its edge cache eagerly) BEFORE any mutation: the probe plan
+      // may be bound to the pre-banded index, whose files the append
+      // below deletes — executing it first reads a deterministic
+      // pre-append snapshot (the old action-time read could also see
+      // the batch's own appended rows; harmless, but no longer
+      // possible). Persistence ORDER is unchanged: signatures still
+      // land before assignments — a crash between the two self-heals
+      // on retry (probe tolerates its own replayed rows), where the
+      // reverse order could leave admitted assignments whose
+      // signatures later batches never probe; a crash before the sig
+      // append persists nothing at all.
       val comp = connectedComponents(bc.union(internal), "d1", "d2")
+      // the pre-banded index is about to go stale: drop it BEFORE the
+      // rows land (crash in between: no index and no rows — just slower)
+      val sigDest = LedgerGuard.appendPath(spark, clusterSigPath(path))
+      invalidateSigIndex(spark, sigDest)
+      sig.write.mode("append").parquet(sigDest)
       val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
         .join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
@@ -700,7 +850,10 @@ object DedupOps {
       // rewrite join would have matched). Derived from `asg`, not from
       // the probe: `comp` is CC-cached but a probe-derived filter would
       // re-execute the whole signature probe inside the remap swap.
-      val existingLabels = asg.select(col("label").as("old_label")).distinct()
+      // no .distinct() on the semi-join's right side: LEFT SEMI tests
+      // existence only (never duplicates the left), so the corpus-wide
+      // distinct shuffle the old form paid per advance bought nothing
+      val existingLabels = asg.select(col("label").as("old_label"))
       val newRemap = comp.filter(col("node") =!= col("label"))
         .select(col("node").as("old_label"), col("label").as("new_label"))
         .join(existingLabels, Seq("old_label"), "left_semi")
@@ -763,14 +916,25 @@ object DedupOps {
     * discipline everywhere.
     */
   def compactClusterLedger(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFiles: Int = 16): Unit = {
-    compactSignatureLedger(spark, clusterSigPath(path), targetFiles)
+      path: String, targetFiles: Int = 16, bandSize: Int = 4): Unit = {
+    // the signature compaction and the assignments fold touch DISJOINT
+    // stores (/sig vs /asg + /rmp) — run them concurrently: at bench
+    // scale the cycle is scheduling-bound and the overlap reclaims the
+    // idle cores; on a cluster the two swaps were always independent
+    // (per-path locks + leases). The rmp reset below still waits for
+    // the asg fold (it reads /rmp).
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    val sigF = scala.concurrent.Future {
+      compactSignatureLedger(spark, clusterSigPath(path), targetFiles,
+        bandSize = bandSize)
+    }
     LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
       "cluster-ledger compaction") { staging =>
       LayoutOps.writeSized(
         readClusterAssignments(spark, path),
         staging, col("node"), targetFiles, 64L * 1000 * 1000)
     }
+    scala.concurrent.Await.result(sigF, scala.concurrent.duration.Duration.Inf)
     // the folded base is clean: readers skip the replay-collapse dedup
     // until the next advance dirties it (marker written AFTER the swap;
     // a crash in between leaves the safe unmarked state)

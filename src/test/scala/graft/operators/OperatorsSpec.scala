@@ -753,6 +753,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atRest == direct && direct.nonEmpty, s"atRest=$atRest direct=$direct")
   }
 
+  test("signature-ledger pre-banded index: probe ≡ recompute, dropped by append, rebuilt by compaction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString + "/led"
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val gen1 = docs.filter((col("doc_id") % 10).between(1, 5))
+    val gen2 = docs.filter(col("doc_id") % 10 > 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idxDir = new java.io.File(dir, "_GRAFT_SIG_INDEX_B4")
+    // creation writes the index; probe binds it
+    DedupOps.writeSignatureLedger(gen1, "doc_id", "text", dir)
+    assert(new java.io.File(idxDir, "bands/_SUCCESS").exists,
+      "creation did not leave a complete pre-banded index")
+    val viaIndex = rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir))
+    // index ≡ recomputed: deleting the subdir forces the derive path
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec); f.delete()
+    }
+    deleteRec(idxDir)
+    val viaDerive = rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir))
+    assert(viaIndex == viaDerive && viaIndex.nonEmpty,
+      s"index/recompute divergence: $viaIndex != $viaDerive")
+    // an append DROPS the (stale-to-be) index before its rows land...
+    DedupOps.compactSignatureLedger(spark, dir, targetFiles = 2) // rebuild first
+    assert(new java.io.File(idxDir, "bands/_SUCCESS").exists,
+      "compaction did not rebuild the pre-banded index")
+    DedupOps.appendToSignatureLedger(gen2, "doc_id", "text", dir)
+    assert(!idxDir.exists,
+      "append left a stale pre-banded index behind — probes would " +
+        "silently miss collisions with the appended rows")
+    // ...and the post-append probe (derive path) still equals direct
+    val atRest = rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir))
+    val direct = rows(DedupOps.crossDedupPairs(batch, gen1.unionByName(gen2), "doc_id", "text"))
+    assert(atRest == direct, s"atRest=$atRest direct=$direct")
+    // compaction rebuilds; the indexed probe over BOTH generations
+    // again equals direct (n_bands included — the index collapses
+    // replayed duplicates exactly like the recompute path)
+    DedupOps.compactSignatureLedger(spark, dir, targetFiles = 2)
+    assert(new java.io.File(idxDir, "bands/_SUCCESS").exists)
+    assert(rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir)) == direct)
+  }
+
   test("signature ledger is self-describing: parameter mismatch fails loudly, meta survives compaction") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("sigmeta").toString + "/led"
