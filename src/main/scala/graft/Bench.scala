@@ -108,8 +108,23 @@ object Bench {
     // multi-minute windows (documented in SCALE.md), so a window that lands
     // mid-run poisons different queries in each pass and min() recovers the
     // real number. A query that fails in either pass reports -1.
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // Each pass slot is STEAL-GATED ([[BenchGate]]): a pass whose host
+    // CPU-steal fraction exceeds the threshold (default 3% ≈ 10× the
+    // calm reference; r14's poisoned pass ran 8%) re-runs, up to
+    // SPARK_GRAFT_BENCH_STEAL_RETRIES extra attempts — the manual
+    // discard-and-rerun judgement of earlier rounds, automated, so
+    // BENCH_rN.json is calm-window-comparable by construction. Every
+    // attempt's fraction + the retry counts land in bench_full.json
+    // and the diag line.
+    val stealFracMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_FRAC", "0.03").toDouble
+    val stealRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2").toInt
+    val g1 = BenchGate.withRetry(stealFracMax, stealRetries, cpus.toInt,
+      stealTicks _)(() => timedPass())
+    val g2 = BenchGate.withRetry(stealFracMax, stealRetries, cpus.toInt,
+      stealTicks _)(() => timedPass())
+    val (p1, p2) = (g1.result, g2.result)
     val results = names.map { n =>
       n -> (if (p1(n).sec < 0 || p2(n).sec < 0) -1.0 else math.min(p1(n).sec, p2(n).sec))
     }
@@ -141,11 +156,16 @@ object Bench {
     val atAnchorSf = sfDir.stripSuffix("/").endsWith(q01CalmSf)
     val q01Norm =
       if (q01Min > 0 && atAnchorSf) rawTotal * (q01Calm / q01Min) else -1.0
+    def fracsJson(g: BenchGate.Gated[_]): String =
+      g.stealFracs.map(f => f"$f%.4f").mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (s"""{"sf":"$sfDir","total":$rawTotal,"q01":$q01Min,""" +
         s""""q01_calm_ref":$q01Calm,"q01_calm_sf":"$q01CalmSf",""" +
         s""""total_q01norm":$q01Norm,""" +
+        s""""steal_retries":[${g1.retries},${g2.retries}],""" +
+        s""""steal_fracs":[${fracsJson(g1)},${fracsJson(g2)}],""" +
+        s""""steal_frac_max":$stealFracMax,""" +
         s""""queries":$fullJson}""").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
 
@@ -159,7 +179,8 @@ object Bench {
     val ncs = Seq(p1, p2).map(_.valuesIterator.map(_.nComp).sum).mkString("[", ",", "]")
     val sts = Seq(p1, p2).map(_.valuesIterator.map(_.steal).sum).mkString("[", ",", "]")
     val ths = Seq(p1, p2).map(_.valuesIterator.map(_.thrMs).sum).mkString("[", ",", "]")
-    println(s"""{"diag":{"gc":$gcs,"nc":$ncs,"steal":$sts,"thr":$ths}}""")
+    println(s"""{"diag":{"gc":$gcs,"nc":$ncs,"steal":$sts,"thr":$ths,""" +
+      s""""retries":[${g1.retries},${g2.retries}]}}""")
 
     // The driver keeps only the final 2000 chars of output, so the metrics
     // line must stay well under that budget; f3 is only used for the total.

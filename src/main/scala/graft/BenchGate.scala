@@ -1,0 +1,60 @@
+package graft
+
+/** The calm-window discipline, automated: re-run a bench pass whose
+  * measured host CPU-steal fraction says the shared VM was taking the
+  * cores while we measured (SCALE.md's multi-minute throttle windows —
+  * previously a manual discard-and-rerun judgement documented per
+  * round in the closing notes).
+  *
+  * Steal fraction = steal ticks (USER_HZ ≈ 10 ms each, whole-host
+  * counter from /proc/stat field 8) × 10 ms ÷ (cores × pass seconds):
+  * the share of this host's CPU capacity the hypervisor confiscated
+  * during the pass. The committed calm sweeps run ≈ 0.3-0.5%; the
+  * r14 poisoned pass ran ≈ 8%. The default gate (3%) sits ~10× the
+  * calm reference and well under the poison level.
+  *
+  * The steal SOURCE is injectable because no in-process test can move
+  * it: steal accrues only when the HYPERVISOR deprives the vCPU — a
+  * spec spinning burner threads raises user time, not field 8. The
+  * spec therefore injects a fake counter and pins the retry contract
+  * (noisy attempt → exactly one retry, every attempt's fraction
+  * recorded); Bench wires the real /proc/stat reader.
+  */
+object BenchGate {
+
+  /** One accepted attempt: the pass result, every attempt's steal
+    * fraction (last = the accepted one), and the retry count
+    * (= fractions.size - 1).
+    */
+  final case class Gated[A](result: A, stealFracs: Vector[Double]) {
+    def retries: Int = stealFracs.size - 1
+  }
+
+  /** Run `pass`; while its steal fraction exceeds `maxFrac`, run it
+    * again, up to `maxRetries` extra attempts — the LAST attempt is
+    * accepted unconditionally (a permanently-noisy host must still
+    * produce a sweep; the recorded fractions say how much to trust
+    * it). `sec` is measured here, around the pass itself.
+    */
+  def withRetry[A](maxFrac: Double, maxRetries: Int, cores: Int,
+      stealTicks: () => Long)(pass: () => A): Gated[A] = {
+    require(maxRetries >= 0 && cores >= 1 && maxFrac > 0.0,
+      s"bench steal gate: maxFrac=$maxFrac maxRetries=$maxRetries cores=$cores")
+    var fracs = Vector.empty[Double]
+    var attempt = 0
+    while (true) {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      val a = pass()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val frac =
+        if (sec <= 0) 0.0
+        else (stealTicks() - s0).max(0L) * 0.01 / (cores.toDouble * sec)
+      fracs = fracs :+ frac
+      if (frac <= maxFrac || attempt >= maxRetries)
+        return Gated(a, fracs)
+      attempt += 1
+    }
+    sys.error("unreachable")
+  }
+}

@@ -1279,12 +1279,23 @@ object CurationOps {
     * model-sized `(piece, expected-count)` partials — the corpus is
     * never re-read, and the driver holds only the model.
     *
+    * `roundDecimals` (None = exact, the default every gate runs):
+    * round the per-round expected counts and every log-prob at that
+    * many decimals via the [[graft.queries.Qf.droundD]] IEEE
+    * expression — the d34/s20/d105 oracle-parity discipline, which is
+    * what lets the d106 conformance query hash-match a DuckDB replay
+    * of the EM (rounding each round absorbs the forward-backward-vs-
+    * brute-force and sum-order float divergence between engines).
+    *
     * @return (vocab as (piece, logprob) sorted by piece,
     *         per-round corpus log-likelihoods)
     */
   def learnUnigramVocab(docs: DataFrame, textCol: String,
       seedMaxLen: Int = 4, seedSize: Int = 300, emRounds: Int = 3,
-      finalSize: Int = 120): (Seq[(String, Double)], Seq[Double]) = {
+      finalSize: Int = 120, roundDecimals: Option[Int] = None)
+      : (Seq[(String, Double)], Seq[Double]) = {
+    val rd: Double => Double = x =>
+      roundDecimals.fold(x)(d => graft.queries.Qf.droundD(x, d))
     require(seedMaxLen >= 2 && seedSize >= 1 && emRounds >= 1 && finalSize >= 1,
       s"invalid unigram-training parameters: seedMaxLen=$seedMaxLen " +
         s"seedSize=$seedSize emRounds=$emRounds finalSize=$finalSize")
@@ -1318,7 +1329,7 @@ object CurationOps {
           "from (an empty vocab would fail only later, at apply time)")
       val seedTot = (chars.iterator ++ subs.iterator).map(_._2).sum.toDouble
       var vocab: Seq[(String, Double)] = (chars ++ subs).toSeq
-        .map { case (p, n) => (p, math.log(n / seedTot)) }.sortBy(_._1)
+        .map { case (p, n) => (p, rd(math.log(n / seedTot))) }.sortBy(_._1)
       val lls = Seq.newBuilder[Double]
       (1 to emRounds).foreach { _ =>
         val vm = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
@@ -1340,11 +1351,11 @@ object CurationOps {
           .collect() // model-sized: |vocab| + 1 rows
         lls += stats.find(_.getBoolean(0)).map(_.getDouble(2)).getOrElse(0.0)
         val cnts = stats.filterNot(_.getBoolean(0))
-          .map(r => r.getString(1) -> r.getDouble(2)).toMap
+          .map(r => r.getString(1) -> rd(r.getDouble(2))).toMap
         val total = cnts.values.sum
         vocab = vocab.flatMap { case (p, _) =>
           val e = cnts.getOrElse(p, 0.0)
-          if (e > 0) Some(p -> math.log(e / total))
+          if (e > 0) Some(p -> rd(math.log(e / total)))
           // a zero-expectation single char keeps a floor so every word
           // stays segmentable (cannot trigger for corpus-derived seeds —
           // a char's own one-piece segmentations always carry mass)
@@ -1358,7 +1369,7 @@ object CurationOps {
       val kept = singles ++ multis.sortBy { case (p, lp) => (-lp, p) }
         .take(math.max(0, finalSize - singles.size))
       val norm = math.log(kept.iterator.map { case (_, lp) => math.exp(lp) }.sum)
-      (kept.map { case (p, lp) => (p, lp - norm) }.sortBy(_._1), lls.result())
+      (kept.map { case (p, lp) => (p, rd(lp - norm)) }.sortBy(_._1), lls.result())
     } finally { words.unpersist(false); () }
   }
 

@@ -441,6 +441,142 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** d106's oracle: the unigram-LM EM TRAINER replayed in DuckDB SQL —
+    * the d85/s20 chained-CTE regime applied to Kudo's EM. Seed = the
+    * char set + top-200 substrings (len 2-4) with ML log-probs over
+    * the seed mass; then `emRounds` generated blocks, each enumerating
+    * ALL segmentations of every distinct word as a recursive CTE
+    * (brute force — the unit spec pins forward-backward ≡ brute-force,
+    * and the 4dp rounding of each round's expected counts + log-probs
+    * on BOTH sides absorbs the operation-order float divergence), the
+    * per-word partition via max + log-sum-exp, expected counts
+    * `exp(lp − z)·c` summed per piece, and the multinomial M-step with
+    * the −30 single-char floor and dead-multi shrinkage. Final prune:
+    * every single char + the top (finalSize − singles) multis by
+    * (lp DESC, p), renormalized. The APPLY half is the d105 Viterbi
+    * oracle verbatim over the learned vocabulary. Every per-round
+    * table is MATERIALIZED (the d86 lesson: inlined CTE chains
+    * re-evaluate exponentially) and the vocab lookup inside the
+    * segmentation recursion is a plain JOIN against the materialized
+    * previous-round vocab — carrying the vocab as list columns per
+    * path row made the recursion quadratic in memory.
+    */
+  private lazy val unigramLearnOracle: String = {
+    val emRounds = 3
+    val seedMaxLen = 4
+    val seedSize = 200
+    val finalSize = 160
+    def r4(x: String) = s"sign($x) * floor(abs($x) * 10000.0 + 0.5) / 10000.0"
+    val rounds = new StringBuilder
+    (1 to emRounds).foreach { r =>
+      val prev = s"v${r - 1}"
+      rounds.append(s""",
+        |seg$r AS (
+        |  SELECT w AS word, c, 0 AS pos, CAST(0.0 AS DOUBLE) AS lp,
+        |         CAST([] AS VARCHAR[]) AS pieces
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT s.word, s.c, s.pos + ll.l AS pos, s.lp + vv.lp AS lp,
+        |         list_append(s.pieces, vv.p) AS pieces
+        |  FROM seg$r s
+        |  JOIN (SELECT unnest(range(1, ${seedMaxLen + 1})) AS l) ll
+        |    ON s.pos + ll.l <= length(s.word)
+        |  JOIN $prev vv ON vv.p = substr(s.word, s.pos + 1, ll.l)
+        |  WHERE s.pos < length(s.word)),
+        |full$r AS MATERIALIZED (SELECT word, c, lp, pieces FROM seg$r WHERE pos = length(word)),
+        |zm$r AS MATERIALIZED (SELECT word, max(lp) AS mx FROM full$r GROUP BY word),
+        |z$r AS MATERIALIZED (SELECT f.word, zm.mx + ln(sum(exp(f.lp - zm.mx))) AS z
+        |  FROM full$r f JOIN zm$r zm USING (word) GROUP BY f.word, zm.mx),
+        |occ$r AS MATERIALIZED (SELECT word, c, lp, unnest(pieces) AS p FROM full$r),
+        |e$r AS MATERIALIZED (SELECT p, ${r4("sum(exp(o.lp - z.z) * o.c)")} AS e
+        |  FROM occ$r o JOIN z$r z USING (word) GROUP BY p),
+        |v$r AS MATERIALIZED (
+        |  SELECT p, lp FROM (
+        |    SELECT v.p,
+        |      CASE WHEN coalesce(e.e, 0) > 0 THEN ${r4("ln(e.e / t.t)")}
+        |           WHEN length(v.p) = 1 THEN -30.0
+        |           ELSE NULL END AS lp
+        |    FROM $prev v
+        |    LEFT JOIN e$r e ON v.p = e.p,
+        |    (SELECT CAST(sum(e) AS DOUBLE) AS t FROM e$r) t)
+        |  WHERE lp IS NOT NULL)""".stripMargin)
+    }
+    s"""WITH RECURSIVE
+       |tok0 AS (SELECT unnest($sqlTokens) AS w FROM documents),
+       |wc AS MATERIALIZED (SELECT w, count(*) AS c FROM tok0 WHERE w <> '' GROUP BY w),
+       |chars AS MATERIALIZED (SELECT c2 AS p, sum(c) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(w, '[\\s\\S]')) AS c2, c FROM wc)
+       |  WHERE length(c2) = 1 GROUP BY c2),
+       |subs0 AS (
+       |  SELECT substr(w, i + 1, l) AS p, c
+       |  FROM wc, (SELECT unnest(range(2, ${seedMaxLen + 1})) AS l) ls,
+       |       LATERAL (SELECT unnest(range(0, length(w) - ls.l + 1)) AS i) ii
+       |  WHERE length(w) >= ls.l),
+       |subs AS MATERIALIZED (SELECT p, sum(c) AS n FROM subs0 GROUP BY p
+       |  ORDER BY n DESC, p LIMIT $seedSize),
+       |seedu AS MATERIALIZED (SELECT p, n FROM chars UNION ALL SELECT p, n FROM subs),
+       |v0 AS MATERIALIZED (SELECT p, ${r4("ln(n / t.t)")} AS lp
+       |  FROM seedu, (SELECT CAST(sum(n) AS DOUBLE) AS t FROM seedu) t)
+       |${rounds.toString},
+       |singles AS (SELECT p, lp FROM v$emRounds WHERE length(p) = 1),
+       |kept AS (
+       |  SELECT p, lp FROM singles
+       |  UNION ALL
+       |  SELECT p, lp FROM (
+       |    SELECT p, lp, row_number() OVER (ORDER BY lp DESC, p) AS rn
+       |    FROM v$emRounds WHERE length(p) > 1)
+       |  WHERE rn <= (SELECT greatest(0, $finalSize - count(*)) FROM singles)),
+       |vf AS MATERIALIZED (SELECT p, ${r4("lp - nm.nm")} AS lp
+       |  FROM kept, (SELECT ln(sum(exp(lp))) AS nm FROM kept) nm),
+       |vlist AS MATERIALIZED (SELECT list(p ORDER BY p) AS pl, list(lp ORDER BY p) AS lpl,
+       |  greatest(max(length(p)), 2) AS maxlen FROM vf),
+       |words AS (SELECT DISTINCT w AS word FROM wc),
+       |dp AS (
+       |  SELECT word, length(word) AS m, 0 AS i,
+       |         [CAST(0.0 AS DOUBLE)] AS best, [0] AS back, pl, lpl, maxlen
+       |  FROM words, vlist
+       |  UNION ALL
+       |  SELECT word, m, i,
+       |         list_append(best, list_aggregate(sc, 'max')) AS best,
+       |         list_append(back,
+       |           lo + list_position(sc, list_aggregate(sc, 'max')) - 1) AS back,
+       |         pl, lpl, maxlen
+       |  FROM (
+       |    SELECT word, m, i + 1 AS i, best, back, pl, lpl, maxlen,
+       |           greatest(0, i + 1 - maxlen) AS lo,
+       |           [coalesce(
+       |              best[j + 1] + lpl[list_position(pl, substr(word, j + 1, (i + 1) - j))],
+       |              CASE WHEN (i + 1) - j = 1 THEN best[j + 1] + (-20.0)
+       |                   ELSE CAST('-infinity' AS DOUBLE) END)
+       |            FOR j IN range(greatest(0, i + 1 - maxlen), i + 1)] AS sc
+       |    FROM dp WHERE i < m)),
+       |dpf AS (SELECT word, m, back FROM dp WHERE i = m),
+       |rec AS (
+       |  SELECT word, m AS p, CAST([] AS VARCHAR[]) AS pieces, back FROM dpf
+       |  UNION ALL
+       |  SELECT word, back[p + 1] AS p,
+       |         list_prepend(substr(word, back[p + 1] + 1, p - back[p + 1]),
+       |           pieces) AS pieces,
+       |         back
+       |  FROM rec WHERE p > 0),
+       |wenc AS MATERIALIZED (SELECT word, pieces FROM rec WHERE p = 0),
+       |w AS (SELECT doc_id, unnest(toks) AS word,
+       |             unnest(generate_series(1, len(toks))) AS pos
+       |      FROM (SELECT doc_id,
+       |                   list_filter($sqlTokens, t -> t <> '') AS toks
+       |            FROM documents)),
+       |tokp AS (SELECT doc_id, pos, e.pieces FROM w JOIN wenc e USING (word)),
+       |docp AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS allp,
+       |                count(*) AS n_tok
+       |         FROM tokp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_tok, 0) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(len(p.allp), 0) AS INTEGER) AS n_pieces,
+       |  md5(array_to_string(coalesce(p.allp, CAST([] AS VARCHAR[])), ' ')) AS pieces_fp
+       |FROM documents d LEFT JOIN docp p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** d68's oracle: greedy longest-match-first WordPiece as a DuckDB
     * recursive CTE — one segmentation step per recursion round, the
     * vocabulary inlined as a list literal (derived from the SAME
@@ -4456,11 +4592,28 @@ object PipelineQueries {
     // might_contain=false is a PROOF of novelty (no false negatives), so
     // "definitely new" documents skip the exact join entirely at 100 TB.
     // Ledger built over the admitted half across two advances plus a
-    // replayed delivery; the probe classifies the full corpus. Bloom
-    // bits are not SQL-expressible → declared rows-only; the superset /
-    // no-false-negative / FP-budget / bit-exact-merge gates live in
-    // AccuracySpec.
-    q("d119_bloom_ledger_probe", null) { (s, dir) =>
+    // replayed delivery; the probe classifies the full corpus. The raw
+    // bloom BITS stay engine-specific (which non-members false-positive
+    // is bit-layout), so the verdict column itself is never hashed —
+    // what hash-matches is the DECISION RELATION (the r14-verdict d24b
+    // regime): per document, the exact membership (oracle replays the
+    // digest join) and the per-row no-false-negative verdict
+    // `nfn_ok = NOT (member AND NOT might_contain)` — TRUE everywhere
+    // iff flagged ⊇ member set, which the oracle asserts as a literal.
+    // A bloom that ever dropped a member flips a row to false and the
+    // hash goes red. FP-budget and bit-exact incremental merge remain
+    // AccuracySpec gates (they are about the bits, not the decision).
+    q("d119_bloom_ledger_probe",
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE md5(CAST(length(text) AS VARCHAR) || ':' || text) END AS dg
+        |  FROM documents),
+        |adm AS (SELECT DISTINCT dg FROM f WHERE doc_id % 2 = 0 AND dg IS NOT NULL)
+        |SELECT f.doc_id,
+        |  (a.dg IS NOT NULL) AS is_member,
+        |  TRUE AS nfn_ok
+        |FROM f LEFT JOIN adm a ON f.dg = a.dg
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.DedupOps
       val docs = table(s, dir, "documents")
       val digest = DedupOps.md5Hash32(col("text"), "")
@@ -4474,8 +4627,19 @@ object PipelineQueries {
         batchId = Some("g2"))
       DedupOps.advanceBloomLedger(g2, digest, "md5-32", 10000L, 0.01, path,
         batchId = Some("g2")) // replayed delivery: exactly-once no-op
-      DedupOps.probeBloomLedger(docs, "doc_id", digest, path, "md5-32",
-        10000L, 0.01)
+      val probe = DedupOps.probeBloomLedger(docs, "doc_id", digest, path,
+        "md5-32", 10000L, 0.01)
+      // exact member relation, same digest family as the ledger admits
+      // (NULL text → NULL digest → non-member, both engines)
+      val admDg = admitted.select(digest.as("__dg")).distinct()
+        .withColumn("__m", lit(true))
+      docs.select(col("doc_id"), digest.as("__dg"))
+        .join(probe, Seq("doc_id"))
+        .join(admDg, Seq("__dg"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__m"), lit(false)).as("is_member"),
+          (!(coalesce(col("__m"), lit(false)) && !col("might_contain")))
+            .as("nfn_ok"))
         .orderBy("doc_id")
     },
 
@@ -6016,15 +6180,21 @@ object PipelineQueries {
     // over ALL segmentations, corpus never re-read after the one
     // vocab-collapsing pass), probability pruning, then the Viterbi
     // apply kernel encodes the corpus with the LEARNED vocabulary.
-    // EM is engine-specific → rows-only; the AccuracySpec gate pins
-    // monotone non-decreasing corpus log-likelihood across rounds +
-    // lossless reconstruction + closure under the learned vocab, and
-    // the unit spec pins forward-backward ≡ brute-force enumeration.
-    q("d106_unigram_learn", null) { (s, dir) =>
+    // EM here runs the 4dp-rounded oracle-parity mode
+    // (roundDecimals = Some(4)): each round's expected counts and
+    // log-probs round via the droundD IEEE expression on both sides,
+    // so [[unigramLearnOracle]]'s chained-CTE replay (brute-force
+    // segmentation enumeration per round + the same M-step) produces
+    // bit-identical vocabularies → full hash-match. The AccuracySpec
+    // gate keeps pinning the EXACT trainer (monotone corpus LL,
+    // lossless reconstruction, closure), and the unit spec pins
+    // forward-backward ≡ brute-force enumeration.
+    q("d106_unigram_learn", unigramLearnOracle) { (s, dir) =>
       import graft.operators.CurationOps
       val docs = table(s, dir, "documents")
       val (pieces, _) = CurationOps.learnUnigramVocab(docs, "text",
-        seedMaxLen = 4, seedSize = 200, emRounds = 3, finalSize = 160)
+        seedMaxLen = 4, seedSize = 200, emRounds = 3, finalSize = 160,
+        roundDecimals = Some(4))
       val enc = graft.functions.TokenizeExpressions.unigramEncode(
         col("text"), pieces)
       docs.select(col("doc_id"), enc.as("__p"))
