@@ -727,6 +727,12 @@ object DedupOps {
       val idxF = scala.concurrent.Future {
         writeSigIndex(docs.sparkSession, clusterSigPath(path), bandSize,
           fromRows = Some(sig))
+        // seed the (empty) remap table in the same side lane: advances
+        // append label-merge events here instead of rewriting the
+        // assignments table; independent of the /asg leg below
+        docs.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+          .write.mode("overwrite").parquet(clusterRmpPath(path))
       }
       val cc = connectedComponents(
         starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
@@ -734,11 +740,6 @@ object DedupOps {
         .join(cc, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .write.mode("overwrite").parquet(clusterAsgPath(path))
-      // seed the (empty) remap table: advances append label-merge
-      // events here instead of rewriting the assignments table
-      docs.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
-        .write.mode("overwrite").parquet(clusterRmpPath(path))
       markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
       // surface index-write failures HERE (creation must not return
       // "done" with a corrupt/absent-but-half-written index subdir)
@@ -857,12 +858,6 @@ object DedupOps {
       val newRemap = comp.filter(col("node") =!= col("label"))
         .select(col("node").as("old_label"), col("label").as("new_label"))
         .join(existingLabels, Seq("old_label"), "left_semi")
-      // O(batch) delta append — no stored assignment row is rewritten.
-      // The clean marker falls FIRST: a crash in between leaves the
-      // safe unmarked state (readers dedup), never a lying marker.
-      clearAsgClean(spark, path)
-      batchAsg.write.mode("append")
-        .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
       // merge events are model-sized by construction — collect them and
       // SKIP the staged remap swap when the advance produced nothing
       // new (every no-merge advance, and every replay: its merges were
@@ -871,9 +866,26 @@ object DedupOps {
       // the advance's single most expensive fixed cost (lease + staged
       // write + rename + sidecar carry ≈ 0.5 s at bench scale, SCALE.md
       // round-11 d66 A/B), paid only when a merge actually happened.
-      val newEntries = newRemap.collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .filterNot { case (o, n) => existingRemap.get(o).contains(n) }
+      // Collected CONCURRENT with the two delta appends below (comp is
+      // CC-cached; the asg read binds the pre-append snapshot, which
+      // is the set "labels existing before this advance" the semantics
+      // want — the old post-append read was equivalent only because
+      // freshly appended labels are merge winners and can never match
+      // a loser): the collect's join overlaps the appends' I/O.
+      implicit val ec = scala.concurrent.ExecutionContext.global
+      val newEntriesF = scala.concurrent.Future {
+        newRemap.collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .filterNot { case (o, n) => existingRemap.get(o).contains(n) }
+      }
+      // O(batch) delta append — no stored assignment row is rewritten.
+      // The clean marker falls FIRST: a crash in between leaves the
+      // safe unmarked state (readers dedup), never a lying marker.
+      clearAsgClean(spark, path)
+      batchAsg.write.mode("append")
+        .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
+      val newEntries = scala.concurrent.Await.result(
+        newEntriesF, scala.concurrent.duration.Duration.Inf)
       if (newEntries.nonEmpty) {
         // merge-event-sized remap rewrite under the staged swap; carries
         // the exactly-once marker for the whole advance
