@@ -452,16 +452,17 @@ object DedupOps {
     * [[LedgerGuard.advanceInPlace]]'s `_GRAFT_` carry-forward.
     */
   def writeSignatureLedger(df: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 8, shingleSize: Int = 5,
-      bandSize: Int = 4): Unit = {
+      path: String, numHashes: Int = 8, shingleSize: Int = 5): Unit = {
     minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull)
       .write.mode("overwrite").parquet(path)
     writeSigMeta(df.sparkSession, path, numHashes, shingleSize)
-    // pre-banded probe index from the just-written parquet (read-back;
-    // no re-shingle) — probes at this band shape skip the corpus-side
-    // group/band/dedup work until the next append drops it
-    writeSigIndex(df.sparkSession, path, bandSize)
+    // NO pre-banded index at creation: the standalone ledger's steady
+    // state is append-then-probe ingest, and the first append drops
+    // the index — creation-time banding would be a pure write tax
+    // (measured +0.9 s on d48's cycle). [[compactSignatureLedger]]
+    // writes it; the CLUSTER ledger's creation does too (its advance
+    // probes immediately — the build-then-ingest shape).
   }
 
   /** Sidecar name of the signature ledger's creation-time parameters
@@ -566,14 +567,31 @@ object DedupOps {
       maxRecordsPerFile: Long = 64L * 1000 * 1000, bandSize: Int = 4): Unit =
     LedgerGuard.advanceInPlace(spark, path, "signature-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
+      // rebuild the pre-banded probe index CONCURRENT with the sized
+      // rewrite: both derive from the same dedup'd frame, so the
+      // index's wall cost hides under the rewrite. It writes into a
+      // SIBLING scratch dir (writeSized's overwrite deletes `staging`
+      // first — an in-flight subdir write there loses its _temporary)
+      // and renames in after both jobs land, so it still rides into
+      // the promoted generation with the swap. The dedup certificate
+      // the index carries holds: the promoted rows ARE `led`.
+      implicit val ec = scala.concurrent.ExecutionContext.global
+      val idxTmp = staging + ".idx"
+      val idxF = scala.concurrent.Future {
+        writeSigIndex(spark, idxTmp, bandSize, fromRows = Some(led))
+      }
       // sort by the id column (first at-rest column) so file-level
       // min/max stats prune id-ranged reads
       LayoutOps.writeSized(led, staging, col(led.columns.head),
         targetFiles, maxRecordsPerFile)
-      // rebuild the pre-banded probe index off the just-compacted rows
-      // (read-back of the staging parquet — the writeBigramModel
-      // pattern); rides into the promoted generation with the swap
-      writeSigIndex(spark, staging, bandSize)
+      scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idxName = sigIndexDirName(bandSize)
+      val src = new org.apache.hadoop.fs.Path(idxTmp, idxName)
+      if (fs.exists(src)) // absent when the band shape skipped the write
+        fs.rename(src, new org.apache.hadoop.fs.Path(staging, idxName))
+      fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
     }
 
   // ------------------------------------------------------------------

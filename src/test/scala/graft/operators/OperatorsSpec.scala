@@ -762,10 +762,14 @@ class OperatorsSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val idxDir = new java.io.File(dir, "_GRAFT_SIG_INDEX_B4")
-    // creation writes the index; probe binds it
+    // creation deliberately writes NO index (the standalone ledger's
+    // steady state is append-then-probe, and an append drops it —
+    // creation-time banding would be a write tax); compaction does
     DedupOps.writeSignatureLedger(gen1, "doc_id", "text", dir)
+    assert(!idxDir.exists, "standalone creation must not pay the index write")
+    DedupOps.compactSignatureLedger(spark, dir, targetFiles = 2)
     assert(new java.io.File(idxDir, "bands/_SUCCESS").exists,
-      "creation did not leave a complete pre-banded index")
+      "compaction did not leave a complete pre-banded index")
     val viaIndex = rows(DedupOps.crossDedupAgainstSignatures(batch, "doc_id", "text", dir))
     // index ≡ recomputed: deleting the subdir forces the derive path
     def deleteRec(f: java.io.File): Unit = {
