@@ -667,12 +667,33 @@ object OlapQueries {
           |ORDER BY c_custkey""".stripMargin)
     },
 
-    // ---------------------------------------------------------------- approx / sketches (rows-only: HLL impls differ)
-    q("q29_approx_distinct", null) { (s, dir) =>
+    // ---------------------------------------------------------------- approx / sketches
+    // HLL implementations differ per engine, so the ESTIMATE is never
+    // hashed — what hash-matches is the DECISION RELATION (the r15
+    // d119 regime): exact distinct counts (oracle-expressible) plus
+    // per-group verdicts that the engine's HLL landed within 10% of
+    // exact (2× the AccuracySpec gate's 5%, headroom documented there;
+    // Spark's HLL is deterministic, so the verdict is stable). An
+    // estimator that drifted out of its error contract flips a row to
+    // false and the hash goes red.
+    q("q29_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  TRUE AS parts_est_ok, TRUE AS orders_est_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def ok(approx: Column, exact: Column) =
+        (abs(approx.cast("double") - exact.cast("double"))
+          <= lit(0.10) * exact.cast("double"))
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+          ok(col("__ap"), col("n_parts")).as("parts_est_ok"),
+          ok(col("__ao"), col("n_orders")).as("orders_est_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1060,17 +1081,34 @@ object OlapQueries {
     // sort-based window — no per-group buffering); this variant is the
     // sketch alternative for when even the distinct-value set is too wide:
     // approx_percentile keeps constant per-group state, map-side
-    // combinable. Sketch implementations differ per engine (no
-    // cross-engine oracle); an sbt test bounds it against the exact
-    // percentiles instead.
-    q("q40b_percentiles_approx", null) { (s, dir) =>
+    // combinable. Sketch VALUES differ per engine, so they are never
+    // hashed — the hash-matched DECISION RELATION (the r15 d119
+    // regime) is the group's exact row count plus per-quantile
+    // verdicts that the sketch landed within 2% of the exact
+    // percentile (2× the AccuracySpec gate's 1%; deterministic sketch
+    // → stable verdict). Drift out of contract flips a row red.
+    q("q40b_percentiles_approx",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def ok(approx: Column, exact: Column) =
+        abs(approx - exact) <= lit(0.02) * abs(exact)
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          Qf.dround(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("p25"),
-          Qf.dround(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
-          Qf.dround(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
-          Qf.dround(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("med_qty"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("__a25"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("__amq"),
+          expr("percentile(l_extendedprice, 0.25)").as("__e25"),
+          expr("percentile(l_extendedprice, 0.5)").as("__e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("__e90"),
+          expr("percentile(l_quantity, 0.5)").as("__emq"))
+        .select(col("l_returnflag"), col("n"),
+          ok(col("__a25"), col("__e25")).as("ok_p25"),
+          ok(col("__a50"), col("__e50")).as("ok_p50"),
+          ok(col("__a90"), col("__e90")).as("ok_p90"),
+          ok(col("__amq"), col("__emq")).as("ok_med_qty"))
         .orderBy("l_returnflag")
     },
 

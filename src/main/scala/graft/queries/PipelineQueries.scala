@@ -1466,20 +1466,34 @@ object PipelineQueries {
     // advanced batch-over-batch — the distinct-count companion to the
     // d39/d41 stats ledger: "how many UNIQUE documents has ingest seen
     // per language" in O(batch), no corpus re-read, no per-digest state.
-    // Sketch estimates have no cross-engine oracle (DuckDB's HLL is a
-    // different implementation), so the driver records rows-only; the
-    // named gates live in AccuracySpec ("d46 gate": n_docs exactly
-    // equal to a full recompute, estimate within 5% of exact distinct,
-    // merged-ledger estimate within 2% of a single-pass sketch) and
-    // CurationOpsSpec (three-batch advance, crash self-heal shared with
-    // the stats ledger).
-    q("d46_distinct_ledger", null) { (s, dir) =>
+    // Sketch ESTIMATES have no cross-engine oracle (DuckDB's HLL is a
+    // different implementation) and are never hashed — the hash-matched
+    // DECISION RELATION (the r15 d119 regime) is the ledger's exact
+    // n_docs, the exact distinct count (oracle-expressible), and the
+    // per-key verdict that the merged-ledger estimate landed within
+    // 10% of exact (2× the AccuracySpec gate's 5%; the datasketches
+    // HLL is deterministic → stable verdict). The tight bounds —
+    // estimate within 5%, merge within 2% of a single-pass sketch —
+    // stay in AccuracySpec; CurationOpsSpec keeps the three-batch
+    // advance + crash self-heal.
+    q("d46_distinct_ledger",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val path = Registry.scratchDir(
         s"/tmp/graft_conformance/d46_sketch_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
       graft.operators.CurationOps.writeSketchLedger(docs.filter(col("doc_id") % 2 === 0), "lang", col("text"), path)
       graft.operators.CurationOps.advanceSketchLedger(docs.filter(col("doc_id") % 2 === 1), "lang", col("text"), path)
-      graft.operators.CurationOps.sketchEstimates(s, path).orderBy("lang")
+      val exact = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      graft.operators.CurationOps.sketchEstimates(s, path)
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_exact"),
+          (abs(col("approx_distinct").cast("double") - col("n_exact").cast("double"))
+            <= lit(0.10) * col("n_exact").cast("double")).as("est_ok"))
+        .orderBy("lang")
     },
 
     // ---------------------------------------------------------------- unicode normalization
@@ -2543,12 +2557,31 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
-    // CMS-estimate variant (no CMS in the oracle engine → rows-only;
-    // AccuracySpec gates est against exact with the one-sided ε·N bound)
-    q("d22b_heavy_hitters_est", null) { (s, dir) =>
-      graft.operators.SketchOps.heavyHitters(
-        table(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("token")),
-        col("token"), k = 20)
+    // CMS-estimate variant. The estimate itself has no cross-engine
+    // oracle (no CMS in DuckDB) and is never hashed — the hash-matched
+    // DECISION RELATION (the r15 d119 regime) is the exact top-20
+    // (d22's own SQL) plus the per-token verdict of the CMS guarantee:
+    // one-sided overcount, est ∈ [exact, exact + ε·N] with ε = 0.001
+    // and N = the total token mass (oracle-expressible). The sketch is
+    // seeded/deterministic → stable verdict; AccuracySpec keeps the
+    // same bound as a named gate.
+    q("d22b_heavy_hitters_est",
+      s"""WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS exact FROM tok GROUP BY token
+         |        ORDER BY exact DESC, token LIMIT 20)
+         |SELECT token, exact, TRUE AS cms_ok
+         |FROM cnt ORDER BY exact DESC, token""".stripMargin) { (s, dir) =>
+      val eps = 0.001
+      val toks = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val total = toks.filter(col("token").isNotNull).count()
+      graft.operators.SketchOps.heavyHitters(toks, col("token"), k = 20,
+          eps = eps)
+        .select(col("token"), col("exact"),
+          (col("est") >= col("exact") &&
+            col("est") <= col("exact") + lit(eps) * lit(total.toDouble))
+            .as("cms_ok"))
+        .orderBy(col("exact").desc, col("token"))
     },
 
     // ---------------------------------------------------------------- IVF ANN (model-dependent → rows-only check)
@@ -3723,11 +3756,23 @@ object PipelineQueries {
     // stack (alternating-parity collapse, no RNG) so the ledger cycle
     // replays bit-exactly; rank error is O(log(n/k)/k), AccuracySpec-
     // gated at ≤0.035 rank error vs the exact quantile, with min/max
-    // exact. Rows-only by construction: a sketch estimate has no
-    // cross-engine oracle (the same reason q29's HLL and q40b's
-    // approx_percentile are gated, not hashed). Retraction = REBUILD —
-    // the d71 family boundary: sums subtract, sketches don't.
-    q("d110_kll_ledger", null) { (s, dir) =>
+    // exact. The ESTIMATE has no cross-engine oracle (the same reason
+    // q29's HLL and q40b's approx_percentile values are never hashed)
+    // — what hash-matches is the DECISION RELATION (the r15 d119
+    // regime): per (key, prob), the ledger's exact n (replayed by the
+    // oracle as a per-key count) and the verdict that the estimate's
+    // RANK landed within 0.07 of the target rank (2× the AccuracySpec
+    // gate's 0.035; deterministic sketch → stable verdict). The rank
+    // check runs Spark-side against the same corpus frame — the
+    // oracle asserts the verdict as a literal, so a sketch that ever
+    // drifted out of its MRL bound flips the hash red. Retraction =
+    // REBUILD — the d71 family boundary: sums subtract, sketches
+    // don't.
+    q("d110_kll_ledger",
+      """WITH m AS (SELECT lang FROM documents)
+        |SELECT lang, prob, CAST(count(*) AS BIGINT) AS n, TRUE AS rank_ok
+        |FROM m, (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS prob) p
+        |GROUP BY lang, prob ORDER BY lang, prob""".stripMargin) { (s, dir) =>
       import graft.operators.KllSketch
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -3748,10 +3793,20 @@ object PipelineQueries {
       KllSketch.advanceKllLedger(g3, "lang", "mwl", 128, path,
         batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
       KllSketch.compactKllLedger(s, path)
-      KllSketch.quantilesFromKllLedger(s, path, Seq(0.25, 0.5, 0.9, 0.99))
-        .select(col("key").as("lang"), col("prob"),
-          // round for artifact stability; the unrounded est feeds the gate
-          round(col("est"), 6).as("est"), col("n"))
+      val est = KllSketch.quantilesFromKllLedger(s, path, Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("key").as("lang"), col("prob"), col("est"), col("n"))
+      // rank check against the same corpus frame: below = |{v ≤ est}|
+      // per key, target = ceil(p·n) — the AccuracySpec gate's exact
+      // arithmetic, at 2× its bound. est rows are model-sized (keys ×
+      // probs) → broadcast; the corpus streams past once.
+      docs.select(col("lang"), col("mwl"))
+        .join(broadcast(est), Seq("lang"))
+        .groupBy(col("lang"), col("prob"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("mwl") <= col("est"), 1L).otherwise(0L)).as("__below"))
+        .select(col("lang"), col("prob"), col("n"),
+          (abs(col("__below") - ceil(col("prob") * col("n")))
+            <= lit(0.07) * col("n")).as("rank_ok"))
         .orderBy("lang", "prob")
     },
 
