@@ -351,6 +351,30 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** d49's oracle: the exact brute-force semantic decontamination
+    * answer (6dp-rounded cosine, argmax with smallest-bench-id ties,
+    * threshold on the rounded value). d49b deliberately does NOT
+    * share it — at sf0.1 the IVF prefilter's recall is < 1 (the
+    * nprobe trade-off working as designed), so the prefiltered row
+    * set is model-dependent; d49b hashes the exact-flag + precision
+    * decision relation instead.
+    */
+  private val semanticDeconOracle: String =
+    """WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0),
+      |scored AS (
+      |  SELECT c.vec_id, b.bench_id,
+      |    round(list_sum(list_transform(range(1, 65), i -> cv[i] * bv[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i])))), 6) AS cos
+      |  FROM c, b),
+      |ranked AS (SELECT vec_id, bench_id, cos,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+      |  FROM scored)
+      |SELECT vec_id, bench_id, cos AS max_cos FROM ranked
+      |WHERE rk = 1 AND cos >= 0.3
+      |ORDER BY vec_id""".stripMargin
+
   /** d105's oracle: unigram-LM learn-then-apply entirely in DuckDB SQL
     * — the third tokenizer-family graduation after d68 (greedy
     * recursive CTE) and d86 (priority-loop recursive CTE). The LEARN
@@ -909,21 +933,7 @@ object PipelineQueries {
     // with a smallest-bench-id tie-break. Exact brute-force form (the
     // oracle mirrors it pair-for-pair); the ANN-prefiltered variant is
     // the same rescore over probeBucketedIndex candidates.
-    q("d49_semantic_decontamination",
-      """WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0),
-        |scored AS (
-        |  SELECT c.vec_id, b.bench_id,
-        |    round(list_sum(list_transform(range(1, 65), i -> cv[i] * bv[i]))
-        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
-        |       * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i])))), 6) AS cos
-        |  FROM c, b),
-        |ranked AS (SELECT vec_id, bench_id, cos,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
-        |  FROM scored)
-        |SELECT vec_id, bench_id, cos AS max_cos FROM ranked
-        |WHERE rk = 1 AND cos >= 0.3
-        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    q("d49_semantic_decontamination", semanticDeconOracle) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       graft.operators.CurationOps.semanticDecontamination(
         emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
@@ -936,16 +946,49 @@ object PipelineQueries {
     // d49's scale path as real code: bench coarse-quantized into IVF
     // cells, corpus probes its nprobe nearest cells, exact rescore on
     // the candidates — no bench broadcast, no corpus × bench pair set.
-    // Model-dependent → rows-only; the AccuracySpec gate pins
-    // precision 1 (subset of exact) and recall ≥ 0.8 (measured 1.0).
-    q("d49b_semantic_decon_ivf", null) { (s, dir) =>
+    // The flagged SET is model-dependent (nprobe recall < 1 is the
+    // design trade), so it is never hashed — the hash-matched DECISION
+    // RELATION (the r15 d119 regime) is, per corpus document: the
+    // EXACT contamination flag (the oracle replays d49's brute force)
+    // and `prec_ok` = the precision-1 contract (IVF-flagged ⇒ exactly
+    // contaminated; sound at any scale because the rescore is the same
+    // 6dp-rounded cosine against the same threshold). Recall stays in
+    // the AccuracySpec gate at its pinned fixture (≥ 0.8, measured 1.0
+    // there) — a tuning property of (k, nprobe) vs corpus shape, like
+    // d33's.
+    q("d49b_semantic_decon_ivf",
+      """WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0),
+        |hit AS (
+        |  SELECT DISTINCT c.vec_id FROM c, b
+        |  WHERE round(list_sum(list_transform(range(1, 65), i -> cv[i] * bv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i])))), 6) >= 0.3)
+        |SELECT c.vec_id, (h.vec_id IS NOT NULL) AS exact_contam, TRUE AS prec_ok
+        |FROM c LEFT JOIN hit h ON c.vec_id = h.vec_id
+        |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val bench = emb.filter(col("vec_id") % 50 === 0)
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
       val model = cachedModel(s, s"ivf-bench:k8:i3:$dir")(
         IvfIndex.train(bench, "embedding", k = 8, iters = 3))
-      graft.operators.CurationOps.semanticDecontaminationIvf(
-        emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-        bench, "vec_id", "embedding", threshold = 0.3, model, nprobe = 3)
+      val ivf = graft.operators.CurationOps.semanticDecontaminationIvf(
+          corpus, "vec_id", "embedding",
+          bench, "vec_id", "embedding", threshold = 0.3, model, nprobe = 3)
+        .select(col("vec_id")).withColumn("__ivf", lit(true))
+      // the model-free exact flag — d49's own exact operator over the
+      // same split and threshold (bench broadcasts, corpus streams)
+      val exact = graft.operators.CurationOps.semanticDecontamination(
+          corpus, "vec_id", "embedding",
+          bench, "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id")).withColumn("__ex", lit(true))
+      corpus.select(col("vec_id"))
+        .join(ivf, Seq("vec_id"), "left")
+        .join(exact, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__ex"), lit(false)).as("exact_contam"),
+          (coalesce(col("__ex"), lit(false)) || !coalesce(col("__ivf"), lit(false)))
+            .as("prec_ok"))
         .orderBy("vec_id")
     },
 
@@ -3078,17 +3121,62 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------- semantic dedup (SemDeDup)
-    // k-means + within-cluster cosine pruning (model-dependent →
-    // rows-only; AccuracySpec gates dropped-id recall ≥ 0.85 against the
-    // exact all-pairs answer and asserts precision is exactly 1). The
-    // scale story vs d11's LSH: candidate pairs are Σ(cluster²), never
-    // all-pairs, and the cluster count grows with the corpus.
-    q("d33_semdedup", null) { (s, dir) =>
+    // k-means + within-cluster cosine pruning. Cluster ids and the
+    // exact drop set are model-dependent (recall < 1 by design), so
+    // neither is hashed — the hash-matched DECISION RELATION (the r15
+    // d119 regime) is, per vector: the EXACT has-lower-id-duplicate
+    // flag (the oracle replays the all-pairs sweep at 6dp-rounded
+    // cosine), `prec_ok` = the precision-1 contract (dropped ⇒ an
+    // exact partner exists; rounding-safe: a semDedup drop means
+    // unrounded cos ≥ τ, and 6dp rounding moves < 5e-7, so the exact
+    // flag cannot round below τ). Recall is deliberately NOT hashed:
+    // it is a tuning property of (k, nprobe) vs corpus shape (0.95 at
+    // the gate's sf0.001, below 0.85 at sf0.1's k=48), so it stays
+    // where tuning bounds live — the AccuracySpec gate at its pinned
+    // fixture. The scale
+    // story vs d11's LSH: candidate pairs are Σ(cluster²), never
+    // all-pairs — the exact flag here is conformance apparatus (the
+    // oracle must see a model-free truth), not the operator's path.
+    q("d33_semdedup",
+      """WITH n AS MATERIALIZED (SELECT vec_id, embedding AS v,
+        |  sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nr
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS ida, v AS va, nr AS na FROM n),
+        |b AS (SELECT vec_id AS idb, v AS vb, nr AS nb FROM n),
+        |pr AS (
+        |  SELECT idb FROM a JOIN b ON ida < idb
+        |  WHERE round(list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))
+        |      / (na * nb), 6) >= 0.4),
+        |d AS (SELECT DISTINCT idb FROM pr)
+        |SELECT e.vec_id, (d.idb IS NOT NULL) AS has_dup, TRUE AS prec_ok
+        |FROM embeddings e LEFT JOIN d ON e.vec_id = d.idb
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
       // k derives from a target cluster size (≈42 ⇒ k=12 at the gate's
       // sf0.001) so the within-cluster quadratic work stays bounded as
       // the corpus grows — k ∝ n, not a fixed constant
-      SimilarityOps.semDedupAuto(table(s, dir, "embeddings"), "vec_id", "embedding",
+      val sem = SimilarityOps.semDedupAuto(emb, "vec_id", "embedding",
         targetClusterSize = 42, iters = 5, nprobe = 3, tau = 0.4)
+      // the model-free exact flag: ∃ lower id at rounded cos ≥ τ. The
+      // bench side broadcasts (model-sized embedding table); cosine is
+      // the same fused kernel, rounded like the oracle.
+      // norms hoisted out of the pair loop (bit-identical: norm(v) is
+      // the same expression on the same input either way; the pair
+      // predicate keeps the dot/(na*nb) tree cosine() builds)
+      val a = emb.select(col("vec_id").as("__ida"), col("embedding").as("__va"),
+        SimilarityOps.norm(col("embedding")).as("__na"))
+      val b = emb.select(col("vec_id").as("__idb"), col("embedding").as("__vb"),
+        SimilarityOps.norm(col("embedding")).as("__nb"))
+      val dup = broadcast(a).join(b, col("__ida") < col("__idb"))
+        .filter(Qf.dround(
+          graft.functions.VectorExpressions.dotF(col("__va"), col("__vb"))
+            / (col("__na") * col("__nb")), 6) >= 0.4)
+        .select(col("__idb").as("vec_id")).distinct()
+        .withColumn("__dup", lit(true))
+      sem.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__dup"), lit(false)).as("has_dup"),
+          (col("keep") || coalesce(col("__dup"), lit(false))).as("prec_ok"))
         .orderBy("vec_id")
     },
 
@@ -3181,16 +3269,49 @@ object PipelineQueries {
     // ---------------------------------------------------------------- model-based quality filter
     // the classifier stage of the standard LLM data pipeline: fused-
     // kernel features → logistic regression on a stable-hash split with
-    // heuristic weak labels → per-document score. Model-dependent →
-    // rows-only; AccuracySpec gates holdout AUC.
-    q("d37_quality_classifier", null) { (s, dir) =>
+    // heuristic weak labels → per-document score. The probability is
+    // model-dependent (L-BFGS line-search internals are not
+    // SQL-replayable) and never hashed — the hash-matched DECISION
+    // RELATION (the r15 d119 regime) is the deterministic half the
+    // oracle CAN replay exactly (the stable-hash split and the weak
+    // label — the d42/d02 expressions) plus `auc_ok`, the corpus-level
+    // holdout-AUC verdict (≥ 0.75, headroom under the AccuracySpec
+    // gate's 0.8) carried on every row: a classifier that stops
+    // learning flips the whole table red.
+    q("d37_quality_classifier", {
+      val h = s"${sqlHash("CAST(doc_id AS VARCHAR)", "mlsplit")} % 100"
+      s"""SELECT doc_id,
+         |  ($h < 70) AS is_train,
+         |  CAST((0.5 * (1 - (len(list_filter($sqlTokens, t -> t IN ($stopList))) / len($sqlTokens)))
+         |      + 0.5 * least(1.0, len($sqlTokens) / 100.0)) >= 0.74 AS INTEGER) AS weak_label,
+         |  TRUE AS auc_ok
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
       import graft.operators.MlOps
       val feats = MlOps.featureFrame(table(s, dir, "documents"), "doc_id", "text")
       // train once per corpus (train-once/score-many, like the ANN models)
       val model = cachedModel(s, s"lrquality:$dir")(MlOps.trainQuality(feats))
-      MlOps.scoreWith(model, feats, "doc_id")
+      val scored = MlOps.scoreWith(model, feats, "doc_id")
+      // holdout AUC exactly as the AccuracySpec gate computes it
+      // (pairwise, ties half) — the holdout is a bounded evaluation
+      // set (≤ 30% of the conformance fixture), collected like every
+      // model-sized frame; guard loudly rather than melt the driver
+      val hold = scored.filter(!col("is_train"))
+        .select(col("weak_label"), col("p_good"))
+        .limit(100001).collect()
+      require(hold.length <= 100000,
+        "d37 holdout exceeds 100k rows — evaluate AUC distributed " +
+          "(rank-sum form) before scaling this fixture")
+      val pairs = hold.map(r => (r.getInt(0), r.getDouble(1)))
+      val pos = pairs.count(_._1 == 1).toLong
+      val neg = pairs.length - pos
+      var wins = 0.0
+      for ((la, pa) <- pairs if la == 1; (lb, pb) <- pairs if lb == 0)
+        wins += (if (pa > pb) 1.0 else if (pa == pb) 0.5 else 0.0)
+      val auc = if (pos > 0 && neg > 0) wins / (pos * neg) else 0.0
+      scored
         .select(col("doc_id"), col("is_train"), col("weak_label"),
-          Qf.dround(col("p_good"), 4).as("p_good"))
+          lit(auc >= 0.75).as("auc_ok"))
         .orderBy("doc_id")
     },
 
