@@ -22,6 +22,26 @@ package graft
   */
 object BenchGate {
 
+  /** Seconds per /proc/stat tick — sysconf(_SC_CLK_TCK), resolved once
+    * via `getconf CLK_TCK` (the portable shell binding for the same
+    * sysconf). USER_HZ has been 100 on every mainline Linux ABI since
+    * 2.6 (the kernel fixes the /proc/stat unit at USER_HZ regardless
+    * of CONFIG_HZ), but a kernel built otherwise would scale every
+    * steal fraction wrong and mis-fire the 3% gate — so ask, and only
+    * fall back to 100 when the probe itself is unavailable (non-Linux
+    * test hosts).
+    */
+  lazy val tickSeconds: Double =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      p.waitFor()
+      val hz = out.toLong
+      require(hz > 0, s"CLK_TCK=$hz")
+      1.0 / hz
+    } catch { case scala.util.control.NonFatal(_) => 0.01 }
+
   /** One accepted attempt: the pass result, every attempt's steal
     * fraction (last = the accepted one), and the retry count
     * (= fractions.size - 1).
@@ -49,7 +69,7 @@ object BenchGate {
       val sec = (System.nanoTime() - t0) / 1e9
       val frac =
         if (sec <= 0) 0.0
-        else (stealTicks() - s0).max(0L) * 0.01 / (cores.toDouble * sec)
+        else (stealTicks() - s0).max(0L) * tickSeconds / (cores.toDouble * sec)
       fracs = fracs :+ frac
       if (frac <= maxFrac || attempt >= maxRetries)
         return Gated(a, fracs)

@@ -363,13 +363,29 @@ object DedupOps {
       appendDest: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(appendDest)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      if (fs.exists(dir))
-        fs.listStatus(dir)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(LedgerGuard.SidecarPrefix + "SIG_INDEX"))
-          .foreach(st => fs.delete(st.getPath, true))
-    } catch { case _: java.io.IOException => () }
+    // fail LOUD: a swallowed delete failure here would let the append
+    // land under a live stale index, and every later probe would bind
+    // it and silently miss collisions with the appended rows — the
+    // exact recall loss the delete-BEFORE-append ordering prevents.
+    // (Aborting the append instead is merely "retry the batch".)
+    def staleIndexDirs() =
+      if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dir).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(LedgerGuard.SidecarPrefix + "SIG_INDEX"))
+    staleIndexDirs().foreach { st =>
+      if (!fs.delete(st.getPath, true) && fs.exists(st.getPath))
+        throw new java.io.IOException(
+          s"signature-ledger append to $appendDest aborted: could not " +
+          s"invalidate stale probe index ${st.getPath} (delete returned " +
+          "false) — appending under a live stale index would silently " +
+          "lose collisions")
+    }
+    val leftover = staleIndexDirs()
+    if (leftover.nonEmpty)
+      throw new java.io.IOException(
+        s"signature-ledger append to $appendDest aborted: stale probe " +
+        s"index dirs remain after invalidation: " +
+        leftover.map(_.getPath.getName).mkString(", "))
   }
 
   /** The shared cross-pair core over two signature tables: identical-
@@ -562,6 +578,13 @@ object DedupOps {
     * the probe's "cheap columnar scan" otherwise fans out over
     * thousands of tiny files. Same staged swap, lease, and self-heal.
     */
+  /** Test-only failpoint: fired after the main sized rewrite inside
+    * [[compactSignatureLedger]]'s staged advance, so a spec can prove
+    * a main-leg failure still awaits the concurrent index future and
+    * leaves no `.idx` scratch residue. Production value is a no-op.
+    */
+  private[graft] var sigCompactMainLegFailpoint: () => Unit = () => ()
+
   def compactSignatureLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 16,
       maxRecordsPerFile: Long = 64L * 1000 * 1000, bandSize: Int = 4): Unit =
@@ -580,18 +603,33 @@ object DedupOps {
       val idxF = scala.concurrent.Future {
         writeSigIndex(spark, idxTmp, bandSize, fromRows = Some(led))
       }
-      // sort by the id column (first at-rest column) so file-level
-      // min/max stats prune id-ranged reads
-      LayoutOps.writeSized(led, staging, col(led.columns.head),
-        targetFiles, maxRecordsPerFile)
-      scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val idxName = sigIndexDirName(bandSize)
-      val src = new org.apache.hadoop.fs.Path(idxTmp, idxName)
-      if (fs.exists(src)) // absent when the band shape skipped the write
-        fs.rename(src, new org.apache.hadoop.fs.Path(staging, idxName))
-      fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
+      // the scratch dir must be awaited AND removed on EVERY exit: if
+      // the sized rewrite throws, an un-awaited index future would
+      // keep mutating idxTmp after the caller observed failure, and a
+      // completed index write would leave `.idx` residue next to the
+      // staging dir the guard cleans up.
+      try {
+        // sort by the id column (first at-rest column) so file-level
+        // min/max stats prune id-ranged reads
+        LayoutOps.writeSized(led, staging, col(led.columns.head),
+          targetFiles, maxRecordsPerFile)
+        sigCompactMainLegFailpoint()
+        scala.concurrent.Await.result(idxF,
+          scala.concurrent.duration.Duration.Inf)
+        val idxName = sigIndexDirName(bandSize)
+        val src = new org.apache.hadoop.fs.Path(idxTmp, idxName)
+        if (fs.exists(src)) // absent when the band shape skipped the write
+          fs.rename(src, new org.apache.hadoop.fs.Path(staging, idxName))
+      } finally {
+        // await unconditionally (its own failure is secondary to a
+        // main-leg exception already in flight — don't mask that one)
+        try scala.concurrent.Await.result(idxF,
+          scala.concurrent.duration.Duration.Inf)
+        catch { case scala.util.control.NonFatal(_) => () }
+        fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
+      }
     }
 
   // ------------------------------------------------------------------
@@ -958,11 +996,25 @@ object DedupOps {
       compactSignatureLedger(spark, clusterSigPath(path), targetFiles,
         bandSize = bandSize)
     }
-    LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
-      "cluster-ledger compaction") { staging =>
-      LayoutOps.writeSized(
-        readClusterAssignments(spark, path),
-        staging, col("node"), targetFiles, 64L * 1000 * 1000)
+    // await sigF on EVERY exit: if the asg fold throws without this,
+    // the signature compaction keeps mutating /sig on a background
+    // thread after the caller observed failure, and its own exception
+    // is lost. An asg-fold failure stays primary; the sig leg's own
+    // failure surfaces when the fold succeeded.
+    var foldFailed = true
+    try {
+      LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
+        "cluster-ledger compaction") { staging =>
+        LayoutOps.writeSized(
+          readClusterAssignments(spark, path),
+          staging, col("node"), targetFiles, 64L * 1000 * 1000)
+      }
+      foldFailed = false
+    } finally {
+      if (foldFailed)
+        try scala.concurrent.Await.result(sigF,
+          scala.concurrent.duration.Duration.Inf)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     scala.concurrent.Await.result(sigF, scala.concurrent.duration.Duration.Inf)
     // the folded base is clean: readers skip the replay-collapse dedup

@@ -3305,10 +3305,25 @@ object PipelineQueries {
       val pairs = hold.map(r => (r.getInt(0), r.getDouble(1)))
       val pos = pairs.count(_._1 == 1).toLong
       val neg = pairs.length - pos
-      var wins = 0.0
-      for ((la, pa) <- pairs if la == 1; (lb, pb) <- pairs if lb == 0)
-        wins += (if (pa > pb) 1.0 else if (pa == pb) 0.5 else 0.0)
-      val auc = if (pos > 0 && neg > 0) wins / (pos * neg) else 0.0
+      // Mann-Whitney rank-sum form, O(n log n): AUC = (R⁺ − P(P+1)/2)
+      // ÷ (P·N) with average ranks over tied scores — identical to the
+      // pairwise ties-half count (each tied pos/neg pair contributes
+      // exactly ½ through the averaged rank), without the n² sweep
+      // that would effectively hang under the 100k guard.
+      val sorted = pairs.sortBy(_._2)
+      var rPos = 0.0
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        val avgRank = (i + 1 + j) / 2.0 // mean of 1-based ranks i+1..j
+        var k = i
+        while (k < j) { if (sorted(k)._1 == 1) rPos += avgRank; k += 1 }
+        i = j
+      }
+      val auc =
+        if (pos > 0 && neg > 0) (rPos - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
+        else 0.0
       scored
         .select(col("doc_id"), col("is_train"), col("weak_label"),
           lit(auc >= 0.75).as("auc_ok"))

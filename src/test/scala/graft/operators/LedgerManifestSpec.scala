@@ -449,4 +449,33 @@ class LedgerManifestSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("k=64") && e2.getMessage.contains("k=32"),
       e2.getMessage)
   }
+
+  test("signature-ledger compaction: main-leg failure awaits the index leg, leaves no .idx residue, retry heals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = tmp("graft-sig-fail")
+    val path = base + "/led"
+    DedupOps.writeSignatureLedger(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", path)
+    val boom = new RuntimeException("injected main-leg failure")
+    DedupOps.sigCompactMainLegFailpoint = () => throw boom
+    try {
+      val e = intercept[RuntimeException](
+        DedupOps.compactSignatureLedger(spark, path, targetFiles = 2))
+      assert(e eq boom, s"main-leg failure must stay primary, got $e")
+    } finally DedupOps.sigCompactMainLegFailpoint = () => ()
+    // the concurrent index leg was awaited and its scratch dir removed —
+    // no `.idx` residue anywhere next to the ledger
+    val leftovers = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.contains(".idx"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    // the aborted advance never swapped: the ledger is intact, a retried
+    // compaction succeeds and leaves a live probe index in the generation
+    DedupOps.compactSignatureLedger(spark, path, targetFiles = 2)
+    assert(new java.io.File(
+      new java.io.File(path, "_GRAFT_SIG_INDEX_B4"), "bands/_SUCCESS").exists,
+      "retried compaction must rebuild the probe index")
+    val probe = DedupOps.crossDedupAgainstSignatures(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", path)
+    assert(probe.count() > 0, "post-retry probe must still find collisions")
+  }
 }
