@@ -1307,23 +1307,34 @@ object CurationOps {
       .as[(String, Long)]
       .persist()
     try {
-      val chars = words.toDF("w", "c")
+      // ONE driver job seeds the model: the char vocabulary and the
+      // top-k substring candidates come back in a single two-leg union
+      // collect over the persisted word table (the r15 shape ran them
+      // as two sequential jobs — a driver-barrier latency each, which
+      // host contention multiplied into the bench tail). The legs
+      // share the word table's shuffle; both results are model-sized.
+      val charLeg = words.toDF("w", "c")
         .select(explode(split(col("w"), "")).as("p"), col("c"))
         .filter(length(col("p")) === 1)
         .groupBy(col("p")).agg(sum(col("c")).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(chars.length <= 512,
-        s"unigram training: ${chars.length} distinct characters — the " +
-          "single-char closure set must stay model-sized; use a " +
-          "byte-level vocabulary for arbitrary-charset corpora")
-      val subs = words.flatMap { case (w, c) =>
+        .select(lit(true).as("isChar"), col("p"), col("n"))
+      val subLeg = words.flatMap { case (w, c) =>
         for {
           l <- 2 to math.min(seedMaxLen, w.length)
           i <- 0 to w.length - l
         } yield (w.substring(i, i + l), c)
       }.toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("p")).limit(seedSize)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .select(lit(false).as("isChar"), col("p"), col("n"))
+      val seedRows = charLeg.unionAll(subLeg).collect()
+      val chars = seedRows.filter(_.getBoolean(0))
+        .map(r => (r.getString(1), r.getLong(2)))
+      val subs = seedRows.filterNot(_.getBoolean(0))
+        .map(r => (r.getString(1), r.getLong(2)))
+      require(chars.length <= 512,
+        s"unigram training: ${chars.length} distinct characters — the " +
+          "single-char closure set must stay model-sized; use a " +
+          "byte-level vocabulary for arbitrary-charset corpora")
       require(chars.nonEmpty,
         "unigram training: the corpus has no tokens — nothing to learn " +
           "from (an empty vocab would fail only later, at apply time)")
@@ -1362,7 +1373,11 @@ object CurationOps {
           else if (p.codePointCount(0, p.length) == 1) Some(p -> -30.0)
           else None // EM support shrinkage: a dead piece never re-enters
         }
-        vb.destroy()
+        // non-blocking executor-side release: the round is over and the
+        // next broadcast is independent — the no-arg destroy() blocks
+        // on cluster-wide removal, a driver barrier per EM round for
+        // nothing (and its Boolean overload is private[spark])
+        vb.unpersist(false)
       }
       val (singles, multis) = vocab.partition(
         p => p._1.codePointCount(0, p._1.length) == 1)

@@ -6313,8 +6313,8 @@ object PipelineQueries {
     // over a (piece, logprob) vocabulary — the max-likelihood
     // segmentation, not greedy matching. Self-contained
     // train-then-apply like d86: the vocabulary is the corpus's top-80
-    // words plus its full single-character set with ML log-probs (two
-    // bounded model-sized collects), then the codegen kernel encodes
+    // words plus its full single-character set with ML log-probs (ONE
+    // bounded model-sized collect), then the codegen kernel encodes
     // every document with the vocab riding as a reference object.
     // Log-probs are rounded at 4dp via the droundD IEEE expression
     // (the d34/s20 parity discipline) so the oracle's recursive-CTE
@@ -6332,23 +6332,36 @@ object PipelineQueries {
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .persist()
-      val totW = wc.agg(sum(col("n"))).first.getLong(0).toDouble
-      val topWords = wc.orderBy(col("n").desc, col("w")).limit(80)
-        .collect()
-        .map(r => (r.getString(0), Qf.droundD(math.log(r.getLong(1) / totW), 4)))
-      val chars = wc
+      // total mass, top-80 words and the char vocabulary in ONE driver
+      // job: a three-leg union over the persisted vocab-sized table,
+      // one model-sized collect (the r15 4-sequential-jobs shape paid
+      // a driver-barrier latency per job — under host contention that
+      // multiplied into the bench tail). The legs share wc's shuffle:
+      // a concurrent first materialization re-reduces cached
+      // partitions at worst; the corpus map pass runs once.
+      val legT = wc.agg(sum(col("n")).as("n"))
+        .select(lit("T").as("k"), lit("").as("p"), col("n"))
+      val legW = wc.orderBy(col("n").desc, col("w")).limit(80)
+        .select(lit("W").as("k"), col("w").as("p"), col("n"))
+      val legC = wc
         .select(explode(split(col("w"), "")).as("c"), col("n"))
         .filter(length(col("c")) === 1)
         .groupBy(col("c")).agg(sum(col("n")).as("n"))
-        .collect()
+        .select(lit("C").as("k"), col("c").as("p"), col("n"))
+      val model = legT.unionAll(legW).unionAll(legC).collect()
       wc.unpersist()
+      val totW = model.find(_.getString(0) == "T").get.getLong(2).toDouble
+      val topWords = model.filter(_.getString(0) == "W")
+        .map(r => (r.getString(1), Qf.droundD(math.log(r.getLong(2) / totW), 4)))
+      val chars = model.filter(_.getString(0) == "C")
+        .map(r => (r.getString(1), r.getLong(2)))
       require(chars.length <= 512,
         s"d105 vocab: ${chars.length} distinct characters — the char " +
           "fallback set must stay model-sized; use a byte-level vocab " +
           "for arbitrary-charset corpora")
-      val totC = chars.map(_.getLong(1)).sum.toDouble
-      val pieces = (topWords ++ chars.map(r =>
-        (r.getString(0), Qf.droundD(math.log(r.getLong(1) / totC), 4))))
+      val totC = chars.map(_._2).sum.toDouble
+      val pieces = (topWords ++ chars.map { case (c, n) =>
+        (c, Qf.droundD(math.log(n / totC), 4)) })
         .groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }.toSeq
         .sortBy(_._1)
       val enc = graft.functions.TokenizeExpressions.unigramEncode(
