@@ -198,7 +198,7 @@ object Bench {
     // basename only: the full fixture path spends ~15 chars of the
     // 2000-char budget saying nothing the basename doesn't
     val sfName = new java.io.File(sfDir).getName
-    def mkLine(nd: Int, sparse: Boolean): String = {
+    def mkLine(nd: Int, sparse: Boolean, topN: Int): String = {
       val formatted = results
         .map { case (k, v) => (k.takeWhile(_ != '_'), fN(v, nd)) }
       val (zeros, kept) =
@@ -206,23 +206,35 @@ object Bench {
       val qs = kept.map { case (k, s) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
       val omitted = if (sparse) s""","omitted_zeros":${zeros.size}""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$omitted,"sf":"$sfName"}"""
+      // the N slowest queries at MILLISECOND precision (r15 verdict
+      // item 6: integer-rounded per-query seconds made 1→2 s deltas
+      // indistinguishable from rounding noise) — regressions live in
+      // the slow tail, so that is where the resolution goes when the
+      // whole inventory can't carry 3 dp inside the driver's tail
+      // budget; bench_full.json keeps full precision for everything
+      val top = if (topN <= 0) "" else {
+        val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(topN)
+          .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+          .mkString("{", ",", "}")
+        s""","top_ms":$slow"""
+      }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$top$omitted,"sf":"$sfName"}"""
     }
     // the driver records only the FINAL 2000 chars of output and the
     // metrics line prints LAST, so the line survives whole iff it fits
     // that tail itself (minus sbt's "[info] " prefix ≈ 1990 usable).
-    // Degrade in two dimensions (full precision lives in the committed
-    // bench_full.json either way): precision first — 2 dp → 1 dp →
-    // whole seconds — then SPARSITY: drop entries that format to "0"
-    // at that precision and record how many were dropped as a
-    // top-level "omitted_zeros" (the r11 artifact shows the full
-    // 244-query line no longer fits even at 0 dp — the driver stored
-    // parsed:null — so sparse is the only form that keeps the line
-    // machine-readable as the inventory grows).
-    val line = Iterator((2, false), (1, false), (0, false),
-        (2, true), (1, true), (0, true))
-      .map { case (nd, sp) => mkLine(nd, sp) }
-      .find(_.length <= 1985).getOrElse(mkLine(0, sparse = true))
+    // Degrade in three dimensions (full precision lives in the committed
+    // bench_full.json either way): always SPARSE (the r11 artifact shows
+    // the full 244-query line no longer fits dense even at 0 dp — the
+    // driver stored parsed:null), then base precision 2 dp → 1 dp →
+    // whole seconds, and alongside the base a "top_ms" map of the 60/
+    // 40/20 slowest queries at 3 dp (r15 verdict item 6: the slow tail
+    // is where round-over-round regressions must be attributable).
+    val line = Iterator(
+        (2, true, 60), (2, true, 40), (1, true, 60), (1, true, 40),
+        (0, true, 60), (0, true, 40), (0, true, 20), (0, true, 0))
+      .map { case (nd, sp, tn) => mkLine(nd, sp, tn) }
+      .find(_.length <= 1985).getOrElse(mkLine(0, sparse = true, topN = 0))
     if (line.length > 1985)
       System.err.println(s"[bench] WARNING metrics line ${line.length} chars even sparse at 0 dp — exceeds the driver's 2000-char tail; shorten keys")
     // The metrics line must be the FINAL stdout line (the driver
