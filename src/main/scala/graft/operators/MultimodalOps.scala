@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1384,6 +1384,17 @@ object MultimodalOps {
     batchId.foreach(id => LedgerGuard.recordBatchApplied(spark, path, id))
   }
 
+  /** At-rest byte size of the ledger's readable generation — the
+    * cheap fs probe behind the reduce-route decision; unknown reads
+    * as "big" so the scale-safe reduction stays the default.
+    */
+  private def ledgerBytes(spark: SparkSession, path: String): Long = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getContentSummary(LedgerGuard.readablePath(fs, target)).getLength
+    catch { case _: java.io.IOException => Long.MaxValue }
+  }
+
   /** Frame-dedup a NEW batch against the at-rest corpus signatures:
     * the batch side hashes O(batch) payloads, the corpus side is a
     * columnar scan of (id, fh) — no corpus payload is read. Same
@@ -1392,15 +1403,41 @@ object MultimodalOps {
     * scores expand to members (identical sets across sides meet in
     * every shared hash and score Jaccard 1 on their own — no special
     * arm needed). Output: `(new_id, corpus_id, n_common, jaccard)`.
+    *
+    * Scale shape (r16), two levers:
+    *
+    * 1. CORPUS REDUCTION — above `spark.graft.frameProbe.reduceMinBytes`
+    * (default 64 MB) of at-rest ledger, the corpus side reduces to the
+    * batch-relevant rows before any shuffle: a semi-join on the
+    * batch's distinct hash set. Exact, not approximate: a corpus doc
+    * sharing NO hash with the batch can never pair, every intersection
+    * A∩B is a subset of the batch's hashes, and |B| rides the ledger's
+    * stored admission-time `n` (the contract that column exists for),
+    * so Jaccard denominators never need the dropped rows. Groups key
+    * on (reduced set, n) — docs whose reduced sets and sizes agree
+    * score identically against every batch group by construction.
+    * Probe collapse/prefix work becomes O(batch + matching rows), not
+    * O(corpus). Prefix lengths on reduced sets stay complete: |A∩B| ≥
+    * t·|B| ≥ t·|B_reduced| and B_reduced ⊇ A∩B — the standard argument
+    * with the smaller set. Below the threshold the two extra stages
+    * cost more than the scan they save (measured at sf0.1), so the
+    * probe keeps the plain full-scan collapse — the
+    * `spark.graft.window.distributedMinBytes` auto-route pattern.
+    *
+    * 2. The prefix-filter document frequencies count CORPUS ROWS
+    * (one stage straight off the scan, parallel to the collapse
+    * chain) instead of the r15 union-of-both-sides rep counts (which
+    * serialized dfreq AFTER the corpus group table). Batch-only
+    * hashes order LAST (they cannot match the corpus, so they are
+    * dead prefix weight; df'd hashes keep rare-first). Any SHARED
+    * total order preserves prefix completeness, and the exact rescore
+    * keeps the output identical (OperatorsSpec pins route equality).
     */
   def frameDedupAgainstLedger(newDocs: DataFrame, idCol: String, binCol: String,
       path: String, frameBytes: Int, everyK: Int, minJaccard: Double): DataFrame = {
     val spark = newDocs.sparkSession
     requireFrameMeta(spark, path, frameBytes, everyK, "probe")
-    val corpus = LedgerGuard.readLedger(spark, path)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("fh"))).as("fhs"))
-      .select(col(idCol), size(col("fhs")).as("n"), col("fhs"))
+    val rows = LedgerGuard.readLedger(spark, path)
     val batch = frameSignatures(newDocs, idCol, binCol, frameBytes, everyK)
     def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("fhs"))
       .agg(sort_array(collect_set(col(idCol))).as("__members"),
@@ -1408,16 +1445,31 @@ object MultimodalOps {
       .select(element_at(col("__members"), 1).as("__rep"),
         col("__members"), col("__n"), col("fhs"))
     val gn = groupsOf(batch).localCheckpoint(false)
-    val gc = groupsOf(corpus)
-    // same frequency-ordered PREFIX FILTERING as
-    // pairsOfFrameSignatures (see there for the completeness argument
-    // and the rounding back-off); the global order must be shared by
-    // both sides, so frequencies are counted over their union
+    val reduceMinBytes = spark.conf
+      .getOption("spark.graft.frameProbe.reduceMinBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val corpusRows =
+      if (ledgerBytes(spark, path) < reduceMinBytes) rows
+      else rows.join(gn.select(explode(col("fhs")).as("fh")).dropDuplicates(),
+        Seq("fh"), "left_semi")
+    val gc = corpusRows
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("fh"))).as("fhs"),
+        first(col("n")).as("n"))
+      .groupBy(col("fhs"), col("n"))
+      .agg(sort_array(collect_set(col(idCol))).as("__members"))
+      .select(element_at(col("__members"), 1).as("__rep"),
+        col("__members"), col("n").as("__n"), col("fhs"))
+    // frequency-ordered PREFIX FILTERING (the pairsOfFrameSignatures
+    // principle — see there for the completeness argument and the
+    // rounding back-off), with the corpus-row df order of lever 2
     val tPre = math.max(minJaccard - 0.00005, 0.0)
     def exOf(g: DataFrame) = g.select(col("__rep"), explode(col("fhs")).as("__fh"))
-    val dfreq = exOf(gn).unionByName(exOf(gc))
-      .groupBy(col("__fh")).agg(count(lit(1)).as("__df"))
-    def preOf(g: DataFrame, rep: String) = exOf(g).join(dfreq, "__fh")
+    val dfreq = corpusRows.groupBy(col("fh").as("__fh"))
+      .agg(count(lit(1)).as("__df"))
+    def preOf(g: DataFrame, rep: String) = exOf(g)
+      .join(dfreq, Seq("__fh"), "left")
+      .na.fill(Long.MaxValue, Seq("__df")) // batch-only: dead weight, last
       .groupBy(col("__rep"))
       .agg(sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
       .select(col("__rep").as(rep),

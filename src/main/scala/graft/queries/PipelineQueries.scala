@@ -3647,7 +3647,9 @@ object PipelineQueries {
       MultimodalOps.frameDedupAgainstLedger(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", path,
         frameBytes = 8, everyK = 2, minJaccard = 0.5)
-        .orderBy("new_id", "corpus_id")
+        // pair output is small by construction — single-partition sort
+        // (the s08 rationale) instead of a range-partitioned global sort
+        .coalesce(1).sortWithinPartitions("new_id", "corpus_id")
     },
 
     // ---------------------------------------------------------------- frame-ledger forget
@@ -3686,7 +3688,9 @@ object PipelineQueries {
       MultimodalOps.frameDedupAgainstLedger(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "__bin", path,
         frameBytes = 8, everyK = 2, minJaccard = 0.5)
-        .orderBy("new_id", "corpus_id")
+        // pair output is small by construction — single-partition sort
+        // (the s08 rationale) instead of a range-partitioned global sort
+        .coalesce(1).sortWithinPartitions("new_id", "corpus_id")
     },
 
     // ---------------------------------------------------------------- cross-document boilerplate scrub

@@ -2422,6 +2422,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(readmitted == got)
   }
 
+  test("frame-ledger probe: reduced route == full-scan route; group-key (set, n) keeps distinct sizes apart") {
+    val path = java.nio.file.Files.createTempDirectory("graft-frames-r").toString + "/led"
+    // frames are 8-byte chunks at everyK=2 (chunks 0, 2, ... of 16-byte
+    // strides): d1/d2 share exactly frame 'aaaaaaaa' with the batch but
+    // differ in their second frame; d3 carries it among THREE frames —
+    // its reduced set equals d1/d2's but its n differs, so the
+    // (set, n) group key must keep it in its own group (different
+    // Jaccard denominator)
+    val docs = Seq(
+      (1L, "aaaaaaaa________bbbbbbbb________"),
+      (2L, "aaaaaaaa________cccccccc________"),
+      (3L, "aaaaaaaa________dddddddd________eeeeeeee________"),
+      (10L, "aaaaaaaa________")) // probe: single frame
+      .toDF("doc_id", "text").withColumn("__bin", col("text").cast("binary"))
+    MultimodalOps.writeFrameLedger(docs.filter(col("doc_id") < 10),
+      "doc_id", "__bin", 8, 2, path)
+    val batch = docs.filter(col("doc_id") === 10)
+    def probe(): Seq[(Long, Long, Int, Double)] = MultimodalOps
+      .frameDedupAgainstLedger(batch, "doc_id", "__bin", path, 8, 2, 0.0)
+      .orderBy("new_id", "corpus_id").as[(Long, Long, Int, Double)].collect().toSeq
+    val expected = Seq(
+      (10L, 1L, 1, 0.5), (10L, 2L, 1, 0.5), (10L, 3L, 1, 0.3333))
+    spark.conf.set("spark.graft.frameProbe.reduceMinBytes", "0") // force reduce
+    val reduced = try probe()
+    finally spark.conf.set("spark.graft.frameProbe.reduceMinBytes",
+      Long.MaxValue.toString)
+    val full = try probe()
+    finally spark.conf.unset("spark.graft.frameProbe.reduceMinBytes")
+    assert(reduced == expected, s"reduced route: $reduced")
+    assert(full == expected, s"full-scan route: $full")
+  }
+
   test("tuneLshParams: S-curve argmin matches the independent quadrature; tuned pairs == hand-tuned pairs") {
     // independently verified (numpy midpoint quadrature, 200 steps,
     // equal weights): best (b, r) under a 16-hash budget is (5, 3) at
