@@ -209,9 +209,9 @@ object PipelineQueries {
     * s22; the approximate answers themselves are model-dependent and
     * never hashed.
     */
-  private val sqlExactTopkRecallOracle =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+  private def exactTopkRecallOracle(candWhere: String) =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE $candWhere),
       |scored AS (
       |  SELECT query_id, neighbor_id,
       |    round(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
@@ -224,6 +224,8 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, score, rk, TRUE AS recall_ok
       |FROM ranked WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
+
+  private val sqlExactTopkRecallOracle = exactTopkRecallOracle("TRUE")
 
   /** The s15/s16 oracle: Matryoshka truncated-prefix retrieval re-derived
     * from scratch — prefix-cosine candidate cut (top 20 by rounded
@@ -2005,11 +2007,15 @@ object PipelineQueries {
     // with the frozen model, tombstone-delete every vec_id % 3 == 0
     // (plus a crash-and-retry replay of the delete), compact (dead
     // codes and the tombstone partition physically disappear, each
-    // cell rewritten to one sized file), then probe. Model-dependent →
-    // rows-only; PlanShapeSpec pins row-identity with the live annTopK
-    // over the surviving corpus before AND after compaction, plus the
-    // partition-pruned probe shape.
-    q("s19_ivfpq_maintenance", null) { (s, dir) =>
+    // cell rewritten to one sized file), then probe. The model-
+    // dependent answer is never hashed; PlanShapeSpec pins
+    // row-identity with the live annTopK over the surviving corpus
+    // before AND after compaction, plus the partition-pruned probe
+    // shape. r16: hash-matched via the s04 decision relation — the
+    // exact side is the brute-force top-k over the SURVIVING corpus
+    // (the delete predicate is oracle-replayable) + the recall
+    // verdict at half the s08-family gate.
+    q("s19_ivfpq_maintenance", exactTopkRecallOracle("vec_id % 3 <> 0")) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val model = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
@@ -2024,10 +2030,14 @@ object PipelineQueries {
       graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id")
       graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id") // replay
       graft.operators.IvfPq.compactIndex(s, path)
-      graft.operators.IvfPq.probeIndex(s, path,
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100)
-        .coalesce(1).sortWithinPartitions("query_id", "rk")
+      val queries = emb.filter(col("vec_id") < 8)
+      annRecallRelation(
+        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", k = 5),
+        graft.operators.IvfPq.probeIndex(s, path,
+          queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100),
+        minRecall = 0.425) // half the 0.85 s08-family gate
     },
 
     // ---------------------------------------------------------------- int8 scalar-quantized search
@@ -2056,14 +2066,20 @@ object PipelineQueries {
     // delivers the 4× scan-byte cut (PlanShapeSpec pins the pruned
     // ReadSchema), and the re-rank fetches only candidates' floats.
     // Rows are identical to s13 by construction (AccuracySpec pins it).
-    q("s14_sq8_at_rest", null) { (s, dir) =>
+    // r16: hash-matched via the s04 decision relation — exact side +
+    // corpus-level recall verdict at half the s13-family gate.
+    q("s14_sq8_at_rest", sqlExactTopkRecallOracle) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val path = Registry.scratchDir(
         s"/tmp/graft_conformance/s14_sq8_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
       SimilarityOps.writeQuantizedCorpus(emb, "vec_id", "embedding", path)
-      SimilarityOps.quantizedTopKAtRest(s, path,
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "vec_id", k = 5)
-        .orderBy("query_id", "rk")
+      val queries = emb.filter(col("vec_id") < 8)
+      annRecallRelation(
+        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5),
+        SimilarityOps.quantizedTopKAtRest(s, path,
+          queries, "vec_id", "embedding", "vec_id", k = 5),
+        minRecall = 0.45) // half the 0.9 s13-family gate
     },
 
     // ---------------------------------------------------------------- multimodal plumbing
@@ -3175,10 +3191,12 @@ object PipelineQueries {
     // ---------------------------------------------------------------- persisted IVFPQ index probe
     // the at-rest deployment of s08: code table written PARTITIONED BY
     // cell + model parquet, probe = literal partition filter over the
-    // index directories (model-dependent → rows-only; PlanShapeSpec
-    // pins row-identity with the in-flight s08 form AND the
-    // partition-pruned scan shape).
-    q("s09_ivfpq_index", null) { (s, dir) =>
+    // index directories (model-dependent answer, never hashed;
+    // PlanShapeSpec pins row-identity with the in-flight s08 form AND
+    // the partition-pruned scan shape). r16: hash-matched via the s04
+    // decision relation — exact side + corpus-level recall verdict at
+    // half the s08-family gate.
+    q("s09_ivfpq_index", sqlExactTopkRecallOracle) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val model = cachedModel(s, s"ivfpq:res:kc8:m8:k32:i5:$dir")(
         graft.operators.IvfPq.train(emb, "embedding",
@@ -3195,11 +3213,15 @@ object PipelineQueries {
       // partition-pruned read the PlanShapeSpec gates)
       val loaded = cachedModel(s, s"ivfpq:res:atrest:model:$dir")(
         graft.operators.IvfPq.loadModel(s, path))
-      graft.operators.IvfPq.probeIndex(s, path,
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100,
-        preloadedModel = Some(loaded))
-        .coalesce(1).sortWithinPartitions("query_id", "rk")
+      val queries = emb.filter(col("vec_id") < 8)
+      annRecallRelation(
+        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5),
+        graft.operators.IvfPq.probeIndex(s, path,
+          queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100,
+          preloadedModel = Some(loaded)),
+        minRecall = 0.425) // half the 0.85 s08-family gate
     },
 
     // ---------------------------------------------------------------- semantic dedup (SemDeDup)
