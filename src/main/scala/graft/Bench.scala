@@ -81,6 +81,29 @@ object Bench {
         val f = line.trim.split("\\s+")
         if (f.length > 8) f(8).toLong else 0L
       } catch { case _: Throwable => 0L }
+    // Third environment suspect (r16): SAME-HOST sibling-process
+    // contention — CPU the host spent OUTSIDE this JVM (e.g. a
+    // concurrently-timed oracle suite). Invisible to the steal counter
+    // (no hypervisor involved) and to throttle (no cgroup quota), yet
+    // it slows driver-barrier-heavy queries exactly like steal does.
+    // ext ms = (host busy ticks × tick) − (this process's CPU time),
+    // clamped at 0; a pass-2 spike with zero gc/nc/steal/thr but a
+    // large ext delta is a sibling process, proven.
+    def hostBusyMs(): Long =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        // user+nice+system+irq+softirq (skip idle/iowait/steal)
+        val ticks = Seq(1, 2, 3, 6, 7).map(i =>
+          if (f.length > i) f(i).toLong else 0L).sum
+        (ticks * BenchGate.tickSeconds * 1000).toLong
+      } catch { case _: Throwable => 0L }
+    def selfCpuMs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1000000L
+        case _ => 0L
+      }
     def throttledNs(): Long = {
       def readKv(p: String, key: String, scale: Long): Option[Long] =
         try java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
@@ -94,14 +117,17 @@ object Bench {
         .getOrElse(0L)
     }
 
-    case class QStat(sec: Double, gcMs: Long, nComp: Long, steal: Long, thrMs: Long)
+    case class QStat(sec: Double, gcMs: Long, nComp: Long, steal: Long,
+        thrMs: Long, extMs: Long)
     def timedPass(): Map[String, QStat] = names.map { name =>
-      val (g0, c0, s0, th0, t0) =
-        (gcMs(), nCompiled(), stealTicks(), throttledNs(), System.nanoTime())
+      val (g0, c0, s0, th0, h0, p0, t0) =
+        (gcMs(), nCompiled(), stealTicks(), throttledNs(),
+          hostBusyMs(), selfCpuMs(), System.nanoTime())
       val ok = try { run(name); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> QStat(if (ok) sec else -1.0, gcMs() - g0, nCompiled() - c0,
-        stealTicks() - s0, (throttledNs() - th0) / 1000000L)
+        stealTicks() - s0, (throttledNs() - th0) / 1000000L,
+        math.max(0L, (hostBusyMs() - h0) - (selfCpuMs() - p0)))
     }.toMap
 
     // Two full interleaved passes, per-query min: the shared VM throttles in
@@ -134,7 +160,8 @@ object Bench {
       .map { case (k, v) =>
         s""""$k":{"min":$v,"p1":${p1(k).sec},"p2":${p2(k).sec},""" +
           s""""gc1":${p1(k).gcMs},"gc2":${p2(k).gcMs},"nc1":${p1(k).nComp},"nc2":${p2(k).nComp},""" +
-          s""""st1":${p1(k).steal},"st2":${p2(k).steal},"th1":${p1(k).thrMs},"th2":${p2(k).thrMs}}"""
+          s""""st1":${p1(k).steal},"st2":${p2(k).steal},"th1":${p1(k).thrMs},"th2":${p2(k).thrMs},""" +
+          s""""ex1":${p1(k).extMs},"ex2":${p2(k).extMs}}"""
       }
       .mkString("{", ",", "}")
     // q01-normalized total, emitted alongside raw: committed sweeps from
@@ -179,7 +206,8 @@ object Bench {
     val ncs = Seq(p1, p2).map(_.valuesIterator.map(_.nComp).sum).mkString("[", ",", "]")
     val sts = Seq(p1, p2).map(_.valuesIterator.map(_.steal).sum).mkString("[", ",", "]")
     val ths = Seq(p1, p2).map(_.valuesIterator.map(_.thrMs).sum).mkString("[", ",", "]")
-    println(s"""{"diag":{"gc":$gcs,"nc":$ncs,"steal":$sts,"thr":$ths,""" +
+    val exs = Seq(p1, p2).map(_.valuesIterator.map(_.extMs).sum).mkString("[", ",", "]")
+    println(s"""{"diag":{"gc":$gcs,"nc":$ncs,"steal":$sts,"thr":$ths,"ext_ms":$exs,""" +
       s""""retries":[${g1.retries},${g2.retries}]}}""")
 
     // The driver keeps only the final 2000 chars of output, so the metrics
