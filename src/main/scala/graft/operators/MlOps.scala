@@ -21,6 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object MlOps {
 
+  /** Holdout AUC in the Mann-Whitney rank-sum form, O(n log n):
+    * AUC = (R⁺ − P(P+1)/2) / (P·N) with AVERAGE ranks over tied
+    * scores — provably equal to the pairwise ties-count-half
+    * definition (each tied positive/negative pair contributes exactly
+    * ½ through the averaged rank; the unit spec pins the equality on
+    * tie-heavy samples), without the n² sweep that melts a driver at
+    * the d37 guard's 100k bound. Input: (label ∈ {0,1}, score) pairs.
+    * Degenerate one-class inputs return 0.0 (nothing to rank against).
+    */
+  def aucRankSum(pairs: Array[(Int, Double)]): Double = {
+    val pos = pairs.count(_._1 == 1).toLong
+    val neg = pairs.length - pos
+    if (pos == 0 || neg == 0) return 0.0
+    val sorted = pairs.sortBy(_._2)
+    var rPos = 0.0
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val avgRank = (i + 1 + j) / 2.0 // mean of 1-based ranks i+1..j
+      var k = i
+      while (k < j) { if (sorted(k)._1 == 1) rPos += avgRank; k += 1 }
+      i = j
+    }
+    (rPos - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
+  }
+
   /** Per-document feature vector from the fused text kernels:
     * token count (log-scaled), stopword ratio, unique-token ratio,
     * top-bigram share, byte entropy, mean token length.

@@ -3406,28 +3406,9 @@ object PipelineQueries {
       require(hold.length <= 100000,
         "d37 holdout exceeds 100k rows — evaluate AUC distributed " +
           "(rank-sum form) before scaling this fixture")
-      val pairs = hold.map(r => (r.getInt(0), r.getDouble(1)))
-      val pos = pairs.count(_._1 == 1).toLong
-      val neg = pairs.length - pos
-      // Mann-Whitney rank-sum form, O(n log n): AUC = (R⁺ − P(P+1)/2)
-      // ÷ (P·N) with average ranks over tied scores — identical to the
-      // pairwise ties-half count (each tied pos/neg pair contributes
-      // exactly ½ through the averaged rank), without the n² sweep
-      // that would effectively hang under the 100k guard.
-      val sorted = pairs.sortBy(_._2)
-      var rPos = 0.0
-      var i = 0
-      while (i < sorted.length) {
-        var j = i
-        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
-        val avgRank = (i + 1 + j) / 2.0 // mean of 1-based ranks i+1..j
-        var k = i
-        while (k < j) { if (sorted(k)._1 == 1) rPos += avgRank; k += 1 }
-        i = j
-      }
-      val auc =
-        if (pos > 0 && neg > 0) (rPos - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
-        else 0.0
+      // Mann-Whitney rank-sum form, O(n log n) — the spec-pinned
+      // tie-exact equivalent of the pairwise definition (MlOps)
+      val auc = MlOps.aucRankSum(hold.map(r => (r.getInt(0), r.getDouble(1))))
       scored
         .select(col("doc_id"), col("is_train"), col("weak_label"),
           lit(auc >= 0.75).as("auc_ok"))

@@ -2422,6 +2422,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(readmitted == got)
   }
 
+  test("aucRankSum == pairwise ties-half AUC on tie-heavy samples; degenerate one-class inputs are 0") {
+    def pairwise(pairs: Array[(Int, Double)]): Double = {
+      val pos = pairs.count(_._1 == 1).toLong
+      val neg = pairs.length - pos
+      if (pos == 0 || neg == 0) return 0.0
+      var wins = 0.0
+      for ((la, pa) <- pairs if la == 1; (lb, pb) <- pairs if lb == 0)
+        wins += (if (pa > pb) 1.0 else if (pa == pb) 0.5 else 0.0)
+      wins / (pos * neg)
+    }
+    // deterministic tie-heavy fixtures: scores quantized to few levels
+    // so tied pos/neg pairs dominate; labels from a hash-ish pattern
+    val fixtures = Seq(
+      (0 until 200).map(i => ((i * 7 + 3) % 5 % 2, (i * 13 % 4) * 0.25)).toArray,
+      (0 until 101).map(i => (if (i % 3 == 0) 1 else 0, (i % 2) * 1.0)).toArray,
+      Array((1, 0.5), (0, 0.5)), // a single fully-tied pair → 0.5
+      (0 until 50).map(i => (i % 2, i * 0.01)).toArray) // no ties
+    fixtures.foreach { f =>
+      val rs = MlOps.aucRankSum(f)
+      val pw = pairwise(f)
+      assert(math.abs(rs - pw) < 1e-12, s"rank-sum $rs != pairwise $pw")
+    }
+    assert(MlOps.aucRankSum(Array((1, 0.3), (1, 0.9))) == 0.0)
+    assert(MlOps.aucRankSum(Array.empty[(Int, Double)]) == 0.0)
+  }
+
   test("frame-ledger probe: reduced route == full-scan route; group-key (set, n) keeps distinct sizes apart") {
     val path = java.nio.file.Files.createTempDirectory("graft-frames-r").toString + "/led"
     // frames are 8-byte chunks at everyK=2 (chunks 0, 2, ... of 16-byte
