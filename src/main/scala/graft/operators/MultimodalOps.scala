@@ -1460,23 +1460,41 @@ object MultimodalOps {
       .agg(sort_array(collect_set(col(idCol))).as("__members"))
       .select(element_at(col("__members"), 1).as("__rep"),
         col("__members"), col("n").as("__n"), col("fhs"))
-    // frequency-ordered PREFIX FILTERING (the pairsOfFrameSignatures
-    // principle — see there for the completeness argument and the
-    // rounding back-off), with the corpus-row df order of lever 2
+    // frequency-ordered PREFIX FILTERING with PPJoin's length and
+    // positional rules (the pairsOfFrameSignatures principles — see
+    // there for the completeness arguments and the rounding back-off),
+    // with the corpus-row df order of lever 2. Under the reduction the
+    // rules stay EXACTLY complete with mixed sizes: the length and
+    // required-overlap rules use the TRUE set sizes (__n — the batch's
+    // full size, the corpus row's stored admission-time n), while the
+    // positional remaining-elements bound uses each PREFIX LIST's own
+    // size (A∩B ⊆ B_reduced, so |B_reduced|−pos+1 still bounds the
+    // overlap reachable from a match at pos).
     val tPre = math.max(minJaccard - 0.00005, 0.0)
-    def exOf(g: DataFrame) = g.select(col("__rep"), explode(col("fhs")).as("__fh"))
     val dfreq = corpusRows.groupBy(col("fh").as("__fh"))
       .agg(count(lit(1)).as("__df"))
-    def preOf(g: DataFrame, rep: String) = exOf(g)
-      .join(dfreq, Seq("__fh"), "left")
-      .na.fill(Long.MaxValue, Seq("__df")) // batch-only: dead weight, last
-      .groupBy(col("__rep"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
-      .select(col("__rep").as(rep),
-        explode(slice(transform(col("__ord"), s => s.getField("__fh")), lit(1),
-          size(col("__ord")) - ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1))
-          .as("__fh"))
-    val cand = preOf(gn, "__rn").join(preOf(gc, "__rc"), Seq("__fh"))
+    def preOf(g: DataFrame, sfx: String): DataFrame = {
+      val ord = g.select(col("__rep"), col("__n"), explode(col("fhs")).as("__fh"))
+        .join(dfreq, Seq("__fh"), "left")
+        .na.fill(Long.MaxValue, Seq("__df")) // batch-only: dead weight, last
+        .groupBy(col("__rep"))
+        .agg(first(col("__n")).as("__n"),
+          sort_array(collect_list(struct(col("__df"), col("__fh")))).as("__ord"))
+      val pLen = greatest(size(col("__ord")) -
+        ceil(size(col("__ord")) * lit(tPre)).cast("int") + 1, lit(0))
+      ord.select(col("__rep").as("__r" + sfx), col("__n").as("__t" + sfx),
+          size(col("__ord")).as("__sz" + sfx),
+          posexplode(slice(transform(col("__ord"), s => s.getField("__fh")),
+            lit(1), pLen)))
+        .select(col("__r" + sfx), col("__t" + sfx), col("__sz" + sfx),
+          (col("pos") + 1).as("__p" + sfx), col("col").as("__fh"))
+    }
+    val reqOverlap = lit(tPre / (1.0 + tPre)) * (col("__tn") + col("__tc"))
+    val cand = preOf(gn, "n").join(preOf(gc, "c"), Seq("__fh"))
+      .filter(greatest(col("__tn"), col("__tc")) * lit(tPre) <=
+          least(col("__tn"), col("__tc")) &&
+        (least(col("__szn") - col("__pn"), col("__szc") - col("__pc")) + 1) >=
+          reqOverlap)
       .select(col("__rn"), col("__rc")).dropDuplicates()
     // members ride the scoring join — see pairsOfFrameSignatures
     cand
