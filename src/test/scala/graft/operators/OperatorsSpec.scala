@@ -2478,6 +2478,19 @@ class OperatorsSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.frameProbe.reduceMinBytes")
     assert(reduced == expected, s"reduced route: $reduced")
     assert(full == expected, s"full-scan route: $full")
+    // edge: an EMPTY batch probes to zero rows on both routes (the
+    // reduction's build side is empty — nothing may throw)
+    val none = docs.filter(col("doc_id") < 0)
+    spark.conf.set("spark.graft.frameProbe.reduceMinBytes", "0")
+    try assert(MultimodalOps.frameDedupAgainstLedger(
+      none, "doc_id", "__bin", path, 8, 2, 0.0).count() == 0)
+    finally spark.conf.unset("spark.graft.frameProbe.reduceMinBytes")
+    assert(MultimodalOps.frameDedupAgainstLedger(
+      none, "doc_id", "__bin", path, 8, 2, 0.0).count() == 0)
+    // edge: a degenerate threshold > 1 yields empty prefixes → empty
+    // result (the clamp path), not an error
+    assert(MultimodalOps.frameDedupAgainstLedger(
+      batch, "doc_id", "__bin", path, 8, 2, 1.5).count() == 0)
   }
 
   test("tuneLshParams: S-curve argmin matches the independent quadrature; tuned pairs == hand-tuned pairs") {
