@@ -797,6 +797,27 @@ object PipelineQueries {
     }
   }
 
+  /** The exact brute-force referent shared by every ANN decision
+    * relation probing the same (corpus predicate) — one sweep per
+    * session, the d102/d107 cachedModel regime (the referent is
+    * conformance apparatus like the shared PQ/IVFPQ code tables, and
+    * it is queries×k rows — model-sized by construction).
+    */
+  private def cachedExactTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, key: String,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val (schema, rows) = cachedModel(s, s"exacttopk:$key:$dir") {
+      val emb = table(s, dir, "embeddings")
+      val df = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        corpusFilter.fold(emb)(emb.filter), "vec_id", "embedding", k = 5)
+      (df.schema, df.collect().toIndexedSeq)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** The Spark half of [[sqlExactTopkRecallOracle]]: hash the exact
     * brute-force top-k and carry the corpus-level recall@k of the
     * approximate answer against it on every row, at HALF the family's
@@ -2032,8 +2053,7 @@ object PipelineQueries {
       graft.operators.IvfPq.compactIndex(s, path)
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "mod3", Some(col("vec_id") % 3 =!= 0)),
         graft.operators.IvfPq.probeIndex(s, path,
           queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100),
@@ -2053,8 +2073,7 @@ object PipelineQueries {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         SimilarityOps.quantizedTopK(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 5),
         minRecall = 0.45) // half the 0.9 AccuracySpec gate
@@ -2075,8 +2094,7 @@ object PipelineQueries {
       SimilarityOps.writeQuantizedCorpus(emb, "vec_id", "embedding", path)
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         SimilarityOps.quantizedTopKAtRest(s, path,
           queries, "vec_id", "embedding", "vec_id", k = 5),
         minRecall = 0.45) // half the 0.9 s13-family gate
@@ -2717,8 +2735,7 @@ object PipelineQueries {
         IvfIndex.train(emb, "embedding", k = 8, iters = 3))
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         IvfIndex.annTopK(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", model, k = 5, nprobe = 3),
         minRecall = 0.3) // half the 0.6 AccuracySpec gate
@@ -2740,8 +2757,7 @@ object PipelineQueries {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         graft.operators.HnswIndex.annTopK(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 5,
           m = 16, efConstruction = 100, efSearch = 64),
@@ -3094,8 +3110,7 @@ object PipelineQueries {
       }
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         graft.operators.PqIndex.annTopK(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", model, k = 5, rerank = 100,
           prebuiltCodes = Some(codes)),
@@ -3126,8 +3141,7 @@ object PipelineQueries {
       }
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         graft.operators.IvfPq.annTopK(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", model, k = 5, nprobe = 6, rerank = 100,
           prebuiltCodes = Some(codes)),
@@ -3215,8 +3229,7 @@ object PipelineQueries {
         graft.operators.IvfPq.loadModel(s, path))
       val queries = emb.filter(col("vec_id") < 8)
       annRecallRelation(
-        SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5),
+        cachedExactTopK(s, dir, "full"),
         graft.operators.IvfPq.probeIndex(s, path,
           queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100,
