@@ -780,4 +780,16 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(windows(df) == 0)
     }
   }
+
+  test("ANN decision relation (s04): the 1-row verdict joins via broadcast NLJ — no CartesianProduct anywhere") {
+    // the r16 graduation wrapper crossJoins a single aggregated verdict
+    // row back onto the exact side; this gate pins that it stays a
+    // broadcast nested-loop (model-sized build) and that no
+    // un-broadcast cartesian can sneak into the shape at scale
+    val df = graft.SparkEntry.queries("s04_ivf_topk")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
