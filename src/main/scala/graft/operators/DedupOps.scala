@@ -368,24 +368,28 @@ object DedupOps {
     // it and silently miss collisions with the appended rows — the
     // exact recall loss the delete-BEFORE-append ordering prevents.
     // (Aborting the append instead is merely "retry the batch".)
-    def staleIndexDirs() =
+    // ONE listing per append (r17: the r16 form re-listed the dir after
+    // the delete loop; the per-dir exists-after-delete below preserves
+    // the same guarantee — no SIG_INDEX dir survives a non-throwing
+    // return — with strictly fewer metadata calls).
+    val stale =
       if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(dir).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(LedgerGuard.SidecarPrefix + "SIG_INDEX"))
-    staleIndexDirs().foreach { st =>
-      if (!fs.delete(st.getPath, true) && fs.exists(st.getPath))
+    stale.foreach { st =>
+      val deleted = fs.delete(st.getPath, true)
+      if (!deleted && fs.exists(st.getPath))
         throw new java.io.IOException(
           s"signature-ledger append to $appendDest aborted: could not " +
           s"invalidate stale probe index ${st.getPath} (delete returned " +
           "false) — appending under a live stale index would silently " +
           "lose collisions")
+      if (deleted && fs.exists(st.getPath))
+        throw new java.io.IOException(
+          s"signature-ledger append to $appendDest aborted: stale probe " +
+          s"index ${st.getPath} remains after a delete that reported " +
+          "success")
     }
-    val leftover = staleIndexDirs()
-    if (leftover.nonEmpty)
-      throw new java.io.IOException(
-        s"signature-ledger append to $appendDest aborted: stale probe " +
-        s"index dirs remain after invalidation: " +
-        leftover.map(_.getPath.getName).mkString(", "))
   }
 
   /** The shared cross-pair core over two signature tables: identical-

@@ -38,7 +38,11 @@ object MlOps {
     var rPos = 0.0
     var i = 0
     while (i < sorted.length) {
-      var j = i
+      // j starts PAST i so the outer loop always advances: a NaN score
+      // (NaN == NaN is false) becomes a singleton tie block instead of
+      // pinning j == i forever. Scores are sigmoid-finite in d37, but
+      // the guard must not depend on that precondition.
+      var j = i + 1
       while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
       val avgRank = (i + 1 + j) / 2.0 // mean of 1-based ranks i+1..j
       var k = i

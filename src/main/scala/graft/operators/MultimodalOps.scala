@@ -1455,7 +1455,11 @@ object MultimodalOps {
     val gc = corpusRows
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("fh"))).as("fhs"),
-        first(col("n")).as("n"))
+        // max, not first: if an id ever carried rows with differing
+        // stored n (double-append without a forget — outside the
+        // documented contract), first() is nondeterministic and the
+        // Jaccard denominator would silently vary between runs.
+        max(col("n")).as("n"))
       .groupBy(col("fhs"), col("n"))
       .agg(sort_array(collect_set(col(idCol))).as("__members"))
       .select(element_at(col("__members"), 1).as("__rep"),

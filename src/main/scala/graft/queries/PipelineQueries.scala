@@ -833,14 +833,20 @@ object PipelineQueries {
     val flagged = exact.join(
       approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
       Seq("query_id", "neighbor_id"), "left")
-    // one model-sized verdict row, broadcast back onto the exact side
+    // one model-sized verdict row, broadcast back onto the exact side.
+    // NOTE: this is MICRO-averaged corpus-level recall over all exact
+    // rows (hits / (queries × k)), not a per-query macro recall — fine
+    // at 8 uniform queries × k=5, but don't read it as per-query.
     val verdict = flagged.agg(
       (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)) >= minRecall)
         .as("recall_ok"))
     flagged.crossJoin(broadcast(verdict))
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"),
         col("recall_ok"))
-      .orderBy("query_id", "rk")
+      // queries × k rows by construction: a single-partition local sort
+      // skips the range-partition sampling job a global orderBy pays
+      // (the established s08/s09/s19 rationale).
+      .coalesce(1).sortWithinPartitions("query_id", "rk")
   }
 
   val all: Seq[NamedQuery] = Seq(

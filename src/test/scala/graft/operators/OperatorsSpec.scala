@@ -2446,6 +2446,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(MlOps.aucRankSum(Array((1, 0.3), (1, 0.9))) == 0.0)
     assert(MlOps.aucRankSum(Array.empty[(Int, Double)]) == 0.0)
+    // NaN scores must TERMINATE (NaN == NaN is false: a tie scan that
+    // starts at i would never advance) — each NaN forms a singleton
+    // block; java's Double ordering sorts NaN above every finite score,
+    // so a NaN-scored positive ranks top. The pin is termination +
+    // finite output, not a semantic claim about NaN rank quality.
+    val withNaN = Array((1, Double.NaN), (0, 0.2), (1, 0.8), (0, Double.NaN))
+    val v = MlOps.aucRankSum(withNaN)
+    assert(!v.isNaN && v >= 0.0 && v <= 1.0, s"NaN input gave $v")
   }
 
   test("frame-ledger probe: reduced route == full-scan route; group-key (set, n) keeps distinct sizes apart") {
