@@ -1,5 +1,7 @@
 package graft.queries
 
+import Qf.DumpSortOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -53,7 +55,11 @@ object OlapQueries {
           Qf.dround(avg(col("l_extendedprice")), 4).as("avg_price"),
           Qf.dround(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        // q01 stays on the global orderBy ON PURPOSE: it is the suite's
+      // fixed calm anchor (Bench normalizes committed sweeps by
+      // q01Calm = 0.21, measured against THIS plan) — changing its
+      // plan would silently re-base every cross-round comparison.
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     q("q02_filter_project",
@@ -92,7 +98,7 @@ object OlapQueries {
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     q("q09_agg_filter",
@@ -109,7 +115,7 @@ object OlapQueries {
           count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
           Qf.dround(sum(when(year(col("o_orderdate")) === 1996, col("o_totalprice"))), 2).as("rev_1996"),
           Qf.dround(avg(when(col("o_totalprice") > 1000, col("o_totalprice"))), 2).as("avg_big"))
-        .orderBy("o_orderstatus")
+        .dumpSorted("o_orderstatus")
     },
 
     // ---------------------------------------------------------------- joins
@@ -146,7 +152,7 @@ object OlapQueries {
       o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
+        .dumpSorted("o_orderpriority")
     },
 
     q("q05_local_supplier_volume",
@@ -174,7 +180,7 @@ object OlapQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .dumpSortedBy(col("revenue").desc, col("n_name"))
     },
 
     q("q07_broadcast_dims",
@@ -187,7 +193,7 @@ object OlapQueries {
         .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"), Qf.dround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
-        .orderBy("r_name")
+        .dumpSorted("r_name")
     },
 
     q("q10_returned_items",
@@ -263,7 +269,7 @@ object OlapQueries {
           && col("l_extendedprice").between(col("p_retailprice") * 0.5, col("p_retailprice") * 20.0))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_in_band"), Qf.dround(sum(col("l_extendedprice")), 2).as("band_revenue"))
-        .orderBy("p_brand")
+        .dumpSorted("p_brand")
     },
 
     // ---------------------------------------------------------------- grouping sets / rollup / cube
@@ -278,7 +284,7 @@ object OlapQueries {
         .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), Qf.dround(sum(col("c_acctbal")), 2).as("acctbal"))
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+        .dumpSortedBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
     q("q12_cube",
@@ -288,7 +294,7 @@ object OlapQueries {
       table(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(Qf.dround(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+        .dumpSortedBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     q("q13_grouping_sets",
@@ -503,7 +509,7 @@ object OlapQueries {
       table(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .unionByName(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
         .groupBy("nk").agg(count(lit(1)).as("n"))
-        .orderBy("nk")
+        .dumpSorted("nk")
     },
 
     q("q20_intersect",
@@ -513,7 +519,7 @@ object OlapQueries {
         |ORDER BY nk""".stripMargin) { (s, dir) =>
       table(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
-        .orderBy("nk")
+        .dumpSorted("nk")
     },
 
     q("q21_except",
@@ -523,7 +529,7 @@ object OlapQueries {
         |ORDER BY nk""".stripMargin) { (s, dir) =>
       table(s, dir, "nation").select(col("n_nationkey").as("nk"))
         .except(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
-        .orderBy("nk")
+        .dumpSorted("nk")
     },
 
     // ---------------------------------------------------------------- scalar function batteries
@@ -720,7 +726,7 @@ object OlapQueries {
       table(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
-        .orderBy("s_nationkey")
+        .dumpSorted("s_nationkey")
     },
 
     // ---------------------------------------------------------------- events (stream-shaped table, batch path)
@@ -827,7 +833,7 @@ object OlapQueries {
           Qf.dround(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
           Qf.dround(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
           Qf.dround(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // bitwise / boolean aggregate battery — exact integer semantics, no
@@ -849,7 +855,7 @@ object OlapQueries {
           expr("bit_xor(l_orderkey)").cast("bigint").as("bxor"),
           expr("bool_and(l_quantity > 0)").as("all_pos"),
           expr("bool_or(l_discount > 0.09)").as("any_deep_disc"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // the DISCONTINUOUS ordered-set aggregate (SQL-standard
@@ -879,7 +885,7 @@ object OlapQueries {
           expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // The built-in above buffers per-group (value,count) maps — three
@@ -925,7 +931,7 @@ object OlapQueries {
           Qf.dround(element_at(col("ps"), 1), 4).as("p25"),
           Qf.dround(element_at(col("ps"), 2), 4).as("p50"),
           Qf.dround(element_at(col("ps"), 3), 4).as("p90"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // DESC within-group ordering — `WITHIN GROUP (ORDER BY c DESC)` for
@@ -948,7 +954,7 @@ object OlapQueries {
           expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice DESC)").as("d40"),
           Qf.dround(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC)"), 4).as("c25"),
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity DESC)").as("t50"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- recursive CTE
@@ -979,7 +985,7 @@ object OlapQueries {
           |       coalesce(rev, CAST(0 AS DOUBLE)) AS rev_raw
           |FROM months LEFT JOIN om ON om.mo = CAST(make_date(1995, m + 1, 1) AS TIMESTAMP)""".stripMargin)
         .select(col("month"), col("n_orders"), Qf.dround(col("rev_raw"), 2).as("revenue"))
-        .orderBy("month")
+        .dumpSorted("month")
     },
 
     // ---------------------------------------------------------------- arg-min/max aggregates
@@ -1007,7 +1013,7 @@ object OlapQueries {
           expr("min_by(s_name, struct(s_acctbal, s_name))").as("poorest"),
           Qf.dround(max(col("s_acctbal")), 2).as("top_bal"),
           Qf.dround(min(col("s_acctbal")), 2).as("low_bal"))
-        .orderBy("s_nationkey")
+        .dumpSorted("s_nationkey")
     },
 
     // ---------------------------------------------------------------- deterministic mode
@@ -1024,7 +1030,7 @@ object OlapQueries {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("mode(l_linenumber, true)").cast("bigint").as("mode_ln"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- time-series gap fill
@@ -1081,7 +1087,7 @@ object OlapQueries {
         .agg(
           count(lit(1)).as("n"),
           Qf.dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
-        .orderBy("o_orderpriority")
+        .dumpSorted("o_orderpriority")
     },
 
     // The exact form above is already distributed (distinct-value counts +
@@ -1143,7 +1149,7 @@ object OlapQueries {
           Qf.dround(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
           Qf.dround(min(col("l_extendedprice")), 4).as("min_price"),
           Qf.dround(max(col("l_extendedprice")), 4).as("max_price"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- typed UDAF (Aggregator)
@@ -1156,7 +1162,7 @@ object OlapQueries {
         .agg(Qf.dround(
           graft.functions.Aggregators.weightedMean(col("l_extendedprice"), col("l_quantity")),
           4).as("wavg_price"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- range frames + value window functions
@@ -1316,7 +1322,7 @@ object OlapQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_events"),
           Qf.dround(sum(col("value")), 2).as("sum_value"))
-        .orderBy("c_nationkey")
+        .dumpSorted("c_nationkey")
     },
 
     // ---------------------------------------------------------------- LATERAL correlated subquery
@@ -1391,7 +1397,7 @@ object OlapQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           Qf.dround(sum(col("l_extendedprice")), 2).as("sum_price"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- batch sessionization
@@ -1507,7 +1513,7 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("sum_uid"),
           Qf.dround(sum(col("value")), 2).as("sum_value"))
-        .orderBy("event_type")
+        .dumpSorted("event_type")
     },
 
     // ---------------------------------------------------------------- file-format conformance: JSON-lines round-trip
@@ -1534,7 +1540,7 @@ object OlapQueries {
           max(col("event_id")).as("max_id"),
           countDistinct(col("user_id")).as("n_users"),
           Qf.dround(avg(col("value")), 4).as("avg_value"))
-        .orderBy("event_type")
+        .dumpSorted("event_type")
     },
 
     // ---------------------------------------------------------------- explicit grouping sets
@@ -1584,7 +1590,7 @@ object OlapQueries {
           sum(col("l_extendedprice").cast("decimal(12,2)")).cast("string").as("sum_exact"),
           sum(col("l_extendedprice").cast("decimal(12,2)")
             * col("l_discount").cast("decimal(4,3)")).cast("string").as("disc_exact"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- NULL-semantics battery
@@ -1642,7 +1648,7 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("sum_uid"),
           Qf.dround(sum(col("value")), 2).as("sum_value"))
-        .orderBy("event_type")
+        .dumpSorted("event_type")
     },
 
     // the PARTITIONED read form — the pattern to copy against a real
@@ -1680,7 +1686,7 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("sum_uid"),
           Qf.dround(sum(col("value")), 2).as("sum_value"))
-        .orderBy("event_type")
+        .dumpSorted("event_type")
     },
 
     // ---------------------------------------------------------------- avro round-trip (graft-avro on the core library)
@@ -1724,7 +1730,7 @@ object OlapQueries {
           min(col("d")).as("min_d"), max(col("d")).as("max_d"),
           sum(length(col("bin"))).cast("long").as("bin_bytes"),
           min(lower(hex(col("bin")))).as("bin_min"))
-        .orderBy("event_type")
+        .dumpSorted("event_type")
     },
 
     // ---------------------------------------------------------------- file-format conformance: ORC round-trip
@@ -1752,7 +1758,7 @@ object OlapQueries {
           Qf.dround(sum(col("l_extendedprice")), 2).as("sum_price"),
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .dumpSorted("l_returnflag", "l_linestatus")
     },
 
     // ---------------------------------------------------------------- file-format conformance: XML round-trip
@@ -1781,7 +1787,7 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"),
           Qf.dround(sum(col("s_acctbal")), 2).as("sum_bal"),
           min(col("s_name")).as("min_name"))
-        .orderBy("s_nationkey")
+        .dumpSorted("s_nationkey")
     },
   )
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import Qf.DumpSortOps
+
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
 
@@ -1578,7 +1580,7 @@ object PipelineQueries {
           count(lit(1)).as("n_dups"))
         .select(col("canonical"), (-col("__m.nid")).as("doc_id"),
           col("__m.q").as("quality"), col("n_dups"))
-        .orderBy("canonical")
+        .dumpSorted("canonical")
     },
 
     // ---------------------------------------------------------------- distinct-count sketch ledger
@@ -1657,7 +1659,7 @@ object PipelineQueries {
           s"_${dir.hashCode.toHexString}")
       graft.operators.CurationOps.writeStatsLedger(docs.filter(col("doc_id") % 5 =!= 0), "source", "text", path)
       graft.operators.CurationOps.mergeStatsLedger(docs.filter(col("doc_id") % 5 === 0), "source", "text", path)
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- train/val/test split
@@ -1870,7 +1872,7 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- kNN label agreement
@@ -1971,7 +1973,7 @@ object PipelineQueries {
       SimilarityOps.annTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- maintained ANN index
@@ -2000,7 +2002,7 @@ object PipelineQueries {
       SimilarityOps.probeBucketedIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         "vec_id", "embedding", numPlanes = 4, dim = 64, k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- ANN index deletes
@@ -2025,7 +2027,7 @@ object PipelineQueries {
       SimilarityOps.probeBucketedIndex(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         "vec_id", "embedding", numPlanes = 4, dim = 64, k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- IVFPQ index maintenance cycle
@@ -2187,7 +2189,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("__n")).cast("int").as("min_tokens"),
           max(col("__n")).cast("int").as("max_tokens"))
-        .orderBy("bin")
+        .dumpSorted("bin")
     },
 
     // ---------------------------------------------------------------- multimodal feature extraction
@@ -2668,7 +2670,7 @@ object PipelineQueries {
       SimilarityOps.l2TopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- heavy hitters
@@ -2690,7 +2692,7 @@ object PipelineQueries {
       top.withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("exact").desc, col("token"))))
-        .orderBy("rk")
+        .dumpSorted("rk")
     },
 
     // CMS-estimate variant. The estimate itself has no cross-engine
@@ -2717,7 +2719,7 @@ object PipelineQueries {
           (col("est") >= col("exact") &&
             col("est") <= col("exact") + lit(eps) * lit(total.toDouble))
             .as("cms_ok"))
-        .orderBy(col("exact").desc, col("token"))
+        .dumpSortedBy(col("exact").desc, col("token"))
     },
 
     // ---------------------------------------------------------------- IVF ANN
@@ -2938,7 +2940,7 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(first(col("keep_ppm")).as("keep_ppm"),
           count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tokens_kept"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- context-window packing
@@ -3094,7 +3096,7 @@ object PipelineQueries {
         .select(col("label"), col("n_members"),
           Qf.dround(col("centroid_norm_raw"), 4).as("centroid_norm"),
           Qf.dround(col("avg_cos_raw"), 4).as("avg_cos"))
-        .orderBy("label")
+        .dumpSorted("label")
     },
 
     // ---------------------------------------------------------------- product-quantization ANN
@@ -3178,7 +3180,7 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb.filter(col("label") === 3), "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- hard-negative mining
@@ -3205,7 +3207,7 @@ object PipelineQueries {
       SimilarityOps.hardNegatives(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
         emb, "vec_id", "embedding", "label", k = 5)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- persisted IVFPQ index probe
@@ -3317,7 +3319,7 @@ object PipelineQueries {
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       graft.operators.FuzzyJoin.editDistanceSelfJoin(table(s, dir, "part"), "p_name", k = 2)
-        .orderBy("a", "b")
+        .dumpSorted("a", "b")
     },
 
     // ---------------------------------------------------------------- optimizer-rewritten fuzzy join
@@ -3559,7 +3561,7 @@ object PipelineQueries {
       graft.operators.MlOps.thresholdSweep(scored, "__score", "__lab", decimals = 2)
         .select(col("thr"), col("tp"), col("fp"), col("fn"),
           col("precision").as("prec"), col("recall").as("rec"), col("f1"))
-        .orderBy(col("thr").desc)
+        .dumpSortedBy(col("thr").desc)
     },
 
     // ---------------------------------------------------------------- Matryoshka truncated-prefix search
@@ -3575,7 +3577,7 @@ object PipelineQueries {
       SimilarityOps.matryoshkaTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, prefixDim = 16, candFactor = 4)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- MRL corpus at rest
@@ -3596,7 +3598,7 @@ object PipelineQueries {
       SimilarityOps.matryoshkaTopKAtRest(s, path,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", "vec_id",
         k = 5, prefixDim = 16, candFactor = 4)
-        .orderBy("query_id", "rk")
+        .dumpSorted("query_id", "rk")
     },
 
     // ---------------------------------------------------------------- video frame-hash dedup
@@ -3990,7 +3992,7 @@ object PipelineQueries {
         batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
       CurationOps.compactQuantileLedger(s, path, targetFiles = 2)
       CurationOps.quantilesFromLedger(s, path, Seq(0.5, 0.9, 0.99))
-        .orderBy("lang", "prob")
+        .dumpSorted("lang", "prob")
     },
 
     // ---------------------------------------------------------------- KLL quantile-sketch ledger
@@ -4088,7 +4090,7 @@ object PipelineQueries {
         batchId = Some("gen-3")) // crash-and-retry replay: exactly-once no-op
       SketchOps.compactVocabLedger(s, path, targetFiles = 2)
       SketchOps.topTokensFromLedger(s, path, k = 5)
-        .orderBy("lang", "rk")
+        .dumpSorted("lang", "rk")
     },
 
     // ---------------------------------------------------------------- ledger retraction (right-to-be-forgotten, mergeable families)
@@ -4130,7 +4132,7 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 3 === 0), "lang", "len", 4, path,
         batchId = Some("purge-1"))
       CurationOps.quantilesFromLedger(s, path, Seq(0.5, 0.9, 0.99))
-        .orderBy("lang", "prob")
+        .dumpSorted("lang", "prob")
     },
 
     q("d81_vocab_ledger_forget",
@@ -4155,7 +4157,7 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 3 === 0), "lang", TextOps.tokens(col("text")),
         path, batchId = Some("purge-1"))
       SketchOps.topTokensFromLedger(s, path, k = 5)
-        .orderBy("lang", "rk")
+        .dumpSorted("lang", "rk")
     },
 
     q("d82_stats_ledger_forget",
@@ -4177,7 +4179,7 @@ object PipelineQueries {
       CurationOps.retractFromStatsLedger(
         docs.filter(col("doc_id") % 3 === 0), "source", "text", path,
         batchId = Some("purge-1"))
-      graft.operators.LedgerGuard.readLedger(s, path).orderBy("source")
+      graft.operators.LedgerGuard.readLedger(s, path).dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- incremental TF-IDF (ledger-backed)
@@ -4316,7 +4318,7 @@ object PipelineQueries {
         |UNION ALL SELECT 3, a, b, CAST(freq AS BIGINT) FROM m3 ORDER BY rk""".stripMargin) { (s, dir) =>
       graft.operators.CurationOps.learnBpeMerges(
         table(s, dir, "documents"), "text", numMerges = 3)
-        .orderBy("rk")
+        .dumpSorted("rk")
     },
 
     // ---------------------------------------------------------------- TRUE WordPiece learning
@@ -4377,7 +4379,7 @@ object PipelineQueries {
         |ORDER BY rk""".stripMargin) { (s, dir) =>
       graft.operators.CurationOps.learnWordPieceMerges(
         table(s, dir, "documents"), "text", numMerges = 3)
-        .orderBy("rk")
+        .dumpSorted("rk")
     },
 
     // ---------------------------------------------------------------- corpus card FROM LEDGERS (capstone)
@@ -4559,7 +4561,7 @@ object PipelineQueries {
         .select(col("threshold"), col("b"), col("r"),
           Qf.dround(col("fp"), 6).as("fp"), Qf.dround(col("fn"), 6).as("fn"),
           Qf.dround(col("cost"), 6).as("cost"), col("best"))
-        .orderBy("threshold", "b", "r")
+        .dumpSorted("threshold", "b", "r")
     },
 
     // ---------------------------------------------------------------- bigram-LM ledger (language model at rest)
@@ -4694,7 +4696,7 @@ object PipelineQueries {
       graft.operators.CurationOps.mixtureReweightScored(
         table(s, dir, "documents").select(col("doc_id"), col("source")),
         "doc_id", "source", sharedLmScores(s, dir), eta = 1.0)
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     q("d92_mixture_plan",
@@ -4752,7 +4754,7 @@ object PipelineQueries {
           Qf.dround(col("alloc_raw"), 4).as("alloc_tokens"),
           Qf.dround(col("epochs_raw"), 6).as("epochs"),
           col("capped"), col("budget_shortfall"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- distribution drift at rest
@@ -4809,7 +4811,7 @@ object PipelineQueries {
           Qf.dround(col("tv_raw"), 6).as("tv"),
           Qf.dround(col("psi_raw"), 4).as("psi"),
           col("n_onesided"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- lexical drift (JSD)
@@ -4840,7 +4842,7 @@ object PipelineQueries {
         |ORDER BY ap.src1, ap.src2""".stripMargin) { (s, dir) =>
       graft.operators.CurationOps.sourceUnigramJsd(
         table(s, dir, "documents"), "source", "text")
-        .orderBy("src1", "src2")
+        .dumpSorted("src1", "src2")
     },
 
     // ---------------------------------------------------------------- lexical drift AT REST
@@ -4883,7 +4885,7 @@ object PipelineQueries {
       SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
       SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 >= 6),
         "source", tok, pB)
-      SketchOps.vocabLedgerJsd(s, pA, pB).orderBy("source")
+      SketchOps.vocabLedgerJsd(s, pA, pB).dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- bloom membership ledger
@@ -5160,7 +5162,7 @@ object PipelineQueries {
       CurationOps.advanceSampleLedger(g2, "doc_id", "s17", 32, path,
         batchId = Some("g2")) // replayed delivery: exactly-once no-op
       graft.operators.LedgerGuard.readLedger(s, path)
-        .select(col("doc_id"), col("pr")).orderBy("pr", "doc_id")
+        .select(col("doc_id"), col("pr")).dumpSorted("pr", "doc_id")
     },
 
     // ---------------------------------------------------------------- weighted sample (E-S)
@@ -5182,7 +5184,7 @@ object PipelineQueries {
         .withColumn("__w", length(col("text")).cast("double"))
       graft.operators.CurationOps.bottomKSample(docs, "doc_id", "w18", 24,
         weightCol = Some("__w"))
-        .orderBy("rk")
+        .dumpSorted("rk")
     },
 
     // ---------------------------------------------------------------- calibration / ECE
@@ -5211,7 +5213,7 @@ object PipelineQueries {
         Qf.dround(TextOps.qualityScore(col("text")), 4).as("score"),
         (length(col("text")) > 400).cast("int").as("label"))
       graft.operators.MlOps.calibrationBins(scored, "score", "label", bins = 10)
-        .orderBy("bin")
+        .dumpSorted("bin")
     },
 
     // ---------------------------------------------------------------- leakage-safe split
@@ -6189,7 +6191,7 @@ object PipelineQueries {
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 5, damping = 0.85)
         .select(col("node").cast("int").as("host"),
           Qf.dround(col("rank"), 4).as("pagerank"))
-        .orderBy("host")
+        .dumpSorted("host")
     },
 
     // ---------------------------------------------------------------- corpus card

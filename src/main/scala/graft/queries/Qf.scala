@@ -30,4 +30,32 @@ object Qf {
     val p = math.pow(10, n)
     math.signum(x) * math.floor(math.abs(x) * p + 0.5) / p
   }
+
+  /** Deterministic total order for a MODEL-SIZED conformance dump at
+    * single-exchange cost. A trailing global `orderBy` pays a
+    * range-boundary SAMPLING job plus a range exchange for a property
+    * the dump needs only for determinism (the driver compare
+    * canonicalizes row order itself — the s08 rationale). This form
+    * skips the sampling job: one round-robin exchange down to a single
+    * partition, then an in-partition sort = the same total order, one
+    * fewer driver barrier per query (measured 113→65 ms narrow-tailed,
+    * 120→98 ms agg-tailed, warm sf0.1).
+    *
+    * `repartition(1)`, NOT `coalesce(1)`: coalesce propagates the
+    * single partition up through narrow stages (it would serialize a
+    * scan or broadcast-join probe upstream); repartition is an
+    * exchange barrier, so every upstream stage keeps full width.
+    * ONLY for outputs that stay model-sized at any corpus scale
+    * (aggregates, top-k, sweeps, verdict relations): a
+    * corpus-proportional dump keeps the parallel global orderBy —
+    * single-partitioning one of those at 100 TB would bottleneck the
+    * write.
+    */
+  implicit class DumpSortOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def dumpSorted(first: String, rest: String*): org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(first, rest: _*)
+    def dumpSortedBy(cols: Column*): org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
 }

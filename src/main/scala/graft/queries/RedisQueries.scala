@@ -1,5 +1,7 @@
 package graft.queries
 
+import Qf.DumpSortOps
+
 import org.apache.spark.sql.functions._
 import graft.functions.RedduckFunctions
 import graft.net.FakeRedisServer
@@ -129,13 +131,13 @@ object RedisQueries {
       """SELECT * FROM (VALUES ('binpat:a_b'), ('binpat:axb')) t(key_name)
         |ORDER BY key_name""".stripMargin) { (s, _) =>
       scanDf(s, "*").filter(col("key_name").startsWith("binpat:"))
-        .orderBy("key_name")
+        .dumpSorted("key_name")
     },
 
     // redis_kv: SCAN + pipelined MGET (README.md:29-31)
     q("r04_redis_kv",
       s"""SELECT * FROM (VALUES $kvValues) t(key, value) ORDER BY key""".stripMargin) { (s, _) =>
-      kvDf(s, "testkey:*").orderBy("key")
+      kvDf(s, "testkey:*").dumpSorted("key")
     },
 
     // batched redis_get incl. missing-key → NULL (vs reference's "")
@@ -146,7 +148,7 @@ object RedisQueries {
         .unionByName(s.range(1).select(lit("missing:zz").as("key")))
       RedduckFunctions.withRedisValues(keys, "key",
           hostPort = Some((Harness.Host, Harness.Port)))
-        .orderBy("key")
+        .dumpSorted("key")
     },
 
     // redis_hgetall with user-declared struct schema (README.md:36-38)
@@ -162,7 +164,7 @@ object RedisQueries {
         .select(col("key_name").as("key"))
       RedduckFunctions.withHashFields(keys, "key", Some(schema),
           hostPort = Some((Harness.Host, Harness.Port)))
-        .orderBy("key")
+        .dumpSorted("key")
     },
 
     // demo scalars (redduck_extension.cpp:17-40)
@@ -174,7 +176,7 @@ object RedisQueries {
         .select(col("key_name"),
           RedduckFunctions.redduck(col("key_name")).as("greeting"),
           RedduckFunctions.setName(col("key_name")).as("named"))
-        .orderBy("key_name")
+        .dumpSorted("key_name")
     },
 
     // redis_connect status string (redduck_extension.cpp:112-118)
@@ -235,7 +237,7 @@ object RedisQueries {
           col("fields")("name").as("name"),
           col("fields")("age").cast("int").as("age"),
           col("fields")("city").as("city"))
-        .orderBy("key")
+        .dumpSorted("key")
     },
 
     // ...and the same via the SQL TVF syntax
@@ -265,7 +267,7 @@ object RedisQueries {
         .option("host", ClusterHarness.Host).option("port", ClusterHarness.PortA.toString)
         .option("partition.mode", "cluster")
         .option("pattern", "ckey:*").load()
-        .orderBy("key_name")
+        .dumpSorted("key_name")
     },
 
     // Redis Streams as a replayable micro-batch source: entry-id offsets
@@ -294,7 +296,7 @@ object RedisQueries {
         .select(col("entry_id"),
           col("fields")("v").as("v"),
           col("fields")("n").cast("int").as("n"))
-        .orderBy("entry_id")
+        .dumpSorted("entry_id")
     },
 
     // MULTI-stream source: two streams (ids interleaved across them)
@@ -329,7 +331,7 @@ object RedisQueries {
         .select(col("stream"), col("entry_id"),
           col("fields")("v").as("v"),
           col("fields")("n").cast("int").as("n"))
-        .orderBy("stream", "entry_id")
+        .dumpSorted("stream", "entry_id")
     },
 
     // ROUTED multi-stream sink (the sink-side scale-out shape, dual to
@@ -365,7 +367,7 @@ object RedisQueries {
         .select(col("stream"), col("entry_id"),
           col("fields")("v").as("v"),
           col("fields")("n").cast("int").as("n"))
-        .orderBy("stream", "entry_id")
+        .dumpSorted("stream", "entry_id")
     }
   )
 }

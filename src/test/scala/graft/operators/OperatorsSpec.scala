@@ -1613,6 +1613,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after.toMap == Map(10L -> 1L, 1L -> 1L, 20L -> 20L, 5L -> 5L), after.toMap.toString)
   }
 
+  test("cluster ledger: the marked-replay fast path touches NO ledger state (structurally job-free)") {
+    // the batchId fast path returns before requireSigMeta, the probe, or
+    // any append — proven by deleting /sig outright and replaying: the
+    // marked replay must no-op silently, while a NEW batchId must fail
+    // loudly on the missing signature sidecar. This pins the replay at
+    // zero Spark jobs (ProbeD66Bench measures exactly that) without a
+    // fragile listener: any ledger read would throw here.
+    val path = java.nio.file.Files.createTempDirectory("graft-clfp").toString + "/cl"
+    val corpus = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    DedupOps.writeClusterLedger(corpus, "doc_id", "text", path)
+    DedupOps.advanceClusterLedger(batch, "doc_id", "text", path,
+      batchId = Some("b-1"))
+    val resolved = DedupOps.readClusterAssignments(spark, path)
+      .as[(Long, Long)].collect().toMap
+    val sigDir = new org.apache.hadoop.fs.Path(path + "/sig")
+    val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(sigDir, true))
+    DedupOps.advanceClusterLedger(batch, "doc_id", "text", path,
+      batchId = Some("b-1")) // marked replay: must not read the (gone) sig side
+    assert(DedupOps.readClusterAssignments(spark, path)
+      .as[(Long, Long)].collect().toMap == resolved)
+    intercept[Exception] { // a NEW batch must fail loudly, not invent state
+      DedupOps.advanceClusterLedger(batch, "doc_id", "text", path,
+        batchId = Some("b-2"))
+    }
+  }
+
   test("cluster ledger: incremental maintenance equals clustering the whole corpus from scratch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
