@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Edge-count gate below which [[pageRank]] iterates driver-side: a
+    * graph this size is one task's worth of data, and the distributed
+    * loop's per-round shuffles are pure scheduling cost (same rationale
+    * and magnitude as DedupOps.SmallGraphEdges for the CC local-DSU
+    * path). 200k (src, dst) pairs ≈ a few MB on the driver.
+    */
+  val SmallPageRankEdges: Long = 200000L
+
   /** Fixed-iteration PageRank (Brin & Page 1998) over a directed edge
     * list — the host-authority prior crawl pipelines mix into quality
     * scores. `rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/deg(u)`,
@@ -37,7 +45,8 @@ object GraphOps {
     * per-iteration joins.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      smallGraphEdges: Long = SmallPageRankEdges): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // persist the loop-invariant frames: the sink check, the n count
     // and every iteration's joins all read e/nodes/deg — without the
@@ -49,6 +58,58 @@ object GraphOps {
     // pattern; long-lived callers persist the result themselves.
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct().persist()
+    val nEdges = e.count() // also materializes the cache for either path
+    if (nEdges <= smallGraphEdges) {
+      // Small-graph fast path (the connectedComponents local-DSU
+      // precedent): the distributed loop's 2 shuffles × `iters` rounds
+      // explode under AQE into ~30 stage-materialization jobs — pure
+      // driver-barrier cost when the whole graph fits in one task. The
+      // node set, out-degrees and the dangling check derive locally
+      // from the collected edges too (three fewer jobs than the
+      // distributed preamble). Deterministic by construction: edges
+      // iterate in (dst, src) canonical order, so every per-node sum
+      // has a fixed operand order (the distributed path's order
+      // differs anyway; both sides of the oracle compare round at 4dp,
+      // the established float-parity regime). Node values pass through
+      // UNTOUCHED, so the output schema matches the distributed path.
+      val spark = edges.sparkSession
+      val nodeType = e.schema.fields.head.copy(name = "node")
+      val edgeRows = e.collect().map(r => (r.get(0), r.get(1)))
+        .sortBy { case (s, d) => (String.valueOf(d), String.valueOf(s)) }
+      e.unpersist(false)
+      val degL = new java.util.HashMap[Any, Long]()
+      edgeRows.foreach { case (s, _) => degL.merge(s, 1L, (a, b) => a + b) }
+      val nodeRows = edgeRows.flatMap(p => Seq(p._1, p._2)).distinct
+      val nDanglingL = nodeRows.count(v => !degL.containsKey(v))
+      if (nDanglingL > 0)
+        throw new IllegalArgumentException(
+          s"pageRank: $nDanglingL node(s) have no out-edge — their rank " +
+            "mass would silently leak each iteration and totals drift " +
+            "below 1. Pre-add self-loops or filter sinks upstream (or " +
+            "redistribute dangling mass) before calling pageRank")
+      val n = nodeRows.length.toLong
+      val baseL = (1 - damping) / n
+      var r = nodeRows.map(v => v -> 1.0 / n).toMap
+      var it = 0
+      while (it < iters) {
+        val contrib = new java.util.HashMap[Any, Double]()
+        edgeRows.foreach { case (s, d) =>
+          contrib.merge(d, r(s) / degL.get(s), (a, b) => a + b)
+        }
+        r = nodeRows.map { v =>
+          v -> (baseL + damping * Option(contrib.get(v)).getOrElse(0.0))
+        }.toMap
+        it += 1
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        nodeType,
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        nodeRows.map(v =>
+          org.apache.spark.sql.Row(v, r(v))).toSeq.asJava, outSchema)
+    }
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct().persist()
     val nDangling = nodes

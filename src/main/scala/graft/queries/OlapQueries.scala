@@ -254,7 +254,7 @@ object OlapQueries {
       a.join(b, Seq("nk"), "full_outer")
         .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-        .orderBy("nk")
+        .dumpSorted("nk")
     },
 
     q("q36_range_join",
@@ -707,7 +707,7 @@ object OlapQueries {
         .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
           ok(col("__ap"), col("n_parts")).as("parts_est_ok"),
           ok(col("__ao"), col("n_orders")).as("orders_est_ok"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // ---------------------------------------------------------------- semi-structured / arrays / strings agg
@@ -809,7 +809,7 @@ object OlapQueries {
           Qf.dround(col("p50"), 4).as("p50"),
           Qf.dround(col("p90"), 4).as("p90"),
           Qf.dround(col("med_qty"), 4).as("med_qty"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // linear-regression aggregate family (SQL-standard regr_*): slope /
@@ -907,7 +907,7 @@ object OlapQueries {
           ("price", col("l_extendedprice"),
             Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))),
         disc = true)
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     // The ARRAY-percentage reporting form — `percentile(c, array(...))`,
@@ -1066,7 +1066,7 @@ object OlapQueries {
           col("day"),
           coalesce(col("n_raw"), lit(0L)).as("n"),
           Qf.dround(last(col("rev_raw"), ignoreNulls = true).over(w), 4).as("rev_filled"))
-        .orderBy("day")
+        .dumpSorted("day")
     },
 
     // ---------------------------------------------------------------- bucketed co-located join
@@ -1128,7 +1128,7 @@ object OlapQueries {
           ok(col("__a50"), col("__e50")).as("ok_p50"),
           ok(col("__a90"), col("__e90")).as("ok_p90"),
           ok(col("__amq"), col("__emq")).as("ok_med_qty"))
-        .orderBy("l_returnflag")
+        .dumpSorted("l_returnflag")
     },
 
     q("q41_stats_agg",

@@ -1339,7 +1339,7 @@ object PipelineQueries {
         keys = Seq("host"), idCol = "doc_id", scoreCol = "__ord",
         asc = true, k = 30)
         .select(col("host"), col("doc_id"), col("rk"))
-        .orderBy("host", "rk")
+        .dumpSorted("host", "rk")
     },
 
     // ---------------------------------------------------------------- length winsorization
@@ -1425,7 +1425,7 @@ object PipelineQueries {
       SimilarityOps.rrfFuse(
         Seq(lex.select(col("doc_id"), col("rk")), den),
         keys = Nil, idCol = "doc_id", rankCol = "rk", k = 10)
-        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .dumpSortedBy(col("rrf_score").desc, col("doc_id"))
     },
 
     // ---------------------------------------------------------------- persisted dedup ledger
@@ -1615,7 +1615,7 @@ object PipelineQueries {
         .select(col("lang"), col("n_docs"), col("n_exact"),
           (abs(col("approx_distinct").cast("double") - col("n_exact").cast("double"))
             <= lit(0.10) * col("n_exact").cast("double")).as("est_ok"))
-        .orderBy("lang")
+        .dumpSorted("lang")
     },
 
     // ---------------------------------------------------------------- unicode normalization
@@ -2171,7 +2171,7 @@ object PipelineQueries {
       SimilarityOps.perKeyTopK(scored, Seq("lang", "source"), "doc_id", "quality",
           asc = false, k = 3)
         .select(col("doc_id"), col("lang"), col("source"), col("quality"), col("rk"))
-        .orderBy("lang", "source", "rk")
+        .dumpSorted("lang", "source", "rk")
     },
 
     // ---------------------------------------------------------------- corpus analysis: length histogram
@@ -2550,7 +2550,7 @@ object PipelineQueries {
           col(s"__nd_$c").as("n_distinct"),
           col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
       }: _*)
-      one.select(explode(perCol).as("p")).select(col("p.*")).orderBy("col_name")
+      one.select(explode(perCol).as("p")).select(col("p.*")).dumpSorted("col_name")
     },
 
     // ---------------------------------------------------------------- dedup cluster assignment
@@ -3041,7 +3041,7 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- byte-entropy quality proxy
@@ -3772,7 +3772,7 @@ object PipelineQueries {
           Qf.dround(sum(when(col("__hit"), 1).otherwise(0)) / count(lit(1)), 4)
             .as("drop_ratio"),
           coalesce(sum(when(!col("__hit"), col("__nt"))), lit(0L)).as("n_tokens_kept"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- cluster-assignment ledger
@@ -3897,7 +3897,7 @@ object PipelineQueries {
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).cast("int").as("n_docs"),
           sum(col("n_tok")).as("n_tokens"))
-        .orderBy("lang", "bucket")
+        .dumpSorted("lang", "bucket")
     },
 
     // ---------------------------------------------------------------- leak-free eval set (capstone)
@@ -3945,7 +3945,7 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("int").as("n_candidates"),
           sum(coalesce(col("__leak"), lit(0))).cast("int").as("n_leaked"),
           (count(lit(1)) - sum(coalesce(col("__leak"), lit(0)))).cast("int").as("n_eval"))
-        .orderBy("lang")
+        .dumpSorted("lang")
     },
 
     // ---------------------------------------------------------------- quantile-histogram ledger
@@ -4053,7 +4053,7 @@ object PipelineQueries {
         .select(col("lang"), col("prob"), col("n"),
           (abs(col("__below") - ceil(col("prob") * col("n")))
             <= lit(0.07) * col("n")).as("rank_ok"))
-        .orderBy("lang", "prob")
+        .dumpSorted("lang", "prob")
     },
 
     // ---------------------------------------------------------------- vocab-count ledger
@@ -4453,7 +4453,7 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
           col("p50_lo"), col("p50_hi"), col("p99_lo"), col("p99_hi"),
           col("top_token"), col("top_tc"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- registrable domain (public-suffix join)
@@ -4525,7 +4525,7 @@ object PipelineQueries {
         .otherwise(when(i % 2 === 0, "city.kawasaki.jp").otherwise("y.x.kawasaki.jp"))
       DomainOps.registrableDomains(
         table(s, dir, "documents").select(host.as("host")), "host", rules)
-        .orderBy("host")
+        .dumpSorted("host")
     },
 
     // ---------------------------------------------------------------- LSH parameter tuning (S-curve argmin)
@@ -5401,7 +5401,7 @@ object PipelineQueries {
       SimilarityOps.perKeyTopK(scored, Seq("lang"), "doc_id", "hs",
           asc = true, k = 20)
         .select(col("lang"), col("doc_id"), col("rk"))
-        .orderBy("lang", "rk")
+        .dumpSorted("lang", "rk")
     },
 
     // ---------------------------------------------------------------- simhash near-dup clusters
@@ -5492,7 +5492,7 @@ object PipelineQueries {
       rates.join(kept, Seq("source"), "left")
         .select(col("source"), col("n_tokens"), Qf.dround(col("q"), 6).as("q"),
           col("keep_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-        .orderBy("source")
+        .dumpSorted("source")
     },
 
     // ---------------------------------------------------------------- interpolated LM scoring (same ledger)

@@ -1736,6 +1736,21 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       GraphOps.pageRank(dangling, "s", "d", iters = 2))
     assert(e.getMessage.contains("no out-edge"), e.getMessage)
+    // the small-graph fast path must agree with the distributed loop
+    // to double-rounding noise (both orders are ulp-apart sums), and
+    // the dangling contract must hold on BOTH routes
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 4L), (4L, 1L),
+      (4L, 2L), (2L, 4L)).toDF("s", "d")
+    val local = GraphOps.pageRank(mixed, "s", "d", iters = 6)
+      .as[(Long, Double)].collect().toMap
+    val dist = GraphOps.pageRank(mixed, "s", "d", iters = 6,
+      smallGraphEdges = 0L).as[(Long, Double)].collect().toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"node $k: local $v dist ${dist(k)}") }
+    val e2 = intercept[IllegalArgumentException](
+      GraphOps.pageRank(dangling, "s", "d", iters = 2, smallGraphEdges = 0L))
+    assert(e2.getMessage.contains("no out-edge"), e2.getMessage)
   }
 
   test("ledger forget: purged content re-admits; signature forget stops probe pairs; sidecars survive") {
