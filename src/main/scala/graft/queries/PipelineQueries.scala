@@ -783,6 +783,22 @@ object PipelineQueries {
     * a putIfAbsent race only discards an empty slot, never a model.
     */
   private final class ModelSlot { @volatile var value: Any = null }
+
+  /** The BPE merge sequence is PREFIX-STABLE: greedy argmax with a
+    * fixed tie order means learning N merges yields the same first k
+    * for every k ≤ N. So d85 (3 merges) and d86 (8) share ONE cached
+    * 8-round learn — the d102/d107 cachedModel regime; d85 reads the
+    * prefix. Bounded: ≤ 8 rows.
+    */
+  private def cachedBpeMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    cachedModel(s, s"bpe-merges:8:$dir") {
+      graft.operators.CurationOps
+        .learnBpeMerges(table(s, dir, "documents"), "text", 8)
+        .orderBy("rk").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toIndexedSeq
+    }
   private def cachedModel[M](s: org.apache.spark.sql.SparkSession, key: String)(train: => M): M = {
     val perSession = modelCache.synchronized {
       var m = modelCache.get(s)
@@ -4316,9 +4332,14 @@ object PipelineQueries {
         |SELECT CAST(1 AS INTEGER) AS rk, a AS lhs, b AS rhs, CAST(freq AS BIGINT) AS freq FROM m1
         |UNION ALL SELECT 2, a, b, CAST(freq AS BIGINT) FROM m2
         |UNION ALL SELECT 3, a, b, CAST(freq AS BIGINT) FROM m3 ORDER BY rk""".stripMargin) { (s, dir) =>
-      graft.operators.CurationOps.learnBpeMerges(
-        table(s, dir, "documents"), "text", numMerges = 3)
-        .dumpSorted("rk")
+      {
+        // prefix of the shared 8-merge learn (prefix-stability note at
+        // cachedBpeMerges) — identical rows to a 3-merge learn
+        import s.implicits._
+        cachedBpeMerges(s, dir).filter(_._1 <= 3)
+          .toDF("rk", "lhs", "rhs", "freq")
+          .dumpSorted("rk")
+      }
     },
 
     // ---------------------------------------------------------------- TRUE WordPiece learning
@@ -6428,9 +6449,8 @@ object PipelineQueries {
     // reconstruction and piece-closure membership corpus-wide.
     q("d86_bpe_encode", bpeEncodeOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val merges = graft.operators.CurationOps.learnBpeMerges(docs, "text", 8)
-        .orderBy("rk").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: ≤ 8 rows
+      // the shared 8-merge learn (cachedBpeMerges) — bounded: ≤ 8 rows
+      val merges = cachedBpeMerges(s, dir).map(t => (t._2, t._3))
       val p = graft.functions.TokenizeExpressions.bpeEncode(col("text"), merges)
       docs.select(col("doc_id"), p.as("__p"))
         .select(col("doc_id"),
