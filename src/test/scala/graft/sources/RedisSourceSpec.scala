@@ -651,7 +651,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("xs1")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val got = spark.table("xs1").collect()
         .map(r => r.getString(0) -> r.getMap[String, String](1).toMap)
       assert(got.map(_._1).toSeq.sorted == (1 to 9).map(i => s"1-$i").sorted)
@@ -672,7 +672,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         RedisCommands.xadd(c, k, "2-1", Seq("v" -> "late1"))
         RedisCommands.xadd(c, k, "2-2", Seq("v" -> "late2"))
       } finally c.close()
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       assert(spark.table("xs1").count() == 11)
     } finally q.stop()
   }
@@ -692,7 +692,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("checkpointLocation", s"$base/ckpt")
         .start()
     val q1 = run()
-    try { q1.processAllAvailable() } finally q1.stop()
+    try { graft.StreamTestGuard.drain(q1) } finally q1.stop()
     assert(spark.read.parquet(s"$base/out").count() == 5)
     // appends while the query is DOWN
     val c = new graft.net.RedisConnection("127.0.0.1", port)
@@ -705,7 +705,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // land — the committed entry-id offset held, nothing replayed, and
     // the union is complete with no duplicates
     val q2 = run()
-    try { q2.processAllAvailable() } finally q2.stop()
+    try { graft.StreamTestGuard.drain(q2) } finally q2.stop()
     val all = spark.read.parquet(s"$base/out").collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(all == Seq("3-1" -> "a1", "3-2" -> "a2", "3-3" -> "a3", "3-4" -> "a4",
@@ -723,7 +723,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("xmulti")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val got = spark.table("xmulti").collect()
         .map(r => (r.getString(0), r.getString(1),
           r.getMap[String, String](2).toMap.apply("v"))).sortBy(t => (t._1, t._2))
@@ -778,7 +778,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("checkpointLocation", s"$base/ckpt")
         .start()
     val q1 = run()
-    try { q1.processAllAvailable() } finally q1.stop()
+    try { graft.StreamTestGuard.drain(q1) } finally q1.stop()
     assert(spark.read.parquet(s"$base/out").count() == 5)
     // the committed offset is a canonical JSON map (sorted keys)
     val offsetFiles = new java.io.File(s"$base/ckpt/offsets").listFiles().sortBy(_.getName)
@@ -792,7 +792,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       RedisCommands.xadd(c, b, "22-2", Seq("v" -> "b3"))
     } finally c.close()
     val q2 = run()
-    try { q2.processAllAvailable() } finally q2.stop()
+    try { graft.StreamTestGuard.drain(q2) } finally q2.stop()
     val all = spark.read.parquet(s"$base/out").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(all == Seq((a, "20-1", "a1"), (a, "20-2", "a2"), (a, "20-3", "a3"),
@@ -815,7 +815,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("xpat")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       assert(spark.table("xpat").select("stream").distinct().collect()
         .map(_.getString(0)).sorted.toSeq == Seq(a, b))
       // a brand-new stream matching the pattern joins the SAME query,
@@ -823,7 +823,7 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val c = new graft.net.RedisConnection("127.0.0.1", port)
       try RedisCommands.xadd(c, "xpat:three", "32-1", Seq("v" -> "c1"))
       finally c.close()
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val got = spark.table("xpat").collect()
         .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
       assert(got == Seq((a, "30-1"), (a, "30-2"), ("xpat:three", "32-1"),
@@ -904,8 +904,8 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", s"$ckpt/c")
       .start()
     try {
-      ms.addData((4L, "w")); q.processAllAvailable()
-      ms.addData((5L, "u")); q.processAllAvailable()
+      ms.addData((4L, "w")); graft.StreamTestGuard.drain(q)
+      ms.addData((5L, "u")); graft.StreamTestGuard.drain(q)
     } finally q.stop()
     // TVF face: the reference-style literal syntax, via the session target
     graft.GraftRedis.connect(spark, s"127.0.0.1:$port")
@@ -1089,8 +1089,8 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", s"$ckpt/c")
       .start()
     try {
-      ms.addData((a, "s1"), (b, "s2")); q.processAllAvailable()
-      ms.addData((b, "s3")); q.processAllAvailable()
+      ms.addData((a, "s1"), (b, "s2")); graft.StreamTestGuard.drain(q)
+      ms.addData((b, "s3")); graft.StreamTestGuard.drain(q)
     } finally q.stop()
     val c3 = new graft.net.RedisConnection("127.0.0.1", port)
     try {
@@ -1190,11 +1190,11 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .writeStream.format("memory").queryName("xlat")
         .start()
       try {
-        q.processAllAvailable()
+        graft.StreamTestGuard.drain(q)
         assert(spark.table("xlat").count() == 0)
         val c = new graft.net.RedisConnection("127.0.0.1", aport, auth = Some("xpw"))
         try RedisCommands.xadd(c, "xs:auth", "9-1", Seq("v" -> "new")) finally c.close()
-        q.processAllAvailable()
+        graft.StreamTestGuard.drain(q)
         assert(spark.table("xlat").collect().map(_.getString(0)).toSeq == Seq("9-1"))
       } finally q.stop()
     } finally authServer.stop()

@@ -32,21 +32,21 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val query = stream.writeStream
       .format("memory").queryName("keystream").outputMode("append").start()
     try {
-      query.processAllAvailable()
+      graft.StreamTestGuard.drain(query)
       val firstBatch = spark.sql("SELECT key_name FROM keystream")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(firstBatch == Seq("seed:1", "seed:2", "seed:3"))
 
       server.put("seed:4", "v4")
       server.put("other:9", "ignored") // outside the pattern
-      query.processAllAvailable()
+      graft.StreamTestGuard.drain(query)
       val secondBatch = spark.sql("SELECT key_name FROM keystream")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(secondBatch == Seq("seed:1", "seed:2", "seed:3", "seed:4"),
         "exactly the one new in-pattern key should be appended")
 
       // no change → no new rows
-      query.processAllAvailable()
+      graft.StreamTestGuard.drain(query)
       assert(spark.sql("SELECT count(*) FROM keystream").head().getLong(0) == 4L)
     } finally query.stop()
   }
@@ -66,7 +66,7 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.option("checkpointLocation", ckpt).start()
 
     val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
+    try graft.StreamTestGuard.drain(q1) finally q1.stop()
     assert(got.synchronized(got.sorted.toSeq) == Seq("restart:1", "restart:2"))
 
     // restart from the same checkpoint: the committed offset N is restored
@@ -78,7 +78,7 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.synchronized(got.clear())
     val q2 = start()
     try {
-      q2.processAllAvailable()
+      graft.StreamTestGuard.drain(q2)
       assert(got.synchronized(got.sorted.toSeq) == Seq("restart:1", "restart:2", "restart:3"),
         "restart must re-seed from the current keyspace, not swallow it")
     } finally q2.stop()
@@ -101,10 +101,10 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         ()
     }.start()
     try {
-      query.processAllAvailable()
+      graft.StreamTestGuard.drain(query)
       assert(out.synchronized(out.toMap) == Map("enrich:a" -> "va", "enrich:b" -> "vb"))
       server.put("enrich:c", "vc")
-      query.processAllAvailable()
+      graft.StreamTestGuard.drain(query)
       assert(out.synchronized(out.toMap).get("enrich:c").contains("vc"))
     } finally query.stop()
   }
@@ -139,13 +139,13 @@ class RedisStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       // more arrivals while the query runs: later micro-batches fold in
       val c2 = new graft.net.RedisConnection("127.0.0.1", port)
       try (7 to 8).foreach(i => RedisCommands.xadd(c2, k, s"6-$i",
         Seq("src" -> "web", "text" -> s"w$i late")))
       finally c2.close()
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
     } finally q.stop()
     val atRest = graft.operators.LedgerGuard.readLedger(spark, path)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -53,7 +53,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("hourly_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val streamed = spark.sql("SELECT hour_start, event_type, n FROM hourly_out")
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       val batch = batchEvents()
@@ -91,7 +91,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("curation_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getString(4), r.getInt(5))
       val streamed = spark.sql("SELECT * FROM curation_out").collect().map(key).toSet
@@ -115,7 +115,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("totals_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val streamed = spark.sql(
         """SELECT user_id, max_by(n_events, n_events) AS n
           |FROM totals_out GROUP BY user_id""".stripMargin)
@@ -131,7 +131,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("ssjoin_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val streamed = spark.sql("SELECT purchase_id, click_id FROM ssjoin_out")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch equivalent: same predicate as a plain join
@@ -170,7 +170,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("dedup_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val kept = spark.sql("SELECT user_id, event_type FROM dedup_out")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
       assert(kept == Seq((1L, "click"), (1L, "view"), (2L, "click")))
@@ -203,7 +203,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("sled_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val kept = spark.sql("SELECT user_id, event_type FROM sled_out")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
       assert(kept == Seq((2L, "click"), (3L, "view")))
@@ -236,7 +236,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("sessions_vs_batch")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val got = spark.sql("SELECT user_id, CAST(n_events AS BIGINT) FROM sessions_vs_batch")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(got == expected,
@@ -265,7 +265,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("stream_scores")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val got = spark.sql("SELECT doc_id, p_good FROM stream_scores")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == batchScores.keySet)
@@ -319,7 +319,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .format("memory").queryName("sessions_out")
       .start()
     try {
-      q.processAllAvailable()
+      graft.StreamTestGuard.drain(q)
       val sessions = spark.sql("SELECT user_id, n_events FROM sessions_out")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
       // user 1's first session (2 events) closed by the 60m event;
@@ -352,8 +352,8 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      stream.addData(rows.take(200).toSeq); q.processAllAvailable()
-      stream.addData(rows.drop(200).toSeq); q.processAllAvailable()
+      stream.addData(rows.take(200).toSeq); graft.StreamTestGuard.drain(q)
+      stream.addData(rows.drop(200).toSeq); graft.StreamTestGuard.drain(q)
       val batchResult = graft.operators.CurationOps.semanticDecontamination(
         corpus, "vec_id", "embedding", bench, "vec_id", "embedding", 0.3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -385,7 +385,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val got = spark.read.parquet(genPath(gen))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val want = graft.operators.CurationOps.corpusStats(
@@ -423,7 +423,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       // batch 2's span comes from windows batch 1 admitted ("x y a b" …),
       // proving appends are visible to the next micro-batch
       assert(out.toMap == Map(
@@ -456,8 +456,8 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      stream.addData(rest.take(30).toSeq); q.processAllAvailable()
-      stream.addData(rest.drop(30).toSeq); q.processAllAvailable()
+      stream.addData(rest.take(30).toSeq); graft.StreamTestGuard.drain(q)
+      stream.addData(rest.drop(30).toSeq); graft.StreamTestGuard.drain(q)
       val fullPath = java.nio.file.Files.createTempDirectory("graft-frfull").toString + "/fr"
       graft.operators.MultimodalOps.writeFrameLedger(
         docs.withColumn("__bin", col("text").cast("binary")),
@@ -496,8 +496,8 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      stream.addData(rest.take(100).toSeq); q.processAllAvailable()
-      stream.addData(rest.drop(100).toSeq); q.processAllAvailable()
+      stream.addData(rest.take(100).toSeq); graft.StreamTestGuard.drain(q)
+      stream.addData(rest.drop(100).toSeq); graft.StreamTestGuard.drain(q)
       val fullPath = java.nio.file.Files.createTempDirectory("graft-clfull2").toString + "/cl"
       graft.operators.DedupOps.writeClusterLedger(docs, "doc_id", "text", fullPath)
       val inc = graft.operators.DedupOps.readClusterAssignments(spark, incPath)
@@ -534,7 +534,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val got = graft.operators.CurationOps.sketchEstimates(spark, path)
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       // tiny cardinalities are exact in HLL's sparse mode
@@ -569,7 +569,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      Seq(b1, b2).foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val atRest = graft.operators.KllSketch
         .quantilesFromKllLedger(spark, path, Seq(0.25, 0.5, 0.9, 1.0))
         .collect().map(r => (r.getString(0), r.getDouble(1)) -> ((r.getDouble(2), r.getLong(3))))
@@ -605,7 +605,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      Seq(b1, b2).foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val atRest = graft.operators.LedgerGuard.readLedger(spark, path)
         .collect().map(_.getLong(0)).toSet
       val oneShot = graft.operators.CurationOps.bottomKSample(
@@ -636,7 +636,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val got = spark.read.parquet(path)
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val everything = seed.unionByName(later.flatten.toDF("source", "len"))
@@ -664,7 +664,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val got = spark.read.parquet(path)
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val everything = seed.unionByName(later.flatten.toDF("lang", "text"))
@@ -694,7 +694,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       val everything = seed.unionByName(later.flatten.toDF("doc_id", "text"))
       val got = spark.read.parquet(path)
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -732,7 +732,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       graft.operators.DedupOps.writeSimHashLedger(
         seed.unionByName(later.flatten.toDF("doc_id", "text")), "doc_id", "text", once)
       val probe = Seq((100L, "a b a b c"), (101L, "q r s t u")).toDF("doc_id", "text")
@@ -769,7 +769,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      laterBatches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      laterBatches.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       MultimodalOps.writeAudioFpLedger(
         df(seedIds ++ laterBatches.flatten), "id", "wav", once)
       val probe = df(Seq(100L, 101L, 102L))
@@ -803,7 +803,7 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      later.foreach { b => stream.addData(b); q.processAllAvailable() }
+      later.foreach { b => stream.addData(b); graft.StreamTestGuard.drain(q) }
       def driftRow(a: String): (Long, Long, Double, Double) =
         graft.operators.CurationOps.histogramDrift(spark, a, ref)
           .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
@@ -847,9 +847,9 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       .start()
     try {
-      stream.addData(docs.take(40).toSeq); q.processAllAvailable()
-      stream.addData(docs.slice(40, 70).toSeq); q.processAllAvailable()
-      stream.addData(docs.drop(70).toSeq); q.processAllAvailable()
+      stream.addData(docs.take(40).toSeq); graft.StreamTestGuard.drain(q)
+      stream.addData(docs.slice(40, 70).toSeq); graft.StreamTestGuard.drain(q)
+      stream.addData(docs.drop(70).toSeq); graft.StreamTestGuard.drain(q)
       val fromStream = MlOps.sweepFromBuckets(
         acc.toSeq.toDF("thr", "__pos", "__neg"))
         .orderBy(col("thr").desc)
