@@ -792,4 +792,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dumpSorted queries carry NO range-sampling exchange; corpus dumps and q01 keep the parallel global sort") {
+    withStaticPlans {
+      // the r17 job diet: model-sized conformance dumps end in
+      // repartition(1) + in-partition sort (one round-robin exchange,
+      // no range-boundary sampling job). Representatives across the
+      // converted families — an OLAP agg, a ledger cycle's readout
+      // shape, a sweep — must plan ZERO range exchanges...
+      def rangeExchanges(df: DataFrame): Int =
+        nodes(df) { case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e }.size
+      Seq("q08_distinct_agg", "q42_weighted_avg", "d16_length_histogram")
+        .foreach { n =>
+          val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          assert(rangeExchanges(df) == 0,
+            s"$n plans a range exchange:\n" + df.queryExecution.executedPlan)
+        }
+      // ...while q01 (the bench's fixed calm anchor — plan must never
+      // change) and a corpus-proportional dump (parallel sort is the
+      // scale-correct choice there) still plan exactly one
+      Seq("q01_pricing_summary", "d01_text_stats").foreach { n =>
+        val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        assert(rangeExchanges(df) == 1,
+          s"$n lost its global sort:\n" + df.queryExecution.executedPlan)
+      }
+    }
+  }
 }
