@@ -560,25 +560,29 @@ class RedisReaderFactory(fetchValues: Boolean) extends PartitionReaderFactory {
     new RedisPartitionReader(p, fetchValues)
   }
 
-  /** Columnar handoff (SURVEY §1.1 optimization item): plain key scans
-    * emit one ColumnarBatch per SCAN page, so Spark's codegen'd
-    * ColumnarToRow consumes a vector instead of row-at-a-time
-    * InternalRows. kv mode (MGET values interleaved) and pushed-topN
-    * (bounded heap) keep the row reader.
+  /** Columnar handoff (SURVEY §1.1 optimization item, completed r17):
+    * key scans AND kv scans emit one ColumnarBatch per SCAN page, so
+    * Spark's codegen'd ColumnarToRow consumes vectors instead of
+    * row-at-a-time InternalRows — kv pages resolve with the same ONE
+    * pipelined MGET as the row path, missing keys landing as vector
+    * nulls. Only pushed-topN (bounded heap with cross-page state)
+    * keeps the row reader.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !fetchValues && partition.asInstanceOf[RedisInputPartition].topN.isEmpty
+    partition.asInstanceOf[RedisInputPartition].topN.isEmpty
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[RedisInputPartition]
-    new RedisColumnarPartitionReader(p)
+    new RedisColumnarPartitionReader(p, fetchValues)
   }
 }
 
-/** Columnar key scan: the SCAN cursor loop of [[RedisPartitionReader]],
-  * emitting each page as one single-column ColumnarBatch.
+/** Columnar key / kv scan: the SCAN cursor loop of
+  * [[RedisPartitionReader]], emitting each page as one ColumnarBatch —
+  * one string vector for key-only scans, (key, value) vectors with
+  * null-slot misses for kv mode.
   */
-class RedisColumnarPartitionReader(p: RedisInputPartition)
+class RedisColumnarPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -603,14 +607,32 @@ class RedisColumnarPartitionReader(p: RedisInputPartition)
       }
       val page = limitPage(keys)
       if (page.nonEmpty) {
-        val vec = new OnHeapColumnVector(page.length, StringType)
+        val keyVec = new OnHeapColumnVector(page.length, StringType)
         var i = 0
         while (i < page.length) {
           val bytes = page(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          vec.putByteArray(i, bytes, 0, bytes.length)
+          keyVec.putByteArray(i, bytes, 0, bytes.length)
           i += 1
         }
-        current = new ColumnarBatch(Array(vec), page.length)
+        current =
+          if (!fetchValues) new ColumnarBatch(Array(keyVec), page.length)
+          else {
+            // same one-pipelined-MGET-per-page as the row reader;
+            // a nil reply (missing/expired key) is a vector null
+            val values = RedisCommands.mget(conn, page)
+            val valVec = new OnHeapColumnVector(page.length, StringType)
+            var j = 0
+            while (j < page.length) {
+              values(j) match {
+                case Some(v) =>
+                  val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  valVec.putByteArray(j, b, 0, b.length)
+                case None => valVec.putNull(j)
+              }
+              j += 1
+            }
+            new ColumnarBatch(Array(keyVec, valVec), page.length)
+          }
         return true
       }
     }

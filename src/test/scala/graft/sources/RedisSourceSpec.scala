@@ -295,17 +295,26 @@ class RedisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq("testkey:0001", "testkey:0002", "testkey:0003"))
   }
 
-  test("plain key scans read columnar (ColumnarToRow above the scan)") {
+  test("key scans AND kv scans read columnar (ColumnarToRow above the scan); pushed-topN keeps rows") {
     val df = scan("testkey:*")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"expected columnar scan handoff:\n$plan")
     assert(df.count() == 10L)
-    // kv mode stays row-based (values interleave with pipelined MGET)
-    val kvPlan = spark.read.format("redis-kv")
+    // kv mode reads columnar too (r17): page keys + one pipelined MGET
+    // per page land as (key, value) vectors, missing keys as nulls
+    val kv = spark.read.format("redis-kv")
       .option("host", "127.0.0.1").option("port", port)
       .option("pattern", "testkey:*").load()
+    val kvPlan = kv.queryExecution.executedPlan.toString
+    assert(kvPlan.contains("ColumnarToRow"),
+      s"expected columnar kv handoff:\n$kvPlan")
+    val got = kv.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 10 && got("testkey:0001") == "value1", got.toString)
+    // the pushed ORDER BY key LIMIT path carries bounded-heap state
+    // across pages — it must still plan the row reader
+    val topPlan = scan("testkey:*").orderBy("key_name").limit(3)
       .queryExecution.executedPlan.toString
-    assert(!kvPlan.contains("ColumnarToRow"))
+    assert(!topPlan.contains("ColumnarToRow"), topPlan)
   }
 
   test("small scan.count forces multi-page cursor with identical results") {
