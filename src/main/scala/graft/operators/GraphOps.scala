@@ -59,7 +59,13 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct().persist()
     val nEdges = e.count() // also materializes the cache for either path
-    if (nEdges <= smallGraphEdges) {
+    // the local path's hash-map keys need ONE runtime type: with
+    // mixed-width src/dst columns (int vs long) the distributed path's
+    // joins coerce but boxed Integer(1) != Long(1) here — take the
+    // distributed route for that (rare) shape instead of guessing casts
+    val uniformKeyType =
+      e.schema.fields(0).dataType == e.schema.fields(1).dataType
+    if (nEdges <= smallGraphEdges && uniformKeyType) {
       // Small-graph fast path (the connectedComponents local-DSU
       // precedent): the distributed loop's 2 shuffles × `iters` rounds
       // explode under AQE into ~30 stage-materialization jobs — pure

@@ -618,8 +618,10 @@ class RedisColumnarPartitionReader(p: RedisInputPartition, fetchValues: Boolean)
           if (!fetchValues) new ColumnarBatch(Array(keyVec), page.length)
           else {
             // same one-pipelined-MGET-per-page as the row reader;
-            // a nil reply (missing/expired key) is a vector null
-            val values = RedisCommands.mget(conn, page)
+            // a nil reply (missing/expired key) is a vector null.
+            // toIndexedSeq: the while loop below indexes — a linked
+            // Seq would make the page fill quadratic
+            val values = RedisCommands.mget(conn, page).toIndexedSeq
             val valVec = new OnHeapColumnVector(page.length, StringType)
             var j = 0
             while (j < page.length) {

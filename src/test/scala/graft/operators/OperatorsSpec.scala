@@ -1751,6 +1751,17 @@ class OperatorsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       GraphOps.pageRank(dangling, "s", "d", iters = 2, smallGraphEdges = 0L))
     assert(e2.getMessage.contains("no out-edge"), e2.getMessage)
+    // mixed-width src/dst (int vs long) must route to the distributed
+    // path (boxed Integer(1) != Long(1) would silently miss in the
+    // local maps) and still agree with the all-long form
+    val mixedWidth = Seq((1, 2L), (2, 1L)).toDF("s", "d")
+    val mw = GraphOps.pageRank(mixedWidth, "s", "d", iters = 3)
+      .selectExpr("cast(node as long) node", "rank")
+      .as[(Long, Double)].collect().toMap
+    val allLong = GraphOps.pageRank(
+      Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    mw.foreach { case (k, v) => assert(math.abs(v - allLong(k)) < 1e-12) }
   }
 
   test("ledger forget: purged content re-admits; signature forget stops probe pairs; sidecars survive") {
