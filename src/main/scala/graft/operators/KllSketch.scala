@@ -248,22 +248,30 @@ object KllSketch {
     // same contract as the stats/quantile-histogram ledgers, whose rows
     // are also per-key). A document-keyed call would silently try to
     // hold corpus-many sketches on the driver; fail loudly instead.
-    // The probe is batch-sized (one distinct over the key column).
-    // count exactly what the sketch job below keys on: the CAST string
-    // form, NULL keys excluded — the raw column would over-count (NULL
-    // is a distinct group; distinct raw values can collapse under the
-    // cast) and spuriously reject a batch at the boundary
-    val nKeys = df.select(col(keyCol).cast("string").as("k"))
-      .filter(col("k").isNotNull).distinct().limit(MaxKeys + 1).count()
-    require(nKeys <= MaxKeys,
-      s"KLL sketch ledger: more than 4096 distinct '$keyCol' keys — per-key " +
-        "sketches fold on the driver and the key must be model-sized " +
-        "(source/domain/language), not a document id; bucket the key " +
-        "upstream or use the exact quantile-histogram ledger per shard")
+    // The guard is FUSED into the sketch job (one scan of the batch,
+    // not a distinct pre-scan plus the sketch scan — at ingest scale a
+    // guard pre-scan doubles the cost of every write/advance): each
+    // task throws the moment a new key would push ITS builders map past
+    // MaxKeys (which also bounds task memory at MaxKeys sketches — the
+    // document-keyed case fires here, inside the first task wave), and
+    // the driver re-checks the GLOBAL distinct count over the collected
+    // shard keys, because thin partitions can each stay under the bound
+    // while their union exceeds it (shard sketches for few-row keys are
+    // tiny, so that violating collect stays small before the require).
+    // Keys are the CAST string form with NULLs excluded in both checks
+    // — the raw column would over-count (NULL is a distinct group;
+    // distinct raw values can collapse under the cast) and spuriously
+    // reject a batch at the boundary.
     // NULL measure = no rank, skipped like SQL aggregates skip NULL (the
     // same contract the Builder applies to NaN); a NULL KEY has no
     // ledger row either — filter or impute upstream. Without the filter
     // the primitive-Double decode aborts the job on the first NULL.
+    val keyBoundMsg =
+      s"KLL sketch ledger: more than $MaxKeys distinct '$keyCol' keys — " +
+        "per-key sketches fold on the driver and the key must be " +
+        "model-sized (source/domain/language), not a document id; bucket " +
+        "the key upstream or use the exact quantile-histogram ledger per " +
+        "shard"
     val parts = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))
       .filter(col("k").isNotNull && col("v").isNotNull)
@@ -271,6 +279,8 @@ object KllSketch {
       .mapPartitions { it =>
         val builders = scala.collection.mutable.LinkedHashMap[String, Builder]()
         it.foreach { case (key, v) =>
+          if (builders.size >= MaxKeys && !builders.contains(key))
+            throw new IllegalArgumentException(keyBoundMsg)
           builders.getOrElseUpdate(key, new Builder(k)).add(v)
         }
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -281,6 +291,7 @@ object KllSketch {
         }
       }
       .collect()
+    require(parts.iterator.map(_._1).toSet.size <= MaxKeys, keyBoundMsg)
     parts.groupBy(_._1).map { case (key, rows) =>
       val merged = rows.sortBy(_._2).iterator
         .map { case (_, _, n, mn, mx, fl, lv) =>
@@ -305,25 +316,36 @@ object KllSketch {
     rows.toDF("key", "kll_level", "kll_idx", "kll_v")
   }
 
-  /** Read the stored ledger with a LOUD key-cardinality bound before
-    * any driver collect — the same ≤4096 contract [[sketchPerKey]]
-    * enforces on the batch side (and HnswIndex's ≤10k probe bound
-    * follows for its collect): a ledger someone keyed by document id
-    * (or a foreign path) must fail naming the problem, not melt the
-    * driver silently. The probe is one distinct over the model-sized
-    * key column; the ledger itself is left untouched.
+  /** Collect the stored ledger with a LOUD key-cardinality bound —
+    * the same ≤4096 contract [[sketchPerKey]] enforces on the batch
+    * side (and HnswIndex's ≤10k probe bound follows for its collect):
+    * a ledger someone keyed by document id (or a foreign path) must
+    * fail naming the problem, not melt the driver silently. ONE
+    * limit-bounded collect job, not a distinct-count scan plus a
+    * collect: the store is model-sized by construction (the
+    * write/advance guards cap it at MaxKeys keys, each decoding to 4
+    * meta rows plus at most ~3k compactor items), so `rowCap` bounds
+    * driver memory even on a foreign store, and the key require fires
+    * on the collected array. Both guards stay
+    * IllegalArgumentException, raised BEFORE any mutation (every
+    * caller reads ahead of its staged swap). The ledger itself is
+    * left untouched.
     */
-  private def guardedLedgerRead(spark: SparkSession, path: String,
-      what: String): DataFrame = {
-    val led = LedgerGuard.readLedger(spark, path)
-    val nKeys = led.select(col("key")).distinct().limit(MaxKeys + 1).count()
-    require(nKeys <= MaxKeys,
-      s"KLL sketch ledger $what at $path: more than $MaxKeys distinct keys " +
+  private def guardedLedgerRows(spark: SparkSession, path: String,
+      what: String, k: Int): Array[org.apache.spark.sql.Row] = {
+    val rowCap = math.min(MaxKeys.toLong * (12L * k + 4L),
+      Int.MaxValue.toLong - 1L).toInt
+    val rows = LedgerGuard.readLedger(spark, path).limit(rowCap + 1).collect()
+    def oversized(kind: String) = new IllegalArgumentException(
+      s"KLL sketch ledger $what at $path: more than $kind " +
         "in the stored ledger — per-key sketches fold on the driver and the " +
         "key must be model-sized (source/domain/language), not a document " +
         "id; this store was built outside the write/advance guards or the " +
         "path is not a KLL ledger")
-    led
+    if (rows.length > rowCap) throw oversized(s"$rowCap rows")
+    if (rows.iterator.map(_.getString(0)).toSet.size > MaxKeys)
+      throw oversized(s"$MaxKeys distinct keys")
+    rows
   }
 
   private def fromRows(rows: Array[org.apache.spark.sql.Row],
@@ -372,7 +394,7 @@ object KllSketch {
     LedgerGuard.advanceInPlace(spark, path, "KLL sketch ledger", batchId) { staging =>
       // read INSIDE the swap so a concurrent advance's rows are not lost
       val stored =
-        fromRows(guardedLedgerRead(spark, path, "advance").collect(), k)
+        fromRows(guardedLedgerRows(spark, path, "advance", k), k)
       val merged = (stored.keySet ++ delta.keySet).iterator.map { key =>
         key -> stored.getOrElse(key, KllSketch.empty(k))
           .merge(delta.getOrElse(key, KllSketch.empty(k)))
@@ -395,9 +417,15 @@ object KllSketch {
       .flatMap(_.get("k")).map(_.toInt).getOrElse(throw new IllegalStateException(
         s"KLL ledger compaction at $path: no ${MetaFile} sidecar"))
     LedgerGuard.advanceInPlace(spark, path, "KLL-ledger compaction") { staging =>
-      val rows = guardedLedgerRead(spark, path, "compaction")
-        .dropDuplicates("key", "kll_level", "kll_idx").collect()
-      toRows(spark, fromRows(rows, k)).coalesce(1)
+      // duplicate (key, level, idx) rows come only from replayed
+      // appends, so they are bit-identical — first-wins on the driver
+      // matches what dropDuplicates kept, without its shuffle job
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[(String, Int, Int), org.apache.spark.sql.Row]
+      guardedLedgerRows(spark, path, "compaction", k).foreach { r =>
+        seen.getOrElseUpdate((r.getString(0), r.getInt(1), r.getInt(2)), r)
+      }
+      toRows(spark, fromRows(seen.valuesIterator.toArray, k)).coalesce(1)
         .write.mode("overwrite").parquet(staging)
     }
   }
@@ -416,7 +444,7 @@ object KllSketch {
       .flatMap(_.get("k")).map(_.toInt).getOrElse(throw new IllegalStateException(
         s"KLL ledger probe at $path: no ${MetaFile} sidecar — not a KLL ledger"))
     val sketches =
-      fromRows(guardedLedgerRead(spark, path, "probe").collect(), k)
+      fromRows(guardedLedgerRows(spark, path, "probe", k), k)
     sketches.toSeq.sortBy(_._1).flatMap { case (key, s) =>
       probs.zip(s.quantiles(probs)).map { case (p, est) => (key, p, est, s.n) }
     }.toDF("key", "prob", "est", "n")
