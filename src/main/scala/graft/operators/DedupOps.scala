@@ -767,12 +767,17 @@ object DedupOps {
   def writeClusterLedger(docs: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bandSize: Int = 4,
       shingleSize: Int = 5): Unit = {
-    // shingle the corpus ONCE: the signature write and the star edges
-    // both read the cached signature table, not the text pipeline
-    // (batch-bounded persist, released before return — same rationale
-    // as connectedComponents' internal edge persist)
-    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-      .filter(col("mh0").isNotNull).persist()
+    // shingle the corpus ONCE: the signature write, the star edges,
+    // AND the assignments id set all read the cached signature table,
+    // not the text pipeline (batch-bounded persist, released before
+    // return — same rationale as connectedComponents' internal edge
+    // persist). The cache keeps NULL-signature rows (explode_outer
+    // gives every doc exactly one row) so the id set comes off it too
+    // — the old `docs.select(id).distinct()` was a SECOND corpus scan
+    // plus a distinct shuffle that groupBy(id) had already paid.
+    val sigAll =
+      minHashSignatures(docs, idCol, textCol, numHashes, shingleSize).persist()
+    val sig = sigAll.filter(col("mh0").isNotNull)
     try {
       sig.write.mode("overwrite").parquet(clusterSigPath(path))
       writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
@@ -796,7 +801,7 @@ object DedupOps {
       }
       val cc = connectedComponents(
         starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
-      docs.select(col(idCol).cast("long").as("node")).distinct()
+      sigAll.select(col(idCol).cast("long").as("node"))
         .join(cc, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .write.mode("overwrite").parquet(clusterAsgPath(path))
@@ -804,7 +809,7 @@ object DedupOps {
       // surface index-write failures HERE (creation must not return
       // "done" with a corrupt/absent-but-half-written index subdir)
       scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
-    } finally sig.unpersist(false)
+    } finally sigAll.unpersist(false)
   }
 
   /** Admit a batch and fold it into the clustering — O(batch) graph
@@ -845,12 +850,17 @@ object DedupOps {
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, clusterRmpPath(path)) == batchId) return
     requireSigMeta(spark, clusterSigPath(path), numHashes, shingleSize, "probe")
-    // shingle the batch ONCE: the probe, the signature append, and the
-    // internal star edges all read this cached table (batch-bounded
-    // persist, released before return) — the naive composition
-    // re-shingled the batch three times per advance
-    val sig = minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
-      .filter(col("mh0").isNotNull).persist()
+    // shingle the batch ONCE: the probe, the signature append, the
+    // internal star edges, and the assignments id set all read this
+    // cached table (batch-bounded persist, released before return) —
+    // the naive composition re-shingled the batch three times per
+    // advance, and the id set later re-scanned the RAW batch a second
+    // time (plus a distinct shuffle groupBy(id) had already paid;
+    // NULL-signature rows stay in the cache precisely so the id set
+    // can come off it — explode_outer keeps one row per doc)
+    val sigAll =
+      minHashSignatures(batch, idCol, textCol, numHashes, shingleSize).persist()
+    val sig = sigAll.filter(col("mh0").isNotNull)
     try {
       // probe BEFORE admitting (a fresh batch never collides with itself;
       // on replay the id-equal pairs are dropped here); the stored side
@@ -901,7 +911,7 @@ object DedupOps {
       val sigDest = LedgerGuard.appendPath(spark, clusterSigPath(path))
       invalidateSigIndex(spark, sigDest)
       sig.write.mode("append").parquet(sigDest)
-      val batchAsg = batch.select(col(idCol).cast("long").as("node")).distinct()
+      val batchAsg = sigAll.select(col(idCol).cast("long").as("node"))
         .join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
       // labels absorbed into a smaller-minimum component: only EXISTING
@@ -972,7 +982,7 @@ object DedupOps {
         // or every replay of this batch re-appends its delta rows
         LedgerGuard.recordBatchApplied(spark, clusterRmpPath(path), id)
       }
-    } finally sig.unpersist(false)
+    } finally sigAll.unpersist(false)
   }
 
   /** Maintenance for all three parts: the signature side compacts to
