@@ -439,9 +439,15 @@ object DedupOps {
       .join(cBands, Seq("band", "bucket"))
       .groupBy(col("__sn"), col("__sc"))
       .agg(count(lit(1)).as("n_bands"))
+    // NO dropDuplicates on the batch-side member expansion: every
+    // caller builds `n` from minHashSignatures, whose groupBy(id)
+    // emits exactly one row per id — (sig, id) is distinct by
+    // construction, and the collapse shuffle bought nothing (one
+    // exchange per probe across d38/d48/d66-advance). The CORPUS side
+    // keeps its collapse above: ledger reads can carry replayed
+    // duplicate rows.
     edges
-      .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id"))
-        .dropDuplicates(), "__sn")
+      .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id")), "__sn")
       .join(cMem, "__sc")
       .select(col("new_id"), col("corpus_id"), col("n_bands"))
   }

@@ -168,13 +168,16 @@ object IvfPq {
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, cId: String): Unit = {
-    val model = loadModel(spark, path)
     // Tombstones must match the STORED schema exactly: an id column of a
     // different type (long caller vs int index, or vice versa) would
     // accrete mixed parquet schemas under /codes and break or silently
     // coerce every later probe/compact read. Lossless-castable ids are
     // cast to the stored type; anything else fails loudly here.
+    // The code-column COUNT comes off this same schema — the old
+    // loadModel call here paid a model-parquet read + collect per
+    // delete for a number the footer already carries.
     val stored = spark.read.parquet(s"$path/codes").schema
+    val numCodeCols = stored.fieldNames.count(_.matches("__c\\d+"))
     val storedId = stored("neighbor_id").dataType
     val callerId = ids.schema(cId).dataType
     val idCol =
@@ -185,7 +188,7 @@ object IvfPq {
         s"deleteFromIndex: ids column '$cId' is ${callerId.simpleString} but the " +
           s"index stores neighbor_id as ${storedId.simpleString} — not losslessly " +
           "castable; delete with the index's id type")
-    val codeCols = (0 until model.pq.m).map { j =>
+    val codeCols = (0 until numCodeCols).map { j =>
       lit(0).cast(stored(s"__c$j").dataType).as(s"__c$j")
     }
     ids.select(

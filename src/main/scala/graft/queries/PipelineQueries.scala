@@ -4229,16 +4229,23 @@ object PipelineQueries {
       val stPath = Registry.scratchDir(s"/tmp/graft_conformance/d83_st_$tag")
       val dtok = array_distinct(TextOps.tokens(col("text")))
       val keyed = docs.withColumn("corpus", lit("all"))
-      SketchOps.writeVocabLedger(keyed.filter(col("doc_id") % 10 < 6),
-        "corpus", dtok, dfPath, tokenizerId = "ws-distinct")
-      SketchOps.advanceVocabLedger(keyed.filter(col("doc_id") % 10 >= 6),
-        "corpus", dtok, dfPath, tokenizerId = "ws-distinct",
-        batchId = Some("gen-2"))
-      CurationOps.writeStatsLedger(
-        docs.filter(col("doc_id") % 10 < 6), "source", "text", stPath)
-      CurationOps.advanceStatsLedger(
-        docs.filter(col("doc_id") % 10 >= 6), "source", "text", stPath,
-        batchId = Some("gen-2"))
+      // DF-vocab and stats chains touch DISJOINT stores — overlap them
+      // (program order holds within each store; both legs awaited)
+      Qf.concurrently(
+        () => {
+          SketchOps.writeVocabLedger(keyed.filter(col("doc_id") % 10 < 6),
+            "corpus", dtok, dfPath, tokenizerId = "ws-distinct")
+          SketchOps.advanceVocabLedger(keyed.filter(col("doc_id") % 10 >= 6),
+            "corpus", dtok, dfPath, tokenizerId = "ws-distinct",
+            batchId = Some("gen-2"))
+        },
+        () => {
+          CurationOps.writeStatsLedger(
+            docs.filter(col("doc_id") % 10 < 6), "source", "text", stPath)
+          CurationOps.advanceStatsLedger(
+            docs.filter(col("doc_id") % 10 >= 6), "source", "text", stPath,
+            batchId = Some("gen-2"))
+        })
       SketchOps.tfidfAgainstLedgers(docs.filter(col("doc_id") % 7 === 0),
         "doc_id", TextOps.tokens(col("text")), dfPath, stPath, k = 3)
         .orderBy("doc_id", "rk")
@@ -4450,16 +4457,27 @@ object PipelineQueries {
       val vcP = Registry.scratchDir(s"/tmp/graft_conformance/d87_vc_$tag")
       val g1 = docs.filter(col("doc_id") % 10 < 6)
       val g2 = docs.filter(col("doc_id") % 10 >= 6)
-      CurationOps.writeStatsLedger(g1, "source", "text", stP)
-      CurationOps.advanceStatsLedger(g2, "source", "text", stP, batchId = Some("g2"))
       def lens(df: org.apache.spark.sql.DataFrame) =
         df.select(col("source"), length(col("text")).cast("long").as("len"))
-      CurationOps.writeQuantileLedger(lens(g1), "source", "len", shift = 4, qhP)
-      CurationOps.advanceQuantileLedger(lens(g2), "source", "len", 4, qhP,
-        batchId = Some("g2"))
-      SketchOps.writeVocabLedger(g1, "source", TextOps.tokens(col("text")), vcP)
-      SketchOps.advanceVocabLedger(g2, "source", TextOps.tokens(col("text")), vcP,
-        batchId = Some("g2"))
+      // three DISJOINT stores (stats / quantile-hist / vocab): the
+      // write→advance chains are independent — overlap them (program
+      // order holds within each store; Qf.concurrently awaits all)
+      Qf.concurrently(
+        () => {
+          CurationOps.writeStatsLedger(g1, "source", "text", stP)
+          CurationOps.advanceStatsLedger(g2, "source", "text", stP,
+            batchId = Some("g2"))
+        },
+        () => {
+          CurationOps.writeQuantileLedger(lens(g1), "source", "len", shift = 4, qhP)
+          CurationOps.advanceQuantileLedger(lens(g2), "source", "len", 4, qhP,
+            batchId = Some("g2"))
+        },
+        () => {
+          SketchOps.writeVocabLedger(g1, "source", TextOps.tokens(col("text")), vcP)
+          SketchOps.advanceVocabLedger(g2, "source", TextOps.tokens(col("text")),
+            vcP, batchId = Some("g2"))
+        })
       // card time: THREE at-rest reads, zero corpus access
       val st = graft.operators.LedgerGuard.readLedger(s, stP)
       val qs = CurationOps.quantilesFromLedger(s, qhP, Seq(0.5, 0.99))
@@ -4820,12 +4838,16 @@ object PipelineQueries {
       val lenB = docs.select(col("source"),
         expr("length(replace(text, ' ', ''))").cast("long").as("len"))
       // ledger A built across two generations (the at-rest realism);
-      // ledger B in one — drift compares the resulting stores only
-      CurationOps.writeQuantileLedger(lenA.filter(col("doc_id") % 10 < 6),
-        "source", "len", shift = 4, pA)
-      CurationOps.advanceQuantileLedger(lenA.filter(col("doc_id") % 10 >= 6),
-        "source", "len", 4, pA, batchId = Some("g2"))
-      CurationOps.writeQuantileLedger(lenB, "source", "len", shift = 4, pB)
+      // ledger B in one — drift compares the resulting stores only.
+      // The two stores are disjoint: overlap the chains.
+      Qf.concurrently(
+        () => {
+          CurationOps.writeQuantileLedger(lenA.filter(col("doc_id") % 10 < 6),
+            "source", "len", shift = 4, pA)
+          CurationOps.advanceQuantileLedger(lenA.filter(col("doc_id") % 10 >= 6),
+            "source", "len", 4, pA, batchId = Some("g2"))
+        },
+        () => CurationOps.writeQuantileLedger(lenB, "source", "len", shift = 4, pB))
       CurationOps.histogramDrift(s, pA, pB)
         .select(col("source"), col("n_a"), col("n_b"),
           Qf.dround(col("ks_raw"), 6).as("ks"),
@@ -4899,13 +4921,18 @@ object PipelineQueries {
       val pB = Registry.scratchDir(s"/tmp/graft_conformance/d114_b_$tag")
       val tok = graft.operators.TextOps.tokens(col("text"))
       val gen2 = docs.filter(col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6)
-      SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 < 3),
-        "source", tok, pA)
-      SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
-      // replayed delivery of the same batch: exactly-once marker no-ops
-      SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
-      SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 >= 6),
-        "source", tok, pB)
+      // pA's write→advance→replay chain and pB's write touch DISJOINT
+      // stores — overlap them (Qf.concurrently awaits both legs)
+      Qf.concurrently(
+        () => {
+          SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 < 3),
+            "source", tok, pA)
+          SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
+          // replayed delivery of the same batch: exactly-once marker no-ops
+          SketchOps.advanceVocabLedger(gen2, "source", tok, pA, batchId = Some("g2"))
+        },
+        () => SketchOps.writeVocabLedger(docs.filter(col("doc_id") % 10 >= 6),
+          "source", tok, pB))
       SketchOps.vocabLedgerJsd(s, pA, pB).dumpSorted("source")
     },
 
@@ -4992,9 +5019,12 @@ object PipelineQueries {
       val pathD = Registry.scratchDir(s"/tmp/graft_conformance/d120_dg_$tag")
       val pathB = Registry.scratchDir(s"/tmp/graft_conformance/d120_bl_$tag")
       val admitted = docs.filter(col("doc_id") % 3 =!= 0)
-      DedupOps.writeLedger(admitted, "doc_id", Seq("text"), pathD)
       val h = DedupOps.md5Hash32(col("text"), "")
-      DedupOps.writeBloomLedger(admitted, h, "md5-32", 10000L, 0.01, pathB)
+      // digest ledger and bloom ledger are DISJOINT stores over the
+      // same admitted slice — overlap the two writes
+      Qf.concurrently(
+        () => DedupOps.writeLedger(admitted, "doc_id", Seq("text"), pathD),
+        () => DedupOps.writeBloomLedger(admitted, h, "md5-32", 10000L, 0.01, pathB))
       val flagged = docs.join(
         DedupOps.probeBloomLedger(docs, "doc_id", h, pathB, "md5-32",
           10000L, 0.01), "doc_id")

@@ -51,6 +51,28 @@ object Qf {
     * single-partitioning one of those at 100 TB would bottleneck the
     * write.
     */
+  /** Run independent side-effect legs (disjoint ledger stores) as
+    * concurrent Spark jobs — the guide's "overlap independent jobs"
+    * pattern: a conformance cycle composed of two or three unrelated
+    * write→advance chains is otherwise a straight line of driver
+    * barriers whose tails leave the executor pool idle (and every
+    * sequential barrier is a scheduling point sibling-host CPU can
+    * steal — the d105/d106 lesson). EVERY leg is awaited on EVERY
+    * exit (the r16 always-awaited discipline): a failed leg must not
+    * leave a sibling still mutating its store in the background after
+    * the caller observed failure. The first failure propagates.
+    * ONLY for legs over disjoint stores: same-store chains keep their
+    * program order.
+    */
+  def concurrently(legs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = legs.map(l => Future(l()))
+    val outcomes = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
   implicit class DumpSortOps(private val df: org.apache.spark.sql.DataFrame)
       extends AnyVal {
     def dumpSorted(first: String, rest: String*): org.apache.spark.sql.DataFrame =
