@@ -414,7 +414,8 @@ object DedupOps {
     */
   private def crossPairsCore(n: DataFrame, c: DataFrame,
       cIndex: Option[DataFrame], idCol: String,
-      numHashes: Int, bandSize: Int): DataFrame = {
+      numHashes: Int, bandSize: Int,
+      aggBands: Boolean = true): DataFrame = {
     def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("__sig")).agg(
       (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
       (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
@@ -435,10 +436,20 @@ object DedupOps {
         c.select(col("__sig").as("__sc"), col(idCol).as("corpus_id"))
           .dropDuplicates())
     }
-    val edges = broadcast(bandsOf(groupsOf(n), "__sn"))
+    // aggBands = false (CONNECTIVITY-ONLY callers, i.e. the cluster
+    // ledger's advance): skip the (__sn, __sc) count aggregate — its
+    // exchange exists only to compute n_bands and collapse per-band
+    // duplicate collisions, but connected components is duplicate-
+    // tolerant and never reads n_bands, so the shuffle bought nothing
+    // there. Pair-emitting callers (d38/d48 output n_bands per DISTINCT
+    // pair) keep the aggregate.
+    val collisions = broadcast(bandsOf(groupsOf(n), "__sn"))
       .join(cBands, Seq("band", "bucket"))
-      .groupBy(col("__sn"), col("__sc"))
-      .agg(count(lit(1)).as("n_bands"))
+    val edges =
+      if (aggBands)
+        collisions.groupBy(col("__sn"), col("__sc"))
+          .agg(count(lit(1)).as("n_bands"))
+      else collisions.select(col("__sn"), col("__sc"))
     // NO dropDuplicates on the batch-side member expansion: every
     // caller builds `n` from minHashSignatures, whose groupBy(id)
     // emits exactly one row per id — (sig, id) is distinct by
@@ -446,10 +457,12 @@ object DedupOps {
     // exchange per probe across d38/d48/d66-advance). The CORPUS side
     // keeps its collapse above: ledger reads can carry replayed
     // duplicate rows.
-    edges
+    val expanded = edges
       .join(n.select(col("__sig").as("__sn"), col(idCol).as("new_id")), "__sn")
       .join(cMem, "__sc")
-      .select(col("new_id"), col("corpus_id"), col("n_bands"))
+    if (aggBands)
+      expanded.select(col("new_id"), col("corpus_id"), col("n_bands"))
+    else expanded.select(col("new_id"), col("corpus_id"))
   }
 
   /** Persist the corpus side of [[crossDedupPairs]] — the at-rest
@@ -875,10 +888,13 @@ object DedupOps {
       // never groups, bands, or dedups the stored rows
       val (storedSig, storedIdx) =
         boundSigLedger(spark, clusterSigPath(path), bandSize)
+      // aggBands = false: the probe feeds ONLY the CC edge list here
+      // (duplicate-tolerant, n_bands unread) — one exchange fewer per
+      // advance than the pair-emitting d38/d48 form
       val probe = crossPairsCore(
         withSigKey(sig, numHashes),
         withSigKey(storedSig, numHashes), storedIdx,
-        idCol, numHashes, bandSize)
+        idCol, numHashes, bandSize, aggBands = false)
         .filter(col("new_id") =!= col("corpus_id"))
       // the RESOLVED view (base + deltas, remap chains applied): labels
       // seen here are always current, so new remap entries chain onto
@@ -1016,11 +1032,17 @@ object DedupOps {
       compactSignatureLedger(spark, clusterSigPath(path), targetFiles,
         bandSize = bandSize)
     }
-    // await sigF on EVERY exit: if the asg fold throws without this,
+    // await sigF on EVERY exit: if the asg/rmp leg throws without this,
     // the signature compaction keeps mutating /sig on a background
     // thread after the caller observed failure, and its own exception
-    // is lost. An asg-fold failure stays primary; the sig leg's own
+    // is lost. An asg-leg failure stays primary; the sig leg's own
     // failure surfaces when the fold succeeded.
+    //
+    // The clean marker and the remap reset depend ONLY on the asg fold
+    // (they touch /asg + /rmp, never /sig), so they run INSIDE this leg
+    // rather than after the sigF await — the remap-reset swap (two
+    // small jobs + renames) overlaps the signature compaction's tail
+    // instead of extending the cycle after it.
     var foldFailed = true
     try {
       LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
@@ -1029,6 +1051,20 @@ object DedupOps {
           readClusterAssignments(spark, path),
           staging, col("node"), targetFiles, 64L * 1000 * 1000)
       }
+      // the folded base is clean: readers skip the replay-collapse dedup
+      // until the next advance dirties it (marker written AFTER the swap;
+      // a crash in between leaves the safe unmarked state)
+      markAsgClean(spark, path)
+      val rmpPath = clusterRmpPath(path)
+      val fs = new org.apache.hadoop.fs.Path(rmpPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
+        LedgerGuard.advanceInPlace(spark, rmpPath,
+          "cluster-ledger remap reset") { staging =>
+          spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
+            .write.mode("overwrite").parquet(staging)
+        }
       foldFailed = false
     } finally {
       if (foldFailed)
@@ -1037,20 +1073,6 @@ object DedupOps {
         catch { case scala.util.control.NonFatal(_) => () }
     }
     scala.concurrent.Await.result(sigF, scala.concurrent.duration.Duration.Inf)
-    // the folded base is clean: readers skip the replay-collapse dedup
-    // until the next advance dirties it (marker written AFTER the swap;
-    // a crash in between leaves the safe unmarked state)
-    markAsgClean(spark, path)
-    val rmpPath = clusterRmpPath(path)
-    val fs = new org.apache.hadoop.fs.Path(rmpPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(rmpPath)))
-      LedgerGuard.advanceInPlace(spark, rmpPath,
-        "cluster-ledger remap reset") { staging =>
-        spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
-          .write.mode("overwrite").parquet(staging)
-      }
   }
 
   /** Read the current assignments: `(node, label)` — the RESOLVED view

@@ -131,7 +131,8 @@ object IvfPq {
     * practice.)
     */
   def appendToIndex(newRows: DataFrame, cId: String, cVec: String,
-      path: String, batchId: Option[String] = None): Unit = {
+      path: String, batchId: Option[String] = None,
+      preloadedModel: Option[Model] = None): Unit = {
     val spark = newRows.sparkSession
     // exactly-once fast-path (the LSH index's appendToBucketedIndex
     // regime): a marked replayed delivery appends nothing — without a
@@ -142,7 +143,11 @@ object IvfPq {
     // replay-tolerated-at-compaction state, never a lying marker.
     if (batchId.isDefined &&
         LedgerGuard.lastAppliedBatchId(spark, s"$path/codes") == batchId) return
-    val model = loadModel(spark, path)
+    // an ingest loop that just built (or already probed) the index can
+    // hand the model over — loadModel round-trips bit-exactly, so the
+    // encode is identical either way; skipping it saves one model
+    // read + collect per appended batch
+    val model = preloadedModel.getOrElse(loadModel(spark, path))
     codeTable(newRows, cId, cVec, model)
       .repartition(col("__cluster")) // one file per touched cell per batch
       .write.mode("append").partitionBy("__cluster").parquet(s"$path/codes")
@@ -224,7 +229,18 @@ object IvfPq {
         .select(col("neighbor_id").as("__del")).distinct()
       val kept = led.filter(col("__cluster") =!= TombstoneCell)
         .join(broadcast(tombs), col("neighbor_id") === col("__del"), "left_anti")
-      if (kept.isEmpty) {
+      // ONE pass: write the normal partitioned layout, then dispatch
+      // the fully-emptied case off the staging directory's FILE LIST
+      // (driver metadata) — the old pre-write isEmpty probe ran the
+      // dedup + anti-join plan a second time just to pick the layout.
+      kept.repartition(col("__cluster"))
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("__cluster").parquet(staging)
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val anyData = fs.listStatus(stagingPath)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("__cluster="))
+      if (!anyData) {
         // FULLY-EMPTIED index (every id purged): a partitioned write of
         // zero rows emits no parquet footer, and every later read of
         // /codes would die in schema inference — the store would be
@@ -233,12 +249,8 @@ object IvfPq {
         // partition directory: the layout stays uniformly partitioned
         // (later appends compose), schema inference reads the footer,
         // and zero rows carry zero semantics.
-        kept.drop("__cluster").repartition(1)
-          .write.parquet(s"$staging/__cluster=$TombstoneCell")
-      } else {
-        kept.repartition(col("__cluster"))
-          .write.option("maxRecordsPerFile", maxRecordsPerFile)
-          .partitionBy("__cluster").parquet(staging)
+        kept.drop("__cluster").limit(0).repartition(1)
+          .write.mode("overwrite").parquet(s"$staging/__cluster=$TombstoneCell")
       }
     }
 

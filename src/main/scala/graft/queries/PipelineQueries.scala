@@ -2070,7 +2070,8 @@ object PipelineQueries {
       graft.operators.IvfPq.writeIndex(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", model, path)
       graft.operators.IvfPq.appendToIndex(
-        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path)
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path,
+        preloadedModel = Some(model)) // bit-identical to the stored model
       val dead = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
       graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id")
       graft.operators.IvfPq.deleteFromIndex(s, path, dead, "vec_id") // replay
@@ -2080,7 +2081,8 @@ object PipelineQueries {
         cachedExactTopK(s, dir, "mod3", Some(col("vec_id") % 3 =!= 0)),
         graft.operators.IvfPq.probeIndex(s, path,
           queries, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100),
+          emb, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 100,
+          preloadedModel = Some(model)), // loadModel round-trips bit-exactly
         minRecall = 0.425) // half the 0.85 s08-family gate
     },
 
