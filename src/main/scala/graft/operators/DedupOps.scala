@@ -798,17 +798,23 @@ object DedupOps {
       minHashSignatures(docs, idCol, textCol, numHashes, shingleSize).persist()
     val sig = sigAll.filter(col("mh0").isNotNull)
     try {
-      sig.write.mode("overwrite").parquet(clusterSigPath(path))
-      writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
-      // pre-banded probe index: the FIRST advance after creation is the
-      // common case (build, then ingest), and it probes without ever
-      // grouping/banding the stored rows; derived off the CACHED
-      // signature frame — no read-back, no re-shingle. Runs CONCURRENT
-      // with the assignments leg below: both read only the cached
-      // signature table and write disjoint paths, so the overlap is
-      // pure scheduler-idle reclamation (local mode and cluster alike).
+      // THE WHOLE /sig + /rmp side runs in one concurrent lane: the
+      // signature write, its meta, the pre-banded probe index (derived
+      // off the CACHED signature frame — no read-back, no re-shingle;
+      // the FIRST advance after creation is the common case, and it
+      // probes without ever grouping/banding the stored rows) and the
+      // empty remap seed. The /asg leg below reads only the same cached
+      // signature table and writes a disjoint path, so the overlap is
+      // pure scheduler-idle reclamation (local mode and cluster alike);
+      // concurrent first-touch of the cache is safe (per-partition
+      // loading locks — one leg computes, the other waits). Creation
+      // has no partial-retry contract (a failed create is re-created
+      // from scratch, unlike the advance's ordered self-heal), so no
+      // cross-leg ordering is owed.
       implicit val ec = scala.concurrent.ExecutionContext.global
       val idxF = scala.concurrent.Future {
+        sig.write.mode("overwrite").parquet(clusterSigPath(path))
+        writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
         writeSigIndex(docs.sparkSession, clusterSigPath(path), bandSize,
           fromRows = Some(sig))
         // seed the (empty) remap table in the same side lane: advances
@@ -818,15 +824,27 @@ object DedupOps {
             new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
           .write.mode("overwrite").parquet(clusterRmpPath(path))
       }
-      val cc = connectedComponents(
-        starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
-      sigAll.select(col(idCol).cast("long").as("node"))
-        .join(cc, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .write.mode("overwrite").parquet(clusterAsgPath(path))
-      markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
-      // surface index-write failures HERE (creation must not return
-      // "done" with a corrupt/absent-but-half-written index subdir)
+      // await idxF on EVERY exit (the compactClusterLedger discipline):
+      // an asg-leg failure must not leave the sig lane still mutating
+      // /sig in the background after the caller observed failure.
+      var asgFailed = true
+      try {
+        val cc = connectedComponents(
+          starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
+        sigAll.select(col(idCol).cast("long").as("node"))
+          .join(cc, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+          .write.mode("overwrite").parquet(clusterAsgPath(path))
+        markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
+        asgFailed = false
+      } finally {
+        if (asgFailed)
+          try scala.concurrent.Await.result(idxF,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // surface sig-lane failures HERE (creation must not return
+      // "done" with a corrupt/absent-but-half-written sig store)
       scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
     } finally sigAll.unpersist(false)
   }
