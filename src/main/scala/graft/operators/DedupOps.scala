@@ -411,8 +411,17 @@ object DedupOps {
     * the index's presence certifies the generation is append-free
     * since creation/compaction, i.e. one row per (sig, id) already.
     * Identical output by construction (OperatorsSpec pins it).
+    *
+    * HARD PRECONDITION on `n` (the batch side): one row per id —
+    * every caller must build it from [[minHashSignatures]], whose
+    * groupBy(id) emits exactly one row per id, so (sig, id) is
+    * distinct by construction and the batch-side member expansion
+    * needs no dedup. A caller feeding raw/replayed signature rows
+    * (duplicate (sig, id)) multiplies every emitted pair once per
+    * copy — OperatorsSpec pins that failure mode so the invariant
+    * cannot rot silently.
     */
-  private def crossPairsCore(n: DataFrame, c: DataFrame,
+  private[operators] def crossPairsCore(n: DataFrame, c: DataFrame,
       cIndex: Option[DataFrame], idCol: String,
       numHashes: Int, bandSize: Int,
       aggBands: Boolean = true): DataFrame = {
@@ -608,6 +617,41 @@ object DedupOps {
     */
   private[graft] var sigCompactMainLegFailpoint: () => Unit = () => ()
 
+  /** Bounded await for a concurrent side lane (the Qf.concurrently
+    * deadline discipline applied to the operator-internal overlaps): a
+    * wedged lane must fail the caller loudly, never hang a maintenance
+    * cycle forever. Same knob as the query-level helper.
+    */
+  private def awaitLane[T](f: scala.concurrent.Future[T]): T = {
+    val sec = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.concurrentLegTimeoutSec")).toOption)
+      .orElse(sys.env.get("SPARK_GRAFT_LEG_TIMEOUT_S"))
+      .map(_.toLong).getOrElse(900L)
+    try scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration(sec, "s"))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new java.util.concurrent.TimeoutException(
+          s"concurrent ledger lane still running after ${sec}s — wedged " +
+            "lane; raise spark.graft.concurrentLegTimeoutSec if the work " +
+            "is legitimately that long")
+    }
+  }
+
+  /** Secondary-path await: a primary failure is already in flight, so
+    * the lane's OWN failure must ride along as suppressed — dropping it
+    * (the old `catch NonFatal => ()`) lost the lane's diagnostics
+    * entirely when both legs failed.
+    */
+  private def awaitLaneSuppressed(f: scala.concurrent.Future[_],
+      primary: Throwable): Unit =
+    try { awaitLane(f); () }
+    catch {
+      case scala.util.control.NonFatal(e2) =>
+        if (e2 ne primary) primary.addSuppressed(e2)
+    }
+
   def compactSignatureLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 16,
       maxRecordsPerFile: Long = 64L * 1000 * 1000, bandSize: Int = 4): Unit =
@@ -639,20 +683,18 @@ object DedupOps {
         LayoutOps.writeSized(led, staging, col(led.columns.head),
           targetFiles, maxRecordsPerFile)
         sigCompactMainLegFailpoint()
-        scala.concurrent.Await.result(idxF,
-          scala.concurrent.duration.Duration.Inf)
+        awaitLane(idxF)
         val idxName = sigIndexDirName(bandSize)
         val src = new org.apache.hadoop.fs.Path(idxTmp, idxName)
         if (fs.exists(src)) // absent when the band shape skipped the write
           fs.rename(src, new org.apache.hadoop.fs.Path(staging, idxName))
-      } finally {
-        // await unconditionally (its own failure is secondary to a
-        // main-leg exception already in flight — don't mask that one)
-        try scala.concurrent.Await.result(idxF,
-          scala.concurrent.duration.Duration.Inf)
-        catch { case scala.util.control.NonFatal(_) => () }
-        fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
-      }
+      } catch {
+        // await unconditionally (its own failure is SECONDARY to the
+        // main-leg exception already in flight — attach, don't mask)
+        case primary: Throwable =>
+          awaitLaneSuppressed(idxF, primary)
+          throw primary
+      } finally fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
     }
 
   // ------------------------------------------------------------------
@@ -664,6 +706,15 @@ object DedupOps {
   // `<path>/asg`, label = the cluster's minimum member id, singletons
   // labeled by themselves.
   // ------------------------------------------------------------------
+
+  /** Test-only failpoint: fired at the top of [[writeClusterLedger]]'s
+    * concurrent /sig lane, so a spec can pin the half-created-ledger
+    * contract — creation surfaces the sig-lane failure even when the
+    * /asg leg completed (and clean-marked), and a subsequent advance
+    * against the sig-less ledger fails loudly rather than proceeding.
+    * Production value is a no-op.
+    */
+  private[graft] var clusterCreateSigLaneFailpoint: () => Unit = () => ()
 
   private def clusterSigPath(path: String) = path + "/sig"
   private[graft] def clusterAsgPath(path: String) = path + "/asg"
@@ -813,6 +864,7 @@ object DedupOps {
       // cross-leg ordering is owed.
       implicit val ec = scala.concurrent.ExecutionContext.global
       val idxF = scala.concurrent.Future {
+        clusterCreateSigLaneFailpoint()
         sig.write.mode("overwrite").parquet(clusterSigPath(path))
         writeSigMeta(docs.sparkSession, clusterSigPath(path), numHashes, shingleSize)
         writeSigIndex(docs.sparkSession, clusterSigPath(path), bandSize,
@@ -826,8 +878,8 @@ object DedupOps {
       }
       // await idxF on EVERY exit (the compactClusterLedger discipline):
       // an asg-leg failure must not leave the sig lane still mutating
-      // /sig in the background after the caller observed failure.
-      var asgFailed = true
+      // /sig in the background after the caller observed failure; the
+      // sig lane's own failure rides along as suppressed.
       try {
         val cc = connectedComponents(
           starEdgesOfSigs(sig, idCol, numHashes, bandSize), "d1", "d2")
@@ -836,16 +888,14 @@ object DedupOps {
           .select(col("node"), coalesce(col("label"), col("node")).as("label"))
           .write.mode("overwrite").parquet(clusterAsgPath(path))
         markAsgClean(docs.sparkSession, path) // fresh base: nothing to collapse
-        asgFailed = false
-      } finally {
-        if (asgFailed)
-          try scala.concurrent.Await.result(idxF,
-            scala.concurrent.duration.Duration.Inf)
-          catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case primary: Throwable =>
+          awaitLaneSuppressed(idxF, primary)
+          throw primary
       }
       // surface sig-lane failures HERE (creation must not return
       // "done" with a corrupt/absent-but-half-written sig store)
-      scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
+      awaitLane(idxF)
     } finally sigAll.unpersist(false)
   }
 
@@ -994,8 +1044,7 @@ object DedupOps {
       clearAsgClean(spark, path)
       batchAsg.write.mode("append")
         .parquet(LedgerGuard.appendPath(spark, clusterAsgPath(path)))
-      val newEntries = scala.concurrent.Await.result(
-        newEntriesF, scala.concurrent.duration.Duration.Inf)
+      val newEntries = awaitLane(newEntriesF)
       if (newEntries.nonEmpty) {
         // merge-event-sized remap rewrite under the staged swap; carries
         // the exactly-once marker for the whole advance
@@ -1061,7 +1110,6 @@ object DedupOps {
     // rather than after the sigF await — the remap-reset swap (two
     // small jobs + renames) overlaps the signature compaction's tail
     // instead of extending the cycle after it.
-    var foldFailed = true
     try {
       LedgerGuard.advanceInPlace(spark, clusterAsgPath(path),
         "cluster-ledger compaction") { staging =>
@@ -1083,14 +1131,12 @@ object DedupOps {
               new java.util.ArrayList[org.apache.spark.sql.Row](), RemapSchema)
             .write.mode("overwrite").parquet(staging)
         }
-      foldFailed = false
-    } finally {
-      if (foldFailed)
-        try scala.concurrent.Await.result(sigF,
-          scala.concurrent.duration.Duration.Inf)
-        catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case primary: Throwable =>
+        awaitLaneSuppressed(sigF, primary)
+        throw primary
     }
-    scala.concurrent.Await.result(sigF, scala.concurrent.duration.Duration.Inf)
+    awaitLane(sigF)
   }
 
   /** Read the current assignments: `(node, label)` — the RESOLVED view

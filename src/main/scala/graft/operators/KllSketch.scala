@@ -272,7 +272,7 @@ object KllSketch {
         "model-sized (source/domain/language), not a document id; bucket " +
         "the key upstream or use the exact quantile-histogram ledger per " +
         "shard"
-    val parts = df.select(col(keyCol).cast("string").as("k"),
+    val parts0 = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))
       .filter(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
@@ -290,7 +290,21 @@ object KllSketch {
             s.levels.map(_.toArray).toArray)
         }
       }
-      .collect()
+    // The per-task bound surfaces from collect() wrapped in a
+    // SparkException; the caller contract is IllegalArgumentException on
+    // BOTH trip paths (task-local and driver re-check), so unwrap the
+    // guard's own IAE from the cause chain — exception type must not
+    // depend on which partition shape tripped the bound first.
+    val collected =
+      try parts0.collect()
+      catch {
+        case e: org.apache.spark.SparkException =>
+          var c: Throwable = e
+          while (c != null && !(c.isInstanceOf[IllegalArgumentException] &&
+              c.getMessage == keyBoundMsg)) c = c.getCause
+          if (c != null) throw c else throw e
+      }
+    val parts = collected
     require(parts.iterator.map(_._1).toSet.size <= MaxKeys, keyBoundMsg)
     parts.groupBy(_._1).map { case (key, rows) =>
       val merged = rows.sortBy(_._2).iterator

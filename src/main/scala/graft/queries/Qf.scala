@@ -64,13 +64,55 @@ object Qf {
     * ONLY for legs over disjoint stores: same-store chains keep their
     * program order.
     */
+  /** Per-leg await deadline (seconds): a wedged leg (a stream drain that
+    * never returns, a fatal throwable that kills the worker thread
+    * before its Future completes) must fail the CALLER loudly, never
+    * hang Bench/Verify forever — the r17 zombie-JVM postmortem applied
+    * to the overlap helper itself. Generous by default (no bench leg
+    * takes more than seconds); conf'able for genuinely long cluster
+    * legs via `spark.graft.concurrentLegTimeoutSec` or the
+    * `SPARK_GRAFT_LEG_TIMEOUT_S` env var.
+    */
+  private def legTimeoutSec: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.concurrentLegTimeoutSec")).toOption)
+      .orElse(sys.env.get("SPARK_GRAFT_LEG_TIMEOUT_S"))
+      .map(_.toLong).getOrElse(900L)
+
   def concurrently(legs: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = legs.map(l => Future(l()))
-    val outcomes = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    import scala.concurrent.{Await, ExecutionContext, Promise}
+    import scala.concurrent.duration._
+    val ec = ExecutionContext.global
+    // run each leg through an explicit Promise completed on EVERY
+    // throwable — Future(l()) never completes on a fatal error (OOM,
+    // StackOverflow), which turns a dead leg into an infinite hang
+    val fs = legs.zipWithIndex.map { case (l, i) =>
+      val p = Promise[Unit]()
+      ec.execute { () =>
+        try { l(); p.success(()) }
+        catch { case t: Throwable => p.tryFailure(t) }
+      }
+      (i, p.future)
+    }
+    val deadline = legTimeoutSec.seconds
+    val outcomes = fs.map { case (i, f) =>
+      scala.util.Try(Await.result(f, deadline)).recoverWith {
+        case _: java.util.concurrent.TimeoutException =>
+          scala.util.Failure(new java.util.concurrent.TimeoutException(
+            s"concurrent leg #$i (of ${legs.size}) still running after " +
+              s"${deadline.toSeconds}s — wedged leg; raise " +
+              "spark.graft.concurrentLegTimeoutSec if the work is " +
+              "legitimately that long"))
+      }
+    }
+    // first failure propagates; later legs' failures ride along as
+    // suppressed instead of being dropped (multi-leg diagnostics)
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach { e => if (e ne first) first.addSuppressed(e) }
+      throw first
+    }
   }
 
   implicit class DumpSortOps(private val df: org.apache.spark.sql.DataFrame)

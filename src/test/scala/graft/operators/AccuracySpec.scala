@@ -896,6 +896,12 @@ class AccuracySpec extends AnyFunSuite {
     val eg = intercept[IllegalArgumentException](
       KllSketch.sketchPerKey(docs2, "k", "v", k = 64))
     assert(eg.getMessage.contains("model-sized"), eg.getMessage)
+    // the PER-TASK trip path (one partition holds > MaxKeys keys) must
+    // surface the same exception type, unwrapped from Spark's task-
+    // failure wrapper — the caller contract is path-independent
+    val eg1 = intercept[IllegalArgumentException](
+      KllSketch.sketchPerKey(docs2.repartition(1), "k", "v", k = 64))
+    assert(eg1.getMessage.contains("model-sized"), eg1.getMessage)
     // NULL measures/keys are SKIPPED (the SQL-aggregate contract), not
     // a job abort from the primitive decode
     import spark.implicits._

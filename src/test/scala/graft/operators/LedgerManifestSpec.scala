@@ -450,6 +450,37 @@ class LedgerManifestSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("cluster-ledger create: sig-lane failure surfaces, half-created ledger rejects a later advance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = tmp("graft-cl-createfail")
+    val path = base + "/cl"
+    val boom = new RuntimeException("injected sig-lane failure")
+    DedupOps.clusterCreateSigLaneFailpoint = () => throw boom
+    try {
+      // creation must NOT return "done": the /asg leg may complete (and
+      // clean-mark) but the sig-lane failure is surfaced to the caller
+      val e = intercept[RuntimeException](DedupOps.writeClusterLedger(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path))
+      assert(e eq boom, s"sig-lane failure must surface from create, got $e")
+    } finally DedupOps.clusterCreateSigLaneFailpoint = () => ()
+    // the half-created ledger (asg present, sig absent) must reject an
+    // advance loudly — today via the missing /sig parquet read; this
+    // spec pins that SOME loud failure precedes any mutation, so a
+    // later relaxation of the probe path cannot silently admit
+    // advances against a ledger whose creation never finished
+    intercept[Exception](DedupOps.advanceClusterLedger(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path,
+      batchId = Some("after-half-create")))
+    // re-create from scratch heals (the creation contract), and the
+    // healed ledger admits the advance
+    DedupOps.writeClusterLedger(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    DedupOps.advanceClusterLedger(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path,
+      batchId = Some("after-heal"))
+    assert(DedupOps.readClusterAssignments(spark, path).count() == docs.count())
+  }
+
   test("signature-ledger compaction: main-leg failure awaits the index leg, leaves no .idx residue, retry heals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = tmp("graft-sig-fail")

@@ -753,6 +753,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atRest == direct && direct.nonEmpty, s"atRest=$atRest direct=$direct")
   }
 
+  test("Qf.concurrently: wedged leg fails loudly at the deadline, sibling failures ride as suppressed") {
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    spark.conf.set("spark.graft.concurrentLegTimeoutSec", "2")
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[java.util.concurrent.TimeoutException](
+        graft.queries.Qf.concurrently(
+          () => Thread.sleep(15000), // wedged leg: never completes in time
+          () => throw new RuntimeException("sibling failure")))
+      assert((System.nanoTime() - t0) / 1e9 < 10,
+        "the deadline must bound the wait — Duration.Inf would hang here")
+      assert(e.getMessage.contains("wedged"), e.getMessage)
+      assert(e.getSuppressed.exists(_.getMessage == "sibling failure"),
+        s"sibling failure dropped: [${e.getSuppressed.mkString(", ")}]")
+      // two plain failures: first declared stays primary, second suppressed
+      val e2 = intercept[RuntimeException](graft.queries.Qf.concurrently(
+        () => throw new RuntimeException("first"),
+        () => throw new RuntimeException("second")))
+      assert(e2.getMessage == "first", e2.getMessage)
+      assert(e2.getSuppressed.exists(_.getMessage == "second"),
+        s"second failure dropped: [${e2.getSuppressed.mkString(", ")}]")
+      // a fatal throwable must complete the leg's future (surfacing
+      // boxed, scala.concurrent's fatal-error convention), not hang it
+      // until the deadline: Future(l()) would never complete here
+      val t1 = System.nanoTime()
+      val e3 = intercept[Throwable](graft.queries.Qf.concurrently(
+        () => throw new StackOverflowError("fatal in leg")))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e3).exists(_.isInstanceOf[StackOverflowError]), e3.toString)
+      assert((System.nanoTime() - t1) / 1e9 < 1.5,
+        "fatal error must surface immediately, not via the deadline")
+    } finally spark.conf.unset("spark.graft.concurrentLegTimeoutSec")
+  }
+
+  test("crossPairsCore precondition: duplicated batch-side rows multiply emitted pairs (invariant pin)") {
+    // the batch side `n` MUST be one row per id (minHashSignatures'
+    // groupBy(id) guarantees it) — this spec feeds a deliberately
+    // duplicated `n` and pins the failure mode (every pair emitted once
+    // per copy), so the no-dedup expansion invariant cannot rot silently
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    def keyed(df: org.apache.spark.sql.DataFrame) = {
+      val sig = DedupOps.minHashSignatures(df, "doc_id", "text", 8, 5)
+        .filter(col("mh0").isNotNull)
+      sig.withColumn("__sig", md5(concat_ws("_",
+        (0 until 8).map(i => col(s"mh$i").cast("string")): _*)))
+    }
+    val n = keyed(batch)
+    val c = keyed(corpus)
+    val clean = DedupOps.crossPairsCore(n, c, None, "doc_id", 8, 4)
+    val dup = DedupOps.crossPairsCore(n.unionByName(n), c, None, "doc_id", 8, 4)
+    val nClean = clean.count()
+    assert(nClean > 0, "fixture produced no cross pairs")
+    assert(dup.count() == 2 * nClean,
+      s"duplicated batch rows must multiply pairs (got ${dup.count()} vs 2*$nClean)")
+  }
+
   test("signature-ledger pre-banded index: probe ≡ recompute, dropped by append, rebuilt by compaction") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("sigidx").toString + "/led"
