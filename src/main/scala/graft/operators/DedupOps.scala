@@ -109,7 +109,15 @@ object DedupOps {
     * `bandSize` = rows per band: larger ⇒ fewer, higher-precision
     * candidates (collision prob ≈ sim^bandSize per band).
     */
-  def lshBands(df: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+  def lshBands(df: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame =
+    lshBandsCarry(df, Seq(idCol), numHashes, bandSize)
+
+  /** [[lshBands]] carrying several columns through the band explosion
+    * unchanged (the probe index needs (__sig, __rep) per banded row).
+    * Plan-identical to lshBands for a single carry column.
+    */
+  private def lshBandsCarry(df: DataFrame, carry: Seq[String],
+      numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandSize
     val bands = (0 until numBands).map { b =>
@@ -123,8 +131,9 @@ object DedupOps {
       struct(lit(b).as("band"),
         when(allDefined, md5(concat_ws("_", members: _*))).as("bucket"))
     }
-    df.select(col(idCol), explode(array(bands: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    df.select(carry.map(col) :+ explode(array(bands: _*)).as("bb"): _*)
+      .select(carry.map(col) ++
+        Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
       .filter(col("bucket").isNotNull)
   }
 
@@ -282,7 +291,7 @@ object DedupOps {
     withSigKey(minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .filter(col("mh0").isNotNull), numHashes)
 
-  private def withSigKey(sig: DataFrame, numHashes: Int): DataFrame =
+  private[graft] def withSigKey(sig: DataFrame, numHashes: Int): DataFrame =
     sig.withColumn("__sig", md5(concat_ws("_",
       (0 until numHashes).map(i => col(s"mh$i").cast("string")): _*)))
 
@@ -308,8 +317,15 @@ object DedupOps {
     * in the directory name — a probe with a different bandSize misses
     * the index and derives bands from the rows as before.
     */
+  // "SIG_INDEX2": the v2 layout adds a __rep column (one representative
+  // member id per distinct signature, min of the long-cast ids) so the
+  // cluster advance lifts touched signatures to cluster labels with ONE
+  // join against the assignments — no member scan, no per-advance
+  // group-by. v1 dirs are simply never bound (treated as index-absent)
+  // and the prefix-matched invalidation below deletes them on the next
+  // append; compaction rebuilds v2.
   private def sigIndexDirName(bandSize: Int): String =
-    LedgerGuard.SidecarPrefix + s"SIG_INDEX_B$bandSize"
+    LedgerGuard.SidecarPrefix + s"SIG_INDEX2_B$bandSize"
 
   /** Derive + write the index into `genDir` — from `fromRows` when the
     * writer already holds the generation's rows (creation: the cached
@@ -325,10 +341,17 @@ object DedupOps {
     val numHashes = rows.columns.count(_.startsWith("mh"))
     if (numHashes == 0 || numHashes % bandSize != 0) return
     val keyed = withSigKey(rows, numHashes)
+    // __rep: min long-cast member id per distinct signature — any member
+    // stands for the group (identical signatures collide in every band,
+    // so all members share one cluster label); min keeps it
+    // deterministic. NULL when the ledger's ids don't cast to long —
+    // only the CLUSTER family (long ids by contract) consumes __rep.
+    val idCol = rows.columns
+      .filterNot(c => c.startsWith("mh") || c == "__sig").head
     val groups = keyed.groupBy(col("__sig")).agg(
-      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
-      (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
-    lshBands(groups, "__sig", numHashes, bandSize)
+      min(col(idCol).cast("long")).as("__rep"),
+      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+    lshBandsCarry(groups, Seq("__sig", "__rep"), numHashes, bandSize)
       .write.mode("overwrite")
       .parquet(s"$genDir/${sigIndexDirName(bandSize)}/bands")
   }
@@ -336,18 +359,22 @@ object DedupOps {
   /** The readable generation's rows plus its bound index (both from ONE
     * readablePath resolution — the bindBigram discipline): Some(bands)
     * iff the index subdir is present AND complete for this band shape
-    * (`bands/_SUCCESS`).
+    * (`bands/_SUCCESS`). The rows come back as a THUNK: building the
+    * DataFrame pays a schema-inference job (the id column's type varies
+    * per ledger), and the index-bound cluster advance never touches the
+    * rows at all — forcing it eagerly cost one job per advance for
+    * nothing (d66 job dissection).
     */
   private def boundSigLedger(spark: org.apache.spark.sql.SparkSession,
-      path: String, bandSize: Int): (DataFrame, Option[DataFrame]) = {
+      path: String, bandSize: Int): (() => DataFrame, Option[DataFrame]) = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = LedgerGuard.readablePath(fs, target)
-    val rows = spark.read.parquet(gen.toString)
+    val rows = () => spark.read.parquet(gen.toString)
     val index = try {
       val idx = new org.apache.hadoop.fs.Path(gen, sigIndexDirName(bandSize))
       if (fs.exists(new org.apache.hadoop.fs.Path(idx, "bands/_SUCCESS")))
-        Some(spark.read.parquet(s"$idx/bands"))
+        Some(spark.read.schema(SigIndexSchema).parquet(s"$idx/bands"))
       else None
     } catch { case _: java.io.IOException => None }
     (rows, index)
@@ -421,15 +448,25 @@ object DedupOps {
     * copy — OperatorsSpec pins that failure mode so the invariant
     * cannot rot silently.
     */
+  /** One row per DISTINCT signature (all group members share every mh
+    * value — that is what __sig digests, so first() is exact).
+    */
+  private def sigGroups(t: DataFrame, numHashes: Int): DataFrame =
+    t.groupBy(col("__sig")).agg(
+      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
+      (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+
+  private def sigBands(g: DataFrame, as: String, numHashes: Int,
+      bandSize: Int): DataFrame =
+    lshBands(g, "__sig", numHashes, bandSize)
+      .select(col("__sig").as(as), col("band"), col("bucket"))
+
   private[operators] def crossPairsCore(n: DataFrame, c: DataFrame,
       cIndex: Option[DataFrame], idCol: String,
       numHashes: Int, bandSize: Int,
       aggBands: Boolean = true): DataFrame = {
-    def groupsOf(t: DataFrame): DataFrame = t.groupBy(col("__sig")).agg(
-      (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")).head,
-      (1 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
-    def bandsOf(g: DataFrame, as: String) = lshBands(g, "__sig", numHashes, bandSize)
-      .select(col("__sig").as(as), col("band"), col("bucket"))
+    def groupsOf(t: DataFrame): DataFrame = sigGroups(t, numHashes)
+    def bandsOf(g: DataFrame, as: String) = sigBands(g, as, numHashes, bandSize)
     // member expansion is per DISTINCT (sig, id): a replayed ledger
     // append (crash-and-retry ingest) stores identical signature rows
     // twice, and without this collapse every later probe would emit
@@ -598,7 +635,7 @@ object DedupOps {
     val (rows, index) = boundSigLedger(newDocs.sparkSession, path, bandSize)
     crossPairsCore(
       sigTable(newDocs, idCol, textCol, numHashes, shingleSize),
-      withSigKey(rows, numHashes), index,
+      withSigKey(rows(), numHashes), index,
       idCol, numHashes, bandSize)
   }
 
@@ -731,6 +768,33 @@ object DedupOps {
     org.apache.spark.sql.types.StructField("new_label",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** The assignments table's fixed at-rest schema — written exclusively
+    * by [[writeClusterLedger]]/[[advanceClusterLedger]] (both cast to
+    * long), so readers pass it explicitly instead of paying a
+    * schema-inference job per read (one footer job per advance AND per
+    * assignments read, measured in the d66 job dissection).
+    */
+  private val AsgSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** The pre-banded probe index's fixed at-rest schema (md5 signature
+    * digest, band ordinal, md5 bucket) — same rationale as
+    * [[AsgSchema]]: one fewer schema-inference job per index-bound
+    * probe.
+    */
+  private val SigIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("__sig",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("__rep",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
   /** The remap closure as (old_label → FINAL label) pairs, chains
     * followed transitively (L1→L2 stored by one advance, L2→L3 by a
     * later one ⇒ L1 resolves to L3). None when the table is absent
@@ -827,7 +891,7 @@ object DedupOps {
     */
   private def rawAssignments(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    LedgerGuard.readLedger(spark, clusterAsgPath(path))
+    LedgerGuard.readLedgerWithSchema(spark, clusterAsgPath(path), AsgSchema)
 
   /** Create the cluster ledger from the initial corpus: signatures
     * admitted to the embedded signature ledger, assignments from the
@@ -925,6 +989,78 @@ object DedupOps {
     * collapse in [[readClusterAssignments]]'s dedup and at compaction,
     * and the marker skips the remap rewrite outright.
     */
+  /** The CC edge list for a cluster-ledger advance, FUSED into one
+    * banded star pass: the union of the batch's banded rows and the
+    * TOUCHED stored bands lifted to their cluster labels, contracted
+    * per (band, bucket) by the same window-min star as
+    * [[starEdgesOfSigs]]. Replaces the old composition (pairwise probe
+    * = banded join + batch member expansion + corpus member expansion
+    * + label join, UNIONed with separate internal star edges) at about
+    * half the exchanges. Connectivity is identical:
+    *  - batch–batch: two batch docs sharing a bucket connect through
+    *    the bucket star exactly as the old internal star edges did;
+    *  - batch–corpus: a batch doc sharing a bucket with a stored
+    *    signature connects to that signature's cluster LABEL through
+    *    the same star (the old bc edges connected them pairwise; CC
+    *    needs only the component);
+    *  - label–label inside one bucket can never link two DISTINCT
+    *    labels: stored rows sharing a (band, bucket) already share one
+    *    resolved label — creation and every prior advance applied this
+    *    same collision criterion — so those rows carry equal __n and
+    *    the star emits nothing for them. The fused pass cannot merge
+    *    two corpus clusters the pairwise probe would have left apart.
+    *  - replayed batch rows (ids already stored) reduce to
+    *    batch-id–own-label edges, a tautology to CC, exactly like the
+    *    old probe's `new_id =!= corpus_id` self-pair drop.
+    * Scale shape (the 100 TB argument): stored bands are pre-filtered
+    * by a broadcast semi-join against the batch's banded keys, and each
+    * stored signature carries ONE representative member id (__rep —
+    * baked into the probe index at build time, or picked by the same
+    * aggregation that derives the bands when the index is absent;
+    * members of one signature collide in every band, hence share a
+    * label), so the window sees O(batch + touched signatures) rows and
+    * the label join streams O(touched) against the assignments — probe
+    * cost tracks batch + matches, never the corpus. A boilerplate
+    * mega-bucket costs a linear window partition where the old pairwise
+    * probe emitted a quadratic batch×members fan-out.
+    */
+  private[graft] def advanceEdges(sig: DataFrame, storedRows: () => DataFrame,
+      storedIdx: Option[DataFrame], asg: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batchBands = lshBands(sig, idCol, numHashes, bandSize)
+      .select(col(idCol).cast("long").as("__n"), col("band"), col("bucket"))
+    // stored side pre-banded WITH its representative member id when the
+    // index is bound (one columnar read, no member scan at all);
+    // derived per distinct signature otherwise — the same single
+    // aggregation that groups the signatures also picks the rep and
+    // collapses replayed duplicate rows
+    val cBandsRep = storedIdx match {
+      case Some(bands) => bands.select(col("__rep"), col("band"), col("bucket"))
+      case None =>
+        val keyed = withSigKey(storedRows(), numHashes)
+        val groups = keyed.groupBy(col("__sig")).agg(
+          min(col(idCol).cast("long")).as("__rep"),
+          (0 until numHashes).map(i => first(col(s"mh$i")).as(s"mh$i")): _*)
+        lshBandsCarry(groups, Seq("__rep"), numHashes, bandSize)
+    }
+    val touched = cBandsRep.join(
+      broadcast(batchBands.select(col("band"), col("bucket"))),
+      Seq("band", "bucket"), "left_semi")
+    // lift each touched signature to its cluster label through its rep
+    // member — ONE join against the assignments; every member of a
+    // signature shares the label (identical signatures collide in every
+    // band), so the rep stands for the group
+    val storedLabeled = touched
+      .join(asg.select(col("node").as("__rep"), col("label")), Seq("__rep"))
+      .select(col("label").as("__n"), col("band"), col("bucket"))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    batchBands.unionByName(storedLabeled)
+      .withColumn("d1", min(col("__n")).over(w))
+      .filter(col("__n") =!= col("d1"))
+      .select(col("d1"), col("__n").as("d2"))
+  }
+
   def advanceClusterLedger(batch: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Option[String] = None, numHashes: Int = 8,
       bandSize: Int = 4, shingleSize: Int = 5): Unit = {
@@ -950,52 +1086,39 @@ object DedupOps {
     val sig = sigAll.filter(col("mh0").isNotNull)
     try {
       // probe BEFORE admitting (a fresh batch never collides with itself;
-      // on replay the id-equal pairs are dropped here); the stored side
+      // replayed rows reduce to own-label tautologies); the stored side
       // binds the pre-banded index when creation/compaction left one —
-      // then the probe reads (sig, band, bucket)/(sig, id) columnar and
-      // never groups, bands, or dedups the stored rows
+      // then the fused edge pass reads (sig, band, bucket)/(sig, id)
+      // columnar and never groups or bands the stored rows
       val (storedSig, storedIdx) =
         boundSigLedger(spark, clusterSigPath(path), bandSize)
-      // aggBands = false: the probe feeds ONLY the CC edge list here
-      // (duplicate-tolerant, n_bands unread) — one exchange fewer per
-      // advance than the pair-emitting d38/d48 form
-      val probe = crossPairsCore(
-        withSigKey(sig, numHashes),
-        withSigKey(storedSig, numHashes), storedIdx,
-        idCol, numHashes, bandSize, aggBands = false)
-        .filter(col("new_id") =!= col("corpus_id"))
       // the RESOLVED view (base + deltas, remap chains applied): labels
       // seen here are always current, so new remap entries chain onto
       // current labels and resolution stays a simple walk; the remap
       // entries are collected ONCE per advance and reused for the
       // staging union below. UNDEDUPLICATED on purpose: the advance's
-      // consumers tolerate replayed duplicate rows (duplicate bc edges
+      // consumers tolerate replayed duplicate rows (duplicate edges
       // are a no-op to CC; existingLabels distincts anyway), so the
       // corpus-wide dropDuplicates shuffle the user-facing read pays
       // is pure overhead here — measured 2 shuffles/advance at bench
       // scale (SCALE.md round-11 d66 A/B)
       val existingRemap = rawRemapEntries(spark, path).getOrElse(Map.empty)
       val asg = resolvedViewRaw(spark, path, existingRemap)
-      val bc = probe
-        .select(col("new_id").cast("long").as("d1"),
-          col("corpus_id").cast("long").as("__cn"))
-        .join(asg.select(col("node").as("__cn"), col("label")), Seq("__cn"))
-        .select(col("d1"), col("label").as("d2"))
-      val internal = starEdgesOfSigs(sig, idCol, numHashes, bandSize)
-        .select(col("d1").cast("long"), col("d2").cast("long"))
       // MATERIALIZE the component labels (connectedComponents counts
-      // its edge cache eagerly) BEFORE any mutation: the probe plan
+      // its edge cache eagerly) BEFORE any mutation: the edge plan
       // may be bound to the pre-banded index, whose files the append
       // below deletes — executing it first reads a deterministic
       // pre-append snapshot (the old action-time read could also see
       // the batch's own appended rows; harmless, but no longer
       // possible). Persistence ORDER is unchanged: signatures still
       // land before assignments — a crash between the two self-heals
-      // on retry (probe tolerates its own replayed rows), where the
-      // reverse order could leave admitted assignments whose
+      // on retry (the edge pass tolerates its own replayed rows), where
+      // the reverse order could leave admitted assignments whose
       // signatures later batches never probe; a crash before the sig
       // append persists nothing at all.
-      val comp = connectedComponents(bc.union(internal), "d1", "d2")
+      val comp = connectedComponents(
+        advanceEdges(sig, storedSig, storedIdx,
+          asg, idCol, numHashes, bandSize), "d1", "d2")
       // the pre-banded index is about to go stale: drop it BEFORE the
       // rows land (crash in between: no index and no rows — just slower)
       val sigDest = LedgerGuard.appendPath(spark, clusterSigPath(path))

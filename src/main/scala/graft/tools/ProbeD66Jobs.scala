@@ -25,13 +25,10 @@ object ProbeD66Jobs {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           t0.put(js.jobId, System.nanoTime())
-          import scala.jdk.CollectionConverters._
-          val props = js.properties.stringPropertyNames().asScala
-            .filter(k => k.contains("callSite") || k.contains("description") ||
-              k.contains("jobGroup") || k.contains("sql.execution"))
-            .map(k => s"$k=${js.properties.getProperty(k).take(90)}")
-            .mkString(" | ")
-          println(f"[job ${js.jobId}%3d START] $props")
+          val execId = Option(js.properties.getProperty("spark.sql.execution.id"))
+            .map("exec=" + _).getOrElse("")
+          val stages = js.stageInfos.map(_.name.take(70)).mkString(" ;; ")
+          println(f"[job ${js.jobId}%3d START] $execId stages[${js.stageInfos.size}]: $stages")
         }
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {

@@ -503,7 +503,7 @@ class LedgerManifestSpec extends AnyFunSuite {
     // compaction succeeds and leaves a live probe index in the generation
     DedupOps.compactSignatureLedger(spark, path, targetFiles = 2)
     assert(new java.io.File(
-      new java.io.File(path, "_GRAFT_SIG_INDEX_B4"), "bands/_SUCCESS").exists,
+      new java.io.File(path, "_GRAFT_SIG_INDEX2_B4"), "bands/_SUCCESS").exists,
       "retried compaction must rebuild the probe index")
     val probe = DedupOps.crossDedupAgainstSignatures(
       docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", path)

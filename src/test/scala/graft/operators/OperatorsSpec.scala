@@ -820,7 +820,7 @@ class OperatorsSpec extends AnyFunSuite {
     val gen2 = docs.filter(col("doc_id") % 10 > 5)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val idxDir = new java.io.File(dir, "_GRAFT_SIG_INDEX_B4")
+    val idxDir = new java.io.File(dir, "_GRAFT_SIG_INDEX2_B4")
     // creation deliberately writes NO index (the standalone ledger's
     // steady state is append-then-probe, and an append drops it —
     // creation-time banding would be a write tax); compaction does
