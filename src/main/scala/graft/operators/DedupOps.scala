@@ -2395,7 +2395,15 @@ object DedupOps {
       s"span-hash ledger at $path has no $SpanMetaFile sidecar — cannot " +
         "determine the window width it was built with"))
     val id = col(idCol)
-    val grams = windowGrams(df, idCol, textCol, k)
+    // the batch's gram frame feeds THREE branches of the one scrub plan
+    // (ledger semi-join, fresh anti-join into the stats aggregate, fresh
+    // anti-join as the scrub probe) — uncached, the tokenize+hash text
+    // pass ran three times per scrub. Batch-bounded persist, retained
+    // until the NEXT scrub swaps it out (the connectedComponents
+    // label-cache regime: the returned plan is lazy, so the cache must
+    // outlive this call; an early eviction merely recomputes from text).
+    val grams = windowGrams(df, idCol, textCol, k).persist()
+    swapScrubGramCache(grams)
     val led = LedgerGuard.readLedger(spark, path).select(col("h"))
     val inLed = grams.join(led, Seq("h"), "left_semi").select(id, col("pos"))
     val fresh = grams.join(led, Seq("h"), "left_anti")
@@ -2408,6 +2416,20 @@ object DedupOps {
       .select(id, col("pos"))
     // disjoint by construction (ledger-hit vs ledger-fresh) — no distinct
     scrubByWindows(df, idCol, textCol, k, inLed.unionByName(batchScrub))
+  }
+
+  /** Retain exactly the most recent scrub's gram cache (one slot, the
+    * [[lastLabelCache]] discipline): a long-lived session scrubbing
+    * batch after batch must not accumulate one cached gram frame per
+    * call.
+    */
+  private val lastScrubGramCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def swapScrubGramCache(next: DataFrame): Unit = {
+    val prev = lastScrubGramCache.getAndSet(next)
+    if (prev != null && (prev ne next))
+      try prev.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Compact the span-hash ledger IN PLACE: drop duplicate hashes from
