@@ -811,7 +811,7 @@ object CurationOps {
     val c2 = b.c2
     val c1 = bigramC1(b)
     val v = b.modelDir match {
-      case Some(m) => spark.read.parquet(s"$m/tot").select(col("vocab"))
+      case Some(m) => LedgerGuard.readParquetSniffed(spark, s"$m/tot").select(col("vocab"))
       case None => b.led.agg(countDistinct(col("w1")).as("vocab"))
     }
     val id = col(idCol)
@@ -871,7 +871,7 @@ object CurationOps {
       case None => b.led.groupBy(col("w1")).agg(sum(col("n")).as("nu"))
     }
     val nv = b.modelDir match {
-      case Some(m) => spark.read.parquet(s"$m/tot")
+      case Some(m) => LedgerGuard.readParquetSniffed(spark, s"$m/tot")
         .select(col("bigN").cast("double").as("bigN"),
           col("vocab").cast("double").as("vocab"))
       case None => b.led.agg(sum(col("n")).cast("double").as("bigN"),
@@ -944,7 +944,7 @@ object CurationOps {
       case None => c2.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1bw"))
     }
     val tot = b.modelDir match {
-      case Some(m) => spark.read.parquet(s"$m/tot")
+      case Some(m) => LedgerGuard.readParquetSniffed(spark, s"$m/tot")
         .select(col("n1tot").cast("double").as("n1tot"),
           col("vocab").cast("double").as("vocab"))
       case None => c2.agg(count(lit(1)).cast("double").as("n1tot"))
@@ -1085,7 +1085,7 @@ object CurationOps {
         sum(col("p.n1fw")).as("n1fw"), sum(col("p.n1bw")).as("n1bw"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$genDir/$BigramModelDir/tok")
-    val back = counts.sparkSession.read.parquet(s"$genDir/$BigramModelDir/tok")
+    val back = LedgerGuard.readParquetSniffed(counts.sparkSession, s"$genDir/$BigramModelDir/tok")
     back.agg(coalesce(sum(col("nu")), lit(0L)).as("bigN"),
         count(lit(1)).as("vocab"),
         // Σ n1fw (sum skips the NULLs of never-opening tokens) = the
@@ -1137,9 +1137,9 @@ object CurationOps {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = LedgerGuard.readablePath(fs, target)
-    val led = spark.read.parquet(gen.toString)
+    val led = LedgerGuard.readParquetSniffed(spark, gen.toString)
     val model = readBigramModelDir(fs, gen)
-    val tok = model.map(m => spark.read.parquet(s"$m/tok"))
+    val tok = model.map(m => LedgerGuard.readParquetSniffed(spark, s"$m/tok"))
     val c2 = model match {
       case Some(_) => led.filter(col("w2").isNotNull)
         .select(col("w1"), col("w2"), col("n").as("n2"))

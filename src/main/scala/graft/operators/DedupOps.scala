@@ -337,7 +337,7 @@ object DedupOps {
   private def writeSigIndex(spark: org.apache.spark.sql.SparkSession,
       genDir: String, bandSize: Int,
       fromRows: Option[DataFrame] = None): Unit = {
-    val rows = fromRows.getOrElse(spark.read.parquet(genDir))
+    val rows = fromRows.getOrElse(LedgerGuard.readParquetSniffed(spark, genDir))
     val numHashes = rows.columns.count(_.startsWith("mh"))
     if (numHashes == 0 || numHashes % bandSize != 0) return
     val keyed = withSigKey(rows, numHashes)
@@ -370,7 +370,7 @@ object DedupOps {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = LedgerGuard.readablePath(fs, target)
-    val rows = () => spark.read.parquet(gen.toString)
+    val rows = () => LedgerGuard.readParquetSniffed(spark, gen.toString)
     val index = try {
       val idx = new org.apache.hadoop.fs.Path(gen, sigIndexDirName(bandSize))
       if (fs.exists(new org.apache.hadoop.fs.Path(idx, "bands/_SUCCESS")))

@@ -257,7 +257,7 @@ object IvfPq {
   /** Load the model written by [[writeIndex]] (bit-exact round-trip). */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/model")
+    val rows = LedgerGuard.readParquetSniffed(spark, s"$path/model")
       .as[(Int, Int, Seq[Double])].collect() // model-sized by construction
     val coarse = rows.filter(_._1 == -1).sortBy(_._2).map(_._3.toArray).toVector
     val books = rows.filter(_._1 >= 0).groupBy(_._1).toSeq.sortBy(_._1)

@@ -574,8 +574,68 @@ object LedgerGuard {
   def readLedger(spark: SparkSession, path: String): DataFrame = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(readablePath(fs, target).toString)
+    val gen = readablePath(fs, target)
+    // schema sniffed on the DRIVER from one footer: every readLedger
+    // otherwise pays a schema-inference Spark job (77 such jobs per
+    // suite pass — JobAudit's jobkind histogram), i.e. one driver
+    // barrier per ledger read for information one footer already holds.
+    // Spark-written files carry the exact original StructType JSON in
+    // the footer's key-value metadata, so the sniffed schema is
+    // BIT-IDENTICAL to what inference would return (inference prefers
+    // the same key first); on any miss (no part files, foreign footer,
+    // unreadable) fall back to normal inference.
+    sniffSparkSchema(spark, fs, gen) match {
+      case Some(st) => spark.read.schema(st).parquet(gen.toString)
+      case None => spark.read.parquet(gen.toString)
+    }
   }
+
+  /** [[readLedger]]'s footer sniff for any module-internal read of a
+    * Spark-written store (models, code tables, probe indexes): same
+    * result as `spark.read.parquet(path)`, without the per-read
+    * schema-inference Spark job. Falls back to normal inference when
+    * the footer carries no Spark row schema (foreign files) or the
+    * sniff fails for any reason.
+    */
+  def readParquetSniffed(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sniffSparkSchema(spark, fs, p) match {
+      case Some(st) => spark.read.schema(st).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Driver-side footer sniff for [[readLedger]]: the Spark row-schema
+    * JSON from the first part file's footer metadata, if present.
+    */
+  private def sniffSparkSchema(spark: SparkSession, fs: FileSystem,
+      gen: Path): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      fs.listStatus(gen)
+        .find(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, conf),
+            org.apache.parquet.HadoopReadOptions.builder(conf)
+              .withMetadataFilter(org.apache.parquet.format.converter
+                .ParquetMetadataConverter.SKIP_ROW_GROUPS)
+              .build())
+          val footer =
+            try reader.getFooter finally reader.close()
+          Option(footer.getFileMetaData.getKeyValueMetaData
+              .get("org.apache.spark.sql.parquet.row.metadata"))
+            .flatMap { json =>
+              org.apache.spark.sql.types.DataType.fromJson(json) match {
+                case s: org.apache.spark.sql.types.StructType => Some(s)
+                case _ => None
+              }
+            }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** [[readLedger]] with an explicit schema — required for ledgers
     * whose CURRENT generation may hold zero parquet files (an empty

@@ -364,7 +364,7 @@ object SimilarityOps {
       scoreDecimals: Int = 6): DataFrame = {
     import graft.functions.VectorExpressions.{dotI8, quantizeI8}
     require(rerankFactor >= 1, "rerankFactor must be >= 1")
-    val corpus = spark.read.parquet(path)
+    val corpus = LedgerGuard.readParquetSniffed(spark, path)
     val qc = queries
       .select(col(qId).as("query_id"), quantizeI8(col(qVec)).getField("q").as("__qq"))
       .withColumn("__qn", sqrt(dotI8(col("__qq"), col("__qq")).cast("double")))
@@ -491,7 +491,7 @@ object SimilarityOps {
             "allowMissingMeta = true (and prefer rewriting it with " +
             "writeMatryoshkaCorpus, which stamps the sidecar)")
     }
-    val corpus = spark.read.parquet(path)
+    val corpus = LedgerGuard.readParquetSniffed(spark, path)
     val qp = queries.select(col(qId).as("query_id"),
       slice(col(qVec), 1, prefixDim).as("__qp"))
     val cp = corpus.select(col(idCol).as("neighbor_id"), col("prefix").as("__cp"))

@@ -25,11 +25,18 @@ object JobAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-callsite histogram (the job's FINAL stage name): which code
+    // paths the suite's driver barriers actually come from
+    val byKind = new java.util.concurrent.ConcurrentHashMap[String, Integer]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          val name = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("?")
+          byKind.merge(name, 1, (a, b) => a + b)
+        }
       })
     val names =
       if (args.length > 1) args.drop(1).toSeq
@@ -52,6 +59,10 @@ object JobAudit {
       println(f"[jobaudit] $n,$t%.3f,$j")
     }
     println(f"[jobaudit] TOTAL,${rows.map(_._2).sum}%.1f,${rows.map(_._3).sum}")
+    import scala.jdk.CollectionConverters._
+    byKind.asScala.toSeq.sortBy(-_._2.intValue).take(60).foreach { case (k, c) =>
+      println(s"[jobkind] $c  $k")
+    }
     spark.stop()
   }
 }
