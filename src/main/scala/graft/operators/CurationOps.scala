@@ -1031,10 +1031,11 @@ object CurationOps {
       val led = LedgerGuard.readLedger(spark, path)
       LayoutOps.writeSized(
         led.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
-        staging, col("w1"), targetFiles, maxRecordsPerFile)
+        staging, col("w1"), targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
       // derive the model from the rows JUST WRITTEN (read back, one
       // materialization) so model ≡ file contents by construction
-      writeBigramModel(spark.read.parquet(staging), staging)
+      writeBigramModel(LedgerGuard.readParquetSniffed(spark, staging), staging)
     }
 
   /** Generation-scoped model subdirectory name (underscore-prefixed:
@@ -2262,6 +2263,7 @@ object CurationOps {
       }
       LayoutOps.writeSized(
         led.groupBy(col(keyName), col("qh_b")).agg(sum(col("qh_c")).as("qh_c")),
-        staging, col(keyName), targetFiles, maxRecordsPerFile)
+        staging, col(keyName), targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 }

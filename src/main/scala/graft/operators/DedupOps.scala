@@ -718,7 +718,8 @@ object DedupOps {
         // sort by the id column (first at-rest column) so file-level
         // min/max stats prune id-ranged reads
         LayoutOps.writeSized(led, staging, col(led.columns.head),
-          targetFiles, maxRecordsPerFile)
+          targetFiles, maxRecordsPerFile,
+          srcBytes = LedgerGuard.readableDataBytes(spark, path))
         sigCompactMainLegFailpoint()
         awaitLane(idxF)
         val idxName = sigIndexDirName(bandSize)
@@ -1238,7 +1239,8 @@ object DedupOps {
         "cluster-ledger compaction") { staging =>
         LayoutOps.writeSized(
           readClusterAssignments(spark, path),
-          staging, col("node"), targetFiles, 64L * 1000 * 1000)
+          staging, col("node"), targetFiles, 64L * 1000 * 1000,
+          srcBytes = LedgerGuard.readableDataBytes(spark, clusterAsgPath(path)))
       }
       // the folded base is clean: readers skip the replay-collapse dedup
       // until the next advance dirties it (marker written AFTER the swap;
@@ -1755,7 +1757,8 @@ object DedupOps {
     LedgerGuard.advanceInPlace(spark, path, "simhash-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
       LayoutOps.writeSized(led, staging, col(led.columns.head),
-        targetFiles, maxRecordsPerFile)
+        targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 
   def simHash16Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -2161,7 +2164,8 @@ object DedupOps {
         .groupBy(col("digest"))
         .agg(min(col("admitted_id")).as("admitted_id"))
       LayoutOps.writeSized(compacted, staging, col("digest"),
-        targetFiles, maxRecordsPerFile)
+        targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 
   /** Snapshot diff between two corpus generations by content digest:
@@ -2443,6 +2447,7 @@ object DedupOps {
       maxRecordsPerFile: Long = 64L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, path, "span-hash-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).distinct()
-      LayoutOps.writeSized(led, staging, col("h"), targetFiles, maxRecordsPerFile)
+      LayoutOps.writeSized(led, staging, col("h"), targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 }

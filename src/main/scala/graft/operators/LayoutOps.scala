@@ -89,11 +89,29 @@ object LayoutOps {
     * ballooning them.
     */
   def writeSized(df: DataFrame, path: String, key: Column,
-      numFiles: Int, maxRecordsPerFile: Long): Unit =
-    df.repartitionByRange(numFiles, key)
-      .sortWithinPartitions(key)
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite").parquet(path)
+      numFiles: Int, maxRecordsPerFile: Long, srcBytes: Long = -1L): Unit = {
+    // size-adaptive (guide §2/§6): when the caller knows the SOURCE
+    // generation's at-rest size (driver metadata, no job) and it fits
+    // one healthy output file, skip the range layout — a model-sized
+    // ledger split by repartitionByRange pays a range-boundary SAMPLING
+    // job plus a range exchange to scatter tens of rows over `numFiles`
+    // tiny files, the §6 small-files anti-pattern. A fold's output is
+    // never larger than its input, so srcBytes bounds the output.
+    // Big ledgers (srcBytes above the threshold, or unknown) keep the
+    // sorted range layout that makes min/max pruning work at scale.
+    val oneFileBytes = scala.util.Try(
+        df.sparkSession.conf.get("spark.graft.compact.singleFileBytes").toLong)
+      .getOrElse(64L * 1024 * 1024)
+    if (srcBytes >= 0 && srcBytes <= oneFileBytes)
+      df.repartition(1).sortWithinPartitions(key)
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").parquet(path)
+    else
+      df.repartitionByRange(numFiles, key)
+        .sortWithinPartitions(key)
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").parquet(path)
+  }
 
   /** Generic core: write `df` bucketed+sorted by `keyCol` at `path`,
     * register it as `name`, and return the registered table. Reuses an

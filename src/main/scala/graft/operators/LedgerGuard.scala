@@ -590,6 +590,20 @@ object LedgerGuard {
     }
   }
 
+  /** Total part-file bytes of the ledger's readable generation —
+    * driver metadata only, no Spark job. The size-adaptive compaction
+    * writers ([[LayoutOps.writeSized]]) use it to decide whether a fold
+    * fits one output file: a fold's output never exceeds its input.
+    */
+  def readableDataBytes(spark: SparkSession, path: String): Long =
+    try {
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(readablePath(fs, target))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** [[readLedger]]'s footer sniff for any module-internal read of a
     * Spark-written store (models, code tables, probe indexes): same
     * result as `spark.read.parquet(path)`, without the per-read

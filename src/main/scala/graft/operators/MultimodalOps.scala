@@ -1548,6 +1548,7 @@ object MultimodalOps {
     LedgerGuard.advanceInPlace(spark, path, "frame-ledger compaction") { staging =>
       val led = LedgerGuard.readLedger(spark, path).dropDuplicates()
       LayoutOps.writeSized(led, staging, col(led.columns.head),
-        targetFiles, maxRecordsPerFile)
+        targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 }

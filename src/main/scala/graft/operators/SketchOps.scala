@@ -379,6 +379,7 @@ object SketchOps {
       }
       LayoutOps.writeSized(
         led.groupBy(col(keyName), col("token")).agg(sum(col("tc")).as("tc")),
-        staging, col(keyName), targetFiles, maxRecordsPerFile)
+        staging, col(keyName), targetFiles, maxRecordsPerFile,
+        srcBytes = LedgerGuard.readableDataBytes(spark, path))
     }
 }
