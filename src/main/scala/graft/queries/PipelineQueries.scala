@@ -3308,8 +3308,14 @@ object PipelineQueries {
       // predicate keeps the dot/(na*nb) tree cosine() builds)
       val a = emb.select(col("vec_id").as("__ida"), col("embedding").as("__va"),
         SimilarityOps.norm(col("embedding")).as("__na"))
+      // the streamed side of the all-pairs nested-loop referent rides
+      // the embeddings scan's ONE file split — round-robin it across
+      // the session width so the quadratic sweep runs on every core
+      // (1.7 s single-task stage at sf0.1, the whole query's wall;
+      // same pairs, distinct() after — result unchanged)
       val b = emb.select(col("vec_id").as("__idb"), col("embedding").as("__vb"),
         SimilarityOps.norm(col("embedding")).as("__nb"))
+        .repartition(s.sparkContext.defaultParallelism)
       val dup = broadcast(a).join(b, col("__ida") < col("__idb"))
         .filter(Qf.dround(
           graft.functions.VectorExpressions.dotF(col("__va"), col("__vb"))
