@@ -171,6 +171,25 @@ object IvfPq {
     * kills later re-appends of the same id too, since tombstones apply
     * by id) — re-append AFTER the compaction.
     */
+  /** The codes table with a driver-sniffed schema (footer columns from
+    * one cell's part file + the `__cluster` partition column the layout
+    * owns): saves the per-read schema-inference Spark job every delete,
+    * compaction, and probe otherwise paid — partition pruning is
+    * unaffected (discovery is directory-driven, not schema-driven).
+    * Falls back to normal inference on any miss.
+    */
+  private def readCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    codesSchema(spark, path) match {
+      case Some(st) => spark.read.schema(st).parquet(s"$path/codes")
+      case None => spark.read.parquet(s"$path/codes")
+    }
+
+  private def codesSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[org.apache.spark.sql.types.StructType] =
+    LedgerGuard.sniffPartitionedSchema(spark, s"$path/codes", "__cluster",
+      org.apache.spark.sql.types.IntegerType)
+
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, cId: String): Unit = {
     // Tombstones must match the STORED schema exactly: an id column of a
@@ -181,7 +200,8 @@ object IvfPq {
     // The code-column COUNT comes off this same schema — the old
     // loadModel call here paid a model-parquet read + collect per
     // delete for a number the footer already carries.
-    val stored = spark.read.parquet(s"$path/codes").schema
+    val stored = codesSchema(spark, path)
+      .getOrElse(spark.read.parquet(s"$path/codes").schema)
     val numCodeCols = stored.fieldNames.count(_.matches("__c\\d+"))
     val storedId = stored("neighbor_id").dataType
     val callerId = ids.schema(cId).dataType
@@ -208,7 +228,7 @@ object IvfPq {
     */
   private def liveTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    readCodes(spark, path)
       .filter(col("__cluster") === TombstoneCell)
       .select(col("neighbor_id").as("__del")).distinct()
 
@@ -224,7 +244,7 @@ object IvfPq {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
     LedgerGuard.advanceInPlace(spark, s"$path/codes", "IVFPQ index compaction") { staging =>
-      val led = spark.read.parquet(s"$path/codes").dropDuplicates()
+      val led = readCodes(spark, path).dropDuplicates()
       val tombs = led.filter(col("__cluster") === TombstoneCell)
         .select(col("neighbor_id").as("__del")).distinct()
       val kept = led.filter(col("__cluster") =!= TombstoneCell)
@@ -295,7 +315,7 @@ object IvfPq {
     // delete ever ran this is a zero-file partition-pruned read. ONE
     // relation feeds both sides — a second spark.read.parquet would pay
     // the file listing + schema inference twice per probe
-    val codesAll = spark.read.parquet(s"$path/codes")
+    val codesAll = readCodes(spark, path)
     val codes = codesAll
       .filter(col("__cluster").isin(wanted: _*))
       .join(broadcast(codesAll.filter(col("__cluster") === TombstoneCell)

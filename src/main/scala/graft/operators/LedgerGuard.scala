@@ -620,6 +620,26 @@ object LedgerGuard {
     }
   }
 
+  /** [[readParquetSniffed]]'s variant for a ONE-LEVEL partitioned store
+    * (`<dir>/<partitionCol>=<v>/part-*`): footer columns from one leaf
+    * file plus the partition column appended (partition columns are not
+    * in the footers; their directory-inferred type is supplied by the
+    * caller, who owns the layout). None on any miss — callers fall back
+    * to normal inference.
+    */
+  def sniffPartitionedSchema(spark: SparkSession, dir: String,
+      partitionCol: String, partitionType: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .find(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partitionCol + "="))
+        .flatMap(sub => sniffSparkSchema(spark, fs, sub.getPath))
+        .map(_.add(partitionCol, partitionType))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Driver-side footer sniff for [[readLedger]]: the Spark row-schema
     * JSON from the first part file's footer metadata, if present.
     */
