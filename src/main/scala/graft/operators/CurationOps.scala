@@ -1389,6 +1389,186 @@ object CurationOps {
     } finally { words.unpersist(false); () }
   }
 
+  /** Default driver-collect bound for the tokenizer-learn local fast
+    * path: below this many DISTINCT words the merge loop runs on the
+    * driver (the [[GraphOps.pageRank]] small-graph precedent). 1M
+    * words × ~100 B ≈ 100 MB of driver heap — a bound on a *driver
+    * collect*, not on corpus size, so production keeps the default;
+    * override via `spark.graft.smallTokenizerWords`.
+    */
+  val SmallTokenizerWords: Long = 1000000L
+
+  private def smallTokenizerWords(spark: org.apache.spark.sql.SparkSession): Long =
+    scala.util.Try(spark.conf.get("spark.graft.smallTokenizerWords").toLong)
+      .getOrElse(SmallTokenizerWords)
+
+  /** Spark's (and DuckDB's) string sort order is UTF-8 BINARY byte
+    * order (`UTF8String.compareTo`); Java's `String.compareTo` is
+    * UTF-16 code-unit order, which disagrees for code points above the
+    * BMP vs U+E000..U+FFFF. The local merge loops must replay the
+    * distributed argmax's tie order exactly, so compare encoded bytes.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Per-code-point split, bit-faithful to the distributed path's
+    * `regexp_extract_all(w, "[\s\S]", 0)`: run the SAME java.util.regex
+    * pattern the executors run, so surrogate handling cannot diverge.
+    */
+  private val symSplitPattern = java.util.regex.Pattern.compile("[\\s\\S]")
+  private def splitSyms(w: String): Array[String] = {
+    val m = symSplitPattern.matcher(w)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Left-to-right non-overlapping merge — the replace-last fold the
+    * distributed path runs as an `aggregate` HOF (see the invariant
+    * note there: a just-merged `a+b` can never string-equal `a`).
+    */
+  private def mergeRewrite(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** One corpus pass building the distinct `(word, count)` table, then
+    * EITHER the collected array (≤ `bound` words — the local merge-loop
+    * route) OR the vocab-sized `(cnt, syms)` frame localCheckpointed for
+    * the distributed rounds. The persist makes the bound check and the
+    * follow-up read share one corpus scan on both routes.
+    */
+  private def wordCountsOrFrame(docs: DataFrame, textCol: String)
+      : Either[Array[(String, Long)], DataFrame] = {
+    val wc = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val nWords = wc.count() // materializes the cache for either route
+    val res =
+      if (nWords <= smallTokenizerWords(docs.sparkSession))
+        Left(wc.collect().map(r => (r.getString(0), r.getLong(1))))
+      else
+        Right(wc.select(col("cnt"),
+          regexp_extract_all(col("w"), lit("[\\s\\S]"), lit(0)).as("syms"))
+          .localCheckpoint())
+    wc.unpersist(false)
+    res
+  }
+
+  /** Driver-side BPE merge loop — the distributed rounds' exact
+    * semantics on the collected `(word, count)` table. Every pair
+    * frequency is an exact Long sum (order-independent, so local ≡
+    * distributed bit-for-bit); argmax ties break on (freq desc, lhs,
+    * rhs) in UTF-8 byte order, the order the distributed
+    * `orderBy(desc, a, b)` uses.
+    */
+  private[operators] def localBpeMerges(wordCounts: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var ws: Array[(Long, Array[String])] =
+      wordCounts.map { case (w, c) => (c, splitSyms(w)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val freq = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (c, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          freq.update(k, freq.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (freq.isEmpty) done = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestF = Long.MinValue
+        freq.foreach { case (k, f) =>
+          val better = f > bestF || (f == bestF && {
+            val ca = utf8Cmp(k._1, bestA)
+            ca < 0 || (ca == 0 && utf8Cmp(k._2, bestB) < 0)
+          })
+          if (better) { bestA = k._1; bestB = k._2; bestF = f }
+        }
+        out += ((r, bestA, bestB, bestF))
+        ws = ws.map { case (c, syms) => (c, mergeRewrite(syms, bestA, bestB)) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver-side WordPiece merge loop — likelihood-gain argmax
+    * `freq(ab) / (freq(a)·freq(b))` per round over the collected word
+    * table. All frequencies are exact Long sums; the score is the same
+    * double division of the same longs the distributed plan computes,
+    * so the (score desc, lhs, rhs) order is bit-identical.
+    */
+  private[operators] def localWordPieceMerges(wordCounts: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long, Long, Long)] = {
+    var ws: Array[(Long, Array[String])] =
+      wordCounts.map { case (w, c) => (c, splitSyms(w)) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val symFreq = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairFreq = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (c, syms) =>
+        var i = 0
+        while (i < syms.length) {
+          symFreq.update(syms(i), symFreq.getOrElse(syms(i), 0L) + c)
+          if (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            pairFreq.update(k, pairFreq.getOrElse(k, 0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pairFreq.isEmpty) done = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestF = 0L
+        var bestScore = Double.NegativeInfinity
+        pairFreq.foreach { case (k, f) =>
+          val score = f.toDouble /
+            (symFreq(k._1).toDouble * symFreq(k._2).toDouble)
+          val better = score > bestScore || (score == bestScore && {
+            val ca = utf8Cmp(k._1, bestA)
+            ca < 0 || (ca == 0 && utf8Cmp(k._2, bestB) < 0)
+          })
+          if (better) { bestA = k._1; bestB = k._2; bestF = f; bestScore = score }
+        }
+        out += ((r, bestA, bestB, bestF, symFreq(bestA), symFreq(bestB)))
+        ws = ws.map { case (c, syms) => (c, mergeRewrite(syms, bestA, bestB)) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Iterative BPE vocabulary LEARNING — the training loop d61's
     * one-round pair stats feed (Sennrich 2016 §3.2's learn-BPE
     * algorithm re-expressed for Spark). The scale discipline is the
@@ -1408,6 +1588,15 @@ object CurationOps {
     * `numMerges` rounds. Returns the ordered merge list
     * `(rk, lhs, rhs, freq)` — rounds after pair exhaustion (every
     * word a single symbol) stop early.
+    *
+    * Small-vocab fast path (the pageRank local-route precedent): below
+    * `spark.graft.smallTokenizerWords` distinct words the collected
+    * table runs the merge loop on the driver — 2 jobs total instead of
+    * `1 + 2·numMerges` driver barriers. Bit-identical by construction:
+    * every statistic is an exact Long sum (order-independent), the
+    * argmax tie order is replayed in UTF-8 byte order, and the symbol
+    * split runs the same java.util.regex pattern (spec-pinned local ≡
+    * distributed).
     */
   def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1 && numMerges <= 1000, "numMerges must be in [1, 1000]")
@@ -1415,13 +1604,12 @@ object CurationOps {
     import spark.implicits._
     // symbols via regexp '[\s\S]' (code points, incl. newline) — the
     // exact per-char split the oracle's RE2 runs
-    var words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        regexp_extract_all(col("w"), lit("[\\s\\S]"), lit(0)).as("syms"))
-      .localCheckpoint()
+    var words = wordCountsOrFrame(docs, textCol) match {
+      case Left(wcRows) =>
+        return localBpeMerges(wcRows, numMerges)
+          .toDF("rk", "lhs", "rhs", "freq")
+      case Right(frame) => frame
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -1484,13 +1672,15 @@ object CurationOps {
     require(numMerges >= 1 && numMerges <= 1000, "numMerges must be in [1, 1000]")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        regexp_extract_all(col("w"), lit("[\\s\\S]"), lit(0)).as("syms"))
-      .localCheckpoint()
+    // small-vocab local route + bit-identity argument: see
+    // [[learnBpeMerges]] (the score adds a double division of the same
+    // exact longs — deterministic per pair on both routes)
+    var words = wordCountsOrFrame(docs, textCol) match {
+      case Left(wcRows) =>
+        return localWordPieceMerges(wcRows, numMerges)
+          .toDF("rk", "lhs", "rhs", "freq", "lhs_freq", "rhs_freq")
+      case Right(frame) => frame
+    }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Long)]
     var r = 1

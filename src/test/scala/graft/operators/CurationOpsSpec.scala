@@ -1101,6 +1101,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(tinyGot == Seq((1, "a", "a", 3L)), tinyGot.toString)
   }
 
+  test("tokenizer learns: local fast path ≡ distributed rounds (BPE + WordPiece)") {
+    // the small-vocab driver loop must replay the distributed rounds
+    // bit-for-bit (exact long sums, UTF-8 tie order, same regex split);
+    // forcing the bound to 0 routes the same corpus through the
+    // distributed path — incl. ties, multi-round merged symbols and an
+    // early-stop word shape
+    val corpus = Seq("low low low low low", "lower lower newest widest",
+      "newest newest newest newest newest", "widest widest ab cd ab",
+      "aa aa ab ba", "xyz xyz xy yz", "a")
+    val docs = corpus.toDF("text")
+    val localB = CurationOps.learnBpeMerges(docs, "text", 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val localW = CurationOps.learnWordPieceMerges(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    spark.conf.set("spark.graft.smallTokenizerWords", "0")
+    try {
+      val distB = CurationOps.learnBpeMerges(docs, "text", 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val distW = CurationOps.learnWordPieceMerges(docs, "text", 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(localB == distB, s"BPE local $localB\ndistributed $distB")
+      assert(localW == distW, s"WP local $localW\ndistributed $distW")
+    } finally spark.conf.unset("spark.graft.smallTokenizerWords")
+  }
+
   test("bpeEncode: priority-loop apply — divergence from naive list order, multi-occurrence, empties, NULL") {
     import graft.functions.TokenizeExpressions.bpeEncode
     def enc(text: String, merges: Seq[(String, String)]): Seq[Seq[String]] =
