@@ -3904,12 +3904,16 @@ object PipelineQueries {
       // scorer once per downstream pass (measured 3.6 s vs 1.3 s warm)
       val path = Registry.scratchDir(
         s"/tmp/graft_conformance/d67_ppl_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}")
-      sharedLmScores(s, dir)
+      val scored = sharedLmScores(s, dir)
         .select(col("doc_id"), Qf.dround(col("avg_nll_raw"), 4).as("nll_r"))
         .join(docs.select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")), Seq("doc_id"))
-        .write.mode("overwrite").parquet(path)
-      val sc = s.read.parquet(path)
+      scored.write.mode("overwrite").parquet(path)
+      // read back with the writer's own schema (all-nullable, what
+      // inference returns for parquet) — skips the per-run footer
+      // schema-inference job on a path we just wrote
+      val sc = s.read.schema(org.apache.spark.sql.types.StructType(
+        scored.schema.fields.map(_.copy(nullable = true)))).parquet(path)
       val qs = PercentileOps.exactQuantilesSelect(sc, Seq("lang"),
         Seq(("nll_r", col("nll_r"), Seq(("lo", 1.0 / 3, false), ("hi", 2.0 / 3, false)))))
       sc.join(broadcast(qs), Seq("lang"))
@@ -6018,9 +6022,14 @@ object PipelineQueries {
       val withSplit = table(s, dir, "documents")
         .withColumn("split", CurationOps.splitAssign(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
-      CurationOps.packBins(withSplit, "split", "doc_id", "text", contextLen = 2048)
-        .write.mode("overwrite").partitionBy("split").parquet(path)
-      s.read.parquet(path)
+      val packed = CurationOps.packBins(withSplit, "split", "doc_id", "text",
+        contextLen = 2048)
+      packed.write.mode("overwrite").partitionBy("split").parquet(path)
+      // explicit schema: data columns match the files by name, the
+      // `split` partition column resolves from the directory level —
+      // skips the partition-discovery schema-inference job
+      s.read.schema(org.apache.spark.sql.types.StructType(
+          packed.schema.fields.map(_.copy(nullable = true)))).parquet(path)
         .groupBy(col("split"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("split", "bin")
